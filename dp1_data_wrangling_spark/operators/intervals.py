@@ -1,0 +1,138 @@
+"""Timespan / validity-interval operators (SURVEY.md §2.4 J7, §2.9 C2).
+
+Reference semantics: calibration collections associate a dataset with a
+half-open validity interval ``[begin_nsec, end_nsec)`` per data ID
+(importer.py:110-112 ``certify``); overlapping intervals for the same
+(collection, data ID) are an error; lookups are as-of/interval joins.
+Timespans stay int64 nanoseconds end-to-end — Spark TimestampType is µs
+precision, so timestamps are never used for comparisons (SURVEY.md §7.4.1).
+NULL begin/end mean unbounded.
+
+Scale posture: the overlap *check* sorts per (collection, data ID) — a
+window by key, one shuffle, and compares each interval only with its
+neighbor (sorted intervals overlap iff an adjacent pair overlaps), so it is
+O(n log n) not the O(n²) self-join.  The as-of *lookup* is a range join;
+at dimension scale Catalyst's conditional join is fine, at fact scale use
+``bucketize`` below to turn it into an equi-join on coarse time buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NEG_INF = -(2**62)
+_POS_INF = 2**62
+
+
+def _coalesce_bounds(df: DataFrame, begin: str, end: str) -> DataFrame:
+    return df.withColumn(
+        "__iv_begin", F.coalesce(F.col(begin), F.lit(_NEG_INF))
+    ).withColumn("__iv_end", F.coalesce(F.col(end), F.lit(_POS_INF)))
+
+
+def overlapping_pairs(
+    intervals: DataFrame,
+    keys: Sequence[str],
+    *,
+    begin: str = "begin_nsec",
+    end: str = "end_nsec",
+    tie_breaker: Column | None = None,
+) -> DataFrame:
+    """Rows whose validity interval overlaps the *previous* interval of the
+    same key (sort-based neighbor check — one shuffle, no self-join).
+
+    Returns the offending rows with ``prev_begin_nsec``/``prev_end_nsec``
+    columns; empty result = certify would succeed.  ``tie_breaker`` makes
+    the sort total when identical intervals exist for one key.
+    """
+    order = [F.col("__iv_begin"), F.col("__iv_end")]
+    if tie_breaker is not None:
+        order.append(tie_breaker)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    with_prev = (
+        _coalesce_bounds(intervals, begin, end)
+        .withColumn("__iv_prev_end", F.lag("__iv_end").over(w))
+        .withColumn("__iv_prev_begin", F.lag("__iv_begin").over(w))
+    )
+    return (
+        with_prev.filter(
+            F.col("__iv_prev_end").isNotNull()
+            & (F.col("__iv_begin") < F.col("__iv_prev_end"))
+        )
+        .withColumn("prev_begin_nsec", F.col("__iv_prev_begin"))
+        .withColumn("prev_end_nsec", F.col("__iv_prev_end"))
+        .drop("__iv_begin", "__iv_end", "__iv_prev_begin", "__iv_prev_end")
+    )
+
+
+def check_no_overlaps(
+    intervals: DataFrame,
+    keys: Sequence[str],
+    *,
+    begin: str = "begin_nsec",
+    end: str = "end_nsec",
+) -> None:
+    """Certify-style validation: raise if any same-key intervals overlap."""
+    bad = overlapping_pairs(intervals, keys, begin=begin, end=end)
+    n = bad.limit(1).count()
+    if n:
+        raise ValueError(
+            "certify: overlapping validity intervals for keys "
+            f"{list(keys)} (first offender: {bad.limit(1).collect()[0]})"
+        )
+
+
+def asof_lookup(
+    probes: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] | None,
+    *,
+    probe_time: str,
+    begin: str = "begin_nsec",
+    end: str = "end_nsec",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: match each probe row to interval rows containing its
+    timestamp (half-open [begin, end); NULL bound = unbounded).
+
+    ``on`` equi-keys (may be empty) keep the join from being a pure cross
+    product; Catalyst executes equi-keys as the hash key and the range
+    predicate as a post-filter.
+    """
+    iv = _coalesce_bounds(intervals, begin, end)
+    cond = (F.col(probe_time) >= F.col("__iv_begin")) & (
+        F.col(probe_time) < F.col("__iv_end")
+    )
+    for k in on or []:
+        cond = cond & (probes[k] == iv[k])
+    out = probes.join(iv, cond, how)
+    return out.drop("__iv_begin", "__iv_end")
+
+
+def bucketize_intervals(
+    intervals: DataFrame,
+    bucket_ns: int,
+    *,
+    begin: str = "begin_nsec",
+    end: str = "end_nsec",
+) -> DataFrame:
+    """Explode each interval into the coarse time buckets it touches, so an
+    interval join becomes an equi-join on ``bucket`` + residual predicate.
+    Use when both sides are fact-scale (SURVEY.md §4 last row).
+    """
+    return (
+        _coalesce_bounds(intervals, begin, end)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("__iv_begin") / bucket_ns).cast("long"),
+                    ((F.col("__iv_end") - 1) / bucket_ns).cast("long"),
+                )
+            ),
+        )
+        .drop("__iv_begin", "__iv_end")
+    )

@@ -1,0 +1,58 @@
+"""Priority first-wins dedup across datastores.
+
+Reference semantics (datastore_parquet.py:32-50, 66-76): when the same
+dataset_id has file records in several datastores, the first datastore in
+the configured priority list wins (mirrors ChainedDatastore lookup order).
+
+Spark mapping (SURVEY.md §2.4 J5 / §2.6 W2): broadcast the (name, priority)
+list, then either
+
+- ``row_number() OVER (PARTITION BY dataset_id ORDER BY priority)`` = 1, or
+- ``groupBy(dataset_id).agg(min_by(struct(*), priority))`` (single-agg
+  map-side-combinable form; chosen here for the non-row_number variant).
+
+Both are a single shuffle on dataset_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def priority_map(spark: SparkSession, priority: Sequence[str]) -> DataFrame:
+    rows = [(name, i) for i, name in enumerate(priority)]
+    return spark.createDataFrame(rows, "datastore_name string, priority int")
+
+
+def priority_dedup(
+    records: DataFrame,
+    priority: DataFrame,
+    *,
+    key_col: str = "dataset_id",
+    name_col: str = "datastore_name",
+    priority_col: str = "priority",
+    tie_breaker: str | None = "path",
+) -> DataFrame:
+    """Keep, per key, only the record from the highest-priority datastore.
+
+    ``priority`` is a small (name, priority) DataFrame — broadcast.  The
+    tie-breaker orders within one datastore (the reference treats that as
+    first-batch-wins; we make it deterministic).
+    """
+    joined = records.join(
+        F.broadcast(priority.withColumnRenamed(name_col, "__pd_name")),
+        records[name_col] == F.col("__pd_name"),
+        "inner",
+    )
+    order = [F.col(priority_col).asc()]
+    if tie_breaker is not None:
+        order.append(F.col(tie_breaker).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        joined.withColumn("__pd_rn", F.row_number().over(w))
+        .filter(F.col("__pd_rn") == 1)
+        .drop("__pd_rn", "__pd_name", priority_col)
+    )

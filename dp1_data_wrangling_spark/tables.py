@@ -1,0 +1,148 @@
+"""Typed loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §1).
+
+The reference reads Parquet with explicitly-constructed Arrow schemas
+(dimension_record_parquet.py:63-71 in /root/reference); the Spark analogue is
+``spark.read.parquet`` — the parquet footer carries the schema, Catalyst does
+column pruning and predicate pushdown automatically.  We keep a declared
+schema registry anyway (``EXPECTED_SCHEMAS``) so loads are validated rather
+than trusted, which is what a 100 TB deployment wants: fail fast on schema
+drift instead of silently miscasting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# column name -> Spark simpleString type, per FIXTURES.md §1.  Timestamps may
+# surface as timestamp or timestamp_ntz depending on the reader config; both
+# are accepted by _normalize.
+EXPECTED_SCHEMAS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize(t: str) -> str:
+    # timestamp_ntz and timestamp are equivalent for our naive fixture data.
+    return t.replace("timestamp_ntz", "timestamp")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, validating its schema against the registry.
+
+    Fixture parquet stores TIMESTAMP(NANOS), which Spark's reader rejects;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as
+    int64 ns and are converted here to µs timestamps via exact integer
+    division (the fixtures are µs-clean; a double cast would lose precision
+    at ~1e18 — SURVEY.md §7.4.1)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = EXPECTED_SCHEMAS.get(name)
+    if expected is not None:
+        actual_types = dict(df.dtypes)
+        for col, typ in expected.items():
+            if typ == "timestamp" and actual_types.get(col) == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if expected is not None:
+        actual = {f.name: _normalize(f.dataType.simpleString()) for f in df.schema}
+        missing = set(expected) - set(actual)
+        if missing:
+            raise ValueError(f"table {name}: missing columns {sorted(missing)}")
+        for col, typ in expected.items():
+            if _normalize(typ) != actual[col]:
+                raise ValueError(
+                    f"table {name}.{col}: expected {typ}, got {actual[col]}"
+                )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

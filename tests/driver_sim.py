@@ -1,0 +1,71 @@
+"""Simulate the DRIVER: vanilla SparkSession (none of the engine's tuned
+confs), import __spark_entry__ by path, smoke entry(), then run every
+queries() entry at sf0.01 against oracle_sql() via DuckDB."""
+
+import importlib.util
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+# vanilla session, as the driver would build it
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    .appName("driver-sim")
+    .getOrCreate()
+)
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py"
+)
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+# --- t1 smoke: entry() ---
+t0 = time.time()
+df = mod.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s; schema={df.schema.simpleString()}")
+for r in rows:
+    print("  ", r)
+assert len(rows) > 0
+
+# --- t2 correctness: queries vs oracle at sf0.01 ---
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for name in ["region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
+
+sys.path.insert(0, "/root/repo")
+from tests.oracle_harness import compare  # noqa: E402
+
+qs = mod.queries()
+oracles = mod.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} with oracles")
+fails = []
+for name, fn in sorted(qs.items()):
+    t = time.time()
+    try:
+        res = fn(spark, SF)
+        if name in oracles:
+            compare(res, con, oracles[name], name)
+            status = "OK  "
+        else:
+            n = res.count()
+            assert len(res.schema) > 0
+            status = f"ROWS({n})"
+    except Exception as e:
+        fails.append(name)
+        status = f"FAIL {str(e)[:150]}"
+    print(f"{status} {name} {time.time()-t:.1f}s")
+
+# probe: rerun one query twice (idempotence under reuse)
+compare(qs["find_first"](spark, SF), con, oracles["find_first"], "find_first#2")
+print("rerun find_first: OK")
+print("FAILS:", fails)
+assert not fails
+print("DRIVER-SIM: ALL GREEN")
