@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Methodology: one warm-up execution of the smallest headline query to absorb
+JVM/codegen startup, then each headline query is planned fresh and executed
+once; timing covers logical-plan build through full materialization
+(count via a noop write would skew small SFs; collect of aggregates is
+tiny, wide results use count)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dp1_data_wrangling_spark.queries import REGISTRY, headline_queries  # noqa: E402
+from dp1_data_wrangling_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark("dp1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet footer caches, codegen
+    REGISTRY["find_first"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline_queries().items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -279,6 +279,14 @@ fx_dim_nation AS (
 
 
 def oracle(sql: str) -> str:
-    """Wrap a SELECT with the fixture CTE prefix for the DuckDB oracle."""
+    """Wrap a SELECT with the fixture CTE prefix for the DuckDB oracle.
+
+    A body that starts with its own WITH clause is spliced into the fixture
+    CTE list (a statement can only have one WITH)."""
     body = sql.strip().rstrip(";")
+    if body[:5].upper() == "WITH ":
+        rest = body[5:].lstrip()
+        if rest[:10].upper() == "RECURSIVE ":
+            rest = rest[10:].lstrip()
+        return f"{ORACLE_CTES},\n{rest}"
     return f"{ORACLE_CTES}\n{body}"

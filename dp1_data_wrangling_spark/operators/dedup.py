@@ -1,0 +1,240 @@
+"""Document deduplication family (BASELINE.json north star; SURVEY.md §7.1.7).
+
+Scale-first design notes (the 100 TB posture):
+
+- **Exact dedup** is a hash-groupBy on a content digest — one shuffle on
+  md5(text), map-side combinable.  Never ``dropDuplicates(["text"])`` at
+  scale: that shuffles full text payloads; shuffling the 16-byte digest +
+  doc id and semi-joining survivors back is ~50x less shuffle volume.
+- **MinHash+LSH** shuffles only (band_key, doc_id) pairs — band keys are
+  md5 digests, so the shuffle is narrow regardless of document size.
+  Candidate generation is an equi-join on band_key; per-bucket fan-out is
+  bounded by bucket size, and hot buckets (boilerplate documents) are the
+  skew to watch — AQE skew-join or a bucket-size cap handles them.
+- **SimHash** reduces each document to one int64; near-dup candidates are
+  found by banding the 64 bits into k chunks (exact-match on any chunk ≤
+  hamming distance guarantee), again an equi-join on narrow keys.
+- All hashes are md5-derived — deterministic across engines and runs (no
+  seed, no JVM hashCode), which is what makes the DuckDB oracle able to
+  replay the exact pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash configuration — fixed; the oracle replays these exact constants.
+MINHASH_HASHES = 6
+MINHASH_BAND_SIZE = 2  # 3 bands of 2 rows
+SHINGLE_LEN = 5
+NORM_PREFIX = 200  # shingle only the first N chars (bounds cost per doc)
+
+
+def content_digest(text: Column) -> Column:
+    """16-byte exact-dedup key (md5 of raw text)."""
+    return F.md5(text.cast("binary"))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content digest, keep the min-id survivor.
+
+    Returns (digest, keep_id, n_copies); join back on digest+id for the
+    surviving rows (narrow-shuffle pattern, see module docstring)."""
+    return (
+        docs.select(content_digest(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def normalized(text: Column) -> Column:
+    return F.lower(F.substring(text, 1, NORM_PREFIX))
+
+
+def shingles(norm_col_name: str) -> Column:
+    """Character 5-gram shingles of a normalized column (array<string>).
+    Documents shorter than the shingle length yield one whole-string
+    shingle (greatest(..., 1))."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm_col_name}) - {SHINGLE_LEN - 1}, 1)), "
+        f"j -> substr({norm_col_name}, j, {SHINGLE_LEN}))"
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append minhash signature columns sig_0..sig_{n-1}.
+
+    sig_i = min over shingles of md5(i || shingle) — a lexicographic
+    min-hash over a deterministic hash family (md5 with an index salt).
+    Pure JVM expressions: transform + array_min, no Python UDFs."""
+    out = docs.withColumn("__norm", normalized(F.col(text_col)))
+    for i in range(MINHASH_HASHES):
+        out = out.withColumn(
+            f"sig_{i}",
+            F.array_min(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(__norm) - {SHINGLE_LEN - 1}, 1)), "
+                    f"j -> md5(cast(concat('{i}', substr(__norm, j, {SHINGLE_LEN})) as binary)))"
+                )
+            ),
+        )
+    return out.drop("__norm")
+
+
+def minhash_band_keys(with_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band, band_key) rows; band_key is the
+    md5 of the band's signature rows — the LSH bucket id."""
+    n_bands = MINHASH_HASHES // MINHASH_BAND_SIZE
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{i}") for i in range(b * MINHASH_BAND_SIZE, (b + 1) * MINHASH_BAND_SIZE)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols).cast("binary")).alias("band_key"),
+            )
+        )
+    return with_sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing any LSH band.
+
+    Equi-join on (band, band_key) — the only shuffle moves 16-byte keys."""
+    keys = minhash_band_keys(minhash_signature(docs, text_col), id_col)
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document: (id, simhash).
+
+    Each word token's md5 yields a 60-bit hash (15 hex chars); every bit
+    votes +1/-1 and the sign vector is the fingerprint.  Computed the
+    scale-correct way: explode tokens, ONE groupBy(id) with 60 parallel
+    SUM aggregates (map-side combinable) — never a nested
+    per-row-per-bit re-aggregation, which is O(bits^2 * tokens)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), '\\\\W+'), x -> x != '')")
+        ).alias("__tok"),
+    ).withColumn(
+        "__h",
+        F.expr("cast(conv(substr(md5(cast(__tok as binary)), 1, 15), 16, 10) as bigint)"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(__h div shiftleft(1L, {b})) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    grouped = toks.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return grouped.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates: equal 15-bit chunk of the simhash in any of 4
+    chunk positions guarantees recall for hamming distance < 4."""
+    with_h = simhash_fingerprints(docs, text_col, id_col)
+    chunk_w = 60 // n_chunks
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                ((F.col("simhash") / F.lit(2 ** (c * chunk_w))).cast("long") % (2**chunk_w)).alias(
+                    "chunk_val"
+                ),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    keys = with_h.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_val").alias("chunk_val")
+    )
+    a = keys.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("simhash_a"), "chunk", "chunk_val"
+    )
+    b = keys.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("simhash_b"), "chunk", "chunk_val"
+    )
+    pairs = (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash_a", "simhash_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(0, 59), 0, (acc, b) -> acc + "
+        "CASE WHEN (cast(simhash_a as bigint) div shiftleft(1L, b)) % 2 != "
+        "(cast(simhash_b as bigint) div shiftleft(1L, b)) % 2 THEN 1 ELSE 0 END)"
+    )
+    return pairs.withColumn("hamming", hamming)
+
+
+def token_set(text: Column) -> Column:
+    """Distinct lowercase word tokens (for Jaccard)."""
+    return F.array_distinct(F.filter(F.split(F.lower(text), r"\W+"), lambda x: x != ""))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pair_offset: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for the deterministic pair family
+    (id, id + pair_offset), computed distributively: explode distinct
+    tokens, equi-join on token, count intersections, derive union by
+    inclusion-exclusion.  All-integer math until the final division."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(token_set(F.col(text_col))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    a = toks.withColumnRenamed("doc_id", "doc_id_a")
+    b = toks.select(
+        (F.col("doc_id") - pair_offset).alias("doc_id_a"), F.col("token"), F.col("doc_id").alias("doc_id_b")
+    )
+    inter = (
+        a.join(b, ["doc_id_a", "token"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_tokens", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_tokens", "n_b")
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two tiers, mirroring what a 100 TB embedding corpus needs:
+
+- **Brute-force cosine top-k** — the correctness baseline.  Probes are
+  broadcast (they are the small side by construction); candidates stream
+  through a single narrow projection; per-partition partial top-k happens
+  inside the window/TakeOrdered machinery, so no executor materializes the
+  full probe x corpus product.  Dot products are JVM expressions
+  (zip_with + aggregate) — no Python in the loop.
+- **LSH-bucketed cosine (IVF-style)** — the scale path: random-hyperplane
+  signatures (deterministic md5-derived planes, no RNG state) bucket both
+  sides; candidates are an equi-join on (plane-set, signature); exact
+  cosine re-ranks inside buckets.  Recall is tunable via n_planes/n_tables.
+  ``pyspark.ml.feature.BucketedRandomProjectionLSH`` offers the same under
+  ml pipelines; this implementation keeps everything in plain DataFrame
+  ops (no ml Vector conversion cost) and keeps determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i as a strict left fold in double (JVM, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors per probe (excluding self).
+
+    Returns (probe_id, neighbor_id, sim, rank).  ``round_digits`` rounds
+    the similarity before ranking so ordering is reproducible across
+    engines; ties break on neighbor id."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cand_vec")
+    )
+    sim = cosine(F.col("__probe_vec"), F.col("__cand_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component signs from md5
+    bytes (no RNG object, reproducible everywhere)."""
+    import hashlib
+
+    out: list[float] = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).digest()
+        out.append(1.0 if h[0] % 2 else -1.0)
+    return out
+
+
+def lsh_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-k: signature = sign pattern under
+    ``n_planes`` hyperplanes, repeated over ``n_tables`` tables for recall;
+    exact cosine re-ranks within candidate buckets."""
+
+    def signature(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = []
+        for t in range(n_tables):
+            bits = []
+            for pl in range(n_planes):
+                plane = _plane(t, pl, dim)
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(v) for v in plane]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**pl))
+            sig = bits[0]
+            for b in bits[1:]:
+                sig = sig + b
+            sigs.append(F.struct(F.lit(t).alias("table"), sig.alias("sig")))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"__{out_id}_vec"),
+            F.explode(F.array(*sigs)).alias("ts"),
+        ).select(out_id, f"__{out_id}_vec", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+
+    ps = signature(probes, "probe_id")
+    cs = signature(corpus, "neighbor_id")
+    cand = (
+        ps.join(cs, ["table", "sig"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__probe_id_vec"), F.col("__neighbor_id_vec")), 6
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

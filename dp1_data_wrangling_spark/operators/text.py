@@ -1,0 +1,118 @@
+"""Text analysis operators for training-data pipelines (north star).
+
+All hot-path computation is JVM column expressions (split/regexp/aggregate)
+— no Python UDFs; every metric is integer-derived so results are
+deterministic under any partitioning (the single final division of two
+identical integers is bit-stable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker-substring frequencies per language; deterministic heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "es": [" el ", " los "],
+    "fr": [" le ", " les "],
+}
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences via length difference —
+    integer-exact, no regex engine differences."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != "")).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(
+        F.array_distinct(F.filter(F.split(F.lower(text), r"\W+"), lambda x: x != ""))
+    ).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: lengths, token counts, punctuation and
+    type-token ratios (length/punct/stopword heuristics)."""
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_chars_actual": F.length(t).cast("long"),
+            "n_tokens": token_count(t),
+            "n_distinct_tokens": distinct_token_count(t),
+            "n_punct": punct_count(t),
+            "stopword_hits": occurrences(t, " the "),
+        }
+    ).withColumns(
+        {
+            "type_token_ratio": F.col("n_distinct_tokens")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            "punct_ratio": F.col("n_punct") / F.greatest(F.col("n_chars_actual"), F.lit(1)),
+            "avg_token_len": (
+                F.col("n_chars_actual") - F.col("n_tokens") + 1
+            ) / F.greatest(F.col("n_tokens"), F.lit(1)),
+        }
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lowered = F.lower(text)
+    return {
+        lang: sum(
+            (occurrences(lowered, m) for m in markers), start=F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-marker language ID; argmax with a fixed precedence order
+    (en > de > es > fr) so the guess is deterministic."""
+    scores = lang_scores(F.col(text_col))
+    out = docs
+    for lang, score in scores.items():
+        out = out.withColumn(f"score_{lang}", score)
+    guess = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            F.lit("de"),
+        )
+        .when(F.col("score_es") >= F.col("score_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return out.withColumn("lang_guess", guess)
+
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+FINGERPRINT_PREFIX = 64
+
+
+def rolling_fingerprint(text_col_name: str) -> Column:
+    """Polynomial rolling hash of the first 64 chars (document
+    fingerprint): h = ((h * 31) + ascii(c)) mod 1e9+7, left fold.  Pure
+    JVM aggregate; bounded by the prefix so cost is O(1) per doc."""
+    return F.expr(
+        f"aggregate("
+        f"transform(sequence(1, least(length({text_col_name}), {FINGERPRINT_PREFIX})), "
+        f"j -> ascii(substr({text_col_name}, j, 1))), "
+        f"0L, (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"
+    )

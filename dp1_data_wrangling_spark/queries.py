@@ -18,10 +18,7 @@ Determinism contract (the driver hash-compares values):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import fixtures as fx
@@ -30,39 +27,8 @@ from .operators.chains import flatten_chains
 from .operators.find_first import find_first
 from .operators.intervals import asof_lookup, overlapping_pairs
 from .operators.priority_dedup import priority_dedup, priority_map
+from .registry import REGISTRY, QuerySpec, cents, register
 from .tables import load_table
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None => driver uses rows-only check
-    headline: bool = False  # include in bench.py
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(
-    name: str, oracle: str | None, *, headline: bool = False
-) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
-    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        REGISTRY[name] = QuerySpec(
-            fn=fn, oracle=fx.oracle(oracle) if oracle else None, headline=headline
-        )
-        return fn
-
-    return deco
-
-
-def cents(col: Column) -> Column:
-    """Exact fixed-point: double dollars -> integer cents (per-row op,
-    deterministic in any engine; see module docstring)."""
-    return F.round(col * 100, 0).cast("long")
-
-
-def micros(col: Column) -> Column:
-    return F.round(col * 1_000_000, 0).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -656,8 +622,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(ws).alias("status_rank"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(ws).cast("long").alias("status_rank"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
     )
 
@@ -836,6 +802,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "event_type", k.alias("k")).filter(
         F.col("k") >= 50
     )
+
+
+# Import sibling catalogs so their @register calls populate REGISTRY.
+from . import queries_llm  # noqa: E402,F401
+from . import queries_streaming  # noqa: E402,F401
 
 
 def headline_queries() -> dict[str, QuerySpec]:

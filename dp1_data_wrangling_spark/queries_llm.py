@@ -1,0 +1,310 @@
+"""Training-data-pipeline query catalog (north star extensions).
+
+Dedup (exact + MinHash-LSH + SimHash + Jaccard), similarity search,
+text analysis, multimodal features — over the documents/embeddings
+fixtures.  Everything hash-based is md5-derived so the DuckDB oracle can
+replay the *exact* pipeline (no engine-specific hash functions).
+
+The dedup fixtures augment the corpus with deterministic mutants
+(doc_id + 1_000_000) because the generated documents contain no natural
+duplicates: exact dedup gets verbatim copies, minhash gets copies with a
+suffix appended beyond the normalization prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text as tx
+from .registry import register
+from .tables import load_table
+
+MUTANT_OFFSET = 1_000_000
+
+_AUG_EXACT = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_AUG_NEAR = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _augment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(mutants)
+
+
+def _augment_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return docs.unionByName(mutants)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_EXACT})
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM aug GROUP BY md5(text)
+    """,
+    headline=True,
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content digest: the shuffle moves 16-byte digests,
+    not document payloads (operators/dedup.py design note)."""
+    return dd.exact_dedup(_augment_exact(spark, sf_dir))
+
+
+_MINHASH_SIG_SQL = ",\n".join(
+    "list_aggregate(list_transform(range(1, greatest(length(n) - 4, 1) + 1), "
+    f"j -> md5('{i}' || substr(n, j, 5))), 'min') AS s{i}"
+    for i in range(dd.MINHASH_HASHES)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH RECURSIVE aug AS ({_AUG_NEAR}),
+    norm AS (SELECT doc_id, lower(substr(text, 1, 200)) AS n FROM aug),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM norm),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 2 AS band, md5(s4 || s5) AS band_key FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    """
+
+
+@register("minhash_pairs", _MINHASH_ORACLE, headline=True)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> md5 min-hash family ->
+    band -> bucket equi-join.  The oracle replays the identical pipeline in
+    SQL — the whole LSH construction is engine-agnostic by design."""
+    return dd.minhash_candidate_pairs(_augment_near(spark, sf_dir))
+
+
+@register(
+    "jaccard_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+            regexp_split_to_array(lower(text), '\\W+'), x -> x != ''))) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_inter
+        FROM toks a JOIN toks b
+          ON a.token = b.token AND b.doc_id = a.doc_id + 100
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, n_inter,
+           sa.n_tokens AS n_a, sb.n_tokens AS n_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_inter)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word-token) Jaccard similarity, computed distributively via
+    token explode + equi-join — integer math until the final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, pair_offset=100)
+
+
+@register("simhash_pairs", None)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with hamming distance (rows-only check:
+    60-bit bit-vote fingerprints are SQL-expressible but prohibitively so;
+    unit tests assert mutant pairs are recalled)."""
+    return dd.simhash_candidate_pairs(_augment_near(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(
+                regexp_split_to_array(lower(text), '\\W+'),
+                x -> x != ''))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+               AS n_punct,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+               AS BIGINT) AS stopword_hits,
+           CAST(len(list_distinct(list_filter(
+                regexp_split_to_array(lower(text), '\\W+'), x -> x != '')))
+                AS DOUBLE)
+             / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x != '')), 1) AS type_token_ratio,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring: all integer-derived metrics, one
+    final division (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.quality_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_punct",
+        "stopword_hits",
+        (
+            F.col("n_distinct_tokens").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("type_token_ratio"),
+        (
+            F.col("n_punct").cast("double")
+            / F.greatest(F.col("n_chars_actual"), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    "CAST(({parts}) AS BIGINT) AS score_{lang}".format(
+        lang=lang,
+        parts=" + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{m}', ''))) / {len(m)}"
+            for m in markers
+        ),
+    )
+    for lang, markers in tx.LANG_MARKERS.items()
+)
+
+_LANG_ORACLE = f"""
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_es
+                     AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM (SELECT doc_id, lang, {_LANG_SCORE_SQL} FROM documents)
+    """
+
+
+@register("doc_lang_id", _LANG_ORACLE)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language ID heuristic (deterministic argmax)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return tx.lang_id(docs).select(
+        "doc_id", "lang", "score_en", "score_de", "score_es", "score_fr", "lang_guess"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                    list_transform(
+                        range(1, least(length(text), {tx.FINGERPRINT_PREFIX}) + 1),
+                        j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+                    (a, b) -> (a * {tx.FINGERPRINT_BASE} + b) % {tx.FINGERPRINT_MOD})
+           END AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fingerprint (left fold, JVM aggregate)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", tx.rolling_fingerprint("text").alias("fingerprint")
+    ).select("doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(p.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        FROM probes p JOIN embeddings c ON p.vec_id != c.vec_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    headline=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast probes, JVM fold dot products,
+    windowed per-probe cut.  Similarity rounded to 6 digits before ranking
+    so the ordering is engine-reproducible (64-element folds agree to
+    ~1e-14)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim.brute_force_topk(probes, emb, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("lsh_topk", None)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    asserted in unit tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.lsh_topk(probes, emb, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> Arrow-batched mapInPandas feature extraction
+    (decode stubbed deterministically; plumbing real — rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.media_from_documents(docs)
+    return mm.extract_features(media)

@@ -1,0 +1,55 @@
+"""Query registry shared by all query catalogs.
+
+Determinism contract (the driver hash-compares values):
+
+- Every computed column is aliased identically in Spark and oracle SQL.
+- Money/double aggregates go through **exact fixed-point**: doubles are
+  scaled to integer cents/micros *per row* (deterministic), summed as
+  BIGINT (associative — immune to partition/accumulation order), and only
+  then converted back by a single division if needed.
+- Ranking windows always carry a unique tie-breaker column.
+- DuckDB type quirks: wrap sums in CAST(... AS BIGINT) (HUGEINT default),
+  date_trunc in CAST(... AS TIMESTAMP) (DATE default).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures as fx
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver uses rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, *, headline: bool = False
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        REGISTRY[name] = QuerySpec(
+            fn=fn, oracle=fx.oracle(oracle) if oracle else None, headline=headline
+        )
+        return fn
+
+    return deco
+
+
+def cents(col: Column) -> Column:
+    """Exact fixed-point: double dollars -> integer cents (per-row op,
+    deterministic in any engine)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def micros(col: Column) -> Column:
+    return F.round(col * 1_000_000, 0).cast("long")

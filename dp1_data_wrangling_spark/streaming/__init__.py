@@ -1,0 +1,23 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is pure batch; the engine adds the streaming-shaped surface
+over the same DataFrame operators.  Every streaming query has a batch
+equivalent on the events table (that is what the DuckDB oracle checks);
+``events.py`` holds the shared transformations plus readStream wiring.
+"""
+
+from .events import (
+    session_windows_batch,
+    sliding_windows_batch,
+    stream_events,
+    stream_tumbling_counts,
+    tumbling_windows_batch,
+)
+
+__all__ = [
+    "tumbling_windows_batch",
+    "sliding_windows_batch",
+    "session_windows_batch",
+    "stream_events",
+    "stream_tumbling_counts",
+]

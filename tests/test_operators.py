@@ -1,0 +1,213 @@
+"""Operator-semantics unit tests (SURVEY.md §5.2.3 property tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp1_data_wrangling_spark import fixtures as fx
+from dp1_data_wrangling_spark.operators.chains import (
+    flatten_chain_driver,
+    flatten_chains_distributed,
+)
+from dp1_data_wrangling_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from dp1_data_wrangling_spark.operators.find_first import find_first
+from dp1_data_wrangling_spark.operators.intervals import (
+    check_no_overlaps,
+    overlapping_pairs,
+)
+from dp1_data_wrangling_spark.operators.multimodal import (
+    decode_media_stub,
+    extract_features,
+    media_from_documents,
+)
+from dp1_data_wrangling_spark.operators.similarity import brute_force_topk, lsh_topk
+from dp1_data_wrangling_spark.tables import load_table
+
+from .conftest import SMOKE_SF
+
+
+# --- chain flattening (J6) -------------------------------------------------
+
+
+def test_chain_flatten_nested_ordering():
+    chains = [
+        ("root", "mid", 0),
+        ("root", "c", 1),
+        ("mid", "b", 1),
+        ("mid", "a", 0),
+    ]
+    types = {"root": "CHAINED", "mid": "CHAINED", "a": "RUN", "b": "RUN", "c": "RUN"}
+    assert flatten_chain_driver(chains, types, "root") == ["a", "b", "c"]
+
+
+def test_chain_flatten_dedups_first_occurrence_wins():
+    chains = [("root", "a", 0), ("root", "mid", 1), ("mid", "a", 0), ("mid", "b", 1)]
+    types = {"root": "CHAINED", "mid": "CHAINED", "a": "RUN", "b": "RUN"}
+    assert flatten_chain_driver(chains, types, "root") == ["a", "b"]
+
+
+def test_chain_flatten_cycle_raises():
+    chains = [("root", "mid", 0), ("mid", "root", 0)]
+    types = {"root": "CHAINED", "mid": "CHAINED"}
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_chain_driver(chains, types, "root")
+
+
+def test_chain_flatten_distributed_matches_driver(spark):
+    chains_df = fx.build_collection_chains(spark)
+    out = flatten_chains_distributed(chains_df, "chain_root").collect()
+    assert sorted((r["child"], r["position"]) for r in out) == [
+        (f"run_{i}", i) for i in range(5)
+    ]
+
+
+# --- find-first invariants (J4/W1) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    from dp1_data_wrangling_spark.operators.chains import flatten_chains
+
+    datasets = fx.build_datasets(spark, SMOKE_SF)
+    chain = flatten_chains(
+        spark, fx.build_collection_chains(spark), fx.build_collections(spark), "chain_root"
+    )
+    return datasets, find_first(datasets, chain, ["customer", "nation"], collection_col="run")
+
+
+def test_find_first_one_row_per_data_id(resolved):
+    datasets, out = resolved
+    dups = out.groupBy("customer", "nation").count().filter(F.col("count") > 1)
+    assert dups.isEmpty()
+    assert (
+        out.select("customer", "nation").distinct().count()
+        == datasets.select("customer", "nation").distinct().count()
+    )
+
+
+def test_find_first_result_subset_of_input(resolved):
+    datasets, out = resolved
+    assert out.join(datasets, "dataset_id", "left_anti").isEmpty()
+
+
+def test_find_first_calibration_bypass_keeps_all(spark, resolved):
+    from dp1_data_wrangling_spark.operators.chains import flatten_chains
+
+    datasets, _ = resolved
+    chain = flatten_chains(
+        spark, fx.build_collection_chains(spark), fx.build_collections(spark), "chain_root"
+    )
+    kept = find_first(
+        datasets, chain, ["customer", "nation"], collection_col="run", is_calibration=True
+    )
+    assert kept.count() == datasets.count()
+
+
+# --- intervals (J7) --------------------------------------------------------
+
+
+def test_certify_accepts_disjoint_and_rejects_overlap(spark):
+    disjoint = spark.createDataFrame(
+        [("k", 0, 10), ("k", 10, 20), ("k", 25, 30)],
+        "key string, begin_nsec long, end_nsec long",
+    )
+    check_no_overlaps(disjoint, ["key"])  # no raise: [0,10) then [10,20) touch
+    overlapping = spark.createDataFrame(
+        [("k", 0, 10), ("k", 9, 20)], "key string, begin_nsec long, end_nsec long"
+    )
+    with pytest.raises(ValueError, match="overlapping"):
+        check_no_overlaps(overlapping, ["key"])
+
+
+def test_null_bounds_are_unbounded(spark):
+    rows = spark.createDataFrame(
+        [("k", None, 10), ("k", 20, None)], "key string, begin_nsec long, end_nsec long"
+    )
+    assert overlapping_pairs(rows, ["key"]).isEmpty()
+    rows2 = spark.createDataFrame(
+        [("k", None, None), ("k", 5, 6)], "key string, begin_nsec long, end_nsec long"
+    )
+    assert not overlapping_pairs(rows2, ["key"]).isEmpty()
+
+
+# --- dedup family ----------------------------------------------------------
+
+
+def test_minhash_recalls_mutant_pairs(spark):
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = minhash_candidate_pairs(docs.unionByName(mutants))
+    expected = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 25 == 0).collect()}
+    got = {
+        r["id_a"]
+        for r in pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000).collect()
+    }
+    # a ' zz' suffix appended beyond the 200-char normalization prefix can
+    # only change signatures of docs shorter than the prefix; recall must
+    # still be near-total on this corpus
+    assert len(got) >= 0.9 * len(expected)
+
+
+def test_simhash_mutants_have_small_hamming(spark):
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text").limit(100)
+    mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = simhash_candidate_pairs(docs.unionByName(mutants))
+    mutant_pairs = pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+    assert not mutant_pairs.isEmpty()
+    assert mutant_pairs.agg(F.max("hamming")).collect()[0][0] <= 8
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(probes, emb, k=5)
+    # fixture embeddings are near-orthogonal (random), the hardest case for
+    # hyperplane LSH — wide buckets + many tables still must beat the
+    # ~25% random-candidate baseline by a clear margin
+    approx = lsh_topk(probes, emb, k=5, dim=64, n_planes=4, n_tables=16)
+    exact_pairs = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_self_similarity(spark):
+    emb = load_table(spark, SMOKE_SF, "embeddings").limit(10)
+    from dp1_data_wrangling_spark.operators.similarity import cosine
+
+    out = emb.select(
+        F.round(cosine(F.col("embedding"), F.col("embedding")), 6).alias("s")
+    ).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in out)
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    docs = load_table(spark, SMOKE_SF, "documents")
+    feats = extract_features(media_from_documents(docs))
+    rows = feats.limit(5).collect()
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    # deterministic: same payload -> same features
+    again = extract_features(media_from_documents(docs)).limit(5).collect()
+    assert rows == again
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media_stub(b"bytes", "image/png")
