@@ -62,24 +62,34 @@ def shingles(norm_col_name: str) -> Column:
     )
 
 
+SIG_SLICE = 5  # hex chars per sub-hash sliced from one md5 digest
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Append minhash signature columns sig_0..sig_{n-1}.
 
-    sig_i = min over shingles of md5(i || shingle) — a lexicographic
-    min-hash over a deterministic hash family (md5 with an index salt).
-    Pure JVM expressions: transform + array_min, no Python UDFs."""
-    out = docs.withColumn("__norm", normalized(F.col(text_col)))
+    Each shingle is hashed ONCE (md5 -> 32 hex chars); the hash family is
+    the 6 disjoint 5-hex-char slices of that digest, so sig_i = min over
+    shingles of digest[i*5 : i*5+5] (lexicographic min over a 20-bit
+    sub-hash).  One digest per shingle instead of one per (shingle, i)
+    makes signature computation ~6x cheaper — the dominant cost of
+    MinHash at scale — with the same banding guarantees.  Pure JVM
+    expressions: transform + array_min, no Python UDFs."""
+    out = docs.withColumn("__norm", normalized(F.col(text_col))).withColumn(
+        "__sh",
+        F.expr(
+            f"transform(sequence(1, greatest(length(__norm) - {SHINGLE_LEN - 1}, 1)), "
+            f"j -> md5(cast(substr(__norm, j, {SHINGLE_LEN}) as binary)))"
+        ),
+    )
     for i in range(MINHASH_HASHES):
         out = out.withColumn(
             f"sig_{i}",
             F.array_min(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(__norm) - {SHINGLE_LEN - 1}, 1)), "
-                    f"j -> md5(cast(concat('{i}', substr(__norm, j, {SHINGLE_LEN})) as binary)))"
-                )
+                F.expr(f"transform(__sh, h -> substr(h, {i * SIG_SLICE + 1}, {SIG_SLICE}))")
             ),
         )
-    return out.drop("__norm")
+    return out.drop("__norm", "__sh")
 
 
 def minhash_band_keys(with_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -77,15 +77,18 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SIG_SQL = ",\n".join(
-    "list_aggregate(list_transform(range(1, greatest(length(n) - 4, 1) + 1), "
-    f"j -> md5('{i}' || substr(n, j, 5))), 'min') AS s{i}"
+    f"list_aggregate(list_transform(hl, h -> substr(h, {i * dd.SIG_SLICE + 1}, "
+    f"{dd.SIG_SLICE})), 'min') AS s{i}"
     for i in range(dd.MINHASH_HASHES)
 )
 
 _MINHASH_ORACLE = f"""
     WITH RECURSIVE aug AS ({_AUG_NEAR}),
     norm AS (SELECT doc_id, lower(substr(text, 1, 200)) AS n FROM aug),
-    sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM norm),
+    hashed AS (SELECT doc_id, list_transform(
+        range(1, greatest(length(n) - 4, 1) + 1),
+        j -> md5(substr(n, j, 5))) AS hl FROM norm),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM hashed),
     bands AS (
         SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
         UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
