@@ -1,0 +1,124 @@
+"""Transactional multi-table catalog: staging + atomic manifest swap.
+
+The reference wraps its whole import in one Postgres transaction
+(importer.py:50 in /root/reference).  On plain Parquet there is no database
+to lean on, so atomicity comes from the lakehouse pattern (SURVEY.md §2.12
+G3, §7.4.4):
+
+- every transaction writes its table data under a fresh ``data/txn-N/``
+  directory (never touching published files);
+- the catalog root holds a tiny ``MANIFEST.json`` mapping each table name
+  to the *list* of data directories that make it up;
+- commit = write ``MANIFEST.json.tmp-N`` then ``os.replace`` — one atomic
+  rename publishes every table of the transaction at once, or none.
+
+Readers resolve tables through the manifest only, so a crashed transaction
+leaves invisible orphan files, not partial tables.  This is the same
+commit protocol Iceberg/Delta use, minus compaction — and unlike
+directory-rename publishing it also works on object stores where rename
+is copy+delete.
+
+Appends list multiple directories per table (``spark.read.parquet(*paths)``
+unions them scan-side with no shuffle); ``overwrite`` replaces the list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "MANIFEST.json"
+
+
+@dataclass
+class Transaction:
+    """Accumulates table writes; nothing is visible until commit."""
+
+    txn_id: str
+    root: Path
+    writes: dict[str, tuple[str, str]] = field(default_factory=dict)  # table -> (mode, relpath)
+
+    def stage(self, table: str, df: DataFrame, *, mode: str = "append", sort_by: list[str] | None = None, partition_by: list[str] | None = None) -> None:
+        """Write ``df`` into this transaction's staging area for ``table``.
+
+        ``sort_by`` applies a partition-local sort before write (the
+        reference's compressibility sorts, exporter.py:90-91 — no extra
+        shuffle); ``partition_by`` writes hive-partitioned output (the
+        analogue of the reference's chunk-by-run grouping, importer.py:79-97).
+        """
+        rel = f"data/{self.txn_id}/{table}"
+        out = self.root / rel
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(out))
+        self.writes[table] = (mode, rel)
+
+
+class Catalog:
+    """A directory-rooted, manifest-swap table catalog."""
+
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> Path:
+        return self.root / MANIFEST
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not p.exists():
+            return {"version": 0, "tables": {}, "meta": {}}
+        return json.loads(p.read_text())
+
+    def tables(self) -> list[str]:
+        return sorted(self.manifest()["tables"])
+
+    def meta(self) -> dict:
+        return self.manifest().get("meta", {})
+
+    # -- read path ---------------------------------------------------------
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        m = self.manifest()
+        if table not in m["tables"]:
+            raise KeyError(f"catalog {self.root}: no table {table!r}")
+        paths = [str(self.root / rel) for rel in m["tables"][table]]
+        return spark.read.parquet(*paths)
+
+    def exists(self, table: str) -> bool:
+        return table in self.manifest()["tables"]
+
+    # -- write path --------------------------------------------------------
+    def begin(self) -> Transaction:
+        txn_id = f"txn-{uuid.uuid4().hex[:12]}"
+        (self.root / "data" / txn_id).mkdir(parents=True, exist_ok=True)
+        return Transaction(txn_id=txn_id, root=self.root)
+
+    def commit(self, txn: Transaction, *, meta: dict | None = None) -> int:
+        """Atomically publish every table staged in ``txn``.
+
+        The manifest swap is the commit point: a crash before ``os.replace``
+        publishes nothing; after it, everything."""
+        m = self.manifest()
+        tables = m["tables"]
+        for table, (mode, rel) in sorted(txn.writes.items()):
+            if mode == "overwrite" or table not in tables:
+                tables[table] = [rel]
+            elif mode == "append":
+                tables[table] = tables[table] + [rel]
+            else:
+                raise ValueError(f"unknown write mode {mode!r}")
+        m["version"] += 1
+        if meta:
+            m.setdefault("meta", {}).update(meta)
+        tmp = self._manifest_path().with_suffix(f".tmp-{txn.txn_id}")
+        tmp.write_text(json.dumps(m, indent=2, sort_keys=True))
+        os.replace(tmp, self._manifest_path())  # the atomic commit point
+        return m["version"]

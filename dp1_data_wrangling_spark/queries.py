@@ -804,6 +804,97 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "export_plan",
+    """
+    WITH chain AS (
+        SELECT child, position FROM fx_collection_chains
+        WHERE parent = 'chain_root'
+    ),
+    resolved AS (
+        SELECT dataset_id, run, customer, nation FROM (
+            SELECT d.*, row_number() OVER (
+                PARTITION BY d.customer, d.nation
+                ORDER BY c.position, hex(d.dataset_id)) AS rn
+            FROM fx_datasets d JOIN chain c ON d.run = c.child
+        ) WHERE rn = 1
+    ),
+    rec AS (
+        SELECT dataset_id, path FROM (
+            SELECT r.*, row_number() OVER (
+                PARTITION BY dataset_id
+                ORDER BY CASE datastore_name WHEN 'ds_primary' THEN 0 ELSE 1 END,
+                         path) AS rn
+            FROM fx_datastore_records r
+        ) WHERE rn = 1
+    ),
+    tagged AS (
+        SELECT DISTINCT dataset_id FROM fx_associations
+        WHERE collection = 'tagged_a'
+    )
+    SELECT hex(r.dataset_id) AS dataset_id_hex, r.run, r.customer, r.nation,
+           n.name AS nation_name, cu.mktsegment, rec.path,
+           t.dataset_id IS NOT NULL AS is_tagged
+    FROM resolved r
+    JOIN fx_dim_customer cu ON r.customer = cu.customer
+    JOIN fx_dim_nation n ON r.nation = n.nation
+    JOIN rec ON r.dataset_id = rec.dataset_id
+    LEFT JOIN tagged t ON r.dataset_id = t.dataset_id
+    """,
+    headline=True,
+)
+def q_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole export data plane as ONE declarative plan (plans/export.py;
+    reference exporter.py:75-141): find-first resolution over the flattened
+    chain (J4), dimension expansion via broadcast joins (J1), priority-
+    deduped datastore lookup (J5), tagged-membership flag (P5).  Catalyst
+    sees a single tree: one window shuffle on the data-ID, one on
+    dataset_id; every dimension join broadcasts."""
+    datasets = fx.build_datasets(spark, sf_dir)
+    chain = flatten_chains(
+        spark,
+        fx.build_collection_chains(spark),
+        fx.build_collections(spark),
+        "chain_root",
+    )
+    resolved = find_first(datasets, chain, ["customer", "nation"], collection_col="run")
+    dim_cust = F.broadcast(
+        fx.build_dim_customer(spark, sf_dir).select("customer", "mktsegment")
+    )
+    dim_nat = F.broadcast(
+        fx.build_dim_nation(spark, sf_dir).select(
+            "nation", F.col("name").alias("nation_name")
+        )
+    )
+    rec = priority_dedup(
+        fx.build_datastore_records(spark, sf_dir),
+        priority_map(spark, ["ds_primary", "ds_secondary"]),
+    ).select("dataset_id", "path")
+    tagged = (
+        fx.build_associations(spark, sf_dir)
+        .filter(F.col("collection") == "tagged_a")
+        .select("dataset_id")
+        .distinct()
+        .withColumn("__tagged", F.lit(True))
+    )
+    return (
+        resolved.join(dim_cust, "customer")
+        .join(dim_nat, "nation")
+        .join(rec, "dataset_id")
+        .join(tagged, "dataset_id", "left")
+        .select(
+            F.hex("dataset_id").alias("dataset_id_hex"),
+            "run",
+            "customer",
+            "nation",
+            "nation_name",
+            "mktsegment",
+            "path",
+            F.coalesce(F.col("__tagged"), F.lit(False)).alias("is_tagged"),
+        )
+    )
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401

@@ -1,0 +1,211 @@
+"""Pipeline tests: export/import round-trip fixpoint, skip_existing
+idempotence, certify overlap rejection, atomic publish, symlink farm
+(SURVEY.md §5.2.2/§5.2.4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp1_data_wrangling_spark import fixtures as fx
+from dp1_data_wrangling_spark.plans import Catalog, generate_file_tree, run_export, run_import
+from dp1_data_wrangling_spark.plans.importer import rsp_mapper, rucio_mapper
+from dp1_data_wrangling_spark.schema import fixture_universe
+
+from .conftest import SMOKE_SF
+
+
+def _table_hash(df) -> tuple[int, int]:
+    """Order-insensitive content fingerprint: (row count, xor of row hashes)."""
+    hashed = df.select(
+        F.hash(*[F.col(c).cast("string") for c in sorted(df.columns)]).alias("h")
+    )
+    agg = hashed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("h").cast("long")).alias("s"),
+    ).collect()[0]
+    return agg["n"], agg["s"]
+
+
+def _do_export(spark, out_root):
+    universe = fixture_universe()
+    return run_export(
+        spark,
+        out_root,
+        universe,
+        datasets={
+            "orders_raw": fx.build_datasets(spark, SMOKE_SF),
+            "orders_calib": fx.build_datasets(spark, SMOKE_SF),
+        },
+        dimension_records={
+            "nation": fx.build_dim_nation(spark, SMOKE_SF),
+            "customer": fx.build_dim_customer(spark, SMOKE_SF),
+        },
+        associations=fx.build_associations(spark, SMOKE_SF),
+        datastore_records=fx.build_datastore_records(spark, SMOKE_SF),
+        collections=fx.build_collections(spark),
+        collection_chains=fx.build_collection_chains(spark),
+        root_collection="chain_root",
+        datastore_priority=["ds_primary", "ds_secondary"],
+    )
+
+
+@pytest.fixture(scope="module")
+def export_cat(spark, tmp_path_factory):
+    return _do_export(spark, str(tmp_path_factory.mktemp("export")))
+
+
+def test_export_find_first_vs_calibration(spark, export_cat):
+    """find_first keeps one dataset per data ID; calibration bypass keeps all
+    chain rows (reference exporter.py:81-87)."""
+    raw = export_cat.read(spark, "datasets/orders_raw")
+    calib = export_cat.read(spark, "datasets/orders_calib")
+    data_id_dupes = (
+        raw.groupBy("customer", "nation").count().filter(F.col("count") > 1).count()
+    )
+    assert data_id_dupes == 0
+    assert calib.count() > raw.count()
+
+
+def test_export_dimension_closure(spark, export_cat):
+    """Every nation referenced by an exported customer is exported (J1
+    dependency-closure expansion)."""
+    cust = export_cat.read(spark, "dimensions/customer")
+    nat = export_cat.read(spark, "dimensions/nation")
+    missing = (
+        cust.select(F.col("nation")).distinct()
+        .join(nat.select("nation"), "nation", "left_anti")
+        .count()
+    )
+    assert missing == 0
+    # keys are unique after the dedup finish pass (A1)
+    assert nat.count() == nat.select("nation").distinct().count()
+
+
+def test_export_associations_semi_filtered(spark, export_cat):
+    assoc = export_cat.read(spark, "associations")
+    ids = export_cat.read(spark, "datasets/orders_raw").select("dataset_id").union(
+        export_cat.read(spark, "datasets/orders_calib").select("dataset_id")
+    ).distinct()
+    orphans = assoc.join(ids, "dataset_id", "left_anti").count()
+    assert orphans == 0
+
+
+def test_export_datastore_priority_dedup(spark, export_cat):
+    rec = export_cat.read(spark, "datastore_records")
+    per_id = rec.groupBy("dataset_id").count().filter(F.col("count") > 1).count()
+    assert per_id == 0  # first-wins across ds_primary/ds_secondary (W2)
+    assert rec.filter(F.col("datastore_name") == "ds_secondary").count() == 0
+
+
+def test_import_roundtrip_fixpoint(spark, export_cat, tmp_path):
+    """export → import → re-read: every table content-identical (§5.2.2)."""
+    tgt = run_import(spark, str(export_cat.root), str(tmp_path / "repo"))
+    for table in export_cat.tables():
+        src_h = _table_hash(export_cat.read(spark, table))
+        tgt_h = _table_hash(tgt.read(spark, table))
+        assert src_h == tgt_h, f"{table}: {src_h} != {tgt_h}"
+
+
+def test_import_idempotent(spark, export_cat, tmp_path):
+    """Running the import twice changes nothing (skip_existing K7)."""
+    root = str(tmp_path / "repo")
+    tgt = run_import(spark, str(export_cat.root), root)
+    before = {t: _table_hash(tgt.read(spark, t)) for t in tgt.tables()}
+    tgt2 = run_import(spark, str(export_cat.root), root)
+    after = {t: _table_hash(tgt2.read(spark, t)) for t in tgt2.tables()}
+    for t in before:
+        assert before[t] == after[t], t
+
+
+def test_import_unknown_type_rejected(spark, export_cat, tmp_path):
+    with pytest.raises(ValueError, match="not in export"):
+        run_import(
+            spark,
+            str(export_cat.root),
+            str(tmp_path / "repo"),
+            dataset_types=["nope"],
+        )
+
+
+def test_import_certify_rejects_overlap(spark, export_cat, tmp_path):
+    """CALIBRATION intervals that overlap per (collection, data ID) abort the
+    import — and the abort publishes NOTHING (atomicity G3 + certify K10)."""
+    # Clone the export, then append an overlapping calibration interval.
+    clone_root = tmp_path / "bad_export"
+    bad = run_import(spark, str(export_cat.root), str(clone_root))
+    assoc = bad.read(spark, "associations")
+    calib_one = assoc.filter(F.col("collection") == "calib_a").limit(1)
+    overlap = calib_one.withColumn(
+        "begin_nsec", F.col("begin_nsec") + 1
+    ).withColumn("dataset_id", F.md5(F.lit("clone")).cast("binary"))
+    txn = bad.begin()
+    txn.stage("associations", overlap)
+    bad.commit(txn)
+
+    target = tmp_path / "repo"
+    with pytest.raises(ValueError, match="overlap"):
+        run_import(spark, str(clone_root), str(target))
+    assert not (target / "MANIFEST.json").exists() or Catalog(target).tables() == []
+
+
+def test_atomic_commit_staging_invisible(spark, export_cat, tmp_path):
+    """Staged-but-uncommitted writes are invisible to readers (G3)."""
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage("t", export_cat.read(spark, "collections"))
+    assert cat.tables() == []  # nothing published before the manifest swap
+    cat.commit(txn)
+    assert cat.tables() == ["t"]
+    assert cat.read(spark, "t").count() > 0
+
+
+def test_catalog_append_and_overwrite(spark, export_cat, tmp_path):
+    cat = Catalog(tmp_path / "cat")
+    small = export_cat.read(spark, "collections")
+    t1 = cat.begin()
+    t1.stage("t", small)
+    cat.commit(t1)
+    n = cat.read(spark, "t").count()
+    t2 = cat.begin()
+    t2.stage("t", small, mode="append")
+    cat.commit(t2)
+    assert cat.read(spark, "t").count() == 2 * n
+    t3 = cat.begin()
+    t3.stage("t", small, mode="overwrite")
+    cat.commit(t3)
+    assert cat.read(spark, "t").count() == n
+
+
+def test_path_mappers(spark, export_cat):
+    rec = export_cat.read(spark, "datastore_records")
+    rsp = rec.select(rsp_mapper(F.col("path")).alias("p"))
+    assert rsp.filter(F.col("p").startswith("file://")).count() == 0
+    assert rsp.filter(F.col("p").startswith("external/rubin/")).count() > 0
+    rucio = rec.select(rucio_mapper(F.col("path")).alias("p"))
+    # fixture absolute paths aren't raw/refcat -> everything gets dp1/ or rule
+    assert rucio.filter(~F.col("p").rlike("^(raw/|dp1/)")).count() == 0
+
+
+def test_file_tree_symlinks(spark, export_cat, tmp_path):
+    """K12: symlink farm materializes; re-running is a no-op (idempotent)."""
+    rec = export_cat.read(spark, "datastore_records")
+    rel = rec.filter(~F.col("path").startswith("file://")).limit(25)
+    ab = rec.filter(F.col("path").startswith("file://")).limit(25)
+    rec = rel.unionByName(ab)
+    tree = tmp_path / "tree"
+    n = generate_file_tree(rec, str(tree), "/data/store")
+    assert n == 50
+    links = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tree)
+        for f in fs
+    ]
+    assert len(links) == n
+    assert all(os.path.islink(p) for p in links)
+    # relative fixture paths resolve under the datastore root
+    assert any(os.readlink(p).startswith("/data/store/") for p in links)
+    # second run: FileExistsError tolerated, same count
+    assert generate_file_tree(rec, str(tree), "/data/store") == n
