@@ -13,6 +13,8 @@ from .events import (
     stream_tumbling_counts,
     tumbling_windows_batch,
 )
+from .sinks import stream_into_catalog
+from .stateful import incremental_find_first
 
 __all__ = [
     "tumbling_windows_batch",
@@ -20,4 +22,6 @@ __all__ = [
     "session_windows_batch",
     "stream_events",
     "stream_tumbling_counts",
+    "incremental_find_first",
+    "stream_into_catalog",
 ]

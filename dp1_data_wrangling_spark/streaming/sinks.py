@@ -1,0 +1,52 @@
+"""Streaming sinks: exactly-once ingest into the transactional catalog.
+
+``stream_into_catalog`` bridges Structured Streaming to the engine's
+manifest-swap catalog (plans/catalog.py): every micro-batch is staged and
+committed as one catalog transaction carrying its ``batch_id``.  Replayed
+micro-batches (failure recovery re-runs the last uncommitted batch) are
+detected by comparing the incoming batch_id with the last committed one —
+the standard idempotent-foreachBatch pattern, giving end-to-end
+exactly-once on top of the source's offset tracking.
+
+This is the streaming analogue of the import pipeline's atomic publish
+(G3): a crash mid-batch publishes nothing; the retry commits once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.catalog import Catalog
+
+
+def stream_into_catalog(
+    stream: DataFrame,
+    catalog_root: str,
+    table: str,
+    *,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    sort_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Start a streaming write into ``catalog_root``/``table``.
+
+    Each micro-batch appends one committed catalog transaction; batch ids
+    are recorded in the manifest meta so replays are no-ops."""
+    meta_key = f"last_batch_id:{table}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cat = Catalog(catalog_root)
+        last = cat.meta().get(meta_key)
+        if last is not None and batch_id <= last:
+            return  # replayed batch after recovery -> already committed
+        txn = cat.begin()
+        txn.stage(table, batch_df, mode="append", sort_by=sort_by)
+        cat.commit(txn, meta={meta_key: batch_id})
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

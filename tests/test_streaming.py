@@ -1,0 +1,130 @@
+"""True Structured Streaming tests (availableNow triggers): streaming ==
+batch equivalence, stateful incremental find-first, watermark machinery,
+exactly-once catalog sink (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp1_data_wrangling_spark import fixtures as fx
+from dp1_data_wrangling_spark.operators.chains import flatten_chains
+from dp1_data_wrangling_spark.operators.find_first import find_first
+from dp1_data_wrangling_spark.plans import Catalog
+from dp1_data_wrangling_spark.streaming import (
+    incremental_find_first,
+    stream_into_catalog,
+    stream_tumbling_counts,
+    tumbling_windows_batch,
+)
+from dp1_data_wrangling_spark.tables import load_table
+
+from .conftest import SMOKE_SF
+
+
+def _run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    """The same windowing plan over readStream+watermark reproduces the
+    batch result exactly (complete mode, availableNow)."""
+    stream = stream_tumbling_counts(spark, SMOKE_SF)
+    _run_to_memory(stream, "tumbling_stream", "complete")
+    got = spark.sql("select * from tumbling_stream")
+    want = tumbling_windows_batch(load_table(spark, SMOKE_SF, "events"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_append_mode_respects_watermark(spark):
+    """Append mode only emits windows the 1-hour watermark has closed; the
+    max-event-time windows are still open when the stream ends."""
+    stream = stream_tumbling_counts(spark, SMOKE_SF)
+    _run_to_memory(stream, "tumbling_append", "append")
+    got = spark.sql("select * from tumbling_append")
+    want = tumbling_windows_batch(load_table(spark, SMOKE_SF, "events"))
+    # strictly fewer rows than batch: open windows withheld by the watermark
+    assert 0 < got.count() < want.count()
+    # everything emitted matches the batch computation
+    assert got.exceptAll(want).count() == 0
+
+
+@pytest.fixture(scope="module")
+def dataset_stream_dir(spark, tmp_path_factory):
+    """The datasets fixture split into two parquet files with distinct
+    mtimes, so the file source delivers two ordered micro-batches."""
+    root = tmp_path_factory.mktemp("ds_stream")
+    ds = fx.build_datasets(spark, SMOKE_SF).withColumn(
+        "dataset_id_hex", F.hex("dataset_id")
+    ).drop("dataset_id")
+    first = ds.filter(F.col("run") < "run_3")
+    second = ds.filter(F.col("run") >= "run_3")
+    first.coalesce(1).write.parquet(str(root / "batch1"))
+    time.sleep(1.1)  # distinct file mtimes -> deterministic batch order
+    second.coalesce(1).write.parquet(str(root / "batch2"))
+    return root, ds.schema
+
+
+def test_incremental_find_first_matches_batch(spark, dataset_stream_dir):
+    """Streaming stateful find-first, reduced over its monotone emissions,
+    equals the batch find_first result (the §5.2.3 equivalence property)."""
+    root, schema = dataset_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/*/")
+    )
+    chain = {f"run_{i}": i for i in range(5)}
+    winners = incremental_find_first(stream, chain, ["customer", "nation"])
+    _run_to_memory(winners, "ff_stream", "update")
+    emitted = spark.sql("select * from ff_stream")
+    # reduce monotone emissions: min (position, dataset_id_hex) per key
+    final = (
+        emitted.groupBy("customer", "nation")
+        .agg(F.min(F.struct("position", "dataset_id_hex")).alias("w"))
+        .select("customer", "nation", F.col("w.dataset_id_hex").alias("dataset_id_hex"))
+    )
+    datasets = fx.build_datasets(spark, SMOKE_SF)
+    chain_df = flatten_chains(
+        spark, fx.build_collection_chains(spark), fx.build_collections(spark), "chain_root"
+    )
+    want = find_first(datasets, chain_df, ["customer", "nation"]).select(
+        "customer", "nation", F.hex("dataset_id").alias("dataset_id_hex")
+    )
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+
+
+def test_stream_into_catalog_exactly_once(spark, tmp_path):
+    """foreachBatch catalog sink: counts match the source; a second run of
+    the same availableNow stream appends nothing new (checkpoint + batch-id
+    dedup)."""
+    events = load_table(spark, SMOKE_SF, "events")
+    src_schema = spark.read.parquet(f"{SMOKE_SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SMOKE_SF)
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_into_catalog(stream, cat_root, "events_raw", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    cat = Catalog(cat_root)
+    assert cat.read(spark, "events_raw").count() == events.count()
+    # replay: same checkpoint -> no new batches; same batch id -> no-op
+    q2 = stream_into_catalog(stream, cat_root, "events_raw", checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert cat.read(spark, "events_raw").count() == events.count()
