@@ -1,0 +1,121 @@
+"""Physical-plan quality gates (SURVEY.md §4, §7.4.7 — the 100 TB posture).
+
+These tests pin the *plan shape*, not the output: filters reach the
+parquet scan, projections prune the read schema, dimension joins
+broadcast, and the signature operators shuffle exactly once.  A regression
+here is a performance bug that correctness tests cannot see.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp1_data_wrangling_spark import fixtures as fx
+from dp1_data_wrangling_spark.operators.chains import flatten_chains
+from dp1_data_wrangling_spark.operators.find_first import find_first
+from dp1_data_wrangling_spark.queries import REGISTRY
+from dp1_data_wrangling_spark.tables import load_table
+
+from .conftest import SMOKE_SF
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def data_shuffles(plan: str) -> int:
+    """Count data shuffles (hash/range repartitions), excluding broadcast
+    exchanges and single-partition gathers."""
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = load_table(spark, SMOKE_SF, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    df = load_table(spark, SMOKE_SF, "orders").select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"o_orderkey", "o_totalprice"}
+
+
+def test_find_first_is_single_shuffle(spark):
+    """J4: one hash shuffle (the window on data-ID); the chain-position map
+    joins as a broadcast, never a shuffle."""
+    datasets = fx.build_datasets(spark, SMOKE_SF)
+    chain = flatten_chains(
+        spark, fx.build_collection_chains(spark), fx.build_collections(spark), "chain_root"
+    )
+    resolved = find_first(datasets, chain, ["customer", "nation"])
+    plan = plan_of(resolved)
+    assert data_shuffles(plan) == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_export_plan_broadcasts_all_dimension_joins(spark):
+    """The composite export plan: every dimension/chain/tagged join is a
+    broadcast hash join.  The ONE sort-merge join is resolved ⋈ datastore
+    records on dataset_id — fact×fact, correctly NOT broadcast (and its
+    probe side reuses the priority-dedup window's partitioning, so it adds
+    only one exchange).  Windows run as partial+final WindowGroupLimit
+    (top-1 pushed below the shuffle — shuffle volume is per-key, not
+    per-row)."""
+    df = REGISTRY["export_plan"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "SortMergeJoin [dataset_id" in plan or "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert data_shuffles(plan) <= 5, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """A1 at scale: the digest groupBy must partially aggregate map-side
+    (HashAggregate before the exchange) and shuffle digests, not payloads."""
+    df = REGISTRY["doc_exact_dedup"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    assert first_agg < first_exchange, plan
+    m = re.search(r"Exchange hashpartitioning\(digest", plan)
+    assert m, plan
+
+
+def test_semi_join_no_extra_shuffle_for_small_side(spark):
+    """P5/P6: a semi-join against a dimension-sized id set broadcasts."""
+    ds = fx.build_datasets(spark, SMOKE_SF)
+    small = ds.select("dataset_id").limit(100)
+    out = ds.join(F.broadcast(small), "dataset_id", "left_semi")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_scalar_queries_have_no_python_in_hot_path(spark):
+    """C3-C8 string/path expressions compile to native Catalyst expressions
+    (CASE/concat/substr...), never Python eval nodes — the whole-stage
+    codegen fast path.  (AQE hides the codegen markers until execution, so
+    the assertable invariant is the absence of EvalPython.)"""
+    for name in ("path_rewrite", "conditional_rewrite", "pattern_filter"):
+        plan = plan_of(REGISTRY[name].fn(spark, SMOKE_SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # single-stage non-AQE plan shows the codegen span explicitly
+    plan = plan_of(REGISTRY["pattern_filter"].fn(spark, SMOKE_SF))
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    """O7/top-k: orderBy+limit must become TakeOrderedAndProject, never a
+    global sort."""
+    plan = plan_of(REGISTRY["sort_topk"].fn(spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan, plan
