@@ -805,6 +805,107 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defended aggregation: lineitem grouped by (returnflag,
+    linestatus) — a handful of white-hot keys — via two-phase salted
+    sum/count (operators/skew.py).  Result identical to the plain groupBy
+    the oracle runs; the plan spreads each hot key over 16 reducers."""
+    from .operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        cents(F.col("l_extendedprice")),
+        salt_source=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        sum_alias="sum_price_cents",
+        count_alias="n_rows",
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: intersect (nations having both customers and suppliers)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 note: full cube (all grouping sets; free from Spark)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on a known-value column: one shuffle, conditional aggregates
+    (the oracle replays it as FILTER aggregates)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@register("approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order status — sketch
+    internals differ across engines, so this is a rows-only entry; the
+    unit test bounds the relative error against the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@register(
     "export_plan",
     """
     WITH chain AS (

@@ -140,6 +140,43 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, pair_offset=100)
 
 
+@register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+           round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) >= 0.9 AS is_near_dup
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 25
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over the deterministic
+    pair family (id, id+25): JVM fold dot products, threshold at 0.9.
+    At corpus scale the pair generation is an LSH bucket join
+    (sim.lsh_topk); the pair-family form keeps the oracle exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("__ea"))
+    b = emb.select(
+        (F.col("vec_id") - 25).alias("vec_id_a"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("__eb"),
+    )
+    cos = F.round(sim.cosine(F.col("__ea"), F.col("__eb")), 6)
+    return (
+        a.join(b, "vec_id_a")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cos.alias("cos_sim"),
+            (cos >= 0.9).alias("is_near_dup"),
+        )
+    )
+
+
 @register("simhash_pairs", None)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates with hamming distance (rows-only check:

@@ -211,3 +211,50 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_media_stub(b"bytes", "image/png")
+
+
+# --- skew mitigation -------------------------------------------------------
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from dp1_data_wrangling_spark.operators.skew import salted_sum_count
+
+    li = load_table(spark, SMOKE_SF, "lineitem")
+    salted = salted_sum_count(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity"),
+        salt_source=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_value"), F.count("*").alias("n_rows")
+    )
+    assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dp1_data_wrangling_spark.operators.skew import salted_broadcast_join
+
+    li = load_table(spark, SMOKE_SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    parts = load_table(spark, SMOKE_SF, "part").select("p_partkey", "p_brand")
+    salted = salted_broadcast_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        parts,
+        "p_partkey",
+        salt_source=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+    )
+    plain = li.join(parts, li.l_partkey == parts.p_partkey)
+    assert salted.count() == plain.count()
+
+
+def test_approx_distinct_error_bound(spark):
+    from dp1_data_wrangling_spark.queries import REGISTRY
+
+    rows = REGISTRY["approx_distinct"].fn(spark, SMOKE_SF).collect()
+    for r in rows:
+        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(
+            r["exact_customers"], 1
+        )
+        assert rel_err < 0.1, r
