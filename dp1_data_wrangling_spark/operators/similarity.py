@@ -60,13 +60,21 @@ def brute_force_topk(
     Returns (probe_id, neighbor_id, sim, rank).  ``round_digits`` rounds
     the similarity before ranking so ordering is reproducible across
     engines; ties break on neighbor id."""
+    # Norms are computed ONCE per row on each side (not per pair inside the
+    # cross join — that would redo the O(dim) fold probes×corpus times).
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__probe_vec"),
+        l2_norm(F.col(vec_col)).alias("__probe_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cand_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cand_vec"),
+        l2_norm(F.col(vec_col)).alias("__cand_norm"),
     )
-    sim = cosine(F.col("__probe_vec"), F.col("__cand_vec"))
+    sim = dot(F.col("__probe_vec"), F.col("__cand_vec")) / (
+        F.col("__probe_norm") * F.col("__cand_norm")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (

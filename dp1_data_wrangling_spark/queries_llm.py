@@ -93,10 +93,18 @@ _MINHASH_ORACLE = f"""
         SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
         UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
         UNION ALL SELECT doc_id, 2 AS band, md5(s4 || s5) AS band_key FROM sigs
+    ),
+    kept AS (
+        SELECT b.doc_id, b.band, b.band_key
+        FROM bands b
+        JOIN (SELECT band, band_key, count(*) AS n
+              FROM bands GROUP BY 1, 2) s
+          ON b.band = s.band AND b.band_key = s.band_key
+         AND s.n <= {dd.MAX_BUCKET_SIZE}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
     """
 
