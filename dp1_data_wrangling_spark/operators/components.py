@@ -1,0 +1,96 @@
+"""Connected components over a candidate-pair graph (dedup clustering).
+
+Near-dup dedup ends with clusters, not pairs: every document keeps the
+min-id member of its connected component as its canonical representative
+(keep-one-per-cluster).  This is the step that makes the capped-bucket
+LSH output usable — a 10k-document boilerplate cluster is one component
+with one survivor, never 50M enumerated pairs.
+
+Algorithm: large-star/small-star style label propagation —
+each node's label starts as its own id; every iteration each node adopts
+the minimum label in its neighborhood (including itself); stop when no
+label changes.  Converges in O(diameter) iterations; each iteration is
+one join + one aggregation on (node, label) pairs — narrow shuffles, no
+driver-side graph.  This is the standard MapReduce CC construction
+(Kiveris et al., "Connected Components in MapReduce and Beyond") that
+GraphX/GraphFrames implement; kept here as plain DataFrame ops so the
+engine has no extra dependency.
+
+Determinism: labels are min() folds — order-independent, so the result
+is exact regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label each node of the pair graph with its component's min id.
+
+    Returns (node, component).  Isolated nodes don't appear (callers union
+    non-candidates back as their own singletons — see ``dedup_survivors``).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # labels: node -> current component candidate (min id seen so far)
+    labels = edges.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.min("b"), F.first("a")).alias("component")
+    )
+    for _ in range(max_iterations):
+        # propagate: each node offers its label to every neighbor
+        offered = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("component"))
+            .union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            offered.alias("n")
+            .join(
+                labels.alias("o"),
+                (F.col("n.node") == F.col("o.node"))
+                & (F.col("n.component") != F.col("o.component")),
+            )
+            .limit(1)
+            .count()
+        )
+        labels = offered.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster: returns (doc_id, component, is_survivor).
+
+    Documents in no candidate pair are their own singleton component and
+    survive; in each multi-document component only the min id survives."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_survivor", F.col(id_col) == F.col("component"))
+    )

@@ -149,6 +149,38 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_EXACT}),
+    d AS (SELECT doc_id, md5(text) AS dg FROM aug)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY dg) AS component,
+           doc_id = min(doc_id) OVER (PARTITION BY dg) AS is_survivor
+    FROM d
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster dedup via connected components
+    (operators/components.py).  The pair graph is deliberately a CHAIN per
+    duplicate group (each doc paired only with the next same-digest doc),
+    so the component label must propagate multi-hop — the oracle states
+    the fixpoint directly (min id per digest group)."""
+    from pyspark.sql import Window
+
+    from .operators.components import dedup_survivors
+
+    aug = _augment_exact(spark, sf_dir)
+    d = aug.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    pairs = (
+        d.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return dedup_survivors(d, pairs)
+
+
+@register(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

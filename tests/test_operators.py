@@ -258,3 +258,33 @@ def test_approx_distinct_error_bound(spark):
             r["exact_customers"], 1
         )
         assert rel_err < 0.1, r
+
+
+# --- connected components (dedup clustering) -------------------------------
+
+
+def test_connected_components_multihop_chain(spark):
+    from dp1_data_wrangling_spark.operators.components import connected_components
+
+    # chain 1-2-3-4-5 plus disjoint edge 10-11: labels must propagate 4 hops
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_survivors_singletons_survive(spark):
+    from dp1_data_wrangling_spark.operators.components import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r["doc_id"]: (r["component"], r["is_survivor"])
+            for r in dedup_survivors(docs, pairs).collect()}
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (1, False), 4: (4, True), 5: (1, False),
+    }
