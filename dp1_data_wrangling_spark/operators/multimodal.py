@@ -104,3 +104,71 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """mapInPandas image resize: aspect-preserving downscale to
+    ``max_side``.  The codec call is stubbed (payload passes through; a
+    real implementation decodes, resizes, re-encodes inside the same batch
+    loop) but the size arithmetic, schema, and Arrow batch shape are real."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w, h = pdf["width"], pdf["height"]
+            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": (w * scale).round().astype("int64"),
+                    "height": (h * scale).round().astype("int64"),
+                    # stub: re-encode would happen here (decode_media_stub)
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1_000) -> DataFrame:
+    """mapInPandas frame sampling: one output row per ``every_ms`` of
+    duration (video → frame table fan-out).  Frame extraction is stubbed
+    (payload passes through; ffmpeg would seek+decode per ts) — the
+    fan-out shape, schema, and timestamps are real."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "frame_no": [], "ts_ms": [], "payload": []}
+            for mid, dur, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                n = 1 if pd.isna(dur) else max(int(dur) // every_ms, 1)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["payload"].append(payload)  # stub: frame bytes
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -42,6 +42,21 @@ def punct_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum-non-space marks — the character-class skeleton of GPT-2-style
+# pre-tokenization, using only regex constructs whose semantics are
+# identical in Spark (Java regex) and DuckDB (RE2).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate subword-pretoken count (whitespace tokens split further
+    at letter/digit/punctuation boundaries)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
 def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: lengths, token counts, punctuation and
     type-token ratios (length/punct/stopword heuristics)."""
@@ -50,6 +65,7 @@ def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_actual": F.length(t).cast("long"),
             "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
             "n_distinct_tokens": distinct_token_count(t),
             "n_punct": punct_count(t),
             "stopword_hits": occurrences(t, " the "),

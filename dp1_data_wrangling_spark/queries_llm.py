@@ -237,6 +237,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars_actual,
            CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                 x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens,
            CAST(len(list_distinct(list_filter(
                 regexp_split_to_array(lower(text), '\\W+'),
                 x -> x != ''))) AS BIGINT) AS n_distinct_tokens,
@@ -263,6 +266,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars_actual",
         "n_tokens",
+        "n_bpe_tokens",
         "n_distinct_tokens",
         "n_punct",
         "stopword_hits",

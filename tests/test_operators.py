@@ -288,3 +288,42 @@ def test_dedup_survivors_singletons_survive(spark):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (1, False), 4: (4, True), 5: (1, False),
     }
+
+
+# --- multimodal resize / frame sampling ------------------------------------
+
+
+def test_resize_preserves_aspect_and_caps_side(spark):
+    from dp1_data_wrangling_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents").limit(100)
+    media = media_from_documents(docs)
+    out = resize_images(media, max_side=64).collect()
+    src = {r["media_id"]: (r["width"], r["height"]) for r in media.collect()}
+    assert len(out) == 100
+    for r in out:
+        w0, h0 = src[r["media_id"]]
+        assert max(r["width"], r["height"]) <= 64
+        if max(w0, h0) <= 64:  # no upscaling
+            assert (r["width"], r["height"]) == (w0, h0)
+        else:  # aspect preserved within rounding
+            assert abs(r["width"] * h0 - r["height"] * w0) <= max(w0, h0)
+
+
+def test_sample_frames_fanout(spark):
+    from dp1_data_wrangling_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "video/fake", b"vid", 0, 0, 3500), (2, "video/fake", b"v2", 0, 0, None)],
+        "media_id long, media_type string, payload binary, width long, "
+        "height long, duration_ms long",
+    )
+    rows = sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_no"], r["ts_ms"]))
+    assert sorted(by_id[1]) == [(0, 0), (1, 1000), (2, 2000)]
+    assert by_id[2] == [(0, 0)]  # unknown duration -> one frame
