@@ -122,17 +122,46 @@ def bucketize_intervals(
     """Explode each interval into the coarse time buckets it touches, so an
     interval join becomes an equi-join on ``bucket`` + residual predicate.
     Use when both sides are fact-scale (SURVEY.md §4 last row).
-    """
-    return (
-        _coalesce_bounds(intervals, begin, end)
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    (F.col("__iv_begin") / bucket_ns).cast("long"),
-                    ((F.col("__iv_end") - 1) / bucket_ns).cast("long"),
-                )
-            ),
-        )
-        .drop("__iv_begin", "__iv_end")
+
+    Bucket arithmetic is integer ``div`` — double division silently loses
+    integer precision above 2^53, and epoch-ns values are ~1e18.
+    Unbounded intervals (NULL bound) are NOT bucketizable (they would touch
+    every bucket) and are dropped here — route them through the plain
+    conditional join instead."""
+    return intervals.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{begin}` div {bucket_ns}"),
+                F.expr(f"(`{end}` - 1) div {bucket_ns}"),
+            )
+        ),
     )
+
+
+def bucketized_lookup(
+    probes: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    *,
+    probe_time: str,
+    begin: str = "begin_nsec",
+    end: str = "end_nsec",
+    bucket_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """The fact-scale form of ``asof_lookup``: intervals exploded into the
+    buckets they touch, probes assigned their single bucket, equi-join on
+    (bucket, keys...) with the containment predicate as residual.
+
+    Exactly equivalent to ``asof_lookup`` for bounded intervals (a probe
+    lives in one bucket, so each matching pair joins exactly once — no
+    dedup needed), but the join is a hash join on narrow keys instead of
+    an equi-key join with a fat post-filter fan-out."""
+    iv = bucketize_intervals(intervals, bucket_ns, begin=begin, end=end)
+    pr = probes.withColumn("bucket", F.expr(f"`{probe_time}` div {bucket_ns}"))
+    cond = (pr["bucket"] == iv["bucket"]) & (
+        (pr[probe_time] >= iv[begin]) & (pr[probe_time] < iv[end])
+    )
+    for k in on:
+        cond = cond & (pr[k] == iv[k])
+    return pr.join(iv, cond, "inner").drop(iv["bucket"]).drop(pr["bucket"])

@@ -406,6 +406,55 @@ def q_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_lookup_bucketized",
+    """
+    SELECT p.o_orderkey AS probe_orderkey, p.customer, p.nation,
+           p.probe_nsec, hex(a.dataset_id) AS calib_dataset_id_hex,
+           a.begin_nsec, a.end_nsec
+    FROM (
+        SELECT o_orderkey, customer, nation,
+               epoch_ns(o_orderdate) + 43200000000000 AS probe_nsec
+        FROM fx_ds_base WHERE o_orderkey % 2 = 0
+    ) p
+    JOIN fx_associations a
+      ON a.collection = 'calib_a'
+     AND p.customer = a.customer AND p.nation = a.nation
+     AND p.probe_nsec >= a.begin_nsec AND p.probe_nsec < a.end_nsec
+    """,
+)
+def q_asof_lookup_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 at fact scale: the bucketized interval join (equi-join on
+    day-bucket + keys, containment as residual).  Same oracle as
+    ``asof_lookup`` — the two plans must be answer-equivalent."""
+    from .operators.intervals import bucketized_lookup
+
+    base = fx.build_datasets_with_key(spark, sf_dir)
+    probes = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("probe_orderkey"),
+        "customer",
+        "nation",
+        (fx.epoch_ns(F.col("o_orderdate")) + F.lit(43_200_000_000_000)).alias(
+            "probe_nsec"
+        ),
+    )
+    calib = fx.build_associations(spark, sf_dir).filter(
+        F.col("collection") == "calib_a"
+    )
+    out = bucketized_lookup(
+        probes, calib, ["customer", "nation"], probe_time="probe_nsec"
+    )
+    return out.select(
+        "probe_orderkey",
+        probes["customer"].alias("customer"),
+        probes["nation"].alias("nation"),
+        "probe_nsec",
+        F.hex(calib["dataset_id"]).alias("calib_dataset_id_hex"),
+        "begin_nsec",
+        "end_nsec",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation / dedup / grouping  (A1, A3, A5, A7)
 # ---------------------------------------------------------------------------
