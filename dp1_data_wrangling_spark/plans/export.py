@@ -42,6 +42,17 @@ from ..schema import Universe
 from .catalog import Catalog
 
 
+def _validate_schema(label: str, df: DataFrame, expected) -> None:
+    actual = {f.name: f.dataType.simpleString() for f in df.schema}
+    problems = [
+        f"{f.name}: want {f.dataType.simpleString()}, got {actual.get(f.name, 'MISSING')}"
+        for f in expected.fields
+        if actual.get(f.name) != f.dataType.simpleString()
+    ]
+    if problems:
+        raise ValueError(f"schema drift in {label}: {problems}")
+
+
 def run_export(
     spark: SparkSession,
     out_root: str,
@@ -67,6 +78,18 @@ def run_export(
     unknown = [n for n in names if n not in universe.dataset_types]
     if unknown:
         raise ValueError(f"unknown dataset types: {unknown}")
+
+    # Fail-fast schema validation against the registry's runtime-built
+    # StructTypes (reference datasets_parquet.py:92-116; SURVEY.md §7.4.5) —
+    # a 100 TB export must reject drifted inputs before writing anything.
+    for name in names:
+        _validate_schema(
+            f"datasets/{name}", datasets[name], universe.dataset_struct_type(name)
+        )
+    for dim_name, records in dimension_records.items():
+        dim = universe.dimensions[dim_name]
+        if dim.types:
+            _validate_schema(f"dimensions/{dim_name}", records, dim.struct_type())
 
     cat = Catalog(out_root)
     txn = cat.begin()

@@ -18,21 +18,35 @@ from collections.abc import Iterable, Mapping
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
+from pyspark.sql.types import StructType
+
 
 @dataclass(frozen=True)
 class Dimension:
     """One dimension element: key columns (the data ID part it governs),
-    payload columns, and the dimensions it depends on."""
+    payload columns, and the dimensions it depends on.  ``types`` maps
+    column name → Spark simpleString type (the registry is the single
+    source of schema truth, reference dimension_record_parquet.py:23)."""
 
     name: str
     keys: tuple[str, ...]
     payload: tuple[str, ...] = ()
     depends_on: tuple[str, ...] = ()
     has_own_table: bool = True
+    types: Mapping[str, str] = field(default_factory=dict)
 
     @property
     def columns(self) -> tuple[str, ...]:
         return self.keys + self.payload
+
+    def struct_type(self) -> StructType:
+        """Runtime StructType for this dimension's record table (the
+        reference's make_arrow_schema, dimension_record_parquet.py:23)."""
+        missing = [c for c in self.columns if c not in self.types]
+        if missing:
+            raise ValueError(f"dimension {self.name!r}: untyped columns {missing}")
+        ddl = ", ".join(f"`{c}` {self.types[c]}" for c in self.columns)
+        return StructType.fromDDL(ddl)
 
 
 @dataclass(frozen=True)
@@ -85,6 +99,19 @@ class Universe:
             ts.add(name, *sorted(d for d in self.dimensions[name].depends_on))
         return list(ts.static_order())
 
+    def dataset_struct_type(self, dataset_type: str) -> StructType:
+        """Runtime schema for a dataset type's table, constructed from its
+        dimension group (the reference builds these per type at runtime,
+        datasets_parquet.py:92-116): binary(16) dataset_id, run string,
+        one typed column per data-ID key."""
+        parts = ["`dataset_id` binary", "`run` string"]
+        for c in self.data_id_columns(dataset_type):
+            owner = next(
+                d for d in self.dimensions.values() if c in d.keys and c in d.types
+            )
+            parts.append(f"`{c}` {owner.types[c]}")
+        return StructType.fromDDL(", ".join(parts))
+
     def data_id_columns(self, dataset_type: str) -> list[str]:
         """The data-ID key columns of a dataset type's dimension group,
         dependency-ordered (low→high cardinality convention, reference
@@ -107,6 +134,7 @@ class Universe:
                     "payload": list(d.payload),
                     "depends_on": list(d.depends_on),
                     "has_own_table": d.has_own_table,
+                    "types": dict(d.types),
                 }
                 for d in self.dimensions.values()
             ],
@@ -132,6 +160,7 @@ class Universe:
                     payload=tuple(d["payload"]),
                     depends_on=tuple(d["depends_on"]),
                     has_own_table=d["has_own_table"],
+                    types=dict(d.get("types", {})),
                 )
             )
         for t in doc["dataset_types"]:
@@ -150,13 +179,26 @@ def fixture_universe() -> Universe:
     """The universe describing the derived Butler-model fixtures
     (fixtures.py): nation ← customer, plus a virtual segment dimension."""
     u = Universe()
-    u.add_dimension(Dimension("nation", keys=("nation",), payload=("name", "region")))
+    u.add_dimension(
+        Dimension(
+            "nation",
+            keys=("nation",),
+            payload=("name", "region"),
+            types={"nation": "int", "name": "string", "region": "int"},
+        )
+    )
     u.add_dimension(
         Dimension(
             "customer",
             keys=("customer",),
             payload=("nation", "mktsegment", "acctbal"),
             depends_on=("nation",),
+            types={
+                "customer": "bigint",
+                "nation": "int",
+                "mktsegment": "string",
+                "acctbal": "double",
+            },
         )
     )
     u.add_dimension(
@@ -165,6 +207,7 @@ def fixture_universe() -> Universe:
             keys=("mktsegment",),
             depends_on=("customer",),
             has_own_table=False,
+            types={"mktsegment": "string"},
         )
     )
     u.add_dataset_type(DatasetType("orders_raw", dimensions=("customer", "nation")))

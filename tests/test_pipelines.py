@@ -209,3 +209,49 @@ def test_file_tree_symlinks(spark, export_cat, tmp_path):
     assert any(os.readlink(p).startswith("/data/store/") for p in links)
     # second run: FileExistsError tolerated, same count
     assert generate_file_tree(rec, str(tree), "/data/store") == n
+
+
+def test_registry_runtime_struct_types(spark):
+    """SURVEY §7.4.5: dataset/dimension schemas are BUILT from the registry
+    at runtime and match what the fixtures actually produce."""
+    from dp1_data_wrangling_spark.schema import fixture_universe
+
+    u = fixture_universe()
+    ds_schema = {
+        f.name: f.dataType.simpleString()
+        for f in u.dataset_struct_type("orders_raw").fields
+    }
+    actual = {
+        f.name: f.dataType.simpleString()
+        for f in fx.build_datasets(spark, SMOKE_SF).schema
+    }
+    assert ds_schema == actual
+    dim = u.dimensions["customer"].struct_type()
+    actual_dim = {
+        f.name: f.dataType.simpleString()
+        for f in fx.build_dim_customer(spark, SMOKE_SF).schema
+    }
+    assert {f.name: f.dataType.simpleString() for f in dim.fields} == actual_dim
+
+
+def test_export_rejects_schema_drift(spark, tmp_path):
+    """A drifted input table (wrong type for a data-ID column) aborts the
+    export before anything is staged."""
+    from dp1_data_wrangling_spark.schema import fixture_universe
+
+    bad = fx.build_datasets(spark, SMOKE_SF).withColumn(
+        "customer", F.col("customer").cast("string")
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        run_export(
+            spark,
+            str(tmp_path / "exp"),
+            fixture_universe(),
+            datasets={"orders_raw": bad},
+            dimension_records={},
+            associations=fx.build_associations(spark, SMOKE_SF),
+            datastore_records=fx.build_datastore_records(spark, SMOKE_SF),
+            collections=fx.build_collections(spark),
+            collection_chains=fx.build_collection_chains(spark),
+            root_collection="chain_root",
+        )
