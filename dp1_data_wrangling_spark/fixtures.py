@@ -102,32 +102,60 @@ def build_datasets_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAGGED (%7) + CALIBRATION (%11) membership rows.
+
+    Single scan of the base subtree: the two membership families are
+    emitted by exploding a per-row array of matching (collection,
+    timespan) structs instead of union-ing two filtered branches — the
+    union form evaluates the orders⋈customer+md5 base twice (Spark does
+    not share subtrees across union branches without caching)."""
     ds = build_datasets_with_key(spark, sf_dir)
-    tagged = ds.filter(F.col("o_orderkey") % 7 == 0).select(
-        "dataset_id",
-        "run",
-        "customer",
-        "nation",
-        F.lit("tagged_a").alias("collection"),
-        F.lit(None).cast("long").alias("begin_nsec"),
-        F.lit(None).cast("long").alias("end_nsec"),
-    )
     begin = epoch_ns(F.col("o_orderdate"))
-    calib = ds.filter(F.col("o_orderkey") % 11 == 0).select(
+    end = begin + F.lit(DAY_NS) * (F.lit(1) + F.col("o_orderkey") % 3)
+    null_ns = F.lit(None).cast("long")
+    memberships = F.array_compact(
+        F.array(
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.struct(
+                    F.lit("tagged_a").alias("collection"),
+                    null_ns.alias("begin_nsec"),
+                    null_ns.alias("end_nsec"),
+                ),
+            ),
+            F.when(
+                F.col("o_orderkey") % 11 == 0,
+                F.struct(
+                    F.lit("calib_a").alias("collection"),
+                    begin.alias("begin_nsec"),
+                    end.alias("end_nsec"),
+                ),
+            ),
+        )
+    )
+    return ds.select(
         "dataset_id",
         "run",
         "customer",
         "nation",
-        F.lit("calib_a").alias("collection"),
-        begin.alias("begin_nsec"),
-        (begin + F.lit(DAY_NS) * (F.lit(1) + F.col("o_orderkey") % 3)).alias(
-            "end_nsec"
-        ),
+        F.explode(memberships).alias("__m"),
+    ).select(
+        "dataset_id",
+        "run",
+        "customer",
+        "nation",
+        F.col("__m.collection").alias("collection"),
+        F.col("__m.begin_nsec").alias("begin_nsec"),
+        F.col("__m.end_nsec").alias("end_nsec"),
     )
-    return tagged.unionByName(calib)
 
 
-def _datastore_row(ds: DataFrame, datastore_name: str) -> DataFrame:
+def build_datastore_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every dataset under ds_primary; the %5 subset also under
+    ds_secondary.  Single scan: explode the per-row list of datastore
+    names instead of union-ing two branches (same reasoning as
+    ``build_associations``)."""
+    ds = build_datasets_with_key(spark, sf_dir)
     hex_id = F.hex(F.col("dataset_id"))
     rel_path = F.concat(F.col("run"), F.lit("/"), hex_id, F.lit(".fits"))
     abs_path = F.concat(
@@ -137,8 +165,12 @@ def _datastore_row(ds: DataFrame, datastore_name: str) -> DataFrame:
         hex_id,
         F.lit(".fits#unzip=1"),
     )
+    names = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.array(F.lit("ds_primary"), F.lit("ds_secondary")),
+    ).otherwise(F.array(F.lit("ds_primary")))
     return ds.select(
-        F.lit(datastore_name).alias("datastore_name"),
+        F.explode(names).alias("datastore_name"),
         F.col("dataset_id"),
         F.when(F.col("o_orderkey") % 13 == 0, abs_path)
         .otherwise(rel_path)
@@ -149,13 +181,6 @@ def _datastore_row(ds: DataFrame, datastore_name: str) -> DataFrame:
         F.md5(F.concat(hex_id, F.lit("-ck")).cast("binary")).alias("checksum"),
         ((F.col("o_orderkey") % 997) * 1024 + 17).cast("long").alias("file_size"),
     )
-
-
-def build_datastore_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = build_datasets_with_key(spark, sf_dir)
-    primary = _datastore_row(ds, "ds_primary")
-    secondary = _datastore_row(ds.filter(F.col("o_orderkey") % 5 == 0), "ds_secondary")
-    return primary.unionByName(secondary)
 
 
 def build_collections(spark: SparkSession) -> DataFrame:

@@ -21,7 +21,7 @@ Scale-first design notes (the 100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # MinHash configuration — fixed; the oracle replays these exact constants.
@@ -122,7 +122,13 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing any LSH band.
 
-    Equi-join on (band, band_key) — the only shuffle moves 16-byte keys.
+    Shape: ONE groupBy((band, band_key)) collecting member ids, then a
+    JVM-side i<j pair explosion — no self-join, so the (expensive)
+    signature subtree is evaluated exactly once and the only wide inputs
+    are 16-byte band keys + ids.  The window-count variant this replaces
+    evaluated signatures on both join sides and paid an extra window
+    shuffle for the bucket cap; here the cap is a ``size(ids)`` filter on
+    the already-aggregated bucket.
 
     ``max_bucket_size`` drops buckets with more members: an oversized
     bucket means boilerplate/template text that LSH cannot discriminate,
@@ -130,21 +136,27 @@ def minhash_candidate_pairs(
     (on this corpus, buckets >100 docs are 0.5% of buckets but 73% of raw
     pairs).  Production dedup handles such clusters by connected-component
     labeling on the capped pair graph, not pairwise enumeration.  Pass
-    ``None`` to disable."""
+    ``None`` to disable.  (Truly adversarial corpora — one bucket with
+    millions of members — would bloat the collect_list buffer before the
+    filter drops it; there the two-pass form, count + anti-join hot keys
+    then collect, bounds memory at the cost of one extra narrow shuffle.)
+    """
     keys = minhash_band_keys(minhash_signature(docs, text_col), id_col)
+    buckets = (
+        keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_key")
-        keys = (
-            keys.withColumn("__bsz", F.count("*").over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    pairs = F.expr(
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
 
