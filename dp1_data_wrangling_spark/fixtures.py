@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tables import load_table
+from .tables import load_table, local_df
 
 DAY_NS = 86_400_000_000_000
 
@@ -184,11 +184,11 @@ def build_datastore_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_collections(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(COLLECTION_ROWS, "name string, type string")
+    return local_df(spark, COLLECTION_ROWS, "name string, type string")
 
 
 def build_collection_chains(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(CHAIN_ROWS, "parent string, child string, position int")
+    return local_df(spark, CHAIN_ROWS, "parent string, child string, position int")
 
 
 def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:

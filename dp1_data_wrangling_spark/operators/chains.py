@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 
 def flatten_chain_driver(
     chains: list[tuple[str, str, int]],
@@ -63,8 +65,8 @@ def flatten_chains(
     ]
     types = {r["name"]: r["type"] for r in collections.collect()}
     leaves = flatten_chain_driver(chains, types, root)
-    return spark.createDataFrame(
-        [(name, i) for i, name in enumerate(leaves)], "child string, position int"
+    return local_df(
+        spark, [(name, i) for i, name in enumerate(leaves)], "child string, position int"
     )
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import spread
+
 # MinHash configuration — fixed; the oracle replays these exact constants.
 MINHASH_HASHES = 6
 MINHASH_BAND_SIZE = 2  # 3 bands of 2 rows
@@ -141,7 +143,7 @@ def minhash_candidate_pairs(
     filter drops it; there the two-pass form, count + anti-join hot keys
     then collect, bounds memory at the cost of one extra narrow shuffle.)
     """
-    keys = minhash_band_keys(minhash_signature(docs, text_col), id_col)
+    keys = minhash_band_keys(minhash_signature(spread(docs), text_col), id_col)
     buckets = (
         keys.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
@@ -174,7 +176,7 @@ def simhash_fingerprints(
     scale-correct way: explode tokens, ONE groupBy(id) with 60 parallel
     SUM aggregates (map-side combinable) — never a nested
     per-row-per-bit re-aggregation, which is O(bits^2 * tokens)."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col),
         F.explode(
             F.expr(f"filter(split(lower({text_col}), '\\\\W+'), x -> x != '')")
@@ -255,7 +257,7 @@ def jaccard_pairs(
     (id, id + pair_offset), computed distributively: explode distinct
     tokens, equi-join on token, count intersections, derive union by
     inclusion-exclusion.  All-integer math until the final division."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(token_set(F.col(text_col))).alias("token")
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))

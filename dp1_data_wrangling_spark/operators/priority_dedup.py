@@ -21,10 +21,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import local_df
+
 
 def priority_map(spark: SparkSession, priority: Sequence[str]) -> DataFrame:
     rows = [(name, i) for i, name in enumerate(priority)]
-    return spark.createDataFrame(rows, "datastore_name string, priority int")
+    return local_df(spark, rows, "datastore_name string, priority int")
 
 
 def priority_dedup(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i * b_i as a strict left fold in double (JVM, deterministic)."""
@@ -67,7 +69,9 @@ def brute_force_topk(
         F.col(vec_col).alias("__probe_vec"),
         l2_norm(F.col(vec_col)).alias("__probe_norm"),
     )
-    c = corpus.select(
+    # The probe×corpus product is evaluated over corpus partitions (probes
+    # broadcast) — spread the corpus so the O(dim) folds parallelize.
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cand_vec"),
         l2_norm(F.col(vec_col)).alias("__cand_norm"),
@@ -145,8 +149,8 @@ def lsh_topk(
             F.explode(F.array(*sigs)).alias("ts"),
         ).select(out_id, f"__{out_id}_vec", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
 
-    ps = signature(probes, "probe_id")
-    cs = signature(corpus, "neighbor_id")
+    ps = signature(spread(probes), "probe_id")
+    cs = signature(spread(corpus), "neighbor_id")
     cand = (
         ps.join(cs, ["table", "sig"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))

@@ -28,7 +28,7 @@ from .operators.find_first import find_first
 from .operators.intervals import asof_lookup, overlapping_pairs
 from .operators.priority_dedup import priority_dedup, priority_map
 from .registry import REGISTRY, QuerySpec, cents, register
-from .tables import load_table
+from .tables import load_table, local_df
 
 
 # ---------------------------------------------------------------------------
@@ -188,8 +188,8 @@ def q_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_literal_coordinate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: join against literal data coordinates (export_dp1.py:110-115) —
     a broadcast of a driver-created literal DataFrame."""
-    lit = spark.createDataFrame(
-        [(v,) for v in (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)], "customer bigint"
+    lit = local_df(
+        spark, [(v,) for v in (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)], "customer bigint"
     )
     dc = fx.build_dim_customer(spark, sf_dir)
     return dc.join(F.broadcast(lit), "customer").select(

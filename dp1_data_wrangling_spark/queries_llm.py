@@ -21,7 +21,7 @@ from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import text as tx
 from .registry import register
-from .tables import load_table
+from .tables import load_table, spread
 
 MUTANT_OFFSET = 1_000_000
 
@@ -40,6 +40,9 @@ _AUG_NEAR = """
 
 
 def _augment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No spread here: exact dedup is one md5 per doc — the round-robin
+    # shuffle would cost more than the map it parallelizes (unlike the
+    # shingle-hash path in _augment_near).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "text"
@@ -48,7 +51,7 @@ def _augment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _augment_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
@@ -198,7 +201,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair family (id, id+25): JVM fold dot products, threshold at 0.9.
     At corpus scale the pair generation is an LSH bucket join
     (sim.lsh_topk); the pair-family form keeps the oracle exact."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("__ea"))
     b = emb.select(
         (F.col("vec_id") - 25).alias("vec_id_a"),
@@ -260,7 +263,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring: all integer-derived metrics, one
     final division (operators/text.py)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     out = tx.quality_stats(docs)
     return out.select(
         "doc_id",
@@ -306,7 +309,9 @@ _LANG_ORACLE = f"""
 @register("doc_lang_id", _LANG_ORACLE)
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-n-gram language ID heuristic (deterministic argmax)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
     return tx.lang_id(docs).select(
         "doc_id", "lang", "score_en", "score_de", "score_es", "score_fr", "lang_guess"
     )
@@ -328,7 +333,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash fingerprint (left fold, JVM aggregate)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return docs.select(
         "doc_id", tx.rolling_fingerprint("text").alias("fingerprint")
     ).select("doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
@@ -389,6 +394,6 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> Arrow-batched mapInPandas feature extraction
     (decode stubbed deterministically; plumbing real — rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = mm.media_from_documents(docs)
     return mm.extract_features(media)

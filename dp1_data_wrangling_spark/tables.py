@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,6 +105,43 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-literal DataFrame as a LocalRelation (``LocalTableScan``).
+
+    ``createDataFrame`` on a plain Python list parallelizes it into an RDD
+    across defaultParallelism — every downstream execution (including the
+    build side of a broadcast join) then runs a full 32-task stage just to
+    re-collect a handful of literal rows (~0.4 s/job measured).  Routing
+    through pandas+Arrow yields a LocalRelation instead: no job, no tasks,
+    and Catalyst can constant-fold/broadcast it for free.  This is the
+    right shape for catalog-sized literals (chains, priority lists,
+    literal data coordinates) at any cluster scale.
+    """
+    if not rows:  # Arrow path needs >=1 row to keep dtypes; tiny fallback
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: defaultParallelism)
+    input partitions before CPU-heavy per-row work.
+
+    A small fixture table is one parquet file → ONE input partition, so a
+    hash-heavy map (minhash shingling, simhash voting, cosine folds) runs
+    single-task no matter how many cores exist.  Redistributing the narrow
+    input first is a round-robin shuffle of the (tiny) raw rows and wins
+    back full parallelism.  At real scale the input already has thousands
+    of partitions and this is a no-op — the condition keeps the operator
+    from ever adding a shuffle to a 100 TB scan."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _normalize(t: str) -> str:
     # timestamp_ntz and timestamp are equivalent for our naive fixture data.
     return t.replace("timestamp_ntz", "timestamp")
@@ -116,7 +154,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as
     int64 ns and are converted here to µs timestamps via exact integer
     division (the fixtures are µs-clean; a double cast would lose precision
-    at ~1e18 — SURVEY.md §7.4.1)."""
+    at ~1e18 — SURVEY.md §7.4.1).
+
+    Loads are memoized per (session, dir, table): DataFrames are immutable
+    plans, and re-listing files + re-validating the schema on every query
+    build is pure driver overhead."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = EXPECTED_SCHEMAS.get(name)
     if expected is not None:
@@ -134,6 +180,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 raise ValueError(
                     f"table {name}.{col}: expected {typ}, got {actual[col]}"
                 )
+    _TABLE_CACHE[key] = df
     return df
 
 
