@@ -91,13 +91,34 @@ def _dataset_cols(df: DataFrame) -> DataFrame:
 
 def build_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``datasets`` fixture table (dataset_id, run, customer, nation)."""
-    return _dataset_cols(_orders_with_nation(spark, sf_dir)).select(
+    return build_datasets_with_key(spark, sf_dir).select(
         "dataset_id", "run", "customer", "nation"
     )
 
 
+_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def build_datasets_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """datasets + the generating o_orderkey/o_orderdate (internal use)."""
+    """datasets + the generating o_orderkey/o_orderdate (internal use).
+
+    Memoized AND persisted per (session, sf_dir): every Butler-model
+    fixture family (datasets, associations, datastore records) derives
+    from this one subtree, so materializing it once is the analogue of the
+    reference's registry caching context held for the whole export
+    (export_dp1.py:68, SURVEY.md §2.12 G2).  ``persist`` is lazy — the
+    first query to execute fills the cache; later queries read the
+    in-memory columnar copy instead of re-running the orders⋈customer
+    join + md5 projection."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BASE_CACHE:
+        # Persist ONE copy; the reference in _BASE_CACHE keeps it alive.
+        _BASE_CACHE[key] = _dataset_cols(_orders_with_nation(spark, sf_dir)).persist()
+    # Return a FRESHLY BUILT plan (fresh expression ids) every call: Spark's
+    # CacheManager substitutes the persisted InMemoryRelation by canonical
+    # plan match, so callers still hit the cache — while fixture families
+    # joined with each other keep distinct exprIds (sharing one Dataset
+    # object would trip the ambiguous-self-join check).
     return _dataset_cols(_orders_with_nation(spark, sf_dir))
 
 
