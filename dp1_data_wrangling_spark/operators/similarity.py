@@ -8,13 +8,21 @@ Two tiers, mirroring what a 100 TB embedding corpus needs:
   inside the window/TakeOrdered machinery, so no executor materializes the
   full probe x corpus product.  Dot products are JVM expressions
   (zip_with + aggregate) — no Python in the loop.
-- **LSH-bucketed cosine (IVF-style)** — the scale path: random-hyperplane
+- **LSH-bucketed cosine** — a scale path: random-hyperplane
   signatures (deterministic md5-derived planes, no RNG state) bucket both
   sides; candidates are an equi-join on (plane-set, signature); exact
   cosine re-ranks inside buckets.  Recall is tunable via n_planes/n_tables.
   ``pyspark.ml.feature.BucketedRandomProjectionLSH`` offers the same under
   ml pipelines; this implementation keeps everything in plain DataFrame
   ops (no ml Vector conversion cost) and keeps determinism.
+- **IVF-bucketed cosine** — the other scale path: a coarse quantizer
+  (fixed centroid set) assigns every corpus vector to its nearest-centroid
+  cell once; a probe fans out to its ``nprobe`` nearest cells and re-ranks
+  exactly inside them.  Candidates are an equi-join on cell id — at 100 TB
+  the corpus side is partitioned (and can be physically bucketed) by cell,
+  so a probe touches ``nprobe/n_cells`` of the data.  Centroids here are
+  deterministic corpus samples (no k-means RNG); production would train
+  them offline and broadcast.
 """
 
 from __future__ import annotations
@@ -160,6 +168,120 @@ def lsh_topk(
             F.round(
                 cosine(F.col("__probe_id_vec"), F.col("__neighbor_id_vec")), 6
             ).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: the ``n_cells`` corpus
+    vectors with the smallest md5(id) — a uniform pseudo-random sample
+    with no RNG state, reproducible across runs and engines.  Production
+    IVF would k-means these offline; the operator contract (small
+    broadcastable (cell, centroid) table) is identical.
+
+    Selection is sort+limit (TakeOrderedAndProject: per-partition top-N,
+    merged on the driver) — never a global window, which would funnel the
+    whole corpus through one task.  The cell-numbering window then runs
+    over only ``n_cells`` rows."""
+    sample = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("__key"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .orderBy("__key", id_col)
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__key", id_col)
+    return sample.select(
+        (F.row_number().over(w) - 1).alias("cell"),
+        F.col(vec_col).alias("centroid"),
+    )
+
+
+def _nearest_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_take: int,
+    *,
+    vec_col: str,
+    out_cell: str = "cell",
+) -> DataFrame:
+    """Attach the ``n_take`` nearest cell ids (by cosine to the centroid)
+    as an exploded column.  Centroids are broadcast; the argmin happens
+    JVM-side via a sorted array-of-struct fold (no shuffle on the big
+    side)."""
+    cent = F.broadcast(
+        centroids.groupBy().agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            ).alias("__cells")
+        )
+    )
+    # Order by -cosine ascending == cosine descending; slice the top cells.
+    top = F.expr(
+        f"transform(slice(array_sort(transform(__cells, c -> struct("
+        f"  -(aggregate(zip_with({vec_col}, c.centroid, (x, y) -> cast(x as double) * cast(y as double)),"
+        f"            cast(0.0 as double), (acc, v) -> acc + v)"
+        f"  / sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)),"
+        f"               cast(0.0 as double), (acc, v) -> acc + v)"
+        f"     * aggregate(transform(c.centroid, x -> cast(x as double) * cast(x as double)),"
+        f"                 cast(0.0 as double), (acc, v) -> acc + v))) AS negsim,"
+        f"  c.cell AS cell))), 1, {n_take}), s -> s.cell)"
+    )
+    return df.crossJoin(cent).withColumn(out_cell, F.explode(top)).drop("__cells")
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to their single nearest
+    cell, fan each probe out to its ``nprobe`` nearest cells, re-rank
+    exactly inside the visited cells.
+
+    Scale shape: ONE narrow shuffle on cell id for the candidate equi-join
+    (or zero if the corpus is pre-bucketed by cell on disk); centroids
+    broadcast; everything JVM expressions."""
+    cents = ivf_centroids(corpus, n_cells, vec_col=vec_col, id_col=id_col)
+    c_assigned = _nearest_cells(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+        ),
+        cents,
+        1,
+        vec_col="__c_vec",
+    )
+    p_assigned = _nearest_cells(
+        spread(probes).select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__p_vec")
+        ),
+        cents,
+        nprobe,
+        vec_col="__p_vec",
+    )
+    cand = (
+        p_assigned.join(c_assigned, "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__p_vec"), F.col("__c_vec")), 6).alias("sim"),
         )
         .distinct()
     )

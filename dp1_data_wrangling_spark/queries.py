@@ -1045,6 +1045,121 @@ def q_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multi_join_revenue",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, nation_name
+    """,
+)
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: ONE fact-fact join (lineitem⋈orders,
+    both shuffle on orderkey) and three broadcast dimension hops; the date
+    + region filters reach the scans, so the shuffled side is pre-pruned.
+    Exact fixed-point revenue (cents × discount basis points)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(cents * disc_bp).alias("revenue_e4"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_e4").desc(), "nation_name")
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (engine
+    extra beyond rollup/cube; one Expand + one shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY cents
+               RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING
+           ) AS BIGINT) AS near_cents_sum
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 frame specs: a RANGE frame (value-based bounds, ±1000 currency
+    units) — complements rolling_sum's ROWS frame; exact integer cents so
+    frame boundaries are engine-identical."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("cents").rangeBetween(-100_000, 100_000)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.sum("cents").over(w).alias("near_cents_sum"),
+    )
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401

@@ -378,11 +378,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lsh_topk", None)
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF/LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
     asserted in unit tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.lsh_topk(probes, emb, k=5, dim=64)
+
+
+@register("ivf_topk", None)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: deterministic coarse quantizer,
+    nprobe cell fan-out, exact re-rank inside visited cells (rows-only;
+    recall vs brute force asserted in unit tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(probes, emb, k=5, n_cells=16, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
