@@ -97,3 +97,27 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) via native session_window; the
     oracle replays them as gaps-and-islands."""
     return session_windows_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "event_correlation",
+    """
+    SELECT a.user_id, a.event_id AS view_id, a.ts AS view_ts,
+           b.event_id AS purchase_id, b.ts AS purchase_ts
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND epoch_us(b.ts) < epoch_us(a.ts) + 1800000000
+    """,
+)
+def q_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch form (view→purchase attribution
+    within 30 minutes per user).  The streaming twin
+    (``streaming.stream_correlated_events``) runs the identical plan over
+    two watermarked streams; equivalence is asserted in
+    test_streaming_correlation_equals_batch."""
+    from .streaming.events import correlated_events_batch
+
+    return correlated_events_batch(load_table(spark, sf_dir, "events"))

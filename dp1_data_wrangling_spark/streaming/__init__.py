@@ -7,8 +7,11 @@ equivalent on the events table (that is what the DuckDB oracle checks);
 """
 
 from .events import (
+    correlated_events_batch,
     session_windows_batch,
     sliding_windows_batch,
+    stream_correlated_events,
+    stream_dedup_events,
     stream_events,
     stream_tumbling_counts,
     tumbling_windows_batch,
@@ -20,8 +23,11 @@ __all__ = [
     "tumbling_windows_batch",
     "sliding_windows_batch",
     "session_windows_batch",
+    "correlated_events_batch",
     "stream_events",
     "stream_tumbling_counts",
+    "stream_correlated_events",
+    "stream_dedup_events",
     "incremental_find_first",
     "stream_into_catalog",
 ]

@@ -92,3 +92,99 @@ def stream_tumbling_counts(spark, sf_dir: str, width: str = "10 minutes") -> Dat
     """The streaming form of tumbling_windows_batch (same plan, streaming
     source + watermark)."""
     return tumbling_windows_batch(stream_events(spark, sf_dir), width)
+
+
+_CORRELATION_HORIZON_US = 1_800_000_000  # 30 minutes
+
+
+def correlated_events_batch(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon_us: int = _CORRELATION_HORIZON_US,
+) -> DataFrame:
+    """Per-user event correlation: every (view, purchase) pair from the same
+    user where the purchase lands within ``horizon_us`` after the view —
+    the attribution-join shape.
+
+    Batch form of a stream-stream interval join: equi-key on user_id (hash
+    join), time bound as a post-filter.  At scale both sides shuffle once
+    on user_id; the time horizon is what makes the *streaming* twin's state
+    finite."""
+    a = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return a.join(
+        b,
+        (a.user_id == b.user_id)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.unix_micros(F.col("purchase_ts"))
+            < F.unix_micros(F.col("view_ts")) + horizon_us
+        ),
+    ).select(
+        a.user_id.alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
+def stream_correlated_events(
+    spark,
+    sf_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: the same plan as
+    ``correlated_events_batch`` over two watermarked readStream sides.
+    The watermark + time bound let Spark expire join state (a view older
+    than watermark+horizon can never match again)."""
+    left = stream_events(spark, sf_dir, watermark).filter(
+        F.col("event_type") == left_type
+    ).select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    right = stream_events(spark, sf_dir, watermark).filter(
+        F.col("event_type") == right_type
+    ).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return left.join(
+        right,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.unix_micros(F.col("purchase_ts"))
+            < F.unix_micros(F.col("view_ts")) + _CORRELATION_HORIZON_US
+        ),
+    ).select(
+        F.col("l_user_id").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
+def stream_dedup_events(stream: DataFrame, watermark_applied: bool = True) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark window
+    (``dropDuplicatesWithinWatermark``): at-least-once sources redeliver;
+    state holds one (id, max-seen-ts) entry per key and expires with the
+    watermark — the streaming twin of the batch exact-dedup groupBy.
+    The input must already carry a watermark (``stream_events`` applies
+    one)."""
+    return stream.dropDuplicatesWithinWatermark(["event_id"])

@@ -107,6 +107,55 @@ def test_incremental_find_first_matches_batch(spark, dataset_stream_dir):
     assert final.exceptAll(want).count() == 0
 
 
+def test_streaming_correlation_equals_batch(spark):
+    """Stream-stream interval join (view→purchase within 30 min per user)
+    emits exactly the batch join's rows once the availableNow pass ends."""
+    from dp1_data_wrangling_spark.streaming import (
+        correlated_events_batch,
+        stream_correlated_events,
+    )
+
+    stream = stream_correlated_events(spark, SMOKE_SF)
+    _run_to_memory(stream, "corr_stream", "append")
+    got = spark.sql("select * from corr_stream")
+    want = correlated_events_batch(load_table(spark, SMOKE_SF, "events"))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.fixture(scope="module")
+def redelivered_events_dir(spark, tmp_path_factory):
+    """events written twice (distinct mtimes) — an at-least-once source."""
+    root = tmp_path_factory.mktemp("redelivered")
+    ev = load_table(spark, SMOKE_SF, "events")
+    ev.coalesce(1).write.parquet(str(root / "delivery1"))
+    time.sleep(1.1)
+    ev.coalesce(1).write.parquet(str(root / "delivery2"))
+    return root, ev
+
+
+def test_streaming_dedup_within_watermark(spark, redelivered_events_dir):
+    """dropDuplicatesWithinWatermark collapses redelivered events: the
+    doubled source yields exactly the original row set."""
+    from dp1_data_wrangling_spark.streaming import stream_dedup_events
+
+    root, ev = redelivered_events_dir
+    src_schema = spark.read.parquet(f"{root}/delivery1").schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/*/")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream_dedup_events(stream.withWatermark("ts", "1 hour"))
+    _run_to_memory(deduped, "dedup_stream", "append")
+    got = spark.sql("select * from dedup_stream")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_stream_into_catalog_exactly_once(spark, tmp_path):
     """foreachBatch catalog sink: counts match the source; a second run of
     the same availableNow stream appends nothing new (checkpoint + batch-id
