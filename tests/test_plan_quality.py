@@ -114,6 +114,27 @@ def test_scalar_queries_have_no_python_in_hot_path(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
 
 
+def test_multi_join_revenue_one_fact_fact_shuffle(spark):
+    """Q5 shape: exactly one non-broadcast join (lineitem⋈orders on
+    orderkey); customer/nation/region all broadcast; the order-date filter
+    is pushed into the parquet scan so the shuffled side is pre-pruned."""
+    plan = plan_of(REGISTRY["multi_join_revenue"].fn(spark, SMOKE_SF))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS compiles to one Expand + one hash shuffle (partial
+    aggregation below the exchange), never one pass per grouping set."""
+    plan = plan_of(REGISTRY["grouping_sets_agg"].fn(spark, SMOKE_SF))
+    assert plan.count("Expand") == 1, plan
+    assert data_shuffles(plan) == 1, plan
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    assert first_agg < first_exchange, plan
+
+
 def test_topk_compiles_to_take_ordered(spark):
     """O7/top-k: orderBy+limit must become TakeOrderedAndProject, never a
     global sort."""
