@@ -255,3 +255,55 @@ def test_export_rejects_schema_drift(spark, tmp_path):
             collection_chains=fx.build_collection_chains(spark),
             root_collection="chain_root",
         )
+
+
+# --- generic file sources (sources/files.py) -------------------------------
+
+
+def test_file_formats_roundtrip(spark, tmp_path):
+    """orders survives CSV / JSONL / ORC round-trips bit-exactly under
+    declared schemas (timestamps via explicit format on CSV)."""
+    from dp1_data_wrangling_spark.sources import files as fs
+    from dp1_data_wrangling_spark.tables import load_table
+
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    fs.write_csv(orders, str(tmp_path / "csv"), timestampNTZFormat=fmt)
+    got_csv = fs.read_csv(spark, str(tmp_path / "csv"), schema, timestampNTZFormat=fmt)
+    fs.write_jsonl(orders, str(tmp_path / "jsonl"))
+    got_jsonl = fs.read_jsonl(spark, str(tmp_path / "jsonl"), schema)
+    fs.write_orc(orders, str(tmp_path / "orc"))
+    got_orc = fs.read_orc(spark, str(tmp_path / "orc"), schema)
+    for got in (got_csv, got_jsonl, got_orc):
+        assert got.schema == orders.schema
+        assert got.count() == orders.count()
+        assert got.exceptAll(orders).count() == 0
+        assert orders.exceptAll(got).count() == 0
+
+
+def test_csv_quarantine_dead_letter(spark, tmp_path):
+    """Malformed CSV rows land in the rescue column instead of failing the
+    job (opt-in); FAILFAST raises on the same input."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from dp1_data_wrangling_spark.sources import files as fs
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "part.csv").write_text("k,v\n1,10\n2,notanint\n3,30\n")
+    schema = "k bigint, v bigint"
+    ok = fs.read_csv(spark, str(p), schema, quarantine=True)
+    bad = fs.quarantined(ok)
+    assert ok.count() == 3
+    assert bad.count() == 1
+    assert bad.first()["k"] == 2
+    strict = fs.read_csv(spark, str(p), schema)
+    with pytest.raises((Py4JJavaError, Exception)):
+        strict.collect()

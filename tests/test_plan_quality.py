@@ -135,6 +135,37 @@ def test_grouping_sets_single_expand_single_shuffle(spark):
     assert first_agg < first_exchange, plan
 
 
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Storage-layout scale path: datasets and datastore_records written
+    bucketed+sorted by dataset_id join with NO exchange and NO sort — the
+    fact×fact join the export plan otherwise pays a shuffle for becomes a
+    per-bucket local merge."""
+    from dp1_data_wrangling_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    ds = fx.build_datasets(spark, SMOKE_SF)
+    rec = fx.build_datastore_records(spark, SMOKE_SF).select("dataset_id", "path")
+    write_bucketed(
+        ds, "t_ds_bucketed", ["dataset_id"], 8,
+        sort_cols=["dataset_id"], path=str(tmp_path / "ds"),
+    )
+    write_bucketed(
+        rec, "t_rec_bucketed", ["dataset_id"], 8,
+        sort_cols=["dataset_id"], path=str(tmp_path / "rec"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_ds_bucketed", "t_rec_bucketed", ["dataset_id"])
+        assert joined.count() == rec.count()
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_ds_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_rec_bucketed")
+
+
 def test_topk_compiles_to_take_ordered(spark):
     """O7/top-k: orderBy+limit must become TakeOrderedAndProject, never a
     global sort."""
