@@ -1064,6 +1064,7 @@ def q_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     ORDER BY revenue_e4 DESC, nation_name
     """,
+    headline=True,
 )
 def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 5-way join: ONE fact-fact join (lineitem⋈orders,

@@ -34,6 +34,10 @@ def get_spark(app_name: str = "dp1-data-wrangling-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # maximizing parallelism — the Spark-documented production setting
+        # (avoids many tiny post-shuffle partitions at cluster scale).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -58,6 +62,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
