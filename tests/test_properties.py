@@ -99,3 +99,98 @@ def test_overlap_check_equals_brute_force(spark, rows):
             if a[0] == b_[0] and a[1] < b_[2] and b_[1] < a[2]:
                 brute = True
     assert found == brute
+
+
+# --- dedup family properties ----------------------------------------------
+
+doc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1_000),  # doc_id
+        st.text(
+            alphabet="ab c", min_size=0, max_size=12
+        ),  # tiny alphabet -> natural duplicate groups
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=doc_rows)
+@SETTINGS
+def test_exact_dedup_group_invariants(spark, rows):
+    """Every digest group keeps its min id, copy counts sum to the input
+    size, and the operator is idempotent on its survivor set."""
+    from dp1_data_wrangling_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    by_text: dict[str, list[int]] = {}
+    for i, t in rows:
+        by_text.setdefault(t, []).append(i)
+    assert len(out) == len(by_text)
+    assert sum(r["n_copies"] for r in out) == len(rows)
+    keepers = sorted(r["keep_id"] for r in out)
+    assert keepers == sorted(min(ids) for ids in by_text.values())
+    survivors = df.join(
+        spark.createDataFrame([(k,) for k in keepers], "doc_id long"), "doc_id"
+    )
+    again = exact_dedup(survivors).collect()
+    assert sorted(r["keep_id"] for r in again) == keepers
+    assert all(r["n_copies"] == 1 for r in again)
+
+
+record_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # dataset key
+        st.integers(min_value=0, max_value=2),  # datastore index
+        st.integers(min_value=0, max_value=99),  # path discriminator
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=record_rows)
+@SETTINGS
+def test_priority_dedup_invariants(spark, rows):
+    """One survivor per key; the survivor's datastore priority is minimal
+    among that key's rows; ties within a datastore break on path."""
+    from dp1_data_wrangling_spark.operators.priority_dedup import (
+        priority_dedup,
+        priority_map,
+    )
+
+    names = ["ds_a", "ds_b", "ds_c"]
+    df = spark.createDataFrame(
+        [(k, names[d], f"p{p:02d}") for k, d, p in rows],
+        "dataset_id int, datastore_name string, path string",
+    )
+    out = priority_dedup(df, priority_map(spark, names)).collect()
+    assert len(out) == len({k for k, _, _ in rows})
+    for r in out:
+        cands = [(d, f"p{p:02d}") for k, d, p in rows if k == r["dataset_id"]]
+        best = min(cands)
+        assert (names.index(r["datastore_name"]), r["path"]) == best
+
+
+path_rows = st.lists(
+    st.text(alphabet="abc/#_.:", min_size=0, max_size=20), min_size=1, max_size=20
+)
+
+
+@given(paths=path_rows)
+@SETTINGS
+def test_strip_fragment_idempotent_and_prefix_safe(spark, paths):
+    """C6: fragment stripping is idempotent and always returns a prefix of
+    the input with no '#' remaining."""
+    from dp1_data_wrangling_spark.functions.paths import strip_fragment
+
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    once = df.select(
+        "path", strip_fragment(F.col("path")).alias("s1")
+    ).withColumn("s2", strip_fragment(F.col("s1")))
+    for r in once.collect():
+        assert r["s1"] == r["s2"]
+        assert "#" not in r["s1"]
+        assert r["path"].startswith(r["s1"])
