@@ -177,3 +177,37 @@ def test_stream_into_catalog_exactly_once(spark, tmp_path):
     q2 = stream_into_catalog(stream, cat_root, "events_raw", checkpoint_dir=ckpt)
     q2.awaitTermination(120)
     assert cat.read(spark, "events_raw").count() == events.count()
+
+
+def test_rate_source_windowed_ingestion(spark):
+    """Ingestion from the rate source (the brief's readStream smoke path):
+    a windowed count over a synthetic event-per-row stream delivers rows
+    into a memory sink.  availableNow is unsupported for rate, so we run a
+    short processing-time trigger and stop."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_windows")
+        .outputMode("complete")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from rate_windows").count() > 0:
+                break
+            time.sleep(0.5)
+        got = spark.sql("select * from rate_windows")
+        assert got.count() > 0
+        assert got.agg(F.sum("n")).first()[0] > 0
+    finally:
+        q.stop()
