@@ -166,6 +166,40 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_rec_bucketed")
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew posture: with AQE skew-join on (engine default), a hot join key
+    is split at runtime — the executed plan carries SortMergeJoin(skew=true)
+    and a 'skewed' AQEShuffleRead.  Thresholds are lowered so local data
+    sizes trigger what 100 TB partitions trigger naturally; restored after."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(0, 900).select(
+            (F.col("id") % 9 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        joined = hot.union(cold).join(right, "k")
+        assert len(joined.collect()) == 200_900
+        plan = plan_of(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_topk_compiles_to_take_ordered(spark):
     """O7/top-k: orderBy+limit must become TakeOrderedAndProject, never a
     global sort."""
