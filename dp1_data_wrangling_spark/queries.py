@@ -1161,6 +1161,74 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface — Catalyst
+    decorrelates it into ONE aggregate + ONE join (SURVEY.md §4: subquery
+    decorrelation is free in the new engine), never a per-row re-query
+    (the reference's documented expand=True N+1 cliff, importer.py:84-97
+    in /root/reference, is the same trap in ETL form)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "exists_subquery",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS through the SQL surface — planned as left-semi
+    and left-anti hash joins (one pass each, no per-row probes)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
