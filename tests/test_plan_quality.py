@@ -166,6 +166,27 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_rec_bucketed")
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """§4: a fact table partitioned on the join key is runtime-pruned by a
+    selective dimension filter — the scan's PartitionFilters carries a
+    dynamicpruningexpression, so only matching partitions are read.  At
+    100 TB this is the difference between scanning one year and the lake."""
+    o = load_table(spark, SMOKE_SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    o.write.partitionBy("order_year").parquet(str(tmp_path / "fact"))
+    o.select("order_year").distinct().withColumn(
+        "era", F.col("order_year") % 2
+    ).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("era") == 0)
+    joined = fact.join(dim, "order_year")
+    plan = plan_of(joined)
+    assert "dynamicpruningexpression" in plan, plan
+    want = o.withColumn("era", F.col("order_year") % 2).filter(F.col("era") == 0)
+    assert joined.count() == want.count() > 0
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """Skew posture: with AQE skew-join on (engine default), a hot join key
     is split at runtime — the executed plan carries SortMergeJoin(skew=true)
