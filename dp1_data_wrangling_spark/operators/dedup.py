@@ -202,10 +202,27 @@ def simhash_fingerprints(
 
 
 def simhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_chunks: int = 4
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 4,
+    *,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal 15-bit chunk of the simhash in any of 4
-    chunk positions guarantees recall for hamming distance < 4."""
+    chunk positions guarantees recall for hamming distance < 4.
+
+    Same shape as ``minhash_candidate_pairs``: ONE groupBy per
+    (chunk, value) bucket collecting (id, simhash) members, then a
+    JVM-side i<j pair explosion — the (expensive: token explode + 60
+    sums) fingerprint subtree is evaluated once, not once per join side.
+
+    ``max_bucket_size`` is the hot-bucket skew valve (default off to keep
+    the hamming<4 recall guarantee intact): template-heavy corpora pile
+    hundreds of documents onto one chunk value, and a b-member bucket
+    emits b² pairs.  Capped buckets trade tail recall for bounded work —
+    same contract as the MinHash cap, cluster the survivors with
+    connected components."""
     with_h = simhash_fingerprints(docs, text_col, id_col)
     chunk_w = 60 // n_chunks
     chunks = F.array(
@@ -220,18 +237,31 @@ def simhash_candidate_pairs(
         ]
     )
     keys = with_h.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
-        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_val").alias("chunk_val")
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.chunk_val").alias("chunk_val"),
     )
-    a = keys.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("simhash_a"), "chunk", "chunk_val"
+    buckets = (
+        keys.groupBy("chunk", "chunk_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__id"), F.col("simhash")))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") >= 2)
     )
-    b = keys.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("simhash_b"), "chunk", "chunk_val"
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__m") <= max_bucket_size)
+    pair_expr = F.expr(
+        "flatten(transform(__m, (x, i) -> "
+        "transform(slice(__m, i + 2, size(__m)), y -> struct("
+        "x.__id AS id_a, y.__id AS id_b, "
+        "x.simhash AS simhash_a, y.simhash AS simhash_b))))"
     )
     pairs = (
-        a.join(b, ["chunk", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "simhash_a", "simhash_b")
+        buckets.select(F.explode(pair_expr).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.simhash_a", "__p.simhash_b")
         .distinct()
     )
     hamming = F.expr(

@@ -3,6 +3,7 @@ confs), import __spark_entry__ by path, smoke entry(), then run every
 queries() entry at sf0.01 against oracle_sql() via DuckDB."""
 
 import importlib.util
+import os
 import sys
 import time
 
@@ -33,8 +34,9 @@ for r in rows:
     print("  ", r)
 assert len(rows) > 0
 
-# --- t2 correctness: queries vs oracle at sf0.01 ---
-SF = "/root/testdata/sf0.01"
+# --- t2 correctness: queries vs oracle (driver default sf0.01;
+# SPARK_GRAFT_SF_DIR overrides for scale-up divergence checks) ---
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in ["region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events", "documents", "embeddings"]:
