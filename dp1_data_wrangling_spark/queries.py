@@ -1162,6 +1162,42 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "collection_summary",
+    """
+    SELECT collection, count(*) AS n_members,
+           count(DISTINCT run) AS n_runs,
+           count(DISTINCT customer) AS n_customers
+    FROM (
+        SELECT run AS collection, dataset_id, run, customer FROM fx_datasets
+        UNION ALL
+        SELECT collection, dataset_id, run, customer FROM fx_associations
+    )
+    GROUP BY collection
+    """,
+)
+def q_collection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: per-collection summary (the reference's
+    collections.get_info(include_summary), exporter.py:114-120) — RUN
+    collections summarize their datasets, TAGGED/CALIBRATION their
+    association members; one union + one grouped aggregate."""
+    ds = fx.build_datasets(spark, sf_dir).select(
+        F.col("run").alias("collection"), "dataset_id", "run", "customer"
+    )
+    assoc = fx.build_associations(spark, sf_dir).select(
+        "collection", "dataset_id", "run", "customer"
+    )
+    return (
+        ds.unionByName(assoc)
+        .groupBy("collection")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("run").alias("n_runs"),
+            F.countDistinct("customer").alias("n_customers"),
+        )
+    )
+
+
+@register(
     "correlated_subquery",
     """
     SELECT o.o_orderkey, o.o_custkey,
