@@ -883,6 +883,37 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, f.flag_label
+    FROM lineitem l
+    JOIN (SELECT * FROM (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+          t(l_returnflag, flag_label)) f
+      ON l.l_returnflag = f.l_returnflag
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defended join: lineitem against a 3-row label table on the
+    white-hot l_returnflag key, pre-salted 16× (operators/skew.py).
+    Answer-equivalent to the plain join the oracle runs — salting changes
+    the partitioning, never the result."""
+    from .operators.skew import salted_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = local_df(
+        spark,
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        "l_returnflag string, flag_label string",
+    )
+    return salted_broadcast_join(
+        li,
+        labels,
+        "l_returnflag",
+        salt_source=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "flag_label")
+
+
+@register(
     "set_intersect",
     """
     SELECT c_nationkey AS nationkey FROM customer

@@ -407,3 +407,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     media = mm.media_from_documents(docs)
     return mm.extract_features(media)
+
+
+@register("multimodal_resize", None)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize over mapInPandas (codec stubbed;
+    size arithmetic, schema, and batch shape real — rows-only check)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return mm.resize_images(mm.media_from_documents(docs), max_side=128)
+
+
+@register("multimodal_frames", None)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling fan-out over mapInPandas (one row per second
+    of synthetic duration; extraction stubbed — rows-only check)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    media = mm.media_from_documents(docs).withColumn(
+        "duration_ms", (F.col("media_id") % 5 + 1) * 1000
+    )
+    return mm.sample_frames(media, every_ms=1_000)
