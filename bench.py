@@ -36,30 +36,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, parquet footer caches, codegen
-    REGISTRY["find_first"].fn(spark, sf_dir).count()
+    try:
+        REGISTRY["find_first"].fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 - warm-up failure is not fatal
+        print(f"warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in headline_queries().items():
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - one bad query must not
+            # lose the whole benchmark record
+            errors[name] = str(exc)[:200]
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 
