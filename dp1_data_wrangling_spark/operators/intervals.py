@@ -77,11 +77,11 @@ def check_no_overlaps(
 ) -> None:
     """Certify-style validation: raise if any same-key intervals overlap."""
     bad = overlapping_pairs(intervals, keys, begin=begin, end=end)
-    n = bad.limit(1).count()
-    if n:
+    offenders = bad.limit(1).collect()
+    if offenders:
         raise ValueError(
             "certify: overlapping validity intervals for keys "
-            f"{list(keys)} (first offender: {bad.limit(1).collect()[0]})"
+            f"{list(keys)} (first offender: {offenders[0]})"
         )
 
 
