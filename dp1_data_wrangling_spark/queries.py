@@ -678,6 +678,40 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+               AS priority_dense_rank,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 analytic surface: dense_rank / lead / first / last.  last uses
+    an explicit unbounded frame — the default ordered-window frame stops at
+    CURRENT ROW, where last_value degenerates to the row itself."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(wp).cast("long").alias("priority_dense_rank"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w_full).alias("last_orderkey"),
+    )
+
+
+@register(
     "rolling_sum",
     """
     SELECT o_custkey, o_orderkey,
