@@ -20,6 +20,13 @@ is copy+delete.
 
 Appends list multiple directories per table (``spark.read.parquet(*paths)``
 unions them scan-side with no shuffle); ``overwrite`` replaces the list.
+
+Because data directories are immutable (a txn only ever adds new ones) and
+every commit also writes an immutable ``manifest-v{N}.json`` snapshot,
+**time travel** is free: ``read(..., version=N)`` resolves the table
+through that historical manifest — same mechanism as Iceberg snapshot
+reads, minus expiry/compaction (a retention job would delete old manifests
+plus any data dir no retained manifest references).
 """
 
 from __future__ import annotations
@@ -72,11 +79,23 @@ class Catalog:
     def _manifest_path(self) -> Path:
         return self.root / MANIFEST
 
-    def manifest(self) -> dict:
+    def manifest(self, version: int | None = None) -> dict:
+        if version is not None:
+            p = self.root / f"manifest-v{version}.json"
+            if not p.exists():
+                raise KeyError(f"catalog {self.root}: no snapshot version {version}")
+            return json.loads(p.read_text())
         p = self._manifest_path()
         if not p.exists():
             return {"version": 0, "tables": {}, "meta": {}}
         return json.loads(p.read_text())
+
+    def history(self) -> list[int]:
+        """Committed snapshot versions, oldest first."""
+        return sorted(
+            int(p.stem.removeprefix("manifest-v"))
+            for p in self.root.glob("manifest-v*.json")
+        )
 
     def tables(self) -> list[str]:
         return sorted(self.manifest()["tables"])
@@ -85,8 +104,12 @@ class Catalog:
         return self.manifest().get("meta", {})
 
     # -- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        m = self.manifest()
+    def read(
+        self, spark: SparkSession, table: str, *, version: int | None = None
+    ) -> DataFrame:
+        """Read a table as of the latest commit, or a historical snapshot
+        (``version`` from ``history()`` — time travel)."""
+        m = self.manifest(version)
         if table not in m["tables"]:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
         paths = [str(self.root / rel) for rel in m["tables"][table]]
@@ -118,7 +141,11 @@ class Catalog:
         m["version"] += 1
         if meta:
             m.setdefault("meta", {}).update(meta)
+        body = json.dumps(m, indent=2, sort_keys=True)
+        # Immutable snapshot first (time-travel source), then the pointer
+        # swap — which remains the single atomic commit point.
+        (self.root / f"manifest-v{m['version']}.json").write_text(body)
         tmp = self._manifest_path().with_suffix(f".tmp-{txn.txn_id}")
-        tmp.write_text(json.dumps(m, indent=2, sort_keys=True))
+        tmp.write_text(body)
         os.replace(tmp, self._manifest_path())  # the atomic commit point
         return m["version"]

@@ -307,3 +307,30 @@ def test_csv_quarantine_dead_letter(spark, tmp_path):
     strict = fs.read_csv(spark, str(p), schema)
     with pytest.raises((Py4JJavaError, Exception)):
         strict.collect()
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    """Snapshot reads: after an overwrite, the prior version still resolves
+    through its retained manifest (immutable data dirs + manifest-v{N})."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "v")
+    df2 = spark.range(100, 105).withColumnRenamed("id", "v")
+
+    t1 = cat.begin()
+    t1.stage("t", df1, mode="overwrite")
+    v1 = cat.commit(t1)
+    t2 = cat.begin()
+    t2.stage("t", df2, mode="overwrite")
+    v2 = cat.commit(t2)
+
+    assert cat.history() == [v1, v2]
+    assert cat.read(spark, "t").count() == 5
+    assert cat.read(spark, "t", version=v1).count() == 10
+    assert cat.read(spark, "t", version=v2).count() == 5
+    assert sorted(r["v"] for r in cat.read(spark, "t", version=v1).collect()) == list(range(10))
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        cat.manifest(version=99)
