@@ -1227,6 +1227,33 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_agg",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           median(l_quantity) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` — both linear interpolation over the sorted
+    group).  Exact percentile needs the full group sorted; at 100 TB
+    switch to ``approx_percentile`` (t-digest sketch, map-side
+    combinable), which this engine exposes unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
     "collection_summary",
     """
     SELECT collection, count(*) AS n_members,
