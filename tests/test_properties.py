@@ -194,3 +194,60 @@ def test_strip_fragment_idempotent_and_prefix_safe(spark, paths):
         assert r["s1"] == r["s2"]
         assert "#" not in r["s1"]
         assert r["path"].startswith(r["s1"])
+
+
+pair_graph = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=pair_graph)
+@SETTINGS
+def test_star_components_equal_label_propagation(spark, edges):
+    """large-star/small-star CC == label-propagation CC == brute-force
+    union-find, on arbitrary small graphs (incl. self-loops/dups)."""
+    from dp1_data_wrangling_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    # brute force union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        n: min(m for m in parent if find(m) == find(n))
+        for n in parent
+    }
+    # nodes with only self-loop edges never appear in operator output
+    nodes_with_real_edge = {x for a, b in edges if a != b for x in (a, b)}
+
+    got_star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    got_lp = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    for n in nodes_with_real_edge:
+        if want[n] != n:  # non-root nodes must map to the component min
+            assert got_star.get(n) == want[n], (n, got_star.get(n), want[n])
+        assert got_lp.get(n, n) == want[n], (n, got_lp.get(n, n), want[n])
