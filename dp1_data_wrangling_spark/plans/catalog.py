@@ -124,6 +124,39 @@ class Catalog:
         (self.root / "data" / txn_id).mkdir(parents=True, exist_ok=True)
         return Transaction(txn_id=txn_id, root=self.root)
 
+    def vacuum(self, *, keep_last: int = 1) -> list[str]:
+        """Retention: expire old snapshots and delete unreferenced data.
+
+        Keeps the newest ``keep_last`` manifest snapshots; any ``data/``
+        transaction directory referenced by NO retained snapshot — expired
+        versions and aborted (never-committed) staging alike — is deleted.
+        Returns the deleted directory names.  Safe order: manifests are
+        removed first, so a crash mid-vacuum only ever leaves orphan data
+        (invisible), never a manifest pointing at deleted files."""
+        import shutil
+
+        versions = self.history()
+        keep_versions = versions[-keep_last:] if keep_last > 0 else []
+        current = self.manifest()
+        referenced: set[str] = set()
+        for v in keep_versions:
+            for rels in self.manifest(v)["tables"].values():
+                referenced.update(rel.split("/")[1] for rel in rels)
+        # the live manifest always stays readable, whatever keep_last says
+        for rels in current["tables"].values():
+            referenced.update(rel.split("/")[1] for rel in rels)
+        for v in versions:
+            if v not in keep_versions:
+                (self.root / f"manifest-v{v}.json").unlink()
+        deleted = []
+        data_root = self.root / "data"
+        if data_root.exists():
+            for d in sorted(data_root.iterdir()):
+                if d.is_dir() and d.name not in referenced:
+                    shutil.rmtree(d)
+                    deleted.append(d.name)
+        return deleted
+
     def commit(self, txn: Transaction, *, meta: dict | None = None) -> int:
         """Atomically publish every table staged in ``txn``.
 

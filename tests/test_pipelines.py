@@ -334,3 +334,45 @@ def test_catalog_time_travel(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         cat.manifest(version=99)
+
+
+def test_catalog_vacuum_retention(spark, tmp_path):
+    """vacuum(keep_last=1): expired snapshots + their unreferenced data
+    dirs + aborted staging dirs are deleted; the live version still reads."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "v")
+    df2 = spark.range(100, 105).withColumnRenamed("id", "v")
+    t1 = cat.begin()
+    t1.stage("t", df1, mode="overwrite")
+    v1 = cat.commit(t1)
+    t2 = cat.begin()
+    t2.stage("t", df2, mode="overwrite")
+    v2 = cat.commit(t2)
+    aborted = cat.begin()  # staged nothing, never committed
+    aborted_dir = aborted.txn_id
+
+    deleted = cat.vacuum(keep_last=1)
+    assert cat.history() == [v2]
+    assert cat.read(spark, "t").count() == 5
+    assert t1.txn_id in deleted and aborted_dir in deleted
+    with pytest.raises(KeyError):
+        cat.manifest(version=v1)
+
+
+def test_catalog_vacuum_keeps_appended_history(spark, tmp_path):
+    """Appended tables reference older txn dirs from the LIVE manifest —
+    vacuum must never delete data the current version still reads."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    t1 = cat.begin()
+    t1.stage("t", df)
+    cat.commit(t1)
+    t2 = cat.begin()
+    t2.stage("t", df, mode="append")
+    cat.commit(t2)
+    cat.vacuum(keep_last=1)
+    assert cat.read(spark, "t").count() == 20  # both append dirs survive
