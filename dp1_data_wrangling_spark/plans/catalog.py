@@ -50,21 +50,45 @@ class Transaction:
     root: Path
     writes: dict[str, tuple[str, str]] = field(default_factory=dict)  # table -> (mode, relpath)
 
-    def stage(self, table: str, df: DataFrame, *, mode: str = "append", sort_by: list[str] | None = None, partition_by: list[str] | None = None) -> None:
+    def stage(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        mode: str = "append",
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        range_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
         """Write ``df`` into this transaction's staging area for ``table``.
 
         ``sort_by`` applies a partition-local sort before write (the
         reference's compressibility sorts, exporter.py:90-91 — no extra
         shuffle); ``partition_by`` writes hive-partitioned output (the
         analogue of the reference's chunk-by-run grouping, importer.py:79-97).
+
+        ``range_by`` adds a ``repartitionByRange`` shuffle first, so each
+        output file covers a *disjoint* key range — parquet row-group
+        min/max stats then prune key-predicate scans file-by-file (the
+        read-side payoff of the reference's global sort O3, worth the one
+        shuffle for often-filtered tables).  ``max_records_per_file``
+        bounds file size (the reference's 50k-row write batches, G1) so a
+        100 TB table becomes many retry-sized files, not a few monsters.
         """
         rel = f"data/{self.txn_id}/{table}"
         out = self.root / rel
+        if range_by:
+            df = df.repartitionByRange(*range_by)
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
+        elif range_by:
+            df = df.sortWithinPartitions(*range_by)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         writer.parquet(str(out))
         self.writes[table] = (mode, rel)
 

@@ -376,3 +376,41 @@ def test_catalog_vacuum_keeps_appended_history(spark, tmp_path):
     cat.commit(t2)
     cat.vacuum(keep_last=1)
     assert cat.read(spark, "t").count() == 20  # both append dirs survive
+
+
+def test_stage_range_layout_disjoint_files(spark, tmp_path):
+    """range_by staging: each data file covers a disjoint key range (parquet
+    footer min/max), so key predicates prune at row-group level; and
+    max_records_per_file bounds file sizes."""
+    import pyarrow.parquet as pq
+
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "cat"))
+    orders = load_table(spark, SMOKE_SF, "orders")
+    txn = cat.begin()
+    txn.stage(
+        "orders_ranged", orders, range_by=["o_orderkey"], max_records_per_file=500
+    )
+    cat.commit(txn)
+    assert cat.read(spark, "orders_ranged").count() == orders.count()
+
+    files = sorted((tmp_path / "cat").rglob("*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(str(f)).metadata
+        assert all(
+            meta.row_group(i).num_rows <= 500 for i in range(meta.num_row_groups)
+        ) or meta.num_rows <= 500
+        idx = next(
+            i for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "o_orderkey"
+        )
+        stats = meta.row_group(0).column(idx).statistics
+        last = meta.row_group(meta.num_row_groups - 1).column(idx).statistics
+        ranges.append((stats.min, last.max))
+    ranges.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, f"overlapping file key ranges: {ranges}"
