@@ -357,3 +357,47 @@ def test_sample_frames_fanout(spark):
         by_id.setdefault(r["media_id"], []).append((r["frame_no"], r["ts_ms"]))
     assert sorted(by_id[1]) == [(0, 0), (1, 1000), (2, 2000)]
     assert by_id[2] == [(0, 0)]  # unknown duration -> one frame
+
+
+# --- harness/contract invariants ------------------------------------------
+
+
+def test_entry_module_contract(spark):
+    """__spark_entry__: oracle_sql() keys ⊆ queries() keys; every headline
+    bench query is registered; names are stable identifiers."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_contract__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(n.replace("_", "").isalnum() for n in qs)
+    from dp1_data_wrangling_spark.queries import headline_queries
+
+    assert set(headline_queries()) <= set(qs)
+
+
+def test_local_df_forms(spark):
+    from dp1_data_wrangling_spark.tables import local_df
+
+    df = local_df(spark, [("a", 1), ("b", 2)], "k string, v int")
+    assert df.collect() == [("a", 1), ("b", 2)]
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    empty = local_df(spark, [], "k string, v int")
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {"k": "string", "v": "int"}
+
+
+def test_spread_is_noop_on_wide_input(spark):
+    from dp1_data_wrangling_spark.tables import spread
+
+    wide = spark.range(0, 1000).repartition(64)
+    assert spread(wide) is wide  # no added shuffle when already parallel
+    narrow = spark.range(0, 1000).coalesce(1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
