@@ -523,6 +523,60 @@ def q_nested_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nested_unnest",
+    """
+    WITH nested AS (
+        SELECT datastore_name, dataset_id,
+               list(path ORDER BY path) AS paths
+        FROM fx_datastore_records
+        GROUP BY datastore_name, dataset_id
+    )
+    SELECT datastore_name, hex(dataset_id) AS dataset_id_hex,
+           unnest(paths) AS path
+    FROM nested
+    """,
+)
+def q_nested_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 inverse: nested array column exploded back to flat rows
+    (collect_list ∘ explode round-trip — the array-function surface the
+    import's datastore regroup consumes)."""
+    r = fx.build_datastore_records(spark, sf_dir)
+    nested = r.groupBy("datastore_name", "dataset_id").agg(
+        F.sort_array(F.collect_list("path")).alias("paths")
+    )
+    return nested.select(
+        "datastore_name",
+        F.hex("dataset_id").alias("dataset_id_hex"),
+        F.explode("paths").alias("path"),
+    )
+
+
+@register(
+    "histogram_agg",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           count(*) AS n_orders,
+           CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+           CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram bucketing (floor-division bucket ids — exact
+    integer boundaries, engine-identical; the building block for numeric
+    profiling at scale, one map-side-combinable shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_bucket")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_cents"),
+        F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("max_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k / set ops  (O*, E1, E2)
 # ---------------------------------------------------------------------------

@@ -414,3 +414,20 @@ def test_stage_range_layout_disjoint_files(spark, tmp_path):
     ranges.sort()
     for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
         assert a_max <= b_min, f"overlapping file key ranges: {ranges}"
+
+
+def test_jsonl_quarantine_dead_letter(spark, tmp_path):
+    """Malformed JSONL rows land in the rescue column (same dead-letter
+    contract as CSV)."""
+    from dp1_data_wrangling_spark.sources import files as fs
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "part.jsonl").write_text(
+        '{"k": 1, "v": 10}\n{"k": 2, "v": "notanint"}\nnot json at all\n{"k": 3, "v": 30}\n'
+    )
+    ok = fs.read_jsonl(spark, str(p), "k bigint, v bigint", quarantine=True)
+    bad = fs.quarantined(ok)
+    assert ok.count() == 4
+    assert bad.count() == 2
+    assert ok.filter(F.col("v").isNotNull()).count() == 2
