@@ -144,6 +144,18 @@ def minhash_candidate_pairs(
     then collect, bounds memory at the cost of one extra narrow shuffle.)
     """
     keys = minhash_band_keys(minhash_signature(spread(docs), text_col), id_col)
+    return pairs_from_band_keys(keys, id_col=id_col, max_bucket_size=max_bucket_size)
+
+
+def pairs_from_band_keys(
+    keys: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate pairs from an (id, band, band_key) table — the bucket
+    collect + i<j explosion shared by the batch operator and the streaming
+    incremental index (streaming/dedup_llm.py)."""
     buckets = (
         keys.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))

@@ -16,6 +16,7 @@ from .events import (
     stream_tumbling_counts,
     tumbling_windows_batch,
 )
+from .dedup_llm import stream_minhash_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
 
@@ -30,4 +31,5 @@ __all__ = [
     "stream_dedup_events",
     "incremental_find_first",
     "stream_into_catalog",
+    "stream_minhash_dedup",
 ]

@@ -1,0 +1,101 @@
+"""Incremental streaming near-dup dedup: a MinHash/LSH index that grows
+with the stream (the production shape for dedup at ingest time).
+
+Batch near-dup dedup (operators/dedup.py) assumes the whole corpus is
+present.  A training-data ingest pipeline instead sees documents arrive
+continuously and must answer "is this new document a near-dup of anything
+seen so far?" without recomputing the corpus.  The incremental form:
+
+- per micro-batch, compute the new documents' LSH band keys (the same
+  md5-derived construction as batch — signatures never change, so the
+  index composes across time);
+- candidate pairs = (new × new) bucket pairs within the batch PLUS
+  (new × indexed) equi-join hits against the accumulated index;
+- append the new band keys to the index and the found pairs to the pairs
+  table in ONE catalog transaction carrying the batch id — the same
+  idempotent-foreachBatch pattern as ``stream_into_catalog``, so replayed
+  batches are no-ops and the index never double-counts.
+
+State lives in the catalog (narrow (band, band_key, doc_id) rows — 16-byte
+keys), not in executor memory, so the index scales with storage and the
+join against it is a plain shuffle/broadcast join that AQE sizes.  Run of
+the stream == batch ``minhash_candidate_pairs`` on the union of all
+batches (property-tested), because the pair relation decomposes as
+new×new ∪ new×old per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    minhash_band_keys,
+    minhash_signature,
+    pairs_from_band_keys,
+)
+from ..plans.catalog import Catalog
+
+INDEX_TABLE = "minhash_index"
+PAIRS_TABLE = "minhash_pairs"
+_META_KEY = "last_batch_id:minhash_dedup"
+
+
+def stream_minhash_dedup(
+    stream_docs: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental dedup stream.
+
+    Appends to two catalog tables: ``minhash_index`` (doc_id, band,
+    band_key) and ``minhash_pairs`` (id_a, id_b).  ``max_bucket_size``
+    caps intra-batch hot buckets exactly like the batch operator (the
+    cross-index join is already bounded per new document by its 3 bands).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cat = Catalog(catalog_root)
+        if (last := cat.meta().get(_META_KEY)) is not None and batch_id <= last:
+            return  # replay after recovery — already committed
+        spark = batch_df.sparkSession
+        keys = minhash_band_keys(
+            minhash_signature(batch_df, text_col), id_col
+        ).localCheckpoint(eager=True)  # used three times below; compute once
+        intra = pairs_from_band_keys(
+            keys, id_col=id_col, max_bucket_size=max_bucket_size
+        )
+        if cat.exists(INDEX_TABLE):
+            idx = cat.read(spark, INDEX_TABLE)
+            cross = (
+                keys.join(
+                    idx.withColumnRenamed(id_col, "__old_id"),
+                    ["band", "band_key"],
+                )
+                .select(
+                    F.least(F.col(id_col), F.col("__old_id")).alias("id_a"),
+                    F.greatest(F.col(id_col), F.col("__old_id")).alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+            pairs = intra.unionByName(cross).distinct()
+        else:
+            pairs = intra
+        txn = cat.begin()
+        txn.stage(INDEX_TABLE, keys, mode="append")
+        txn.stage(PAIRS_TABLE, pairs, mode="append")
+        cat.commit(txn, meta={_META_KEY: batch_id})
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -211,3 +211,43 @@ def test_rate_source_windowed_ingestion(spark):
         assert got.agg(F.sum("n")).first()[0] > 0
     finally:
         q.stop()
+
+
+def test_stream_minhash_dedup_equals_batch(spark, tmp_path):
+    """Incremental LSH index over two micro-batches finds exactly the
+    pairs the batch operator finds on the full corpus (new×new ∪ new×old
+    decomposition), and replaying the stream adds nothing (exactly-once)."""
+    from dp1_data_wrangling_spark.operators.dedup import minhash_candidate_pairs
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.queries_llm import _augment_near
+    from dp1_data_wrangling_spark.streaming import stream_minhash_dedup
+    from dp1_data_wrangling_spark.streaming.dedup_llm import PAIRS_TABLE
+
+    aug = _augment_near(spark, SMOKE_SF)
+    src = tmp_path / "docs_stream"
+    # originals first, mutants second -> every mutant pair is cross-batch
+    aug.filter(F.col("doc_id") < 1_000_000).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)
+    aug.filter(F.col("doc_id") >= 1_000_000).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_minhash_dedup(stream, cat_root, checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+    got = Catalog(cat_root).read(spark, PAIRS_TABLE).distinct()
+    want = minhash_candidate_pairs(aug, max_bucket_size=None)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # replay: same checkpoint -> no-op
+    q2 = stream_minhash_dedup(stream, cat_root, checkpoint_dir=ckpt)
+    q2.awaitTermination(180)
+    assert Catalog(cat_root).read(spark, PAIRS_TABLE).distinct().count() == want.count()
