@@ -50,8 +50,9 @@ def test_projection_prunes_read_schema(spark):
 
 
 def test_find_first_is_single_shuffle(spark):
-    """J4: one hash shuffle (the window on data-ID); the chain-position map
-    joins as a broadcast, never a shuffle."""
+    """J4: one hash shuffle (min_by agg on data-ID) with map-side partial
+    aggregation BEFORE the exchange (one candidate per key per mapper);
+    the chain-position map joins as a broadcast, never a shuffle."""
     datasets = fx.build_datasets(spark, SMOKE_SF)
     chain = flatten_chains(
         spark, fx.build_collection_chains(spark), fx.build_collections(spark), "chain_root"
@@ -60,23 +61,26 @@ def test_find_first_is_single_shuffle(spark):
     plan = plan_of(resolved)
     assert data_shuffles(plan) == 1, plan
     assert "BroadcastHashJoin" in plan
+    # partial_min_by below the exchange = map-side combine is in effect
+    # (struct min_by plans as SortAggregate, not HashAggregate)
+    assert plan.index("partial_min_by") > plan.index("Exchange hashpartitioning"), plan
 
 
 def test_export_plan_broadcasts_all_dimension_joins(spark):
     """The composite export plan: every dimension/chain/tagged join is a
     broadcast hash join.  The ONE sort-merge join is resolved ⋈ datastore
     records on dataset_id — fact×fact, correctly NOT broadcast (and its
-    probe side reuses the priority-dedup window's partitioning, so it adds
-    only one exchange).  Windows run as partial+final WindowGroupLimit
-    (top-1 pushed below the shuffle — shuffle volume is per-key, not
-    per-row)."""
+    probe side reuses the priority-dedup aggregation's partitioning, so it
+    adds only one exchange).  Both top-1 semantics (find-first, priority
+    dedup) run as min_by aggregates with map-side partial combine —
+    shuffle volume is per-key, not per-row."""
     df = REGISTRY["export_plan"].fn(spark, SMOKE_SF)
     plan = plan_of(df)
     assert plan.count("SortMergeJoin") <= 1, plan
     assert "SortMergeJoin [dataset_id" in plan or "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 6, plan
     assert data_shuffles(plan) <= 5, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan, plan
 
 
 def test_exact_dedup_partial_aggregation(spark):
