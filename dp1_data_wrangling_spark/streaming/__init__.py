@@ -13,6 +13,7 @@ from .events import (
     stream_correlated_events,
     stream_dedup_events,
     stream_events,
+    stream_static_enrich,
     stream_tumbling_counts,
     tumbling_windows_batch,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "stream_tumbling_counts",
     "stream_correlated_events",
     "stream_dedup_events",
+    "stream_static_enrich",
     "incremental_find_first",
     "stream_into_catalog",
     "stream_minhash_dedup",

@@ -180,6 +180,18 @@ def stream_correlated_events(
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension table.
+
+    The static side is re-planned per micro-batch (so a catalog-table dim
+    picks up new snapshots) and broadcast when small — the streaming
+    analogue of the engine's J1 broadcast dimension expansion.  No state,
+    no watermark needed: only the stream side is unbounded."""
+    from pyspark.sql import functions as _F
+
+    return stream.join(_F.broadcast(dim), key)
+
+
 def stream_dedup_events(stream: DataFrame, watermark_applied: bool = True) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark window
     (``dropDuplicatesWithinWatermark``): at-least-once sources redeliver;

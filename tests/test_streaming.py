@@ -251,3 +251,22 @@ def test_stream_minhash_dedup_equals_batch(spark, tmp_path):
     q2 = stream_minhash_dedup(stream, cat_root, checkpoint_dir=ckpt)
     q2.awaitTermination(180)
     assert Catalog(cat_root).read(spark, PAIRS_TABLE).distinct().count() == want.count()
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    """Stream-static broadcast enrichment delivers exactly the batch join's
+    rows (per-user segment attached to every event)."""
+    from dp1_data_wrangling_spark.streaming import stream_events, stream_static_enrich
+
+    events = load_table(spark, SMOKE_SF, "events")
+    dim = events.select("user_id").distinct().withColumn(
+        "segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    enriched = stream_static_enrich(
+        stream_events(spark, SMOKE_SF).select("event_id", "user_id"), dim
+    )
+    _run_to_memory(enriched, "enrich_stream", "append")
+    got = spark.sql("select * from enrich_stream")
+    want = events.select("event_id", "user_id").join(dim, "user_id")
+    assert got.count() == want.count() == events.count()
+    assert got.exceptAll(want).count() == 0
