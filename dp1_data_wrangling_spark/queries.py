@@ -942,6 +942,30 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_struct_parse",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with a declared schema (vs
+    json_extract's stringly access) then plain columnar aggregation —
+    parse once per row, read fields as columns."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("__p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("__p.k")).alias("sum_k"),
+        F.min(F.col("__p.k")).alias("min_k"),
+    )
+
+
+@register(
     "salted_agg",
     """
     SELECT l_returnflag, l_linestatus,

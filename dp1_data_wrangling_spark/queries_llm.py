@@ -79,6 +79,34 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_augment_exact(spark, sf_dir))
 
 
+@register(
+    "doc_dedup_survivors",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_EXACT}),
+    groups AS (
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id
+        FROM aug GROUP BY md5(text)
+    )
+    SELECT a.doc_id, g.digest, length(a.text) AS n_chars
+    FROM aug a JOIN groups g ON a.doc_id = g.keep_id AND md5(a.text) = g.digest
+    """,
+)
+def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full narrow-shuffle exact-dedup pattern: group digests (16-byte
+    shuffle), then join survivors back by (digest, keep_id) — document
+    payloads never cross a shuffle as dedup keys."""
+    aug = _augment_exact(spark, sf_dir)
+    groups = dd.exact_dedup(aug)
+    with_digest = aug.withColumn("digest", dd.content_digest(F.col("text")))
+    return (
+        with_digest.join(
+            groups.select("digest", "keep_id"),
+            (F.col("doc_id") == F.col("keep_id")) & (with_digest.digest == groups.digest),
+        )
+        .select("doc_id", with_digest.digest.alias("digest"), F.length("text").alias("n_chars"))
+    )
+
+
 _MINHASH_SIG_SQL = ",\n".join(
     f"list_aggregate(list_transform(hl, h -> substr(h, {i * dd.SIG_SLICE + 1}, "
     f"{dd.SIG_SLICE})), 'min') AS s{i}"
