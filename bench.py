@@ -60,13 +60,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        # a partial total would read as a speedup — report null on failure
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
     }
     if errors:
         record["errors"] = errors
+        record["partial_total"] = total
     print(json.dumps(record))
     spark.stop()
 

@@ -38,9 +38,10 @@ def connected_components(
     Returns (node, component).  Isolated nodes don't appear (callers union
     non-candidates back as their own singletons — see ``dedup_survivors``).
     """
+    real = pairs.filter(F.col(src) != F.col(dst))  # self-pairs carry no info
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        real.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(real.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
     # labels: node -> current component candidate (min id seen so far)
@@ -138,7 +139,15 @@ def connected_components_star(
         edges = new_edges
         if delta == 0:
             break
-    return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # Canonical edges are u > v, so each component's root (its min id)
+    # never appears on the left — union it back as (min, min) to match
+    # connected_components' output exactly.
+    roots = edges.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        roots
+    )
 
 
 def dedup_survivors(

@@ -156,9 +156,12 @@ def pairs_from_band_keys(
     """Candidate pairs from an (id, band, band_key) table — the bucket
     collect + i<j explosion shared by the batch operator and the streaming
     incremental index (streaming/dedup_llm.py)."""
+    # collect_set: duplicate (id, band, band_key) rows — an at-least-once
+    # source redelivering a doc within one batch — must not yield (d, d)
+    # self-pairs from the i<j explosion.
     buckets = (
         keys.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
     if max_bucket_size is not None:

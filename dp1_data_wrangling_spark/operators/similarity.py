@@ -27,6 +27,7 @@ Two tiers, mirroring what a 100 TB embedding corpus needs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -258,7 +259,18 @@ def ivf_topk(
     Scale shape: ONE narrow shuffle on cell id for the candidate equi-join
     (or zero if the corpus is pre-bucketed by cell on disk); centroids
     broadcast; everything JVM expressions."""
-    cents = ivf_centroids(corpus, n_cells, vec_col=vec_col, id_col=id_col)
+    # Materialize the centroid table once (it is n_cells rows by
+    # construction) — both _nearest_cells calls would otherwise re-run the
+    # corpus-wide sample sort underneath it.
+    spark = corpus.sparkSession
+    cent_rows = ivf_centroids(corpus, n_cells, vec_col=vec_col, id_col=id_col).collect()
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {"cell": [r["cell"] for r in cent_rows],
+             "centroid": [list(r["centroid"]) for r in cent_rows]}
+        ),
+        schema="cell int, centroid array<float>",
+    )
     c_assigned = _nearest_cells(
         spread(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")

@@ -148,7 +148,7 @@ class Catalog:
         (self.root / "data" / txn_id).mkdir(parents=True, exist_ok=True)
         return Transaction(txn_id=txn_id, root=self.root)
 
-    def vacuum(self, *, keep_last: int = 1) -> list[str]:
+    def vacuum(self, *, keep_last: int = 1, min_age_seconds: float = 86_400.0) -> list[str]:
         """Retention: expire old snapshots and delete unreferenced data.
 
         Keeps the newest ``keep_last`` manifest snapshots; any ``data/``
@@ -156,8 +156,17 @@ class Catalog:
         versions and aborted (never-committed) staging alike — is deleted.
         Returns the deleted directory names.  Safe order: manifests are
         removed first, so a crash mid-vacuum only ever leaves orphan data
-        (invisible), never a manifest pointing at deleted files."""
+        (invisible), never a manifest pointing at deleted files.
+
+        ``min_age_seconds`` protects IN-FLIGHT transactions: a begun-but-
+        not-yet-committed txn's staging dir is unreferenced by any manifest
+        and would otherwise be deleted out from under its later commit
+        (which would then publish dangling paths).  Only unreferenced dirs
+        older than the threshold are removed — pick it comfortably above
+        the longest transaction you run (Iceberg/Delta make the identical
+        orphan-file-age assumption)."""
         import shutil
+        import time as _time
 
         versions = self.history()
         keep_versions = versions[-keep_last:] if keep_last > 0 else []
@@ -173,10 +182,15 @@ class Catalog:
             if v not in keep_versions:
                 (self.root / f"manifest-v{v}.json").unlink()
         deleted = []
+        cutoff = _time.time() - min_age_seconds
         data_root = self.root / "data"
         if data_root.exists():
             for d in sorted(data_root.iterdir()):
-                if d.is_dir() and d.name not in referenced:
+                if (
+                    d.is_dir()
+                    and d.name not in referenced
+                    and d.stat().st_mtime <= cutoff
+                ):
                     shutil.rmtree(d)
                     deleted.append(d.name)
         return deleted

@@ -98,4 +98,7 @@ def quarantined(df: DataFrame) -> DataFrame:
 def _with_corrupt_col(schema: StructType | str):
     if isinstance(schema, str):
         return f"{schema}, {CORRUPT_COL} string"
-    return schema.add(CORRUPT_COL, StringType())
+    # Copy before extending: StructType.add mutates (and returns) self, so
+    # extending the caller's schema object in place would poison their
+    # later non-quarantine reads with a phantom _corrupt_record column.
+    return StructType(list(schema.fields)).add(CORRUPT_COL, StringType())

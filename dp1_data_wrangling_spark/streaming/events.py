@@ -192,7 +192,7 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id"
     return stream.join(_F.broadcast(dim), key)
 
 
-def stream_dedup_events(stream: DataFrame, watermark_applied: bool = True) -> DataFrame:
+def stream_dedup_events(stream: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark window
     (``dropDuplicatesWithinWatermark``): at-least-once sources redeliver;
     state holds one (id, max-seen-ts) entry per key and expires with the

@@ -131,10 +131,20 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     single-task no matter how many cores exist.  Redistributing the narrow
     input first is a round-robin shuffle of the (tiny) raw rows and wins
     back full parallelism.  At real scale the input already has thousands
-    of partitions and this is a no-op — the condition keeps the operator
-    from ever adding a shuffle to a 100 TB scan."""
+    of files and this is a no-op — the condition keeps the operator from
+    ever adding a shuffle to a 100 TB scan.
+
+    The probe is ``df.inputFiles()`` (leaf-scan metadata, no execution) —
+    NOT ``df.rdd.getNumPartitions()``, which under AQE materializes the
+    final physical plan and eagerly RUNS every upstream shuffle stage at
+    plan-build time.  A plan with no file leaves (post-shuffle/derived
+    input) is left untouched: a shuffle already redistributed it."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # exotic sources without file listings
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

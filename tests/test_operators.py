@@ -395,9 +395,13 @@ def test_local_df_forms(spark):
 def test_spread_is_noop_on_wide_input(spark):
     from dp1_data_wrangling_spark.tables import spread
 
+    # derived (no file leaves) input: untouched — a shuffle already
+    # redistributed it, and probing .rdd would force AQE execution
     wide = spark.range(0, 1000).repartition(64)
-    assert spread(wide) is wide  # no added shuffle when already parallel
-    narrow = spark.range(0, 1000).coalesce(1)
+    assert spread(wide) is wide
+    # single-file scan: redistributed to full parallelism
+    narrow = load_table(spark, SMOKE_SF, "documents")
+    assert len(narrow.inputFiles()) == 1
     out = spread(narrow)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
-    assert out.count() == 1000
+    assert out.count() == narrow.count()

@@ -353,7 +353,9 @@ def test_catalog_vacuum_retention(spark, tmp_path):
     aborted = cat.begin()  # staged nothing, never committed
     aborted_dir = aborted.txn_id
 
-    deleted = cat.vacuum(keep_last=1)
+    # default min_age protects fresh (possibly in-flight) staging dirs
+    assert cat.vacuum(keep_last=1) == []
+    deleted = cat.vacuum(keep_last=1, min_age_seconds=0)
     assert cat.history() == [v2]
     assert cat.read(spark, "t").count() == 5
     assert t1.txn_id in deleted and aborted_dir in deleted
@@ -374,7 +376,7 @@ def test_catalog_vacuum_keeps_appended_history(spark, tmp_path):
     t2 = cat.begin()
     t2.stage("t", df, mode="append")
     cat.commit(t2)
-    cat.vacuum(keep_last=1)
+    cat.vacuum(keep_last=1, min_age_seconds=0)
     assert cat.read(spark, "t").count() == 20  # both append dirs survive
 
 

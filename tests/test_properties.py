@@ -239,6 +239,7 @@ def test_star_components_equal_label_propagation(spark, edges):
     }
     # nodes with only self-loop edges never appear in operator output
     nodes_with_real_edge = {x for a, b in edges if a != b for x in (a, b)}
+    want_map = {n: want[n] for n in nodes_with_real_edge}
 
     got_star = {
         r["node"]: r["component"]
@@ -247,7 +248,6 @@ def test_star_components_equal_label_propagation(spark, edges):
     got_lp = {
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
-    for n in nodes_with_real_edge:
-        if want[n] != n:  # non-root nodes must map to the component min
-            assert got_star.get(n) == want[n], (n, got_star.get(n), want[n])
-        assert got_lp.get(n, n) == want[n], (n, got_lp.get(n, n), want[n])
+    # full-map equality, roots included (star unions (min, min) back)
+    assert got_star == want_map, (got_star, want_map)
+    assert got_lp == want_map, (got_lp, want_map)
