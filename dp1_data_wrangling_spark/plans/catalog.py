@@ -106,20 +106,30 @@ class Catalog:
     def manifest(self, version: int | None = None) -> dict:
         if version is not None:
             p = self.root / f"manifest-v{version}.json"
-            if not p.exists():
-                raise KeyError(f"catalog {self.root}: no snapshot version {version}")
-            return json.loads(p.read_text())
+            if p.exists():
+                return json.loads(p.read_text())
+            # crash between pointer swap and snapshot write: the live
+            # manifest IS that version's content
+            live = self.manifest()
+            if live["version"] == version:
+                return live
+            raise KeyError(f"catalog {self.root}: no snapshot version {version}")
         p = self._manifest_path()
         if not p.exists():
             return {"version": 0, "tables": {}, "meta": {}}
         return json.loads(p.read_text())
 
     def history(self) -> list[int]:
-        """Committed snapshot versions, oldest first."""
-        return sorted(
+        """Committed snapshot versions, oldest first (always includes the
+        live version, even if its snapshot file was lost to a crash)."""
+        versions = {
             int(p.stem.removeprefix("manifest-v"))
             for p in self.root.glob("manifest-v*.json")
-        )
+        }
+        live = self.manifest()["version"]
+        if live > 0:
+            versions.add(live)
+        return sorted(versions)
 
     def tables(self) -> list[str]:
         return sorted(self.manifest()["tables"])
@@ -180,7 +190,7 @@ class Catalog:
             referenced.update(rel.split("/")[1] for rel in rels)
         for v in versions:
             if v not in keep_versions:
-                (self.root / f"manifest-v{v}.json").unlink()
+                (self.root / f"manifest-v{v}.json").unlink(missing_ok=True)
         deleted = []
         cutoff = _time.time() - min_age_seconds
         data_root = self.root / "data"
@@ -199,24 +209,44 @@ class Catalog:
         """Atomically publish every table staged in ``txn``.
 
         The manifest swap is the commit point: a crash before ``os.replace``
-        publishes nothing; after it, everything."""
-        m = self.manifest()
-        tables = m["tables"]
-        for table, (mode, rel) in sorted(txn.writes.items()):
-            if mode == "overwrite" or table not in tables:
-                tables[table] = [rel]
-            elif mode == "append":
-                tables[table] = tables[table] + [rel]
-            else:
-                raise ValueError(f"unknown write mode {mode!r}")
-        m["version"] += 1
-        if meta:
-            m.setdefault("meta", {}).update(meta)
-        body = json.dumps(m, indent=2, sort_keys=True)
-        # Immutable snapshot first (time-travel source), then the pointer
-        # swap — which remains the single atomic commit point.
-        (self.root / f"manifest-v{m['version']}.json").write_text(body)
-        tmp = self._manifest_path().with_suffix(f".tmp-{txn.txn_id}")
-        tmp.write_text(body)
-        os.replace(tmp, self._manifest_path())  # the atomic commit point
-        return m["version"]
+        publishes nothing; after it, everything.
+
+        Concurrency: the read-modify-write of the manifest runs under an
+        exclusive flock on ``catalog.lock``, so two committers serialize
+        instead of the second silently erasing the first's tables (the
+        lost-update race).  On object stores without advisory locks, swap
+        this for the store's conditional-put / a coordination service —
+        the same requirement Delta's LogStore has on S3.
+
+        Ordering: the pointer swap happens FIRST; the immutable
+        ``manifest-v{N}.json`` time-travel snapshot is derived from it
+        afterwards.  A crash between the two leaves a committed version
+        whose snapshot file is missing — ``manifest(version=N)`` falls
+        back to the live manifest for the current version, and vacuum's
+        referenced-set already includes the live manifest — never the
+        reverse (a phantom snapshot of an uncommitted txn that time travel
+        could read and retention could keep)."""
+        import fcntl
+
+        lock_path = self.root / "catalog.lock"
+        lock_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            m = self.manifest()  # re-read under the lock
+            tables = m["tables"]
+            for table, (mode, rel) in sorted(txn.writes.items()):
+                if mode == "overwrite" or table not in tables:
+                    tables[table] = [rel]
+                elif mode == "append":
+                    tables[table] = tables[table] + [rel]
+                else:
+                    raise ValueError(f"unknown write mode {mode!r}")
+            m["version"] += 1
+            if meta:
+                m.setdefault("meta", {}).update(meta)
+            body = json.dumps(m, indent=2, sort_keys=True)
+            tmp = self._manifest_path().with_suffix(f".tmp-{txn.txn_id}")
+            tmp.write_text(body)
+            os.replace(tmp, self._manifest_path())  # the atomic commit point
+            (self.root / f"manifest-v{m['version']}.json").write_text(body)
+            return m["version"]

@@ -93,6 +93,7 @@ def run_export(
 
     cat = Catalog(out_root)
     txn = cat.begin()
+    cached: list[DataFrame] = []  # unpersisted in the finally below
 
     chain = flatten_chains(spark, collection_chains, collections, root_collection)
 
@@ -108,9 +109,10 @@ def run_export(
             data_id_cols,
             is_calibration=dt.is_calibration,
         )
-        # One shuffle already happened in the window; cache the (small-ish)
+        # One shuffle already happened in the agg; cache the (small-ish)
         # resolved output so id/key extraction doesn't recompute the plan.
         resolved = resolved.cache()
+        cached.append(resolved)
         txn.stage(f"datasets/{name}", resolved, sort_by=data_id_cols)
         ids = resolved.select("dataset_id")
         exported_ids = ids if exported_ids is None else exported_ids.unionByName(ids)
@@ -124,6 +126,7 @@ def run_export(
     if exported_ids is None:
         raise ValueError("nothing to export")
     exported_ids = exported_ids.distinct().cache()
+    cached.append(exported_ids)
 
     # -- dimension records: dependency-closure expansion (J1) --------------
     # Walk dimensions in toposort order; a dimension referenced by exported
@@ -142,6 +145,7 @@ def run_export(
                 exported_keys[key].withColumnRenamed("__k", key), key, "left_semi"
             )
         records = records.dropDuplicates(list(dim.keys)).cache()
+        cached.append(records)
         txn.stage(f"dimensions/{dim_name}", records, sort_by=list(dim.keys))
         # Payload columns that are key columns of a dependency become
         # referenced keys (customer.nation -> dimension nation).
@@ -171,18 +175,22 @@ def run_export(
     txn.stage("collection_chains", collection_chains)
 
     # -- sidecar manifests (K5/K6 → catalog meta; same atomic swap) --------
-    cat.commit(
-        txn,
-        meta={
-            "index": {
-                "root_collection": root_collection,
-                "dataset_types": names,
-                "dimensions": [
-                    d for d in order if universe.dimensions[d].has_own_table
-                ],
-            },
-            "universe": universe.to_manifest(),
-            "datastore_priority": list(datastore_priority),
+    commit_meta = {
+        "index": {
+            "root_collection": root_collection,
+            "dataset_types": names,
+            "dimensions": [
+                d for d in order if universe.dimensions[d].has_own_table
+            ],
         },
-    )
+        "universe": universe.to_manifest(),
+        "datastore_priority": list(datastore_priority),
+    }
+    try:
+        cat.commit(txn, meta=commit_meta)
+    finally:
+        # staged writes already executed; drop the pinned storage so a
+        # long-lived session doesn't accumulate dead cache entries
+        for df in cached:
+            df.unpersist()
     return cat

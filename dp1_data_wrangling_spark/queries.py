@@ -256,7 +256,7 @@ def q_find_first_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = find_first(
         datasets,
-        chain.withColumnRenamed("position", "position"),
+        chain,
         ["customer", "nation"],
         collection_col="run",
         is_calibration=True,
@@ -1222,7 +1222,6 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.broadcast(load_table(spark, sf_dir, "customer"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_bp = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -1231,7 +1230,7 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(cents * disc_bp).alias("revenue_e4"),
+            F.sum(cents(F.col("l_extendedprice")) * disc_bp).alias("revenue_e4"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.col("revenue_e4").desc(), "nation_name")
@@ -1263,9 +1262,7 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "total_cents"
-            ),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
             F.grouping_id().cast("long").alias("gid"),
         )
     )

@@ -39,24 +39,40 @@ _AUG_NEAR = """
 """
 
 
+def _augmented(docs: DataFrame, mutant_suffix: str) -> DataFrame:
+    """Single-scan corpus augmentation: each %10 doc also emits a mutant
+    row via a per-row struct-array explode — the union-of-filtered-branches
+    form evaluates the documents scan twice (Spark does not share subtrees
+    across union branches; same reasoning as fixtures.build_associations).
+    """
+    variants = F.array_compact(
+        F.array(
+            F.struct(F.col("doc_id"), F.col("text")),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.struct(
+                    (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(mutant_suffix)).alias("text"),
+                ),
+            ),
+        )
+    )
+    return docs.select(F.explode(variants).alias("__v")).select(
+        F.col("__v.doc_id").alias("doc_id"), F.col("__v.text").alias("text")
+    )
+
+
 def _augment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No spread here: exact dedup is one md5 per doc — the round-robin
     # shuffle would cost more than the map it parallelizes (unlike the
     # shingle-hash path in _augment_near).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "text"
-    )
-    return docs.unionByName(mutants)
+    return _augmented(docs, "")
 
 
 def _augment_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
-    )
-    return docs.unionByName(mutants)
+    return _augmented(docs, " zz")
 
 
 # ---------------------------------------------------------------------------
@@ -301,14 +317,8 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_tokens",
         "n_punct",
         "stopword_hits",
-        (
-            F.col("n_distinct_tokens").cast("double")
-            / F.greatest(F.col("n_tokens"), F.lit(1))
-        ).alias("type_token_ratio"),
-        (
-            F.col("n_punct").cast("double")
-            / F.greatest(F.col("n_chars_actual"), F.lit(1))
-        ).alias("punct_ratio"),
+        "type_token_ratio",  # as computed by quality_stats — one formula
+        "punct_ratio",
     )
 
 

@@ -56,8 +56,11 @@ def stream_minhash_dedup(
 
     Appends to two catalog tables: ``minhash_index`` (doc_id, band,
     band_key) and ``minhash_pairs`` (id_a, id_b).  ``max_bucket_size``
-    caps intra-batch hot buckets exactly like the batch operator (the
-    cross-index join is already bounded per new document by its 3 bands).
+    caps hot buckets on BOTH paths: intra-batch exactly like the batch
+    operator, and on the accumulated-index side of the cross join (a
+    boilerplate bucket otherwise grows without bound and every new doc
+    hashing into it fans out to the whole bucket).  Documents already in
+    the index (cross-batch redelivery) are dropped before processing.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -67,17 +70,35 @@ def stream_minhash_dedup(
         spark = batch_df.sparkSession
         keys = minhash_band_keys(
             minhash_signature(batch_df, text_col), id_col
-        ).localCheckpoint(eager=True)  # used three times below; compute once
+        ).localCheckpoint(eager=True)  # used several times below; compute once
+        if cat.exists(INDEX_TABLE):
+            idx = cat.read(spark, INDEX_TABLE)
+            # Cross-BATCH redelivery guard: a doc already indexed was fully
+            # processed in an earlier batch — drop it entirely, or its band
+            # rows would double in the index (inflating every future join)
+            # and its pairs would re-emit.
+            keys = keys.join(
+                idx.select(id_col).distinct(), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         intra = pairs_from_band_keys(
             keys, id_col=id_col, max_bucket_size=max_bucket_size
         )
         if cat.exists(INDEX_TABLE):
-            idx = cat.read(spark, INDEX_TABLE)
-            cross = (
-                keys.join(
-                    idx.withColumnRenamed(id_col, "__old_id"),
-                    ["band", "band_key"],
+            joinable = idx.withColumnRenamed(id_col, "__old_id")
+            if max_bucket_size is not None:
+                # Hot-bucket cap on the INDEX side too: a boilerplate
+                # bucket grows without bound across batches, and joining
+                # new docs against it re-creates the quadratic blowup the
+                # batch cap exists to stop.  One narrow agg per batch.
+                ok = (
+                    idx.groupBy("band", "band_key")
+                    .count()
+                    .filter(F.col("count") <= max_bucket_size)
+                    .drop("count")
                 )
+                joinable = joinable.join(ok, ["band", "band_key"], "left_semi")
+            cross = (
+                keys.join(joinable, ["band", "band_key"])
                 .select(
                     F.least(F.col(id_col), F.col("__old_id")).alias("id_a"),
                     F.greatest(F.col(id_col), F.col("__old_id")).alias("id_b"),

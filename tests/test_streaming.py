@@ -270,3 +270,34 @@ def test_stream_static_enrich_equals_batch_join(spark):
     want = events.select("event_id", "user_id").join(dim, "user_id")
     assert got.count() == want.count() == events.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_minhash_dedup_cross_batch_redelivery(spark, tmp_path):
+    """A doc redelivered in a LATER batch (at-least-once across batches)
+    is dropped by the index anti-join: neither the index nor the pairs
+    table grows."""
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.queries_llm import _augment_near
+    from dp1_data_wrangling_spark.streaming import stream_minhash_dedup
+    from dp1_data_wrangling_spark.streaming.dedup_llm import INDEX_TABLE, PAIRS_TABLE
+
+    aug = _augment_near(spark, SMOKE_SF).limit(200)
+    src = tmp_path / "docs_stream"
+    aug.coalesce(1).write.parquet(str(src / "d1"))
+    time.sleep(1.1)
+    aug.coalesce(1).write.parquet(str(src / "d2"))  # full redelivery
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    q = stream_minhash_dedup(
+        stream, cat_root, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    cat = Catalog(cat_root)
+    n_docs = aug.count()
+    assert cat.read(spark, INDEX_TABLE).count() == n_docs * 3  # 3 bands each
+    pairs = cat.read(spark, PAIRS_TABLE)
+    assert pairs.count() == pairs.distinct().count()
