@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.timespan import epoch_ns  # single home for ns arithmetic
 from .tables import load_table, local_df
 
 DAY_NS = 86_400_000_000_000
@@ -55,16 +56,6 @@ COLLECTION_ROWS = [
 ]
 
 CHAIN_ROWS = [("chain_root", f"run_{i}", i) for i in range(5)]
-
-
-def epoch_ns(col):  # noqa: ANN001 - Column in, Column out
-    """Nanoseconds since epoch as int64 (reference timespan convention).
-
-    Goes through unix_micros (exact integer arithmetic) rather than a
-    double cast — doubles lose integer precision above 2^53 and epoch-ns
-    values are ~1e18 (SURVEY.md §7.4.1).
-    """
-    return (F.unix_micros(col.cast("timestamp")) * F.lit(1000)).cast("long")
 
 
 def _orders_with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +101,15 @@ def build_datasets_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     first query to execute fills the cache; later queries read the
     in-memory columnar copy instead of re-running the orders⋈customer
     join + md5 projection."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _BASE_CACHE:
+        # Evict entries from stopped sessions first — their persisted
+        # blocks died with the old context, but the dict references (and,
+        # for a same-process restart, the entry keys) would otherwise
+        # accumulate forever.
+        for stale in [k for k in _BASE_CACHE if k[0] != app_id]:
+            del _BASE_CACHE[stale]
         # Persist ONE copy; the reference in _BASE_CACHE keeps it alive.
         _BASE_CACHE[key] = _dataset_cols(_orders_with_nation(spark, sf_dir)).persist()
     # Return a FRESHLY BUILT plan (fresh expression ids) every call: Spark's
@@ -328,11 +326,16 @@ def oracle(sql: str) -> str:
     """Wrap a SELECT with the fixture CTE prefix for the DuckDB oracle.
 
     A body that starts with its own WITH clause is spliced into the fixture
-    CTE list (a statement can only have one WITH)."""
+    CTE list (a statement can only have one WITH).  A ``WITH RECURSIVE``
+    body promotes the merged prefix to ``WITH RECURSIVE`` — stripping the
+    keyword would break any CTE that actually self-references (DuckDB
+    allows non-recursive CTEs under RECURSIVE, so promotion is safe)."""
     body = sql.strip().rstrip(";")
     if body[:5].upper() == "WITH ":
         rest = body[5:].lstrip()
+        prefix = ORACLE_CTES
         if rest[:10].upper() == "RECURSIVE ":
             rest = rest[10:].lstrip()
-        return f"{ORACLE_CTES},\n{rest}"
+            prefix = "WITH RECURSIVE" + ORACLE_CTES[len("WITH") :]
+        return f"{prefix},\n{rest}"
     return f"{ORACLE_CTES}\n{body}"

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-ABSOLUTE_URI_RE = r"^[\w+]+://"
+# RFC 3986 scheme: ALPHA *(ALPHA / DIGIT / "+" / "-" / ".").  The
+# reference's narrower `^[\w+]+://` (import_dp1.py:92) misses schemes
+# containing '-' or '.', letting e.g. 'my-scheme://...' slip past the
+# guard whose whole job is rejecting unhandled absolute URIs.
+ABSOLUTE_URI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
 def prefix_replace(col: Column, old_prefix: str, new_prefix: str) -> Column:

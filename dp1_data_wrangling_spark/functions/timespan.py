@@ -27,5 +27,10 @@ def epoch_ns(ts: Column) -> Column:
 
 
 def ns_to_display_ts(nsec: Column) -> Column:
-    """Display-only ns -> µs timestamp (lossy below µs; never compare)."""
-    return F.timestamp_micros((nsec / F.lit(1000)).cast("long"))
+    """Display-only ns -> µs timestamp (truncates below µs; never compare).
+
+    Exact integer division via decimal math — plain ``/`` is DOUBLE
+    division, and at ~1e18 ns a double's ulp is ~222 ns, corrupting even
+    the µs display value."""
+    us = (nsec.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(us)

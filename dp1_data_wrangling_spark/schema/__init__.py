@@ -107,8 +107,14 @@ class Universe:
         parts = ["`dataset_id` binary", "`run` string"]
         for c in self.data_id_columns(dataset_type):
             owner = next(
-                d for d in self.dimensions.values() if c in d.keys and c in d.types
+                (d for d in self.dimensions.values() if c in d.keys and c in d.types),
+                None,
             )
+            if owner is None:
+                raise ValueError(
+                    f"dataset type {dataset_type!r}: data-ID column {c!r} has "
+                    "no typed owner dimension in the universe"
+                )
             parts.append(f"`{c}` {owner.types[c]}")
         return StructType.fromDDL(", ".join(parts))
 

@@ -60,6 +60,10 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Arrow must be on for local_df's LocalRelation path (a pandas
+    # createDataFrame without Arrow parallelizes literals into an RDD —
+    # a full task stage per broadcast build) and for pandas-UDF transfer.
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")

@@ -169,10 +169,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Loads are memoized per (session, dir, table): DataFrames are immutable
     plans, and re-listing files + re-validating the schema on every query
     build is pure driver overhead."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:  # dead sessions
+        del _TABLE_CACHE[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = EXPECTED_SCHEMAS.get(name)
     if expected is not None:
@@ -180,7 +183,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for col, typ in expected.items():
             if typ == "timestamp" and actual_types.get(col) == "bigint":
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    if expected is not None:
         actual = {f.name: _normalize(f.dataType.simpleString()) for f in df.schema}
         missing = set(expected) - set(actual)
         if missing:
