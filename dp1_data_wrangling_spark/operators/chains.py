@@ -13,7 +13,7 @@ is provided for pathological catalogs that would not fit the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import local_df
@@ -75,16 +75,27 @@ def flatten_chains_distributed(
 ) -> DataFrame:
     """Iterative self-join fixpoint expansion (for huge catalogs only).
 
-    Position is rebuilt per level as parent_position * 1e6 + child_position
-    to preserve depth-first order without driver recursion.
-    """
+    Depth-first order is tracked as a lexicographically-ordered *path
+    vector* (array<int> of positions root→leaf) — exact at any depth,
+    unlike scalar encodings (parent*K + child overflows int64 at depth 4
+    and misorders leaves at unequal depths).  First-occurrence-wins dedup
+    = min path per leaf; final positions = rank over the path order.
+    Cycles (or depth > max_depth) raise, matching ``flatten_chain_driver``.
+    Lineage is cut per level (localCheckpoint) so depth-d expansion is d
+    joins, not d² re-executions."""
+    parents = collection_chains.select(F.col("parent").alias("child")).distinct()
     frontier = collection_chains.filter(F.col("parent") == root).select(
-        "child", F.col("position").cast("long").alias("position")
+        "child", F.array(F.col("position")).alias("__path")
     )
-    result = frontier
-    for _ in range(max_depth):
-        expanded = (
-            result.alias("r")
+    leaves = None
+    for _ in range(max_depth + 1):
+        new_leaves = frontier.join(parents, "child", "left_anti")
+        leaves = (
+            new_leaves if leaves is None else leaves.unionByName(new_leaves)
+        ).localCheckpoint(eager=True)
+        frontier = (
+            frontier.alias("r")
+            .join(parents, "child", "left_semi")
             .join(
                 collection_chains.alias("c"),
                 F.col("r.child") == F.col("c.parent"),
@@ -92,14 +103,20 @@ def flatten_chains_distributed(
             )
             .select(
                 F.col("c.child").alias("child"),
-                (
-                    F.col("r.position") * F.lit(1_000_000)
-                    + F.col("c.position").cast("long")
-                ).alias("position"),
+                F.concat(F.col("r.__path"), F.array(F.col("c.position"))).alias(
+                    "__path"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        if expanded.isEmpty():
+        if frontier.isEmpty():
             break
-        parents = collection_chains.select(F.col("parent").alias("child")).distinct()
-        result = result.join(parents, "child", "left_anti").unionByName(expanded)
-    return result
+    else:
+        raise ValueError(
+            f"collection chain under {root!r}: cycle or depth > {max_depth}"
+        )
+    firsts = leaves.groupBy("child").agg(F.min("__path").alias("__path"))
+    w = Window.orderBy("__path")
+    return firsts.select(
+        "child", (F.row_number().over(w) - 1).cast("int").alias("position")
+    )

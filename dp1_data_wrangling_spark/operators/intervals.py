@@ -52,19 +52,27 @@ def overlapping_pairs(
     if tie_breaker is not None:
         order.append(tie_breaker)
     w = Window.partitionBy(*keys).orderBy(*order)
-    with_prev = (
-        _coalesce_bounds(intervals, begin, end)
-        .withColumn("__iv_prev_end", F.lag("__iv_end").over(w))
-        .withColumn("__iv_prev_begin", F.lag("__iv_begin").over(w))
+    # Running MAX over ALL previous ends, not lag-1: sorted by begin, row i
+    # overlaps SOME earlier interval iff begin_i < max(end_0..end_{i-1}) —
+    # the lag-1 form misses rows covered by a long early interval (e.g.
+    # [0,100),[1,2),[50,60): row [50,60) overlaps [0,100) but not [1,2)).
+    # The (end, begin) struct max keeps prev_begin/prev_end a CONSISTENT
+    # pair (the actual farthest-reaching predecessor), tie-broken on begin.
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    with_prev = _coalesce_bounds(intervals, begin, end).withColumn(
+        "__iv_prev",
+        F.max(
+            F.struct(F.col("__iv_end").alias("e"), F.col("__iv_begin").alias("b"))
+        ).over(prev),
     )
     return (
         with_prev.filter(
-            F.col("__iv_prev_end").isNotNull()
-            & (F.col("__iv_begin") < F.col("__iv_prev_end"))
+            F.col("__iv_prev").isNotNull()
+            & (F.col("__iv_begin") < F.col("__iv_prev.e"))
         )
-        .withColumn("prev_begin_nsec", F.col("__iv_prev_begin"))
-        .withColumn("prev_end_nsec", F.col("__iv_prev_end"))
-        .drop("__iv_begin", "__iv_end", "__iv_prev_begin", "__iv_prev_end")
+        .withColumn("prev_begin_nsec", F.col("__iv_prev.b"))
+        .withColumn("prev_end_nsec", F.col("__iv_prev.e"))
+        .drop("__iv_begin", "__iv_end", "__iv_prev")
     )
 
 
@@ -103,8 +111,10 @@ def asof_lookup(
     predicate as a post-filter.
     """
     iv = _coalesce_bounds(intervals, begin, end)
-    cond = (F.col(probe_time) >= F.col("__iv_begin")) & (
-        F.col(probe_time) < F.col("__iv_end")
+    # qualify through the probes Dataset — an unqualified F.col(probe_time)
+    # is ambiguous when the interval side has a same-named column
+    cond = (probes[probe_time] >= F.col("__iv_begin")) & (
+        probes[probe_time] < F.col("__iv_end")
     )
     for k in on or []:
         cond = cond & (probes[k] == iv[k])

@@ -125,8 +125,11 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            w, h = pdf["width"], pdf["height"]
-            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            # dimensions are nullable (audio/video rows carry duration but
+            # no width/height) — NaN would crash the int64 cast
+            w = pdf["width"].fillna(0)
+            h = pdf["height"].fillna(0)
+            scale = (max_side / w.combine(h, max).clip(lower=1)).clip(upper=1.0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

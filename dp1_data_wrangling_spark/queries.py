@@ -325,17 +325,18 @@ def q_chain_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_overlap",
     """
     SELECT customer, nation, dataset_id_hex, begin_nsec, end_nsec,
-           prev_begin_nsec, prev_end_nsec
+           prev.b AS prev_begin_nsec, prev.e AS prev_end_nsec
     FROM (
         SELECT customer, nation, hex(dataset_id) AS dataset_id_hex,
                begin_nsec, end_nsec,
-               lag(begin_nsec) OVER w AS prev_begin_nsec,
-               lag(end_nsec) OVER w AS prev_end_nsec
+               max({'e': end_nsec, 'b': begin_nsec}) OVER (
+                   PARTITION BY customer, nation
+                   ORDER BY begin_nsec, end_nsec, hex(dataset_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev
         FROM fx_associations
         WHERE collection = 'calib_a'
-        WINDOW w AS (PARTITION BY customer, nation
-                     ORDER BY begin_nsec, end_nsec, hex(dataset_id))
-    ) WHERE prev_end_nsec IS NOT NULL AND begin_nsec < prev_end_nsec
+    ) WHERE prev IS NOT NULL AND begin_nsec < prev.e
     """,
 )
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,6 +65,38 @@ def test_chain_flatten_distributed_matches_driver(spark):
     ]
 
 
+def test_chain_flatten_distributed_nested_depth_order(spark):
+    """Leaves at unequal depths keep depth-first order (path-vector
+    ordering — a scalar parent*K+child encoding misorders these)."""
+    rows = [("root", "A", 0), ("root", "X", 1), ("A", "B", 1), ("A", "C", 0)]
+    chains_df = spark.createDataFrame(rows, "parent string, child string, position int")
+    got = {
+        r["child"]: r["position"]
+        for r in flatten_chains_distributed(chains_df, "root").collect()
+    }
+    assert got == {"C": 0, "B": 1, "X": 2}
+    # matches the driver recursion on the same input
+    types = {"root": "CHAINED", "A": "CHAINED", "B": "RUN", "C": "RUN", "X": "RUN"}
+    assert flatten_chain_driver(rows, types, "root") == ["C", "B", "X"]
+
+
+def test_chain_flatten_distributed_first_occurrence_dedup(spark):
+    rows = [("root", "a", 0), ("root", "mid", 1), ("mid", "a", 0), ("mid", "b", 1)]
+    chains_df = spark.createDataFrame(rows, "parent string, child string, position int")
+    got = {
+        r["child"]: r["position"]
+        for r in flatten_chains_distributed(chains_df, "root").collect()
+    }
+    assert got == {"a": 0, "b": 1}
+
+
+def test_chain_flatten_distributed_cycle_raises(spark):
+    rows = [("root", "mid", 0), ("mid", "root", 0)]
+    chains_df = spark.createDataFrame(rows, "parent string, child string, position int")
+    with pytest.raises(ValueError, match="cycle or depth"):
+        flatten_chains_distributed(chains_df, "root", max_depth=8)
+
+
 # --- find-first invariants (J4/W1) ----------------------------------------
 
 
