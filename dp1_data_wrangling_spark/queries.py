@@ -1329,6 +1329,20 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_percentile", None)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, map-side combinable) —
+    the 100 TB path next to percentile_agg's exact form.  Sketch internals
+    differ across engines → rows-only; the unit test bounds the error
+    against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+        F.count("*").alias("n_items"),
+    )
+
+
 @register(
     "collection_summary",
     """

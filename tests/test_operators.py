@@ -437,3 +437,16 @@ def test_spread_is_noop_on_wide_input(spark):
     out = spread(narrow)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     assert out.count() == narrow.count()
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile with accuracy=1000 must land within the GK bound
+    (relative rank error 1/accuracy) of the exact percentile."""
+    from dp1_data_wrangling_spark.queries import REGISTRY
+
+    rows = REGISTRY["approx_percentile"].fn(spark, SMOKE_SF).collect()
+    assert rows
+    for r in rows:
+        # l_quantity spans 1..50; rank error 1/1000 of n translates to at
+        # most a couple of quantity units on this distribution
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 2.0, r
