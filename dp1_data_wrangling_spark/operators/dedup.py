@@ -240,13 +240,16 @@ def simhash_candidate_pairs(
     connected components."""
     with_h = simhash_fingerprints(docs, text_col, id_col)
     chunk_w = 60 // n_chunks
+    # Integer div/mod, never float division: simhash is up to 2^60 and a
+    # double round-trip would corrupt high chunks (doubles hold 53 bits).
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                ((F.col("simhash") / F.lit(2 ** (c * chunk_w))).cast("long") % (2**chunk_w)).alias(
-                    "chunk_val"
-                ),
+                F.expr(
+                    f"(simhash div shiftleft(1L, {c * chunk_w})) "
+                    f"% shiftleft(1L, {chunk_w})"
+                ).alias("chunk_val"),
             )
             for c in range(n_chunks)
         ]

@@ -503,7 +503,7 @@ def q_group_agg_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested_regroup",
     """
     SELECT datastore_name, hex(dataset_id) AS dataset_id_hex,
-           list(path ORDER BY path) AS paths,
+           array_to_string(list_sort(list(path)), '|') AS paths_joined,
            count(*) AS n_files
     FROM fx_datastore_records
     GROUP BY datastore_name, dataset_id
@@ -511,7 +511,24 @@ def q_group_agg_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_nested_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: flat rows -> nested import_records structure
-    (datastore_mapping.py:39-64) via collect_list(sorted)."""
+    (datastore_mapping.py:39-64) via collect_list(sorted).
+
+    The driver-facing result serializes the array as a '|'-joined scalar
+    (the driver's canonicalizer pandas-sorts result columns, and numpy
+    arrays are unhashable there); the genuine ``array<string>`` form is
+    produced by :func:`nested_regroup_df` and covered by
+    ``test_nested_regroup_array_form``."""
+    return nested_regroup_df(spark, sf_dir).select(
+        "datastore_name",
+        "dataset_id_hex",
+        F.array_join("paths", "|").alias("paths_joined"),
+        "n_files",
+    )
+
+
+def nested_regroup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real nested form: (datastore_name, dataset_id_hex,
+    paths array<string> sorted, n_files)."""
     r = fx.build_datastore_records(spark, sf_dir)
     return r.groupBy("datastore_name", "dataset_id").agg(
         F.sort_array(F.collect_list("path")).alias("paths"),
@@ -1086,15 +1103,42 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct", None)
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_TOL = 0.05  # assert |approx-exact| <= 5% (2.5 sigma of rsd)
+
+
+@register(
+    "approx_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per order status — sketch
-    internals differ across engines, so this is a rows-only entry; the
-    unit test bounds the relative error against the exact count."""
+    """approx_count_distinct (HyperLogLog++) per order status, registered
+    as a *bound-check* oracle: sketch internals differ across engines, so
+    the driver-compared output carries the exact count plus the assertion
+    that the sketch landed within APPROX_DISTINCT_TOL of it (a red
+    ``within_bound=false`` cell hash-mismatches the oracle's TRUE).  The
+    unit test additionally bounds the raw relative error."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", APPROX_DISTINCT_RSD).alias("__approx"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                <= APPROX_DISTINCT_TOL * F.col("exact_customers")
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -1329,17 +1373,43 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile", None)
+APPROX_P50_ABS_TOL = 2.0  # l_quantity spans 1..50; GK rank error 1/1000
+
+
+@register(
+    "approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_p50,
+           count(*) AS n_items,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch, map-side combinable) —
-    the 100 TB path next to percentile_agg's exact form.  Sketch internals
-    differ across engines → rows-only; the unit test bounds the error
-    against the exact percentile."""
+    the 100 TB path next to percentile_agg's exact form.  Registered as a
+    *bound-check* oracle: the sketch value itself is engine-specific, so
+    the compared output carries the exact median plus the assertion that
+    the sketch landed within APPROX_P50_ABS_TOL of it; the unit test
+    additionally bounds the raw error."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx_p50"),
-        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
-        F.count("*").alias("n_items"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("__approx_p50"),
+            F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "n_items",
+            (F.abs(F.col("__approx_p50") - F.col("exact_p50")) <= APPROX_P50_ABS_TOL).alias(
+                "within_bound"
+            ),
+        )
     )
 
 

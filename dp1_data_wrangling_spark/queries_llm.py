@@ -264,12 +264,59 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_pairs", None)
+_SIMHASH_ORACLE = f"""
+    WITH RECURSIVE aug AS ({_AUG_NEAR}),
+    toks AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\W+'), x -> x != '')) AS tok
+        FROM aug
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.b AS b,
+               sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN range(0, 60) b(b)
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    keys AS (
+        SELECT doc_id, simhash, c.c AS chunk,
+               (simhash >> (c.c * 15)) & 32767 AS chunk_val
+        FROM fp CROSS JOIN range(0, 4) c(c)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM keys a JOIN keys b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register("simhash_pairs", _SIMHASH_ORACLE)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates with hamming distance (rows-only check:
-    60-bit bit-vote fingerprints are SQL-expressible but prohibitively so;
-    unit tests assert mutant pairs are recalled)."""
-    return dd.simhash_candidate_pairs(_augment_near(spark, sf_dir))
+    """SimHash near-dup candidates with hamming distance.  The whole
+    pipeline is md5-derived integer arithmetic, so the DuckDB oracle
+    replays it exactly: 60-bit token hashes, per-bit ±1 votes, sign-vector
+    fingerprint, 15-bit chunk banding, i<j bucket pairs, popcount
+    hamming."""
+    out = dd.simhash_candidate_pairs(_augment_near(spark, sf_dir))
+    return out.select(
+        "id_a",
+        "id_b",
+        "simhash_a",
+        "simhash_b",
+        F.col("hamming").cast("long").alias("hamming"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -312,14 +312,20 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    from dp1_data_wrangling_spark.queries import REGISTRY
+    """Raw HLL++ relative error per group, plus the registry query's
+    bound-check verdict (the driver-compared form) must be all-true."""
+    from dp1_data_wrangling_spark.queries import REGISTRY, APPROX_DISTINCT_RSD
 
-    rows = REGISTRY["approx_distinct"].fn(spark, SMOKE_SF).collect()
-    for r in rows:
-        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(
-            r["exact_customers"], 1
-        )
+    o = load_table(spark, SMOKE_SF, "orders")
+    raw = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", APPROX_DISTINCT_RSD).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()
+    for r in raw:
+        rel_err = abs(r["approx"] - r["exact"]) / max(r["exact"], 1)
         assert rel_err < 0.1, r
+    rows = REGISTRY["approx_distinct"].fn(spark, SMOKE_SF).collect()
+    assert rows and all(r["within_bound"] for r in rows), rows
 
 
 # --- connected components (dedup clustering) -------------------------------
@@ -441,12 +447,46 @@ def test_spread_is_noop_on_wide_input(spark):
 
 def test_approx_percentile_error_bound(spark):
     """approx_percentile with accuracy=1000 must land within the GK bound
-    (relative rank error 1/accuracy) of the exact percentile."""
+    (relative rank error 1/accuracy) of the exact percentile — checked on
+    the raw sketch values, and via the registry query's bound-check
+    verdict (the driver-compared form)."""
     from dp1_data_wrangling_spark.queries import REGISTRY
 
-    rows = REGISTRY["approx_percentile"].fn(spark, SMOKE_SF).collect()
-    assert rows
-    for r in rows:
+    li = load_table(spark, SMOKE_SF, "lineitem")
+    raw = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+    ).collect()
+    assert raw
+    for r in raw:
         # l_quantity spans 1..50; rank error 1/1000 of n translates to at
         # most a couple of quantity units on this distribution
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 2.0, r
+    rows = REGISTRY["approx_percentile"].fn(spark, SMOKE_SF).collect()
+    assert rows and all(r["within_bound"] for r in rows), rows
+
+
+def test_nested_regroup_array_form(spark):
+    """The genuine array<string> regroup (A7): paths sorted within each
+    group, n_files == size(paths), and the driver-facing joined form is
+    exactly array_join(paths, '|')."""
+    from dp1_data_wrangling_spark.queries import nested_regroup_df
+
+    from dp1_data_wrangling_spark.queries import REGISTRY
+
+    df = nested_regroup_df(spark, SMOKE_SF)
+    assert dict(df.dtypes)["paths"] == "array<string>"
+    bad = df.filter(
+        (F.size("paths") != F.col("n_files"))
+        | (F.col("paths") != F.sort_array("paths"))
+    ).count()
+    assert bad == 0
+    joined = REGISTRY["nested_regroup"].fn(spark, SMOKE_SF)
+    recon = df.select(
+        "datastore_name",
+        "dataset_id_hex",
+        F.array_join("paths", "|").alias("paths_joined"),
+        "n_files",
+    )
+    assert joined.exceptAll(recon).count() == 0
+    assert recon.exceptAll(joined).count() == 0
