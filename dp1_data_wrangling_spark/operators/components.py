@@ -103,6 +103,8 @@ def connected_components_star(
         )  # canonical u > v
         .distinct()
     )
+    prev_count: int | None = None
+    converged = False
     for _ in range(max_iterations):
         # large-star: for every node, connect its LARGER neighbors to the
         # minimum of the closed neighborhood.  (Neighborhoods are built on
@@ -134,11 +136,25 @@ def connected_components_star(
             .localCheckpoint(eager=True)  # cut lineage each round
         )
         # converged when the canonical edge set is a fixpoint: every node
-        # points directly at its component minimum.
-        delta = new_edges.exceptAll(edges).limit(1).count()
+        # points directly at its component minimum.  The test must be
+        # SYMMETRIC — new ⊆ old alone would declare a round that only
+        # removed edges converged; since both sets are distinct, new ⊆ old
+        # plus equal cardinality means equality.
+        if prev_count is None:
+            prev_count = edges.count()
+        new_count = new_edges.count()
+        grew = new_edges.exceptAll(edges).limit(1).count()
         edges = new_edges
-        if delta == 0:
+        if grew == 0 and new_count == prev_count:
+            converged = True
             break
+        prev_count = new_count
+    if not converged:
+        # a silent non-fixpoint would return wrong components — refuse,
+        # matching flatten_chains_distributed's contract
+        raise ValueError(
+            f"connected_components_star: no fixpoint after {max_iterations} rounds"
+        )
     # Canonical edges are u > v, so each component's root (its min id)
     # never appears on the left — union it back as (min, min) to match
     # connected_components' output exactly.

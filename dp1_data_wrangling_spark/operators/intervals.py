@@ -175,3 +175,47 @@ def bucketized_lookup(
     for k in on:
         cond = cond & (pr[k] == iv[k])
     return pr.join(iv, cond, "inner").drop(iv["bucket"]).drop(pr["bucket"])
+
+
+def routed_lookup(
+    probes: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    *,
+    probe_time: str,
+    begin: str = "begin_nsec",
+    end: str = "end_nsec",
+    bucket_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """The executable NULL-routing rule: bounded intervals take the
+    bucketized equi-join, unbounded ones (NULL begin or end — they touch
+    every bucket, so bucketizing them is undefined) take the conditional
+    join; the union equals ``asof_lookup`` on ANY input
+    (hypothesis-tested in test_properties).
+
+    Scale shape: open-ended intervals are catalog-rare (live calibrations
+    pending supersession), so the conditional-join side is a sliver while
+    the fact-scale bulk rides the narrow hash join."""
+    bounded = intervals.filter(F.col(begin).isNotNull() & F.col(end).isNotNull())
+    unbounded = intervals.filter(F.col(begin).isNull() | F.col(end).isNull())
+    hits_bounded = bucketized_lookup(
+        probes,
+        bounded,
+        on,
+        probe_time=probe_time,
+        begin=begin,
+        end=end,
+        bucket_ns=bucket_ns,
+    )
+    hits_unbounded = asof_lookup(
+        probes, unbounded, on, probe_time=probe_time, begin=begin, end=end
+    )
+    # Positional union: both branches emit probes-columns ++ interval-columns
+    # (the equi-keys appear on BOTH sides, so a by-name union would reject
+    # the duplicate names).
+    if hits_bounded.columns != hits_unbounded.columns:
+        raise AssertionError(
+            f"routed_lookup branch schemas diverged: "
+            f"{hits_bounded.columns} vs {hits_unbounded.columns}"
+        )
+    return hits_bounded.union(hits_unbounded)

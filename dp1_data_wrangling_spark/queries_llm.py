@@ -480,6 +480,64 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(probes, emb, k=5, n_cells=16, nprobe=4)
 
 
+_ANN_RECALL_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_probes, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+
+def _ann_recall_bound(spark, sf_dir, ann, threshold: float) -> DataFrame:
+    """Shared recall bound-check: mean top-5 recall of an ANN operator vs
+    the brute-force baseline over the %50 probe family, asserted >=
+    ``threshold`` in the driver-compared output.  The pipelines are fully
+    deterministic (md5-derived planes / centroid sample, rounded sims,
+    id tie-breaks), so the verdict is stable across runs and SFs
+    (measured: LSH 0.90-0.94, IVF 0.71-0.78 at sf0.001/0.01/0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = sim.brute_force_topk(probes, emb, k=5).select("probe_id", "neighbor_id")
+    hits = bf.join(
+        ann(probes, emb).select("probe_id", "neighbor_id"),
+        ["probe_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_probe = (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(hits.groupBy("probe_id").agg(F.count("*").alias("n_hit")), "probe_id", "left")
+        .select(F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    return per_probe.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        ((F.sum("n_hit") / (F.count("*") * 5)) >= threshold).alias("recall_ok"),
+    )
+
+
+@register("lsh_recall_bound", _ANN_RECALL_ORACLE)
+def q_lsh_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN quality as a driver-checked bound: mean recall@5 vs brute
+    force must clear 0.7 (recall-tuned config: 4 planes x 16 tables —
+    random near-orthogonal embeddings are hyperplane LSH's worst case)."""
+    return _ann_recall_bound(
+        spark,
+        sf_dir,
+        lambda p, c: sim.lsh_topk(p, c, k=5, dim=64, n_planes=4, n_tables=16),
+        0.7,
+    )
+
+
+@register("ivf_recall_bound", _ANN_RECALL_ORACLE)
+def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN quality as a driver-checked bound: mean recall@5 vs brute
+    force must clear 0.5 with nprobe=8 of 16 cells (half the corpus
+    visited; random vectors spread the true neighbors across cells)."""
+    return _ann_recall_bound(
+        spark,
+        sf_dir,
+        lambda p, c: sim.ivf_topk(p, c, k=5, n_cells=16, nprobe=8),
+        0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

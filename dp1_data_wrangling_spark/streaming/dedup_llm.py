@@ -39,7 +39,18 @@ from ..plans.catalog import Catalog
 
 INDEX_TABLE = "minhash_index"
 PAIRS_TABLE = "minhash_pairs"
-_META_KEY = "last_batch_id:minhash_dedup"
+
+
+def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
+    """Per-stream batch-id watermark key.  Spark's foreachBatch batch ids
+    are scoped to ONE checkpoint, so the replay watermark must be too: a
+    fixed catalog-level key would make two streams with different
+    checkpoints writing the same catalog share one watermark, silently
+    skipping the lagging stream's batches as 'replays'."""
+    import hashlib
+
+    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    return f"last_batch_id:minhash_dedup:{name}"
 
 
 def stream_minhash_dedup(
@@ -51,6 +62,7 @@ def stream_minhash_dedup(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     trigger_available_now: bool = True,
+    stream_name: str | None = None,
 ) -> StreamingQuery:
     """Start the incremental dedup stream.
 
@@ -61,11 +73,17 @@ def stream_minhash_dedup(
     boilerplate bucket otherwise grows without bound and every new doc
     hashing into it fans out to the whole bucket).  Documents already in
     the index (cross-batch redelivery) are dropped before processing.
+
+    ``stream_name`` names this stream's replay watermark in the catalog
+    meta; it defaults to a digest of ``checkpoint_dir`` (restarting from
+    the same checkpoint resumes the same watermark).  Pass it explicitly
+    if the checkpoint directory can move between runs.
     """
+    meta_key = _meta_key(checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
-        if (last := cat.meta().get(_META_KEY)) is not None and batch_id <= last:
+        if (last := cat.meta().get(meta_key)) is not None and batch_id <= last:
             return  # replay after recovery — already committed
         spark = batch_df.sparkSession
         keys = minhash_band_keys(
@@ -112,7 +130,7 @@ def stream_minhash_dedup(
         txn = cat.begin()
         txn.stage(INDEX_TABLE, keys, mode="append")
         txn.stage(PAIRS_TABLE, pairs, mode="append")
-        cat.commit(txn, meta={_META_KEY: batch_id})
+        cat.commit(txn, meta={meta_key: batch_id})
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

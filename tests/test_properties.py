@@ -251,3 +251,68 @@ def test_star_components_equal_label_propagation(spark, edges):
     # full-map equality, roots included (star unions (min, min) back)
     assert got_star == want_map, (got_star, want_map)
     assert got_lp == want_map, (got_lp, want_map)
+
+
+# --- interval routing (bucketized vs conditional, NULL bounds) -------------
+
+nullable_interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=50)),  # begin
+        st.integers(min_value=1, max_value=25),  # length (ignored if open end)
+        st.booleans(),  # end is NULL (unbounded)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+probe_time_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=80),  # probe time
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(ivs=nullable_interval_rows, probes=probe_time_rows)
+@SETTINGS
+def test_routed_lookup_equals_asof_with_null_bounds(spark, ivs, probes):
+    """routed_lookup (bounded -> bucketized equi-join, NULL-bounded ->
+    conditional join) must return exactly asof_lookup's match set on any
+    mix of bounded / half-open / fully-open intervals.  bucket_ns=7 makes
+    intervals span multiple buckets so the explode path is exercised."""
+    from dp1_data_wrangling_spark.operators.intervals import (
+        asof_lookup,
+        routed_lookup,
+    )
+
+    iv_rows = [
+        (i, k, b, None if open_end else ((b if b is not None else 0) + ln))
+        for i, (k, b, ln, open_end) in enumerate(ivs)
+    ]
+    pr_rows = [(j, k, t) for j, (k, t) in enumerate(probes)]
+    iv_df = spark.createDataFrame(
+        iv_rows, "iv_id int, key int, begin_nsec long, end_nsec long"
+    )
+    pr_df = spark.createDataFrame(pr_rows, "pid int, key int, t long")
+
+    def matches(df):
+        return {(r["pid"], r["iv_id"]) for r in df.select("pid", "iv_id").collect()}
+
+    base = matches(
+        asof_lookup(pr_df, iv_df, ["key"], probe_time="t")
+    )
+    routed = matches(
+        routed_lookup(pr_df, iv_df, ["key"], probe_time="t", bucket_ns=7)
+    )
+    assert routed == base
+    # cross-check one case against the plain definition
+    brute = {
+        (j, i)
+        for (j, pk, t) in pr_rows
+        for (i, ik, b, e) in iv_rows
+        if pk == ik and (b is None or t >= b) and (e is None or t < e)
+    }
+    assert base == brute
