@@ -121,6 +121,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     ``max_side``.  The codec call is stubbed (payload passes through; a
     real implementation decodes, resizes, re-encodes inside the same batch
     loop) but the size arithmetic, schema, and Arrow batch shape are real."""
+    import numpy as np
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -130,11 +131,14 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             w = pdf["width"].fillna(0)
             h = pdf["height"].fillna(0)
             scale = (max_side / w.combine(h, max).clip(lower=1)).clip(upper=1.0)
+            # floor(x + 0.5), NOT .round(): numpy rounds half-to-even, which
+            # no SQL engine replays — half-up keeps the arithmetic
+            # oracle-expressible (same IEEE ops in any engine)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": (w * scale).round().astype("int64"),
-                    "height": (h * scale).round().astype("int64"),
+                    "width": np.floor(w * scale + 0.5).astype("int64"),
+                    "height": np.floor(h * scale + 0.5).astype("int64"),
                     # stub: re-encode would happen here (decode_media_stub)
                     "payload": pdf["payload"],
                 }

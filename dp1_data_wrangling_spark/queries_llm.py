@@ -543,29 +543,105 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features", None)
+def q_multimodal_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine array<double> feature form (what a downstream model
+    pipeline consumes) — not driver-registered because the driver's pandas
+    canonicalizer cannot hash array cells (CORRECTNESS_r02); the registered
+    form below serializes it and a unit test asserts the two agree."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(mm.media_from_documents(docs))
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'image/fake' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           array_to_string(list_transform(range(0, 8),
+               i -> CAST(CAST(('0x' || substr(md5(text), i * 2 + 1, 2)) AS INT)
+                         AS VARCHAR)), '|') AS features_b
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns -> Arrow-batched mapInPandas feature extraction
-    (decode stubbed deterministically; plumbing real — rows-only check)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    media = mm.media_from_documents(docs)
-    return mm.extract_features(media)
+    """Binary media columns -> Arrow-batched mapInPandas feature extraction.
+    The fake decode is md5-derived (digest bytes / 255), so the oracle
+    replays it exactly as hex-pair extraction over DuckDB's md5().  The
+    driver-compared form serializes the vector as pipe-joined byte values
+    (round(x*255) is exact: x = b/255.0 for integer b) — the
+    nested_regroup canonicalizer-safe pattern (queries.py)."""
+    feats = q_multimodal_features_df(spark, sf_dir)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.round(x * 255).cast("int").cast("string")
+            ),
+            "|",
+        ).alias("features_b"),
+    )
 
 
-@register("multimodal_resize", None)
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               n_chars % 1024 + 16 AS w, n_chars % 768 + 16 AS h,
+               md5(text) AS payload_md5
+        FROM documents
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(floor(w * least(128.0 / greatest(w, h), 1.0) + 0.5) AS BIGINT)
+               AS width,
+           CAST(floor(h * least(128.0 / greatest(w, h), 1.0) + 0.5) AS BIGINT)
+               AS height,
+           payload_md5
+    FROM m
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving image resize over mapInPandas (codec stubbed;
-    size arithmetic, schema, and batch shape real — rows-only check)."""
+    """Aspect-preserving image resize over mapInPandas.  The size
+    arithmetic is floor(x+0.5) half-up rounding on IEEE doubles — chosen
+    over numpy's half-to-even .round() precisely so the oracle can replay
+    it.  Raw payload bytes are projected as md5 hex for the comparison
+    (binary columns are not canonicalizer-safe)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return mm.resize_images(mm.media_from_documents(docs), max_side=128)
+    out = mm.resize_images(mm.media_from_documents(docs), max_side=128)
+    return out.select(
+        "media_id", "width", "height", F.md5("payload").alias("payload_md5")
+    )
 
 
-@register("multimodal_frames", None)
+@register(
+    "multimodal_frames",
+    """
+    WITH f AS (
+        SELECT doc_id AS media_id,
+               unnest(range(0, doc_id % 5 + 1)) AS frame_no,
+               md5(text) AS payload_md5
+        FROM documents
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(frame_no * 1000 AS BIGINT) AS ts_ms,
+           payload_md5
+    FROM f
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling fan-out over mapInPandas (one row per second
-    of synthetic duration; extraction stubbed — rows-only check)."""
+    """Video frame sampling fan-out over mapInPandas: one row per second of
+    synthetic duration ((media_id % 5 + 1) s), replayed by the oracle as an
+    unnest(range(...)) fan-out.  Frame payloads (stub: the source bytes)
+    compared as md5 hex."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     media = mm.media_from_documents(docs).withColumn(
         "duration_ms", (F.col("media_id") % 5 + 1) * 1000
     )
-    return mm.sample_frames(media, every_ms=1_000)
+    out = mm.sample_frames(media, every_ms=1_000)
+    return out.select(
+        "media_id", "frame_no", "ts_ms", F.md5("payload").alias("payload_md5")
+    )
