@@ -60,6 +60,12 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NOTE: parquet timestamps without isAdjustedToUTC infer as TIMESTAMP_NTZ
+    # (spark.sql.parquet.inferTimestampNTZ.enabled default) — the canonical
+    # type here, matching DuckDB oracle semantics under the UTC session tz.
+    # Query code must stay type-agnostic (interval arithmetic, no
+    # unix_micros on scanned columns): round-4 regression, pinned by
+    # tests/test_streaming.py::test_event_correlation_survives_timestamp_ntz.
     # Arrow must be on for local_df's LocalRelation path (a pandas
     # createDataFrame without Arrow parallelizes literals into an RDD —
     # a full task stage per broadcast build) and for pandas-UDF transfer.

@@ -15,6 +15,7 @@ from .events import (
     stream_events,
     stream_static_enrich,
     stream_tumbling_counts,
+    to_event_time,
     tumbling_windows_batch,
 )
 from .dedup_llm import stream_minhash_dedup
@@ -27,6 +28,7 @@ __all__ = [
     "session_windows_batch",
     "correlated_events_batch",
     "stream_events",
+    "to_event_time",
     "stream_tumbling_counts",
     "stream_correlated_events",
     "stream_dedup_events",

@@ -40,6 +40,10 @@ from ..plans.catalog import Catalog
 INDEX_TABLE = "minhash_index"
 PAIRS_TABLE = "minhash_pairs"
 
+# Pre-round-5 catalogs wrote one fixed watermark key for every stream; a
+# restart from such a catalog must honor it, not replay its last batch.
+LEGACY_META_KEY = "last_batch_id:minhash_dedup"
+
 
 def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
     """Per-stream batch-id watermark key.  Spark's foreachBatch batch ids
@@ -83,7 +87,13 @@ def stream_minhash_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
-        if (last := cat.meta().get(meta_key)) is not None and batch_id <= last:
+        meta = cat.meta()
+        last = meta.get(meta_key)
+        if last is None:
+            # Upgrade path: fall back to the pre-per-stream fixed key; the
+            # first commit below migrates the watermark to the scoped key.
+            last = meta.get(LEGACY_META_KEY)
+        if last is not None and batch_id <= last:
             return  # replay after recovery — already committed
         spark = batch_df.sparkSession
         keys = minhash_band_keys(

@@ -72,20 +72,35 @@ def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def to_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to the instant type Structured
+    Streaming requires: ``withWatermark`` rejects TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet timestamps without
+    isAdjustedToUTC scan as NTZ.  NTZ wall times are interpreted as UTC
+    (the engine's session timezone), so the cast is value-preserving;
+    nanos-as-long columns get the exact integer-division conversion.
+    Batch twins compared against streams must normalize the same way."""
+    typ = dict(df.dtypes).get(col)
+    if typ == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if typ == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def stream_events(spark, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
     """readStream over the events parquet (one-file source works with
     availableNow for tests; on a cluster this is a directory/kafka source).
 
-    The nanos-as-long conversion is applied exactly as in batch."""
+    Event-time normalization (nanos / NTZ -> instant) is applied exactly
+    as the batch twins must apply it — see ``to_event_time``."""
     schema_src = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema_src)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withWatermark("ts", watermark)
+    return to_event_time(stream).withWatermark("ts", watermark)
 
 
 def stream_tumbling_counts(spark, sf_dir: str, width: str = "10 minutes") -> DataFrame:
@@ -121,13 +136,17 @@ def correlated_events_batch(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
     )
+    # Interval arithmetic (ts + INTERVAL) instead of unix_micros: valid for
+    # both TIMESTAMP and TIMESTAMP_NTZ scans (parquet without isAdjustedToUTC
+    # infers NTZ on Spark 4), and the canonical bound form Spark recognizes
+    # for stream-stream join state expiry.
     return a.join(
         b,
         (a.user_id == b.user_id)
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (
-            F.unix_micros(F.col("purchase_ts"))
-            < F.unix_micros(F.col("view_ts")) + horizon_us
+            F.col("purchase_ts")
+            < F.col("view_ts") + F.expr(f"INTERVAL {horizon_us} MICROSECOND")
         ),
     ).select(
         a.user_id.alias("user_id"),
@@ -168,8 +187,9 @@ def stream_correlated_events(
         (F.col("l_user_id") == F.col("r_user_id"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (
-            F.unix_micros(F.col("purchase_ts"))
-            < F.unix_micros(F.col("view_ts")) + _CORRELATION_HORIZON_US
+            F.col("purchase_ts")
+            < F.col("view_ts")
+            + F.expr(f"INTERVAL {_CORRELATION_HORIZON_US} MICROSECOND")
         ),
     ).select(
         F.col("l_user_id").alias("user_id"),

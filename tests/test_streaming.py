@@ -17,6 +17,7 @@ from dp1_data_wrangling_spark.streaming import (
     incremental_find_first,
     stream_into_catalog,
     stream_tumbling_counts,
+    to_event_time,
     tumbling_windows_batch,
 )
 from dp1_data_wrangling_spark.tables import load_table
@@ -42,7 +43,7 @@ def test_streaming_tumbling_equals_batch(spark):
     stream = stream_tumbling_counts(spark, SMOKE_SF)
     _run_to_memory(stream, "tumbling_stream", "complete")
     got = spark.sql("select * from tumbling_stream")
-    want = tumbling_windows_batch(load_table(spark, SMOKE_SF, "events"))
+    want = tumbling_windows_batch(to_event_time(load_table(spark, SMOKE_SF, "events")))
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
@@ -54,7 +55,7 @@ def test_streaming_append_mode_respects_watermark(spark):
     stream = stream_tumbling_counts(spark, SMOKE_SF)
     _run_to_memory(stream, "tumbling_append", "append")
     got = spark.sql("select * from tumbling_append")
-    want = tumbling_windows_batch(load_table(spark, SMOKE_SF, "events"))
+    want = tumbling_windows_batch(to_event_time(load_table(spark, SMOKE_SF, "events")))
     # strictly fewer rows than batch: open windows withheld by the watermark
     assert 0 < got.count() < want.count()
     # everything emitted matches the batch computation
@@ -118,7 +119,7 @@ def test_streaming_correlation_equals_batch(spark):
     stream = stream_correlated_events(spark, SMOKE_SF)
     _run_to_memory(stream, "corr_stream", "append")
     got = spark.sql("select * from corr_stream")
-    want = correlated_events_batch(load_table(spark, SMOKE_SF, "events"))
+    want = correlated_events_batch(to_event_time(load_table(spark, SMOKE_SF, "events")))
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
@@ -147,9 +148,7 @@ def test_streaming_dedup_within_watermark(spark, redelivered_events_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{root}/*/")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    deduped = stream_dedup_events(stream.withWatermark("ts", "1 hour"))
+    deduped = stream_dedup_events(to_event_time(stream).withWatermark("ts", "1 hour"))
     _run_to_memory(deduped, "dedup_stream", "append")
     got = spark.sql("select * from dedup_stream")
     assert got.count() == ev.count()
@@ -301,3 +300,74 @@ def test_stream_minhash_dedup_cross_batch_redelivery(spark, tmp_path):
     assert cat.read(spark, INDEX_TABLE).count() == n_docs * 3  # 3 bands each
     pairs = cat.read(spark, PAIRS_TABLE)
     assert pairs.count() == pairs.distinct().count()
+
+
+def test_event_correlation_survives_timestamp_ntz(spark):
+    """Regression (round 4): parquet timestamps without isAdjustedToUTC infer
+    as TIMESTAMP_NTZ when spark.sql.parquet.inferTimestampNTZ.enabled is on
+    (a driver-environment default we don't control).  The correlation time
+    bound must analyze and produce identical pairs for both timestamp types,
+    which the interval-arithmetic form guarantees and unix_micros does not."""
+    from dp1_data_wrangling_spark.streaming import correlated_events_batch
+
+    conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "true")
+        ntz_events = spark.read.parquet(f"{SMOKE_SF}/events.parquet")
+        assert ntz_events.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        got_ntz = correlated_events_batch(ntz_events)
+        spark.conf.set(conf_key, "false")
+        tz_events = spark.read.parquet(f"{SMOKE_SF}/events.parquet")
+        assert tz_events.schema["ts"].dataType.typeName() == "timestamp"
+        got_tz = correlated_events_batch(tz_events)
+        ntz_ids = got_ntz.select("view_id", "purchase_id")
+        tz_ids = got_tz.select("view_id", "purchase_id")
+        assert ntz_ids.count() == tz_ids.count() > 0
+        assert ntz_ids.exceptAll(tz_ids).count() == 0
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def test_stream_minhash_dedup_honors_legacy_watermark(spark, tmp_path):
+    """Upgrade path: a catalog written before per-stream watermark keys
+    carries one fixed ``last_batch_id:minhash_dedup`` meta key.  A restart
+    must honor it (skip batches at-or-below it, not replay them) and the
+    first new commit must migrate the watermark to the per-stream key."""
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.queries_llm import _augment_near
+    from dp1_data_wrangling_spark.streaming import stream_minhash_dedup
+    from dp1_data_wrangling_spark.streaming.dedup_llm import (
+        INDEX_TABLE,
+        LEGACY_META_KEY,
+        _meta_key,
+    )
+
+    aug = _augment_near(spark, SMOKE_SF).limit(100)
+    src = tmp_path / "docs_stream"
+    aug.coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    aug.coalesce(1).write.parquet(str(src / "b2"))
+
+    # pre-upgrade catalog: legacy fixed watermark says batch 0 is committed
+    cat_root = str(tmp_path / "cat")
+    cat = Catalog(cat_root)
+    cat.commit(cat.begin(), meta={LEGACY_META_KEY: 0})
+    assert not cat.exists(INDEX_TABLE)
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_minhash_dedup(stream, cat_root, checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    # batch 0 skipped under the legacy watermark, batch 1 processed: the
+    # index holds ONE delivery's band rows (3 bands per doc), not two
+    n_docs = aug.count()
+    assert cat.read(spark, INDEX_TABLE).count() == n_docs * 3
+    # watermark migrated to the per-stream key by the first commit
+    assert cat.meta()[_meta_key(ckpt, None)] == 1
