@@ -62,14 +62,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
-    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    from dp1_data_wrangling_spark.queries import DRIVER_WINDOW
+    from dp1_data_wrangling_spark.registry import assert_driver_safe_schema
+
+    window = set(DRIVER_WINDOW)
+
+    def wrap(name: str, fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_existing(spark)
-            return fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
+            if name in window:
+                # Fail loudly here, before the driver's canonicalizer sees a
+                # complex-typed column it cannot hash (cost rounds 1 and 2).
+                assert_driver_safe_schema(df.schema, name)
+            return df
 
         return run
 
-    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
+    return {name: wrap(name, spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

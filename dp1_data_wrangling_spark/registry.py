@@ -45,6 +45,28 @@ def register(
     return deco
 
 
+def assert_driver_safe_schema(schema, name: str) -> None:
+    """Reject schemas the driver's canonicalizer cannot hash deterministically.
+
+    The driver serializes result rows for the value-hash compare; Array, Map,
+    Binary, and Struct columns have engine-specific serialized forms (this
+    failure class cost rounds 1 and 2 — nested_regroup's array column, then
+    multimodal's features array).  Queries inside DRIVER_WINDOW must emit only
+    scalar columns: serialize complex values explicitly (array_join, hex)
+    before registering.  Keep genuine-array forms as separate unregistered
+    functions for API users."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    for field in schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, BinaryType, StructType)):
+            raise TypeError(
+                f"driver-window query {name!r} emits non-scalar column "
+                f"{field.name!r} ({field.dataType.simpleString()}); serialize "
+                "it (array_join/hex/to_json) before registering — the driver "
+                "canonicalizer hash is undefined for complex types"
+            )
+
+
 def prioritize(order: list[str]) -> None:
     """Reorder REGISTRY in place: the named queries first (in the given
     order), every other query after them in registration order.

@@ -70,9 +70,38 @@ def test_driver_window_covers_flagship_surface():
         "approx_distinct", "approx_percentile",
     }
     assert flagship <= set(names[:50])
-    rows_only_ok = {
-        "multimodal_features", "multimodal_resize", "multimodal_frames",
-    }
+    # No exemptions: every window entry is oracle-backed (the multimodal
+    # queries gained md5-replay oracles in round 3 — a stale whitelist here
+    # would let a dropped oracle pass silently).
     for n in names[:50]:
-        if n not in rows_only_ok:
-            assert REGISTRY[n].oracle, f"{n} in driver window without oracle"
+        assert REGISTRY[n].oracle, f"{n} in driver window without oracle"
+
+
+@pytest.mark.parametrize(
+    "name", list(__import__("dp1_data_wrangling_spark.queries", fromlist=["DRIVER_WINDOW"]).DRIVER_WINDOW)
+)
+def test_driver_window_schema_is_canonicalizer_safe(spark, name):
+    """Every driver-window query must emit only scalar columns — the driver's
+    value-hash canonicalizer is undefined for Array/Map/Binary/Struct (the
+    failure class that cost rounds 1 and 2).  Guarded at runtime by
+    __spark_entry__.queries() via registry.assert_driver_safe_schema; this
+    test pins the guard over the full window at fixture scale."""
+    from dp1_data_wrangling_spark.registry import assert_driver_safe_schema
+
+    df = REGISTRY[name].fn(spark, SMOKE_SF)
+    assert_driver_safe_schema(df.schema, name)
+
+
+def test_canonicalizer_guard_rejects_complex_types(spark):
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.registry import assert_driver_safe_schema
+
+    bad = spark.range(1).select(F.array(F.lit(1)).alias("xs"))
+    with pytest.raises(TypeError, match="non-scalar column 'xs'"):
+        assert_driver_safe_schema(bad.schema, "bad_query")
+    also_bad = spark.range(1).select(F.struct(F.lit(1).alias("a")).alias("s"))
+    with pytest.raises(TypeError, match="non-scalar column 's'"):
+        assert_driver_safe_schema(also_bad.schema, "bad_query")
+    ok = spark.range(1).select(F.lit("x").alias("s"), F.lit(1.5).alias("d"))
+    assert_driver_safe_schema(ok.schema, "ok_query")
