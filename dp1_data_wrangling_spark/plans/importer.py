@@ -216,3 +216,52 @@ def run_import(
         for df in cached:
             df.unpersist()
     return tgt
+
+
+def resolve_calibrations(
+    spark: SparkSession,
+    catalog: Catalog | str,
+    probes: DataFrame,
+    *,
+    collection: str,
+    data_id_keys: Sequence[str],
+    probe_time: str,
+) -> DataFrame:
+    """Resolve, for each probe row, the calibration dataset whose validity
+    interval contains the probe's observation time — the Butler calibration
+    lookup the reference performs when a pipeline consumes a certified
+    collection (reference importer.py:110-112 certify semantics define the
+    intervals this reads back; find-first is bypassed for calibrations).
+
+    Runs ``routed_lookup``: bounded intervals (the certified bulk) take the
+    day-bucketized equi-join, NULL-ended still-live calibrations take the
+    conditional join — the plan that holds at fact scale, where probes are
+    the 100 TB side and the calibration catalog is the thin side.
+
+    Returns probe columns plus ``calib_dataset_id``/``calib_run``/
+    ``begin_nsec``/``end_nsec`` (hex string id: driver-safe scalar)."""
+    from ..operators.intervals import routed_lookup
+
+    cat = Catalog(catalog) if isinstance(catalog, str) else catalog
+    calib = (
+        cat.read(spark, "associations")
+        .filter(F.col("collection") == collection)
+        .select("dataset_id", "run", *data_id_keys, "begin_nsec", "end_nsec")
+    )
+    hits = routed_lookup(
+        probes, calib, list(data_id_keys), probe_time=probe_time
+    )
+    names = [
+        *probes.columns,
+        "calib_dataset_id_bin", "calib_run",
+        *[f"iv_{k}" for k in data_id_keys],
+        "begin_nsec", "end_nsec",
+    ]
+    hits = hits.toDF(*names)
+    return hits.select(
+        *probes.columns,
+        F.hex("calib_dataset_id_bin").alias("calib_dataset_id"),
+        "calib_run",
+        "begin_nsec",
+        "end_nsec",
+    )

@@ -477,6 +477,66 @@ def q_asof_lookup_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_lookup_routed",
+    """
+    SELECT p.o_orderkey AS probe_orderkey, p.customer, p.nation,
+           p.probe_nsec, hex(a.dataset_id) AS calib_dataset_id_hex,
+           a.begin_nsec, a.end_nsec
+    FROM (
+        SELECT o_orderkey, customer, nation,
+               epoch_ns(o_orderdate) + 43200000000000 AS probe_nsec
+        FROM fx_ds_base WHERE o_orderkey % 2 = 0
+    ) p
+    JOIN fx_associations a
+      ON a.collection = 'calib_a'
+     AND p.customer = a.customer AND p.nation = a.nation
+     AND p.probe_nsec >= a.begin_nsec AND p.probe_nsec < a.end_nsec
+    """,
+)
+def q_asof_lookup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7, the production routing rule (reference importer.py:110-112
+    semantics): bounded intervals ride the bucketized equi-join, unbounded
+    (NULL-ended, still-live calibrations) take the conditional join; the
+    union must equal plain ``asof_lookup`` on any input — same oracle as
+    both siblings.  This is the plan ``plans.importer.resolve_calibrations``
+    runs at 100 TB."""
+    from .operators.intervals import routed_lookup
+
+    base = fx.build_datasets_with_key(spark, sf_dir)
+    probes = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("probe_orderkey"),
+        "customer",
+        "nation",
+        (fx.epoch_ns(F.col("o_orderdate")) + F.lit(43_200_000_000_000)).alias(
+            "probe_nsec"
+        ),
+    )
+    calib = fx.build_associations(spark, sf_dir).filter(
+        F.col("collection") == "calib_a"
+    )
+    out = routed_lookup(
+        probes, calib, ["customer", "nation"], probe_time="probe_nsec"
+    )
+    # routed_lookup emits probe-cols ++ interval-cols with the equi-keys on
+    # both sides; rename positionally before projecting (post-union, the
+    # pre-join frame references no longer disambiguate).
+    out = out.toDF(
+        "probe_orderkey", "customer", "nation", "probe_nsec",
+        "dataset_id", "run", "iv_customer", "iv_nation", "collection",
+        "begin_nsec", "end_nsec",
+    )
+    return out.select(
+        "probe_orderkey",
+        "customer",
+        "nation",
+        "probe_nsec",
+        F.hex(F.col("dataset_id")).alias("calib_dataset_id_hex"),
+        "begin_nsec",
+        "end_nsec",
+    )
+
+
+@register(
     "certify_probe",
     """
     SELECT key, count(*) AS n_offenders,
@@ -1607,17 +1667,22 @@ DRIVER_WINDOW: list[str] = [
     "find_first",
     "find_first_calibration_bypass",
     "priority_dedup",
-    "chain_flatten",
     "chain_flatten_distributed",
     "interval_overlap",
     "asof_lookup",
+    # audit rotation (round 5): the bucketized + routed as-of variants and two
+    # previously in-repo-only tail queries take the slots of set_union /
+    # set_except / nested_unnest / chain_flatten, whose coverage is trivial
+    # and equally held by tests/test_oracle_parity.py — this hands the driver
+    # fresh sf0.01 verification surface each round.
+    "asof_lookup_bucketized",
+    "asof_lookup_routed",
+    "window_analytics",
+    "json_struct_parse",
     "dedup_exact",
     "group_agg_run",
     "nested_regroup",
-    "nested_unnest",
     "sort_topk",
-    "set_union",
-    "set_except",
     "path_rewrite",
     "conditional_rewrite",
     "export_plan",
@@ -1651,7 +1716,11 @@ DRIVER_WINDOW: list[str] = [
     "session_window",
     "event_correlation",
 ]
-assert len(DRIVER_WINDOW) == 50
+if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O
+    raise ValueError(
+        f"DRIVER_WINDOW must list exactly the 50 driver-checked queries, "
+        f"got {len(DRIVER_WINDOW)}"
+    )
 prioritize(DRIVER_WINDOW)
 
 

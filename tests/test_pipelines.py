@@ -433,3 +433,43 @@ def test_jsonl_quarantine_dead_letter(spark, tmp_path):
     assert ok.count() == 4
     assert bad.count() == 2
     assert ok.filter(F.col("v").isNotNull()).count() == 2
+
+
+def test_resolve_calibrations_matches_asof(spark, export_cat):
+    """The importer's calibration-resolution API (routed_lookup over the
+    catalog's associations table) returns exactly the plain interval-
+    containment join's matches — including NULL-ended (TAGGED-style
+    unbounded) intervals taking the conditional-join branch."""
+    from dp1_data_wrangling_spark.operators.intervals import asof_lookup
+    from dp1_data_wrangling_spark.plans.importer import resolve_calibrations
+
+    base = fx.build_datasets_with_key(spark, SMOKE_SF)
+    probes = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("probe_orderkey"),
+        "customer",
+        "nation",
+        (fx.epoch_ns(F.col("o_orderdate")) + F.lit(43_200_000_000_000)).alias(
+            "probe_nsec"
+        ),
+    )
+    got = resolve_calibrations(
+        spark,
+        export_cat,
+        probes,
+        collection="calib_a",
+        data_id_keys=["customer", "nation"],
+        probe_time="probe_nsec",
+    ).select("probe_orderkey", "calib_dataset_id")
+
+    calib = export_cat.read(spark, "associations").filter(
+        F.col("collection") == "calib_a"
+    )
+    want = asof_lookup(
+        probes, calib, ["customer", "nation"], probe_time="probe_nsec"
+    ).select(
+        probes["probe_orderkey"].alias("probe_orderkey"),
+        F.hex(calib["dataset_id"]).alias("calib_dataset_id"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
