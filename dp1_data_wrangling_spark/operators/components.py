@@ -48,6 +48,7 @@ def connected_components(
     labels = edges.groupBy(F.col("a").alias("node")).agg(
         F.least(F.min("b"), F.first("a")).alias("component")
     )
+    converged = False
     for _ in range(max_iterations):
         # propagate: each node offers its label to every neighbor
         offered = (
@@ -69,7 +70,18 @@ def connected_components(
         )
         labels = offered.localCheckpoint(eager=True)  # cut lineage growth
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exhausting the iteration budget mid-propagation would return
+        # partial labels (nodes still carrying a non-minimal component) —
+        # refuse, same contract as connected_components_star
+        raise ValueError(
+            f"connected_components: no fixpoint after {max_iterations} rounds"
+            " (label propagation moves one hop per round — raise"
+            " max_iterations or use connected_components_star, which"
+            " converges in O(log n) rounds)"
+        )
     return labels
 
 
