@@ -230,3 +230,32 @@ def test_topk_compiles_to_take_ordered(spark):
     global sort."""
     plan = plan_of(REGISTRY["sort_topk"].fn(spark, SMOKE_SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_routed_asof_lookup_is_all_hash_joins(spark):
+    """J7 routed lookup (the 100 TB as-of path): BOTH branches must plan as
+    equi-key hash/sort-merge joins — the bucketized branch on (bucket, keys),
+    the unbounded branch on the data-ID keys with the containment predicate
+    as a post-filter.  A CartesianProduct or nested-loop join here means the
+    equi-keys fell out of the join condition and the plan is quadratic."""
+    from dp1_data_wrangling_spark.operators.intervals import routed_lookup
+
+    base = fx.build_datasets_with_key(spark, SMOKE_SF)
+    probes = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("probe_orderkey"),
+        "customer",
+        "nation",
+        (fx.epoch_ns(F.col("o_orderdate")) + F.lit(43_200_000_000_000)).alias(
+            "probe_nsec"
+        ),
+    )
+    calib = fx.build_associations(spark, SMOKE_SF).filter(
+        F.col("collection") == "calib_a"
+    )
+    plan = plan_of(
+        routed_lookup(probes, calib, ["customer", "nation"], probe_time="probe_nsec")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # two join branches, both keyed
+    assert len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)) >= 2, plan
