@@ -645,3 +645,57 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "frame_no", "ts_ms", F.md5("payload").alias("payload_md5")
     )
+
+
+@register(
+    "doc_stable_sample",
+    """
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('corpus_v1' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('corpus_v1' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 < 20
+    """,
+)
+def q_doc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample (operators/sampling.py): the keep
+    decision is md5(salt || doc_id) mod 100 — reproducible run-to-run,
+    partitioning-independent, and consistent across tables (rand()-based
+    sampling is none of these).  Pure row-local JVM expression, zero
+    shuffles at any scale."""
+    from .operators.sampling import hash_bucket, stable_sample
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
+    return stable_sample(docs, "doc_id", percent=20, salt="corpus_v1").select(
+        "doc_id", "lang", hash_bucket(F.col("doc_id"), "corpus_v1").alias("bucket")
+    )
+
+
+@register(
+    "doc_split_assign",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('split_v1' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by contiguous hash-bucket ranges
+    (90/5/5): every row gets exactly one split, the same doc_id lands in
+    the same split in every table salted alike (no cross-split leakage
+    through joins), and re-runs are bit-identical.  Zero shuffles."""
+    from .operators.sampling import split_assign
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
+    return split_assign(
+        docs, "doc_id", weights={"train": 90, "val": 5, "test": 5}, salt="split_v1"
+    )

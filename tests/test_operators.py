@@ -517,3 +517,49 @@ def test_connected_components_raise_on_nonconvergence(spark):
     # property — re-running 40 one-hop rounds here would add ~2 min)
     ok = connected_components_star(path)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_stable_sample_partitioning_invariant(spark):
+    """The sample keeps the same KEYS regardless of physical layout (the
+    property seeded rand() lacks) and its size is near the target rate."""
+    from dp1_data_wrangling_spark.operators.sampling import stable_sample
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in stable_sample(df, "k", percent=20, salt="s").collect()}
+    b = {
+        r["k"]
+        for r in stable_sample(df.repartition(13, "k"), "k", percent=20, salt="s").collect()
+    }
+    assert a == b
+    assert 0.17 < len(a) / 10_000 < 0.23  # binomial tolerance at n=10k
+    # a different salt draws an (effectively) independent sample
+    c = {r["k"] for r in stable_sample(df, "k", percent=20, salt="t").collect()}
+    assert c != a
+    assert 0.01 < len(a & c) / 10_000 < 0.09  # ~4% expected overlap
+
+
+def test_split_assign_total_and_disjoint(spark):
+    """Every row gets exactly one split; proportions track the weights;
+    the same key is assigned identically in a second table (no cross-split
+    join leakage)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    w = {"train": 90, "val": 5, "test": 5}
+    got = split_assign(df, "k", weights=w, salt="s")
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10_000  # total: no NULL split
+    assert set(counts) == set(w)
+    assert 0.87 < counts["train"] / 10_000 < 0.93
+    other = split_assign(
+        df.withColumn("extra", F.col("k") * 2), "k", weights=w, salt="s"
+    )
+    joined = got.alias("a").join(other.alias("b"), "k").where(
+        F.col("a.split") != F.col("b.split")
+    )
+    assert joined.count() == 0
+    with _pytest.raises(ValueError, match="sum to 100"):
+        split_assign(df, "k", weights={"train": 50, "val": 10}, salt="s")
