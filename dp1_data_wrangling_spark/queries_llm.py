@@ -699,3 +699,66 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         docs, "doc_id", weights={"train": 90, "val": 5, "test": 5}, salt="split_v1"
     )
+
+
+@register(
+    "doc_curation_pipeline",
+    f"""
+    WITH aug AS ({_AUG_EXACT}),
+    scored AS (SELECT doc_id, text, {_LANG_SCORE_SQL} FROM aug),
+    en AS (
+        SELECT doc_id, text FROM scored
+        WHERE score_en >= score_de AND score_en >= score_es
+              AND score_en >= score_fr
+    ),
+    toks AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM en
+    ),
+    good AS (SELECT * FROM toks WHERE n_tokens >= 10),
+    groups AS (
+        SELECT md5(text) AS dg, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM good GROUP BY md5(text)
+    ),
+    surv AS (
+        SELECT g.keep_id AS doc_id, t.n_tokens, g.n_copies
+        FROM groups g JOIN good t ON t.doc_id = g.keep_id
+    )
+    SELECT doc_id, n_tokens, n_copies,
+           CASE WHEN CAST(('0x' || substr(md5('curation_v1' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5('curation_v1' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv
+    """,
+)
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, the composition a training-data run
+    actually executes: language filter (en) -> quality floor (>= 10
+    tokens) -> exact-dedup survivors -> deterministic train/val/test
+    assignment.  One linear plan: the filters are row-local JVM
+    expressions evaluated before the single digest-groupBy shuffle
+    (16-byte keys, payloads never shuffle), and the split is a hash
+    bucket — at 100 TB this runs as scan -> map -> one narrow shuffle ->
+    map.  Each stage is individually oracle-verified by doc_lang_id,
+    doc_token_stats, doc_exact_dedup, and doc_split_assign; this query
+    verifies their composition."""
+    from .operators.sampling import split_assign
+
+    docs = _augment_exact(spark, sf_dir)
+    en = tx.lang_id(docs).filter(F.col("lang_guess") == "en")
+    good = tx.quality_stats(en).filter(F.col("n_tokens") >= 10)
+    groups = dd.exact_dedup(good)
+    surv = good.select("doc_id", "n_tokens").join(
+        groups.select(F.col("keep_id").alias("doc_id"), "n_copies"), "doc_id"
+    )
+    return split_assign(
+        surv, "doc_id", weights={"train": 90, "val": 5, "test": 5},
+        salt="curation_v1",
+    ).select("doc_id", "n_tokens", "n_copies", "split")
