@@ -1675,6 +1675,9 @@ DRIVER_WINDOW: list[str] = [
     # set_except / nested_unnest / chain_flatten, whose coverage is trivial
     # and equally held by tests/test_oracle_parity.py — this hands the driver
     # fresh sf0.01 verification surface each round.
+    # round-6 rotation candidates (in): doc_stable_sample, doc_split_assign,
+    # doc_curation_pipeline, rolling_sum, date_trunc_agg; (out): pattern_filter,
+    # literal_coordinate_join, approx_distinct — trivial and parity-held.
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",

@@ -737,6 +737,7 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM surv
     """,
+    headline=True,
 )
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation, the composition a training-data run
