@@ -14,6 +14,7 @@ Spark plans over the operator layer (SURVEY.md §3, §7.1.6).
 """
 
 from .catalog import Catalog, Transaction  # noqa: F401
+from .curation import curate_documents, run_curation  # noqa: F401
 from .export import run_export  # noqa: F401
 from .file_tree import generate_file_tree  # noqa: F401
 from .importer import run_import  # noqa: F401

@@ -750,16 +750,6 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     map.  Each stage is individually oracle-verified by doc_lang_id,
     doc_token_stats, doc_exact_dedup, and doc_split_assign; this query
     verifies their composition."""
-    from .operators.sampling import split_assign
+    from .plans.curation import curate_documents
 
-    docs = _augment_exact(spark, sf_dir)
-    en = tx.lang_id(docs).filter(F.col("lang_guess") == "en")
-    good = tx.quality_stats(en).filter(F.col("n_tokens") >= 10)
-    groups = dd.exact_dedup(good)
-    surv = good.select("doc_id", "n_tokens").join(
-        groups.select(F.col("keep_id").alias("doc_id"), "n_copies"), "doc_id"
-    )
-    return split_assign(
-        surv, "doc_id", weights={"train": 90, "val": 5, "test": 5},
-        salt="curation_v1",
-    ).select("doc_id", "n_tokens", "n_copies", "split")
+    return curate_documents(_augment_exact(spark, sf_dir))

@@ -473,3 +473,39 @@ def test_resolve_calibrations_matches_asof(spark, export_cat):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_run_curation_publishes_atomically_and_deterministically(spark, tmp_path):
+    """The curation pipeline publishes the survivor table in one commit,
+    matches the registered query's rows exactly, and a re-run over the
+    same corpus stages identical content (deterministic end-to-end: the
+    split is hash-derived, not rand())."""
+    from dp1_data_wrangling_spark.plans.curation import (
+        SURVIVORS_TABLE,
+        curate_documents,
+        run_curation,
+    )
+    from dp1_data_wrangling_spark.queries_llm import _augment_exact
+
+    docs = _augment_exact(spark, SMOKE_SF)
+    root = str(tmp_path / "cat")
+    cat = run_curation(spark, docs, root)
+    got = cat.read(spark, SURVIVORS_TABLE)
+    want = curate_documents(docs)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # survivors are unique and every duplicate group is accounted for
+    assert got.select("doc_id").distinct().count() == got.count()
+    assert set(r["split"] for r in got.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # commit meta records the draw parameters
+    assert cat.meta()["curation"]["salt"] == "curation_v1"
+    v1 = cat.history()[-1]
+    # re-publish: new version, byte-identical content
+    cat2 = run_curation(spark, docs, root)
+    assert cat2.history()[-1] > v1
+    again = cat2.read(spark, SURVIVORS_TABLE)
+    assert again.count() == want.count()
+    assert again.exceptAll(want).count() == 0
