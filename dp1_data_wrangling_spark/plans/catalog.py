@@ -147,7 +147,25 @@ class Catalog:
         if table not in m["tables"]:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
         paths = [str(self.root / rel) for rel in m["tables"][table]]
-        return spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return spark.read.parquet(paths[0])
+        # Multi-commit (append) tables: each commit's files live under its
+        # own txn root, so a single multi-path read of hive-partitioned
+        # data fails partition discovery (CONFLICTING_DIRECTORY_STRUCTURES
+        # — no common basePath exists across txn dirs).  Read each commit
+        # root independently and union by name; partition columns are
+        # recovered per-root.  Roots with no data files (an idempotent
+        # re-import stages an empty write: _SUCCESS only) carry no rows
+        # and no schema — skip them.  (Local-FS listing; on an object
+        # store swap for the Hadoop FileSystem API.)
+        with_data = [p for p in paths if any(Path(p).rglob("*.parquet"))]
+        if not with_data:  # all-empty: defer to the reader's own error
+            return spark.read.parquet(paths[0])
+        dfs = [spark.read.parquet(p) for p in with_data]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def exists(self, table: str) -> bool:
         return table in self.manifest()["tables"]

@@ -509,3 +509,30 @@ def test_run_curation_publishes_atomically_and_deterministically(spark, tmp_path
     again = cat2.read(spark, SURVIVORS_TABLE)
     assert again.count() == want.count()
     assert again.exceptAll(want).count() == 0
+
+
+def test_catalog_append_partitioned_across_commits(spark, tmp_path):
+    """Regression: appending a SECOND hive-partitioned write to a table
+    must keep it readable.  Each commit's files live under their own txn
+    root, so a naive multi-path partitioned read fails partition
+    discovery (CONFLICTING_DIRECTORY_STRUCTURES) — the exact shape the
+    importer produces on its first non-empty incremental import of
+    run-partitioned datasets."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df1 = spark.range(0, 100).selectExpr("id", "concat('run_', id % 3) as run")
+    df2 = spark.range(100, 200).selectExpr("id", "concat('run_', id % 3) as run")
+    txn = cat.begin()
+    txn.stage("datasets/x", df1, partition_by=["run"])
+    cat.commit(txn)
+    txn = cat.begin()
+    txn.stage("datasets/x", df2, partition_by=["run"])
+    cat.commit(txn)
+    got = cat.read(spark, "datasets/x")
+    assert got.count() == 200
+    assert got.select("run").distinct().count() == 3
+    assert {r["id"] for r in got.select("id").collect()} == set(range(200))
+    # time travel still sees only the first commit's rows
+    v1 = cat.history()[0]
+    assert cat.read(spark, "datasets/x", version=v1).count() == 100
