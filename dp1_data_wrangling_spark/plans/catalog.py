@@ -176,6 +176,31 @@ class Catalog:
         (self.root / "data" / txn_id).mkdir(parents=True, exist_ok=True)
         return Transaction(txn_id=txn_id, root=self.root)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite a multi-commit (appended) table into one txn root.
+
+        Every append adds a root; reads then union per-root scans, and at
+        100 TB hundreds of roots mean hundreds of file listings per query.
+        Compaction reads the current state and republishes it as a single
+        overwrite commit — the old roots stop being referenced and a later
+        ``vacuum`` reclaims them.  Time travel is preserved: pre-compaction
+        versions still resolve through their snapshots until vacuumed.
+        ``sort_by``/``partition_by`` re-apply the table's physical layout
+        (the manifest does not record it)."""
+        df = self.read(spark, table)
+        txn = self.begin()
+        txn.stage(
+            table, df, mode="overwrite", sort_by=sort_by, partition_by=partition_by
+        )
+        return self.commit(txn, meta={"compacted": table})
+
     def vacuum(self, *, keep_last: int = 1, min_age_seconds: float = 86_400.0) -> list[str]:
         """Retention: expire old snapshots and delete unreferenced data.
 

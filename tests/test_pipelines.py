@@ -536,3 +536,36 @@ def test_catalog_append_partitioned_across_commits(spark, tmp_path):
     # time travel still sees only the first commit's rows
     v1 = cat.history()[0]
     assert cat.read(spark, "datasets/x", version=v1).count() == 100
+
+
+def test_catalog_compact_folds_appends_to_one_root(spark, tmp_path):
+    """Compaction rewrites an appended table to a single txn root with
+    identical content; prior versions remain time-travelable until
+    vacuumed, and vacuum then reclaims the superseded roots."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    for lo in (0, 100, 200):
+        txn = cat.begin()
+        txn.stage(
+            "datasets/x",
+            spark.range(lo, lo + 100).selectExpr(
+                "id", "concat('run_', id % 3) as run"
+            ),
+            partition_by=["run"],
+        )
+        cat.commit(txn)
+    assert len(cat.manifest()["tables"]["datasets/x"]) == 3
+    before = {r["id"] for r in cat.read(spark, "datasets/x").collect()}
+    v_pre = cat.history()[-1]
+    cat.compact(spark, "datasets/x", partition_by=["run"], sort_by=["id"])
+    m = cat.manifest()
+    assert len(m["tables"]["datasets/x"]) == 1
+    after = {r["id"] for r in cat.read(spark, "datasets/x").collect()}
+    assert after == before == set(range(300))
+    # time travel to the pre-compaction version still works
+    assert cat.read(spark, "datasets/x", version=v_pre).count() == 300
+    # vacuum reclaims the three superseded roots
+    deleted = cat.vacuum(keep_last=1, min_age_seconds=0.0)
+    assert len(deleted) == 3
+    assert cat.read(spark, "datasets/x").count() == 300
