@@ -753,3 +753,51 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.curation import curate_documents
 
     return curate_documents(_augment_exact(spark, sf_dir))
+
+
+@register(
+    "doc_pack_sequences",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, shard, n_tokens,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM d
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS seq_id, n_tokens AS used
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.used + o.n_tokens > 500 AND p.used > 0
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.used + o.n_tokens > 500 AND p.used > 0
+                    THEN o.n_tokens ELSE p.used + o.n_tokens END
+        FROM ordered o JOIN packed p
+          ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, seq_id FROM packed
+    """,
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): docs walked in
+    doc_id order per shard, a new fixed-budget training sequence opens
+    whenever the next doc would overflow 500 tokens.  Inherently stateful
+    -> Arrow-batched applyInPandas per shard (the §2.11 slow-path tier,
+    never a row-at-a-time UDF); the DuckDB oracle replays the walk as a
+    recursive CTE.  One shuffle (shard key), then embarrassingly parallel
+    per-shard walks."""
+    from .operators.packing import pack_sequences, with_shards
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    sized = with_shards(
+        docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens")),
+        n_shards=4,
+    ).select("doc_id", "shard", "n_tokens")
+    return pack_sequences(sized, budget=500)

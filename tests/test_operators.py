@@ -563,3 +563,47 @@ def test_split_assign_total_and_disjoint(spark):
     assert joined.count() == 0
     with _pytest.raises(ValueError, match="sum to 100"):
         split_assign(df, "k", weights={"train": 50, "val": 10}, salt="s")
+
+
+def test_pack_sequences_budget_invariants(spark):
+    """No multi-doc sequence exceeds the budget; an oversized doc sits
+    alone in its own sequence; seq_ids are contiguous from 0 per shard;
+    the packing is stable under physical repartitioning."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.packing import (
+        pack_sequences,
+        with_shards,
+    )
+
+    df = with_shards(
+        spark.range(0, 300).selectExpr(
+            "id as doc_id", "(id * 37) % 700 as n_tokens"  # some docs > budget
+        ),
+        n_shards=3,
+    )
+    out = pack_sequences(df, budget=500).cache()
+    sums = out.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_docs")
+    )
+    # multi-doc sequences respect the budget
+    assert sums.filter((F.col("n_docs") > 1) & (F.col("total") > 500)).count() == 0
+    # oversized docs are alone in their sequence
+    fat = out.filter(F.col("n_tokens") > 500).select("shard", "seq_id")
+    assert (
+        fat.join(sums, ["shard", "seq_id"]).filter(F.col("n_docs") > 1).count() == 0
+    )
+    # seq_ids contiguous from 0 within each shard
+    for r in sums.groupBy("shard").agg(
+        F.min("seq_id").alias("lo"),
+        F.max("seq_id").alias("hi"),
+        F.countDistinct("seq_id").alias("n"),
+    ).collect():
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+    # repartitioning must not change the assignment (order is by doc_id,
+    # not arrival)
+    again = pack_sequences(df.repartition(17), budget=500)
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
+    with _pytest.raises(ValueError, match="budget must be positive"):
+        pack_sequences(df, budget=0)
