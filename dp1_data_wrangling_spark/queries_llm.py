@@ -801,3 +801,47 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=4,
     ).select("doc_id", "shard", "n_tokens")
     return pack_sequences(sized, budget=500)
+
+
+@register(
+    "corpus_top_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                    x -> x != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS ngram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY ngram
+    ORDER BY n DESC, ngram ASC LIMIT 20
+    """,
+)
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k word bigrams: the n-gram census behind corpus
+    inspection and contamination screens.  All-integer pipeline: explode
+    bigrams, ONE map-side-combinable groupBy count, TakeOrderedAndProject
+    top-k (count desc, ngram asc tie-break — deterministic).  At 100 TB
+    the combine collapses per-partition duplicates before the shuffle and
+    the top-k never materializes the full census on one node."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != ""
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
