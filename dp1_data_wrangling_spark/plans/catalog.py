@@ -42,6 +42,12 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "MANIFEST.json"
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the tables a transaction depends on
+    changed between its snapshot read and its commit.  The staged data is
+    left as an orphan (invisible; reclaimed by ``vacuum``)."""
+
+
 @dataclass
 class Transaction:
     """Accumulates table writes; nothing is visible until commit."""
@@ -146,7 +152,12 @@ class Catalog:
         m = self.manifest(version)
         if table not in m["tables"]:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
-        paths = [str(self.root / rel) for rel in m["tables"][table]]
+        return self._read_roots(spark, m["tables"][table])
+
+    def _read_roots(self, spark: SparkSession, rels: list[str]) -> DataFrame:
+        """Read a fixed list of commit roots (a snapshot of a table's
+        manifest entry) and union them."""
+        paths = [str(self.root / rel) for rel in rels]
         if len(paths) == 1:
             return spark.read.parquet(paths[0])
         # Multi-commit (append) tables: each commit's files live under its
@@ -161,9 +172,22 @@ class Catalog:
         with_data = [p for p in paths if any(Path(p).rglob("*.parquet"))]
         if not with_data:  # all-empty: defer to the reader's own error
             return spark.read.parquet(paths[0])
-        dfs = [spark.read.parquet(p) for p in with_data]
-        out = dfs[0]
-        for df in dfs[1:]:
+        # Per-root inference can diverge — hive partition-column type
+        # inference (an all-numeric partition value infers int in one
+        # commit, string in another) or schema evolution across appends.
+        # Pin every later root to the FIRST root's column types: cast
+        # name-matched columns, then union strictly by name so a root
+        # with genuinely missing/extra columns still fails loudly rather
+        # than silently changing the table's type or contents.
+        from pyspark.sql import functions as F
+
+        out = spark.read.parquet(with_data[0])
+        pinned = {f.name: f.dataType for f in out.schema.fields}
+        for p in with_data[1:]:
+            df = spark.read.parquet(p)
+            for name, dtype in pinned.items():
+                if name in df.columns and df.schema[name].dataType != dtype:
+                    df = df.withColumn(name, F.col(name).cast(dtype))
             out = out.unionByName(df)
         return out
 
@@ -183,6 +207,7 @@ class Catalog:
         *,
         sort_by: list[str] | None = None,
         partition_by: list[str] | None = None,
+        max_retries: int = 3,
     ) -> int:
         """Rewrite a multi-commit (appended) table into one txn root.
 
@@ -193,13 +218,38 @@ class Catalog:
         ``vacuum`` reclaims them.  Time travel is preserved: pre-compaction
         versions still resolve through their snapshots until vacuumed.
         ``sort_by``/``partition_by`` re-apply the table's physical layout
-        (the manifest does not record it)."""
-        df = self.read(spark, table)
-        txn = self.begin()
-        txn.stage(
-            table, df, mode="overwrite", sort_by=sort_by, partition_by=partition_by
-        )
-        return self.commit(txn, meta={"compacted": table})
+        (the manifest does not record it).
+
+        Concurrency: the read-rewrite happens OUTSIDE the commit lock (it
+        can take hours at scale), so an append that commits in between
+        would be silently erased by the overwrite.  Compaction therefore
+        records the root list it read and commits with an optimistic
+        conflict check — if the table's roots changed, the commit aborts
+        (staging becomes an invisible orphan for ``vacuum``) and the
+        read-rewrite retries against the new state, exactly the
+        Delta/Iceberg OCC loop."""
+        last_exc: CommitConflict | None = None
+        for _ in range(max_retries):
+            snapshot = self.manifest()
+            if table not in snapshot["tables"]:
+                raise KeyError(f"catalog {self.root}: no table {table!r}")
+            roots = list(snapshot["tables"][table])
+            df = self._read_roots(spark, roots)
+            txn = self.begin()
+            txn.stage(
+                table, df, mode="overwrite", sort_by=sort_by, partition_by=partition_by
+            )
+            try:
+                return self.commit(
+                    txn, meta={"compacted": table}, require_roots={table: roots}
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise CommitConflict(
+            f"compact({table!r}): concurrent appends kept winning after "
+            f"{max_retries} attempts"
+        ) from last_exc
 
     def vacuum(self, *, keep_last: int = 1, min_age_seconds: float = 86_400.0) -> list[str]:
         """Retention: expire old snapshots and delete unreferenced data.
@@ -248,7 +298,13 @@ class Catalog:
                     deleted.append(d.name)
         return deleted
 
-    def commit(self, txn: Transaction, *, meta: dict | None = None) -> int:
+    def commit(
+        self,
+        txn: Transaction,
+        *,
+        meta: dict | None = None,
+        require_roots: dict[str, list[str]] | None = None,
+    ) -> int:
         """Atomically publish every table staged in ``txn``.
 
         The manifest swap is the commit point: a crash before ``os.replace``
@@ -277,6 +333,18 @@ class Catalog:
             fcntl.flock(lock, fcntl.LOCK_EX)
             m = self.manifest()  # re-read under the lock
             tables = m["tables"]
+            if require_roots:
+                # Optimistic conflict check (compact): the caller staged an
+                # overwrite derived from a snapshot of these roots; if they
+                # changed since, committing would erase the interleaved
+                # writes — abort instead and let the caller retry.
+                for tname, expected in require_roots.items():
+                    if tables.get(tname, []) != expected:
+                        raise CommitConflict(
+                            f"table {tname!r} changed since snapshot: "
+                            f"expected roots {expected}, found "
+                            f"{tables.get(tname, [])}"
+                        )
             for table, (mode, rel) in sorted(txn.writes.items()):
                 if mode == "overwrite" or table not in tables:
                     tables[table] = [rel]

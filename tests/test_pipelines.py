@@ -569,3 +569,92 @@ def test_catalog_compact_folds_appends_to_one_root(spark, tmp_path):
     deleted = cat.vacuum(keep_last=1, min_age_seconds=0.0)
     assert len(deleted) == 3
     assert cat.read(spark, "datasets/x").count() == 300
+
+
+def test_catalog_commit_require_roots_conflict(spark, tmp_path):
+    """A commit carrying an optimistic root-list expectation aborts when
+    the table changed since the snapshot, leaving the manifest untouched."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog, CommitConflict
+
+    cat = Catalog(str(tmp_path / "cat"))
+    txn = cat.begin()
+    txn.stage("t", spark.range(10))
+    cat.commit(txn)
+    roots_v1 = list(cat.manifest()["tables"]["t"])
+    # someone appends in between
+    txn2 = cat.begin()
+    txn2.stage("t", spark.range(10, 20), mode="append")
+    cat.commit(txn2)
+    # a stale overwrite must be rejected
+    stale = cat.begin()
+    stale.stage("t", spark.range(5), mode="overwrite")
+    before = cat.manifest()
+    with pytest.raises(CommitConflict):
+        cat.commit(stale, require_roots={"t": roots_v1})
+    assert cat.manifest() == before
+    assert cat.read(spark, "t").count() == 20
+
+
+def test_catalog_compact_retries_over_concurrent_append(spark, tmp_path):
+    """An append landing between compact's snapshot read and its commit is
+    NOT lost: the first commit attempt conflicts, compact re-reads and the
+    appended rows survive (the ADVICE r5 lost-update race)."""
+    from dp1_data_wrangling_spark.plans import catalog as cat_mod
+
+    cat = cat_mod.Catalog(str(tmp_path / "cat"))
+    for lo in (0, 100):
+        txn = cat.begin()
+        txn.stage("t", spark.range(lo, lo + 100), mode="append")
+        cat.commit(txn)
+
+    real_read_roots = cat._read_roots
+    fired = {"n": 0}
+
+    def racy_read_roots(spark_, rels):
+        df = real_read_roots(spark_, rels)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # concurrent appender commits AFTER compact snapshotted its roots
+            other = cat_mod.Catalog(str(tmp_path / "cat"))
+            txn = other.begin()
+            txn.stage("t", spark.range(200, 300), mode="append")
+            other.commit(txn)
+        return df
+
+    cat._read_roots = racy_read_roots  # type: ignore[method-assign]
+    try:
+        cat.compact(spark, "t")
+    finally:
+        cat._read_roots = real_read_roots  # type: ignore[method-assign]
+    assert fired["n"] == 1
+    got = {r["id"] for r in cat.read(spark, "t").collect()}
+    assert got == set(range(300)), "concurrent append was lost by compaction"
+    assert len(cat.manifest()["tables"]["t"]) == 1
+
+
+def test_catalog_multi_root_partition_type_pinned(spark, tmp_path):
+    """Per-root hive partition-column type inference can diverge (all-numeric
+    values infer int); multi-root reads pin every root to the first root's
+    types so the union neither fails nor silently changes the column type."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.range(5).selectExpr("id", "'run_a' as run"),
+        partition_by=["run"],
+    )
+    cat.commit(txn)
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.range(5, 10).selectExpr("id", "'7' as run"),
+        mode="append",
+        partition_by=["run"],
+    )
+    cat.commit(txn)
+    df = cat.read(spark, "t")
+    assert dict(df.dtypes)["run"] == "string"
+    assert {r["run"] for r in df.select("run").distinct().collect()} == {"run_a", "7"}
+    assert df.count() == 10
