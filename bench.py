@@ -74,9 +74,15 @@ def main() -> None:
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     if "certify_probe" in timings and small_dir != sf_dir and os.path.isdir(small_dir):
         try:
-            t0 = time.perf_counter()
-            materialize(REGISTRY["certify_probe"].fn(spark, small_dir))
-            small_t = time.perf_counter() - t0
+            # Same min-of-3 methodology as the headline numbers: a single
+            # un-warmed small-SF run carries cold parquet-footer/codegen
+            # caches for that data, inflating small_sf_sec and biasing the
+            # ratio downward (ADVICE r5).
+            small_t = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(REGISTRY["certify_probe"].fn(spark, small_dir))
+                small_t = min(small_t, time.perf_counter() - t0)
             scaling["certify_probe"] = {
                 "small_sf_sec": round(small_t, 3),
                 "sec": timings["certify_probe"],

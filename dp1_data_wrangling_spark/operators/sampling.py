@@ -61,6 +61,11 @@ def split_assign(
     Iteration order of ``weights`` fixes the ranges, e.g.
     ``{"train": 90, "val": 5, "test": 5}`` -> train=[0,90) val=[90,95)
     test=[95,100)."""
+    bad = {n: w for n, w in weights.items() if not isinstance(w, int) or w <= 0}
+    if bad:
+        # A negative weight would pass the sum check while silently
+        # collapsing ranges (first-match-wins eats the later splits).
+        raise ValueError(f"split weights must be positive ints, got {bad}")
     total = sum(weights.values())
     if total != N_BUCKETS:
         raise ValueError(f"split weights must sum to 100, got {total}")

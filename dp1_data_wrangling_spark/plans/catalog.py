@@ -354,7 +354,12 @@ class Catalog:
                     raise ValueError(f"unknown write mode {mode!r}")
             m["version"] += 1
             if meta:
-                m.setdefault("meta", {}).update(meta)
+                bag = m.setdefault("meta", {})
+                for k, v in meta.items():
+                    if v is None:  # None = delete the key (one-shot migrations)
+                        bag.pop(k, None)
+                    else:
+                        bag[k] = v
             body = json.dumps(m, indent=2, sort_keys=True)
             tmp = self._manifest_path().with_suffix(f".tmp-{txn.txn_id}")
             tmp.write_text(body)

@@ -40,8 +40,14 @@ from ..plans.catalog import Catalog
 INDEX_TABLE = "minhash_index"
 PAIRS_TABLE = "minhash_pairs"
 
-# Pre-round-5 catalogs wrote one fixed watermark key for every stream; a
-# restart from such a catalog must honor it, not replay its last batch.
+# Pre-round-5 catalogs wrote one fixed watermark key for every stream.  A
+# restarted pre-upgrade stream must honor it (not replay its last batch),
+# but a FRESH stream must not inherit it — foreachBatch ids restart at 0
+# per checkpoint, so inheriting another stream's watermark silently skips
+# all of the new stream's first batches.  Adoption is therefore explicit
+# (``adopt_legacy_watermark=True``, exactly one designated stream) and
+# one-shot: the adopting stream's first commit migrates the value to its
+# scoped key and deletes the legacy key.
 LEGACY_META_KEY = "last_batch_id:minhash_dedup"
 
 
@@ -67,6 +73,7 @@ def stream_minhash_dedup(
     max_bucket_size: int | None = None,
     trigger_available_now: bool = True,
     stream_name: str | None = None,
+    adopt_legacy_watermark: bool = False,
 ) -> StreamingQuery:
     """Start the incremental dedup stream.
 
@@ -82,6 +89,14 @@ def stream_minhash_dedup(
     meta; it defaults to a digest of ``checkpoint_dir`` (restarting from
     the same checkpoint resumes the same watermark).  Pass it explicitly
     if the checkpoint directory can move between runs.
+
+    ``adopt_legacy_watermark``: set True on exactly ONE stream when
+    restarting a pre-upgrade (fixed-watermark-key) catalog — that stream
+    honors the legacy watermark and its first commit migrates it to the
+    scoped key, deleting the legacy key.  Leave False (default) for every
+    other stream: batch ids restart at 0 per checkpoint, so a fresh stream
+    inheriting another stream's watermark would silently drop all of its
+    first batches.
     """
     meta_key = _meta_key(checkpoint_dir, stream_name)
 
@@ -89,9 +104,10 @@ def stream_minhash_dedup(
         cat = Catalog(catalog_root)
         meta = cat.meta()
         last = meta.get(meta_key)
-        if last is None:
-            # Upgrade path: fall back to the pre-per-stream fixed key; the
-            # first commit below migrates the watermark to the scoped key.
+        if last is None and adopt_legacy_watermark:
+            # Upgrade path (opt-in, one designated stream): honor the
+            # pre-per-stream fixed key; the first commit below migrates it
+            # to the scoped key and deletes it.
             last = meta.get(LEGACY_META_KEY)
         if last is not None and batch_id <= last:
             return  # replay after recovery — already committed
@@ -140,7 +156,10 @@ def stream_minhash_dedup(
         txn = cat.begin()
         txn.stage(INDEX_TABLE, keys, mode="append")
         txn.stage(PAIRS_TABLE, pairs, mode="append")
-        cat.commit(txn, meta={meta_key: batch_id})
+        commit_meta: dict = {meta_key: batch_id}
+        if adopt_legacy_watermark and LEGACY_META_KEY in meta:
+            commit_meta[LEGACY_META_KEY] = None  # one-shot: consumed
+        cat.commit(txn, meta=commit_meta)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -563,6 +563,12 @@ def test_split_assign_total_and_disjoint(spark):
     assert joined.count() == 0
     with _pytest.raises(ValueError, match="sum to 100"):
         split_assign(df, "k", weights={"train": 50, "val": 10}, salt="s")
+    # a negative weight passes the sum check but would silently collapse
+    # ranges (first-match-wins eats the later splits) — reject it outright
+    with _pytest.raises(ValueError, match="positive"):
+        split_assign(df, "k", weights={"train": 110, "val": -10}, salt="s")
+    with _pytest.raises(ValueError, match="positive"):
+        split_assign(df, "k", weights={"train": 100, "val": 0}, salt="s")
 
 
 def test_pack_sequences_budget_invariants(spark):

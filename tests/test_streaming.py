@@ -361,7 +361,9 @@ def test_stream_minhash_dedup_honors_legacy_watermark(spark, tmp_path):
         .parquet(f"{src}/*/")
     )
     ckpt = str(tmp_path / "ckpt")
-    q = stream_minhash_dedup(stream, cat_root, checkpoint_dir=ckpt)
+    q = stream_minhash_dedup(
+        stream, cat_root, checkpoint_dir=ckpt, adopt_legacy_watermark=True
+    )
     q.awaitTermination(180)
 
     cat = Catalog(cat_root)
@@ -369,5 +371,44 @@ def test_stream_minhash_dedup_honors_legacy_watermark(spark, tmp_path):
     # index holds ONE delivery's band rows (3 bands per doc), not two
     n_docs = aug.count()
     assert cat.read(spark, INDEX_TABLE).count() == n_docs * 3
-    # watermark migrated to the per-stream key by the first commit
+    # watermark migrated to the per-stream key by the first commit,
+    # and the legacy key consumed (one-shot) so no later fresh stream
+    # can inherit it
     assert cat.meta()[_meta_key(ckpt, None)] == 1
+    assert LEGACY_META_KEY not in cat.meta()
+
+
+def test_stream_minhash_dedup_fresh_stream_ignores_legacy_watermark(spark, tmp_path):
+    """A genuinely NEW stream (fresh checkpoint) against a catalog that
+    still carries the legacy fixed watermark must NOT inherit it — batch
+    ids restart at 0 per checkpoint, so inheriting would silently skip all
+    of the new stream's first batches (the ADVICE r5 data-loss path)."""
+    from dp1_data_wrangling_spark.queries_llm import _augment_near
+    from dp1_data_wrangling_spark.streaming import stream_minhash_dedup
+    from dp1_data_wrangling_spark.streaming.dedup_llm import (
+        INDEX_TABLE,
+        LEGACY_META_KEY,
+    )
+
+    aug = _augment_near(spark, SMOKE_SF).limit(100)
+    src = tmp_path / "docs_stream"
+    aug.coalesce(1).write.parquet(str(src / "b1"))
+
+    # upgraded catalog still carrying a stale legacy watermark from some
+    # other (long-gone) stream that claimed batches 0..5 as committed
+    cat_root = str(tmp_path / "cat")
+    cat = Catalog(cat_root)
+    cat.commit(cat.begin(), meta={LEGACY_META_KEY: 5})
+
+    stream = spark.readStream.schema(aug.schema).parquet(f"{src}/*/")
+    q = stream_minhash_dedup(
+        stream, cat_root, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    # without the adopt flag the new stream's batch 0 is processed, not
+    # skipped as a phantom replay
+    assert cat.read(spark, INDEX_TABLE).count() == aug.count() * 3
+    # and the legacy key is left alone for the stream that owns it
+    assert cat.meta()[LEGACY_META_KEY] == 5
