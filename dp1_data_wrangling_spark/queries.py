@@ -1658,44 +1658,52 @@ from . import queries_streaming  # noqa: E402,F401
 DRIVER_WINDOW: list[str] = [
     # -- core data plane (scans, joins, dedup, export pipeline) --
     "scan_filter_project",
-    "pattern_filter",
     "semi_join",
     "anti_join",
     "dimension_expansion",
     "membership_join",
-    "literal_coordinate_join",
     "find_first",
     "find_first_calibration_bypass",
     "priority_dedup",
     "chain_flatten_distributed",
     "interval_overlap",
     "asof_lookup",
-    # audit rotation (round 5): the bucketized + routed as-of variants and two
-    # previously in-repo-only tail queries take the slots of set_union /
-    # set_except / nested_unnest / chain_flatten, whose coverage is trivial
-    # and equally held by tests/test_oracle_parity.py — this hands the driver
-    # fresh sf0.01 verification surface each round.
-    # round-6 rotation candidates (in): doc_stable_sample, doc_split_assign,
-    # doc_curation_pipeline, rolling_sum, date_trunc_agg; (out): pattern_filter,
-    # literal_coordinate_join, approx_distinct — trivial and parity-held.
+    # Audit rotation: each round a handful of previously in-repo-only tail
+    # queries take the slots of trivial entries with multi-round driver-green
+    # history (their coverage is equally held by tests/test_oracle_parity.py),
+    # handing the driver fresh sf0.01 verification surface every round.
+    # round 5 (in): asof_lookup_bucketized, asof_lookup_routed,
+    #   window_analytics, json_struct_parse — all came back green.
+    # round 6 (in): doc_stable_sample, doc_split_assign,
+    #   doc_curation_pipeline, rolling_sum, date_trunc_agg; (out):
+    #   pattern_filter, literal_coordinate_join, approx_distinct (the
+    #   annotated plan) + conditional_rewrite, approx_percentile (5x and 4x
+    #   consecutive driver-green, trivial, parity-held).
+    # round-7 rotation candidates (in): doc_pack_sequences, corpus_top_ngrams,
+    #   rollup_agg, pivot_agg, exists_subquery; (out): dedup_exact,
+    #   sort_topk, nested_regroup, group_agg_run, json_struct_parse —
+    #   multi-round green by then, parity-held.
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
     "json_struct_parse",
+    "rolling_sum",
+    "date_trunc_agg",
     "dedup_exact",
     "group_agg_run",
     "nested_regroup",
     "sort_topk",
     "path_rewrite",
-    "conditional_rewrite",
     "export_plan",
     # -- aggregation / window / sketch headline extras --
     "window_rank",
     "revenue_agg",
     "join_agg_topk",
     "multi_join_revenue",
-    "approx_distinct",
-    "approx_percentile",
+    # -- LLM curation tier (rotated in round 6) --
+    "doc_stable_sample",
+    "doc_split_assign",
+    "doc_curation_pipeline",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "doc_dedup_survivors",

@@ -67,7 +67,9 @@ def test_driver_window_covers_flagship_surface():
         "ivf_recall_bound", "multimodal_features", "multimodal_resize",
         "multimodal_frames", "tumbling_window", "sliding_window",
         "session_window", "event_correlation", "chain_flatten_distributed",
-        "approx_distinct", "approx_percentile",
+        # round-6 rotation: the curation tier replaced approx_distinct /
+        # approx_percentile (4-5x consecutive driver-green, parity-held)
+        "doc_stable_sample", "doc_split_assign", "doc_curation_pipeline",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
