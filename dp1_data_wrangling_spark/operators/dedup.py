@@ -38,16 +38,39 @@ def content_digest(text: Column) -> Column:
     return F.md5(text.cast("binary"))
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Exact dedup: group by content digest, keep the min-id survivor.
 
     Returns (digest, keep_id, n_copies); join back on digest+id for the
-    surviving rows (narrow-shuffle pattern, see module docstring)."""
-    return (
-        docs.select(content_digest(F.col(text_col)).alias("digest"), F.col(id_col))
-        .groupBy("digest")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    surviving rows (narrow-shuffle pattern, see module docstring).
+
+    ``carry`` names extra columns to ride along with the survivor via a
+    ``min_by(struct(...), id)`` — they come back as columns of the result
+    already holding the KEEP row's values, so callers that only need a few
+    narrow survivor attributes (e.g. curation's ``n_tokens``) skip the
+    join-back entirely and the whole consumer stays single-shuffle at any
+    corpus size.  Carry narrow columns only: carried values travel through
+    the digest shuffle."""
+    carry = carry or []
+    rows = docs.select(
+        content_digest(F.col(text_col)).alias("digest"),
+        F.col(id_col),
+        *[F.col(c) for c in carry],
     )
+    # one min_by per carried column, NOT min_by(struct(...), id): a struct
+    # aggregation buffer knocks the whole groupBy from HashAggregate down
+    # to SortAggregate (extra map-side sort of every row)
+    aggs = [
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        *[F.min_by(F.col(c), F.col(id_col)).alias(c) for c in carry],
+    ]
+    return rows.groupBy("digest").agg(*aggs)
 
 
 def normalized(text: Column) -> Column:

@@ -43,13 +43,19 @@ def curate_documents(
 ) -> DataFrame:
     """The curation plan: lang filter -> token floor -> exact-dedup
     survivors -> split.  Returns (doc_id, n_tokens, n_copies, split);
-    ``n_copies`` is the size of each survivor's duplicate group."""
+    ``n_copies`` is the size of each survivor's duplicate group.
+
+    Single-shuffle at ANY corpus size: ``n_tokens`` rides through the
+    digest aggregation as a min_by carry, so there is no survivors
+    join-back — at fixture scale that join broadcast, but the groups side
+    is one row per distinct digest (corpus-sized at 100 TB), where it
+    would degrade to a doc_id shuffle.  The carry removes the join
+    entirely; the only exchange left is the 16-byte-digest groupBy
+    (pinned by test_plan_quality)."""
     en = tx.lang_id(docs).filter(F.col("lang_guess") == keep_lang)
     good = tx.quality_stats(en).filter(F.col("n_tokens") >= min_tokens)
-    groups = dd.exact_dedup(good)
-    surv = good.select("doc_id", "n_tokens").join(
-        groups.select(F.col("keep_id").alias("doc_id"), "n_copies"), "doc_id"
-    )
+    groups = dd.exact_dedup(good, carry=["n_tokens"])
+    surv = groups.select(F.col("keep_id").alias("doc_id"), "n_tokens", "n_copies")
     return split_assign(
         surv, "doc_id", weights=weights or DEFAULT_WEIGHTS, salt=salt
     ).select("doc_id", "n_tokens", "n_copies", "split")

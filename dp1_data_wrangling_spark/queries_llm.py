@@ -718,14 +718,11 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM en
     ),
     good AS (SELECT * FROM toks WHERE n_tokens >= 10),
-    groups AS (
-        SELECT md5(text) AS dg, min(doc_id) AS keep_id,
+    surv AS (
+        SELECT min(doc_id) AS doc_id,
+               arg_min(n_tokens, doc_id) AS n_tokens,
                count(*) AS n_copies
         FROM good GROUP BY md5(text)
-    ),
-    surv AS (
-        SELECT g.keep_id AS doc_id, t.n_tokens, g.n_copies
-        FROM groups g JOIN good t ON t.doc_id = g.keep_id
     )
     SELECT doc_id, n_tokens, n_copies,
            CASE WHEN CAST(('0x' || substr(md5('curation_v1' ||

@@ -259,3 +259,23 @@ def test_routed_asof_lookup_is_all_hash_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # two join branches, both keyed
     assert len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)) >= 2, plan
+
+
+def test_curation_pipeline_single_shuffle_any_scale(spark):
+    """doc_curation_pipeline is scan -> map -> ONE digest shuffle -> map at
+    any corpus size: n_tokens rides the digest agg as a min_by carry, so
+    there is no survivors join-back.  Asserted with broadcast joins
+    disabled — at 100 TB the groups side is corpus-sized and nothing can
+    broadcast, so the plan must hold with zero broadcast assistance."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["doc_curation_pipeline"].fn(spark, SMOKE_SF)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert data_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan
+    # the one exchange carries digests, and partial-agg runs map-side first
+    assert re.search(r"Exchange hashpartitioning\(digest", plan), plan
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan
