@@ -65,31 +65,37 @@ def main() -> None:
             errors[name] = str(exc)[:200]
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
-    # Empirical scale sweep for the certify overlap check (sort-neighbor
-    # window, claimed O(n log n)): time the same plan one SF down and record
-    # the 10x-rows timing ratio.  Fixed plan/launch overhead compresses the
-    # ratio at these sizes (expect low single digits); the O(n^2) self-join
-    # this plan replaces would show ~100x growth in the data-dependent part.
+    # Empirical scale sweep: time the same plans one SF down and record the
+    # 10x-rows timing ratio.  Fixed plan/launch overhead compresses the
+    # ratio at these sizes (expect low single digits); a quadratic plan
+    # (e.g. the O(n^2) self-join certify_probe's sort-neighbor window
+    # replaces) would show ~100x growth in the data-dependent part.
+    # priority_dedup joined the sweep in round 6 to adjudicate its r5
+    # timing wobble: its claimed shape is one min_by shuffle, so the ratio
+    # must stay in the same low-single-digit class.
     scaling: dict[str, dict] = {}
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
-    if "certify_probe" in timings and small_dir != sf_dir and os.path.isdir(small_dir):
-        try:
-            # Same min-of-3 methodology as the headline numbers: a single
-            # un-warmed small-SF run carries cold parquet-footer/codegen
-            # caches for that data, inflating small_sf_sec and biasing the
-            # ratio downward (ADVICE r5).
-            small_t = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                materialize(REGISTRY["certify_probe"].fn(spark, small_dir))
-                small_t = min(small_t, time.perf_counter() - t0)
-            scaling["certify_probe"] = {
-                "small_sf_sec": round(small_t, 3),
-                "sec": timings["certify_probe"],
-                "ratio_10x_rows": round(timings["certify_probe"] / small_t, 2),
-            }
-        except Exception as exc:  # noqa: BLE001 - the sweep is informational
-            print(f"scale sweep failed: {exc}", file=sys.stderr)
+    if small_dir != sf_dir and os.path.isdir(small_dir):
+        for probe in ("certify_probe", "priority_dedup"):
+            if probe not in timings:
+                continue
+            try:
+                # Same min-of-3 methodology as the headline numbers: a
+                # single un-warmed small-SF run carries cold parquet-footer
+                # and codegen caches for that data, inflating small_sf_sec
+                # and biasing the ratio downward (ADVICE r5).
+                small_t = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    materialize(REGISTRY[probe].fn(spark, small_dir))
+                    small_t = min(small_t, time.perf_counter() - t0)
+                scaling[probe] = {
+                    "small_sf_sec": round(small_t, 3),
+                    "sec": timings[probe],
+                    "ratio_10x_rows": round(timings[probe] / small_t, 2),
+                }
+            except Exception as exc:  # noqa: BLE001 - sweep is informational
+                print(f"scale sweep failed for {probe}: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     record = {

@@ -305,11 +305,13 @@ def simhash_candidate_pairs(
         .select("__p.id_a", "__p.id_b", "__p.simhash_a", "__p.simhash_b")
         .distinct()
     )
-    hamming = F.expr(
-        "aggregate(sequence(0, 59), 0, (acc, b) -> acc + "
-        "CASE WHEN (cast(simhash_a as bigint) div shiftleft(1L, b)) % 2 != "
-        "(cast(simhash_b as bigint) div shiftleft(1L, b)) % 2 THEN 1 ELSE 0 END)"
-    )
+    # Native popcount of the XOR, NOT an aggregate(sequence(0,59), ...)
+    # per-bit loop: higher-order-function lambdas run interpreted (outside
+    # whole-stage codegen), and hot buckets make pairs plentiful — the
+    # per-bit form cost ~60 interpreted evals x |pairs| (~2.7s of a 4.1s
+    # sf0.1 run, measured round 6); bit_count is one JVM instruction-ish
+    # expression and mirrors the oracle's bit_count(xor(..)) exactly.
+    hamming = F.expr("cast(bit_count(simhash_a ^ simhash_b) as int)")
     return pairs.withColumn("hamming", hamming)
 
 

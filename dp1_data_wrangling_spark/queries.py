@@ -955,7 +955,6 @@ def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    headline=True,
 )
 def q_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (SURVEY.md §2.9) in exact
@@ -988,7 +987,6 @@ def q_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total_cents DESC, nation_name
     LIMIT 10
     """,
-    headline=True,
 )
 def q_join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-dim-dim star join + agg + top-k: broadcast both dims, single

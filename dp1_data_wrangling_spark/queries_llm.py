@@ -205,6 +205,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            doc_id = min(doc_id) OVER (PARTITION BY dg) AS is_survivor
     FROM d
     """,
+    headline=True,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one-per-cluster dedup via connected components
@@ -302,7 +303,7 @@ _SIMHASH_ORACLE = f"""
     """
 
 
-@register("simhash_pairs", _SIMHASH_ORACLE)
+@register("simhash_pairs", _SIMHASH_ORACLE, headline=True)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates with hamming distance.  The whole
     pipeline is md5-derived integer arithmetic, so the DuckDB oracle

@@ -35,7 +35,6 @@ _THIRTY_MIN_US = 1_800_000_000
     FROM events
     GROUP BY 1, 2, 3
     """,
-    headline=True,
 )
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute event-time windows (streaming-equivalent plan;
@@ -69,6 +68,8 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window",
+    # headline since r6: heavier than the displaced tumbling_window
+    # (per-user session window shuffle), so the bench watches real work
     """
     WITH flagged AS (
         SELECT user_id, ts, event_id,
@@ -92,6 +93,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered
     GROUP BY user_id, session_no
     """,
+    headline=True,
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) via native session_window; the

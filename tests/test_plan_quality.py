@@ -279,3 +279,19 @@ def test_curation_pipeline_single_shuffle_any_scale(spark):
     # the one exchange carries digests, and partial-agg runs map-side first
     assert re.search(r"Exchange hashpartitioning\(digest", plan), plan
     assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+
+
+def test_priority_dedup_single_shuffle(spark):
+    """J5/W2 standalone gate (previously pinned only inside export_plan):
+    the min_by form must partially aggregate map-side and shuffle ONCE on
+    dataset_id; the priority list joins as a broadcast, never a shuffle."""
+    df = REGISTRY["priority_dedup"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    assert data_shuffles(plan) == 1, plan
+    assert re.search(r"Exchange hashpartitioning\(dataset_id", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # partial min_by upstream of the exchange (plans print sink-first, so
+    # the map-side partial aggregate appears BELOW the Exchange line) = at
+    # most one candidate per key per mapper enters the shuffle
+    assert plan.index("partial_min_by") > plan.index("Exchange hashpartitioning"), plan
