@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DEFAULT_MAX_ROWS_PER_SHARD = 2_000_000
+
+
 def pack_sequences(
     docs: DataFrame,
     *,
@@ -35,12 +38,25 @@ def pack_sequences(
     shard_col: str = "shard",
     order_col: str = "doc_id",
     token_col: str = "n_tokens",
+    max_rows_per_shard: int | None = DEFAULT_MAX_ROWS_PER_SHARD,
 ) -> DataFrame:
     """Assign each doc a ``seq_id`` (per shard) by greedy sequential
     packing under ``budget`` tokens.  Adds ``seq_id``; preserves input
-    columns."""
+    columns.
+
+    ``max_rows_per_shard`` is the executor-memory safety valve: one shard
+    is materialized as ONE pandas DataFrame on one executor, so a skewed
+    shard key (or a caller passing too-few shards for the corpus) would
+    OOM the executor with no useful diagnostic.  A shard exceeding the cap
+    raises with the shard id and the fix (more shards / different key)
+    instead — fail loud, not fail silent-OOM.  Pass ``None`` to disable
+    when shard sizes are externally bounded."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if max_rows_per_shard is not None and max_rows_per_shard <= 0:
+        raise ValueError(
+            f"max_rows_per_shard must be positive or None, got {max_rows_per_shard}"
+        )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -52,7 +68,18 @@ def pack_sequences(
     order_idx = docs.columns.index(order_col)
     token_idx = docs.columns.index(token_col)
 
+    shard_idx = docs.columns.index(shard_col)
+
     def pack(pdf):
+        if max_rows_per_shard is not None and len(pdf) > max_rows_per_shard:
+            shard = pdf.iloc[0, shard_idx] if len(pdf) else "?"
+            raise ValueError(
+                f"pack_sequences: shard {shard!r} holds {len(pdf)} rows, over "
+                f"the {max_rows_per_shard}-row per-shard cap (one shard is one "
+                f"in-memory pandas frame on one executor). Raise n_shards / "
+                f"pick a less-skewed shard key, or pass a higher "
+                f"max_rows_per_shard if executors have the memory."
+            )
         pdf = pdf.sort_values(pdf.columns[order_idx]).reset_index(drop=True)
         seq, used = 0, 0
         ids = []

@@ -613,3 +613,29 @@ def test_pack_sequences_budget_invariants(spark):
     out.unpersist()
     with _pytest.raises(ValueError, match="budget must be positive"):
         pack_sequences(df, budget=0)
+
+
+def test_pack_sequences_shard_row_cap(spark):
+    """One shard = one in-memory pandas frame on one executor: an
+    undersized n_shards must fail LOUD with the shard id and remediation,
+    not silently OOM at scale.  None disables the valve."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.packing import (
+        pack_sequences,
+        with_shards,
+    )
+
+    df = with_shards(
+        spark.range(0, 1000).selectExpr("id as doc_id", "10 as n_tokens"),
+        n_shards=2,  # ~500 rows per shard, far over the tiny cap below
+    )
+    packed = pack_sequences(df, budget=100, max_rows_per_shard=100)
+    with _pytest.raises(Exception, match="per-shard cap"):
+        packed.count()
+    # disabling the valve lets the same sharding through
+    assert (
+        pack_sequences(df, budget=100, max_rows_per_shard=None).count() == 1000
+    )
+    with _pytest.raises(ValueError, match="max_rows_per_shard"):
+        pack_sequences(df, budget=100, max_rows_per_shard=0)
