@@ -122,12 +122,16 @@ def asof_lookup(
     return out.drop("__iv_begin", "__iv_end")
 
 
+MAX_BUCKETS_PER_INTERVAL = 100_000
+
+
 def bucketize_intervals(
     intervals: DataFrame,
     bucket_ns: int,
     *,
     begin: str = "begin_nsec",
     end: str = "end_nsec",
+    max_buckets_per_interval: int = MAX_BUCKETS_PER_INTERVAL,
 ) -> DataFrame:
     """Explode each interval into the coarse time buckets it touches, so an
     interval join becomes an equi-join on ``bucket`` + residual predicate.
@@ -137,15 +141,36 @@ def bucketize_intervals(
     integer precision above 2^53, and epoch-ns values are ~1e18.
     Unbounded intervals (NULL bound) are NOT bucketizable (they would touch
     every bucket) and are dropped here — route them through the plain
-    conditional join instead."""
+    conditional join instead.
+
+    ``max_buckets_per_interval`` guards the explode width: one malformed
+    (e.g. million-year) interval would fan out into hundreds of millions
+    of rows — and ``sequence()`` itself hard-caps at 2^31 elements — so an
+    interval touching more buckets than the cap raises executor-side with
+    the offending width (``assert_true`` inside the row expression: no
+    extra validation job, no silent blowup).  Legitimate multi-year
+    calibration intervals at day buckets are thousands of buckets, far
+    under the default."""
+    lo = F.expr(f"`{begin}` div {bucket_ns}")
+    hi = F.expr(f"(`{end}` - 1) div {bucket_ns}")
+    width = hi - lo + F.lit(1)
+    guard = F.assert_true(
+        width <= F.lit(max_buckets_per_interval),
+        F.concat(
+            F.lit("bucketize_intervals: interval touches "),
+            width.cast("string"),
+            F.lit(
+                f" buckets of {bucket_ns} ns, over the "
+                f"{max_buckets_per_interval}-bucket cap — malformed interval "
+                f"or bucket_ns too fine"
+            ),
+        ),
+    )
     return intervals.withColumn(
         "bucket",
-        F.explode(
-            F.sequence(
-                F.expr(f"`{begin}` div {bucket_ns}"),
-                F.expr(f"(`{end}` - 1) div {bucket_ns}"),
-            )
-        ),
+        # assert_true yields NULL on success, so the when() is just the
+        # vehicle that forces its evaluation before the explode
+        F.explode(F.when(guard.isNull(), F.sequence(lo, hi))),
     )
 
 

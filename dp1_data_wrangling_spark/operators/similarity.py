@@ -27,6 +27,8 @@ Two tiers, mirroring what a 100 TB embedding corpus needs:
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -105,16 +107,19 @@ def brute_force_topk(
     )
 
 
-def _plane(table: int, plane: int, dim: int) -> list[float]:
+@functools.lru_cache(maxsize=None)
+def _plane(table: int, plane: int, dim: int) -> tuple[float, ...]:
     """Deterministic pseudo-random hyperplane: component signs from md5
-    bytes (no RNG object, reproducible everywhere)."""
+    bytes (no RNG object, reproducible everywhere).  Memoized — every
+    lsh_topk call otherwise re-derives n_tables x n_planes x dim md5s in
+    driver-side Python just to rebuild identical literals."""
     import hashlib
 
     out: list[float] = []
     for d in range(dim):
         h = hashlib.md5(f"{table}:{plane}:{d}".encode()).digest()
         out.append(1.0 if h[0] % 2 else -1.0)
-    return out
+    return tuple(out)
 
 
 def lsh_topk(

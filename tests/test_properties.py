@@ -316,3 +316,70 @@ def test_routed_lookup_equals_asof_with_null_bounds(spark, ivs, probes):
         if pk == ik and (b is None or t >= b) and (e is None or t < e)
     }
     assert base == brute
+
+
+def test_routed_lookup_exact_bucket_boundaries(spark):
+    """Deterministic corner sweep the hypothesis generator only hits by
+    luck: probe times EXACTLY on bucket boundaries, and intervals whose
+    begin/end are exact bucket multiples.  Half-open semantics must hold:
+    a probe at t == end_nsec matches nothing; a probe at t == begin_nsec
+    matches; an interval ending exactly at a bucket edge must not claim
+    the next bucket's boundary probe."""
+    from dp1_data_wrangling_spark.operators.intervals import (
+        asof_lookup,
+        routed_lookup,
+    )
+
+    B = 10  # bucket_ns
+    iv_rows = [
+        # (iv_id, key, begin, end) — all bounds on exact bucket edges
+        (0, 0, 0, 10),     # one whole bucket
+        (1, 0, 10, 30),    # two buckets, starts where iv 0 ends
+        (2, 0, 30, 31),    # minimal interval starting on an edge
+        (3, 0, None, 20),  # open begin, ends on an edge
+        (4, 0, 20, None),  # open end, begins on an edge
+        (5, 0, 9, 11),     # straddles the 10-edge by 1 ns each side
+    ]
+    pr_rows = [(j, 0, t) for j, t in enumerate([0, 9, 10, 11, 19, 20, 29, 30, 31, 40])]
+    iv_df = spark.createDataFrame(
+        iv_rows, "iv_id int, key int, begin_nsec long, end_nsec long"
+    )
+    pr_df = spark.createDataFrame(pr_rows, "pid int, key int, t long")
+
+    def matches(df):
+        return {(r["pid"], r["iv_id"]) for r in df.select("pid", "iv_id").collect()}
+
+    base = matches(asof_lookup(pr_df, iv_df, ["key"], probe_time="t"))
+    routed = matches(routed_lookup(pr_df, iv_df, ["key"], probe_time="t", bucket_ns=B))
+    assert routed == base
+    # spot-check the half-open edges against the written-down expectation
+    t10_pid = 2  # probe at t=10
+    hits_at_10 = {iv for (pid, iv) in base if pid == t10_pid}
+    assert hits_at_10 == {1, 3, 5}, hits_at_10  # NOT iv 0 (ends at 10)
+
+
+def test_bucketize_width_guard_raises_on_malformed_interval(spark):
+    """A malformed (e.g. million-year) interval must raise with the
+    offending width, not explode the executor: sequence() hard-caps at
+    2^31 elements and a silent hundred-million-row fan-out is an OOM.
+    Legitimate multi-bucket intervals still pass."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.intervals import bucketize_intervals
+
+    day = 86_400_000_000_000
+    ok = spark.createDataFrame(
+        [(0, 0, 400 * day)], "iv_id int, begin_nsec long, end_nsec long"
+    )
+    # 400 days at day buckets = 400 buckets — fine
+    assert bucketize_intervals(ok, day).count() == 400
+    bad = spark.createDataFrame(
+        # ~285 millennia: 9e18 ns / day-buckets = ~104k buckets, over the cap
+        [(1, 0, 9_000_000_000_000_000_000)],
+        "iv_id int, begin_nsec long, end_nsec long",
+    )
+    with _pytest.raises(Exception, match="bucket cap"):
+        bucketize_intervals(bad, day).count()
+    # a tighter explicit cap applies too
+    with _pytest.raises(Exception, match="bucket cap"):
+        bucketize_intervals(ok, day, max_buckets_per_interval=100).count()
