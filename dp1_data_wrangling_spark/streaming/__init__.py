@@ -18,6 +18,7 @@ from .events import (
     to_event_time,
     tumbling_windows_batch,
 )
+from .curation import read_curated, stream_curation
 from .dedup_llm import stream_minhash_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
@@ -36,4 +37,6 @@ __all__ = [
     "incremental_find_first",
     "stream_into_catalog",
     "stream_minhash_dedup",
+    "stream_curation",
+    "read_curated",
 ]

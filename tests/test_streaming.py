@@ -412,3 +412,45 @@ def test_stream_minhash_dedup_fresh_stream_ignores_legacy_watermark(spark, tmp_p
     assert cat.read(spark, INDEX_TABLE).count() == aug.count() * 3
     # and the legacy key is left alone for the stream that owns it
     assert cat.meta()[LEGACY_META_KEY] == 5
+
+
+def test_stream_curation_equals_batch(spark, tmp_path):
+    """Incremental curation over two micro-batches publishes exactly the
+    batch pipeline's curated corpus — survivors, n_tokens, corpus-total
+    n_copies, and split assignments — when arrival order is doc_id-ascending
+    (duplicate copies arrive after their originals, the case where batch
+    min-id-wins and streaming first-arrival-wins coincide).  Replaying the
+    stream from the same checkpoint adds nothing (exactly-once)."""
+    from dp1_data_wrangling_spark.plans.curation import curate_documents
+    from dp1_data_wrangling_spark.queries_llm import _augment_exact
+    from dp1_data_wrangling_spark.streaming import read_curated, stream_curation
+
+    aug = _augment_exact(spark, SMOKE_SF)
+    src = tmp_path / "docs_stream"
+    # originals first, duplicate mutants second -> cross-batch duplicates
+    aug.filter(F.col("doc_id") < 1_000_000).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    aug.filter(F.col("doc_id") >= 1_000_000).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_curation(stream, cat_root, checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+
+    got = read_curated(spark, cat_root)
+    want = curate_documents(aug)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # replay: same checkpoint -> no-op (exactly-once)
+    q2 = stream_curation(stream, cat_root, checkpoint_dir=ckpt)
+    q2.awaitTermination(180)
+    again = read_curated(spark, cat_root)
+    assert again.count() == want.count()
+    assert again.exceptAll(want).count() == 0
