@@ -843,3 +843,72 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(20)
     )
+
+
+@register(
+    "doc_source_quota",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota_v1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rank
+        FROM documents
+    )
+    SELECT doc_id, source, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep at most 10 docs per source, selected by an
+    unbiased deterministic hash rank (operators/selection.py).  Semantics
+    are a single ranking window, but the physical plan is the two-stage
+    sharded top-k — no task ever sees more than k * n_shards rows of one
+    group, so a 40 TB CommonCrawl-sized source cannot serialize onto one
+    executor the way a naive PARTITION BY source window would."""
+    from .operators.selection import group_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    return group_topk(docs, "source", "doc_id", k=10, salt="quota_v1")
+
+
+@register(
+    "doc_importance_resample",
+    """
+    WITH w AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 1.5
+                         WHEN 'es' THEN 2.25 ELSE 0.5 END AS wt,
+               CAST(('0x' || substr(md5('resample_v1' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               CAST(floor(wt) AS BIGINT)
+               + CASE WHEN bucket < CAST(round((wt - floor(wt)) * 100) AS BIGINT)
+                      THEN 1 ELSE 0 END AS repeats
+        FROM w
+    )
+    SELECT doc_id, lang, CAST(u.i AS INT) AS copy_id
+    FROM r, LATERAL unnest(generate_series(1, repeats)) AS u(i)
+    """,
+)
+def q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling of the corpus mix: de 1.5x, es 2.25x,
+    en 1.0x, everything else 0.5x.  Integer copies are guaranteed; the
+    fractional remainder becomes one extra copy for a deterministic
+    hash-selected fraction of keys (stochastic rounding — expected copy
+    count equals the weight, every decision a pure function of the key).
+    Row-local explode, zero shuffles at any scale; weights resolve to
+    percent precision (operators/selection.py)."""
+    from .operators.selection import importance_resample
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
+    weight = (
+        F.when(F.col("lang") == "en", 1.0)
+        .when(F.col("lang") == "de", 1.5)
+        .when(F.col("lang") == "es", 2.25)
+        .otherwise(0.5)
+    )
+    return importance_resample(docs, "doc_id", weight, salt="resample_v1")

@@ -639,3 +639,106 @@ def test_pack_sequences_shard_row_cap(spark):
     )
     with _pytest.raises(ValueError, match="max_rows_per_shard"):
         pack_sequences(df, budget=100, max_rows_per_shard=0)
+
+
+# ---------------------------------------------------------------------------
+# Selection: group quota top-k + importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_group_topk_shard_count_invariant(spark):
+    """Two-stage sharded top-k is lossless: any shard count (including the
+    degenerate single-window n_shards=1) selects the identical rows."""
+    from dp1_data_wrangling_spark.operators.selection import group_topk
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "source")
+    ref = {
+        tuple(r)
+        for r in group_topk(
+            docs, "source", "doc_id", k=7, salt="s", n_shards=1
+        ).collect()
+    }
+    for n_shards in (3, 16):
+        got = {
+            tuple(r)
+            for r in group_topk(
+                docs, "source", "doc_id", k=7, salt="s", n_shards=n_shards
+            ).collect()
+        }
+        assert got == ref, f"n_shards={n_shards} diverged"
+
+
+def test_group_topk_respects_quota_and_rank(spark):
+    from dp1_data_wrangling_spark.operators.selection import group_topk
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "source")
+    out = group_topk(docs, "source", "doc_id", k=5, salt="q").collect()
+    by_group: dict[str, list[int]] = {}
+    for r in out:
+        by_group.setdefault(r.source, []).append(r.rank)
+    for src, ranks in by_group.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+        assert len(ranks) <= 5, src
+
+
+def test_group_topk_partitioning_invariant(spark):
+    from dp1_data_wrangling_spark.operators.selection import group_topk
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "source")
+    a = {tuple(r) for r in group_topk(docs, "source", "doc_id", k=4).collect()}
+    b = {
+        tuple(r)
+        for r in group_topk(
+            docs.repartition(13), "source", "doc_id", k=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_importance_resample_integer_weights_exact(spark):
+    from dp1_data_wrangling_spark.operators.selection import importance_resample
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    n = docs.count()
+    doubled = importance_resample(docs, "doc_id", F.lit(2.0), salt="r")
+    assert doubled.count() == 2 * n
+    assert doubled.groupBy("doc_id").count().where("count != 2").count() == 0
+    dropped = importance_resample(docs, "doc_id", F.lit(0.0), salt="r")
+    assert dropped.count() == 0
+
+
+def test_importance_resample_fractional_is_stochastic_rounding(spark):
+    """wt=0.5 keeps exactly the keys whose hash bucket < 50 — one copy
+    each, deterministically."""
+    from dp1_data_wrangling_spark.operators.sampling import hash_bucket
+    from dp1_data_wrangling_spark.operators.selection import importance_resample
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    out = importance_resample(docs, "doc_id", F.lit(0.5), salt="frac")
+    kept = {r.doc_id for r in out.collect()}
+    expected = {
+        r.doc_id
+        for r in docs.where(hash_bucket(F.col("doc_id"), "frac") < 50).collect()
+    }
+    assert kept == expected
+    assert out.count() == len(kept)  # exactly one copy per kept key
+
+
+def test_importance_resample_caps_repeats(spark):
+    from dp1_data_wrangling_spark.operators.selection import importance_resample
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id").limit(5)
+    out = importance_resample(
+        docs, "doc_id", F.lit(99.0), salt="cap", max_repeats=3
+    )
+    assert out.groupBy("doc_id").count().where("count != 3").count() == 0
+
+
+def test_importance_resample_has_no_shuffle(spark):
+    from dp1_data_wrangling_spark.operators.selection import importance_resample
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    plan = importance_resample(
+        docs, "doc_id", F.lit(1.5), salt="p"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
