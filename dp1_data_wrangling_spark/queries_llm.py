@@ -912,3 +912,54 @@ def q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.5)
     )
     return importance_resample(docs, "doc_id", weight, salt="resample_v1")
+
+
+@register(
+    "doc_decontaminate",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS t,
+               CAST(('0x' || substr(md5('split_v1' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    trg AS (
+        SELECT doc_id, CAST(len(d) AS BIGINT) AS n_grams,
+               unnest(d) AS digest
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 2),
+                        i -> md5(array_to_string(t[i:i+3], ' ')))) AS d
+            FROM tok WHERE bucket < 90 AND len(t) >= 4
+        )
+    ),
+    evg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+                    i -> md5(array_to_string(t[i:i+3], ' ')))) AS digest
+        FROM tok WHERE bucket >= 95 AND len(t) >= 4
+    )
+    SELECT doc_id, max(n_grams) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM trg JOIN evg USING (digest)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): train docs (the
+    90% hash split) sharing any 4-token window with the held-out test
+    split (>= bucket 95), with shared-window counts.  The eval side's
+    digests are distinct-ed and broadcast; the corpus side is a row-local
+    map (tokenize -> n-grams -> md5 -> per-doc distinct) probed against
+    the broadcast, then ONE combinable groupBy on doc_id — the 100 TB
+    train corpus never shuffles its n-grams.  n=4 here only because the
+    fixture vocabulary is tiny; production screens use n of 8-13."""
+    from .operators.decontam import contamination
+    from .operators.sampling import hash_bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    bucket = hash_bucket(F.col("doc_id"), "split_v1")
+    train = docs.where(bucket < 90)
+    eval_docs = docs.where(bucket >= 95)
+    return contamination(train, eval_docs, n=4)

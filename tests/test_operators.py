@@ -742,3 +742,56 @@ def test_importance_resample_has_no_shuffle(spark):
         docs, "doc_id", F.lit(1.5), salt="p"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from dp1_data_wrangling_spark.operators.decontam import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares a 4-gram
+            (2, "one two three four five"),  # clean
+            (3, "beta gamma delta epsilon zeta"),  # shares the same window
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "xx beta gamma delta epsilon yy")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in contamination(train, eval_docs, n=4).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_shared == 1 and out[1].n_grams == 2
+    assert out[3].n_shared == 1
+
+
+def test_ngram_digests_drops_short_docs_and_dedups(spark):
+    from dp1_data_wrangling_spark.operators.decontam import ngram_digests
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b a b a b")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in ngram_digests(df, n=4).collect()}
+    assert 1 not in rows  # 3 tokens < n
+    # "a b a b a b": windows 'a b a b' and 'b a b a' and 'a b a b' -> 2 distinct
+    assert rows[2].n_grams == 2
+    assert len(rows[2].digests) == len(set(rows[2].digests)) == 2
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    from dp1_data_wrangling_spark.operators.decontam import contamination
+    from dp1_data_wrangling_spark.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = (
+        contamination(docs, docs.limit(20), n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
