@@ -132,3 +132,39 @@ def rolling_fingerprint(text_col_name: str) -> Column:
         f"j -> ascii(substr({text_col_name}, j, 1))), "
         f"0L, (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText rules:
+    docs dominated by one token or by duplicated n-gram windows are
+    boilerplate/spam).  Per doc: token counts, the most-frequent-token
+    count, and distinct-vs-total bigram counts — all integers, so the
+    ratios users derive from them are engine-exact.
+
+    Entirely row-local (tokenize, count, mode, bigrams inside one
+    project): ZERO shuffles at any corpus size.  The per-row mode is
+    O(distinct x tokens) array work — bounded by document length, not by
+    corpus size, and never leaves the JVM.
+
+    DuckDB replay: list_filter/list_transform/list_distinct/list_max over
+    regexp_split_to_array (same expressions, see q_doc_repetition_stats).
+    """
+    t = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    docs = docs.withColumn("_t", t).where(F.size("_t") >= 2)
+    top = F.array_max(
+        F.expr("transform(array_distinct(_t), d -> size(filter(_t, x -> x = d)))")
+    )
+    bigrams = F.expr("transform(sequence(1, size(_t) - 1), i -> concat(_t[i - 1], ' ', _t[i]))")
+    return (
+        docs.withColumn("n_tokens", F.size("_t").cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("_t")).cast("bigint"))
+        .withColumn("top_token_count", top.cast("bigint"))
+        .withColumn("_bg", bigrams)
+        .withColumn("n_bigrams", F.size("_bg").cast("bigint"))
+        .withColumn(
+            "n_distinct_bigrams", F.size(F.array_distinct("_bg")).cast("bigint")
+        )
+        .drop("_t", "_bg")
+    )

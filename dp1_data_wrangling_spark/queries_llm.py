@@ -963,3 +963,41 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(bucket < 90)
     eval_docs = docs.where(bucket >= 95)
     return contamination(train, eval_docs, n=4)
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_max(list_transform(list_distinct(t),
+                d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+               AS top_token_count,
+           CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1]))) AS BIGINT)
+               AS n_distinct_bigrams
+    FROM tok WHERE len(t) >= 2
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition screen (operators/text.py):
+    most-frequent-token share and duplicate-bigram fraction come straight
+    off these integer counts.  Pure row-local array expressions — zero
+    shuffles at any corpus size, work bounded by doc length."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return tx.repetition_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_count",
+        "n_bigrams",
+        "n_distinct_bigrams",
+    )

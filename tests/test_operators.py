@@ -795,3 +795,28 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_stats_hand_computed(spark):
+    from dp1_data_wrangling_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]  # tokens a b a b a
+    assert (r1.n_tokens, r1.n_distinct_tokens, r1.top_token_count) == (5, 2, 3)
+    # bigrams: 'a b','b a','a b','b a' -> 4 total, 2 distinct
+    assert (r1.n_bigrams, r1.n_distinct_bigrams) == (4, 2)
+    r2 = rows[2]
+    assert (r2.n_tokens, r2.top_token_count, r2.n_distinct_bigrams) == (4, 1, 3)
+
+
+def test_repetition_stats_has_no_shuffle(spark):
+    from dp1_data_wrangling_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
