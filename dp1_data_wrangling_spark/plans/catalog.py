@@ -251,6 +251,93 @@ class Catalog:
             f"{max_retries} attempts"
         ) from last_exc
 
+    def merge(
+        self,
+        spark: SparkSession,
+        table: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        *,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        validate_unique: bool = True,
+        max_retries: int = 3,
+    ) -> int:
+        """Upsert: rows of ``updates`` replace current rows with the same
+        key; new keys insert.  The catalog analogue of ``MERGE INTO``
+        (matched -> update whole row, not matched -> insert).
+
+        Copy-on-write: read the current table, anti-join out the matched
+        keys, union the updates, republish as one overwrite commit.  Like
+        ``compact``, the (potentially long) read-rewrite runs OUTSIDE the
+        commit lock with an optimistic conflict check on the table's root
+        list — a concurrent append/merge aborts this commit (staging
+        becomes a vacuum-able orphan) and the rewrite retries against the
+        new state.  A missing table degrades to plain insert, with the
+        same conflict check against concurrent creation.
+
+        Scale: the anti-join shuffles on the key unless the updates side
+        is broadcast-small (Catalyst/AQE decide — a typical CDC batch
+        against a 100 TB table broadcasts its distinct keys, so the big
+        side is scan -> probe -> write with NO table-sized shuffle).  A
+        full rewrite is still a full rewrite of data files; engines
+        bound that with file-level pruning / merge-on-read deletes, which
+        this catalog trades away for manifest simplicity.
+
+        ``validate_unique`` rejects duplicate keys within ``updates``
+        (an ambiguous MERGE source — the same check Delta enforces);
+        the probe is one combinable count capped at the first offender.
+        """
+        if not key_cols:
+            raise ValueError("merge requires at least one key column")
+        if validate_unique:
+            from pyspark.sql import functions as F
+
+            dup = (
+                updates.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where("n > 1")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge({table!r}): updates contain duplicate key "
+                    f"{[dup[0][k] for k in key_cols]!r} — an ambiguous "
+                    "MERGE source; dedup the updates first"
+                )
+        last_exc: CommitConflict | None = None
+        for _ in range(max_retries):
+            snapshot = self.manifest()
+            roots = list(snapshot["tables"].get(table, []))
+            if roots:
+                current = self._read_roots(spark, roots)
+                keys = updates.select(*key_cols).distinct()
+                merged = current.join(keys, on=key_cols, how="left_anti").unionByName(
+                    updates.select(*current.columns)
+                )
+            else:
+                merged = updates
+            txn = self.begin()
+            txn.stage(
+                table,
+                merged,
+                mode="overwrite",
+                sort_by=sort_by,
+                partition_by=partition_by,
+            )
+            try:
+                return self.commit(
+                    txn, meta={"merged": table}, require_roots={table: roots}
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise CommitConflict(
+            f"merge({table!r}): concurrent commits kept winning after "
+            f"{max_retries} attempts"
+        ) from last_exc
+
     def vacuum(self, *, keep_last: int = 1, min_age_seconds: float = 86_400.0) -> list[str]:
         """Retention: expire old snapshots and delete unreferenced data.
 

@@ -658,3 +658,91 @@ def test_catalog_multi_root_partition_type_pinned(spark, tmp_path):
     assert dict(df.dtypes)["run"] == "string"
     assert {r["run"] for r in df.select("run").distinct().collect()} == {"run_a", "7"}
     assert df.count() == 10
+
+
+def test_catalog_merge_upserts_and_inserts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    txn = cat.begin()
+    txn.stage("t", spark.range(100).withColumn("val", F.lit("old")))
+    v1 = cat.commit(txn)
+
+    updates = spark.range(90, 110).withColumn("val", F.lit("new"))
+    cat.merge(spark, "t", updates, ["id"])
+
+    rows = {r.id: r.val for r in cat.read(spark, "t").collect()}
+    assert len(rows) == 110
+    assert all(rows[i] == "old" for i in range(90))
+    assert all(rows[i] == "new" for i in range(90, 110))
+    # pre-merge snapshot intact (time travel)
+    old = {r.id: r.val for r in cat.read(spark, "t", version=v1).collect()}
+    assert len(old) == 100 and set(old.values()) == {"old"}
+
+
+def test_catalog_merge_missing_table_is_insert(spark, tmp_path):
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.merge(spark, "t", spark.range(5), ["id"])
+    assert cat.read(spark, "t").count() == 5
+
+
+def test_catalog_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    dup = spark.range(3).unionAll(spark.range(1))
+    with _pytest.raises(ValueError, match="duplicate key"):
+        cat.merge(spark, "t", dup, ["id"])
+
+
+def test_catalog_merge_retries_over_concurrent_append(spark, tmp_path):
+    """An append landing between merge's snapshot read and its commit must
+    survive: first commit attempt conflicts, merge re-reads, appended rows
+    are in the final state (same OCC loop as compact)."""
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.plans import catalog as cat_mod
+
+    cat = cat_mod.Catalog(str(tmp_path / "cat"))
+    txn = cat.begin()
+    txn.stage("t", spark.range(100).withColumn("val", F.lit("old")))
+    cat.commit(txn)
+
+    real_read_roots = cat._read_roots
+    fired = {"n": 0}
+
+    def racy_read_roots(spark_, rels):
+        df = real_read_roots(spark_, rels)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other = cat_mod.Catalog(str(tmp_path / "cat"))
+            t2 = other.begin()
+            t2.stage(
+                "t",
+                spark.range(200, 250).withColumn("val", F.lit("app")),
+                mode="append",
+            )
+            other.commit(t2)
+        return df
+
+    cat._read_roots = racy_read_roots  # type: ignore[method-assign]
+    try:
+        cat.merge(
+            spark,
+            "t",
+            spark.range(50, 60).withColumn("val", F.lit("new")),
+            ["id"],
+        )
+    finally:
+        cat._read_roots = real_read_roots  # type: ignore[method-assign]
+    assert fired["n"] == 1
+    rows = {r.id: r.val for r in cat.read(spark, "t").collect()}
+    assert all(rows[i] == "app" for i in range(200, 250)), "append lost"
+    assert all(rows[i] == "new" for i in range(50, 60))
+    assert len(rows) == 150
