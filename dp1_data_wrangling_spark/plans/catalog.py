@@ -207,6 +207,8 @@ class Catalog:
         *,
         sort_by: list[str] | None = None,
         partition_by: list[str] | None = None,
+        range_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
         max_retries: int = 3,
     ) -> int:
         """Rewrite a multi-commit (appended) table into one txn root.
@@ -218,7 +220,14 @@ class Catalog:
         ``vacuum`` reclaims them.  Time travel is preserved: pre-compaction
         versions still resolve through their snapshots until vacuumed.
         ``sort_by``/``partition_by`` re-apply the table's physical layout
-        (the manifest does not record it).
+        (the manifest does not record it).  ``range_by`` goes further and
+        CLUSTERS the rewrite: one ``repartitionByRange`` shuffle gives
+        every output file a disjoint key range, so after compaction
+        key-predicate scans prune file-by-file on parquet footer stats —
+        appends arrive unclustered, periodic compaction restores the
+        sorted layout (the OPTIMIZE ... ZORDER/CLUSTER BY maintenance
+        pattern).  ``max_records_per_file`` keeps rewritten files
+        retry-sized.
 
         Concurrency: the read-rewrite happens OUTSIDE the commit lock (it
         can take hours at scale), so an append that commits in between
@@ -237,7 +246,13 @@ class Catalog:
             df = self._read_roots(spark, roots)
             txn = self.begin()
             txn.stage(
-                table, df, mode="overwrite", sort_by=sort_by, partition_by=partition_by
+                table,
+                df,
+                mode="overwrite",
+                sort_by=sort_by,
+                partition_by=partition_by,
+                range_by=range_by,
+                max_records_per_file=max_records_per_file,
             )
             try:
                 return self.commit(

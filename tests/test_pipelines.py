@@ -746,3 +746,39 @@ def test_catalog_merge_retries_over_concurrent_append(spark, tmp_path):
     assert all(rows[i] == "app" for i in range(200, 250)), "append lost"
     assert all(rows[i] == "new" for i in range(50, 60))
     assert len(rows) == 150
+
+
+def test_catalog_compact_reclusters_for_data_skipping(spark, tmp_path):
+    """Appends arrive unclustered; compact(range_by=...) restores a
+    clustered layout where every file covers a disjoint key range
+    (footer-stat pruning — the OPTIMIZE/CLUSTER BY maintenance pattern)."""
+    import pyarrow.parquet as pq
+
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    # two interleaved appends: neither is clustered by id
+    for parity in (0, 1):
+        txn = cat.begin()
+        txn.stage("t", spark.range(2000).where(f"id % 2 = {parity}"))
+        cat.commit(txn)
+
+    cat.compact(spark, "t", range_by=["id"], max_records_per_file=500)
+
+    m = cat.manifest()
+    [root] = m["tables"]["t"]
+    files = sorted((cat.root / root).rglob("*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(len(meta.schema)) if meta.schema.column(i).name == "id"
+        )
+        lo = meta.row_group(0).column(idx).statistics.min
+        hi = meta.row_group(meta.num_row_groups - 1).column(idx).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, f"overlapping file key ranges: {ranges}"
+    assert {r.id for r in cat.read(spark, "t").collect()} == set(range(2000))
