@@ -1677,10 +1677,15 @@ DRIVER_WINDOW: list[str] = [
     #   pattern_filter, literal_coordinate_join, approx_distinct (the
     #   annotated plan) + conditional_rewrite, approx_percentile (5x and 4x
     #   consecutive driver-green, trivial, parity-held).
+    # round 6 (in, added mid-round): doc_decontaminate, doc_repetition_stats
+    #   — brand-new operators go straight to the driver for external sf0.01
+    #   verification; (out): window_rank, revenue_agg (5x consecutive
+    #   driver-green, trivial, parity-held).
     # round-7 rotation candidates (in): doc_pack_sequences, corpus_top_ngrams,
-    #   rollup_agg, pivot_agg, exists_subquery; (out): dedup_exact,
-    #   sort_topk, nested_regroup, group_agg_run, json_struct_parse —
-    #   multi-round green by then, parity-held.
+    #   doc_source_quota, doc_importance_resample, rollup_agg, pivot_agg,
+    #   exists_subquery; (out): dedup_exact, sort_topk, nested_regroup,
+    #   group_agg_run, json_struct_parse, doc_stable_sample,
+    #   doc_split_assign — multi-round green by then, parity-held.
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
@@ -1694,14 +1699,14 @@ DRIVER_WINDOW: list[str] = [
     "path_rewrite",
     "export_plan",
     # -- aggregation / window / sketch headline extras --
-    "window_rank",
-    "revenue_agg",
     "join_agg_topk",
     "multi_join_revenue",
     # -- LLM curation tier (rotated in round 6) --
     "doc_stable_sample",
     "doc_split_assign",
     "doc_curation_pipeline",
+    "doc_decontaminate",
+    "doc_repetition_stats",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "doc_dedup_survivors",
