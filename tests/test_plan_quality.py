@@ -295,3 +295,34 @@ def test_priority_dedup_single_shuffle(spark):
     # the map-side partial aggregate appears BELOW the Exchange line) = at
     # most one candidate per key per mapper enters the shuffle
     assert plan.index("partial_min_by") > plan.index("Exchange hashpartitioning"), plan
+
+
+def test_decontamination_corpus_side_never_shuffles_ngrams(spark):
+    """Decontamination at 100 TB: the eval side distinct+broadcasts (its
+    one hash exchange is benchmark-sized); the corpus side must stay
+    scan -> row-local n-gram map -> broadcast probe -> ONE combinable
+    groupBy on doc_id.  Total data shuffles <= 2, never a sort-merge
+    join, partial agg below the doc_id exchange."""
+    from dp1_data_wrangling_spark.queries import REGISTRY as R
+
+    df = R["doc_decontaminate"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert data_shuffles(plan) <= 2, plan
+    m = re.search(r"Exchange hashpartitioning\(doc_id", plan)
+    assert m, plan
+    assert plan.index("HashAggregate") < m.start(), plan  # partial agg first
+
+
+def test_group_topk_no_global_single_partition_window(spark):
+    """The sharded two-stage top-k must not degrade to a plan with a
+    single-partition global sort; both stages are hash-partitioned
+    windows (group+shard, then group)."""
+    from dp1_data_wrangling_spark.operators.selection import group_topk
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "source")
+    plan = plan_of(group_topk(docs, "source", "doc_id", k=10, salt="g"))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert len(re.findall(r"RunningWindowFunction|Window", plan)) >= 2, plan
+    assert data_shuffles(plan) == 2, plan  # one per window stage
