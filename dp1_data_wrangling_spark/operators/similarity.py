@@ -267,15 +267,38 @@ def ivf_topk(
     # Materialize the centroid table once (it is n_cells rows by
     # construction) — both _nearest_cells calls would otherwise re-run the
     # corpus-wide sample sort underneath it.
-    spark = corpus.sparkSession
     cent_rows = ivf_centroids(corpus, n_cells, vec_col=vec_col, id_col=id_col).collect()
-    cents = spark.createDataFrame(
+    cents = _local_centroids(
+        corpus.sparkSession,
+        [(r["cell"], list(r["centroid"])) for r in cent_rows],
+    )
+    return ivf_topk_with_centroids(
+        probes, corpus, k, cents, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+    )
+
+
+def _local_centroids(spark, pairs: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(
         pd.DataFrame(
-            {"cell": [r["cell"] for r in cent_rows],
-             "centroid": [list(r["centroid"]) for r in cent_rows]}
+            {"cell": [c for c, _ in pairs], "centroid": [v for _, v in pairs]}
         ),
         schema="cell int, centroid array<float>",
     )
+
+
+def ivf_topk_with_centroids(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cents: DataFrame,
+    *,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search against an explicit (cell, centroid) table — the shared
+    core of ``ivf_topk`` (sampled quantizer) and ``ivf_topk_trained``
+    (k-means quantizer).  ``cents`` must be driver-small (it broadcasts)."""
     c_assigned = _nearest_cells(
         spread(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
@@ -304,3 +327,97 @@ def ivf_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    *,
+    n_iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer —
+    deterministic end to end.
+
+    Init is the md5-sampled ``ivf_centroids`` (no RNG state); each
+    iteration is (a) assign: broadcast centroids, row-local argmin with
+    cell-id tie-break — no shuffle on the corpus; (b) re-center: ONE
+    map-side-combinable groupBy per iteration over ``posexplode``d
+    dimensions, summing **fixed-point micros as BIGINT** — associative,
+    so the new centroids are bit-identical under any partitioning (a
+    double sum would be accumulation-order-dependent and break the
+    repo-wide determinism contract).  Only ``n_cells x dim`` partial-sum
+    rows ever reach the driver per iteration (the same driver-holds-
+    catalogs-never-facts rule as ``ivf_topk``'s centroid collect).
+
+    An emptied cell keeps its previous centroid (standard Lloyd's
+    degeneracy handling) so the quantizer never loses cells.
+
+    Returns plain (cell, centroid) pairs — feed ``_local_centroids`` /
+    ``ivf_topk_with_centroids``, or persist as a catalog table for reuse
+    across queries (production trains once, searches many times).
+    """
+    spark = corpus.sparkSession
+    vecs = spread(corpus).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    cur = [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(
+            corpus, n_cells, vec_col=vec_col, id_col=id_col
+        ).collect()
+    ]
+    for _ in range(n_iters):
+        cents = _local_centroids(spark, cur)
+        assigned = _nearest_cells(vecs, cents, 1, vec_col="__vec")
+        sums = (
+            assigned.select("cell", F.posexplode("__vec").alias("pos", "x"))
+            .withColumn(
+                "micros", F.round(F.col("x").cast("double") * 1e6).cast("bigint")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("micros").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums.collect():  # n_cells x dim rows — driver-small
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        cur = [
+            (
+                cell,
+                [
+                    by_cell[cell][p][0] / by_cell[cell][p][1] / 1e6
+                    for p in range(len(old))
+                ]
+                if cell in by_cell
+                else old,
+            )
+            for cell, old in cur
+        ]
+    return cur
+
+
+def ivf_topk_trained(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k with a k-means-trained coarse quantizer: tighter cells
+    than the sampled quantizer -> better recall at the same nprobe.
+    Training cost is n_iters x (broadcast-assign + one combinable
+    groupBy); search is identical to ``ivf_topk``."""
+    cents = _local_centroids(
+        corpus.sparkSession,
+        kmeans_centroids(
+            corpus, n_cells, n_iters=n_iters, vec_col=vec_col, id_col=id_col
+        ),
+    )
+    return ivf_topk_with_centroids(
+        probes, corpus, k, cents, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+    )

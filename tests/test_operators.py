@@ -820,3 +820,57 @@ def test_repetition_stats_has_no_shuffle(spark):
         repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_kmeans_centroids_partitioning_invariant(spark):
+    """Fixed-point bigint re-centering: trained centroids are bit-identical
+    whatever the input partitioning (a double sum would not be)."""
+    from dp1_data_wrangling_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    a = kmeans_centroids(emb, 8, n_iters=2)
+    b = kmeans_centroids(emb.repartition(17), 8, n_iters=2)
+    assert a == b
+
+
+def test_kmeans_improves_ivf_recall(spark):
+    from dp1_data_wrangling_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_trained,
+    )
+
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = brute_force_topk(probes, emb, k=5).select("probe_id", "neighbor_id")
+    n = bf.count()
+
+    def recall(ann):
+        return (
+            bf.join(
+                ann.select("probe_id", "neighbor_id"),
+                ["probe_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            / n
+        )
+
+    sampled = recall(ivf_topk(probes, emb, 5, n_cells=16, nprobe=8))
+    trained = recall(
+        ivf_topk_trained(probes, emb, 5, n_cells=16, nprobe=8, n_iters=4)
+    )
+    assert trained >= sampled - 1e-9, (sampled, trained)
+    assert trained >= 0.7
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """Degenerate case: more cells than distinct vectors — emptied cells
+    must survive with their previous centroid, never NaN/missing."""
+    from dp1_data_wrangling_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, SMOKE_SF, "embeddings").limit(6)
+    cents = kmeans_centroids(emb, 6, n_iters=3)
+    assert len(cents) == 6
+    assert all(
+        len(v) > 0 and all(x == x for x in v) for _, v in cents
+    )  # no NaNs
