@@ -19,6 +19,7 @@ from .events import (
     tumbling_windows_batch,
 )
 from .curation import read_curated, stream_curation
+from .decontam import read_clean, read_flagged, stream_decontaminate
 from .dedup_llm import stream_minhash_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first

@@ -1,0 +1,90 @@
+"""Streaming benchmark decontamination: the exactly-once streaming twin
+of ``operators/decontam.py``, for corpora screened at ingest time.
+
+The eval/benchmark set is STATIC relative to the stream (a benchmark
+suite changes by release, not by micro-batch), so each micro-batch runs
+the identical batch operator — row-local n-gram digests on the batch
+side, broadcast eval digests, one combinable groupBy — and publishes the
+clean docs through the transactional catalog with the same idempotent
+foreachBatch watermark as ``stream_curation``: a replayed batch after
+recovery commits nothing twice.
+
+Stateless by construction (contamination is a pure per-doc decision
+against a fixed reference), so batch and stream agree EXACTLY — the
+equivalence test asserts set equality, not the first-arrival caveat the
+dedup streams need.
+
+Scale: per-batch cost is the batch operator's (broadcast probe, no
+corpus-sized shuffle); the eval digest set must be broadcast-small
+(benchmark-sized — thousands of docs), which is the same asymmetry the
+batch operator assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.decontam import contamination
+from ..plans.catalog import Catalog
+
+CLEAN_TABLE = "decontam/clean_docs"
+FLAGGED_TABLE = "decontam/flagged_docs"
+
+
+def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
+    import hashlib
+
+    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    return f"last_batch_id:decontam:{name}"
+
+
+def stream_decontaminate(
+    stream_docs: DataFrame,
+    eval_docs: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+    stream_name: str | None = None,
+) -> StreamingQuery:
+    """Screen a document stream against a static eval set.
+
+    Per micro-batch, ONE catalog transaction appends the batch's clean
+    docs to ``decontam/clean_docs`` and its contaminated doc report
+    (id, n_grams, n_shared) to ``decontam/flagged_docs`` — both or
+    neither, exactly once per batch id."""
+    meta_key = _meta_key(checkpoint_dir, stream_name)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cat = Catalog(catalog_root)
+        last = cat.meta().get(meta_key)
+        if last is not None and batch_id <= last:
+            return  # replay after recovery — already committed
+        flagged = contamination(
+            batch_df, eval_docs, n=n, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)  # used twice below; compute once
+        clean = batch_df.join(flagged.select(id_col), id_col, "left_anti")
+        txn = cat.begin()
+        txn.stage(CLEAN_TABLE, clean, mode="append")
+        txn.stage(FLAGGED_TABLE, flagged, mode="append")
+        cat.commit(txn, meta={meta_key: batch_id})
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_clean(spark: SparkSession, catalog_root: str) -> DataFrame:
+    return Catalog(catalog_root).read(spark, CLEAN_TABLE)
+
+
+def read_flagged(spark: SparkSession, catalog_root: str) -> DataFrame:
+    return Catalog(catalog_root).read(spark, FLAGGED_TABLE)

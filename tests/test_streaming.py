@@ -454,3 +454,57 @@ def test_stream_curation_equals_batch(spark, tmp_path):
     again = read_curated(spark, cat_root)
     assert again.count() == want.count()
     assert again.exceptAll(want).count() == 0
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming decontamination over two micro-batches publishes exactly
+    the batch operator's clean/flagged partition of the corpus (the screen
+    is stateless against a static eval set, so equality is exact, no
+    first-arrival caveat), and a checkpoint replay adds nothing."""
+    from dp1_data_wrangling_spark.operators.decontam import contamination
+    from dp1_data_wrangling_spark.operators.sampling import hash_bucket
+    from dp1_data_wrangling_spark.streaming.decontam import (
+        read_clean,
+        read_flagged,
+        stream_decontaminate,
+    )
+    from dp1_data_wrangling_spark.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    bucket = hash_bucket(F.col("doc_id"), "split_v1")
+    train = docs.where(bucket < 90)
+    eval_docs = docs.where(bucket >= 95)
+
+    src = tmp_path / "docs_stream"
+    train.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    train.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_decontaminate(
+        stream, eval_docs, cat_root, checkpoint_dir=ckpt, n=4
+    )
+    q.awaitTermination(180)
+
+    want_flagged = contamination(train, eval_docs, n=4)
+    got_flagged = read_flagged(spark, cat_root)
+    assert got_flagged.count() == want_flagged.count() > 0
+    assert got_flagged.exceptAll(want_flagged).count() == 0
+
+    flagged_ids = {r.doc_id for r in want_flagged.collect()}
+    got_clean = {r.doc_id for r in read_clean(spark, cat_root).collect()}
+    want_clean = {r.doc_id for r in train.collect()} - flagged_ids
+    assert got_clean == want_clean
+
+    # replay: same checkpoint -> no-op (exactly-once)
+    q2 = stream_decontaminate(
+        stream, eval_docs, cat_root, checkpoint_dir=ckpt, n=4
+    )
+    q2.awaitTermination(180)
+    assert read_clean(spark, cat_root).count() == len(want_clean)
