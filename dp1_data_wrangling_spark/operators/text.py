@@ -134,6 +134,85 @@ def rolling_fingerprint(text_col_name: str) -> Column:
     )
 
 
+# PII patterns restricted to regex constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# \b word boundaries.  No lookarounds (RE2 has none), no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (tag, pattern, replacement) — applied IN ORDER; email first so its
+    # local-part digits are consumed before the bare-number pattern runs.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("idnum", r"\b\d{9,}\b", "[ID]"),
+]
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, long id numbers)
+    and count what was removed — the standard pre-training privacy screen.
+
+    Pure row-local ``regexp_replace``/``regexp_count`` column expressions:
+    ZERO shuffles at any corpus size, cost linear in document length, and
+    fully deterministic (no model, no sampling).  Counts are taken per
+    pattern on the text as it looked *when that pattern ran* (post the
+    previous replacements), so count and replacement always agree — an
+    email's digits can never also be counted as an id number.
+
+    The DuckDB oracle replays the same chain with
+    ``regexp_replace(..., 'g')`` / ``len(regexp_extract_all(...))``;
+    patterns are restricted to the Java/RE2-identical subset above.
+    """
+    out = docs.withColumn(out_col, F.col(text_col))
+    for tag, pattern, replacement in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{tag}", F.regexp_count(F.col(out_col), F.lit(pattern)).cast("long")
+        ).withColumn(
+            out_col, F.regexp_replace(F.col(out_col), pattern, replacement)
+        )
+    return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split each document into fixed-size character windows with overlap
+    (``size - stride`` chars shared between neighbours) — the retrieval /
+    context-window chunking primitive.
+
+    Chunk ``i`` covers ``[1 + i*stride, i*stride + size]``; starts are
+    generated while they land inside the document, so the final chunk may
+    be short but no chunk is ever empty.  Row-local ``sequence`` +
+    ``explode`` + ``substr`` — zero shuffles; output size is bounded by
+    ``ceil(size/stride)`` times the corpus, a constant the caller chose.
+
+    Empty documents produce no chunks (and, guard-wise, never reach the
+    ``sequence`` call: Spark's two-argument ``sequence(0, -1)`` would
+    count *downward*, fabricating phantom chunks).
+    """
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size=} {stride=}")
+    n = F.length(F.col(text_col))
+    last_idx = F.floor((n - F.lit(1)) / F.lit(stride)).cast("long")
+    out = (
+        docs.where(n >= 1)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_idx)))
+        .withColumn(
+            "chunk",
+            F.col(text_col).substr(
+                (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(size)
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+    )
+    return out
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition metrics (the Gopher/MassiveText rules:
     docs dominated by one token or by duplicated n-gram windows are

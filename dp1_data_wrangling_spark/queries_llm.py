@@ -1019,3 +1019,103 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "n_distinct_bigrams",
     )
+
+
+@register(
+    "doc_pii_scrub",
+    """
+    WITH inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com from 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST(doc_id % 100 AS VARCHAR) || '.'
+                        || CAST(doc_id % 50 AS VARCHAR)
+                        || ' ref 10000000' || CAST(doc_id % 100 AS VARCHAR)
+               ELSE text END AS text
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_email,
+               regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g') AS t
+        FROM inj
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    AS BIGINT) AS n_ip,
+               regexp_replace(t,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '[IP]', 'g') AS t
+        FROM s1
+    )
+    SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t, '\\b\\d{9,}\\b')) AS BIGINT)
+               AS n_idnum,
+           regexp_replace(t, '\\b\\d{9,}\\b', '[ID]', 'g') AS clean_text
+    FROM s2
+    """,
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction screen (operators/text.py scrub_pii): emails, IPv4
+    addresses, and long id numbers replaced with typed placeholders, with
+    per-document removal counts.  The fixture corpus contains no natural
+    PII, so every %7 doc gets a deterministic synthetic injection (email +
+    IP + 9-digit id derived from doc_id) that both engines compute
+    identically — the scrubber then has real work whose counts the oracle
+    hash-verifies.  Row-local regexp chain: zero shuffles at any scale."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(" ref 10000000"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.scrub_pii(injected).select(
+        "doc_id", "n_email", "n_ip", "n_idnum", "clean_text"
+    )
+
+
+@register(
+    "doc_chunk",
+    """
+    SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+           substring(text, CAST(u.i * 150 + 1 AS INT), 200) AS chunk,
+           CAST(len(substring(text, CAST(u.i * 150 + 1 AS INT), 200))
+                AS BIGINT) AS chunk_len
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS u(i)
+    WHERE length(text) >= 1
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (operators/text.py
+    chunk_documents): 200-char windows every 150 chars — the
+    retrieval/context-window splitting primitive.  Row-local sequence +
+    explode + substr; output volume is corpus size times a caller-chosen
+    constant (ceil(size/stride)), zero shuffles."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return tx.chunk_documents(docs, size=200, stride=150).select(
+        "doc_id", "chunk_idx", "chunk", "chunk_len"
+    )

@@ -874,3 +874,97 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert all(
         len(v) > 0 and all(x == x for x in v) for _, v in cents
     )  # no NaNs
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + chunking
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_hand_computed(spark):
+    from dp1_data_wrangling_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b-c@sub.example.org now"),
+        (2, "host 192.168.0.1 and id 123456789 ok"),
+        (3, "clean text with short 12345 number"),
+        (4, "two mails x@y.io z@w.co and 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["clean_text"] == "mail [EMAIL] now"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_idnum"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "host [IP] and id [ID] ok"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_idnum"]) == (0, 1, 1)
+    assert out[3]["clean_text"] == rows[2][1]  # untouched, 5 digits < 9
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_idnum"]) == (0, 0, 0)
+    assert out[4]["clean_text"] == "two mails [EMAIL] [EMAIL] and [IP]"
+    assert out[4]["n_email"] == 2 and out[4]["n_ip"] == 1
+
+
+def test_scrub_pii_counts_never_double_count(spark):
+    """An email's digits must not also be counted as an id number: counts
+    are taken on the post-previous-replacement text."""
+    from dp1_data_wrangling_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach 123456789012@example.com please")], "doc_id int, text string"
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_idnum"] == 0
+    assert r["clean_text"] == "reach [EMAIL] please"
+
+
+def test_scrub_pii_has_no_shuffle(spark):
+    from dp1_data_wrangling_spark.operators.text import scrub_pii
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_covers_text_exactly(spark):
+    """Concatenating each chunk's non-overlapping prefix (stride chars,
+    last chunk in full) reconstructs the document: no gaps, no phantom
+    chunks, empty docs emit nothing."""
+    from dp1_data_wrangling_spark.operators.text import chunk_documents
+
+    rows = [(1, "a" * 47), (2, "xy" * 180), (3, ""), (4, "b" * 150), (5, "c" * 151)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    chunks = chunk_documents(df, size=200, stride=150).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc: no chunks
+    assert len(by_doc[1]) == 1 and len(by_doc[4]) == 1
+    assert len(by_doc[5]) == 2 and len(by_doc[2]) == 3
+    for doc_id, text in rows:
+        if not text:
+            continue
+        parts = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        rebuilt = "".join(
+            p["chunk"] if i == len(parts) - 1 else p["chunk"][:150]
+            for i, p in enumerate(parts)
+        )
+        assert rebuilt == text, doc_id
+        # neighbours overlap by size - stride chars
+        for a, b in zip(parts, parts[1:]):
+            assert a["chunk"][150:] == b["chunk"][: len(a["chunk"]) - 150]
+
+
+def test_chunk_documents_validates_args(spark):
+    from dp1_data_wrangling_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
+
+
+def test_chunk_documents_has_no_shuffle(spark):
+    from dp1_data_wrangling_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
