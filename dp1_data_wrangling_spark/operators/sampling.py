@@ -78,3 +78,76 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn(split_col, expr)
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    salt: str = "",
+    n_buckets: int = 256,
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic global shuffle: every row gets its 1-based position
+    in the ordering by ``md5(salt || key)`` (ties broken by the key) —
+    the "shuffle the corpus once, reproducibly" step before sharding
+    training data, where row order must not correlate with source order.
+
+    A naive ``ROW_NUMBER() OVER (ORDER BY md5)`` is an unpartitioned
+    window: Spark funnels the whole corpus through ONE task.  This runs
+    the classic two-pass distributed rank instead:
+
+    1. bucket rows by the first hex chars of the hash — an md5 prefix, so
+       bucket order is a *prefix* of the total order and buckets are
+       uniformly sized (corpus/``n_buckets`` per bucket, no skew by
+       construction);
+    2. count rows per bucket (combinable aggregate, ``n_buckets`` rows to
+       the driver), prefix-sum the counts into per-bucket offsets, and
+       broadcast-map them back;
+    3. rank within each bucket (window partitioned by bucket — parallel
+       across buckets) and add the bucket's offset.
+
+    Unlike ``zipWithIndex``, the result is partitioning-invariant: the
+    position depends only on (salt, key), never on where rows physically
+    sit.  Two data passes total (the count pass reads only the key
+    column); the single shuffle is the per-bucket window.  At 100 TB
+    raise ``n_buckets`` so a bucket (corpus/n_buckets rows) fits a task.
+
+    DuckDB replay: ``ROW_NUMBER() OVER (ORDER BY md5(salt || key), key)``.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not 1 <= (prefix_len := len(f"{n_buckets - 1:x}")) <= 8:
+        raise ValueError(f"n_buckets too large: {n_buckets}")
+    n_buckets = 16**prefix_len  # widen to a full hex-prefix space
+    from .selection import rank_key
+
+    key = F.col(key_col)
+    rk = rank_key(key, salt)
+    bucket = F.conv(F.substring(rk, 1, prefix_len), 16, 10).cast("int")
+    keyed = df.withColumn("_rk", rk).withColumn("_bucket", bucket)
+    counts = sorted(
+        (r["_bucket"], r["n"])
+        for r in keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, n in counts:
+        offsets[b] = acc
+        acc += n
+    offset_map = F.create_map(
+        *[F.lit(x) for b_off in offsets.items() for x in b_off]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_bucket").orderBy("_rk", key_col)
+    return (
+        keyed.withColumn(
+            position_col,
+            (
+                F.row_number().over(w).cast("long")
+                + F.coalesce(offset_map[F.col("_bucket")], F.lit(0)).cast("long")
+            ),
+        )
+        .drop("_rk", "_bucket")
+    )

@@ -1119,3 +1119,28 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(docs, size=200, stride=150).select(
         "doc_id", "chunk_idx", "chunk", "chunk_len"
     )
+
+
+@register(
+    "doc_global_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('shuffle_v1' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/sampling.py
+    global_shuffle): each doc's 1-based position in the md5(salt||key)
+    ordering, computed by the two-pass distributed rank (hash-prefix
+    buckets + per-bucket windows + prefix-summed offsets) instead of the
+    single-task ROW_NUMBER-over-everything the oracle uses — identical
+    output, cluster-parallel plan."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    from .operators.sampling import global_shuffle
+
+    return global_shuffle(docs, "doc_id", salt="shuffle_v1").select(
+        "doc_id", "position"
+    )

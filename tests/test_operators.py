@@ -968,3 +968,57 @@ def test_chunk_documents_has_no_shuffle(spark):
     docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Global shuffle (distributed total-order rank)
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_positions_are_a_permutation(spark):
+    from dp1_data_wrangling_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    n = docs.count()
+    out = global_shuffle(docs, "doc_id", salt="s").collect()
+    assert sorted(r["position"] for r in out) == list(range(1, n + 1))
+
+
+def test_global_shuffle_partitioning_invariant(spark):
+    from dp1_data_wrangling_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    a = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(docs, "doc_id", salt="s").collect()
+    }
+    b = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(docs.repartition(7), "doc_id", salt="s").collect()
+    }
+    assert a == b
+
+
+def test_global_shuffle_never_single_partition_window(spark):
+    """The whole point: no unpartitioned window funneling the corpus
+    through one task."""
+    from dp1_data_wrangling_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    plan = (
+        global_shuffle(docs, "doc_id", salt="s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_global_shuffle_validates_n_buckets(spark):
+    from dp1_data_wrangling_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id")
+    with pytest.raises(ValueError):
+        global_shuffle(docs, "doc_id", n_buckets=0)
+    with pytest.raises(ValueError):
+        global_shuffle(docs, "doc_id", n_buckets=16**9)
