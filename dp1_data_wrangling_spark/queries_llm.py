@@ -1144,3 +1144,39 @@ def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle(docs, "doc_id", salt="shuffle_v1").select(
         "doc_id", "position"
     )
+
+
+@register(
+    "events_rollup_incremental",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh (plans/rollup.py): the hourly rollup
+    is built INCREMENTALLY — two disjoint event batches folded in by
+    successive refresh_rollup calls through the catalog's transactional
+    MERGE — and must hash-equal the oracle's one-shot aggregate over all
+    events (decomposable count/sum partials in fixed-point micros make
+    the combine exact, not approximately right).  Externally verifies the
+    whole merge/commit path, not just the aggregation."""
+    import tempfile
+
+    from .plans.catalog import Catalog
+    from .plans.rollup import refresh_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    cat = Catalog(tempfile.mkdtemp(prefix="rollup_q_"))
+    for parity in (0, 1):
+        refresh_rollup(
+            spark, cat, events.where(F.col("event_id") % 2 == parity)
+        )
+    return cat.read(spark, "events_rollup").select(
+        "bucket_ts", "event_type", "n_events", "value_micros"
+    )

@@ -782,3 +782,51 @@ def test_catalog_compact_reclusters_for_data_skipping(spark, tmp_path):
     for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]):
         assert a_max <= b_min, f"overlapping file key ranges: {ranges}"
     assert {r.id for r in cat.read(spark, "t").collect()} == set(range(2000))
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup (continuous aggregate)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_incremental_equals_full_recompute(spark, tmp_path):
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.plans.rollup import refresh_rollup, rollup_partial
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, str(SMOKE_SF), "events")
+    cat = Catalog(tmp_path / "cat")
+    # three uneven batches, arriving out of time order (late data)
+    for cond in (
+        F.col("event_id") % 3 == 2,
+        F.col("event_id") % 3 == 0,
+        F.col("event_id") % 3 == 1,
+    ):
+        refresh_rollup(spark, cat, events.where(cond))
+    got = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["value_micros"])
+        for r in cat.read(spark, "events_rollup").collect()
+    }
+    want = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["value_micros"])
+        for r in rollup_partial(events).collect()
+    }
+    assert got == want
+
+
+def test_rollup_refresh_is_idempotent_per_key_replace(spark, tmp_path):
+    """Touched buckets are replaced, untouched buckets untouched: folding
+    an empty batch changes nothing."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.plans.rollup import refresh_rollup
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, str(SMOKE_SF), "events")
+    cat = Catalog(tmp_path / "cat")
+    refresh_rollup(spark, cat, events)
+    before = sorted(
+        map(tuple, cat.read(spark, "events_rollup").collect())
+    )
+    refresh_rollup(spark, cat, events.where(F.lit(False)))
+    after = sorted(map(tuple, cat.read(spark, "events_rollup").collect()))
+    assert before == after
