@@ -277,6 +277,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         validate_unique: bool = True,
         max_retries: int = 3,
+        meta: dict | None = None,
     ) -> int:
         """Upsert: rows of ``updates`` replace current rows with the same
         key; new keys insert.  The catalog analogue of ``MERGE INTO``
@@ -342,8 +343,13 @@ class Catalog:
                 partition_by=partition_by,
             )
             try:
+                # Caller meta (e.g. a streaming batch-id watermark) rides the
+                # SAME atomic commit as the merged data — exactly-once hinges
+                # on the two being inseparable.
                 return self.commit(
-                    txn, meta={"merged": table}, require_roots={table: roots}
+                    txn,
+                    meta={"merged": table, **(meta or {})},
+                    require_roots={table: roots},
                 )
             except CommitConflict as exc:
                 last_exc = exc

@@ -69,6 +69,7 @@ def refresh_rollup(
     table: str = "events_rollup",
     bucket: str = "hour",
     max_retries: int = 3,
+    commit_meta: dict | None = None,
     **partial_kwargs,
 ) -> None:
     """Fold one batch of new events into the rollup table.
@@ -102,6 +103,7 @@ def refresh_rollup(
                 ROLLUP_KEYS,
                 sort_by=["bucket_ts"],
                 max_retries=1,
+                meta=commit_meta,
             )
             return
         except CommitConflict as exc:

@@ -21,6 +21,7 @@ from .events import (
 from .curation import read_curated, stream_curation
 from .decontam import read_clean, read_flagged, stream_decontaminate
 from .dedup_llm import stream_minhash_dedup
+from .rollup import stream_rollup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
 
@@ -39,5 +40,6 @@ __all__ = [
     "stream_into_catalog",
     "stream_minhash_dedup",
     "stream_curation",
+    "stream_rollup",
     "read_curated",
 ]

@@ -508,3 +508,52 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert read_clean(spark, cat_root).count() == len(want_clean)
+
+
+def test_stream_rollup_equals_batch(spark, tmp_path):
+    """Streaming the events through the incremental rollup in micro-batches
+    materializes exactly the one-shot batch aggregate — including buckets
+    revised by late-arriving rows (batch 2 is earlier event-time than
+    batch 1).  Replay from the same checkpoint is a no-op (exactly-once:
+    the batch-id watermark commits atomically with the MERGE)."""
+    from dp1_data_wrangling_spark.plans.rollup import rollup_partial
+    from dp1_data_wrangling_spark.streaming import stream_rollup
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, SMOKE_SF, "events")
+    src = tmp_path / "events_stream"
+    # late data: the LOW half of event time arrives in the second batch
+    # (ts is TIMESTAMP_NTZ under the test session conf — compare as a
+    # Python datetime literal, valid for both timestamp flavors)
+    ts_sorted = sorted(r["ts"] for r in events.select("ts").collect())
+    mid = ts_sorted[len(ts_sorted) // 2]
+    events.where(F.col("ts") > mid).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    events.where(F.col("ts") <= mid).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_rollup(stream, cat_root, checkpoint_dir=ckpt).awaitTermination(180)
+
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    def snapshot():
+        return {
+            (r["bucket_ts"], r["event_type"]): (r["n_events"], r["value_micros"])
+            for r in Catalog(cat_root).read(spark, "events_rollup").collect()
+        }
+
+    want = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["value_micros"])
+        for r in rollup_partial(events).collect()
+    }
+    assert snapshot() == want
+
+    # replay: same checkpoint -> nothing double-counted
+    stream_rollup(stream, cat_root, checkpoint_dir=ckpt).awaitTermination(180)
+    assert snapshot() == want
