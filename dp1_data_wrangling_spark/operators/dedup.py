@@ -360,3 +360,68 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_freq: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
+    screen): drop every line that occurs more than ``max_freq`` times
+    ACROSS THE CORPUS — navigation bars, cookie banners, license headers —
+    and reassemble each document from its surviving lines in order.
+
+    Four-stage distributed plan, all equi-operations on 16-byte digests:
+
+    1. explode docs into (id, pos, line) — row-local;
+    2. line census: one map-side-combinable count per line digest; only
+       digests over the threshold survive the HAVING, so the hot-line
+       table is boilerplate-sized, tiny next to the corpus;
+    3. anti-join lines against hot digests (broadcast when small, shuffle
+       of digests otherwise — never the line text);
+    4. regroup by document (collect_list + array_sort on the carried
+       position — partitioning-independent order), left-joined back to
+       the corpus so fully-boilerplate documents survive as empty docs
+       with their removal counts.
+
+    The line explode multiplies row count but not bytes (lines partition
+    the text); skew is bounded because stage 2 aggregates counts, never
+    groups line occurrences.  Returns (id, clean_text, n_lines, n_kept,
+    n_removed)."""
+    if max_freq < 1:
+        raise ValueError(f"max_freq must be >= 1, got {max_freq}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    ).withColumn("_d", F.md5(F.col("line").cast("binary")))
+    hot = (
+        lines.groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_freq)
+        .select("_d")
+    )
+    kept = lines.join(hot, "_d", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1)).cast("bigint").alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0).cast("bigint")))
+        .withColumn("n_removed", (F.col("n_lines") - F.col("n_kept")).cast("bigint"))
+    )

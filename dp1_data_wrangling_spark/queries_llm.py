@@ -1180,3 +1180,53 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "events_rollup").select(
         "bucket_ts", "event_type", "n_events", "value_micros"
     )
+
+
+@register(
+    "doc_line_dedup",
+    f"""
+    WITH aug AS ({_AUG_EXACT}),
+    docs2 AS (
+        SELECT doc_id, replace(text, ' merge ', chr(10)) AS text FROM aug
+    ),
+    split_docs AS (
+        SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2
+    ),
+    lines AS (
+        SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, l[u.i] AS line
+        FROM split_docs, LATERAL unnest(generate_series(1, len(l))) AS u(i)
+    ),
+    hot AS (
+        SELECT md5(line) AS d FROM lines GROUP BY 1 HAVING count(*) > 2
+    ),
+    kept AS (
+        SELECT * FROM lines WHERE md5(line) NOT IN (SELECT d FROM hot)
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(s.l) AS BIGINT) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           CAST(len(s.l) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
+    FROM split_docs s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (operators/dedup.py
+    line_dedup): lines occurring more than twice across the corpus are
+    dropped from every document.  The fixture soup has no newlines, so
+    the query derives multi-line docs deterministically (every ' merge '
+    separator becomes a line break — identical replace semantics in both
+    engines); the tiny vocabulary then yields genuinely repeated short
+    lines, and the %10 verbatim mutants repeat whole documents' lines —
+    both removed and hash-verified."""
+    aug = _augment_exact(spark, sf_dir).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))
+    )
+    return dd.line_dedup(aug, max_freq=2).select(
+        "doc_id", "clean_text", "n_lines", "n_kept", "n_removed"
+    )

@@ -1022,3 +1022,56 @@ def test_global_shuffle_validates_n_buckets(spark):
         global_shuffle(docs, "doc_id", n_buckets=0)
     with pytest.raises(ValueError):
         global_shuffle(docs, "doc_id", n_buckets=16**9)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_hand_computed(spark):
+    from dp1_data_wrangling_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "keep me\nCOOKIE BANNER\nunique line one"),
+        (2, "COOKIE BANNER\nunique line two"),
+        (3, "COOKIE BANNER\nunique line three"),
+        (4, "COOKIE BANNER"),  # all-boilerplate doc -> empty survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_freq=1).collect()}
+    assert out[1]["clean_text"] == "keep me\nunique line one"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_removed"]) == (3, 2, 1)
+    assert out[2]["clean_text"] == "unique line two"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    # order preserved even when an interior line is removed
+    assert out[1]["clean_text"].split("\n") == ["keep me", "unique line one"]
+
+
+def test_line_dedup_respects_max_freq(spark):
+    from dp1_data_wrangling_spark.operators.dedup import line_dedup
+
+    rows = [(i, "twice\nthrice") for i in (1, 2)] + [(3, "thrice")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_freq=2).collect()}
+    # "twice" occurs 2x (<= max_freq, kept); "thrice" 3x (removed)
+    assert out[1]["clean_text"] == "twice"
+    assert out[3]["clean_text"] == ""
+    with pytest.raises(ValueError):
+        line_dedup(df, max_freq=0)
+
+
+def test_line_dedup_fixture_actually_removes(spark):
+    """The registered query must be non-trivial: the derived multi-line
+    fixture corpus contains genuinely repeated lines."""
+    from dp1_data_wrangling_spark.operators.dedup import line_dedup
+
+    docs = (
+        load_table(spark, SMOKE_SF, "documents")
+        .select("doc_id", "text")
+        .withColumn("text", F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")))
+    )
+    agg = line_dedup(docs, max_freq=2).agg(
+        F.sum("n_removed").alias("r"), F.sum("n_kept").alias("k")
+    ).collect()[0]
+    assert agg["r"] > 0 and agg["k"] > 0
