@@ -247,3 +247,54 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_t", "_bg")
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the keyword-extraction /
+    corpus-indexing primitive.
+
+    The idf is FIXED-POINT: ``idf_milli = (n_docs * 1000) div df`` — an
+    integer inverse-document-frequency in units of 1/1000.  Scoring by
+    ``tf * idf_milli`` preserves the tf-idf ranking for any terms whose
+    idf differs by >= one milli-unit while keeping every comparison
+    integer-exact (a float ``ln`` would differ in the last ulp across
+    engines/libms and flip ranks nondeterministically — same fixed-point
+    discipline as the registry's cents/micros contract).
+
+    Plan: row-local tokenize + explode -> one (doc, term) combinable
+    count -> a vocab-sized document-frequency aggregate (vocabulary ≪
+    corpus, so the join back broadcasts; else it's an equi-join on the
+    term) -> per-doc top-k window (partitioned by doc id — maximal
+    parallelism, each partition is one document's vocabulary).  The
+    corpus total rides a one-row broadcast cross join, never a driver
+    collect."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_count")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_milli"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_milli", F.expr("tf * ((n_docs * 1000) div df_count)"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df_count", "score_milli", F.col("rnk").cast("int").alias("rnk"))
+    )

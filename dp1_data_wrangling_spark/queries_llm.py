@@ -1230,3 +1230,42 @@ def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.line_dedup(aug, max_freq=2).select(
         "doc_id", "clean_text", "n_lines", "n_kept", "n_removed"
     )
+
+
+@register(
+    "doc_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                  x -> x != '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df_count,
+               tf * ((n_docs * 1000) // df_count) AS score_milli
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_milli DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df_count, score_milli, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (operators/text.py top_terms)
+    with the integer milli-idf — rankings are engine-exact by
+    construction, no float log in sight."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return tx.top_terms(docs, k=3)

@@ -1075,3 +1075,27 @@ def test_line_dedup_fixture_actually_removes(spark):
         F.sum("n_removed").alias("r"), F.sum("n_kept").alias("k")
     ).collect()[0]
     assert agg["r"] > 0 and agg["k"] > 0
+
+
+def test_top_terms_hand_computed(spark):
+    """3 docs, tiny vocab: df('common')=3 -> idf_milli=1000; df('rare')=1
+    -> idf_milli=3000.  Doc 1 has rare x1 (3000) > common x2 (2000)."""
+    from dp1_data_wrangling_spark.operators.text import top_terms
+
+    rows = [
+        (1, "common common rare"),
+        (2, "common solo"),
+        (3, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = [
+        (r["doc_id"], r["rnk"], r["term"], r["score_milli"])
+        for r in top_terms(df, k=2).collect()
+    ]
+    assert (1, 1, "rare", 3000) in out
+    assert (1, 2, "common", 2000) in out
+    assert (2, 1, "solo", 3000) in out
+    assert (3, 1, "common", 1000) in out
+    assert len(out) == 5
+    with pytest.raises(ValueError):
+        top_terms(df, k=0)
