@@ -1686,6 +1686,11 @@ DRIVER_WINDOW: list[str] = [
     #   exists_subquery; (out): dedup_exact, sort_topk, nested_regroup,
     #   group_agg_run, json_struct_parse, doc_stable_sample,
     #   doc_split_assign — multi-round green by then, parity-held.
+    #   Also queue the round-6 late additions (all in-repo parity-green,
+    #   none driver-checked yet): doc_pii_scrub, doc_chunk,
+    #   doc_global_shuffle, events_rollup_incremental, doc_line_dedup,
+    #   doc_top_terms — brand-new operators take precedence over the agg
+    #   extras above if slots run short.
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
