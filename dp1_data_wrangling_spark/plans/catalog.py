@@ -65,6 +65,7 @@ class Transaction:
         sort_by: list[str] | None = None,
         partition_by: list[str] | None = None,
         range_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         max_records_per_file: int | None = None,
     ) -> None:
         """Write ``df`` into this transaction's staging area for ``table``.
@@ -84,6 +85,21 @@ class Transaction:
         """
         rel = f"data/{self.txn_id}/{table}"
         out = self.root / rel
+        if zorder_by and range_by:
+            raise ValueError("pass range_by or zorder_by, not both")
+        if zorder_by:
+            # Multi-column clustering: range-partition + sort on the Morton
+            # key so every file covers a small hyper-rectangle — parquet
+            # min/max stats then prune scans filtered on ANY zorder column
+            # (plans/layout.py).  The key is dropped before write.
+            from .layout import with_zorder_key
+
+            df = (
+                with_zorder_key(df, zorder_by)
+                .repartitionByRange("_zorder_key")
+                .sortWithinPartitions("_zorder_key")
+                .drop("_zorder_key")
+            )
         if range_by:
             df = df.repartitionByRange(*range_by)
         if sort_by:
@@ -208,6 +224,7 @@ class Catalog:
         sort_by: list[str] | None = None,
         partition_by: list[str] | None = None,
         range_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         max_records_per_file: int | None = None,
         max_retries: int = 3,
     ) -> int:
@@ -226,8 +243,11 @@ class Catalog:
         key-predicate scans prune file-by-file on parquet footer stats —
         appends arrive unclustered, periodic compaction restores the
         sorted layout (the OPTIMIZE ... ZORDER/CLUSTER BY maintenance
-        pattern).  ``max_records_per_file`` keeps rewritten files
-        retry-sized.
+        pattern).  ``zorder_by`` clusters on the Morton interleave of
+        SEVERAL columns instead (plans/layout.py), bounding every listed
+        column's per-file span at once — multi-predicate pruning, where
+        ``range_by`` only serves its lead column.  ``max_records_per_file``
+        keeps rewritten files retry-sized.
 
         Concurrency: the read-rewrite happens OUTSIDE the commit lock (it
         can take hours at scale), so an append that commits in between
@@ -252,6 +272,7 @@ class Catalog:
                 sort_by=sort_by,
                 partition_by=partition_by,
                 range_by=range_by,
+                zorder_by=zorder_by,
                 max_records_per_file=max_records_per_file,
             )
             try:

@@ -830,3 +830,91 @@ def test_rollup_refresh_is_idempotent_per_key_replace(spark, tmp_path):
     refresh_rollup(spark, cat, events.where(F.lit(False)))
     after = sorted(map(tuple, cat.read(spark, "events_rollup").collect()))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_hand_computed(spark):
+    from dp1_data_wrangling_spark.plans.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a int, b int")
+    # interleave: a's bit i at position 2i, b's bit i at position 2i+1
+    # a=101, b=011 -> positions: a0=1@0, b0=1@1, a1=0@2, b1=1@3, a2=1@4
+    want = 0b11011
+    got = df.select(zorder_key([F.col("a"), F.col("b")], bits=3).alias("z")).collect()[
+        0
+    ]["z"]
+    assert got == want
+
+
+def test_compact_zorder_bounds_both_columns(spark, tmp_path):
+    """After a zorder compact, parquet files cover small hyper-rectangles:
+    the average per-file span of EACH zorder column is a fraction of its
+    global span — single-column range clustering can only do this for its
+    lead column."""
+    from pathlib import Path
+
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, SMOKE_SF, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cat = Catalog(tmp_path / "cat")
+    for parity in (0, 1):  # two appends -> multi-root table worth compacting
+        txn = cat.begin()
+        txn.stage("events", events.where(F.col("event_id") % 2 == parity))
+        cat.commit(txn)
+    n = events.count()
+    # AQE coalesces the tiny fixture into one partition; splitting the
+    # z-sorted partition by record count keeps each file a contiguous
+    # z-range (exactly how max_records_per_file bounds file size at scale)
+    cat.compact(
+        spark,
+        "events",
+        zorder_by=["user_id", "value"],
+        max_records_per_file=max(n // 16, 1),
+    )
+
+    root = (tmp_path / "cat" / cat.manifest()["tables"]["events"][0])
+    files = sorted(str(p) for p in Path(root).rglob("*.parquet"))
+    assert len(files) >= 8, files
+    spans = {"user_id": [], "value": []}
+    glob_span = {}
+    for col in spans:
+        g = events.agg(
+            (F.max(col) - F.min(col)).cast("double").alias("s")
+        ).collect()[0]["s"]
+        glob_span[col] = g
+    for f in files:
+        part = spark.read.parquet(f)
+        row = part.agg(
+            *[
+                (F.max(c) - F.min(c)).cast("double").alias(c)
+                for c in spans
+            ]
+        ).collect()[0]
+        for c in spans:
+            spans[c].append(row[c] / glob_span[c])
+    for c, fracs in spans.items():
+        avg = sum(fracs) / len(fracs)
+        assert avg < 0.6, (c, avg, fracs)
+
+    # layout is invisible to results
+    got = cat.read(spark, "events")
+    assert got.count() == events.count()
+    assert got.exceptAll(events).count() == 0
+
+
+def test_stage_rejects_range_and_zorder_together(spark, tmp_path):
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, SMOKE_SF, "events")
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    with pytest.raises(ValueError):
+        txn.stage("events", events, range_by=["ts"], zorder_by=["user_id", "value"])
