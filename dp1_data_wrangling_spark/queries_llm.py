@@ -1130,6 +1130,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS position
     FROM documents
     """,
+    headline=True,
 )
 def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle (operators/sampling.py
@@ -1214,6 +1215,7 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(s.l) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
     FROM split_docs s LEFT JOIN rebuilt r USING (doc_id)
     """,
+    headline=True,
 )
 def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal (operators/dedup.py
