@@ -1686,32 +1686,37 @@ DRIVER_WINDOW: list[str] = [
     #   exists_subquery; (out): dedup_exact, sort_topk, nested_regroup,
     #   group_agg_run, json_struct_parse, doc_stable_sample,
     #   doc_split_assign — multi-round green by then, parity-held.
-    #   Also queue the round-6 late additions (all in-repo parity-green,
-    #   none driver-checked yet): doc_pii_scrub, doc_chunk,
+    # round 6 (in, added mid-round, part 2): doc_pii_scrub, doc_chunk,
     #   doc_global_shuffle, events_rollup_incremental, doc_line_dedup,
-    #   doc_top_terms — brand-new operators take precedence over the agg
-    #   extras above if slots run short.
+    #   doc_top_terms — brand-new operators go straight to the driver;
+    #   (out): dedup_exact, sort_topk, nested_regroup, group_agg_run,
+    #   path_rewrite, join_agg_topk (5-6x consecutive driver-green,
+    #   parity-held; doc_exact_dedup keeps the dedup family in-window).
+    #   This consumes most of the round-7 out-list above — round 7 should
+    #   draw its outs from whatever reaches multi-round green then
+    #   (e.g. rolling_sum, date_trunc_agg, window_analytics,
+    #   json_struct_parse, doc_stable_sample, doc_split_assign).
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
     "json_struct_parse",
     "rolling_sum",
     "date_trunc_agg",
-    "dedup_exact",
-    "group_agg_run",
-    "nested_regroup",
-    "sort_topk",
-    "path_rewrite",
     "export_plan",
     # -- aggregation / window / sketch headline extras --
-    "join_agg_topk",
     "multi_join_revenue",
+    "events_rollup_incremental",
     # -- LLM curation tier (rotated in round 6) --
     "doc_stable_sample",
     "doc_split_assign",
     "doc_curation_pipeline",
     "doc_decontaminate",
     "doc_repetition_stats",
+    "doc_pii_scrub",
+    "doc_chunk",
+    "doc_global_shuffle",
+    "doc_line_dedup",
+    "doc_top_terms",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "doc_dedup_survivors",
