@@ -425,3 +425,90 @@ def line_dedup(
         .withColumn("n_kept", F.coalesce("n_kept", F.lit(0).cast("bigint")))
         .withColumn("n_removed", (F.col("n_lines") - F.col("n_kept")).cast("bigint"))
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Substring-level duplication screen: find runs of >= ``n`` tokens
+    that appear more than ``max_freq`` times ACROSS THE CORPUS, and
+    report per-document how much text sits inside such duplicated spans —
+    the deduplicate-training-data diagnostic (Lee et al.'s suffix-array
+    substring dedup, re-expressed as token n-gram census + interval
+    merge, which a shuffle-based engine can actually run at 100 TB).
+
+    Token n-grams are alignment-free (the same token run yields the same
+    grams wherever it sits in a document), so a duplicated region of
+    length L >= n produces exactly L - n + 1 matching gram positions;
+    merging those positions as [pos, pos + n) intervals recovers the
+    span structure: ``dup_tokens`` (union size), ``n_spans`` (maximal
+    runs), ``n_hit_grams``.
+
+    Plan: row-local tokenize + gram/position explode -> one combinable
+    census on 16-byte gram digests (duplicated-gram table is tiny next
+    to the corpus -> the hit semi-join broadcasts) -> one regroup per doc
+    where the interval merge is a sorted-array integer fold, never a
+    second shuffle.  All outputs integer-exact."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if max_freq < 1:
+        raise ValueError(f"max_freq must be >= 1, got {max_freq}")
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+        ).alias("_t"),
+    ).withColumn("n_tokens", F.size("_t").cast("bigint"))
+    eligible = toks.where(F.size("_t") >= n)
+    grams = eligible.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_t) - {n}), "
+                f"i -> struct(i AS pos, "
+                f"md5(array_join(slice(_t, i + 1, {n}), ' ')) AS d))"
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.d").alias("d"))
+    hot = (
+        grams.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > max_freq)
+        .select("d")
+    )
+    hits = grams.join(hot, "d", "left_semi")
+    merged = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    # interval union of [p, p+n) over sorted starts: each gap contributes
+    # min(n, next - cur); the final start contributes n.  Span count =
+    # 1 + number of gaps wider than n (a new maximal run starts there).
+    merged = merged.select(
+        id_col,
+        F.size("_ps").cast("bigint").alias("n_hit_grams"),
+        F.expr(
+            # guard: sequence(0, -1) counts DOWNWARD (the phantom-index
+            # trap) — a single-hit doc must skip the gap fold entirely
+            f"if(size(_ps) < 2, 0L, aggregate(sequence(0, size(_ps) - 2), 0L, "
+            f"(acc, i) -> acc + least(CAST({n} AS BIGINT), "
+            f"CAST(_ps[i + 1] - _ps[i] AS BIGINT)))) + {n}"
+        ).alias("dup_tokens"),
+        F.expr(
+            f"1 + if(size(_ps) < 2, 0, size(filter(sequence(0, size(_ps) - 2), "
+            f"i -> _ps[i + 1] - _ps[i] > {n})))"
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(merged, id_col, "left")
+        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0).cast("bigint")))
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0).cast("bigint")))
+        .withColumn("n_spans", F.coalesce("n_spans", F.lit(0).cast("bigint")))
+    )

@@ -1271,3 +1271,82 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, no float log in sight."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return tx.top_terms(docs, k=3)
+
+
+@register(
+    "doc_dup_spans",
+    """
+    WITH tok0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS t
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(t[1:30], ' ') || ' uniq'
+                   || CAST(doc_id AS VARCHAR) AS text
+        FROM tok0 WHERE doc_id % 10 = 0 AND len(t) >= 30
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS t
+        FROM corpus
+    ),
+    eligible AS (SELECT * FROM tok WHERE len(t) >= 8),
+    grams AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos,
+               md5(array_to_string(t[u.i + 1 : u.i + 8], ' ')) AS d
+        FROM eligible,
+             LATERAL unnest(generate_series(0, len(t) - 8)) AS u(i)
+    ),
+    hot AS (SELECT d FROM grams GROUP BY d HAVING count(*) > 1),
+    hits AS (
+        SELECT doc_id, pos FROM grams WHERE d IN (SELECT d FROM hot)
+    ),
+    agg AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM hits GROUP BY doc_id),
+    calc AS (
+        SELECT doc_id,
+               CAST(len(ps) AS BIGINT) AS n_hit_grams,
+               CAST(coalesce(list_sum(list_transform(range(1, len(ps)),
+                    i -> least(8, ps[i + 1] - ps[i]))), 0) + 8 AS BIGINT)
+                   AS dup_tokens,
+               CAST(1 + len(list_filter(range(1, len(ps)),
+                    i -> ps[i + 1] - ps[i] > 8)) AS BIGINT) AS n_spans
+        FROM agg
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           coalesce(c.n_hit_grams, 0) AS n_hit_grams,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           coalesce(c.n_spans, 0) AS n_spans
+    FROM tok t LEFT JOIN calc c USING (doc_id)
+    """,
+)
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication screen (operators/dedup.py dup_span_stats):
+    per-doc duplicated-span token counts over a corpus where every %10
+    doc also appears as a PARTIAL copy (its first 30 tokens + a unique
+    tail) — so spans are genuinely partial, not whole-document: the
+    mutant duplicates 30 of its 31 tokens, the original exactly its
+    leading 30.  The union-of-filtered-branches corpus build evaluates
+    the scan twice (same tradeoff as fixtures.build_associations)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+    mutants = (
+        docs.withColumn("_t", toks)
+        .where((F.col("doc_id") % 10 == 0) & (F.size("_t") >= 30))
+        .select(
+            (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice("_t", 1, 30), " "),
+                F.lit(" uniq"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return dd.dup_span_stats(docs.unionByName(mutants), n=8).select(
+        "doc_id", "n_tokens", "n_hit_grams", "dup_tokens", "n_spans"
+    )

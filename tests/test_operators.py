@@ -1099,3 +1099,50 @@ def test_top_terms_hand_computed(spark):
     assert len(out) == 5
     with pytest.raises(ValueError):
         top_terms(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_stats_hand_computed(spark):
+    """Docs 1 and 2 share an 8-token run ('a1..a8') at different offsets;
+    doc 3 is clean.  The shared run yields one span of exactly 8 dup
+    tokens in each doc — positions inside the span merge, text outside
+    stays clean."""
+    from dp1_data_wrangling_spark.operators.dedup import dup_span_stats
+
+    shared = " ".join(f"a{i}" for i in range(8))
+    rows = [
+        (1, f"x1 x2 x3 {shared} y1 y2"),
+        (2, f"{shared} z1 z2 z3 z4 z5"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(df, n=8).collect()}
+    assert (out[1]["dup_tokens"], out[1]["n_spans"], out[1]["n_hit_grams"]) == (8, 1, 1)
+    assert (out[2]["dup_tokens"], out[2]["n_spans"], out[2]["n_hit_grams"]) == (8, 1, 1)
+    assert (out[3]["dup_tokens"], out[3]["n_spans"]) == (0, 0)
+    assert out[1]["n_tokens"] == 13
+
+
+def test_dup_span_stats_merges_overlapping_and_splits_distant(spark):
+    """Two duplicated runs in one doc: a long run (merged overlapping
+    grams) and a second far-away run -> 2 spans; adjacent-gap==n runs
+    merge into one."""
+    from dp1_data_wrangling_spark.operators.dedup import dup_span_stats
+
+    run1 = " ".join(f"a{i}" for i in range(10))  # 10-token run -> 3 grams, 1 span
+    run2 = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, f"{run1} x1 x2 x3 x4 x5 x6 {run2}"),
+        (2, f"p1 {run1} p2 p3 p4 p5 p6 p7 p8 p9 p10 {run2} p11"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(df, n=8).collect()}
+    for d in (1, 2):
+        assert out[d]["dup_tokens"] == 18, out[d]  # 10 + 8
+        assert out[d]["n_spans"] == 2, out[d]
+    with pytest.raises(ValueError):
+        dup_span_stats(df, n=0)
