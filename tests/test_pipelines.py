@@ -918,3 +918,55 @@ def test_stage_rejects_range_and_zorder_together(spark, tmp_path):
     txn = cat.begin()
     with pytest.raises(ValueError):
         txn.stage("events", events, range_by=["ts"], zorder_by=["user_id", "value"])
+
+
+def test_rollup_refresh_recomputes_on_commit_race(spark, tmp_path):
+    """A refresh that loses the MERGE commit race must recompute its
+    combine against the fresh rollup state and retry — never re-commit
+    the stale combine (double-count) or drop the batch."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog, CommitConflict
+    from dp1_data_wrangling_spark.plans.rollup import refresh_rollup, rollup_partial
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, str(SMOKE_SF), "events")
+    a = events.where(F.col("event_id") % 3 == 0)
+    b = events.where(F.col("event_id") % 3 == 1)
+    both = events.where(F.col("event_id") % 3 != 2)
+
+    root = tmp_path / "cat"
+    refresh_rollup(spark, Catalog(root), a)
+
+    class RacingCatalog(Catalog):
+        """First merge attempt is preempted by a concurrent refresh of
+        batch `a`-state + `b` interleaving — injected by making the first
+        attempt fail AFTER another committer changed the table roots."""
+
+        def __init__(self, r):
+            super().__init__(r)
+            self.raced = False
+
+        def merge(self, spark_, table, updates, key_cols, **kw):
+            if not self.raced:
+                self.raced = True
+                # concurrent committer wins first
+                refresh_rollup(spark_, Catalog(self.root), b)
+                raise CommitConflict("injected: table roots changed")
+            return super().merge(spark_, table, updates, key_cols, **kw)
+
+    racing = RacingCatalog(root)
+    # fold the remaining third through the racing path: its first combine
+    # is computed against state {a}, invalidated by the racer committing
+    # {b}; the retry must recombine against {a, b}
+    c = events.where(F.col("event_id") % 3 == 2)
+    refresh_rollup(spark, racing, c)
+    assert racing.raced
+
+    got = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["value_micros"])
+        for r in Catalog(root).read(spark, "events_rollup").collect()
+    }
+    want = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["value_micros"])
+        for r in rollup_partial(events).collect()
+    }
+    assert got == want

@@ -326,3 +326,39 @@ def test_group_topk_no_global_single_partition_window(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert len(re.findall(r"RunningWindowFunction|Window", plan)) >= 2, plan
     assert data_shuffles(plan) == 2, plan  # one per window stage
+
+
+def test_line_dedup_census_has_partial_aggregation(spark):
+    """The line census must combine map-side: a billion-occurrence cookie
+    banner arrives at the exchange as one partial count per task, never
+    as raw occurrences."""
+    from dp1_data_wrangling_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = plan_of(line_dedup(docs, max_freq=2))
+    assert re.search(r"partial_count|partial.*count", plan), plan
+
+
+def test_dup_span_hot_table_broadcasts(spark):
+    """The duplicated-gram table is corpus-duplication-sized (tiny): the
+    hit semi-join must broadcast it, never shuffle the gram stream."""
+    from dp1_data_wrangling_spark.operators.dedup import dup_span_stats
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = plan_of(dup_span_stats(docs, n=8))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_top_terms_df_join_broadcasts(spark):
+    """The document-frequency table is vocabulary-sized: the score join
+    must broadcast it (and the corpus-total is a one-row broadcast)."""
+    from dp1_data_wrangling_spark.operators.text import top_terms
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    plan = plan_of(top_terms(docs, k=3))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the ranking window must partition by the high-cardinality doc id
+    # (an empty windowspec partition list would serialize the corpus
+    # through one task); the only SinglePartition gather allowed is the
+    # one-row corpus total
+    assert re.search(r"windowspecdefinition\(doc_id", plan), plan

@@ -383,3 +383,103 @@ def test_bucketize_width_guard_raises_on_malformed_interval(spark):
     # a tighter explicit cap applies too
     with _pytest.raises(Exception, match="bucket cap"):
         bucketize_intervals(ok, day, max_buckets_per_interval=100).count()
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators: chunking reconstruction, dup-span interval algebra
+# ---------------------------------------------------------------------------
+
+chunk_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=300,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+chunk_geometry = st.tuples(
+    st.integers(min_value=1, max_value=60),  # stride
+    st.integers(min_value=0, max_value=60),  # extra overlap (size = stride+x)
+)
+
+
+@given(docs=chunk_docs, geom=chunk_geometry)
+@SETTINGS
+def test_chunk_documents_reconstructs_any_text(spark, docs, geom):
+    """For ANY text and any size >= stride: concatenating each chunk's
+    stride-prefix (last chunk whole) rebuilds the document exactly, and
+    consecutive chunks overlap by size - stride chars."""
+    from dp1_data_wrangling_spark.operators.text import chunk_documents
+
+    stride, extra = geom
+    size = stride + extra
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = chunk_documents(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in docs:
+        parts = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_idx"])
+        if not text:
+            assert not parts
+            continue
+        rebuilt = "".join(
+            p["chunk"] if i == len(parts) - 1 else p["chunk"][:stride]
+            for i, p in enumerate(parts)
+        )
+        assert rebuilt == text, (doc_id, size, stride)
+
+
+token_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=0,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=token_docs)
+@SETTINGS
+def test_dup_span_stats_equals_brute_force(spark, docs):
+    """dup_tokens/n_spans/n_hit_grams match a brute-force python
+    reference (explicit gram census + interval union) on arbitrary token
+    corpora — the tiny alphabet forces plenty of natural duplication."""
+    from dp1_data_wrangling_spark.operators.dedup import dup_span_stats
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df, n=n).collect()}
+
+    census: dict[tuple, int] = {}
+    for toks in docs:
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i : i + n])
+            census[g] = census.get(g, 0) + 1
+    for doc_id, toks in enumerate(docs):
+        hits = [
+            i
+            for i in range(len(toks) - n + 1)
+            if census[tuple(toks[i : i + n])] > 1
+        ]
+        covered = set()
+        for i in hits:
+            covered.update(range(i, i + n))
+        spans = 0
+        prev_in = False
+        for p in sorted(covered):
+            if not prev_in or p - 1 not in covered:
+                spans += 1
+            prev_in = True
+        r = got[doc_id]
+        assert r["n_hit_grams"] == len(hits), (doc_id, toks)
+        assert r["dup_tokens"] == len(covered), (doc_id, toks)
+        assert r["n_spans"] == spans, (doc_id, toks)
+        assert r["n_tokens"] == len(toks)
