@@ -362,3 +362,33 @@ def test_top_terms_df_join_broadcasts(spark):
     # through one task); the only SinglePartition gather allowed is the
     # one-row corpus total
     assert re.search(r"windowspecdefinition\(doc_id", plan), plan
+
+
+# Per-query data-shuffle budgets (Exchange hash/range partitioning counts in
+# the pre-AQE executed plan at fixture scale).  The DEFAULT budget is the
+# engine-wide ceiling; queries listed here have a documented reason to
+# exceed it.  A query whose plan grows past its budget fails this gate —
+# shuffle regressions become test failures, not code-review hopes.
+SHUFFLE_BUDGET_DEFAULT = 4
+SHUFFLE_BUDGETS = {
+    # recall-bound harnesses run brute-force AND the ANN index, then
+    # compare — three operators' shuffles in one plan by design
+    "lsh_recall_bound": 8,
+    "ivf_recall_bound": 8,
+    "ivf_kmeans_recall_bound": 8,
+}
+
+
+def test_every_registered_query_within_shuffle_budget(spark):
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            plan = plan_of(spec.fn(spark, SMOKE_SF))
+        except Exception as exc:  # build failure is its own loud signal
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        budget = SHUFFLE_BUDGETS.get(name, SHUFFLE_BUDGET_DEFAULT)
+        n = data_shuffles(plan)
+        if n > budget:
+            failures.append(f"{name}: {n} data shuffles > budget {budget}")
+    assert not failures, "\n".join(failures)
