@@ -557,3 +557,48 @@ def test_stream_rollup_equals_batch(spark, tmp_path):
     # replay: same checkpoint -> nothing double-counted
     stream_rollup(stream, cat_root, checkpoint_dir=ckpt).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stateless_operators_compose_with_streams(spark, tmp_path):
+    """Row-local operators (PII scrub here) are plan transformations, so
+    they apply to a streaming DataFrame unchanged — the streamed, scrubbed
+    corpus through the exactly-once catalog sink equals the batch scrub."""
+    from dp1_data_wrangling_spark.operators.text import scrub_pii
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_into_catalog
+    from dp1_data_wrangling_spark.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    # plant one scrubbable doc so the equality is non-vacuous
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" mail me x@y.io at 10.0.0.7")),
+        ).otherwise(F.col("text")),
+    )
+    src = tmp_path / "docs_stream"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    q = stream_into_catalog(
+        scrub_pii(stream),
+        cat_root,
+        "docs_clean",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = Catalog(cat_root).read(spark, "docs_clean")
+    want = scrub_pii(docs)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.where(F.col("n_email") > 0).count() > 0
