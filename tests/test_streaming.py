@@ -602,3 +602,37 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert want.where(F.col("n_email") > 0).count() > 0
+
+
+def test_stream_into_catalog_auto_compacts(spark, tmp_path):
+    """With auto_compact_roots, a multi-batch stream keeps the table's
+    commit-root list bounded while preserving every row and exactly-once
+    replay semantics."""
+    events = load_table(spark, SMOKE_SF, "events")
+    src = tmp_path / "ev_stream"
+    for i in range(4):
+        events.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_into_catalog(
+        stream, cat_root, "ev", checkpoint_dir=ckpt, auto_compact_roots=2
+    )
+    q.awaitTermination(180)
+    cat = Catalog(cat_root)
+    roots = cat.manifest()["tables"]["ev"]
+    assert len(roots) <= 2, roots  # 4 appends, compacted along the way
+    assert cat.read(spark, "ev").count() == events.count()
+    # replay is still a no-op
+    q2 = stream_into_catalog(
+        stream, cat_root, "ev", checkpoint_dir=ckpt, auto_compact_roots=2
+    )
+    q2.awaitTermination(180)
+    assert cat.read(spark, "ev").count() == events.count()
