@@ -72,11 +72,14 @@ def main() -> None:
     # replaces) would show ~100x growth in the data-dependent part.
     # priority_dedup joined the sweep in round 6 to adjudicate its r5
     # timing wobble: its claimed shape is one min_by shuffle, so the ratio
-    # must stay in the same low-single-digit class.
+    # must stay in the same low-single-digit class.  doc_line_dedup joined
+    # later in round 6 as the LLM-tier probe: census + anti-join + regroup
+    # are all linear-class, so its ratio belongs in the same band (the
+    # line census would betray a quadratic pair-expansion instantly).
     scaling: dict[str, dict] = {}
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     if small_dir != sf_dir and os.path.isdir(small_dir):
-        for probe in ("certify_probe", "priority_dedup"):
+        for probe in ("certify_probe", "priority_dedup", "doc_line_dedup"):
             if probe not in timings:
                 continue
             try:
