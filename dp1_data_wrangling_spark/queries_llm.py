@@ -1350,3 +1350,79 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_span_stats(docs.unionByName(mutants), n=8).select(
         "doc_id", "n_tokens", "n_hit_grams", "dup_tokens", "n_spans"
     )
+
+
+_CC_SPLIT_ORACLE = f"""
+    WITH RECURSIVE aug AS ({_AUG_NEAR}),
+    norm AS (SELECT doc_id, lower(substr(text, 1, 200)) AS n FROM aug),
+    hashed AS (SELECT doc_id, list_transform(
+        range(1, greatest(length(n) - 4, 1) + 1),
+        j -> md5(substr(n, j, 5))) AS hl FROM norm),
+    sigs AS (SELECT doc_id, {{sig_sql}} FROM hashed),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 2 AS band, md5(s4 || s5) AS band_key FROM sigs
+    ),
+    kept AS (
+        SELECT b.doc_id, b.band, b.band_key
+        FROM bands b
+        JOIN (SELECT band, band_key, count(*) AS n
+              FROM bands GROUP BY 1, 2) s
+          ON b.band = s.band AND b.band_key = s.band_key
+         AND s.n <= {{max_bucket}}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a
+        JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM aug
+        UNION
+        SELECT e.a AS id, r.lbl FROM reach r JOIN edges e ON e.b = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substr(md5('curation_v1' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5('curation_v1' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp WHERE doc_id = component
+    """.format(sig_sql=_MINHASH_SIG_SQL, max_bucket=dd.MAX_BUCKET_SIZE)
+
+
+@register("doc_near_dup_curation", _CC_SPLIT_ORACLE)
+def q_doc_near_dup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate curation end-to-end: MinHash-LSH candidate pairs ->
+    connected-component clustering -> keep the min-id survivor per
+    cluster -> deterministic train/val/test split.  The oracle replays
+    the ENTIRE pipeline exactly — the md5 LSH construction verbatim plus
+    a recursive-CTE transitive closure standing in for the distributed
+    label propagation (fixpoints must agree whatever the cluster shape).
+    At 100 TB this is bucketed equi-joins + O(log n) star rounds + a
+    row-local hash split — no stage is all-pairs or driver-bound."""
+    from .operators.components import dedup_survivors
+    from .operators.sampling import split_assign
+
+    aug = _augment_near(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(aug)
+    surv = (
+        dedup_survivors(aug, pairs)
+        .where(F.col("is_survivor"))
+        .select("doc_id", "component")
+    )
+    return split_assign(
+        surv,
+        "doc_id",
+        weights={"train": 90, "val": 5, "test": 5},
+        salt="curation_v1",
+    )
