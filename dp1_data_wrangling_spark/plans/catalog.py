@@ -380,6 +380,81 @@ class Catalog:
             f"{max_retries} attempts"
         ) from last_exc
 
+    def diff(
+        self,
+        spark: SparkSession,
+        table: str,
+        v_from: int,
+        v_to: int | None = None,
+        *,
+        change_col: str = "_change",
+    ) -> DataFrame:
+        """Row-level changes to ``table`` between two committed versions —
+        the change-data-feed read (Delta CDF-lite): inserted rows tagged
+        ``insert``, removed rows ``delete`` (an upsert is one of each).
+
+        Scale: versions are compared at the MANIFEST level first — commit
+        roots present in both versions hold identical immutable files and
+        are excluded before any data is read, so an append-only history
+        diffs by scanning ONLY the new commits' files (no row comparison
+        at all when one side is empty).  Only rewritten portions
+        (overwrite/merge/compact commits) fall back to the row-level
+        ``exceptAll`` — multiset semantics, so duplicate rows diff by
+        count, and a pure re-clustering compaction correctly diffs empty.
+        """
+        roots_from = list(self.manifest(v_from)["tables"].get(table, []))
+        m_to = self.manifest(v_to)
+        if table not in m_to["tables"] and not roots_from:
+            raise KeyError(f"catalog {self.root}: no table {table!r}")
+        roots_to = list(m_to["tables"].get(table, []))
+        only_from = [r for r in roots_from if r not in roots_to]
+        only_to = [r for r in roots_to if r not in roots_from]
+
+        def read_or_empty(rels: list[str], other: list[str]) -> DataFrame:
+            if rels:
+                return self._read_roots(spark, rels)
+            return self._read_roots(spark, other).limit(0)
+
+        old = read_or_empty(only_from, only_to)
+        new = read_or_empty(only_to, only_from)
+        from pyspark.sql import functions as F
+
+        return new.exceptAll(old).withColumn(
+            change_col, F.lit("insert")
+        ).unionByName(
+            old.exceptAll(new).withColumn(change_col, F.lit("delete"))
+        )
+
+    def fsck(self) -> dict:
+        """Integrity report: ``missing_roots`` (manifest entries whose data
+        directory is gone — readers WILL fail; a vacuum bug or manual
+        deletion) and ``orphan_dirs`` (data dirs no retained snapshot
+        references — aborted/raced transactions awaiting ``vacuum``;
+        harmless).  Read-only; O(directory listing), no data scanned."""
+        referenced: dict[str, str] = {}  # full rel path -> first referencer
+        for v in self.history():
+            for tname, rels in self.manifest(v)["tables"].items():
+                for rel in rels:
+                    referenced.setdefault(rel, f"v{v}:{tname}")
+        for tname, rels in self.manifest()["tables"].items():
+            for rel in rels:
+                referenced.setdefault(rel, f"live:{tname}")
+        referenced_txns = {rel.split("/")[1] for rel in referenced}
+        data_root = self.root / "data"
+        on_disk = (
+            {d.name for d in data_root.iterdir() if d.is_dir()}
+            if data_root.exists()
+            else set()
+        )
+        return {
+            "missing_roots": sorted(
+                f"{where} -> {rel}"
+                for rel, where in referenced.items()
+                if not (self.root / rel).is_dir()
+            ),
+            "orphan_dirs": sorted(on_disk - referenced_txns),
+        }
+
     def vacuum(self, *, keep_last: int = 1, min_age_seconds: float = 86_400.0) -> list[str]:
         """Retention: expire old snapshots and delete unreferenced data.
 

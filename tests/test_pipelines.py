@@ -970,3 +970,83 @@ def test_rollup_refresh_recomputes_on_commit_race(spark, tmp_path):
         for r in rollup_partial(events).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Catalog diff (CDC-lite) + fsck
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_diff_append_reads_only_new_roots(spark, tmp_path):
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, str(SMOKE_SF), "events").select(
+        "event_id", "event_type"
+    )
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    cat = Catalog(tmp_path / "cat")
+    t1 = cat.begin(); t1.stage("ev", a); cat.commit(t1)
+    v1 = cat.manifest()["version"]
+    t2 = cat.begin(); t2.stage("ev", b, mode="append"); cat.commit(t2)
+    v2 = cat.manifest()["version"]
+
+    d = cat.diff(spark, "ev", v1, v2)
+    # append-only: pure inserts, exactly batch b
+    assert d.where(F.col("_change") == "delete").count() == 0
+    ins = d.where(F.col("_change") == "insert").drop("_change")
+    assert ins.count() == b.count()
+    assert ins.exceptAll(b).count() == 0
+    # manifest short-circuit: the shared v1 root is excluded before any read
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    v1_root = cat.manifest(v1)["tables"]["ev"][0]
+    assert v1_root.split("/")[1] not in plan, plan
+
+
+def test_catalog_diff_merge_shows_upsert_as_delete_plus_insert(spark, tmp_path):
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, str(SMOKE_SF), "events").select(
+        "event_id", "event_type"
+    )
+    base = events.limit(100)
+    cat = Catalog(tmp_path / "cat")
+    t1 = cat.begin(); t1.stage("ev", base); cat.commit(t1)
+    v1 = cat.manifest()["version"]
+    updates = base.limit(10).withColumn("event_type", F.lit("patched"))
+    cat.merge(spark, "ev", updates, ["event_id"])
+    v2 = cat.manifest()["version"]
+
+    d = cat.diff(spark, "ev", v1, v2)
+    assert d.where(F.col("_change") == "insert").count() == 10
+    assert d.where(F.col("_change") == "delete").count() == 10
+    assert (
+        d.where((F.col("_change") == "insert") & (F.col("event_type") == "patched"))
+        .count() == 10
+    )
+    # identical-content rewrite portions cancel; re-clustering compaction
+    # diffs empty end-to-end
+    cat.compact(spark, "ev")
+    v3 = cat.manifest()["version"]
+    assert cat.diff(spark, "ev", v2, v3).count() == 0
+
+
+def test_catalog_fsck_reports_missing_and_orphans(spark, tmp_path):
+    import shutil
+
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, str(SMOKE_SF), "events").select("event_id")
+    cat = Catalog(tmp_path / "cat")
+    t1 = cat.begin(); t1.stage("ev", events); cat.commit(t1)
+    assert cat.fsck() == {"missing_roots": [], "orphan_dirs": []}
+    # an aborted (never-committed) txn is an orphan, not a corruption
+    cat.begin()
+    report = cat.fsck()
+    assert report["missing_roots"] == [] and len(report["orphan_dirs"]) == 1
+    # deleting a referenced root IS a corruption
+    root_rel = cat.manifest()["tables"]["ev"][0]
+    shutil.rmtree(tmp_path / "cat" / root_rel)
+    report = cat.fsck()
+    assert len(report["missing_roots"]) >= 1
+    assert any("ev" in m for m in report["missing_roots"])
