@@ -1426,3 +1426,28 @@ def q_doc_near_dup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"train": 90, "val": 5, "test": 5},
         salt="curation_v1",
     )
+
+
+@register("ivf_index_recall_bound", _ANN_RECALL_ORACLE)
+def q_ivf_index_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index (plans/ann_index.py): quantizer trained and
+    corpus published cell-partitioned through the catalog, queries served
+    with directory-level partition pruning.  Exact-equality with the
+    online ivf_topk_trained is pipeline-tested; this driver check holds
+    the same recall@5 >= 0.7 bound through the full build->publish->query
+    round trip."""
+    import tempfile
+
+    from .plans.ann_index import build_ivf_index, ivf_query_index
+    from .plans.catalog import Catalog
+
+    cat = Catalog(tempfile.mkdtemp(prefix="ann_q_"))
+    built = {"done": False}
+
+    def ann(probes, corpus):
+        if not built["done"]:
+            build_ivf_index(spark, cat, corpus, n_cells=16, n_iters=4)
+            built["done"] = True
+        return ivf_query_index(spark, cat, probes, 5, nprobe=8)
+
+    return _ann_recall_bound(spark, sf_dir, ann, 0.7)

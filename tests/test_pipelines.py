@@ -1050,3 +1050,65 @@ def test_catalog_fsck_reports_missing_and_orphans(spark, tmp_path):
     report = cat.fsck()
     assert len(report["missing_roots"]) >= 1
     assert any("ev" in m for m in report["missing_roots"])
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf_index_cat(spark, tmp_path_factory):
+    from dp1_data_wrangling_spark.plans.ann_index import build_ivf_index
+    from dp1_data_wrangling_spark.tables import load_table
+
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    cat = Catalog(tmp_path_factory.mktemp("ann") / "cat")
+    build_ivf_index(spark, cat, emb, n_cells=16, n_iters=4)
+    return cat, emb
+
+
+def test_ivf_index_query_equals_online_trained(spark, ivf_index_cat):
+    """The persisted index returns EXACTLY the online ivf_topk_trained
+    result (deterministic quantizer + identical re-rank): persistence
+    changes the physics, never the answer."""
+    from dp1_data_wrangling_spark.operators.similarity import ivf_topk_trained
+    from dp1_data_wrangling_spark.plans.ann_index import ivf_query_index
+
+    cat, emb = ivf_index_cat
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivf_query_index(spark, cat, probes, 5, nprobe=8)
+    want = ivf_topk_trained(probes, emb, 5, n_cells=16, nprobe=8, n_iters=4)
+    cols = ["probe_id", "neighbor_id", "rank"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+    assert got.count() == want.count() > 0
+
+
+def test_ivf_index_query_prunes_partitions(spark, ivf_index_cat):
+    """The cell filter must reach the scan as a PARTITION filter (directory
+    skip), and the candidate join must broadcast the probe side — the
+    corpus stream is never shuffled."""
+    from dp1_data_wrangling_spark.plans.ann_index import ivf_query_index
+
+    cat, emb = ivf_index_cat
+    probes = emb.filter(F.col("vec_id") == 0)  # one probe -> nprobe cells
+    df = ivf_query_index(spark, cat, probes, 5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    m = __import__("re").search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_index_rebuild_is_deterministic(spark, ivf_index_cat):
+    """Rebuilding from the same corpus reproduces the same index: the
+    catalog diff between the two versions is empty."""
+    from dp1_data_wrangling_spark.plans.ann_index import CORPUS_TABLE, build_ivf_index
+
+    cat, emb = ivf_index_cat
+    v1 = cat.manifest()["version"]
+    build_ivf_index(spark, cat, emb, n_cells=16, n_iters=4)
+    v2 = cat.manifest()["version"]
+    assert v2 > v1
+    assert cat.diff(spark, CORPUS_TABLE, v1, v2).count() == 0
