@@ -1657,7 +1657,6 @@ DRIVER_WINDOW: list[str] = [
     # -- core data plane (scans, joins, dedup, export pipeline) --
     "scan_filter_project",
     "semi_join",
-    "anti_join",
     "dimension_expansion",
     "membership_join",
     "find_first",
@@ -1696,6 +1695,11 @@ DRIVER_WINDOW: list[str] = [
     #   draw its outs from whatever reaches multi-round green then
     #   (e.g. rolling_sum, date_trunc_agg, window_analytics,
     #   json_struct_parse, doc_stable_sample, doc_split_assign).
+    # round 6 (in, added mid-round, part 3): embedding_semantic_dedup —
+    #   brand-new SemDeDup operator goes straight to the driver; (out):
+    #   anti_join (5x driver-green, and its fixture result is 0 rows — the
+    #   weakest possible external hash evidence; coverage equally held by
+    #   in-repo parity + test_import_idempotent's left-anti pipeline use).
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
@@ -1717,6 +1721,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_global_shuffle",
     "doc_line_dedup",
     "doc_top_terms",
+    "embedding_semantic_dedup",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "doc_dedup_survivors",

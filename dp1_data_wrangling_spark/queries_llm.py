@@ -1451,3 +1451,144 @@ def q_ivf_index_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ivf_query_index(spark, cat, probes, 5, nprobe=8)
 
     return _ann_recall_bound(spark, sf_dir, ann, 0.7)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup tier
+# ---------------------------------------------------------------------------
+
+EMB_MUTANT_DELTA = 0.0002  # per-component perturbation unit (oracle replays)
+
+
+def _augment_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus + planted semantic near-duplicates.
+
+    The generated embeddings contain no natural near-dups (max off-diagonal
+    cosine ~0.51 at sf0.01), so every %10 vector also emits a mutant
+    (vec_id + MUTANT_OFFSET) perturbed per-component by a deterministic
+    md5-derived delta in [-0.002, 0.002] — cosine to its source ~0.9999,
+    far above the 0.95 dedup threshold and far below any natural pair.
+    Same single-scan struct-array-explode form as the text `_augmented`."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mutated = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mut:"),
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 21
+            - 10
+        )
+        * F.lit(EMB_MUTANT_DELTA),
+    )
+    variants = F.array_compact(
+        F.array(
+            F.struct(F.col("vec_id"), F.col("embedding")),
+            F.when(
+                F.col("vec_id") % 10 == 0,
+                F.struct(
+                    (F.col("vec_id") + MUTANT_OFFSET).alias("vec_id"),
+                    mutated.alias("embedding"),
+                ),
+            ),
+        )
+    )
+    return emb.select(F.explode(variants).alias("__v")).select(
+        F.col("__v.vec_id").alias("vec_id"),
+        F.col("__v.embedding").alias("embedding"),
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+    WITH RECURSIVE aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, length(embedding) + 1),
+                 j -> CAST(embedding[j] AS DOUBLE)
+                      + (CAST(('0x' || substr(md5('mut:'
+                             || CAST(vec_id AS VARCHAR) || ':'
+                             || CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 21 - 10) * 0.0002) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    quant AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
+        FROM aug
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dotp >= 0
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM (
+            SELECT q.vec_id, p.p,
+                   list_aggregate(
+                       list_transform(range(1, 65),
+                         j -> q.q[j] *
+                              (CASE WHEN CAST(('0x' || substr(md5('semdedup_v1:'
+                                       || CAST(p.p AS VARCHAR) || ':'
+                                       || CAST(j - 1 AS VARCHAR)), 1, 2)) AS INT)
+                                       % 2 = 1
+                                    THEN 1 ELSE -1 END)),
+                       'sum') AS dotp
+            FROM quant q CROSS JOIN range(0, 8) p(p)) d
+        GROUP BY 1
+    ),
+    kept AS (
+        SELECT s.vec_id, s.sig FROM sigs s
+        JOIN (SELECT sig, count(*) AS n FROM sigs GROUP BY 1) c
+          ON s.sig = c.sig AND c.n <= 100
+    ),
+    edges0 AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM kept a
+        JOIN kept b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        JOIN aug va ON va.vec_id = a.vec_id
+        JOIN aug vb ON vb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.95
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM edges0
+        UNION SELECT id_b AS a, id_a AS b FROM edges0
+    ),
+    reach AS (
+        SELECT vec_id AS id, vec_id AS lbl FROM aug
+        UNION
+        SELECT e.a AS id, r.lbl FROM reach r JOIN edges e ON e.b = r.id
+    ),
+    comp AS (SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT vec_id, component, vec_id = component AS is_survivor FROM comp
+"""
+
+
+@register("embedding_semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: integer-SRP blocking ->
+    within-bucket cosine edges -> connected-component clustering -> min-id
+    survivors.  The oracle replays the ENTIRE pipeline exactly — the
+    md5-derived Rademacher planes and micro-quantized integer dot products
+    verbatim, plus a recursive-CTE transitive closure standing in for the
+    distributed label propagation.  At 100 TB: row-local signatures, one
+    signature equi-join (never all-pairs), O(log n) component rounds."""
+    from .operators.semantic import semantic_dedup
+
+    aug = _augment_embeddings(spark, sf_dir)
+    return semantic_dedup(aug, dim=64, threshold=0.95, n_planes=8)

@@ -1146,3 +1146,74 @@ def test_dup_span_stats_merges_overlapping_and_splits_distant(spark):
         assert out[d]["n_spans"] == 2, out[d]
     with pytest.raises(ValueError):
         dup_span_stats(df, n=0)
+
+
+def test_semantic_dedup_clusters_planted_mutants_no_false_merges(spark):
+    """Each %10 embedding gets a ~0.9999-cosine mutant; semantic_dedup must
+    cluster >=90% of mutants with their source (SRP recall loss only) and
+    must NEVER merge two distinct originals (max natural cosine ~0.51,
+    far below the 0.95 threshold)."""
+    from dp1_data_wrangling_spark.operators.semantic import semantic_dedup
+    from dp1_data_wrangling_spark.queries_llm import (
+        MUTANT_OFFSET,
+        _augment_embeddings,
+    )
+
+    aug = _augment_embeddings(spark, SMOKE_SF)
+    out = semantic_dedup(aug, dim=64, threshold=0.95, n_planes=8)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    originals = [v for v in rows if v < MUTANT_OFFSET]
+    mutants = [v for v in rows if v >= MUTANT_OFFSET]
+    assert len(mutants) == len([v for v in originals if v % 10 == 0])
+    caught = sum(
+        1 for m in mutants if rows[m]["component"] == m - MUTANT_OFFSET
+    )
+    assert caught >= 0.9 * len(mutants), f"{caught}/{len(mutants)}"
+    # no two ORIGINALS share a component (false semantic merge)
+    comp_of = {}
+    for v in originals:
+        c = rows[v]["component"]
+        assert c not in comp_of, f"originals {comp_of[c]} and {v} merged"
+        comp_of[c] = v
+    # survivors are exactly the min-id representatives
+    for v, r in rows.items():
+        assert r["is_survivor"] == (v == r["component"])
+
+
+def test_srp_signature_partitioning_invariant(spark):
+    """The integer SRP signature is a pure function of the vector — any
+    repartitioning yields byte-identical signatures (the blocking must not
+    depend on physical layout)."""
+    from dp1_data_wrangling_spark.operators.semantic import srp_signature
+    from dp1_data_wrangling_spark.tables import load_table
+
+    emb = load_table(spark, SMOKE_SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = srp_signature(emb, dim=64, n_planes=8)
+    b = srp_signature(emb.repartition(17, "vec_id"), dim=64, n_planes=8)
+    da = {r["vec_id"]: r["srp_sig"] for r in a.collect()}
+    db = {r["vec_id"]: r["srp_sig"] for r in b.collect()}
+    assert da == db
+    assert all(0 <= s < 256 for s in da.values())
+
+
+def test_semantic_dedup_hot_bucket_cap_drops_degenerate_pileups(spark):
+    """A pile of identical vectors larger than max_bucket_size must be
+    dropped from pairing (each becomes a singleton survivor), not explode
+    into a quadratic bucket — mirroring the MinHash hot-bucket valve."""
+    from dp1_data_wrangling_spark.operators.semantic import semantic_dedup
+
+    base = [float(i + 1) for i in range(8)]
+    rows = [(i, base) for i in range(12)] + [(100, [1.0] * 8), (101, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, dim=8, threshold=0.95, n_planes=2, max_bucket_size=5
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # the 12-clone pile exceeded the cap: all singletons, all survive
+    assert all(by_id[i]["is_survivor"] for i in range(12))
+    # the small duplicate pair still deduped (if bucketed together, which
+    # identical vectors always are)
+    assert by_id[101]["component"] == 100
+    assert not by_id[101]["is_survivor"]

@@ -376,6 +376,10 @@ SHUFFLE_BUDGETS = {
     "lsh_recall_bound": 8,
     "ivf_recall_bound": 8,
     "ivf_kmeans_recall_bound": 8,
+    "ivf_index_recall_bound": 8,
+    # candidate pairs + iterative connected-component label propagation:
+    # each CC round is one join shuffle by design (O(log n) rounds total)
+    "embedding_semantic_dedup": 8,
 }
 
 
