@@ -151,3 +151,89 @@ def global_shuffle(
         )
         .drop("_rk", "_bucket")
     )
+
+
+MIX_BUCKETS = 10_000  # finer grain than hash_bucket: mix rates to 0.01%
+
+
+def source_mix(
+    docs: DataFrame,
+    *,
+    weights: Mapping[str, int],
+    token_budget: int,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mix_v1",
+) -> DataFrame:
+    """Compose a training corpus to a token budget with per-source target
+    weights (the Pile/Dolma "data mixing" step).
+
+    Each source ``s`` gets a target of ``token_budget * w_s / Σw`` tokens;
+    its deterministic keep-rate is ``min(1, target_s / tokens_s)``,
+    realized as an integer bucket threshold: keep a doc iff
+    ``md5_bucket(salt, id) < thr_s`` where
+    ``thr_s = least(B, floor(B * (budget*w_s) / (Σw * tokens_s)))``.
+    The only floating step is one per-SOURCE division of two exact BIGINTs
+    (IEEE-correctly-rounded, so engine-identical); every per-ROW decision
+    is pure integer compare — reproducible, repartition-proof, and
+    replayable by the DuckDB oracle.
+
+    Returns all input rows plus a ``keep`` flag (callers filter; keeping
+    the flag makes the decision auditable and oracle-checkable).
+
+    A source absent from ``weights`` gets weight 0 ⇒ ``keep = false``
+    (explicit curation: unlisted sources are excluded, not smuggled in).
+
+    Scale: one map-side-combinable groupBy on the source (the ONLY
+    shuffle), a source-dimension join back (broadcast while the source
+    dimension is small; Spark falls back to a hash join if "source" is
+    e.g. millions of domains), then a row-local keep decision.  Rates are
+    exact at any corpus size: ``budget*w ≤ ~2.5e15`` and ``Σw*tokens``
+    stay far inside int64 for a 100 TB corpus with percent-scale weights.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    bad = {s: w for s, w in weights.items() if not isinstance(w, int) or w < 0}
+    if bad or not weights:
+        raise ValueError(f"weights must be non-negative ints, got {bad or weights}")
+    sum_w = sum(weights.values())
+    if sum_w == 0:
+        raise ValueError("at least one weight must be positive")
+
+    wmap = F.create_map(
+        *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(w))]
+    )
+    totals = docs.groupBy(group_col).agg(
+        F.sum(F.col(token_col)).alias("__grp_tokens")
+    )
+    wt = F.coalesce(F.element_at(wmap, F.col(group_col)), F.lit(0)).cast("long")
+    b = F.lit(MIX_BUCKETS).cast("long")
+    thr = (
+        F.when(F.col("__grp_tokens") == 0, b)
+        .otherwise(
+            F.least(
+                b,
+                F.floor(
+                    b
+                    * (
+                        (F.lit(token_budget).cast("long") * wt).cast("double")
+                        / (F.lit(sum_w).cast("long") * F.col("__grp_tokens"))
+                        .cast("double")
+                    )
+                ),
+            )
+        )
+        .alias("__thr")
+    )
+    lim = totals.select(group_col, thr)
+    payload = F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    bucket = (
+        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+        % MIX_BUCKETS
+    )
+    return (
+        docs.join(lim, group_col)
+        .withColumn("keep", bucket < F.col("__thr"))
+        .drop("__thr")
+    )

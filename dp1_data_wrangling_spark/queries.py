@@ -1700,6 +1700,10 @@ DRIVER_WINDOW: list[str] = [
     #   anti_join (5x driver-green, and its fixture result is 0 rows — the
     #   weakest possible external hash evidence; coverage equally held by
     #   in-repo parity + test_import_idempotent's left-anti pipeline use).
+    # round 6 (in, added mid-round, part 4): doc_source_mix — brand-new
+    #   corpus-mixing operator goes straight to the driver; (out):
+    #   sliding_window (5x driver-green, parity-held; tumbling_window and
+    #   session_window keep the streaming-window family in-window).
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
@@ -1722,6 +1726,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_line_dedup",
     "doc_top_terms",
     "embedding_semantic_dedup",
+    "doc_source_mix",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "doc_dedup_survivors",
@@ -1741,7 +1746,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_frames",
     # -- streaming --
     "tumbling_window",
-    "sliding_window",
     "session_window",
     "event_correlation",
 ]

@@ -1592,3 +1592,58 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _augment_embeddings(spark, sf_dir)
     return semantic_dedup(aug, dim=64, threshold=0.95, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition: source mixing under a token budget
+# ---------------------------------------------------------------------------
+
+# Percent-scale weights over the 20 fixture sources (w = i%4 + 1) and a
+# budget that leaves high-weight sources fully kept and low-weight ones
+# subsampled — exercising both sides of the min(1, rate) clamp.
+MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+MIX_BUDGET = 30_000
+
+_MIX_VALUES = ", ".join(f"('src{i}', {(i % 4) + 1})" for i in range(20))
+_SOURCE_MIX_ORACLE = f"""
+    WITH w(source, wt) AS (VALUES {_MIX_VALUES}),
+    dt AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS gt
+            FROM dt GROUP BY 1),
+    thr AS (
+        SELECT t.source,
+               CASE WHEN t.gt = 0 THEN 10000
+                    ELSE least(10000, CAST(floor(10000 *
+                        (CAST({MIX_BUDGET} * coalesce(w.wt, 0) AS DOUBLE) /
+                         CAST({sum(MIX_WEIGHTS.values())} * t.gt AS DOUBLE)))
+                        AS BIGINT))
+               END AS thr
+        FROM tot t LEFT JOIN w USING (source)
+    )
+    SELECT d.doc_id, d.source, d.n_tokens,
+           (CAST(('0x' || substr(md5('mix_v1' || CAST(d.doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 10000) < t.thr AS keep
+    FROM dt d JOIN thr t USING (source)
+"""
+
+
+@register("doc_source_mix", _SOURCE_MIX_ORACLE)
+def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: compose the corpus to a 30k-token budget with
+    per-source target weights (operators/sampling.py source_mix).  One
+    map-side-combinable groupBy + a broadcast-able source-dimension join
+    + a row-local integer keep decision; the oracle replays the md5
+    threshold rule exactly."""
+    from .operators.sampling import source_mix
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return source_mix(
+        docs, weights=MIX_WEIGHTS, token_budget=MIX_BUDGET
+    ).select("doc_id", "source", "n_tokens", "keep")

@@ -1217,3 +1217,55 @@ def test_semantic_dedup_hot_bucket_cap_drops_degenerate_pileups(spark):
     # identical vectors always are)
     assert by_id[101]["component"] == 100
     assert not by_id[101]["is_survivor"]
+
+
+def test_source_mix_clamps_and_subsamples(spark):
+    """A source whose tokens fit its target is fully kept (rate clamps at
+    1); an over-budget source is subsampled to ~its target; an unlisted
+    source is dropped entirely."""
+    from dp1_data_wrangling_spark.operators.sampling import source_mix
+
+    rows = (
+        [(i, "small", 10) for i in range(20)]  # 200 tokens
+        + [(100 + i, "big", 10) for i in range(400)]  # 4000 tokens
+        + [(900 + i, "unlisted", 10) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = source_mix(
+        df, weights={"small": 1, "big": 1}, token_budget=2000
+    )  # targets: 1000 tokens each
+    kept = out.filter("keep").groupBy("source").sum("n_tokens").collect()
+    by_src = {r["source"]: r["sum(n_tokens)"] for r in kept}
+    assert by_src.get("small") == 200  # under target -> all kept
+    assert "unlisted" not in by_src  # weight 0 -> dropped
+    # subsampled to ~1000 of 4000 tokens (hash noise: allow a wide band)
+    assert 600 <= by_src.get("big", 0) <= 1400, by_src
+
+
+def test_source_mix_is_partitioning_invariant_and_validates(spark):
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.sampling import source_mix
+
+    rows = [(i, f"s{i % 3}", 5 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    w = {"s0": 2, "s1": 1, "s2": 1}
+    a = {
+        r["doc_id"]: r["keep"]
+        for r in source_mix(df, weights=w, token_budget=300).collect()
+    }
+    b = {
+        r["doc_id"]: r["keep"]
+        for r in source_mix(
+            df.repartition(13, "source"), weights=w, token_budget=300
+        ).collect()
+    }
+    assert a == b and len(a) == 200
+    with _pytest.raises(ValueError):
+        source_mix(df, weights={"s0": -1, "s1": 2}, token_budget=100)
+    with _pytest.raises(ValueError):
+        source_mix(df, weights={}, token_budget=100)
+    with _pytest.raises(ValueError):
+        source_mix(df, weights={"s0": 0}, token_budget=100)
+    with _pytest.raises(ValueError):
+        source_mix(df, weights=w, token_budget=-5)
