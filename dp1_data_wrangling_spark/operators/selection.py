@@ -135,3 +135,74 @@ def importance_resample(
     return df.select(
         *df.columns, F.explode(copies).alias(copy_col)
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    keep_top_percent: int,
+    id_col: str,
+    out_col: str = "keep",
+) -> DataFrame:
+    """Keep the top ``keep_top_percent``% of rows per group by score
+    (quantile-based quality filtering, e.g. "top 60% by quality within
+    each language").
+
+    Exact integer semantics: with rows ranked by (score desc, id asc)
+    within a group of n rows, a row is kept iff ``rank * 100 <= n * pct``
+    — no percent_rank floats, no boundary ambiguity, deterministic ties.
+
+    Scale shape: the naive form is ONE window partitioned by the group —
+    which serializes a 40 TB language into one task (the same skew trap
+    ``group_topk`` documents).  Instead this decomposes exactly:
+
+    1. per-(group, score) counts — map-side-combinable groupBy;
+    2. per-group cumulative counts over DISTINCT scores (a window over
+       the score histogram, not the rows — bounded by score cardinality);
+    3. join back: scores wholly under the cutoff keep all rows; the ONE
+       boundary score per group keeps its first ``keep_n - kept_before``
+       rows by id (a row_number window partitioned by (group, score) —
+       fine-grained, never group-sized).
+
+    The DuckDB oracle runs the naive rank-window form, independently
+    validating the decomposition."""
+    if not 0 <= keep_top_percent <= 100:
+        raise ValueError(
+            f"keep_top_percent must be in [0, 100], got {keep_top_percent}"
+        )
+    g, s = F.col(group_col), F.col(score_col)
+    counts = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(s.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy(group_col)
+    keep_n = F.floor(
+        (F.sum("__c").over(w_grp) * keep_top_percent) / 100
+    ).cast("long")
+    agg = (
+        counts.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__keep_n", keep_n)
+        .select(
+            group_col,
+            score_col,
+            (F.col("__cum") <= F.col("__keep_n")).alias("__all_kept"),
+            F.greatest(
+                F.col("__keep_n") - (F.col("__cum") - F.col("__c")), F.lit(0)
+            )
+            .cast("long")
+            .alias("__quota"),
+        )
+    )
+    tie_w = Window.partitionBy(group_col, score_col).orderBy(F.col(id_col))
+    return (
+        df.join(agg, [group_col, score_col])
+        .withColumn("__tie", F.row_number().over(tie_w).cast("long"))
+        .withColumn(
+            out_col, F.col("__all_kept") | (F.col("__tie") <= F.col("__quota"))
+        )
+        .drop("__all_kept", "__quota", "__tie")
+    )

@@ -1704,6 +1704,11 @@ DRIVER_WINDOW: list[str] = [
     #   corpus-mixing operator goes straight to the driver; (out):
     #   sliding_window (5x driver-green, parity-held; tumbling_window and
     #   session_window keep the streaming-window family in-window).
+    # round 6 (in, added mid-round, part 5): doc_quality_quantile —
+    #   brand-new skew-proof per-group quantile filter goes straight to
+    #   the driver; (out): multimodal_frames (rows-only check anyway —
+    #   weakest driver evidence class; multimodal_features and
+    #   multimodal_resize keep the family in-window).
     "asof_lookup_bucketized",
     "asof_lookup_routed",
     "window_analytics",
@@ -1727,6 +1732,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_top_terms",
     "embedding_semantic_dedup",
     "doc_source_mix",
+    "doc_quality_quantile",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "doc_dedup_survivors",
@@ -1743,7 +1749,6 @@ DRIVER_WINDOW: list[str] = [
     "ivf_recall_bound",
     "multimodal_features",
     "multimodal_resize",
-    "multimodal_frames",
     # -- streaming --
     "tumbling_window",
     "session_window",

@@ -1647,3 +1647,58 @@ def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(
         docs, weights=MIX_WEIGHTS, token_budget=MIX_BUDGET
     ).select("doc_id", "source", "n_tokens", "keep")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-based quality filtering
+# ---------------------------------------------------------------------------
+
+_QUALITY_QUANTILE_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(floor(
+                   (len(list_distinct(list_filter(
+                        regexp_split_to_array(lower(text), '\\W+'),
+                        x -> x != ''))) * 1000)
+                   / greatest(len(list_filter(
+                        regexp_split_to_array(text, '\\s+'), x -> x != '')), 1)
+               ) AS BIGINT) AS milli_ttr
+        FROM documents
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY milli_ttr DESC, doc_id) AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    )
+    SELECT doc_id, lang, milli_ttr, (r * 100 <= n * 60) AS keep FROM rk
+"""
+
+
+@register("doc_quality_quantile", _QUALITY_QUANTILE_ORACLE)
+def q_doc_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile quality filter: keep the top 60% of docs by
+    integer milli type-token ratio within each language.  The engine runs
+    the skew-proof histogram decomposition (operators/selection.py
+    quantile_filter); the oracle runs the naive rank window — independent
+    validation of the decomposition's exactness."""
+    from .operators.selection import quantile_filter
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.floor(
+            (tx.distinct_token_count(F.col("text")) * 1000)
+            / F.greatest(tx.token_count(F.col("text")), F.lit(1))
+        )
+        .cast("long")
+        .alias("milli_ttr"),
+    )
+    return quantile_filter(
+        docs,
+        score_col="milli_ttr",
+        group_col="lang",
+        keep_top_percent=60,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "milli_ttr", "keep")

@@ -1269,3 +1269,46 @@ def test_source_mix_is_partitioning_invariant_and_validates(spark):
         source_mix(df, weights={"s0": 0}, token_budget=100)
     with _pytest.raises(ValueError):
         source_mix(df, weights=w, token_budget=-5)
+
+
+def test_quantile_filter_matches_naive_rank_window(spark):
+    """The skew-proof histogram decomposition must agree exactly with the
+    naive per-group rank cutoff (rank*100 <= n*pct, ties by id), including
+    at boundary scores with many ties."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.selection import quantile_filter
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"g{i % 3}", rng.choice([1, 2, 2, 3, 3, 3, 5]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    for pct in (0, 37, 60, 100):
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in quantile_filter(
+                df,
+                score_col="score",
+                group_col="grp",
+                keep_top_percent=pct,
+                id_col="doc_id",
+            ).collect()
+        }
+        # naive reference
+        want = {}
+        for g in ("g0", "g1", "g2"):
+            grp = sorted(
+                [(s, i) for i, gg, s in rows if gg == g],
+                key=lambda t: (-t[0], t[1]),
+            )
+            n = len(grp)
+            for r, (s, i) in enumerate(grp, start=1):
+                want[i] = r * 100 <= n * pct
+        assert got == want, f"pct={pct}"
+    with pytest.raises(ValueError):
+        quantile_filter(
+            df, score_col="score", group_col="grp",
+            keep_top_percent=101, id_col="doc_id",
+        )
