@@ -48,6 +48,11 @@ class CommitConflict(RuntimeError):
     left as an orphan (invisible; reclaimed by ``vacuum``)."""
 
 
+class ConstraintViolation(ValueError):
+    """A staged DataFrame violates a table CHECK constraint.  Raised
+    BEFORE any data is written — the transaction stays clean."""
+
+
 @dataclass
 class Transaction:
     """Accumulates table writes; nothing is visible until commit."""
@@ -55,6 +60,9 @@ class Transaction:
     txn_id: str
     root: Path
     writes: dict[str, tuple[str, str]] = field(default_factory=dict)  # table -> (mode, relpath)
+    # CHECK-constraint set seen at stage time, per staged table — commit
+    # re-checks it against the live manifest (optimistic DDL conflict)
+    seen_constraints: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def stage(
         self,
@@ -85,6 +93,37 @@ class Transaction:
         """
         rel = f"data/{self.txn_id}/{table}"
         out = self.root / rel
+        # CHECK constraints (Delta-style expectations): validate BEFORE the
+        # write so a violating batch never even stages.  SQL CHECK
+        # semantics: a NULL predicate passes (unknown ≠ violation).  One
+        # combinable aggregate job — per-constraint violation counts in a
+        # single pass, no per-row Python.  The constraint set seen here is
+        # pinned on the txn; commit() aborts if concurrent DDL changed it.
+        checks = Catalog(self.root).constraints(table)
+        self.seen_constraints[table] = checks
+        if checks:
+            from pyspark.sql import functions as F
+
+            row = df.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(
+                                F.expr(expr).cast("boolean"), F.lit(True)
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias(cname)
+                    for cname, expr in sorted(checks.items())
+                ]
+            ).collect()[0]
+            bad = {c: int(row[c] or 0) for c in row.asDict() if row[c]}
+            if bad:
+                raise ConstraintViolation(
+                    f"table {table!r}: staged data violates CHECK "
+                    f"constraints (violating rows per constraint): {bad}; "
+                    f"constraints: { {c: checks[c] for c in bad} }"
+                )
         if zorder_by and range_by:
             raise ValueError("pass range_by or zorder_by, not both")
         if zorder_by:
@@ -158,6 +197,26 @@ class Catalog:
 
     def meta(self) -> dict:
         return self.manifest().get("meta", {})
+
+    # -- CHECK constraints (Delta-style expectations) ----------------------
+    def constraints(self, table: str) -> dict[str, str]:
+        """Current CHECK constraints for ``table``: name -> SQL boolean
+        expression over the table's columns."""
+        return dict(self.manifest().get("constraints", {}).get(table, {}))
+
+    def set_constraint(self, table: str, name: str, expr: str) -> int:
+        """Register (or replace) a CHECK constraint — transactional DDL.
+
+        Every subsequent ``Transaction.stage`` for ``table`` validates
+        against it (one combinable aggregate pass; violating batches raise
+        ``ConstraintViolation`` before any data is written).  Note: like
+        Delta's ADD CONSTRAINT, this does NOT re-scan already-published
+        data — run a validation read first if the table might already
+        violate."""
+        return self.commit(self.begin(), constraint_ddl={table: {name: expr}})
+
+    def drop_constraint(self, table: str, name: str) -> int:
+        return self.commit(self.begin(), constraint_ddl={table: {name: None}})
 
     # -- read path ---------------------------------------------------------
     def read(
@@ -508,6 +567,7 @@ class Catalog:
         *,
         meta: dict | None = None,
         require_roots: dict[str, list[str]] | None = None,
+        constraint_ddl: dict[str, dict[str, str | None]] | None = None,
     ) -> int:
         """Atomically publish every table staged in ``txn``.
 
@@ -549,6 +609,32 @@ class Catalog:
                             f"expected roots {expected}, found "
                             f"{tables.get(tname, [])}"
                         )
+            # DDL conflict check: stage() validated each table against the
+            # constraint set current THEN; if concurrent DDL changed it, the
+            # staged data was never checked against the new rules — abort.
+            live_constraints = m.get("constraints", {})
+            for tname in txn.writes:
+                seen = txn.seen_constraints.get(tname, {})
+                now = live_constraints.get(tname, {})
+                if seen != now:
+                    raise CommitConflict(
+                        f"table {tname!r}: CHECK constraints changed since "
+                        f"stage (validated against {seen}, live is {now}); "
+                        "re-stage to re-validate"
+                    )
+            if constraint_ddl:
+                bag = m.setdefault("constraints", {})
+                for tname, changes in constraint_ddl.items():
+                    tbag = bag.setdefault(tname, {})
+                    for cname, expr in changes.items():
+                        if expr is None:
+                            tbag.pop(cname, None)
+                        else:
+                            tbag[cname] = expr
+                    if not tbag:
+                        bag.pop(tname, None)
+                if not bag:
+                    m.pop("constraints", None)
             for table, (mode, rel) in sorted(txn.writes.items()):
                 if mode == "overwrite" or table not in tables:
                     tables[table] = [rel]

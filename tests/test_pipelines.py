@@ -1112,3 +1112,71 @@ def test_ivf_index_rebuild_is_deterministic(spark, ivf_index_cat):
     v2 = cat.manifest()["version"]
     assert v2 > v1
     assert cat.diff(spark, CORPUS_TABLE, v1, v2).count() == 0
+
+
+def test_catalog_check_constraints_block_violating_stage(spark, tmp_path):
+    """Delta-style expectations: a violating batch raises BEFORE any data
+    is written; NULL predicates pass (SQL CHECK semantics); dropping the
+    constraint re-admits the write."""
+    from dp1_data_wrangling_spark.plans.catalog import ConstraintViolation
+
+    cat = Catalog(tmp_path / "cat")
+    cat.set_constraint("t", "positive_qty", "qty > 0")
+    cat.set_constraint("t", "named", "name IS NOT NULL")
+    assert cat.constraints("t") == {
+        "positive_qty": "qty > 0",
+        "named": "name IS NOT NULL",
+    }
+
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "qty long, name string"
+    )
+    t1 = cat.begin()
+    t1.stage("t", good)
+    cat.commit(t1)
+    assert cat.read(spark, "t").count() == 2
+
+    bad = spark.createDataFrame(
+        [(1, "a"), (-3, "b"), (0, None)], "qty long, name string"
+    )
+    t2 = cat.begin()
+    with pytest.raises(ConstraintViolation, match="positive_qty"):
+        t2.stage("t", bad)
+    cat.commit(t2)  # empty txn commits fine; nothing was staged
+    assert cat.read(spark, "t").count() == 2  # violating batch never landed
+
+    # NULL predicate passes: qty IS NULL makes "qty > 0" unknown, not false
+    nullish = spark.createDataFrame([(None, "c")], "qty long, name string")
+    t3 = cat.begin()
+    t3.stage("t", nullish)
+    cat.commit(t3)
+    assert cat.read(spark, "t").count() == 3
+
+    cat.drop_constraint("t", "positive_qty")
+    cat.drop_constraint("t", "named")
+    assert cat.constraints("t") == {}
+    t4 = cat.begin()
+    t4.stage("t", bad)
+    cat.commit(t4)
+    assert cat.read(spark, "t").count() == 6
+
+
+def test_catalog_constraint_ddl_conflicts_with_in_flight_stage(spark, tmp_path):
+    """A txn staged against one constraint set must not commit under
+    another (its data was never validated against the new rules)."""
+    from dp1_data_wrangling_spark.plans.catalog import CommitConflict
+
+    cat = Catalog(tmp_path / "cat")
+    df = spark.createDataFrame([(-1,)], "qty long")
+    txn = cat.begin()
+    txn.stage("t", df)  # no constraints at stage time
+    cat.set_constraint("t", "positive_qty", "qty > 0")  # concurrent DDL
+    with pytest.raises(CommitConflict, match="constraints changed"):
+        cat.commit(txn)
+    assert cat.tables() == []  # nothing published
+    # re-staging validates against the live set and correctly rejects
+    from dp1_data_wrangling_spark.plans.catalog import ConstraintViolation
+
+    txn2 = cat.begin()
+    with pytest.raises(ConstraintViolation):
+        txn2.stage("t", df)
