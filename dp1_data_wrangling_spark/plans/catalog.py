@@ -439,6 +439,66 @@ class Catalog:
             f"{max_retries} attempts"
         ) from last_exc
 
+    def delete(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicate: str,
+        *,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        max_retries: int = 3,
+        meta: dict | None = None,
+    ) -> int:
+        """``DELETE FROM table WHERE predicate`` — copy-on-write republish
+        of the rows the predicate does NOT match.
+
+        SQL DELETE semantics: a row is deleted iff the predicate is TRUE;
+        a NULL (unknown) predicate KEEPS the row.  Same OCC loop as
+        ``merge``/``compact``: the read-rewrite runs outside the commit
+        lock, commits with a root-list conflict check, and retries against
+        concurrent appends/merges.  Time travel preserves pre-delete
+        versions; ``diff`` shows the deletion as removed rows (GDPR-style
+        erasure therefore also needs ``vacuum`` to reclaim old snapshots).
+
+        Scale: the rewrite streams scan -> filter -> write with no shuffle
+        (unless re-laying-out via ``sort_by``/``partition_by``); a
+        predicate aligned with the table's partition/cluster layout prunes
+        the scan to the affected files."""
+        from pyspark.sql import functions as F
+
+        last_exc: CommitConflict | None = None
+        for _ in range(max_retries):
+            snapshot = self.manifest()
+            if table not in snapshot["tables"]:
+                raise KeyError(f"catalog {self.root}: no table {table!r}")
+            roots = list(snapshot["tables"][table])
+            remaining = self._read_roots(spark, roots).filter(
+                ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            )
+            txn = self.begin()
+            txn.stage(
+                table,
+                remaining,
+                mode="overwrite",
+                sort_by=sort_by,
+                partition_by=partition_by,
+            )
+            try:
+                return self.commit(
+                    txn,
+                    meta={"deleted_from": table, "predicate": predicate,
+                          **(meta or {})},
+                    require_roots={table: roots},
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise CommitConflict(
+            f"delete({table!r}): concurrent commits kept winning after "
+            f"{max_retries} attempts"
+        ) from last_exc
+
     def diff(
         self,
         spark: SparkSession,

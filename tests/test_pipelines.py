@@ -1180,3 +1180,65 @@ def test_catalog_constraint_ddl_conflicts_with_in_flight_stage(spark, tmp_path):
     txn2 = cat.begin()
     with pytest.raises(ConstraintViolation):
         txn2.stage("t", df)
+
+
+def test_catalog_delete_where(spark, tmp_path):
+    """DELETE WHERE: matching rows go, NULL-predicate rows stay (SQL
+    three-valued semantics), time travel still sees the pre-delete state,
+    and diff reports the removal."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    rows = [(1, 5), (2, -1), (3, None), (4, 9)]
+    txn.stage("t", spark.createDataFrame(rows, "id long, qty long"))
+    v1 = cat.commit(txn)
+
+    v2 = cat.delete(spark, "t", "qty < 0")
+    got = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    assert got == [1, 3, 4]  # id=2 deleted; id=3 (NULL qty) kept
+    assert sorted(
+        r["id"] for r in cat.read(spark, "t", version=v1).collect()
+    ) == [1, 2, 3, 4]
+    d = cat.diff(spark, "t", v1, v2)
+    assert [(r["id"], r["_change"]) for r in d.collect()] == [(2, "delete")]
+
+    with pytest.raises(KeyError):
+        cat.delete(spark, "no_such_table", "true")
+
+
+def test_catalog_delete_retries_over_concurrent_append(spark, tmp_path):
+    """An append landing between delete's snapshot read and its commit
+    survives: the first attempt conflicts, the rewrite retries and the
+    appended rows (which match nothing) are in the final state."""
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.plans import catalog as cat_mod
+
+    cat = cat_mod.Catalog(str(tmp_path / "cat"))
+    txn = cat.begin()
+    txn.stage("t", spark.range(10).withColumn("flag", F.col("id") % 2 == 0))
+    cat.commit(txn)
+
+    real_read_roots = cat._read_roots
+    fired = {"n": 0}
+
+    def racy_read_roots(spark_, rels):
+        df = real_read_roots(spark_, rels)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other = cat_mod.Catalog(str(tmp_path / "cat"))
+            t2 = other.begin()
+            t2.stage(
+                "t",
+                spark.range(100, 105).withColumn("flag", F.lit(False)),
+                mode="append",
+            )
+            other.commit(t2)
+        return df
+
+    cat._read_roots = racy_read_roots
+    cat.delete(spark, "t", "flag")
+    ids = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    assert ids == [1, 3, 5, 7, 9, 100, 101, 102, 103, 104]
+    assert fired["n"] == 1
