@@ -22,6 +22,7 @@ from .curation import read_curated, stream_curation
 from .decontam import read_clean, read_flagged, stream_decontaminate
 from .dedup_llm import stream_minhash_dedup
 from .rollup import stream_rollup
+from .semantic import read_semantic_survivors, stream_semantic_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
 
@@ -38,6 +39,8 @@ __all__ = [
     "stream_static_enrich",
     "incremental_find_first",
     "stream_into_catalog",
+    "stream_semantic_dedup",
+    "read_semantic_survivors",
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",

@@ -636,3 +636,65 @@ def test_stream_into_catalog_auto_compacts(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert cat.read(spark, "ev").count() == events.count()
+
+
+def test_stream_semantic_dedup_equals_batch(spark, tmp_path):
+    """Incremental SRP index over two micro-batches: accumulated pairs
+    equal the batch operator's pairs on the union (new×new ∪ new×old
+    decomposition), survivors re-derived over them are byte-identical to
+    batch semantic_dedup, and replaying the stream adds nothing."""
+    from dp1_data_wrangling_spark.operators.semantic import (
+        semantic_candidate_pairs,
+        semantic_dedup,
+    )
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.queries_llm import _augment_embeddings
+    from dp1_data_wrangling_spark.streaming import (
+        read_semantic_survivors,
+        stream_semantic_dedup,
+    )
+    from dp1_data_wrangling_spark.streaming.semantic import SEM_PAIRS_TABLE
+
+    aug = _augment_embeddings(spark, SMOKE_SF)
+    src = tmp_path / "vec_stream"
+    # originals first, mutants second -> every mutant pair is cross-batch
+    aug.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)
+    aug.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_semantic_dedup(stream, cat_root, checkpoint_dir=ckpt, dim=64)
+    q.awaitTermination(180)
+
+    got_pairs = Catalog(cat_root).read(spark, SEM_PAIRS_TABLE).distinct()
+    want_pairs = semantic_candidate_pairs(aug, dim=64)
+    assert got_pairs.count() == want_pairs.count() > 0
+    assert got_pairs.exceptAll(want_pairs).count() == 0
+    assert want_pairs.exceptAll(got_pairs).count() == 0
+
+    got_surv = {
+        r["vec_id"]: (r["component"], r["is_survivor"])
+        for r in read_semantic_survivors(spark, cat_root).collect()
+    }
+    want_surv = {
+        r["vec_id"]: (r["component"], r["is_survivor"])
+        for r in semantic_dedup(aug, dim=64).collect()
+    }
+    assert got_surv == want_surv
+
+    # replay: same checkpoint -> no-op
+    q2 = stream_semantic_dedup(stream, cat_root, checkpoint_dir=ckpt, dim=64)
+    q2.awaitTermination(180)
+    assert (
+        Catalog(cat_root).read(spark, SEM_PAIRS_TABLE).distinct().count()
+        == want_pairs.count()
+    )
