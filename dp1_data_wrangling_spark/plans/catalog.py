@@ -499,6 +499,79 @@ class Catalog:
             f"{max_retries} attempts"
         ) from last_exc
 
+    def update(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicate: str,
+        assignments: dict[str, str],
+        *,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        max_retries: int = 3,
+        meta: dict | None = None,
+    ) -> int:
+        """``UPDATE table SET col = expr, ... WHERE predicate`` —
+        copy-on-write republish with per-row conditional assignment.
+
+        A row is updated iff the predicate is TRUE (NULL keeps the old
+        values, matching ``delete``'s three-valued semantics).  All
+        assignment expressions evaluate against the OLD row (standard SQL
+        UPDATE: ``SET a = b, b = a`` swaps), then each assigned column is
+        replaced under one ``when(pred, new).otherwise(old)`` — a single
+        scan -> project -> write pass, no join, no shuffle.  Same OCC
+        retry loop as merge/delete/compact.  Assigned expressions are cast
+        back to the column's existing type so an UPDATE cannot silently
+        change the table schema."""
+        from pyspark.sql import functions as F
+
+        if not assignments:
+            raise ValueError("update requires at least one assignment")
+        last_exc: CommitConflict | None = None
+        for _ in range(max_retries):
+            snapshot = self.manifest()
+            if table not in snapshot["tables"]:
+                raise KeyError(f"catalog {self.root}: no table {table!r}")
+            roots = list(snapshot["tables"][table])
+            df = self._read_roots(spark, roots)
+            missing = [c for c in assignments if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"update({table!r}): no such columns {missing}"
+                )
+            pred = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            types = {f.name: f.dataType for f in df.schema.fields}
+            updated = df.withColumns(
+                {
+                    col: F.when(
+                        pred, F.expr(expr).cast(types[col])
+                    ).otherwise(F.col(col))
+                    for col, expr in assignments.items()
+                }
+            )
+            txn = self.begin()
+            txn.stage(
+                table,
+                updated,
+                mode="overwrite",
+                sort_by=sort_by,
+                partition_by=partition_by,
+            )
+            try:
+                return self.commit(
+                    txn,
+                    meta={"updated": table, "predicate": predicate,
+                          **(meta or {})},
+                    require_roots={table: roots},
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise CommitConflict(
+            f"update({table!r}): concurrent commits kept winning after "
+            f"{max_retries} attempts"
+        ) from last_exc
+
     def diff(
         self,
         spark: SparkSession,

@@ -1681,10 +1681,13 @@ DRIVER_WINDOW: list[str] = [
     #   verification; (out): window_rank, revenue_agg (5x consecutive
     #   driver-green, trivial, parity-held).
     # round-7 rotation candidates (in): doc_pack_sequences, corpus_top_ngrams,
-    #   doc_source_quota, doc_importance_resample, rollup_agg, pivot_agg,
-    #   exists_subquery; (out): dedup_exact, sort_topk, nested_regroup,
-    #   group_agg_run, json_struct_parse, doc_stable_sample,
-    #   doc_split_assign — multi-round green by then, parity-held.
+    #   doc_source_quota, doc_importance_resample, doc_dup_spans,
+    #   doc_near_dup_curation, ivf_kmeans_recall_bound, rollup_agg,
+    #   pivot_agg, exists_subquery, correlated_subquery; (out): whatever
+    #   reaches multi-round green (e.g. rolling_sum, date_trunc_agg,
+    #   window_analytics, json_struct_parse, doc_stable_sample,
+    #   doc_split_assign, asof_lookup_bucketized, asof_lookup_routed,
+    #   interval_overlap, scan_filter_project, membership_join).
     # round 6 (in, added mid-round, part 2): doc_pii_scrub, doc_chunk,
     #   doc_global_shuffle, events_rollup_incremental, doc_line_dedup,
     #   doc_top_terms — brand-new operators go straight to the driver;

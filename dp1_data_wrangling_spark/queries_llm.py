@@ -1579,7 +1579,7 @@ _SEMANTIC_DEDUP_ORACLE = """
 """
 
 
-@register("embedding_semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
+@register("embedding_semantic_dedup", _SEMANTIC_DEDUP_ORACLE, headline=True)
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup end-to-end: integer-SRP blocking ->
     within-bucket cosine edges -> connected-component clustering -> min-id

@@ -1242,3 +1242,41 @@ def test_catalog_delete_retries_over_concurrent_append(spark, tmp_path):
     ids = sorted(r["id"] for r in cat.read(spark, "t").collect())
     assert ids == [1, 3, 5, 7, 9, 100, 101, 102, 103, 104]
     assert fired["n"] == 1
+
+
+def test_catalog_update_set_where(spark, tmp_path):
+    """UPDATE: assignments see the OLD row (a=b, b=a swaps), NULL
+    predicate leaves the row untouched, expressions cast back to the
+    column type (schema cannot drift), CHECK constraints still screen
+    the rewritten table."""
+    from dp1_data_wrangling_spark.plans.catalog import ConstraintViolation
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    rows = [(1, 10, 20), (2, 30, 40), (3, None, 60)]
+    txn.stage("t", spark.createDataFrame(rows, "id long, a long, b long"))
+    v1 = cat.commit(txn)
+
+    cat.update(spark, "t", "a >= 10", {"a": "b", "b": "a"})
+    got = {r["id"]: (r["a"], r["b"]) for r in cat.read(spark, "t").collect()}
+    # id 1, 2 swapped; id 3 (NULL a -> predicate unknown) untouched
+    assert got == {1: (20, 10), 2: (40, 30), 3: (None, 60)}
+    assert {
+        r["id"]: r["a"] for r in cat.read(spark, "t", version=v1).collect()
+    } == {1: 10, 2: 30, 3: None}
+
+    # type preservation: assigning a double expr to a long column casts
+    cat.update(spark, "t", "id = 1", {"a": "a / 4"})
+    assert cat.read(spark, "t").filter("id = 1").collect()[0]["a"] == 5
+    assert dict(cat.read(spark, "t").dtypes)["a"] == "bigint"
+
+    with pytest.raises(ValueError, match="no such columns"):
+        cat.update(spark, "t", "true", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        cat.update(spark, "t", "true", {})
+
+    # constraints screen the post-update state
+    cat.set_constraint("t", "a_nonneg", "a >= 0")
+    with pytest.raises(ConstraintViolation, match="a_nonneg"):
+        cat.update(spark, "t", "id = 2", {"a": "-1"})
+    assert cat.read(spark, "t").filter("id = 2").collect()[0]["a"] == 40
