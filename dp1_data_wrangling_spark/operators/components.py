@@ -43,6 +43,12 @@ def connected_components(
         real.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(real.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Materialize ONCE: the pair subtree upstream (LSH/SRP signature +
+        # bucket join + similarity) is the expensive part, and every
+        # propagation round below joins against `edges` — without this the
+        # whole candidate generation re-executes per iteration (measured
+        # ~4x on embedding_semantic_dedup's bench entry).
+        .localCheckpoint(eager=True)
     )
     # labels: node -> current component candidate (min id seen so far)
     labels = edges.groupBy(F.col("a").alias("node")).agg(
@@ -114,6 +120,10 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # canonical u > v
         .distinct()
+        # evaluated several times in round 1 (und, mins, count, exceptAll)
+        # and its upstream is the expensive candidate generation — same
+        # materialize-once reasoning as connected_components
+        .localCheckpoint(eager=True)
     )
     prev_count: int | None = None
     converged = False
