@@ -499,6 +499,63 @@ class Catalog:
             f"{max_retries} attempts"
         ) from last_exc
 
+    def _existing_roots(self, table: str, rels: list[str]) -> list[str]:
+        missing = [r for r in rels if not (self.root / r).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"table {table!r}: data roots {missing} no longer exist "
+                "(vacuumed?) — cannot re-point at them"
+            )
+        return list(rels)
+
+    def restore(self, table: str, version: int, *, meta: dict | None = None) -> int:
+        """``RESTORE table TO VERSION`` — re-point the table at an old
+        snapshot's root list as a NEW commit (Delta RESTORE semantics).
+
+        Zero-copy and history-preserving: no data is rewritten, the
+        restore itself is a version you can diff or restore away from, and
+        the bad intermediate versions stay readable until vacuumed.  Fails
+        if retention already deleted any of the old version's data."""
+        roots = self.manifest(version)["tables"].get(table)
+        if roots is None:
+            raise KeyError(
+                f"catalog {self.root}: table {table!r} not in version {version}"
+            )
+        return self.commit(
+            self.begin(),
+            meta={"restored": table, "to_version": version, **(meta or {})},
+            root_overrides={table: self._existing_roots(table, roots)},
+        )
+
+    def clone(
+        self,
+        src: str,
+        dst: str,
+        *,
+        version: int | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Shallow (zero-copy) clone: ``dst`` points at ``src``'s current
+        (or time-traveled) data roots — the Delta SHALLOW CLONE / Iceberg
+        snapshot-ref pattern for dev/test forks of production tables.
+
+        Data dirs are immutable, so the clone is safe under either table's
+        later appends/overwrites (they add NEW roots; the shared ones stay
+        referenced and vacuum keeps them while any retained manifest uses
+        them).  CHECK constraints do NOT copy — the clone is a new table
+        with its own (empty) constraint set."""
+        m = self.manifest(version)
+        roots = m["tables"].get(src)
+        if roots is None:
+            raise KeyError(f"catalog {self.root}: no table {src!r}")
+        if dst in self.manifest()["tables"]:
+            raise ValueError(f"clone target {dst!r} already exists")
+        return self.commit(
+            self.begin(),
+            meta={"cloned": dst, "from": src, **(meta or {})},
+            root_overrides={dst: self._existing_roots(src, roots)},
+        )
+
     def update(
         self,
         spark: SparkSession,
@@ -701,6 +758,7 @@ class Catalog:
         meta: dict | None = None,
         require_roots: dict[str, list[str]] | None = None,
         constraint_ddl: dict[str, dict[str, str | None]] | None = None,
+        root_overrides: dict[str, list[str]] | None = None,
     ) -> int:
         """Atomically publish every table staged in ``txn``.
 
@@ -775,6 +833,20 @@ class Catalog:
                     tables[table] = tables[table] + [rel]
                 else:
                     raise ValueError(f"unknown write mode {mode!r}")
+            if root_overrides:
+                # zero-copy re-pointing (restore/clone): set a table's root
+                # list directly to already-existing immutable data dirs.
+                # Data dirs are never mutated, so sharing them across tables
+                # is safe; vacuum's referenced-set spans every table of
+                # every retained manifest, so shared roots survive either
+                # owner's retention.
+                for table, rels in root_overrides.items():
+                    if table in txn.writes:
+                        raise ValueError(
+                            f"table {table!r} both staged and root-overridden "
+                            "in one commit"
+                        )
+                    tables[table] = list(rels)
             m["version"] += 1
             if meta:
                 bag = m.setdefault("meta", {})

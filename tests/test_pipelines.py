@@ -1280,3 +1280,55 @@ def test_catalog_update_set_where(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="a_nonneg"):
         cat.update(spark, "t", "id = 2", {"a": "-1"})
     assert cat.read(spark, "t").filter("id = 2").collect()[0]["a"] == 40
+
+
+def test_catalog_restore_and_clone_zero_copy(spark, tmp_path):
+    """RESTORE re-points at an old snapshot's roots as a new commit
+    (history preserved); shallow clone shares immutable roots with no
+    data copy and survives the source's later overwrite + vacuum."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(tmp_path / "cat")
+    t1 = cat.begin()
+    t1.stage("t", spark.range(10).withColumn("tag", F.lit("v1")))
+    v1 = cat.commit(t1)
+    t2 = cat.begin()
+    t2.stage("t", spark.range(5).withColumn("tag", F.lit("v2")), mode="overwrite")
+    v2 = cat.commit(t2)
+    assert cat.read(spark, "t").count() == 5
+
+    # restore to v1: zero-copy, new version, diff sees it
+    v3 = cat.restore("t", v1)
+    assert v3 > v2
+    assert cat.read(spark, "t").count() == 10
+    assert {r["tag"] for r in cat.read(spark, "t").collect()} == {"v1"}
+    # the restored-away state is still time-travelable
+    assert cat.read(spark, "t", version=v2).count() == 5
+
+    # shallow clone shares roots (no new data dir)
+    m_before = cat.manifest()
+    cat.clone("t", "t_dev")
+    m_after = cat.manifest()
+    assert m_after["tables"]["t_dev"] == m_before["tables"]["t"]
+    assert cat.read(spark, "t_dev").count() == 10
+
+    with pytest.raises(ValueError, match="already exists"):
+        cat.clone("t", "t_dev")
+    with pytest.raises(KeyError):
+        cat.clone("missing", "x")
+    with pytest.raises(KeyError):
+        cat.restore("missing", v1)
+
+    # source overwritten + vacuumed: clone's shared roots survive (vacuum
+    # references every table of retained manifests)
+    t4 = cat.begin()
+    t4.stage("t", spark.range(3).withColumn("tag", F.lit("v4")), mode="overwrite")
+    cat.commit(t4)
+    cat.vacuum(keep_last=1, min_age_seconds=0.0)
+    assert cat.read(spark, "t_dev").count() == 10
+    assert cat.read(spark, "t").count() == 3
+
+    # restoring to a vacuumed version fails loudly, publishes nothing
+    with pytest.raises((FileNotFoundError, KeyError)):
+        cat.restore("t", v2)
+    assert cat.read(spark, "t").count() == 3
