@@ -71,7 +71,17 @@ def build_ivf_index(
     txn = catalog.begin()
     txn.stage(CORPUS_TABLE, assigned, mode="overwrite", partition_by=["cell"])
     txn.stage(CENTROIDS_TABLE, cents_df, mode="overwrite")
-    catalog.commit(txn, meta={"ann:n_cells": n_cells, "ann:vec_col": vec_col})
+    # ann:build_id identifies the quantizer GENERATION: cell ids are only
+    # comparable within one build, so incremental appenders (streaming/ann.py)
+    # pin it and refuse to mix generations after a rebuild.
+    catalog.commit(
+        txn,
+        meta={
+            "ann:n_cells": n_cells,
+            "ann:vec_col": vec_col,
+            "ann:build_id": txn.txn_id,
+        },
+    )
 
 
 def ivf_query_index(

@@ -21,6 +21,7 @@ from .events import (
 from .curation import read_curated, stream_curation
 from .decontam import read_clean, read_flagged, stream_decontaminate
 from .dedup_llm import stream_minhash_dedup
+from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
 from .semantic import read_semantic_survivors, stream_semantic_dedup
 from .sinks import stream_into_catalog
@@ -41,6 +42,7 @@ __all__ = [
     "stream_into_catalog",
     "stream_semantic_dedup",
     "read_semantic_survivors",
+    "stream_ivf_index_append",
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",

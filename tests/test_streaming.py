@@ -698,3 +698,73 @@ def test_stream_semantic_dedup_equals_batch(spark, tmp_path):
         Catalog(cat_root).read(spark, SEM_PAIRS_TABLE).distinct().count()
         == want_pairs.count()
     )
+
+
+def test_stream_ivf_index_append_equals_online(spark, tmp_path):
+    """Vectors appended by the stream answer queries EXACTLY like the
+    online IVF with the same centroids over the union corpus (assignment
+    is deterministic row-local math — arrival path cannot change any
+    answer), replay is a no-op, and a rebuild under the stream is refused."""
+    from dp1_data_wrangling_spark.operators.similarity import (
+        _local_centroids,
+        ivf_topk_with_centroids,
+    )
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.plans.ann_index import (
+        CENTROIDS_TABLE,
+        CORPUS_TABLE,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from dp1_data_wrangling_spark.streaming import stream_ivf_index_append
+
+    emb = load_table(spark, SMOKE_SF, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    late = emb.filter(F.col("vec_id") >= 300)
+
+    cat_root = str(tmp_path / "cat")
+    cat = Catalog(cat_root)
+    build_ivf_index(spark, cat, base, n_cells=8, n_iters=2)
+
+    src = tmp_path / "vec_stream"
+    late.filter(F.col("vec_id") < 400).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    late.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ivf_index_append(stream, cat_root, checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+    assert cat.read(spark, CORPUS_TABLE).count() == emb.count()
+
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivf_query_index(spark, cat, probes, 5, nprobe=4)
+    cent_rows = cat.read(spark, CENTROIDS_TABLE).collect()
+    cents_df = _local_centroids(
+        spark, [(r["cell"], list(r["centroid"])) for r in cent_rows]
+    )
+    want = ivf_topk_with_centroids(probes, emb, 5, cents_df, nprobe=4)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # replay: no-op
+    q2 = stream_ivf_index_append(stream, cat_root, checkpoint_dir=ckpt)
+    q2.awaitTermination(180)
+    assert cat.read(spark, CORPUS_TABLE).count() == emb.count()
+
+    # rebuild under the stream: the generation pin refuses a NEW batch
+    build_ivf_index(spark, cat, emb, n_cells=8, n_iters=2)
+    time.sleep(1.1)
+    late.limit(1).coalesce(1).write.parquet(str(src / "b3"))
+    q3 = stream_ivf_index_append(stream, cat_root, checkpoint_dir=ckpt)
+    with pytest.raises(Exception, match="rebuilt"):
+        q3.awaitTermination(180)
+        raise RuntimeError(
+            "stream should have failed on the generation pin"
+            if q3.exception() is None
+            else q3.exception().desc
+        )
