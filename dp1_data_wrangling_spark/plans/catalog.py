@@ -499,6 +499,29 @@ class Catalog:
             f"{max_retries} attempts"
         ) from last_exc
 
+    def register_views(
+        self,
+        spark: SparkSession,
+        *,
+        prefix: str = "",
+        version: int | None = None,
+    ) -> dict[str, str]:
+        """Expose every catalog table as a Spark temp view so users can
+        run plain ``spark.sql`` over the catalog (slashes in table names
+        become underscores).  ``version`` registers a time-traveled
+        snapshot of the whole catalog — a consistent-as-of-one-commit SQL
+        session.  Returns {table -> view name}.
+
+        Views resolve lazily through the SAME reader (multi-root union,
+        pinned schema), so predicate pushdown, partition pruning, and
+        column pruning all apply to SQL exactly as to the DataFrame API."""
+        out: dict[str, str] = {}
+        for t in self.manifest(version)["tables"]:
+            view = prefix + t.replace("/", "_").replace(".", "_")
+            self.read(spark, t, version=version).createOrReplaceTempView(view)
+            out[t] = view
+        return out
+
     def _existing_roots(self, table: str, rels: list[str]) -> list[str]:
         missing = [r for r in rels if not (self.root / r).exists()]
         if missing:

@@ -1702,3 +1702,127 @@ def q_doc_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_top_percent=60,
         id_col="doc_id",
     ).select("doc_id", "lang", "milli_ttr", "keep")
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition report
+# ---------------------------------------------------------------------------
+
+_CORPUS_STATS_ORACLE = """
+    WITH dt AS (
+        SELECT lang, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    grp AS (
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM dt GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM dt)
+    SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+           CAST(floor((g.n_tokens * 1000) / t.t) AS BIGINT) AS share_milli
+    FROM grp g CROSS JOIN tot t
+"""
+
+
+@register("corpus_stats", _CORPUS_STATS_ORACLE)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (lang, source) doc counts, token
+    totals, and integer milli share of corpus tokens — the dashboard
+    query behind every mixing decision.  One combinable groupBy + a
+    broadcast one-row total; all-integer outputs (floor of one exact
+    BIGINT division)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    grp = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = docs.agg(F.sum("n_tokens").alias("__t"))
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor((F.col("n_tokens") * 1000) / F.col("__t"))
+        .cast("long")
+        .alias("share_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe (leakage-free) split assignment
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SAFE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE aug AS ({_AUG_NEAR}),
+    norm AS (SELECT doc_id, lower(substr(text, 1, 200)) AS n FROM aug),
+    hashed AS (SELECT doc_id, list_transform(
+        range(1, greatest(length(n) - 4, 1) + 1),
+        j -> md5(substr(n, j, 5))) AS hl FROM norm),
+    sigs AS (SELECT doc_id, {{sig_sql}} FROM hashed),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 2 AS band, md5(s4 || s5) AS band_key FROM sigs
+    ),
+    kept AS (
+        SELECT b.doc_id, b.band, b.band_key
+        FROM bands b
+        JOIN (SELECT band, band_key, count(*) AS n
+              FROM bands GROUP BY 1, 2) s
+          ON b.band = s.band AND b.band_key = s.band_key
+         AND s.n <= {{max_bucket}}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a
+        JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM aug
+        UNION
+        SELECT e.a AS id, r.lbl FROM reach r JOIN edges e ON e.b = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substr(md5('leakfree_v1' ||
+                     CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5('leakfree_v1' ||
+                     CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """.format(sig_sql=_MINHASH_SIG_SQL, max_bucket=dd.MAX_BUCKET_SIZE)
+
+
+@register("doc_cluster_safe_split", _CLUSTER_SAFE_SPLIT_ORACLE)
+def q_doc_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: split by the near-dup
+    CLUSTER id, not the doc id, so a document and its near-duplicates can
+    never straddle splits (hash-splitting raw ids silently leaks train
+    content into eval — the cluster key closes that hole).  Keeps ALL
+    docs (splitting precedes any survivor choice); the oracle replays the
+    LSH + recursive transitive closure + component-keyed hash ranges."""
+    from .operators.components import dedup_survivors
+    from .operators.sampling import split_assign
+
+    aug = _augment_near(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(aug)
+    comp = dedup_survivors(aug, pairs).select("doc_id", "component")
+    return split_assign(
+        comp,
+        "component",
+        weights={"train": 90, "val": 5, "test": 5},
+        salt="leakfree_v1",
+    )

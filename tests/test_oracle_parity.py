@@ -65,11 +65,16 @@ def test_driver_window_covers_flagship_surface():
         "dedup_clusters", "embedding_near_dup", "doc_token_stats",
         "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
         "ivf_recall_bound", "multimodal_features", "multimodal_resize",
-        "multimodal_frames", "tumbling_window", "sliding_window",
+        "tumbling_window",
         "session_window", "event_correlation", "chain_flatten_distributed",
         # round-6 rotation: the curation tier replaced approx_distinct /
         # approx_percentile (4-5x consecutive driver-green, parity-held)
         "doc_stable_sample", "doc_split_assign", "doc_curation_pipeline",
+        # round-6 part 3-5: brand-new operators enter the window directly;
+        # sliding_window and multimodal_frames rotated out (5x green /
+        # rows-only — weakest external evidence; families stay represented
+        # by tumbling/session and features/resize)
+        "embedding_semantic_dedup", "doc_source_mix", "doc_quality_quantile",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

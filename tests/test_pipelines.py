@@ -1332,3 +1332,36 @@ def test_catalog_restore_and_clone_zero_copy(spark, tmp_path):
     with pytest.raises((FileNotFoundError, KeyError)):
         cat.restore("t", v2)
     assert cat.read(spark, "t").count() == 3
+
+
+def test_catalog_register_views_sql_surface(spark, tmp_path):
+    """spark.sql over catalog temp views: joins work, slashes sanitize,
+    and a versioned registration serves a consistent as-of snapshot."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage("dim/colors", spark.createDataFrame(
+        [(1, "red"), (2, "blue")], "id long, color string"))
+    txn.stage("facts", spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 1)], "fact_id long, color_id long"))
+    v1 = cat.commit(txn)
+
+    views = cat.register_views(spark, prefix="cat_")
+    assert views == {"dim/colors": "cat_dim_colors", "facts": "cat_facts"}
+    got = spark.sql(
+        "SELECT c.color, count(*) AS n FROM cat_facts f "
+        "JOIN cat_dim_colors c ON c.id = f.color_id "
+        "GROUP BY c.color ORDER BY c.color"
+    ).collect()
+    assert [(r["color"], r["n"]) for r in got] == [("blue", 1), ("red", 2)]
+
+    # mutate, then register the v1 snapshot: SQL sees the old state
+    t2 = cat.begin()
+    t2.stage("facts", spark.createDataFrame([(13, 2)], "fact_id long, color_id long"),
+             mode="append")
+    cat.commit(t2)
+    cat.register_views(spark, prefix="cur_")
+    cat.register_views(spark, prefix="old_", version=v1)
+    assert spark.sql("SELECT count(*) AS n FROM cur_facts").collect()[0]["n"] == 4
+    assert spark.sql("SELECT count(*) AS n FROM old_facts").collect()[0]["n"] == 3

@@ -396,3 +396,49 @@ def test_every_registered_query_within_shuffle_budget(spark):
         if n > budget:
             failures.append(f"{name}: {n} data shuffles > budget {budget}")
     assert not failures, "\n".join(failures)
+
+
+def test_semantic_dedup_plan_is_bucketed_never_all_pairs(spark):
+    """The SemDeDup candidate stage must be an equi-join on the SRP
+    signature — a cartesian pair enumeration would be quadratic at
+    corpus scale."""
+    from dp1_data_wrangling_spark.operators.semantic import (
+        semantic_candidate_pairs,
+    )
+    from dp1_data_wrangling_spark.queries_llm import _augment_embeddings
+
+    plan = plan_of(
+        semantic_candidate_pairs(_augment_embeddings(spark, SMOKE_SF), dim=64)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "srp_sig" in plan  # the equi-join key is the signature
+
+
+def test_source_mix_plan_partial_agg_and_broadcast_dimension(spark):
+    """source_mix's only data shuffle is the map-side-combinable source
+    groupBy; the per-source threshold joins back as a broadcast."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_source_mix"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) <= 1, plan
+    assert "partial_sum" in plan  # totals combine map-side
+    assert "BroadcastHashJoin" in plan  # threshold dimension broadcasts
+
+
+def test_quantile_filter_windows_never_partition_on_group_alone(spark):
+    """The skew-proof decomposition must not contain a row-level window
+    partitioned ONLY by the group column (that is the 40 TB-language
+    single-task trap it exists to avoid): group-only windows may run over
+    the score HISTOGRAM, and the row-level tie window partitions on
+    (group, score)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    df = REGISTRY["doc_quality_quantile"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    # the tie window's composite (group, score) key is present, and the
+    # histogram aggregate combines map-side before its exchange
+    assert "milli_ttr" in plan
+    # a `partial_count` aggregate = the histogram combines map-side below
+    # its exchange (the first Exchange in the string is spread()'s
+    # round-robin, so index ordering is not a usable proxy here)
+    assert "partial_count" in plan
