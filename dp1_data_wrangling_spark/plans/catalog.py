@@ -53,6 +53,13 @@ class ConstraintViolation(ValueError):
     BEFORE any data is written — the transaction stays clean."""
 
 
+class SchemaMismatch(ValueError):
+    """An append's schema is incompatible with the table (raised before
+    any data is written).  Without write-time validation a mismatched
+    append only fails at READ time — poisoning the table for every
+    reader until someone repairs the roots by hand."""
+
+
 @dataclass
 class Transaction:
     """Accumulates table writes; nothing is visible until commit."""
@@ -75,6 +82,7 @@ class Transaction:
         range_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """Write ``df`` into this transaction's staging area for ``table``.
 
@@ -93,6 +101,33 @@ class Transaction:
         """
         rel = f"data/{self.txn_id}/{table}"
         out = self.root / rel
+        # Write-time schema gate (appends only; one parquet-footer read):
+        # shared columns must keep their types, and adding/dropping columns
+        # requires the explicit ``evolve_schema`` opt-in (Delta mergeSchema
+        # semantics — the read side then fills absent columns with NULL).
+        if mode == "append":
+            current = Catalog(self.root).table_schema(df.sparkSession, table)
+            if current is not None:
+                old = {f.name: f.dataType for f in current.fields}
+                new = {f.name: f.dataType for f in df.schema.fields}
+                bad_types = {
+                    n: (str(old[n]), str(new[n]))
+                    for n in old.keys() & new.keys()
+                    if old[n] != new[n]
+                }
+                if bad_types:
+                    raise SchemaMismatch(
+                        f"table {table!r}: append changes column types "
+                        f"{bad_types} — evolution never changes types; "
+                        "cast explicitly or overwrite"
+                    )
+                added, dropped = new.keys() - old.keys(), old.keys() - new.keys()
+                if (added or dropped) and not evolve_schema:
+                    raise SchemaMismatch(
+                        f"table {table!r}: append adds {sorted(added)} / "
+                        f"omits {sorted(dropped)}; pass evolve_schema=True "
+                        "to evolve (absent columns read as NULL)"
+                    )
         # CHECK constraints (Delta-style expectations): validate BEFORE the
         # write so a violating batch never even stages.  SQL CHECK
         # semantics: a NULL predicate passes (unknown ≠ violation).  One
@@ -229,6 +264,19 @@ class Catalog:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
         return self._read_roots(spark, m["tables"][table])
 
+    def table_schema(self, spark: SparkSession, table: str):
+        """The table's current read schema (None if the table doesn't
+        exist or holds no data files yet).  One parquet-footer read per
+        root at most — cheap enough for per-append write-time gating."""
+        rels = self.manifest()["tables"].get(table)
+        if not rels:
+            return None
+        for rel in rels:
+            p = self.root / rel
+            if any(p.rglob("*.parquet")):
+                return self._read_roots(spark, rels).schema
+        return None
+
     def _read_roots(self, spark: SparkSession, rels: list[str]) -> DataFrame:
         """Read a fixed list of commit roots (a snapshot of a table's
         manifest entry) and union them."""
@@ -249,11 +297,13 @@ class Catalog:
             return spark.read.parquet(paths[0])
         # Per-root inference can diverge — hive partition-column type
         # inference (an all-numeric partition value infers int in one
-        # commit, string in another) or schema evolution across appends.
-        # Pin every later root to the FIRST root's column types: cast
-        # name-matched columns, then union strictly by name so a root
-        # with genuinely missing/extra columns still fails loudly rather
-        # than silently changing the table's type or contents.
+        # commit, string in another) or opted-in schema evolution across
+        # appends.  Pin every later root's name-matched columns to the
+        # FIRST type seen (new columns pin at first appearance), and union
+        # with allowMissingColumns so evolved tables read absent columns
+        # as NULL.  Column-set mistakes cannot arrive silently here: the
+        # write-time gate (Transaction.stage SchemaMismatch) rejects them
+        # unless the caller explicitly evolved the schema.
         from pyspark.sql import functions as F
 
         out = spark.read.parquet(with_data[0])
@@ -263,7 +313,9 @@ class Catalog:
             for name, dtype in pinned.items():
                 if name in df.columns and df.schema[name].dataType != dtype:
                     df = df.withColumn(name, F.col(name).cast(dtype))
-            out = out.unionByName(df)
+            for f in df.schema.fields:
+                pinned.setdefault(f.name, f.dataType)
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def exists(self, table: str) -> bool:

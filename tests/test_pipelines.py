@@ -1365,3 +1365,46 @@ def test_catalog_register_views_sql_surface(spark, tmp_path):
     cat.register_views(spark, prefix="old_", version=v1)
     assert spark.sql("SELECT count(*) AS n FROM cur_facts").collect()[0]["n"] == 4
     assert spark.sql("SELECT count(*) AS n FROM old_facts").collect()[0]["n"] == 3
+
+
+def test_catalog_append_schema_gate_and_evolution(spark, tmp_path):
+    """Mismatched appends fail at WRITE time (not read time); explicit
+    evolve_schema=True admits added/dropped columns, absent values read
+    as NULL; type changes are always rejected."""
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.plans.catalog import SchemaMismatch
+
+    cat = Catalog(tmp_path / "cat")
+    t1 = cat.begin()
+    t1.stage("t", spark.createDataFrame([(1, "a")], "id long, name string"))
+    cat.commit(t1)
+
+    # extra column without opt-in: rejected before any write
+    widened = spark.createDataFrame(
+        [(2, "b", 7)], "id long, name string, score long"
+    )
+    t2 = cat.begin()
+    with pytest.raises(SchemaMismatch, match="evolve_schema"):
+        t2.stage("t", widened)
+    assert cat.read(spark, "t").count() == 1  # table unpoisoned
+
+    # type change: rejected even with the opt-in
+    retyped = spark.createDataFrame([("x", "c")], "id string, name string")
+    t3 = cat.begin()
+    with pytest.raises(SchemaMismatch, match="types"):
+        t3.stage("t", retyped, evolve_schema=True)
+
+    # opted-in evolution: new column appears, old rows read NULL
+    t4 = cat.begin()
+    t4.stage("t", widened, evolve_schema=True)
+    cat.commit(t4)
+    got = {r["id"]: (r["name"], r["score"]) for r in cat.read(spark, "t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 7)}
+
+    # dropped column (narrow append) with opt-in: reads NULL for new rows
+    t5 = cat.begin()
+    t5.stage("t", spark.createDataFrame([(3,)], "id long"), evolve_schema=True)
+    cat.commit(t5)
+    got = {r["id"]: (r["name"], r["score"]) for r in cat.read(spark, "t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 7), 3: (None, None)}
