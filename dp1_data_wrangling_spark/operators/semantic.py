@@ -107,42 +107,57 @@ def semantic_candidate_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     salt: str = DEFAULT_SALT,
     max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) for same-SRP-bucket pairs above ``threshold``.
 
     id_a < id_b; cos_sim is rounded to 6 digits BEFORE thresholding so the
-    edge set is engine-reproducible."""
-    sig = srp_signature(
-        vectors.select(F.col(id_col), F.col(vec_col)),
-        vec_col=vec_col,
-        dim=dim,
-        n_planes=n_planes,
-        salt=salt,
-    )
-    # Hot-bucket cap: windowed count avoids a second aggregate+join pass.
-    n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
-    kept = sig.withColumn("__n", n_in_bucket).filter(
-        F.col("__n") <= max_bucket_size
-    )
-    a = kept.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        F.col("srp_sig"),
-    )
-    b = kept.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        F.col("srp_sig"),
-    )
-    cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-    return (
-        a.join(b, "srp_sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    edge set is engine-reproducible.  ``n_tables`` is the recall knob:
+    each table draws an independent plane set (salted ``{salt}/t{i}``) and
+    a pair is a candidate if it collides in ANY table — recall
+    1 − (1 − p^planes)^tables for per-plane collision prob p, at linear
+    cost in tables.  Table 0 keeps the bare salt so ``n_tables=1``
+    reproduces the single-table construction (and its oracle) exactly."""
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+
+    def one_table(table_salt: str) -> DataFrame:
+        sig = srp_signature(
+            vectors.select(F.col(id_col), F.col(vec_col)),
+            vec_col=vec_col,
+            dim=dim,
+            n_planes=n_planes,
+            salt=table_salt,
+        )
+        # Hot-bucket cap: windowed count avoids a second aggregate+join.
+        n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
+        kept = sig.withColumn("__n", n_in_bucket).filter(
+            F.col("__n") <= max_bucket_size
+        )
+        a = kept.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            F.col("srp_sig"),
+        )
+        b = kept.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("srp_sig"),
+        )
+        cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+        return (
+            a.join(b, "srp_sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    out = one_table(salt)
+    for t in range(1, n_tables):
+        out = out.unionByName(one_table(f"{salt}/t{t}"))
+    return out.distinct() if n_tables > 1 else out
 
 
 def semantic_dedup(
@@ -153,6 +168,7 @@ def semantic_dedup(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     salt: str = DEFAULT_SALT,
     max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
@@ -167,6 +183,7 @@ def semantic_dedup(
         dim=dim,
         threshold=threshold,
         n_planes=n_planes,
+        n_tables=n_tables,
         salt=salt,
         max_bucket_size=max_bucket_size,
     )

@@ -1312,3 +1312,25 @@ def test_quantile_filter_matches_naive_rank_window(spark):
             df, score_col="score", group_col="grp",
             keep_top_percent=101, id_col="doc_id",
         )
+
+
+def test_semantic_multi_table_srp_raises_recall_and_reduces_to_one(spark):
+    """n_tables=1 reproduces the single-table pair set exactly (the oracle
+    contract); more tables can only ADD candidates (union), and on the
+    planted mutants 2 tables recall at least as many pairs as 1."""
+    from dp1_data_wrangling_spark.operators.semantic import (
+        semantic_candidate_pairs,
+    )
+    from dp1_data_wrangling_spark.queries_llm import _augment_embeddings
+
+    aug = _augment_embeddings(spark, SMOKE_SF).localCheckpoint(eager=True)
+    one = semantic_candidate_pairs(aug, dim=64, n_tables=1)
+    two = semantic_candidate_pairs(aug, dim=64, n_tables=2)
+    p1 = {(r["id_a"], r["id_b"]) for r in one.collect()}
+    p2 = {(r["id_a"], r["id_b"]) for r in two.collect()}
+    assert p1 <= p2
+    mutant1 = sum(1 for a, b in p1 if b == a + 1_000_000)
+    mutant2 = sum(1 for a, b in p2 if b == a + 1_000_000)
+    assert mutant2 >= mutant1 > 0
+    with pytest.raises(ValueError):
+        semantic_candidate_pairs(aug, dim=64, n_tables=0)
