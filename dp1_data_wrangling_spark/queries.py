@@ -1684,7 +1684,7 @@ DRIVER_WINDOW: list[str] = [
     #   doc_source_quota, doc_importance_resample, doc_dup_spans,
     #   doc_near_dup_curation, ivf_kmeans_recall_bound, rollup_agg,
     #   pivot_agg, exists_subquery, correlated_subquery, corpus_stats,
-    #   doc_cluster_safe_split; (out): whatever
+    #   doc_cluster_safe_split, doc_semantic_curation; (out): whatever
     #   reaches multi-round green (e.g. rolling_sum, date_trunc_agg,
     #   window_analytics, json_struct_parse, doc_stable_sample,
     #   doc_split_assign, asof_lookup_bucketized, asof_lookup_routed,

@@ -1515,8 +1515,7 @@ def _augment_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_DEDUP_ORACLE = """
-    WITH RECURSIVE aug AS (
+_AUG_EMB_SQL = """
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id,
@@ -1527,7 +1526,16 @@ _SEMANTIC_DEDUP_ORACLE = """
                              || CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
                          % 21 - 10) * 0.0002) AS v
         FROM embeddings WHERE vec_id % 10 = 0
-    ),
+"""
+
+
+def _semantic_cc_sql(aug_body: str, final_select: str) -> str:
+    """The SemDeDup oracle pipeline (quantize -> SRP sigs -> capped
+    buckets -> cosine edges -> recursive transitive closure) over a
+    caller-supplied ``aug`` CTE body, ending in ``final_select`` (which
+    sees CTEs ``aug`` (vec_id, v) and ``comp`` (vec_id, component))."""
+    return f"""
+    WITH RECURSIVE aug AS ({aug_body}),
     quant AS (
         SELECT vec_id,
                list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
@@ -1575,8 +1583,14 @@ _SEMANTIC_DEDUP_ORACLE = """
         SELECT e.a AS id, r.lbl FROM reach r JOIN edges e ON e.b = r.id
     ),
     comp AS (SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id)
-    SELECT vec_id, component, vec_id = component AS is_survivor FROM comp
-"""
+    {final_select}
+    """
+
+
+_SEMANTIC_DEDUP_ORACLE = _semantic_cc_sql(
+    _AUG_EMB_SQL,
+    "SELECT vec_id, component, vec_id = component AS is_survivor FROM comp",
+)
 
 
 @register("embedding_semantic_dedup", _SEMANTIC_DEDUP_ORACLE, headline=True)
@@ -1825,4 +1839,66 @@ def q_doc_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         weights={"train": 90, "val": 5, "test": 5},
         salt="leakfree_v1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end semantic curation (cross-modal composition)
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_CURATION_ORACLE = _semantic_cc_sql(
+    f"""
+        SELECT a.vec_id, a.v FROM ({_AUG_EMB_SQL}) a
+        JOIN documents d ON d.doc_id = a.vec_id % 1000000
+        WHERE d.lang = 'en'
+    """,
+    """
+    SELECT c.vec_id, c.component, c.vec_id = c.component AS is_survivor,
+           CASE WHEN CAST(('0x' || substr(md5('semcur_v1' ||
+                     CAST(c.component AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 100 < 90
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5('semcur_v1' ||
+                     CAST(c.component AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 100 < 95
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp c
+    """,
+)
+
+
+@register("doc_semantic_curation", _SEMANTIC_CURATION_ORACLE)
+def q_doc_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation end-to-end: document metadata gates the
+    EMBEDDING pipeline — keep English docs (mutants inherit their source
+    doc's language through a modulo join), semantically dedup their
+    embeddings (integer-SRP blocking -> cosine edges -> CC), then assign
+    leakage-free splits keyed on the semantic CLUSTER id.  The oracle
+    replays every stage including the recursive closure.  Scale shape:
+    the metadata gate is a broadcast-able dim join BEFORE any signature
+    work (prune early), then the standard bucketed semantic pipeline."""
+    from .operators.components import dedup_survivors
+    from .operators.sampling import split_assign
+    from .operators.semantic import semantic_candidate_pairs
+
+    aug = _augment_embeddings(spark, sf_dir)
+    en_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    kept = aug.join(
+        F.broadcast(en_docs),
+        (F.col("vec_id") % MUTANT_OFFSET) == F.col("doc_id"),
+    ).select("vec_id", "embedding")
+    pairs = semantic_candidate_pairs(kept, dim=64)
+    comp = dedup_survivors(kept, pairs, id_col="vec_id").select(
+        "vec_id", "component", "is_survivor"
+    )
+    return split_assign(
+        comp,
+        "component",
+        weights={"train": 90, "val": 5, "test": 5},
+        salt="semcur_v1",
     )
