@@ -52,6 +52,7 @@ def stream_ivf_index_append(
     id_col: str = "vec_id",
     trigger_available_now: bool = True,
     stream_name: str | None = None,
+    auto_compact_roots: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental index-maintenance stream.
 
@@ -101,6 +102,18 @@ def stream_ivf_index_append(
         txn = cat.begin()
         txn.stage(CORPUS_TABLE, assigned, mode="append", partition_by=["cell"])
         cat.commit(txn, meta={meta_key: batch_id, f"{meta_key}:build": build_id})
+        if auto_compact_roots is not None:
+            # bound append-root growth, preserving the cell partitioning
+            # the query-time pruning depends on
+            from ..plans.catalog import CommitConflict
+
+            if len(cat.manifest()["tables"].get(CORPUS_TABLE, [])) >= auto_compact_roots:
+                try:
+                    cat.compact(
+                        spark=spark, table=CORPUS_TABLE, partition_by=["cell"]
+                    )
+                except CommitConflict:
+                    pass
 
     writer = stream_vectors.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -73,6 +73,7 @@ def stream_semantic_dedup(
     max_bucket_size: int = MAX_BUCKET_SIZE,
     trigger_available_now: bool = True,
     stream_name: str | None = None,
+    auto_compact_roots: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental semantic-dedup stream.
 
@@ -147,6 +148,17 @@ def stream_semantic_dedup(
         txn.stage(SEM_INDEX_TABLE, keys, mode="append")
         txn.stage(SEM_PAIRS_TABLE, pairs, mode="append")
         cat.commit(txn, meta={meta_key: batch_id})
+        if auto_compact_roots is not None:
+            # same inline policy as stream_into_catalog: bound append-root
+            # growth; a lost OCC race defers to the next threshold crossing
+            from ..plans.catalog import CommitConflict
+
+            for t in (SEM_INDEX_TABLE, SEM_PAIRS_TABLE):
+                if len(cat.manifest()["tables"].get(t, [])) >= auto_compact_roots:
+                    try:
+                        cat.compact(spark=spark, table=t)
+                    except CommitConflict:
+                        pass
 
     writer = stream_vectors.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -768,3 +768,47 @@ def test_stream_ivf_index_append_equals_online(spark, tmp_path):
             if q3.exception() is None
             else q3.exception().desc
         )
+
+
+def test_stream_semantic_dedup_auto_compacts(spark, tmp_path):
+    """auto_compact_roots folds the per-batch index/pairs roots back to
+    one without changing any content."""
+    from dp1_data_wrangling_spark.operators.semantic import semantic_dedup
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.queries_llm import _augment_embeddings
+    from dp1_data_wrangling_spark.streaming import (
+        read_semantic_survivors,
+        stream_semantic_dedup,
+    )
+    from dp1_data_wrangling_spark.streaming.semantic import SEM_INDEX_TABLE
+
+    aug = _augment_embeddings(spark, SMOKE_SF)
+    src = tmp_path / "vec_stream"
+    aug.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    aug.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    q = stream_semantic_dedup(
+        stream,
+        cat_root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dim=64,
+        auto_compact_roots=2,
+    )
+    q.awaitTermination(180)
+    cat = Catalog(cat_root)
+    assert len(cat.manifest()["tables"][SEM_INDEX_TABLE]) == 1  # compacted
+    got = {
+        r["vec_id"]: (r["component"], r["is_survivor"])
+        for r in read_semantic_survivors(spark, cat_root).collect()
+    }
+    want = {
+        r["vec_id"]: (r["component"], r["is_survivor"])
+        for r in semantic_dedup(aug, dim=64).collect()
+    }
+    assert got == want
