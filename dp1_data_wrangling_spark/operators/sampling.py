@@ -232,8 +232,13 @@ def source_mix(
         F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
         % MIX_BUCKETS
     )
+    # LEFT join + null-safe keep: a NULL group key cannot equi-join, and an
+    # inner join would silently DROP those rows (a row-count change no
+    # caller expects from a sampling decision) — they stay, with keep=false.
     return (
-        docs.join(lim, group_col)
-        .withColumn("keep", bucket < F.col("__thr"))
+        docs.join(lim, group_col, "left")
+        .withColumn(
+            "keep", F.coalesce(bucket < F.col("__thr"), F.lit(False))
+        )
         .drop("__thr")
     )

@@ -198,11 +198,19 @@ def quantile_filter(
         )
     )
     tie_w = Window.partitionBy(group_col, score_col).orderBy(F.col(id_col))
+    # LEFT join + null-safe keep: rows with a NULL group or score cannot
+    # equi-join their histogram entry; an inner join would silently DROP
+    # them from the output — they stay, with keep=false (a NULL score
+    # cannot rank "above" any quantile).
     return (
-        df.join(agg, [group_col, score_col])
+        df.join(agg, [group_col, score_col], "left")
         .withColumn("__tie", F.row_number().over(tie_w).cast("long"))
         .withColumn(
-            out_col, F.col("__all_kept") | (F.col("__tie") <= F.col("__quota"))
+            out_col,
+            F.coalesce(
+                F.col("__all_kept") | (F.col("__tie") <= F.col("__quota")),
+                F.lit(False),
+            ),
         )
         .drop("__all_kept", "__quota", "__tie")
     )

@@ -1334,3 +1334,29 @@ def test_semantic_multi_table_srp_raises_recall_and_reduces_to_one(spark):
     assert mutant2 >= mutant1 > 0
     with pytest.raises(ValueError):
         semantic_candidate_pairs(aug, dim=64, n_tables=0)
+
+
+def test_source_mix_and_quantile_filter_keep_null_key_rows(spark):
+    """Rows with NULL group/score keys must SURVIVE with keep=false —
+    an inner join would silently drop them (a row-count change no caller
+    expects from a filter-flag operator)."""
+    from dp1_data_wrangling_spark.operators.sampling import source_mix
+    from dp1_data_wrangling_spark.operators.selection import quantile_filter
+
+    rows = [(1, "a", 10), (2, None, 10), (3, "a", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = source_mix(df, weights={"a": 1}, token_budget=100).collect()
+    assert len(out) == 3
+    assert {r["doc_id"]: r["keep"] for r in out}[2] is False
+
+    df2 = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", None), (3, None, 5)],
+        "doc_id long, grp string, score long",
+    )
+    out2 = quantile_filter(
+        df2, score_col="score", group_col="grp",
+        keep_top_percent=100, id_col="doc_id",
+    ).collect()
+    assert len(out2) == 3
+    by = {r["doc_id"]: r["keep"] for r in out2}
+    assert by[1] is True and by[2] is False and by[3] is False
