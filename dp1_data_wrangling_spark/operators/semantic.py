@@ -86,17 +86,17 @@ def srp_signature(
     quant = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long")
     )
-    out = df.withColumn("__q", quant)
+    out = df.withColumn("__srp_q", quant)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         signs = F.array(*[F.lit(s) for s in _srp_signs(salt, p, dim)])
         dotp = F.aggregate(
-            F.zip_with(F.col("__q"), signs, lambda q, s: q * s),
+            F.zip_with(F.col("__srp_q"), signs, lambda q, s: q * s),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(dotp >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return out.withColumn(out_col, sig).drop("__q")
+    return out.withColumn(out_col, sig).drop("__srp_q")
 
 
 def semantic_candidate_pairs(
