@@ -230,6 +230,35 @@ class Catalog:
     def tables(self) -> list[str]:
         return sorted(self.manifest()["tables"])
 
+    def describe_history(self) -> list[dict]:
+        """Commit log, newest first (DESCRIBE HISTORY analogue): for each
+        retained version, the tables whose root lists changed vs the
+        previous retained version (added/removed/created/dropped) and the
+        meta delta (new or changed keys — where operations like merge,
+        compact, restore, constraint DDL and streaming watermarks record
+        themselves).  Reads manifests only — O(versions), no data I/O.
+        Versions expired by ``vacuum`` are simply absent."""
+        out: list[dict] = []
+        prev_tables: dict = {}
+        prev_meta: dict = {}
+        for v in self.history():
+            m = self.manifest(v)
+            tables = m.get("tables", {})
+            changed = sorted(
+                t
+                for t in tables.keys() | prev_tables.keys()
+                if tables.get(t) != prev_tables.get(t)
+            )
+            meta = m.get("meta", {})
+            meta_delta = {
+                k: meta[k] for k in meta if meta[k] != prev_meta.get(k)
+            }
+            out.append(
+                {"version": v, "changed_tables": changed, "meta_delta": meta_delta}
+            )
+            prev_tables, prev_meta = tables, meta
+        return list(reversed(out))
+
     def meta(self) -> dict:
         return self.manifest().get("meta", {})
 

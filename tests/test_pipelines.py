@@ -1408,3 +1408,70 @@ def test_catalog_append_schema_gate_and_evolution(spark, tmp_path):
     cat.commit(t5)
     got = {r["id"]: (r["name"], r["score"]) for r in cat.read(spark, "t").collect()}
     assert got == {1: ("a", None), 2: ("b", 7), 3: (None, None)}
+
+
+def test_catalog_describe_history(spark, tmp_path):
+    """The commit log surfaces per-version changed tables and the meta
+    delta (merge/restore/DDL markers), newest first, reading manifests
+    only."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(tmp_path / "cat")
+    t1 = cat.begin()
+    t1.stage("a", spark.range(3))
+    v1 = cat.commit(t1)
+    t2 = cat.begin()
+    t2.stage("b", spark.range(2))
+    t2.stage("a", spark.range(1), mode="append")
+    v2 = cat.commit(t2, meta={"note": "second"})
+    v3 = cat.set_constraint("a", "nonneg", "id >= 0")
+
+    hist = cat.describe_history()
+    assert [h["version"] for h in hist] == [v3, v2, v1]
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[v1]["changed_tables"] == ["a"]
+    assert by_v[v2]["changed_tables"] == ["a", "b"]
+    assert by_v[v2]["meta_delta"] == {"note": "second"}
+    assert by_v[v3]["changed_tables"] == []  # DDL-only commit
+
+
+def test_source_mix_matches_independent_python_reference(spark):
+    """Beyond the DuckDB oracle: replicate the full keep decision in pure
+    Python (hashlib md5 + the exact threshold formula) and require
+    bit-identical agreement — pins the engine implementation against a
+    second independent reference."""
+    import hashlib
+    import math
+
+    from dp1_data_wrangling_spark.operators.sampling import (
+        MIX_BUCKETS,
+        source_mix,
+    )
+
+    rows = [(i, f"s{i % 4}", 3 + (i * 7) % 40) for i in range(300)]
+    weights = {"s0": 5, "s1": 1, "s2": 0, "s3": 10}
+    budget = 1500
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in source_mix(
+            df, weights=weights, token_budget=budget, salt="ref_v1"
+        ).collect()
+    }
+    totals: dict[str, int] = {}
+    for _, s, t in rows:
+        totals[s] = totals.get(s, 0) + t
+    sum_w = sum(weights.values())
+    thr = {
+        s: min(
+            MIX_BUCKETS,
+            math.floor(MIX_BUCKETS * ((budget * weights.get(s, 0)) / (sum_w * gt))),
+        )
+        for s, gt in totals.items()
+    }
+    want = {}
+    for i, s, _ in rows:
+        h = int(hashlib.md5(f"ref_v1{i}".encode()).hexdigest()[:15], 16)
+        want[i] = (h % MIX_BUCKETS) < thr[s]
+    assert got == want
+    assert any(got.values()) and not all(got.values())
