@@ -1475,3 +1475,56 @@ def test_source_mix_matches_independent_python_reference(spark):
         want[i] = (h % MIX_BUCKETS) < thr[s]
     assert got == want
     assert any(got.values()) and not all(got.values())
+
+
+def test_run_training_export_deterministic_atomic_and_packed(spark, tmp_path):
+    """The last-mile export: train split only, shards are contiguous
+    ranges of the deterministic global shuffle, packing respects the
+    token budget within every sequence, the publish is atomic and
+    re-running is byte-identical."""
+    from dp1_data_wrangling_spark.plans.training_export import (
+        PACKED_TRAIN_TABLE,
+        run_training_export,
+    )
+    from dp1_data_wrangling_spark.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    root = str(tmp_path / "cat")
+    cat = run_training_export(
+        spark, docs, root, token_budget=256, n_shards=4
+    )
+    out = cat.read(spark, PACKED_TRAIN_TABLE)
+    rows = out.collect()
+    assert rows
+    # shards partition the position range contiguously
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(1, len(rows) + 1))
+    assert set(by_shard) <= {0, 1, 2, 3}
+    spans = {
+        s: (min(r["position"] for r in g), max(r["position"] for r in g))
+        for s, g in by_shard.items()
+    }
+    ordered = sorted(spans.values())
+    for (lo1, hi1), (lo2, _) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2  # contiguous, non-overlapping
+    # every packed sequence fits the budget (single over-budget docs get
+    # their own sequence by the packing contract)
+    seqs = {}
+    for r in rows:
+        seqs.setdefault((r["shard"], r["seq_id"]), []).append(r["n_tokens"])
+    for toks in seqs.values():
+        assert sum(toks) <= 256 or len(toks) == 1
+    # deterministic: re-publish produces identical content, new version
+    v_before = cat.manifest()["version"]
+    cat2 = run_training_export(spark, docs, root, token_budget=256, n_shards=4)
+    out2 = {
+        (r["doc_id"], r["position"], r["shard"], r["seq_id"])
+        for r in cat2.read(spark, PACKED_TRAIN_TABLE).collect()
+    }
+    assert out2 == {
+        (r["doc_id"], r["position"], r["shard"], r["seq_id"]) for r in rows
+    }
+    assert cat2.manifest()["version"] > v_before
