@@ -658,6 +658,7 @@ class Catalog:
             self.begin(),
             meta={"cloned": dst, "from": src, **(meta or {})},
             root_overrides={dst: self._existing_roots(src, roots)},
+            require_absent=[dst],
         )
 
     def update(
@@ -863,6 +864,7 @@ class Catalog:
         require_roots: dict[str, list[str]] | None = None,
         constraint_ddl: dict[str, dict[str, str | None]] | None = None,
         root_overrides: dict[str, list[str]] | None = None,
+        require_absent: list[str] | None = None,
     ) -> int:
         """Atomically publish every table staged in ``txn``.
 
@@ -916,6 +918,16 @@ class Catalog:
                         f"table {tname!r}: CHECK constraints changed since "
                         f"stage (validated against {seen}, live is {now}); "
                         "re-stage to re-validate"
+                    )
+            if require_absent:
+                # creation conflict check (clone): the pre-lock existence
+                # probe can race another creator — re-check under the lock
+                # so the second clone aborts instead of silently replacing
+                # the first's table.
+                taken = [t for t in require_absent if t in tables]
+                if taken:
+                    raise CommitConflict(
+                        f"tables {taken} were created concurrently"
                     )
             if constraint_ddl:
                 bag = m.setdefault("constraints", {})
