@@ -180,37 +180,36 @@ def quantile_filter(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_grp = Window.partitionBy(group_col)
-    keep_n = F.floor(
-        (F.sum("__c").over(w_grp) * keep_top_percent) / 100
-    ).cast("long")
-    agg = (
-        counts.withColumn("__cum", F.sum("__c").over(w_cum))
-        .withColumn("__keep_n", keep_n)
-        .select(
-            group_col,
-            score_col,
-            (F.col("__cum") <= F.col("__keep_n")).alias("__all_kept"),
-            F.greatest(
-                F.col("__keep_n") - (F.col("__cum") - F.col("__c")), F.lit(0)
-            )
-            .cast("long")
-            .alias("__quota"),
-        )
+    # PURE integer cutoffs (the docstring's no-floats contract, honored at
+    # any n): with rank r, group size n, and kept_before = cum - c rows of
+    # strictly-higher score,
+    #   whole score kept      ⇔ cum * 100            <= n * pct
+    #   tie t at the boundary ⇔ (kept_before + t) * 100 <= n * pct
+    # — both cross-multiplied forms of r*100 <= n*pct, no division at all.
+    n_pct = (F.sum("__c").over(w_grp) * keep_top_percent).cast("long")
+    agg = counts.withColumn("__cum", F.sum("__c").over(w_cum)).select(
+        group_col,
+        score_col,
+        F.col("__c").cast("long").alias("__c"),
+        F.col("__cum").cast("long").alias("__cum"),
+        n_pct.alias("__n_pct"),
     )
     tie_w = Window.partitionBy(group_col, score_col).orderBy(F.col(id_col))
     # LEFT join + null-safe keep: rows with a NULL group or score cannot
     # equi-join their histogram entry; an inner join would silently DROP
     # them from the output — they stay, with keep=false (a NULL score
     # cannot rank "above" any quantile).
+    kept_before = F.col("__cum") - F.col("__c")
     return (
         df.join(agg, [group_col, score_col], "left")
         .withColumn("__tie", F.row_number().over(tie_w).cast("long"))
         .withColumn(
             out_col,
             F.coalesce(
-                F.col("__all_kept") | (F.col("__tie") <= F.col("__quota")),
+                (F.col("__cum") * 100 <= F.col("__n_pct"))
+                | ((kept_before + F.col("__tie")) * 100 <= F.col("__n_pct")),
                 F.lit(False),
             ),
         )
-        .drop("__all_kept", "__quota", "__tie")
+        .drop("__c", "__cum", "__n_pct", "__tie")
     )

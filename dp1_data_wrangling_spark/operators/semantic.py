@@ -124,40 +124,61 @@ def semantic_candidate_pairs(
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
 
     def one_table(table_salt: str) -> DataFrame:
-        sig = srp_signature(
-            vectors.select(F.col(id_col), F.col(vec_col)),
+        return pairs_from_signatures(
+            srp_signature(
+                vectors.select(F.col(id_col), F.col(vec_col)),
+                vec_col=vec_col,
+                dim=dim,
+                n_planes=n_planes,
+                salt=table_salt,
+            ),
+            id_col=id_col,
             vec_col=vec_col,
-            dim=dim,
-            n_planes=n_planes,
-            salt=table_salt,
-        )
-        # Hot-bucket cap: windowed count avoids a second aggregate+join.
-        n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
-        kept = sig.withColumn("__n", n_in_bucket).filter(
-            F.col("__n") <= max_bucket_size
-        )
-        a = kept.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("__va"),
-            F.col("srp_sig"),
-        )
-        b = kept.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("__vb"),
-            F.col("srp_sig"),
-        )
-        cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-        return (
-            a.join(b, "srp_sig")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cos.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold)
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
         )
 
     out = one_table(salt)
     for t in range(1, n_tables):
         out = out.unionByName(one_table(f"{salt}/t{t}"))
     return out.distinct() if n_tables > 1 else out
+
+
+def pairs_from_signatures(
+    sig: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    sig_col: str = "srp_sig",
+) -> DataFrame:
+    """The bucket/cosine half of ``semantic_candidate_pairs``, over an
+    ALREADY-computed signature column — callers holding materialized
+    signatures (the streaming index keeps them, ``streaming/semantic.py``)
+    skip re-deriving the n_planes × dim folds per row."""
+    # Hot-bucket cap: windowed count avoids a second aggregate+join.
+    n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy(sig_col))
+    kept = sig.withColumn("__n", n_in_bucket).filter(
+        F.col("__n") <= max_bucket_size
+    )
+    a = kept.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col(sig_col),
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col(sig_col),
+    )
+    cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, sig_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def semantic_dedup(

@@ -49,8 +49,9 @@ class CommitConflict(RuntimeError):
 
 
 class ConstraintViolation(ValueError):
-    """A staged DataFrame violates a table CHECK constraint.  Raised
-    BEFORE any data is written — the transaction stays clean."""
+    """A staged DataFrame violates a table CHECK constraint.  The staged
+    files are deleted and the table is never recorded in the transaction,
+    so nothing can publish — the transaction stays clean."""
 
 
 class SchemaMismatch(ValueError):
@@ -101,6 +102,8 @@ class Transaction:
         """
         rel = f"data/{self.txn_id}/{table}"
         out = self.root / rel
+        if zorder_by and range_by:
+            raise ValueError("pass range_by or zorder_by, not both")
         # Write-time schema gate (appends only; one parquet-footer read):
         # shared columns must keep their types, and adding/dropping columns
         # requires the explicit ``evolve_schema`` opt-in (Delta mergeSchema
@@ -128,39 +131,14 @@ class Transaction:
                         f"omits {sorted(dropped)}; pass evolve_schema=True "
                         "to evolve (absent columns read as NULL)"
                     )
-        # CHECK constraints (Delta-style expectations): validate BEFORE the
-        # write so a violating batch never even stages.  SQL CHECK
-        # semantics: a NULL predicate passes (unknown ≠ violation).  One
-        # combinable aggregate job — per-constraint violation counts in a
-        # single pass, no per-row Python.  The constraint set seen here is
-        # pinned on the txn; commit() aborts if concurrent DDL changed it.
+        # The constraint set current NOW is pinned on the txn; commit()
+        # aborts if concurrent DDL changed it before publish.  Validation
+        # itself happens on the WRITTEN staging files below — one
+        # computation of the input instead of two (a validate-then-write
+        # double evaluation would also let a nondeterministic upstream pass
+        # the probe yet write violating rows).
         checks = Catalog(self.root).constraints(table)
         self.seen_constraints[table] = checks
-        if checks:
-            from pyspark.sql import functions as F
-
-            row = df.agg(
-                *[
-                    F.sum(
-                        F.when(
-                            ~F.coalesce(
-                                F.expr(expr).cast("boolean"), F.lit(True)
-                            ),
-                            1,
-                        ).otherwise(0)
-                    ).alias(cname)
-                    for cname, expr in sorted(checks.items())
-                ]
-            ).collect()[0]
-            bad = {c: int(row[c] or 0) for c in row.asDict() if row[c]}
-            if bad:
-                raise ConstraintViolation(
-                    f"table {table!r}: staged data violates CHECK "
-                    f"constraints (violating rows per constraint): {bad}; "
-                    f"constraints: { {c: checks[c] for c in bad} }"
-                )
-        if zorder_by and range_by:
-            raise ValueError("pass range_by or zorder_by, not both")
         if zorder_by:
             # Multi-column clustering: range-partition + sort on the Morton
             # key so every file covers a small hyper-rectangle — parquet
@@ -186,6 +164,43 @@ class Transaction:
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         writer.parquet(str(out))
+        if checks:
+            # CHECK constraints (Delta-style expectations), validated on
+            # the staged parquet as written.  SQL CHECK semantics: a NULL
+            # predicate passes (unknown != violation).  One combinable
+            # aggregate job — per-constraint violation counts in a single
+            # pass, no per-row Python.  On violation the staged files are
+            # deleted and the table is never recorded in the transaction —
+            # nothing can publish (staging was invisible throughout).
+            from pyspark.sql import functions as F
+
+            row = (
+                df.sparkSession.read.parquet(str(out))
+                .agg(
+                    *[
+                        F.sum(
+                            F.when(
+                                ~F.coalesce(
+                                    F.expr(expr).cast("boolean"), F.lit(True)
+                                ),
+                                1,
+                            ).otherwise(0)
+                        ).alias(cname)
+                        for cname, expr in sorted(checks.items())
+                    ]
+                )
+                .collect()[0]
+            )
+            bad = {c: int(row[c] or 0) for c in row.asDict() if row[c]}
+            if bad:
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConstraintViolation(
+                    f"table {table!r}: staged data violates CHECK "
+                    f"constraints (violating rows per constraint): {bad}; "
+                    f"constraints: { {c: checks[c] for c in bad} }"
+                )
         self.writes[table] = (mode, rel)
 
 
@@ -597,8 +612,18 @@ class Catalog:
         pinned schema), so predicate pushdown, partition pruning, and
         column pruning all apply to SQL exactly as to the DataFrame API."""
         out: dict[str, str] = {}
-        for t in self.manifest(version)["tables"]:
+        taken: dict[str, str] = {}
+        for t in sorted(self.manifest(version)["tables"]):
             view = prefix + t.replace("/", "_").replace(".", "_")
+            if view in taken:
+                # 'a/b' and 'a.b' both sanitize to 'a_b' — registering the
+                # second would silently shadow the first's view and SQL
+                # would read the wrong table's data
+                raise ValueError(
+                    f"tables {taken[view]!r} and {t!r} both sanitize to "
+                    f"view name {view!r}; disambiguate with prefixes"
+                )
+            taken[view] = t
             self.read(spark, t, version=version).createOrReplaceTempView(view)
             out[t] = view
         return out

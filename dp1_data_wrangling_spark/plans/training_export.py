@@ -40,7 +40,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.packing import pack_sequences
+from ..operators.packing import DEFAULT_MAX_ROWS_PER_SHARD, pack_sequences
 from ..operators.sampling import global_shuffle
 from .catalog import Catalog
 from .curation import DEFAULT_WEIGHTS, curate_documents
@@ -57,7 +57,7 @@ def build_training_export(
     min_tokens: int = 10,
     salt: str = "curation_v1",
     weights: Mapping[str, int] | None = None,
-    max_rows_per_shard: int | None = None,
+    max_rows_per_shard: int | None = DEFAULT_MAX_ROWS_PER_SHARD,
 ) -> DataFrame:
     """The packed-train plan: (doc_id, n_tokens, position, shard, seq_id).
 
@@ -107,7 +107,7 @@ def run_training_export(
     min_tokens: int = 10,
     salt: str = "curation_v1",
     weights: Mapping[str, int] | None = None,
-    max_rows_per_shard: int | None = None,
+    max_rows_per_shard: int | None = DEFAULT_MAX_ROWS_PER_SHARD,
 ) -> Catalog:
     """Build and atomically publish the packed train table.
 

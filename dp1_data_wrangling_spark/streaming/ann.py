@@ -34,13 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.similarity import _local_centroids, _nearest_cells
 from ..plans.ann_index import CENTROIDS_TABLE, CORPUS_TABLE
 from ..plans.catalog import Catalog
-
-
-def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
-    import hashlib
-
-    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    return f"last_batch_id:ann_append:{name}"
+from .sinks import batch_meta_key, maybe_auto_compact
 
 
 def stream_ivf_index_append(
@@ -64,7 +58,7 @@ def stream_ivf_index_append(
     SAME commit.  Long streams accumulate one txn root per batch — run
     ``Catalog.compact(..., partition_by=['cell'])`` periodically (safe
     under the OCC conflict check while the stream commits)."""
-    meta_key = _meta_key(checkpoint_dir, stream_name)
+    meta_key = batch_meta_key("ann_append", checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
@@ -89,6 +83,12 @@ def stream_ivf_index_append(
                 "a fresh checkpoint against the new quantizer"
             )
         spark = batch_df.sparkSession
+        # Roots of the centroid table we are about to assign against: the
+        # commit below carries require_roots on them, so a rebuild landing
+        # BETWEEN this read and our commit aborts the batch (CommitConflict)
+        # instead of committing old-generation cell ids into the rebuilt
+        # corpus — the pre-batch build_id check alone cannot see that race.
+        cent_roots = list(cat.manifest()["tables"][CENTROIDS_TABLE])
         cent_rows = cat.read(spark, CENTROIDS_TABLE).collect()
         cents_df = _local_centroids(
             spark, [(r["cell"], list(r["centroid"])) for r in cent_rows]
@@ -101,19 +101,17 @@ def stream_ivf_index_append(
         assigned = _nearest_cells(fresh, cents_df, 1, vec_col=vec_col)
         txn = cat.begin()
         txn.stage(CORPUS_TABLE, assigned, mode="append", partition_by=["cell"])
-        cat.commit(txn, meta={meta_key: batch_id, f"{meta_key}:build": build_id})
-        if auto_compact_roots is not None:
-            # bound append-root growth, preserving the cell partitioning
-            # the query-time pruning depends on
-            from ..plans.catalog import CommitConflict
-
-            if len(cat.manifest()["tables"].get(CORPUS_TABLE, [])) >= auto_compact_roots:
-                try:
-                    cat.compact(
-                        spark=spark, table=CORPUS_TABLE, partition_by=["cell"]
-                    )
-                except CommitConflict:
-                    pass
+        cat.commit(
+            txn,
+            meta={meta_key: batch_id, f"{meta_key}:build": build_id},
+            require_roots={CENTROIDS_TABLE: cent_roots},
+        )
+        # bound append-root growth, preserving the cell partitioning the
+        # query-time pruning depends on
+        maybe_auto_compact(
+            cat, spark, [CORPUS_TABLE], auto_compact_roots,
+            partition_by=["cell"],
+        )
 
     writer = stream_vectors.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -49,18 +49,13 @@ from ..operators import dedup as dd
 from ..operators import text as tx
 from ..operators.sampling import split_assign
 from ..plans.catalog import Catalog
+from .sinks import batch_meta_key
 from ..plans.curation import DEFAULT_WEIGHTS
 
 SURVIVORS_TABLE = "curation/survivors_stream"
 COUNTS_TABLE = "curation/digest_counts"
 
 
-def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
-    """Per-stream replay watermark key (same contract as dedup_llm)."""
-    import hashlib
-
-    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    return f"last_batch_id:curation:{name}"
 
 
 def stream_curation(
@@ -82,7 +77,7 @@ def stream_curation(
     transaction per micro-batch.  Read the curated corpus back with
     ``read_curated`` — it matches the batch pipeline's output schema."""
     weights = dict(weights or DEFAULT_WEIGHTS)
-    meta_key = _meta_key(checkpoint_dir, stream_name)
+    meta_key = batch_meta_key("curation", checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)

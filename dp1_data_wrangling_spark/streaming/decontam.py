@@ -28,16 +28,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.decontam import contamination
 from ..plans.catalog import Catalog
+from .sinks import batch_meta_key
 
 CLEAN_TABLE = "decontam/clean_docs"
 FLAGGED_TABLE = "decontam/flagged_docs"
 
 
-def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
-    import hashlib
-
-    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    return f"last_batch_id:decontam:{name}"
 
 
 def stream_decontaminate(
@@ -58,7 +54,7 @@ def stream_decontaminate(
     docs to ``decontam/clean_docs`` and its contaminated doc report
     (id, n_grams, n_shared) to ``decontam/flagged_docs`` — both or
     neither, exactly once per batch id."""
-    meta_key = _meta_key(checkpoint_dir, stream_name)
+    meta_key = batch_meta_key("decontam", checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)

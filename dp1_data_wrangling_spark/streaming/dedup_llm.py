@@ -36,6 +36,7 @@ from ..operators.dedup import (
     pairs_from_band_keys,
 )
 from ..plans.catalog import Catalog
+from .sinks import batch_meta_key
 
 INDEX_TABLE = "minhash_index"
 PAIRS_TABLE = "minhash_pairs"
@@ -51,16 +52,6 @@ PAIRS_TABLE = "minhash_pairs"
 LEGACY_META_KEY = "last_batch_id:minhash_dedup"
 
 
-def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
-    """Per-stream batch-id watermark key.  Spark's foreachBatch batch ids
-    are scoped to ONE checkpoint, so the replay watermark must be too: a
-    fixed catalog-level key would make two streams with different
-    checkpoints writing the same catalog share one watermark, silently
-    skipping the lagging stream's batches as 'replays'."""
-    import hashlib
-
-    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    return f"last_batch_id:minhash_dedup:{name}"
 
 
 def stream_minhash_dedup(
@@ -98,7 +89,7 @@ def stream_minhash_dedup(
     inheriting another stream's watermark would silently drop all of its
     first batches.
     """
-    meta_key = _meta_key(checkpoint_dir, stream_name)
+    meta_key = batch_meta_key("minhash_dedup", checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)

@@ -29,14 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..plans.catalog import Catalog
+from .sinks import batch_meta_key
 from ..plans.rollup import refresh_rollup
 
 
-def _meta_key(table: str, checkpoint_dir: str, stream_name: str | None) -> str:
-    import hashlib
-
-    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    return f"last_batch_id:rollup:{table}:{name}"
 
 
 def stream_rollup(
@@ -56,7 +52,7 @@ def stream_rollup(
     delivered so far — bit-exactly, because the combine is a fixed-point
     BIGINT sum (see plans/rollup.py) — regardless of how events were cut
     into micro-batches or how late they arrived."""
-    meta_key = _meta_key(table, checkpoint_dir, stream_name)
+    meta_key = batch_meta_key(f"rollup:{table}", checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)

@@ -17,11 +17,22 @@ cosine PAIR relation decomposes per batch as new×new ∪ new×old:
   ``stream_minhash_dedup``; replays are no-ops.
 
 Because the stream materializes the EDGE RELATION (not a survivor
-choice), the result is exactly order-independent: whatever the batch
-split, the accumulated pairs equal the batch operator's pairs on the
-union, and ``read_semantic_survivors`` re-derives components over them —
+choice), the result is order-independent: whatever the batch split, the
+accumulated pairs equal the batch operator's pairs on the union, and
+``read_semantic_survivors`` re-derives components over them —
 byte-identical to batch ``semantic_dedup`` (no first-arrived-vs-min-id
 divergence, no missed transitive chains across batches).
+
+Equivalence condition, stated precisely: the hot-bucket cap is applied
+per BATCH (intra) and per INDEX side (cross), not over the accumulated
+bucket — batch mode drops a bucket whose TOTAL size exceeds the cap,
+but a stream that saw it as sub-cap slices has already published those
+slices' pairs and cannot retract them.  So streamed == batch holds
+exactly while no bucket exceeds ``max_bucket_size`` (the normal regime;
+the equivalence test runs there); once a bucket crosses the cap the
+stream is the MORE PERMISSIVE side — it keeps pairs batch mode would
+drop, never the reverse, and the excess depends on the batch split.
+Size the cap for the accumulated corpus, not the batch.
 
 Scale: per-batch work is batch-sized row-local signatures + one
 signature equi-join against the index (vectors shuffle only for rows
@@ -42,21 +53,15 @@ from ..operators.components import dedup_survivors
 from ..operators.semantic import (
     DEFAULT_SALT,
     MAX_BUCKET_SIZE,
-    semantic_candidate_pairs,
+    pairs_from_signatures,
     srp_signature,
 )
 from ..operators.similarity import cosine
 from ..plans.catalog import Catalog
+from .sinks import batch_meta_key, maybe_auto_compact
 
 SEM_INDEX_TABLE = "semantic_index"
 SEM_PAIRS_TABLE = "semantic_pairs"
-
-
-def _meta_key(checkpoint_dir: str, stream_name: str | None) -> str:
-    import hashlib
-
-    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    return f"last_batch_id:semantic_dedup:{name}"
 
 
 def stream_semantic_dedup(
@@ -83,7 +88,7 @@ def stream_semantic_dedup(
     intra-batch path applies the batch hot-bucket cap; the cross path
     caps the INDEX side of the join the same way (a degenerate bucket
     otherwise grows without bound across batches)."""
-    meta_key = _meta_key(checkpoint_dir, stream_name)
+    meta_key = batch_meta_key("semantic_dedup", checkpoint_dir, stream_name)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
@@ -104,14 +109,14 @@ def stream_semantic_dedup(
             keys = keys.join(
                 idx.select(id_col).distinct(), id_col, "left_anti"
             ).localCheckpoint(eager=True)
-        intra = semantic_candidate_pairs(
-            keys.drop("srp_sig"),
+        # `keys` already holds materialized signatures — feed them straight
+        # to the bucket/cosine half instead of re-deriving the n_planes×dim
+        # folds per row per batch (same shape as dedup_llm's band-key reuse)
+        intra = pairs_from_signatures(
+            keys,
             id_col=id_col,
             vec_col=vec_col,
-            dim=dim,
             threshold=threshold,
-            n_planes=n_planes,
-            salt=salt,
             max_bucket_size=max_bucket_size,
         )
         if have_index:
@@ -148,17 +153,9 @@ def stream_semantic_dedup(
         txn.stage(SEM_INDEX_TABLE, keys, mode="append")
         txn.stage(SEM_PAIRS_TABLE, pairs, mode="append")
         cat.commit(txn, meta={meta_key: batch_id})
-        if auto_compact_roots is not None:
-            # same inline policy as stream_into_catalog: bound append-root
-            # growth; a lost OCC race defers to the next threshold crossing
-            from ..plans.catalog import CommitConflict
-
-            for t in (SEM_INDEX_TABLE, SEM_PAIRS_TABLE):
-                if len(cat.manifest()["tables"].get(t, [])) >= auto_compact_roots:
-                    try:
-                        cat.compact(spark=spark, table=t)
-                    except CommitConflict:
-                        pass
+        maybe_auto_compact(
+            cat, spark, [SEM_INDEX_TABLE, SEM_PAIRS_TABLE], auto_compact_roots
+        )
 
     writer = stream_vectors.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -177,7 +174,8 @@ def read_semantic_survivors(
     """(id, component, is_survivor) over everything the stream has
     indexed: connected components over the accumulated pair relation —
     byte-identical to batch ``semantic_dedup`` on the union of all
-    batches, because the edge relation itself is order-independent."""
+    batches while no bucket exceeds the cap (see the module docstring
+    for the precise cap-crossing semantics)."""
     cat = Catalog(catalog_root)
     ids = cat.read(spark, SEM_INDEX_TABLE).select(id_col)
     pairs = cat.read(spark, SEM_PAIRS_TABLE).select("id_a", "id_b").distinct()

@@ -14,10 +14,48 @@ This is the streaming analogue of the import pipeline's atomic publish
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..plans.catalog import Catalog
+
+
+def batch_meta_key(prefix: str, checkpoint_dir: str, stream_name: str | None) -> str:
+    """Per-stream batch-id watermark key, shared by every foreachBatch
+    catalog writer.  Spark's batch ids are scoped to ONE checkpoint, so
+    the replay watermark must be too: a fixed catalog-level key would make
+    two streams with different checkpoints share one watermark, silently
+    skipping the lagging stream's batches as 'replays'.  ``stream_name``
+    defaults to a digest of the checkpoint dir (restarting from the same
+    checkpoint resumes the same watermark); pass it explicitly if the
+    checkpoint directory can move between runs."""
+    import hashlib
+
+    name = stream_name or hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    return f"last_batch_id:{prefix}:{name}"
+
+
+def maybe_auto_compact(
+    cat: Catalog,
+    spark: SparkSession,
+    tables: list[str],
+    threshold: int | None,
+    **compact_kwargs,
+) -> None:
+    """The shared inline auto-compaction policy: once a table accumulates
+    ``threshold`` commit roots, fold them back to one (OCC-safe — a lost
+    race against a concurrent committer just defers to the next threshold
+    crossing).  No-op when ``threshold`` is None."""
+    if threshold is None:
+        return
+    from ..plans.catalog import CommitConflict
+
+    for t in tables:
+        if len(cat.manifest()["tables"].get(t, [])) >= threshold:
+            try:
+                cat.compact(spark=spark, table=t, **compact_kwargs)
+            except CommitConflict:
+                pass
 
 
 def stream_into_catalog(
@@ -52,15 +90,10 @@ def stream_into_catalog(
         txn = cat.begin()
         txn.stage(table, batch_df, mode="append", sort_by=sort_by)
         cat.commit(txn, meta={meta_key: batch_id})
-        if auto_compact_roots is not None:
-            roots = cat.manifest()["tables"].get(table, [])
-            if len(roots) >= auto_compact_roots:
-                from ..plans.catalog import CommitConflict
-
-                try:
-                    cat.compact(spark=batch_df.sparkSession, table=table, sort_by=sort_by)
-                except CommitConflict:
-                    pass  # a concurrent committer won; retry next crossing
+        maybe_auto_compact(
+            cat, batch_df.sparkSession, [table], auto_compact_roots,
+            sort_by=sort_by,
+        )
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -340,8 +340,8 @@ def test_stream_minhash_dedup_honors_legacy_watermark(spark, tmp_path):
     from dp1_data_wrangling_spark.streaming.dedup_llm import (
         INDEX_TABLE,
         LEGACY_META_KEY,
-        _meta_key,
     )
+    from dp1_data_wrangling_spark.streaming.sinks import batch_meta_key
 
     aug = _augment_near(spark, SMOKE_SF).limit(100)
     src = tmp_path / "docs_stream"
@@ -374,7 +374,7 @@ def test_stream_minhash_dedup_honors_legacy_watermark(spark, tmp_path):
     # watermark migrated to the per-stream key by the first commit,
     # and the legacy key consumed (one-shot) so no later fresh stream
     # can inherit it
-    assert cat.meta()[_meta_key(ckpt, None)] == 1
+    assert cat.meta()[batch_meta_key("minhash_dedup", ckpt, None)] == 1
     assert LEGACY_META_KEY not in cat.meta()
 
 
