@@ -209,8 +209,11 @@ def source_mix(
     )
     wt = F.coalesce(F.element_at(wmap, F.col(group_col)), F.lit(0)).cast("long")
     b = F.lit(MIX_BUCKETS).cast("long")
+    # A zero-token source has no budget pressure, but only POSITIVE-weight
+    # sources may pass through: an unlisted (weight-0) source with all-empty
+    # docs must still be excluded per the contract above.
     thr = (
-        F.when(F.col("__grp_tokens") == 0, b)
+        F.when(F.col("__grp_tokens") == 0, F.when(wt > 0, b).otherwise(F.lit(0).cast("long")))
         .otherwise(
             F.least(
                 b,

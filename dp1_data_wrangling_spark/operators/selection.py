@@ -166,6 +166,12 @@ def quantile_filter(
        rows by id (a row_number window partitioned by (group, score) —
        fine-grained, never group-sized).
 
+    NULL scores are unrankable: they are excluded from the histogram (so
+    the group size ``n`` counts only rankable rows) and are never kept —
+    even at ``keep_top_percent=100``.  A naive rank window with NULLS LAST
+    would instead keep them at 100%; replay that reference with a
+    ``score IS NOT NULL`` guard to match.
+
     The DuckDB oracle runs the naive rank-window form, independently
     validating the decomposition."""
     if not 0 <= keep_top_percent <= 100:
@@ -173,7 +179,11 @@ def quantile_filter(
             f"keep_top_percent must be in [0, 100], got {keep_top_percent}"
         )
     g, s = F.col(group_col), F.col(score_col)
-    counts = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__c"))
+    counts = (
+        df.filter(s.isNotNull())
+        .groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     w_cum = (
         Window.partitionBy(group_col)
         .orderBy(s.desc())

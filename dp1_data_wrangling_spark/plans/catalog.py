@@ -174,9 +174,23 @@ class Transaction:
             # nothing can publish (staging was invisible throughout).
             from pyspark.sql import functions as F
 
-            row = (
-                df.sparkSession.read.parquet(str(out))
-                .agg(
+            staged = df.sparkSession.read.parquet(str(out))
+            # Reader semantics for evolved (narrow) appends: a column the
+            # staged files omit reads as NULL.  Evaluate constraints the
+            # same way — fill table columns absent from the staged schema
+            # with typed NULLs, so e.g. CHECK(x IS NULL OR x > 0) passes a
+            # narrow append instead of blowing up in analysis with an
+            # unresolved-column error and an orphaned staging dir.
+            known = Catalog(self.root).table_schema(df.sparkSession, table)
+            if known is not None:
+                staged_cols = set(staged.columns)
+                for fld in known.fields:
+                    if fld.name not in staged_cols:
+                        staged = staged.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+            try:
+                agg_row = staged.agg(
                     *[
                         F.sum(
                             F.when(
@@ -188,9 +202,19 @@ class Transaction:
                         ).alias(cname)
                         for cname, expr in sorted(checks.items())
                     ]
-                )
-                .collect()[0]
-            )
+                ).collect()[0]
+            except Exception as exc:
+                # A constraint referencing a column that exists in neither
+                # the staged data nor the table schema is a real error —
+                # but never leave the staged files behind.
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConstraintViolation(
+                    f"table {table!r}: CHECK constraints {sorted(checks)} "
+                    f"could not be evaluated against the staged data: {exc}"
+                ) from exc
+            row = agg_row
             bad = {c: int(row[c] or 0) for c in row.asDict() if row[c]}
             if bad:
                 import shutil

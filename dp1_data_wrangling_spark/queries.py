@@ -1655,15 +1655,12 @@ from . import queries_streaming  # noqa: E402,F401
 # (same DuckDB comparison, every registered oracle, each CI run).
 DRIVER_WINDOW: list[str] = [
     # -- core data plane (scans, joins, dedup, export pipeline) --
-    "scan_filter_project",
     "semi_join",
     "dimension_expansion",
-    "membership_join",
     "find_first",
     "find_first_calibration_bypass",
     "priority_dedup",
     "chain_flatten_distributed",
-    "interval_overlap",
     "asof_lookup",
     # Audit rotation: each round a handful of previously in-repo-only tail
     # queries take the slots of trivial entries with multi-round driver-green
@@ -1713,12 +1710,6 @@ DRIVER_WINDOW: list[str] = [
     #   the driver; (out): multimodal_frames (rows-only check anyway —
     #   weakest driver evidence class; multimodal_features and
     #   multimodal_resize keep the family in-window).
-    "asof_lookup_bucketized",
-    "asof_lookup_routed",
-    "window_analytics",
-    "json_struct_parse",
-    "rolling_sum",
-    "date_trunc_agg",
     "export_plan",
     # -- aggregation / window / sketch headline extras --
     "multi_join_revenue",
@@ -1753,6 +1744,26 @@ DRIVER_WINDOW: list[str] = [
     "ivf_recall_bound",
     "multimodal_features",
     "multimodal_resize",
+    # round 7 (in): doc_pack_sequences, corpus_top_ngrams, doc_source_quota,
+    #   doc_importance_resample, doc_dup_spans, doc_near_dup_curation,
+    #   ivf_kmeans_recall_bound, doc_cluster_safe_split, doc_semantic_curation
+    #   — executing the annotated round-7 audit rotation: nine tail queries
+    #   gain external sf0.01 evidence.  (out): scan_filter_project,
+    #   interval_overlap, window_analytics, json_struct_parse, rolling_sum,
+    #   date_trunc_agg (multi-round driver-green, trivial, parity-held;
+    #   families stay represented by semi_join/dimension_expansion,
+    #   asof_lookup, export_plan) + membership_join (6x green; semi_join
+    #   keeps the join family) + asof_lookup_bucketized, asof_lookup_routed
+    #   (2x green; asof_lookup keeps the as-of family in-window).
+    "doc_pack_sequences",
+    "corpus_top_ngrams",
+    "doc_source_quota",
+    "doc_importance_resample",
+    "doc_dup_spans",
+    "doc_near_dup_curation",
+    "ivf_kmeans_recall_bound",
+    "doc_cluster_safe_split",
+    "doc_semantic_curation",
     # -- streaming --
     "tumbling_window",
     "session_window",

@@ -1631,7 +1631,8 @@ _SOURCE_MIX_ORACLE = f"""
             FROM dt GROUP BY 1),
     thr AS (
         SELECT t.source,
-               CASE WHEN t.gt = 0 THEN 10000
+               CASE WHEN t.gt = 0 THEN
+                        CASE WHEN coalesce(w.wt, 0) > 0 THEN 10000 ELSE 0 END
                     ELSE least(10000, CAST(floor(10000 *
                         (CAST({MIX_BUDGET} * coalesce(w.wt, 0) AS DOUBLE) /
                          CAST({sum(MIX_WEIGHTS.values())} * t.gt AS DOUBLE)))

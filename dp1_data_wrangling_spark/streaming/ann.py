@@ -75,6 +75,15 @@ def stream_ivf_index_append(
         # seeing a different one means the index was rebuilt under this
         # stream — restart the appender from a fresh checkpoint.
         build_id = meta.get("ann:build_id")
+        if build_id is None:
+            # Catalog.commit treats a None meta value as a delete, so
+            # passing it through would silently erase the pin and disable
+            # the rebuild guard for the stream's whole lifetime.
+            raise RuntimeError(
+                "stream_ivf_index_append: persisted index carries no "
+                "ann:build_id meta — rebuild it with build_ivf_index "
+                "(the generation pin cannot protect an unversioned index)"
+            )
         pinned = meta.get(f"{meta_key}:build")
         if pinned is not None and pinned != build_id:
             raise RuntimeError(

@@ -1360,3 +1360,43 @@ def test_source_mix_and_quantile_filter_keep_null_key_rows(spark):
     assert len(out2) == 3
     by = {r["doc_id"]: r["keep"] for r in out2}
     assert by[1] is True and by[2] is False and by[3] is False
+
+
+def test_source_mix_zero_token_source_needs_positive_weight(spark):
+    """A source whose docs total 0 tokens has no budget pressure, but the
+    free pass applies only to LISTED (positive-weight) sources — an
+    unlisted all-empty source must stay excluded per the docstring."""
+    from dp1_data_wrangling_spark.operators.sampling import source_mix
+
+    rows = [(1, "listed", 0), (2, "listed", 0), (3, "ghost", 0), (4, "ghost", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    by = {
+        r["doc_id"]: r["keep"]
+        for r in source_mix(df, weights={"listed": 1}, token_budget=100).collect()
+    }
+    assert by[1] is True and by[2] is True
+    assert by[3] is False and by[4] is False
+
+
+def test_quantile_filter_null_scores_do_not_inflate_group_size(spark):
+    """NULL-score rows are unrankable: excluded from the histogram (so n
+    counts only rankable rows) and never kept.  With one rankable + one
+    NULL row, pct=100 keeps the rankable row; pct=50 must NOT (n=1, and
+    1*100 <= 1*50 is false) — under the old n=2 accounting it would."""
+    from dp1_data_wrangling_spark.operators.selection import quantile_filter
+
+    df = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", None)], "doc_id long, grp string, score long"
+    )
+
+    def run(pct):
+        return {
+            r["doc_id"]: r["keep"]
+            for r in quantile_filter(
+                df, score_col="score", group_col="grp",
+                keep_top_percent=pct, id_col="doc_id",
+            ).collect()
+        }
+
+    assert run(100) == {1: True, 2: False}
+    assert run(50) == {1: False, 2: False}

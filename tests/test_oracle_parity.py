@@ -75,6 +75,14 @@ def test_driver_window_covers_flagship_surface():
         # rows-only — weakest external evidence; families stay represented
         # by tumbling/session and features/resize)
         "embedding_semantic_dedup", "doc_source_mix", "doc_quality_quantile",
+        # round-7 audit rotation: the in-repo-only tail gains external
+        # sf0.01 evidence; six multi-round-green trivial entries plus
+        # membership_join/asof_lookup_{bucketized,routed} rotated out
+        # (families stay represented by semi_join, asof_lookup, export_plan)
+        "doc_pack_sequences", "corpus_top_ngrams", "doc_source_quota",
+        "doc_importance_resample", "doc_dup_spans", "doc_near_dup_curation",
+        "ivf_kmeans_recall_bound", "doc_cluster_safe_split",
+        "doc_semantic_curation",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

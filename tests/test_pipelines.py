@@ -1161,6 +1161,35 @@ def test_catalog_check_constraints_block_violating_stage(spark, tmp_path):
     assert cat.read(spark, "t").count() == 6
 
 
+def test_catalog_check_constraint_narrow_evolved_append(spark, tmp_path):
+    """An evolve_schema=True append that OMITS a constrained column must
+    validate with reader semantics (absent column = NULL = CHECK passes),
+    not die in analysis; a constraint naming a column unknown to both the
+    staged data and the table schema raises ConstraintViolation and
+    leaves no staged files behind."""
+    from dp1_data_wrangling_spark.plans.catalog import ConstraintViolation
+
+    cat = Catalog(tmp_path / "cat")
+    full = spark.createDataFrame([(1, 5, "a")], "id long, qty long, name string")
+    t0 = cat.begin()
+    t0.stage("t", full)
+    cat.commit(t0)
+    cat.set_constraint("t", "positive_qty", "qty > 0")
+
+    narrow = spark.createDataFrame([(2, "b")], "id long, name string")
+    t1 = cat.begin()
+    t1.stage("t", narrow, evolve_schema=True)  # qty absent -> NULL -> passes
+    cat.commit(t1)
+    assert cat.read(spark, "t").count() == 2
+
+    cat.set_constraint("t", "phantom", "no_such_col > 0")
+    t2 = cat.begin()
+    with pytest.raises(ConstraintViolation, match="phantom"):
+        t2.stage("t", narrow, evolve_schema=True)
+    staged_dirs = list((tmp_path / "cat" / "data").glob(f"{t2.txn_id}/*"))
+    assert staged_dirs == []  # staging cleaned up on the analysis failure
+
+
 def test_catalog_constraint_ddl_conflicts_with_in_flight_stage(spark, tmp_path):
     """A txn staged against one constraint set must not commit under
     another (its data was never validated against the new rules)."""

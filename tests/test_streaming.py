@@ -770,6 +770,39 @@ def test_stream_ivf_index_append_equals_online(spark, tmp_path):
         )
 
 
+def test_stream_ivf_append_refuses_unversioned_index(spark, tmp_path):
+    """An index whose ann:build_id meta is missing cannot be protected by
+    the generation pin (Catalog.commit treats a None meta value as a
+    delete, which would silently erase the pin) — the appender must fail
+    fast instead of running unguarded."""
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.plans.ann_index import build_ivf_index
+    from dp1_data_wrangling_spark.streaming import stream_ivf_index_append
+
+    emb = load_table(spark, SMOKE_SF, "embeddings").select("vec_id", "embedding")
+    cat_root = str(tmp_path / "cat")
+    cat = Catalog(cat_root)
+    build_ivf_index(spark, cat, emb.filter(F.col("vec_id") < 300),
+                    n_cells=4, n_iters=1)
+    # simulate a legacy/unversioned index: drop the build-id meta
+    cat.commit(cat.begin(), meta={"ann:build_id": None})
+    assert "ann:build_id" not in cat.meta()
+
+    src = tmp_path / "vec_stream"
+    emb.filter(F.col("vec_id") >= 300).limit(5).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(emb.schema).parquet(f"{src}/*/")
+    q = stream_ivf_index_append(
+        stream, cat_root, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="ann:build_id"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+        raise RuntimeError("stream should have failed fast")
+
+
 def test_stream_semantic_dedup_auto_compacts(spark, tmp_path):
     """auto_compact_roots folds the per-batch index/pairs roots back to
     one without changing any content."""
