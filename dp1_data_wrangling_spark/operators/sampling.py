@@ -117,8 +117,15 @@ def global_shuffle(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    if not 1 <= (prefix_len := len(f"{n_buckets - 1:x}")) <= 8:
-        raise ValueError(f"n_buckets too large: {n_buckets}")
+    # Hard cap at 16^5 = 1,048,576 buckets: the per-bucket count pass
+    # materializes one row per bucket on the driver (catalog-scale
+    # metadata, never fact rows) and 1M buckets already puts a 100 TB
+    # corpus at ~100 MB per bucket task — more buckets buys nothing.
+    if not 1 <= (prefix_len := len(f"{n_buckets - 1:x}")) <= 5:
+        raise ValueError(
+            f"n_buckets too large: {n_buckets} (max 16^5 = 1048576; a "
+            "bucket holds corpus/n_buckets rows, ample at any real scale)"
+        )
     n_buckets = 16**prefix_len  # widen to a full hex-prefix space
     from .selection import rank_key
 
@@ -135,22 +142,38 @@ def global_shuffle(
     for b, n in counts:
         offsets[b] = acc
         acc += n
-    offset_map = F.create_map(
-        *[F.lit(x) for b_off in offsets.items() for x in b_off]
-    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_bucket").orderBy("_rk", key_col)
-    return (
-        keyed.withColumn(
+    if len(offsets) <= 4096:
+        # small bucket space: a literal map beats a join
+        offset_map = F.create_map(
+            *[F.lit(x) for b_off in offsets.items() for x in b_off]
+        )
+        ranked = keyed.withColumn(
             position_col,
             (
                 F.row_number().over(w).cast("long")
                 + F.coalesce(offset_map[F.col("_bucket")], F.lit(0)).cast("long")
             ),
         )
-        .drop("_rk", "_bucket")
-    )
+    else:
+        # large bucket space: a 2M-literal create_map would choke Catalyst
+        # — broadcast-join a tiny offsets table instead (still no
+        # corpus-sized single-partition anything)
+        off_df = df.sparkSession.createDataFrame(
+            list(offsets.items()), "_bucket int, _off long"
+        )
+        ranked = (
+            keyed.join(F.broadcast(off_df), "_bucket", "left")
+            .withColumn(
+                position_col,
+                F.row_number().over(w).cast("long")
+                + F.coalesce(F.col("_off"), F.lit(0)),
+            )
+            .drop("_off")
+        )
+    return ranked.drop("_rk", "_bucket")
 
 
 MIX_BUCKETS = 10_000  # finer grain than hash_bucket: mix rates to 0.01%

@@ -1022,6 +1022,25 @@ def test_global_shuffle_validates_n_buckets(spark):
         global_shuffle(docs, "doc_id", n_buckets=0)
     with pytest.raises(ValueError):
         global_shuffle(docs, "doc_id", n_buckets=16**9)
+    # the old bound admitted driver-OOM-sized bucket spaces (16^8 ~ 4.3B
+    # one-row collects); anything past 16^5 is now refused up front
+    with pytest.raises(ValueError, match="16\\^5"):
+        global_shuffle(docs, "doc_id", n_buckets=16**5 + 1)
+
+
+def test_global_shuffle_broadcast_offsets_path(spark):
+    """With >4096 occupied buckets the offsets ride a broadcast join
+    (a literal create_map that size would choke Catalyst).  Positions
+    must still be an exact 1..n permutation and the plan must still have
+    no corpus-sized SinglePartition stage."""
+    from dp1_data_wrangling_spark.operators.sampling import global_shuffle
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = global_shuffle(df, "doc_id", salt="s", n_buckets=16**4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    pos = [r["position"] for r in out.collect()]
+    assert sorted(pos) == list(range(1, 20_001))
 
 
 # ---------------------------------------------------------------------------
