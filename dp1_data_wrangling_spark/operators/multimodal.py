@@ -3,11 +3,15 @@
 Media are opaque ``binary`` payload columns + typed metadata, exactly as a
 100 TB multimodal corpus stores them (the bytes travel in parquet; decode
 happens executor-side).  The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, mapInPandas signatures — is real and tested; the actual
-codec calls are STUBBED (image/audio libraries are not in this container):
-``decode_media_stub`` raises NotImplementedError while
-``fake_decode_features`` produces deterministic pseudo-features from the
-payload bytes so the pipeline is end-to-end testable.
+Arrow batch shape, mapInPandas signatures — is real and tested.
+
+Codec surface (round 7): UNCOMPRESSED formats decode for real, in pure
+numpy — PPM (P6) and BMP (24-bit BI_RGB) images, WAV (PCM16) audio — so
+resize / checksum operate on actual pixels and samples; integer pixel
+math keeps every stat oracle-replayable in SQL.  Compressed formats
+(JPEG/PNG/MP4/...) still route to ``decode_media_stub``, which raises
+NotImplementedError: those need codec libraries absent from this
+container, and a silent fake would be worse than an honest stub.
 """
 
 from __future__ import annotations
@@ -179,3 +183,322 @@ def sample_frames(media: DataFrame, every_ms: int = 1_000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs for uncompressed formats (pure numpy — no external libraries)
+# ---------------------------------------------------------------------------
+
+
+def _ship_codecs_by_value() -> None:
+    """The external driver imports this package by FILE PATH, driver-side
+    only — executor Python workers cannot ``import dp1_data_wrangling_spark``.
+    Every other pandas op here is a self-contained closure for exactly that
+    reason; the codec functions are shared public API, so instead register
+    this module for by-value cloudpickle serialization: closures that call
+    ``decode_media``/``encode_ppm``/... then ship the code itself, not an
+    unresolvable module reference."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6, maxval 255)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6) into an (h, w, 3) uint8 array.  Handles
+    the header grammar (whitespace-separated tokens, # comments)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    bgr = a[::-1, :, ::-1]  # bottom-up, BGR
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    return header + pixel_data
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bit uncompressed (BI_RGB) BMP into an (h, w, 3) uint8
+    RGB array (top-down).  Handles bottom-up and top-down row order and
+    4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB supported, got bpp={bpp} compression={compression}"
+        )
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_bytes, offset=data_offset
+    ).reshape(h, row_bytes)
+    bgr = raster[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if h_raw > 0:  # bottom-up (the common case)
+        rgb = rgb[::-1]
+    return rgb.copy()
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Encode mono int16 samples as a PCM WAV (RIFF/WAVE, fmt + data)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 mono/stereo WAV: returns (sample_rate, int16 array
+    flattened across channels).  Walks the RIFF chunk list — fmt need not
+    immediately precede data."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported, got fmt={audio_fmt} bits={bits}"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").copy()
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Dispatch on magic bytes: returns ``('image', (h,w,3) uint8)`` for
+    PPM/BMP, ``('audio', (sample_rate, int16 array))`` for WAV; anything
+    else routes to the honest stub (NotImplementedError)."""
+    if payload is not None:
+        if payload[:2] == b"P6":
+            return "image", decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return "image", decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "audio", decode_wav(payload)
+    return decode_media_stub(payload, media_type)
+
+
+def nearest_resize(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resample with pure integer index math:
+    ``out[i, j] = src[(i * h) // out_h, (j * w) // out_w]`` — the exact
+    semantics a SQL oracle can replay (no float sampling grid)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return a[ri][:, ci]
+
+
+def fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving target size: scale = min(max_side/max(w,h), 1),
+    rounded half-up — the same arithmetic ``resize_images`` documents."""
+    scale = min(max_side / max(w, h, 1), 1.0)
+    return int(w * scale + 0.5), int(h * scale + 0.5)
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_values", LongType(), True),
+        StructField("value_sum", LongType(), True),
+        StructField("out_width", LongType(), True),
+        StructField("out_height", LongType(), True),
+        StructField("resized_sum", LongType(), True),
+    ]
+)
+
+
+def decode_stats(media: DataFrame, *, max_side: int = 8) -> DataFrame:
+    """REAL decode pass: parse each payload with the numpy codecs, then
+    (images) nearest-neighbor-downscale to ``max_side`` and checksum both
+    rasters; (audio) checksum the PCM samples.  Everything int — the
+    whole path (encode → parse → resample → sum) is SQL-replayable.
+
+    One mapInPandas over the media table: payload bytes never shuffle
+    beyond their scan partition, output is a few scalars per row — the
+    shape that survives a 100 TB corpus (decode cost scales with bytes
+    per executor, the result table is negligible)."""
+    import pandas as pd
+
+    _ship_codecs_by_value()
+    field_names = [f.name for f in DECODE_STATS_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {n: [] for n in field_names}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                kind, decoded = decode_media(payload, mtype)
+                row: dict[str, object] = dict.fromkeys(out, None)
+                row["media_id"] = mid
+                row["kind"] = kind
+                if kind == "image":
+                    arr = decoded
+                    h, w = arr.shape[:2]
+                    ow, oh = fit_dims(w, h, max_side)
+                    resized = nearest_resize(arr, oh, ow)
+                    row.update(
+                        width=w, height=h,
+                        n_values=int(arr.size),
+                        value_sum=int(arr.astype("int64").sum()),
+                        out_width=ow, out_height=oh,
+                        resized_sum=int(resized.astype("int64").sum()),
+                    )
+                else:
+                    rate, samples = decoded
+                    row.update(
+                        sample_rate=int(rate),
+                        n_values=int(samples.size),
+                        value_sum=int(samples.astype("int64").sum()),
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, DECODE_STATS_SCHEMA)
+
+
+def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL media payloads from an id column — actual PPM /
+    BMP / WAV bytes whose content is closed-form in the id, so a SQL
+    oracle can replay any decode statistic without touching bytes:
+
+    - id % 3 == 0 → WAV:  n = id%50+10 PCM16 samples at 8 kHz,
+      ``s[n] = (id*17 + n*13) % 4096 - 2048``
+    - id % 3 == 1 → PPM, id % 3 == 2 → BMP: w = id%16+4, h = id%12+4,
+      ``pixel[r, c, k] = (id*31 + r*7 + c*3 + k) % 256``
+
+    Encoding happens executor-side in one mapInPandas (the driver never
+    sees a payload)."""
+    import numpy as np
+    import pandas as pd
+
+    _ship_codecs_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "media_type": [], "payload": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 3 == 0:
+                    n = mid % 50 + 10
+                    samples = (mid * 17 + np.arange(n) * 13) % 4096 - 2048
+                    payload = encode_wav(8000, samples)
+                    mtype, w, h = "audio/wav", None, None
+                    dur = n * 1000 // 8000
+                else:
+                    w, h = mid % 16 + 4, mid % 12 + 4
+                    r = np.arange(h)[:, None, None]
+                    c = np.arange(w)[None, :, None]
+                    k = np.arange(3)[None, None, :]
+                    arr = ((mid * 31 + r * 7 + c * 3 + k) % 256).astype(np.uint8)
+                    if mid % 3 == 1:
+                        payload, mtype = encode_ppm(arr), "image/x-portable-pixmap"
+                    else:
+                        payload, mtype = encode_bmp(arr), "image/bmp"
+                    dur = None
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["payload"].append(payload)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )

@@ -298,3 +298,117 @@ def top_terms(
         .where(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df_count", "score_milli", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-vocab subword tokenizer (round 7)
+# ---------------------------------------------------------------------------
+
+# A small frozen BPE-style merge vocabulary: common English subwords +
+# every single letter/digit + common punctuation.  FROZEN means the list
+# is the versioned artifact itself — training-side token budgets are only
+# reproducible if the vocab bytes never drift, so treat edits as a new
+# vocab version (consumers pin semantics to SUBWORD_VOCAB_VERSION).
+SUBWORD_VOCAB_VERSION = 1
+SUBWORD_VOCAB: list[str] = [
+    # 4-char merges
+    "tion", "able", "ness", "ment", "less", "ship", "ould", "ight",
+    "ance", "ence", "ound", "ting", "ers", "ing", "ion", "the", "and",
+    # 3-char merges
+    "ent", "ati", "for", "her", "ter", "hat", "tha", "ere", "ate", "his",
+    "con", "res", "ver", "all", "ons", "nce", "men", "ith", "ted", "pro",
+    "thi", "wit", "are", "ess", "not", "ive", "was", "ect", "rea", "com",
+    "eve", "per", "int", "est", "sta", "cti", "ica", "ist", "ear", "ain",
+    "one", "our", "iti", "rat", "you", "out",
+    # 2-char merges
+    "qu", "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st",
+    "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co",
+    "me", "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li",
+    "ch", "ll", "be", "ma", "si", "om", "ur",
+    # single characters (letters, digits, common marks) — the fallback
+    # tier that keeps ASCII text unknown-free
+    *"abcdefghijklmnopqrstuvwxyz",
+    *"0123456789",
+    ".", ",", ";", ":", "!", "?", "'", '"', "-", "(", ")",
+]
+
+
+def subword_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with the FROZEN vocab: BPE-ish pre-tokenization
+    (``BPE_ISH_PATTERN`` — letter runs / digit runs / single marks),
+    lowercase, then greedy longest-match against ``SUBWORD_VOCAB`` from
+    the left; a character no vocab entry covers becomes one unknown
+    token.  Exactly the semantics a DuckDB recursive CTE can replay, so
+    the whole tokenizer is oracle-checkable (n_subwords, n_unknown, and
+    the vocab-id checksum all hash-compared).
+
+    Output per document: ``n_pretokens`` (equals ``bpe_token_count`` on
+    ASCII by construction), ``n_subwords`` (the real token budget —
+    drop-in for the ``n_tokens`` consumers: pack_sequences, source_mix,
+    corpus token stats), ``n_unknown``, and ``vid_sum`` (sum of 1-based
+    vocab indexes of every matched piece — pins WHICH pieces matched,
+    not just how many).
+
+    Arrow-batched mapInPandas; the Python loop is the honest cost of a
+    real tokenizer (a production deployment would swap in a compiled
+    tokenizer behind the same signature).  Row-local: zero shuffles,
+    embarrassingly parallel, text bytes never leave their scan partition.
+    Determinism caveat: python-re vs RE2 ``\\s`` agree on ASCII; for
+    corpora with unicode whitespace, normalize first."""
+    import pandas as pd
+
+    vocab = list(SUBWORD_VOCAB)
+    vid = {t: i + 1 for i, t in enumerate(vocab)}
+    max_len = max(map(len, vocab))
+    pattern = BPE_ISH_PATTERN
+
+    def batches(it):
+        import re
+
+        rx = re.compile(pattern)
+        for pdf in it:
+            out = {
+                id_col: [], "n_pretokens": [], "n_subwords": [],
+                "n_unknown": [], "vid_sum": [],
+            }
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                n_pt = n_sub = n_unk = vsum = 0
+                for pt in rx.findall(text or ""):
+                    pt = pt.lower()
+                    n_pt += 1
+                    pos, n = 0, len(pt)
+                    while pos < n:
+                        for length in range(min(max_len, n - pos), 0, -1):
+                            i = vid.get(pt[pos : pos + length])
+                            if i is not None:
+                                vsum += i
+                                pos += length
+                                break
+                        else:
+                            n_unk += 1
+                            pos += 1
+                        n_sub += 1
+                out[id_col].append(did)
+                out["n_pretokens"].append(n_pt)
+                out["n_subwords"].append(n_sub)
+                out["n_unknown"].append(n_unk)
+                out["vid_sum"].append(vsum)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("n_pretokens", LongType(), False),
+            StructField("n_subwords", LongType(), False),
+            StructField("n_unknown", LongType(), False),
+            StructField("vid_sum", LongType(), False),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)

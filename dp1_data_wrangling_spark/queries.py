@@ -1658,7 +1658,6 @@ DRIVER_WINDOW: list[str] = [
     "semi_join",
     "dimension_expansion",
     "find_first",
-    "find_first_calibration_bypass",
     "priority_dedup",
     "chain_flatten_distributed",
     "asof_lookup",
@@ -1742,6 +1741,16 @@ DRIVER_WINDOW: list[str] = [
     "cosine_topk",
     "lsh_recall_bound",
     "ivf_recall_bound",
+    # round 7 (in, mid-round): multimodal_decode — REAL PPM/BMP/WAV decode
+    #   (new operator goes straight to the driver); (out):
+    #   find_first_calibration_bypass (2x driver-green, 15k-row near-twin of
+    #   find_first, which keeps the family in-window).
+    # round 7 (in, mid-round 2): doc_bpe_tokens — REAL frozen-vocab greedy
+    #   subword tokenizer (new operator goes straight to the driver); (out):
+    #   tumbling_window (2x driver-green; session_window keeps the
+    #   streaming-window family in-window).
+    "doc_bpe_tokens",
+    "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
     # round 7 (in): doc_pack_sequences, corpus_top_ngrams, doc_source_quota,
@@ -1765,7 +1774,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_cluster_safe_split",
     "doc_semantic_curation",
     # -- streaming --
-    "tumbling_window",
     "session_window",
     "event_correlation",
 ]

@@ -370,6 +370,66 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_VALUES = ", ".join(
+    "('" + t.replace("'", "''") + f"', {i + 1})"
+    for i, t in enumerate(tx.SUBWORD_VOCAB)
+)
+_BPE_TOKENS_ORACLE = f"""
+    WITH RECURSIVE vocab(tok, vid) AS (
+        SELECT * FROM (VALUES {_VOCAB_VALUES}) v(tok, vid)),
+    pts AS (
+        SELECT doc_id,
+               lower(unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS pt
+        FROM documents
+    ),
+    m(doc_id, pt, pos, n_sub, n_unk, vsum) AS (
+        SELECT doc_id, pt, 1, 0, 0, 0 FROM pts
+        UNION ALL
+        SELECT m.doc_id, m.pt,
+               m.pos + coalesce(ml.len, 1),
+               m.n_sub + 1,
+               m.n_unk + CASE WHEN ml.len IS NULL THEN 1 ELSE 0 END,
+               m.vsum + coalesce(ml.vid, 0)
+        FROM m LEFT JOIN LATERAL (
+            SELECT len(v.tok) AS len, v.vid AS vid
+            FROM vocab v
+            WHERE substr(m.pt, m.pos, len(v.tok)) = v.tok
+            ORDER BY len(v.tok) DESC LIMIT 1
+        ) ml ON true
+        WHERE m.pos <= len(m.pt)
+    ),
+    term AS (SELECT * FROM m WHERE pos > len(pt)),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+               CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+               CAST(sum(n_unk) AS BIGINT) AS n_unknown,
+               CAST(sum(vsum) AS BIGINT) AS vid_sum
+        FROM term GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(a.n_pretokens, 0) AS n_pretokens,
+           coalesce(a.n_subwords, 0) AS n_subwords,
+           coalesce(a.n_unknown, 0) AS n_unknown,
+           coalesce(a.vid_sum, 0) AS vid_sum
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("doc_bpe_tokens", _BPE_TOKENS_ORACLE)
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subword tokenization (round 7): greedy longest-match against
+    the frozen 161-entry vocab (operators/text.py SUBWORD_VOCAB), not the
+    regex approximation.  The oracle replays the exact tokenizer as a
+    recursive CTE walking match positions with a longest-match lateral
+    against the same vocab VALUES — n_subwords, n_unknown, and the
+    vocab-id checksum are all hash-compared, so a greedy-order or
+    off-by-one bug cannot hide.  n_subwords is the token budget the
+    packing/mixing consumers take via their token_col parameter."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return tx.subword_stats(docs)
+
+
 _LANG_SCORE_SQL = ",\n".join(
     "CAST(({parts}) AS BIGINT) AS score_{lang}".format(
         lang=lang,
@@ -664,6 +724,76 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "frame_no", "ts_ms", F.md5("payload").alias("payload_md5")
     )
+
+
+_MULTIMODAL_DECODE_ORACLE = """
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+    img AS (
+        SELECT media_id, media_id % 16 + 4 AS w, media_id % 12 + 4 AS h,
+               CAST(floor((media_id % 16 + 4) * least(8.0 /
+                   greatest(media_id % 16 + 4, media_id % 12 + 4), 1.0) + 0.5)
+                   AS BIGINT) AS ow,
+               CAST(floor((media_id % 12 + 4) * least(8.0 /
+                   greatest(media_id % 16 + 4, media_id % 12 + 4), 1.0) + 0.5)
+                   AS BIGINT) AS oh
+        FROM ids WHERE media_id % 3 <> 0
+    ),
+    imgsum AS (
+        SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum((i.media_id*31 + r.r*7 + c.c*3 + k.k) % 256)
+                   AS BIGINT) AS value_sum
+        FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
+             LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
+             LATERAL (SELECT unnest(range(0, 3)) AS k) k
+        GROUP BY 1
+    ),
+    rsum AS (
+        SELECT i.media_id,
+               CAST(sum((i.media_id*31 + ((ri.i * i.h) // i.oh)*7
+                        + ((cj.j * i.w) // i.ow)*3 + k.k) % 256)
+                   AS BIGINT) AS resized_sum
+        FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
+             LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
+             LATERAL (SELECT unnest(range(0, 3)) AS k) k
+        GROUP BY 1
+    ),
+    aud AS (SELECT media_id, media_id % 50 + 10 AS n
+            FROM ids WHERE media_id % 3 = 0),
+    audsum AS (
+        SELECT a.media_id, CAST(a.n AS BIGINT) AS n_values,
+               CAST(sum((a.media_id*17 + t.s*13) % 4096 - 2048)
+                   AS BIGINT) AS value_sum
+        FROM aud a, LATERAL (SELECT unnest(range(0, a.n)) AS s) t
+        GROUP BY 1, 2
+    )
+    SELECT i.media_id, 'image' AS kind, CAST(i.w AS BIGINT) AS width,
+           CAST(i.h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
+           s.n_values, s.value_sum, i.ow AS out_width, i.oh AS out_height,
+           r.resized_sum
+    FROM img i JOIN imgsum s USING (media_id) JOIN rsum r USING (media_id)
+    UNION ALL
+    SELECT a.media_id, 'audio', NULL, NULL, 8000, a.n_values, a.value_sum,
+           NULL, NULL, NULL
+    FROM audsum a
+"""
+
+
+@register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (round 7): synthesize actual PPM / BMP / WAV
+    bytes executor-side (operators/multimodal.py synthetic_media — pixel
+    and sample values are closed-form in the id), then decode them with
+    the pure-numpy codecs, nearest-neighbor-downscale the images, and
+    checksum every raster/waveform (decode_stats).  The oracle never sees
+    a byte: it replays the SAME closed-form content arithmetic over
+    unnested ranges — so a parser bug, a BGR/row-padding slip, or a
+    resample-index error all surface as a hash mismatch.  Compressed
+    codecs remain an honest NotImplementedError stub."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = mm.synthetic_media(docs)
+    return mm.decode_stats(media, max_side=8)
 
 
 @register(

@@ -275,6 +275,89 @@ def test_decode_stub_raises():
         decode_media_stub(b"bytes", "image/png")
 
 
+def test_media_codecs_roundtrip():
+    """The pure-numpy codecs: encode→decode is the identity for PPM (P6),
+    BMP (24-bit, row padding + bottom-up order), and WAV (PCM16, chunk
+    walk); compressed magics still route to the honest stub."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 7), (12, 19), (16, 4)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (mm.decode_ppm(mm.encode_ppm(arr)) == arr).all()
+        # w=7, w=19, w=4 exercise all 4-byte row paddings (21, 57, 12 B rows)
+        assert (mm.decode_bmp(mm.encode_bmp(arr)) == arr).all()
+    # PPM header grammar: comments + arbitrary whitespace
+    p = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+    assert mm.decode_ppm(p).shape == (2, 3, 3)
+    for n in [1, 10, 443]:
+        s = rng.integers(-2048, 2048, n).astype(np.int16)
+        rate, out = mm.decode_wav(mm.encode_wav(8000, s))
+        assert rate == 8000 and (out == s).all()
+    arr = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    assert mm.decode_media(mm.encode_ppm(arr), "x")[0] == "image"
+    assert mm.decode_media(mm.encode_bmp(arr), "x")[0] == "image"
+    assert mm.decode_media(mm.encode_wav(44100, s), "x")[0] == "audio"
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG\r\n", "image/png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(None, "image/png")
+
+
+def test_nearest_resize_integer_index_semantics():
+    """out[i,j] == src[(i*h)//oh, (j*w)//ow] exactly — the contract the
+    SQL oracle replays; fit_dims caps the long side and never upscales."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (12, 19, 3), dtype=np.uint8)
+    ow, oh = mm.fit_dims(19, 12, 8)
+    assert ow == 8 and oh == 5  # floor(x+0.5) half-up
+    rs = mm.nearest_resize(arr, oh, ow)
+    for i in range(oh):
+        for j in range(ow):
+            assert (rs[i, j] == arr[(i * 12) // oh, (j * 19) // ow]).all()
+    assert mm.fit_dims(4, 4, 8) == (4, 4)  # never upscale
+
+
+def test_decode_stats_runs_real_codecs_in_spark(spark):
+    """End-to-end through mapInPandas: synthetic REAL payloads decode to
+    the closed-form stats (one image, one audio row checked bit-exactly
+    against a local numpy decode of the same bytes)."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    ids = spark.range(9).select(F.col("id").alias("media_id"))
+    media = mm.synthetic_media(ids)
+    out = {r["media_id"]: r for r in mm.decode_stats(media, max_side=8).collect()}
+    assert len(out) == 9
+    # id=4 -> PPM image, w=8 h=8: all pixels (4*31 + 7r + 3c + k) % 256
+    r_ = np.arange(8)[:, None, None]
+    c_ = np.arange(8)[None, :, None]
+    k_ = np.arange(3)[None, None, :]
+    arr = (4 * 31 + r_ * 7 + c_ * 3 + k_) % 256
+    row = out[4]
+    assert row["kind"] == "image" and (row["width"], row["height"]) == (8, 8)
+    assert row["value_sum"] == int(arr.sum())
+    assert (row["out_width"], row["out_height"]) == (8, 8)
+    assert row["resized_sum"] == int(arr.sum())  # no downscale at 8x8
+    # id=6 -> WAV, n=16 samples
+    samples = (6 * 17 + np.arange(16) * 13) % 4096 - 2048
+    row = out[6]
+    assert row["kind"] == "audio" and row["sample_rate"] == 8000
+    assert row["n_values"] == 16 and row["value_sum"] == int(samples.sum())
+    # payloads are REAL encodings: pull one and decode locally
+    raw = {r["media_id"]: r["payload"] for r in media.collect()}
+    assert bytes(raw[4])[:2] == b"P6" and bytes(raw[5])[:2] == b"BM"
+    assert bytes(raw[6])[:4] == b"RIFF"
+    assert (mm.decode_ppm(bytes(raw[4])) == arr).all()
+
+
 # --- skew mitigation -------------------------------------------------------
 
 
@@ -879,6 +962,70 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
 # ---------------------------------------------------------------------------
 # PII scrub + chunking
 # ---------------------------------------------------------------------------
+
+
+def test_subword_stats_hand_computed_and_invariants(spark):
+    """Frozen-vocab greedy tokenizer: hand-checked pieces, n_pretokens ==
+    the regex approximation on ASCII, unknown fallback for uncovered
+    chars, empty docs come back zeroed, and results are repartition-proof."""
+    from dp1_data_wrangling_spark.operators.text import (
+        SUBWORD_VOCAB,
+        subword_stats,
+    )
+
+    vid = {t: i + 1 for i, t in enumerate(SUBWORD_VOCAB)}
+    df = spark.createDataFrame(
+        [(1, "the theory"), (2, "Hi @@"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in subword_stats(df).collect()}
+    # doc 1: "the" -> [the]; "theory" -> the|or|y (greedy longest from left)
+    assert out[1]["n_pretokens"] == 2
+    assert out[1]["n_subwords"] == 4
+    assert out[1]["n_unknown"] == 0
+    assert out[1]["vid_sum"] == vid["the"] * 2 + vid["or"] + vid["y"]
+    # doc 2: "Hi" lowercased -> [hi]; '@' twice -> unknown singles
+    assert out[2]["n_pretokens"] == 3
+    assert out[2]["n_subwords"] == 3
+    assert out[2]["n_unknown"] == 2
+    assert out[2]["vid_sum"] == vid["hi"]
+    assert dict(out[3].asDict()) == dict(
+        doc_id=3, n_pretokens=0, n_subwords=0, n_unknown=0, vid_sum=0
+    )
+    assert out[4]["n_subwords"] == 0  # NULL text behaves like empty
+
+    # ASCII invariance vs the regex approximation + partitioning invariance
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    from dp1_data_wrangling_spark.operators.text import bpe_token_count
+
+    joined = (
+        subword_stats(docs)
+        .join(docs.select("doc_id", bpe_token_count(F.col("text")).alias("approx")), "doc_id")
+    )
+    assert joined.filter(F.col("n_pretokens") != F.col("approx")).count() == 0
+    a = {r["doc_id"]: r["vid_sum"] for r in subword_stats(docs).collect()}
+    b = {
+        r["doc_id"]: r["vid_sum"]
+        for r in subword_stats(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_subword_vocab_is_frozen():
+    """The vocab is the versioned artifact: no duplicates, and a pinned
+    checksum so an accidental edit fails loudly instead of silently
+    changing every token budget downstream."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.text import (
+        SUBWORD_VOCAB,
+        SUBWORD_VOCAB_VERSION,
+    )
+
+    assert len(SUBWORD_VOCAB) == len(set(SUBWORD_VOCAB)) == 161
+    assert SUBWORD_VOCAB_VERSION == 1
+    digest = hashlib.md5("\x00".join(SUBWORD_VOCAB).encode()).hexdigest()
+    assert digest == "af2a0e4c87c9915f0c2379a399b4ad19"
 
 
 def test_scrub_pii_hand_computed(spark):

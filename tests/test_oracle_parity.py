@@ -65,7 +65,8 @@ def test_driver_window_covers_flagship_surface():
         "dedup_clusters", "embedding_near_dup", "doc_token_stats",
         "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
         "ivf_recall_bound", "multimodal_features", "multimodal_resize",
-        "tumbling_window",
+        # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
+        # session_window keeps the streaming-window family in-window)
         "session_window", "event_correlation", "chain_flatten_distributed",
         # round-6 rotation: the curation tier replaced approx_distinct /
         # approx_percentile (4-5x consecutive driver-green, parity-held)
@@ -83,6 +84,9 @@ def test_driver_window_covers_flagship_surface():
         "doc_importance_resample", "doc_dup_spans", "doc_near_dup_curation",
         "ivf_kmeans_recall_bound", "doc_cluster_safe_split",
         "doc_semantic_curation",
+        # round-7 mid-round: real PPM/BMP/WAV decode enters directly
+        # (find_first_calibration_bypass out; find_first keeps the family)
+        "multimodal_decode", "doc_bpe_tokens",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
