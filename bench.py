@@ -100,6 +100,165 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 - sweep is informational
                 print(f"scale sweep failed for {probe}: {exc}", file=sys.stderr)
 
+    # certify_probe third scale point (round 7, VERDICT item 6): its
+    # sf0.01->sf0.1 ratio (4.34x at 10x rows in r6) is the sweep's
+    # outlier; a same-SF row-doubled run separates fixed overhead from
+    # the n log n slope.  The doubled table unions a tie-shifted copy
+    # (ties stay unique) over the SAME key space, so per-key group sizes
+    # double — the axis the sort-neighbor window actually sorts on.
+    if "certify_probe" in timings:
+        try:
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.operators.intervals import (
+                overlapping_pairs,
+            )
+            from dp1_data_wrangling_spark.tables import load_table
+
+            li = load_table(spark, sf_dir, "lineitem")
+
+            def certify_intervals(src, tie_offset: int):
+                return src.select(
+                    (F.col("l_partkey") % 1024).alias("key"),
+                    ((F.col("l_orderkey") % 100000) * 1_000_000)
+                    .cast("long")
+                    .alias("begin_nsec"),
+                    (
+                        (F.col("l_orderkey") % 100000) * 1_000_000
+                        + F.col("l_quantity").cast("long") * 500_000
+                    )
+                    .cast("long")
+                    .alias("end_nsec"),
+                    (
+                        F.col("l_orderkey") * 16
+                        + F.col("l_linenumber") * 2
+                        + tie_offset
+                    ).alias("tie"),
+                )
+
+            def time_certify(iv) -> float:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    bad = overlapping_pairs(iv, ["key"], tie_breaker=F.col("tie"))
+                    materialize(
+                        bad.groupBy("key").agg(
+                            F.count("*").alias("n_offenders"),
+                            F.min("tie").alias("first_tie"),
+                        )
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            base = time_certify(certify_intervals(li, 0))
+            doubled = time_certify(
+                certify_intervals(li, 0).union(certify_intervals(li, 1))
+            )
+            scaling["certify_probe_2x_same_sf"] = {
+                "base_sec": round(base, 3),
+                "doubled_sec": round(doubled, 3),
+                "ratio_2x_rows": round(doubled / base, 2),
+            }
+        except Exception as exc:  # noqa: BLE001 - sweep is informational
+            print(f"certify 2x probe failed: {exc}", file=sys.stderr)
+
+    # Embedding-tier scale probe (round 7, VERDICT item 2): the embeddings
+    # FIXTURE is <=2k vectors at every SF, so the headline numbers for the
+    # semantic/ANN tier track orchestration overhead, not data volume.
+    # Synthesize md5-deterministic 64-dim corpora at 1x/10x (2k / 20k
+    # rows), persist to parquet (generation excluded from the timing), and
+    # time semantic dedup + k-means IVF top-k with the documented scale
+    # knobs applied (n_planes grows with log2(n) to hold SRP bucket
+    # occupancy ~10; n_cells grows linearly to hold per-cell size): the
+    # ratio then measures the scaling LAW of the plan under its own
+    # deployment rule, which is the claim under test.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.operators.semantic import semantic_dedup
+            from dp1_data_wrangling_spark.operators.similarity import ivf_topk_trained
+
+            def synth_vectors(n: int):
+                return spark.range(n).select(
+                    F.col("id").alias("vec_id"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda j: (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat_ws("_", F.col("id"), j)), 1, 15
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % 2001
+                            - 1000
+                        )
+                        / 1000.0,
+                    ).alias("embedding"),
+                )
+
+            tmp = tempfile.mkdtemp(prefix="bench_vecs_")
+            try:
+                paths = {}
+                for n in (2_000, 20_000):
+                    paths[n] = f"{tmp}/n{n}"
+                    synth_vectors(n).write.parquet(paths[n])
+
+                def time_op(fn) -> float:
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        materialize(fn())
+                        best = min(best, time.perf_counter() - t0)
+                    return best
+
+                # per-bucket occupancy held ~8-10: 2k/2^8 vs 20k/2^11
+                sem = {
+                    n: time_op(
+                        lambda n=n, p=p: semantic_dedup(
+                            spark.read.parquet(paths[n]), dim=64, n_planes=p
+                        )
+                    )
+                    for n, p in ((2_000, 8), (20_000, 11))
+                }
+                # per-cell size held ~125: 16 cells at 2k, 160 at 20k;
+                # fixed 200-probe workload — the linear axis is the
+                # corpus-side assign/build
+                ivf = {
+                    n: time_op(
+                        lambda n=n, c=c: ivf_topk_trained(
+                            spark.read.parquet(paths[n]).limit(200),
+                            spark.read.parquet(paths[n]),
+                            5,
+                            n_cells=c,
+                            nprobe=4,
+                            n_iters=2,
+                        )
+                    )
+                    for n, c in ((2_000, 16), (20_000, 160))
+                }
+                scaling["embedding_semantic_dedup_synth"] = {
+                    "n_rows": [2_000, 20_000],
+                    "small_sec": round(sem[2_000], 3),
+                    "big_sec": round(sem[20_000], 3),
+                    "ratio_10x_rows": round(sem[20_000] / sem[2_000], 2),
+                }
+                scaling["ivf_topk_synth"] = {
+                    "n_rows": [2_000, 20_000],
+                    "small_sec": round(ivf[2_000], 3),
+                    "big_sec": round(ivf[20_000], 3),
+                    "ratio_10x_rows": round(ivf[20_000] / ivf[2_000], 2),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - sweep is informational
+            print(f"embedding scale probe failed: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total_wall",

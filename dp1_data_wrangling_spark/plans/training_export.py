@@ -48,6 +48,41 @@ from .curation import DEFAULT_WEIGHTS, curate_documents
 PACKED_TRAIN_TABLE = "curation/packed_train"
 
 
+def shuffle_shard_pack(
+    train: DataFrame,
+    *,
+    token_budget: int,
+    n_shards: int,
+    salt: str,
+    max_rows_per_shard: int | None = DEFAULT_MAX_ROWS_PER_SHARD,
+) -> DataFrame:
+    """Steps 2-3 of the plan as a pure function of a (doc_id, n_tokens)
+    train split: deterministic global shuffle -> contiguous-range shards
+    -> greedy packing.  Shared verbatim by the batch plan and the
+    streaming snapshot (``streaming/training_export.py``), so the two can
+    only diverge in how the split was accumulated, never in the draw."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shuffled = global_shuffle(train, "doc_id", salt=salt)
+    # contiguous position ranges -> shards: ceil-sized blocks so the last
+    # shard is the short one.  The row count joins back as a broadcast
+    # one-row aggregate (an unpartitioned MAX window would funnel the
+    # whole split through one task — the exact trap global_shuffle avoids).
+    n_train = shuffled.agg(F.count(F.lit(1)).alias("__n"))
+    block = F.ceil(F.col("__n") / F.lit(n_shards)).cast("long")
+    sharded = (
+        shuffled.crossJoin(F.broadcast(n_train))
+        .withColumn("shard", F.floor((F.col("position") - 1) / block).cast("long"))
+        .drop("__n")
+    )
+    return pack_sequences(
+        sharded,
+        budget=token_budget,
+        order_col="position",
+        max_rows_per_shard=max_rows_per_shard,
+    ).select("doc_id", "n_tokens", "position", "shard", "seq_id")
+
+
 def build_training_export(
     docs: DataFrame,
     *,
@@ -76,24 +111,13 @@ def build_training_export(
         weights=weights or DEFAULT_WEIGHTS,
     )
     train = curated.filter(F.col("split") == "train").select("doc_id", "n_tokens")
-    shuffled = global_shuffle(train, "doc_id", salt=salt)
-    # contiguous position ranges -> shards: ceil-sized blocks so the last
-    # shard is the short one.  The row count joins back as a broadcast
-    # one-row aggregate (an unpartitioned MAX window would funnel the
-    # whole split through one task — the exact trap global_shuffle avoids).
-    n_train = shuffled.agg(F.count(F.lit(1)).alias("__n"))
-    block = F.ceil(F.col("__n") / F.lit(n_shards)).cast("long")
-    sharded = (
-        shuffled.crossJoin(F.broadcast(n_train))
-        .withColumn("shard", F.floor((F.col("position") - 1) / block).cast("long"))
-        .drop("__n")
-    )
-    return pack_sequences(
-        sharded,
-        budget=token_budget,
-        order_col="position",
+    return shuffle_shard_pack(
+        train,
+        token_budget=token_budget,
+        n_shards=n_shards,
+        salt=salt,
         max_rows_per_shard=max_rows_per_shard,
-    ).select("doc_id", "n_tokens", "position", "shard", "seq_id")
+    )
 
 
 def run_training_export(

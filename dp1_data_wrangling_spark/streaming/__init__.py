@@ -26,6 +26,7 @@ from .rollup import stream_rollup
 from .semantic import read_semantic_survivors, stream_semantic_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
+from .training_export import finalize_training_export
 
 __all__ = [
     "tumbling_windows_batch",
@@ -47,4 +48,5 @@ __all__ = [
     "stream_curation",
     "stream_rollup",
     "read_curated",
+    "finalize_training_export",
 ]

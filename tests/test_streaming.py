@@ -456,6 +456,57 @@ def test_stream_curation_equals_batch(spark, tmp_path):
     assert again.exceptAll(want).count() == 0
 
 
+def test_stream_training_export_snapshot_equals_batch(spark, tmp_path):
+    """The streaming training-export twin: incremental curation ingest
+    over two micro-batches + an atomic snapshot cut publishes a packed
+    train table BYTE-IDENTICAL to the batch run_training_export over the
+    union corpus (the two paths share shuffle_shard_pack, so equality
+    pins the only thing that differs — survivor accumulation).  A second
+    finalize over unchanged state republishes the identical table."""
+    from dp1_data_wrangling_spark.plans.training_export import (
+        PACKED_TRAIN_TABLE,
+        run_training_export,
+    )
+    from dp1_data_wrangling_spark.queries_llm import _augment_exact
+    from dp1_data_wrangling_spark.streaming import (
+        finalize_training_export,
+        stream_curation,
+    )
+
+    aug = _augment_exact(spark, SMOKE_SF)
+    want = run_training_export(
+        spark, aug, str(tmp_path / "cat_batch"), token_budget=256, n_shards=4
+    ).read(spark, PACKED_TRAIN_TABLE)
+
+    src = tmp_path / "docs_stream"
+    aug.filter(F.col("doc_id") < 1_000_000).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    aug.filter(F.col("doc_id") >= 1_000_000).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat_stream")
+    q = stream_curation(stream, cat_root, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    cat = finalize_training_export(
+        spark, cat_root, token_budget=256, n_shards=4
+    )
+    got = cat.read(spark, PACKED_TRAIN_TABLE)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # a second cut over unchanged state is the identical artifact
+    again = finalize_training_export(
+        spark, cat_root, token_budget=256, n_shards=4
+    ).read(spark, PACKED_TRAIN_TABLE)
+    assert again.exceptAll(want).count() == 0
+    assert want.exceptAll(again).count() == 0
+
+
 def test_stream_decontaminate_equals_batch(spark, tmp_path):
     """Streaming decontamination over two micro-batches publishes exactly
     the batch operator's clean/flagged partition of the corpus (the screen
