@@ -137,12 +137,17 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             scale = (max_side / w.combine(h, max).clip(lower=1)).clip(upper=1.0)
             # floor(x + 0.5), NOT .round(): numpy rounds half-to-even, which
             # no SQL engine replays — half-up keeps the arithmetic
-            # oracle-expressible (same IEEE ops in any engine)
+            # oracle-expressible (same IEEE ops in any engine).  Clamp >= 1
+            # where the source side exists: an extreme aspect ratio must
+            # not round a side to zero pixels (dimension-less audio/video
+            # rows keep 0 — they had no raster to begin with).
+            ow = np.floor(w * scale + 0.5).astype("int64")
+            oh = np.floor(h * scale + 0.5).astype("int64")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": np.floor(w * scale + 0.5).astype("int64"),
-                    "height": np.floor(h * scale + 0.5).astype("int64"),
+                    "width": np.where(w > 0, ow.clip(lower=1), 0),
+                    "height": np.where(h > 0, oh.clip(lower=1), 0),
                     # stub: re-encode would happen here (decode_media_stub)
                     "payload": pdf["payload"],
                 }
@@ -377,9 +382,11 @@ def nearest_resize(arr, out_h: int, out_w: int):
 
 def fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
     """Aspect-preserving target size: scale = min(max_side/max(w,h), 1),
-    rounded half-up — the same arithmetic ``resize_images`` documents."""
+    rounded half-up, clamped to >= 1 per side — an extreme aspect ratio
+    (e.g. 24x1 at max_side 8) would otherwise round its short side to a
+    zero-pixel image (caught by the codec property test)."""
     scale = min(max_side / max(w, h, 1), 1.0)
-    return int(w * scale + 0.5), int(h * scale + 0.5)
+    return max(int(w * scale + 0.5), 1), max(int(h * scale + 0.5), 1)
 
 
 DECODE_STATS_SCHEMA = StructType(
@@ -447,6 +454,65 @@ def decode_stats(media: DataFrame, *, max_side: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, DECODE_STATS_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+    ]
+)
+
+
+def sample_audio_frames(media: DataFrame, *, frame_ms: int = 1_000) -> DataFrame:
+    """REAL audio frame fan-out: decode each WAV payload and slice the
+    PCM stream into ``frame_ms`` windows — one output row per frame with
+    its sample count and integer sample sum (SQL-replayable, like
+    ``decode_stats``).  The frame table is what a speech pipeline windows
+    over; contrast ``sample_frames``, which fans out metadata with a
+    stubbed payload for formats we cannot decode.
+
+    Rows whose payload is not RIFF/WAVE are SKIPPED (an image has no
+    sample stream) — filter to the audio modality first if a row-count
+    contract matters.  Row-local mapInPandas: zero shuffles, fan-out
+    bounded by duration/frame_ms per row."""
+    import pandas as pd
+
+    if frame_ms < 1:
+        raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
+    _ship_codecs_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                rate, samples = decode_wav(b)
+                spf = max(rate * frame_ms // 1000, 1)
+                n = int(samples.size)
+                for f in range((n + spf - 1) // spf):
+                    chunk = samples[f * spf : (f + 1) * spf]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["ts_ms"].append(f * frame_ms)
+                    out["sample_rate"].append(int(rate))
+                    out["n_samples"].append(int(chunk.size))
+                    out["sample_sum"].append(int(chunk.astype("int64").sum()))
+            # explicit int64 dtypes: an all-skipped batch would otherwise
+            # yield object-dtype empties that Arrow can't cast
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(batches, AUDIO_FRAME_SCHEMA)
 
 
 def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:

@@ -1656,7 +1656,6 @@ from . import queries_streaming  # noqa: E402,F401
 DRIVER_WINDOW: list[str] = [
     # -- core data plane (scans, joins, dedup, export pipeline) --
     "semi_join",
-    "dimension_expansion",
     "find_first",
     "priority_dedup",
     "chain_flatten_distributed",
@@ -1714,7 +1713,6 @@ DRIVER_WINDOW: list[str] = [
     "multi_join_revenue",
     "events_rollup_incremental",
     # -- LLM curation tier (rotated in round 6) --
-    "doc_stable_sample",
     "doc_split_assign",
     "doc_curation_pipeline",
     "doc_decontaminate",
@@ -1749,6 +1747,17 @@ DRIVER_WINDOW: list[str] = [
     #   subword tokenizer (new operator goes straight to the driver); (out):
     #   tumbling_window (2x driver-green; session_window keeps the
     #   streaming-window family in-window).
+    # round 7 (in, mid-round 3): doc_subword_mix — source mixing budgeted
+    #   by the REAL subword counts (consumer-wiring proof, full composed
+    #   oracle); (out): dimension_expansion (6x driver-green; the J1
+    #   dimension-join family stays covered by export_plan, whose plan gate
+    #   asserts every dimension join broadcasts).
+    # round 7 (in, mid-round 4): multimodal_audio_frames — REAL PCM frame
+    #   slicing through the WAV codec (new operator goes straight to the
+    #   driver); (out): doc_stable_sample (2x driver-green; doc_split_assign
+    #   and doc_global_shuffle keep the sampling family in-window).
+    "multimodal_audio_frames",
+    "doc_subword_mix",
     "doc_bpe_tokens",
     "multimodal_decode",
     "multimodal_features",

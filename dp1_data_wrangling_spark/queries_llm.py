@@ -374,8 +374,10 @@ _VOCAB_VALUES = ", ".join(
     "('" + t.replace("'", "''") + f"', {i + 1})"
     for i, t in enumerate(tx.SUBWORD_VOCAB)
 )
-_BPE_TOKENS_ORACLE = f"""
-    WITH RECURSIVE vocab(tok, vid) AS (
+# The tokenizer CTE chain, shared by every oracle that consumes real
+# subword counts (doc_bpe_tokens, doc_subword_mix): vocab VALUES ->
+# pre-tokens -> recursive greedy-match walk -> per-doc aggregates.
+_BPE_CORE_CTES = f"""vocab(tok, vid) AS (
         SELECT * FROM (VALUES {_VOCAB_VALUES}) v(tok, vid)),
     pts AS (
         SELECT doc_id,
@@ -406,7 +408,10 @@ _BPE_TOKENS_ORACLE = f"""
                CAST(sum(n_unk) AS BIGINT) AS n_unknown,
                CAST(sum(vsum) AS BIGINT) AS vid_sum
         FROM term GROUP BY 1
-    )
+    )"""
+
+_BPE_TOKENS_ORACLE = f"""
+    WITH RECURSIVE {_BPE_CORE_CTES}
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            coalesce(a.n_pretokens, 0) AS n_pretokens,
            coalesce(a.n_subwords, 0) AS n_subwords,
@@ -674,10 +679,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(floor(w * least(128.0 / greatest(w, h), 1.0) + 0.5) AS BIGINT)
-               AS width,
-           CAST(floor(h * least(128.0 / greatest(w, h), 1.0) + 0.5) AS BIGINT)
-               AS height,
+           greatest(CAST(floor(w * least(128.0 / greatest(w, h), 1.0) + 0.5)
+               AS BIGINT), 1) AS width,
+           greatest(CAST(floor(h * least(128.0 / greatest(w, h), 1.0) + 0.5)
+               AS BIGINT), 1) AS height,
            payload_md5
     FROM m
     """,
@@ -730,12 +735,12 @@ _MULTIMODAL_DECODE_ORACLE = """
     WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
     img AS (
         SELECT media_id, media_id % 16 + 4 AS w, media_id % 12 + 4 AS h,
-               CAST(floor((media_id % 16 + 4) * least(8.0 /
+               greatest(CAST(floor((media_id % 16 + 4) * least(8.0 /
                    greatest(media_id % 16 + 4, media_id % 12 + 4), 1.0) + 0.5)
-                   AS BIGINT) AS ow,
-               CAST(floor((media_id % 12 + 4) * least(8.0 /
+                   AS BIGINT), 1) AS ow,
+               greatest(CAST(floor((media_id % 12 + 4) * least(8.0 /
                    greatest(media_id % 16 + 4, media_id % 12 + 4), 1.0) + 0.5)
-                   AS BIGINT) AS oh
+                   AS BIGINT), 1) AS oh
         FROM ids WHERE media_id % 3 <> 0
     ),
     imgsum AS (
@@ -776,6 +781,45 @@ _MULTIMODAL_DECODE_ORACLE = """
            NULL, NULL, NULL
     FROM audsum a
 """
+
+
+_AUDIO_FRAMES_ORACLE = """
+    WITH aud AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 50 + 10 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    fr AS (
+        SELECT media_id, n,
+               unnest(range(0, (n + 7) // 8)) AS f
+        FROM aud
+    )
+    SELECT fr.media_id, CAST(fr.f AS BIGINT) AS frame_no,
+           CAST(fr.f AS BIGINT) AS ts_ms,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(least(fr.n, (fr.f + 1) * 8) - fr.f * 8 AS BIGINT) AS n_samples,
+           CAST(sum((fr.media_id * 17 + t.s * 13) % 4096 - 2048)
+               AS BIGINT) AS sample_sum
+    FROM fr, LATERAL (
+        SELECT unnest(range(fr.f * 8, least(fr.n, (fr.f + 1) * 8))) AS s
+    ) t
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("multimodal_audio_frames", _AUDIO_FRAMES_ORACLE)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame fan-out (round 7): decode the synthetic WAV
+    payloads and slice the PCM into 1 ms windows (8 samples at 8 kHz) —
+    one row per frame with its integer sample sum.  The oracle replays
+    the closed-form sample content over unnested ranges, so a chunk-walk,
+    slicing, or off-by-one bug in the frame boundaries shows up as a
+    hash mismatch.  Row-local fan-out: zero shuffles at any corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = mm.synthetic_media(docs).filter(F.col("media_type") == "audio/wav")
+    return mm.sample_audio_frames(media, frame_ms=1)
 
 
 @register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE)
@@ -1792,6 +1836,59 @@ def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(
         docs, weights=MIX_WEIGHTS, token_budget=MIX_BUDGET
     ).select("doc_id", "source", "n_tokens", "keep")
+
+
+_SUBWORD_MIX_ORACLE = f"""
+    WITH RECURSIVE {_BPE_CORE_CTES},
+    w(source, wt) AS (VALUES {_MIX_VALUES}),
+    dt AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+               CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    ),
+    tot AS (SELECT source, CAST(sum(n_subwords) AS BIGINT) AS gt
+            FROM dt GROUP BY 1),
+    thr AS (
+        SELECT t.source,
+               CASE WHEN t.gt = 0 THEN
+                        CASE WHEN coalesce(w.wt, 0) > 0 THEN 10000 ELSE 0 END
+                    ELSE least(10000, CAST(floor(10000 *
+                        (CAST({MIX_BUDGET} * coalesce(w.wt, 0) AS DOUBLE) /
+                         CAST({sum(MIX_WEIGHTS.values())} * t.gt AS DOUBLE)))
+                        AS BIGINT))
+               END AS thr
+        FROM tot t LEFT JOIN w USING (source)
+    )
+    SELECT d.doc_id, d.source, d.n_subwords,
+           (CAST(('0x' || substr(md5('mix_v1' || CAST(d.doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 10000) < t.thr AS keep
+    FROM dt d JOIN thr t USING (source)
+"""
+
+
+@register("doc_subword_mix", _SUBWORD_MIX_ORACLE)
+def q_doc_subword_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing budgeted by REAL subword counts (round 7): the
+    frozen-vocab tokenizer's n_subwords drives source_mix through its
+    token_col parameter — the consumer-wiring proof that token budgets
+    no longer depend on the regex approximation.  The oracle composes the
+    recursive-CTE tokenizer replay with the mix threshold replay, so the
+    whole chain (tokenize -> per-source totals -> integer keep decision)
+    is hash-compared end to end."""
+    from .operators.sampling import source_mix
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    joined = docs.select("doc_id", "source").join(
+        tx.subword_stats(docs).select("doc_id", "n_subwords"), "doc_id"
+    )
+    return source_mix(
+        joined,
+        weights=MIX_WEIGHTS,
+        token_budget=MIX_BUDGET,
+        token_col="n_subwords",
+    ).select("doc_id", "source", "n_subwords", "keep")
 
 
 # ---------------------------------------------------------------------------

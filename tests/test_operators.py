@@ -358,6 +358,34 @@ def test_decode_stats_runs_real_codecs_in_spark(spark):
     assert (mm.decode_ppm(bytes(raw[4])) == arr).all()
 
 
+def test_sample_audio_frames_slices_real_pcm(spark):
+    """Audio frame fan-out: non-audio rows are skipped, frames partition
+    the sample stream exactly (counts and sums reassemble the full
+    waveform), and the last frame is the short one."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    ids = spark.range(12).select(F.col("id").alias("media_id"))
+    media = mm.synthetic_media(ids)  # ids 0,3,6,9 are WAV; rest images
+    out = mm.sample_audio_frames(media, frame_ms=1).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {0, 3, 6, 9}  # image rows produced nothing
+    for mid, frames in by_id.items():
+        n = mid % 50 + 10
+        samples = (mid * 17 + np.arange(n) * 13) % 4096 - 2048
+        frames.sort(key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in frames] == list(range((n + 7) // 8))
+        assert sum(r["n_samples"] for r in frames) == n
+        assert sum(r["sample_sum"] for r in frames) == int(samples.sum())
+        assert all(r["n_samples"] == 8 for r in frames[:-1])
+        assert frames[-1]["n_samples"] == n - (len(frames) - 1) * 8
+    with pytest.raises(ValueError):
+        mm.sample_audio_frames(media, frame_ms=0)
+
+
 # --- skew mitigation -------------------------------------------------------
 
 

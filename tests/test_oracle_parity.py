@@ -70,7 +70,9 @@ def test_driver_window_covers_flagship_surface():
         "session_window", "event_correlation", "chain_flatten_distributed",
         # round-6 rotation: the curation tier replaced approx_distinct /
         # approx_percentile (4-5x consecutive driver-green, parity-held)
-        "doc_stable_sample", "doc_split_assign", "doc_curation_pipeline",
+        # doc_stable_sample rotated out in r7 for multimodal_audio_frames
+        # (2x green; split_assign + global_shuffle keep the sampling family)
+        "doc_split_assign", "doc_curation_pipeline",
         # round-6 part 3-5: brand-new operators enter the window directly;
         # sliding_window and multimodal_frames rotated out (5x green /
         # rows-only — weakest external evidence; families stay represented
@@ -86,7 +88,8 @@ def test_driver_window_covers_flagship_surface():
         "doc_semantic_curation",
         # round-7 mid-round: real PPM/BMP/WAV decode enters directly
         # (find_first_calibration_bypass out; find_first keeps the family)
-        "multimodal_decode", "doc_bpe_tokens",
+        "multimodal_decode", "doc_bpe_tokens", "doc_subword_mix",
+        "multimodal_audio_frames",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -483,3 +483,85 @@ def test_dup_span_stats_equals_brute_force(spark, docs):
         assert r["dup_tokens"] == len(covered), (doc_id, toks)
         assert r["n_spans"] == spans, (doc_id, toks)
         assert r["n_tokens"] == len(toks)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_media_codec_roundtrip_property(h, w, seed):
+    """PPM and BMP encode→decode is the identity for EVERY image shape
+    (BMP row padding covers all four w%4 classes by construction), and
+    nearest_resize output dims always match fit_dims."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (mm.decode_ppm(mm.encode_ppm(arr)) == arr).all()
+    assert (mm.decode_bmp(mm.encode_bmp(arr)) == arr).all()
+    ow, oh = mm.fit_dims(w, h, 8)
+    assert 1 <= ow <= min(w, 8) + 1 and 1 <= oh <= min(h, 8) + 1
+    rs = mm.nearest_resize(arr, oh, ow)
+    assert rs.shape == (oh, ow, 3)
+    # every output pixel is an actual source pixel at the contract index
+    for i in (0, oh - 1):
+        for j in (0, ow - 1):
+            assert (rs[i, j] == arr[(i * h) // oh, (j * w) // ow]).all()
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 600))
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_property(seed, n):
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-(2**15), 2**15, n).astype(np.int16)
+    rate, out = mm.decode_wav(mm.encode_wav(16_000, s))
+    assert rate == 16_000 and (out == s).all()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_subword_tokenizer_partitions_pretokens(text):
+    """Pure-python invariants of the greedy tokenizer semantics (the same
+    algorithm subword_stats ships executor-side): matched piece lengths +
+    unknown singles partition every pretoken exactly; n_subwords >=
+    n_pretokens; a vocab-covered ASCII pretoken produces zero unknowns."""
+    import re
+
+    from dp1_data_wrangling_spark.operators.text import (
+        BPE_ISH_PATTERN,
+        SUBWORD_VOCAB,
+    )
+
+    vid = {t: i + 1 for i, t in enumerate(SUBWORD_VOCAB)}
+    mx = max(map(len, SUBWORD_VOCAB))
+    n_pt = n_sub = n_unk = 0
+    consumed = 0
+    total = 0
+    for pt in re.findall(BPE_ISH_PATTERN, text):
+        pt = pt.lower()
+        n_pt += 1
+        total += len(pt)
+        pos, n = 0, len(pt)
+        while pos < n:
+            for length in range(min(mx, n - pos), 0, -1):
+                if pt[pos : pos + length] in vid:
+                    pos += length
+                    consumed += length
+                    break
+            else:
+                n_unk += 1
+                pos += 1
+                consumed += 1
+            n_sub += 1
+    assert consumed == total  # pieces partition the pretoken chars exactly
+    assert n_sub >= n_pt or n_pt == 0
+    if text and re.fullmatch(r"[A-Za-z0-9 ]+", text):
+        assert n_unk == 0  # letters/digits are single-char covered
