@@ -261,6 +261,42 @@ def main() -> None:
                     "big_sec": round(ivf[20_000], 3),
                     "ratio_10x_rows": round(ivf[20_000] / ivf[2_000], 2),
                 }
+                # persisted-index QUERY path: build the cell-partitioned
+                # index outside the timing, then time only the
+                # partition-pruned query (nprobe/n_cells of corpus bytes
+                # touched — the claim under test for the catalog-backed
+                # ANN tier)
+                from dp1_data_wrangling_spark.plans import Catalog
+                from dp1_data_wrangling_spark.plans.ann_index import (
+                    build_ivf_index,
+                    ivf_query_index,
+                )
+
+                iq = {}
+                for n in (2_000, 20_000):
+                    cat = Catalog(f"{tmp}/cat{n}")
+                    build_ivf_index(
+                        spark,
+                        cat,
+                        spark.read.parquet(paths[n]),
+                        n_cells=32,
+                        n_iters=2,
+                    )
+                    iq[n] = time_op(
+                        lambda cat=cat, n=n: ivf_query_index(
+                            spark,
+                            cat,
+                            spark.read.parquet(paths[n]).limit(200),
+                            5,
+                            nprobe=4,
+                        )
+                    )
+                scaling["ivf_query_index_synth"] = {
+                    "n_rows": [2_000, 20_000],
+                    "small_sec": round(iq[2_000], 3),
+                    "big_sec": round(iq[20_000], 3),
+                    "ratio_10x_rows": round(iq[20_000] / iq[2_000], 2),
+                }
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 - sweep is informational

@@ -442,3 +442,30 @@ def test_quantile_filter_windows_never_partition_on_group_alone(spark):
     # its exchange (the first Exchange in the string is spread()'s
     # round-robin, so index ordering is not a usable proxy here)
     assert "partial_count" in plan
+
+
+def test_round7_rowlocal_ops_zero_data_shuffles(spark):
+    """The real-decode, audio-frame, and subword-tokenizer queries are
+    mapInPandas over the scan: payload/text bytes must never shuffle —
+    the plan carries no hash/range exchange at all (only spread()'s
+    round-robin on the fixture read), and no row-at-a-time Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    for name in ("multimodal_decode", "multimodal_audio_frames",
+                 "doc_bpe_tokens"):
+        plan = plan_of(REGISTRY[name].fn(spark, SMOKE_SF))
+        assert data_shuffles(plan) == 0, (name, plan)
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_subword_mix_plan_shape(spark):
+    """doc_subword_mix: tokenizer (zero-shuffle mapInPandas) -> one
+    combinable source-totals aggregate -> join back.  No cartesian, no
+    row-at-a-time Python, and the totals aggregate combines map-side."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_subword_mix"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan  # source totals combine before exchange
