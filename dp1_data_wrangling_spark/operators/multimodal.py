@@ -353,10 +353,65 @@ def decode_wav(payload: bytes):
     return rate, np.frombuffer(data, dtype="<i2").copy()
 
 
+def encode_y4m(planes) -> bytes:
+    """Encode an (n_frames, 3, h, w) uint8 plane stack as YUV4MPEG2
+    (C444 — full-resolution Y/U/V planes, no chroma subsampling)."""
+    import numpy as np
+
+    a = np.asarray(planes, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[1] != 3:
+        raise ValueError(f"expected (n, 3, h, w) array, got shape {a.shape}")
+    n, _, h, w = a.shape
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[f].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 (C444) stream: returns (w, h, (n, 3, h, w)
+    uint8).  Walks FRAME markers; tolerates frame-header parameters
+    (anything between FRAME and newline)."""
+    import numpy as np
+
+    if payload[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    colorspace = "C420jpeg"  # the spec default when no C tag is present
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:].decode()
+    if w is None or h is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if colorspace != "444":
+        raise ValueError(f"only C444 supported, got C{colorspace}")
+    frame_bytes = 3 * h * w
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # skip frame params
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=pos)
+            .reshape(3, h, w)
+        )
+        pos += frame_bytes
+    stacked = np.stack(frames) if frames else np.zeros((0, 3, h, w), np.uint8)
+    return w, h, stacked
+
+
 def decode_media(payload: bytes, media_type: str):
     """Dispatch on magic bytes: returns ``('image', (h,w,3) uint8)`` for
-    PPM/BMP, ``('audio', (sample_rate, int16 array))`` for WAV; anything
-    else routes to the honest stub (NotImplementedError)."""
+    PPM/BMP, ``('audio', (sample_rate, int16 array))`` for WAV,
+    ``('video', (w, h, (n,3,h,w) uint8))`` for Y4M; anything else routes
+    to the honest stub (NotImplementedError)."""
     if payload is not None:
         if payload[:2] == b"P6":
             return "image", decode_ppm(payload)
@@ -364,6 +419,8 @@ def decode_media(payload: bytes, media_type: str):
             return "image", decode_bmp(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return "audio", decode_wav(payload)
+        if payload[:9] == b"YUV4MPEG2":
+            return "video", decode_y4m(payload)
     return decode_media_stub(payload, media_type)
 
 
@@ -513,6 +570,93 @@ def sample_audio_frames(media: DataFrame, *, frame_ms: int = 1_000) -> DataFrame
             )
 
     return media.mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_values", LongType(), False),
+        StructField("value_sum", LongType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame) -> DataFrame:
+    """REAL video frame fan-out: decode each Y4M payload and emit one row
+    per frame with its dimensions and integer plane-value sum — the
+    frame-table shape a vision pipeline samples from, with the same
+    SQL-replayable integer discipline as ``decode_stats``.  Non-Y4M rows
+    are skipped (compressed video stays behind the honest stub via
+    ``sample_frames``).  Row-local mapInPandas: zero shuffles."""
+    import pandas as pd
+
+    _ship_codecs_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:9] != b"YUV4MPEG2":
+                    continue
+                w, h, frames = decode_y4m(b)
+                for f in range(frames.shape[0]):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_values"].append(3 * h * w)
+                    out["value_sum"].append(int(frames[f].astype("int64").sum()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def synthetic_video(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL Y4M payloads from an id column: w = id%8+4,
+    h = id%6+4, n_frames = id%4+2, and plane value
+    ``v[f, p, r, c] = (id*7 + f*11 + p*5 + r*3 + c) % 256`` — closed-form
+    content, so a SQL oracle replays any frame statistic without touching
+    bytes (same contract as ``synthetic_media``)."""
+    import numpy as np
+    import pandas as pd
+
+    _ship_codecs_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "media_type": [], "payload": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, n = mid % 8 + 4, mid % 6 + 4, mid % 4 + 2
+                f = np.arange(n)[:, None, None, None]
+                p = np.arange(3)[None, :, None, None]
+                r = np.arange(h)[None, None, :, None]
+                c = np.arange(w)[None, None, None, :]
+                planes = ((mid * 7 + f * 11 + p * 5 + r * 3 + c) % 256).astype(
+                    np.uint8
+                )
+                out["media_id"].append(mid)
+                out["media_type"].append("video/x-yuv4mpeg2")
+                out["payload"].append(encode_y4m(planes))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(n * 40)  # 25 fps
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:

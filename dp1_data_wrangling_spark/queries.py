@@ -1716,7 +1716,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_split_assign",
     "doc_curation_pipeline",
     "doc_decontaminate",
-    "doc_repetition_stats",
     "doc_pii_scrub",
     "doc_chunk",
     "doc_global_shuffle",
@@ -1756,6 +1755,11 @@ DRIVER_WINDOW: list[str] = [
     #   slicing through the WAV codec (new operator goes straight to the
     #   driver); (out): doc_stable_sample (2x driver-green; doc_split_assign
     #   and doc_global_shuffle keep the sampling family in-window).
+    # round 7 (in, mid-round 5): multimodal_video_frames — REAL Y4M video
+    #   decode completes the modality triad (new operator straight to the
+    #   driver); (out): doc_repetition_stats (2x driver-green; the
+    #   text-quality family stays via doc_token_stats and doc_lang_id).
+    "multimodal_video_frames",
     "multimodal_audio_frames",
     "doc_subword_mix",
     "doc_bpe_tokens",

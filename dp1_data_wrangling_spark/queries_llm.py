@@ -822,6 +822,44 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_audio_frames(media, frame_ms=1)
 
 
+_VIDEO_FRAMES_ORACLE = """
+    WITH vid AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+               CAST(doc_id % 6 + 4 AS BIGINT) AS h,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS n
+        FROM documents
+    ),
+    fr AS (SELECT media_id, w, h, unnest(range(0, n)) AS f FROM vid)
+    SELECT fr.media_id, CAST(fr.f AS BIGINT) AS frame_no,
+           fr.w AS width, fr.h AS height,
+           CAST(3 * fr.h * fr.w AS BIGINT) AS n_values,
+           CAST(sum((fr.media_id*7 + fr.f*11 + p.p*5 + r.r*3 + c.c) % 256)
+               AS BIGINT) AS value_sum
+    FROM fr, LATERAL (SELECT unnest(range(0, 3)) AS p) p,
+         LATERAL (SELECT unnest(range(0, fr.h)) AS r) r,
+         LATERAL (SELECT unnest(range(0, fr.w)) AS c) c
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("multimodal_video_frames", _VIDEO_FRAMES_ORACLE)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame fan-out (round 7): synthesize actual YUV4MPEG2
+    (C444) streams executor-side with closed-form plane content
+    (operators/multimodal.py synthetic_video), decode them frame by frame
+    with the pure-numpy Y4M parser, and checksum every plane stack.  With
+    PPM/BMP images, WAV audio, and Y4M video, all three modalities now
+    decode REAL bytes; only compressed codecs remain behind the honest
+    stub.  The oracle replays the plane arithmetic over unnested ranges —
+    a header-walk, frame-boundary, or plane-order bug is a hash
+    mismatch."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return mm.sample_video_frames(mm.synthetic_video(docs))
+
+
 @register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (round 7): synthesize actual PPM / BMP / WAV

@@ -358,6 +358,38 @@ def test_decode_stats_runs_real_codecs_in_spark(spark):
     assert (mm.decode_ppm(bytes(raw[4])) == arr).all()
 
 
+def test_sample_video_frames_decodes_real_y4m(spark):
+    """Video frame fan-out through the Y4M codec: frame counts, dims, and
+    plane sums match a local numpy decode of the same bytes; audio/image
+    payloads are skipped."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    ids = spark.range(8).select(F.col("id").alias("media_id"))
+    out = mm.sample_video_frames(mm.synthetic_video(ids)).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(range(8))
+    for mid, frames in by_id.items():
+        w, h, n = mid % 8 + 4, mid % 6 + 4, mid % 4 + 2
+        f = np.arange(n)[:, None, None, None]
+        p = np.arange(3)[None, :, None, None]
+        r_ = np.arange(h)[None, None, :, None]
+        c = np.arange(w)[None, None, None, :]
+        planes = ((mid * 7 + f * 11 + p * 5 + r_ * 3 + c) % 256).astype(np.uint8)
+        frames.sort(key=lambda r: r["frame_no"])
+        assert len(frames) == n
+        for fi, row in enumerate(frames):
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["n_values"] == 3 * h * w
+            assert row["value_sum"] == int(planes[fi].astype("int64").sum())
+    # mixed-modality input: only Y4M rows produce frames
+    mixed = mm.synthetic_media(ids)  # WAV/PPM/BMP, no Y4M
+    assert mm.sample_video_frames(mixed).count() == 0
+
+
 def test_sample_audio_frames_slices_real_pcm(spark):
     """Audio frame fan-out: non-audio rows are skipped, frames partition
     the sample stream exactly (counts and sums reassemble the full

@@ -89,7 +89,7 @@ def test_driver_window_covers_flagship_surface():
         # round-7 mid-round: real PPM/BMP/WAV decode enters directly
         # (find_first_calibration_bypass out; find_first keeps the family)
         "multimodal_decode", "doc_bpe_tokens", "doc_subword_mix",
-        "multimodal_audio_frames",
+        "multimodal_audio_frames", "multimodal_video_frames",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

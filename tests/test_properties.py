@@ -565,3 +565,22 @@ def test_subword_tokenizer_partitions_pretokens(text):
     assert n_sub >= n_pt or n_pt == 0
     if text and re.fullmatch(r"[A-Za-z0-9 ]+", text):
         assert n_unk == 0  # letters/digits are single-char covered
+
+
+@given(
+    st.integers(0, 4),
+    st.integers(1, 10),
+    st.integers(1, 10),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_codec_roundtrip_property(n, h, w, seed):
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (n, 3, h, w), dtype=np.uint8)
+    ww, hh, back = mm.decode_y4m(mm.encode_y4m(a))
+    assert (ww, hh) == (w, h)
+    assert back.shape == a.shape and (back == a).all()
