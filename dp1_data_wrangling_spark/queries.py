@@ -1657,7 +1657,6 @@ DRIVER_WINDOW: list[str] = [
     # -- core data plane (scans, joins, dedup, export pipeline) --
     "semi_join",
     "find_first",
-    "priority_dedup",
     "chain_flatten_distributed",
     "asof_lookup",
     # Audit rotation: each round a handful of previously in-repo-only tail
@@ -1759,6 +1758,12 @@ DRIVER_WINDOW: list[str] = [
     #   decode completes the modality triad (new operator straight to the
     #   driver); (out): doc_repetition_stats (2x driver-green; the
     #   text-quality family stays via doc_token_stats and doc_lang_id).
+    # round 7 (in, mid-round 6): doc_subword_pack — packing under a real
+    #   subword budget, double-recursive-CTE composed oracle; (out):
+    #   priority_dedup (6x driver-green, parity-held, and still measured
+    #   every round as a bench headline + scaling probe; find_first keeps
+    #   the window family in-window).
+    "doc_subword_pack",
     "multimodal_video_frames",
     "multimodal_audio_frames",
     "doc_subword_mix",

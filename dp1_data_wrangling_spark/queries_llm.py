@@ -1031,6 +1031,55 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sized, budget=500)
 
 
+_SUBWORD_PACK_ORACLE = f"""
+    WITH RECURSIVE {_BPE_CORE_CTES},
+    d AS (
+        SELECT CAST(d0.doc_id AS BIGINT) AS doc_id,
+               CAST(d0.doc_id % 4 AS BIGINT) AS shard,
+               CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
+        FROM documents d0 LEFT JOIN agg a USING (doc_id)
+    ),
+    ordered AS (
+        SELECT doc_id, shard, n_subwords,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM d
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, n_subwords,
+               CAST(0 AS BIGINT) AS seq_id, n_subwords AS used
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_subwords,
+               CASE WHEN p.used + o.n_subwords > 500 AND p.used > 0
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.used + o.n_subwords > 500 AND p.used > 0
+                    THEN o.n_subwords ELSE p.used + o.n_subwords END
+        FROM ordered o JOIN packed p
+          ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_subwords, seq_id FROM packed
+"""
+
+
+@register("doc_subword_pack", _SUBWORD_PACK_ORACLE)
+def q_doc_subword_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing under a REAL subword budget (round 7): the
+    frozen-vocab tokenizer feeds pack_sequences through its token_col
+    parameter — with doc_subword_mix, both token-budget consumers are now
+    wired to real counts.  The oracle chains TWO recursive CTEs — the
+    greedy-match tokenizer walk and the greedy packing walk — so the
+    composition is hash-compared end to end."""
+    from .operators.packing import pack_sequences, with_shards
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    sized = with_shards(
+        tx.subword_stats(docs).select("doc_id", "n_subwords"), n_shards=4
+    ).select("doc_id", "shard", "n_subwords")
+    return pack_sequences(sized, budget=500, token_col="n_subwords").select(
+        "doc_id", "shard", "n_subwords", "seq_id"
+    )
+
+
 @register(
     "corpus_top_ngrams",
     """
