@@ -1771,6 +1771,15 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
+    # round-8 rotation candidates (in): certify_probe,
+    #   ivf_index_recall_bound, corpus_stats — after round 7 these are the
+    #   ONLY window-eligible registry entries never externally checked
+    #   (lsh_topk/ivf_topk stay out by design: raw array columns are
+    #   canonicalizer-unsafe; their semantics are pinned by the in-window
+    #   recall-bound forms + in-repo tests).  (out): whatever reaches
+    #   multi-round green then (e.g. semi_join, export_plan,
+    #   multi_join_revenue, doc_pii_scrub, doc_chunk, doc_top_terms — keep
+    #   one representative per family as always).
     # round 7 (in): doc_pack_sequences, corpus_top_ngrams, doc_source_quota,
     #   doc_importance_resample, doc_dup_spans, doc_near_dup_curation,
     #   ivf_kmeans_recall_bound, doc_cluster_safe_split, doc_semantic_curation

@@ -456,6 +456,52 @@ def test_stream_curation_equals_batch(spark, tmp_path):
     assert again.exceptAll(want).count() == 0
 
 
+def test_stream_media_decode_equals_batch(spark, tmp_path):
+    """The multimodal decode tier streams as-is: decode_stats is a
+    stateless row-local mapInPandas, so composing it with the
+    exactly-once catalog sink ingests REAL media payloads incrementally
+    with results identical to the batch pass — and a checkpoint replay
+    adds nothing."""
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_into_catalog
+
+    ids = spark.range(60).select(F.col("id").alias("media_id"))
+    media = mm.synthetic_media(ids)
+    src = tmp_path / "media_stream"
+    media.filter(F.col("media_id") < 30).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    media.filter(F.col("media_id") >= 30).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_into_catalog(
+        mm.decode_stats(stream), cat_root, "media/decode_stats",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    got = cat.read(spark, "media/decode_stats")
+    want = mm.decode_stats(mm.synthetic_media(ids))
+    assert got.count() == want.count() == 60
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # replay: no-op
+    q2 = stream_into_catalog(
+        mm.decode_stats(stream), cat_root, "media/decode_stats",
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(180)
+    assert cat.read(spark, "media/decode_stats").count() == 60
+
+
 def test_stream_training_export_snapshot_equals_batch(spark, tmp_path):
     """The streaming training-export twin: incremental curation ingest
     over two micro-batches + an atomic snapshot cut publishes a packed
