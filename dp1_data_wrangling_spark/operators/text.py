@@ -412,3 +412,85 @@ def subword_stats(
         ]
     )
     return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Frozen unigram LM quality scoring (round 7)
+# ---------------------------------------------------------------------------
+
+# CCNet-style perplexity filtering needs a language model; the engine's
+# deterministic stand-in is a FROZEN unigram table of integer
+# milli-log-probabilities (smaller = more probable).  Like SUBWORD_VOCAB,
+# the table is the versioned artifact: values are arbitrary but fixed —
+# what matters for curation is the stable ORDERING it induces over
+# documents, reproducible across engines because every step is integer.
+LM_VOCAB_VERSION = 1
+LM_UNKNOWN_MILLI = 12_000  # penalty for out-of-vocabulary tokens
+LM_VOCAB: list[tuple[str, int]] = [
+    # (token, milli_logprob): common English words, frozen pseudo-Zipf
+    # values 1500..~7000 (rank-correlated, deterministic formula)
+    (w, 1500 + i * 55 + (i * i * 7) % 97)
+    for i, w in enumerate(
+        [
+            "the", "of", "and", "a", "to", "in", "is", "was", "that", "for",
+            "it", "on", "with", "he", "be", "i", "by", "as", "at", "you",
+            "are", "his", "had", "not", "this", "have", "from", "but",
+            "which", "she", "they", "or", "an", "her", "were", "there",
+            "we", "their", "been", "has", "will", "one", "all", "would",
+            "can", "if", "who", "more", "when", "said", "do", "what",
+            "about", "out", "up", "time", "than", "into", "only", "some",
+            "could", "them", "other", "then", "its", "these", "two", "may",
+            "first", "any", "my", "now", "such", "like", "our", "over",
+            "man", "me", "even", "most", "made", "after", "also", "did",
+            "many", "before", "must", "through", "years", "where", "much",
+            "way", "well", "down", "should", "because", "each", "just",
+            "those", "people",
+        ]
+    )
+]
+
+
+def unigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document LM quality proxy from the frozen unigram table:
+    tokenize (lowercased ``\\W+`` split), sum each token's
+    milli-log-probability (out-of-vocabulary tokens pay
+    ``LM_UNKNOWN_MILLI``), and derive the integer per-token mean — the
+    perplexity-proxy curation filters rank on (CCNet keeps the
+    low-perplexity head/middle).
+
+    Entirely native row-local expressions: a map-literal lookup inside a
+    higher-order ``transform`` + ``aggregate`` fold — ZERO shuffles, no
+    Python, linear in text bytes at any corpus size.  All integers, so
+    the DuckDB oracle replays it exactly (VALUES join + group)."""
+    lm = F.create_map(
+        *[x for w, m in LM_VOCAB for x in (F.lit(w), F.lit(m))]
+    )
+    # NULL text scores like empty text (the SQL unnest/left-join replay
+    # yields 0 rows for NULL — a bare split(NULL) would propagate NULL
+    # counts instead)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda x: x != "",
+    )
+    scores = F.transform(
+        toks,
+        lambda t: F.coalesce(F.element_at(lm, t), F.lit(LM_UNKNOWN_MILLI)).cast(
+            "long"
+        ),
+    )
+    total = F.aggregate(
+        scores, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens_scored"),
+        total.alias("milli_logprob_sum"),
+    ).withColumn(
+        # exact integer division (no float round-trip): the mean
+        # milli-log-probability per token, the rank key curation uses
+        "milli_ppl_proxy",
+        F.expr("milli_logprob_sum div greatest(n_tokens_scored, 1)"),
+    )

@@ -1725,7 +1725,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_quality_quantile",
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
-    "doc_dedup_survivors",
     "minhash_pairs",
     "jaccard_pairs",
     "simhash_pairs",
@@ -1763,6 +1762,11 @@ DRIVER_WINDOW: list[str] = [
     #   priority_dedup (6x driver-green, parity-held, and still measured
     #   every round as a bench headline + scaling probe; find_first keeps
     #   the window family in-window).
+    # round 7 (in, mid-round 7): doc_lm_score — frozen-unigram perplexity
+    #   proxy (CCNet-style LM quality filter, zero-shuffle native fold);
+    #   (out): doc_dedup_survivors (multi-round green; doc_exact_dedup
+    #   keeps the exact-dedup family in-window).
+    "doc_lm_score",
     "doc_subword_pack",
     "multimodal_video_frames",
     "multimodal_audio_frames",

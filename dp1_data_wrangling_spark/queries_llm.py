@@ -370,6 +370,42 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_VALUES = ", ".join(f"('{w}', {m})" for w, m in tx.LM_VOCAB)
+_LM_SCORE_ORACLE = f"""
+    WITH lm(tok, mlp) AS (VALUES {_LM_VALUES}),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                   x -> x != '')) AS tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(coalesce(lm.mlp, {tx.LM_UNKNOWN_MILLI})) AS BIGINT) AS s
+        FROM toks t LEFT JOIN lm ON t.tok = lm.tok
+        GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(s.n_scored, 0) AS n_tokens_scored,
+           coalesce(s.s, 0) AS milli_logprob_sum,
+           coalesce(s.s, 0) // greatest(coalesce(s.n_scored, 0), 1)
+               AS milli_ppl_proxy
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register("doc_lm_score", _LM_SCORE_ORACLE)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (round 7): a CCNet-style LM
+    filter rank from the frozen integer unigram table
+    (operators/text.py LM_VOCAB) — map-literal lookup inside a
+    higher-order transform/aggregate fold, zero shuffles, no Python.
+    All integers, so the oracle replays it exactly (VALUES join +
+    group); curation keeps the low-milli_ppl_proxy head."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return tx.unigram_lm_score(docs)
+
+
 _VOCAB_VALUES = ", ".join(
     "('" + t.replace("'", "''") + f"', {i + 1})"
     for i, t in enumerate(tx.SUBWORD_VOCAB)

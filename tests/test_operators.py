@@ -1088,6 +1088,41 @@ def test_subword_vocab_is_frozen():
     assert digest == "af2a0e4c87c9915f0c2379a399b4ad19"
 
 
+def test_unigram_lm_score_hand_computed_and_frozen(spark):
+    """LM quality proxy: hand-checked sums, unknown-token penalty, empty
+    docs zeroed, and the frozen table pinned by digest (a silent edit
+    would reorder every curation rank downstream)."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.text import (
+        LM_UNKNOWN_MILLI,
+        LM_VOCAB,
+        LM_VOCAB_VERSION,
+        unigram_lm_score,
+    )
+
+    lm = dict(LM_VOCAB)
+    df = spark.createDataFrame(
+        [(1, "The quick zzz"), (2, ""), (3, None), (4, "the the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_score(df).collect()}
+    want1 = lm["the"] + LM_UNKNOWN_MILLI * 2  # quick, zzz unknown
+    assert out[1]["n_tokens_scored"] == 3
+    assert out[1]["milli_logprob_sum"] == want1
+    assert out[1]["milli_ppl_proxy"] == want1 // 3
+    assert out[2]["n_tokens_scored"] == 0 and out[2]["milli_ppl_proxy"] == 0
+    assert out[3]["n_tokens_scored"] == 0
+    assert out[4]["milli_logprob_sum"] == 2 * lm["the"]
+    assert out[4]["milli_ppl_proxy"] == lm["the"]
+
+    assert LM_VOCAB_VERSION == 1 and len(LM_VOCAB) == 100
+    digest = hashlib.md5(
+        "\x00".join(f"{w}:{m}" for w, m in LM_VOCAB).encode()
+    ).hexdigest()
+    assert digest == "f3b4ad7d4d13a03d77694999a4e44143"
+
+
 def test_scrub_pii_hand_computed(spark):
     from dp1_data_wrangling_spark.operators.text import scrub_pii
 

@@ -90,7 +90,7 @@ def test_driver_window_covers_flagship_surface():
         # (find_first_calibration_bypass out; find_first keeps the family)
         "multimodal_decode", "doc_bpe_tokens", "doc_subword_mix",
         "multimodal_audio_frames", "multimodal_video_frames",
-        "doc_subword_pack",
+        "doc_subword_pack", "doc_lm_score",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
