@@ -457,7 +457,7 @@ _BPE_TOKENS_ORACLE = f"""
 """
 
 
-@register("doc_bpe_tokens", _BPE_TOKENS_ORACLE)
+@register("doc_bpe_tokens", _BPE_TOKENS_ORACLE, headline=True)
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL subword tokenization (round 7): greedy longest-match against
     the frozen 161-entry vocab (operators/text.py SUBWORD_VOCAB), not the
@@ -896,7 +896,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_video_frames(mm.synthetic_video(docs))
 
 
-@register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE)
+@register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE, headline=True)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (round 7): synthesize actual PPM / BMP / WAV
     bytes executor-side (operators/multimodal.py synthetic_media — pixel
