@@ -1658,7 +1658,6 @@ DRIVER_WINDOW: list[str] = [
     "semi_join",
     "find_first",
     "chain_flatten_distributed",
-    "asof_lookup",
     # Audit rotation: each round a handful of previously in-repo-only tail
     # queries take the slots of trivial entries with multi-round driver-green
     # history (their coverage is equally held by tests/test_oracle_parity.py),
@@ -1709,7 +1708,6 @@ DRIVER_WINDOW: list[str] = [
     #   multimodal_resize keep the family in-window).
     "export_plan",
     # -- aggregation / window / sketch headline extras --
-    "multi_join_revenue",
     "events_rollup_incremental",
     # -- LLM curation tier (rotated in round 6) --
     "doc_split_assign",
@@ -1726,7 +1724,6 @@ DRIVER_WINDOW: list[str] = [
     # -- LLM training-data pipeline --
     "doc_exact_dedup",
     "minhash_pairs",
-    "jaccard_pairs",
     "simhash_pairs",
     "dedup_clusters",
     "embedding_near_dup",
@@ -1766,6 +1763,17 @@ DRIVER_WINDOW: list[str] = [
     #   proxy (CCNet-style LM quality filter, zero-shuffle native fold);
     #   (out): doc_dedup_survivors (multi-round green; doc_exact_dedup
     #   keeps the exact-dedup family in-window).
+    # round 7 (in, mid-round 8 — executing the round-8 plan early):
+    #   certify_probe, ivf_index_recall_bound, corpus_stats — the last
+    #   three window-eligible registry entries without external evidence;
+    #   after this round EVERY window-eligible query has (or is getting)
+    #   a driver-green record.  (out): multi_join_revenue (6x green, still
+    #   a bench headline), asof_lookup (3x green; certify_probe keeps the
+    #   intervals family), jaccard_pairs (multi-round green; minhash/
+    #   simhash/exact/line keep the dedup family).
+    "certify_probe",
+    "ivf_index_recall_bound",
+    "corpus_stats",
     "doc_lm_score",
     "doc_subword_pack",
     "multimodal_video_frames",
@@ -1775,15 +1783,16 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
-    # round-8 rotation candidates (in): certify_probe,
-    #   ivf_index_recall_bound, corpus_stats — after round 7 these are the
-    #   ONLY window-eligible registry entries never externally checked
-    #   (lsh_topk/ivf_topk stay out by design: raw array columns are
+    # round-8 note: the round-8 rotation plan was EXECUTED within round 7
+    #   (see mid-round 8 below) — after this round the only registry
+    #   entries without external driver evidence are lsh_topk/ivf_topk,
+    #   which stay out BY DESIGN (raw array columns are
     #   canonicalizer-unsafe; their semantics are pinned by the in-window
-    #   recall-bound forms + in-repo tests).  (out): whatever reaches
-    #   multi-round green then (e.g. semi_join, export_plan,
-    #   multi_join_revenue, doc_pii_scrub, doc_chunk, doc_top_terms — keep
-    #   one representative per family as always).
+    #   recall-bound forms + in-repo tests).  Round 8's rotation should
+    #   re-verify the 19 round-7 entrants and retire whatever reaches
+    #   multi-round green (semi_join, export_plan, doc_pii_scrub,
+    #   doc_chunk, doc_top_terms are the next natural outs — one family
+    #   representative each, as always).
     # round 7 (in): doc_pack_sequences, corpus_top_ngrams, doc_source_quota,
     #   doc_importance_resample, doc_dup_spans, doc_near_dup_curation,
     #   ivf_kmeans_recall_bound, doc_cluster_safe_split, doc_semantic_curation

@@ -61,7 +61,7 @@ def test_driver_window_covers_flagship_surface():
     assert names[:50] == DRIVER_WINDOW
     assert len(names) == len(set(names))
     flagship = {
-        "doc_exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
+        "doc_exact_dedup", "minhash_pairs", "simhash_pairs",
         "dedup_clusters", "embedding_near_dup", "doc_token_stats",
         "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
         "ivf_recall_bound", "multimodal_features", "multimodal_resize",
@@ -91,6 +91,10 @@ def test_driver_window_covers_flagship_surface():
         "multimodal_decode", "doc_bpe_tokens", "doc_subword_mix",
         "multimodal_audio_frames", "multimodal_video_frames",
         "doc_subword_pack", "doc_lm_score",
+        # round-8 plan executed early: the last three never-checked
+        # window-eligible entries (outs: multi_join_revenue, asof_lookup,
+        # jaccard_pairs — multi-round green, families retained)
+        "certify_probe", "ivf_index_recall_bound", "corpus_stats",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
