@@ -246,6 +246,11 @@ def decode_ppm(payload: bytes):
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
+    if w < 1 or h < 1:
+        # a 0-dimension raster is syntactically encodable but has no
+        # pixels to operate on — fail descriptively, not with a
+        # downstream IndexError in the resampler
+        raise ValueError(f"degenerate PPM raster {w}x{h}")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3).copy()
 
@@ -290,6 +295,8 @@ def decode_bmp(payload: bytes):
             f"only 24-bit BI_RGB supported, got bpp={bpp} compression={compression}"
         )
     h = abs(h_raw)
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate BMP raster {w}x{h}")
     row_bytes = (w * 3 + 3) & ~3
     raster = np.frombuffer(
         payload, dtype=np.uint8, count=h * row_bytes, offset=data_offset
@@ -379,7 +386,7 @@ def decode_y4m(payload: bytes):
         raise ValueError("not a YUV4MPEG2 payload")
     nl = payload.index(b"\n")
     w = h = None
-    colorspace = "C420jpeg"  # the spec default when no C tag is present
+    colorspace = "420jpeg"  # spec default when no C tag (stripped form)
     for tok in payload[9:nl].split():
         if tok[:1] == b"W":
             w = int(tok[1:])
@@ -498,6 +505,13 @@ def decode_stats(media: DataFrame, *, max_side: int = 8) -> DataFrame:
                         value_sum=int(arr.astype("int64").sum()),
                         out_width=ow, out_height=oh,
                         resized_sum=int(resized.astype("int64").sum()),
+                    )
+                elif kind == "video":
+                    w, h, frames = decoded
+                    row.update(
+                        width=w, height=h,
+                        n_values=int(frames.size),
+                        value_sum=int(frames.astype("int64").sum()),
                     )
                 else:
                     rate, samples = decoded

@@ -37,6 +37,7 @@ import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
@@ -175,20 +176,24 @@ class Transaction:
             from pyspark.sql import functions as F
 
             staged = df.sparkSession.read.parquet(str(out))
-            # Reader semantics for evolved (narrow) appends: a column the
-            # staged files omit reads as NULL.  Evaluate constraints the
-            # same way — fill table columns absent from the staged schema
-            # with typed NULLs, so e.g. CHECK(x IS NULL OR x > 0) passes a
-            # narrow append instead of blowing up in analysis with an
-            # unresolved-column error and an orphaned staging dir.
-            known = Catalog(self.root).table_schema(df.sparkSession, table)
-            if known is not None:
-                staged_cols = set(staged.columns)
-                for fld in known.fields:
-                    if fld.name not in staged_cols:
-                        staged = staged.withColumn(
-                            fld.name, F.lit(None).cast(fld.dataType)
-                        )
+            # Reader semantics for evolved (narrow) APPENDS only: a column
+            # the staged files omit still reads as NULL through the union
+            # with older files, so evaluate constraints the same way —
+            # fill table columns absent from the staged schema with typed
+            # NULLs instead of blowing up in analysis.  An OVERWRITE that
+            # drops a constrained column gets no such backfill: the
+            # published table would no longer carry the column at all, so
+            # the constraint must fail loudly here, not silently pass on
+            # a phantom NULL.
+            if mode == "append":
+                known = Catalog(self.root).table_schema(df.sparkSession, table)
+                if known is not None:
+                    staged_cols = set(staged.columns)
+                    for fld in known.fields:
+                        if fld.name not in staged_cols:
+                            staged = staged.withColumn(
+                                fld.name, F.lit(None).cast(fld.dataType)
+                            )
             try:
                 agg_row = staged.agg(
                     *[
@@ -203,10 +208,14 @@ class Transaction:
                         for cname, expr in sorted(checks.items())
                     ]
                 ).collect()[0]
-            except Exception as exc:
-                # A constraint referencing a column that exists in neither
-                # the staged data nor the table schema is a real error —
-                # but never leave the staged files behind.
+            except AnalysisException as exc:
+                # A constraint referencing a column the staged data does
+                # not carry (and, for appends, the table schema cannot
+                # backfill) is a real violation of the table contract —
+                # report it as such and never leave staged files behind.
+                # Only ANALYSIS errors convert: a transient runtime
+                # failure (executor loss, IO) must propagate as itself so
+                # the caller retries instead of debugging constraints.
                 import shutil
 
                 shutil.rmtree(out, ignore_errors=True)

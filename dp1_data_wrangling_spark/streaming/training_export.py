@@ -63,7 +63,15 @@ def finalize_training_export(
     cat = Catalog(catalog_root)
     last: CommitConflict | None = None
     for _ in range(FINALIZE_RETRIES):
-        surv_roots = list(cat.manifest()["tables"][SURVIVORS_TABLE])
+        tables = cat.manifest()["tables"]
+        if SURVIVORS_TABLE not in tables:
+            raise RuntimeError(
+                f"finalize_training_export: no accumulated curation state "
+                f"at {catalog_root!r} ({SURVIVORS_TABLE!r} missing) — run "
+                "stream_curation (at least one committed micro-batch) "
+                "before cutting a snapshot"
+            )
+        surv_roots = list(tables[SURVIVORS_TABLE])
         curated = read_curated(spark, catalog_root)
         train = curated.filter(F.col("split") == "train").select(
             "doc_id", "n_tokens"
@@ -92,6 +100,11 @@ def finalize_training_export(
                         "n_shards": n_shards,
                         "salt": salt,
                         "source": "stream_snapshot",
+                        # the exact survivor roots this snapshot was cut
+                        # from — the audit trail the module contract
+                        # promises (replays the cut, explains the diff
+                        # between two snapshots)
+                        "survivor_roots": surv_roots,
                     }
                 },
                 require_roots={SURVIVORS_TABLE: surv_roots},

@@ -358,6 +358,42 @@ def test_decode_stats_runs_real_codecs_in_spark(spark):
     assert (mm.decode_ppm(bytes(raw[4])) == arr).all()
 
 
+def test_decode_stats_handles_video_and_degenerate_rasters(spark):
+    """Review regressions: decode_stats must handle Y4M payloads (the
+    video branch, not the 2-tuple audio unpack), and 0-dimension PPM/BMP
+    rasters are rejected descriptively instead of crashing the resampler."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    out = {
+        r["media_id"]: r
+        for r in mm.decode_stats(mm.synthetic_video(ids), max_side=8).collect()
+    }
+    assert len(out) == 6
+    for mid, row in out.items():
+        w, h, n = mid % 8 + 4, mid % 6 + 4, mid % 4 + 2
+        assert row["kind"] == "video"
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_values"] == n * 3 * h * w
+        f = np.arange(n)[:, None, None, None]
+        p = np.arange(3)[None, :, None, None]
+        r_ = np.arange(h)[None, None, :, None]
+        c = np.arange(w)[None, None, None, :]
+        planes = (mid * 7 + f * 11 + p * 5 + r_ * 3 + c) % 256
+        assert row["value_sum"] == int(planes.sum())
+
+    with pytest.raises(ValueError, match="degenerate"):
+        mm.decode_ppm(b"P6\n0 0\n255\n")
+    with pytest.raises(ValueError, match="degenerate"):
+        arr = mm.encode_bmp(
+            __import__("numpy").zeros((1, 1, 3), dtype="uint8")
+        )
+        # corrupt the width field to 0
+        mm.decode_bmp(arr[:18] + b"\x00\x00\x00\x00" + arr[22:])
+
+
 def test_sample_video_frames_decodes_real_y4m(spark):
     """Video frame fan-out through the Y4M codec: frame counts, dims, and
     plane sums match a local numpy decode of the same bytes; audio/image

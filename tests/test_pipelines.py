@@ -1189,6 +1189,15 @@ def test_catalog_check_constraint_narrow_evolved_append(spark, tmp_path):
     staged_dirs = list((tmp_path / "cat" / "data").glob(f"{t2.txn_id}/*"))
     assert staged_dirs == []  # staging cleaned up on the analysis failure
 
+    # an OVERWRITE that drops the constrained column gets NO NULL
+    # backfill: the published table would not carry the column at all,
+    # so the constraint must fail loudly (review regression)
+    cat.drop_constraint("t", "phantom")
+    t3 = cat.begin()
+    with pytest.raises(ConstraintViolation, match="positive_qty"):
+        t3.stage("t", narrow, mode="overwrite")
+    assert list((tmp_path / "cat" / "data").glob(f"{t3.txn_id}/*")) == []
+
 
 def test_catalog_constraint_ddl_conflicts_with_in_flight_stage(spark, tmp_path):
     """A txn staged against one constraint set must not commit under

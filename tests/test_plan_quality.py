@@ -452,11 +452,15 @@ def test_round7_rowlocal_ops_zero_data_shuffles(spark):
     from dp1_data_wrangling_spark.registry import REGISTRY
 
     for name in ("multimodal_decode", "multimodal_audio_frames",
-                 "doc_bpe_tokens"):
+                 "multimodal_video_frames", "doc_bpe_tokens"):
         plan = plan_of(REGISTRY[name].fn(spark, SMOKE_SF))
         assert data_shuffles(plan) == 0, (name, plan)
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" in plan, name
+    # the LM score is pure native column expressions — no pandas either
+    plan = plan_of(REGISTRY["doc_lm_score"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 0, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
 
 
 def test_subword_mix_plan_shape(spark):

@@ -545,12 +545,20 @@ def test_stream_training_export_snapshot_equals_batch(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 
-    # a second cut over unchanged state is the identical artifact
-    again = finalize_training_export(
-        spark, cat_root, token_budget=256, n_shards=4
-    ).read(spark, PACKED_TRAIN_TABLE)
+    # a second cut over unchanged state is the identical artifact, and
+    # its commit meta records the survivor roots it was cut from
+    cat2 = finalize_training_export(spark, cat_root, token_budget=256, n_shards=4)
+    again = cat2.read(spark, PACKED_TRAIN_TABLE)
     assert again.exceptAll(want).count() == 0
     assert want.exceptAll(again).count() == 0
+    meta = cat2.meta()["training_export"]
+    assert meta["source"] == "stream_snapshot" and meta["survivor_roots"]
+
+    # cutting a snapshot before any curation batch landed fails fast
+    with pytest.raises(RuntimeError, match="stream_curation"):
+        finalize_training_export(
+            spark, str(tmp_path / "empty_cat"), token_budget=256
+        )
 
 
 def test_stream_decontaminate_equals_batch(spark, tmp_path):
