@@ -494,3 +494,49 @@ def unigram_lm_score(
         "milli_ppl_proxy",
         F.expr("milli_logprob_sum div greatest(n_tokens_scored, 1)"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card-number screening (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _luhn_sum_sql(var: str) -> str:
+    """SQL for the Luhn checksum of digit-string ``var``: standard
+    right-to-left doubling of every 2nd digit, digits-of-double summed.
+    Pure native expressions (sequence/transform/aggregate + ascii math) —
+    identical semantics in Spark SQL and (with list_sum/``//``) DuckDB."""
+    d = f"(ascii(substr(reverse({var}), i, 1)) - 48)"
+    return (
+        f"aggregate(transform(sequence(1, length({var})), "
+        f"i -> CASE WHEN i % 2 = 0 THEN (({d} * 2) div 10) + (({d} * 2) % 10) "
+        f"ELSE {d} END), 0L, (a, x) -> a + x)"
+    )
+
+
+CARD_PATTERN = r"\\b\\d{13,19}\\b"
+
+
+def card_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII screen, precision tier: find 13-19-digit runs and validate
+    them with the Luhn checksum — a bare ``\\d{13,}`` PII pattern flags
+    any long number (order ids, timestamps); the checksum keeps only
+    plausibly-real payment-card numbers, the highest-severity PII class.
+
+    Per doc: ``n_candidates`` (digit runs of card length),
+    ``n_valid_cards`` (Luhn-passing), ``has_valid_card``.  Entirely
+    native row-local expressions (regexp + a higher-order fold per
+    candidate): ZERO shuffles, no Python, linear in text bytes."""
+    cands = (
+        f"regexp_extract_all(coalesce({text_col}, ''), '{CARD_PATTERN}', 0)"
+    )
+    luhn = _luhn_sum_sql("c")
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"cast(size({cands}) as bigint)").alias("n_candidates"),
+        F.expr(
+            f"cast(size(filter({cands}, c -> {luhn} % 10 = 0)) as bigint)"
+        ).alias("n_valid_cards"),
+    ).withColumn("has_valid_card", F.col("n_valid_cards") > 0)

@@ -1655,7 +1655,6 @@ from . import queries_streaming  # noqa: E402,F401
 # (same DuckDB comparison, every registered oracle, each CI run).
 DRIVER_WINDOW: list[str] = [
     # -- core data plane (scans, joins, dedup, export pipeline) --
-    "semi_join",
     "find_first",
     "chain_flatten_distributed",
     # Audit rotation: each round a handful of previously in-repo-only tail
@@ -1771,6 +1770,11 @@ DRIVER_WINDOW: list[str] = [
     #   a bench headline), asof_lookup (3x green; certify_probe keeps the
     #   intervals family), jaccard_pairs (multi-round green; minhash/
     #   simhash/exact/line keep the dedup family).
+    # round 7 (in, mid-round 9): doc_card_scan — Luhn-validated card
+    #   screen, the PII tier's precision upgrade (new operator straight to
+    #   the driver); (out): semi_join (7x driver-green; the semi-filter
+    #   family stays exercised inside export_plan's gated plan).
+    "doc_card_scan",
     "certify_probe",
     "ivf_index_recall_bound",
     "corpus_stats",

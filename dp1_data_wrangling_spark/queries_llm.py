@@ -406,6 +406,86 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_lm_score(docs)
 
 
+_CARD_SCAN_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, text,
+               list_aggregate(list_transform(range(0, 15),
+                   i -> CAST((doc_id * 7 + i * 3) % 10 AS VARCHAR)),
+                   'string_agg', '') AS p
+        FROM documents
+    ),
+    chk AS (
+        SELECT doc_id, text, p,
+               (10 - list_sum(list_transform(range(1, len(p || '0') + 1),
+                   i -> CASE WHEN i % 2 = 0
+                        THEN ((ascii(substr(reverse(p || '0'), i, 1)) - 48) * 2) // 10
+                             + ((ascii(substr(reverse(p || '0'), i, 1)) - 48) * 2) % 10
+                        ELSE ascii(substr(reverse(p || '0'), i, 1)) - 48 END)) % 10)
+                   % 10 AS check_digit
+        FROM base
+    ),
+    aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                            THEN ' card ' || p || CAST(check_digit AS VARCHAR)
+                            WHEN doc_id % 5 = 1
+                            THEN ' card ' || p ||
+                                 CAST((check_digit + 1) % 10 AS VARCHAR)
+                            ELSE '' END AS text2
+        FROM chk
+    ),
+    scanned AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '\\b\\d{13,19}\\b'))
+                   AS BIGINT) AS n_candidates,
+               CAST(len(list_filter(regexp_extract_all(text2, '\\b\\d{13,19}\\b'),
+                   c -> list_sum(list_transform(range(1, len(c) + 1),
+                       i -> CASE WHEN i % 2 = 0
+                            THEN ((ascii(substr(reverse(c), i, 1)) - 48) * 2) // 10
+                                 + ((ascii(substr(reverse(c), i, 1)) - 48) * 2) % 10
+                            ELSE ascii(substr(reverse(c), i, 1)) - 48 END)) % 10 = 0))
+                   AS BIGINT) AS n_valid_cards
+        FROM aug
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_candidates, n_valid_cards,
+           n_valid_cards > 0 AS has_valid_card
+    FROM scanned
+"""
+
+
+@register("doc_card_scan", _CARD_SCAN_ORACLE)
+def q_doc_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card-number screen (round 7): plant one card-shaped
+    number per doc_id%5∈{0,1} — VALID Luhn for %5==0 (check digit derived
+    by the same checksum), off-by-one otherwise — then run the scan
+    (operators/text.py card_scan).  A bare long-digit PII pattern cannot
+    tell the two apart; the checksum keeps only plausibly-real cards.
+    The oracle replays the plant AND the validation with the identical
+    integer arithmetic, so doubling-direction and check-digit bugs are
+    hash mismatches.  Pure native fold: zero shuffles at any corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    p_expr = (
+        "array_join(transform(sequence(0, 14), "
+        "i -> cast((doc_id * 7 + i * 3) % 10 as string)), '')"
+    )
+    chk = tx._luhn_sum_sql("concat(__p, '0')")
+    aug = (
+        docs.withColumn("__p", F.expr(p_expr))
+        .withColumn("__chk", F.expr(f"cast((10 - ({chk}) % 10) % 10 as int)"))
+        .withColumn(
+            "text",
+            F.expr(
+                "concat(coalesce(text, ''), CASE "
+                "WHEN doc_id % 5 = 0 THEN concat(' card ', __p, cast(__chk as string)) "
+                "WHEN doc_id % 5 = 1 THEN concat(' card ', __p, "
+                "cast((__chk + 1) % 10 as string)) "
+                "ELSE '' END)"
+            ),
+        )
+    )
+    return tx.card_scan(aug.select("doc_id", "text"))
+
+
 _VOCAB_VALUES = ", ".join(
     "('" + t.replace("'", "''") + f"', {i + 1})"
     for i, t in enumerate(tx.SUBWORD_VOCAB)

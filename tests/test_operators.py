@@ -1124,6 +1124,33 @@ def test_subword_vocab_is_frozen():
     assert digest == "af2a0e4c87c9915f0c2379a399b4ad19"
 
 
+def test_card_scan_luhn_validation(spark):
+    """Luhn screen: a known-valid test card passes, its off-by-one twin
+    is a candidate but not valid, short digit runs and NULL text are
+    clean, and 19-digit runs are still in range."""
+    from dp1_data_wrangling_spark.operators.text import card_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4532015112830366 now"),   # valid (Visa test number)
+            (2, "ref 4532015112830367 x"),      # bad check digit
+            (3, "short 123456 and 12345678"),   # too short for a card
+            (4, None),
+            (5, "two 4532015112830366 4532015112830366"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_candidates"], r["n_valid_cards"], r["has_valid_card"])
+        for r in card_scan(df).collect()
+    }
+    assert out[1] == (1, 1, True)
+    assert out[2] == (1, 0, False)
+    assert out[3] == (0, 0, False)
+    assert out[4] == (0, 0, False)
+    assert out[5] == (2, 2, True)
+
+
 def test_unigram_lm_score_hand_computed_and_frozen(spark):
     """LM quality proxy: hand-checked sums, unknown-token penalty, empty
     docs zeroed, and the frozen table pinned by digest (a silent edit

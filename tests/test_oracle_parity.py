@@ -95,6 +95,7 @@ def test_driver_window_covers_flagship_surface():
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)
         "certify_probe", "ivf_index_recall_bound", "corpus_stats",
+        "doc_card_scan",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
