@@ -195,6 +195,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1_000) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SHIPPED_BY_VALUE = False
+
+
 def _ship_codecs_by_value() -> None:
     """The external driver imports this package by FILE PATH, driver-side
     only — executor Python workers cannot ``import dp1_data_wrangling_spark``.
@@ -202,12 +205,20 @@ def _ship_codecs_by_value() -> None:
     reason; the codec functions are shared public API, so instead register
     this module for by-value cloudpickle serialization: closures that call
     ``decode_media``/``encode_ppm``/... then ship the code itself, not an
-    unresolvable module reference."""
+    unresolvable module reference.
+
+    Process-global side effect: after the first call, every closure pickle
+    that references this module carries its code by value.  Guarded so the
+    registration (and its pickle-size cost) is paid exactly once."""
+    global _SHIPPED_BY_VALUE
+    if _SHIPPED_BY_VALUE:
+        return
     import sys
 
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _SHIPPED_BY_VALUE = True
 
 
 def encode_ppm(arr) -> bytes:
@@ -331,9 +342,11 @@ def encode_wav(sample_rate: int, samples) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """Decode a PCM16 mono/stereo WAV: returns (sample_rate, int16 array
-    flattened across channels).  Walks the RIFF chunk list — fmt need not
-    immediately precede data."""
+    """Decode a PCM16 **mono** WAV: returns (sample_rate, int16 samples).
+    Walks the RIFF chunk list — fmt need not immediately precede data.
+    Multi-channel files are rejected: downstream frame slicing
+    (``sample_audio_frames``) treats the sample axis as time, which an
+    interleaved stereo stream would silently double."""
     import struct
 
     import numpy as np
@@ -345,14 +358,23 @@ def decode_wav(payload: bytes):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, _ch, rate, _br, _ba, bits = struct.unpack_from(
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(
                     f"only PCM16 supported, got fmt={audio_fmt} bits={bits}"
                 )
+            if ch != 1:
+                raise ValueError(f"only mono supported, got channels={ch}")
         elif cid == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated data chunk: declared {size} bytes, "
+                    f"got {len(body)}"
+                )
+            if size % 2:
+                raise ValueError(f"odd data chunk size {size} for PCM16")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:

@@ -514,7 +514,7 @@ def _luhn_sum_sql(var: str) -> str:
     )
 
 
-CARD_PATTERN = r"\\b\\d{13,19}\\b"
+CARD_PATTERN = r"\b\d{13,19}\b"
 
 
 def card_scan(
@@ -529,8 +529,11 @@ def card_scan(
     ``n_valid_cards`` (Luhn-passing), ``has_valid_card``.  Entirely
     native row-local expressions (regexp + a higher-order fold per
     candidate): ZERO shuffles, no Python, linear in text bytes."""
+    # CARD_PATTERN is a plain Python regex; embedding it in a Spark SQL
+    # string literal requires escaping the backslashes once more.
+    sql_pattern = CARD_PATTERN.replace("\\", "\\\\")
     cands = (
-        f"regexp_extract_all(coalesce({text_col}, ''), '{CARD_PATTERN}', 0)"
+        f"regexp_extract_all(coalesce({text_col}, ''), '{sql_pattern}', 0)"
     )
     luhn = _luhn_sum_sql("c")
     return docs.select(

@@ -306,6 +306,51 @@ def test_media_codecs_roundtrip():
         mm.decode_media(None, "image/png")
 
 
+def test_decode_wav_rejects_stereo_and_truncation():
+    """Malformed WAVs fail loudly like the other codecs: a 2-channel fmt
+    (frame slicing would misread interleaved samples as mono time), a
+    data chunk whose declared size overruns the buffer, and an odd-sized
+    PCM16 data chunk are all descriptive ValueErrors — never a silent
+    short decode."""
+    import struct
+
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    good = mm.encode_wav(8000, np.arange(16, dtype=np.int16))
+    # fmt chunk starts at offset 20 (RIFF+size+WAVE+'fmt '+size);
+    # channels is the 2nd uint16 of the fmt body.
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 22, 2)
+    with pytest.raises(ValueError, match="mono"):
+        mm.decode_wav(bytes(stereo))
+    truncated = good[:-4]  # data chunk declares 32 B, buffer holds 28
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(truncated)
+    odd = bytearray(good)
+    # shrink the declared data size to an odd number (data size field sits
+    # 4 bytes before the sample bytes)
+    data_pos = good.index(b"data")
+    struct.pack_into("<I", odd, data_pos + 4, 31)
+    with pytest.raises(ValueError, match="odd|truncated"):
+        mm.decode_wav(bytes(odd))
+
+
+def test_card_pattern_is_plain_regex():
+    """CARD_PATTERN works directly with Python re (ADVICE r7: it was
+    stored SQL-literal-escaped, matching literal backslashes outside
+    Spark's string-literal processing)."""
+    import re
+
+    from dp1_data_wrangling_spark.operators import text as tx
+
+    assert re.findall(tx.CARD_PATTERN, "pay 4111111111111111 now") == [
+        "4111111111111111"
+    ]
+    assert re.findall(tx.CARD_PATTERN, "short 123456 run") == []
+
+
 def test_nearest_resize_integer_index_semantics():
     """out[i,j] == src[(i*h)//oh, (j*w)//ow] exactly — the contract the
     SQL oracle replays; fit_dims caps the long side and never upscales."""
