@@ -1649,177 +1649,70 @@ from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
 
 # The driver's correctness run caps at the first 50 registry entries
-# (CORRECTNESS_r01 covered positions 1-50 and left the whole LLM/streaming
-# tail without a driver row).  Pin the flagship surface inside the window;
-# everything after position 50 is still covered by tests/test_oracle_parity
-# (same DuckDB comparison, every registered oracle, each CI run).
+# (``prioritize`` reorders the registry so this window leads).  Everything
+# after position 50 is still verified by tests/test_oracle_parity.py —
+# the identical DuckDB comparison over every registered oracle, each CI
+# run.  Rotation policy: brand-new operators enter the window directly;
+# entries with multi-round consecutive driver-green history rotate out
+# (weakest evidence first), always leaving one representative per
+# operator family in-window.  The full round-by-round rotation history
+# lives in BASELINE.md ("Driver-window rotation history").
 DRIVER_WINDOW: list[str] = [
-    # -- core data plane (scans, joins, dedup, export pipeline) --
-    "find_first",
-    "chain_flatten_distributed",
-    # Audit rotation: each round a handful of previously in-repo-only tail
-    # queries take the slots of trivial entries with multi-round driver-green
-    # history (their coverage is equally held by tests/test_oracle_parity.py),
-    # handing the driver fresh sf0.01 verification surface every round.
-    # round 5 (in): asof_lookup_bucketized, asof_lookup_routed,
-    #   window_analytics, json_struct_parse — all came back green.
-    # round 6 (in): doc_stable_sample, doc_split_assign,
-    #   doc_curation_pipeline, rolling_sum, date_trunc_agg; (out):
-    #   pattern_filter, literal_coordinate_join, approx_distinct (the
-    #   annotated plan) + conditional_rewrite, approx_percentile (5x and 4x
-    #   consecutive driver-green, trivial, parity-held).
-    # round 6 (in, added mid-round): doc_decontaminate, doc_repetition_stats
-    #   — brand-new operators go straight to the driver for external sf0.01
-    #   verification; (out): window_rank, revenue_agg (5x consecutive
-    #   driver-green, trivial, parity-held).
-    # round-7 rotation candidates (in): doc_pack_sequences, corpus_top_ngrams,
-    #   doc_source_quota, doc_importance_resample, doc_dup_spans,
-    #   doc_near_dup_curation, ivf_kmeans_recall_bound, rollup_agg,
-    #   pivot_agg, exists_subquery, correlated_subquery, corpus_stats,
-    #   doc_cluster_safe_split, doc_semantic_curation; (out): whatever
-    #   reaches multi-round green (e.g. rolling_sum, date_trunc_agg,
-    #   window_analytics, json_struct_parse, doc_stable_sample,
-    #   doc_split_assign, asof_lookup_bucketized, asof_lookup_routed,
-    #   interval_overlap, scan_filter_project, membership_join).
-    # round 6 (in, added mid-round, part 2): doc_pii_scrub, doc_chunk,
-    #   doc_global_shuffle, events_rollup_incremental, doc_line_dedup,
-    #   doc_top_terms — brand-new operators go straight to the driver;
-    #   (out): dedup_exact, sort_topk, nested_regroup, group_agg_run,
-    #   path_rewrite, join_agg_topk (5-6x consecutive driver-green,
-    #   parity-held; doc_exact_dedup keeps the dedup family in-window).
-    #   This consumes most of the round-7 out-list above — round 7 should
-    #   draw its outs from whatever reaches multi-round green then
-    #   (e.g. rolling_sum, date_trunc_agg, window_analytics,
-    #   json_struct_parse, doc_stable_sample, doc_split_assign).
-    # round 6 (in, added mid-round, part 3): embedding_semantic_dedup —
-    #   brand-new SemDeDup operator goes straight to the driver; (out):
-    #   anti_join (5x driver-green, and its fixture result is 0 rows — the
-    #   weakest possible external hash evidence; coverage equally held by
-    #   in-repo parity + test_import_idempotent's left-anti pipeline use).
-    # round 6 (in, added mid-round, part 4): doc_source_mix — brand-new
-    #   corpus-mixing operator goes straight to the driver; (out):
-    #   sliding_window (5x driver-green, parity-held; tumbling_window and
-    #   session_window keep the streaming-window family in-window).
-    # round 6 (in, added mid-round, part 5): doc_quality_quantile —
-    #   brand-new skew-proof per-group quantile filter goes straight to
-    #   the driver; (out): multimodal_frames (rows-only check anyway —
-    #   weakest driver evidence class; multimodal_features and
-    #   multimodal_resize keep the family in-window).
-    "export_plan",
-    # -- aggregation / window / sketch headline extras --
-    "events_rollup_incremental",
-    # -- LLM curation tier (rotated in round 6) --
-    "doc_split_assign",
-    "doc_curation_pipeline",
-    "doc_decontaminate",
-    "doc_pii_scrub",
-    "doc_chunk",
-    "doc_global_shuffle",
-    "doc_line_dedup",
-    "doc_top_terms",
-    "embedding_semantic_dedup",
-    "doc_source_mix",
-    "doc_quality_quantile",
-    # -- LLM training-data pipeline --
-    "doc_exact_dedup",
-    "minhash_pairs",
-    "simhash_pairs",
-    "dedup_clusters",
-    "embedding_near_dup",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "cosine_topk",
-    "lsh_recall_bound",
-    "ivf_recall_bound",
-    # round 7 (in, mid-round): multimodal_decode — REAL PPM/BMP/WAV decode
-    #   (new operator goes straight to the driver); (out):
-    #   find_first_calibration_bypass (2x driver-green, 15k-row near-twin of
-    #   find_first, which keeps the family in-window).
-    # round 7 (in, mid-round 2): doc_bpe_tokens — REAL frozen-vocab greedy
-    #   subword tokenizer (new operator goes straight to the driver); (out):
-    #   tumbling_window (2x driver-green; session_window keeps the
-    #   streaming-window family in-window).
-    # round 7 (in, mid-round 3): doc_subword_mix — source mixing budgeted
-    #   by the REAL subword counts (consumer-wiring proof, full composed
-    #   oracle); (out): dimension_expansion (6x driver-green; the J1
-    #   dimension-join family stays covered by export_plan, whose plan gate
-    #   asserts every dimension join broadcasts).
-    # round 7 (in, mid-round 4): multimodal_audio_frames — REAL PCM frame
-    #   slicing through the WAV codec (new operator goes straight to the
-    #   driver); (out): doc_stable_sample (2x driver-green; doc_split_assign
-    #   and doc_global_shuffle keep the sampling family in-window).
-    # round 7 (in, mid-round 5): multimodal_video_frames — REAL Y4M video
-    #   decode completes the modality triad (new operator straight to the
-    #   driver); (out): doc_repetition_stats (2x driver-green; the
-    #   text-quality family stays via doc_token_stats and doc_lang_id).
-    # round 7 (in, mid-round 6): doc_subword_pack — packing under a real
-    #   subword budget, double-recursive-CTE composed oracle; (out):
-    #   priority_dedup (6x driver-green, parity-held, and still measured
-    #   every round as a bench headline + scaling probe; find_first keeps
-    #   the window family in-window).
-    # round 7 (in, mid-round 7): doc_lm_score — frozen-unigram perplexity
-    #   proxy (CCNet-style LM quality filter, zero-shuffle native fold);
-    #   (out): doc_dedup_survivors (multi-round green; doc_exact_dedup
-    #   keeps the exact-dedup family in-window).
-    # round 7 (in, mid-round 8 — executing the round-8 plan early):
-    #   certify_probe, ivf_index_recall_bound, corpus_stats — the last
-    #   three window-eligible registry entries without external evidence;
-    #   after this round EVERY window-eligible query has (or is getting)
-    #   a driver-green record.  (out): multi_join_revenue (6x green, still
-    #   a bench headline), asof_lookup (3x green; certify_probe keeps the
-    #   intervals family), jaccard_pairs (multi-round green; minhash/
-    #   simhash/exact/line keep the dedup family).
-    # round 7 (in, mid-round 9): doc_card_scan — Luhn-validated card
-    #   screen, the PII tier's precision upgrade (new operator straight to
-    #   the driver); (out): semi_join (7x driver-green; the semi-filter
-    #   family stays exercised inside export_plan's gated plan).
-    "doc_card_scan",
-    "certify_probe",
-    "ivf_index_recall_bound",
-    "corpus_stats",
-    "doc_lm_score",
-    "doc_subword_pack",
-    "multimodal_video_frames",
-    "multimodal_audio_frames",
-    "doc_subword_mix",
-    "doc_bpe_tokens",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_resize",
-    # round-8 note: the round-8 rotation plan was EXECUTED within round 7
-    #   (see mid-round 8 below) — after this round the only registry
-    #   entries without external driver evidence are lsh_topk/ivf_topk,
-    #   which stay out BY DESIGN (raw array columns are
-    #   canonicalizer-unsafe; their semantics are pinned by the in-window
-    #   recall-bound forms + in-repo tests).  Round 8's rotation should
-    #   re-verify the 19 round-7 entrants and retire whatever reaches
-    #   multi-round green (semi_join, export_plan, doc_pii_scrub,
-    #   doc_chunk, doc_top_terms are the next natural outs — one family
-    #   representative each, as always).
-    # round 7 (in): doc_pack_sequences, corpus_top_ngrams, doc_source_quota,
-    #   doc_importance_resample, doc_dup_spans, doc_near_dup_curation,
-    #   ivf_kmeans_recall_bound, doc_cluster_safe_split, doc_semantic_curation
-    #   — executing the annotated round-7 audit rotation: nine tail queries
-    #   gain external sf0.01 evidence.  (out): scan_filter_project,
-    #   interval_overlap, window_analytics, json_struct_parse, rolling_sum,
-    #   date_trunc_agg (multi-round driver-green, trivial, parity-held;
-    #   families stay represented by semi_join/dimension_expansion,
-    #   asof_lookup, export_plan) + membership_join (6x green; semi_join
-    #   keeps the join family) + asof_lookup_bucketized, asof_lookup_routed
-    #   (2x green; asof_lookup keeps the as-of family in-window).
-    "doc_pack_sequences",
-    "corpus_top_ngrams",
-    "doc_source_quota",
-    "doc_importance_resample",
-    "doc_dup_spans",
-    "doc_near_dup_curation",
-    "ivf_kmeans_recall_bound",
-    "doc_cluster_safe_split",
-    "doc_semantic_curation",
+    # -- core data plane --
+    "find_first",                 # J4 find-first + W1 window; bench headline
+    "chain_flatten_distributed",  # S4/J6 chain flatten, iterative distributed form
+    "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
+    "events_rollup_incremental",  # hypertable-style rollup over events
+    # -- LLM curation tier --
+    "doc_split_assign",           # deterministic train/val/test split
+    "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
+    "doc_decontaminate",          # eval-overlap n-gram decontamination
+    "doc_global_shuffle",         # md5-keyed global shuffle (capped bucket space)
+    "doc_line_dedup",             # CCNet boilerplate line census dedup
+    "doc_top_terms",              # per-doc tf-idf top terms
+    "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure
+    "doc_source_mix",             # budgeted source mixing
+    "doc_quality_quantile",       # skew-proof per-group quantile filter
+    # -- dedup / similarity families --
+    "doc_exact_dedup",            # digest-only exact dedup (A1/A2 family)
+    "minhash_pairs",              # MinHash-LSH banded near-dup
+    "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
+    "dedup_clusters",             # connected components over dup edges
+    "embedding_near_dup",         # embedding-cosine near-dup
+    "doc_token_stats",            # token/quality stats
+    "doc_lang_id",                # marker-n-gram language ID
+    "doc_fingerprint",            # rolling polynomial hash
+    "cosine_topk",                # brute-force ANN baseline
+    "lsh_recall_bound",           # LSH ANN recall >= 0.7 vs brute force
+    "ivf_recall_bound",           # IVF ANN recall >= 0.5 vs brute force
+    "lsh_topk",                   # r8: full md5-plane signature replay oracle
+    "ivf_topk",                   # r8: full quantizer+assignment replay oracle
+    "doc_card_scan",              # Luhn-validated card screen (PII precision tier)
+    "certify_probe",              # K10 certify at 600k-interval fact scale
+    "ivf_index_recall_bound",     # persisted IVF index build->publish->query
+    "corpus_stats",               # one-pass corpus summary
+    "doc_lm_score",               # frozen-unigram LM perplexity proxy
+    "doc_subword_pack",           # packing under real subword budget
+    "multimodal_video_frames",    # REAL Y4M decode + frame sampling
+    "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing
+    "doc_subword_mix",            # source mixing budgeted by real subword counts
+    "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
+    "multimodal_decode",          # REAL PPM/BMP/WAV decode + resample checksums
+    "multimodal_features",        # media feature extraction (serialized form)
+    "multimodal_resize",          # aspect-preserving nearest resize
+    # -- sampling / packing / curation tail (r7 audit rotation) --
+    "doc_pack_sequences",         # greedy sequence packing
+    "corpus_top_ngrams",          # corpus-wide top n-grams
+    "doc_source_quota",           # per-source quota enforcement
+    "doc_importance_resample",    # deterministic importance resampling
+    "doc_dup_spans",              # substring-dup span screen
+    "doc_near_dup_curation",      # near-dup-aware curation (transitive closure)
+    "ivf_kmeans_recall_bound",    # k-means-trained IVF quantizer recall
+    "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
+    "doc_semantic_curation",      # semantic-dedup-aware curation
     # -- streaming --
-    "session_window",
-    "event_correlation",
+    "session_window",             # session-gap windowed aggregation
+    "event_correlation",          # stream-stream interval join
 ]
 if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O
     raise ValueError(

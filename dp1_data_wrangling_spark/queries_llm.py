@@ -643,23 +643,148 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_topk", None)
+# Full replay of operators/similarity.lsh_topk (defaults: 8 planes x 4
+# tables over dim 64).  Plane signs are md5-byte parity — pure string
+# md5s, engine-identical; every dot product is a LEFT FOLD in dimension
+# order (list_reduce here, F.aggregate there), so the IEEE double sums
+# are bit-identical and the sign test / bucket membership cannot
+# diverge.  Final sims round to 6 digits like cosine_topk.
+_LSH_TOPK_ORACLE = """
+    WITH plane_vecs AS (
+        SELECT t, pl,
+               list_transform(range(0, 64),
+                   d -> CASE WHEN CAST('0x' || substr(md5(
+                            CAST(t AS VARCHAR) || ':' || CAST(pl AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 2) AS INTEGER)
+                            % 2 = 1
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(-1.0 AS DOUBLE) END) AS pv
+        FROM range(0, 4) tt(t), range(0, 8) pp(pl)
+    ),
+    sigs AS (
+        SELECT v.vec_id, p.t AS tbl,
+               CAST(sum(CASE WHEN list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(v.embedding[i] AS DOUBLE) * p.pv[i]),
+                       (a, b) -> a + b) >= 0
+                   THEN CAST(1 AS BIGINT) << p.pl ELSE 0 END) AS BIGINT) AS sig
+        FROM embeddings v, plane_vecs p
+        GROUP BY v.vec_id, p.t
+    ),
+    cand AS (
+        SELECT DISTINCT ps.vec_id AS probe_id, cs.vec_id AS neighbor_id
+        FROM sigs ps JOIN sigs cs ON ps.tbl = cs.tbl AND ps.sig = cs.sig
+        WHERE ps.vec_id % 50 = 0 AND ps.vec_id != cs.vec_id
+    ),
+    scored AS (
+        SELECT c.probe_id, c.neighbor_id,
+               round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])),
+                     6) AS sim
+        FROM cand c
+        JOIN embeddings p ON p.vec_id = c.probe_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("lsh_topk", _LSH_TOPK_ORACLE)
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    asserted in unit tests)."""
+    """LSH-bucketed approximate top-k as exploded scalar rows
+    (probe_id, neighbor_id, sim, rank) — fully oracle-replayed: the
+    DuckDB side recomputes the md5-derived hyperplanes, the per-table
+    signatures (left-fold projections, so the sign tests agree
+    bit-for-bit), the bucket equi-join, and the exact re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    return sim.lsh_topk(probes, emb, k=5, dim=64)
+    out = sim.lsh_topk(probes, emb, k=5, dim=64)
+    return out.select(
+        "probe_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
 
 
-@register("ivf_topk", None)
+# Full replay of operators/similarity.ivf_topk (16 md5-sampled centroid
+# cells, nprobe=4).  The quantizer sample (ORDER BY md5(id) LIMIT 16),
+# the nearest-cell assignment (negsim = -(dot / sqrt(norm_v * norm_c)),
+# the EXACT formula _nearest_cells executes, ties on cell id), the
+# nprobe fan-out, and the in-cell exact re-rank are all recomputed with
+# dimension-order left folds, so cell membership is bit-identical.
+_IVF_TOPK_ORACLE = """
+    WITH cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY k, vec_id) AS INTEGER) - 1
+                   AS cell,
+               embedding AS centroid
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS k, vec_id, embedding
+              FROM embeddings ORDER BY k, vec_id LIMIT 16)
+    ),
+    assign AS (
+        SELECT v.vec_id, c.cell,
+               -(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(v.embedding[i] AS DOUBLE)
+                           * CAST(c.centroid[i] AS DOUBLE)),
+                      (a, b) -> a + b)
+                 / sqrt(list_reduce(list_transform(range(1, 65),
+                            i -> CAST(v.embedding[i] AS DOUBLE)
+                                 * CAST(v.embedding[i] AS DOUBLE)),
+                            (a, b) -> a + b)
+                        * list_reduce(list_transform(range(1, 65),
+                              i -> CAST(c.centroid[i] AS DOUBLE)
+                                   * CAST(c.centroid[i] AS DOUBLE)),
+                              (a, b) -> a + b))) AS negsim
+        FROM embeddings v, cents c
+    ),
+    corpus_cell AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY negsim, cell) AS rn
+            FROM assign) WHERE rn = 1
+    ),
+    probe_cell AS (
+        SELECT vec_id AS probe_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY negsim, cell) AS rn
+            FROM assign WHERE vec_id % 50 = 0) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT DISTINCT probe_id, neighbor_id
+        FROM probe_cell p JOIN corpus_cell c USING (cell)
+        WHERE probe_id != neighbor_id
+    ),
+    scored AS (
+        SELECT c.probe_id, c.neighbor_id,
+               round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])),
+                     6) AS sim
+        FROM cand c
+        JOIN embeddings p ON p.vec_id = c.probe_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("ivf_topk", _IVF_TOPK_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k: deterministic coarse quantizer,
-    nprobe cell fan-out, exact re-rank inside visited cells (rows-only;
-    recall vs brute force asserted in unit tests)."""
+    """IVF-bucketed approximate top-k as exploded scalar rows — fully
+    oracle-replayed: the DuckDB side recomputes the md5-sampled coarse
+    quantizer, the nearest-cell assignment with the exact
+    -(dot / sqrt(nv * nc)) formula (left folds, bit-identical), the
+    nprobe=4 fan-out, and the in-cell exact re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    return sim.ivf_topk(probes, emb, k=5, n_cells=16, nprobe=4)
+    out = sim.ivf_topk(probes, emb, k=5, n_cells=16, nprobe=4)
+    return out.select(
+        "probe_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
 
 
 _ANN_RECALL_ORACLE = """
