@@ -144,6 +144,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     *,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing any LSH band.
 
@@ -161,13 +162,16 @@ def minhash_candidate_pairs(
     (on this corpus, buckets >100 docs are 0.5% of buckets but 73% of raw
     pairs).  Production dedup handles such clusters by connected-component
     labeling on the capped pair graph, not pairwise enumeration.  Pass
-    ``None`` to disable.  (Truly adversarial corpora — one bucket with
-    millions of members — would bloat the collect_list buffer before the
-    filter drops it; there the two-pass form, count + anti-join hot keys
-    then collect, bounds memory at the cost of one extra narrow shuffle.)
+    ``None`` to disable.  Truly adversarial corpora — one bucket with
+    millions of members — would bloat the collect_set buffer before the
+    size filter drops it; ``two_pass=True`` bounds that: count distinct
+    members per band key first, semi-join away the hot keys, and only
+    then collect (one extra narrow shuffle of 16-byte keys + counts).
     """
     keys = minhash_band_keys(minhash_signature(spread(docs), text_col), id_col)
-    return pairs_from_band_keys(keys, id_col=id_col, max_bucket_size=max_bucket_size)
+    return pairs_from_band_keys(
+        keys, id_col=id_col, max_bucket_size=max_bucket_size, two_pass=two_pass
+    )
 
 
 def pairs_from_band_keys(
@@ -175,10 +179,31 @@ def pairs_from_band_keys(
     *,
     id_col: str = "doc_id",
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Candidate pairs from an (id, band, band_key) table — the bucket
     collect + i<j explosion shared by the batch operator and the streaming
-    incremental index (streaming/dedup_llm.py)."""
+    incremental index (streaming/dedup_llm.py).
+
+    ``two_pass=True`` (requires a ``max_bucket_size``) is the
+    adversarial-mega-bucket escape hatch: pass 1 counts DISTINCT members
+    per (band, band_key) — a map-side-combinable count whose shuffle
+    payload is 16-byte keys + longs — and keeps only keys with 2..max
+    members; pass 2 semi-joins the key stream against that qualifying set
+    BEFORE the collect_set aggregation, so no executor ever buffers a
+    degenerate bucket's member list.  Result-identical to the one-pass
+    form (the size predicate is the same); costs one extra shuffle, which
+    is why it is opt-in rather than the default."""
+    if two_pass and max_bucket_size is not None:
+        qualifying = (
+            keys.groupBy("band", "band_key")
+            .agg(F.countDistinct(id_col).alias("__n"))
+            .filter(
+                (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+            )
+            .select("band", "band_key")
+        )
+        keys = keys.join(qualifying, ["band", "band_key"], "left_semi")
     # collect_set: duplicate (id, band, band_key) rows — an at-least-once
     # source redelivering a doc within one batch — must not yield (d, d)
     # self-pairs from the i<j explosion.

@@ -1669,7 +1669,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_decontaminate",          # eval-overlap n-gram decontamination
     "doc_global_shuffle",         # md5-keyed global shuffle (capped bucket space)
     "doc_line_dedup",             # CCNet boilerplate line census dedup
-    "doc_top_terms",              # per-doc tf-idf top terms
+    "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
     "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure
     "doc_source_mix",             # budgeted source mixing
     "doc_quality_quantile",       # skew-proof per-group quantile filter

@@ -1101,6 +1101,63 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_video_frames(mm.synthetic_video(docs))
 
 
+_MULTIMODAL_PNG_ORACLE = """
+    WITH img AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               doc_id % 14 + 4 AS w, doc_id % 10 + 4 AS h,
+               greatest(CAST(floor((doc_id % 14 + 4) * least(8.0 /
+                   greatest(doc_id % 14 + 4, doc_id % 10 + 4), 1.0) + 0.5)
+                   AS BIGINT), 1) AS ow,
+               greatest(CAST(floor((doc_id % 10 + 4) * least(8.0 /
+                   greatest(doc_id % 14 + 4, doc_id % 10 + 4), 1.0) + 0.5)
+                   AS BIGINT), 1) AS oh
+        FROM documents
+    ),
+    imgsum AS (
+        SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum((i.media_id*13 + r.r*5 + c.c*11 + k.k*3) % 256)
+                   AS BIGINT) AS value_sum
+        FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
+             LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
+             LATERAL (SELECT unnest(range(0, 3)) AS k) k
+        GROUP BY 1
+    ),
+    rsum AS (
+        SELECT i.media_id,
+               CAST(sum((i.media_id*13 + ((ri.i * i.h) // i.oh)*5
+                        + ((cj.j * i.w) // i.ow)*11 + k.k*3) % 256)
+                   AS BIGINT) AS resized_sum
+        FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
+             LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
+             LATERAL (SELECT unnest(range(0, 3)) AS k) k
+        GROUP BY 1
+    )
+    SELECT i.media_id, 'image' AS kind, CAST(i.w AS BIGINT) AS width,
+           CAST(i.h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
+           s.n_values, s.value_sum, i.ow AS out_width, i.oh AS out_height,
+           r.resized_sum
+    FROM img i JOIN imgsum s USING (media_id) JOIN rsum r USING (media_id)
+"""
+
+
+@register("multimodal_png", _MULTIMODAL_PNG_ORACLE)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (round 8): synthesize actual PNG
+    bytes executor-side (operators/multimodal.py synthetic_png — zlib
+    deflate, per-row filter type (id+r)%5 cycling the whole
+    None/Sub/Up/Average/Paeth set), then inflate + unfilter with the
+    stdlib-zlib decoder, nearest-downscale, and checksum both rasters
+    (decode_stats — stats come from DECODED pixels).  The oracle replays
+    the closed-form pixel arithmetic over unnested ranges, so a wrong
+    Paeth predictor, a filter-byte offset slip, or an IDAT reassembly
+    bug is a hash mismatch.  Lossy codecs (JPEG/MP3) stay behind the
+    honest stub.  Row-local: zero shuffles at any corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return mm.decode_stats(mm.synthetic_png(docs), max_side=8)
+
+
 @register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE, headline=True)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (round 7): synthesize actual PPM / BMP / WAV

@@ -187,6 +187,45 @@ def test_minhash_recalls_mutant_pairs(spark):
     assert len(got) >= 0.9 * len(expected)
 
 
+def test_two_pass_mega_bucket_escape_hatch(spark):
+    """pairs_from_band_keys(two_pass=True): result-identical to the
+    one-pass form, and the executed plan semi-joins the key stream
+    against the distinct-count filter BEFORE the collect_set aggregate —
+    so an adversarial mega bucket (here: one band key shared by 5,000
+    ids under max_bucket_size=10) is dropped by a count, never buffered
+    as a member list."""
+    from dp1_data_wrangling_spark.operators.dedup import pairs_from_band_keys
+
+    keys = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        # ids 0..4999 share one mega band key; ids 0..9 also share a
+        # small legitimate bucket in band 1
+        F.lit("deadbeef").alias("band_key"),
+    ).unionByName(
+        spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.lit(1).alias("band"),
+            F.lit("cafe").alias("band_key"),
+        )
+    )
+    one = pairs_from_band_keys(keys, max_bucket_size=10)
+    two = pairs_from_band_keys(keys, max_bucket_size=10, two_pass=True)
+    rows1 = sorted(tuple(r) for r in one.collect())
+    rows2 = sorted(tuple(r) for r in two.collect())
+    assert rows1 == rows2
+    assert len(rows2) == 45  # C(10,2) from the small bucket only
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "two-pass form must pre-filter via semi-join"
+    # the semi-join (reading bottom-up) must occur below the collect_set
+    # aggregate: the hot key is eliminated by counts before any member
+    # list is buffered
+    assert "collect_set" in plan
+    assert plan.index("collect_set") < plan.index("LeftSemi"), (
+        "semi-join must feed the collect_set aggregate, not follow it"
+    )
+
+
 def test_simhash_mutants_have_small_hamming(spark):
     docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text").limit(100)
     mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
@@ -300,10 +339,55 @@ def test_media_codecs_roundtrip():
     assert mm.decode_media(mm.encode_ppm(arr), "x")[0] == "image"
     assert mm.decode_media(mm.encode_bmp(arr), "x")[0] == "image"
     assert mm.decode_media(mm.encode_wav(44100, s), "x")[0] == "audio"
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x89PNG\r\n", "image/png")
+    assert mm.decode_media(mm.encode_png(arr), "x")[0] == "image"
+    with pytest.raises(NotImplementedError):  # lossy codecs stay stubbed
+        mm.decode_media(b"\xff\xd8\xff\xe0jpeg", "image/jpeg")
     with pytest.raises(NotImplementedError):
         mm.decode_media(None, "image/png")
+
+
+def test_png_codec_roundtrip_all_filters():
+    """stdlib-zlib PNG (round 8): encode→decode is the identity under
+    every filter type (None/Sub/Up/Average/Paeth) and mixed per-row
+    filters; corrupt CRCs, truncation, and unsupported color types fail
+    loudly."""
+    import struct
+
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 7), (12, 19), (3, 40)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in [None, [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            assert (
+                mm.decode_png(mm.encode_png(arr, filters=filters)) == arr
+            ).all(), (h, w, filters)
+    # gradients favor the predictive filters — exercise Paeth's all-three
+    # predictor branches on smooth content too
+    g = (
+        np.arange(10)[:, None, None] * 3
+        + np.arange(20)[None, :, None] * 7
+        + np.arange(3)[None, None, :]
+    ).astype(np.uint8)
+    assert (mm.decode_png(mm.encode_png(g, filters=[4])) == g).all()
+    good = mm.encode_png(g)
+    bad = bytearray(good)
+    bad[30] ^= 0xFF  # flip a bit inside the IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(good[:-20])
+    # RGBA (color type 6) is rejected descriptively, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0)
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        mm.decode_png(rgba)
 
 
 def test_decode_wav_rejects_stereo_and_truncation():

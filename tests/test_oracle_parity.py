@@ -101,6 +101,9 @@ def test_driver_window_covers_flagship_surface():
         # doc_chunk — 2x green; PII family stays via doc_card_scan,
         # chunking via doc_pack_sequences)
         "lsh_topk", "ivf_topk",
+        # round-8: real compressed (zlib PNG) decode enters directly
+        # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
+        "multimodal_png",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
