@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -72,6 +73,9 @@ class Transaction:
     # CHECK-constraint set seen at stage time, per staged table — commit
     # re-checks it against the live manifest (optimistic DDL conflict)
     seen_constraints: dict[str, dict[str, str]] = field(default_factory=dict)
+    # per-root zone-map stats computed at stage time for declared columns:
+    # table -> {col: [min, max]} (commit records them under the root's rel)
+    zone_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def stage(
         self,
@@ -234,7 +238,108 @@ class Transaction:
                     f"constraints (violating rows per constraint): {bad}; "
                     f"constraints: { {c: checks[c] for c in bad} }"
                 )
+        zone_cols = Catalog(self.root).zone_map(table)
+        if zone_cols:
+            # Zone-map stats (one combinable min/max aggregate over the
+            # staged files — the same cheap pass shape as the CHECK scan).
+            # Stats ignore NULLs, which keeps pruning sound: a NULL row
+            # can never satisfy a <,<=,>,>=,= predicate, so a root whose
+            # non-null range excludes the predicate truly has no matches.
+            from pyspark.sql import functions as F
+
+            staged = df.sparkSession.read.parquet(str(out))
+            present = [c for c in zone_cols if c in staged.columns]
+            if present:
+                row = staged.agg(
+                    *[
+                        f
+                        for c in present
+                        for f in (
+                            F.min(c).alias(f"__lo_{c}"),
+                            F.max(c).alias(f"__hi_{c}"),
+                        )
+                    ]
+                ).collect()[0]
+                stats: dict[str, list] = {}
+                for c in present:
+                    lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+                    if lo is None:  # all-NULL column: no range to prune on
+                        continue
+                    try:  # manifest is JSON — skip non-serializable types
+                        json.dumps([lo, hi])
+                    except TypeError:
+                        continue
+                    stats[c] = [lo, hi]
+                if stats:
+                    self.zone_stats[table] = stats
         self.writes[table] = (mode, rel)
+
+
+# Zone-map predicate grammar: conjunctions of ``col op literal`` with
+# numeric or single-quoted string literals.  Anything richer (OR,
+# parentheses, NOT, IN, functions) disables pruning for the whole
+# expression — conservative and therefore always sound; the filter
+# itself still applies in full.
+_ZONE_CONJUNCT = re.compile(
+    r"^\s*(\w+)\s*(<=|>=|==|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _zone_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Parse ``where`` into prunable (col, op, value) conjuncts; [] if the
+    expression contains constructs the pruner cannot reason about."""
+    if re.search(r"(?i)\bor\b|\bnot\b|\bin\b|[()]", where):
+        return []
+    out: list[tuple[str, str, object]] = []
+    for part in re.split(r"(?i)\band\b", where):
+        m = _ZONE_CONJUNCT.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, op, val))
+    return out
+
+
+def _zone_excludes(
+    stats: dict[str, list] | None, conjuncts: list[tuple[str, str, object]]
+) -> bool:
+    """True iff some conjunct provably matches no row of a root with the
+    given per-column [min, max] stats.  Missing stats (undeclared column,
+    root written before the declaration, non-serializable type) keep the
+    root — absence of evidence never prunes."""
+    if not stats:
+        return False
+    for col, op, val in conjuncts:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        lo, hi = rng
+        str_stat = isinstance(lo, str)
+        if str_stat != isinstance(val, str):
+            continue  # type-mismatched literal: let Spark handle the cast
+        if op in ("=", "=="):
+            if val < lo or val > hi:
+                return True
+        elif op == ">":
+            if hi <= val:
+                return True
+        elif op == ">=":
+            if hi < val:
+                return True
+        elif op == "<":
+            if lo >= val:
+                return True
+        elif op == "<=":
+            if lo > val:
+                return True
+    return False
 
 
 class Catalog:
@@ -330,16 +435,75 @@ class Catalog:
     def drop_constraint(self, table: str, name: str) -> int:
         return self.commit(self.begin(), constraint_ddl={table: {name: None}})
 
+    # -- zone maps (manifest-level data skipping) --------------------------
+    def zone_map(self, table: str) -> list[str]:
+        """Columns declared for zone-map stats on ``table`` (empty if
+        none)."""
+        return list(self.manifest().get("zone_maps", {}).get(table, []))
+
+    def set_zone_map(self, table: str, columns: list[str]) -> int:
+        """Declare zone-map columns for ``table`` — transactional DDL.
+
+        Every subsequent ``Transaction.stage`` computes per-root min/max
+        for these columns (one combinable aggregate over the staged
+        files) and records them in the manifest; ``read(where=...)`` then
+        skips whole commit roots whose range excludes a predicate —
+        BEFORE any file is opened.  This is the manifest-level tier of
+        data skipping the reference gets from Postgres indexes: parquet
+        row-group stats only help after a file's footer is fetched, which
+        at 100 TB (thousands of roots on an object store) is exactly the
+        cost worth avoiding.  Like ADD CONSTRAINT, declaration does not
+        backfill stats for already-published roots (they simply never
+        prune); run ``compact`` to rewrite-and-stat a table in place."""
+        return self.commit(self.begin(), zone_map_ddl={table: list(columns)})
+
+    def drop_zone_map(self, table: str) -> int:
+        return self.commit(self.begin(), zone_map_ddl={table: None})
+
     # -- read path ---------------------------------------------------------
     def read(
-        self, spark: SparkSession, table: str, *, version: int | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        version: int | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Read a table as of the latest commit, or a historical snapshot
-        (``version`` from ``history()`` — time travel)."""
+        (``version`` from ``history()`` — time travel).
+
+        ``where`` applies a SQL predicate AND, when the table has
+        declared zone-map columns, skips whole commit roots whose
+        recorded [min, max] provably excludes the predicate (simple
+        ``col op literal`` conjunctions; anything richer falls back to
+        filter-only — always sound, because the filter is applied in
+        full either way)."""
         m = self.manifest(version)
         if table not in m["tables"]:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
-        return self._read_roots(spark, m["tables"][table])
+        rels = m["tables"][table]
+        if where is None:
+            return self._read_roots(spark, rels)
+        kept = self.prune_roots(table, where, version=version)
+        # Every root pruned: keep one so the result carries the table
+        # schema — its rows are eliminated by the (provably
+        # unsatisfiable-on-it) filter anyway.
+        return self._read_roots(spark, kept or rels[:1]).filter(where)
+
+    def prune_roots(
+        self, table: str, where: str, *, version: int | None = None
+    ) -> list[str]:
+        """The subset of ``table``'s commit roots that survive zone-map
+        pruning for ``where`` (the list ``read(where=...)`` will scan).
+        Exposed for tests and for capacity planning (pruned-root counts
+        are the skipping metric at 100 TB)."""
+        m = self.manifest(version)
+        rels = m["tables"][table]
+        conjuncts = _zone_conjuncts(where)
+        if not conjuncts:
+            return list(rels)
+        zones = m.get("zones", {}).get(table, {})
+        return [r for r in rels if not _zone_excludes(zones.get(r), conjuncts)]
 
     def table_schema(self, spark: SparkSession, table: str):
         """The table's current read schema (None if the table doesn't
@@ -634,12 +798,19 @@ class Catalog:
         *,
         prefix: str = "",
         version: int | None = None,
+        where: dict[str, str] | None = None,
     ) -> dict[str, str]:
         """Expose every catalog table as a Spark temp view so users can
         run plain ``spark.sql`` over the catalog (slashes in table names
         become underscores).  ``version`` registers a time-traveled
         snapshot of the whole catalog — a consistent-as-of-one-commit SQL
         session.  Returns {table -> view name}.
+
+        ``where`` maps table names to SQL predicates: those tables are
+        registered as pre-filtered views whose commit roots were zone-map
+        pruned (``read(where=...)``) — a SQL session over a 100 TB
+        catalog declares its slice once, and every query on the view
+        scans only the surviving roots.
 
         Views resolve lazily through the SAME reader (multi-root union,
         pinned schema), so predicate pushdown, partition pruning, and
@@ -657,7 +828,8 @@ class Catalog:
                     f"view name {view!r}; disambiguate with prefixes"
                 )
             taken[view] = t
-            self.read(spark, t, version=version).createOrReplaceTempView(view)
+            pred = (where or {}).get(t)
+            self.read(spark, t, version=version, where=pred).createOrReplaceTempView(view)
             out[t] = view
         return out
 
@@ -921,6 +1093,7 @@ class Catalog:
         meta: dict | None = None,
         require_roots: dict[str, list[str]] | None = None,
         constraint_ddl: dict[str, dict[str, str | None]] | None = None,
+        zone_map_ddl: dict[str, list[str] | None] | None = None,
         root_overrides: dict[str, list[str]] | None = None,
         require_absent: list[str] | None = None,
     ) -> int:
@@ -1000,6 +1173,16 @@ class Catalog:
                         bag.pop(tname, None)
                 if not bag:
                     m.pop("constraints", None)
+            if zone_map_ddl:
+                zbag = m.setdefault("zone_maps", {})
+                for tname, cols in zone_map_ddl.items():
+                    if cols is None:
+                        zbag.pop(tname, None)
+                        m.get("zones", {}).pop(tname, None)
+                    else:
+                        zbag[tname] = cols
+                if not zbag:
+                    m.pop("zone_maps", None)
             for table, (mode, rel) in sorted(txn.writes.items()):
                 if mode == "overwrite" or table not in tables:
                     tables[table] = [rel]
@@ -1007,6 +1190,10 @@ class Catalog:
                     tables[table] = tables[table] + [rel]
                 else:
                     raise ValueError(f"unknown write mode {mode!r}")
+                if table in txn.zone_stats:
+                    m.setdefault("zones", {}).setdefault(table, {})[
+                        rel
+                    ] = txn.zone_stats[table]
             if root_overrides:
                 # zero-copy re-pointing (restore/clone): set a table's root
                 # list directly to already-existing immutable data dirs.
@@ -1021,6 +1208,35 @@ class Catalog:
                             "in one commit"
                         )
                     tables[table] = list(rels)
+                    # Re-pointed roots (restore/clone) keep their zone
+                    # stats: rels are txn-unique, so a rel -> stats lookup
+                    # across every table's zone bag is unambiguous.
+                    all_zone_stats = {
+                        r: st
+                        for tbag in m.get("zones", {}).values()
+                        for r, st in tbag.items()
+                    }
+                    carried = {
+                        r: all_zone_stats[r] for r in rels if r in all_zone_stats
+                    }
+                    if carried:
+                        m.setdefault("zones", {})[table] = carried
+            if "zones" in m:
+                # Drop stats for roots no longer referenced by the LIVE
+                # table lists (overwrite/compact/delete replaced them).
+                # Snapshot manifests keep their own version-consistent
+                # zones, so time travel still prunes correctly.
+                for tname in list(m["zones"]):
+                    live = set(tables.get(tname, []))
+                    tbag = {
+                        r: st for r, st in m["zones"][tname].items() if r in live
+                    }
+                    if tbag:
+                        m["zones"][tname] = tbag
+                    else:
+                        del m["zones"][tname]
+                if not m["zones"]:
+                    del m["zones"]
             m["version"] += 1
             if meta:
                 bag = m.setdefault("meta", {})

@@ -336,6 +336,81 @@ def test_catalog_time_travel(spark, tmp_path):
         cat.manifest(version=99)
 
 
+def test_catalog_read_skips_roots(spark, tmp_path):
+    """Zone-map data skipping (round 8): declared min/max stats recorded
+    per commit root at stage time; read(where=...) drops whole roots
+    whose range excludes the predicate BEFORE any file is opened —
+    results identical to a full-scan filter."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["ts", "tag"])
+    for lo, tag in [(0, "a"), (100, "b"), (200, "c"), (300, "d")]:
+        tx = cat.begin()
+        tx.stage(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("ts"), F.lit(tag).alias("tag")
+            ),
+        )
+        cat.commit(tx)
+    rels = cat.manifest()["tables"]["t"]
+    assert len(rels) == 4
+    # numeric range predicate: only the [200, 300) root survives
+    kept = cat.prune_roots("t", "ts >= 200 AND ts < 300")
+    assert len(kept) == 1
+    got = sorted(
+        r["ts"] for r in cat.read(spark, "t", where="ts >= 200 AND ts < 300").collect()
+    )
+    assert got == list(range(200, 300))
+    # string equality prunes on the tag zone
+    assert len(cat.prune_roots("t", "tag = 'b'")) == 1
+    assert cat.read(spark, "t", where="tag = 'b'").count() == 100
+    # every root pruned: empty result, schema intact
+    none_df = cat.read(spark, "t", where="ts > 100000")
+    assert none_df.count() == 0 and set(none_df.columns) == {"ts", "tag"}
+    # un-prunable expressions fall back to filter-only (sound)
+    assert len(cat.prune_roots("t", "ts = 5 OR ts = 205")) == 4
+    assert cat.read(spark, "t", where="ts = 5 OR ts = 205").count() == 2
+    # overwrite resets stats; roots written BEFORE declaration never prune
+    tx = cat.begin()
+    tx.stage(
+        "t",
+        spark.range(500, 510).select(
+            F.col("id").alias("ts"), F.lit("z").alias("tag")
+        ),
+        mode="overwrite",
+    )
+    cat.commit(tx)
+    assert len(cat.manifest()["zones"]["t"]) == 1
+    assert cat.read(spark, "t", where="ts >= 505").count() == 5
+    cat.drop_zone_map("t")
+    assert "zones" not in cat.manifest()
+    assert len(cat.prune_roots("t", "ts >= 99999")) == 1  # no stats, no prune
+
+
+def test_catalog_zone_maps_respect_time_travel_and_views(spark, tmp_path):
+    """Snapshot manifests carry version-consistent zones, and
+    register_views(where=...) registers pre-pruned filtered views for
+    SQL sessions."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["ts"])
+    tx = cat.begin()
+    tx.stage("t", spark.range(0, 50).select(F.col("id").alias("ts")))
+    v1 = cat.commit(tx)
+    tx = cat.begin()
+    tx.stage("t", spark.range(50, 100).select(F.col("id").alias("ts")))
+    cat.commit(tx)
+    assert len(cat.prune_roots("t", "ts < 10")) == 1
+    # the v1 snapshot has one root and its own zone entry
+    assert len(cat.prune_roots("t", "ts >= 60", version=v1)) == 0
+    views = cat.register_views(spark, prefix="zm_", where={"t": "ts >= 75"})
+    assert views == {"t": "zm_t"}
+    assert spark.sql("SELECT count(*) AS n FROM zm_t").collect()[0]["n"] == 25
+
+
 def test_catalog_vacuum_retention(spark, tmp_path):
     """vacuum(keep_last=1): expired snapshots + their unreferenced data
     dirs + aborted staging dirs are deleted; the live version still reads."""
