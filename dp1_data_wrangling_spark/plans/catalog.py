@@ -76,6 +76,9 @@ class Transaction:
     # per-root zone-map stats computed at stage time for declared columns:
     # table -> {col: [min, max]} (commit records them under the root's rel)
     zone_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # per-root bloom filters for declared equality-skipping columns:
+    # table -> {col: hex bitmap}
+    bloom_stats: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def stage(
         self,
@@ -272,7 +275,100 @@ class Transaction:
                     stats[c] = [lo, hi]
                 if stats:
                     self.zone_stats[table] = stats
+        bloom_cols = Catalog(self.root).bloom_map(table)
+        if bloom_cols:
+            # One distinct-collect of bit positions per declared column —
+            # the result is ≤ _BLOOM_NBITS rows by construction, so the
+            # driver only ever holds bitmap-sized state.  The hash MUST
+            # mirror _bloom_positions: md5('seed:' || cast(col as string)).
+            from pyspark.sql import functions as F
+
+            staged = df.sparkSession.read.parquet(str(out))
+            blooms: dict[str, str] = {}
+            for c in bloom_cols:
+                if c not in staged.columns:
+                    continue
+                if staged.schema[c].dataType.simpleString() not in _BLOOM_TYPES:
+                    continue  # only types whose Spark cast-to-string == str()
+                pos_arr = F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":",
+                                            F.lit(str(seed)),
+                                            F.col(c).cast("string"),
+                                        ).cast("binary")
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _BLOOM_NBITS
+                        ).cast("int")
+                        for seed in range(_BLOOM_HASHES)
+                    ]
+                )
+                rows = (
+                    staged.filter(F.col(c).isNotNull())
+                    .select(F.explode(pos_arr).alias("p"))
+                    .distinct()
+                    .collect()
+                )
+                if not rows or len(rows) > _BLOOM_NBITS // 2:
+                    continue  # empty or saturated filter: useless either way
+                blooms[c] = _bloom_hex([r["p"] for r in rows])
+            if blooms:
+                self.bloom_stats[table] = blooms
         self.writes[table] = (mode, rel)
+
+
+# -- bloom-filter skipping (equality complement to min/max zones) ----------
+# A root's min/max range says nothing useful about a high-cardinality
+# column under an equality predicate (every root's [min, max] spans the
+# probe).  A small per-root Bloom filter answers "definitely absent" for
+# ``col = literal`` instead.  Hashing must agree between the Spark
+# executor (stage time) and driver-side Python (prune time), so both
+# sides use md5 over the value's CANONICAL STRING — which restricts
+# bloom columns to string/integer types, where Spark's cast-to-string is
+# byte-identical to Python's str().  8192 bits / 2 hashes ≈ 2% false
+# positives at 1k distinct values per root; a filter more than half set
+# is discarded as useless (and an all-NULL column stores nothing).
+_BLOOM_NBITS = 8192
+_BLOOM_HASHES = 2
+_BLOOM_TYPES = ("string", "bigint", "int", "integer", "long", "smallint", "tinyint")
+
+
+def _bloom_positions(value: object) -> list[int]:
+    """Driver-side bit positions for a value — MUST mirror the Spark-side
+    expression in ``Transaction.stage`` (md5 of 'seed:str(value)')."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:15], 16
+        )
+        % _BLOOM_NBITS
+        for seed in range(_BLOOM_HASHES)
+    ]
+
+
+def _bloom_hex(positions: list[int]) -> str:
+    bits = bytearray(_BLOOM_NBITS // 8)
+    for p in positions:
+        bits[p // 8] |= 1 << (p % 8)
+    return bits.hex()
+
+
+def _bloom_maybe_contains(hex_filter: str, value: object) -> bool:
+    bits = bytes.fromhex(hex_filter)
+    return all(
+        bits[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value)
+    )
 
 
 # Zone-map predicate grammar: conjunctions of ``col op literal`` with
@@ -460,6 +556,30 @@ class Catalog:
     def drop_zone_map(self, table: str) -> int:
         return self.commit(self.begin(), zone_map_ddl={table: None})
 
+    def bloom_map(self, table: str) -> list[str]:
+        """Columns declared for per-root Bloom-filter skipping on
+        ``table`` (empty if none)."""
+        return list(self.manifest().get("bloom_maps", {}).get(table, []))
+
+    def set_bloom_filter(self, table: str, columns: list[str]) -> int:
+        """Declare Bloom-filter columns for ``table`` — transactional DDL.
+
+        The equality complement to ``set_zone_map``: min/max ranges are
+        useless for ``col = literal`` on a high-cardinality column
+        (every root's range spans the probe), but an 8192-bit per-root
+        Bloom filter answers "definitely absent" with ~2% false
+        positives at 1k distinct values.  Stage time computes the bitmap
+        with one distinct-collect of bit positions per column (bounded
+        by the bitmap size); ``read(where=...)`` prunes roots whose
+        filter rules the literal out.  Restricted to string/integer
+        columns: the md5 hash is over the value's canonical string,
+        which must agree between Spark's cast-to-string (executor, stage
+        time) and Python's str() (driver, prune time)."""
+        return self.commit(self.begin(), bloom_ddl={table: list(columns)})
+
+    def drop_bloom_filter(self, table: str) -> int:
+        return self.commit(self.begin(), bloom_ddl={table: None})
+
     # -- read path ---------------------------------------------------------
     def read(
         self,
@@ -503,7 +623,26 @@ class Catalog:
         if not conjuncts:
             return list(rels)
         zones = m.get("zones", {}).get(table, {})
-        return [r for r in rels if not _zone_excludes(zones.get(r), conjuncts)]
+        blooms = m.get("blooms", {}).get(table, {})
+        eq_conjuncts = [
+            (c, v) for c, op, v in conjuncts if op in ("=", "==")
+        ]
+
+        def bloom_excludes(rel: str) -> bool:
+            stats = blooms.get(rel)
+            if not stats:
+                return False
+            return any(
+                c in stats and not _bloom_maybe_contains(stats[c], v)
+                for c, v in eq_conjuncts
+            )
+
+        return [
+            r
+            for r in rels
+            if not _zone_excludes(zones.get(r), conjuncts)
+            and not bloom_excludes(r)
+        ]
 
     def table_schema(self, spark: SparkSession, table: str):
         """The table's current read schema (None if the table doesn't
@@ -1094,6 +1233,7 @@ class Catalog:
         require_roots: dict[str, list[str]] | None = None,
         constraint_ddl: dict[str, dict[str, str | None]] | None = None,
         zone_map_ddl: dict[str, list[str] | None] | None = None,
+        bloom_ddl: dict[str, list[str] | None] | None = None,
         root_overrides: dict[str, list[str]] | None = None,
         require_absent: list[str] | None = None,
     ) -> int:
@@ -1183,6 +1323,16 @@ class Catalog:
                         zbag[tname] = cols
                 if not zbag:
                     m.pop("zone_maps", None)
+            if bloom_ddl:
+                bbag = m.setdefault("bloom_maps", {})
+                for tname, cols in bloom_ddl.items():
+                    if cols is None:
+                        bbag.pop(tname, None)
+                        m.get("blooms", {}).pop(tname, None)
+                    else:
+                        bbag[tname] = cols
+                if not bbag:
+                    m.pop("bloom_maps", None)
             for table, (mode, rel) in sorted(txn.writes.items()):
                 if mode == "overwrite" or table not in tables:
                     tables[table] = [rel]
@@ -1194,6 +1344,10 @@ class Catalog:
                     m.setdefault("zones", {}).setdefault(table, {})[
                         rel
                     ] = txn.zone_stats[table]
+                if table in txn.bloom_stats:
+                    m.setdefault("blooms", {}).setdefault(table, {})[
+                        rel
+                    ] = txn.bloom_stats[table]
             if root_overrides:
                 # zero-copy re-pointing (restore/clone): set a table's root
                 # list directly to already-existing immutable data dirs.
@@ -1208,35 +1362,40 @@ class Catalog:
                             "in one commit"
                         )
                     tables[table] = list(rels)
-                    # Re-pointed roots (restore/clone) keep their zone
-                    # stats: rels are txn-unique, so a rel -> stats lookup
-                    # across every table's zone bag is unambiguous.
-                    all_zone_stats = {
-                        r: st
-                        for tbag in m.get("zones", {}).values()
-                        for r, st in tbag.items()
-                    }
-                    carried = {
-                        r: all_zone_stats[r] for r in rels if r in all_zone_stats
-                    }
-                    if carried:
-                        m.setdefault("zones", {})[table] = carried
-            if "zones" in m:
+                    # Re-pointed roots (restore/clone) keep their zone and
+                    # bloom stats: rels are txn-unique, so a rel -> stats
+                    # lookup across every table's bag is unambiguous.
+                    for bag_name in ("zones", "blooms"):
+                        by_rel = {
+                            r: st
+                            for tbag in m.get(bag_name, {}).values()
+                            for r, st in tbag.items()
+                        }
+                        carried = {
+                            r: by_rel[r] for r in rels if r in by_rel
+                        }
+                        if carried:
+                            m.setdefault(bag_name, {})[table] = carried
+            for bag_name in ("zones", "blooms"):
+                if bag_name not in m:
+                    continue
                 # Drop stats for roots no longer referenced by the LIVE
                 # table lists (overwrite/compact/delete replaced them).
                 # Snapshot manifests keep their own version-consistent
-                # zones, so time travel still prunes correctly.
-                for tname in list(m["zones"]):
+                # stats, so time travel still prunes correctly.
+                for tname in list(m[bag_name]):
                     live = set(tables.get(tname, []))
                     tbag = {
-                        r: st for r, st in m["zones"][tname].items() if r in live
+                        r: st
+                        for r, st in m[bag_name][tname].items()
+                        if r in live
                     }
                     if tbag:
-                        m["zones"][tname] = tbag
+                        m[bag_name][tname] = tbag
                     else:
-                        del m["zones"][tname]
-                if not m["zones"]:
-                    del m["zones"]
+                        del m[bag_name][tname]
+                if not m[bag_name]:
+                    del m[bag_name]
             m["version"] += 1
             if meta:
                 bag = m.setdefault("meta", {})

@@ -389,6 +389,61 @@ def test_catalog_read_skips_roots(spark, tmp_path):
     assert len(cat.prune_roots("t", "ts >= 99999")) == 1  # no stats, no prune
 
 
+def test_catalog_bloom_filter_skips_roots(spark, tmp_path):
+    """Bloom-filter data skipping (round 8): the equality complement to
+    min/max zones — per-root 8192-bit filters prune ``col = literal``
+    probes on high-cardinality columns where every root's [min, max]
+    range spans the probe.  Pins the cross-engine hash parity (Spark
+    md5-of-cast-string at stage time == Python md5-of-str at prune
+    time) by asserting the root that DOES hold the value always
+    survives."""
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.plans.catalog import (
+        _bloom_hex,
+        _bloom_maybe_contains,
+        _bloom_positions,
+    )
+
+    # unit: membership after insertion, absence detectable
+    h = _bloom_hex(
+        [p for v in ("alpha", 42, "beta") for p in _bloom_positions(v)]
+    )
+    assert _bloom_maybe_contains(h, "alpha") and _bloom_maybe_contains(h, 42)
+    assert not _bloom_maybe_contains(h, "definitely-absent-value-xyz")
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_bloom_filter("t", ["tag", "uid"])
+    # interleaved ids: every root's [min, max] uid range spans every
+    # probe, so min/max zones could never prune — blooms must
+    for start, tag in [(0, "a"), (1, "b"), (2, "c"), (3, "d")]:
+        tx = cat.begin()
+        tx.stage(
+            "t",
+            spark.range(100).select(
+                (F.col("id") * 4 + start).alias("uid"),
+                F.concat(F.lit(tag), F.col("id") % 7).alias("tag"),
+            ),
+        )
+        cat.commit(tx)
+    assert len(cat.manifest()["tables"]["t"]) == 4
+    # uid 202 lives only in the start=2 root (202 % 4 == 2)
+    kept = cat.prune_roots("t", "uid = 202")
+    assert len(kept) == 1
+    got = cat.read(spark, "t", where="uid = 202").collect()
+    assert len(got) == 1 and got[0]["uid"] == 202
+    # string equality: 'b3' exists only in the second root
+    assert len(cat.prune_roots("t", "tag = 'b3'")) == 1
+    assert cat.read(spark, "t", where="tag = 'b3'").count() >= 1
+    # a value in no root prunes everything, result stays empty+typed
+    assert len(cat.prune_roots("t", "uid = 100000")) == 0
+    assert cat.read(spark, "t", where="uid = 100000").count() == 0
+    # range predicates ignore blooms (min/max territory)
+    assert len(cat.prune_roots("t", "uid > 2")) == 4
+    cat.drop_bloom_filter("t")
+    assert "blooms" not in cat.manifest()
+    assert len(cat.prune_roots("t", "uid = 202")) == 4
+
+
 def test_catalog_zone_maps_respect_time_travel_and_views(spark, tmp_path):
     """Snapshot manifests carry version-consistent zones, and
     register_views(where=...) registers pre-pruned filtered views for
