@@ -209,3 +209,90 @@ def semantic_dedup(
         max_bucket_size=max_bucket_size,
     )
     return dedup_survivors(vectors, pairs, id_col=id_col)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    salt: str = DEFAULT_SALT,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Embedding-space eval-overlap screening: flag corpus vectors whose
+    cosine to ANY eval-set vector clears ``threshold`` — the semantic
+    complement to the n-gram ``operators/decontam.py`` (which catches
+    verbatim leakage; this catches paraphrased/re-embedded leakage the
+    token level cannot see).
+
+    Shape mirrors ``semantic_candidate_pairs`` but two-sided: both sides
+    get the SAME integer-SRP signatures (row-local, zero shuffles), the
+    candidate set is one corpus↔eval equi-join on the signature — never
+    corpus × eval — and exact cosine (rounded to 6 digits BEFORE
+    thresholding, engine-reproducible) re-ranks inside buckets.  The
+    hot-bucket cap applies to CORPUS-side bucket sizes (a degenerate
+    pile-up is dropped, not exploded — those rows go unscreened, the
+    documented recall trade the dedup family makes); the eval side is
+    benchmark-sized by definition.
+
+    Returns one row per corpus vector: (id, n_eval_hits, max_sim,
+    contaminated) — max_sim is NULL for clean rows.  At 100 TB: the
+    corpus never shuffles payloads beyond (signature, id, vector) for
+    rows landing in an occupied bucket; eval signatures are tiny.
+    """
+    from ..tables import spread
+
+    c_sig = srp_signature(
+        spread(corpus).select(F.col(id_col), F.col(vec_col)),
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        salt=salt,
+    )
+    e_sig = srp_signature(
+        eval_set.select(F.col(id_col), F.col(vec_col)),
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        salt=salt,
+    )
+    n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
+    c_kept = (
+        c_sig.withColumn("__n", n_in_bucket)
+        .filter(F.col("__n") <= max_bucket_size)
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            "srp_sig",
+        )
+    )
+    e = e_sig.select(
+        F.col(id_col).alias("__eid"), F.col(vec_col).alias("__ev"), "srp_sig"
+    )
+    sim = F.round(cosine(F.col("__cv"), F.col("__ev")), 6)
+    hits = (
+        c_kept.join(e, "srp_sig")
+        .select("__cid", "__eid", sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy("__cid")
+        .agg(
+            F.countDistinct("__eid").alias("n_eval_hits"),
+            F.max("__sim").alias("max_sim"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("__cid"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_hits", F.lit(0).cast("long")).alias(
+                "n_eval_hits"
+            ),
+            "max_sim",
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1664,7 +1664,7 @@ DRIVER_WINDOW: list[str] = [
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "events_rollup_incremental",  # hypertable-style rollup over events
     # -- LLM curation tier --
-    "doc_split_assign",           # deterministic train/val/test split
+    "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
     "doc_decontaminate",          # eval-overlap n-gram decontamination
     "doc_global_shuffle",         # md5-keyed global shuffle (capped bucket space)

@@ -2152,6 +2152,110 @@ _SEMANTIC_DEDUP_ORACLE = _semantic_cc_sql(
 )
 
 
+# Eval side of the semantic-decontamination oracle: ONLY the planted
+# mutants from _AUG_EMB_SQL (the "benchmark" is a paraphrased leak of
+# every %10 training doc), so exactly the %10 corpus rows must flag.
+_SEMANTIC_DECONTAM_ORACLE = """
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    evalset AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, length(embedding) + 1),
+                 j -> CAST(embedding[j] AS DOUBLE)
+                      + (CAST(('0x' || substr(md5('mut:'
+                             || CAST(vec_id AS VARCHAR) || ':'
+                             || CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 21 - 10) * 0.0002) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    allv AS (
+        SELECT 'c' AS side, vec_id, v FROM corpus
+        UNION ALL SELECT 'e', vec_id, v FROM evalset
+    ),
+    quant AS (
+        SELECT side, vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
+        FROM allv
+    ),
+    sigs AS (
+        SELECT side, vec_id,
+               CAST(sum(CASE WHEN dotp >= 0
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM (
+            SELECT q.side, q.vec_id, p.p,
+                   list_aggregate(
+                       list_transform(range(1, 65),
+                         j -> q.q[j] *
+                              (CASE WHEN CAST(('0x' || substr(md5('semdedup_v1:'
+                                       || CAST(p.p AS VARCHAR) || ':'
+                                       || CAST(j - 1 AS VARCHAR)), 1, 2)) AS INT)
+                                       % 2 = 1
+                                    THEN 1 ELSE -1 END)),
+                       'sum') AS dotp
+            FROM quant q CROSS JOIN range(0, 8) p(p)) d
+        GROUP BY 1, 2
+    ),
+    c_kept AS (
+        SELECT s.vec_id, s.sig FROM sigs s
+        JOIN (SELECT sig, count(*) AS n FROM sigs WHERE side = 'c'
+              GROUP BY 1) b
+          ON s.sig = b.sig AND b.n <= 100
+        WHERE s.side = 'c'
+    ),
+    hits AS (
+        SELECT vec_id, CAST(count(DISTINCT eid) AS BIGINT) AS n_eval_hits,
+               max(sim) AS max_sim
+        FROM (
+            SELECT ck.vec_id, es.vec_id AS eid,
+                   round(list_cosine_similarity(cv.v, ev.v), 6) AS sim
+            FROM c_kept ck
+            JOIN (SELECT vec_id, sig FROM sigs WHERE side = 'e') es
+              ON es.sig = ck.sig
+            JOIN corpus cv ON cv.vec_id = ck.vec_id
+            JOIN evalset ev ON ev.vec_id = es.vec_id
+        ) x
+        WHERE sim >= 0.95
+        GROUP BY 1
+    )
+    SELECT c.vec_id,
+           coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           h.max_sim,
+           coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (vec_id)
+    """
+
+
+@register("doc_semantic_decontam", _SEMANTIC_DECONTAM_ORACLE)
+def q_doc_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-overlap screening (round 8): the embedding-space
+    complement to the n-gram `doc_decontaminate` — catches paraphrased
+    or re-embedded benchmark leakage that token-level n-grams cannot
+    see.  The eval set is the planted near-dup mutants (cosine ~0.9999
+    to their %10 sources), so ONLY %10 corpus rows can flag and nearly
+    all do (SRP blocking recall ~1 at 8 planes; a planted pair that
+    misses its bucket is missed identically by the oracle — the replay
+    is exact either way).
+    Operator: operators/semantic.py semantic_decontaminate — two-sided
+    integer-SRP blocking, ONE corpus↔eval signature equi-join (never
+    corpus × eval), corpus-side hot-bucket cap, exact rounded cosine.
+    The oracle replays planes, quantization, cap, and threshold
+    verbatim.  At 100 TB the corpus shuffles only (sig, id, vector) for
+    occupied buckets; eval signatures are benchmark-sized."""
+    from .operators.semantic import semantic_decontaminate
+
+    corpus = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_set = _augment_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") >= MUTANT_OFFSET
+    )
+    return semantic_decontaminate(
+        corpus, eval_set, dim=64, threshold=0.95, n_planes=8
+    )
+
+
 @register("embedding_semantic_dedup", _SEMANTIC_DEDUP_ORACLE, headline=True)
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup end-to-end: integer-SRP blocking ->

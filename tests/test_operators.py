@@ -1633,6 +1633,47 @@ def test_semantic_dedup_clusters_planted_mutants_no_false_merges(spark):
         assert r["is_survivor"] == (v == r["component"])
 
 
+def test_semantic_decontaminate_flags_planted_leaks_only(spark):
+    """semantic_decontaminate (round 8): with the planted mutants as the
+    eval set, >=90% of %10 corpus rows flag contaminated (SRP recall
+    loss only), NO other corpus row flags (max natural cosine ~0.51 <<
+    0.95), clean rows carry NULL max_sim, and the output covers every
+    corpus row exactly once."""
+    from dp1_data_wrangling_spark.operators.semantic import (
+        semantic_decontaminate,
+    )
+    from dp1_data_wrangling_spark.queries_llm import (
+        MUTANT_OFFSET,
+        _augment_embeddings,
+    )
+    from dp1_data_wrangling_spark.tables import load_table
+
+    corpus = load_table(spark, SMOKE_SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_set = _augment_embeddings(spark, SMOKE_SF).filter(
+        F.col("vec_id") >= MUTANT_OFFSET
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, eval_set, dim=64, threshold=0.95, n_planes=8
+        ).collect()
+    }
+    n_corpus = corpus.count()
+    assert len(rows) == n_corpus
+    planted = [v for v in rows if v % 10 == 0]
+    flagged = [v for v, r in rows.items() if r["contaminated"]]
+    assert set(flagged) <= set(planted), "false contamination flag"
+    assert len(flagged) >= 0.9 * len(planted), f"{len(flagged)}/{len(planted)}"
+    for v, r in rows.items():
+        if r["contaminated"]:
+            assert r["max_sim"] is not None and r["max_sim"] >= 0.95
+            assert r["n_eval_hits"] >= 1
+        else:
+            assert r["max_sim"] is None and r["n_eval_hits"] == 0
+
+
 def test_srp_signature_partitioning_invariant(spark):
     """The integer SRP signature is a pure function of the vector — any
     repartitioning yields byte-identical signatures (the blocking must not

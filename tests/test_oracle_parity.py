@@ -70,9 +70,10 @@ def test_driver_window_covers_flagship_surface():
         "session_window", "event_correlation", "chain_flatten_distributed",
         # round-6 rotation: the curation tier replaced approx_distinct /
         # approx_percentile (4-5x consecutive driver-green, parity-held)
-        # doc_stable_sample rotated out in r7 for multimodal_audio_frames
-        # (2x green; split_assign + global_shuffle keep the sampling family)
-        "doc_split_assign", "doc_curation_pipeline",
+        # doc_stable_sample rotated out in r7 for multimodal_audio_frames;
+        # doc_split_assign rotated out in r8 for doc_semantic_decontam
+        # (2x green; global_shuffle + quota + resample keep the family)
+        "doc_curation_pipeline",
         # round-6 part 3-5: brand-new operators enter the window directly;
         # sliding_window and multimodal_frames rotated out (5x green /
         # rows-only — weakest external evidence; families stay represented
@@ -104,6 +105,11 @@ def test_driver_window_covers_flagship_surface():
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
         "multimodal_png",
+        # round-8: semantic eval-overlap screening enters directly
+        # (doc_split_assign out — 2x green; the sampling/split family
+        # stays via doc_global_shuffle, doc_source_quota,
+        # doc_importance_resample, doc_cluster_safe_split)
+        "doc_semantic_decontam",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
