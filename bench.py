@@ -398,6 +398,72 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - sweep is informational
             print(f"text-dedup scale probe failed: {exc}", file=sys.stderr)
 
+    # Catalog data-skipping probe (round 8): 16 range-disjoint commit
+    # roots over lineitem with a zone map on l_orderkey; a one-root range
+    # predicate through read(where=...) vs the same filter over a full
+    # 16-root union scan.  At this SF the win is mostly plan/scan setup;
+    # at 100 TB it is thousands of object-store listings + parquet
+    # footers never fetched — roots_scanned is the metric that transfers.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.plans import Catalog
+            from dp1_data_wrangling_spark.tables import load_table
+
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+            )
+            tmp = tempfile.mkdtemp(prefix="bench_zonemap_")
+            try:
+                cat = Catalog(f"{tmp}/cat")
+                cat.set_zone_map("li", ["l_orderkey"])
+                maxk = li.agg(F.max("l_orderkey")).collect()[0][0]
+                step = maxk // 16 + 1
+                for i in range(16):
+                    tx = cat.begin()
+                    tx.stage(
+                        "li",
+                        li.filter(
+                            (F.col("l_orderkey") >= i * step)
+                            & (F.col("l_orderkey") < (i + 1) * step)
+                        ),
+                    )
+                    cat.commit(tx)
+                pred = (
+                    f"l_orderkey >= {3 * step} AND l_orderkey < {4 * step}"
+                )
+                kept = cat.prune_roots("li", pred)
+
+                def time_read(fn) -> float:
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        materialize(fn())
+                        best = min(best, time.perf_counter() - t0)
+                    return best
+
+                t_pruned = time_read(
+                    lambda: cat.read(spark, "li", where=pred)
+                )
+                t_full = time_read(
+                    lambda: cat.read(spark, "li").filter(pred)
+                )
+                scaling["catalog_zone_map_probe"] = {
+                    "roots_total": 16,
+                    "roots_scanned": len(kept),
+                    "pruned_sec": round(t_pruned, 3),
+                    "full_scan_sec": round(t_full, 3),
+                    "speedup": round(t_full / t_pruned, 2),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - probe is informational
+            print(f"zone-map probe failed: {exc}", file=sys.stderr)
+
     # Streaming ingest bench (round 8, VERDICT item 5): the streaming tier
     # has exact batch-equivalence proofs but needed cost numbers — at
     # 100 TB the ingest path IS the product for half the LLM tier.  Three

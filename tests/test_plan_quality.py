@@ -414,6 +414,20 @@ def test_semantic_dedup_plan_is_bucketed_never_all_pairs(spark):
     assert "srp_sig" in plan  # the equi-join key is the signature
 
 
+def test_semantic_decontam_plan_is_bucketed_never_all_pairs(spark):
+    """semantic_decontaminate's candidate stage must be an equi-join on
+    the SRP signature — corpus × eval enumeration would be quadratic at
+    corpus scale — with zero Python in the plan."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(
+        REGISTRY["doc_semantic_decontam"].fn(spark, SMOKE_SF)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "srp_sig" in plan  # the equi-join key is the signature
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+
+
 def test_source_mix_plan_partial_agg_and_broadcast_dimension(spark):
     """source_mix's only data shuffle is the map-side-combinable source
     groupBy; the per-source threshold joins back as a broadcast."""
