@@ -1140,7 +1140,7 @@ _MULTIMODAL_PNG_ORACLE = """
 """
 
 
-@register("multimodal_png", _MULTIMODAL_PNG_ORACLE)
+@register("multimodal_png", _MULTIMODAL_PNG_ORACLE, headline=True)
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode (round 8): synthesize actual PNG
     bytes executor-side (operators/multimodal.py synthetic_png — zlib
