@@ -401,8 +401,9 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr, *, filters=None) -> bytes:
-    """Encode an (h, w, 3) uint8 array as an 8-bit RGB PNG (color type 2,
-    no interlace) using only stdlib zlib.  ``filters`` optionally gives
+    """Encode an (h, w, 3) uint8 array as an 8-bit RGB PNG (color type
+    2) — or an (h, w) array as 8-bit grayscale (color type 0) — no
+    interlace, using only stdlib zlib.  ``filters`` optionally gives
     per-row filter types 0-4 (cycled) so tests can exercise every
     unfilter path (Sub/Up/Average/Paeth); default is filter 0 rows."""
     import struct
@@ -411,16 +412,20 @@ def encode_png(arr, *, filters=None) -> bytes:
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    if a.ndim == 2:
+        bpp, ctype = 1, 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        bpp, ctype = 3, 2
+    else:
+        raise ValueError(f"expected (h, w, 3) or (h, w) array, got shape {a.shape}")
     h, w = a.shape[:2]
     if filters is None:
         filters = [0]
     raw = bytearray()
-    prev = np.zeros(w * 3, dtype=np.int64)
+    prev = np.zeros(w * bpp, dtype=np.int64)
     for r in range(h):
         row = a[r].reshape(-1).astype(np.int64)
-        left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
         ft = int(filters[r % len(filters)])
         if ft == 0:
             enc = row
@@ -431,7 +436,7 @@ def encode_png(arr, *, filters=None) -> bytes:
         elif ft == 3:  # Average
             enc = (row - (left + prev) // 2) % 256
         elif ft == 4:  # Paeth
-            upleft = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
             pa = np.abs(prev - upleft)
             pb = np.abs(left - upleft)
             pc = np.abs(left + prev - 2 * upleft)
@@ -444,7 +449,7 @@ def encode_png(arr, *, filters=None) -> bytes:
         raw.append(ft)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -454,15 +459,17 @@ def encode_png(arr, *, filters=None) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """Decode an 8-bit RGB PNG (color type 2, no interlace) into an
-    (h, w, 3) uint8 array — stdlib zlib inflate + the full filter set
-    (None/Sub/Up/Average/Paeth), exact integer math per the PNG spec.
-    CRCs are verified; truncation, palette/alpha/16-bit color types, and
-    interlacing raise descriptive ValueErrors (the honest-stub posture:
-    decode correctly or fail loudly, never a silent partial raster).
-    Filter-0 and Up rows unfilter vectorized; Sub/Average/Paeth carry an
-    intra-row dependency and walk pixels in Python — acceptable for the
-    test rasters, and the plumbing is codec-swappable behind the same
+    """Decode an 8-bit RGB (color type 2) or grayscale (color type 0)
+    PNG, no interlace, into an (h, w, 3) uint8 array (gray replicates
+    into RGB so every downstream image stat sees one raster shape) —
+    stdlib zlib inflate + the full filter set (None/Sub/Up/Average/
+    Paeth), exact integer math per the PNG spec.  CRCs are verified;
+    truncation, palette/alpha/16-bit color types, and interlacing raise
+    descriptive ValueErrors (the honest-stub posture: decode correctly
+    or fail loudly, never a silent partial raster).  Filter-0 and Up
+    rows unfilter vectorized; Sub/Average/Paeth carry an intra-row
+    dependency and walk pixels in Python — acceptable for the test
+    rasters, and the plumbing is codec-swappable behind the same
     signature."""
     import struct
     import zlib
@@ -471,7 +478,7 @@ def decode_png(payload: bytes):
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, w, h = 8, None, None
+    pos, w, h, bpp = 8, None, None, 3
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -486,11 +493,12 @@ def decode_png(payload: bytes):
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype != 2:
+            if depth != 8 or ctype not in (0, 2):
                 raise ValueError(
-                    f"only 8-bit RGB (color type 2) supported, got "
-                    f"depth={depth} color_type={ctype}"
+                    f"only 8-bit RGB (color type 2) or grayscale (0) "
+                    f"supported, got depth={depth} color_type={ctype}"
                 )
+            bpp = 3 if ctype == 2 else 1
             if comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError(
                     f"unsupported compression/filter/interlace "
@@ -504,7 +512,7 @@ def decode_png(payload: bytes):
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * 3
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"raster size mismatch: expected {h * (stride + 1)} filtered "
@@ -524,20 +532,23 @@ def decode_png(payload: bytes):
         elif ft in (1, 3, 4):  # Sub / Average / Paeth: intra-row recurrence
             cur = np.zeros(stride, np.int64)
             for i in range(stride):
-                a = cur[i - 3] if i >= 3 else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 if ft == 1:
                     pred = a
                 elif ft == 3:
                     pred = (a + prev[i]) // 2
                 else:
-                    b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+                    b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 cur[i] = (line[i] + pred) % 256
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[r] = cur
-    return out.astype(np.uint8).reshape(h, w, 3)
+    arr = out.astype(np.uint8).reshape(h, w, bpp)
+    if bpp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
 
 
 def encode_y4m(planes) -> bytes:
@@ -857,9 +868,12 @@ def synthetic_video(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 def synthetic_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic REAL compressed payloads from an id column — actual
-    zlib-deflated PNGs (8-bit RGB): w = id%14+4, h = id%10+4,
-    ``pixel[r, c, k] = (id*13 + r*5 + c*11 + k*3) % 256``, per-row filter
-    type ``(id + r) % 5`` so every payload exercises the whole
+    zlib-deflated PNGs: w = id%14+4, h = id%10+4; EVEN ids are 8-bit RGB
+    (color type 2) with ``pixel[r, c, k] = (id*13 + r*5 + c*11 + k*3) %
+    256``; ODD ids are 8-bit GRAYSCALE (color type 0) with
+    ``pixel[r, c] = (id*13 + r*5 + c*11) % 256`` (decoded as replicated
+    RGB), so both color types run under the external driver check.
+    Per-row filter type ``(id + r) % 5`` exercises the whole
     None/Sub/Up/Average/Paeth filter set on both sides of the codec.
     Content is closed-form in the id, so a SQL oracle replays any decode
     statistic without touching bytes — a wrong unfilter (or a CRC/IDAT
@@ -883,9 +897,14 @@ def synthetic_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 r = np.arange(h)[:, None, None]
                 c = np.arange(w)[None, :, None]
                 k = np.arange(3)[None, None, :]
-                arr = ((mid * 13 + r * 5 + c * 11 + k * 3) % 256).astype(
-                    np.uint8
-                )
+                if mid % 2:
+                    arr = (
+                        (mid * 13 + r[:, :, 0] * 5 + c[:, :, 0] * 11) % 256
+                    ).astype(np.uint8)
+                else:
+                    arr = ((mid * 13 + r * 5 + c * 11 + k * 3) % 256).astype(
+                        np.uint8
+                    )
                 out["media_id"].append(mid)
                 out["media_type"].append("image/png")
                 out["payload"].append(

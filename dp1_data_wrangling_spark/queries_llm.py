@@ -1114,8 +1114,12 @@ _MULTIMODAL_PNG_ORACLE = """
         FROM documents
     ),
     imgsum AS (
+        -- even ids: RGB pixel (…+ k*3); odd ids: grayscale replicated
+        -- across k, so the k term drops but the k fan-out still counts 3x
         SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
-               CAST(sum((i.media_id*13 + r.r*5 + c.c*11 + k.k*3) % 256)
+               CAST(sum((i.media_id*13 + r.r*5 + c.c*11
+                        + CASE WHEN i.media_id % 2 = 1 THEN 0
+                               ELSE k.k*3 END) % 256)
                    AS BIGINT) AS value_sum
         FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
              LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
@@ -1125,7 +1129,9 @@ _MULTIMODAL_PNG_ORACLE = """
     rsum AS (
         SELECT i.media_id,
                CAST(sum((i.media_id*13 + ((ri.i * i.h) // i.oh)*5
-                        + ((cj.j * i.w) // i.ow)*11 + k.k*3) % 256)
+                        + ((cj.j * i.w) // i.ow)*11
+                        + CASE WHEN i.media_id % 2 = 1 THEN 0
+                               ELSE k.k*3 END) % 256)
                    AS BIGINT) AS resized_sum
         FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
              LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
@@ -1144,14 +1150,16 @@ _MULTIMODAL_PNG_ORACLE = """
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode (round 8): synthesize actual PNG
     bytes executor-side (operators/multimodal.py synthetic_png — zlib
-    deflate, per-row filter type (id+r)%5 cycling the whole
-    None/Sub/Up/Average/Paeth set), then inflate + unfilter with the
-    stdlib-zlib decoder, nearest-downscale, and checksum both rasters
-    (decode_stats — stats come from DECODED pixels).  The oracle replays
-    the closed-form pixel arithmetic over unnested ranges, so a wrong
-    Paeth predictor, a filter-byte offset slip, or an IDAT reassembly
-    bug is a hash mismatch.  Lossy codecs (JPEG/MP3) stay behind the
-    honest stub.  Row-local: zero shuffles at any corpus."""
+    deflate; even ids 8-bit RGB, odd ids 8-bit grayscale; per-row filter
+    type (id+r)%5 cycling the whole None/Sub/Up/Average/Paeth set), then
+    inflate + unfilter with the stdlib-zlib decoder, nearest-downscale,
+    and checksum both rasters (decode_stats — stats come from DECODED
+    pixels).  The oracle replays the closed-form pixel arithmetic over
+    unnested ranges (gray = the k term dropped, still counted 3x by the
+    RGB replication), so a wrong Paeth predictor, a filter-byte offset
+    slip, a bpp mix-up, or an IDAT reassembly bug is a hash mismatch.
+    Lossy codecs (JPEG/MP3) stay behind the honest stub.  Row-local:
+    zero shuffles at any corpus."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id")
     )

@@ -372,6 +372,12 @@ def test_png_codec_roundtrip_all_filters():
         + np.arange(3)[None, None, :]
     ).astype(np.uint8)
     assert (mm.decode_png(mm.encode_png(g, filters=[4])) == g).all()
+    # grayscale (color type 0): roundtrips through every filter and
+    # decodes to replicated RGB so downstream stats see one raster shape
+    gray = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+    for filters in [None, [1], [2], [3], [4], [0, 4, 3, 2, 1]]:
+        out = mm.decode_png(mm.encode_png(gray, filters=filters))
+        assert out.shape == (6, 11, 3) and (out == gray[:, :, None]).all()
     good = mm.encode_png(g)
     bad = bytearray(good)
     bad[30] ^= 0xFF  # flip a bit inside the IHDR body

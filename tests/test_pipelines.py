@@ -444,6 +444,53 @@ def test_catalog_bloom_filter_skips_roots(spark, tmp_path):
     assert len(cat.prune_roots("t", "uid = 202")) == 4
 
 
+def test_zone_stats_survive_compact_and_streaming_ingest(spark, tmp_path):
+    """Zone/bloom stats flow through every write path that uses
+    Transaction.stage: compact's rewrite re-computes stats for the folded
+    root, and a streaming ingest (stream_into_catalog) records stats per
+    micro-batch commit — so skipping works on streamed tables with no
+    extra wiring."""
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming.sinks import stream_into_catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["ts"])
+    for lo in (0, 100, 200):
+        tx = cat.begin()
+        tx.stage("t", spark.range(lo, lo + 100).select(F.col("id").alias("ts")))
+        cat.commit(tx)
+    assert len(cat.prune_roots("t", "ts >= 200")) == 1
+    cat.compact(spark, "t")
+    roots = cat.manifest()["tables"]["t"]
+    assert len(roots) == 1
+    # the folded root carries fresh stats spanning the whole range
+    assert cat.manifest()["zones"]["t"][roots[0]]["ts"] == [0, 299]
+    assert len(cat.prune_roots("t", "ts >= 300")) == 0
+    assert cat.read(spark, "t", where="ts >= 250").count() == 50
+
+    # streaming: 4 micro-batches -> 4 roots, each with its own stats
+    croot = str(tmp_path / "scat")
+    scat = Catalog(croot)
+    scat.set_zone_map("ev", ["ts"])
+    src = str(tmp_path / "src")
+    spark.range(400).select(F.col("id").alias("ts")).repartitionByRange(
+        4, "ts"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_catalog(
+        stream, croot, "ev", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(scat.manifest()["tables"]["ev"]) == 4
+    kept = scat.prune_roots("ev", "ts >= 300")
+    assert len(kept) == 1
+    assert scat.read(spark, "ev", where="ts >= 300").count() == 100
+
+
 def test_catalog_zone_maps_respect_time_travel_and_views(spark, tmp_path):
     """Snapshot manifests carry version-consistent zones, and
     register_views(where=...) registers pre-pruned filtered views for
