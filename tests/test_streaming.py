@@ -615,6 +615,78 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     assert read_clean(spark, cat_root).count() == len(want_clean)
 
 
+def test_stream_semantic_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming semantic decontamination (round 8) over two
+    micro-batches publishes exactly the batch operator's clean/flagged
+    partition (stateless against a static eval embedding set; no bucket
+    here nears the hot-bucket cap, so the documented per-batch-cap
+    divergence case does not trigger and equality is exact), and a
+    checkpoint replay adds nothing."""
+    from dp1_data_wrangling_spark.operators.semantic import (
+        semantic_decontaminate,
+    )
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.queries_llm import (
+        MUTANT_OFFSET,
+        _augment_embeddings,
+    )
+    from dp1_data_wrangling_spark.streaming.decontam import (
+        SEM_CLEAN_TABLE,
+        SEM_FLAGGED_TABLE,
+        stream_semantic_decontaminate,
+    )
+    from dp1_data_wrangling_spark.tables import load_table
+
+    corpus = load_table(spark, SMOKE_SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_set = _augment_embeddings(spark, SMOKE_SF).filter(
+        F.col("vec_id") >= MUTANT_OFFSET
+    )
+
+    src = tmp_path / "vec_stream"
+    corpus.filter("vec_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    corpus.filter("vec_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_semantic_decontaminate(
+        stream, eval_set, cat_root, checkpoint_dir=ckpt, dim=64
+    )
+    q.awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    want = semantic_decontaminate(corpus, eval_set, dim=64).filter(
+        F.col("contaminated")
+    )
+    got_flagged = cat.read(spark, SEM_FLAGGED_TABLE)
+    want_rows = {
+        (r["vec_id"], r["n_eval_hits"], r["max_sim"]) for r in want.collect()
+    }
+    got_rows = {
+        (r["vec_id"], r["n_eval_hits"], r["max_sim"])
+        for r in got_flagged.collect()
+    }
+    assert got_rows == want_rows and len(got_rows) > 0
+    flagged_ids = {v for v, _, _ in want_rows}
+    got_clean = {r["vec_id"] for r in cat.read(spark, SEM_CLEAN_TABLE).collect()}
+    assert got_clean == {
+        r["vec_id"] for r in corpus.collect()
+    } - flagged_ids
+
+    # replay: same checkpoint -> no-op (exactly-once)
+    q2 = stream_semantic_decontaminate(
+        stream, eval_set, cat_root, checkpoint_dir=ckpt, dim=64
+    )
+    q2.awaitTermination(180)
+    assert cat.read(spark, SEM_CLEAN_TABLE).count() == len(got_clean)
+
+
 def test_stream_rollup_equals_batch(spark, tmp_path):
     """Streaming the events through the incremental rollup in micro-batches
     materializes exactly the one-shot batch aggregate — including buckets
