@@ -43,6 +43,18 @@ def main() -> None:
         # output column (count() can prune a projection down to nothing).
         df.write.format("noop").mode("overwrite").save()
 
+    def min_of_3(fn) -> float:
+        # The single min-of-3 timing loop every probe shares (the r8
+        # review flagged four drifting copies): plan fresh, materialize
+        # fully, keep the best of three — the methodology documented in
+        # the module docstring.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # warm-up: JVM, parquet footer caches, codegen
     try:
         materialize(REGISTRY["find_first"].fn(spark, sf_dir))
@@ -137,18 +149,16 @@ def main() -> None:
                 )
 
             def time_certify(iv) -> float:
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    bad = overlapping_pairs(iv, ["key"], tie_breaker=F.col("tie"))
-                    materialize(
-                        bad.groupBy("key").agg(
-                            F.count("*").alias("n_offenders"),
-                            F.min("tie").alias("first_tie"),
-                        )
+                return min_of_3(
+                    lambda: overlapping_pairs(
+                        iv, ["key"], tie_breaker=F.col("tie")
                     )
-                    best = min(best, time.perf_counter() - t0)
-                return best
+                    .groupBy("key")
+                    .agg(
+                        F.count("*").alias("n_offenders"),
+                        F.min("tie").alias("first_tie"),
+                    )
+                )
 
             base = time_certify(certify_intervals(li, 0))
             doubled = time_certify(
@@ -209,17 +219,9 @@ def main() -> None:
                     paths[n] = f"{tmp}/n{n}"
                     synth_vectors(n).write.parquet(paths[n])
 
-                def time_op(fn) -> float:
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.perf_counter()
-                        materialize(fn())
-                        best = min(best, time.perf_counter() - t0)
-                    return best
-
                 # per-bucket occupancy held ~8-10: 2k/2^8 vs 20k/2^11
                 sem = {
-                    n: time_op(
+                    n: min_of_3(
                         lambda n=n, p=p: semantic_dedup(
                             spark.read.parquet(paths[n]), dim=64, n_planes=p
                         )
@@ -237,7 +239,7 @@ def main() -> None:
                 # the plan: an early probe with cells proportional to n
                 # read 6.7x at 10x rows purely from the n*cells term.)
                 ivf = {
-                    n: time_op(
+                    n: min_of_3(
                         lambda n=n: ivf_topk_trained(
                             spark.read.parquet(paths[n]).limit(200),
                             spark.read.parquet(paths[n]),
@@ -282,7 +284,7 @@ def main() -> None:
                         n_cells=32,
                         n_iters=2,
                     )
-                    iq[n] = time_op(
+                    iq[n] = min_of_3(
                         lambda cat=cat, n=n: ivf_query_index(
                             spark,
                             cat,
@@ -369,22 +371,14 @@ def main() -> None:
                     dpaths[n] = f"{tmp}/d{n}"
                     synth_docs(n).write.parquet(dpaths[n])
 
-                def time_pairs(fn) -> float:
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.perf_counter()
-                        materialize(fn())
-                        best = min(best, time.perf_counter() - t0)
-                    return best
-
                 for probe_name, op in (
                     ("minhash_pairs_synth", minhash_candidate_pairs),
                     ("simhash_pairs_synth", simhash_candidate_pairs),
                 ):
-                    t_small = time_pairs(
+                    t_small = min_of_3(
                         lambda op=op, p=dpaths[5_000]: op(spark.read.parquet(p))
                     )
-                    t_big = time_pairs(
+                    t_big = min_of_3(
                         lambda op=op, p=dpaths[50_000]: op(spark.read.parquet(p))
                     )
                     scaling[probe_name] = {
@@ -438,18 +432,10 @@ def main() -> None:
                 )
                 kept = cat.prune_roots("li", pred)
 
-                def time_read(fn) -> float:
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.perf_counter()
-                        materialize(fn())
-                        best = min(best, time.perf_counter() - t0)
-                    return best
-
-                t_pruned = time_read(
+                t_pruned = min_of_3(
                     lambda: cat.read(spark, "li", where=pred)
                 )
-                t_full = time_read(
+                t_full = min_of_3(
                     lambda: cat.read(spark, "li").filter(pred)
                 )
                 scaling["catalog_zone_map_probe"] = {

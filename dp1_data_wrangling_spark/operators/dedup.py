@@ -194,7 +194,11 @@ def pairs_from_band_keys(
     degenerate bucket's member list.  Result-identical to the one-pass
     form (the size predicate is the same); costs one extra shuffle, which
     is why it is opt-in rather than the default."""
-    if two_pass and max_bucket_size is not None:
+    if two_pass and max_bucket_size is None:
+        # Silent fallback to one-pass with NO cap would buffer the exact
+        # mega bucket the flag exists to avoid — reject the combination.
+        raise ValueError("two_pass=True requires a max_bucket_size")
+    if two_pass:
         qualifying = (
             keys.groupBy("band", "band_key")
             .agg(F.countDistinct(id_col).alias("__n"))

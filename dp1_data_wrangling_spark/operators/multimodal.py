@@ -511,7 +511,12 @@ def decode_png(payload: bytes):
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # per-chunk CRCs can pass while the reassembled deflate stream is
+        # corrupt/truncated — keep the decoder's ValueError contract
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}") from exc
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(

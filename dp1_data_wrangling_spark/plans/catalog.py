@@ -145,7 +145,8 @@ class Transaction:
         # computation of the input instead of two (a validate-then-write
         # double evaluation would also let a nondeterministic upstream pass
         # the probe yet write violating rows).
-        checks = Catalog(self.root).constraints(table)
+        cat = Catalog(self.root)
+        checks = cat.constraints(table)
         self.seen_constraints[table] = checks
         if zorder_by:
             # Multi-column clustering: range-partition + sort on the Morton
@@ -241,7 +242,16 @@ class Transaction:
                     f"constraints (violating rows per constraint): {bad}; "
                     f"constraints: { {c: checks[c] for c in bad} }"
                 )
-        zone_cols = Catalog(self.root).zone_map(table)
+        zone_cols = cat.zone_map(table)
+        bloom_cols = cat.bloom_map(table)
+        # One lazy reader over the staged root shared by the zone and
+        # bloom passes (the CHECK pass above keeps its own: it may
+        # NULL-backfill evolved columns, which must not leak into stats).
+        staged = (
+            df.sparkSession.read.parquet(str(out))
+            if zone_cols or bloom_cols
+            else None
+        )
         if zone_cols:
             # Zone-map stats (one combinable min/max aggregate over the
             # staged files — the same cheap pass shape as the CHECK scan).
@@ -250,7 +260,6 @@ class Transaction:
             # non-null range excludes the predicate truly has no matches.
             from pyspark.sql import functions as F
 
-            staged = df.sparkSession.read.parquet(str(out))
             present = [c for c in zone_cols if c in staged.columns]
             if present:
                 row = staged.agg(
@@ -275,16 +284,16 @@ class Transaction:
                     stats[c] = [lo, hi]
                 if stats:
                     self.zone_stats[table] = stats
-        bloom_cols = Catalog(self.root).bloom_map(table)
         if bloom_cols:
             # One distinct-collect of bit positions per declared column —
             # the result is ≤ _BLOOM_NBITS rows by construction, so the
-            # driver only ever holds bitmap-sized state.  The hash MUST
-            # mirror _bloom_positions: md5('seed:' || cast(col as string)).
+            # driver only ever holds bitmap-sized state (a collect_set of
+            # positions inside one combined aggregate would instead scale
+            # with row count).  The hash MUST mirror _bloom_positions:
+            # md5('seed:' || cast(col as string)).
             from pyspark.sql import functions as F
 
-            staged = df.sparkSession.read.parquet(str(out))
-            blooms: dict[str, str] = {}
+            blooms: dict[str, dict] = {}
             for c in bloom_cols:
                 if c not in staged.columns:
                     continue
@@ -321,7 +330,15 @@ class Transaction:
                 )
                 if not rows or len(rows) > _BLOOM_NBITS // 2:
                     continue  # empty or saturated filter: useless either way
-                blooms[c] = _bloom_hex([r["p"] for r in rows])
+                kind = (
+                    "s"
+                    if staged.schema[c].dataType.simpleString() == "string"
+                    else "i"
+                )
+                blooms[c] = {
+                    "h": _bloom_hex([r["p"] for r in rows]),
+                    "t": kind,
+                }
             if blooms:
                 self.bloom_stats[table] = blooms
         self.writes[table] = (mode, rel)
@@ -357,6 +374,22 @@ def _bloom_positions(value: object) -> list[int]:
     ]
 
 
+def _bloom_literal_ok(kind: str, value: object) -> bool:
+    """Pruning is sound only when the probe literal's str() is guaranteed
+    to equal Spark's canonical string for matching column values.  That
+    holds for an int literal against an integer column ('i') and a str
+    literal against a string column ('s') — NOT for a float literal
+    against an int column (``uid = 202.0`` matches uid=202 in Spark but
+    str() gives '202.0'), nor an int literal against a string column
+    (``col = 5`` matches '05' under Spark's cast).  Mismatches skip the
+    bloom and fall through to the full filter."""
+    if kind == "i":
+        return isinstance(value, int) and not isinstance(value, bool)
+    if kind == "s":
+        return isinstance(value, str)
+    return False
+
+
 def _bloom_hex(positions: list[int]) -> str:
     bits = bytearray(_BLOOM_NBITS // 8)
     for p in positions:
@@ -381,13 +414,44 @@ _ZONE_CONJUNCT = re.compile(
 )
 
 
+def _mask_quoted(where: str) -> str | None:
+    """Replace the CONTENTS of single-quoted spans with NUL bytes (same
+    length, so offsets into the original still line up).  Keyword and
+    split-point scanning then cannot be fooled by literals like
+    ``'x and y'`` or ``'(or)'``.  Returns None on an unbalanced quote —
+    the pruner bails out entirely (sound: filter-only)."""
+    out: list[str] = []
+    in_quote = False
+    for ch in where:
+        if ch == "'":
+            in_quote = not in_quote
+            out.append(ch)
+        else:
+            out.append("\x00" if in_quote else ch)
+    if in_quote:
+        return None
+    return "".join(out)
+
+
 def _zone_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Parse ``where`` into prunable (col, op, value) conjuncts; [] if the
-    expression contains constructs the pruner cannot reason about."""
-    if re.search(r"(?i)\bor\b|\bnot\b|\bin\b|[()]", where):
+    expression contains constructs the pruner cannot reason about.
+    Keyword guards and AND split points are computed on a quote-masked
+    copy so string literals containing 'and'/'or'/parens can neither
+    disable pruning nor synthesize a false conjunct."""
+    masked = _mask_quoted(where)
+    if masked is None or re.search(r"(?i)\bor\b|\bnot\b|\bin\b|[()]", masked):
         return []
     out: list[tuple[str, str, object]] = []
-    for part in re.split(r"(?i)\band\b", where):
+    # split offsets from the masked text, substrings from the original
+    bounds = [0]
+    for m in re.finditer(r"(?i)\band\b", masked):
+        bounds.extend([m.start(), m.end()])
+    bounds.append(len(where))
+    parts = [
+        where[bounds[i] : bounds[i + 1]] for i in range(0, len(bounds), 2)
+    ]
+    for part in parts:
         m = _ZONE_CONJUNCT.match(part)
         if not m:
             continue
@@ -632,10 +696,13 @@ class Catalog:
             stats = blooms.get(rel)
             if not stats:
                 return False
-            return any(
-                c in stats and not _bloom_maybe_contains(stats[c], v)
-                for c, v in eq_conjuncts
-            )
+            for c, v in eq_conjuncts:
+                ent = stats.get(c)
+                if not ent or not _bloom_literal_ok(ent["t"], v):
+                    continue  # type-mismatched literal: filter-only, sound
+                if not _bloom_maybe_contains(ent["h"], v):
+                    return True
+            return False
 
         return [
             r

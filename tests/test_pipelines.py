@@ -372,6 +372,23 @@ def test_catalog_read_skips_roots(spark, tmp_path):
     # un-prunable expressions fall back to filter-only (sound)
     assert len(cat.prune_roots("t", "ts = 5 OR ts = 205")) == 4
     assert cat.read(spark, "t", where="ts = 5 OR ts = 205").count() == 2
+    # SOUNDNESS (r8 review): 'and'/'or'/parens INSIDE string literals must
+    # neither synthesize a false conjunct nor disable real ones
+    from dp1_data_wrangling_spark.plans.catalog import _zone_conjuncts
+
+    # one whole-literal conjunct — NOT a synthesized (ts, =, 5)
+    assert _zone_conjuncts("tag = 'x and ts = 5 and y'") == [
+        ("tag", "=", "x and ts = 5 and y")
+    ]
+    assert cat.read(spark, "t", where="tag = 'x and ts = 5 and y'").count() == 0
+    # a quoted '(or)' must not disable the real ts conjuncts around it
+    assert _zone_conjuncts("tag = '(or)' AND ts >= 200 AND ts < 300") == [
+        ("tag", "=", "(or)"),
+        ("ts", ">=", 200),
+        ("ts", "<", 300),
+    ]
+    # unbalanced quote: bail out of pruning entirely, filter still applies
+    assert _zone_conjuncts("tag = 'unterminated") == []
     # overwrite resets stats; roots written BEFORE declaration never prune
     tx = cat.begin()
     tx.stage(
@@ -439,6 +456,14 @@ def test_catalog_bloom_filter_skips_roots(spark, tmp_path):
     assert cat.read(spark, "t", where="uid = 100000").count() == 0
     # range predicates ignore blooms (min/max territory)
     assert len(cat.prune_roots("t", "uid > 2")) == 4
+    # SOUNDNESS (r8 review): a float literal's str() ('202.0') differs
+    # from the int column's canonical string ('202') even though Spark's
+    # filter matches — the bloom must NOT prune, and the read must still
+    # return the row
+    assert len(cat.prune_roots("t", "uid = 202.0")) == 4
+    assert cat.read(spark, "t", where="uid = 202.0").count() == 1
+    # ...same for an int literal probing a string column
+    assert len(cat.prune_roots("t", "tag = 5")) == 4
     cat.drop_bloom_filter("t")
     assert "blooms" not in cat.manifest()
     assert len(cat.prune_roots("t", "uid = 202")) == 4
