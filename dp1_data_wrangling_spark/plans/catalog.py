@@ -433,16 +433,79 @@ def _mask_quoted(where: str) -> str | None:
     return "".join(out)
 
 
+_NUM_LIT = r"-?\d+(?:\.\d+)?"
+_ANY_LIT = rf"(?:'[^']*'|{_NUM_LIT})"
+# BETWEEN consumes its own AND, so it must be recognized BEFORE the
+# conjunct split; numeric bounds only (string BETWEEN is rare and the
+# fallback is filter-only, sound).
+_BETWEEN = re.compile(
+    rf"(?i)\b(?!not\b|and\b|or\b)(\w+)\s+between\s+({_NUM_LIT})\s+and\s+({_NUM_LIT})"
+)
+# IN-lists carry their own parentheses; recognized before the paren guard.
+# Both patterns refuse NOT/AND/OR as the column so 'x NOT BETWEEN ...'
+# leaves its keyword behind for the bail-out guard instead of matching
+# with col='NOT' (a negated clause must never prune positively).
+_IN_LIST = re.compile(
+    rf"(?i)\b(?!not\b|and\b|or\b)(\w+)\s+in\s*"
+    rf"\(\s*{_ANY_LIT}(?:\s*,\s*{_ANY_LIT})*\s*\)"
+)
+
+
+def _parse_literal(lit: str) -> object:
+    if lit.startswith("'"):
+        return lit[1:-1]
+    if "." in lit:
+        return float(lit)
+    return int(lit)
+
+
 def _zone_conjuncts(where: str) -> list[tuple[str, str, object]]:
-    """Parse ``where`` into prunable (col, op, value) conjuncts; [] if the
-    expression contains constructs the pruner cannot reason about.
-    Keyword guards and AND split points are computed on a quote-masked
-    copy so string literals containing 'and'/'or'/parens can neither
-    disable pruning nor synthesize a false conjunct."""
+    """Parse ``where`` into prunable (col, op, value) conjuncts —
+    ``op`` ∈ {<, <=, >, >=, =, ==, in} (``in`` carries a value list;
+    BETWEEN lowers to >= and <=) — or [] if the expression contains
+    constructs the pruner cannot reason about.  Keyword guards and AND
+    split points are computed on a quote-masked copy so string literals
+    containing 'and'/'or'/parens can neither disable pruning nor
+    synthesize a false conjunct."""
     masked = _mask_quoted(where)
-    if masked is None or re.search(r"(?i)\bor\b|\bnot\b|\bin\b|[()]", masked):
+    if masked is None:
         return []
     out: list[tuple[str, str, object]] = []
+
+    def consume(masked_text: str, pattern: re.Pattern, handler) -> str:
+        # recognize a clause on the MASKED text, hand the ORIGINAL span to
+        # the handler, and blank the span in both views so later guards /
+        # splits never see it
+        nonlocal where
+        for m in reversed(list(pattern.finditer(masked_text))):
+            handler(where[m.start() : m.end()])
+            blank = " " * (m.end() - m.start())
+            masked_text = masked_text[: m.start()] + blank + masked_text[m.end() :]
+            where = where[: m.start()] + blank + where[m.end() :]
+        return masked_text
+
+    def on_between(clause: str) -> None:
+        m = _BETWEEN.match(clause.strip())
+        if m:
+            col, lo, hi = m.groups()
+            out.append((col, ">=", _parse_literal(lo)))
+            out.append((col, "<=", _parse_literal(hi)))
+
+    def on_in(clause: str) -> None:
+        m = re.match(r"(?i)\s*(\w+)\s+in\s*\((.*)\)\s*$", clause, re.DOTALL)
+        if m:
+            col, body = m.groups()
+            vals = [
+                _parse_literal(v.strip())
+                for v in re.findall(rf"{_ANY_LIT}", body)
+            ]
+            if vals:
+                out.append((col, "in", vals))
+
+    masked = consume(masked, _BETWEEN, on_between)
+    masked = consume(masked, _IN_LIST, on_in)
+    if re.search(r"(?i)\bor\b|\bnot\b|\bin\b|\bbetween\b|[()]", masked):
+        return []  # something the grammar doesn't cover — filter-only
     # split offsets from the masked text, substrings from the original
     bounds = [0]
     for m in re.finditer(r"(?i)\band\b", masked):
@@ -456,14 +519,7 @@ def _zone_conjuncts(where: str) -> list[tuple[str, str, object]]:
         if not m:
             continue
         col, op, lit = m.groups()
-        val: object
-        if lit.startswith("'"):
-            val = lit[1:-1]
-        elif "." in lit:
-            val = float(lit)
-        else:
-            val = int(lit)
-        out.append((col, op, val))
+        out.append((col, op, _parse_literal(lit)))
     return out
 
 
@@ -482,6 +538,16 @@ def _zone_excludes(
             continue
         lo, hi = rng
         str_stat = isinstance(lo, str)
+        if op == "in":
+            # prunable only if EVERY type-matched value misses the range
+            # AND no value is type-mismatched (Spark's cast could match)
+            vals = val
+            if vals and all(
+                isinstance(v, str) == str_stat and (v < lo or v > hi)
+                for v in vals
+            ):
+                return True
+            continue
         if str_stat != isinstance(val, str):
             continue  # type-mismatched literal: let Spark handle the cast
         if op in ("=", "=="):
@@ -688,19 +754,28 @@ class Catalog:
             return list(rels)
         zones = m.get("zones", {}).get(table, {})
         blooms = m.get("blooms", {}).get(table, {})
+        # equality-family conjuncts feed the blooms: plain = probes one
+        # value; IN probes each — prunable only when EVERY value is
+        # type-sound for the filter and definitely absent
         eq_conjuncts = [
-            (c, v) for c, op, v in conjuncts if op in ("=", "==")
+            (c, [v] if op in ("=", "==") else v)
+            for c, op, v in conjuncts
+            if op in ("=", "==", "in")
         ]
 
         def bloom_excludes(rel: str) -> bool:
             stats = blooms.get(rel)
             if not stats:
                 return False
-            for c, v in eq_conjuncts:
+            for c, vals in eq_conjuncts:
                 ent = stats.get(c)
-                if not ent or not _bloom_literal_ok(ent["t"], v):
-                    continue  # type-mismatched literal: filter-only, sound
-                if not _bloom_maybe_contains(ent["h"], v):
+                if not ent:
+                    continue
+                if vals and all(
+                    _bloom_literal_ok(ent["t"], v)
+                    and not _bloom_maybe_contains(ent["h"], v)
+                    for v in vals
+                ):
                     return True
             return False
 

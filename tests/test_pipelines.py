@@ -369,6 +369,15 @@ def test_catalog_read_skips_roots(spark, tmp_path):
     # every root pruned: empty result, schema intact
     none_df = cat.read(spark, "t", where="ts > 100000")
     assert none_df.count() == 0 and set(none_df.columns) == {"ts", "tag"}
+    # BETWEEN lowers to >=/<= and prunes like an explicit range (r8)
+    assert len(cat.prune_roots("t", "ts BETWEEN 210 AND 250")) == 1
+    assert cat.read(spark, "t", where="ts BETWEEN 210 AND 250").count() == 41
+    # IN prunes a root only when EVERY value misses its range
+    assert len(cat.prune_roots("t", "ts IN (5, 7)")) == 1
+    assert len(cat.prune_roots("t", "ts IN (5, 205)")) == 2
+    assert cat.read(spark, "t", where="ts IN (5, 205)").count() == 2
+    # negated forms never prune (bail-out guard)
+    assert len(cat.prune_roots("t", "ts NOT BETWEEN 0 AND 5")) == 4
     # un-prunable expressions fall back to filter-only (sound)
     assert len(cat.prune_roots("t", "ts = 5 OR ts = 205")) == 4
     assert cat.read(spark, "t", where="ts = 5 OR ts = 205").count() == 2
@@ -464,6 +473,13 @@ def test_catalog_bloom_filter_skips_roots(spark, tmp_path):
     assert cat.read(spark, "t", where="uid = 202.0").count() == 1
     # ...same for an int literal probing a string column
     assert len(cat.prune_roots("t", "tag = 5")) == 4
+    # IN-lists probe the bloom per value: prunable only when every value
+    # is provably absent (uid 202 -> root start=2, uid 303 -> start=3)
+    assert len(cat.prune_roots("t", "uid IN (202, 303)")) == 2
+    assert cat.read(spark, "t", where="uid IN (202, 303)").count() == 2
+    assert len(cat.prune_roots("t", "uid IN (100001, 100002)")) == 0
+    # one type-unsound value in the list disables the whole probe
+    assert len(cat.prune_roots("t", "uid IN (100001, 100002.0)")) == 4
     cat.drop_bloom_filter("t")
     assert "blooms" not in cat.manifest()
     assert len(cat.prune_roots("t", "uid = 202")) == 4
