@@ -496,6 +496,105 @@ def unigram_lm_score(
     )
 
 
+BIGRAM_VERSION = 1
+LM_BACKOFF_MILLI = 916  # stupid-backoff penalty: -1000*log(0.4), rounded
+LM_BIGRAMS: list[tuple[str, str, int]] = [
+    # (prev, token, milli_logprob): frozen common-English bigram table;
+    # costs are deterministic (rank-correlated formula) and CHEAPER than
+    # the unigram fallback, as a conditional model should be
+    (v, w, 600 + i * 45 + (i * i * 11) % 83)
+    for i, (v, w) in enumerate(
+        [
+            ("of", "the"), ("in", "the"), ("to", "the"), ("on", "the"),
+            ("and", "the"), ("for", "the"), ("at", "the"), ("from", "the"),
+            ("with", "the"), ("by", "the"), ("it", "is"), ("it", "was"),
+            ("there", "is"), ("there", "was"), ("this", "is"),
+            ("he", "was"), ("she", "was"), ("they", "were"), ("we", "are"),
+            ("you", "are"), ("i", "have"), ("i", "was"), ("i", "am"),
+            ("to", "be"), ("will", "be"), ("can", "be"), ("would", "be"),
+            ("has", "been"), ("have", "been"), ("had", "been"),
+            ("do", "not"), ("did", "not"), ("does", "not"), ("is", "not"),
+            ("was", "not"), ("one", "of"), ("some", "of"), ("all", "of"),
+            ("out", "of"), ("because", "of"), ("such", "as"), ("as", "well"),
+            ("more", "than"), ("rather", "than"), ("each", "other"),
+            ("the", "first"), ("the", "most"), ("the", "same"),
+        ]
+    )
+]
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram LM quality proxy with stupid backoff — one
+    modeling step closer to CCNet's KenLM filter than the unigram table:
+    the first token pays its unigram cost; every following token pays the
+    frozen bigram cost when (prev, token) is in ``LM_BIGRAMS``, else its
+    unigram cost plus ``LM_BACKOFF_MILLI`` (-1000·log 0.4 — Brants et
+    al.'s stupid backoff, integer-quantized).  Fluent English (frequent
+    continuations) scores lower than shuffled or boilerplate text with
+    the same unigram profile — exactly the signal the unigram proxy
+    cannot see.
+
+    Entirely native row-local expressions: two map literals probed inside
+    higher-order folds — ZERO shuffles, no Python, linear in text bytes.
+    All integers, so the DuckDB oracle replays it exactly (two VALUES
+    joins + group)."""
+    uni = F.create_map(
+        *[x for w, m in LM_VOCAB for x in (F.lit(w), F.lit(m))]
+    )
+    big = F.create_map(
+        *[
+            x
+            for v, w, m in LM_BIGRAMS
+            for x in (F.lit(f"{v} {w}"), F.lit(m))
+        ]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda x: x != "",
+    )
+
+    def uni_cost(t):
+        return F.coalesce(F.element_at(uni, t), F.lit(LM_UNKNOWN_MILLI)).cast(
+            "long"
+        )
+
+    out = docs.select(F.col(id_col), toks.alias("__t"))
+    n = F.size("__t").cast("long")
+    first = F.when(n >= 1, uni_cost(F.element_at("__t", F.lit(1)))).otherwise(
+        F.lit(0).cast("long")
+    )
+    # sequence(2, n) would DESCEND for n < 2 — guard the whole fold
+    pair_costs = F.transform(
+        F.sequence(F.lit(2), n.cast("int")),
+        lambda i: F.coalesce(
+            F.element_at(
+                big,
+                F.concat(
+                    F.element_at("__t", (i - 1).cast("int")),
+                    F.lit(" "),
+                    F.element_at("__t", i.cast("int")),
+                ),
+            ).cast("long"),
+            uni_cost(F.element_at("__t", i.cast("int")))
+            + F.lit(LM_BACKOFF_MILLI),
+        ),
+    )
+    rest = F.when(
+        n >= 2,
+        F.aggregate(pair_costs, F.lit(0).cast("long"), lambda a, x: a + x),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens_scored"),
+        (first + rest).alias("milli_logprob_sum"),
+    ).withColumn(
+        "milli_ppl_proxy",
+        F.expr("milli_logprob_sum div greatest(n_tokens_scored, 1)"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Luhn-validated card-number screening (round 7)
 # ---------------------------------------------------------------------------

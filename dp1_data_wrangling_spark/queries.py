@@ -1671,7 +1671,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_line_dedup",             # CCNet boilerplate line census dedup
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
     "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure
-    "doc_source_mix",             # budgeted source mixing
+    "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff
     "doc_quality_quantile",       # skew-proof per-group quantile filter
     # -- dedup / similarity families --
     "doc_exact_dedup",            # digest-only exact dedup (A1/A2 family)

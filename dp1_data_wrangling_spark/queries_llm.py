@@ -406,6 +406,61 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_lm_score(docs)
 
 
+_BIGRAM_VALUES = ", ".join(
+    f"('{v}', '{w}', {m})" for v, w, m in tx.LM_BIGRAMS
+)
+_BIGRAM_SCORE_ORACLE = f"""
+    WITH uni(tok, mlp) AS (VALUES {_LM_VALUES}),
+    big(prv, tok, mlp) AS (VALUES {_BIGRAM_VALUES}),
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                   '\\W+'), x -> x != '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+    ),
+    costs AS (
+        SELECT p.doc_id,
+               CASE WHEN p.i = 1
+                    THEN coalesce(u.mlp, {tx.LM_UNKNOWN_MILLI})
+                    ELSE coalesce(b.mlp,
+                        coalesce(u.mlp, {tx.LM_UNKNOWN_MILLI})
+                        + {tx.LM_BACKOFF_MILLI})
+               END AS c
+        FROM pos p
+        LEFT JOIN uni u ON u.tok = p.t[p.i]
+        LEFT JOIN big b
+          ON p.i > 1 AND b.prv = p.t[p.i - 1] AND b.tok = p.t[p.i]
+    ),
+    scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM costs GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(s.n, 0) AS n_tokens_scored,
+           coalesce(s.s, 0) AS milli_logprob_sum,
+           coalesce(s.s, 0) // greatest(coalesce(s.n, 0), 1)
+               AS milli_ppl_proxy
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register("doc_bigram_score", _BIGRAM_SCORE_ORACLE)
+def q_doc_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity proxy with stupid backoff (round 8): the
+    conditional upgrade of doc_lm_score — frozen (prev, token) bigram
+    costs where the table hits, unigram cost + the integer-quantized
+    backoff penalty (-1000·log 0.4) where it misses, first token pays
+    unigram.  Two map-literal probes inside native folds: zero shuffles,
+    no Python, linear in text bytes.  All integers, so the oracle
+    replays it exactly with two VALUES joins."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return tx.bigram_lm_score(docs)
+
+
 _CARD_SCAN_ORACLE = """
     WITH base AS (
         SELECT doc_id, text,

@@ -1321,6 +1321,57 @@ def test_unigram_lm_score_hand_computed_and_frozen(spark):
     assert digest == "f3b4ad7d4d13a03d77694999a4e44143"
 
 
+def test_bigram_lm_score_hand_computed_and_frozen(spark):
+    """Bigram LM proxy (round 8): hand-checked backoff arithmetic (first
+    token unigram; table hit pays bigram; miss pays unigram + 916),
+    fluent text scores strictly below its own shuffled form, empty/NULL
+    docs zeroed, frozen table digest-pinned."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.text import (
+        BIGRAM_VERSION,
+        LM_BACKOFF_MILLI,
+        LM_BIGRAMS,
+        LM_UNKNOWN_MILLI,
+        LM_VOCAB,
+        bigram_lm_score,
+    )
+
+    uni = dict(LM_VOCAB)
+    big = {(v, w): m for v, w, m in LM_BIGRAMS}
+    df = spark.createDataFrame(
+        [
+            (1, "one of the people"),
+            (2, "zzz"),
+            (3, ""),
+            (4, None),
+            (5, "people the of one"),  # shuffled form of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    want1 = (
+        uni["one"]
+        + big[("one", "of")]
+        + big[("of", "the")]
+        + (uni["people"] + LM_BACKOFF_MILLI)  # ('the','people') not in table
+    )
+    assert out[1]["n_tokens_scored"] == 4
+    assert out[1]["milli_logprob_sum"] == want1
+    assert out[1]["milli_ppl_proxy"] == want1 // 4
+    assert out[2]["milli_logprob_sum"] == LM_UNKNOWN_MILLI
+    assert out[3]["n_tokens_scored"] == 0 and out[3]["milli_ppl_proxy"] == 0
+    assert out[4]["n_tokens_scored"] == 0
+    # the fluency signal: same words, shuffled -> strictly worse score
+    assert out[5]["milli_logprob_sum"] > out[1]["milli_logprob_sum"]
+
+    assert BIGRAM_VERSION == 1 and len(LM_BIGRAMS) == 48
+    digest = hashlib.md5(
+        "\x00".join(f"{v}:{w}:{m}" for v, w, m in LM_BIGRAMS).encode()
+    ).hexdigest()
+    assert digest == "c6add19398b102ed38c19669a4384609"
+
+
 def test_scrub_pii_hand_computed(spark):
     from dp1_data_wrangling_spark.operators.text import scrub_pii
 

@@ -78,7 +78,10 @@ def test_driver_window_covers_flagship_surface():
         # sliding_window and multimodal_frames rotated out (5x green /
         # rows-only — weakest external evidence; families stay represented
         # by tumbling/session and features/resize)
-        "embedding_semantic_dedup", "doc_source_mix", "doc_quality_quantile",
+        # doc_source_mix rotated out in r8 for doc_bigram_score (2x green;
+        # the mixing family stays via doc_subword_mix + doc_source_quota)
+        "embedding_semantic_dedup", "doc_quality_quantile",
+        "doc_bigram_score",
         # round-7 audit rotation: the in-repo-only tail gains external
         # sf0.01 evidence; six multi-round-green trivial entries plus
         # membership_join/asof_lookup_{bucketized,routed} rotated out
