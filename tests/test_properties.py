@@ -584,3 +584,85 @@ def test_y4m_codec_roundtrip_property(n, h, w, seed):
     ww, hh, back = mm.decode_y4m(mm.encode_y4m(a))
     assert (ww, hh) == (w, h)
     assert back.shape == a.shape and (back == a).all()
+
+
+# --- zone/bloom pruning soundness (round 8) --------------------------------
+# The one failure mode a data-skipping layer must never have is a missing
+# row: for ANY predicate the pruner accepts, read(where=...) must equal
+# the full-scan filter.  Generate predicates across the whole supported
+# grammar (comparisons, BETWEEN, IN, AND chains) plus adversarial string
+# literals ('and'/'or'/parens/keywords inside quotes) and OR forms that
+# must fall back to filter-only.
+
+_INT_LIT = st.one_of(
+    st.integers(-50, 350).map(str),
+    st.integers(-50, 350).map(lambda v: f"{v}.0"),
+)
+_STR_LIT = st.sampled_from(
+    ["a0", "b3", "zq", "x and y", "(or)", "not this", "in between", ""]
+).map(lambda s: f"'{s}'")
+_CMP_OP = st.sampled_from(["<", "<=", ">", ">=", "="])
+
+_ATOM = st.one_of(
+    st.tuples(st.just("ts"), _CMP_OP, _INT_LIT).map(lambda t: " ".join(t)),
+    st.tuples(st.just("tag"), _CMP_OP, _STR_LIT).map(lambda t: " ".join(t)),
+    st.tuples(st.integers(-50, 350), st.integers(-50, 350)).map(
+        lambda t: f"ts BETWEEN {min(t)} AND {max(t)}"
+    ),
+    st.lists(_INT_LIT, min_size=1, max_size=4).map(
+        lambda vs: f"ts IN ({', '.join(vs)})"
+    ),
+    st.lists(_STR_LIT, min_size=1, max_size=3).map(
+        lambda vs: f"tag IN ({', '.join(vs)})"
+    ),
+)
+_PREDICATE = st.one_of(
+    st.lists(_ATOM, min_size=1, max_size=3).map(" AND ".join),
+    # OR forms: the pruner must bail to filter-only, never drop rows
+    st.tuples(_ATOM, _ATOM).map(lambda t: f"{t[0]} OR {t[1]}"),
+)
+
+_PRUNE_CAT = {}
+
+
+def _pruning_catalog(spark, tmp_path_factory):
+    if "cat" not in _PRUNE_CAT:
+        from pyspark.sql import functions as F
+
+        from dp1_data_wrangling_spark.plans import Catalog
+
+        root = tmp_path_factory.mktemp("prune_prop") / "cat"
+        cat = Catalog(str(root))
+        cat.set_zone_map("t", ["ts", "tag"])
+        cat.set_bloom_filter("t", ["ts", "tag"])
+        for lo, tag in [(0, "a"), (100, "b"), (200, "c")]:
+            tx = cat.begin()
+            tx.stage(
+                "t",
+                spark.range(lo, lo + 50).select(
+                    F.col("id").alias("ts"),
+                    F.concat(F.lit(tag), F.col("id") % 7).alias("tag"),
+                ),
+            )
+            cat.commit(tx)
+        _PRUNE_CAT["cat"] = cat
+    return _PRUNE_CAT["cat"]
+
+
+@given(where=_PREDICATE)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zone_bloom_pruned_read_equals_full_scan(
+    spark, tmp_path_factory, where
+):
+    cat = _pruning_catalog(spark, tmp_path_factory)
+    full = sorted(
+        tuple(r) for r in cat.read(spark, "t").filter(where).collect()
+    )
+    pruned = sorted(
+        tuple(r) for r in cat.read(spark, "t", where=where).collect()
+    )
+    assert pruned == full, f"pruning dropped rows for {where!r}"
