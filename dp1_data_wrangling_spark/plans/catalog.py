@@ -247,101 +247,108 @@ class Transaction:
         # One lazy reader over the staged root shared by the zone and
         # bloom passes (the CHECK pass above keeps its own: it may
         # NULL-backfill evolved columns, which must not leak into stats).
-        staged = (
-            df.sparkSession.read.parquet(str(out))
-            if zone_cols or bloom_cols
-            else None
-        )
-        if zone_cols:
-            # Zone-map stats (one combinable min/max aggregate over the
-            # staged files — the same cheap pass shape as the CHECK scan).
-            # Stats ignore NULLs, which keeps pruning sound: a NULL row
-            # can never satisfy a <,<=,>,>=,= predicate, so a root whose
-            # non-null range excludes the predicate truly has no matches.
-            from pyspark.sql import functions as F
-
-            present = [c for c in zone_cols if c in staged.columns]
-            if present:
-                row = staged.agg(
-                    *[
-                        f
-                        for c in present
-                        for f in (
-                            F.min(c).alias(f"__lo_{c}"),
-                            F.max(c).alias(f"__hi_{c}"),
-                        )
-                    ]
-                ).collect()[0]
-                stats: dict[str, list] = {}
-                for c in present:
-                    lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-                    if lo is None:  # all-NULL column: no range to prune on
-                        continue
-                    try:  # manifest is JSON — skip non-serializable types
-                        json.dumps([lo, hi])
-                    except TypeError:
-                        continue
-                    stats[c] = [lo, hi]
-                if stats:
-                    self.zone_stats[table] = stats
-        if bloom_cols:
-            # One distinct-collect of bit positions per declared column —
-            # the result is ≤ _BLOOM_NBITS rows by construction, so the
-            # driver only ever holds bitmap-sized state (a collect_set of
-            # positions inside one combined aggregate would instead scale
-            # with row count).  The hash MUST mirror _bloom_positions:
-            # md5('seed:' || cast(col as string)).
-            from pyspark.sql import functions as F
-
-            blooms: dict[str, dict] = {}
-            for c in bloom_cols:
-                if c not in staged.columns:
-                    continue
-                if staged.schema[c].dataType.simpleString() not in _BLOOM_TYPES:
-                    continue  # only types whose Spark cast-to-string == str()
-                pos_arr = F.array(
-                    *[
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat_ws(
-                                            ":",
-                                            F.lit(str(seed)),
-                                            F.col(c).cast("string"),
-                                        ).cast("binary")
-                                    ),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % _BLOOM_NBITS
-                        ).cast("int")
-                        for seed in range(_BLOOM_HASHES)
-                    ]
-                )
-                rows = (
-                    staged.filter(F.col(c).isNotNull())
-                    .select(F.explode(pos_arr).alias("p"))
-                    .distinct()
-                    .collect()
-                )
-                if not rows or len(rows) > _BLOOM_NBITS // 2:
-                    continue  # empty or saturated filter: useless either way
-                kind = (
-                    "s"
-                    if staged.schema[c].dataType.simpleString() == "string"
-                    else "i"
-                )
-                blooms[c] = {
-                    "h": _bloom_hex([r["p"] for r in rows]),
-                    "t": kind,
-                }
-            if blooms:
-                self.bloom_stats[table] = blooms
+        if zone_cols or bloom_cols:
+            staged = df.sparkSession.read.parquet(str(out))
+            zs = _compute_zone_stats(staged, zone_cols)
+            if zs:
+                self.zone_stats[table] = zs
+            bs = _compute_bloom_stats(staged, bloom_cols)
+            if bs:
+                self.bloom_stats[table] = bs
         self.writes[table] = (mode, rel)
+
+
+
+
+def _compute_zone_stats(staged: DataFrame, zone_cols: list[str]) -> dict:
+    """Per-root min/max for the declared columns present in ``staged`` —
+    one combinable aggregate (the same cheap pass shape as the CHECK
+    scan).  Stats ignore NULLs, which keeps pruning sound: a NULL row can
+    never satisfy a <,<=,>,>=,= predicate, so a root whose non-null range
+    excludes the predicate truly has no matches.  Shared by
+    ``Transaction.stage`` and ``Catalog.backfill_stats``."""
+    from pyspark.sql import functions as F
+
+    present = [c for c in zone_cols if c in staged.columns]
+    if not present:
+        return {}
+    row = staged.agg(
+        *[
+            f
+            for c in present
+            for f in (
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            )
+        ]
+    ).collect()[0]
+    stats: dict[str, list] = {}
+    for c in present:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None:  # all-NULL column: no range to prune on
+            continue
+        try:  # manifest is JSON — skip non-serializable types
+            json.dumps([lo, hi])
+        except TypeError:
+            continue
+        stats[c] = [lo, hi]
+    return stats
+
+
+def _compute_bloom_stats(staged: DataFrame, bloom_cols: list[str]) -> dict:
+    """Per-root Bloom bitmaps for the declared string/integer columns —
+    one distinct-collect of bit positions per column (≤ _BLOOM_NBITS rows
+    by construction, so the driver only ever holds bitmap-sized state; a
+    collect_set of positions inside one combined aggregate would instead
+    scale with row count).  The hash MUST mirror ``_bloom_positions``:
+    md5('seed:' || cast(col as string)).  Shared by ``Transaction.stage``
+    and ``Catalog.backfill_stats``."""
+    from pyspark.sql import functions as F
+
+    blooms: dict[str, dict] = {}
+    for c in bloom_cols:
+        if c not in staged.columns:
+            continue
+        if staged.schema[c].dataType.simpleString() not in _BLOOM_TYPES:
+            continue  # only types whose Spark cast-to-string == str()
+        pos_arr = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit(str(seed)),
+                                    F.col(c).cast("string"),
+                                ).cast("binary")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_NBITS
+                ).cast("int")
+                for seed in range(_BLOOM_HASHES)
+            ]
+        )
+        rows = (
+            staged.filter(F.col(c).isNotNull())
+            .select(F.explode(pos_arr).alias("p"))
+            .distinct()
+            .collect()
+        )
+        if not rows or len(rows) > _BLOOM_NBITS // 2:
+            continue  # empty or saturated filter: useless either way
+        kind = (
+            "s"
+            if staged.schema[c].dataType.simpleString() == "string"
+            else "i"
+        )
+        blooms[c] = {"h": _bloom_hex([r["p"] for r in rows]), "t": kind}
+    return blooms
 
 
 # -- bloom-filter skipping (equality complement to min/max zones) ----------
@@ -709,6 +716,69 @@ class Catalog:
 
     def drop_bloom_filter(self, table: str) -> int:
         return self.commit(self.begin(), bloom_ddl={table: None})
+
+    def backfill_stats(self, spark: SparkSession, table: str) -> int:
+        """Compute zone/bloom stats for this table's roots that lack them
+        — WITHOUT rewriting any data (the cheap alternative to the
+        ``compact`` rewrite the declaration docstrings point at).  Roots
+        are immutable, so stats computed outside the commit lock stay
+        valid; the manifest-only update publishes them atomically (one
+        version bump, snapshot-consistent).  Returns the number of roots
+        that gained stats.  Typical flow: declare skipping columns on an
+        existing table, then ``backfill_stats`` once — every pre-existing
+        root becomes prunable for the cost of one scan each."""
+        m = self.manifest()
+        if table not in m["tables"]:
+            raise KeyError(f"catalog {self.root}: no table {table!r}")
+        zone_cols = self.zone_map(table)
+        bloom_cols = self.bloom_map(table)
+        if not zone_cols and not bloom_cols:
+            return 0
+        zones = m.get("zones", {}).get(table, {})
+        blooms = m.get("blooms", {}).get(table, {})
+        patch: dict[str, dict] = {}
+        for rel in m["tables"][table]:
+            need_z = bool(zone_cols) and rel not in zones
+            need_b = bool(bloom_cols) and rel not in blooms
+            if not (need_z or need_b):
+                continue
+            p = self.root / rel
+            if not any(p.rglob("*.parquet")):
+                continue  # empty root (idempotent re-import): nothing to stat
+            df = spark.read.parquet(str(p))
+            entry: dict[str, dict] = {}
+            if need_z:
+                zs = _compute_zone_stats(df, zone_cols)
+                if zs:
+                    entry["zones"] = zs
+            if need_b:
+                bs = _compute_bloom_stats(df, bloom_cols)
+                if bs:
+                    entry["blooms"] = bs
+            if entry:
+                patch[rel] = entry
+        if not patch:
+            return 0
+        self.commit(self.begin(), stats_patch={table: patch})
+        return len(patch)
+
+    def describe_stats(self, table: str) -> list[dict]:
+        """Observability (DESCRIBE DETAIL analogue): one dict per commit
+        root with its recorded zone ranges and bloom'd columns — what the
+        pruner will actually use, straight from the live manifest."""
+        m = self.manifest()
+        if table not in m["tables"]:
+            raise KeyError(f"catalog {self.root}: no table {table!r}")
+        zones = m.get("zones", {}).get(table, {})
+        blooms = m.get("blooms", {}).get(table, {})
+        return [
+            {
+                "root": rel,
+                "zones": zones.get(rel, {}),
+                "bloom_cols": sorted(blooms.get(rel, {})),
+            }
+            for rel in m["tables"][table]
+        ]
 
     # -- read path ---------------------------------------------------------
     def read(
@@ -1376,6 +1446,7 @@ class Catalog:
         constraint_ddl: dict[str, dict[str, str | None]] | None = None,
         zone_map_ddl: dict[str, list[str] | None] | None = None,
         bloom_ddl: dict[str, list[str] | None] | None = None,
+        stats_patch: dict[str, dict[str, dict]] | None = None,
         root_overrides: dict[str, list[str]] | None = None,
         require_absent: list[str] | None = None,
     ) -> int:
@@ -1518,6 +1589,24 @@ class Catalog:
                         }
                         if carried:
                             m.setdefault(bag_name, {})[table] = carried
+            if stats_patch:
+                # backfill_stats: manifest-only stat grafts for existing
+                # roots.  A root replaced since the stats were computed is
+                # skipped silently — the cleanup below would drop it
+                # anyway, and the caller can re-run.
+                for tname, per_rel in stats_patch.items():
+                    live = set(tables.get(tname, []))
+                    for rel, entry in per_rel.items():
+                        if rel not in live:
+                            continue
+                        if "zones" in entry:
+                            m.setdefault("zones", {}).setdefault(tname, {})[
+                                rel
+                            ] = entry["zones"]
+                        if "blooms" in entry:
+                            m.setdefault("blooms", {}).setdefault(tname, {})[
+                                rel
+                            ] = entry["blooms"]
             for bag_name in ("zones", "blooms"):
                 if bag_name not in m:
                     continue

@@ -532,6 +532,58 @@ def test_zone_stats_survive_compact_and_streaming_ingest(spark, tmp_path):
     assert scat.read(spark, "ev", where="ts >= 300").count() == 100
 
 
+def test_backfill_stats_makes_predeclaration_roots_prunable(spark, tmp_path):
+    """backfill_stats (round 8): roots written BEFORE the skipping
+    declaration gain zone+bloom stats via a manifest-only commit (no
+    data rewrite — the data dirs stay byte-identical), after which they
+    prune; describe_stats shows exactly what the pruner uses."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    for lo in (0, 100, 200):
+        tx = cat.begin()
+        tx.stage(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("ts"), (F.col("id") % 9).alias("uid")
+            ),
+        )
+        cat.commit(tx)
+    # declared AFTER the writes: nothing prunes yet
+    cat.set_zone_map("t", ["ts"])
+    cat.set_bloom_filter("t", ["ts"])
+    assert len(cat.prune_roots("t", "ts >= 200")) == 3
+    rels_before = cat.manifest()["tables"]["t"]
+    mtimes = {
+        rel: sorted(
+            p.stat().st_mtime_ns
+            for p in (tmp_path / "cat" / rel).rglob("*.parquet")
+        )
+        for rel in rels_before
+    }
+    assert cat.backfill_stats(spark, "t") == 3
+    assert cat.backfill_stats(spark, "t") == 0  # idempotent
+    # same roots, same files — manifest-only update
+    assert cat.manifest()["tables"]["t"] == rels_before
+    for rel in rels_before:
+        assert mtimes[rel] == sorted(
+            p.stat().st_mtime_ns
+            for p in (tmp_path / "cat" / rel).rglob("*.parquet")
+        )
+    assert len(cat.prune_roots("t", "ts >= 200")) == 1
+    assert len(cat.prune_roots("t", "ts = 42")) == 1  # bloom equality
+    assert cat.read(spark, "t", where="ts >= 200").count() == 100
+    detail = cat.describe_stats("t")
+    assert [d["root"] for d in detail] == rels_before
+    assert detail[0]["zones"]["ts"] == [0, 99]
+    assert detail[0]["bloom_cols"] == ["ts"]
+    # table without declarations: no-op
+    tx = cat.begin()
+    tx.stage("u", spark.range(5).select(F.col("id").alias("x")))
+    cat.commit(tx)
+    assert cat.backfill_stats(spark, "u") == 0
+
+
 def test_catalog_zone_maps_respect_time_travel_and_views(spark, tmp_path):
     """Snapshot manifests carry version-consistent zones, and
     register_views(where=...) registers pre-pruned filtered views for
