@@ -77,8 +77,8 @@ class Transaction:
     # table -> {col: [min, max]} (commit records them under the root's rel)
     zone_stats: dict[str, dict[str, list]] = field(default_factory=dict)
     # per-root bloom filters for declared equality-skipping columns:
-    # table -> {col: hex bitmap}
-    bloom_stats: dict[str, dict[str, str]] = field(default_factory=dict)
+    # table -> {col: {"h": hex bitmap, "t": "i"|"s" literal-type kind}}
+    bloom_stats: dict[str, dict[str, dict]] = field(default_factory=dict)
 
     def stage(
         self,
@@ -687,7 +687,8 @@ class Catalog:
         at 100 TB (thousands of roots on an object store) is exactly the
         cost worth avoiding.  Like ADD CONSTRAINT, declaration does not
         backfill stats for already-published roots (they simply never
-        prune); run ``compact`` to rewrite-and-stat a table in place."""
+        prune); run ``backfill_stats`` for a manifest-only stat graft,
+        or ``compact`` to also rewrite the data."""
         return self.commit(self.begin(), zone_map_ddl={table: list(columns)})
 
     def drop_zone_map(self, table: str) -> int:
