@@ -556,6 +556,140 @@ def decode_png(payload: bytes):
     return arr
 
 
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_index(r: int, g: int, b: int, a: int = 255) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as QOI (qoiformat.org — the
+    public-domain 'Quite OK Image' format: RUN / INDEX / DIFF / LUMA /
+    RGB ops over a 64-entry recency hash table).  Fully integer and
+    sequential; channels=3, sRGB colorspace byte."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    out = bytearray(_QOI_MAGIC + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0)] * 64
+    pr = pg = pb = 0
+    run = 0
+    for px in a.reshape(-1, 3):
+        r, g, b = int(px[0]), int(px[1]), int(px[2])
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        idx = _qoi_index(r, g, b)
+        if index[idx] == (r, g, b):
+            out.append(idx)
+        else:
+            index[idx] = (r, g, b)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.extend((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out.extend(_QOI_END)
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes):
+    """Decode a QOI (channels=3) payload into an (h, w, 3) uint8 array —
+    exact integer replay of the RUN / INDEX / DIFF / LUMA / RGB ops.
+    4-channel files, truncation, and a missing end marker raise
+    descriptive ValueErrors (same fail-loud contract as the other
+    codecs)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload")
+    if len(payload) < 14 + len(_QOI_END):
+        raise ValueError("truncated QOI header")
+    w, h, channels, _cs = struct.unpack_from(">IIBB", payload, 4)
+    if channels != 3:
+        raise ValueError(f"only 3-channel QOI supported, got {channels}")
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate QOI raster {w}x{h}")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    data = payload[14:-8]
+    n_px = w * h
+    out = np.zeros((n_px, 3), dtype=np.uint8)
+    index = [(0, 0, 0)] * 64
+    r = g = b = 0
+    pos = 0
+    i = 0
+    while i < n_px:
+        if pos >= len(data):
+            raise ValueError(
+                f"truncated QOI stream: {i} of {n_px} pixels decoded"
+            )
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            if pos + 3 > len(data):
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:
+            raise ValueError("QOI_OP_RGBA in a 3-channel stream")
+        else:
+            tag = byte >> 6
+            if tag == 0:  # INDEX
+                r, g, b = index[byte & 0x3F]
+            elif tag == 1:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 2:  # LUMA
+                if pos >= len(data):
+                    raise ValueError("truncated QOI_OP_LUMA")
+                dg = (byte & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (b2 & 0xF) - 8) % 256
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                if i + run > n_px:
+                    raise ValueError("QOI run overflows the raster")
+                out[i : i + run] = (r, g, b)
+                i += run
+                continue
+        index[_qoi_index(r, g, b)] = (r, g, b)
+        out[i] = (r, g, b)
+        i += 1
+    return out.reshape(h, w, 3)
+
+
 def encode_y4m(planes) -> bytes:
     """Encode an (n_frames, 3, h, w) uint8 plane stack as YUV4MPEG2
     (C444 — full-resolution Y/U/V planes, no chroma subsampling)."""
@@ -622,6 +756,8 @@ def decode_media(payload: bytes, media_type: str):
             return "image", decode_bmp(payload)
         if payload[:8] == _PNG_MAGIC:
             return "image", decode_png(payload)
+        if payload[:4] == _QOI_MAGIC:
+            return "image", decode_qoi(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return "audio", decode_wav(payload)
         if payload[:9] == b"YUV4MPEG2":
@@ -915,6 +1051,47 @@ def synthetic_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 out["payload"].append(
                     encode_png(arr, filters=[(mid + rr) % 5 for rr in range(h)])
                 )
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(None)
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def synthetic_qoi(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL QOI payloads from an id column: w = id%12+4,
+    h = id%8+4, ``pixel[r, c, k] = (id*11 + (r//2)*3 + (c//3)*7 + k*5)
+    % 256`` — the integer-div terms create 3-pixel horizontal runs and
+    row repeats, so the encoder emits the whole RUN/INDEX/DIFF/LUMA/RGB
+    op mix (not just raw RGB ops).  Content is closed-form in the id, so
+    a SQL oracle replays decode statistics without touching bytes (same
+    contract as ``synthetic_png``)."""
+    import numpy as np
+    import pandas as pd
+
+    _ship_codecs_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "media_type": [], "payload": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 12 + 4, mid % 8 + 4
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                arr = (
+                    (mid * 11 + (r // 2) * 3 + (c // 3) * 7 + k * 5) % 256
+                ).astype(np.uint8)
+                out["media_id"].append(mid)
+                out["media_type"].append("image/qoi")
+                out["payload"].append(encode_qoi(arr))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["duration_ms"].append(None)

@@ -1667,7 +1667,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
     "doc_decontaminate",          # eval-overlap n-gram decontamination
-    "doc_global_shuffle",         # md5-keyed global shuffle (capped bucket space)
+    "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "doc_line_dedup",             # CCNet boilerplate line census dedup
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
     "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure

@@ -1201,6 +1201,61 @@ _MULTIMODAL_PNG_ORACLE = """
 """
 
 
+_MULTIMODAL_QOI_ORACLE = """
+    WITH img AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               doc_id % 12 + 4 AS w, doc_id % 8 + 4 AS h,
+               greatest(CAST(floor((doc_id % 12 + 4) * least(8.0 /
+                   greatest(doc_id % 12 + 4, doc_id % 8 + 4), 1.0) + 0.5)
+                   AS BIGINT), 1) AS ow,
+               greatest(CAST(floor((doc_id % 8 + 4) * least(8.0 /
+                   greatest(doc_id % 12 + 4, doc_id % 8 + 4), 1.0) + 0.5)
+                   AS BIGINT), 1) AS oh
+        FROM documents
+    ),
+    imgsum AS (
+        SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum((i.media_id*11 + (r.r // 2)*3 + (c.c // 3)*7
+                        + k.k*5) % 256) AS BIGINT) AS value_sum
+        FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
+             LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
+             LATERAL (SELECT unnest(range(0, 3)) AS k) k
+        GROUP BY 1
+    ),
+    rsum AS (
+        SELECT i.media_id,
+               CAST(sum((i.media_id*11 + (((ri.i * i.h) // i.oh) // 2)*3
+                        + (((cj.j * i.w) // i.ow) // 3)*7 + k.k*5) % 256)
+                   AS BIGINT) AS resized_sum
+        FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
+             LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
+             LATERAL (SELECT unnest(range(0, 3)) AS k) k
+        GROUP BY 1
+    )
+    SELECT i.media_id, 'image' AS kind, CAST(i.w AS BIGINT) AS width,
+           CAST(i.h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
+           s.n_values, s.value_sum, i.ow AS out_width, i.oh AS out_height,
+           r.resized_sum
+    FROM img i JOIN imgsum s USING (media_id) JOIN rsum r USING (media_id)
+"""
+
+
+@register("multimodal_qoi", _MULTIMODAL_QOI_ORACLE)
+def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL compressed-image codec (round 8): synthesize actual
+    QOI bytes executor-side (operators/multimodal.py synthetic_qoi —
+    content shaped so the encoder emits the full RUN/INDEX/DIFF/LUMA/RGB
+    op mix), decode with the exact-integer QOI parser, nearest-downscale,
+    and checksum both rasters (decode_stats — stats come from DECODED
+    pixels).  The oracle replays the closed-form pixel arithmetic, so a
+    wrong op decode, hash-table slot, or run boundary is a hash
+    mismatch.  Row-local: zero shuffles at any corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return mm.decode_stats(mm.synthetic_qoi(docs), max_side=8)
+
+
 @register("multimodal_png", _MULTIMODAL_PNG_ORACLE, headline=True)
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode (round 8): synthesize actual PNG

@@ -441,6 +441,39 @@ def test_card_pattern_is_plain_regex():
     assert re.findall(tx.CARD_PATTERN, "short 123456 run") == []
 
 
+def test_qoi_codec_roundtrip_and_errors():
+    """QOI (round 8): encode→decode identity on random and op-targeted
+    content (runs, small diffs for DIFF/LUMA, repeats for INDEX hits);
+    truncation, RGBA streams, and missing end markers fail loudly."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (5, 7), (12, 19), (3, 100)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (mm.decode_qoi(mm.encode_qoi(arr)) == arr).all()
+    # long runs (RUN op incl. the 62-cap), gradients (DIFF/LUMA),
+    # alternating repeats (INDEX)
+    flat = np.zeros((2, 200, 3), np.uint8) + 7
+    assert (mm.decode_qoi(mm.encode_qoi(flat)) == flat).all()
+    grad = (
+        np.arange(300).reshape(3, 100)[:, :, None] % 256
+        + np.arange(3)[None, None, :]
+    ).astype(np.uint8)
+    assert (mm.decode_qoi(mm.encode_qoi(grad)) == grad).all()
+    alt = np.tile(
+        np.array([[10, 20, 30], [200, 100, 50]], np.uint8), (30, 1)
+    ).reshape(6, 10, 3)
+    assert (mm.decode_qoi(mm.encode_qoi(alt)) == alt).all()
+    good = mm.encode_qoi(alt)
+    assert mm.decode_media(good, "image/qoi")[0] == "image"
+    with pytest.raises(ValueError, match="truncated|end marker"):
+        mm.decode_qoi(good[:-10])
+    with pytest.raises(ValueError, match="not a QOI"):
+        mm.decode_qoi(b"nope")
+
+
 def test_nearest_resize_integer_index_semantics():
     """out[i,j] == src[(i*h)//oh, (j*w)//ow] exactly — the contract the
     SQL oracle replays; fit_dims caps the long side and never upscales."""

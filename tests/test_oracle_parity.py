@@ -108,6 +108,10 @@ def test_driver_window_covers_flagship_surface():
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
         "multimodal_png",
+        # round-8: second real compressed codec (QOI) enters directly
+        # (doc_global_shuffle out — 2x green; the sampling family stays
+        # via doc_source_quota/doc_importance_resample/cluster_safe_split)
+        "multimodal_qoi",
         # round-8: semantic eval-overlap screening enters directly
         # (doc_split_assign out — 2x green; the sampling/split family
         # stays via doc_global_shuffle, doc_source_quota,
