@@ -666,3 +666,38 @@ def test_zone_bloom_pruned_read_equals_full_scan(
         tuple(r) for r in cat.read(spark, "t", where=where).collect()
     )
     assert pruned == full, f"pruning dropped rows for {where!r}"
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(["random", "runs", "gradient", "palette"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_qoi_codec_roundtrip_property(h, w, seed, shape):
+    """QOI encode→decode is the identity across content classes that
+    bias toward each op family (random→RGB, runs→RUN, gradient→
+    DIFF/LUMA, palette→INDEX)."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    if shape == "random":
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    elif shape == "runs":
+        a = np.repeat(
+            rng.integers(0, 256, (h, 1, 3), dtype=np.uint8), w, axis=1
+        )
+    elif shape == "gradient":
+        base = rng.integers(0, 256)
+        a = (
+            (base + np.arange(h)[:, None, None] * 2
+             + np.arange(w)[None, :, None] * 3
+             + np.arange(3)[None, None, :]) % 256
+        ).astype(np.uint8)
+    else:  # palette: few distinct colors -> INDEX hits
+        colors = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        a = colors[rng.integers(0, 4, (h, w))]
+    assert (mm.decode_qoi(mm.encode_qoi(a)) == a).all()
