@@ -477,6 +477,23 @@ def test_round7_rowlocal_ops_zero_data_shuffles(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_round8_rowlocal_ops_zero_data_shuffles(spark):
+    """Round-8 additions keep the row-local contract: the compressed
+    codec queries (PNG, QOI) are mapInPandas over the scan with zero
+    data shuffles; the bigram LM score is pure native expressions
+    (no pandas, no Python, no shuffle)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    for name in ("multimodal_png", "multimodal_qoi"):
+        plan = plan_of(REGISTRY[name].fn(spark, SMOKE_SF))
+        assert data_shuffles(plan) == 0, (name, plan)
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" in plan, name
+    plan = plan_of(REGISTRY["doc_bigram_score"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 0, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
 def test_subword_mix_plan_shape(spark):
     """doc_subword_mix: tokenizer (zero-shuffle mapInPandas) -> one
     combinable source-totals aggregate -> join back.  No cartesian, no
