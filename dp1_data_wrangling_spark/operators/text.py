@@ -642,3 +642,104 @@ def card_scan(
             f"cast(size(filter({cands}, c -> {luhn} % 10 = 0)) as bigint)"
         ).alias("n_valid_cards"),
     ).withColumn("has_valid_card", F.col("n_valid_cards") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (round 8)
+# ---------------------------------------------------------------------------
+
+# Stop-word presence list from the Gopher quality rules (Rae et al. 2021,
+# arXiv:2112.11446, Table A1): a document must contain at least
+# ``min_stopwords`` DISTINCT members to pass the stop-word rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: int = 3,
+    max_mean_wlen: int = 10,
+    max_symbol_milli: int = 100,
+    max_bullet_milli: int = 900,
+    max_ellipsis_milli: int = 300,
+    min_alpha_milli: int = 800,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-paper quality-rule screen (Rae et al. 2021, arXiv:2112.11446
+    §A1.1): per-document boolean flags for the published heuristics plus a
+    combined ``keep``.
+
+    Every rule is evaluated as INTEGER arithmetic with cross-multiplied
+    thresholds (``1000 * n_symbols <= max_symbol_milli * n_words`` instead
+    of a float ratio), so the verdicts are bit-deterministic and replay
+    exactly in the DuckDB oracle.  All computation is row-local JVM column
+    expressions — ZERO shuffles, no Python; at 100 TB this is a map-only
+    pass that pipelines into whatever shuffle the consumer adds.
+
+    Rules (thresholds in parts-per-thousand where ratios are involved):
+      * word count within [min_words, max_words]
+      * mean word length within [min_mean_wlen, max_mean_wlen]
+      * symbol-to-word ratio ('#' and '...') <= max_symbol_milli/1000
+      * fraction of lines starting with a bullet ('-'/'*') <= max_bullet_milli/1000
+      * fraction of lines ending with '...' <= max_ellipsis_milli/1000
+      * fraction of words containing an alphabetic char >= min_alpha_milli/1000
+      * at least min_stopwords DISTINCT members of GOPHER_STOPWORDS present
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    words_lc = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    out = docs.withColumns(
+        {
+            "n_words": F.size(words).cast("long"),
+            "sum_wchars": F.length(F.regexp_replace(t, r"\s", "")).cast("long"),
+            "n_symbols": (occurrences(t, "#") + occurrences(t, "...")).cast("long"),
+            "n_lines": F.size(lines).cast("long"),
+            "n_bullet_lines": F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+                    | F.startswith(F.ltrim(l), F.lit("*")),
+                )
+            ).cast("long"),
+            "n_ellipsis_lines": F.size(
+                F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+            ).cast("long"),
+            "n_alpha_words": F.size(
+                F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+            ).cast("long"),
+            "n_stop_distinct": sum(
+                (
+                    F.array_contains(words_lc, sw).cast("long")
+                    for sw in GOPHER_STOPWORDS
+                ),
+                start=F.lit(0).cast("long"),
+            ),
+        }
+    )
+    nw, nl = F.col("n_words"), F.col("n_lines")
+    flags = {
+        "word_count_ok": (nw >= min_words) & (nw <= max_words),
+        "mean_wlen_ok": (
+            (F.col("sum_wchars") >= F.lit(min_mean_wlen) * nw)
+            & (F.col("sum_wchars") <= F.lit(max_mean_wlen) * nw)
+        ),
+        "symbol_ok": F.lit(1000) * F.col("n_symbols") <= F.lit(max_symbol_milli) * nw,
+        "bullet_ok": F.lit(1000) * F.col("n_bullet_lines")
+        <= F.lit(max_bullet_milli) * nl,
+        "ellipsis_ok": F.lit(1000) * F.col("n_ellipsis_lines")
+        <= F.lit(max_ellipsis_milli) * nl,
+        "alpha_ok": F.lit(1000) * F.col("n_alpha_words")
+        >= F.lit(min_alpha_milli) * nw,
+        "stopword_ok": F.col("n_stop_distinct") >= min_stopwords,
+    }
+    out = out.withColumns(flags)
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -1679,7 +1679,7 @@ DRIVER_WINDOW: list[str] = [
     "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
     "dedup_clusters",             # connected components over dup edges
     "embedding_near_dup",         # embedding-cosine near-dup
-    "doc_token_stats",            # token/quality stats
+    "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_lang_id",                # marker-n-gram language ID
     "doc_fingerprint",            # rolling polynomial hash
     "cosine_topk",                # brute-force ANN baseline

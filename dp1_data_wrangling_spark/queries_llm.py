@@ -324,6 +324,75 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+_GOPHER_STOP_SUM = " + ".join(
+    f"CAST(list_contains(lw, '{sw}') AS BIGINT)" for sw in tx.GOPHER_STOPWORDS
+)
+
+_GOPHER_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                   AS sum_wchars,
+               CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                    l -> starts_with(ltrim(l), '-')
+                         OR starts_with(ltrim(l), '*'))) AS BIGINT)
+                   AS n_bullet_lines,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                    l -> ends_with(rtrim(l), '...'))) AS BIGINT)
+                   AS n_ellipsis_lines,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    w -> w != '' AND regexp_matches(w, '[A-Za-z]')))
+                   AS BIGINT) AS n_alpha_words,
+               {_GOPHER_STOP_SUM} AS n_stop_distinct
+        FROM (
+            SELECT doc_id, coalesce(text, '') AS text,
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                       '\\s+'), x -> x != '') AS lw
+            FROM documents
+        )
+    )
+    SELECT doc_id, n_words, sum_wchars, n_symbols, n_lines, n_bullet_lines,
+           n_ellipsis_lines, n_alpha_words, n_stop_distinct,
+           (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+           (sum_wchars >= 3 * n_words AND sum_wchars <= 10 * n_words)
+               AS mean_wlen_ok,
+           (1000 * n_symbols <= 100 * n_words) AS symbol_ok,
+           (1000 * n_bullet_lines <= 900 * n_lines) AS bullet_ok,
+           (1000 * n_ellipsis_lines <= 300 * n_lines) AS ellipsis_ok,
+           (1000 * n_alpha_words >= 800 * n_words) AS alpha_ok,
+           (n_stop_distinct >= 2) AS stopword_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (sum_wchars >= 3 * n_words AND sum_wchars <= 10 * n_words)
+            AND (1000 * n_symbols <= 100 * n_words)
+            AND (1000 * n_bullet_lines <= 900 * n_lines)
+            AND (1000 * n_ellipsis_lines <= 300 * n_lines)
+            AND (1000 * n_alpha_words >= 800 * n_words)
+            AND (n_stop_distinct >= 2)) AS keep
+    FROM base
+    """
+
+
+@register("doc_gopher_rules", _GOPHER_ORACLE)
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-paper quality-rule screen (operators/text.py gopher_rules;
+    Rae et al. 2021 arXiv:2112.11446 §A1.1): published defaults, every
+    ratio rule as cross-multiplied integers — the oracle replays each rule
+    verbatim.  Row-local, ZERO shuffles (plan-gated)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    out = tx.gopher_rules(docs)
+    return out.select(
+        "doc_id", "n_words", "sum_wchars", "n_symbols", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+        "n_stop_distinct", "word_count_ok", "mean_wlen_ok", "symbol_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok", "keep",
+    )
+
 
 @register(
     "doc_token_stats",

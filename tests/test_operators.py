@@ -1984,3 +1984,46 @@ def test_quantile_filter_null_scores_do_not_inflate_group_size(spark):
 
     assert run(100) == {1: True, 2: False}
     assert run(50) == {1: False, 2: False}
+
+
+def test_gopher_rules_each_rule_hand_checked(spark):
+    """Gopher quality screen: one crafted doc per rule violation, plus a
+    clean doc that passes everything — each flag verified independently
+    so a threshold edit can't silently flip a different rule."""
+    from dp1_data_wrangling_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog with " * 6  # 60 words
+    docs = [
+        (1, good),                                    # passes all rules
+        (2, "the short doc that ends with this"),     # word_count low
+        (3, "a " * 60 + "the that"),                  # mean word len < 3
+        (4, ("## " + good).replace("fox", "###")),    # symbol ratio high
+        (5, "\n".join("- the bullet that x with y" for _ in range(10)) * 3),
+        (6, "\n".join((("the line " * 7) + "that with...") for _ in range(10))),
+        (7, "1 2 3 4 5 " * 12 + "the that"),          # alpha fraction low
+        (8, "quick brown fox jumps over lazy dog " * 8),  # no stopwords
+        (9, None),                                    # NULL text -> reject
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    assert out[1]["keep"] and all(
+        out[1][f] for f in (
+            "word_count_ok", "mean_wlen_ok", "symbol_ok", "bullet_ok",
+            "ellipsis_ok", "alpha_ok", "stopword_ok",
+        )
+    )
+    assert not out[2]["word_count_ok"] and not out[2]["keep"]
+    assert not out[3]["mean_wlen_ok"]
+    assert not out[4]["symbol_ok"]
+    assert not out[5]["bullet_ok"] and out[5]["word_count_ok"]
+    assert not out[6]["ellipsis_ok"] and out[6]["word_count_ok"]
+    assert not out[7]["alpha_ok"]
+    assert not out[8]["stopword_ok"] and out[8]["n_stop_distinct"] == 0
+    assert not out[9]["keep"] and out[9]["n_words"] == 0
+
+    # Distinct-stopword counting: repeats of one stopword count once.
+    rep = spark.createDataFrame(
+        [(1, "the the the the the")], "doc_id long, text string"
+    )
+    assert gopher_rules(rep).collect()[0]["n_stop_distinct"] == 1

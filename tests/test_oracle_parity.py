@@ -62,7 +62,10 @@ def test_driver_window_covers_flagship_surface():
     assert len(names) == len(set(names))
     flagship = {
         "doc_exact_dedup", "minhash_pairs", "simhash_pairs",
-        "dedup_clusters", "embedding_near_dup", "doc_token_stats",
+        # doc_token_stats rotated out in r8 for doc_gopher_rules (many-round
+        # green since r5; the quality-stat family stays via corpus_stats,
+        # doc_quality_quantile and the gopher screen itself)
+        "dedup_clusters", "embedding_near_dup",
         "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
         "ivf_recall_bound", "multimodal_features", "multimodal_resize",
         # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
@@ -117,6 +120,10 @@ def test_driver_window_covers_flagship_surface():
         # stays via doc_global_shuffle, doc_source_quota,
         # doc_importance_resample, doc_cluster_safe_split)
         "doc_semantic_decontam",
+        # round-8: Gopher-paper quality-rule screen enters directly
+        # (doc_token_stats out — green since r5; family stays via
+        # corpus_stats + doc_quality_quantile)
+        "doc_gopher_rules",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -492,6 +492,10 @@ def test_round8_rowlocal_ops_zero_data_shuffles(spark):
     plan = plan_of(REGISTRY["doc_bigram_score"].fn(spark, SMOKE_SF))
     assert data_shuffles(plan) == 0, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # Gopher quality-rule screen: pure native column expressions, map-only.
+    plan = plan_of(REGISTRY["doc_gopher_rules"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 0, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
 
 
 def test_subword_mix_plan_shape(spark):
