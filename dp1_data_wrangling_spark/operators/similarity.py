@@ -421,3 +421,202 @@ def ivf_topk_trained(
     return ivf_topk_with_centroids(
         probes, corpus, k, cents, nprobe=nprobe, vec_col=vec_col, id_col=id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 8)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic PQ codebooks: slice the ``k_codes`` md5-smallest corpus
+    vectors (the same RNG-free uniform sample as ``ivf_centroids``) into
+    ``m`` contiguous subvectors — codebook entry (sub, code) is sample row
+    ``code``'s slice ``sub``.
+
+    Returns a tiny (m × k_codes)-row DataFrame ``(sub, code, cw)`` —
+    broadcastable everywhere it is consumed.  Production PQ would k-means
+    each subspace offline (see ``kmeans_centroids`` for the fixed-point
+    recipe); the operator contract — a small frozen codebook table — is
+    identical, and the sampled form keeps the whole pipeline replayable
+    in the DuckDB oracle."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    sample = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("__key"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .orderBy("__key", id_col)
+        .limit(k_codes)
+    )
+    w = Window.orderBy("__key", id_col)
+    coded = sample.select(
+        (F.row_number().over(w) - 1).alias("code"), F.col(vec_col).alias("__v")
+    )
+    return coded.select(
+        "code",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct("
+                f"s AS sub, transform(slice(__v, s * {d_sub} + 1, {d_sub}),"
+                f" x -> cast(x as double)) AS cw))"
+            )
+        ).alias("e"),
+    ).select(F.col("e.sub").alias("sub"), "code", F.col("e.cw").alias("cw"))
+
+
+def _pq_cb_agg(codebooks: DataFrame) -> DataFrame:
+    """One broadcastable row: the codebook as an array of structs sorted by
+    (sub, code) — element ``sub * k + code`` is that entry, giving O(1)
+    positional lookup inside JVM expressions."""
+    return F.broadcast(
+        codebooks.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code"), F.col("cw")))
+            ).alias("__cb")
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Row-local PQ encoding: per subspace, the L2-nearest codeword (ties
+    to the lowest code id).  Adds ``codes`` (array<int>, length m — the
+    m-byte compressed representation that replaces the 4·dim-byte vector
+    in a production index) and ``recon_norm2`` (squared norm of the
+    implied reconstruction, probe-independent, computed once here so the
+    ADC scan never touches codewords again).  Codebook is broadcast; ZERO
+    shuffles on ``df``."""
+    d_sub = dim // m
+    codes = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_sort(transform(slice(__cb, s * {k_codes} + 1, {k_codes}), "
+        f"e -> struct("
+        f"aggregate(zip_with(slice({vec_col}, s * {d_sub} + 1, {d_sub}), e.cw,"
+        f" (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v) AS dist,"
+        f" e.code AS code)))[0].code)"
+    )
+    recon_norm2 = F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}), (c, s) -> "
+        f"aggregate(transform(__cb[s * {k_codes} + c].cw, x -> x * x),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        df.crossJoin(_pq_cb_agg(codebooks))
+        .withColumn("codes", codes)
+        .withColumn("recon_norm2", recon_norm2)
+        .drop("__cb")
+    )
+
+
+def pq_adc_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ top-k with true Asymmetric Distance Computation (Jégou et al.
+    2011, "Product quantization for nearest neighbor search"):
+
+    1. each probe precomputes its LUT — dot(probe subvector, codeword)
+       for all m × k_codes entries (k_codes·dim flops, ONCE per probe);
+    2. the scan scores each encoded candidate with m LUT lookups instead
+       of a dim-length fold — dim/m× less work per pair than brute force,
+       over an index that stores m small ints per vector instead of dim
+       floats (the 100 TB story: a 2 TB float corpus compresses to ~64 GB
+       of codes, and the scan never touches raw vectors);
+    3. the ADC ``shortlist`` is re-ranked with exact cosine and the top-k
+       emitted as (probe_id, neighbor_id, sim, rank) — identical shape
+       and determinism contract to ``brute_force_topk`` (rounded sims,
+       neighbor-id tie-breaks).
+
+    Codebook + probes broadcast; the only shuffles are the two per-probe
+    top-N windows."""
+    cb = pq_codebooks(
+        corpus, dim=dim, m=m, k_codes=k_codes, vec_col=vec_col, id_col=id_col
+    )
+    d_sub = dim // m
+    enc = pq_encode(
+        spread(corpus), cb, dim=dim, m=m, k_codes=k_codes,
+        vec_col=vec_col, id_col=id_col,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cand_vec"),
+        "codes",
+        "recon_norm2",
+    )
+    lut = F.expr(
+        f"transform(sequence(0, {m * k_codes - 1}), i -> "
+        f"aggregate(zip_with(slice(__probe_vec, (i div {k_codes}) * {d_sub} + 1,"
+        f" {d_sub}), __cb[i].cw, (x, y) -> cast(x as double) * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("__probe_vec"),
+            l2_norm(F.col(vec_col)).alias("__probe_norm"),
+        )
+        .crossJoin(_pq_cb_agg(cb))
+        .withColumn("__lut", lut)
+        .drop("__cb")
+    )
+    sim_adc = F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}), (c, s) -> "
+        f"__lut[s * {k_codes} + c]), cast(0.0 as double),"
+        f" (acc, v) -> acc + v)"
+    ) / (F.col("__probe_norm") * F.sqrt(F.col("recon_norm2")))
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_adc").desc(), F.col("neighbor_id")
+    )
+    short = (
+        F.broadcast(p)
+        .crossJoin(enc)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id", "neighbor_id", "__probe_vec", "__probe_norm",
+            "__cand_vec", F.round(sim_adc, 9).alias("sim_adc"),
+        )
+        .withColumn("__adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("__adc_rank") <= shortlist)
+    )
+    exact = F.round(
+        dot(F.col("__probe_vec"), F.col("__cand_vec"))
+        / (F.col("__probe_norm") * l2_norm(F.col("__cand_vec"))),
+        6,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.select("probe_id", "neighbor_id", exact.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

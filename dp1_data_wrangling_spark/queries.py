@@ -1678,7 +1678,7 @@ DRIVER_WINDOW: list[str] = [
     "minhash_pairs",              # MinHash-LSH banded near-dup
     "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
     "dedup_clusters",             # connected components over dup edges
-    "embedding_near_dup",         # embedding-cosine near-dup
+    "pq_recall_bound",            # r8: product-quantization ADC recall bound
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_lang_id",                # marker-n-gram language ID
     "doc_fingerprint",            # rolling polynomial hash

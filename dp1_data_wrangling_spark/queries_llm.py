@@ -974,6 +974,27 @@ def q_ivf_kmeans_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_recall_bound", _ANN_RECALL_ORACLE)
+def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_adc_topk; Jégou
+    et al. 2011) as a driver-checked bound: 64-bit PQ codes (m=16
+    subspaces x 4-bit codewords — a 16x compression of the 64-float
+    vectors; at 100 TB the scan touches codes, never raw vectors) scored
+    by true ADC LUT lookups, with a 5%-of-corpus shortlist re-ranked
+    exactly.  Mean recall@5 vs brute force must clear 0.6 (measured
+    0.86 / 0.96 / 0.755 at sf0.001/0.01/0.1 — random near-orthogonal
+    vectors are PQ's worst case; deterministic, so the verdict is
+    stable)."""
+
+    def ann(p: DataFrame, c: DataFrame) -> DataFrame:
+        shortlist = max(50, -(-c.count() // 20))
+        return sim.pq_adc_topk(
+            p, c, k=5, dim=64, m=16, k_codes=16, shortlist=shortlist
+        )
+
+    return _ann_recall_bound(spark, sf_dir, ann, 0.6)
+
+
 @register("ivf_recall_bound", _ANN_RECALL_ORACLE)
 def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN quality as a driver-checked bound: mean recall@5 vs brute

@@ -2027,3 +2027,76 @@ def test_gopher_rules_each_rule_hand_checked(spark):
         [(1, "the the the the the")], "doc_id long, text string"
     )
     assert gopher_rules(rep).collect()[0]["n_stop_distinct"] == 1
+
+
+def test_pq_encode_codes_shape_and_sampled_vectors_roundtrip(spark):
+    """PQ encoding: every row gets m codes in [0, k_codes); the md5-sampled
+    codebook-source vectors encode with an exact reconstruction (their own
+    slices ARE codewords), so recon_norm2 equals their true squared norm
+    and ADC similarity against themselves is ~1."""
+    from dp1_data_wrangling_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = sim.pq_codebooks(emb, dim=64, m=16, k_codes=16)
+    assert cb.count() == 16 * 16
+    enc = sim.pq_encode(emb, cb, dim=64, m=16, k_codes=16)
+    bad = enc.filter(
+        (F.size("codes") != 16)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    # Codebook-source rows reconstruct exactly: recon_norm2 == |v|^2.
+    src = enc.withColumn(
+        "true_norm2",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    ).withColumn("err", F.abs(F.col("recon_norm2") - F.col("true_norm2")))
+    exact = src.filter(F.col("err") < 1e-9).count()
+    assert exact >= 16  # at least the k_codes sampled vectors
+
+
+def test_pq_adc_topk_contract_and_determinism(spark):
+    """ADC top-k: k rows per probe, ranks 1..k, no self-matches, exact
+    sims in [-1, 1], and bit-identical across runs (md5 codebooks, fold
+    sums, id tie-breaks)."""
+    from dp1_data_wrangling_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim.pq_adc_topk(probes, emb, k=5, dim=64, m=16, k_codes=16, shortlist=25)
+    rows = out.collect()
+    n_probes = probes.count()
+    assert len(rows) == 5 * n_probes
+    by_probe = {}
+    for r in rows:
+        assert r["probe_id"] != r["neighbor_id"]
+        assert -1.0 <= r["sim"] <= 1.0
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_probe.values())
+    rows2 = sim.pq_adc_topk(
+        probes, emb, k=5, dim=64, m=16, k_codes=16, shortlist=25
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pq_shortlist_full_corpus_matches_brute_force(spark):
+    """With shortlist >= corpus size the ADC stage is pure candidate
+    generation and the exact re-rank must reproduce brute-force top-k
+    bit-for-bit — the correctness anchor for the LUT/re-rank plumbing."""
+    from dp1_data_wrangling_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    pq = sim.pq_adc_topk(
+        probes, emb, k=5, dim=64, m=16, k_codes=16, shortlist=10_000
+    ).select("probe_id", "neighbor_id", "sim", "rank")
+    bf = sim.brute_force_topk(probes, emb, k=5).select(
+        "probe_id", "neighbor_id", "sim", "rank"
+    )
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, bf.collect()))

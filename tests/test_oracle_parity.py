@@ -65,7 +65,10 @@ def test_driver_window_covers_flagship_surface():
         # doc_token_stats rotated out in r8 for doc_gopher_rules (many-round
         # green since r5; the quality-stat family stays via corpus_stats,
         # doc_quality_quantile and the gopher screen itself)
-        "dedup_clusters", "embedding_near_dup",
+        # embedding_near_dup rotated out in r8 for pq_recall_bound (many-
+        # round green; the embedding near-dup family stays via
+        # embedding_semantic_dedup + cosine_topk)
+        "dedup_clusters",
         "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
         "ivf_recall_bound", "multimodal_features", "multimodal_resize",
         # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
@@ -124,6 +127,10 @@ def test_driver_window_covers_flagship_surface():
         # (doc_token_stats out — green since r5; family stays via
         # corpus_stats + doc_quality_quantile)
         "doc_gopher_rules",
+        # round-8: product-quantization ADC enters directly
+        # (embedding_near_dup out — many-round green; family stays via
+        # embedding_semantic_dedup + cosine_topk)
+        "pq_recall_bound",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -377,6 +377,7 @@ SHUFFLE_BUDGETS = {
     "ivf_recall_bound": 8,
     "ivf_kmeans_recall_bound": 8,
     "ivf_index_recall_bound": 8,
+    "pq_recall_bound": 8,
     # candidate pairs + iterative connected-component label propagation:
     # each CC round is one join shuffle by design (O(log n) rounds total)
     "embedding_semantic_dedup": 8,
