@@ -263,6 +263,38 @@ def main() -> None:
                     "big_sec": round(ivf[20_000], 3),
                     "ratio_10x_rows": round(ivf[20_000] / ivf[2_000], 2),
                 }
+                # IVF-PQ composed index (round 8): same iso-config rule —
+                # fixed 32 cells / nprobe 4 / m=16 codes / 200-row
+                # shortlist at both sizes, so the ratio measures the
+                # plan's law (assign O(n*cells) + ADC over the visited
+                # nprobe/cells fraction, both linear in n), not the
+                # deployment knob growth.
+                from dp1_data_wrangling_spark.operators.similarity import (
+                    ivf_pq_topk,
+                )
+
+                ivfpq = {
+                    n: min_of_3(
+                        lambda n=n: ivf_pq_topk(
+                            spark.read.parquet(paths[n]).limit(200),
+                            spark.read.parquet(paths[n]),
+                            5,
+                            dim=64,
+                            n_cells=32,
+                            nprobe=4,
+                            m=16,
+                            k_codes=16,
+                            shortlist=200,
+                        )
+                    )
+                    for n in (2_000, 20_000)
+                }
+                scaling["ivf_pq_topk_synth"] = {
+                    "n_rows": [2_000, 20_000],
+                    "small_sec": round(ivfpq[2_000], 3),
+                    "big_sec": round(ivfpq[20_000], 3),
+                    "ratio_10x_rows": round(ivfpq[20_000] / ivfpq[2_000], 2),
+                }
                 # persisted-index QUERY path: build the cell-partitioned
                 # index outside the timing, then time only the
                 # partition-pruned query (nprobe/n_cells of corpus bytes

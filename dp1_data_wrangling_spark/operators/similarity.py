@@ -530,6 +530,28 @@ def pq_encode(
     )
 
 
+def _pq_lut_expr(m: int, k_codes: int, d_sub: int, vec: str = "__probe_vec") -> F.Column:
+    """Per-probe ADC lookup table: dot(probe subvector, codeword) for all
+    m x k_codes entries — k_codes·dim flops once per probe, after which
+    every candidate costs m array lookups."""
+    return F.expr(
+        f"transform(sequence(0, {m * k_codes - 1}), i -> "
+        f"aggregate(zip_with(slice({vec}, (i div {k_codes}) * {d_sub} + 1,"
+        f" {d_sub}), __cb[i].cw, (x, y) -> cast(x as double) * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+
+
+def _pq_adc_sim(m: int, k_codes: int) -> F.Column:
+    """ADC cosine estimate from a probe's ``__lut`` and a candidate's
+    ``codes``/``recon_norm2``: m lookups + one division."""
+    return F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}), (c, s) -> "
+        f"__lut[s * {k_codes} + c]), cast(0.0 as double),"
+        f" (acc, v) -> acc + v)"
+    ) / (F.col("__probe_norm") * F.sqrt(F.col("recon_norm2")))
+
+
 def pq_adc_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -572,12 +594,6 @@ def pq_adc_topk(
         "codes",
         "recon_norm2",
     )
-    lut = F.expr(
-        f"transform(sequence(0, {m * k_codes - 1}), i -> "
-        f"aggregate(zip_with(slice(__probe_vec, (i div {k_codes}) * {d_sub} + 1,"
-        f" {d_sub}), __cb[i].cw, (x, y) -> cast(x as double) * y),"
-        f" cast(0.0 as double), (acc, v) -> acc + v))"
-    )
     p = (
         probes.select(
             F.col(id_col).alias("probe_id"),
@@ -585,14 +601,10 @@ def pq_adc_topk(
             l2_norm(F.col(vec_col)).alias("__probe_norm"),
         )
         .crossJoin(_pq_cb_agg(cb))
-        .withColumn("__lut", lut)
+        .withColumn("__lut", _pq_lut_expr(m, k_codes, d_sub))
         .drop("__cb")
     )
-    sim_adc = F.expr(
-        f"aggregate(zip_with(codes, sequence(0, {m - 1}), (c, s) -> "
-        f"__lut[s * {k_codes} + c]), cast(0.0 as double),"
-        f" (acc, v) -> acc + v)"
-    ) / (F.col("__probe_norm") * F.sqrt(F.col("recon_norm2")))
+    sim_adc = _pq_adc_sim(m, k_codes)
     w_adc = Window.partitionBy("probe_id").orderBy(
         F.col("sim_adc").desc(), F.col("neighbor_id")
     )
@@ -604,6 +616,101 @@ def pq_adc_topk(
             "probe_id", "neighbor_id", "__probe_vec", "__probe_norm",
             "__cand_vec", F.round(sim_adc, 9).alias("sim_adc"),
         )
+        .withColumn("__adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("__adc_rank") <= shortlist)
+    )
+    exact = F.round(
+        dot(F.col("__probe_vec"), F.col("__cand_vec"))
+        / (F.col("__probe_norm") * l2_norm(F.col("__cand_vec"))),
+        6,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.select("probe_id", "neighbor_id", exact.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    m: int = 16,
+    k_codes: int = 16,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (FAISS ``IVFPQ``) — a coarse
+    quantizer cuts the scan to ``nprobe / n_cells`` of the corpus, and
+    inside the visited cells candidates are scored by PQ ADC lookups over
+    m-byte codes, with an exact re-rank of the ``shortlist``.
+
+    The two levers compose multiplicatively at 100 TB: the cell join
+    touches nprobe/n_cells of the rows, and each touched row costs m LUT
+    lookups against its codes instead of a dim-length float fold (and the
+    scan reads ~m bytes/row, not 4·dim).  Codes are computed on the RAW
+    vectors, not cell residuals (FAISS ``by_residual=False``) — one
+    corpus-wide codebook, one LUT per probe (not per visited cell), and a
+    pipeline a SQL oracle can replay; residual encoding buys recall only
+    when cells are tight, which random/high-entropy embedding corpora are
+    not.
+
+    Plan shape: centroids + codebook + probes broadcast; ONE narrow
+    shuffle on cell id for the candidate join (zero if the corpus is
+    pre-bucketed by cell, as ``plans/ann_index.py`` persists it); the
+    per-probe top-N windows shuffle only scored candidate rows."""
+    cent_rows = ivf_centroids(
+        corpus, n_cells, vec_col=vec_col, id_col=id_col
+    ).collect()
+    cents = _local_centroids(
+        corpus.sparkSession,
+        [(r["cell"], list(r["centroid"])) for r in cent_rows],
+    )
+    cb = pq_codebooks(
+        corpus, dim=dim, m=m, k_codes=k_codes, vec_col=vec_col, id_col=id_col
+    )
+    d_sub = dim // m
+    enc = pq_encode(
+        spread(corpus), cb, dim=dim, m=m, k_codes=k_codes,
+        vec_col=vec_col, id_col=id_col,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cand_vec"),
+        "codes",
+        "recon_norm2",
+    )
+    c_assigned = _nearest_cells(enc, cents, 1, vec_col="__cand_vec")
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("__probe_vec"),
+            l2_norm(F.col(vec_col)).alias("__probe_norm"),
+        )
+        .crossJoin(_pq_cb_agg(cb))
+        .withColumn("__lut", _pq_lut_expr(m, k_codes, d_sub))
+        .drop("__cb")
+    )
+    p_assigned = _nearest_cells(p, cents, nprobe, vec_col="__probe_vec")
+    sim_adc = _pq_adc_sim(m, k_codes)
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_adc").desc(), F.col("neighbor_id")
+    )
+    short = (
+        p_assigned.join(c_assigned, "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id", "neighbor_id", "__probe_vec", "__probe_norm",
+            "__cand_vec", F.round(sim_adc, 9).alias("sim_adc"),
+        )
+        .dropDuplicates(["probe_id", "neighbor_id"])
         .withColumn("__adc_rank", F.row_number().over(w_adc))
         .filter(F.col("__adc_rank") <= shortlist)
     )

@@ -1679,6 +1679,7 @@ DRIVER_WINDOW: list[str] = [
     "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
     "dedup_clusters",             # connected components over dup edges
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
+    "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_lang_id",                # marker-n-gram language ID
     "doc_fingerprint",            # rolling polynomial hash
@@ -1699,7 +1700,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
     "multimodal_decode",          # REAL PPM/BMP/WAV decode + resample checksums
     "multimodal_features",        # media feature extraction (serialized form)
-    "multimodal_resize",          # aspect-preserving nearest resize
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "doc_pack_sequences",         # greedy sequence packing
     "corpus_top_ngrams",          # corpus-wide top n-grams

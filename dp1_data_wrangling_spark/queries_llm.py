@@ -995,6 +995,27 @@ def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_bound(spark, sf_dir, ann, 0.6)
 
 
+@register("ivf_pq_recall_bound", _ANN_RECALL_ORACLE)
+def q_ivf_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.py ivf_pq_topk) — the
+    production index shape (FAISS ``IVFPQ``): the coarse quantizer cuts
+    the candidate join to nprobe/n_cells of the corpus AND each candidate is
+    scored by m ADC lookups over 64-bit PQ codes instead of a dim-length
+    float fold.  The two levers compose multiplicatively at 100 TB: scan
+    fraction x bytes-per-row.  Mean recall@5 vs brute force must clear
+    0.6 (measured 0.80 / 0.80 / 0.68 at sf0.001/0.01/0.1 — deterministic
+    md5 quantizer + codebooks, so the verdict is stable)."""
+
+    def ann(p: DataFrame, c: DataFrame) -> DataFrame:
+        shortlist = max(50, -(-c.count() // 20))
+        return sim.ivf_pq_topk(
+            p, c, k=5, dim=64, n_cells=16, nprobe=10, m=16, k_codes=16,
+            shortlist=shortlist,
+        )
+
+    return _ann_recall_bound(spark, sf_dir, ann, 0.6)
+
+
 @register("ivf_recall_bound", _ANN_RECALL_ORACLE)
 def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN quality as a driver-checked bound: mean recall@5 vs brute

@@ -2100,3 +2100,45 @@ def test_pq_shortlist_full_corpus_matches_brute_force(spark):
         "probe_id", "neighbor_id", "sim", "rank"
     )
     assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_pq_contract_and_determinism(spark):
+    """IVF-PQ composed index: k rows per probe with ranks 1..k, no
+    self-matches, exact re-ranked sims in [-1, 1], bit-identical across
+    runs (md5 coarse quantizer + md5 codebooks + id tie-breaks)."""
+    from dp1_data_wrangling_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(k=5, dim=64, n_cells=16, nprobe=10, m=16, k_codes=16, shortlist=50)
+    rows = sim.ivf_pq_topk(probes, emb, **kw).collect()
+    assert len(rows) == 5 * probes.count()
+    by_probe = {}
+    for r in rows:
+        assert r["probe_id"] != r["neighbor_id"]
+        assert -1.0 <= r["sim"] <= 1.0
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_probe.values())
+    rows2 = sim.ivf_pq_topk(probes, emb, **kw).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ivf_pq_all_cells_full_shortlist_matches_brute_force(spark):
+    """With nprobe == n_cells (every cell visited) and shortlist >= corpus
+    size, both approximation levers are disabled and the exact re-rank
+    must reproduce brute-force top-k bit-for-bit — the correctness anchor
+    for the cell-join + ADC + re-rank composition."""
+    from dp1_data_wrangling_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    ivfpq = sim.ivf_pq_topk(
+        probes, emb, k=5, dim=64, n_cells=16, nprobe=16, m=16, k_codes=16,
+        shortlist=10_000,
+    ).select("probe_id", "neighbor_id", "sim", "rank")
+    bf = sim.brute_force_topk(probes, emb, k=5).select(
+        "probe_id", "neighbor_id", "sim", "rank"
+    )
+    assert sorted(map(tuple, ivfpq.collect())) == sorted(map(tuple, bf.collect()))

@@ -70,7 +70,10 @@ def test_driver_window_covers_flagship_surface():
         # embedding_semantic_dedup + cosine_topk)
         "dedup_clusters",
         "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
-        "ivf_recall_bound", "multimodal_features", "multimodal_resize",
+        # multimodal_resize rotated out in r8 for ivf_pq_recall_bound
+        # (multi-round green; the multimodal family keeps five in-window
+        # reps: decode/png/qoi/audio/video + features)
+        "ivf_recall_bound", "multimodal_features",
         # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
         # session_window keeps the streaming-window family in-window)
         "session_window", "event_correlation", "chain_flatten_distributed",
@@ -131,6 +134,9 @@ def test_driver_window_covers_flagship_surface():
         # (embedding_near_dup out — many-round green; family stays via
         # embedding_semantic_dedup + cosine_topk)
         "pq_recall_bound",
+        # round-8: composed IVF-PQ (the FAISS IVFPQ production shape)
+        # enters directly (multimodal_resize out — multi-round green)
+        "ivf_pq_recall_bound",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -378,6 +378,9 @@ SHUFFLE_BUDGETS = {
     "ivf_kmeans_recall_bound": 8,
     "ivf_index_recall_bound": 8,
     "pq_recall_bound": 8,
+    # IVF-PQ composes two index stages (coarse quantizer assignment +
+    # PQ encode) before the recall harness's brute-force comparison
+    "ivf_pq_recall_bound": 10,
     # candidate pairs + iterative connected-component label propagation:
     # each CC round is one join shuffle by design (O(log n) rounds total)
     "embedding_semantic_dedup": 8,
