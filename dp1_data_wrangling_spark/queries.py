@@ -1682,7 +1682,7 @@ DRIVER_WINDOW: list[str] = [
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_lang_id",                # marker-n-gram language ID
-    "doc_fingerprint",            # rolling polynomial hash
+    "doc_link_pagerank",          # r8: exact-integer iterative PageRank
     "cosine_topk",                # brute-force ANN baseline
     "lsh_recall_bound",           # LSH ANN recall >= 0.7 vs brute force
     "ivf_recall_bound",           # IVF ANN recall >= 0.5 vs brute force

@@ -2848,3 +2848,128 @@ def q_doc_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"train": 90, "val": 5, "test": 5},
         salt="semcur_v1",
     )
+
+
+def _pagerank_oracle(k: int = 5, scale: int = 10**12) -> str:
+    """Chained-CTE replay of ``operators.graph.pagerank`` — one CTE per
+    iteration (aggregates are not legal in a recursive term, and a fixed
+    iteration count is the operator's contract anyway).  All arithmetic
+    is BIGINT with ``//`` (floor == Spark ``div`` for the all-positive
+    masses here), so the replay is bit-exact."""
+    cte = f"""
+    WITH pr_docs AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        FROM documents
+    ),
+    pr_meta AS (SELECT count(*) AS n FROM pr_docs),
+    pr_deg AS (
+        SELECT idx,
+               CAST(('0x' || substr(md5('pr_deg|' || CAST(idx AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 4 AS d
+        FROM pr_docs
+    ),
+    pr_edges AS (
+        SELECT g.idx AS src, g.d,
+               CAST(('0x' || substr(md5('pr_dst|' || CAST(g.idx AS VARCHAR) || '|'
+                    || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % (SELECT n FROM pr_meta) AS dst
+        FROM (SELECT idx, d, unnest(generate_series(1, d)) AS j
+              FROM pr_deg WHERE d > 0) g
+    ),
+    pr_it0 AS (
+        SELECT idx, (SELECT {scale} // n FROM pr_meta) AS pr FROM pr_docs
+    )"""
+    for t in range(1, k + 1):
+        cte += f""",
+    pr_it{t} AS (
+        SELECT nd.idx,
+               (SELECT (15 * ({scale} // n)) // 100 FROM pr_meta)
+               + (85 * (COALESCE(c.contrib, 0)
+                        + (SELECT COALESCE(SUM(p.pr), 0) FROM pr_it{t - 1} p
+                           JOIN pr_deg dg ON dg.idx = p.idx AND dg.d = 0)
+                          // (SELECT n FROM pr_meta))) // 100 AS pr
+        FROM pr_docs nd
+        LEFT JOIN (SELECT e.dst AS idx, SUM(p.pr // e.d) AS contrib
+                   FROM pr_edges e JOIN pr_it{t - 1} p ON p.idx = e.src
+                   GROUP BY e.dst) c ON c.idx = nd.idx
+    )"""
+    return cte + f"""
+    SELECT d.doc_id, p.pr
+    FROM pr_docs d JOIN pr_it{k} p ON p.idx = d.idx
+    """
+
+
+@register("doc_link_pagerank", _pagerank_oracle())
+def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph importance for curation (operators/graph.py pagerank):
+    web-scale pipelines weight documents by PageRank-class centrality
+    before sampling (the Common-Crawl host-ranking step in C4- and
+    RefinedWeb-class recipes).  The link graph is md5-derived from the
+    corpus itself (out-degree 0-3 per doc — degree-0 docs exercise the
+    dangling-mass path; targets uniform over the corpus), so the DuckDB
+    oracle replays graph construction AND all five iterations exactly:
+    every mass is a BIGINT share of 1e12 moved with truncating division.
+
+    Scale shape: each iteration is one join of ranks onto edges by src
+    (narrow, hash-partitioned) + ONE groupBy-dst shuffle; the dangling
+    term is a one-row aggregate broadcast via crossJoin.  The edge table
+    is checkpointed once, never re-derived per round.  The single-
+    partition row_number window ranks a *dimension* table (the corpus
+    id-space map); at 100 TB the id map is built once by the catalog
+    tier, not per query."""
+    from pyspark.sql import Window
+
+    from .operators.graph import pagerank
+
+    def md5mod(cols: list[F.Column], m: int) -> F.Column:
+        payload = F.concat(*cols).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % F.lit(m)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
+    )
+    n = idx.count()
+    deg = idx.select(
+        "idx",
+        md5mod([F.lit("pr_deg|"), F.col("idx").cast("string")], 4).alias("d"),
+    )
+    edges_idx = (
+        deg.filter(F.col("d") > 0)
+        .select(
+            "idx",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
+            ).alias("j"),
+        )
+        .select(
+            "idx",
+            md5mod(
+                [
+                    F.lit("pr_dst|"),
+                    F.col("idx").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                ],
+                n,
+            ).alias("dst_idx"),
+        )
+    )
+    edges = (
+        edges_idx.join(
+            idx.select(F.col("idx").alias("__si"), F.col("doc_id").alias("src")),
+            F.col("idx") == F.col("__si"),
+        )
+        .join(
+            idx.select(F.col("idx").alias("__di"), F.col("doc_id").alias("dst")),
+            F.col("dst_idx") == F.col("__di"),
+        )
+        .select("src", "dst")
+    )
+    nodes = idx.select(F.col("doc_id").alias("node"))
+    return pagerank(nodes, edges, iterations=5).select(
+        F.col("node").alias("doc_id"), "pr"
+    )

@@ -2142,3 +2142,70 @@ def test_ivf_pq_all_cells_full_shortlist_matches_brute_force(spark):
         "probe_id", "neighbor_id", "sim", "rank"
     )
     assert sorted(map(tuple, ivfpq.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_pagerank_hand_computed_two_node_cycle(spark):
+    """a<->b with no dangling mass: symmetric graph must give equal
+    ranks, and one exact-integer iteration is hand-checkable:
+    r0 = 5e11 each; share = r0; r1 = (15 * 5e11) // 100
+    + (85 * (5e11 + 0)) // 100 = 75e9 + 425e9 = 5e11 exactly."""
+    from dp1_data_wrangling_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(nodes, edges, iterations=3).collect()
+    }
+    assert got == {1: 500_000_000_000, 2: 500_000_000_000}
+
+
+def test_pagerank_dangling_mass_and_sink_ordering(spark):
+    """1->3, 2->3, 3 dangling: the sink must out-rank its feeders, the
+    dangling redistribution must keep total mass near `scale` (only
+    truncation loss), and sources with identical in-profiles tie."""
+    from dp1_data_wrangling_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["node"])
+    edges = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(nodes, edges, iterations=5).collect()
+    }
+    assert got[1] == got[2]  # symmetric sources tie exactly
+    assert got[3] > got[1]  # the sink accumulates both shares
+    total = sum(got.values())
+    # mass conserved up to deterministic truncation (a few units per
+    # division per node per iteration)
+    assert 10**12 * 0.999 <= total <= 10**12
+
+
+def test_pagerank_parallel_edges_and_self_loops_deterministic(spark):
+    """Parallel edges weight double, self-loops are legal, and reruns
+    are bit-identical (pure integer arithmetic, order-free sums)."""
+    from dp1_data_wrangling_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["node"])
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 2), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, pagerank(nodes, edges, iterations=4).collect()))
+    b = sorted(map(tuple, pagerank(nodes, edges, iterations=4).collect()))
+    assert a == b
+    got = dict(a)
+    # node 2 receives 2/3 of node 1's shares plus its own self-loop: it
+    # must out-rank node 3 (1/3 of node 1 only)
+    assert got[2] > got[3]
+
+
+def test_pagerank_input_validation(spark):
+    from dp1_data_wrangling_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,)], ["node"])
+    edges = spark.createDataFrame([(1, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(nodes, edges, damping_pct=100)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(nodes, edges, iterations=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(nodes.filter("node < 0"), edges)

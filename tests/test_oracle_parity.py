@@ -69,7 +69,11 @@ def test_driver_window_covers_flagship_surface():
         # round green; the embedding near-dup family stays via
         # embedding_semantic_dedup + cosine_topk)
         "dedup_clusters",
-        "doc_lang_id", "doc_fingerprint", "cosine_topk", "lsh_recall_bound",
+        # doc_fingerprint rotated out in r8 for doc_link_pagerank (multi-
+        # round green; the row-local text-hash family stays via
+        # doc_lang_id + the LM scorers, and fingerprint stays parity-held
+        # in-repo every CI run)
+        "doc_lang_id", "cosine_topk", "lsh_recall_bound",
         # multimodal_resize rotated out in r8 for ivf_pq_recall_bound
         # (multi-round green; the multimodal family keeps five in-window
         # reps: decode/png/qoi/audio/video + features)
@@ -137,6 +141,9 @@ def test_driver_window_covers_flagship_surface():
         # round-8: composed IVF-PQ (the FAISS IVFPQ production shape)
         # enters directly (multimodal_resize out — multi-round green)
         "ivf_pq_recall_bound",
+        # round-8: exact-integer iterative PageRank enters directly
+        # (doc_fingerprint out — multi-round green)
+        "doc_link_pagerank",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -512,3 +512,39 @@ def test_subword_mix_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
     assert "partial_sum" in plan  # source totals combine before exchange
+
+
+def test_pagerank_round_plan_one_contrib_shuffle_no_cartesian(spark):
+    """One PageRank round (the repeated unit of cost at 100 TB) must be:
+    a src-keyed join of ranks onto edges + ONE groupBy-dst aggregation +
+    a node-keyed left join — hash shuffles only, with the dangling-mass
+    term entering as a broadcast one-row aggregate (never a real
+    cartesian) and map-side partial aggregation before the contrib
+    shuffle."""
+    from dp1_data_wrangling_spark.operators.graph import (
+        _pagerank_round,
+        pagerank,  # noqa: F401  (public API sanity: import works)
+    )
+
+    nodes = spark.range(100).select(F.col("id").alias("__node"))
+    ndeg = nodes.withColumn("__d", (F.col("__node") % 4).cast("bigint"))
+    edges_d = (
+        ndeg.filter("__d > 0")
+        .select(
+            F.col("__node").alias("__src"),
+            ((F.col("__node") * 7) % 100).alias("__dst"),
+            "__d",
+        )
+    )
+    ranks = nodes.select("__node", F.lit(10**10).cast("bigint").alias("pr"))
+    plan = plan_of(
+        _pagerank_round(
+            ndeg, edges_d, ranks, n=100, teleport=15 * 10**8, damping_pct=85
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # the one-row dangling aggregate joins via broadcast nested loop —
+    # legal ONLY because it is a single row; the data-bearing joins are
+    # all equi-joins
+    assert plan.count("Exchange hashpartitioning") <= 8
+    assert "partial_sum" in plan  # map-side combine before the shuffle
