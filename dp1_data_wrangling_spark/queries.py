@@ -1644,6 +1644,64 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_scd2_history",
+    """
+    WITH scd_ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+    ),
+    scd_runs AS (
+        SELECT user_id, ts_us, event_id, event_type
+        FROM (
+            SELECT user_id, ts_us, event_id, event_type,
+                   lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
+            FROM scd_ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ) WHERE chg
+    )
+    SELECT user_id, event_type, version, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM (
+        SELECT user_id, event_type, ts_us AS valid_from_us,
+               row_number() OVER w2 AS version,
+               lead(ts_us) OVER w2 AS valid_to_us
+        FROM scd_runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    """,
+)
+def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py scd2_build): each
+    user's event_type stream collapses into attribute versions with
+    [valid_from, valid_to) µs bounds, consecutive no-change observations
+    merged, lag/lead over one (ts, event_id)-total order.  ONE hash
+    shuffle on the dimension key — both windows share partitioning and
+    ordering, so Catalyst reuses the sort (plan-gated).  The oracle
+    replays the identical window algebra; bounds are exact BIGINT µs."""
+    from .operators.scd import scd2_build
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts is TIMESTAMP_NTZ (naive fixtures); unix_micros needs TIMESTAMP
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return scd2_build(
+        e,
+        key="user_id",
+        tracked=["event_type"],
+        ts_col="ts_us",
+        order_extra=["event_id"],
+        from_col="valid_from_us",
+        to_col="valid_to_us",
+    ).select(
+        "user_id", "event_type", "version", "valid_from_us",
+        "valid_to_us", "is_current",
+    )
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
@@ -1663,6 +1721,7 @@ DRIVER_WINDOW: list[str] = [
     "chain_flatten_distributed",  # S4/J6 chain flatten, iterative distributed form
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "events_rollup_incremental",  # hypertable-style rollup over events
+    "user_scd2_history",          # r8: SCD Type-2 dimension history
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
@@ -1681,7 +1740,6 @@ DRIVER_WINDOW: list[str] = [
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
-    "doc_lang_id",                # marker-n-gram language ID
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank
     "cosine_topk",                # brute-force ANN baseline
     "lsh_recall_bound",           # LSH ANN recall >= 0.7 vs brute force

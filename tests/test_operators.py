@@ -2209,3 +2209,86 @@ def test_pagerank_input_validation(spark):
         pagerank(nodes, edges, iterations=0)
     with pytest.raises(ValueError, match="non-empty"):
         pagerank(nodes.filter("node < 0"), edges)
+
+
+def test_scd2_build_hand_computed(spark):
+    """a: X@10 X@20 Y@30 X@50 -> three versions with closing bounds;
+    b: single observation stays current from its first ts."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_build
+
+    ev = spark.createDataFrame(
+        [
+            ("a", 10, 1, "X"), ("a", 20, 2, "X"), ("a", 30, 3, "Y"),
+            ("a", 50, 4, "X"), ("b", 15, 5, "Z"),
+        ],
+        ["k", "ts", "seq", "attr"],
+    )
+    rows = sorted(
+        map(
+            tuple,
+            scd2_build(
+                ev, key="k", tracked=["attr"], ts_col="ts",
+                order_extra=["seq"],
+            ).select("k", "attr", "version", "valid_from", "valid_to",
+                     "is_current").collect(),
+        )
+    )
+    assert rows == [
+        ("a", "X", 1, 10, 30, False),
+        ("a", "X", 3, 50, None, True),
+        ("a", "Y", 2, 30, 50, False),
+        ("b", "Z", 1, 15, None, True),
+    ]
+
+
+def test_scd2_build_null_transitions_and_multi_tracked(spark):
+    """NULL->value and value->NULL are real transitions (null-safe
+    compare); a change in EITHER tracked column opens a version."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_build
+
+    ev = spark.createDataFrame(
+        [
+            ("a", 1, 1, None, "p"), ("a", 2, 2, "X", "p"),
+            ("a", 3, 3, "X", "q"), ("a", 4, 4, "X", "q"),
+            ("a", 5, 5, None, "q"),
+        ],
+        ["k", "ts", "seq", "attr", "plan"],
+    )
+    rows = scd2_build(
+        ev, key="k", tracked=["attr", "plan"], ts_col="ts",
+        order_extra=["seq"],
+    ).orderBy("version").collect()
+    assert [(r["attr"], r["plan"], r["valid_from"]) for r in rows] == [
+        (None, "p", 1), ("X", "p", 2), ("X", "q", 3), (None, "q", 5)
+    ]
+    assert [r["is_current"] for r in rows] == [False, False, False, True]
+
+
+def test_scd2_apply_incremental_equals_full_rebuild(spark):
+    """Folding a batch into an existing history must equal building from
+    the full event stream, and keys absent from the batch pass through
+    bit-identically (the semi/anti split never touches them)."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_apply, scd2_build
+
+    first = spark.createDataFrame(
+        [("a", 10, 1, "X"), ("a", 30, 2, "Y"), ("b", 10, 3, "P"),
+         ("c", 20, 4, "Q")],
+        ["k", "ts", "seq", "attr"],
+    )
+    batch = spark.createDataFrame(
+        [("a", 40, 5, "Z"), ("c", 25, 6, "Q"), ("d", 5, 7, "N")],
+        ["k", "ts", "seq", "attr"],
+    )
+    kw = dict(key="k", tracked=["attr"], ts_col="ts", order_extra=["seq"])
+    hist = scd2_build(first, **kw)
+    got = sorted(map(tuple, scd2_apply(hist, batch, **kw).collect()))
+    want = sorted(map(tuple, scd2_build(first.union(batch), **kw).collect()))
+    assert got == want
+
+
+def test_scd2_build_requires_tracked(spark):
+    from dp1_data_wrangling_spark.operators.scd import scd2_build
+
+    ev = spark.createDataFrame([("a", 1, "X")], ["k", "ts", "attr"])
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_build(ev, key="k", tracked=[], ts_col="ts")

@@ -70,10 +70,11 @@ def test_driver_window_covers_flagship_surface():
         # embedding_semantic_dedup + cosine_topk)
         "dedup_clusters",
         # doc_fingerprint rotated out in r8 for doc_link_pagerank (multi-
-        # round green; the row-local text-hash family stays via
-        # doc_lang_id + the LM scorers, and fingerprint stays parity-held
-        # in-repo every CI run)
-        "doc_lang_id", "cosine_topk", "lsh_recall_bound",
+        # round green; the row-local text-hash family stays in-window via
+        # the LM scorers + gopher screen) and doc_lang_id rotated out in
+        # r8 for user_scd2_history (multi-round green since r5; both stay
+        # parity-held in-repo every CI run)
+        "cosine_topk", "lsh_recall_bound",
         # multimodal_resize rotated out in r8 for ivf_pq_recall_bound
         # (multi-round green; the multimodal family keeps five in-window
         # reps: decode/png/qoi/audio/video + features)
@@ -144,6 +145,9 @@ def test_driver_window_covers_flagship_surface():
         # round-8: exact-integer iterative PageRank enters directly
         # (doc_fingerprint out — multi-round green)
         "doc_link_pagerank",
+        # round-8: SCD Type-2 dimension history enters directly
+        # (doc_lang_id out — multi-round green)
+        "user_scd2_history",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

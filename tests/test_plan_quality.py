@@ -548,3 +548,14 @@ def test_pagerank_round_plan_one_contrib_shuffle_no_cartesian(spark):
     # all equi-joins
     assert plan.count("Exchange hashpartitioning") <= 8
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_scd2_history_single_shuffle_shared_sort(spark):
+    """Both SCD2 windows (change-flag lag, then version/lead) share the
+    same partitioning and ordering, so the whole history build must cost
+    exactly ONE hash shuffle on the dimension key and reuse the sort."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["user_scd2_history"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1
+    assert plan.count("Sort ") <= 2  # one physical sort, maybe re-listed
