@@ -23,6 +23,7 @@ from .decontam import read_clean, read_flagged, stream_decontaminate
 from .dedup_llm import stream_minhash_dedup
 from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
+from .scd import stream_scd2
 from .semantic import read_semantic_survivors, stream_semantic_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
@@ -47,6 +48,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",
+    "stream_scd2",
     "read_curated",
     "finalize_training_export",
 ]

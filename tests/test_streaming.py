@@ -1022,3 +1022,79 @@ def test_stream_semantic_dedup_auto_compacts(spark, tmp_path):
         for r in semantic_dedup(aug, dim=64).collect()
     }
     assert got == want
+
+
+def test_stream_scd2_equals_batch_any_order(spark, tmp_path):
+    """CDC micro-batches — including a LATE batch whose observations land
+    inside already-collapsed history — must materialize exactly
+    scd2_build(all observations).  The adversarial case: user's stream
+    X@10 X@20 Y@30 arrives first (collapses to X@10, Y@30), then Y@15
+    arrives late; the correct history is X@10, Y@15, X@20, Y@30 — the
+    no-change X@20 observation becomes a change point again, which only
+    a raw-log rebuild can recover.  Replay from the same checkpoint is a
+    no-op (watermark + log + history commit atomically)."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_build
+    from dp1_data_wrangling_spark.streaming import stream_scd2
+
+    cols = ["user_id", "ts_us", "seq", "attr"]
+    b1 = spark.createDataFrame(
+        [(1, 10, 1, "X"), (1, 20, 2, "X"), (1, 30, 3, "Y"),
+         (2, 10, 4, "P")],
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 15, 5, "Y"),   # late: splits 1's first version, revives X@20
+         (3, 5, 6, "N")],   # brand-new key
+        cols,
+    )
+    src = tmp_path / "obs_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        checkpoint_dir=ckpt, table="user_attr", key="user_id",
+        tracked=["attr"], ts_col="ts_us", order_extra=["seq"],
+    )
+    stream_scd2(stream, cat_root, **kw).awaitTermination(180)
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                Catalog(cat_root)
+                .read(spark, "user_attr")
+                .select("user_id", "attr", "version", "valid_from",
+                        "valid_to", "is_current")
+                .collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            scd2_build(
+                b1.union(b2), key="user_id", tracked=["attr"],
+                ts_col="ts_us", order_extra=["seq"],
+            ).select("user_id", "attr", "version", "valid_from",
+                     "valid_to", "is_current").collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    # the adversarial key really has 4 versions, in order X,Y,X,Y
+    k1 = sorted((t for t in got if t[0] == 1), key=lambda t: t[2])
+    assert [t[1] for t in k1] == ["X", "Y", "X", "Y"]
+    # raw log keeps every observation, including the no-change one
+    assert Catalog(cat_root).read(spark, "user_attr_obs").count() == 6
+
+    # replay: same checkpoint -> already-committed batches skipped
+    stream_scd2(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
