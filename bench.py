@@ -424,6 +424,71 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - sweep is informational
             print(f"text-dedup scale probe failed: {exc}", file=sys.stderr)
 
+    # Graph-tier scale probe (round 8): doc_link_pagerank's fixture graph
+    # is 5k docs at every SF, so its headline number tracks per-round
+    # fixed overhead (5 checkpointed rounds).  Synthesize arithmetic-
+    # deterministic graphs at 20k/200k nodes (~1.5 out-edges/node, same
+    # degree law as the query), persist the edge list, and time the full
+    # 5-iteration run: cost is rounds x O(|E|) joins+aggs, so the ratio
+    # belongs in the linear class — a hidden all-pairs term (e.g. an
+    # accidental re-derivation of the edge subtree per round) would read
+    # ~10x worse.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.operators.graph import pagerank
+
+            def synth_graph(n: int):
+                deg = (F.col("id") * 2654435761) % 4
+                return (
+                    spark.range(n)
+                    .select(F.col("id").alias("src"), deg.alias("d"))
+                    .filter("d > 0")
+                    .select(
+                        "src",
+                        F.explode(
+                            F.sequence(F.lit(1).cast("bigint"), F.col("d"))
+                        ).alias("j"),
+                    )
+                    .select(
+                        "src",
+                        ((F.col("src") * 40503 + F.col("j") * 69069) % n).alias(
+                            "dst"
+                        ),
+                    )
+                )
+
+            tmp = tempfile.mkdtemp(prefix="bench_graph_")
+            try:
+                gpaths = {}
+                for n in (20_000, 200_000):
+                    gpaths[n] = f"{tmp}/g{n}"
+                    synth_graph(n).write.parquet(gpaths[n])
+                pr = {
+                    n: min_of_3(
+                        lambda n=n: pagerank(
+                            spark.range(n).select(F.col("id").alias("node")),
+                            spark.read.parquet(gpaths[n]),
+                            iterations=5,
+                        )
+                    )
+                    for n in (20_000, 200_000)
+                }
+                scaling["pagerank_synth"] = {
+                    "n_rows": [20_000, 200_000],
+                    "small_sec": round(pr[20_000], 3),
+                    "big_sec": round(pr[200_000], 3),
+                    "ratio_10x_rows": round(pr[200_000] / pr[20_000], 2),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - sweep is informational
+            print(f"pagerank scale probe failed: {exc}", file=sys.stderr)
+
     # Catalog data-skipping probe (round 8): 16 range-disjoint commit
     # roots over lineitem with a zone map on l_orderkey; a one-root range
     # predicate through read(where=...) vs the same filter over a full

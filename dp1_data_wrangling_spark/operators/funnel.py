@@ -1,0 +1,166 @@
+"""Event-sequence analytics: k-step funnels and cohort retention.
+
+The event-analytics tier every warehouse ships (Amplitude/Mixpanel-class
+funnel + retention reports) expressed as plain DataFrame algebra — no
+MATCH_RECOGNIZE dependency, exact integer timestamps throughout so a SQL
+oracle replays results bit-for-bit.
+
+Engine extension — the reference (exporter.py:75-141) has no event tier.
+
+``funnel_match``: first-touch-anchored conversion — the chain starts at
+each user's EARLIEST step-1 event and each subsequent step matches the
+earliest qualifying event within ``within_us`` of the previous step.
+First-touch anchoring is the standard product-analytics semantic and is
+deterministic (min-folds only); it deliberately does NOT search later
+anchors when the earliest one stalls — document readers see the same
+number Amplitude's default would give.
+
+``cohort_retention``: users bucketed by the week of their first event;
+one row per (cohort_week, week_offset) with distinct active users.
+
+Scale posture (100 TB): every step of the funnel is a per-user min-fold
+(map-side combinable) plus an equi-join on user id — k steps = k narrow
+joins hash-partitioned on the SAME key, so a bucketed/pre-partitioned
+event table pays one shuffle total; no window over the full event stream
+is ever materialized.  Retention is two combinable groupBys (user, then
+cohort cell).  Skew = per-user event volume, bounded by the conditional
+filters before any join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_match(
+    events: DataFrame,
+    *,
+    steps: list[str],
+    within_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Earliest-chain funnel completion per user.
+
+    Returns one row per user who completed step 1, with columns
+    ``t1_us .. tk_us`` (BIGINT µs, NULL from the first unreached step on),
+    ``steps_completed`` and ``converted`` (all k steps reached).  Step
+    ``i+1`` matches the earliest event of its type with
+    ``t_i < ts <= t_i + within_us``.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    chain = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__nu"), F.col(ts_col).alias("__nts")
+        )
+        prev = f"t{i - 1}_us"
+        chain = (
+            chain.join(
+                nxt,
+                (F.col("__u") == F.col("__nu"))
+                & (F.col("__nts") > F.col(prev))
+                & (F.col("__nts") <= F.col(prev) + F.lit(within_us)),
+                "left",
+            )
+            .groupBy("__u", *[f"t{j}_us" for j in range(1, i)])
+            .agg(F.min("__nts").alias(f"t{i}_us"))
+        )
+    ts_cols = [f"t{j}_us" for j in range(1, len(steps) + 1)]
+    completed = sum(
+        (F.col(c).isNotNull().cast("bigint") for c in ts_cols), F.lit(0)
+    )
+    return chain.select(
+        F.col("__u").alias(user_col),
+        *ts_cols,
+        completed.cast("bigint").alias("steps_completed"),
+        F.col(ts_cols[-1]).isNotNull().alias("converted"),
+    )
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, n_users).
+
+    ``cohort_week`` = epoch-week of the user's first event (floor of µs /
+    one week — exact BIGINT division); ``week_offset`` counts weeks since
+    the cohort week in which the user was active again (offset 0 row =
+    cohort size).  Distinct users per cell, so multiple events in a week
+    count once."""
+    # integer division (`div`), never float `/`: a double quotient can
+    # round across the floor boundary and disagree with the oracle's `//`
+    firsts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.expr(f"min({ts_col}) div {WEEK_US}").alias("__cw")
+    )
+    active = events.select(
+        F.col(user_col).alias("__u"),
+        F.expr(f"{ts_col} div {WEEK_US}").alias("__aw"),
+    ).distinct()
+    return (
+        active.join(firsts, "__u")
+        .groupBy(
+            F.col("__cw").alias("cohort_week"),
+            (F.col("__aw") - F.col("__cw")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("__u").cast("bigint").alias("n_users"))
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Per-user event-type transition counts (first-order Markov matrix).
+
+    One row per (from_type, to_type) with the count of consecutive
+    occurrences across all users and the transition probability as an
+    exact integer ``prob_milli`` = 1000 * n / row-total (truncating
+    division — engine-identical, no float drift).  ONE window shuffle on
+    the user key + one combinable groupBy on the (tiny) type-pair space.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("1000 * n_transitions").cast("bigint").alias("__num"),
+        F.sum("n_transitions").over(w_tot).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("__num div __den").alias("prob_milli"),
+    )

@@ -1646,6 +1646,8 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_scd2_history",
+    # headline: the SCD2 window build is the dimension-maintenance cost
+    # the warehouse tier pays per CDC fold
     """
     WITH scd_ev AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
@@ -1670,6 +1672,7 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     )
     """,
+    headline=True,
 )
 def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension history (operators/scd.py scd2_build): each
@@ -1702,6 +1705,139 @@ def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_funnel",
+    # headline-adjacent event-analytics tier: 3-step first-touch funnel
+    """
+    WITH f_ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    f_s1 AS (
+        SELECT user_id, min(ts_us) AS t1_us
+        FROM f_ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    f_s2 AS (
+        SELECT s.user_id, s.t1_us, min(e.ts_us) AS t2_us
+        FROM f_s1 s LEFT JOIN f_ev e
+          ON e.user_id = s.user_id AND e.event_type = 'click'
+         AND e.ts_us > s.t1_us AND e.ts_us <= s.t1_us + 1800000000
+        GROUP BY s.user_id, s.t1_us
+    ),
+    f_s3 AS (
+        SELECT s.user_id, s.t1_us, s.t2_us, min(e.ts_us) AS t3_us
+        FROM f_s2 s LEFT JOIN f_ev e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts_us > s.t2_us AND e.ts_us <= s.t2_us + 1800000000
+        GROUP BY s.user_id, s.t1_us, s.t2_us
+    )
+    SELECT user_id, t1_us, t2_us, t3_us,
+           CAST(t1_us IS NOT NULL AS BIGINT)
+           + CAST(t2_us IS NOT NULL AS BIGINT)
+           + CAST(t3_us IS NOT NULL AS BIGINT) AS steps_completed,
+           t3_us IS NOT NULL AS converted
+    FROM f_s3
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch 3-step funnel (operators/funnel.py funnel_match):
+    view -> click -> purchase, each step the earliest qualifying event
+    within 30 minutes of the previous — the Amplitude-default conversion
+    semantic as k-1 conditional min-fold joins, all hash-partitioned on
+    the SAME user key (a bucketed event table pays one shuffle total).
+    Exact BIGINT µs; the oracle replays the identical chain."""
+    from .operators.funnel import funnel_match
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return funnel_match(
+        e,
+        steps=["view", "click", "purchase"],
+        within_us=1_800_000_000,
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH r_ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    r_first AS (
+        SELECT user_id, min(ts_us) // 604800000000 AS cohort_week
+        FROM r_ev GROUP BY user_id
+    ),
+    r_active AS (
+        SELECT DISTINCT user_id, ts_us // 604800000000 AS active_week
+        FROM r_ev
+    )
+    SELECT f.cohort_week, a.active_week - f.cohort_week AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM r_active a JOIN r_first f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, a.active_week - f.cohort_week
+    """,
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.py cohort_retention):
+    cohort = epoch-week of first event (exact BIGINT division), one cell
+    per (cohort_week, week_offset) counting distinct returning users.
+    Two combinable groupBys — per-user first-week, then the cell count;
+    the oracle replays both with `//`."""
+    from .operators.funnel import cohort_retention
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return cohort_retention(e)
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH t_ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+    ),
+    t_pairs AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS from_type,
+               event_type AS to_type
+        FROM t_ev
+    ),
+    t_counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM t_pairs WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           (1000 * n_transitions)
+             // CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+             AS prob_milli
+    FROM t_counts
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream (operators/funnel.py transition_matrix): ONE window shuffle
+    on the user key, then a combinable groupBy on the tiny type-pair
+    space; probabilities as exact integer milli-ratios (truncating
+    division both engines)."""
+    from .operators.funnel import transition_matrix
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return transition_matrix(e, order_extra=["event_id"])
+
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
@@ -1720,8 +1856,11 @@ DRIVER_WINDOW: list[str] = [
     "find_first",                 # J4 find-first + W1 window; bench headline
     "chain_flatten_distributed",  # S4/J6 chain flatten, iterative distributed form
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
-    "events_rollup_incremental",  # hypertable-style rollup over events
     "user_scd2_history",          # r8: SCD Type-2 dimension history
+    # -- event analytics (r8: funnel / retention / Markov) --
+    "event_funnel",               # r8: first-touch 3-step conversion funnel
+    "user_retention_cohorts",     # r8: weekly cohort retention grid
+    "event_transition_matrix",    # r8: first-order Markov transition counts
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
@@ -1742,8 +1881,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank
     "cosine_topk",                # brute-force ANN baseline
-    "lsh_recall_bound",           # LSH ANN recall >= 0.7 vs brute force
-    "ivf_recall_bound",           # IVF ANN recall >= 0.5 vs brute force
     "lsh_topk",                   # r8: full md5-plane signature replay oracle
     "ivf_topk",                   # r8: full quantizer+assignment replay oracle
     "doc_card_scan",              # Luhn-validated card screen (PII precision tier)

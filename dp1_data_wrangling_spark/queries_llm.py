@@ -2899,7 +2899,7 @@ def _pagerank_oracle(k: int = 5, scale: int = 10**12) -> str:
     """
 
 
-@register("doc_link_pagerank", _pagerank_oracle())
+@register("doc_link_pagerank", _pagerank_oracle(), headline=True)
 def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph importance for curation (operators/graph.py pagerank):
     web-scale pipelines weight documents by PageRank-class centrality

@@ -2292,3 +2292,107 @@ def test_scd2_build_requires_tracked(spark):
     ev = spark.createDataFrame([("a", 1, "X")], ["k", "ts", "attr"])
     with pytest.raises(ValueError, match="tracked"):
         scd2_build(ev, key="k", tracked=[], ts_col="ts")
+
+
+def test_funnel_match_hand_computed(spark):
+    """u1 converts (view@10 click@20 buy@30); u2 stalls at click out of
+    window; u3 has click before view only (no step 2: strictly after);
+    u4 never views (absent from output).  First-touch anchoring: u5's
+    early view with no click in window is NOT rescued by a later
+    view+click pair."""
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "view", 10), (2, "click", 200),
+        (3, "click", 5), (3, "view", 10),
+        (4, "click", 10), (4, "purchase", 20),
+        (5, "view", 10), (5, "view", 100), (5, "click", 150),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    got = {
+        r["user_id"]: (
+            r["t1_us"], r["t2_us"], r["t3_us"],
+            r["steps_completed"], r["converted"],
+        )
+        for r in funnel_match(
+            e, steps=["view", "click", "purchase"], within_us=50
+        ).collect()
+    }
+    assert got == {
+        1: (10, 20, 30, 3, True),
+        2: (10, None, None, 1, False),
+        3: (10, None, None, 1, False),
+        5: (10, None, None, 1, False),
+    }
+
+
+def test_funnel_match_picks_earliest_qualifying_each_step(spark):
+    """Two qualifying clicks -> the earlier anchors step 3's window."""
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+
+    e = spark.createDataFrame(
+        [(1, "view", 0), (1, "click", 10), (1, "click", 40),
+         (1, "purchase", 55)],
+        ["user_id", "event_type", "ts_us"],
+    )
+    r = funnel_match(
+        e, steps=["view", "click", "purchase"], within_us=50
+    ).collect()[0]
+    # click@10 anchors; purchase@55 is within 10+50 -> converted
+    assert (r["t2_us"], r["t3_us"], r["converted"]) == (10, 55, True)
+
+
+def test_funnel_match_validation(spark):
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+
+    e = spark.createDataFrame([(1, "view", 0)], ["user_id", "event_type", "ts_us"])
+    with pytest.raises(ValueError, match="steps"):
+        funnel_match(e, steps=["view"], within_us=10)
+    with pytest.raises(ValueError, match="within_us"):
+        funnel_match(e, steps=["a", "b"], within_us=0)
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Week length 604800000000 us.  u1 first in week 0, active weeks
+    0 and 2; u2 first in week 0, active week 0 only; u3 first in week 2."""
+    from dp1_data_wrangling_spark.operators.funnel import (
+        WEEK_US,
+        cohort_retention,
+    )
+
+    e = spark.createDataFrame(
+        [
+            (1, 5), (1, 2 * WEEK_US + 3), (1, 2 * WEEK_US + 9),
+            (2, 10),
+            (3, 2 * WEEK_US),
+        ],
+        ["user_id", "ts_us"],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(e).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (2, 0): 1}
+
+
+def test_transition_matrix_hand_computed(spark):
+    """u1: a->b->a; u2: a->b.  Transitions: a->b x2, b->a x1.
+    From 'a' total 2: a->b prob 1000; from 'b' total 1: b->a 1000.
+    With an extra a->a for u2 the from-a row splits 666/333 floor."""
+    from dp1_data_wrangling_spark.operators.funnel import transition_matrix
+
+    e = spark.createDataFrame(
+        [(1, 1, 10, "a"), (1, 2, 20, "b"), (1, 3, 30, "a"),
+         (2, 4, 10, "a"), (2, 5, 20, "a"), (2, 6, 30, "b")],
+        ["user_id", "event_id", "ts_us", "event_type"],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob_milli"])
+        for r in transition_matrix(e, order_extra=["event_id"]).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 666),
+        ("a", "a"): (1, 333),
+        ("b", "a"): (1, 1000),
+    }

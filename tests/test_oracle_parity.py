@@ -74,11 +74,15 @@ def test_driver_window_covers_flagship_surface():
         # the LM scorers + gopher screen) and doc_lang_id rotated out in
         # r8 for user_scd2_history (multi-round green since r5; both stay
         # parity-held in-repo every CI run)
-        "cosine_topk", "lsh_recall_bound",
+        # lsh_recall_bound / ivf_recall_bound rotated out in r8 for the
+        # event-analytics tier (6x consecutive driver-green since r2; the
+        # ANN family keeps seven in-window reps: cosine_topk, lsh_topk,
+        # ivf_topk, pq/ivf_pq/ivf_kmeans/ivf_index recall bounds)
+        "cosine_topk",
         # multimodal_resize rotated out in r8 for ivf_pq_recall_bound
         # (multi-round green; the multimodal family keeps five in-window
         # reps: decode/png/qoi/audio/video + features)
-        "ivf_recall_bound", "multimodal_features",
+        "multimodal_features",
         # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
         # session_window keeps the streaming-window family in-window)
         "session_window", "event_correlation", "chain_flatten_distributed",
@@ -148,6 +152,11 @@ def test_driver_window_covers_flagship_surface():
         # round-8: SCD Type-2 dimension history enters directly
         # (doc_lang_id out — multi-round green)
         "user_scd2_history",
+        # round-8: event-analytics tier (funnel / retention / Markov)
+        # enters directly (outs: lsh_recall_bound, ivf_recall_bound,
+        # events_rollup_incremental — see inline notes; the rollup family
+        # stays via session_window/event_correlation plus in-repo parity)
+        "event_funnel", "user_retention_cohorts", "event_transition_matrix",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -559,3 +559,16 @@ def test_scd2_history_single_shuffle_shared_sort(spark):
     plan = plan_of(REGISTRY["user_scd2_history"].fn(spark, SMOKE_SF))
     assert data_shuffles(plan) == 1
     assert plan.count("Sort ") <= 2  # one physical sort, maybe re-listed
+
+
+def test_funnel_all_joins_on_user_key_no_cartesian(spark):
+    """Every funnel step joins on the SAME user key (range predicates
+    ride the equi-join as filters), so the plan must be all hash
+    equi-joins — no BroadcastNestedLoop/Cartesian from the ts-window
+    conditions — with map-side partial min before each fold."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["event_funnel"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan
