@@ -122,6 +122,57 @@ def cohort_retention(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Gap-rule batch sessionization: one row per (user, session).
+
+    A new session starts at the user's first event and whenever the gap
+    to the previous event exceeds ``gap_us`` (strictly).  Returns
+    ``(user_id, session_idx, start_us, end_us, n_events, duration_us)``
+    — all exact BIGINT, ``session_idx`` 1-based in time order.
+
+    Scale posture (100 TB): ONE shuffle total — the lag/running-sum
+    window hash-partitions on the user key and the per-session groupBy's
+    clustering keys are a superset of that partitioning, so Spark reuses
+    it (plan-gated).  State per user is bounded by that user's event
+    count; no session payload is ever wider than the six scalars out.
+    """
+    from pyspark.sql import Window
+
+    if gap_us <= 0:
+        raise ValueError(f"gap_us must be positive, got {gap_us}")
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    lag_ts = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        lag_ts.isNull() | (F.col(ts_col) - lag_ts > F.lit(gap_us))
+    ).cast("bigint")
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            *[F.col(c) for c in (order_extra or [])],
+        )
+        .withColumn("session_idx", F.sum(new_sess).over(run))
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("start_us"),
+            F.max(ts_col).alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
 def transition_matrix(
     events: DataFrame,
     *,

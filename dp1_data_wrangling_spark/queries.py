@@ -1837,6 +1837,121 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(e, order_extra=["event_id"])
 
 
+@register(
+    "event_sessions",
+    """
+    WITH sz_ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    sz_flag AS (
+        SELECT user_id, ts_us, event_id,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM sz_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sz_idx AS (
+        SELECT user_id, ts_us,
+               CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_idx
+        FROM sz_flag
+    )
+    SELECT user_id, session_idx,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM sz_idx
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule batch sessionization (operators/funnel.py sessionize):
+    30-minute inactivity gap, one row per (user, session) with exact
+    BIGINT bounds/duration.  ONE shuffle total — the running-sum window
+    hash-partitions on the user key and the per-session groupBy reuses
+    that partitioning (clustering keys are a superset; plan-gated).
+    The oracle replays the identical lag -> flag -> running-sum ->
+    groupBy algebra."""
+    from .operators.funnel import sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return sessionize(e, gap_us=1_800_000_000, order_extra=["event_id"])
+
+
+@register(
+    "events_gapfill",
+    """
+    WITH gf_obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gf_rep AS (
+        SELECT user_id, bucket, v FROM (
+            SELECT user_id, ts_us // 21600000000 AS bucket, v,
+                   row_number() OVER (
+                       PARTITION BY user_id, ts_us // 21600000000
+                       ORDER BY ts_us DESC, event_id DESC
+                   ) AS rn
+            FROM gf_obs
+        ) WHERE rn = 1
+    ),
+    gf_span AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM gf_rep GROUP BY user_id
+    ),
+    gf_grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+        FROM gf_span
+    ),
+    gf_j AS (
+        SELECT g.user_id, g.bucket, r.v
+        FROM gf_grid g LEFT JOIN gf_rep r USING (user_id, bucket)
+    )
+    SELECT user_id, bucket * 21600000000 AS bucket_ts_us,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING
+           ) AS value_filled,
+           v IS NOT NULL AS is_observed
+    FROM gf_j
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill (operators/timeseries.py
+    gapfill): each user's purchase `value` series on a 6-hour grid
+    between the user's first and last purchase, missing cells carried
+    forward from the latest earlier observation.  Exact BIGINT buckets;
+    observed doubles are copied verbatim (never recomputed) so the hash
+    compare holds.  The oracle replays the identical rep-selection /
+    grid / LOCF-window algebra."""
+    from .operators.timeseries import gapfill
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+    )
+    return gapfill(
+        e,
+        step_us=21_600_000_000,
+        key_col="user_id",
+        ts_col="ts_us",
+        value_col="value",
+        tie_cols=["event_id"],
+    )
+
 
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
@@ -1861,10 +1976,11 @@ DRIVER_WINDOW: list[str] = [
     "event_funnel",               # r8: first-touch 3-step conversion funnel
     "user_retention_cohorts",     # r8: weekly cohort retention grid
     "event_transition_matrix",    # r8: first-order Markov transition counts
+    "event_sessions",             # r8: gap-rule batch sessionization
+    "events_gapfill",             # r8: grid resample + forward fill (LOCF)
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
-    "doc_decontaminate",          # eval-overlap n-gram decontamination
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "doc_line_dedup",             # CCNet boilerplate line census dedup
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
@@ -1880,7 +1996,6 @@ DRIVER_WINDOW: list[str] = [
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank
-    "cosine_topk",                # brute-force ANN baseline
     "lsh_topk",                   # r8: full md5-plane signature replay oracle
     "ivf_topk",                   # r8: full quantizer+assignment replay oracle
     "doc_card_scan",              # Luhn-validated card screen (PII precision tier)

@@ -2396,3 +2396,94 @@ def test_transition_matrix_hand_computed(spark):
         ("a", "a"): (1, 333),
         ("b", "a"): (1, 1000),
     }
+
+
+def test_sessionize_hand_computed(spark):
+    """gap=50: u1 events at 10,40,100 -> sessions {10,40} and {100};
+    u2 single event; boundary: gap EXACTLY 50 does not split (strict >)."""
+    from dp1_data_wrangling_spark.operators.funnel import sessionize
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 40), (1, 100), (2, 7), (3, 0), (3, 50)],
+        ["user_id", "ts_us"],
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["start_us"], r["end_us"], r["n_events"], r["duration_us"]
+        )
+        for r in sessionize(e, gap_us=50).collect()
+    }
+    assert got == {
+        (1, 1): (10, 40, 2, 30),
+        (1, 2): (100, 100, 1, 0),
+        (2, 1): (7, 7, 1, 0),
+        (3, 1): (0, 50, 2, 50),
+    }
+
+
+def test_sessionize_validation(spark):
+    from dp1_data_wrangling_spark.operators.funnel import sessionize
+
+    e = spark.createDataFrame([(1, 10)], ["user_id", "ts_us"])
+    with pytest.raises(ValueError, match="gap_us"):
+        sessionize(e, gap_us=0)
+
+
+def test_gapfill_hand_computed(spark):
+    """step=10: key 'a' obs at ts 5(v=1.5), 7(v=2.5) same bucket 0 ->
+    rep is LAST (ts 7); next obs at ts 35 (bucket 3, v=9.0).  Grid
+    0..3 with buckets 1,2 forward-filled from 2.5.  Key 'b': single
+    obs -> single grid row, observed."""
+    from dp1_data_wrangling_spark.operators.timeseries import gapfill
+
+    obs = spark.createDataFrame(
+        [("a", 5, 1.5), ("a", 7, 2.5), ("a", 35, 9.0), ("b", 11, 4.0)],
+        ["key", "ts_us", "value"],
+    )
+    got = {
+        (r["key"], r["bucket_ts_us"]): (r["value_filled"], r["is_observed"])
+        for r in gapfill(obs, step_us=10).collect()
+    }
+    assert got == {
+        ("a", 0): (2.5, True),
+        ("a", 10): (2.5, False),
+        ("a", 20): (2.5, False),
+        ("a", 30): (9.0, True),
+        ("b", 10): (4.0, True),
+    }
+
+
+def test_gapfill_tie_break_uses_tie_cols(spark):
+    """Two obs at the SAME ts in one bucket: the larger tie column wins."""
+    from dp1_data_wrangling_spark.operators.timeseries import gapfill
+
+    obs = spark.createDataFrame(
+        [("a", 5, 1, 1.0), ("a", 5, 2, 7.0)],
+        ["key", "ts_us", "seq", "value"],
+    )
+    rows = gapfill(obs, step_us=10, tie_cols=["seq"]).collect()
+    assert len(rows) == 1 and rows[0]["value_filled"] == 7.0
+
+
+def test_gapfill_max_buckets_fail_fast(spark):
+    """A key spanning more grid cells than max_buckets aborts with a
+    descriptive error instead of exploding the grid."""
+    from dp1_data_wrangling_spark.operators.timeseries import gapfill
+
+    obs = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1000, 2.0)], ["key", "ts_us", "value"]
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        gapfill(obs, step_us=1, max_buckets=50).collect()
+    # same data passes under a sufficient cap
+    assert gapfill(obs, step_us=1, max_buckets=2000).count() == 1001
+
+
+def test_gapfill_validation(spark):
+    from dp1_data_wrangling_spark.operators.timeseries import gapfill
+
+    obs = spark.createDataFrame([("a", 0, 1.0)], ["key", "ts_us", "value"])
+    with pytest.raises(ValueError, match="step_us"):
+        gapfill(obs, step_us=0)
+    with pytest.raises(ValueError, match="max_buckets"):
+        gapfill(obs, step_us=1, max_buckets=0)

@@ -75,10 +75,11 @@ def test_driver_window_covers_flagship_surface():
         # r8 for user_scd2_history (multi-round green since r5; both stay
         # parity-held in-repo every CI run)
         # lsh_recall_bound / ivf_recall_bound rotated out in r8 for the
-        # event-analytics tier (6x consecutive driver-green since r2; the
-        # ANN family keeps seven in-window reps: cosine_topk, lsh_topk,
-        # ivf_topk, pq/ivf_pq/ivf_kmeans/ivf_index recall bounds)
-        "cosine_topk",
+        # event-analytics tier, then cosine_topk for events_gapfill (all
+        # 6x consecutive driver-green since r2 — the longest streaks in
+        # the window; the ANN family keeps six in-window reps: lsh_topk,
+        # ivf_topk, pq/ivf_pq/ivf_kmeans/ivf_index recall bounds, and
+        # cosine_topk stays parity-held in-repo every CI run)
         # multimodal_resize rotated out in r8 for ivf_pq_recall_bound
         # (multi-round green; the multimodal family keeps five in-window
         # reps: decode/png/qoi/audio/video + features)
@@ -157,6 +158,13 @@ def test_driver_window_covers_flagship_surface():
         # events_rollup_incremental — see inline notes; the rollup family
         # stays via session_window/event_correlation plus in-repo parity)
         "event_funnel", "user_retention_cohorts", "event_transition_matrix",
+        # round-8: gap-rule batch sessionization enters directly
+        # (doc_decontaminate out — 2x green; the decontamination family
+        # stays via doc_semantic_decontam)
+        "event_sessions",
+        # round-8: time-series grid resample + LOCF gap-fill enters
+        # directly (cosine_topk out — see the ANN-family note above)
+        "events_gapfill",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -572,3 +572,29 @@ def test_funnel_all_joins_on_user_key_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_min" in plan
+
+
+def test_sessionize_single_shuffle_reuses_partitioning(spark):
+    """The lag/running-sum window hash-partitions on user_id and the
+    per-session groupBy clusters on (user_id, session_idx) — a superset
+    of the window's partitioning, so the whole sessionization must cost
+    exactly ONE data shuffle (plus map-side partial agg)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["event_sessions"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_gapfill_no_cartesian_all_equi_joins(spark):
+    """Grid->rep is a (key, bucket) hash equi-join and the LOCF window
+    partitions on the key — no cartesian/nested-loop anywhere, and the
+    per-key grid explode sits behind the span aggregate (partial_min
+    combines map-side)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_gapfill"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Generate explode" in plan
+    assert "partial_min" in plan
