@@ -1953,6 +1953,46 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle() -> str:
+    cols = [("doc_id", False), ("text", True), ("lang", True),
+            ("source", True), ("n_chars", False)]
+    parts = []
+    for c, is_str in cols:
+        if is_str:
+            extra = (
+                f"CAST(count(CASE WHEN {c} = '' THEN 1 END) AS BIGINT) AS n_empty, "
+                f"CAST(min(length({c})) AS BIGINT) AS min_len, "
+                f"CAST(max(length({c})) AS BIGINT) AS max_len"
+            )
+        else:
+            extra = (
+                "CAST(NULL AS BIGINT) AS n_empty, "
+                "CAST(NULL AS BIGINT) AS min_len, "
+                "CAST(NULL AS BIGINT) AS max_len"
+            )
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{extra} FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("table_profile", _profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table (operators/profile.py
+    profile_table): per-column row/null/exact-distinct counts plus
+    empty-string and length bounds for string columns, one tidy row per
+    column from ONE aggregate job (map-side combine reduces every
+    partition to a single row before the shuffle).  The oracle is the
+    textbook per-column UNION ALL."""
+    from .operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "documents"))
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
@@ -1986,7 +2026,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
     "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure
     "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff
-    "doc_quality_quantile",       # skew-proof per-group quantile filter
+    "table_profile",              # r8: one-pass per-column data-quality profile
     # -- dedup / similarity families --
     "doc_exact_dedup",            # digest-only exact dedup (A1/A2 family)
     "minhash_pairs",              # MinHash-LSH banded near-dup

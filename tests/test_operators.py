@@ -2487,3 +2487,50 @@ def test_gapfill_validation(spark):
         gapfill(obs, step_us=0)
     with pytest.raises(ValueError, match="max_buckets"):
         gapfill(obs, step_us=1, max_buckets=0)
+
+
+def test_profile_table_hand_computed(spark):
+    """Nulls, empty strings, and length bounds all counted per column."""
+    from dp1_data_wrangling_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (2, None), (None, "xyz")],
+        ["id", "s"],
+    )
+    got = {r["column_name"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["id"] == {
+        "column_name": "id", "n_rows": 4, "n_nulls": 1, "n_distinct": 2,
+        "n_empty": None, "min_len": None, "max_len": None,
+    }
+    assert got["s"] == {
+        "column_name": "s", "n_rows": 4, "n_nulls": 1, "n_distinct": 3,
+        "n_empty": 1, "min_len": 0, "max_len": 3,
+    }
+
+
+def test_profile_table_approx_mode_within_rsd(spark):
+    """HLL++ mode (the 100 TB path, no Expand) lands within 3*rsd of
+    exact on a 1000-distinct column."""
+    from pyspark.sql import functions as F
+
+    from dp1_data_wrangling_spark.operators.profile import profile_table
+
+    df = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    got = {
+        r["column_name"]: r["n_distinct"]
+        for r in profile_table(df, exact_distinct=False, rsd=0.05).collect()
+    }
+    assert abs(got["k"] - 1000) <= 150
+    assert abs(got["v"] - 5000) <= 750
+
+
+def test_profile_table_validation(spark):
+    from dp1_data_wrangling_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        profile_table(df, columns=[])

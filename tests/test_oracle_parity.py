@@ -99,7 +99,10 @@ def test_driver_window_covers_flagship_surface():
         # by tumbling/session and features/resize)
         # doc_source_mix rotated out in r8 for doc_bigram_score (2x green;
         # the mixing family stays via doc_subword_mix + doc_source_quota)
-        "embedding_semantic_dedup", "doc_quality_quantile",
+        # doc_quality_quantile rotated out in r8 for table_profile (2x
+        # green; the quality-stat family stays via doc_gopher_rules +
+        # corpus_stats and the quantile filter stays parity-held in-repo)
+        "embedding_semantic_dedup",
         "doc_bigram_score",
         # round-7 audit rotation: the in-repo-only tail gains external
         # sf0.01 evidence; six multi-round-green trivial entries plus
@@ -165,6 +168,9 @@ def test_driver_window_covers_flagship_surface():
         # round-8: time-series grid resample + LOCF gap-fill enters
         # directly (cosine_topk out — see the ANN-family note above)
         "events_gapfill",
+        # round-8: one-pass per-column data-quality profiler enters
+        # directly (doc_quality_quantile out — see note above)
+        "table_profile",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -598,3 +598,25 @@ def test_gapfill_no_cartesian_all_equi_joins(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "Generate explode" in plan
     assert "partial_min" in plan
+
+
+def test_profile_table_approx_mode_has_no_expand(spark):
+    """Exact multi-DISTINCT profiling pays the Expand plan (documented);
+    the approx mode — the 100 TB path — must profile every column in one
+    NON-expanded pass with map-side partial aggregation."""
+    from dp1_data_wrangling_spark.operators.profile import profile_table
+    from dp1_data_wrangling_spark.tables import load_table
+
+    exact = plan_of(profile_table(load_table(spark, SMOKE_SF, "documents")))
+    approx = plan_of(
+        profile_table(
+            load_table(spark, SMOKE_SF, "documents"), exact_distinct=False
+        )
+    )
+    assert "Expand" in exact  # the documented k+1-way exact plan
+    assert "Expand" not in approx
+    assert "partial_count" in approx or "partial" in approx
+    # the only exchange is the single-partition one-row gather — zero
+    # hash/range data shuffles at any input size
+    assert data_shuffles(approx) == 0
+    assert "Exchange SinglePartition" in approx
