@@ -1980,6 +1980,61 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+@register(
+    "events_hourly_trend",
+    """
+    WITH tr_h AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    tr_s AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(hr) AS HUGEINT) AS sx,
+               CAST(sum(c) AS HUGEINT) AS sy,
+               CAST(sum(hr * c) AS HUGEINT) AS sxy,
+               CAST(sum(hr * hr) AS HUGEINT) AS sxx
+        FROM tr_h GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_x,
+           CAST(sy AS BIGINT) AS sum_y,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                    AS BIGINT)
+           END AS slope_milli,
+           CAST((1000 * sx) // n AS BIGINT) AS mean_x_milli,
+           CAST((1000 * sy) // n AS BIGINT) AS mean_y_milli
+    FROM tr_s
+    """,
+)
+def q_events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of hourly event counts
+    (operators/stats.py linear_trend): exact-integer sufficient
+    statistics in DECIMAL(38,0) with the slope as a truncated
+    milli-ratio — both engines' integer division truncates toward zero,
+    so falling trends replay exactly.  Two combinable groupBys; the
+    shuffle payload is five sums per (type, hour) cell."""
+    from .operators.stats import linear_trend
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    return linear_trend(
+        hourly, x_col="hr", y_col="c", group_cols=["event_type"]
+    )
+
+
 @register("table_profile", _profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table (operators/profile.py
@@ -2022,7 +2077,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
-    "doc_line_dedup",             # CCNet boilerplate line census dedup
+    "events_hourly_trend",        # r8: exact-integer per-group OLS trend
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
     "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure
     "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff

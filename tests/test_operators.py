@@ -2534,3 +2534,47 @@ def test_profile_table_validation(spark):
         profile_table(df, columns=["nope"])
     with pytest.raises(ValueError, match="at least one"):
         profile_table(df, columns=[])
+
+
+def test_linear_trend_hand_computed(spark):
+    """y = 2x + 1 exactly -> slope_milli 2000; falling y = -3x ->
+    -3000 (truncation toward zero on a negative numerator); a
+    single-point group has no x-variance -> NULL slope."""
+    from dp1_data_wrangling_spark.operators.stats import linear_trend
+
+    df = spark.createDataFrame(
+        [("up", 0, 1), ("up", 1, 3), ("up", 2, 5),
+         ("down", 0, 0), ("down", 1, -3), ("down", 2, -6),
+         ("flat", 7, 9)],
+        ["g", "x", "y"],
+    )
+    got = {
+        r["g"]: (r["n"], r["sum_x"], r["sum_y"], r["slope_milli"],
+                 r["mean_x_milli"], r["mean_y_milli"])
+        for r in linear_trend(
+            df, x_col="x", y_col="y", group_cols=["g"]
+        ).collect()
+    }
+    assert got["up"] == (3, 3, 9, 2000, 1000, 3000)
+    assert got["down"] == (3, 3, -9, -3000, 1000, -3000)
+    assert got["flat"] == (1, 7, 9, None, 7000, 9000)
+
+
+def test_linear_trend_truncates_toward_zero_like_sql(spark):
+    """slope = -1/3 -> milli -333 (NOT floor's -334): pins the
+    truncating semantic the DuckDB `//` replay uses."""
+    from dp1_data_wrangling_spark.operators.stats import linear_trend
+
+    df = spark.createDataFrame(
+        [(0, 1), (3, 0)], ["x", "y"]
+    )
+    r = linear_trend(df, x_col="x", y_col="y").collect()[0]
+    assert r["slope_milli"] == -333
+
+
+def test_linear_trend_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import linear_trend
+
+    df = spark.createDataFrame([(1, 1)], ["x", "y"])
+    with pytest.raises(ValueError, match="scale"):
+        linear_trend(df, x_col="x", y_col="y", scale=0)

@@ -171,6 +171,11 @@ def test_driver_window_covers_flagship_surface():
         # round-8: one-pass per-column data-quality profiler enters
         # directly (doc_quality_quantile out — see note above)
         "table_profile",
+        # round-8: exact-integer per-group OLS trend enters directly
+        # (doc_line_dedup out — 2x green; the dedup family keeps four
+        # in-window reps and line-dedup keeps its bench headline +
+        # 10x scaling probe as perf evidence)
+        "events_hourly_trend",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

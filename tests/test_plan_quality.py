@@ -620,3 +620,15 @@ def test_profile_table_approx_mode_has_no_expand(spark):
     # hash/range data shuffles at any input size
     assert data_shuffles(approx) == 0
     assert "Exchange SinglePartition" in approx
+
+
+def test_linear_trend_two_combinable_shuffles(spark):
+    """Hourly-count groupBy + per-type sufficient-statistic groupBy:
+    both partial-aggregate map-side, so the whole trend costs exactly
+    two hash shuffles whose payload is count/sum cells, never rows."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_hourly_trend"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2
+    assert "partial_count" in plan
+    assert "partial_sum" in plan
