@@ -87,6 +87,73 @@ def funnel_match(
     )
 
 
+def sequence_match(
+    events: DataFrame,
+    *,
+    pattern: str,
+    type_map: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch``-class pattern search per user.
+
+    Maps each event type to a single character via ``type_map`` (events
+    with unmapped types are excluded), builds the user's time-ordered
+    type string, and regex-matches ``pattern`` against it.  Returns
+    ``(user_id, seq_len, matched)``.
+
+    Determinism: the string is built by ``array_sort`` over
+    ``(ts, *tie, char)`` structs collected per user — a total order, so
+    the result is independent of partitioning/collect order.  Keep
+    ``pattern`` to the portable regex core (literals, ``.``, ``*``,
+    ``+``, character classes) so any SQL engine's regex agrees.
+
+    Scale posture (100 TB): one user-key groupBy (map-side combinable
+    collect); per-user state is that user's mapped-event count — the
+    same bound sessionization carries.  The unmapped-type filter prunes
+    before the shuffle and pushes to the scan.
+    """
+    for k, v in type_map.items():
+        if len(v) != 1:
+            raise ValueError(
+                f"type_map values must be single characters, got {k!r}->{v!r}"
+            )
+    if not type_map:
+        raise ValueError("type_map must not be empty")
+    ties = tie_cols or []
+    char = None
+    for k, v in type_map.items():
+        cond = F.col(type_col) == k
+        char = F.when(cond, F.lit(v)) if char is None else char.when(cond, F.lit(v))
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        *[F.col(c).alias(f"k{i}") for i, c in enumerate(ties)],
+                        char.alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    return (
+        events.filter(F.col(type_col).isin(list(type_map)))
+        .groupBy(F.col(user_col))
+        .agg(seq.alias("__seq"))
+        .select(
+            user_col,
+            F.length("__seq").cast("bigint").alias("seq_len"),
+            F.col("__seq").rlike(pattern).alias("matched"),
+        )
+    )
+
+
 WEEK_US = 7 * 86_400 * 1_000_000
 
 

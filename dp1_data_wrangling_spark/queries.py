@@ -1737,6 +1737,7 @@ def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            t3_us IS NOT NULL AS converted
     FROM f_s3
     """,
+    headline=True,
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch 3-step funnel (operators/funnel.py funnel_match):
@@ -1866,6 +1867,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sz_idx
     GROUP BY user_id, session_idx
     """,
+    headline=True,
 )
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-rule batch sessionization (operators/funnel.py sessionize):
@@ -1981,6 +1983,50 @@ def _profile_oracle() -> str:
 
 
 @register(
+    "event_sequence_match",
+    """
+    WITH sm_ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'v'
+                               WHEN 'click' THEN 'c'
+                               WHEN 'purchase' THEN 'p' END AS ch
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    sm_seq AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY ts_us, event_id) AS seq
+        FROM sm_ev GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, 'v.*c.*p') AS matched
+    FROM sm_seq
+    """,
+)
+def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceMatch-class subsequence search
+    (operators/funnel.py sequence_match): per-user time-ordered type
+    string (array_sort over a (ts, tie) total order — partitioning-
+    independent), regex 'v.*c.*p' = saw a view, later a click, later a
+    purchase, any gaps.  One map-side-combinable user-key groupBy; the
+    oracle replays via ORDER BY string_agg + regexp."""
+    from .operators.funnel import sequence_match
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return sequence_match(
+        e,
+        pattern="v.*c.*p",
+        type_map={"view": "v", "click": "c", "purchase": "p"},
+        tie_cols=["event_id"],
+    )
+
+
+@register(
     "events_hourly_trend",
     """
     WITH tr_h AS (
@@ -2083,7 +2129,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff
     "table_profile",              # r8: one-pass per-column data-quality profile
     # -- dedup / similarity families --
-    "doc_exact_dedup",            # digest-only exact dedup (A1/A2 family)
+    "event_sequence_match",       # r8: ClickHouse sequenceMatch-class search
     "minhash_pairs",              # MinHash-LSH banded near-dup
     "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
     "dedup_clusters",             # connected components over dup edges

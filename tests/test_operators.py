@@ -2578,3 +2578,37 @@ def test_linear_trend_validation(spark):
     df = spark.createDataFrame([(1, 1)], ["x", "y"])
     with pytest.raises(ValueError, match="scale"):
         linear_trend(df, x_col="x", y_col="y", scale=0)
+
+
+def test_sequence_match_hand_computed(spark):
+    """u1 v->c->p in order (matched); u2 p->c->v reversed (no); u3's
+    unmapped 'error' events are excluded from the string; tie at the
+    same ts resolved by event_id so the order is total."""
+    from dp1_data_wrangling_spark.operators.funnel import sequence_match
+
+    rows = [
+        (1, 1, 10, "view"), (1, 2, 20, "click"), (1, 3, 30, "purchase"),
+        (2, 4, 10, "purchase"), (2, 5, 20, "click"), (2, 6, 30, "view"),
+        (3, 7, 10, "view"), (3, 8, 10, "error"), (3, 9, 10, "click"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_id", "ts_us", "event_type"])
+    got = {
+        r["user_id"]: (r["seq_len"], r["matched"])
+        for r in sequence_match(
+            e,
+            pattern="v.*c.*p",
+            type_map={"view": "v", "click": "c", "purchase": "p"},
+            tie_cols=["event_id"],
+        ).collect()
+    }
+    assert got == {1: (3, True), 2: (3, False), 3: (2, False)}
+
+
+def test_sequence_match_validation(spark):
+    from dp1_data_wrangling_spark.operators.funnel import sequence_match
+
+    e = spark.createDataFrame([(1, 0, "a")], ["user_id", "ts_us", "event_type"])
+    with pytest.raises(ValueError, match="single characters"):
+        sequence_match(e, pattern="x", type_map={"a": "ab"})
+    with pytest.raises(ValueError, match="empty"):
+        sequence_match(e, pattern="x", type_map={})

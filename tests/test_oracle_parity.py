@@ -61,7 +61,12 @@ def test_driver_window_covers_flagship_surface():
     assert names[:50] == DRIVER_WINDOW
     assert len(names) == len(set(names))
     flagship = {
-        "doc_exact_dedup", "minhash_pairs", "simhash_pairs",
+        # doc_exact_dedup rotated out in r8 for event_sequence_match (7x
+        # consecutive driver-green since r1 — the longest streak in the
+        # window; the dedup family keeps minhash/simhash/dup-spans/
+        # clusters in-window and exact dedup stays a bench headline +
+        # parity-held in-repo)
+        "minhash_pairs", "simhash_pairs",
         # doc_token_stats rotated out in r8 for doc_gopher_rules (many-round
         # green since r5; the quality-stat family stays via corpus_stats,
         # doc_quality_quantile and the gopher screen itself)
@@ -176,6 +181,9 @@ def test_driver_window_covers_flagship_surface():
         # in-window reps and line-dedup keeps its bench headline +
         # 10x scaling probe as perf evidence)
         "events_hourly_trend",
+        # round-8: per-user sequence pattern search enters directly
+        # (doc_exact_dedup out — see note above)
+        "event_sequence_match",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
