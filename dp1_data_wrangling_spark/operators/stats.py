@@ -31,6 +31,73 @@ from pyspark.sql import functions as F
 _D = "decimal(38,0)"
 
 
+def mad_anomaly(
+    df: DataFrame,
+    *,
+    x_col: str,
+    group_cols: list[str] | None = None,
+    k_milli: int = 3000,
+) -> DataFrame:
+    """Robust median/MAD outlier screen over an integer metric.
+
+    Flags rows where ``|x − median| > (k_milli/1000) · MAD`` per group —
+    the classic robust z-score rule, computed EXACTLY: for integer x,
+    ``med2 = 2·median`` is the sum of the two middle order statistics
+    (twice the middle one for odd n) and ``mad4 = 4·MAD`` is the same
+    construction over ``d = |2x − med2|``, so the flag is the integer
+    cross-multiplication ``2000·d > k_milli·mad4`` — no float, no
+    engine-specific median interpolation.  Degenerate groups where MAD
+    is 0 (more than half the values identical) flag any deviation, the
+    standard MAD behavior.
+
+    Returns the input group/metric columns plus ``med2``, ``mad4``,
+    ``dev2`` (= 2·|x−median|) and ``is_anomaly``.
+
+    Scale posture (100 TB): pure window algebra — the rank windows and
+    the median/MAD sums ALL partition on the same group key, so the
+    whole screen costs exactly ONE data shuffle (plan-gated); the two
+    re-sorts (by x, then by deviation) are partition-local.  No joins,
+    no per-group collect.  Selection of the middle order statistics is
+    by sorted VALUE, so duplicate metrics cannot make the result
+    partitioning-dependent.  With no ``group_cols`` the median is
+    inherently global (single-partition window) — group the input for
+    distributed use.
+    """
+    if k_milli <= 0:
+        raise ValueError(f"k_milli must be positive, got {k_milli}")
+    from pyspark.sql import Window
+
+    groups = group_cols or []
+    cw = Window.partitionBy(*groups)
+
+    def with_med_x2(frame: DataFrame, col: str, out: str) -> DataFrame:
+        # 2*median as a windowed sum of the two middle order statistics
+        # — same partitioning as every other step, zero extra shuffles
+        w = Window.partitionBy(*groups).orderBy(F.col(col))
+        rn = F.row_number().over(w)
+        n = F.count("*").over(cw)
+        pick = (
+            (F.col("__rn") == F.expr("(__n + 1) div 2")).cast("bigint")
+            + (F.col("__rn") == F.expr("__n div 2 + 1")).cast("bigint")
+        )
+        return (
+            frame.withColumn("__rn", rn)
+            .withColumn("__n", n)
+            .withColumn(out, F.sum(F.col(col) * pick).over(cw))
+            .drop("__rn", "__n")
+        )
+
+    with_med = with_med_x2(df, x_col, "med2")
+    with_dev = with_med.withColumn(
+        "dev2", F.abs(F.lit(2) * F.col(x_col) - F.col("med2"))
+    )
+    with_mad = with_med_x2(with_dev, "dev2", "mad4")
+    return with_mad.withColumn(
+        "is_anomaly",
+        F.lit(2000) * F.col("dev2") > F.lit(k_milli) * F.col("mad4"),
+    )
+
+
 def linear_trend(
     df: DataFrame,
     *,

@@ -2081,6 +2081,74 @@ def q_events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anomalous_hours",
+    """
+    WITH an_h AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    an_r AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM an_h
+    ),
+    an_m AS (
+        SELECT event_type,
+               CAST(sum(c * (CAST(rn = (n + 1) // 2 AS BIGINT)
+                             + CAST(rn = n // 2 + 1 AS BIGINT))) AS BIGINT)
+                   AS med2
+        FROM an_r GROUP BY event_type
+    ),
+    an_d AS (
+        SELECT h.event_type, h.hr, h.c, m.med2,
+               abs(2 * h.c - m.med2) AS dev2
+        FROM an_h h JOIN an_m m USING (event_type)
+    ),
+    an_dr AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM an_d
+    ),
+    an_mad AS (
+        SELECT event_type,
+               CAST(sum(dev2 * (CAST(rn = (n + 1) // 2 AS BIGINT)
+                                + CAST(rn = n // 2 + 1 AS BIGINT))) AS BIGINT)
+                   AS mad4
+        FROM an_dr GROUP BY event_type
+    )
+    SELECT d.event_type, d.hr, d.c, d.med2, d.dev2, a.mad4,
+           2000 * d.dev2 > 3000 * a.mad4 AS is_anomaly
+    FROM an_d d JOIN an_mad a USING (event_type)
+    """,
+)
+def q_events_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD anomaly screen over hourly event counts
+    (operators/stats.py mad_anomaly): flags hours whose count deviates
+    from the per-type median by more than 3 MADs, computed EXACTLY —
+    2*median and 4*MAD are integer order-statistic sums and the flag is
+    the cross-multiplication 2000*dev2 > 3000*mad4, so no float median
+    interpolation can diverge between engines.  The oracle replays the
+    identical rank algebra."""
+    from .operators.stats import mad_anomaly
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    return mad_anomaly(
+        hourly, x_col="c", group_cols=["event_type"], k_milli=3000
+    )
+
+
 @register("table_profile", _profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table (operators/profile.py
@@ -2132,7 +2200,7 @@ DRIVER_WINDOW: list[str] = [
     "event_sequence_match",       # r8: ClickHouse sequenceMatch-class search
     "minhash_pairs",              # MinHash-LSH banded near-dup
     "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
-    "dedup_clusters",             # connected components over dup edges
+    "events_anomalous_hours",     # r8: exact median/MAD robust outlier screen
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen

@@ -2612,3 +2612,57 @@ def test_sequence_match_validation(spark):
         sequence_match(e, pattern="x", type_map={"a": "ab"})
     with pytest.raises(ValueError, match="empty"):
         sequence_match(e, pattern="x", type_map={})
+
+
+def test_mad_anomaly_hand_computed(spark):
+    """Group g: values 1,2,3,4,100.  median=3 (med2=6); dev2=|2x-6| =
+    {4,2,0,2,194}, sorted {0,2,2,4,194}; n=5 odd so both picked middle
+    order statistics are the 3rd value 2 -> mad4=4, MAD=1.  Flag
+    |x-3| > 3*MAD=3: only x=100 (dev 97)."""
+    from dp1_data_wrangling_spark.operators.stats import mad_anomaly
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 4, 100]], ["grp", "x"]
+    )
+    got = {
+        r["x"]: (r["med2"], r["mad4"], r["dev2"], r["is_anomaly"])
+        for r in mad_anomaly(df, x_col="x", group_cols=["grp"]).collect()
+    }
+    assert got[3] == (6, 4, 0, False)
+    assert got[1] == (6, 4, 4, False)  # dev 2 <= 3*MAD=3 -> not flagged
+    assert got[100] == (6, 4, 194, True)
+    assert sum(1 for v in got.values() if v[3]) == 1
+
+
+def test_mad_anomaly_even_count_half_integer_median(spark):
+    """Values 1,2,4,8: median 3 (med2=6), dev2={4,2,2,10} sorted ->
+    middles 2,4 -> mad4=6 (MAD=1.5).  Flag dev > 3*1.5=4.5: only 8
+    (dev 5).  Pins the half-integer median/MAD path."""
+    from dp1_data_wrangling_spark.operators.stats import mad_anomaly
+
+    df = spark.createDataFrame([(v,) for v in [1, 2, 4, 8]], ["x"])
+    got = {
+        r["x"]: (r["med2"], r["mad4"], r["is_anomaly"])
+        for r in mad_anomaly(df, x_col="x").collect()
+    }
+    assert got == {
+        1: (6, 6, False), 2: (6, 6, False),
+        4: (6, 6, False), 8: (6, 6, True),
+    }
+
+
+def test_mad_anomaly_degenerate_zero_mad(spark):
+    """More than half identical -> MAD=0 -> any deviation flags."""
+    from dp1_data_wrangling_spark.operators.stats import mad_anomaly
+
+    df = spark.createDataFrame([(v,) for v in [5, 5, 5, 7]], ["x"])
+    got = {r["x"]: r["is_anomaly"] for r in mad_anomaly(df, x_col="x").collect()}
+    assert got == {5: False, 7: True}
+
+
+def test_mad_anomaly_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import mad_anomaly
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="k_milli"):
+        mad_anomaly(df, x_col="x", k_milli=0)

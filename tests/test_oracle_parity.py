@@ -73,7 +73,11 @@ def test_driver_window_covers_flagship_surface():
         # embedding_near_dup rotated out in r8 for pq_recall_bound (many-
         # round green; the embedding near-dup family stays via
         # embedding_semantic_dedup + cosine_topk)
-        "dedup_clusters",
+        # dedup_clusters rotated out in r8 for events_anomalous_hours
+        # (6x consecutive driver-green since r2; the connected-components
+        # family stays exercised in-window through embedding_semantic_dedup,
+        # doc_near_dup_curation and doc_cluster_safe_split, whose oracles
+        # all replay the transitive closure)
         # doc_fingerprint rotated out in r8 for doc_link_pagerank (multi-
         # round green; the row-local text-hash family stays in-window via
         # the LM scorers + gopher screen) and doc_lang_id rotated out in
@@ -184,6 +188,9 @@ def test_driver_window_covers_flagship_surface():
         # round-8: per-user sequence pattern search enters directly
         # (doc_exact_dedup out — see note above)
         "event_sequence_match",
+        # round-8: exact median/MAD anomaly screen enters directly
+        # (dedup_clusters out — see note above)
+        "events_anomalous_hours",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

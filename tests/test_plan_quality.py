@@ -632,3 +632,16 @@ def test_linear_trend_two_combinable_shuffles(spark):
     assert data_shuffles(plan) == 2
     assert "partial_count" in plan
     assert "partial_sum" in plan
+
+
+def test_mad_anomaly_single_window_shuffle(spark):
+    """Median and MAD are pure window algebra on ONE group-key
+    partitioning: the whole screen costs the hourly groupBy exchange
+    plus exactly one window exchange — no joins, no per-group collect
+    (the naive stat-join form costs 7 shuffles; this gate pins the
+    window rewrite)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_anomalous_hours"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2
+    assert "Join" not in plan
