@@ -2218,7 +2218,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_subword_mix",            # source mixing budgeted by real subword counts
     "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
     "multimodal_decode",          # REAL PPM/BMP/WAV decode + resample checksums
-    "multimodal_features",        # media feature extraction (serialized form)
+    "doc_fuzzy_pairs",            # r8: PassJoin edit-distance fuzzy join
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "doc_pack_sequences",         # greedy sequence packing
     "corpus_top_ngrams",          # corpus-wide top n-grams

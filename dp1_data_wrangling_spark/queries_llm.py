@@ -165,6 +165,47 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_fuzzy_pairs",
+    """
+    WITH k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 16) AS key
+        FROM documents
+        WHERE length(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                            1, 16)) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.key AS key_a, b.key AS key_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+    FROM k a JOIN k b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.key) - length(b.key)) <= 2
+    WHERE levenshtein(a.key, b.key) <= 2
+    """,
+)
+def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (record linkage / fuzzy dedup): all pairs
+    of docs whose ASCII-normalized 16-char key prefixes are within
+    Levenshtein distance 2, via COMPLETE PassJoin segment blocking
+    (operators/fuzzy.py) — never all-pairs.  The oracle is the
+    brute-force quadratic form, so this check exercises a genuinely
+    independent algorithm: any blocking incompleteness or verify-filter
+    slip diverges.  Keys are normalized to ASCII because Spark counts
+    codepoint edits while DuckDB counts byte edits."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = spread(docs).select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 16
+        ).alias("key"),
+    )
+    from .operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(keyed, key_col="key", id_col="doc_id", max_dist=2)
+
+
+@register(
     "jaccard_pairs",
     """
     WITH toks AS (

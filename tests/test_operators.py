@@ -2666,3 +2666,51 @@ def test_mad_anomaly_validation(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError, match="k_milli"):
         mad_anomaly(df, x_col="x", k_milli=0)
+
+
+def test_fuzzy_pairs_hand_computed(spark):
+    """kitten-family: sitten (1 sub), sittin (2 subs), sitting (3 — out at
+    d=2), kitte (1 del), itten (1 del).  Empty key excluded."""
+    from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [
+        (0, "kitten"), (1, "sitten"), (2, "sittin"),
+        (3, "sitting"), (4, ""), (5, "kitte"), (6, "itten"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, key_col="key", id_col="id", max_dist=2).collect()
+    }
+    assert got == {
+        (0, 1): 1, (0, 2): 2, (0, 5): 1, (0, 6): 1,
+        (1, 2): 1, (1, 3): 2, (1, 5): 2, (1, 6): 1,
+        (2, 3): 1, (2, 6): 2, (5, 6): 2,
+    }
+    # id 4 (empty key) never appears; sitting vs kitten (dist 3) excluded
+    assert not any(4 in p for p in got)
+
+
+def test_fuzzy_pairs_short_keys_use_empty_segment_block(spark):
+    """Keys shorter than d+1 chars have EMPTY segments; d edits can touch
+    every non-empty segment, so completeness rides on keeping the empty
+    block key (regression: 'a' vs 'b' at d=1 was missed when empty
+    segments were filtered)."""
+    from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "ab"), (3, "xyz")], ["id", "key"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, key_col="key", id_col="id", max_dist=1).collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
+
+
+def test_fuzzy_pairs_validation(spark):
+    from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "x")], ["id", "key"])
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, key_col="key", id_col="id", max_dist=0)

@@ -91,8 +91,8 @@ def test_driver_window_covers_flagship_surface():
         # cosine_topk stays parity-held in-repo every CI run)
         # multimodal_resize rotated out in r8 for ivf_pq_recall_bound
         # (multi-round green; the multimodal family keeps five in-window
-        # reps: decode/png/qoi/audio/video + features)
-        "multimodal_features",
+        # reps: decode/png/qoi/audio/video + features), then
+        # multimodal_features itself for doc_fuzzy_pairs (see below)
         # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
         # session_window keeps the streaming-window family in-window)
         "session_window", "event_correlation", "chain_flatten_distributed",
@@ -191,6 +191,10 @@ def test_driver_window_covers_flagship_surface():
         # round-8: exact median/MAD anomaly screen enters directly
         # (dedup_clusters out — see note above)
         "events_anomalous_hours",
+        # round-8: PassJoin edit-distance fuzzy join enters directly
+        # (multimodal_features out — 3x green and the weakest of the SIX
+        # multimodal reps; the five REAL-codec queries stay in-window)
+        "doc_fuzzy_pairs",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -645,3 +645,19 @@ def test_mad_anomaly_single_window_shuffle(spark):
     plan = plan_of(REGISTRY["events_anomalous_hours"].fn(spark, SMOKE_SF))
     assert data_shuffles(plan) == 2
     assert "Join" not in plan
+
+
+def test_fuzzy_pairs_blocked_never_all_pairs(spark):
+    """The fuzzy join is the blocking equi-join + candidate distinct —
+    four narrow hash shuffles of (segment-key, id) tuples — with the
+    levenshtein verify row-local.  No cartesian/nested-loop product may
+    ever appear: that would be the O(n²) form the blocking exists to
+    avoid."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    df = REGISTRY["doc_fuzzy_pairs"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "levenshtein" in plan  # verify filter stayed JVM-side
+    assert data_shuffles(plan) <= 4

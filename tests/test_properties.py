@@ -701,3 +701,48 @@ def test_qoi_codec_roundtrip_property(h, w, seed, shape):
         colors = rng.integers(0, 256, (4, 3), dtype=np.uint8)
         a = colors[rng.integers(0, 4, (h, w))]
     assert (mm.decode_qoi(mm.encode_qoi(a)) == a).all()
+
+
+# --- fuzzy edit-distance join ----------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+fuzzy_keys = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=9),  # tiny alphabet ->
+    min_size=2,                                        # dense near-pairs,
+    max_size=18,                                       # incl. len <= d keys
+)
+
+
+@given(keys=fuzzy_keys, d=st.integers(min_value=1, max_value=3))
+@SETTINGS
+def test_fuzzy_pairs_equals_brute_force(spark, keys, d):
+    """PassJoin segment blocking is COMPLETE and the verify filter is
+    exact: the blocked join returns precisely the brute-force O(n²)
+    within-threshold pair set, for any corpus (including keys shorter
+    than d+1 chars, whose pigeonhole match is an empty segment)."""
+    from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = list(enumerate(keys))
+    expect = sorted(
+        (i, j, _lev(a, b))
+        for x, (i, a) in enumerate(rows)
+        for j, b in rows[x + 1:]
+        if a and b and _lev(a, b) <= d
+    )
+    df = spark.createDataFrame(rows, "id int, key string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, key_col="key", id_col="id", max_dist=d).collect()
+    )
+    assert got == expect
