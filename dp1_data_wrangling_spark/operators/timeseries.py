@@ -119,3 +119,60 @@ def gapfill(
             F.col("__v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def ohlc(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+    key_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Candlestick downsampling: per (keys, bucket) the OPEN (first
+    value), HIGH (max), LOW (min), CLOSE (last value) and event count —
+    the financial/monitoring OHLC rollup (TimescaleDB ``candlestick``-
+    class), exact and engine-replayable.
+
+    - bucket = ``ts div step_us`` (non-negative BIGINT timestamps, same
+      contract as :func:`gapfill`);
+    - first/last are by the TOTAL order ``(ts, *tie_cols)`` —
+      ``tie_cols`` must make the order total (a unique event id) or
+      open/close would be partitioning-dependent;
+    - values are copied VERBATIM (open/close select, high/low compare —
+      no arithmetic), so double columns stay hash-identical across
+      engines.
+
+    Scale posture (100 TB): ONE data shuffle — the row_number/count
+    windows and the final aggregate all partition on (keys, bucket), so
+    Spark reuses the window exchange for the groupBy (plan-gated).
+    Per-group state is one row; skew is bucket width, a caller knob.
+    """
+    if step_us <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+    keys = key_cols or []
+    ties = tie_cols or []
+    from pyspark.sql import Window
+
+    d = df.withColumn("__bucket", F.expr(f"{ts_col} div {step_us}"))
+    part = [*keys, "__bucket"]
+    order = [F.col(ts_col), *[F.col(t) for t in ties]]
+    w = Window.partitionBy(*part).orderBy(*order)
+    cw = Window.partitionBy(*part)
+    v = F.col(value_col)
+    ranked = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(cw))
+    )
+    return (
+        ranked.groupBy(*part)
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, v)).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(F.when(F.col("__rn") == F.col("__n"), v)).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumnRenamed("__bucket", "bucket")
+    )

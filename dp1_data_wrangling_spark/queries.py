@@ -2149,6 +2149,52 @@ def q_events_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ohlc",
+    """
+    WITH oh AS (
+        SELECT event_type, epoch_us(ts) // 21600000000 AS bucket, value,
+               row_number() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 21600000000
+                   ORDER BY epoch_us(ts), event_id) AS rn,
+               count(*) OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 21600000000) AS n
+        FROM events
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = n THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM oh GROUP BY event_type, bucket
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick (OHLC) downsampling of the event value stream
+    (operators/timeseries.py ohlc): per event type and 6-hour bucket,
+    the first/max/min/last value plus the event count.  First/last are
+    by the total order (ts, event_id) so the result is partitioning-
+    independent; values are copied verbatim (no arithmetic), so the
+    doubles hash identically in both engines."""
+    from .operators.timeseries import ohlc
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    return ohlc(
+        e,
+        ts_col="ts_us",
+        value_col="value",
+        step_us=21_600_000_000,
+        key_cols=["event_type"],
+        tie_cols=["event_id"],
+    )
+
+
 @register("table_profile", _profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table (operators/profile.py
@@ -2198,7 +2244,7 @@ DRIVER_WINDOW: list[str] = [
     "table_profile",              # r8: one-pass per-column data-quality profile
     # -- dedup / similarity families --
     "event_sequence_match",       # r8: ClickHouse sequenceMatch-class search
-    "minhash_pairs",              # MinHash-LSH banded near-dup
+    "events_ohlc",                # r8: exact OHLC candlestick downsample
     "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
     "events_anomalous_hours",     # r8: exact median/MAD robust outlier screen
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
@@ -2229,8 +2275,8 @@ DRIVER_WINDOW: list[str] = [
     "ivf_kmeans_recall_bound",    # k-means-trained IVF quantizer recall
     "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
     "doc_semantic_curation",      # semantic-dedup-aware curation
-    # -- streaming --
-    "session_window",             # session-gap windowed aggregation
+    # -- graph / streaming --
+    "doc_link_triangles",         # r8: degree-ordered triangle counting
     "event_correlation",          # stream-stream interval join
 ]
 if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O

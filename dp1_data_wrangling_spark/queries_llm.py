@@ -3014,3 +3014,130 @@ def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, edges, iterations=5).select(
         F.col("node").alias("doc_id"), "pr"
     )
+
+
+_TRIANGLE_GRAPH_CTES = """
+    tg_docs AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        FROM documents
+    ),
+    tg_meta AS (SELECT count(*) AS n FROM tg_docs),
+    tg_deg AS (
+        SELECT idx,
+               CAST(('0x' || substr(md5('tg_deg|' || CAST(idx AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 6 AS d
+        FROM tg_docs
+    ),
+    tg_edges AS (
+        SELECT g.idx AS src,
+               (g.idx + 1
+                + CAST(('0x' || substr(md5('tg_dst|' || CAST(g.idx AS VARCHAR)
+                       || '|' || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT) % 16)
+                 % (SELECT n FROM tg_meta) AS dst
+        FROM (SELECT idx, d, unnest(generate_series(1, d)) AS j
+              FROM tg_deg WHERE d > 0) g
+    )
+"""
+
+
+@register(
+    "doc_link_triangles",
+    f"""
+    WITH {_TRIANGLE_GRAPH_CTES},
+    ed AS (
+        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
+                        greatest(d1.doc_id, d2.doc_id) AS b
+        FROM tg_edges e
+        JOIN tg_docs d1 ON d1.idx = e.src
+        JOIN tg_docs d2 ON d2.idx = e.dst
+        WHERE d1.doc_id != d2.doc_id
+    ),
+    tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nds AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    )
+    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nds GROUP BY node
+    """,
+)
+def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over a small-world md5 link graph
+    (operators/graph.py triangle_count) — the clustering-coefficient
+    numerator used for community/spam screening in link-graph curation.
+    The graph draws 0-5 out-links per doc from a 16-wide local window
+    (local windows make the triangle count scale linearly with corpus
+    size; the uniform-target pagerank graph holds ~5 triangles at ANY
+    size).  The Spark side enumerates via degree-ordered wedges
+    (skew-safe compact-forward), the oracle via the canonical a<b
+    three-way self-join — two INDEPENDENT enumeration orders that must
+    agree on the exact multiset of per-node counts."""
+    from pyspark.sql import Window
+
+    from .operators.graph import triangle_count
+
+    def md5mod(cols: list[F.Column], m: int) -> F.Column:
+        payload = F.concat(*cols).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % F.lit(m)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the id-space map is read 3x (degree draw + both endpoint joins);
+    # checkpoint it once so the single-partition row_number ranks once
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
+    ).localCheckpoint()
+    n = idx.count()
+    deg = idx.select(
+        "idx",
+        md5mod([F.lit("tg_deg|"), F.col("idx").cast("string")], 6).alias("d"),
+    )
+    edges_idx = (
+        deg.filter(F.col("d") > 0)
+        .select(
+            "idx",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
+            ).alias("j"),
+        )
+        .select(
+            "idx",
+            (
+                (
+                    F.col("idx")
+                    + 1
+                    + md5mod(
+                        [
+                            F.lit("tg_dst|"),
+                            F.col("idx").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        ],
+                        16,
+                    )
+                )
+                % F.lit(n)
+            ).alias("dst_idx"),
+        )
+    )
+    edges = (
+        edges_idx.join(
+            idx.select(F.col("idx").alias("__si"), F.col("doc_id").alias("src")),
+            F.col("idx") == F.col("__si"),
+        )
+        .join(
+            idx.select(F.col("idx").alias("__di"), F.col("doc_id").alias("dst")),
+            F.col("dst_idx") == F.col("__di"),
+        )
+        .select("src", "dst")
+    )
+    nodes_tri = triangle_count(edges)
+    return nodes_tri.select(F.col("node").alias("doc_id"), "n_triangles")

@@ -2714,3 +2714,68 @@ def test_fuzzy_pairs_validation(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "key"])
     with pytest.raises(ValueError, match="max_dist"):
         fuzzy_pairs(df, key_col="key", id_col="id", max_dist=0)
+
+
+def test_ohlc_hand_computed(spark):
+    """Key g, bucket width 10: ts 1,5,9 -> bucket 0 with values 3.0 (open),
+    9.0 (high), 1.0 (close/low is 1.0? no: values 3,9,1 -> low 1, close 1);
+    ts 11 -> bucket 1 single row (all four stats equal)."""
+    from dp1_data_wrangling_spark.operators.timeseries import ohlc
+
+    rows = [
+        ("g", 1, 1, 3.0), ("g", 5, 2, 9.0), ("g", 9, 3, 1.0),
+        ("g", 11, 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, v double")
+    got = {
+        (r.k, r.bucket): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc(
+            df, ts_col="ts", value_col="v", step_us=10,
+            key_cols=["k"], tie_cols=["eid"],
+        ).collect()
+    }
+    assert got == {
+        ("g", 0): (3.0, 9.0, 1.0, 1.0, 3),
+        ("g", 1): (7.0, 7.0, 7.0, 7.0, 1),
+    }
+
+
+def test_ohlc_tie_break_is_deterministic(spark):
+    """Two rows share ts=5; open/close must follow the (ts, eid) total
+    order, not partition luck: open = eid 1's value, close = eid 2's."""
+    from dp1_data_wrangling_spark.operators.timeseries import ohlc
+
+    rows = [("g", 5, 2, 8.0), ("g", 5, 1, 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, v double")
+    r = ohlc(
+        df, ts_col="ts", value_col="v", step_us=100,
+        key_cols=["k"], tie_cols=["eid"],
+    ).collect()[0]
+    assert (r.open, r.close, r.high, r.low) == (4.0, 8.0, 8.0, 4.0)
+
+
+def test_ohlc_validation(spark):
+    from dp1_data_wrangling_spark.operators.timeseries import ohlc
+
+    df = spark.createDataFrame([("g", 1, 1, 1.0)], "k string, ts long, eid long, v double")
+    with pytest.raises(ValueError, match="step_us"):
+        ohlc(df, ts_col="ts", value_col="v", step_us=0)
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 on {0,1,2,3} minus edge (2,3): triangles {0,1,2} and {0,1,3} —
+    nodes 0,1 in two each, nodes 2,3 in one.  Edge list is dirty on
+    purpose: duplicates, both orientations, and a self-loop."""
+    from dp1_data_wrangling_spark.operators.graph import triangle_count
+
+    edges = [(0, 1), (1, 0), (0, 2), (1, 2), (0, 3), (3, 0), (1, 3), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    from dp1_data_wrangling_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(df).count() == 0

@@ -66,7 +66,8 @@ def test_driver_window_covers_flagship_surface():
         # window; the dedup family keeps minhash/simhash/dup-spans/
         # clusters in-window and exact dedup stays a bench headline +
         # parity-held in-repo)
-        "minhash_pairs", "simhash_pairs",
+        # minhash_pairs rotated out in r8 for events_ohlc (see below)
+        "simhash_pairs",
         # doc_token_stats rotated out in r8 for doc_gopher_rules (many-round
         # green since r5; the quality-stat family stays via corpus_stats,
         # doc_quality_quantile and the gopher screen itself)
@@ -95,7 +96,9 @@ def test_driver_window_covers_flagship_surface():
         # multimodal_features itself for doc_fuzzy_pairs (see below)
         # tumbling_window rotated out in r7 for doc_bpe_tokens (2x green;
         # session_window keeps the streaming-window family in-window)
-        "session_window", "event_correlation", "chain_flatten_distributed",
+        # session_window rotated out in r8 for doc_link_triangles (see
+        # below)
+        "event_correlation", "chain_flatten_distributed",
         # round-6 rotation: the curation tier replaced approx_distinct /
         # approx_percentile (4-5x consecutive driver-green, parity-held)
         # doc_stable_sample rotated out in r7 for multimodal_audio_frames;
@@ -195,6 +198,17 @@ def test_driver_window_covers_flagship_surface():
         # (multimodal_features out — 3x green and the weakest of the SIX
         # multimodal reps; the five REAL-codec queries stay in-window)
         "doc_fuzzy_pairs",
+        # round-8: OHLC candlestick downsample enters directly
+        # (minhash_pairs out — ~6x green since r2, bench headline + 10x
+        # scaling probe keep its perf evidence; the near-dup family keeps
+        # simhash_pairs, doc_dup_spans, doc_near_dup_curation and
+        # doc_fuzzy_pairs in-window)
+        "events_ohlc",
+        # round-8: degree-ordered triangle counting enters directly
+        # (session_window out — multi-round green since r3;
+        # event_correlation keeps the streaming family in-window and the
+        # whole tier stays equivalence-tested in-repo every CI run)
+        "doc_link_triangles",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

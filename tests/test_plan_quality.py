@@ -661,3 +661,31 @@ def test_fuzzy_pairs_blocked_never_all_pairs(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "levenshtein" in plan  # verify filter stayed JVM-side
     assert data_shuffles(plan) <= 4
+
+
+def test_ohlc_single_shuffle_window_reused_by_groupby(spark):
+    """OHLC is ONE data shuffle: both windows (row_number, count) and
+    the final aggregate all partition on (event_type, bucket), so the
+    groupBy consumes the window exchange directly — the naive
+    first/last-join form costs 3+."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_ohlc"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "partial_max" in plan  # map-side combine on the final agg
+
+
+def test_triangle_count_no_cartesian_bounded_shuffles(spark):
+    """Triangle counting is all narrow int-key equi-joins over the
+    checkpointed canonical/oriented edge sets — never a cartesian or
+    nested-loop product, and the edge-derivation subtree executes once
+    (no SinglePartition re-rank per reference)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    df = REGISTRY["doc_link_triangles"].fn(spark, SMOKE_SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert data_shuffles(plan) <= 10

@@ -746,3 +746,36 @@ def test_fuzzy_pairs_equals_brute_force(spark, keys, d):
         for r in fuzzy_pairs(df, key_col="key", id_col="id", max_dist=d).collect()
     )
     assert got == expect
+
+
+# --- triangle counting ------------------------------------------------------
+
+tri_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=tri_edges)
+@SETTINGS
+def test_triangle_count_equals_brute_force(spark, edges):
+    """Degree-ordered wedge enumeration returns exactly the brute-force
+    per-node triangle counts for any dirty edge list (duplicates, both
+    orientations, self-loops)."""
+    import itertools
+    from collections import Counter
+
+    from dp1_data_wrangling_spark.operators.graph import triangle_count
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    expect = Counter()
+    nodes = sorted({n for e in und for n in e})
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in und and (x, z) in und and (y, z) in und:
+            expect[x] += 1
+            expect[y] += 1
+            expect[z] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == dict(expect)
