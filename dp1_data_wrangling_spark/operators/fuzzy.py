@@ -20,9 +20,9 @@ Algorithm (PassJoin-style complete segment blocking, Li et al., ICDE'11
   ``(2d+1) lengths x (d+1) segments x (2d+1) positions`` (~75 for d=2):
   linear in corpus size, never quadratic.
 
-Scale posture (100 TB): three narrow shuffles — the blocking equi-join
-(both sides keyed on the segment content + coordinates) and the
-candidate-pair ``distinct``.  Keys ride along through the explode (a
+Scale posture (100 TB): four narrow shuffles — the blocking equi-join
+(one exchange per side, keyed on the segment content + coordinates),
+the probe-substring ``distinct``, and the candidate-pair ``distinct``.  Keys ride along through the explode (a
 fuzzy key is a short normalized string — bytes per doc stay bounded by
 ``~75 x |key|``), so no join-back to the corpus is needed and document
 payloads never shuffle.  Skew: a degenerate segment (e.g. all-spaces

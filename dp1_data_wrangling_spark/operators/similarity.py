@@ -585,12 +585,16 @@ def pq_adc_topk(
         corpus, dim=dim, m=m, k_codes=k_codes, vec_col=vec_col, id_col=id_col
     )
     d_sub = dim // m
+    # the ADC scan and its top-N window move ONLY (probe_id, neighbor_id,
+    # sim_adc) triples — codes stay on the scan side, vectors are joined
+    # back for the <= shortlist survivors below (broadcast, no shuffle),
+    # keeping the "the scan never touches raw vectors" contract in the
+    # executed plan, not just the prose
     enc = pq_encode(
         spread(corpus), cb, dim=dim, m=m, k_codes=k_codes,
         vec_col=vec_col, id_col=id_col,
     ).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cand_vec"),
         "codes",
         "recon_norm2",
     )
@@ -609,15 +613,24 @@ def pq_adc_topk(
         F.col("sim_adc").desc(), F.col("neighbor_id")
     )
     short = (
-        F.broadcast(p)
+        F.broadcast(p.drop("__probe_vec"))
         .crossJoin(enc)
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
-            "probe_id", "neighbor_id", "__probe_vec", "__probe_norm",
-            "__cand_vec", F.round(sim_adc, 9).alias("sim_adc"),
+            "probe_id", "neighbor_id", F.round(sim_adc, 9).alias("sim_adc")
         )
         .withColumn("__adc_rank", F.row_number().over(w_adc))
         .filter(F.col("__adc_rank") <= shortlist)
+        .select("probe_id", "neighbor_id")
+    )
+    cand_vec = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cand_vec"),
+    )
+    p_vec = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__probe_vec"),
+        l2_norm(F.col(vec_col)).alias("__probe_norm"),
     )
     exact = F.round(
         dot(F.col("__probe_vec"), F.col("__cand_vec"))
@@ -628,7 +641,9 @@ def pq_adc_topk(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        short.select("probe_id", "neighbor_id", exact.alias("sim"))
+        cand_vec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(p_vec), "probe_id")
+        .select("probe_id", "neighbor_id", exact.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -687,7 +702,14 @@ def ivf_pq_topk(
         "codes",
         "recon_norm2",
     )
-    c_assigned = _nearest_cells(enc, cents, 1, vec_col="__cand_vec")
+    # cell assignment is row-local and needs the raw vector; AFTER it the
+    # vector is dropped so the cell join + ADC window move only codes and
+    # (probe_id, neighbor_id, sim_adc) — vectors come back for the
+    # <= shortlist survivors via broadcast joins (no shuffle), keeping
+    # "the scan reads ~m bytes/row" true in the executed plan
+    c_assigned = _nearest_cells(enc, cents, 1, vec_col="__cand_vec").drop(
+        "__cand_vec"
+    )
     p = (
         probes.select(
             F.col(id_col).alias("probe_id"),
@@ -698,7 +720,9 @@ def ivf_pq_topk(
         .withColumn("__lut", _pq_lut_expr(m, k_codes, d_sub))
         .drop("__cb")
     )
-    p_assigned = _nearest_cells(p, cents, nprobe, vec_col="__probe_vec")
+    p_assigned = _nearest_cells(p, cents, nprobe, vec_col="__probe_vec").drop(
+        "__probe_vec"
+    )
     sim_adc = _pq_adc_sim(m, k_codes)
     w_adc = Window.partitionBy("probe_id").orderBy(
         F.col("sim_adc").desc(), F.col("neighbor_id")
@@ -707,12 +731,21 @@ def ivf_pq_topk(
         p_assigned.join(c_assigned, "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
-            "probe_id", "neighbor_id", "__probe_vec", "__probe_norm",
-            "__cand_vec", F.round(sim_adc, 9).alias("sim_adc"),
+            "probe_id", "neighbor_id", F.round(sim_adc, 9).alias("sim_adc")
         )
         .dropDuplicates(["probe_id", "neighbor_id"])
         .withColumn("__adc_rank", F.row_number().over(w_adc))
         .filter(F.col("__adc_rank") <= shortlist)
+        .select("probe_id", "neighbor_id")
+    )
+    cand_vec = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cand_vec"),
+    )
+    p_vec = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__probe_vec"),
+        l2_norm(F.col(vec_col)).alias("__probe_norm"),
     )
     exact = F.round(
         dot(F.col("__probe_vec"), F.col("__cand_vec"))
@@ -723,7 +756,9 @@ def ivf_pq_topk(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        short.select("probe_id", "neighbor_id", exact.alias("sim"))
+        cand_vec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(p_vec), "probe_id")
+        .select("probe_id", "neighbor_id", exact.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -739,8 +739,16 @@ class Catalog:
         blooms = m.get("blooms", {}).get(table, {})
         patch: dict[str, dict] = {}
         for rel in m["tables"][table]:
-            need_z = bool(zone_cols) and rel not in zones
-            need_b = bool(bloom_cols) and rel not in blooms
+            # per-COLUMN granularity: a later set_zone_map/set_bloom_filter
+            # re-declaration adds columns, so a root statted under the old
+            # declaration still needs the new columns — "root present in
+            # the bag" is not "root covered"
+            need_z = bool(zone_cols) and any(
+                c not in zones.get(rel, {}) for c in zone_cols
+            )
+            need_b = bool(bloom_cols) and any(
+                c not in blooms.get(rel, {}) for c in bloom_cols
+            )
             if not (need_z or need_b):
                 continue
             p = self.root / rel
@@ -750,11 +758,14 @@ class Catalog:
             entry: dict[str, dict] = {}
             if need_z:
                 zs = _compute_zone_stats(df, zone_cols)
-                if zs:
+                # unchanged result (e.g. the missing column is all-NULL or
+                # absent from this root's schema) -> no patch, so repeat
+                # calls converge to 0 instead of re-committing forever
+                if zs and zs != zones.get(rel):
                     entry["zones"] = zs
             if need_b:
                 bs = _compute_bloom_stats(df, bloom_cols)
-                if bs:
+                if bs and bs != blooms.get(rel):
                     entry["blooms"] = bs
             if entry:
                 patch[rel] = entry

@@ -1653,21 +1653,35 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
         FROM events
     ),
+    scd_flags AS (
+        SELECT user_id, ts_us, event_id, event_type,
+               lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
+        FROM scd_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    scd_grouped AS (
+        SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM scd_flags
+    ),
+    scd_seen AS (
+        SELECT user_id, run_id, max(ts_us) AS last_seen_us
+        FROM scd_grouped GROUP BY user_id, run_id
+    ),
     scd_runs AS (
-        SELECT user_id, ts_us, event_id, event_type
-        FROM (
-            SELECT user_id, ts_us, event_id, event_type,
-                   lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
-            FROM scd_ev
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        ) WHERE chg
+        SELECT r.user_id, r.ts_us, r.event_id, r.event_type, s.last_seen_us
+        FROM scd_grouped r
+        JOIN scd_seen s USING (user_id, run_id)
+        WHERE r.chg
     )
     SELECT user_id, event_type, version, valid_from_us, valid_to_us,
-           valid_to_us IS NULL AS is_current
+           last_seen_us, valid_to_us IS NULL AS is_current
     FROM (
         SELECT user_id, event_type, ts_us AS valid_from_us,
                row_number() OVER w2 AS version,
-               lead(ts_us) OVER w2 AS valid_to_us
+               lead(ts_us) OVER w2 AS valid_to_us,
+               last_seen_us
         FROM scd_runs
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     )
@@ -1677,11 +1691,14 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension history (operators/scd.py scd2_build): each
     user's event_type stream collapses into attribute versions with
-    [valid_from, valid_to) µs bounds, consecutive no-change observations
+    [valid_from, valid_to) µs bounds plus last_seen (the version's last
+    observation — the lossless run-boundary summary scd2_apply's
+    log-less mode depends on), consecutive no-change observations
     merged, lag/lead over one (ts, event_id)-total order.  ONE hash
-    shuffle on the dimension key — both windows share partitioning and
+    shuffle on the dimension key — all windows share partitioning and
     ordering, so Catalyst reuses the sort (plan-gated).  The oracle
-    replays the identical window algebra; bounds are exact BIGINT µs."""
+    replays the run algebra through an INDEPENDENT formulation (running
+    run-id sum + per-run max, vs the operator's forward-first pull)."""
     from .operators.scd import scd2_build
 
     e = load_table(spark, sf_dir, "events").select(
@@ -1699,9 +1716,10 @@ def q_user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_extra=["event_id"],
         from_col="valid_from_us",
         to_col="valid_to_us",
+        seen_col="last_seen_us",
     ).select(
         "user_id", "event_type", "version", "valid_from_us",
-        "valid_to_us", "is_current",
+        "valid_to_us", "last_seen_us", "is_current",
     )
 
 

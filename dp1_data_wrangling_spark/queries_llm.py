@@ -25,6 +25,16 @@ from .tables import load_table, spread
 
 MUTANT_OFFSET = 1_000_000
 
+
+def _md5mod(cols: list[F.Column], m: int) -> F.Column:
+    """Deterministic pseudo-random draw in [0, m): the first 15 hex chars
+    of md5 as a BIGINT, mod m — the exact idiom every DuckDB oracle
+    replays as ``CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % m``.
+    One definition so the graph generators can never desynchronize from
+    their oracles one copy at a time."""
+    payload = F.concat(*cols).cast("binary")
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint") % F.lit(m)
+
 _AUG_EXACT = """
     SELECT doc_id, text FROM documents
     UNION ALL
@@ -2962,21 +2972,18 @@ def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.graph import pagerank
 
-    def md5mod(cols: list[F.Column], m: int) -> F.Column:
-        payload = F.concat(*cols).cast("binary")
-        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
-            "bigint"
-        ) % F.lit(m)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the id-space map is read 3x (degree draw + both endpoint joins) and
+    # re-read by pagerank's eager checkpoints; materialize it once so the
+    # single-partition row_number ranks once
     idx = docs.select(
         "doc_id",
         (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
-    )
+    ).localCheckpoint()
     n = idx.count()
     deg = idx.select(
         "idx",
-        md5mod([F.lit("pr_deg|"), F.col("idx").cast("string")], 4).alias("d"),
+        _md5mod([F.lit("pr_deg|"), F.col("idx").cast("string")], 4).alias("d"),
     )
     edges_idx = (
         deg.filter(F.col("d") > 0)
@@ -2988,7 +2995,7 @@ def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "idx",
-            md5mod(
+            _md5mod(
                 [
                     F.lit("pr_dst|"),
                     F.col("idx").cast("string"),
@@ -3082,12 +3089,6 @@ def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.graph import triangle_count
 
-    def md5mod(cols: list[F.Column], m: int) -> F.Column:
-        payload = F.concat(*cols).cast("binary")
-        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
-            "bigint"
-        ) % F.lit(m)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # the id-space map is read 3x (degree draw + both endpoint joins);
     # checkpoint it once so the single-partition row_number ranks once
@@ -3098,7 +3099,7 @@ def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = idx.count()
     deg = idx.select(
         "idx",
-        md5mod([F.lit("tg_deg|"), F.col("idx").cast("string")], 6).alias("d"),
+        _md5mod([F.lit("tg_deg|"), F.col("idx").cast("string")], 6).alias("d"),
     )
     edges_idx = (
         deg.filter(F.col("d") > 0)
@@ -3114,7 +3115,7 @@ def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.col("idx")
                     + 1
-                    + md5mod(
+                    + _md5mod(
                         [
                             F.lit("tg_dst|"),
                             F.col("idx").cast("string"),

@@ -2230,14 +2230,16 @@ def test_scd2_build_hand_computed(spark):
                 ev, key="k", tracked=["attr"], ts_col="ts",
                 order_extra=["seq"],
             ).select("k", "attr", "version", "valid_from", "valid_to",
-                     "is_current").collect(),
+                     "last_seen", "is_current").collect(),
         )
     )
+    # last_seen = the version's LAST observation (X@20 collapses into
+    # version 1 but leaves its ts as the run end)
     assert rows == [
-        ("a", "X", 1, 10, 30, False),
-        ("a", "X", 3, 50, None, True),
-        ("a", "Y", 2, 30, 50, False),
-        ("b", "Z", 1, 15, None, True),
+        ("a", "X", 1, 10, 30, 20, False),
+        ("a", "X", 3, 50, None, 50, True),
+        ("a", "Y", 2, 30, 50, 30, False),
+        ("b", "Z", 1, 15, None, 15, True),
     ]
 
 
@@ -2779,3 +2781,61 @@ def test_triangle_count_no_triangles(spark):
 
     df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     assert triangle_count(df).count() == 0
+
+
+def test_scd2_apply_with_observations_places_interleaved_late_event(spark):
+    """History [(a,10,X),(a,20,X)] collapses the no-change X@20; a late
+    Y@15 can only be placed correctly from the RAW log.  With
+    observations= the apply equals the full rebuild: [X@10-15, Y@15-20,
+    X@20 current]."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_apply, scd2_build
+
+    kw = dict(key="k", tracked=["attr"], ts_col="ts", order_extra=["seq"])
+    obs = spark.createDataFrame(
+        [("a", 10, 1, "X"), ("a", 20, 2, "X")], ["k", "ts", "seq", "attr"]
+    )
+    late = spark.createDataFrame([("a", 15, 3, "Y")], ["k", "ts", "seq", "attr"])
+    hist = scd2_build(obs, **kw)
+    got = sorted(map(tuple, scd2_apply(hist, late, observations=obs, **kw).collect()))
+    want = sorted(map(tuple, scd2_build(obs.union(late), **kw).collect()))
+    assert got == want
+    by_ver = sorted(
+        (r.version, r.attr, r.valid_from, r.is_current)
+        for r in scd2_apply(hist, late, observations=obs, **kw).collect()
+    )
+    assert by_ver == [(1, "X", 10, False), (2, "Y", 15, False), (3, "X", 20, True)]
+
+
+def test_scd2_apply_with_observations_resolves_ts_tie(spark):
+    """Batch event ties on ts with an existing version boundary: the raw
+    log keeps the real tie-break extras, so incremental == full rebuild
+    (the version-replay path would order the NULL-extra replay first)."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_apply, scd2_build
+
+    kw = dict(key="k", tracked=["attr"], ts_col="ts", order_extra=["seq"])
+    obs = spark.createDataFrame([("a", 10, 2, "X")], ["k", "ts", "seq", "attr"])
+    tie = spark.createDataFrame([("a", 10, 1, "Y")], ["k", "ts", "seq", "attr"])
+    hist = scd2_build(obs, **kw)
+    got = sorted(map(tuple, scd2_apply(hist, tie, observations=obs, **kw).collect()))
+    want = sorted(map(tuple, scd2_build(obs.union(tie), **kw).collect()))
+    assert got == want  # current must be X (seq 2), not Y
+
+
+def test_scd2_apply_without_observations_rejects_non_append(spark):
+    """The lossy version-replay path fails FAST on any event at or
+    before the key's last valid_from instead of silently rewriting
+    history from collapsed state."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.scd import scd2_apply, scd2_build
+
+    kw = dict(key="k", tracked=["attr"], ts_col="ts", order_extra=["seq"])
+    obs = spark.createDataFrame(
+        [("a", 10, 1, "X"), ("a", 20, 2, "X")], ["k", "ts", "seq", "attr"]
+    )
+    hist = scd2_build(obs, **kw)
+    # ts=15 is AFTER the last version start (10) but before the collapsed
+    # no-change observation at 20 -- only last_seen can catch this
+    late = spark.createDataFrame([("a", 15, 3, "Y")], ["k", "ts", "seq", "attr"])
+    with pytest.raises(SparkRuntimeException, match="scd2_apply"):
+        scd2_apply(hist, late, **kw).collect()

@@ -1836,3 +1836,40 @@ def test_run_training_export_deterministic_atomic_and_packed(spark, tmp_path):
         (r["doc_id"], r["position"], r["shard"], r["seq_id"]) for r in rows
     }
     assert cat2.manifest()["version"] > v_before
+
+
+def test_backfill_stats_covers_columns_added_by_redeclaration(spark, tmp_path):
+    """A later set_zone_map/set_bloom_filter re-declaration ADDS columns;
+    roots statted under the old declaration must gain the new columns on
+    the next backfill (per-column granularity — 'root present in the
+    stats bag' is not 'root covered'), and repeat calls still converge
+    to 0."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    for lo in (0, 100):
+        tx = cat.begin()
+        tx.stage(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("ts"), (F.col("id") + 1000).alias("uid")
+            ),
+        )
+        cat.commit(tx)
+    cat.set_zone_map("t", ["ts"])
+    assert cat.backfill_stats(spark, "t") == 2
+    # re-declare with an extra column: both roots already sit in the
+    # zones bag, but neither has 'uid' stats yet
+    cat.set_zone_map("t", ["ts", "uid"])
+    assert cat.backfill_stats(spark, "t") == 2
+    assert cat.backfill_stats(spark, "t") == 0  # converged
+    for d in cat.describe_stats("t"):
+        assert set(d["zones"]) == {"ts", "uid"}
+    assert len(cat.prune_roots("t", "uid >= 1100")) == 1
+    # bloom re-declaration follows the same per-column rule
+    cat.set_bloom_filter("t", ["ts"])
+    assert cat.backfill_stats(spark, "t") == 2
+    cat.set_bloom_filter("t", ["ts", "uid"])
+    assert cat.backfill_stats(spark, "t") == 2
+    assert cat.backfill_stats(spark, "t") == 0
+    assert len(cat.prune_roots("t", "uid = 1005")) == 1

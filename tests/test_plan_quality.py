@@ -384,6 +384,11 @@ SHUFFLE_BUDGETS = {
     # candidate pairs + iterative connected-component label propagation:
     # each CC round is one join shuffle by design (O(log n) rounds total)
     "embedding_semantic_dedup": 8,
+    # degree-ordered triangle counting: canonical distinct + degree agg +
+    # wedge self-join + closure join + node count are each narrow int-key
+    # shuffles by design (the edge-derivation subtree is checkpointed and
+    # runs once; see test_triangle_count_no_cartesian_bounded_shuffles)
+    "doc_link_triangles": 10,
 }
 
 
