@@ -1,0 +1,130 @@
+"""KMV (k-minimum-values) distinct-count sketch — deterministic, mergeable.
+
+The classic bottom-k cardinality sketch (Bar-Yossef et al. 2002;
+Beyer et al., "On synopses for distinct-value estimation under multiset
+operations", SIGMOD'07 — public literature): hash every value into a
+uniform space, keep the k smallest distinct hashes per group.  The k-th
+smallest hash h_k estimates the distinct count as ``(k-1) · M / h_k``
+(M = hash-space size), and two sketches MERGE by taking the k smallest
+of their union — the property that makes the sketch reaggregatable
+across partitions, days, or tenants without touching raw data again.
+
+Engine extension — the reference has no sketch tier; Spark's built-in
+``approx_count_distinct`` (HLL++) is neither mergeable-as-data nor
+engine-replayable.  This sketch is BOTH:
+
+- **Deterministic**: the hash is the first 15 hex chars of md5 of the
+  value's canonical string, as a BIGINT in [0, 16^15) — no seed, no JVM
+  hashCode — so a DuckDB oracle replays sketch AND estimate bit-for-bit
+  (``CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT)``).
+  Canonical-string hashing restricts value columns to string/integer
+  types (Spark's cast-to-string == Python str() == DuckDB VARCHAR cast
+  only there — same rule as the catalog's Bloom stats).
+- **Exact arithmetic**: (k-1)·M is computed in doubles but both factors
+  and the product are exactly representable (k ≤ 2^20, M = 2^60), and
+  the single division by h_k is IEEE-identical across engines.
+
+Scale posture (100 TB): two narrow shuffles — the (group, hash) distinct
+(map-side combinable, 8-byte hashes, never values) and the per-group
+bottom-k window.  The shuffle is the same width as exact distinct-count;
+what the sketch buys at scale is the DOWNSTREAM state: k BIGINTs per
+group, reaggregatable, instead of the full distinct set — merge jobs,
+rolling windows, and cross-partition unions touch sketch rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash-space size: 15 hex chars = 16^15 = 2^60.
+KMV_SPACE = 16**15
+
+
+def kmv_hash(col: Column) -> Column:
+    """Deterministic 60-bit hash of a value's canonical string."""
+    return F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sketch: the k smallest distinct hashes of
+    ``value_col``, as rows ``(*group_cols, hv)``.  NULL values are
+    excluded (a NULL contributes nothing to a distinct count)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (the estimator uses k-1), got {k}")
+    groups = group_cols or []
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*groups).orderBy("hv")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    sketches: list[DataFrame],
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Union sketches and re-take the bottom k per group — the KMV merge
+    law.  ``kmv_merge([kmv_sketch(A), kmv_sketch(B)]) ==
+    kmv_sketch(A UNION B)`` exactly (property-tested), because both are
+    'k smallest of the union of distinct hashes'."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    groups = group_cols or []
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    w = Window.partitionBy(*groups).orderBy("hv")
+    return (
+        unioned.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch.
+
+    Returns ``(*group_cols, n_seen, kth_hash, est_distinct)``: a group
+    holding fewer than k hashes is EXACT (``est = n_seen``, kth_hash
+    NULL); a saturated group estimates ``(k-1) · M / h_k`` — both
+    branches replay identically in SQL."""
+    groups = group_cols or []
+    agg = sketch.groupBy(*groups).agg(
+        F.count("*").alias("n_seen"),
+        F.max("hv").alias("__max_hv"),
+    )
+    kth = F.when(F.col("n_seen") == k, F.col("__max_hv"))
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)) / F.col("__max_hv"), 6)
+    )
+    return agg.select(
+        *groups,
+        "n_seen",
+        kth.alias("kth_hash"),
+        est.alias("est_distinct"),
+    )

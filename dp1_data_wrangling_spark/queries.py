@@ -2213,6 +2213,57 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_kmv_distinct",
+    """
+    WITH kmv_h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    kmv_r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM kmv_h
+    ),
+    kmv_e AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen, max(hv) AS mx
+        FROM kmv_r WHERE rn <= 64 GROUP BY event_type
+    ),
+    kmv_x AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_seen,
+           CASE WHEN e.n_seen = 64 THEN e.mx END AS kth_hash,
+           CASE WHEN e.n_seen < 64 THEN CAST(e.n_seen AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976.0 / e.mx, 6)
+           END AS est_distinct,
+           x.exact_distinct
+    FROM kmv_e e JOIN kmv_x x USING (event_type)
+    """,
+)
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (operators/sketch.py): per
+    event type, the 64 smallest md5-derived user hashes estimate the
+    distinct-user count as (k-1)·M/h_k, joined against the exact count
+    for an honest error readout.  The md5 hash and the single double
+    division are engine-identical, so the oracle replays sketch AND
+    estimate bit-for-bit — a cardinality sketch the driver can actually
+    hash-compare."""
+    from .operators.sketch import kmv_estimate, kmv_sketch
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(e, value_col="user_id", group_cols=["event_type"], k=64)
+    est = kmv_estimate(sk, group_cols=["event_type"], k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 @register("table_profile", _profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table (operators/profile.py
@@ -2263,7 +2314,7 @@ DRIVER_WINDOW: list[str] = [
     # -- dedup / similarity families --
     "event_sequence_match",       # r8: ClickHouse sequenceMatch-class search
     "events_ohlc",                # r8: exact OHLC candlestick downsample
-    "simhash_pairs",              # SimHash hamming near-dup (zero-shuffle fingerprints)
+    "events_kmv_distinct",        # r8: KMV bottom-k cardinality sketch
     "events_anomalous_hours",     # r8: exact median/MAD robust outlier screen
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)

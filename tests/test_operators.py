@@ -2839,3 +2839,60 @@ def test_scd2_apply_without_observations_rejects_non_append(spark):
     late = spark.createDataFrame([("a", 15, 3, "Y")], ["k", "ts", "seq", "attr"])
     with pytest.raises(SparkRuntimeException, match="scd2_apply"):
         scd2_apply(hist, late, **kw).collect()
+
+
+def _kmv_ref_hash(v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_sketch_hand_computed(spark):
+    """k=3 over 5 distinct values (plus a duplicate and a NULL): the
+    sketch is exactly the 3 smallest md5-prefix hashes, the estimate is
+    (k-1)*M/h_3; a group with < k distinct values is exact."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        KMV_SPACE, kmv_estimate, kmv_sketch,
+    )
+
+    rows = [("g", v) for v in [10, 20, 30, 40, 50, 10, None]] + [
+        ("h", 1), ("h", 2), ("h", 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = kmv_sketch(df, value_col="v", group_cols=["grp"], k=3)
+    got_g = sorted(r.hv for r in sk.filter("grp = 'g'").collect())
+    want_g = sorted(_kmv_ref_hash(v) for v in [10, 20, 30, 40, 50])[:3]
+    assert got_g == want_g
+    est = {
+        r.grp: (r.n_seen, r.kth_hash, r.est_distinct)
+        for r in kmv_estimate(sk, group_cols=["grp"], k=3).collect()
+    }
+    assert est["g"] == (3, want_g[2], round(2.0 * KMV_SPACE / want_g[2], 6))
+    assert est["h"] == (2, None, 2.0)  # under-filled -> exact, no kth
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The KMV merge law: merging per-part sketches is IDENTICAL to
+    sketching the union — the property that makes the sketch
+    reaggregatable across partitions/days without raw data."""
+    from dp1_data_wrangling_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(40)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(25, 70)], "v long")
+    sk_a = kmv_sketch(a, value_col="v", k=8)
+    sk_b = kmv_sketch(b, value_col="v", k=8)
+    merged = sorted(r.hv for r in kmv_merge([sk_a, sk_b], k=8).collect())
+    direct = sorted(
+        r.hv for r in kmv_sketch(a.union(b), value_col="v", k=8).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_validation(spark):
+    from dp1_data_wrangling_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, value_col="v", k=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        kmv_merge([])

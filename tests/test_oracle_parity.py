@@ -66,8 +66,11 @@ def test_driver_window_covers_flagship_surface():
         # window; the dedup family keeps minhash/simhash/dup-spans/
         # clusters in-window and exact dedup stays a bench headline +
         # parity-held in-repo)
-        # minhash_pairs rotated out in r8 for events_ohlc (see below)
-        "simhash_pairs",
+        # minhash_pairs rotated out in r8 for events_ohlc, then
+        # simhash_pairs for events_kmv_distinct (both ~6x green since
+        # r2; both keep bench-headline + 10x-scaling-probe perf evidence
+        # and the near-dup family keeps doc_dup_spans,
+        # doc_near_dup_curation and doc_fuzzy_pairs in-window)
         # doc_token_stats rotated out in r8 for doc_gopher_rules (many-round
         # green since r5; the quality-stat family stays via corpus_stats,
         # doc_quality_quantile and the gopher screen itself)
@@ -209,6 +212,9 @@ def test_driver_window_covers_flagship_surface():
         # event_correlation keeps the streaming family in-window and the
         # whole tier stays equivalence-tested in-repo every CI run)
         "doc_link_triangles",
+        # round-8: KMV cardinality sketch enters directly (simhash_pairs
+        # out — see the near-dup note above)
+        "events_kmv_distinct",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -694,3 +694,16 @@ def test_triangle_count_no_cartesian_bounded_shuffles(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "Exchange SinglePartition" not in plan
     assert data_shuffles(plan) <= 10
+
+
+def test_kmv_distinct_narrow_hash_shuffles(spark):
+    """The sketch moves (group, 8-byte hash) pairs: distinct with
+    map-side partial agg, then the bottom-k window on the group key —
+    never raw values through a shuffle, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_kmv_distinct"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_" in plan  # map-side combine on the distinct/aggs
+    assert data_shuffles(plan) <= 4  # hash-distinct, window, 2 agg joins
