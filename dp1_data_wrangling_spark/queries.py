@@ -2214,6 +2214,91 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_scd2_enrich",
+    """
+    WITH en_ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+    ),
+    en_flags AS (
+        SELECT user_id, ts_us, event_id, event_type,
+               lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
+        FROM en_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    en_hist AS (
+        SELECT user_id, event_type AS state_type, ts_us AS valid_from_us,
+               row_number() OVER w2 AS version,
+               lead(ts_us) OVER w2 AS valid_to_us
+        FROM en_flags WHERE chg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, h.state_type, h.version,
+           h.valid_from_us
+    FROM en_ev p
+    JOIN en_hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from_us <= p.ts_us
+     AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse temporal join: facts enriched with the dimension
+    version IN EFFECT at fact time — scd2_build composed with the
+    interval-containment asof_lookup (J7), the join every Kimball star
+    schema runs between fact tables and SCD2 dimensions.  Each purchase
+    matches exactly one version row (the [valid_from, valid_to) bounds
+    partition the user's timeline; NULL valid_to = the current version's
+    open end).  Equi-key user_id carries the hash join; containment is
+    the residual filter."""
+    from .operators.intervals import asof_lookup
+    from .operators.scd import scd2_build
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    hist = scd2_build(
+        e,
+        key="user_id",
+        tracked=["event_type"],
+        ts_col="ts_us",
+        order_extra=["event_id"],
+        from_col="valid_from_us",
+        to_col="valid_to_us",
+        seen_col="last_seen_us",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = asof_lookup(
+        probes,
+        hist,
+        ["user_id"],
+        probe_time="ts_us",
+        begin="valid_from_us",
+        end="valid_to_us",
+    )
+    return out.select(
+        "event_id",
+        probes["user_id"].alias("user_id"),
+        "ts_us",
+        "state_type",
+        "version",
+        "valid_from_us",
+    )
+
+
+@register(
     "events_kmv_distinct",
     """
     WITH kmv_h AS (
@@ -2308,7 +2393,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "events_hourly_trend",        # r8: exact-integer per-group OLS trend
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
-    "embedding_semantic_dedup",   # SemDeDup via SRP blocking + CC closure
+    "events_scd2_enrich",         # r8: fact-to-SCD2 temporal join (J7 x SCD2)
     "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff
     "table_profile",              # r8: one-pass per-column data-quality profile
     # -- dedup / similarity families --

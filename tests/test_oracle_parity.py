@@ -117,7 +117,11 @@ def test_driver_window_covers_flagship_surface():
         # doc_quality_quantile rotated out in r8 for table_profile (2x
         # green; the quality-stat family stays via doc_gopher_rules +
         # corpus_stats and the quantile filter stays parity-held in-repo)
-        "embedding_semantic_dedup",
+        # embedding_semantic_dedup rotated out in r8 for
+        # events_scd2_enrich (multi-round green since r3; bench headline
+        # + 3.49x scaling probe keep its perf evidence and the semantic
+        # family keeps doc_semantic_curation, doc_semantic_decontam and
+        # doc_cluster_safe_split in-window)
         "doc_bigram_score",
         # round-7 audit rotation: the in-repo-only tail gains external
         # sf0.01 evidence; six multi-round-green trivial entries plus
@@ -215,6 +219,9 @@ def test_driver_window_covers_flagship_surface():
         # round-8: KMV cardinality sketch enters directly (simhash_pairs
         # out — see the near-dup note above)
         "events_kmv_distinct",
+        # round-8: fact-to-SCD2 temporal enrichment join enters directly
+        # (embedding_semantic_dedup out — see note above)
+        "events_scd2_enrich",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

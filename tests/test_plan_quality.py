@@ -707,3 +707,15 @@ def test_kmv_distinct_narrow_hash_shuffles(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "partial_" in plan  # map-side combine on the distinct/aggs
     assert data_shuffles(plan) <= 4  # hash-distinct, window, 2 agg joins
+
+
+def test_scd2_enrich_equi_key_carries_hash_join(spark):
+    """The fact-to-SCD2 temporal join must hash on user_id with the
+    interval containment as a residual filter — never a nested-loop or
+    cartesian over facts x versions."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_scd2_enrich"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert re.search(r"Join.*user_id", plan), plan
