@@ -28,7 +28,7 @@ from .operators.find_first import find_first
 from .operators.intervals import asof_lookup, overlapping_pairs
 from .operators.priority_dedup import priority_dedup, priority_map
 from .registry import REGISTRY, QuerySpec, cents, prioritize, register
-from .tables import load_table, local_df
+from .tables import load_table, local_df, spread
 
 
 # ---------------------------------------------------------------------------
@@ -2299,6 +2299,57 @@ def q_events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_spatial_pairs",
+    """
+    WITH sp_pts AS (
+        SELECT event_id,
+               CAST(('0x' || substr(md5('spx|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS x,
+               CAST(('0x' || substr(md5('spy|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS y
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM sp_pts a JOIN sp_pts b
+      ON a.event_id < b.event_id
+     AND b.x BETWEEN a.x - 10 AND a.x + 10
+     AND b.y BETWEEN a.y - 10 AND a.y + 10
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100
+    """,
+)
+def q_events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold spatial self-join (operators/spatial.py
+    within_distance_pairs, the ST_DWithin workhorse): purchase events
+    get md5-derived integer planar coordinates on a 1000x1000 grid; all
+    pairs within radius 10 via COMPLETE 3x3 grid blocking — one cell
+    equi-join, never all-pairs.  The oracle is the brute-force banded
+    quadratic form (DuckDB IEJoin), an independent algorithm; integer
+    squared distances make the comparison exact."""
+    from .operators.spatial import within_distance_pairs
+
+    def coord(tag: str) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("event_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % 1000
+
+    pts = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", coord("spx").alias("x"), coord("spy").alias("y")
+        )
+    )
+    return within_distance_pairs(
+        pts, x_col="x", y_col="y", id_col="event_id", radius=10
+    )
+
+
+@register(
     "events_kmv_distinct",
     """
     WITH kmv_h AS (
@@ -2377,7 +2428,7 @@ from . import queries_streaming  # noqa: E402,F401
 # lives in BASELINE.md ("Driver-window rotation history").
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
-    "find_first",                 # J4 find-first + W1 window; bench headline
+    "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
     "chain_flatten_distributed",  # S4/J6 chain flatten, iterative distributed form
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "user_scd2_history",          # r8: SCD Type-2 dimension history

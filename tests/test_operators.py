@@ -2896,3 +2896,55 @@ def test_kmv_validation(spark):
         kmv_sketch(df, value_col="v", k=1)
     with pytest.raises(ValueError, match="non-empty"):
         kmv_merge([])
+
+
+def test_within_distance_pairs_hand_computed(spark):
+    """Points (0,0),(3,4),(10,0),(9,9),(None,5): radius 5 pairs
+    (0,0)-(3,4) at 25 (boundary inclusive) and (3,4)-(10,0)? dist2 =
+    49+16 = 65 > 25 no; (10,0)-(9,9) dist2 = 1+81 = 82 no.  Cross-cell
+    pair (3,4)-(0,0) spans cells (0,0)x(0,0); (10,0) sits in cell (2,0)
+    adjacent to (0,0)? no — blocking must still find nothing for it."""
+    from dp1_data_wrangling_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    rows = [(1, 0, 0), (2, 3, 4), (3, 10, 0), (4, 9, 9), (5, None, 5)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r.id_a, r.id_b): r.dist2
+        for r in within_distance_pairs(
+            df, x_col="x", y_col="y", id_col="id", radius=5
+        ).collect()
+    }
+    assert got == {(1, 2): 25}
+
+
+def test_within_distance_pairs_negative_coords_floor_cells(spark):
+    """Negative coordinates: floor division must separate cells -1 and 0
+    (truncating div would fold them and still work here, but the floor
+    grid keeps the 3x3 neighborhood argument exact).  (-1,-1) and (1,1)
+    are within radius 3 across the origin's cell corner."""
+    from dp1_data_wrangling_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -1, -1), (2, 1, 1), (3, -100, -100)], "id long, x long, y long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist2
+        for r in within_distance_pairs(
+            df, x_col="x", y_col="y", id_col="id", radius=3
+        ).collect()
+    }
+    assert got == {(1, 2): 8}
+
+
+def test_within_distance_pairs_validation(spark):
+    from dp1_data_wrangling_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="radius"):
+        within_distance_pairs(df, x_col="x", y_col="y", id_col="id", radius=0)

@@ -222,6 +222,13 @@ def test_driver_window_covers_flagship_surface():
         # round-8: fact-to-SCD2 temporal enrichment join enters directly
         # (embedding_semantic_dedup out — see note above)
         "events_scd2_enrich",
+        # round-8: grid-blocked spatial distance join enters directly
+        # (find_first out — 7x consecutive driver-green since r1, the
+        # longest streak in the window; J4 evidence continues via the
+        # driver's entry() smoke, which runs find_first and collects its
+        # rows EVERY round, plus the bench headline, the single-shuffle
+        # plan gate and in-repo parity)
+        "events_spatial_pairs",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

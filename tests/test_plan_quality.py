@@ -719,3 +719,16 @@ def test_scd2_enrich_equi_key_carries_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert re.search(r"Join.*user_id", plan), plan
+
+
+def test_spatial_pairs_single_cell_equi_join(spark):
+    """The spatial join is ONE hash equi-join on the grid cell (anchor +
+    9x probe replication) with the exact distance as a residual filter —
+    no cartesian/nested-loop, no dedup shuffle (each pair emits once by
+    the unique-cell-offset argument)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_spatial_pairs"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert data_shuffles(plan) <= 2  # the two join-side exchanges

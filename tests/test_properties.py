@@ -838,3 +838,42 @@ def test_scd2_apply_equals_full_rebuild(spark, events, split):
         )
     else:
         assert logless == want
+
+
+# --- spatial distance join --------------------------------------------------
+
+sp_points = st.lists(
+    st.tuples(
+        st.integers(min_value=-15, max_value=15),
+        st.integers(min_value=-15, max_value=15),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(pts=sp_points, r=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_within_distance_pairs_equals_brute_force(spark, pts, r):
+    """Grid blocking is COMPLETE (same-or-adjacent cells cover every
+    within-radius pair, including across negative/positive cell
+    boundaries) and emits each pair exactly once."""
+    from dp1_data_wrangling_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expect = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for i, a in enumerate(rows)
+        for b in rows[i + 1:]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    df = spark.createDataFrame(rows, "id int, x long, y long")
+    got = sorted(
+        (p.id_a, p.id_b, p.dist2)
+        for p in within_distance_pairs(
+            df, x_col="x", y_col="y", id_col="id", radius=r
+        ).collect()
+    )
+    assert got == expect
