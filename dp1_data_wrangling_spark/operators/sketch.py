@@ -128,3 +128,115 @@ def kmv_estimate(
         kth.alias("kth_hash"),
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch as rows ``(*group_cols, row_idx, col_idx, cnt)``.
+
+    Each value increments one cell per hash row (md5-derived column
+    index); ``weight_col`` aggregates weighted frequency instead of row
+    counts.  NULL values are excluded.
+
+    Sketch state is ``depth · width`` cells per group REGARDLESS of the
+    stream size — the whole point at 100 TB: one combinable groupBy
+    produces a bounded matrix that merges with any other sketch by
+    cellwise addition (``cm_merge``), so rolling windows and cross-day
+    unions never rescan raw data.  Estimates (``cm_estimate``) only ever
+    OVER-count (collisions add, never subtract): est >= true, with
+    error <= 2N/width per row whp — pick width against the stream mass.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    groups = group_cols or []
+    wgt = F.col(weight_col) if weight_col else F.lit(1)
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, F.col(value_col).alias("__v"), wgt.alias("__w"))
+        .withColumn("__row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+    )
+    col_idx = F.concat(
+        F.lit("cm"), F.col("__row").cast("string"), F.lit("|"),
+        F.col("__v").cast("string"),
+    ).cast("binary")
+    col_idx = F.conv(F.substring(F.md5(col_idx), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % F.lit(width)
+    return (
+        rows.withColumn("__col", col_idx)
+        .groupBy(*groups, F.col("__row").alias("row_idx"), F.col("__col").alias("col_idx"))
+        .agg(F.sum("__w").cast("bigint").alias("cnt"))
+    )
+
+
+def cm_merge(
+    sketches: list[DataFrame],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cellwise addition — ``cm_merge([cm(A), cm(B)]) == cm(A ++ B)``
+    exactly (counts are sums; property-tested)."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    groups = group_cols or []
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*groups, "row_idx", "col_idx").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Frequency estimate per probe value: min over hash rows of the
+    probed cell (a missing cell is 0 — the value was never seen).
+    Returns the probe columns plus ``est_cnt``.
+
+    The probe side explodes ``depth`` cells per value and left-joins the
+    sketch on (group, row, col) — narrow int keys; broadcast the sketch
+    side when the group count is small (it is ``depth·width`` cells per
+    group by construction)."""
+    groups = group_cols or []
+    pr = probes.withColumn(
+        "__row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    col_idx = F.concat(
+        F.lit("cm"), F.col("__row").cast("string"), F.lit("|"),
+        F.col(value_col).cast("string"),
+    ).cast("binary")
+    col_idx = F.conv(F.substring(F.md5(col_idx), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % F.lit(width)
+    pr = pr.withColumn("__col", col_idx)
+    sk = sketch.select(
+        *groups,
+        F.col("row_idx").alias("__row"),
+        F.col("col_idx").alias("__col"),
+        "cnt",
+    )
+    joined = pr.join(F.broadcast(sk), [*groups, "__row", "__col"], "left")
+    return (
+        joined.withColumn("__cell", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*probes.columns)
+        .agg(F.min("__cell").alias("est_cnt"))
+    )

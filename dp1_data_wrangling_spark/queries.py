@@ -2350,6 +2350,83 @@ def q_events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cm_heavy_hitters",
+    """
+    WITH cm_src AS (
+        SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    cm_rows AS (SELECT unnest(generate_series(0, 3)) AS row_idx),
+    cm_cells AS (
+        SELECT event_type, row_idx,
+               CAST(('0x' || substr(md5('cm' || CAST(row_idx AS VARCHAR)
+                    || '|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 64 AS col_idx,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM cm_src, cm_rows
+        GROUP BY 1, 2, 3
+    ),
+    cm_probes AS (
+        SELECT DISTINCT event_type, user_id
+        FROM cm_src WHERE user_id % 25 = 0
+    ),
+    cm_pc AS (
+        SELECT p.event_type, p.user_id, r.row_idx,
+               CAST(('0x' || substr(md5('cm' || CAST(r.row_idx AS VARCHAR)
+                    || '|' || CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 64 AS col_idx
+        FROM cm_probes p, cm_rows r
+    ),
+    cm_est AS (
+        SELECT pc.event_type, pc.user_id,
+               CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+        FROM cm_pc pc
+        LEFT JOIN cm_cells c
+          ON c.event_type = pc.event_type AND c.row_idx = pc.row_idx
+         AND c.col_idx = pc.col_idx
+        GROUP BY 1, 2
+    ),
+    cm_exact AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM cm_src WHERE user_id % 25 = 0 GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.user_id, e.est_cnt, x.exact_cnt
+    FROM cm_est e JOIN cm_exact x USING (event_type, user_id)
+    """,
+)
+def q_events_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation (operators/sketch.py cm_sketch):
+    per-event-type user frequencies from a 4x64 sketch — state bounded
+    at 256 cells per group regardless of stream size, mergeable by
+    cellwise addition — probed for a deterministic user subset and
+    joined against exact counts (est >= exact ALWAYS; the narrow width
+    forces visible collision overcounts at sf0.1).  Everything is md5 +
+    integer sums, so the oracle replays sketch, probe and estimate
+    exactly."""
+    from .operators.sketch import cm_estimate, cm_sketch
+
+    src = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = cm_sketch(
+        src, value_col="user_id", group_cols=["event_type"],
+        depth=4, width=64,
+    )
+    probes = (
+        src.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 25 == 0))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    est = cm_estimate(
+        sk, probes, value_col="user_id", group_cols=["event_type"],
+        depth=4, width=64,
+    )
+    exact = (
+        src.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 25 == 0))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return est.join(exact, ["event_type", "user_id"])
+
+
+@register(
     "events_kmv_distinct",
     """
     WITH kmv_h AS (
@@ -2440,7 +2517,7 @@ DRIVER_WINDOW: list[str] = [
     "events_gapfill",             # r8: grid resample + forward fill (LOCF)
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
-    "doc_curation_pipeline",      # composed curation pipeline (single digest shuffle)
+    "events_cm_heavy_hitters",    # r8: count-min frequency sketch
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "events_hourly_trend",        # r8: exact-integer per-group OLS trend
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)

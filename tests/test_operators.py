@@ -2948,3 +2948,87 @@ def test_within_distance_pairs_validation(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
     with pytest.raises(ValueError, match="radius"):
         within_distance_pairs(df, x_col="x", y_col="y", id_col="id", radius=0)
+
+
+def _cm_ref_cell(row: int, v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"cm{row}|{v}".encode()).hexdigest()[:15], 16) % 8
+
+
+def test_cm_sketch_hand_computed(spark):
+    """depth=2, width=8 over [a,a,a,b] (+NULL excluded): cell counts per
+    row match the hashlib replay; estimates are exact here (no
+    collisions at this size) and a never-seen probe estimates 0."""
+    from dp1_data_wrangling_spark.operators.sketch import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), (None,)], "v string"
+    )
+    sk = cm_sketch(df, value_col="v", depth=2, width=8)
+    got = {(r.row_idx, r.col_idx): r.cnt for r in sk.collect()}
+    want: dict[tuple[int, int], int] = {}
+    for v, n in (("a", 3), ("b", 1)):
+        for row in (0, 1):
+            key = (row, _cm_ref_cell(row, v))
+            want[key] = want.get(key, 0) + n
+    assert got == want
+    probes = spark.createDataFrame([("a",), ("b",), ("zzz",)], "v string")
+    est = {
+        r.v: r.est_cnt
+        for r in cm_estimate(sk, probes, value_col="v", depth=2, width=8).collect()
+    }
+    assert est["a"] == 3 and est["b"] == 1 and est["zzz"] == 0
+
+
+def test_cm_estimate_never_undercounts(spark):
+    """With a deliberately tiny width (forced collisions), every
+    estimate is >= the true frequency — the one-sided CM guarantee."""
+    from dp1_data_wrangling_spark.operators.sketch import cm_estimate, cm_sketch
+
+    rows = [(f"v{i % 7}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cm_sketch(df, value_col="v", depth=2, width=3)
+    probes = df.distinct()
+    est = {
+        r.v: r.est_cnt
+        for r in cm_estimate(sk, probes, value_col="v", depth=2, width=3).collect()
+    }
+    from collections import Counter
+
+    true = Counter(v for (v,) in rows)
+    assert all(est[v] >= c for v, c in true.items())
+
+
+def test_cm_merge_equals_sketch_of_concat(spark):
+    """Cellwise addition is exactly the sketch of the concatenated
+    streams — the mergeability that makes CM reaggregatable."""
+    from dp1_data_wrangling_spark.operators.sketch import cm_merge, cm_sketch
+
+    a = spark.createDataFrame([(f"v{i % 5}",) for i in range(20)], "v string")
+    b = spark.createDataFrame([(f"v{i % 9}",) for i in range(30)], "v string")
+    merged = sorted(
+        map(
+            tuple,
+            cm_merge(
+                [
+                    cm_sketch(a, value_col="v", depth=3, width=16),
+                    cm_sketch(b, value_col="v", depth=3, width=16),
+                ]
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, cm_sketch(a.union(b), value_col="v", depth=3, width=16).collect())
+    )
+    assert merged == direct
+
+
+def test_cm_validation(spark):
+    from dp1_data_wrangling_spark.operators.sketch import cm_merge, cm_sketch
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="depth"):
+        cm_sketch(df, value_col="v", depth=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        cm_merge([])

@@ -107,7 +107,9 @@ def test_driver_window_covers_flagship_surface():
         # doc_stable_sample rotated out in r7 for multimodal_audio_frames;
         # doc_split_assign rotated out in r8 for doc_semantic_decontam
         # (2x green; global_shuffle + quota + resample keep the family)
-        "doc_curation_pipeline",
+        # doc_curation_pipeline rotated out in r8 for
+        # events_cm_heavy_hitters (multi-round green; bench headline +
+        # the three in-window curation reps keep the family's evidence)
         # round-6 part 3-5: brand-new operators enter the window directly;
         # sliding_window and multimodal_frames rotated out (5x green /
         # rows-only — weakest external evidence; families stay represented
@@ -229,6 +231,9 @@ def test_driver_window_covers_flagship_surface():
         # rows EVERY round, plus the bench headline, the single-shuffle
         # plan gate and in-repo parity)
         "events_spatial_pairs",
+        # round-8: count-min frequency sketch enters directly
+        # (doc_curation_pipeline out — see note above)
+        "events_cm_heavy_hitters",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -732,3 +732,15 @@ def test_spatial_pairs_single_cell_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert data_shuffles(plan) <= 2  # the two join-side exchanges
+
+
+def test_cm_sketch_bounded_state_broadcast_probe(spark):
+    """The CM build is ONE combinable groupBy to a depth x width matrix;
+    the probe join must BROADCAST the (bounded) sketch side — the fact
+    stream never shuffles for an estimate."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_cm_heavy_hitters"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
