@@ -24,6 +24,7 @@ from .dedup_llm import stream_minhash_dedup
 from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
 from .scd import stream_scd2
+from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
@@ -49,6 +50,7 @@ __all__ = [
     "stream_curation",
     "stream_rollup",
     "stream_scd2",
+    "stream_sketches",
     "read_curated",
     "finalize_training_export",
 ]

@@ -1,0 +1,125 @@
+"""Streaming sketch maintenance: the KMV/count-min ingest twin.
+
+``stream_sketches`` folds each micro-batch into catalog-backed sketch
+tables — a KMV bottom-k cardinality sketch and a count-min frequency
+matrix — with exactly-once semantics (the per-stream batch-id watermark
+rides the same atomic commit as both tables, the idempotent-foreachBatch
+pattern shared with ``stream_rollup`` / ``stream_scd2``).
+
+Why this is the RIGHT streaming shape for sketches: both sketches are
+closed under merge (KMV: k-smallest-of-union IS the sketch of the union;
+CM: cellwise addition IS the sketch of the concatenation — both laws
+property-tested in tests/test_operators.py), so per batch the stream
+computes the batch's sketch and merges it into the published state.  The
+materialized tables therefore equal the one-shot batch sketches over
+every row delivered so far — bit-exactly, regardless of how the stream
+was cut into micro-batches (the equivalence test drives this).  State is
+bounded by construction: k rows + depth·width cells per group, never the
+stream size — a sketch table over a year of 100 TB/day ingest is still
+kilobytes per group.
+
+Scale per batch: the batch sketch build (one combinable groupBy each) +
+a sketch-sized recombine + one overwrite commit; like ``stream_rollup``
+there is no root-list growth to compact (each commit publishes one root
+per table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketch import cm_merge, cm_sketch, kmv_merge, kmv_sketch
+from ..plans.catalog import Catalog, CommitConflict
+from .sinks import batch_meta_key
+
+MERGE_RETRIES = 5
+
+
+def stream_sketches(
+    stream_df: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    kmv_table: str = "kmv_sketch",
+    cm_table: str = "cm_sketch",
+    k: int = 64,
+    depth: int = 4,
+    width: int = 256,
+    trigger_available_now: bool = True,
+    stream_name: str | None = None,
+) -> StreamingQuery:
+    """Start the sketch-maintenance stream into ``catalog_root``.
+
+    After the stream drains, ``kmv_table`` / ``cm_table`` hold exactly
+    ``kmv_sketch`` / ``cm_sketch`` of every delivered row (the merge
+    laws make micro-batch cuts invisible)."""
+    groups = list(group_cols or [])
+    meta_key = batch_meta_key(
+        f"sketches:{kmv_table}:{cm_table}", checkpoint_dir, stream_name
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cat = Catalog(catalog_root)
+        last = cat.meta().get(meta_key)
+        if last is not None and batch_id <= last:
+            return  # replayed batch after recovery -> already committed
+        spark = batch_df.sparkSession
+        b_kmv = kmv_sketch(
+            batch_df, value_col=value_col, group_cols=groups, k=k
+        )
+        b_cm = cm_sketch(
+            batch_df, value_col=value_col, group_cols=groups,
+            depth=depth, width=width,
+        )
+        last_exc: CommitConflict | None = None
+        for _ in range(MERGE_RETRIES):
+            snapshot = cat.manifest()
+            kmv_roots = list(snapshot["tables"].get(kmv_table, []))
+            cm_roots = list(snapshot["tables"].get(cm_table, []))
+            new_kmv = (
+                kmv_merge(
+                    [cat._read_roots(spark, kmv_roots), b_kmv],
+                    group_cols=groups, k=k,
+                )
+                if kmv_roots
+                else b_kmv
+            )
+            new_cm = (
+                cm_merge(
+                    [cat._read_roots(spark, cm_roots), b_cm],
+                    group_cols=groups,
+                )
+                if cm_roots
+                else b_cm
+            )
+            txn = cat.begin()
+            txn.stage(kmv_table, new_kmv, mode="overwrite")
+            txn.stage(cm_table, new_cm, mode="overwrite")
+            try:
+                # watermark + both sketch tables: one atomic commit —
+                # exactly-once hinges on their inseparability; the
+                # require_roots pin aborts if a concurrent writer moved
+                # the state we merged from (never a lost update)
+                cat.commit(
+                    txn,
+                    meta={meta_key: batch_id},
+                    require_roots={kmv_table: kmv_roots, cm_table: cm_roots},
+                )
+                return
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise CommitConflict(
+            f"stream_sketches({kmv_table!r}): concurrent commits kept "
+            f"winning after {MERGE_RETRIES} attempts"
+        ) from last_exc
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

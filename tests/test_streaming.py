@@ -1098,3 +1098,78 @@ def test_stream_scd2_equals_batch_any_order(spark, tmp_path):
     # replay: same checkpoint -> already-committed batches skipped
     stream_scd2(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stream_sketches_equals_batch(spark, tmp_path):
+    """Streaming events through the sketch maintainer in micro-batches
+    materializes EXACTLY the one-shot batch sketches over all rows — the
+    KMV and count-min merge laws make the micro-batch cuts invisible.
+    Replay from the same checkpoint is a no-op (batch-id watermark rides
+    the same atomic commit as both tables)."""
+    from dp1_data_wrangling_spark.operators.sketch import cm_sketch, kmv_sketch
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_sketches
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, SMOKE_SF, "events")
+    src = tmp_path / "events_stream"
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    def start(ckpt: str):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        return stream_sketches(
+            stream,
+            cat_root,
+            checkpoint_dir=ckpt,
+            value_col="user_id",
+            group_cols=["event_type"],
+            k=16,
+            depth=3,
+            width=32,
+        )
+
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    start(ckpt).awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    got_kmv = sorted(
+        map(tuple, cat.read(spark, "kmv_sketch").collect())
+    )
+    got_cm = sorted(map(tuple, cat.read(spark, "cm_sketch").collect()))
+    want_kmv = sorted(
+        map(
+            tuple,
+            kmv_sketch(
+                events, value_col="user_id", group_cols=["event_type"], k=16
+            ).collect(),
+        )
+    )
+    want_cm = sorted(
+        map(
+            tuple,
+            cm_sketch(
+                events, value_col="user_id", group_cols=["event_type"],
+                depth=3, width=32,
+            ).collect(),
+        )
+    )
+    assert got_kmv == want_kmv
+    assert got_cm == want_cm
+
+    # replay: same checkpoint, already-committed batches -> tables and
+    # catalog version unchanged
+    v_before = cat.manifest()["version"]
+    start(ckpt).awaitTermination(180)
+    assert Catalog(cat_root).manifest()["version"] == v_before
+    assert sorted(map(tuple, cat.read(spark, "kmv_sketch").collect())) == want_kmv
