@@ -424,6 +424,109 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - sweep is informational
             print(f"text-dedup scale probe failed: {exc}", file=sys.stderr)
 
+    # Blocked-join tier scale probes (round 8, mid-round 23): the fuzzy
+    # edit-distance join and the spatial distance join are both
+    # complete-blocking joins whose fixture numbers track tiny corpora.
+    # Synthesize md5-deterministic inputs at 5k/50k (fuzzy: 12-hex keys
+    # in near-dup families of 5 — pair volume linear in n; spatial:
+    # points on an area that GROWS with n so density and per-point pair
+    # counts stay constant).  Both plans are linear-class by
+    # construction (constant-factor probe replication + one equi-join);
+    # a hidden all-pairs term would read ~100x.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
+            from dp1_data_wrangling_spark.operators.spatial import (
+                within_distance_pairs,
+            )
+
+            def synth_keys(n: int):
+                base = F.substring(
+                    F.md5((F.col("id") / 5).cast("int").cast("string")), 1, 12
+                )
+                key = (
+                    F.when(
+                        F.col("id") % 5 == 1,
+                        F.concat(F.lit("z"), F.substring(base, 2, 11)),
+                    )
+                    .when(F.col("id") % 5 == 2, F.substring(base, 1, 11))
+                    .otherwise(base)
+                )
+                return spark.range(n).select(
+                    F.col("id").alias("kid"), key.alias("key")
+                )
+
+            def synth_pts(n: int, side: int):
+                def c(tag: str):
+                    return F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(tag), F.col("id").cast("string")
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint") % side
+
+                return spark.range(n).select(
+                    F.col("id").alias("pid"), c("bx|").alias("x"), c("by|").alias("y")
+                )
+
+            tmp = tempfile.mkdtemp(prefix="bench_blocked_")
+            try:
+                kpaths, ppaths = {}, {}
+                for n in (5_000, 50_000):
+                    kpaths[n] = f"{tmp}/k{n}"
+                    synth_keys(n).write.parquet(kpaths[n])
+                    # density-constant: area scales with n (side ~ sqrt n)
+                    side = 700 if n == 5_000 else 2200
+                    ppaths[n] = f"{tmp}/p{n}"
+                    synth_pts(n, side).write.parquet(ppaths[n])
+
+                fz = {
+                    n: min_of_3(
+                        lambda p=kpaths[n]: fuzzy_pairs(
+                            spark.read.parquet(p),
+                            key_col="key", id_col="kid", max_dist=2,
+                        )
+                    )
+                    for n in (5_000, 50_000)
+                }
+                scaling["fuzzy_pairs_synth"] = {
+                    "n_rows": [5_000, 50_000],
+                    "small_sec": round(fz[5_000], 3),
+                    "big_sec": round(fz[50_000], 3),
+                    "ratio_10x_rows": round(fz[50_000] / fz[5_000], 2),
+                }
+                sp = {
+                    n: min_of_3(
+                        lambda p=ppaths[n]: within_distance_pairs(
+                            spark.read.parquet(p),
+                            x_col="x", y_col="y", id_col="pid", radius=10,
+                        )
+                    )
+                    for n in (5_000, 50_000)
+                }
+                scaling["spatial_pairs_synth"] = {
+                    "n_rows": [5_000, 50_000],
+                    "small_sec": round(sp[5_000], 3),
+                    "big_sec": round(sp[50_000], 3),
+                    "ratio_10x_rows": round(sp[50_000] / sp[5_000], 2),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - sweep is informational
+            print(f"blocked-join scale probe failed: {exc}", file=sys.stderr)
+
     # Graph-tier scale probe (round 8): doc_link_pagerank's fixture graph
     # is 5k docs at every SF, so its headline number tracks per-round
     # fixed overhead (5 checkpointed rounds).  Synthesize arithmetic-
