@@ -344,19 +344,34 @@ def encode_wav(sample_rate: int, samples) -> bytes:
     )
 
 
+def ulaw_to_linear(u8):
+    """Expand G.711 μ-law bytes to linear int16 — the exact CCITT
+    integer formula (complement, 4-bit mantissa rebias by 0x84, segment
+    shift), vectorized.  Every byte value 0..255 is a valid codeword;
+    max magnitude is the standard 32124."""
+    import numpy as np
+
+    v = (~np.asarray(u8, dtype=np.uint8)).astype(np.int64) & 0xFF
+    t = (((v & 0x0F) << 3) + 0x84) << ((v >> 4) & 0x07)
+    return np.where(v & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
 def decode_wav(payload: bytes):
-    """Decode a PCM16 **mono** WAV: returns (sample_rate, int16 samples).
-    Walks the RIFF chunk list — fmt need not immediately precede data.
-    Multi-channel files are rejected: downstream frame slicing
-    (``sample_audio_frames``) treats the sample axis as time, which an
-    interleaved stereo stream would silently double."""
+    """Decode a **mono** WAV — PCM16 (fmt 1, 16-bit) or G.711 μ-law
+    (fmt 7, 8-bit, expanded to linear int16): returns (sample_rate,
+    int16 samples).  Walks the RIFF chunk list — fmt need not
+    immediately precede data (so PCM16 validity checks run after the
+    walk, when the format is known).  Multi-channel files are rejected:
+    downstream frame slicing (``sample_audio_frames``) treats the
+    sample axis as time, which an interleaved stereo stream would
+    silently double."""
     import struct
 
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, bits, data = 12, None, None, None
+    pos, audio_fmt, rate, data = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -364,9 +379,10 @@ def decode_wav(payload: bytes):
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or bits != 16:
+            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
                 raise ValueError(
-                    f"only PCM16 supported, got fmt={audio_fmt} bits={bits}"
+                    "only PCM16 (fmt=1/16-bit) or mu-law (fmt=7/8-bit) "
+                    f"supported, got fmt={audio_fmt} bits={bits}"
                 )
             if ch != 1:
                 raise ValueError(f"only mono supported, got channels={ch}")
@@ -376,13 +392,37 @@ def decode_wav(payload: bytes):
                     f"truncated data chunk: declared {size} bytes, "
                     f"got {len(body)}"
                 )
-            if size % 2:
-                raise ValueError(f"odd data chunk size {size} for PCM16")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if audio_fmt == 7:
+        return rate, ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    if len(data) % 2:
+        raise ValueError(f"odd data chunk size {len(data)} for PCM16")
     return rate, np.frombuffer(data, dtype="<i2").copy()
+
+
+def encode_wav_ulaw(sample_rate: int, codewords) -> bytes:
+    """Encode mono G.711 μ-law codewords (uint8) as a WAV (RIFF/WAVE,
+    fmt code 7, 8 bits/sample, block align 1)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(codewords, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -1155,3 +1195,39 @@ def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.select(F.col(id_col).cast("long")).mapInPandas(
         batches, MEDIA_SCHEMA
     )
+
+def synthetic_ulaw(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL G.711 μ-law WAV payloads from an id column:
+    ``n = id % 40 + 8`` codewords at 8 kHz with byte
+    ``u[s] = (id*29 + s*19) % 256`` — closed-form content, so a SQL
+    oracle can replay the μ-law expansion (complement / rebias / segment
+    shift is exact integer math) without touching bytes.  Encoding
+    happens executor-side in one mapInPandas (same contract as
+    ``synthetic_media``)."""
+    import numpy as np
+    import pandas as pd
+
+    _ship_codecs_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "media_type": [], "payload": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = mid % 40 + 8
+                u = (mid * 29 + np.arange(n) * 19) % 256
+                out["media_id"].append(mid)
+                out["media_type"].append("audio/basic")
+                out["payload"].append(encode_wav_ulaw(8000, u))
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_ms"].append(n * 1000 // 8000)
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+

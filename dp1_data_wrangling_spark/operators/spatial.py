@@ -89,3 +89,83 @@ def within_distance_pairs(
             "dist2",
         )
     )
+
+
+def knn_within(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    radius: int,
+    k: int,
+) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor join: for each point, its ``k``
+    nearest OTHER points among those within distance ``radius``, ranked
+    by (squared distance, neighbor id) — a total order, so the result is
+    partitioning-independent.  Returns (id, rank, neighbor_id, dist2).
+
+    This is the blocked form of the PostGIS ``<->`` / Sedona KNN join
+    with an explicit search horizon: bounding the search at ``radius``
+    is what keeps the plan ONE grid equi-join (the same complete 3x3
+    blocking as :func:`within_distance_pairs`) instead of an iterative
+    expanding-ring search.  A point with fewer than ``k`` in-radius
+    neighbors returns just those (standard bounded-KNN semantics);
+    callers needing guaranteed-k re-run the stragglers at a wider
+    radius (documented trade, not hidden work).
+
+    Scale posture (100 TB): candidate generation is identical to the
+    distance join (9x narrow replication, one hash equi-join on cell);
+    ranking adds ONE window shuffle keyed on the anchor id.  Per-anchor
+    state is the candidate list of its 3x3 neighborhood — bounded by
+    local density, same skew valve as the distance join.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be a positive integer, got {radius}")
+    if k < 1:
+        raise ValueError(f"k must be a positive integer, got {k}")
+    from pyspark.sql import Window
+
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    )
+    cx = F.floor(F.col("__x") / radius)
+    cy = F.floor(F.col("__y") / radius)
+    anchor = pts.select(
+        "__id", "__x", "__y", cx.alias("__cx"), cy.alias("__cy")
+    )
+    probe = (
+        pts.withColumn("__dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            F.col("__id").alias("__id_p"),
+            F.col("__x").alias("__x_p"),
+            F.col("__y").alias("__y_p"),
+            (cx + F.col("__dx")).alias("__cx"),
+            (cy + F.col("__dy")).alias("__cy"),
+        )
+    )
+    d2 = (F.col("__x") - F.col("__x_p")) * (F.col("__x") - F.col("__x_p")) + (
+        F.col("__y") - F.col("__y_p")
+    ) * (F.col("__y") - F.col("__y_p"))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("dist2"), F.col("__id_p")
+    )
+    return (
+        anchor.join(probe, ["__cx", "__cy"])
+        .filter(F.col("__id") != F.col("__id_p"))
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= radius * radius)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias("id"),
+            "rank",
+            F.col("__id_p").alias("neighbor_id"),
+            "dist2",
+        )
+    )

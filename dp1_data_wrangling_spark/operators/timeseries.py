@@ -176,3 +176,114 @@ def ohlc(
         )
         .withColumnRenamed("__bucket", "bucket")
     )
+
+
+def ewma_half(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+    horizon: int = 32,
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average with decay 1/2, computed
+    EXACTLY (the pandas ``ewm(alpha=0.5, adjust=True)`` shape with a
+    bounded horizon, in distributed form).
+
+    The classic EWMA recursion ``y_n = a*x_n + (1-a)*y_{n-1}`` is
+    sequential — useless on a cluster — and float-order-dependent.  This
+    operator uses the algebraically equivalent weighted-window form
+
+        y_n = sum_{k=0..m-1} (1/2)^k * x_{n-k} / sum_{k=0..m-1} (1/2)^k
+
+    over the last ``m = horizon`` observations per key, and makes it
+    engine-exact with the binary-fraction trick: with decay exactly 1/2,
+    multiplying numerator and denominator by ``2^(m-1)`` turns every
+    weight into a power of two, so both are plain BIGINT sums
+    (``num = sum x_j << (j - lo)``, ``den = 2^(n_frame) - 1``) over
+    per-row fixed-point values (``x = round(value * quant_scale)``), and
+    the final ``num / den`` is ONE double division of two exact BIGINTs
+    — bit-identical in any IEEE engine regardless of partitioning.
+    Truncating to ``horizon`` bounds the tail error at ``2^-horizon``
+    relative (< 3e-10 at the default 32) and — the point — bounds
+    per-row window state, which is what makes the op distributable.
+
+    Scale posture (100 TB): ONE shuffle on ``key_cols`` (the ordering
+    window); the frame fold is row-local O(horizon) with no Python.
+    Overflow contract: ``|value| * quant_scale * 2^horizon`` must fit a
+    signed 64-bit integer — validated per row with an executor
+    ``raise_error`` (fail fast, never silent wraparound).
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    time-series tier.
+    """
+    from pyspark.sql import Window
+
+    if horizon < 1 or horizon > 62:
+        raise ValueError(f"horizon must be in [1, 62], got {horizon}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    keys = key_cols or []
+    ties = tie_cols or []
+    # |x| <= 2^(62 - horizon) keeps sum_{k<m} |x|*2^k < 2^63.
+    x_cap = 1 << (62 - horizon)
+
+    quant = F.round(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    d = df.withColumn(
+        "__x",
+        F.when(F.abs(quant) < F.lit(x_cap), quant).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ewma_half: |value*{quant_scale}| >= {x_cap} "
+                        "would overflow the 64-bit weighted sum at "
+                        f"horizon={horizon}; lower quant_scale or horizon "
+                        "(value="
+                    ),
+                    F.col(value_col).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("bigint")
+        ),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col), *[F.col(t) for t in ties]
+    )
+    frame = w.rowsBetween(-(horizon - 1), Window.currentRow)
+    # collect_list over the frame preserves frame order (oldest first), so
+    # element i (0-based) sits n-1-i half-lives before the current row and
+    # carries weight 2^i after the common 2^(n-1) rescale.  One fold
+    # carries (weighted sum, next weight): after n elements w = 2^n, so
+    # the denominator 2^n - 1 falls out of the same accumulator — no
+    # index column, no shift-by-column (which the DataFrame API lacks).
+    xs = F.collect_list("__x").over(frame)
+    acc = F.aggregate(
+        xs,
+        F.struct(
+            F.lit(0).cast("bigint").alias("s"),
+            F.lit(1).cast("bigint").alias("w"),
+        ),
+        lambda a, x: F.struct(
+            (a["s"] + x * a["w"]).alias("s"), (a["w"] * 2).alias("w")
+        ),
+    )
+    out = (
+        d.withColumn("__acc", acc)
+        .withColumn("n_frame", F.size(xs))
+        .withColumn("__num", F.col("__acc")["s"])
+        .withColumn("__den", F.col("__acc")["w"] - 1)
+    )
+    return out.select(
+        *keys,
+        F.col(ts_col),
+        *ties,
+        F.col("n_frame"),
+        F.col("__num").alias("ewma_num"),
+        F.col("__den").alias("ewma_den"),
+        (
+            F.col("__num").cast("double") / F.col("__den").cast("double")
+            / F.lit(float(quant_scale))
+        ).alias("ewma"),
+    )

@@ -2214,6 +2214,67 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ewma",
+    """
+    WITH ew AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 1000000) AS BIGINT) AS x,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    )
+    SELECT a.event_type, a.ts_us, a.event_id,
+           CAST(a.rn - greatest(1, a.rn - 31) + 1 AS INT) AS n_frame,
+           CAST(sum(b.x * (CAST(1 AS BIGINT)
+                    << CAST(b.rn - greatest(1, a.rn - 31) AS INT)))
+               AS BIGINT) AS ewma_num,
+           (CAST(1 AS BIGINT)
+                << CAST(a.rn - greatest(1, a.rn - 31) + 1 AS INT))
+               - 1 AS ewma_den,
+           (CAST(CAST(sum(b.x * (CAST(1 AS BIGINT)
+                    << CAST(b.rn - greatest(1, a.rn - 31) AS INT)))
+                 AS BIGINT) AS DOUBLE)
+            / CAST((CAST(1 AS BIGINT)
+                << CAST(a.rn - greatest(1, a.rn - 31) + 1 AS INT)) - 1
+               AS DOUBLE)) / 1000000.0 AS ewma
+    FROM ew a JOIN ew b
+      ON b.event_type = a.event_type
+     AND b.rn BETWEEN a.rn - 31 AND a.rn
+    GROUP BY a.event_type, a.ts_us, a.event_id, a.rn
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact exponentially-weighted moving average of the event value
+    stream (operators/timeseries.py ewma_half): per event type, the
+    decay-1/2 EWMA over the last 32 observations in (ts, event_id)
+    order.  The binary-fraction trick makes it engine-exact — weights
+    become powers of two after a common rescale, numerator/denominator
+    are BIGINT sums, and the final value is one double division — so
+    the hash compare covers the doubles too.  The oracle is an
+    INDEPENDENT formulation (bounded rank-range self-join with shift
+    weights) of the same algebra; the Spark side is a single
+    partition-window fold with no join."""
+    from .operators.timeseries import ewma_half
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    return ewma_half(
+        e,
+        ts_col="ts_us",
+        value_col="value",
+        key_cols=["event_type"],
+        tie_cols=["event_id"],
+        horizon=32,
+        quant_scale=1_000_000,
+    )
+
+
+@register(
     "events_scd2_enrich",
     """
     WITH en_ev AS (
@@ -2318,6 +2379,7 @@ def q_events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND b.y BETWEEN a.y - 10 AND a.y + 10
     WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100
     """,
+    headline=True,
 )
 def q_events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-threshold spatial self-join (operators/spatial.py
@@ -2346,6 +2408,65 @@ def q_events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return within_distance_pairs(
         pts, x_col="x", y_col="y", id_col="event_id", radius=10
+    )
+
+
+@register(
+    "events_knn",
+    """
+    WITH kn_pts AS (
+        SELECT event_id,
+               CAST(('0x' || substr(md5('spx|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS x,
+               CAST(('0x' || substr(md5('spy|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS y
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id,
+           CAST(row_number() OVER (
+               PARTITION BY a.event_id
+               ORDER BY (a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y), b.event_id
+           ) AS INT) AS rank,
+           b.event_id AS neighbor_id,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM kn_pts a JOIN kn_pts b
+      ON a.event_id <> b.event_id
+     AND b.x BETWEEN a.x - 25 AND a.x + 25
+     AND b.y BETWEEN a.y - 25 AND a.y + 25
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+    QUALIFY rank <= 3
+    """,
+)
+def q_events_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor spatial join (operators/
+    spatial.py knn_within, the PostGIS ``<->``-class KNN with an
+    explicit search horizon): each purchase event's 3 nearest other
+    purchases within radius 25 on the same md5-derived 1000x1000
+    integer grid as events_spatial_pairs, ranked by (squared distance,
+    neighbor id).  Spark runs the complete 3x3 grid-blocked equi-join
+    plus one anchor-keyed ranking window; the oracle is the independent
+    brute-force banded form with QUALIFY."""
+    from .operators.spatial import knn_within
+
+    def coord(tag: str) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("event_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % 1000
+
+    pts = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", coord("spx").alias("x"), coord("spy").alias("y")
+        )
+    )
+    return knn_within(
+        pts, x_col="x", y_col="y", id_col="event_id", radius=25, k=3
     )
 
 
@@ -2477,6 +2598,68 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+@register(
+    "events_kmv_rolling",
+    """
+    WITH kr_obs AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    kr_days AS (SELECT DISTINCT event_type, day FROM kr_obs),
+    kr_union AS (
+        SELECT DISTINCT d.event_type, d.day, o.hv
+        FROM kr_days d JOIN kr_obs o
+          ON o.event_type = d.event_type
+         AND o.day BETWEEN d.day - 6 AND d.day
+    ),
+    kr_rank AS (
+        SELECT event_type, day, hv,
+               row_number() OVER (
+                   PARTITION BY event_type, day ORDER BY hv) AS rn
+        FROM kr_union
+    ),
+    kr_sk AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_seen,
+               max(hv) AS mx
+        FROM kr_rank WHERE rn <= 32 GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_seen,
+           CASE WHEN n_seen = 32 THEN mx END AS kth_hash,
+           CASE WHEN n_seen < 32 THEN CAST(n_seen AS DOUBLE)
+                ELSE round(31.0 * 1152921504606846976.0 / mx, 6)
+           END AS est_distinct
+    FROM kr_sk
+    """,
+)
+def q_events_kmv_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-active-users estimate per event type
+    (operators/sketch.py kmv_rolling): daily bottom-32 KMV sketches,
+    merged across each trailing window entirely in sketch space — raw
+    events are scanned ONCE; the rolling stage moves only 8-byte sketch
+    hashes.  The oracle computes the sketch of the raw trailing union
+    DIRECTLY (no daily intermediate), so the driver's hash compare is a
+    fact-scale proof of the merge law the property test pins."""
+    from .operators.sketch import kmv_rolling
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        "user_id",
+    )
+    return kmv_rolling(
+        e,
+        value_col="user_id",
+        time_col="day",
+        window_size=7,
+        group_cols=["event_type"],
+        k=32,
+    )
+
+
 @register("table_profile", _profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table (operators/profile.py
@@ -2506,7 +2689,7 @@ from . import queries_streaming  # noqa: E402,F401
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
-    "chain_flatten_distributed",  # S4/J6 chain flatten, iterative distributed form
+    "events_knn",                 # r8: radius-bounded k-nearest-neighbor join
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "user_scd2_history",          # r8: SCD Type-2 dimension history
     # -- event analytics (r8: funnel / retention / Markov) --
@@ -2527,7 +2710,7 @@ DRIVER_WINDOW: list[str] = [
     # -- dedup / similarity families --
     "event_sequence_match",       # r8: ClickHouse sequenceMatch-class search
     "events_ohlc",                # r8: exact OHLC candlestick downsample
-    "events_kmv_distinct",        # r8: KMV bottom-k cardinality sketch
+    "events_kmv_rolling",         # r8: rolling-window KMV merge at fact scale
     "events_anomalous_hours",     # r8: exact median/MAD robust outlier screen
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
@@ -2545,7 +2728,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing
     "doc_subword_mix",            # source mixing budgeted by real subword counts
     "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
-    "multimodal_decode",          # REAL PPM/BMP/WAV decode + resample checksums
+    "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
     "doc_fuzzy_pairs",            # r8: PassJoin edit-distance fuzzy join
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "doc_pack_sequences",         # greedy sequence packing
@@ -2557,9 +2740,9 @@ DRIVER_WINDOW: list[str] = [
     "ivf_kmeans_recall_bound",    # k-means-trained IVF quantizer recall
     "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
     "doc_semantic_curation",      # semantic-dedup-aware curation
-    # -- graph / streaming --
+    # -- graph / time series --
     "doc_link_triangles",         # r8: degree-ordered triangle counting
-    "event_correlation",          # stream-stream interval join
+    "events_ewma",                # r8: exact binary-fraction EWMA
 ]
 if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O
     raise ValueError(

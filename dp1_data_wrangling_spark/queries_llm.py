@@ -193,6 +193,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND abs(length(a.key) - length(b.key)) <= 2
     WHERE levenshtein(a.key, b.key) <= 2
     """,
+    headline=True,
 )
 def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy join (record linkage / fuzzy dedup): all pairs
@@ -1277,6 +1278,56 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     media = mm.synthetic_media(docs).filter(F.col("media_type") == "audio/wav")
+    return mm.sample_audio_frames(media, frame_ms=1)
+
+
+_ULAW_FRAMES_ORACLE = """
+    WITH ul AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 40 + 8 AS BIGINT) AS n
+        FROM documents
+    ),
+    ulfr AS (
+        SELECT media_id, n, unnest(range(0, (n + 7) // 8)) AS f
+        FROM ul
+    ),
+    uldec AS (
+        SELECT ulfr.media_id, ulfr.n, ulfr.f, t.s,
+               255 - (ulfr.media_id * 29 + t.s * 19) % 256 AS v
+        FROM ulfr, LATERAL (
+            SELECT unnest(range(ulfr.f * 8, least(ulfr.n, (ulfr.f + 1) * 8)))
+                AS s
+        ) t
+    )
+    SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+           CAST(f AS BIGINT) AS ts_ms,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(least(n, (f + 1) * 8) - f * 8 AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN v >= 128
+                    THEN 132 - (((v % 16) * 8 + 132) << ((v // 16) % 8))
+                    ELSE (((v % 16) * 8 + 132) << ((v // 16) % 8)) - 132
+               END) AS BIGINT) AS sample_sum
+    FROM uldec
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("multimodal_ulaw", _ULAW_FRAMES_ORACLE)
+def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 μ-law decode (telephony/speech corpora): synthesize
+    8-bit μ-law WAV payloads executor-side (operators/multimodal.py
+    synthetic_ulaw — codeword closed-form in the id), expand to linear
+    PCM16 with the exact CCITT integer formula inside decode_wav, and
+    slice into 1 ms frames with per-frame linear sample sums.  The
+    oracle replays the complement / rebias / segment-shift expansion in
+    pure integer SQL over unnested sample ranges, so a sign, bias, or
+    shift bug in the expander is a hash mismatch — and the WAV chunk
+    walk is exercised over a second fmt code (7) and an 8-bit block
+    alignment.  Row-local fan-out: zero shuffles at any corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = mm.synthetic_ulaw(docs)
     return mm.sample_audio_frames(media, frame_ms=1)
 
 
@@ -3073,6 +3124,7 @@ _TRIANGLE_GRAPH_CTES = """
     SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
     FROM nds GROUP BY node
     """,
+    headline=True,
 )
 def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts over a small-world md5 link graph

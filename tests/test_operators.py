@@ -3032,3 +3032,225 @@ def test_cm_validation(spark):
         cm_sketch(df, value_col="v", depth=0)
     with pytest.raises(ValueError, match="non-empty"):
         cm_merge([])
+
+
+def test_ewma_half_hand_computed(spark):
+    """Values 1, 2, 4 (quant_scale=1): frames grow from one to three
+    elements.  Weights double toward the newest element, den = 2^n - 1:
+    row 1: num=1, den=1, ewma=1.0
+    row 2: num=1*1 + 2*2 = 5, den=3
+    row 3: num=1*1 + 2*2 + 4*4 = 21, den=7."""
+    from dp1_data_wrangling_spark.operators.timeseries import ewma_half
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 4.0)],
+        ["key", "ts", "value"],
+    )
+    rows = sorted(
+        ewma_half(
+            df, ts_col="ts", value_col="value", key_cols=["key"],
+            horizon=32, quant_scale=1,
+        ).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert [(r["ewma_num"], r["ewma_den"], r["n_frame"]) for r in rows] == [
+        (1, 1, 1), (5, 3, 2), (21, 7, 3),
+    ]
+    assert rows[2]["ewma"] == 21.0 / 7.0
+
+
+def test_ewma_half_horizon_bounds_frame(spark):
+    """horizon=2: the oldest of three observations falls out of the
+    frame — row 3 sees only values 2 and 4: num = 2 + 4*2 = 10, den=3."""
+    from dp1_data_wrangling_spark.operators.timeseries import ewma_half
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 4.0)],
+        ["key", "ts", "value"],
+    )
+    rows = sorted(
+        ewma_half(
+            df, ts_col="ts", value_col="value", key_cols=["key"],
+            horizon=2, quant_scale=1,
+        ).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert (rows[2]["ewma_num"], rows[2]["ewma_den"]) == (10, 3)
+
+
+def test_ewma_half_overflow_fail_fast(spark):
+    """A value whose fixed-point magnitude would overflow the 64-bit
+    weighted sum aborts with a descriptive error, never wraps."""
+    from dp1_data_wrangling_spark.operators.timeseries import ewma_half
+
+    df = spark.createDataFrame([("k", 1, 2.0e12)], ["key", "ts", "value"])
+    with pytest.raises(Exception, match="overflow"):
+        ewma_half(
+            df, ts_col="ts", value_col="value", key_cols=["key"],
+            horizon=32, quant_scale=1_000_000,
+        ).collect()
+
+
+def test_ewma_half_validation(spark):
+    from dp1_data_wrangling_spark.operators.timeseries import ewma_half
+
+    df = spark.createDataFrame([("k", 1, 1.0)], ["key", "ts", "value"])
+    with pytest.raises(ValueError, match="horizon"):
+        ewma_half(df, ts_col="ts", value_col="value", horizon=0)
+    with pytest.raises(ValueError, match="horizon"):
+        ewma_half(df, ts_col="ts", value_col="value", horizon=63)
+    with pytest.raises(ValueError, match="quant_scale"):
+        ewma_half(df, ts_col="ts", value_col="value", quant_scale=0)
+
+
+def test_knn_within_hand_computed(spark):
+    """Points on a line at x = 0, 3, 4, 100: radius 5, k=2.
+    id 0 -> neighbors 1 (d2=9) then 2 (d2=16); id 3 (x=100) isolated."""
+    from dp1_data_wrangling_spark.operators.spatial import knn_within
+
+    pts = spark.createDataFrame(
+        [(0, 0, 0), (1, 3, 0), (2, 4, 0), (3, 100, 0)], ["id", "x", "y"]
+    )
+    got = sorted(
+        (r["id"], r["rank"], r["neighbor_id"], r["dist2"])
+        for r in knn_within(
+            pts, x_col="x", y_col="y", id_col="id", radius=5, k=2
+        ).collect()
+    )
+    assert got == [
+        (0, 1, 1, 9), (0, 2, 2, 16),
+        (1, 1, 2, 1), (1, 2, 0, 9),
+        (2, 1, 1, 1), (2, 2, 0, 16),
+    ]
+
+
+def test_knn_within_tie_breaks_on_neighbor_id(spark):
+    """Two neighbors at identical distance rank by neighbor id."""
+    from dp1_data_wrangling_spark.operators.spatial import knn_within
+
+    pts = spark.createDataFrame(
+        [(5, 0, 0), (7, 2, 0), (6, -2, 0)], ["id", "x", "y"]
+    )
+    got = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in knn_within(
+            pts, x_col="x", y_col="y", id_col="id", radius=3, k=2
+        ).collect()
+    }
+    assert got[(5, 1)] == 6 and got[(5, 2)] == 7
+
+
+def test_knn_within_radius_bounds_and_validation(spark):
+    from dp1_data_wrangling_spark.operators.spatial import knn_within
+
+    pts = spark.createDataFrame([(0, 0, 0), (1, 10, 0)], ["id", "x", "y"])
+    assert (
+        knn_within(pts, x_col="x", y_col="y", id_col="id", radius=5, k=3)
+        .count() == 0
+    )
+    with pytest.raises(ValueError, match="radius"):
+        knn_within(pts, x_col="x", y_col="y", id_col="id", radius=0, k=1)
+    with pytest.raises(ValueError, match="k must"):
+        knn_within(pts, x_col="x", y_col="y", id_col="id", radius=5, k=0)
+
+
+def test_ulaw_expander_matches_ccitt_reference():
+    """ulaw_to_linear over all 256 codewords == the scalar CCITT
+    formula; extremes hit the standard +/-32124."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators.multimodal import ulaw_to_linear
+
+    def ccitt(b: int) -> int:
+        b = ~b & 0xFF
+        t = (((b & 0x0F) << 3) + 0x84) << ((b & 0x70) >> 4)
+        return (0x84 - t) if (b & 0x80) else (t - 0x84)
+
+    got = ulaw_to_linear(np.arange(256, dtype=np.uint8))
+    assert got.dtype == np.int16
+    assert [int(v) for v in got] == [ccitt(i) for i in range(256)]
+    assert int(got.min()) == -32124 and int(got.max()) == 32124
+
+
+def test_ulaw_wav_roundtrip_and_odd_length():
+    """encode_wav_ulaw -> decode_wav expands to the exact linear values;
+    odd-length data chunks (8-bit samples) decode fine — the PCM16
+    even-size check must not fire for fmt 7."""
+    import numpy as np
+
+    from dp1_data_wrangling_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ulaw,
+        ulaw_to_linear,
+    )
+
+    u = (np.arange(33) * 37 % 256).astype(np.uint8)
+    rate, s = decode_wav(encode_wav_ulaw(8000, u))
+    assert rate == 8000
+    assert np.array_equal(s, ulaw_to_linear(u))
+
+
+def test_kmv_rolling_equals_direct_sketch_of_trailing_union(spark):
+    """The rolling merge (daily sketches -> fan-out -> re-min) must equal
+    kmv_sketch + kmv_estimate applied DIRECTLY to each trailing union —
+    the merge law at operator level."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_rolling,
+        kmv_sketch,
+    )
+
+    rows = [
+        ("g", d, f"u{(d * 7 + i) % 23}") for d in range(10) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, ["g", "day", "uid"])
+    got = {
+        (r["g"], r["day"]): (r["n_seen"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_rolling(
+            df, value_col="uid", time_col="day", window_size=3,
+            group_cols=["g"], k=8,
+        ).collect()
+    }
+    assert set(d for (_, d) in got) == set(range(10))
+    for day in range(10):
+        window_df = df.filter(
+            (df.day >= day - 2) & (df.day <= day)
+        ).select("g", "uid")
+        direct = kmv_estimate(
+            kmv_sketch(window_df, value_col="uid", group_cols=["g"], k=8),
+            group_cols=["g"], k=8,
+        ).collect()[0]
+        assert got[("g", day)] == (
+            direct["n_seen"], direct["kth_hash"], direct["est_distinct"]
+        ), f"day {day}"
+
+
+def test_kmv_rolling_unsaturated_window_is_exact(spark):
+    """A trailing window with fewer than k distinct values reports the
+    exact count (est == n_seen, kth_hash NULL)."""
+    from dp1_data_wrangling_spark.operators.sketch import kmv_rolling
+
+    df = spark.createDataFrame(
+        [("g", 0, "a"), ("g", 0, "b"), ("g", 1, "b"), ("g", 1, "c")],
+        ["g", "day", "uid"],
+    )
+    got = {
+        r["day"]: (r["n_seen"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_rolling(
+            df, value_col="uid", time_col="day", window_size=2,
+            group_cols=["g"], k=8,
+        ).collect()
+    }
+    assert got[0] == (2, None, 2.0)
+    assert got[1] == (3, None, 3.0)  # union of days 0-1: a, b, c
+
+
+def test_kmv_rolling_validation(spark):
+    from dp1_data_wrangling_spark.operators.sketch import kmv_rolling
+
+    df = spark.createDataFrame([("g", 0, "a")], ["g", "day", "uid"])
+    with pytest.raises(ValueError, match="window_size"):
+        kmv_rolling(
+            df, value_col="uid", time_col="day", window_size=0,
+            group_cols=["g"],
+        )

@@ -101,7 +101,12 @@ def test_driver_window_covers_flagship_surface():
         # session_window keeps the streaming-window family in-window)
         # session_window rotated out in r8 for doc_link_triangles (see
         # below)
-        "event_correlation", "chain_flatten_distributed",
+        # chain_flatten_distributed (6x green since r2) and
+        # event_correlation (5x green) rotated out in r8 for events_ewma
+        # + events_knn — the two longest surviving streaks after
+        # find_first; the chain family stays via export_plan's in-plan
+        # flatten + in-repo parity, and the streaming tier keeps its
+        # full equivalence-test suite every CI run
         # round-6 rotation: the curation tier replaced approx_distinct /
         # approx_percentile (4-5x consecutive driver-green, parity-held)
         # doc_stable_sample rotated out in r7 for multimodal_audio_frames;
@@ -135,7 +140,11 @@ def test_driver_window_covers_flagship_surface():
         "doc_semantic_curation",
         # round-7 mid-round: real PPM/BMP/WAV decode enters directly
         # (find_first_calibration_bypass out; find_first keeps the family)
-        "multimodal_decode", "doc_bpe_tokens", "doc_subword_mix",
+        # multimodal_decode (green r7) rotated out in r8 for
+        # multimodal_ulaw — the PPM/BMP/WAV chunk-walk machinery it
+        # verifies is also on the hot path of the five codec queries
+        # staying in-window (png/qoi/audio/video/ulaw) + in-repo parity
+        "doc_bpe_tokens", "doc_subword_mix",
         "multimodal_audio_frames", "multimodal_video_frames",
         "doc_subword_pack", "doc_lm_score",
         # round-8 plan executed early: the last three never-checked
@@ -219,8 +228,12 @@ def test_driver_window_covers_flagship_surface():
         # whole tier stays equivalence-tested in-repo every CI run)
         "doc_link_triangles",
         # round-8: KMV cardinality sketch enters directly (simhash_pairs
-        # out — see the near-dup note above)
-        "events_kmv_distinct",
+        # out — see the near-dup note above); upgraded mid-round to the
+        # rolling-window form — the stronger family representative (it
+        # proves the merge law at fact scale: Spark merges daily
+        # sketches, the oracle sketches the raw trailing union
+        # directly); the distinct form stays parity-held in-repo
+        "events_kmv_rolling",
         # round-8: fact-to-SCD2 temporal enrichment join enters directly
         # (embedding_semantic_dedup out — see note above)
         "events_scd2_enrich",
@@ -234,6 +247,11 @@ def test_driver_window_covers_flagship_surface():
         # round-8: count-min frequency sketch enters directly
         # (doc_curation_pipeline out — see note above)
         "events_cm_heavy_hitters",
+        # round-8: exact binary-fraction EWMA, radius-bounded KNN join,
+        # and REAL G.711 mu-law decode enter directly (outs: see the
+        # chain_flatten_distributed / event_correlation /
+        # multimodal_decode notes above)
+        "events_ewma", "events_knn", "multimodal_ulaw",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

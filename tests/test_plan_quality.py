@@ -744,3 +744,40 @@ def test_cm_sketch_bounded_state_broadcast_probe(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ewma_single_window_shuffle_no_join(spark):
+    """The EWMA is ONE shuffle (the per-key ordering window); the frame
+    fold is row-local JVM expression work — no join, no Python, and the
+    rank-range self-join lives only in the oracle."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_ewma"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_knn_cell_equi_join_plus_rank_window(spark):
+    """Bounded KNN is the same single grid-cell hash equi-join as the
+    distance join plus ONE ranking window keyed on the anchor id —
+    never a cartesian/nested-loop."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_knn"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert data_shuffles(plan) <= 3  # two join-side exchanges + rank window
+
+
+def test_kmv_rolling_sketch_space_only_no_cartesian(spark):
+    """The rolling stage must move sketch rows only: the fan-out is a
+    row-local explode joined EQUI on (group, anchor bucket) — never a
+    cartesian/nested-loop range join — and raw values shuffle exactly
+    once (inside the daily-sketch distinct)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_kmv_rolling"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_" in plan  # map-side combine on the distincts
