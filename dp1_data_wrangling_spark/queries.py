@@ -2471,6 +2471,60 @@ def q_events_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_skyline",
+    """
+    WITH sk_pts AS (
+        SELECT event_id % 4 AS shard, event_id,
+               CAST(('0x' || substr(md5('spx|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000000 AS x,
+               CAST(('0x' || substr(md5('spy|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000000 AS y
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.shard, a.event_id AS id, a.x, a.y
+    FROM sk_pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sk_pts b
+        WHERE b.shard = a.shard
+          AND b.x >= a.x AND b.y >= a.y
+          AND (b.x > a.x OR b.y > a.y))
+    """,
+)
+def q_events_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard 2-D Pareto skyline (operators/skyline.py skyline_2d):
+    purchase events get md5-derived integer coordinates on a 1e6-grid
+    and the frontier maximizing both is computed with the one-sort
+    running-max window formulation — no join, no candidate blow-up.
+    The oracle runs the INDEPENDENT quadratic NOT-EXISTS dominance
+    form (DuckDB IEJoin), so an off-by-one in the strictly-greater-x
+    frame or the same-x tie rule is a row-set mismatch."""
+    from .operators.skyline import skyline_2d
+
+    def coord(tag: str) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("event_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % 1_000_000
+
+    pts = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("event_id") % 4).alias("shard"),
+            "event_id",
+            coord("spx").alias("x"),
+            coord("spy").alias("y"),
+        )
+    )
+    return skyline_2d(
+        pts, x_col="x", y_col="y", id_col="event_id",
+        group_cols=["shard"],
+    )
+
+
+@register(
     "events_cm_heavy_hitters",
     """
     WITH cm_src AS (

@@ -1754,6 +1754,65 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_cooccurrence",
+    """
+    WITH co_toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\W+'),
+                   x -> x != '')) AS item
+        FROM documents
+    ),
+    co_bi AS (SELECT DISTINCT doc_id, item FROM co_toks),
+    co_freq AS (
+        SELECT item FROM co_bi GROUP BY item HAVING count(*) >= 20
+    ),
+    co_cap AS (
+        SELECT doc_id, item,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY item) AS rn
+        FROM co_bi WHERE item IN (SELECT item FROM co_freq)
+    ),
+    co_kept AS (SELECT doc_id, item FROM co_cap WHERE rn <= 30)
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS n_baskets
+    FROM co_kept a JOIN co_kept b
+      ON a.doc_id = b.doc_id AND a.item < b.item
+    GROUP BY item_a, item_b
+    HAVING count(*) >= 10
+    """,
+)
+def q_doc_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-occurring word pairs (operators/itemsets.py
+    frequent_pairs — apriori level 2): unordered pairs of
+    individually-frequent tokens counted by the number of documents
+    containing both, with the deterministic lexicographic per-doc cap
+    as the blow-up valve.  Same cross-engine tokenization as
+    corpus_top_ngrams; the oracle replays prune, cap, and pair census
+    verbatim."""
+    from .operators.itemsets import frequent_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\W+"),
+                lambda x: x != "",
+            )
+        ).alias("item"),
+    )
+    return frequent_pairs(
+        toks,
+        basket_col="doc_id",
+        item_col="item",
+        min_item_support=20,
+        min_pair_support=10,
+        max_items_per_basket=30,
+    )
+
+
+@register(
     "doc_source_quota",
     """
     WITH ranked AS (

@@ -3254,3 +3254,130 @@ def test_kmv_rolling_validation(spark):
             df, value_col="uid", time_col="day", window_size=0,
             group_cols=["g"],
         )
+
+
+def test_frequent_pairs_hand_computed(spark):
+    """Baskets: 1={a,b,c}, 2={a,b}, 3={a,b,d}, 4={c,d}.  Item support 2
+    keeps a,b,c,d; pair support 2 keeps only (a,b)=3."""
+    from dp1_data_wrangling_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "c"), (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in frequent_pairs(
+            df, basket_col="b", item_col="i",
+            min_item_support=2, min_pair_support=2,
+            max_items_per_basket=10,
+        ).collect()
+    }
+    assert got == {("a", "b"): 3}
+
+
+def test_frequent_pairs_item_prune_and_duplicates(spark):
+    """Duplicate (basket, item) rows count once; an item below the item
+    support never reaches a pair even if the pair itself would pass."""
+    from dp1_data_wrangling_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "z"),
+        (2, "a"), (2, "z"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    # z appears in 2 baskets, a in 3; with item support 3 only a survives
+    got = frequent_pairs(
+        df, basket_col="b", item_col="i",
+        min_item_support=3, min_pair_support=1,
+        max_items_per_basket=10,
+    ).collect()
+    assert got == []
+
+
+def test_frequent_pairs_cap_is_lexicographic(spark):
+    """Cap 2 keeps the lexicographically first two frequent items per
+    basket: basket {c, a, b} pairs only (a, b)."""
+    from dp1_data_wrangling_spark.operators.itemsets import frequent_pairs
+
+    rows = [(1, "c"), (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in frequent_pairs(
+            df, basket_col="b", item_col="i",
+            min_item_support=1, min_pair_support=1,
+            max_items_per_basket=2,
+        ).collect()
+    }
+    assert got == {("a", "b"): 2}
+
+
+def test_frequent_pairs_validation(spark):
+    from dp1_data_wrangling_spark.operators.itemsets import frequent_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["b", "i"])
+    with pytest.raises(ValueError, match="min_item_support"):
+        frequent_pairs(
+            df, basket_col="b", item_col="i",
+            min_item_support=0, min_pair_support=1,
+            max_items_per_basket=2,
+        )
+    with pytest.raises(ValueError, match="max_items_per_basket"):
+        frequent_pairs(
+            df, basket_col="b", item_col="i",
+            min_item_support=1, min_pair_support=1,
+            max_items_per_basket=1,
+        )
+
+
+def test_skyline_2d_hand_computed(spark):
+    """Points (1,5) (3,3) (5,1) are mutually non-dominated; (2,2) is
+    dominated by (3,3); (3,2) dominated by (3,3) via the same-x rule."""
+    from dp1_data_wrangling_spark.operators.skyline import skyline_2d
+
+    pts = spark.createDataFrame(
+        [(0, 1, 5), (1, 3, 3), (2, 5, 1), (3, 2, 2), (4, 3, 2)],
+        ["id", "x", "y"],
+    )
+    got = sorted(
+        r["id"]
+        for r in skyline_2d(pts, x_col="x", y_col="y", id_col="id").collect()
+    )
+    assert got == [0, 1, 2]
+
+
+def test_skyline_2d_equal_points_both_survive(spark):
+    """Two identical points do not dominate each other — both stay (the
+    standard strict-in-one-dimension definition)."""
+    from dp1_data_wrangling_spark.operators.skyline import skyline_2d
+
+    pts = spark.createDataFrame(
+        [(0, 4, 4), (1, 4, 4), (2, 1, 1)], ["id", "x", "y"]
+    )
+    got = sorted(
+        r["id"]
+        for r in skyline_2d(pts, x_col="x", y_col="y", id_col="id").collect()
+    )
+    assert got == [0, 1]
+
+
+def test_skyline_2d_groups_are_independent(spark):
+    """A dominating point in another group must not knock a point out."""
+    from dp1_data_wrangling_spark.operators.skyline import skyline_2d
+
+    pts = spark.createDataFrame(
+        [("g1", 0, 9, 9), ("g2", 1, 1, 1)], ["g", "id", "x", "y"]
+    )
+    got = sorted(
+        r["id"]
+        for r in skyline_2d(
+            pts, x_col="x", y_col="y", id_col="id", group_cols=["g"]
+        ).collect()
+    )
+    assert got == [0, 1]

@@ -781,3 +781,28 @@ def test_kmv_rolling_sketch_space_only_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_" in plan  # map-side combine on the distincts
+
+
+def test_frequent_pairs_broadcast_prune_no_cartesian(spark):
+    """The apriori prune must BROADCAST the frequent-item side; the pair
+    generation is a basket-keyed equi-self-join — never a cartesian —
+    and both censuses combine map-side."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_cooccurrence"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_skyline_pure_window_no_join(spark):
+    """The 2-D skyline is window algebra only: no join anywhere in the
+    plan, no Python, and no single-partition global sort (the query
+    groups by shard)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_skyline"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan

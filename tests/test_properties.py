@@ -877,3 +877,38 @@ def test_within_distance_pairs_equals_brute_force(spark, pts, r):
         ).collect()
     )
     assert got == expect
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    coords=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_2d_equals_brute_force(spark, coords):
+    """The one-sort window skyline == the O(n²) dominance definition."""
+    from dp1_data_wrangling_spark.operators.skyline import skyline_2d
+
+    pts = [(i, x, y) for i, (x, y) in enumerate(coords)]
+
+    def dominated(i):
+        xi, yi = coords[i]
+        return any(
+            (xb >= xi and yb >= yi and (xb > xi or yb > yi))
+            for j, (xb, yb) in enumerate(coords)
+            if j != i
+        )
+
+    expect = sorted(i for i in range(len(coords)) if not dominated(i))
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = sorted(
+        r["id"]
+        for r in skyline_2d(df, x_col="x", y_col="y", id_col="id").collect()
+    )
+    assert got == expect
