@@ -201,6 +201,124 @@ def kmv_rolling(
 
 
 # ---------------------------------------------------------------------------
+# Bottom-k uniform sample sketch — mergeable sampling + quantile estimates
+# ---------------------------------------------------------------------------
+
+
+def sample_sketch(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    salt: str = "sample_v1",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic per-group uniform sample of ``k`` rows WITHOUT
+    replacement, as a MERGEABLE bottom-k sketch: rank every row by the
+    60-bit md5 hash of (salt, its unique ``id_col``) and keep the k
+    smallest ranks.  Because the rank depends only on row identity, the
+    k smallest of a union of sketches IS the sketch of the union — the
+    same merge law as KMV (k-smallest-of-union), so per-partition /
+    per-day / per-tenant samples reaggregate without rescanning raw
+    data, and the sample is partitioning-independent and
+    SQL-replayable (no RAND(), no reservoir order dependence).
+
+    Returns ``(*group_cols, rank_hash, id_col, *keep_cols)``.
+
+    Scale posture (100 TB): one window shuffle of (group, 8-byte rank,
+    payload) rows; downstream state is k rows per group.  ``id_col``
+    must be unique per row (duplicate ids would collapse in the union
+    merge — that is the identity semantic that makes merging exact).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = group_cols or []
+    keeps = keep_cols or []
+    rank = kmv_hash(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*groups).orderBy("rank_hash", id_col)
+    return (
+        df.select(
+            *groups, rank.alias("rank_hash"), F.col(id_col), *keeps
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_merge(
+    sketches: list[DataFrame],
+    *,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Union sample sketches and re-take the k smallest ranks per group.
+    Because ranks are a pure function of row identity,
+    ``sample_merge([sample_sketch(A), sample_sketch(B)]) ==
+    sample_sketch(A ∪ B)`` exactly (property-tested) — rows present in
+    both inputs dedup by id, never double-sample."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    groups = group_cols or []
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    w = Window.partitionBy(*groups).orderBy("rank_hash", id_col)
+    return (
+        unioned.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_quantiles(
+    sketch: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    percents: list[int] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a uniform sample sketch:
+    per group, the sample's order statistic at rank
+    ``ceil(p/100 * n_sample)`` for each percent — all-integer rank
+    arithmetic over the (value, id) total order, and the value is
+    copied VERBATIM (no interpolation), so double columns stay
+    hash-identical across engines.
+
+    Returns ``(*group_cols, n_sample, q_p{p}...)`` — one row per group.
+    Estimates converge at O(1/sqrt(k)) in distribution distance: the
+    honest trade for k-bounded state on an unbounded stream.
+
+    NULL ``value_col`` rows must be filtered upstream: engines disagree
+    on NULL sort position (Spark ASC is NULLS FIRST, most SQL engines
+    NULLS LAST), which would shift every rank.
+    """
+    groups = group_cols or []
+    ps = list(percents)
+    if not ps or any(p < 1 or p > 100 for p in ps):
+        raise ValueError(f"percents must be within [1, 100], got {ps}")
+    w = Window.partitionBy(*groups).orderBy(value_col, id_col)
+    cw = Window.partitionBy(*groups)
+    ranked = sketch.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(cw)
+    )
+    aggs = [F.max("__n").alias("n_sample")]
+    for p in ps:
+        # nearest-rank: ceil(p/100 * n) = (p*n + 99) div 100, all BIGINT
+        target = F.expr(f"({p} * __n + 99) div 100")
+        aggs.append(
+            F.max(
+                F.when(F.col("__rn") == target, F.col(value_col))
+            ).alias(f"q_p{p}")
+        )
+    return ranked.groupBy(*groups).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
 # ---------------------------------------------------------------------------
 

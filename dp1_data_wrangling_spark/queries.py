@@ -2714,6 +2714,72 @@ def q_events_kmv_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_value_quantiles",
+    """
+    WITH sq_r AS (
+        SELECT event_type, event_id, value,
+               CAST(('0x' || substr(md5('sample_v1|'
+                     || CAST(event_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS rank_hash
+        FROM events WHERE value IS NOT NULL
+    ),
+    sq_s AS (
+        SELECT event_type, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY rank_hash, event_id) AS rn
+            FROM sq_r) sq_i WHERE rn <= 64
+    ),
+    sq_o AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id) AS orn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM sq_s
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_sample,
+           max(CASE WHEN orn = (25 * n + 99) // 100 THEN value END) AS q_p25,
+           max(CASE WHEN orn = (50 * n + 99) // 100 THEN value END) AS q_p50,
+           max(CASE WHEN orn = (75 * n + 99) // 100 THEN value END) AS q_p75,
+           max(CASE WHEN orn = (90 * n + 99) // 100 THEN value END) AS q_p90
+    FROM sq_o GROUP BY event_type
+    """,
+)
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a mergeable deterministic sample
+    (operators/sketch.py sample_sketch + sample_quantiles): per event
+    type, a bottom-64 md5-rank uniform sample (the KMV merge law on row
+    identity — per-partition samples reaggregate exactly) and the
+    nearest-rank p25/p50/p75/p90 order statistics over the (value, id)
+    total order, values copied verbatim so the doubles hash-compare.
+    Completes the mergeable sketch family: distinct (KMV), frequency
+    (count-min), quantiles (this)."""
+    from .operators.sketch import sample_quantiles, sample_sketch
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    sk = sample_sketch(
+        e,
+        id_col="event_id",
+        group_cols=["event_type"],
+        k=64,
+        keep_cols=["value"],
+    )
+    return sample_quantiles(
+        sk,
+        value_col="value",
+        id_col="event_id",
+        group_cols=["event_type"],
+        percents=[25, 50, 75, 90],
+    )
+
+
 @register("table_profile", _profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table (operators/profile.py

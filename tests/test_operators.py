@@ -3381,3 +3381,100 @@ def test_skyline_2d_groups_are_independent(spark):
         ).collect()
     )
     assert got == [0, 1]
+
+
+def test_sample_sketch_hand_computed_and_deterministic(spark):
+    """The sample is the k rows with smallest md5(salt|id) — cross-check
+    the selection against hashlib, and partitioning must not matter."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.sketch import sample_sketch
+
+    rows = [("g", i, float(i * 10)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+
+    def rank(i: int) -> int:
+        return int(
+            hashlib.md5(f"sample_v1|{i}".encode()).hexdigest()[:15], 16
+        )
+
+    expect = sorted(sorted(range(20), key=rank)[:5])
+    for parts in (1, 7):
+        got = sorted(
+            r["id"]
+            for r in sample_sketch(
+                df.repartition(parts), id_col="id", group_cols=["g"],
+                k=5, keep_cols=["v"],
+            ).collect()
+        )
+        assert got == expect, f"parts={parts}"
+
+
+def test_sample_merge_equals_sketch_of_union(spark):
+    """The merge law on row identity: merging per-half samples equals
+    sampling the union, including overlapping rows (dedup by id)."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        sample_merge,
+        sample_sketch,
+    )
+
+    rows = [("g", i, float(i)) for i in range(30)]
+    a = spark.createDataFrame(rows[:20], ["g", "id", "v"])
+    b = spark.createDataFrame(rows[12:], ["g", "id", "v"])  # overlap 12-19
+    merged = sorted(
+        map(
+            tuple,
+            sample_merge(
+                [
+                    sample_sketch(x, id_col="id", group_cols=["g"], k=6,
+                                  keep_cols=["v"])
+                    for x in (a, b)
+                ],
+                id_col="id", group_cols=["g"], k=6,
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            sample_sketch(
+                a.unionByName(b).distinct(), id_col="id", group_cols=["g"],
+                k=6, keep_cols=["v"],
+            ).collect(),
+        )
+    )
+    assert merged == direct
+
+
+def test_sample_quantiles_nearest_rank_hand_computed(spark):
+    """Sample values 10..50 (n=5): nearest-rank p50 -> ceil(2.5)=3rd
+    value (30), p90 -> ceil(4.5)=5th (50), p25 -> ceil(1.25)=2nd (20)."""
+    from dp1_data_wrangling_spark.operators.sketch import sample_quantiles
+
+    sk = spark.createDataFrame(
+        [("g", 100 + i, i, float(i * 10)) for i in range(1, 6)],
+        ["g", "rank_hash", "id", "v"],
+    )
+    row = sample_quantiles(
+        sk, value_col="v", id_col="id", group_cols=["g"],
+        percents=[25, 50, 90],
+    ).collect()[0]
+    assert (row["n_sample"], row["q_p25"], row["q_p50"], row["q_p90"]) == (
+        5, 20.0, 30.0, 50.0,
+    )
+
+
+def test_sample_sketch_validation(spark):
+    from dp1_data_wrangling_spark.operators.sketch import (
+        sample_merge,
+        sample_quantiles,
+        sample_sketch,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1.0)], ["g", "id", "v"])
+    with pytest.raises(ValueError, match="k must"):
+        sample_sketch(df, id_col="id", k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        sample_merge([], id_col="id")
+    with pytest.raises(ValueError, match="percents"):
+        sample_quantiles(df, value_col="v", id_col="id", percents=[0])

@@ -806,3 +806,15 @@ def test_skyline_pure_window_no_join(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_sample_quantiles_narrow_windows_no_join(spark):
+    """The sample build is one bottom-k window over (group, 8-byte rank)
+    rows; the quantile stage windows + aggregates the k-row sketch —
+    no join anywhere, map-side combine on the final agg."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_value_quantiles"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_max" in plan
