@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.sketch import cm_merge, cm_sketch, kmv_merge, kmv_sketch
+from ..operators.sketch import (
+    cm_merge,
+    cm_sketch,
+    kmv_merge,
+    kmv_sketch,
+    sample_merge,
+    sample_sketch,
+)
 from ..plans.catalog import Catalog, CommitConflict
 from .sinks import batch_meta_key
 
@@ -45,6 +52,9 @@ def stream_sketches(
     group_cols: list[str] | None = None,
     kmv_table: str = "kmv_sketch",
     cm_table: str = "cm_sketch",
+    sample_table: str = "sample_sketch",
+    sample_id_col: str | None = None,
+    sample_keep_cols: list[str] | None = None,
     k: int = 64,
     depth: int = 4,
     width: int = 256,
@@ -55,7 +65,16 @@ def stream_sketches(
 
     After the stream drains, ``kmv_table`` / ``cm_table`` hold exactly
     ``kmv_sketch`` / ``cm_sketch`` of every delivered row (the merge
-    laws make micro-batch cuts invisible)."""
+    laws make micro-batch cuts invisible).
+
+    Pass ``sample_id_col`` (a unique row id) to ALSO maintain the
+    bottom-k uniform sample sketch in ``sample_table`` under the same
+    atomic commit — rolling quantile estimates over an unbounded stream
+    with k rows of state per group.  Its merge keys on row IDENTITY, so
+    an at-least-once upstream redelivering a row dedups by id instead
+    of double-sampling — the sample twin is robust even to duplicate
+    deliveries WITHIN a batch, which the batch-id watermark cannot
+    see."""
     groups = list(group_cols or [])
     meta_key = batch_meta_key(
         f"sketches:{kmv_table}:{cm_table}", checkpoint_dir, stream_name
@@ -73,6 +92,14 @@ def stream_sketches(
         b_cm = cm_sketch(
             batch_df, value_col=value_col, group_cols=groups,
             depth=depth, width=width,
+        )
+        b_sample = (
+            sample_sketch(
+                batch_df, id_col=sample_id_col, group_cols=groups, k=k,
+                keep_cols=sample_keep_cols,
+            )
+            if sample_id_col
+            else None
         )
         last_exc: CommitConflict | None = None
         for _ in range(MERGE_RETRIES):
@@ -95,9 +122,24 @@ def stream_sketches(
                 if cm_roots
                 else b_cm
             )
+            sample_roots: list[str] = []
+            if b_sample is not None:
+                sample_roots = list(
+                    snapshot["tables"].get(sample_table, [])
+                )
+                new_sample = (
+                    sample_merge(
+                        [cat._read_roots(spark, sample_roots), b_sample],
+                        id_col=sample_id_col, group_cols=groups, k=k,
+                    )
+                    if sample_roots
+                    else b_sample
+                )
             txn = cat.begin()
             txn.stage(kmv_table, new_kmv, mode="overwrite")
             txn.stage(cm_table, new_cm, mode="overwrite")
+            if b_sample is not None:
+                txn.stage(sample_table, new_sample, mode="overwrite")
             try:
                 # watermark + both sketch tables: one atomic commit —
                 # exactly-once hinges on their inseparability; the
@@ -106,7 +148,15 @@ def stream_sketches(
                 cat.commit(
                     txn,
                     meta={meta_key: batch_id},
-                    require_roots={kmv_table: kmv_roots, cm_table: cm_roots},
+                    require_roots={
+                        kmv_table: kmv_roots,
+                        cm_table: cm_roots,
+                        **(
+                            {sample_table: sample_roots}
+                            if b_sample is not None
+                            else {}
+                        ),
+                    },
                 )
                 return
             except CommitConflict as exc:

@@ -1173,3 +1173,76 @@ def test_stream_sketches_equals_batch(spark, tmp_path):
     start(ckpt).awaitTermination(180)
     assert Catalog(cat_root).manifest()["version"] == v_before
     assert sorted(map(tuple, cat.read(spark, "kmv_sketch").collect())) == want_kmv
+
+
+def test_stream_sketches_sample_twin_equals_batch(spark, tmp_path):
+    """With sample_id_col set, the maintainer also materializes the
+    bottom-k uniform sample sketch — exactly the one-shot batch sample
+    over all delivered rows (identity-keyed merge law), and quantile
+    estimates read off the streamed sketch match the batch ones."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        sample_quantiles,
+        sample_sketch,
+    )
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_sketches
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, SMOKE_SF, "events")
+    src = tmp_path / "events_stream"
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    cat_root = str(tmp_path / "cat")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    stream_sketches(
+        stream,
+        cat_root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_col="user_id",
+        group_cols=["event_type"],
+        sample_id_col="event_id",
+        sample_keep_cols=["value"],
+        k=16,
+        depth=3,
+        width=32,
+    ).awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    got = sorted(map(tuple, cat.read(spark, "sample_sketch").collect()))
+    want_sketch = sample_sketch(
+        events, id_col="event_id", group_cols=["event_type"], k=16,
+        keep_cols=["value"],
+    )
+    want = sorted(map(tuple, want_sketch.collect()))
+    assert got == want
+
+    got_q = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                cat.read(spark, "sample_sketch"), value_col="value",
+                id_col="event_id", group_cols=["event_type"],
+                percents=[50, 90],
+            ).collect(),
+        )
+    )
+    want_q = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                want_sketch, value_col="value", id_col="event_id",
+                group_cols=["event_type"], percents=[50, 90],
+            ).collect(),
+        )
+    )
+    assert got_q == want_q
