@@ -171,11 +171,11 @@ def kmv_rolling(
     daily = kmv_sketch(
         df, value_col=value_col, group_cols=[*groups, time_col], k=k
     )
-    anchors = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*groups, time_col)
-        .distinct()
-    )
+    # anchors come from the DAILY SKETCH, not a second fact-table scan:
+    # a (group, bucket) appears in the sketch iff it has >= 1 non-null
+    # value, so this distinct is sketch-sized and raw data really is
+    # touched exactly once (the docstring's cost model)
+    anchors = daily.select(*groups, time_col).distinct()
     fanout = daily.withColumn(
         "__anchor",
         F.explode(
@@ -237,10 +237,16 @@ def sample_sketch(
     keeps = keep_cols or []
     rank = kmv_hash(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*groups).orderBy("rank_hash", id_col)
+    # NULL ids are excluded (a NULL rank would sort engine-differently
+    # AND violate the uniqueness contract silently); full-row distinct
+    # makes redelivered rows consume ONE sample slot — the property the
+    # streaming twin's within-batch redelivery robustness rests on
     return (
-        df.select(
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             *groups, rank.alias("rank_hash"), F.col(id_col), *keeps
         )
+        .distinct()
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
