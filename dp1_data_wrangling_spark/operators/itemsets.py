@@ -56,12 +56,18 @@ def frequent_pairs(
             f"max_items_per_basket must be >= 2 (pairs need two), got "
             f"{max_items_per_basket}"
         )
+    # Checkpoint the distinct basket-item set ONCE: it feeds both the
+    # item-frequency census and the prune+cap branch, and without the
+    # cut Spark re-derives the whole upstream (tokenize + distinct of
+    # the full corpus) per consumer — the same multi-reference lesson as
+    # connected_components' edge set.
     basket_items = (
         items.filter(F.col(item_col).isNotNull())
         .select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     frequent = (
         basket_items.groupBy("__i")
@@ -80,11 +86,28 @@ def frequent_pairs(
         .filter(F.col("__rn") <= max_items_per_basket)
         .select("__b", "__i")
     )
-    left = capped.select("__b", F.col("__i").alias("item_a"))
-    right = capped.select("__b", F.col("__i").alias("item_b"))
+    # Pair generation is ROW-LOCAL: collect each basket's capped items
+    # into a sorted array (the groupBy is satisfied by the cap window's
+    # partitioning — no extra shuffle) and explode the i<j combinations
+    # JVM-side.  A self-join on basket id would reference `capped` twice
+    # and recompute the whole distinct+prune+window subtree per branch
+    # (9 shuffles vs this form's 4); the cap bounds the explosion at
+    # C(max_items_per_basket, 2) rows per basket.
+    baskets = capped.groupBy("__b").agg(
+        F.array_sort(F.collect_list("__i")).alias("__items")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(__items, (x, i) -> transform("
+                "slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS item_a, y AS item_b)))"
+            )
+        )
+    ).alias("__p")
     return (
-        left.join(right, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(pair)
+        .select("__p.item_a", "__p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_pair_support)

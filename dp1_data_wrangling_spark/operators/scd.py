@@ -63,7 +63,13 @@ def scd2_build(
         raise ValueError("tracked must name at least one attribute column")
     order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
     w = Window.partitionBy(key).orderBy(*order)
-    changed = reduce(
+    # The first observation per key is ALWAYS a change: lag() returns
+    # NULL there, which eqNullSafe cannot distinguish from a previous
+    # row whose tracked value was genuinely NULL — without the explicit
+    # first-row mark, a key whose first observation has every tracked
+    # column NULL would vanish from history entirely (ADVICE r8, high).
+    first_row = F.lag(F.lit(1)).over(w).isNull()
+    changed = first_row | reduce(
         lambda a, b: a | b,
         [~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)) for c in tracked],
     )

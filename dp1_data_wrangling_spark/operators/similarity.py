@@ -460,6 +460,18 @@ def pq_codebooks(
         .orderBy("__key", id_col)
         .limit(k_codes)
     )
+    # An underfilled codebook breaks the positional slice(__cb,
+    # sub*k_codes+1, k_codes) lookups downstream (pq_encode/_pq_lut_expr
+    # would read entries of the NEXT subspace), producing silently wrong
+    # codes — fail loudly instead (ADVICE r8).  count() on a limit-k
+    # sample is O(k), not a corpus scan.
+    n_sample = sample.count()
+    if n_sample < k_codes:
+        raise ValueError(
+            f"pq_codebooks needs >= k_codes={k_codes} corpus rows to fill "
+            f"each subspace codebook, got {n_sample}; lower k_codes or "
+            "grow the corpus"
+        )
     w = Window.orderBy("__key", id_col)
     coded = sample.select(
         (F.row_number().over(w) - 1).alias("code"), F.col(vec_col).alias("__v")

@@ -171,31 +171,50 @@ def kmv_rolling(
     daily = kmv_sketch(
         df, value_col=value_col, group_cols=[*groups, time_col], k=k
     )
-    # anchors come from the DAILY SKETCH, not a second fact-table scan:
-    # a (group, bucket) appears in the sketch iff it has >= 1 non-null
-    # value, so this distinct is sketch-sized and raw data really is
-    # touched exactly once (the docstring's cost model)
-    anchors = daily.select(*groups, time_col).distinct()
-    fanout = daily.withColumn(
-        "__anchor",
-        F.explode(
-            F.sequence(
-                F.col(time_col),
-                F.col(time_col) + F.lit(window_size - 1),
-            )
-        ),
-    ).drop(time_col).withColumnRenamed("__anchor", time_col)
-    # inner join on observed anchors: no phantom buckets, fully equi
-    merged = (
-        fanout.join(anchors, [*groups, time_col])
-        .select(*groups, time_col, "hv")
-        .distinct()
+    # Each daily sketch row serves the window_size anchors it can reach;
+    # __native marks the row whose anchor IS its own bucket.  An anchor
+    # is OBSERVED (no phantom buckets) iff it has >= 1 native row, so
+    # the anchor filter is a window max over the fanout itself — daily
+    # is referenced exactly ONCE (no self-join, no recomputed subtree;
+    # the r8 two-reference form recomputed the whole daily-sketch build
+    # per branch and cost 6 shuffles against this form's 3).
+    fanout = (
+        daily.withColumn(
+            "__anchor",
+            F.explode(
+                F.sequence(
+                    F.col(time_col),
+                    F.col(time_col) + F.lit(window_size - 1),
+                )
+            ),
+        )
+        .withColumn("__native", F.col("__anchor") == F.col(time_col))
+        .drop(time_col)
+        .withColumnRenamed("__anchor", time_col)
     )
-    w = Window.partitionBy(*groups, time_col).orderBy("hv")
+    # All three windows share the (groups, anchor) partitioning prefix —
+    # ONE exchange, stacked sorts.  Dedup duplicate hashes (the same
+    # value observed on several buckets of the window) by first-
+    # occurrence row_number over the (.., hv) superset key, then rank
+    # the distinct hashes for bottom-k.
+    part = [*groups, time_col]
+    w_grp = Window.partitionBy(*part)
+    w_hv = Window.partitionBy(*part, "hv").orderBy("__native")
+    w_rank = Window.partitionBy(*part).orderBy("hv")
     bottom_k = (
-        merged.withColumn("__rn", F.row_number().over(w))
+        fanout.withColumn(
+            "__has_anchor",
+            F.max("__native").over(
+                w_grp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("__dup", F.row_number().over(w_hv))
+        .filter(F.col("__has_anchor") & (F.col("__dup") == 1))
+        .withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        .select(*part, "hv")
     )
     return kmv_estimate(bottom_k, group_cols=[*groups, time_col], k=k)
 

@@ -22,15 +22,31 @@ anchor cell exactly one probe replicate of any point lands there, so
 each qualifying pair is emitted exactly once).  Skew valve: a cell holding k points yields
 O(k²) candidate pairs — pick ``r`` (the cell size) against the data's
 density, and pre-aggregate ultra-dense cells upstream if the domain
-allows (the same hot-bucket discipline as LSH).  Floor division via
-``F.floor`` keeps negative coordinates correct (``div`` truncates
-toward zero and would fold cells -1 and 0 together).
+allows (the same hot-bucket discipline as LSH).  Cell ids use exact
+integer FLOOR division (see ``_floor_div``): plain ``div`` truncates
+toward zero and would fold cells -1 and 0 together, while
+``F.floor(x / r)`` goes through a double and misplaces coordinates
+beyond 2^53 (ADVICE r8) — subtracting ``pmod`` first keeps both
+properties exactly over the full int64 domain.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _floor_div(col: str, radius: int) -> Column:
+    """Exact BIGINT floor division ``floor(col / radius)``: truncating
+    ``div`` adjusted down by one when the (dividend-signed) remainder is
+    negative.  Pure int64 arithmetic — correct for negatives, for
+    |col| >= 2^53 where a double division would misplace the point into
+    a neighboring cell, and free of the INT64_MIN underflow a
+    ``col - pmod(col, radius)`` formulation has."""
+    return F.expr(
+        f"({col} div {radius})"
+        f" - (CASE WHEN {col} % {radius} < 0 THEN 1 ELSE 0 END)"
+    )
 
 
 def within_distance_pairs(
@@ -55,8 +71,8 @@ def within_distance_pairs(
         F.col(x_col).cast("bigint").alias("__x"),
         F.col(y_col).cast("bigint").alias("__y"),
     )
-    cx = F.floor(F.col("__x") / radius)
-    cy = F.floor(F.col("__y") / radius)
+    cx = _floor_div("__x", radius)
+    cy = _floor_div("__y", radius)
     anchor = pts.select(
         "__id", "__x", "__y", cx.alias("__cx"), cy.alias("__cy")
     )
@@ -133,8 +149,8 @@ def knn_within(
         F.col(x_col).cast("bigint").alias("__x"),
         F.col(y_col).cast("bigint").alias("__y"),
     )
-    cx = F.floor(F.col("__x") / radius)
-    cy = F.floor(F.col("__y") / radius)
+    cx = _floor_div("__x", radius)
+    cy = _floor_div("__y", radius)
     anchor = pts.select(
         "__id", "__x", "__y", cx.alias("__cx"), cy.alias("__cy")
     )

@@ -1655,7 +1655,10 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scd_flags AS (
         SELECT user_id, ts_us, event_id, event_type,
-               lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
+               -- first row per key is ALWAYS a change (lag(1) IS NULL
+               -- detects it even when the tracked value itself is NULL)
+               lag(1) OVER w IS NULL
+               OR lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
         FROM scd_ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
@@ -2283,7 +2286,8 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     en_flags AS (
         SELECT user_id, ts_us, event_id, event_type,
-               lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
+               lag(1) OVER w IS NULL
+               OR lag(event_type) OVER w IS DISTINCT FROM event_type AS chg
         FROM en_ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),

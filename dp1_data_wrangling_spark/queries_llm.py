@@ -3054,8 +3054,13 @@ def _pagerank_oracle(k: int = 5, scale: int = 10**12) -> str:
                    FROM pr_edges e JOIN pr_it{t - 1} p ON p.idx = e.src
                    GROUP BY e.dst) c ON c.idx = nd.idx
     )"""
+    # CAST back to BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT and the
+    # per-iteration arithmetic stays HUGEINT through the final select.
+    # The DRIVER's canonicalizer (unlike the Arrow-based in-repo one)
+    # does not normalize HUGEINT == int64 — this was the one red row in
+    # CORRECTNESS_r08.  The masses are < 1e12, so the cast is lossless.
     return cte + f"""
-    SELECT d.doc_id, p.pr
+    SELECT d.doc_id, CAST(p.pr AS BIGINT) AS pr
     FROM pr_docs d JOIN pr_it{k} p ON p.idx = d.idx
     """
 

@@ -19,7 +19,14 @@ from .events import (
     tumbling_windows_batch,
 )
 from .curation import read_curated, stream_curation
-from .decontam import read_clean, read_flagged, stream_decontaminate
+from .decontam import (
+    SEM_CLEAN_TABLE,
+    SEM_FLAGGED_TABLE,
+    read_clean,
+    read_flagged,
+    stream_decontaminate,
+    stream_semantic_decontaminate,
+)
 from .dedup_llm import stream_minhash_dedup
 from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
@@ -44,6 +51,9 @@ __all__ = [
     "incremental_find_first",
     "stream_into_catalog",
     "stream_semantic_dedup",
+    "stream_semantic_decontaminate",
+    "SEM_CLEAN_TABLE",
+    "SEM_FLAGGED_TABLE",
     "read_semantic_survivors",
     "stream_ivf_index_append",
     "stream_minhash_dedup",

@@ -2059,6 +2059,23 @@ def test_pq_encode_codes_shape_and_sampled_vectors_roundtrip(spark):
     assert exact >= 16  # at least the k_codes sampled vectors
 
 
+def test_pq_codebooks_rejects_underfilled_corpus(spark):
+    """Fewer corpus rows than k_codes must fail loudly: an underfilled
+    codebook silently breaks the positional slice(__cb, sub*k+1, k)
+    lookups in pq_encode (codes would read into the NEXT subspace's
+    entries — ADVICE r8)."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators import similarity as sim
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(7)
+    )
+    with _pytest.raises(ValueError, match="k_codes=16 corpus rows"):
+        sim.pq_codebooks(emb, dim=64, m=16, k_codes=16)
+
+
 def test_pq_adc_topk_contract_and_determinism(spark):
     """ADC top-k: k rows per probe, ranks 1..k, no self-matches, exact
     sims in [-1, 1], and bit-identical across runs (md5 codebooks, fold
@@ -2264,6 +2281,48 @@ def test_scd2_build_null_transitions_and_multi_tracked(spark):
         (None, "p", 1), ("X", "p", 2), ("X", "q", 3), (None, "q", 5)
     ]
     assert [r["is_current"] for r in rows] == [False, False, False, True]
+
+
+def test_scd2_build_all_null_first_observation_kept(spark):
+    """A key whose FIRST observation has every tracked column NULL must
+    still open version 1 (regression: eqNullSafe(NULL, lag()=NULL) made
+    the first row look unchanged and the key vanished from history —
+    ADVICE r8 high).  A key that is all-NULL for its entire life must
+    produce exactly one version."""
+    import pyspark.sql.types as T
+
+    from dp1_data_wrangling_spark.operators.scd import (
+        scd2_apply, scd2_build,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [
+            ("a", 1, 1, None), ("a", 2, 2, None), ("a", 3, 3, "X"),
+            ("b", 1, 4, None), ("b", 2, 5, None),
+        ],
+        schema,
+    )
+    kw = dict(key="k", tracked=["attr"], ts_col="ts", order_extra=["seq"])
+    rows = scd2_build(ev, **kw).orderBy("k", "version").collect()
+    assert [(r["k"], r["attr"], r["valid_from"], r["version"]) for r in rows] == [
+        ("a", None, 1, 1), ("a", "X", 3, 2), ("b", None, 1, 1)
+    ]
+    # last_seen covers the all-NULL run's final observation
+    assert rows[0]["last_seen"] == 2 and rows[2]["last_seen"] == 2
+    # scd2_apply's log-less replay round-trips the all-NULL history too
+    batch = spark.createDataFrame([("b", 9, 6, "Y")], schema)
+    nk = lambda row: tuple((v is None, v) for v in row)  # noqa: E731
+    got = sorted(map(tuple, scd2_apply(scd2_build(ev, **kw), batch, **kw).collect()), key=nk)
+    want = sorted(map(tuple, scd2_build(ev.union(batch), **kw).collect()), key=nk)
+    assert got == want
 
 
 def test_scd2_apply_incremental_equals_full_rebuild(spark):
@@ -2938,6 +2997,37 @@ def test_within_distance_pairs_negative_coords_floor_cells(spark):
         ).collect()
     }
     assert got == {(1, 2): 8}
+
+
+def test_within_distance_pairs_exact_beyond_double_precision(spark):
+    """Cell assignment must be exact past 2^53: with the old
+    F.floor(x / r) double division, 2^60 and 2^60+2 can land in
+    different cells than their exact quotients say, silently missing a
+    qualifying pair (ADVICE r8).  Also pin the int64 extremes: the
+    floor-div helper must not underflow near INT64_MIN."""
+    from dp1_data_wrangling_spark.operators.spatial import (
+        _floor_div, within_distance_pairs,
+    )
+
+    big = 1 << 60
+    df = spark.createDataFrame(
+        [(1, big, big), (2, big + 2, big + 1), (3, -big - 2, -big)],
+        "id long, x long, y long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist2
+        for r in within_distance_pairs(
+            df, x_col="x", y_col="y", id_col="id", radius=3
+        ).collect()
+    }
+    assert got == {(1, 2): 5}
+    imin = -(1 << 63)
+    vals = spark.createDataFrame(
+        [(imin,), (imin + 1,), (-7,), (-6,), (6,), (7,)], "v long"
+    ).select(_floor_div("v", 3).alias("c")).collect()
+    assert [r.c for r in vals] == [
+        imin // 3, (imin + 1) // 3, -3, -2, 2, 2
+    ]
 
 
 def test_within_distance_pairs_validation(spark):

@@ -289,3 +289,30 @@ def test_canonicalizer_guard_rejects_complex_types(spark):
         assert_driver_safe_schema(also_bad.schema, "bad_query")
     ok = spark.range(1).select(F.lit("x").alias("s"), F.lit(1.5).alias("d"))
     assert_driver_safe_schema(ok.schema, "ok_query")
+
+
+def test_oracle_output_types_are_driver_safe(con):
+    """Every oracle's DuckDB output must stick to types the DRIVER's
+    canonicalizer normalizes identically to Spark's (BIGINT/INTEGER/
+    VARCHAR/BOOLEAN/DOUBLE/DATE/TIMESTAMP).  HUGEINT in particular is
+    forbidden: DuckDB silently widens SUM(BIGINT) -> HUGEINT, the
+    in-repo Arrow harness normalizes it to int (green), but the driver
+    does not (the one red row in CORRECTNESS_r08, doc_link_pagerank).
+    Wrap aggregate finals in CAST(... AS BIGINT)."""
+    allowed = {
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR",
+        "BOOLEAN", "DOUBLE", "FLOAT", "DATE", "TIMESTAMP",
+    }
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        rel = con.sql(spec.oracle)
+        odd = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in allowed
+        ]
+        if odd:
+            offenders.append((name, odd))
+    assert not offenders, f"oracles with driver-unsafe output types: {offenders}"
