@@ -453,3 +453,158 @@ def cm_estimate(
         .groupBy(*probes.columns)
         .agg(F.min("__cell").alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear histogram sketch — bounded-relative-error quantiles
+# ---------------------------------------------------------------------------
+
+
+def _floor_log2(col: str) -> str:
+    """SQL expression for exact integer floor(log2(col)) of a POSITIVE
+    BIGINT: smear the top bit down with 6 or-shift rounds, then
+    ``bit_count(smeared) - 1``.  Pure int64 ops — bit-identical in
+    Spark and DuckDB (a float log2() rounds untrustworthily at octave
+    boundaries: log2(2^60) can come back 59.9999… or 60.0000…1)."""
+    s = col
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = f"({s} | ({s} >> {sh}))"
+    return f"(bit_count({s}) - 1)"
+
+
+def hdr_bucket(col: str, precision_bits: int = 4) -> Column:
+    """HDR-histogram bucket id of a NON-NEGATIVE BIGINT value (the
+    HdrHistogram / DDSketch family: log-spaced octaves, 2^precision
+    linear slots per octave, relative error <= 2^-precision_bits).
+
+    Values below 2^(p+1) index themselves exactly (bucket id = value);
+    a larger value with exponent e = floor(log2(v)) maps to bucket
+    ``(e - p) * 2^p + (v >> (e - p))``: the shifted mantissa keeps the
+    top p+1 bits, and the per-octave offset keeps ids strictly ordered
+    by value — so bucket order IS value order and cumulative counts
+    give quantiles.  Everything is int64 shifts/ors, replayable in SQL.
+    """
+    p = precision_bits
+    e = _floor_log2(col)
+    return F.expr(
+        f"CASE WHEN {col} < {1 << (p + 1)} THEN {col} "
+        f"ELSE ({e} - {p}) * {1 << p} + ({col} >> ({e} - {p})) END"
+    ).cast("bigint")
+
+
+def hdr_bucket_lo(bucket: str, precision_bits: int = 4) -> Column:
+    """Smallest value mapping to ``bucket`` — the deterministic quantile
+    estimate (a lower bound within 2^-p relative error of any member)."""
+    p = precision_bits
+    return F.expr(
+        f"CASE WHEN {bucket} < {1 << (p + 1)} THEN {bucket} "
+        f"ELSE ({bucket} % {1 << p} + {1 << p})"
+        f" * (CAST(1 AS BIGINT) << ({bucket} div {1 << p} - 1)) END"
+    ).cast("bigint")
+
+
+def hdr_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    precision_bits: int = 4,
+) -> DataFrame:
+    """Per-group HDR histogram: rows ``(*group_cols, bucket, n)`` with
+    ``n`` the count of values in the bucket.  ``value_col`` must be a
+    non-negative integer column (quantize upstream — micros, cents);
+    NULLs are excluded, negatives raise at execution time (a silent
+    wrap would corrupt quantiles).
+
+    MERGE LAW: histograms are cellwise-additive — ``hdr_merge`` of any
+    partition of the data equals the sketch of the union, EXACTLY (the
+    property test pins it), which is what makes the sketch maintainable
+    incrementally (per-day / per-tenant / streaming state) without
+    rescanning raw data.
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy shuffle of
+    (group, bucket) cells; state per group is bounded by
+    ~64 * 2^precision_bits cells regardless of row count — the whole
+    point versus exact percentile's full-sort."""
+    if not 1 <= precision_bits <= 12:
+        raise ValueError(
+            f"precision_bits must be in [1, 12], got {precision_bits}"
+        )
+    groups = group_cols or []
+    guarded = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__v",
+        F.when(
+            F.col(value_col) < 0,
+            F.expr(
+                f"raise_error(concat('hdr_sketch: negative value ', "
+                f"CAST({value_col} AS STRING)))"
+            ).cast("bigint"),
+        ).otherwise(F.col(value_col).cast("bigint")),
+    )
+    return (
+        guarded.withColumn("bucket", hdr_bucket("__v", precision_bits))
+        .groupBy(*groups, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hdr_merge(
+    sketches: list[DataFrame],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cellwise-add histograms: the sketch of the union, exactly."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    groups = group_cols or []
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*groups, "bucket").agg(F.sum("n").alias("n"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    percents: list[int] = (50, 90, 99),
+    precision_bits: int = 4,
+) -> DataFrame:
+    """Nearest-rank quantile estimates from an HDR sketch: per group,
+    the lower bound of the first bucket whose cumulative count reaches
+    rank ``ceil(p/100 * n)`` — within 2^-precision_bits relative error
+    of the true order statistic, all-integer, engine-replayable.
+
+    Returns ``(*group_cols, n_values, q_p{p}...)`` — one row per group.
+    ONE cumulative-window shuffle over cells (not values)."""
+    groups = group_cols or []
+    ps = list(percents)
+    if not ps or any(p < 1 or p > 100 for p in ps):
+        raise ValueError(f"percents must be within [1, 100], got {ps}")
+    w = Window.partitionBy(*groups).orderBy("bucket")
+    cum = (
+        sketch.withColumn(
+            "__cum",
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "__tot",
+            F.sum("n").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("__lo", hdr_bucket_lo("bucket", precision_bits))
+    )
+    aggs = [F.max("__tot").cast("bigint").alias("n_values")]
+    for p in ps:
+        target = F.expr(f"({p} * __tot + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= target, F.col("__lo"))).alias(
+                f"q_p{p}"
+            )
+        )
+    return cum.groupBy(*groups).agg(*aggs)

@@ -2797,6 +2797,189 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "table_expectations",
+    """
+    WITH xm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(text) AS BIGINT) AS nn_text,
+               CAST(count(doc_id) AS BIGINT) AS nn_id,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_id,
+               CAST(count(lang) AS BIGINT) AS nn_lang,
+               CAST(count(CASE WHEN lang IN ('en','de','es','fr')
+                          THEN 1 END) AS BIGINT) AS ok_lang,
+               CAST(count(n_chars) AS BIGINT) AS nn_nc,
+               CAST(count(CASE WHEN n_chars BETWEEN 1 AND 600
+                          THEN 1 END) AS BIGINT) AS ok_nc,
+               CAST(count(source) AS BIGINT) AS nn_src,
+               CAST(count(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+                          THEN 1 END) AS BIGINT) AS ok_src
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'row_count' AS rule, CAST(NULL AS VARCHAR) AS column_name,
+               n AS metric, CAST(100 AS BIGINT) AS threshold,
+               n >= 100 AS passed FROM xm
+        UNION ALL
+        SELECT 'unique', 'doc_id',
+               CASE WHEN nn_id = 0 THEN 1000 ELSE (1000 * nd_id) // nn_id END,
+               1000,
+               CASE WHEN nn_id = 0 THEN 1000
+                    ELSE (1000 * nd_id) // nn_id END >= 1000 FROM xm
+        UNION ALL
+        SELECT 'not_null', 'text',
+               CASE WHEN n = 0 THEN 1000 ELSE (1000 * nn_text) // n END,
+               1000,
+               CASE WHEN n = 0 THEN 1000
+                    ELSE (1000 * nn_text) // n END >= 1000 FROM xm
+        UNION ALL
+        SELECT 'in_set', 'lang',
+               CASE WHEN nn_lang = 0 THEN 1000
+                    ELSE (1000 * ok_lang) // nn_lang END,
+               900,
+               CASE WHEN nn_lang = 0 THEN 1000
+                    ELSE (1000 * ok_lang) // nn_lang END >= 900 FROM xm
+        UNION ALL
+        SELECT 'between', 'n_chars',
+               CASE WHEN nn_nc = 0 THEN 1000 ELSE (1000 * ok_nc) // nn_nc END,
+               1000,
+               CASE WHEN nn_nc = 0 THEN 1000
+                    ELSE (1000 * ok_nc) // nn_nc END >= 1000 FROM xm
+        UNION ALL
+        SELECT 'matches', 'source',
+               CASE WHEN nn_src = 0 THEN 1000
+                    ELSE (1000 * ok_src) // nn_src END,
+               1000,
+               CASE WHEN nn_src = 0 THEN 1000
+                    ELSE (1000 * ok_src) // nn_src END >= 1000 FROM xm
+    )
+    """,
+)
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py
+    expectation_suite): a Deequ-class rule suite — row-count floor,
+    doc_id uniqueness, text completeness, lang containment with a 90%
+    threshold (deliberately FAILING on this corpus: 15% of docs are
+    zh — the verdict table must prove it reports false, not just
+    true), n_chars bounds, and a source-name regexp — all evaluated in
+    ONE wide aggregate (map-side combine to a single row per
+    partition).  Metrics are integer milli-ratios with truncating
+    division, so the oracle replays every verdict bit-exactly."""
+    from .operators.expectations import expectation_suite
+
+    return expectation_suite(
+        load_table(spark, sf_dir, "documents"),
+        [
+            {"rule": "row_count", "lo": 100},
+            {"rule": "unique", "column": "doc_id"},
+            {"rule": "not_null", "column": "text"},
+            {
+                "rule": "in_set",
+                "column": "lang",
+                "allowed": ["en", "de", "es", "fr"],
+                "min_ratio_milli": 900,
+            },
+            {"rule": "between", "column": "n_chars", "lo": 1, "hi": 600},
+            {
+                "rule": "matches",
+                "column": "source",
+                "pattern": "^src[0-9]+$",
+            },
+        ],
+    )
+
+
+@register(
+    "events_hdr_quantiles",
+    """
+    WITH hq_v AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    hq_sm AS (
+        SELECT event_type, v, s16 | (s16 >> 32) AS sm FROM (
+            SELECT event_type, v, s8 | (s8 >> 16) AS s16 FROM (
+                SELECT event_type, v, s4 | (s4 >> 8) AS s8 FROM (
+                    SELECT event_type, v, s2 | (s2 >> 4) AS s4 FROM (
+                        SELECT event_type, v, s1 | (s1 >> 2) AS s2 FROM (
+                            SELECT event_type, v, v | (v >> 1) AS s1
+                            FROM hq_v) a) b) c) d) e
+    ),
+    hq_e AS (
+        -- bit_count returns TINYINT in DuckDB: widen BEFORE arithmetic
+        SELECT event_type, v,
+               CAST(bit_count(sm) AS BIGINT) - 1 AS e
+        FROM hq_sm
+    ),
+    hq_b AS (
+        SELECT event_type,
+               CASE WHEN v < 32 THEN v
+                    ELSE (e - 4) * 16 + (v >> (e - 4)) END AS bucket
+        FROM hq_e
+    ),
+    hq_h AS (
+        SELECT event_type, bucket, count(*) AS n
+        FROM hq_b GROUP BY event_type, bucket
+    ),
+    hq_c AS (
+        SELECT event_type, bucket, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM hq_h
+    ),
+    hq_lo AS (
+        SELECT *,
+               CASE WHEN bucket < 32 THEN bucket
+                    ELSE (bucket % 16 + 16)
+                         * (CAST(1 AS BIGINT)
+                            << CAST(bucket // 16 - 1 AS INTEGER))
+               END AS lo
+        FROM hq_c
+    )
+    SELECT event_type, CAST(max(tot) AS BIGINT) AS n_values,
+           CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN lo END)
+                AS BIGINT) AS q_p50,
+           CAST(min(CASE WHEN cum >= (90 * tot + 99) // 100 THEN lo END)
+                AS BIGINT) AS q_p90,
+           CAST(min(CASE WHEN cum >= (99 * tot + 99) // 100 THEN lo END)
+                AS BIGINT) AS q_p99
+    FROM hq_lo GROUP BY event_type
+    """,
+    headline=True,
+)
+def q_events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-style quantiles from an HDR log-linear histogram sketch
+    (operators/sketch.py hdr_sketch/hdr_quantiles — the HdrHistogram /
+    DDSketch family): event values quantized to integer micros, bucketed
+    into log-spaced octaves with 16 linear slots each (relative error
+    <= 1/16), p50/p90/p99 read off the cumulative cell counts.  The
+    floor-log2 is exact integer bit-smearing + bit_count — no float
+    log2 — so the DuckDB oracle replays bucket ids, cumulative ranks,
+    and estimates bit-for-bit.
+
+    Scale shape: ONE map-side-combinable groupBy of (group, bucket)
+    cells + one window over CELLS (~hundreds per group, never values);
+    per-group state is bounded regardless of row count, and the
+    histogram is cellwise-mergeable for incremental maintenance
+    (property-tested merge law)."""
+    from .operators.sketch import hdr_quantiles, hdr_sketch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("v"),
+    )
+    sk = hdr_sketch(
+        e, value_col="v", group_cols=["event_type"], precision_bits=4
+    )
+    return hdr_quantiles(
+        sk,
+        group_cols=["event_type"],
+        percents=[50, 90, 99],
+        precision_bits=4,
+    )
+
+
 # Import sibling catalogs so their @register calls populate REGISTRY.
 from . import queries_llm  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
@@ -2855,8 +3038,8 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
     "doc_fuzzy_pairs",            # r8: PassJoin edit-distance fuzzy join
     # -- sampling / packing / curation tail (r7 audit rotation) --
-    "doc_pack_sequences",         # greedy sequence packing
-    "corpus_top_ngrams",          # corpus-wide top n-grams
+    "table_expectations",         # r9: Deequ-class declarative rule suite
+    "events_hdr_quantiles",       # r9: HDR log-linear histogram quantiles
     "doc_source_quota",           # per-source quota enforcement
     "doc_importance_resample",    # deterministic importance resampling
     "doc_dup_spans",              # substring-dup span screen

@@ -3568,3 +3568,183 @@ def test_sample_sketch_validation(spark):
         sample_merge([], id_col="id")
     with pytest.raises(ValueError, match="percents"):
         sample_quantiles(df, value_col="v", id_col="id", percents=[0])
+
+
+def test_expectation_suite_hand_computed(spark):
+    """Every rule kind over a 5-row frame with known violations: metric
+    milli-ratios use truncating division; unique counts distinct over
+    NON-NULL values; ratio rules measure the non-null population."""
+    from dp1_data_wrangling_spark.operators.expectations import (
+        expectation_suite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa", 10), (2, "bb", 20), (2, None, 30),
+            (3, "zz", -5), (4, "a1", 40),
+        ],
+        "id long, s string, v long",
+    )
+    got = {
+        (r["rule"], r["column_name"]): (r["metric"], r["threshold"], r["passed"])
+        for r in expectation_suite(
+            df,
+            [
+                {"rule": "row_count", "lo": 2, "hi": 10},
+                {"rule": "unique", "column": "id"},
+                {"rule": "not_null", "column": "s", "min_ratio_milli": 700},
+                {"rule": "between", "column": "v", "lo": 0, "hi": 100},
+                {"rule": "matches", "column": "s",
+                 "pattern": "^[a-z]+$", "min_ratio_milli": 600},
+                {"rule": "in_set", "column": "s",
+                 "allowed": ["aa", "bb"], "min_ratio_milli": 500},
+            ],
+        ).collect()
+    }
+    assert got[("row_count", None)] == (5, 2, True)
+    # 4 distinct of 5 non-null ids -> 800, uniqueness always needs 1000
+    assert got[("unique", "id")] == (800, 1000, False)
+    # 4 non-null of 5 rows -> 800 >= 700
+    assert got[("not_null", "s")] == (800, 700, True)
+    # v=-5 violates: 4 of 5 non-null in bounds -> 800 < 1000
+    assert got[("between", "v")] == (800, 1000, False)
+    # 3 of 4 non-null strings are all-lowercase -> 750 >= 600
+    assert got[("matches", "s")] == (750, 600, True)
+    # 2 of 4 non-null in the set -> 500 >= 500
+    assert got[("in_set", "s")] == (500, 500, True)
+
+
+def test_expectation_suite_vacuous_and_validation(spark):
+    """Ratio rules on an all-NULL column pass vacuously with metric
+    1000 (emptiness is row_count's job); bad rule specs raise."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.expectations import (
+        expectation_suite,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    got = {
+        r["rule"]: (r["metric"], r["passed"])
+        for r in expectation_suite(
+            df,
+            [
+                {"rule": "unique", "column": "s"},
+                {"rule": "matches", "column": "s", "pattern": "x"},
+                {"rule": "row_count", "hi": 1},
+            ],
+        ).collect()
+    }
+    assert got["unique"] == (1000, True)
+    assert got["matches"] == (1000, True)
+    assert got["row_count"] == (2, False)
+    with _pytest.raises(ValueError, match="at least one rule"):
+        expectation_suite(df, [])
+    with _pytest.raises(ValueError, match="unknown rule"):
+        expectation_suite(df, [{"rule": "nope"}])
+    with _pytest.raises(ValueError, match="unknown column"):
+        expectation_suite(df, [{"rule": "unique", "column": "zz"}])
+    with _pytest.raises(ValueError, match="needs a column"):
+        expectation_suite(df, [{"rule": "not_null"}])
+    with _pytest.raises(ValueError, match="lo and/or hi"):
+        expectation_suite(df, [{"rule": "row_count"}])
+    with _pytest.raises(ValueError, match="non-empty allowed"):
+        expectation_suite(df, [{"rule": "in_set", "column": "s", "allowed": []}])
+
+
+def test_hdr_bucket_hand_computed(spark):
+    """Bucket ids: values < 32 index themselves; larger values keep the
+    top 5 bits with per-octave offsets; bucket order is value order;
+    bucket_lo is the smallest member of the bucket."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hdr_bucket, hdr_bucket_lo,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, 31, 32, 33, 47, 48, 63, 64, 66, 1000,
+            (1 << 60) - 1, 1 << 60]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v",
+        hdr_bucket("v", 4).alias("b"),
+        ).withColumn("lo", hdr_bucket_lo("b", 4)).collect()
+    got = {r.v: (r.b, r.lo) for r in rows}
+
+    def py_bucket(v, p=4):
+        if v < (1 << (p + 1)):
+            return v
+        e = v.bit_length() - 1
+        return (e - p) * (1 << p) + (v >> (e - p))
+
+    def py_lo(b, p=4):
+        if b < (1 << (p + 1)):
+            return b
+        return (b % (1 << p) + (1 << p)) << (b // (1 << p) - 1)
+
+    for v in vals:
+        b = py_bucket(v)
+        assert got[v] == (b, py_lo(b)), (v, got[v], b, py_lo(b))
+        assert py_lo(b) <= v  # lo really is a lower bound
+    # bucket order == value order
+    bs = [got[v][0] for v in sorted(vals)]
+    assert bs == sorted(bs)
+
+
+def test_hdr_quantiles_within_relative_error(spark):
+    """Every HDR quantile estimate is within 2^-4 relative error below
+    the true nearest-rank order statistic (lower-bound estimator)."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hdr_quantiles, hdr_sketch,
+    )
+
+    vals = [((i * 7919) % 100003) + 1 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = hdr_sketch(df, value_col="v", precision_bits=4)
+    row = hdr_quantiles(sk, percents=[50, 90, 99], precision_bits=4).collect()[0]
+    assert row["n_values"] == 5000
+    svals = sorted(vals)
+    import math
+    for p in (50, 90, 99):
+        true = svals[math.ceil(p / 100 * len(svals)) - 1]
+        est = row[f"q_p{p}"]
+        assert est <= true and est >= true * (1 - 1 / 16) - 1, (p, est, true)
+
+
+def test_hdr_merge_equals_sketch_of_union(spark):
+    """Cellwise-additive merge law: hdr_merge of two disjoint halves
+    equals the sketch of the union, exactly."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hdr_merge, hdr_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [(("g%d" % (i % 3)), (i * 37) % 5000) for i in range(400)],
+        "g string, v long",
+    )
+    b = spark.createDataFrame(
+        [(("g%d" % (i % 3)), (i * 91) % 9000) for i in range(300)],
+        "g string, v long",
+    )
+    kw = dict(value_col="v", group_cols=["g"])
+    merged = sorted(
+        map(tuple, hdr_merge(
+            [hdr_sketch(a, **kw), hdr_sketch(b, **kw)], group_cols=["g"]
+        ).collect())
+    )
+    union = sorted(
+        map(tuple, hdr_sketch(a.unionByName(b), **kw).collect())
+    )
+    assert merged == union
+
+
+def test_hdr_sketch_rejects_negative_and_bad_precision(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.sketch import hdr_sketch
+
+    df = spark.createDataFrame([(5,), (-1,)], "v long")
+    with _pytest.raises(SparkRuntimeException, match="negative value"):
+        hdr_sketch(df, value_col="v").collect()
+    with _pytest.raises(ValueError, match="precision_bits"):
+        hdr_sketch(df, value_col="v", precision_bits=0)

@@ -134,7 +134,11 @@ def test_driver_window_covers_flagship_surface():
         # sf0.01 evidence; six multi-round-green trivial entries plus
         # membership_join/asof_lookup_{bucketized,routed} rotated out
         # (families stay represented by semi_join, asof_lookup, export_plan)
-        "doc_pack_sequences", "corpus_top_ngrams", "doc_source_quota",
+        # doc_pack_sequences and corpus_top_ngrams rotated out in r9 for
+        # table_expectations + events_hdr_quantiles (both 2x green r7+r8;
+        # packing stays via doc_subword_pack, corpus stats via
+        # corpus_stats — both in-window)
+        "doc_source_quota",
         "doc_importance_resample", "doc_dup_spans", "doc_near_dup_curation",
         "ivf_kmeans_recall_bound", "doc_cluster_safe_split",
         "doc_semantic_curation",
@@ -252,6 +256,10 @@ def test_driver_window_covers_flagship_surface():
         # chain_flatten_distributed / event_correlation /
         # multimodal_decode notes above)
         "events_ewma", "events_knn", "multimodal_ulaw",
+        # round-9: Deequ-class declarative expectation suite and HDR
+        # log-linear histogram quantiles enter directly (outs: see the
+        # doc_pack_sequences / corpus_top_ngrams note above)
+        "table_expectations", "events_hdr_quantiles",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
