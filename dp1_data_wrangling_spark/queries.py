@@ -3025,7 +3025,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank
     "lsh_topk",                   # r8: full md5-plane signature replay oracle
     "ivf_topk",                   # r8: full quantizer+assignment replay oracle
-    "doc_card_scan",              # Luhn-validated card screen (PII precision tier)
+    "doc_cooccurrence",           # r9: apriori frequent co-occurring pairs
     "certify_probe",              # K10 certify at 600k-interval fact scale
     "ivf_index_recall_bound",     # persisted IVF index build->publish->query
     "corpus_stats",               # one-pass corpus summary
@@ -3033,18 +3033,18 @@ DRIVER_WINDOW: list[str] = [
     "doc_subword_pack",           # packing under real subword budget
     "multimodal_video_frames",    # REAL Y4M decode + frame sampling
     "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing
-    "doc_subword_mix",            # source mixing budgeted by real subword counts
+    "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch
     "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
     "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
     "doc_fuzzy_pairs",            # r8: PassJoin edit-distance fuzzy join
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "table_expectations",         # r9: Deequ-class declarative rule suite
     "events_hdr_quantiles",       # r9: HDR log-linear histogram quantiles
-    "doc_source_quota",           # per-source quota enforcement
+    "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
     "doc_importance_resample",    # deterministic importance resampling
     "doc_dup_spans",              # substring-dup span screen
     "doc_near_dup_curation",      # near-dup-aware curation (transitive closure)
-    "ivf_kmeans_recall_bound",    # k-means-trained IVF quantizer recall
+    "events_skyline",             # r9: 2-D Pareto skyline (one ordered pass)
     "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
     "doc_semantic_curation",      # semantic-dedup-aware curation
     # -- graph / time series --

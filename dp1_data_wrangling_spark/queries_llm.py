@@ -3258,3 +3258,108 @@ def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes_tri = triangle_count(edges)
     return nodes_tri.select(F.col("node").alias("doc_id"), "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+#: Frozen probe queries for the retrieval tier — version the set, not
+#: the code (same discipline as SUBWORD_VOCAB / LM_VOCAB).
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "window agg stream"),
+    (3, "slow scan filter"),
+    (4, "vector merge customer"),
+]
+
+_BM25_ORACLE = """
+    WITH bm_q AS (
+        SELECT * FROM (VALUES (1, 'hash join'), (2, 'window agg stream'),
+                              (3, 'slow scan filter'),
+                              (4, 'vector merge customer'))
+               AS q(query_id, query_text)
+    ),
+    bm_toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\W+'),
+                   x -> x != '')) AS term
+        FROM documents
+    ),
+    bm_post AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM bm_toks GROUP BY doc_id, term
+    ),
+    bm_dl AS (
+        SELECT doc_id, term, tf,
+               CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+        FROM bm_post
+    ),
+    bm_stats AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+               CAST(sum(tf) AS BIGINT) AS s
+        FROM bm_post
+    ),
+    bm_df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM bm_post GROUP BY term
+    ),
+    bm_qt AS (
+        SELECT DISTINCT query_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(query_text), '\\W+'),
+                   x -> x != '')) AS term
+        FROM bm_q
+    ),
+    bm_w AS (
+        SELECT qt.query_id, p.doc_id, p.term,
+               ln((2.0 * st.n + 2.0) / (2.0 * d.df + 1.0))
+               * ((44 * p.tf * st.s)
+                  / (20 * p.tf * st.s + 6 * st.s + 18 * p.dl * st.n)) AS w
+        FROM bm_dl p
+        JOIN bm_qt qt USING (term)
+        JOIN bm_df d ON d.term = p.term
+        CROSS JOIN bm_stats st
+    ),
+    bm_sc AS (
+        SELECT query_id, doc_id,
+               round(list_reduce(list(w ORDER BY term), (a, b) -> a + b), 6)
+                   AS score
+        FROM bm_w GROUP BY query_id, doc_id
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM bm_sc
+    ) WHERE rank <= 10
+    """
+
+
+@register("doc_bm25_topk", _BM25_ORACLE, headline=True)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over the corpus for the frozen probe-query
+    set (operators/retrieval.py bm25_topk — the Lucene ranking function,
+    k1=1.2 b=0.75): the postings DataFrame is the inverted index, a
+    broadcast join with the query terms plays the posting-list lookup,
+    per-document accumulation is an ordered row-local fold (Spark
+    ``aggregate`` == DuckDB ``list_reduce`` on the same term order), and
+    tf saturation is one IEEE-identical division of exact BIGINTs (the
+    k1=6/5, b=3/4 rational clearing).  The one transcendental (ln of an
+    exactly-computed argument) sits behind the engine-wide
+    ``round(score, 6)`` grid.
+
+    Scale shape: corpus tokenized once; only documents sharing a query
+    term are ever scored (inverted-index pruning via the broadcast
+    semi-style join); the top-k window ranks (query, doc) scores, never
+    |queries| x |corpus|."""
+    from .operators.retrieval import bm25_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        BM25_QUERIES, ["query_id", "query_text"]
+    )
+    return bm25_topk(
+        docs, queries, text_col="text", id_col="doc_id", k=10
+    )

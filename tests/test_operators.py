@@ -3748,3 +3748,79 @@ def test_hdr_sketch_rejects_negative_and_bad_precision(spark):
         hdr_sketch(df, value_col="v").collect()
     with _pytest.raises(ValueError, match="precision_bits"):
         hdr_sketch(df, value_col="v", precision_bits=0)
+
+
+def test_bm25_topk_hand_computed(spark):
+    """Tiny corpus vs an independent pure-Python BM25 (k1=1.2, b=0.75,
+    Lucene idf): scores match to 1e-6 and ranking matches exactly."""
+    import math
+
+    from dp1_data_wrangling_spark.operators.retrieval import bm25_topk
+
+    corpus = {
+        1: "spark shuffle join hash",
+        2: "hash hash table probe build",
+        3: "sort merge join large table",
+        4: "broadcast join small table",
+        5: "window rank over partition",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "window")], ["query_id", "query_text"]
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(docs, queries, k=3).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    s = sum(len(t) for t in toks.values())
+    df_t = {}
+    for t in toks.values():
+        for w in set(t):
+            df_t[w] = df_t.get(w, 0) + 1
+
+    def score(doc, qwords):
+        dl = len(toks[doc])
+        tot = 0.0
+        for w in sorted(set(qwords)):
+            tf = toks[doc].count(w)
+            if tf == 0:
+                continue
+            idf = math.log((2.0 * n + 2.0) / (2.0 * df_t[w] + 1.0))
+            tot += idf * ((44 * tf * s) / (20 * tf * s + 6 * s + 18 * dl * n))
+        return round(tot, 6)
+
+    for (qid, qwords) in ((1, ["hash", "join"]), (2, ["window"])):
+        expected = sorted(
+            ((d, score(d, qwords)) for d in corpus if score(d, qwords) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        for rank, (d, sc) in enumerate(expected, 1):
+            gd, gs = got[(qid, rank)]
+            assert gd == d and abs(gs - sc) < 1e-6, (qid, rank, (gd, gs), (d, sc))
+    # doc 5 shares no term with query 1: never scored
+    assert all(d != 5 for (q, _), (d, _) in got.items() if q == 1)
+
+
+def test_bm25_stop_word_valve_and_validation(spark):
+    """max_df_ratio_milli drops query terms above the df ratio; bad
+    params raise."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the bird"), (4, "rare cat")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(1, "the cat")], ["query_id", "query_text"])
+    # 'the' appears in 3 of 4 docs (750 milli) — a 500 cap drops it, so
+    # only 'cat' scores and doc 2/3 (dog/bird) never match
+    rows = bm25_topk(docs, queries, k=10, max_df_ratio_milli=500).collect()
+    assert {r.doc_id for r in rows} == {1, 4}
+    with _pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, queries, k=0)
+    with _pytest.raises(ValueError, match="max_df_ratio_milli"):
+        bm25_topk(docs, queries, max_df_ratio_milli=0)

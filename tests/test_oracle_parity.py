@@ -138,9 +138,14 @@ def test_driver_window_covers_flagship_surface():
         # table_expectations + events_hdr_quantiles (both 2x green r7+r8;
         # packing stays via doc_subword_pack, corpus stats via
         # corpus_stats — both in-window)
-        "doc_source_quota",
+        # doc_source_quota rotated out in r9 for doc_bm25_topk (2x
+        # green r7+r8; the sampling family stays via
+        # doc_importance_resample + doc_cluster_safe_split)
         "doc_importance_resample", "doc_dup_spans", "doc_near_dup_curation",
-        "ivf_kmeans_recall_bound", "doc_cluster_safe_split",
+        # ivf_kmeans_recall_bound rotated out in r9 for events_skyline
+        # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
+        # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)
+        "doc_cluster_safe_split",
         "doc_semantic_curation",
         # round-7 mid-round: real PPM/BMP/WAV decode enters directly
         # (find_first_calibration_bypass out; find_first keeps the family)
@@ -148,14 +153,19 @@ def test_driver_window_covers_flagship_surface():
         # multimodal_ulaw — the PPM/BMP/WAV chunk-walk machinery it
         # verifies is also on the hot path of the five codec queries
         # staying in-window (png/qoi/audio/video/ulaw) + in-repo parity
-        "doc_bpe_tokens", "doc_subword_mix",
+        # doc_subword_mix rotated out in r9 for events_value_quantiles
+        # (2x green r7+r8; the subword family stays via doc_subword_pack
+        # + doc_bpe_tokens)
+        "doc_bpe_tokens",
         "multimodal_audio_frames", "multimodal_video_frames",
         "doc_subword_pack", "doc_lm_score",
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)
         "certify_probe", "ivf_index_recall_bound", "corpus_stats",
-        "doc_card_scan",
+        # doc_card_scan rotated out in r9 for doc_cooccurrence (2x green
+        # r7+r8; the PII-precision family stays via doc_gopher_rules'
+        # rule screen and in-repo parity for card-scan/pii-scrub)
         # round-8 rotation: the last two never-driver-checked registry
         # entries enter with full replay oracles (outs: doc_pii_scrub,
         # doc_chunk — 2x green; PII family stays via doc_card_scan,
@@ -260,6 +270,13 @@ def test_driver_window_covers_flagship_surface():
         # log-linear histogram quantiles enter directly (outs: see the
         # doc_pack_sequences / corpus_top_ngrams note above)
         "table_expectations", "events_hdr_quantiles",
+        # round-9: BM25 retrieval enters directly (see doc_source_quota
+        # note above)
+        "doc_bm25_topk",
+        # round-9: the three r8 entrants deliberately held back at the
+        # end of round 8 enter now (outs: see the doc_card_scan /
+        # ivf_kmeans_recall_bound / doc_subword_mix notes above)
+        "doc_cooccurrence", "events_skyline", "events_value_quantiles",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

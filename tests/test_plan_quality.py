@@ -389,6 +389,12 @@ SHUFFLE_BUDGETS = {
     # shuffles by design (the edge-derivation subtree is checkpointed and
     # runs once; see test_triangle_count_no_cartesian_bounded_shuffles)
     "doc_link_triangles": 10,
+    # BM25: the postings index is checkpointed (built once, 2 shuffles
+    # pre-cut); visible shuffles are vocabulary-/stats-sized aggregates
+    # (term df over query vocab, query-term dedup x2, corpus-stats doc
+    # dedup) + the two real data shuffles (per-(query,doc) fold + rank
+    # window) — none move corpus payloads
+    "doc_bm25_topk": 8,
 }
 
 
@@ -818,3 +824,39 @@ def test_sample_quantiles_narrow_windows_no_join(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "partial_max" in plan
+
+
+def test_bm25_match_join_is_broadcast_no_python(spark):
+    """The inverted-index 'lookup' must be broadcast hash joins (query
+    terms are tiny): the postings-to-query match join never sort-merges
+    the corpus, everything stays JVM-side, and the checkpointed postings
+    index appears as ONE RDD scan feeding the match (the stats/df
+    branches read the same materialized index, never re-tokenize)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_bm25_topk"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_hdr_sketch_cell_space_no_join(spark):
+    """HDR quantiles: one map-side-combinable cell groupBy (partial_count
+    before the exchange) + windows over CELLS; no join anywhere."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_hdr_quantiles"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_expectation_suite_single_pass_no_join(spark):
+    """The whole rule suite is one wide aggregate: no join, no window,
+    no Python; map-side combine reduces each partition to one row."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["table_expectations"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
