@@ -220,6 +220,165 @@ def kmv_rolling(
 
 
 # ---------------------------------------------------------------------------
+# Theta set algebra — intersection / difference / union estimates over
+# per-key KMV sketches (Dasgupta et al., "Theta-sketch framework for
+# approximate set operations", 2016 — public literature)
+# ---------------------------------------------------------------------------
+
+
+def theta_overlap(
+    sketch: DataFrame,
+    *,
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation cardinality estimates for every unordered key pair
+    from per-key bottom-k sketches (``kmv_sketch`` rows ``(key, hv)``).
+
+    The theta convention: a saturated sketch's threshold is its k-th
+    smallest hash (``theta = max(hv)``), an unsaturated one keeps the
+    whole space (``theta = M`` — every estimate is then EXACT over the
+    hashed values).  For a pair, ``theta = least(theta_a, theta_b)`` and
+    only entries strictly below it count — each sketch restricted below
+    the pair theta is a uniform sample of its set at rate ``theta / M``,
+    so ``|entries| · M / theta`` estimates each region's cardinality
+    (Dasgupta et al. §3; the KMV single-set estimator ``(k-1)·M/h_k`` is
+    the same formula applied to the k-1 entries below h_k).
+
+    Returns one row per ``key_a < key_b``:
+    ``(key_a, key_b, theta, n_a, n_b, n_inter, est_a, est_b,
+    est_intersect, est_only_a, est_only_b, est_union, jaccard)`` where
+    ``n_*`` count surviving hashes, estimates scale by ``M / theta``
+    (round 6), and ``jaccard = n_inter / n_union`` (NULL when the pair
+    theta-region is empty).  Inclusion–exclusion holds exactly:
+    ``n_union = n_a + n_b - n_inter``.
+
+    Determinism: hashes are the md5-derived 60-bit integers of
+    ``kmv_hash`` — a DuckDB oracle replays sketch, thresholds, counts
+    and the single double division bit-for-bit (``n · M`` is exact in a
+    double for n ≤ k ≤ 2^20, M = 2^60).
+
+    Scale posture (100 TB): everything here runs in SKETCH space — at
+    most k rows per key survive the upstream ``kmv_sketch``, so the
+    key-pair frame, the hash equi-join, and the below-theta counts all
+    move ≤ k·|keys| 8-byte rows; the pair frame is |keys|² but keys are
+    a dimension (event types, tenants, days), never fact rows.  Raw
+    data is scanned once by the sketch build and never again — the
+    algebra composes with ``kmv_merge``'s reaggregation (sketch daily,
+    answer pairwise-overlap queries forever after).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (the estimator uses k-1), got {k}")
+    # The sketch feeds five branches (thetas, both side counts, both
+    # intersection references) — cut it once so the upstream build runs
+    # once (the same multi-reference discipline as connected_components'
+    # edge set; sketch rows are <= k per key, so the materialization is
+    # dimension-sized).
+    s = sketch.select(F.col(key_col).alias("__key"), "hv").localCheckpoint(
+        eager=True
+    )
+    stats = s.groupBy("__key").agg(
+        F.count("*").alias("__n"), F.max("hv").alias("__mx")
+    )
+    th = stats.select(
+        "__key",
+        F.when(F.col("__n") == k, F.col("__mx"))
+        .otherwise(F.lit(KMV_SPACE))
+        .alias("__theta"),
+    )
+    # Key-pair frame: |keys|² is dimension-sized; the inequality join is
+    # a broadcast nested loop over the tiny theta table, never fact data.
+    a, b = th.alias("a"), th.alias("b")
+    pairs = a.join(b, F.col("a.__key") < F.col("b.__key")).select(
+        F.col("a.__key").alias("key_a"),
+        F.col("b.__key").alias("key_b"),
+        F.least(F.col("a.__theta"), F.col("b.__theta")).alias("theta"),
+    )
+    # Per-pair survivor counts: one side each (below the pair theta) and
+    # the hash equi-join intersection — all in sketch space.  The pair
+    # frame and the per-pair count frames are |keys|²-sized dimensions:
+    # broadcast them so the only repartitions left are the pair-keyed
+    # count aggregates themselves.
+    n_a = (
+        s.join(F.broadcast(pairs), s["__key"] == pairs["key_a"])
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_a"))
+    )
+    n_b = (
+        s.join(F.broadcast(pairs), s["__key"] == pairs["key_b"])
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_b"))
+    )
+    x, y = s.alias("x"), s.alias("y")
+    inter = (
+        x.join(F.broadcast(y), F.col("x.hv") == F.col("y.hv"))
+        .filter(F.col("x.__key") < F.col("y.__key"))
+        .select(
+            F.col("x.__key").alias("key_a"),
+            F.col("y.__key").alias("key_b"),
+            F.col("x.hv").alias("hv"),
+        )
+        .join(F.broadcast(pairs), ["key_a", "key_b"])
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    keys = ["key_a", "key_b"]
+    out = (
+        pairs.join(F.broadcast(n_a), keys, "left")
+        .join(F.broadcast(n_b), keys, "left")
+        .join(F.broadcast(inter), keys, "left")
+        .fillna(0, subset=["n_a", "n_b", "n_inter"])
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+
+    def est(n: str) -> F.Column:
+        # (n · M) exact in a double, then ONE IEEE division by theta —
+        # the same expression shape the oracle uses.
+        return F.round(
+            (F.col(n).cast("double") * F.lit(float(KMV_SPACE))) / F.col("theta"),
+            6,
+        )
+
+    return (
+        out.select(
+            *keys,
+            "theta",
+            "n_a",
+            "n_b",
+            "n_inter",
+            "n_union",
+            est("n_a").alias("est_a"),
+            est("n_b").alias("est_b"),
+            est("n_inter").alias("est_intersect"),
+        )
+        .withColumn(
+            "est_only_a", F.round(F.col("est_a") - F.col("est_intersect"), 6)
+        )
+        .withColumn(
+            "est_only_b", F.round(F.col("est_b") - F.col("est_intersect"), 6)
+        )
+        .withColumn(
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_intersect"), 6
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("n_union") > 0,
+                F.round(
+                    F.col("n_inter").cast("double") / F.col("n_union"), 6
+                ),
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bottom-k uniform sample sketch — mergeable sampling + quantile estimates
 # ---------------------------------------------------------------------------
 

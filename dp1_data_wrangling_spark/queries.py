@@ -2719,6 +2719,97 @@ def q_events_kmv_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_theta_overlap",
+    """
+    WITH to_h AS (
+        SELECT DISTINCT event_type AS key,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    to_sk AS (
+        SELECT key, hv FROM (
+            SELECT key, hv,
+                   row_number() OVER (PARTITION BY key ORDER BY hv) AS rn
+            FROM to_h) to_i WHERE rn <= 64
+    ),
+    to_th AS (
+        SELECT key, CASE WHEN count(*) = 64 THEN max(hv)
+                         ELSE 1152921504606846976 END AS theta
+        FROM to_sk GROUP BY key
+    ),
+    to_p AS (
+        SELECT a.key AS key_a, b.key AS key_b,
+               least(a.theta, b.theta) AS theta
+        FROM to_th a JOIN to_th b ON a.key < b.key
+    ),
+    to_na AS (
+        SELECT p.key_a, p.key_b, CAST(count(*) AS BIGINT) AS n_a
+        FROM to_p p JOIN to_sk s ON s.key = p.key_a AND s.hv < p.theta
+        GROUP BY 1, 2
+    ),
+    to_nb AS (
+        SELECT p.key_a, p.key_b, CAST(count(*) AS BIGINT) AS n_b
+        FROM to_p p JOIN to_sk s ON s.key = p.key_b AND s.hv < p.theta
+        GROUP BY 1, 2
+    ),
+    to_ni AS (
+        SELECT p.key_a, p.key_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM to_p p
+        JOIN to_sk x ON x.key = p.key_a AND x.hv < p.theta
+        JOIN to_sk y ON y.key = p.key_b AND y.hv = x.hv
+        GROUP BY 1, 2
+    ),
+    to_c AS (
+        SELECT p.key_a, p.key_b, p.theta,
+               COALESCE(a.n_a, 0) AS n_a, COALESCE(b.n_b, 0) AS n_b,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               COALESCE(a.n_a, 0) + COALESCE(b.n_b, 0)
+                   - COALESCE(i.n_inter, 0) AS n_union
+        FROM to_p p
+        LEFT JOIN to_na a USING (key_a, key_b)
+        LEFT JOIN to_nb b USING (key_a, key_b)
+        LEFT JOIN to_ni i USING (key_a, key_b)
+    ),
+    to_e AS (
+        SELECT *,
+               round((CAST(n_a AS DOUBLE) * 1152921504606846976.0)
+                     / theta, 6) AS est_a,
+               round((CAST(n_b AS DOUBLE) * 1152921504606846976.0)
+                     / theta, 6) AS est_b,
+               round((CAST(n_inter AS DOUBLE) * 1152921504606846976.0)
+                     / theta, 6) AS est_intersect
+        FROM to_c
+    )
+    SELECT key_a, key_b, theta, n_a, n_b, n_inter, n_union,
+           est_a, est_b, est_intersect,
+           round(est_a - est_intersect, 6) AS est_only_a,
+           round(est_b - est_intersect, 6) AS est_only_b,
+           round(est_a + est_b - est_intersect, 6) AS est_union,
+           CASE WHEN n_union > 0
+                THEN round(CAST(n_inter AS DOUBLE) / n_union, 6)
+           END AS jaccard
+    FROM to_e
+    """,
+)
+def q_events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimates for every event-type pair via theta
+    set algebra over per-type KMV sketches (operators/sketch.py
+    theta_overlap): distinct-user intersection, difference, union and
+    Jaccard for all pairs, computed entirely in SKETCH space — raw
+    events are scanned once by the sketch build; the pairwise algebra
+    moves <= k hashes per type.  The md5 hashes, integer thresholds and
+    single double divisions replay bit-for-bit in the oracle, which
+    recomputes sketch, theta, survivor counts and every estimate from
+    the raw table independently."""
+    from .operators.sketch import kmv_sketch, theta_overlap
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(e, value_col="user_id", group_cols=["event_type"], k=64)
+    return theta_overlap(sk, key_col="event_type", k=64)
+
+
+@register(
     "events_value_quantiles",
     """
     WITH sq_r AS (
@@ -3029,7 +3120,7 @@ DRIVER_WINDOW: list[str] = [
     "certify_probe",              # K10 certify at 600k-interval fact scale
     "ivf_index_recall_bound",     # persisted IVF index build->publish->query
     "corpus_stats",               # one-pass corpus summary
-    "doc_lm_score",               # frozen-unigram LM perplexity proxy
+    "events_theta_overlap",       # r9: theta set algebra over KMV sketches
     "doc_subword_pack",           # packing under real subword budget
     "multimodal_video_frames",    # REAL Y4M decode + frame sampling
     "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing

@@ -3824,3 +3824,80 @@ def test_bm25_stop_word_valve_and_validation(spark):
         bm25_topk(docs, queries, k=0)
     with _pytest.raises(ValueError, match="max_df_ratio_milli"):
         bm25_topk(docs, queries, max_df_ratio_milli=0)
+
+
+def test_theta_overlap_unsaturated_is_exact(spark):
+    """With k above every set size, theta = M and every estimate is the
+    EXACT set-algebra answer over the raw values."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        kmv_sketch,
+        theta_overlap,
+    )
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in range(6, 16)]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    sk = kmv_sketch(df, value_col="v", group_cols=["key"], k=64)
+    [r] = theta_overlap(sk, key_col="key", k=64).collect()
+    assert (r.key_a, r.key_b) == ("a", "b")
+    assert (r.n_a, r.n_b, r.n_inter, r.n_union) == (10, 10, 5, 15)
+    assert (r.est_a, r.est_b) == (10.0, 10.0)
+    assert (r.est_intersect, r.est_union) == (5.0, 15.0)
+    assert (r.est_only_a, r.est_only_b) == (5.0, 5.0)
+    assert r.jaccard == round(5 / 15, 6)
+
+
+def test_theta_overlap_saturated_matches_python_replay(spark):
+    """Saturated sketches (k = 8 over 100-element sets): the pair theta,
+    survivor counts and every scaled estimate equal an independent pure-
+    Python replay of the md5 bottom-k construction."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_sketch,
+        theta_overlap,
+    )
+
+    k = 8
+    sets = {"a": set(range(100)), "b": set(range(50, 150)),
+            "c": set(range(200, 210))}  # c is small: unsaturated
+    rows = [(key, v) for key, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    sk = kmv_sketch(df, value_col="v", group_cols=["key"], k=k)
+    got = {(r.key_a, r.key_b): r
+           for r in theta_overlap(sk, key_col="key", k=k).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    sk_py = {key: sorted(h(v) for v in vs)[:k] for key, vs in sets.items()}
+    theta_py = {key: (s[-1] if len(s) == k else KMV_SPACE)
+                for key, s in sk_py.items()}
+    for (ka, kb), r in got.items():
+        theta = min(theta_py[ka], theta_py[kb])
+        a_below = {x for x in sk_py[ka] if x < theta}
+        b_below = {x for x in sk_py[kb] if x < theta}
+        assert r.theta == theta
+        assert (r.n_a, r.n_b) == (len(a_below), len(b_below))
+        assert r.n_inter == len(a_below & b_below)
+        assert r.n_union == len(a_below) + len(b_below) - len(a_below & b_below)
+        assert r.est_intersect == round(
+            (float(len(a_below & b_below)) * float(KMV_SPACE)) / theta, 6
+        )
+    # the saturated a/b pair shares half its elements: the estimate must
+    # land in the right ballpark (deterministic, not a flaky bound)
+    ab = got[("a", "b")]
+    assert 0 < ab.est_intersect < 150
+    # c is disjoint from both: zero intersection however theta falls
+    assert got[("a", "c")].n_inter == 0 and got[("b", "c")].n_inter == 0
+
+
+def test_theta_overlap_validation(spark):
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.sketch import theta_overlap
+
+    df = spark.createDataFrame([("a", 1)], ["key", "hv"])
+    with _pytest.raises(ValueError, match="k must be"):
+        theta_overlap(df, key_col="key", k=1)

@@ -158,7 +158,9 @@ def test_driver_window_covers_flagship_surface():
         # + doc_bpe_tokens)
         "doc_bpe_tokens",
         "multimodal_audio_frames", "multimodal_video_frames",
-        "doc_subword_pack", "doc_lm_score",
+        # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
+        # green r7+r8; LM scoring stays via doc_bigram_score in-window)
+        "doc_subword_pack", "events_theta_overlap",
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)

@@ -395,6 +395,11 @@ SHUFFLE_BUDGETS = {
     # dedup) + the two real data shuffles (per-(query,doc) fold + rank
     # window) — none move corpus payloads
     "doc_bm25_topk": 8,
+    # theta set algebra: every shuffle is SKETCH-space (<= k rows per
+    # key survive the checkpointed kmv_sketch) — the sketch build's
+    # distinct + bottom-k window, per-key stats, and the pair-keyed
+    # count aggregates; all pair joins broadcast (gate below)
+    "events_theta_overlap": 11,
 }
 
 
@@ -860,3 +865,18 @@ def test_expectation_suite_single_pass_no_join(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_theta_overlap_sketch_space_all_broadcast(spark):
+    """Theta set algebra runs downstream of the checkpointed bottom-k
+    sketch: the pair frame and every per-pair count join broadcast (no
+    sort-merge join anywhere), nothing evaluates Python, and no
+    cartesian product sneaks in (the key-pair inequality join is a
+    broadcast nested loop over the dimension-sized theta table)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_theta_overlap"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
