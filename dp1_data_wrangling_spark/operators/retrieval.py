@@ -169,3 +169,84 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def positional_postings(
+    df: DataFrame, *, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, term) positional token stream — the positional inverted
+    index's row form.  Positions are 0-based indexes into the
+    empties-filtered token array (filter BEFORE positions, so both
+    engines agree on the coordinate system)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+            )
+        ).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    phrase_text_col: str = "phrase_text",
+) -> DataFrame:
+    """Exact phrase occurrence counts via positional postings — the
+    relational form of Lucene's PhraseQuery (slop 0): a phrase of
+    terms (t_0 .. t_{m-1}) occurs at anchor position p iff the document
+    has t_i at p+i for EVERY offset i.  Joining the (phrase, offset,
+    term) tokens against the postings on term and grouping by
+    ``anchor = pos - offset`` turns that conjunction into a count: an
+    anchor with all m DISTINCT offsets present is a match.  Distinct
+    matters for phrases with repeated terms: offset i is satisfied only
+    by the posting at p+i, so counting distinct offsets checks presence
+    of every coordinate without letting one posting stand in for two.
+
+    Returns one row per (phrase, matching doc):
+    ``(phrase_id, doc_id, n_matches, first_pos)`` — occurrence count
+    and the 0-based position of the earliest match.  Documents with no
+    match produce no row (inverted-index pruning: only postings whose
+    term appears in some phrase ever leave the scan).
+
+    Scale posture (100 TB): the phrase table is tiny and broadcasts;
+    postings join it on term (only matching terms survive the scan),
+    and the single data shuffle is the (phrase, doc, anchor) count
+    aggregate — map-side combinable, anchor-bounded.  The positional
+    index rows are (id, int, term) — the same catalog-tier artifact
+    class as the BM25 postings.
+    """
+    ptoks = positional_postings(
+        phrases, text_col=phrase_text_col, id_col=phrase_id_col
+    ).select(
+        F.col(phrase_id_col), F.col("pos").alias("offset"), "term"
+    )
+    plen = ptoks.groupBy(phrase_id_col).agg(
+        F.count("*").alias("__m")
+    )
+    postings = positional_postings(docs, text_col=text_col, id_col=id_col)
+    anchored = (
+        postings.join(F.broadcast(ptoks), "term")
+        .select(
+            phrase_id_col,
+            id_col,
+            (F.col("pos") - F.col("offset")).alias("anchor"),
+            "offset",
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    hits = (
+        anchored.groupBy(phrase_id_col, id_col, "anchor")
+        .agg(F.countDistinct("offset").alias("__k"))
+        .join(F.broadcast(plen), phrase_id_col)
+        .filter(F.col("__k") == F.col("__m"))
+    )
+    return hits.groupBy(phrase_id_col, id_col).agg(
+        F.count("*").alias("n_matches"),
+        F.min("anchor").alias("first_pos"),
+    )

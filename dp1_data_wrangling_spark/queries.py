@@ -3122,7 +3122,7 @@ DRIVER_WINDOW: list[str] = [
     "corpus_stats",               # one-pass corpus summary
     "events_theta_overlap",       # r9: theta set algebra over KMV sketches
     "doc_subword_pack",           # packing under real subword budget
-    "multimodal_video_frames",    # REAL Y4M decode + frame sampling
+    "doc_phrase_search",          # r9: positional-postings phrase search
     "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing
     "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch
     "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer

@@ -3363,3 +3363,94 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, queries, text_col="text", id_col="doc_id", k=10
     )
+
+
+#: Frozen probe phrases for the positional index tier — "big big"
+#: exercises the repeated-term distinct-offset logic externally.
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "table part"),
+    (2, "fast table value"),
+    (3, "window data"),
+    (4, "big big"),
+]
+
+_PHRASE_ORACLE = """
+    WITH ph_q AS (
+        SELECT * FROM (VALUES (1, 'table part'), (2, 'fast table value'),
+                              (3, 'window data'), (4, 'big big'))
+               AS q(phrase_id, phrase_text)
+    ),
+    ph_arr AS (
+        SELECT phrase_id,
+               list_filter(regexp_split_to_array(lower(phrase_text),
+                                                 '\\W+'),
+                           x -> x != '') AS arr
+        FROM ph_q
+    ),
+    ph_pos AS (
+        SELECT phrase_id, unnest(generate_series(1, len(arr))) AS i, arr
+        FROM ph_arr
+    ),
+    ph_t AS (
+        SELECT phrase_id, i - 1 AS off, arr[i] AS term FROM ph_pos
+    ),
+    ph_m AS (
+        SELECT phrase_id, CAST(count(*) AS BIGINT) AS m
+        FROM ph_t GROUP BY phrase_id
+    ),
+    phd_arr AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS arr
+        FROM documents
+    ),
+    phd_pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr
+        FROM phd_arr
+    ),
+    phd_t AS (
+        SELECT doc_id, i - 1 AS pos, arr[i] AS term FROM phd_pos
+    ),
+    ph_anch AS (
+        SELECT p.phrase_id, d.doc_id, d.pos - p.off AS anchor, p.off
+        FROM phd_t d JOIN ph_t p USING (term)
+        WHERE d.pos - p.off >= 0
+    ),
+    ph_hit AS (
+        SELECT phrase_id, doc_id, anchor,
+               count(DISTINCT off) AS k
+        FROM ph_anch GROUP BY 1, 2, 3
+    )
+    SELECT CAST(h.phrase_id AS BIGINT) AS phrase_id, h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(h.anchor) AS BIGINT) AS first_pos
+    FROM ph_hit h JOIN ph_m m USING (phrase_id)
+    WHERE h.k = m.m
+    GROUP BY 1, 2
+    """
+
+
+@register("doc_phrase_search", _PHRASE_ORACLE)
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the corpus for the frozen probe phrases
+    (operators/retrieval.py phrase_search — Lucene PhraseQuery slop-0
+    semantics as positional-postings algebra): a phrase matches at
+    anchor p iff every term t_i sits at position p+i, turned into one
+    map-side-combinable count aggregate by the anchor = pos - offset
+    trick.  Pure integer positions and counts — the oracle replays the
+    positional index and the anchor conjunction verbatim."""
+    from .operators.retrieval import phrase_search
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    phrases = spark.createDataFrame(
+        PHRASE_QUERIES, ["phrase_id", "phrase_text"]
+    )
+    out = phrase_search(
+        docs, phrases, text_col="text", id_col="doc_id"
+    )
+    return out.select(
+        "phrase_id",
+        "doc_id",
+        "n_matches",
+        F.col("first_pos").cast("bigint").alias("first_pos"),
+    )

@@ -3901,3 +3901,46 @@ def test_theta_overlap_validation(spark):
     df = spark.createDataFrame([("a", 1)], ["key", "hv"])
     with _pytest.raises(ValueError, match="k must be"):
         theta_overlap(df, key_col="key", k=1)
+
+
+def test_phrase_search_hand_computed(spark):
+    """Anchored conjunction semantics: overlapping occurrences count,
+    repeated-term phrases need BOTH coordinates, punctuation splits but
+    never matches, and non-matching docs emit no row."""
+    from dp1_data_wrangling_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox, the quick dog"),
+            (2, "big big big data"),
+            (3, "quick the brown"),
+            (4, "Big BIG"),
+        ],
+        ["doc_id", "text"],
+    )
+    phrases = spark.createDataFrame(
+        [(1, "the quick"), (2, "big big"), (3, "quick brown fox")],
+        ["phrase_id", "phrase_text"],
+    )
+    got = {
+        (r.phrase_id, r.doc_id): (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, phrases).collect()
+    }
+    assert got == {
+        (1, 1): (2, 0),   # "the quick" at 0 and 4
+        (2, 2): (2, 0),   # overlapping "big big" at 0 and 1
+        (2, 4): (1, 0),   # case-folded
+        (3, 1): (1, 1),   # across the comma boundary of doc 1's tokens
+    }
+
+
+def test_phrase_search_repeated_term_needs_both_positions(spark):
+    """A single 'big' must never satisfy the two-coordinate phrase."""
+    from dp1_data_wrangling_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "big data big compute"), (2, "big big")], ["doc_id", "text"]
+    )
+    phrases = spark.createDataFrame([(1, "big big")], ["phrase_id", "phrase_text"])
+    rows = phrase_search(docs, phrases).collect()
+    assert [(r.doc_id, r.n_matches) for r in rows] == [(2, 1)]

@@ -157,7 +157,10 @@ def test_driver_window_covers_flagship_surface():
         # (2x green r7+r8; the subword family stays via doc_subword_pack
         # + doc_bpe_tokens)
         "doc_bpe_tokens",
-        "multimodal_audio_frames", "multimodal_video_frames",
+        # multimodal_video_frames rotated out mid-r9 for
+        # doc_phrase_search (2x green r7+r8; the multimodal family keeps
+        # png/qoi/ulaw/audio_frames — four codec reps — in-window)
+        "multimodal_audio_frames", "doc_phrase_search",
         # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
         # green r7+r8; LM scoring stays via doc_bigram_score in-window)
         "doc_subword_pack", "events_theta_overlap",

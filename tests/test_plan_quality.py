@@ -880,3 +880,16 @@ def test_theta_overlap_sketch_space_all_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_phrase_search_broadcast_postings_join_no_python(spark):
+    """The phrase-token join must broadcast (the phrase table is tiny),
+    the anchor conjunction must partially aggregate map-side, and
+    nothing evaluates Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_phrase_search"].fn(spark, SMOKE_SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
