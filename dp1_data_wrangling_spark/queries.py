@@ -3132,7 +3132,7 @@ DRIVER_WINDOW: list[str] = [
     "table_expectations",         # r9: Deequ-class declarative rule suite
     "events_hdr_quantiles",       # r9: HDR log-linear histogram quantiles
     "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
-    "doc_importance_resample",    # deterministic importance resampling
+    "bm25_index_topk",            # r9: persisted text index build->query
     "doc_dup_spans",              # substring-dup span screen
     "doc_near_dup_curation",      # near-dup-aware curation (transitive closure)
     "events_skyline",             # r9: 2-D Pareto skyline (one ordered pass)

@@ -3454,3 +3454,23 @@ def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matches",
         F.col("first_pos").cast("bigint").alias("first_pos"),
     )
+
+
+@register("bm25_index_topk", _BM25_ORACLE)
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the PERSISTED text index (plans/text_index.py):
+    postings built once and published term-bucketed through the catalog,
+    query served with directory-level partition pruning on the term
+    buckets and exact manifest-pinned corpus statistics.  Byte-identical
+    to the online doc_bm25_topk (equality pipeline-tested), so the same
+    oracle verifies the whole build->publish->query round trip."""
+    import tempfile
+
+    from .plans.catalog import Catalog
+    from .plans.text_index import bm25_query_index, build_text_index
+
+    cat = Catalog(tempfile.mkdtemp(prefix="textidx_q_"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    build_text_index(spark, cat, docs.select("doc_id", "text"))
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    return bm25_query_index(spark, cat, queries, 10)

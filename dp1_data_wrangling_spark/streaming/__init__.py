@@ -35,6 +35,7 @@ from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
 from .sinks import stream_into_catalog
 from .stateful import incremental_find_first
+from .text_index import stream_text_index_append
 from .training_export import finalize_training_export
 
 __all__ = [
@@ -56,6 +57,7 @@ __all__ = [
     "SEM_FLAGGED_TABLE",
     "read_semantic_survivors",
     "stream_ivf_index_append",
+    "stream_text_index_append",
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",

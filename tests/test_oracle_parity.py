@@ -141,7 +141,10 @@ def test_driver_window_covers_flagship_surface():
         # doc_source_quota rotated out in r9 for doc_bm25_topk (2x
         # green r7+r8; the sampling family stays via
         # doc_importance_resample + doc_cluster_safe_split)
-        "doc_importance_resample", "doc_dup_spans", "doc_near_dup_curation",
+        # doc_importance_resample rotated out mid-r9 for bm25_index_topk
+        # (2x green r7+r8; the sampling family stays via
+        # doc_cluster_safe_split + in-repo parity)
+        "bm25_index_topk", "doc_dup_spans", "doc_near_dup_curation",
         # ivf_kmeans_recall_bound rotated out in r9 for events_skyline
         # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
         # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)

@@ -1873,3 +1873,58 @@ def test_backfill_stats_covers_columns_added_by_redeclaration(spark, tmp_path):
     assert cat.backfill_stats(spark, "t") == 2
     assert cat.backfill_stats(spark, "t") == 0
     assert len(cat.prune_roots("t", "uid = 1005")) == 1
+
+
+@pytest.fixture(scope="module")
+def text_index_cat(spark, tmp_path_factory):
+    from dp1_data_wrangling_spark.plans.text_index import build_text_index
+    from dp1_data_wrangling_spark.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    cat = Catalog(tmp_path_factory.mktemp("textidx") / "cat")
+    build_text_index(spark, cat, docs)
+    return cat, docs
+
+
+def test_text_index_query_equals_online_bm25(spark, text_index_cat):
+    """The persisted postings index returns EXACTLY the online bm25_topk
+    result (same statistics, same scoring tree, same fold order):
+    persistence changes the physics, never the answer."""
+    from dp1_data_wrangling_spark.operators.retrieval import bm25_topk
+    from dp1_data_wrangling_spark.plans.text_index import bm25_query_index
+
+    cat, docs = text_index_cat
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "window agg stream"), (3, "slow scan filter")],
+        ["query_id", "query_text"],
+    )
+    got = bm25_query_index(spark, cat, queries, 10)
+    want = bm25_topk(docs, queries, k=10)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_text_index_query_prunes_partitions(spark, text_index_cat):
+    """The query-term bucket filter must reach the postings scan as a
+    PARTITION filter (directory skip) with the term filter pushed, and
+    the df join must broadcast."""
+    from dp1_data_wrangling_spark.plans.text_index import bm25_query_index
+
+    cat, _ = text_index_cat
+    queries = spark.createDataFrame([(1, "hash")], ["query_id", "query_text"])
+    df = bm25_query_index(spark, cat, queries, 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan, plan
+    m = __import__("re").search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "tb" in m.group(1), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_text_index_requires_build(spark, tmp_path):
+    from dp1_data_wrangling_spark.plans.text_index import bm25_query_index
+
+    queries = spark.createDataFrame([(1, "x")], ["query_id", "query_text"])
+    with pytest.raises(RuntimeError, match="no persisted text index"):
+        bm25_query_index(spark, Catalog(tmp_path / "cat"), queries, 5)

@@ -1246,3 +1246,67 @@ def test_stream_sketches_sample_twin_equals_batch(spark, tmp_path):
         )
     )
     assert got_q == want_q
+
+
+def test_stream_text_index_equals_batch_build(spark, tmp_path):
+    """Postings streamed in micro-batches serve EXACTLY the online
+    bm25_topk answer over the accumulated corpus — batch boundaries and
+    full-batch redelivery cannot change a score, a rank, or the corpus
+    statistics (associative integer sums committed exactly-once)."""
+    import time
+
+    from dp1_data_wrangling_spark.operators.retrieval import bm25_topk
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.plans.text_index import (
+        META_N_DOCS,
+        META_SUM_DL,
+        bm25_query_index,
+        build_text_index,
+    )
+    from dp1_data_wrangling_spark.streaming import stream_text_index_append
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    cat = Catalog(tmp_path / "cat")
+    build_text_index(spark, cat, seed)
+
+    src = tmp_path / "docs_stream"
+    rest.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)
+    rest.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = stream_text_index_append(
+        stream, str(cat.root), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "window agg stream")],
+        ["query_id", "query_text"],
+    )
+    got = bm25_query_index(spark, cat, queries, 10)
+    want = bm25_topk(docs, queries, k=10)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # full redelivery from a FRESH checkpoint: the id anti-join drops
+    # every doc, the stats stay exact, the answer is unchanged
+    n0, s0 = cat.meta()[META_N_DOCS], cat.meta()[META_SUM_DL]
+    q2 = stream_text_index_append(
+        stream, str(cat.root), checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(180)
+    assert (cat.meta()[META_N_DOCS], cat.meta()[META_SUM_DL]) == (n0, s0)
+    got2 = bm25_query_index(spark, cat, queries, 10)
+    assert got2.exceptAll(want).count() == 0
+    assert want.exceptAll(got2).count() == 0
