@@ -3084,6 +3084,104 @@ from . import queries_streaming  # noqa: E402,F401
 # (weakest evidence first), always leaving one representative per
 # operator family in-window.  The full round-by-round rotation history
 # lives in BASELINE.md ("Driver-window rotation history").
+@register(
+    "events_changepoints",
+    """
+    WITH cp_base AS (
+        SELECT event_type, epoch_us(ts) AS tus, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts), event_id) AS seq,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    cp_sh AS (
+        SELECT event_type, tus, event_id, seq, n,
+               CAST(floor((CASE WHEN seq * 2 > n THEN value + 25.0
+                                ELSE value END) * 1000) AS BIGINT) AS v
+        FROM cp_base
+    ),
+    cp_tot AS (
+        SELECT *, CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS vv
+        FROM cp_sh
+    ),
+    cp_cum AS (
+        SELECT event_type, seq, n, vv,
+               CAST(sum(n * v - vv - n * 10000) OVER (
+                   PARTITION BY event_type ORDER BY tus, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cu,
+               CAST(sum(vv - n * v - n * 10000) OVER (
+                   PARTITION BY event_type ORDER BY tus, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+        FROM cp_tot
+    ),
+    cp_st AS (
+        SELECT event_type, seq, n,
+               cu - least(0, min(cu) OVER (
+                   PARTITION BY event_type ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING)) AS su,
+               cd - least(0, min(cd) OVER (
+                   PARTITION BY event_type ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING)) AS sd
+        FROM cp_cum
+    ),
+    cp_al AS (
+        SELECT event_type, CAST(seq AS BIGINT) AS seq, 'up' AS direction,
+               CAST(su AS BIGINT) AS stat_scaled,
+               CAST(n * 500000 AS BIGINT) AS threshold_scaled
+        FROM cp_st WHERE su > n * 500000
+        UNION ALL
+        SELECT event_type, CAST(seq AS BIGINT) AS seq, 'down' AS direction,
+               CAST(sd AS BIGINT) AS stat_scaled,
+               CAST(n * 500000 AS BIGINT) AS threshold_scaled
+        FROM cp_st WHERE sd > n * 500000
+    )
+    SELECT * FROM cp_al
+    """,
+)
+def q_events_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point alarms per event type
+    (operators/changepoint.py cusum_changepoints — Page's control chart
+    via the closed prefix form, exact n-cleared BIGINT arithmetic) over
+    a series with a PLANTED +25 level shift in each group's second half
+    — the detector must flag the shifted region upward and the
+    pre-shift region downward (both relative to the contaminated mean),
+    which the oracle replays bit-for-bit with the same window algebra.
+    Slack 10 value-units, threshold 500 value-units."""
+    from .operators.changepoint import cusum_changepoints
+
+    w_grp = Window.partitionBy("event_type")
+    w_ord = w_grp.orderBy(F.expr("unix_micros(CAST(ts AS TIMESTAMP))"), "event_id")
+    shifted = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .withColumn("__tus", F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("__seq", F.row_number().over(w_ord))
+        .withColumn(
+            "__n",
+            F.count("*").over(
+                w_grp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "shifted_value",
+            F.when(
+                F.col("__seq") * 2 > F.col("__n"), F.col("value") + F.lit(25.0)
+            ).otherwise(F.col("value")),
+        )
+    )
+    return cusum_changepoints(
+        shifted,
+        value_col="shifted_value",
+        order_cols=["__tus", "event_id"],
+        group_cols=["event_type"],
+        slack_milli=10000,
+        threshold_milli=500000,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
@@ -3133,7 +3231,7 @@ DRIVER_WINDOW: list[str] = [
     "events_hdr_quantiles",       # r9: HDR log-linear histogram quantiles
     "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
     "bm25_index_topk",            # r9: persisted text index build->query
-    "doc_dup_spans",              # substring-dup span screen
+    "events_changepoints",        # r9: exact CUSUM change-point alarms
     "doc_near_dup_curation",      # near-dup-aware curation (transitive closure)
     "events_skyline",             # r9: 2-D Pareto skyline (one ordered pass)
     "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)

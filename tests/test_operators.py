@@ -3944,3 +3944,79 @@ def test_phrase_search_repeated_term_needs_both_positions(spark):
     phrases = spark.createDataFrame([(1, "big big")], ["phrase_id", "phrase_text"])
     rows = phrase_search(docs, phrases).collect()
     assert [(r.doc_id, r.n_matches) for r in rows] == [(2, 1)]
+
+
+def test_cusum_changepoints_hand_computed(spark):
+    """8-point step series (10,10,10,10,20,20,20,20), slack 2, h 8:
+    hand-derived n-cleared statistics — upward alarms exactly at seq 7-8
+    (post-shift drift accumulates), downward exactly at seq 3-4 (the
+    pre-shift region sits below the contaminated mean)."""
+    from dp1_data_wrangling_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 10, 10, 10, 20, 20, 20, 20])]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    got = {
+        (r.seq, r.direction): (r.stat_scaled, r.threshold_scaled)
+        for r in cusum_changepoints(
+            df, value_col="v", order_cols=["t"], group_cols=["g"],
+            slack_milli=2000, threshold_milli=8000,
+        ).collect()
+    }
+    # d_up = 8v - 120000 - 16000 -> cu: -56,-112,-168,-224,-200,-176,-152,-128 (k)
+    # su = cu - min(0, runmin): 0 x4, 24k, 48k, 72k, 96k; thresh = 64k
+    # d_dn mirrors -> sd: 24k,48k,72k,96k,56k,0,0,0
+    assert got == {
+        (7, "up"): (72000, 64000),
+        (8, "up"): (96000, 64000),
+        (3, "down"): (72000, 64000),
+        (4, "down"): (96000, 64000),
+    }
+
+
+def test_cusum_changepoints_stable_series_no_alarms_and_validation(spark):
+    """A constant series never alarms (both statistics pin at -n*slack
+    drift, floored at 0); invalid knobs raise."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(50)], ["g", "t", "v"]
+    )
+    assert (
+        cusum_changepoints(
+            df, value_col="v", order_cols=["t"], group_cols=["g"],
+            slack_milli=0, threshold_milli=1,
+        ).count()
+        == 0
+    )
+    with _pytest.raises(ValueError, match="threshold_milli"):
+        cusum_changepoints(
+            df, value_col="v", order_cols=["t"], group_cols=["g"],
+            threshold_milli=0,
+        )
+    with _pytest.raises(ValueError, match="slack_milli"):
+        cusum_changepoints(
+            df, value_col="v", order_cols=["t"], group_cols=["g"],
+            slack_milli=-1,
+        )
+
+
+def test_cusum_changepoints_groups_independent(spark):
+    """A shift in one group must not leak alarms into a flat sibling."""
+    from dp1_data_wrangling_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    rows = [("shifted", i, 10.0 if i < 10 else 50.0) for i in range(20)]
+    rows += [("flat", i, 30.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = cusum_changepoints(
+        df, value_col="v", order_cols=["t"], group_cols=["g"],
+        slack_milli=5000, threshold_milli=20000,
+    )
+    assert {r.g for r in out.collect()} == {"shifted"}

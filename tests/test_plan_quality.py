@@ -893,3 +893,15 @@ def test_phrase_search_broadcast_postings_join_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_cusum_single_exchange_no_join_no_python(spark):
+    """CUSUM: the group constants, both cumulative sums and both running
+    mins all share ONE hash partitioning — a single data exchange,
+    stacked sorts, no join, no Python anywhere."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_changepoints"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) <= 2, plan  # AQE prints initial+final
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
