@@ -250,3 +250,166 @@ def phrase_search(
         F.count("*").alias("n_matches"),
         F.min("anchor").alias("first_pos"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public literature): greedily select ``k`` of each
+    query's candidates maximizing
+
+        mmr(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+
+    — the standard diversity re-rank between first-stage retrieval
+    (BM25 / ANN) and an LLM consumer.  ``candidates`` is the SMALL
+    per-query pool ``(query_id, id, rel, vec)`` (tens of rows per query
+    by contract — the output of a top-N retriever), so the whole greedy
+    loop runs ROW-LOCALLY: one groupBy gathers each query's pool into
+    an array, and ``F.aggregate`` over a static k-step sequence plays
+    the iteration with pure JVM higher-order functions — no driver
+    loop, no Python, no per-step shuffle.
+
+    Determinism: a score λ·rel − (1−λ)·div over 6-decimal inputs lands
+    a 7th decimal of exactly 5 for a large fraction of candidates —
+    deterministically CONSTRUCTED round-half cases where engines'
+    rounding modes disagree (observed: Spark 0.255123 vs DuckDB
+    0.255122 flipping an argmax).  So the greedy NEVER compares floats:
+    relevance and each pairwise cosine snap to exact integer MICROS
+    (``round(x · 1e6, 0)`` — one rounding of the raw double, the same
+    1-ulp-safety class as the engine-wide round-6), the score is the
+    exact BIGINT ``lambda_milli·rel_u − (1000−lambda_milli)·div_u`` in
+    nano units, and every argmax is integer comparison with ascending-id
+    ties.
+
+    Returns ``(query_id, rank, id, mmr_score_nano)`` with rank 1..k
+    (fewer if the pool is smaller); ``mmr_score_nano`` is the exact
+    integer score in 1e-9 units (divide by 1e9 for the conventional
+    value); rank 1 is pure relevance (its score is λ·rel — no diversity
+    term exists yet).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lambda_milli <= 1000:
+        raise ValueError(
+            f"lambda_milli must be in [0, 1000], got {lambda_milli}"
+        )
+    lam = F.lit(lambda_milli).cast("bigint")
+    mu = F.lit(1000 - lambda_milli).cast("bigint")
+
+    def micros(x):
+        return F.round(x * F.lit(1000000.0), 0).cast("bigint")
+
+    def cos_u(a, b):
+        num = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x), F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x), F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return micros(num / (na * nb))
+
+    # Pool per query, sorted by (rel desc, id) — struct field order makes
+    # array_sort the deterministic argmax: the head is rank 1.
+    pool = candidates.groupBy(query_id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-micros(F.col(rel_col))).alias("nrel"),
+                    F.col(id_col).cast("bigint").alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"),
+                )
+            )
+        ).alias("__pool")
+    )
+    first = F.element_at("__pool", 1)
+    init = F.struct(
+        F.array(first).alias("sel"),
+        F.array(
+            F.struct(
+                first["id"].alias("id"),
+                (lam * (-first["nrel"])).alias("score"),
+            )
+        ).alias("out"),
+    )
+
+    def step(state, _i):
+        sel, out = state["sel"], state["out"]
+        rem = F.filter(
+            F.col("__pool"),
+            lambda c: ~F.exists(sel, lambda s: s["id"] == c["id"]),
+        )
+        scored = F.transform(
+            rem,
+            lambda c: F.struct(
+                (
+                    -(
+                        lam * (-c["nrel"])
+                        - mu
+                        * F.array_max(
+                            F.transform(
+                                sel, lambda s: cos_u(c["vec"], s["vec"])
+                            )
+                        )
+                    )
+                ).alias("nscore"),
+                c["id"].alias("id"),
+                c["nrel"].alias("nrel"),
+                c["vec"].alias("vec"),
+            ),
+        )
+        best = F.array_min(scored)
+        grown = F.struct(
+            F.concat(
+                sel,
+                F.array(
+                    F.struct(
+                        best["nrel"].alias("nrel"),
+                        best["id"].alias("id"),
+                        best["vec"].alias("vec"),
+                    )
+                ),
+            ).alias("sel"),
+            F.concat(
+                out,
+                F.array(
+                    F.struct(
+                        best["id"].alias("id"),
+                        (-best["nscore"]).alias("score"),
+                    )
+                ),
+            ).alias("out"),
+        )
+        return F.when(F.size(rem) > 0, grown).otherwise(state)
+
+    folded = pool.withColumn(
+        "__mmr",
+        F.aggregate(F.sequence(F.lit(2), F.lit(k)), init, step)["out"]
+        if k > 1
+        else init["out"],
+    )
+    return folded.select(
+        query_id_col, F.posexplode("__mmr").alias("__pos", "__e")
+    ).select(
+        query_id_col,
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col("__e.id").alias(id_col),
+        F.col("__e.score").alias("mmr_score_nano"),
+    )

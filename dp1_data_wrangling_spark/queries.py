@@ -3216,7 +3216,7 @@ DRIVER_WINDOW: list[str] = [
     "ivf_topk",                   # r8: full quantizer+assignment replay oracle
     "doc_cooccurrence",           # r9: apriori frequent co-occurring pairs
     "certify_probe",              # K10 certify at 600k-interval fact scale
-    "ivf_index_recall_bound",     # persisted IVF index build->publish->query
+    "embedding_mmr_rerank",       # r9: MMR diversity re-rank (exact greedy)
     "corpus_stats",               # one-pass corpus summary
     "events_theta_overlap",       # r9: theta set algebra over KMV sketches
     "doc_subword_pack",           # packing under real subword budget

@@ -3474,3 +3474,106 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(spark, cat, docs.select("doc_id", "text"))
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     return bm25_query_index(spark, cat, queries, 10)
+
+
+_MMR_ORACLE = """
+    WITH RECURSIVE mr_p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    mr_c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    mr_cand AS (
+        SELECT probe_id, neighbor_id,
+               CAST(round(sim * 1000000.0, 0) AS BIGINT) AS rel_u,
+               emb
+        FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(p.emb, c.emb), 6) AS sim,
+                   c.emb AS emb,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round(list_cosine_similarity(p.emb, c.emb), 6)
+                                DESC, c.vec_id) AS rn
+            FROM mr_p p JOIN mr_c c ON p.vec_id != c.vec_id
+        ) mr_i WHERE rn <= 20
+    ),
+    mr_sel AS (
+        SELECT probe_id, 1 AS rank, neighbor_id,
+               CAST(700 * rel_u AS BIGINT) AS mmr_score_nano,
+               [neighbor_id] AS sel
+        FROM (
+            SELECT probe_id, neighbor_id, rel_u,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY rel_u DESC, neighbor_id) AS rn
+            FROM mr_cand
+        ) mr_f WHERE rn = 1
+        UNION ALL
+        SELECT r.probe_id, r.rank + 1, pick.neighbor_id, pick.score,
+               list_append(r.sel, pick.neighbor_id)
+        FROM mr_sel r, LATERAL (
+            SELECT c.neighbor_id,
+                   CAST(700 * c.rel_u - 300 * (
+                       SELECT max(CAST(round(
+                           list_cosine_similarity(c.emb, s.emb)
+                           * 1000000.0, 0) AS BIGINT))
+                       FROM mr_cand s
+                       WHERE s.probe_id = r.probe_id
+                         AND list_contains(r.sel, s.neighbor_id)
+                   ) AS BIGINT) AS score
+            FROM mr_cand c
+            WHERE c.probe_id = r.probe_id
+              AND NOT list_contains(r.sel, c.neighbor_id)
+            ORDER BY score DESC, c.neighbor_id
+            LIMIT 1
+        ) pick
+        WHERE r.rank < 5
+    )
+    SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           mmr_score_nano
+    FROM mr_sel
+    """
+
+
+@register("embedding_mmr_rerank", _MMR_ORACLE)
+def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank over ANN candidates
+    (operators/retrieval.py mmr_rerank — Carbonell-Goldstein maximal
+    marginal relevance, lambda = 0.7): brute-force cosine top-20 per
+    probe is the first-stage pool; the greedy 5-step selection runs
+    ROW-LOCALLY via JVM higher-order folds (no driver loop, no per-step
+    shuffle).  Every relevance and pairwise cosine is rounded to 6
+    snapped to exact integer micros before any argmax (integer nano-unit
+    scores, no float comparison anywhere), so the greedy trajectory —
+    and therefore rank order and scores — replays exactly in the
+    oracle's recursive CTE."""
+    from .operators.retrieval import mmr_rerank
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    cand = brute_force_topk(probes, emb, k=20).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__emb"),
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(
+        cand,
+        query_id_col="probe_id",
+        id_col="neighbor_id",
+        rel_col="sim",
+        vec_col="__emb",
+        k=5,
+        lambda_milli=700,
+    ).select(
+        "probe_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "neighbor_id",
+        "mmr_score_nano",
+    )

@@ -4020,3 +4020,114 @@ def test_cusum_changepoints_groups_independent(spark):
         slack_milli=5000, threshold_milli=20000,
     )
     assert {r.g for r in out.collect()} == {"shifted"}
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """3-candidate pool, lambda=0.5: the diverse low-relevance candidate
+    must beat the redundant near-duplicate at rank 2 (hand-derived
+    scores)."""
+    from dp1_data_wrangling_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (1, 1, 0.95, [1.0, 0.0, 0.0]),
+        (1, 2, 0.94, [0.999, 0.04, 0.0]),   # near-dup of doc 1
+        (1, 3, 0.50, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "rel", "embedding"])
+    got = [
+        (r.rank, r.doc_id, r.mmr_score_nano)
+        for r in mmr_rerank(df, rel_col="rel", k=3, lambda_milli=500)
+        .orderBy("rank")
+        .collect()
+    ]
+    # integer nano units (lambda_milli x micros):
+    # rank1: doc1, 500*950000; rank2: doc3, 500*500000 - 500*0
+    # rank3: doc2, 500*940000 - 500*round(cos(2,1)*1e6) = 470M - 500*999199
+    assert got == [
+        (1, 1, 475_000_000),
+        (2, 3, 250_000_000),
+        (3, 2, -29_599_500),
+    ]
+
+
+def test_mmr_rerank_matches_python_greedy_replay(spark):
+    """20-candidate deterministic pool vs an independent pure-Python
+    greedy MMR (same rounding discipline): selection order and scores
+    match exactly for two queries and two lambdas."""
+    import hashlib
+    import math
+
+    from dp1_data_wrangling_spark.operators.retrieval import mmr_rerank
+
+    def vec(q, i):
+        return [
+            int(hashlib.md5(f"{q}:{i}:{d}".encode()).hexdigest()[:4], 16)
+            / 65535.0
+            for d in range(8)
+        ]
+
+    rows = []
+    for q in (1, 2):
+        for i in range(20):
+            rows.append((q, i, round(1.0 - i * 0.031, 6), vec(q, i)))
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "rel", "embedding"])
+
+    def cos_u(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return round(num / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0)
+
+    for lam_m in (700, 300):
+        mu_m = 1000 - lam_m
+        want = {}
+        for q in (1, 2):
+            pool = {
+                i: (round(round(1.0 - i * 0.031, 6) * 1000000.0), vec(q, i))
+                for i in range(20)
+            }
+            sel = []
+            first = max(pool, key=lambda i: (pool[i][0], -i))
+            sel.append((first, lam_m * pool[first][0]))
+            while len(sel) < 5:
+                chosen = {i for i, _ in sel}
+                best = None
+                for i in sorted(set(pool) - chosen):
+                    div = max(cos_u(pool[i][1], pool[s][1]) for s, _ in sel)
+                    sc = lam_m * pool[i][0] - mu_m * div
+                    if best is None or sc > best[1]:
+                        best = (i, sc)
+                sel.append(best)
+            for rank, (i, sc) in enumerate(sel, 1):
+                want[(q, rank)] = (i, sc)
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.mmr_score_nano)
+            for r in mmr_rerank(
+                df, rel_col="rel", k=5, lambda_milli=lam_m
+            ).collect()
+        }
+        assert got == want, (lam_m, got, want)
+
+
+def test_mmr_rerank_small_pool_and_validation(spark):
+    """A pool smaller than k returns the whole pool ranked; bad knobs
+    raise."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.9, [1.0, 0.0]), (1, 2, 0.8, [0.0, 1.0])],
+        ["query_id", "doc_id", "rel", "embedding"],
+    )
+    rows = mmr_rerank(df, rel_col="rel", k=10).orderBy("rank").collect()
+    assert [(r.rank, r.doc_id) for r in rows] == [(1, 1), (2, 2)]
+    with _pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(df, rel_col="rel", k=0)
+    with _pytest.raises(ValueError, match="lambda_milli"):
+        mmr_rerank(df, rel_col="rel", lambda_milli=1001)

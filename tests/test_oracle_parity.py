@@ -173,7 +173,11 @@ def test_driver_window_covers_flagship_surface():
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)
-        "certify_probe", "ivf_index_recall_bound", "corpus_stats",
+        # ivf_index_recall_bound rotated out mid-r9 for
+        # embedding_mmr_rerank (2x green r7+r8; the persisted-index
+        # family keeps bm25_index_topk in-window and the ANN family
+        # keeps lsh_topk/ivf_topk/pq_recall_bound/ivf_pq_recall_bound)
+        "certify_probe", "embedding_mmr_rerank", "corpus_stats",
         # doc_card_scan rotated out in r9 for doc_cooccurrence (2x green
         # r7+r8; the PII-precision family stays via doc_gopher_rules'
         # rule screen and in-repo parity for card-scan/pii-scrub)

@@ -905,3 +905,17 @@ def test_cusum_single_exchange_no_join_no_python(spark):
     assert data_shuffles(plan) <= 2, plan  # AQE prints initial+final
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_mmr_rerank_row_local_no_python_one_shuffle(spark):
+    """MMR: the greedy k-step selection is row-local JVM higher-order
+    algebra — exactly ONE data shuffle (the per-query pool gather); the
+    only nested-loop join is the documented brute-force first stage
+    (broadcast probes x corpus); no Python anywhere."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["embedding_mmr_rerank"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) <= 2, plan  # AQE prints initial+final
+    assert "EvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
