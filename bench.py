@@ -419,6 +419,46 @@ def main() -> None:
                         "big_sec": round(t_big, 3),
                         "ratio_10x_rows": round(t_big / t_small, 2),
                     }
+
+                # BM25 retrieval probe (round 9): same synthetic corpora —
+                # the vocabulary word for index i is md5(str(i))[:6], so
+                # fixed query strings hit real terms at both sizes.  The
+                # plan is linear-class (tokenize + postings groupBy linear
+                # in tokens; the match join touches only query-term
+                # postings, ~.1% of rows per term at this vocabulary).
+                import hashlib
+
+                from dp1_data_wrangling_spark.operators.retrieval import (
+                    bm25_topk,
+                )
+
+                def vw(i: int) -> str:
+                    return hashlib.md5(str(i).encode()).hexdigest()[:6]
+
+                bm_queries = spark.createDataFrame(
+                    [
+                        (1, f"{vw(3)} {vw(77)}"),
+                        (2, f"{vw(150)} {vw(222)} {vw(431)}"),
+                        (3, f"{vw(499)}"),
+                    ],
+                    ["query_id", "query_text"],
+                )
+                t_small = min_of_3(
+                    lambda: bm25_topk(
+                        spark.read.parquet(dpaths[5_000]), bm_queries, k=10
+                    )
+                )
+                t_big = min_of_3(
+                    lambda: bm25_topk(
+                        spark.read.parquet(dpaths[50_000]), bm_queries, k=10
+                    )
+                )
+                scaling["bm25_topk_synth"] = {
+                    "n_rows": [5_000, 50_000],
+                    "small_sec": round(t_small, 3),
+                    "big_sec": round(t_big, 3),
+                    "ratio_10x_rows": round(t_big / t_small, 2),
+                }
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 - sweep is informational

@@ -287,3 +287,139 @@ def ewma_half(
             / F.lit(float(quant_scale))
         ).alias("ewma"),
     )
+
+
+def interpolate(
+    obs: DataFrame,
+    *,
+    step_us: int,
+    key_col: str = "key",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    tie_cols: list[str] | None = None,
+    quant_scale: int = 1000,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Regular-grid resample with exact LINEAR interpolation — the
+    ``interpolate()`` companion to :func:`gapfill`'s LOCF (the other
+    fill mode every timeseries warehouse ships).
+
+    Same grid contract as :func:`gapfill` (bucket = ``ts div step_us``,
+    per-bucket representative = last observation in ``(ts, *tie)``
+    order, grid spans each key's first..last observed bucket — so every
+    gap bucket has BOTH neighbors by construction).  Values quantize to
+    ``round(value · quant_scale)`` BIGINT, and a gap bucket g between
+    representatives (t0, v0) and (t1, v1) fills with
+
+        v0 + floor((v1 − v0) · (g − t0) / (t1 − t0))
+
+    computed as exact integer arithmetic: the floor division is the
+    positive-remainder form ``(num − ((num % den + den) % den)) / den``,
+    identical in any engine (Spark ``div`` truncates toward zero while
+    SQL ``//`` floors — they only agree through this clearing; the r8
+    spatial-cell fix, generalized).
+
+    Returns ``(key, bucket_ts_us, value_scaled, is_observed)`` —
+    ``value_scaled`` is the exact BIGINT in 1/quant_scale units
+    (observed buckets carry their own quantized value verbatim).
+
+    Scale posture (100 TB): identical to gapfill — (key, bucket)-keyed
+    stages only, grid bounded by ``max_buckets`` with executor
+    fail-fast; the prev/next neighbor scans are two frames over ONE
+    (key, bucket-order) sort, so the fill costs a single exchange after
+    the grid join.
+    """
+    from pyspark.sql import Window
+
+    if step_us <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    if max_buckets <= 0:
+        raise ValueError(f"max_buckets must be positive, got {max_buckets}")
+    ties = tie_cols or []
+
+    bucketed = obs.select(
+        F.col(key_col).alias("__k"),
+        F.expr(f"{ts_col} div {step_us}").alias("__b"),
+        F.col(ts_col).alias("__ts"),
+        F.round(F.col(value_col) * F.lit(quant_scale)).cast("bigint").alias(
+            "__vq"
+        ),
+        *[F.col(c) for c in ties],
+    )
+    rn_w = Window.partitionBy("__k", "__b").orderBy(
+        F.col("__ts").desc(), *[F.col(c).desc() for c in ties]
+    )
+    rep = (
+        bucketed.withColumn("__rn", F.row_number().over(rn_w))
+        .filter(F.col("__rn") == 1)
+        .select("__k", "__b", "__vq")
+    )
+    span = rep.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                "__lo",
+                F.when(
+                    F.col("__hi") - F.col("__lo") < F.lit(max_buckets),
+                    F.col("__hi"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"interpolate: key span exceeds max_buckets="
+                                f"{max_buckets} grid cells for key "
+                            ),
+                            F.col("__k").cast("string"),
+                        )
+                    ).cast("bigint")
+                ),
+            )
+        ).alias("__b"),
+    )
+    w_back = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("__vq").isNotNull(), F.col("__b"))
+    joined = (
+        grid.join(rep, ["__k", "__b"], "left")
+        .withColumn("__t0", F.last(obs_b, ignorenulls=True).over(w_back))
+        .withColumn("__v0", F.last("__vq", ignorenulls=True).over(w_back))
+        .withColumn("__t1", F.first(obs_b, ignorenulls=True).over(w_fwd))
+        .withColumn("__v1", F.first("__vq", ignorenulls=True).over(w_fwd))
+    )
+    filled = F.when(F.col("__vq").isNotNull(), F.col("__vq")).otherwise(
+        F.col("__v0")
+        + (
+            (
+                (F.col("__v1") - F.col("__v0")) * (F.col("__b") - F.col("__t0"))
+                - (
+                    (
+                        (F.col("__v1") - F.col("__v0"))
+                        * (F.col("__b") - F.col("__t0"))
+                        % (F.col("__t1") - F.col("__t0"))
+                        + (F.col("__t1") - F.col("__t0"))
+                    )
+                    % (F.col("__t1") - F.col("__t0"))
+                )
+            )
+            / (F.col("__t1") - F.col("__t0"))
+        ).cast("bigint")
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        (F.col("__b") * F.lit(step_us)).alias("bucket_ts_us"),
+        filled.alias("value_scaled"),
+        F.col("__vq").isNotNull().alias("is_observed"),
+    )

@@ -3182,6 +3182,96 @@ def q_events_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_interpolate",
+    """
+    WITH li_obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 1000, 0) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'click'
+    ),
+    li_rep AS (
+        SELECT user_id, bucket, vq FROM (
+            SELECT user_id, ts_us // 21600000000 AS bucket, vq,
+                   row_number() OVER (
+                       PARTITION BY user_id, ts_us // 21600000000
+                       ORDER BY ts_us DESC, event_id DESC
+                   ) AS rn
+            FROM li_obs
+        ) li_r WHERE rn = 1
+    ),
+    li_span AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM li_rep GROUP BY user_id
+    ),
+    li_grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+        FROM li_span
+    ),
+    li_j AS (
+        SELECT g.user_id, g.bucket, r.vq
+        FROM li_grid g LEFT JOIN li_rep r USING (user_id, bucket)
+    ),
+    li_n AS (
+        SELECT user_id, bucket, vq,
+               last_value(CASE WHEN vq IS NOT NULL THEN bucket END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS t0,
+               last_value(vq IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS v0,
+               first_value(CASE WHEN vq IS NOT NULL THEN bucket END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+               first_value(vq IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+        FROM li_j
+    )
+    SELECT user_id, CAST(bucket * 21600000000 AS BIGINT) AS bucket_ts_us,
+           CAST(CASE WHEN vq IS NOT NULL THEN vq
+                ELSE v0 + ((v1 - v0) * (bucket - t0)
+                     - (((v1 - v0) * (bucket - t0)) % (t1 - t0)
+                        + (t1 - t0)) % (t1 - t0)) // (t1 - t0)
+           END AS BIGINT) AS value_scaled,
+           vq IS NOT NULL AS is_observed
+    FROM li_n
+    """,
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + exact LINEAR interpolation
+    (operators/timeseries.py interpolate): each user's click `value`
+    series on a 6-hour grid, gap cells filled by integer-exact linear
+    interpolation between the neighboring representatives — milli-
+    quantized BIGINT values, positive-remainder floor division (the
+    only form Spark div and SQL // agree on for negative slopes).  The
+    oracle replays rep selection, grid, neighbor windows and the
+    cleared interpolation verbatim."""
+    from .operators.timeseries import interpolate
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+    )
+    return interpolate(
+        e,
+        step_us=21_600_000_000,
+        key_col="user_id",
+        ts_col="ts_us",
+        value_col="value",
+        tie_cols=["event_id"],
+        quant_scale=1000,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
@@ -3235,7 +3325,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_near_dup_curation",      # near-dup-aware curation (transitive closure)
     "events_skyline",             # r9: 2-D Pareto skyline (one ordered pass)
     "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
-    "doc_semantic_curation",      # semantic-dedup-aware curation
+    "events_interpolate",         # r9: exact linear-interpolation gap fill
     # -- graph / time series --
     "doc_link_triangles",         # r8: degree-ordered triangle counting
     "events_ewma",                # r8: exact binary-fraction EWMA

@@ -32,6 +32,8 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.sketch import (
     cm_merge,
     cm_sketch,
+    hdr_merge,
+    hdr_sketch,
     kmv_merge,
     kmv_sketch,
     sample_merge,
@@ -55,6 +57,9 @@ def stream_sketches(
     sample_table: str = "sample_sketch",
     sample_id_col: str | None = None,
     sample_keep_cols: list[str] | None = None,
+    hdr_col: str | None = None,
+    hdr_table: str = "hdr_sketch",
+    hdr_precision_bits: int = 4,
     k: int = 64,
     depth: int = 4,
     width: int = 256,
@@ -74,7 +79,13 @@ def stream_sketches(
     an at-least-once upstream redelivering a row dedups by id instead
     of double-sampling — the sample twin is robust even to duplicate
     deliveries WITHIN a batch, which the batch-id watermark cannot
-    see."""
+    see.
+
+    Pass ``hdr_col`` (a non-negative integer column — quantize upstream)
+    to ALSO maintain the HDR log-linear histogram in ``hdr_table``:
+    bounded-relative-error quantiles over the unbounded stream with
+    ~64·2^p cells per group, merged by the cellwise-additive law under
+    the same commit."""
     groups = list(group_cols or [])
     meta_key = batch_meta_key(
         f"sketches:{kmv_table}:{cm_table}", checkpoint_dir, stream_name
@@ -99,6 +110,14 @@ def stream_sketches(
                 keep_cols=sample_keep_cols,
             )
             if sample_id_col
+            else None
+        )
+        b_hdr = (
+            hdr_sketch(
+                batch_df, value_col=hdr_col, group_cols=groups,
+                precision_bits=hdr_precision_bits,
+            )
+            if hdr_col
             else None
         )
         last_exc: CommitConflict | None = None
@@ -135,11 +154,24 @@ def stream_sketches(
                     if sample_roots
                     else b_sample
                 )
+            hdr_roots: list[str] = []
+            if b_hdr is not None:
+                hdr_roots = list(snapshot["tables"].get(hdr_table, []))
+                new_hdr = (
+                    hdr_merge(
+                        [cat._read_roots(spark, hdr_roots), b_hdr],
+                        group_cols=groups,
+                    )
+                    if hdr_roots
+                    else b_hdr
+                )
             txn = cat.begin()
             txn.stage(kmv_table, new_kmv, mode="overwrite")
             txn.stage(cm_table, new_cm, mode="overwrite")
             if b_sample is not None:
                 txn.stage(sample_table, new_sample, mode="overwrite")
+            if b_hdr is not None:
+                txn.stage(hdr_table, new_hdr, mode="overwrite")
             try:
                 # watermark + both sketch tables: one atomic commit —
                 # exactly-once hinges on their inseparability; the
@@ -154,6 +186,11 @@ def stream_sketches(
                         **(
                             {sample_table: sample_roots}
                             if b_sample is not None
+                            else {}
+                        ),
+                        **(
+                            {hdr_table: hdr_roots}
+                            if b_hdr is not None
                             else {}
                         ),
                     },

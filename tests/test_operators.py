@@ -4131,3 +4131,64 @@ def test_mmr_rerank_small_pool_and_validation(spark):
         mmr_rerank(df, rel_col="rel", k=0)
     with _pytest.raises(ValueError, match="lambda_milli"):
         mmr_rerank(df, rel_col="rel", lambda_milli=1001)
+
+
+def test_interpolate_hand_computed(spark):
+    """Linear fill between representatives: 10.0 at bucket 0 and 20.0 at
+    bucket 4 fills 12500/15000/17500 milli at buckets 1-3; observed
+    cells carry their own quantized value."""
+    from dp1_data_wrangling_spark.operators.timeseries import interpolate
+
+    step = 100
+    rows = [("a", 0, 1, 10.0), ("a", 4 * step, 2, 20.0)]
+    df = spark.createDataFrame(rows, ["k", "ts_us", "eid", "v"])
+    got = {
+        (r.bucket_ts_us // step): (r.value_scaled, r.is_observed)
+        for r in interpolate(
+            df, step_us=step, key_col="k", ts_col="ts_us", value_col="v",
+            tie_cols=["eid"],
+        ).collect()
+    }
+    assert got == {
+        0: (10000, True),
+        1: (12500, False),
+        2: (15000, False),
+        3: (17500, False),
+        4: (20000, True),
+    }
+
+
+def test_interpolate_negative_slope_floors(spark):
+    """A falling, non-divisible segment must FLOOR (not truncate toward
+    zero): 10.0 -> 0.0 over 3 buckets gives 6666 and 3333 milli — the
+    Spark-div-vs-SQL-floor divergence the positive-remainder clearing
+    exists for."""
+    from dp1_data_wrangling_spark.operators.timeseries import interpolate
+
+    rows = [("a", 0, 1, 10.0), ("a", 300, 2, 0.0)]
+    df = spark.createDataFrame(rows, ["k", "ts_us", "eid", "v"])
+    got = {
+        r.bucket_ts_us // 100: r.value_scaled
+        for r in interpolate(
+            df, step_us=100, key_col="k", ts_col="ts_us", value_col="v",
+            tie_cols=["eid"],
+        ).collect()
+    }
+    assert got == {0: 10000, 1: 6666, 2: 3333, 3: 0}
+
+
+def test_interpolate_validation(spark):
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.timeseries import interpolate
+
+    df = spark.createDataFrame([("a", 0, 1, 1.0)], ["k", "ts_us", "eid", "v"])
+    for kwargs, msg in (
+        (dict(step_us=0), "step_us"),
+        (dict(step_us=1, quant_scale=0), "quant_scale"),
+        (dict(step_us=1, max_buckets=0), "max_buckets"),
+    ):
+        with _pytest.raises(ValueError, match=msg):
+            interpolate(
+                df, key_col="k", ts_col="ts_us", value_col="v", **kwargs
+            )

@@ -152,7 +152,10 @@ def test_driver_window_covers_flagship_surface():
         # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
         # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)
         "doc_cluster_safe_split",
-        "doc_semantic_curation",
+        # doc_semantic_curation rotated out mid-r9 for events_interpolate
+        # (2x green r7+r8; the semantic family keeps doc_semantic_decontam
+        # + doc_cluster_safe_split in-window)
+        "events_interpolate",
         # round-7 mid-round: real PPM/BMP/WAV decode enters directly
         # (find_first_calibration_bypass out; find_first keeps the family)
         # multimodal_decode (green r7) rotated out in r8 for

@@ -919,3 +919,14 @@ def test_mmr_rerank_row_local_no_python_one_shuffle(spark):
     assert "EvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_interpolate_keyed_stages_no_python(spark):
+    """Linear interpolation: every stage keys on (key, bucket) or key —
+    no cartesian, no Python; prev/next neighbor frames share one sort."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_interpolate"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert data_shuffles(plan) <= 4, plan

@@ -1310,3 +1310,57 @@ def test_stream_text_index_equals_batch_build(spark, tmp_path):
     got2 = bm25_query_index(spark, cat, queries, 10)
     assert got2.exceptAll(want).count() == 0
     assert want.exceptAll(got2).count() == 0
+
+
+def test_stream_sketches_hdr_twin_equals_batch(spark, tmp_path):
+    """With hdr_col set, the maintainer also materializes the HDR
+    log-linear histogram — exactly the one-shot batch sketch over all
+    delivered rows (cellwise-additive merge law), under the same atomic
+    commit as the KMV/CM tables."""
+    from dp1_data_wrangling_spark.operators.changepoint import milli
+    from dp1_data_wrangling_spark.operators.sketch import hdr_sketch
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_sketches
+    from dp1_data_wrangling_spark.tables import load_table
+
+    events = load_table(spark, SMOKE_SF, "events").withColumn(
+        "v_milli", milli(F.col("value"))
+    )
+    src = tmp_path / "events_stream"
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    stream_sketches(
+        stream,
+        cat_root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_col="user_id",
+        group_cols=["event_type"],
+        hdr_col="v_milli",
+        hdr_precision_bits=3,
+        k=16,
+        depth=3,
+        width=32,
+    ).awaitTermination(180)
+    cat = Catalog(cat_root)
+    got = sorted(map(tuple, cat.read(spark, "hdr_sketch").collect()))
+    want = sorted(
+        map(
+            tuple,
+            hdr_sketch(
+                events, value_col="v_milli", group_cols=["event_type"],
+                precision_bits=3,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
