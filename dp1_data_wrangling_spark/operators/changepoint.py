@@ -82,8 +82,14 @@ def cusum_changepoints(
     w_ord = w_grp.orderBy(*order_cols)
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vm = milli(F.col(value_col))
+    # NULL values are excluded OUTRIGHT (no observation, no position):
+    # keeping them would bias the n-cleared reference level (count over
+    # all rows vs sum over non-null) AND emit phantom alarm rows whose
+    # deviation is NULL but whose running statistic carries the prior
+    # value.
     base = (
-        df.withColumn("__v", vm)
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__v", vm)
         .withColumn("__n", F.count("*").over(w_all))
         .withColumn("__tot", F.sum("__v").over(w_all))
         .withColumn("__seq", F.row_number().over(w_ord))

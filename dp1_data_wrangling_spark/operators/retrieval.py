@@ -60,6 +60,81 @@ def tokenize(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def doc_length_postings(
+    docs: DataFrame, *, text_col: str, id_col: str
+) -> DataFrame:
+    """Postings ``(id, term, tf, dl)`` — tf per (doc, term), dl
+    recovered by a window over the SAME partitioning (no second scan of
+    the raw text).  A pure per-document function of the text — the
+    property the streaming index appender's exactness rests on."""
+    return (
+        tokenize(docs, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    )
+
+
+def bm25_score_rank(
+    matched: DataFrame,
+    *,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    n_sql: str,
+    s_sql: str,
+) -> DataFrame:
+    """The ONE BM25 scoring + fold + top-k block — shared by the online
+    ``bm25_topk`` and the persisted-index ``bm25_query_index`` so the
+    two paths cannot drift (their equality is a contract, not a test
+    accident).  ``matched`` carries (query_id, id, tf, dl, df);
+    ``n_sql`` / ``s_sql`` are SQL fragments for the corpus statistics
+    (column names in the online path, exact integer literals in the
+    index path — identical arithmetic trees either way).
+
+    Per-term BM25, exact-rational form (module docstring):
+      tf_part = 44 tf S / (20 tf S + 6 S + 18 dl N)   one IEEE division
+      idf     = ln((2N + 2) / (2df + 1))   Lucene form, one ln of one division
+    then the per-(query, doc) ordered fold (sort term weights by term,
+    sum left-to-right — the addition order DuckDB's list_reduce
+    replays) and the rank window (score desc, id asc, <= k)."""
+    scored = matched.withColumn(
+        "__w",
+        F.expr(
+            f"ln((2.0 * {n_sql} + 2.0) / (2.0 * df + 1.0))"
+            f" * ((44 * tf * {s_sql}) / (20 * tf * {s_sql}"
+            f" + 6 * {s_sql} + 18 * dl * {n_sql}))"
+        ),
+    )
+    folded = (
+        scored.groupBy(query_id_col, id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("term"), F.col("__w")))
+            ).alias("__tw")
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.aggregate(
+                    F.col("__tw"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__w"],
+                ),
+                6,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -90,20 +165,14 @@ def bm25_topk(
         raise ValueError(
             f"max_df_ratio_milli must be in [1, 1000], got {max_df_ratio_milli}"
         )
-    toks = tokenize(docs, text_col=text_col, id_col=id_col)
-    # postings: tf per (doc, term); dl recovered per doc by a window on
-    # the SAME partitioning (no second scan of the raw text).  The
-    # postings table is THE index — it feeds corpus stats, document
+    # The postings table is THE index — it feeds corpus stats, document
     # frequencies, and the match join, so checkpoint it once (the same
     # multi-reference discipline as connected_components' edge set;
     # without the cut the tokenize+groupBy subtree re-executes four
     # times and the plan balloons to 16 shuffles).
-    postings = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
-        .localCheckpoint(eager=True)
-    )
+    postings = doc_length_postings(
+        docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     # corpus stats: one row (N docs, S total tokens), broadcast back
     stats = F.broadcast(
         postings.groupBy().agg(
@@ -130,44 +199,13 @@ def bm25_topk(
         .crossJoin(stats)
         .filter(F.expr(f"1000 * df <= {max_df_ratio_milli} * __n"))
     )
-    # per-term BM25, exact-rational form (see module docstring):
-    #   tf_part = 44 tf S / (20 tf S + 6 S + 18 dl N)   one IEEE division
-    #   idf     = ln((2N + 2) / (2df + 1))   Lucene form, one ln of one division
-    scored = matched.withColumn(
-        "__w",
-        F.expr(
-            "ln((2.0 * __n + 2.0) / (2.0 * df + 1.0))"
-            " * ((44 * tf * __s) / (20 * tf * __s + 6 * __s + 18 * dl * __n))"
-        ),
-    )
-    # ordered fold: sort per-(query, doc) term weights by term and sum
-    # left-to-right — the addition order DuckDB's list_reduce replays
-    folded = (
-        scored.groupBy(query_id_col, id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("term"), F.col("__w")))
-            ).alias("__tw")
-        )
-        .withColumn(
-            "score",
-            F.round(
-                F.aggregate(
-                    F.col("__tw"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["__w"],
-                ),
-                6,
-            ),
-        )
-    )
-    rank_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col)
-    )
-    return (
-        folded.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "score")
+    return bm25_score_rank(
+        matched,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        k=k,
+        n_sql="__n",
+        s_sql="__s",
     )
 
 
@@ -327,13 +365,24 @@ def mmr_rerank(
         return micros(num / (na * nb))
 
     # Pool per query, sorted by (rel desc, id) — struct field order makes
-    # array_sort the deterministic argmax: the head is rank 1.
+    # array_sort the deterministic argmax: the head is rank 1.  The id
+    # keeps its NATURAL type (string doc ids are the common retrieval
+    # case — a silent bigint cast would NULL them, and NULL ids break
+    # the selected-set exclusion); a NULL id fails fast executor-side.
+    id_type = candidates.schema[id_col].dataType
+    safe_id = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit("mmr_rerank: NULL candidate id (ids must be non-null)")
+        ).cast(id_type)
+    )
     pool = candidates.groupBy(query_id_col).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     (-micros(F.col(rel_col))).alias("nrel"),
-                    F.col(id_col).cast("bigint").alias("id"),
+                    safe_id.alias("id"),
                     F.col(vec_col).cast("array<double>").alias("vec"),
                 )
             )

@@ -399,27 +399,25 @@ def interpolate(
         .withColumn("__t1", F.first(obs_b, ignorenulls=True).over(w_fwd))
         .withColumn("__v1", F.first("__vq", ignorenulls=True).over(w_fwd))
     )
+    # The quotient MUST be integer `div`, never the `/` operator: Column
+    # `/` is IEEE double division, and once |num| exceeds 2^53 the
+    # double-rounded quotient truncates to q-1 on cast — an off-by-one
+    # the oracle's integer `//` never produces.  After the positive-
+    # remainder subtraction the numerator is exactly divisible, so
+    # truncating `div` equals floor division.
+    num = (F.col("__v1") - F.col("__v0")) * (F.col("__b") - F.col("__t0"))
+    den = F.col("__t1") - F.col("__t0")
+    cleared = num - ((num % den + den) % den)
     filled = F.when(F.col("__vq").isNotNull(), F.col("__vq")).otherwise(
-        F.col("__v0")
-        + (
-            (
-                (F.col("__v1") - F.col("__v0")) * (F.col("__b") - F.col("__t0"))
-                - (
-                    (
-                        (F.col("__v1") - F.col("__v0"))
-                        * (F.col("__b") - F.col("__t0"))
-                        % (F.col("__t1") - F.col("__t0"))
-                        + (F.col("__t1") - F.col("__t0"))
-                    )
-                    % (F.col("__t1") - F.col("__t0"))
-                )
-            )
-            / (F.col("__t1") - F.col("__t0"))
-        ).cast("bigint")
+        F.col("__v0") + F.expr("__num_cleared div __den")
     )
-    return joined.select(
-        F.col("__k").alias(key_col),
-        (F.col("__b") * F.lit(step_us)).alias("bucket_ts_us"),
-        filled.alias("value_scaled"),
-        F.col("__vq").isNotNull().alias("is_observed"),
+    return (
+        joined.withColumn("__num_cleared", cleared)
+        .withColumn("__den", den)
+        .select(
+            F.col("__k").alias(key_col),
+            (F.col("__b") * F.lit(step_us)).alias("bucket_ts_us"),
+            filled.alias("value_scaled"),
+            F.col("__vq").isNotNull().alias("is_observed"),
+        )
     )

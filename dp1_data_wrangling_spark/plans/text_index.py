@@ -27,10 +27,10 @@ facing sketches must use md5.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.retrieval import tokenize
+from ..operators.retrieval import bm25_score_rank, doc_length_postings, tokenize
 from ..tables import spread
 from .catalog import Catalog
 
@@ -49,18 +49,15 @@ def _term_bucket(col: F.Column) -> F.Column:
 def doc_postings(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document postings ``(id, term, tf, dl, tb)`` — tf per term,
-    dl recovered by a window over the SAME (id, term) partitioning, and
-    the layout bucket ``tb``.  A pure function of each document's text:
-    postings built per micro-batch equal postings built over the whole
-    corpus, which is what makes the streaming appender exact."""
-    return (
-        tokenize(docs, text_col=text_col, id_col=id_col)
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
-        .withColumn("tb", _term_bucket(F.col("term")))
-    )
+    """Per-document postings ``(id, term, tf, dl, tb)`` — the shared
+    ``doc_length_postings`` construction (the SAME code path the online
+    ``bm25_topk`` scores from — they must not drift) plus the layout
+    bucket ``tb``.  A pure function of each document's text: postings
+    built per micro-batch equal postings built over the whole corpus,
+    which is what makes the streaming appender exact."""
+    return doc_length_postings(
+        docs, text_col=text_col, id_col=id_col
+    ).withColumn("tb", _term_bucket(F.col("term")))
 
 
 def build_text_index(
@@ -162,38 +159,11 @@ def bm25_query_index(
     matched = postings.join(dfreq, "term").filter(
         F.expr(f"1000 * df <= {max_df_ratio_milli} * {n_docs}")
     )
-    scored = matched.withColumn(
-        "__w",
-        F.expr(
-            f"ln((2.0 * {n_docs} + 2.0) / (2.0 * df + 1.0))"
-            f" * ((44 * tf * {sum_dl}) / (20 * tf * {sum_dl}"
-            f" + 6 * {sum_dl} + 18 * dl * {n_docs}))"
-        ),
-    )
-    folded = (
-        scored.groupBy(query_id_col, id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("term"), F.col("__w")))
-            ).alias("__tw")
-        )
-        .withColumn(
-            "score",
-            F.round(
-                F.aggregate(
-                    F.col("__tw"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["__w"],
-                ),
-                6,
-            ),
-        )
-    )
-    rank_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col)
-    )
-    return (
-        folded.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "score")
+    return bm25_score_rank(
+        matched,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        k=k,
+        n_sql=str(n_docs),
+        s_sql=str(sum_dl),
     )

@@ -3093,7 +3093,7 @@ from . import queries_streaming  # noqa: E402,F401
                    PARTITION BY event_type
                    ORDER BY epoch_us(ts), event_id) AS seq,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     cp_sh AS (
         SELECT event_type, tus, event_id, seq, n,
@@ -3155,6 +3155,7 @@ def q_events_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "ts", "event_id", "value")
+        .filter(F.col("value").isNotNull())
         .withColumn("__tus", F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
         .withColumn("__seq", F.row_number().over(w_ord))
         .withColumn(

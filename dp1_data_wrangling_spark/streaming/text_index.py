@@ -68,12 +68,37 @@ def stream_text_index_append(
             )
         if meta.get(meta_key) is not None and batch_id <= meta[meta_key]:
             return  # replay after recovery — already committed
+        # Generation pin (same discipline as the ANN appender): a rebuild
+        # resets postings AND statistics, so committing a batch computed
+        # against the old generation would corrupt both.  The first batch
+        # records the build id; a later batch seeing a different one
+        # fails fast.
+        build_id = meta[META_BUILD_ID]
+        pinned = meta.get(f"{meta_key}:build")
+        if pinned is not None and pinned != build_id:
+            raise RuntimeError(
+                f"stream_text_index_append: index was rebuilt (build "
+                f"{pinned} -> {build_id}) under this stream; restart from "
+                "a fresh checkpoint against the new index"
+            )
         spark = batch_df.sparkSession
+        # Roots we read the indexed-id set (and stats) against: the commit
+        # carries require_roots on them, so a rebuild or concurrent append
+        # landing between this read and our commit aborts the batch
+        # instead of double-counting statistics or re-appending ids.
+        postings_roots = list(
+            cat.manifest()["tables"].get(POSTINGS_TABLE, [])
+        )
         indexed = (
             cat.read(spark, POSTINGS_TABLE).select(id_col).distinct()
         )
+        # Within-batch duplicate deliveries (which neither the batch-id
+        # watermark nor the cross-batch anti-join can see) would double
+        # tf/dl and the committed statistics — dedup by id first (docs
+        # arrive whole, so any same-id copies are identical).
         fresh = (
             batch_df.select(F.col(id_col), F.col(text_col))
+            .dropDuplicates([id_col])
             .join(indexed, id_col, "left_anti")
         )
         postings = doc_postings(
@@ -99,9 +124,11 @@ def stream_text_index_append(
             txn,
             meta={
                 meta_key: batch_id,
+                f"{meta_key}:build": build_id,
                 META_N_DOCS: int(meta[META_N_DOCS]) + int(stats["n"] or 0),
                 META_SUM_DL: int(meta[META_SUM_DL]) + int(stats["s"] or 0),
             },
+            require_roots={POSTINGS_TABLE: postings_roots},
         )
         maybe_auto_compact(
             cat, spark, [POSTINGS_TABLE], auto_compact_roots,

@@ -4192,3 +4192,34 @@ def test_interpolate_validation(spark):
             interpolate(
                 df, key_col="k", ts_col="ts_us", value_col="v", **kwargs
             )
+
+
+def test_mmr_rerank_string_ids_and_null_id_raises(spark):
+    """String document ids keep their natural type (no silent bigint
+    cast to NULL); a NULL id fails fast instead of corrupting the
+    selected-set exclusion."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        [
+            (1, "doc-a", 0.9, [1.0, 0.0]),
+            (1, "doc-b", 0.8, [0.0, 1.0]),
+            (1, "doc-c", 0.7, [1.0, 0.01]),
+        ],
+        ["query_id", "doc_id", "rel", "embedding"],
+    )
+    rows = mmr_rerank(df, rel_col="rel", k=3, lambda_milli=500).orderBy(
+        "rank"
+    ).collect()
+    assert [(r.rank, r.doc_id) for r in rows] == [
+        (1, "doc-a"), (2, "doc-b"), (3, "doc-c"),
+    ]
+    bad = spark.createDataFrame(
+        [(1, None, 0.9, [1.0, 0.0])],
+        "query_id int, doc_id string, rel double, embedding array<double>",
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL candidate id"):
+        mmr_rerank(bad, rel_col="rel", k=2).collect()

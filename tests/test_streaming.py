@@ -1364,3 +1364,40 @@ def test_stream_sketches_hdr_twin_equals_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_text_index_rebuild_fails_fast(spark, tmp_path):
+    """A rebuild under a live appender must abort the stream (generation
+    pin), never silently mix postings/statistics across generations."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.plans.text_index import build_text_index
+    from dp1_data_wrangling_spark.streaming import stream_text_index_append
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    cat = Catalog(tmp_path / "cat")
+    build_text_index(spark, cat, docs.filter(F.col("doc_id") % 3 == 0))
+
+    src = tmp_path / "docs_stream"
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_text_index_append(stream, str(cat.root), checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+
+    # rebuild: new generation — the next batch from the SAME checkpoint
+    # must fail fast instead of appending old-generation postings
+    build_text_index(spark, cat, docs.filter(F.col("doc_id") % 3 == 0))
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = stream_text_index_append(stream, str(cat.root), checkpoint_dir=ckpt)
+    with pytest.raises(StreamingQueryException, match="rebuilt"):
+        q2.awaitTermination(180)
