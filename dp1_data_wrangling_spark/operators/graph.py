@@ -210,3 +210,73 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman, "Network structure and
+    minimum degree", Social Networks 1983 — public literature): the
+    maximal subgraph in which every node has degree >= ``k``, found by
+    the canonical peeling fixpoint — repeatedly delete nodes of degree
+    < k until none remain.  Dense-community extraction for link-graph
+    curation (the step above triangle counting: triangles score nodes,
+    the k-core keeps the cohesive subgraph).
+
+    Input edges are canonicalized (undirected, self-loops dropped,
+    parallel edges collapsed), so the result is a pure set function of
+    the edge set — no ordering, no floats, no randomness; an oracle
+    replays the peeling exactly.
+
+    Returns ``(node, core_deg)`` for surviving nodes — ``core_deg`` is
+    the node's degree WITHIN the core (>= k by construction).
+
+    Scale posture (100 TB): each round is one degree aggregate (map-side
+    combinable int counts) + an anti-join of edges against the peeled
+    set — all (int, int) key shuffles, no cartesian.  The surviving edge
+    set is localCheckpointed per round (the CC discipline: three
+    downstream references must not re-derive the shrinking frontier),
+    and rounds are data-dependent but bounded by the degeneracy ordering
+    — small-world graphs settle in a handful; ``max_iters`` fail-fasts
+    on adversarial chains (a path graph peels O(n) rounds — at that
+    shape use the sequential degeneracy algorithm, not a cluster).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    canon = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    und = (
+        canon.select("a", "b")
+        .unionByName(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        deg = und.groupBy("a").agg(F.count("*").alias("__deg"))
+        bad = deg.filter(F.col("__deg") < k).select("a")
+        if bad.isEmpty():
+            return deg.select(
+                F.col("a").alias("node"), F.col("__deg").alias("core_deg")
+            )
+        und = (
+            und.join(bad, "a", "left_anti")
+            .join(bad.select(F.col("a").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore: no fixpoint after {max_iters} peeling rounds "
+        "(adversarial chain-like graph — raise max_iters or use a "
+        "sequential degeneracy pass)"
+    )

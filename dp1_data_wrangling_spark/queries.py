@@ -3323,7 +3323,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
     "bm25_index_topk",            # r9: persisted text index build->query
     "events_changepoints",        # r9: exact CUSUM change-point alarms
-    "doc_near_dup_curation",      # near-dup-aware curation (transitive closure)
+    "doc_link_kcore",             # r9: k-core peeling fixpoint (graph tier)
     "events_skyline",             # r9: 2-D Pareto skyline (one ordered pass)
     "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
     "events_interpolate",         # r9: exact linear-interpolation gap fill

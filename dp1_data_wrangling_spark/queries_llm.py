@@ -3577,3 +3577,109 @@ def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "mmr_score_nano",
     )
+
+
+@register(
+    "doc_link_kcore",
+    f"""
+    WITH RECURSIVE {_TRIANGLE_GRAPH_CTES},
+    kc_ed AS (
+        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
+                        greatest(d1.doc_id, d2.doc_id) AS b
+        FROM tg_edges e
+        JOIN tg_docs d1 ON d1.idx = e.src
+        JOIN tg_docs d2 ON d2.idx = e.dst
+        WHERE d1.doc_id != d2.doc_id
+    ),
+    kc_und AS (SELECT a, b FROM kc_ed UNION SELECT b, a FROM kc_ed),
+    kc_it AS (
+        SELECT 0 AS round,
+               (SELECT list(DISTINCT a ORDER BY a) FROM kc_und) AS alive
+        UNION ALL
+        SELECT t.round + 1, nx.alive2
+        FROM kc_it t, LATERAL (
+            SELECT coalesce(list(n ORDER BY n),
+                            CAST([] AS BIGINT[])) AS alive2
+            FROM (
+                SELECT u.a AS n FROM kc_und u
+                WHERE list_contains(t.alive, u.a)
+                  AND list_contains(t.alive, u.b)
+                GROUP BY u.a HAVING count(*) >= 4
+            ) kc_s
+        ) nx
+        WHERE nx.alive2 != t.alive AND t.round < 200
+    ),
+    kc_fin AS (SELECT alive FROM kc_it ORDER BY round DESC LIMIT 1)
+    SELECT u.a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM kc_und u, kc_fin f
+    WHERE list_contains(f.alive, u.a) AND list_contains(f.alive, u.b)
+    GROUP BY u.a
+    """,
+)
+def q_doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the small-world md5 link graph
+    (operators/graph.py kcore — Seidman peeling to fixpoint): the
+    maximal subgraph where every document keeps >= 4 distinct
+    neighbors, the dense-community extraction above triangle counting
+    in link-graph curation.  The Spark side peels distributively
+    (degree aggregate + edge anti-join per round, checkpointed); the
+    oracle replays the SAME fixpoint with a single-row list-state
+    recursive CTE — two independent formulations of the peeling that
+    must agree on the exact surviving set AND each survivor's in-core
+    degree."""
+    from pyspark.sql import Window
+
+    from .operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
+    ).localCheckpoint()
+    n = idx.count()
+    deg = idx.select(
+        "idx",
+        _md5mod([F.lit("tg_deg|"), F.col("idx").cast("string")], 6).alias("d"),
+    )
+    edges_idx = (
+        deg.filter(F.col("d") > 0)
+        .select(
+            "idx",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
+            ).alias("j"),
+        )
+        .select(
+            "idx",
+            (
+                (
+                    F.col("idx")
+                    + 1
+                    + _md5mod(
+                        [
+                            F.lit("tg_dst|"),
+                            F.col("idx").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        ],
+                        16,
+                    )
+                )
+                % F.lit(n)
+            ).alias("dst_idx"),
+        )
+    )
+    edges = (
+        edges_idx.join(
+            idx.select(F.col("idx").alias("__si"), F.col("doc_id").alias("src")),
+            F.col("idx") == F.col("__si"),
+        )
+        .join(
+            idx.select(F.col("idx").alias("__di"), F.col("doc_id").alias("dst")),
+            F.col("dst_idx") == F.col("__di"),
+        )
+        .select("src", "dst")
+    )
+    return kcore(edges, 4).select(
+        F.col("node").alias("doc_id"), "core_deg"
+    )

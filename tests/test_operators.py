@@ -4223,3 +4223,65 @@ def test_mmr_rerank_string_ids_and_null_id_raises(spark):
     )
     with _pytest.raises(SparkRuntimeException, match="NULL candidate id"):
         mmr_rerank(bad, rel_col="rel", k=2).collect()
+
+
+def test_kcore_hand_computed(spark):
+    """4-clique with a pendant chain: k=3 keeps exactly the clique (each
+    member at in-core degree 3); the chain peels in cascade."""
+    from dp1_data_wrangling_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(clique + chain, ["src", "dst"])
+    got = {r.node: r.core_deg for r in kcore(df, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=5 exceeds every degree: empty core
+    assert kcore(df, 5).count() == 0
+
+
+def test_kcore_matches_python_peeling(spark):
+    """Deterministic pseudo-random graph vs an independent pure-Python
+    peeling loop: surviving set and in-core degrees match exactly for
+    several k."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.graph import kcore
+
+    edges = []
+    for i in range(300):
+        h = int(hashlib.md5(f"kc{i}".encode()).hexdigest()[:8], 16)
+        a, b = h % 60, (h // 60) % 60
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    und = set()
+    for a, b in edges:
+        und.add((min(a, b), max(a, b)))
+    for k in (2, 4, 6):
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            bad = {n for n in alive
+                   if len(adj[n] & alive) < k}
+            if not bad:
+                break
+            alive -= bad
+        want = {n: len(adj[n] & alive) for n in alive}
+        got = {r.node: r.core_deg for r in kcore(df, k).collect()}
+        assert got == want, (k, got, want)
+
+
+def test_kcore_validation(spark):
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(df, 0)
+    with _pytest.raises(ValueError, match="max_iters"):
+        kcore(df, 2, max_iters=0)

@@ -930,3 +930,14 @@ def test_interpolate_keyed_stages_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert data_shuffles(plan) <= 4, plan
+
+
+def test_kcore_no_cartesian_no_python(spark):
+    """k-core peeling: every round is a degree aggregate + anti-joins on
+    int keys over the checkpointed shrinking edge set — no cartesian,
+    no Python in the final plan."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_link_kcore"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
