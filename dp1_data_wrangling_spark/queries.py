@@ -3273,6 +3273,63 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_abc_classes",
+    """
+    WITH abc_rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    abc_rk AS (
+        SELECT l_partkey, rev,
+               row_number() OVER (ORDER BY rev DESC, l_partkey) AS rank,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_value,
+               sum(rev) OVER () AS total
+        FROM abc_rev
+    )
+    SELECT l_partkey, rev AS value, CAST(rank AS BIGINT) AS rank,
+           CAST(cum_value AS BIGINT) AS cum_value,
+           CAST((1000 * cum_value) // total AS BIGINT) AS cum_milli,
+           CASE WHEN (cum_value - rev) * 1000 < 800 * total THEN 'A'
+                WHEN (cum_value - rev) * 1000 < 950 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM abc_rk
+    """,
+)
+def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto revenue classification of parts (operators/pareto.py
+    abc_classes): per-part revenue in exact cent-percent units
+    (round(price*100) x (100 - round(discount*100)) — both roundings of
+    raw doubles, off the half boundary), ranked and tiered at 80/95%
+    cumulative share by pure integer cross-multiplication.  The global
+    ranking window runs over the PART aggregates (dimension-sized), the
+    canonical ABC shape.  The oracle replays revenue, ranking,
+    cumulative shares and the exclusive-share tier rule verbatim."""
+    from .operators.pareto import abc_classes
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+                )
+            ).alias("rev")
+        )
+    )
+    return abc_classes(
+        rev, value_col="rev", id_cols=["l_partkey"],
+        threshold_a_milli=800, threshold_b_milli=950,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
@@ -3310,7 +3367,7 @@ DRIVER_WINDOW: list[str] = [
     "embedding_mmr_rerank",       # r9: MMR diversity re-rank (exact greedy)
     "corpus_stats",               # one-pass corpus summary
     "events_theta_overlap",       # r9: theta set algebra over KMV sketches
-    "doc_subword_pack",           # packing under real subword budget
+    "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers
     "doc_phrase_search",          # r9: positional-postings phrase search
     "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing
     "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch

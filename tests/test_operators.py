@@ -4285,3 +4285,47 @@ def test_kcore_validation(spark):
         kcore(df, 0)
     with _pytest.raises(ValueError, match="max_iters"):
         kcore(df, 2, max_iters=0)
+
+
+def test_abc_classes_hand_computed_boundary_convention(spark):
+    """Values 50/30/15/5 (total 100): the 30 item CROSSES the 80%
+    boundary (exclusive share 50%) and still tiers A; 15 starts at 80%
+    exactly -> B; 5 starts at 95% exactly -> C."""
+    from dp1_data_wrangling_spark.operators.pareto import abc_classes
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], ["id", "v"]
+    )
+    got = [
+        (r.id, r.rank, r.cum_value, r.cum_milli, r.abc_class)
+        for r in abc_classes(df, value_col="v", id_cols=["id"])
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (1, 1, 50, 500, "A"),
+        (2, 2, 80, 800, "A"),
+        (3, 3, 95, 950, "B"),
+        (4, 4, 100, 1000, "C"),
+    ]
+
+
+def test_abc_classes_ties_and_validation(spark):
+    """Equal values rank deterministically by id; NULL values are
+    excluded; invalid thresholds raise."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.pareto import abc_classes
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, None)], "id int, v long"
+    )
+    rows = abc_classes(df, value_col="v", id_cols=["id"]).orderBy("rank").collect()
+    assert [(r.id, r.rank) for r in rows] == [(1, 1), (2, 2)]
+    with _pytest.raises(ValueError, match="thresholds"):
+        abc_classes(df, value_col="v", id_cols=["id"], threshold_a_milli=0)
+    with _pytest.raises(ValueError, match="thresholds"):
+        abc_classes(
+            df, value_col="v", id_cols=["id"],
+            threshold_a_milli=900, threshold_b_milli=800,
+        )

@@ -175,7 +175,10 @@ def test_driver_window_covers_flagship_surface():
         "multimodal_audio_frames", "doc_phrase_search",
         # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
         # green r7+r8; LM scoring stays via doc_bigram_score in-window)
-        "doc_subword_pack", "events_theta_overlap",
+        # doc_subword_pack rotated out mid-r9 for part_abc_classes (2x
+        # green r7+r8; the subword family keeps doc_bpe_tokens in-window
+        # and packing stays parity-held in-repo)
+        "part_abc_classes", "events_theta_overlap",
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)

@@ -941,3 +941,20 @@ def test_kcore_no_cartesian_no_python(spark):
     plan = plan_of(REGISTRY["doc_link_kcore"].fn(spark, SMOKE_SF))
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_abc_classes_partial_agg_before_global_window(spark):
+    """ABC: the fact-table revenue groupBy partial-aggregates map-side
+    (shuffle carries per-part partials, never lineitem rows); the global
+    ranking window then runs over the dimension-sized aggregates.  No
+    Python anywhere."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["part_abc_classes"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    # map-side combine: partial_sum sits below the hash exchange (the
+    # plan string is top-down, so assert the node kinds, not indexes)
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # the scan reads only the three needed columns
+    assert "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>" in plan, plan
