@@ -3330,6 +3330,95 @@ def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_funnel_latency",
+    """
+    WITH fl_ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    fl_s1 AS (
+        SELECT user_id, min(ts_us) AS t1_us
+        FROM fl_ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fl_s2 AS (
+        SELECT s.user_id, s.t1_us, min(e.ts_us) AS t2_us
+        FROM fl_s1 s LEFT JOIN fl_ev e
+          ON e.user_id = s.user_id AND e.event_type = 'click'
+         AND e.ts_us > s.t1_us AND e.ts_us <= s.t1_us + 1800000000
+        GROUP BY s.user_id, s.t1_us
+    ),
+    fl_s3 AS (
+        SELECT s.user_id, s.t1_us, s.t2_us, min(e.ts_us) AS t3_us
+        FROM fl_s2 s LEFT JOIN fl_ev e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts_us > s.t2_us AND e.ts_us <= s.t2_us + 1800000000
+        GROUP BY s.user_id, s.t1_us, s.t2_us
+    ),
+    fl_lat AS (
+        SELECT t3_us - t1_us AS lat_us FROM fl_s3 WHERE t3_us IS NOT NULL
+    ),
+    fl_o AS (
+        SELECT lat_us,
+               row_number() OVER (ORDER BY lat_us) AS orn,
+               count(*) OVER () AS n
+        FROM fl_lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN orn = (25 * n + 99) // 100
+                    THEN lat_us END) AS BIGINT) AS p25_us,
+           CAST(max(CASE WHEN orn = (50 * n + 99) // 100
+                    THEN lat_us END) AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN orn = (75 * n + 99) // 100
+                    THEN lat_us END) AS BIGINT) AS p75_us,
+           CAST(max(CASE WHEN orn = (90 * n + 99) // 100
+                    THEN lat_us END) AS BIGINT) AS p90_us
+    FROM fl_o
+    """,
+)
+def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for the view->click->purchase funnel
+    (operators/funnel.py funnel_match composed with the nearest-rank
+    order-statistic pick): converted users' first-touch-to-purchase
+    latency in exact BIGINT µs, summarized as p25/p50/p75/p90 by the
+    same nearest-rank rule the sample sketch uses (verbatim values, no
+    interpolation — the only quantile form that hash-compares).  The
+    ordering window runs over CONVERTED USERS (funnel output, not the
+    event stream).  The oracle replays funnel chain, latencies and rank
+    picks verbatim."""
+    from .operators.funnel import funnel_match
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    lat = (
+        funnel_match(
+            e, steps=["view", "click", "purchase"], within_us=1_800_000_000
+        )
+        .filter(F.col("converted"))
+        .select((F.col("t3_us") - F.col("t1_us")).alias("lat_us"))
+    )
+    w_o = Window.orderBy("lat_us")
+    w_all = Window.partitionBy()
+    ranked = lat.withColumn("orn", F.row_number().over(w_o)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+
+    def pick(p: int):
+        return F.max(
+            F.when(
+                F.col("orn") == F.expr(f"({p} * n + 99) div 100"),
+                F.col("lat_us"),
+            )
+        ).alias(f"p{p}_us")
+
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(25), pick(50), pick(75), pick(90),
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

@@ -4329,3 +4329,35 @@ def test_abc_classes_ties_and_validation(spark):
             df, value_col="v", id_cols=["id"],
             threshold_a_milli=900, threshold_b_milli=800,
         )
+
+
+def test_funnel_latency_query_hand_computed(spark):
+    """The funnel-latency composition picks nearest-rank order
+    statistics over converted users only (hand check on the registered
+    query's building blocks with a tiny synthetic stream)."""
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+    from pyspark.sql import Window
+
+    M = 1_000_000
+    rows = []
+    # three converters with latencies 10s, 20s, 30s; one stalls at click
+    for u, lat in ((1, 10), (2, 20), (3, 30)):
+        rows += [(u, "view", 0), (u, "click", 5 * M),
+                 (u, "purchase", lat * M)]
+    rows += [(4, "view", 0), (4, "click", 5 * M)]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    lat = (
+        funnel_match(e, steps=["view", "click", "purchase"],
+                     within_us=1_800 * M)
+        .filter(F.col("converted"))
+        .select((F.col("t3_us") - F.col("t1_us")).alias("lat_us"))
+    )
+    ranked = lat.withColumn(
+        "orn", F.row_number().over(Window.orderBy("lat_us"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    [r] = ranked.agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("orn") == F.expr("(50 * n + 99) div 100"),
+                     F.col("lat_us"))).alias("p50"),
+    ).collect()
+    assert (r.n, r.p50) == (3, 20 * M)
