@@ -29,7 +29,7 @@ filters before any join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -281,4 +281,88 @@ def transition_matrix(
         "to_type",
         "n_transitions",
         F.expr("__num div __den").alias("prob_milli"),
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    within_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    value_milli_col: str = "value_milli",
+) -> DataFrame:
+    """Linear multi-touch attribution — split each conversion's value
+    equally across the user's preceding touch events, EXACTLY.
+
+    For every conversion event, its touches are the user's events of a
+    ``touch_types`` type with ``t_conv - within_us <= ts < t_conv``.
+    The conversion's integer value splits as ``value div n`` per touch,
+    with the remainder ``value % n`` credited to the EARLIEST touch
+    (ties by ``id_col``) — a stated deterministic policy instead of
+    fractional credits, so credits are exact integers that sum back to
+    the conversion value (property-tested).  Conversions with no touch
+    in the window produce no rows (the standard unattributed bucket —
+    count them by anti-joining the output).
+
+    Returns ``(conv_id, touch_id, user, touch_ts_us, n_touches,
+    credit_milli)``.
+
+    Scale posture (100 TB): ONE user-keyed equi-join (conversions x
+    touches for the same user, the time window a post-join filter) +
+    one per-conversion window for the remainder policy — both
+    partitioned on the same key at fact scale.  Skew valve: per-user
+    touch volume bounds the join fan-out; cap upstream for bot-class
+    users (the funnel tier's standing guidance).
+    """
+    if within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("__ct"),
+        F.col(value_milli_col).alias("__val"),
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts_us"),
+    )
+    joined = convs.join(touches, "__u").filter(
+        (F.col("touch_ts_us") < F.col("__ct"))
+        & (F.col("touch_ts_us") >= F.col("__ct") - F.lit(within_us))
+    )
+    w_conv = Window.partitionBy("conv_id")
+    w_first = w_conv.orderBy("touch_ts_us", "touch_id")
+    credited = (
+        joined.withColumn(
+            "n_touches",
+            F.count("*").over(
+                w_conv.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w_first))
+        .withColumn(
+            "credit_milli",
+            F.expr("__val div n_touches")
+            + F.when(
+                F.col("__rn") == 1, F.expr("__val % n_touches")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return credited.select(
+        "conv_id",
+        "touch_id",
+        F.col("__u").alias(user_col),
+        "touch_ts_us",
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.col("credit_milli").cast("bigint").alias("credit_milli"),
     )

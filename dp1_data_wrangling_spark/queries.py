@@ -3419,6 +3419,73 @@ def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_attribution",
+    """
+    WITH at_ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 1000) AS BIGINT) AS value_milli
+        FROM events
+    ),
+    at_c AS (
+        SELECT user_id, event_id AS conv_id, ts_us AS ct, value_milli
+        FROM at_ev WHERE event_type = 'purchase' AND value_milli IS NOT NULL
+    ),
+    at_t AS (
+        SELECT user_id, event_id AS touch_id, ts_us AS touch_ts_us
+        FROM at_ev WHERE event_type IN ('view', 'click')
+    ),
+    at_j AS (
+        SELECT c.conv_id, t.touch_id, c.user_id, t.touch_ts_us,
+               c.value_milli
+        FROM at_c c JOIN at_t t ON t.user_id = c.user_id
+         AND t.touch_ts_us < c.ct
+         AND t.touch_ts_us >= c.ct - 1800000000
+    ),
+    at_w AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY conv_id) AS n_touches,
+               row_number() OVER (
+                   PARTITION BY conv_id
+                   ORDER BY touch_ts_us, touch_id) AS rn
+        FROM at_j
+    )
+    SELECT conv_id, touch_id, user_id, touch_ts_us,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(value_milli // n_touches
+                + CASE WHEN rn = 1 THEN value_milli % n_touches
+                       ELSE 0 END AS BIGINT) AS credit_milli
+    FROM at_w
+    """,
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/funnel.py
+    linear_attribution): each purchase's milli-quantized value split
+    equally across the user's view/click touches in the preceding 30
+    minutes, remainder to the earliest touch — exact integer credits
+    that sum back to the conversion value.  One user-keyed equi-join +
+    one per-conversion window; the oracle replays joins, counts and the
+    remainder policy verbatim."""
+    from .operators.funnel import linear_attribution
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    ).filter(
+        (F.col("event_type") != "purchase")
+        | F.col("value_milli").isNotNull()
+    )
+    return linear_attribution(
+        e,
+        conversion_type="purchase",
+        touch_types=["view", "click"],
+        within_us=1_800_000_000,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

@@ -4361,3 +4361,58 @@ def test_funnel_latency_query_hand_computed(spark):
                      F.col("lat_us"))).alias("p50"),
     ).collect()
     assert (r.n, r.p50) == (3, 20 * M)
+
+
+def test_linear_attribution_hand_computed_remainder(spark):
+    """Value 100 over 3 touches: 34/33/33 with the remainder on the
+    EARLIEST touch; a touch outside the window is excluded; a
+    no-touch conversion emits nothing."""
+    from dp1_data_wrangling_spark.operators.funnel import linear_attribution
+
+    M = 1_000_000
+    rows = [
+        (1, 10, "view", 0 * M, None),
+        (1, 11, "click", 5 * M, None),
+        (1, 12, "view", 9 * M, None),
+        (1, 13, "purchase", 10 * M, 100),
+        (1, 14, "view", 10 * M, None),       # not strictly before: excluded
+        (2, 20, "purchase", 50 * M, 70),      # no touches
+        (3, 30, "view", 0, None),
+        (3, 31, "purchase", 3600 * M, 10),    # touch outside 30min window
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+              "ts_us long, value_milli long"
+    )
+    got = {
+        (r.conv_id, r.touch_id): (r.n_touches, r.credit_milli)
+        for r in linear_attribution(
+            e, conversion_type="purchase", touch_types=["view", "click"],
+            within_us=1800 * M,
+        ).collect()
+    }
+    assert got == {
+        (13, 10): (3, 34),
+        (13, 11): (3, 33),
+        (13, 12): (3, 33),
+    }
+
+
+def test_linear_attribution_credits_sum_to_value(spark):
+    """Property at fixture scale: per conversion, credits sum exactly to
+    the conversion's milli value (the remainder policy loses nothing)."""
+    from dp1_data_wrangling_spark.queries import REGISTRY
+
+    out = REGISTRY["event_attribution"].fn(spark, "/root/testdata/sf0.001")
+    e = (
+        __import__(
+            "dp1_data_wrangling_spark.tables", fromlist=["load_table"]
+        ).load_table(spark, "/root/testdata/sf0.001", "events")
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        )
+    )
+    sums = out.groupBy("conv_id").agg(F.sum("credit_milli").alias("s"))
+    bad = sums.join(e, "conv_id").filter(F.col("s") != F.col("vm"))
+    assert bad.count() == 0 and sums.count() > 0

@@ -958,3 +958,15 @@ def test_abc_classes_partial_agg_before_global_window(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     # the scan reads only the three needed columns
     assert "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>" in plan, plan
+
+
+def test_attribution_user_keyed_join_no_python(spark):
+    """Attribution: one user-keyed equi-join (the time window is a
+    post-join filter, never a cartesian) + per-conversion windows; no
+    Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["event_attribution"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
