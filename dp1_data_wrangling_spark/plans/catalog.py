@@ -815,12 +815,54 @@ class Catalog:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
         rels = m["tables"][table]
         if where is None:
-            return self._read_roots(spark, rels)
+            return self._read_rels_with_deletes(spark, m, table, rels)
         kept = self.prune_roots(table, where, version=version)
         # Every root pruned: keep one so the result carries the table
         # schema — its rows are eliminated by the (provably
         # unsatisfiable-on-it) filter anyway.
-        return self._read_roots(spark, kept or rels[:1]).filter(where)
+        return self._read_rels_with_deletes(
+            spark, m, table, kept or rels[:1]
+        ).filter(where)
+
+    def pending_deletes(
+        self, table: str, *, version: int | None = None
+    ) -> list[dict]:
+        """The table's un-materialized merge-on-read delete entries at a
+        version (each ``{"p": predicate, "roots": [...]}`` — the roots
+        the predicate was scoped to at delete time)."""
+        return [
+            dict(e)
+            for e in self.manifest(version).get("deletes", {}).get(table, [])
+        ]
+
+    def _read_rels_with_deletes(
+        self, spark: SparkSession, m: dict, table: str, rels: list[str]
+    ) -> DataFrame:
+        """Read commit roots with the manifest's pending merge-on-read
+        deletes applied — each delete predicate filters ONLY the roots it
+        was scoped to (appends after the delete are untouched), with
+        DELETE's three-valued semantics (NULL predicate keeps the row)."""
+        from pyspark.sql import functions as F
+
+        entries = m.get("deletes", {}).get(table, [])
+        if not entries:
+            return self._read_roots(spark, rels)
+        groups: dict[tuple, list[str]] = {}
+        for r in rels:
+            preds = tuple(e["p"] for e in entries if r in e.get("roots", []))
+            groups.setdefault(preds, []).append(r)
+        parts = []
+        for preds, rs in groups.items():
+            df = self._read_roots(spark, rs)
+            for p in preds:
+                df = df.filter(
+                    ~F.coalesce(F.expr(p).cast("boolean"), F.lit(False))
+                )
+            parts.append(df)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part, allowMissingColumns=True)
+        return out
 
     def prune_roots(
         self, table: str, where: str, *, version: int | None = None
@@ -978,7 +1020,11 @@ class Catalog:
             if table not in snapshot["tables"]:
                 raise KeyError(f"catalog {self.root}: no table {table!r}")
             roots = list(snapshot["tables"][table])
-            df = self._read_roots(spark, roots)
+            pending = snapshot.get("deletes", {}).get(table, [])
+            # merge-on-read deletes materialize here: the rewrite reads
+            # the DELETE-APPLIED state and the overwrite commit clears
+            # the entries (require_deletes catches a racing MOR delete).
+            df = self._read_rels_with_deletes(spark, snapshot, table, roots)
             txn = self.begin()
             txn.stage(
                 table,
@@ -992,7 +1038,9 @@ class Catalog:
             )
             try:
                 return self.commit(
-                    txn, meta={"compacted": table}, require_roots={table: roots}
+                    txn, meta={"compacted": table},
+                    require_roots={table: roots},
+                    require_deletes={table: [dict(e) for e in pending]},
                 )
             except CommitConflict as exc:
                 last_exc = exc
@@ -1062,8 +1110,11 @@ class Catalog:
         for _ in range(max_retries):
             snapshot = self.manifest()
             roots = list(snapshot["tables"].get(table, []))
+            pending = snapshot.get("deletes", {}).get(table, [])
             if roots:
-                current = self._read_roots(spark, roots)
+                current = self._read_rels_with_deletes(
+                    spark, snapshot, table, roots
+                )
                 keys = updates.select(*key_cols).distinct()
                 merged = current.join(keys, on=key_cols, how="left_anti").unionByName(
                     updates.select(*current.columns)
@@ -1086,6 +1137,7 @@ class Catalog:
                     txn,
                     meta={"merged": table, **(meta or {})},
                     require_roots={table: roots},
+                    require_deletes={table: [dict(e) for e in pending]},
                 )
             except CommitConflict as exc:
                 last_exc = exc
@@ -1129,7 +1181,10 @@ class Catalog:
             if table not in snapshot["tables"]:
                 raise KeyError(f"catalog {self.root}: no table {table!r}")
             roots = list(snapshot["tables"][table])
-            remaining = self._read_roots(spark, roots).filter(
+            pending = snapshot.get("deletes", {}).get(table, [])
+            remaining = self._read_rels_with_deletes(
+                spark, snapshot, table, roots
+            ).filter(
                 ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             )
             txn = self.begin()
@@ -1146,6 +1201,7 @@ class Catalog:
                     meta={"deleted_from": table, "predicate": predicate,
                           **(meta or {})},
                     require_roots={table: roots},
+                    require_deletes={table: [dict(e) for e in pending]},
                 )
             except CommitConflict as exc:
                 last_exc = exc
@@ -1153,6 +1209,64 @@ class Catalog:
         raise CommitConflict(
             f"delete({table!r}): concurrent commits kept winning after "
             f"{max_retries} attempts"
+        ) from last_exc
+
+    def delete_merge_on_read(
+        self,
+        table: str,
+        predicate: str,
+        *,
+        max_retries: int = 3,
+        meta: dict | None = None,
+    ) -> int:
+        """``DELETE FROM table WHERE predicate`` as a MANIFEST-ONLY commit
+        — the merge-on-read form of :meth:`delete` (Delta deletion-vector
+        / Iceberg positional-delete class, predicate-scoped): no data is
+        read or written; the predicate is recorded against the table's
+        CURRENT roots, every reader applies it as a filter on exactly
+        those roots, and a later rewrite (``compact``/``merge``/
+        ``update``/``delete``) materializes and clears it.
+
+        Semantics match :meth:`delete` exactly (a row is deleted iff the
+        predicate is TRUE; NULL keeps it), and appends AFTER this commit
+        are untouched — the root scoping is what pins "rows present at
+        delete time" without reading them.  The trade: reads pay the
+        filter until the next rewrite (the standard MOR read tax), and
+        physical erasure (GDPR) still requires the rewrite + ``vacuum``.
+
+        Scale: O(manifest) instead of O(table) — THE lever for frequent
+        small deletes on a 100 TB table, where copy-on-write would
+        rewrite everything per delete."""
+        last_exc: CommitConflict | None = None
+        for _ in range(max_retries):
+            snapshot = self.manifest()
+            if table not in snapshot["tables"]:
+                raise KeyError(f"catalog {self.root}: no table {table!r}")
+            roots = list(snapshot["tables"][table])
+            entries = snapshot.get("deletes", {}).get(table, [])
+            new_entries = [dict(e) for e in entries] + [
+                {"p": predicate, "roots": roots}
+            ]
+            txn = self.begin()  # no staged writes: a pure manifest commit
+            try:
+                return self.commit(
+                    txn,
+                    meta={
+                        "deleted_from": table,
+                        "predicate": predicate,
+                        "mode": "merge_on_read",
+                        **(meta or {}),
+                    },
+                    require_roots={table: roots},
+                    require_deletes={table: [dict(e) for e in entries]},
+                    deletes_ddl={table: new_entries},
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise CommitConflict(
+            f"delete_merge_on_read({table!r}): concurrent commits kept "
+            f"winning after {max_retries} attempts"
         ) from last_exc
 
     def register_views(
@@ -1288,7 +1402,8 @@ class Catalog:
             if table not in snapshot["tables"]:
                 raise KeyError(f"catalog {self.root}: no table {table!r}")
             roots = list(snapshot["tables"][table])
-            df = self._read_roots(spark, roots)
+            pending = snapshot.get("deletes", {}).get(table, [])
+            df = self._read_rels_with_deletes(spark, snapshot, table, roots)
             missing = [c for c in assignments if c not in df.columns]
             if missing:
                 raise ValueError(
@@ -1318,6 +1433,7 @@ class Catalog:
                     meta={"updated": table, "predicate": predicate,
                           **(meta or {})},
                     require_roots={table: roots},
+                    require_deletes={table: [dict(e) for e in pending]},
                 )
             except CommitConflict as exc:
                 last_exc = exc
@@ -1349,21 +1465,42 @@ class Catalog:
         ``exceptAll`` — multiset semantics, so duplicate rows diff by
         count, and a pure re-clustering compaction correctly diffs empty.
         """
-        roots_from = list(self.manifest(v_from)["tables"].get(table, []))
+        m_from = self.manifest(v_from)
+        roots_from = list(m_from["tables"].get(table, []))
         m_to = self.manifest(v_to)
         if table not in m_to["tables"] and not roots_from:
             raise KeyError(f"catalog {self.root}: no table {table!r}")
         roots_to = list(m_to["tables"].get(table, []))
         only_from = [r for r in roots_from if r not in roots_to]
         only_to = [r for r in roots_to if r not in roots_from]
+        # Merge-on-read deletes change LIVE rows without changing roots:
+        # a shared root whose applicable-predicate set differs between
+        # the versions must re-enter the row-level comparison (with each
+        # version's own delete filters applied) — the manifest-level
+        # exclusion is only sound for roots with identical delete sets.
+        ents_from = m_from.get("deletes", {}).get(table, [])
+        ents_to = m_to.get("deletes", {}).get(table, [])
 
-        def read_or_empty(rels: list[str], other: list[str]) -> DataFrame:
+        def preds_for(r: str, ents: list[dict]) -> tuple:
+            return tuple(e["p"] for e in ents if r in e.get("roots", []))
+
+        changed_shared = [
+            r
+            for r in roots_from
+            if r in roots_to and preds_for(r, ents_from) != preds_for(r, ents_to)
+        ]
+        only_from += changed_shared
+        only_to += changed_shared
+
+        def read_or_empty(
+            m: dict, rels: list[str], other: list[str]
+        ) -> DataFrame:
             if rels:
-                return self._read_roots(spark, rels)
+                return self._read_rels_with_deletes(spark, m, table, rels)
             return self._read_roots(spark, other).limit(0)
 
-        old = read_or_empty(only_from, only_to)
-        new = read_or_empty(only_to, only_from)
+        old = read_or_empty(m_from, only_from, only_to)
+        new = read_or_empty(m_to, only_to, only_from)
         from pyspark.sql import functions as F
 
         return new.exceptAll(old).withColumn(
@@ -1461,6 +1598,8 @@ class Catalog:
         stats_patch: dict[str, dict[str, dict]] | None = None,
         root_overrides: dict[str, list[str]] | None = None,
         require_absent: list[str] | None = None,
+        deletes_ddl: dict[str, list | None] | None = None,
+        require_deletes: dict[str, list] | None = None,
     ) -> int:
         """Atomically publish every table staged in ``txn``.
 
@@ -1515,6 +1654,19 @@ class Catalog:
                         f"stage (validated against {seen}, live is {now}); "
                         "re-stage to re-validate"
                     )
+            if require_deletes:
+                # merge-on-read conflict check: a rewrite that read the
+                # delete-applied state (or a new MOR delete appending to
+                # the entry list) must abort if the entries changed since
+                # its snapshot — otherwise it would clear (or double-
+                # apply) a delete it never saw.
+                live_deletes = m.get("deletes", {})
+                for tname, expected in require_deletes.items():
+                    if live_deletes.get(tname, []) != expected:
+                        raise CommitConflict(
+                            f"table {tname!r}: merge-on-read deletes "
+                            f"changed since snapshot"
+                        )
             if require_absent:
                 # creation conflict check (clone): the pre-lock existence
                 # probe can race another creator — re-check under the lock
@@ -1558,9 +1710,26 @@ class Catalog:
                         bbag[tname] = cols
                 if not bbag:
                     m.pop("bloom_maps", None)
+            if deletes_ddl:
+                dbag = m.setdefault("deletes", {})
+                for tname, entries in deletes_ddl.items():
+                    if entries is None or not entries:
+                        dbag.pop(tname, None)
+                    else:
+                        dbag[tname] = entries
+                if not dbag:
+                    m.pop("deletes", None)
             for table, (mode, rel) in sorted(txn.writes.items()):
                 if mode == "overwrite" or table not in tables:
                     tables[table] = [rel]
+                    # an overwrite replaces every root a pending
+                    # merge-on-read delete was scoped to — the entries
+                    # are either materialized (rewrite ops read the
+                    # delete-applied state) or moot; clear them so stale
+                    # predicates never linger in the manifest
+                    if m.get("deletes", {}).pop(table, None) is not None:
+                        if not m["deletes"]:
+                            m.pop("deletes", None)
                 elif mode == "append":
                     tables[table] = tables[table] + [rel]
                 else:

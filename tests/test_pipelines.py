@@ -1928,3 +1928,165 @@ def test_text_index_requires_build(spark, tmp_path):
     queries = spark.createDataFrame([(1, "x")], ["query_id", "query_text"])
     with pytest.raises(RuntimeError, match="no persisted text index"):
         bm25_query_index(spark, Catalog(tmp_path / "cat"), queries, 5)
+
+
+def _parquet_files(root) -> set:
+    from pathlib import Path
+
+    return {str(p) for p in Path(root).rglob("*.parquet")}
+
+
+def test_mor_delete_is_metadata_only_and_scoped(spark, tmp_path):
+    """delete_merge_on_read: no data files are read or written (pure
+    manifest commit); reads apply the predicate with DELETE's
+    three-valued semantics; appends AFTER the delete are untouched (the
+    root scoping pins 'rows present at delete time')."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id long, v long"
+        ),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    files_before = _parquet_files(cat.root)
+    v = cat.delete_merge_on_read("t", "v > 15")
+    assert _parquet_files(cat.root) == files_before  # metadata-only
+    assert len(cat.pending_deletes("t")) == 1
+    # NULL predicate keeps row 2; v=30 deleted
+    assert {r.id for r in cat.read(spark, "t").collect()} == {1, 2}
+    # where= path composes with the MOR filter
+    assert {r.id for r in cat.read(spark, "t", where="id >= 2").collect()} == {2}
+    # time travel: the pre-delete version still shows all rows
+    assert cat.read(spark, "t", version=v - 1).count() == 3
+    # a LATER append matching the predicate survives (scoped delete)
+    txn = cat.begin()
+    txn.stage(
+        "t", spark.createDataFrame([(4, 40)], "id long, v long"), mode="append"
+    )
+    cat.commit(txn)
+    assert {r.id for r in cat.read(spark, "t").collect()} == {1, 2, 4}
+
+
+def test_mor_compact_materializes_and_clears(spark, tmp_path):
+    """compact after a MOR delete physically removes the rows and clears
+    the pending entries; the result is unchanged for readers."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "id long, v long"),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    cat.delete_merge_on_read("t", "v >= 50")
+    before = {r.id for r in cat.read(spark, "t").collect()}
+    cat.compact(spark=spark, table="t")
+    assert cat.pending_deletes("t") == []
+    assert {r.id for r in cat.read(spark, "t").collect()} == before == set(range(5))
+    # physically gone: the raw root holds only surviving rows
+    raw = cat._read_roots(spark, cat.manifest()["tables"]["t"])
+    assert raw.count() == 5
+
+
+def test_mor_merge_update_respect_pending_deletes(spark, tmp_path):
+    """A rewrite (merge/update) reads the delete-applied state — deleted
+    rows never resurrect — and the rewrite clears the entries."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    cat.delete_merge_on_read("t", "id = 2")
+    cat.merge(
+        spark, "t",
+        spark.createDataFrame([(3, 99), (4, 40)], "id long, v long"),
+        ["id"],
+    )
+    assert cat.pending_deletes("t") == []
+    got = {(r.id, r.v) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 10), (3, 99), (4, 40)}  # id=2 stays dead
+    cat.delete_merge_on_read("t", "id = 4")
+    cat.update(spark, "t", "id = 1", {"v": "v + 1"})
+    assert cat.pending_deletes("t") == []
+    got = {(r.id, r.v) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 11), (3, 99)}
+
+
+def test_mor_diff_sees_delete_only_changes(spark, tmp_path):
+    """diff between versions that differ ONLY by a MOR delete reports the
+    deleted rows as 'delete' even though no root changed."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        mode="overwrite",
+    )
+    v0 = cat.commit(txn)
+    v1 = cat.delete_merge_on_read("t", "id = 2")
+    rows = cat.diff(spark, "t", v0, v1).collect()
+    assert [(r.id, r.v, r._change) for r in rows] == [(2, 20, "delete")]
+
+
+def test_mor_concurrent_delete_aborts_stale_compact(spark, tmp_path):
+    """require_deletes: a compact whose snapshot predates a new MOR
+    delete must abort (CommitConflict) instead of clearing the unseen
+    delete — simulated by injecting the delete between the compact's
+    read and its commit via a monkeypatched begin()."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.plans.catalog import Catalog, CommitConflict
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    real_begin = cat.begin
+    raced = {"done": False}
+
+    def racing_begin():
+        if not raced["done"]:
+            raced["done"] = True
+            Catalog(cat.root).delete_merge_on_read("t", "id = 1")
+        return real_begin()
+
+    cat.begin = racing_begin
+    # retries re-read the new state, so the compact SUCCEEDS on retry —
+    # and must preserve the racing delete's effect
+    cat.compact(spark=spark, table="t")
+    assert {r.id for r in cat.read(spark, "t").collect()} == {2}
+    assert cat.pending_deletes("t") == []
+    # with retries exhausted the conflict surfaces
+    raced["done"] = False
+    cat2 = Catalog(cat.root)
+    real2 = cat2.begin
+
+    def always_racing():
+        Catalog(cat2.root).delete_merge_on_read(
+            "t", f"id = {always_racing.n}"
+        )
+        always_racing.n -= 1
+        return real2()
+
+    always_racing.n = -1
+    cat2.begin = always_racing
+    with _pytest.raises(CommitConflict):
+        cat2.compact(spark=spark, table="t", max_retries=2)
