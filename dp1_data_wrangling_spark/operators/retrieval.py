@@ -462,3 +462,127 @@ def mmr_rerank(
         F.col("__e.id").alias(id_col),
         F.col("__e.score").alias("mmr_score_nano"),
     )
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    labels: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k — the standard graded retrieval-quality metric
+    (Järvelin & Kekäläinen, "Cumulated gain-based evaluation of IR
+    techniques", TOIS 2002 — public literature), closing the retrieval
+    tier's loop: BM25/ANN produce rankings, MMR re-ranks, this measures.
+
+    ``ranking`` is a retriever's output ``(query_id, rank, id)``;
+    ``labels`` the graded relevance ``(query_id, id, rel)`` with small
+    non-negative integer grades (unlabeled retrieved docs count rel 0).
+    Gains are exponential ``2^rel - 1`` (exact in a double for any
+    realistic grade); the
+    position discount is the NATURAL-log form ``gain / ln(i + 1)`` —
+    base-2 and base-e DCG differ by a constant factor that cancels in
+    the NDCG ratio, and ``ln`` is the one libm both engines agree on to
+    1 ulp (the BM25 idf precedent), where ``log2``'s two-step evaluation
+    need not be.  IDCG ranks the query's labels by (rel desc, id) over
+    the WHOLE labeled corpus cut to k — the true ideal, not the
+    retrieved subset.
+
+    DCG/IDCG are ordered left-folds in rank order (``F.aggregate`` ==
+    ``list_reduce``); ``ndcg = round(dcg / idcg, 6)`` (NULL when the
+    query has no positive labels).  Returns
+    ``(query_id, dcg_ln, idcg_ln, ndcg)`` with the dcg columns rounded
+    to 6 digits for cross-engine hashing.
+
+    Scale posture (100 TB): one equi-join of the (queries x k)-sized
+    ranking against labels (broadcast whichever side is small), one
+    window over per-query labels for the ideal cut, two per-query folds
+    — nothing touches the corpus beyond the label table.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def gain(rel):
+        # 2^rel - 1 for small integer grades: pow is exact here (and
+        # F.shiftleft requires a literal bit count, not a column)
+        return F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0)
+
+    def fold_dcg(pairs_col):
+        # pairs: array<struct<rank, g>> sorted by rank — fold adds
+        # g / ln(rank + 1) left-to-right
+        return F.round(
+            F.aggregate(
+                pairs_col,
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["g"] / F.log(x["rank"].cast("double") + F.lit(1.0)),
+            ),
+            6,
+        )
+
+    got = (
+        ranking.filter(F.col(rank_col) <= k)
+        .join(
+            labels.select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.col(rel_col).alias("__rel"),
+            ),
+            [query_id_col, id_col],
+            "left",
+        )
+        .select(
+            query_id_col,
+            F.col(rank_col).cast("bigint").alias("__rank"),
+            gain(F.coalesce(F.col("__rel"), F.lit(0))).alias("__g"),
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__rank").alias("rank"), F.col("__g").alias("g")
+                    )
+                )
+            ).alias("__pairs")
+        )
+        .select(query_id_col, fold_dcg(F.col("__pairs")).alias("dcg_ln"))
+    )
+    w_ideal = Window.partitionBy(query_id_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    ideal = (
+        labels.withColumn("__irank", F.row_number().over(w_ideal))
+        .filter((F.col("__irank") <= k) & (F.col(rel_col) > 0))
+        .select(
+            query_id_col,
+            F.col("__irank").cast("bigint").alias("__rank"),
+            gain(F.col(rel_col)).alias("__g"),
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__rank").alias("rank"), F.col("__g").alias("g")
+                    )
+                )
+            ).alias("__pairs")
+        )
+        .select(query_id_col, fold_dcg(F.col("__pairs")).alias("idcg_ln"))
+    )
+    return (
+        got.join(ideal, query_id_col, "left")
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg_ln") > 0,
+                F.round(F.col("dcg_ln") / F.col("idcg_ln"), 6),
+            ),
+        )
+        .select(query_id_col, "dcg_ln", "idcg_ln", "ndcg")
+    )

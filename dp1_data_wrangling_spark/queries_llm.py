@@ -3273,8 +3273,7 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (4, "vector merge customer"),
 ]
 
-_BM25_ORACLE = """
-    WITH bm_q AS (
+_BM25_CTES = """bm_q AS (
         SELECT * FROM (VALUES (1, 'hash join'), (2, 'window agg stream'),
                               (3, 'slow scan filter'),
                               (4, 'vector merge customer'))
@@ -3327,13 +3326,20 @@ _BM25_ORACLE = """
                round(list_reduce(list(w ORDER BY term), (a, b) -> a + b), 6)
                    AS score
         FROM bm_w GROUP BY query_id, doc_id
-    )
-    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
-        SELECT query_id, doc_id, score,
-               row_number() OVER (
-                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        FROM bm_sc
-    ) WHERE rank <= 10
+    ),
+    bm_rank AS (
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+            FROM bm_sc
+        ) bm_rk_i WHERE rank <= 10
+    )"""
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, rank, doc_id, score FROM bm_rank
     """
 
 
@@ -3683,3 +3689,92 @@ def q_doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, 4).select(
         F.col("node").alias("doc_id"), "core_deg"
     )
+
+
+_NDCG_ORACLE = f"""
+    WITH {_BM25_CTES},
+    ng_lab AS (
+        SELECT q.query_id, d.doc_id,
+               CAST(('0x' || substr(md5('rel|' || CAST(q.query_id AS VARCHAR)
+                     || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 4 AS rel
+        FROM (SELECT DISTINCT query_id FROM bm_q) q
+        CROSS JOIN (SELECT doc_id FROM documents) d
+    ),
+    ng_got AS (
+        SELECT r.query_id,
+               round(list_reduce(
+                   list(((CAST(1 AS BIGINT) << CAST(coalesce(l.rel, 0)
+                                                    AS INT)) - 1)
+                        / ln(r.rank + 1.0) ORDER BY r.rank),
+                   (a, b) -> a + b), 6) AS dcg_ln
+        FROM bm_rank r
+        LEFT JOIN ng_lab l
+          ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+        GROUP BY r.query_id
+    ),
+    ng_ideal AS (
+        SELECT query_id,
+               round(list_reduce(
+                   list(((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1)
+                        / ln(irank + 1.0) ORDER BY irank),
+                   (a, b) -> a + b), 6) AS idcg_ln
+        FROM (
+            SELECT query_id, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rel DESC, doc_id) AS irank
+            FROM ng_lab
+        ) ng_i WHERE irank <= 10 AND rel > 0
+        GROUP BY query_id
+    )
+    SELECT g.query_id, g.dcg_ln, i.idcg_ln,
+           CASE WHEN i.idcg_ln > 0
+                THEN round(g.dcg_ln / i.idcg_ln, 6) END AS ndcg
+    FROM ng_got g LEFT JOIN ng_ideal i USING (query_id)
+    """
+
+
+@register("bm25_ndcg_eval", _NDCG_ORACLE)
+def q_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 retriever against md5-derived graded
+    relevance labels (operators/retrieval.py ndcg_at_k — the
+    Järvelin-Kekäläinen cumulated-gain metric, ln-discount form whose
+    base constant cancels in the ratio): the retrieval tier measuring
+    itself.  Labels grade every (query, doc) pair 0-3 deterministically;
+    the ideal ranking cuts the WHOLE labeled corpus to k, not the
+    retrieved subset.  Exponential gains are exact integer shifts; both
+    DCG folds replay as list_reduce in rank order."""
+    from .operators.retrieval import bm25_topk, ndcg_at_k
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    ranking = bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)
+    labels = (
+        queries.select("query_id")
+        .crossJoin(docs.select("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rel|"),
+                                F.col("query_id").cast("string"),
+                                F.lit("|"),
+                                F.col("doc_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4
+            ).alias("rel"),
+        )
+    )
+    return ndcg_at_k(ranking, labels, k=10)

@@ -4416,3 +4416,48 @@ def test_linear_attribution_credits_sum_to_value(spark):
     sums = out.groupBy("conv_id").agg(F.sum("credit_milli").alias("s"))
     bad = sums.join(e, "conv_id").filter(F.col("s") != F.col("vm"))
     assert bad.count() == 0 and sums.count() > 0
+
+
+def test_ndcg_at_k_hand_computed(spark):
+    """A perfect ranking scores ndcg 1.0 exactly; swapping the top two
+    grades drops it by the hand-computed ratio; unlabeled retrieved docs
+    gain 0; a query with no positive labels gets NULL ndcg."""
+    import math
+
+    from dp1_data_wrangling_spark.operators.retrieval import ndcg_at_k
+
+    labels = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1), (1, 12, 0), (2, 10, 0)],
+        ["query_id", "doc_id", "rel"],
+    )
+    perfect = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12)], ["query_id", "rank", "doc_id"]
+    )
+    [r] = ndcg_at_k(perfect, labels, k=3).filter("query_id = 1").collect()
+    assert r.ndcg == 1.0
+    ideal = round(7 / math.log(2) + 1 / math.log(3), 6)
+    assert r.idcg_ln == ideal
+
+    swapped = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 10), (1, 3, 99)], ["query_id", "rank", "doc_id"]
+    )  # doc 99 unlabeled -> gain 0
+    [r2] = ndcg_at_k(swapped, labels, k=3).filter("query_id = 1").collect()
+    dcg = round(1 / math.log(2) + 7 / math.log(3), 6)
+    assert r2.dcg_ln == dcg
+    assert r2.ndcg == round(dcg / ideal, 6) < 1.0
+
+    # query 2 has only rel-0 labels -> no ideal -> NULL ndcg
+    rank2 = spark.createDataFrame([(2, 1, 10)], ["query_id", "rank", "doc_id"])
+    [r3] = ndcg_at_k(rank2, labels, k=3).collect()
+    assert r3.ndcg is None and r3.idcg_ln is None
+
+
+def test_ndcg_validation(spark):
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.retrieval import ndcg_at_k
+
+    df = spark.createDataFrame([(1, 1, 10)], ["query_id", "rank", "doc_id"])
+    lab = spark.createDataFrame([(1, 10, 1)], ["query_id", "doc_id", "rel"])
+    with _pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(df, lab, k=0)
