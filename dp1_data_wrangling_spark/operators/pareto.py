@@ -60,10 +60,45 @@ def abc_classes(
     )
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()
+    # Overflow contract (executor fail-fast, never silent int64 wrap —
+    # an engine that widens to 128-bit would silently diverge from us
+    # exactly where Spark wraps): every comparison multiplies by <= 1000,
+    # so the total must fit 2^63/1000 (~9.2e15).  Larger totals:
+    # pre-scale the value units (cents -> dollars) — the tiers are
+    # scale-invariant.  Negative values are rejected outright (cumulative
+    # share is ill-defined under them).
+    lim = ((1 << 63) - 1) // 1000
     out = (
-        rows.withColumn("rank", F.row_number().over(w_rank))
-        .withColumn("cum_value", F.sum(value_col).over(w_cum))
-        .withColumn("__total", F.sum(value_col).over(w_all))
+        rows.withColumn(
+            "__v_ok",
+            F.when(F.col(value_col) >= 0, F.col(value_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("abc_classes: negative value "),
+                        F.col(value_col).cast("string"),
+                        F.lit(" — cumulative share is ill-defined"),
+                    )
+                ).cast("bigint")
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cum_value", F.sum("__v_ok").over(w_cum))
+        .withColumn(
+            "__total",
+            F.when(
+                F.sum("__v_ok").over(w_all) <= F.lit(lim),
+                F.sum("__v_ok").over(w_all),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"abc_classes: total value exceeds {lim} — the "
+                        "milli cross-multiplications would wrap int64; "
+                        "pre-scale the value units (the tiers are "
+                        "scale-invariant)"
+                    )
+                ).cast("bigint")
+            ),
+        )
     )
     prev = F.col("cum_value") - F.col(value_col)
     return out.select(

@@ -851,9 +851,24 @@ class Catalog:
         for r in rels:
             preds = tuple(e["p"] for e in entries if r in e.get("roots", []))
             groups.setdefault(preds, []).append(r)
+        # Align schemas ACROSS groups BEFORE filtering (mirroring
+        # _read_roots' first-seen type pinning, in rel order): a predicate
+        # referencing a schema-evolved column must see it as a typed NULL
+        # in pre-evolution groups (NULL predicate keeps the row — the same
+        # semantics the copy-on-write delete gets from the pinned union),
+        # not blow up with an unresolved column.
+        raw = [(preds, self._read_roots(spark, rs)) for preds, rs in groups.items()]
+        pinned: dict[str, object] = {}
+        for _, df in raw:
+            for f in df.schema.fields:
+                pinned.setdefault(f.name, f.dataType)
         parts = []
-        for preds, rs in groups.items():
-            df = self._read_roots(spark, rs)
+        for preds, df in raw:
+            for name, dtype in pinned.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(dtype))
+                elif df.schema[name].dataType != dtype:
+                    df = df.withColumn(name, F.col(name).cast(dtype))
             for p in preds:
                 df = df.filter(
                     ~F.coalesce(F.expr(p).cast("boolean"), F.lit(False))
@@ -861,7 +876,7 @@ class Catalog:
             parts.append(df)
         out = parts[0]
         for part in parts[1:]:
-            out = out.unionByName(part, allowMissingColumns=True)
+            out = out.unionByName(part)
         return out
 
     def prune_roots(
@@ -1327,15 +1342,22 @@ class Catalog:
         restore itself is a version you can diff or restore away from, and
         the bad intermediate versions stay readable until vacuumed.  Fails
         if retention already deleted any of the old version's data."""
-        roots = self.manifest(version)["tables"].get(table)
+        m_v = self.manifest(version)
+        roots = m_v["tables"].get(table)
         if roots is None:
             raise KeyError(
                 f"catalog {self.root}: table {table!r} not in version {version}"
             )
+        # Restore the target version's LOGICAL state: pending merge-on-read
+        # deletes are part of it — re-pointing roots without them would
+        # resurrect MOR-deleted rows (or keep a later delete applied to the
+        # restored snapshot).
+        restored_deletes = m_v.get("deletes", {}).get(table, [])
         return self.commit(
             self.begin(),
             meta={"restored": table, "to_version": version, **(meta or {})},
             root_overrides={table: self._existing_roots(table, roots)},
+            deletes_ddl={table: [dict(e) for e in restored_deletes]},
         )
 
     def clone(
@@ -1361,11 +1383,17 @@ class Catalog:
             raise KeyError(f"catalog {self.root}: no table {src!r}")
         if dst in self.manifest()["tables"]:
             raise ValueError(f"clone target {dst!r} already exists")
+        # The clone carries the source's LOGICAL state: pending
+        # merge-on-read deletes copy with it (Delta shallow clones carry
+        # deletion vectors the same way).  Entries reference the shared
+        # immutable root rels, so they scope correctly as-is.
+        src_deletes = m.get("deletes", {}).get(src, [])
         return self.commit(
             self.begin(),
             meta={"cloned": dst, "from": src, **(meta or {})},
             root_overrides={dst: self._existing_roots(src, roots)},
             require_absent=[dst],
+            deletes_ddl={dst: [dict(e) for e in src_deletes]},
         )
 
     def update(

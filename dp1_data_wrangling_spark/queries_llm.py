@@ -3162,48 +3162,13 @@ _TRIANGLE_GRAPH_CTES = """
 """
 
 
-@register(
-    "doc_link_triangles",
-    f"""
-    WITH {_TRIANGLE_GRAPH_CTES},
-    ed AS (
-        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
-                        greatest(d1.doc_id, d2.doc_id) AS b
-        FROM tg_edges e
-        JOIN tg_docs d1 ON d1.idx = e.src
-        JOIN tg_docs d2 ON d2.idx = e.dst
-        WHERE d1.doc_id != d2.doc_id
-    ),
-    tri AS (
-        SELECT e1.a AS u, e1.b AS v, e2.b AS w
-        FROM ed e1
-        JOIN ed e2 ON e2.a = e1.b
-        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
-    nds AS (
-        SELECT u AS node FROM tri
-        UNION ALL SELECT v FROM tri
-        UNION ALL SELECT w FROM tri
-    )
-    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
-    FROM nds GROUP BY node
-    """,
-    headline=True,
-)
-def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document triangle counts over a small-world md5 link graph
-    (operators/graph.py triangle_count) — the clustering-coefficient
-    numerator used for community/spam screening in link-graph curation.
-    The graph draws 0-5 out-links per doc from a 16-wide local window
-    (local windows make the triangle count scale linearly with corpus
-    size; the uniform-target pagerank graph holds ~5 triangles at ANY
-    size).  The Spark side enumerates via degree-ordered wedges
-    (skew-safe compact-forward), the oracle via the canonical a<b
-    three-way self-join — two INDEPENDENT enumeration orders that must
-    agree on the exact multiset of per-node counts."""
+def _tg_link_graph(spark: SparkSession, sf_dir: str):
+    """The small-world md5 link graph (0-5 out-links per doc into a
+    16-wide local window) shared by the triangle and k-core queries —
+    ONE Spark-side generator for the ONE _TRIANGLE_GRAPH_CTES oracle
+    graph, so the two can never desynchronize one copy at a time.
+    Returns the (src, dst) edge DataFrame."""
     from pyspark.sql import Window
-
-    from .operators.graph import triangle_count
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # the id-space map is read 3x (degree draw + both endpoint joins);
@@ -3256,6 +3221,51 @@ def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
     )
+    return edges
+
+
+@register(
+    "doc_link_triangles",
+    f"""
+    WITH {_TRIANGLE_GRAPH_CTES},
+    ed AS (
+        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
+                        greatest(d1.doc_id, d2.doc_id) AS b
+        FROM tg_edges e
+        JOIN tg_docs d1 ON d1.idx = e.src
+        JOIN tg_docs d2 ON d2.idx = e.dst
+        WHERE d1.doc_id != d2.doc_id
+    ),
+    tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nds AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    )
+    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nds GROUP BY node
+    """,
+    headline=True,
+)
+def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over a small-world md5 link graph
+    (operators/graph.py triangle_count) — the clustering-coefficient
+    numerator used for community/spam screening in link-graph curation.
+    The graph draws 0-5 out-links per doc from a 16-wide local window
+    (local windows make the triangle count scale linearly with corpus
+    size; the uniform-target pagerank graph holds ~5 triangles at ANY
+    size).  The Spark side enumerates via degree-ordered wedges
+    (skew-safe compact-forward), the oracle via the canonical a<b
+    three-way self-join — two INDEPENDENT enumeration orders that must
+    agree on the exact multiset of per-node counts."""
+    from .operators.graph import triangle_count
+
+    edges = _tg_link_graph(spark, sf_dir)
     nodes_tri = triangle_count(edges)
     return nodes_tri.select(F.col("node").alias("doc_id"), "n_triangles")
 
@@ -3615,7 +3625,13 @@ def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) nx
         WHERE nx.alive2 != t.alive AND t.round < 200
     ),
-    kc_fin AS (SELECT alive FROM kc_it ORDER BY round DESC LIMIT 1)
+    kc_fin AS (
+        SELECT CASE WHEN round >= 200 THEN error(
+                   'kcore oracle: no fixpoint within the round cap — '
+                   'mirror of the operator max_iters fail-fast')
+               ELSE 1 END AS ok, alive
+        FROM kc_it ORDER BY round DESC LIMIT 1
+    )
     SELECT u.a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
     FROM kc_und u, kc_fin f
     WHERE list_contains(f.alive, u.a) AND list_contains(f.alive, u.b)
@@ -3633,59 +3649,9 @@ def q_doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE — two independent formulations of the peeling that
     must agree on the exact surviving set AND each survivor's in-core
     degree."""
-    from pyspark.sql import Window
-
     from .operators.graph import kcore
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    idx = docs.select(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
-    ).localCheckpoint()
-    n = idx.count()
-    deg = idx.select(
-        "idx",
-        _md5mod([F.lit("tg_deg|"), F.col("idx").cast("string")], 6).alias("d"),
-    )
-    edges_idx = (
-        deg.filter(F.col("d") > 0)
-        .select(
-            "idx",
-            F.explode(
-                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
-            ).alias("j"),
-        )
-        .select(
-            "idx",
-            (
-                (
-                    F.col("idx")
-                    + 1
-                    + _md5mod(
-                        [
-                            F.lit("tg_dst|"),
-                            F.col("idx").cast("string"),
-                            F.lit("|"),
-                            F.col("j").cast("string"),
-                        ],
-                        16,
-                    )
-                )
-                % F.lit(n)
-            ).alias("dst_idx"),
-        )
-    )
-    edges = (
-        edges_idx.join(
-            idx.select(F.col("idx").alias("__si"), F.col("doc_id").alias("src")),
-            F.col("idx") == F.col("__si"),
-        )
-        .join(
-            idx.select(F.col("idx").alias("__di"), F.col("doc_id").alias("dst")),
-            F.col("dst_idx") == F.col("__di"),
-        )
-        .select("src", "dst")
-    )
+    edges = _tg_link_graph(spark, sf_dir)
     return kcore(edges, 4).select(
         F.col("node").alias("doc_id"), "core_deg"
     )
@@ -3756,24 +3722,14 @@ def q_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("rel|"),
-                                F.col("query_id").cast("string"),
-                                F.lit("|"),
-                                F.col("doc_id").cast("string"),
-                            ).cast("binary")
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 4
+            _md5mod(
+                [
+                    F.lit("rel|"),
+                    F.col("query_id").cast("string"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                ],
+                4,
             ).alias("rel"),
         )
     )

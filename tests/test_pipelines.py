@@ -2090,3 +2090,59 @@ def test_mor_concurrent_delete_aborts_stale_compact(spark, tmp_path):
     cat2.begin = always_racing
     with _pytest.raises(CommitConflict):
         cat2.compact(spark=spark, table="t", max_retries=2)
+
+
+def test_mor_restore_and_clone_carry_delete_state(spark, tmp_path):
+    """restore() re-establishes the target version's pending deletes in
+    BOTH directions (a restore across a MOR delete neither resurrects
+    nor over-deletes), and clone() copies the source's pending entries
+    (Delta shallow clones carry deletion vectors the same way)."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        mode="overwrite",
+    )
+    v1 = cat.commit(txn)
+    v2 = cat.delete_merge_on_read("t", "id = 2")
+    # clone AFTER the delete: the clone must see the deleted state
+    cat.clone("t", "t2")
+    assert {r.id for r in cat.read(spark, "t2").collect()} == {1}
+    assert len(cat.pending_deletes("t2")) == 1
+    # restore to v1 (pre-delete): full state back, entry cleared
+    cat.restore("t", v1)
+    assert {r.id for r in cat.read(spark, "t").collect()} == {1, 2}
+    assert cat.pending_deletes("t") == []
+    # restore forward to v2: the delete's effect returns with its entry
+    cat.restore("t", v2)
+    assert {r.id for r in cat.read(spark, "t").collect()} == {1}
+    assert len(cat.pending_deletes("t")) == 1
+
+
+def test_mor_read_survives_schema_evolved_predicate(spark, tmp_path):
+    """A MOR delete predicate referencing a schema-evolved column must
+    read pre-evolution roots as typed NULLs (NULL predicate keeps the
+    row — copy-on-write semantics), not blow up unresolved."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage(
+        "t", spark.createDataFrame([(1, 10)], "id long, v long"),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(2, 20, True)], "id long, v long, flag boolean"),
+        mode="append",
+        evolve_schema=True,
+    )
+    cat.commit(txn)
+    cat.delete_merge_on_read("t", "flag = true")
+    got = {(r.id, r.flag) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, None)}  # row 2 deleted; row 1 kept via NULL pred
