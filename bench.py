@@ -781,6 +781,41 @@ def main() -> None:
                     s, f"{w}/cat", checkpoint_dir=f"{w}/ckpt", max_bucket_size=100
                 ),
             )
+
+            # BM25 text-index maintenance (round 9): per-batch cost =
+            # tokenize + the indexed-id anti-join + the partitioned
+            # append's exactly-once commit.  The index seeds from a
+            # 1-in-10 slice; the stream appends the rest.
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            from dp1_data_wrangling_spark.plans.catalog import Catalog
+            from dp1_data_wrangling_spark.plans.text_index import (
+                build_text_index,
+            )
+            from dp1_data_wrangling_spark.streaming.text_index import (
+                stream_text_index_append,
+            )
+
+            seed = docs.filter(F.col("doc_id") % 10 == 0).select(
+                "doc_id", "text"
+            )
+
+            def start_text_index(s, w):
+                cat = Catalog(f"{w}/cat")
+                build_text_index(spark, cat, seed)
+                return stream_text_index_append(
+                    s.select("doc_id", "text"),
+                    f"{w}/cat",
+                    checkpoint_dir=f"{w}/ckpt",
+                )
+
+            bench_stream(
+                "stream_text_index",
+                docs.filter(F.col("doc_id") % 10 != 0).select(
+                    "doc_id", "text"
+                ),
+                start_text_index,
+            )
         except Exception as exc:  # noqa: BLE001 - bench is informational
             print(f"streaming bench failed: {exc}", file=sys.stderr)
 
