@@ -3486,6 +3486,107 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_kmv_cube",
+    """
+    WITH kc_h AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    kc_td AS (
+        SELECT 'type_day' AS level, event_type, day, hv FROM (
+            SELECT event_type, day, hv, row_number() OVER (
+                PARTITION BY event_type, day ORDER BY hv) AS rn
+            FROM kc_h) kc_i WHERE rn <= 32
+    ),
+    kc_t AS (
+        SELECT 'type' AS level, event_type, CAST(NULL AS BIGINT) AS day,
+               hv FROM (
+            SELECT event_type, hv, row_number() OVER (
+                PARTITION BY event_type ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT event_type, hv FROM kc_h) kc_j
+        ) kc_k WHERE rn <= 32
+    ),
+    kc_d AS (
+        SELECT 'day' AS level, CAST(NULL AS VARCHAR) AS event_type, day,
+               hv FROM (
+            SELECT day, hv, row_number() OVER (
+                PARTITION BY day ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT day, hv FROM kc_h) kc_l
+        ) kc_m WHERE rn <= 32
+    ),
+    kc_g AS (
+        SELECT 'total' AS level, CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS BIGINT) AS day, hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT hv FROM kc_h) kc_n
+        ) kc_o WHERE rn <= 32
+    ),
+    kc_all AS (
+        SELECT * FROM kc_td UNION ALL SELECT * FROM kc_t
+        UNION ALL SELECT * FROM kc_d UNION ALL SELECT * FROM kc_g
+    )
+    SELECT level, event_type, day, CAST(count(*) AS BIGINT) AS n_seen,
+           CASE WHEN count(*) = 32 THEN max(hv) END AS kth_hash,
+           CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                ELSE round(31.0 * 1152921504606846976.0 / max(hv), 6)
+           END AS est_distinct
+    FROM kc_all GROUP BY level, event_type, day
+    """,
+)
+def q_events_kmv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user rollup CUBE from ONE set of KMV sketches
+    (operators/sketch.py kmv_sketch/kmv_merge/kmv_estimate): the
+    (type, day) base sketches are built once from raw data, then every
+    coarser cell — per type, per day, grand total — comes from MERGING
+    them (k-smallest-of-union), never from re-scanning facts.  The
+    oracle sketches each granularity DIRECTLY from the raw table, so
+    the driver's hash compare proves the merge law across the whole
+    hierarchy at once — reaggregable distinct counts are THE reason
+    sketches replace exact counts at 100 TB."""
+    from .operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        "user_id",
+    )
+    base = kmv_sketch(
+        e, value_col="user_id", group_cols=["event_type", "day"], k=32
+    ).localCheckpoint(eager=True)
+
+    def level(name, groups, null_cols):
+        # project the base sketch to (groups, hv) BEFORE merging: the
+        # rolled-up dimension column must not survive into the merge's
+        # distinct, or the same hash observed under two rolled-up values
+        # would count twice in the re-min
+        est = kmv_estimate(
+            kmv_merge([base.select(*groups, "hv")], group_cols=groups, k=32),
+            group_cols=groups,
+            k=32,
+        ).withColumn("level", F.lit(name))
+        for c, t in null_cols.items():
+            est = est.withColumn(c, F.lit(None).cast(t))
+        return est.select(
+            "level", "event_type", "day", "n_seen", "kth_hash",
+            "est_distinct",
+        )
+
+    return (
+        level("type_day", ["event_type", "day"], {})
+        .unionByName(level("type", ["event_type"], {"day": "bigint"}))
+        .unionByName(level("day", ["day"], {"event_type": "string"}))
+        .unionByName(
+            level("total", [], {"event_type": "string", "day": "bigint"})
+        )
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
