@@ -767,3 +767,134 @@ def hdr_quantiles(
             )
         )
     return cum.groupBy(*groups).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, public literature) — the canonical
+# fixed-size cardinality sketch: hash each value, route it to one of
+# m = 2^p registers by its top p bits, and keep per register the MAXIMUM
+# rho = (leading zeros of the remaining bits) + 1.  The harmonic mean of
+# 2^-register estimates the distinct count as alpha_m * m^2 / sum(2^-M_j).
+#
+# Engine posture vs KMV above: the KMV sketch is k rows per group and
+# exact below k; HLL is at most m rows per group FOREVER (registers
+# saturate, they never grow), merge = cellwise MAX (associative,
+# idempotent — re-delivery under at-least-once streaming is free), and
+# the build is ONE combinable groupBy (no window pass at all).  At
+# 100 TB the HLL build is the cheapest possible distinct-count shape:
+# map-side max-combine over (group, bucket) cells.
+#
+# Determinism: the same md5-derived 60-bit hash as KMV; rho is computed
+# as ``(w+1) - length(bin(remainder))`` — minimal binary strings are
+# engine-identical — and the estimator is exact-integer up to ONE double
+# division chain replayed verbatim by the oracle.  No ln()-based
+# small-range correction is applied (a transcendental is not
+# cross-engine-stable); `zero_buckets` is emitted so callers can see
+# when linear counting would apply.
+# --------------------------------------------------------------------------
+
+#: alpha_m in micro units, from the HLL paper's table (m = 16, 32, 64)
+#: and its asymptotic formula for larger m.
+_HLL_ALPHA_MICRO = {4: 673_000, 5: 697_000, 6: 709_000}
+
+
+def _hll_params(p: int) -> tuple[int, int, int]:
+    """(m, w, alpha_micro) for precision p; w = remainder bits."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be within [4, 14], got {p}")
+    m = 1 << p
+    w = 60 - p
+    alpha_micro = _HLL_ALPHA_MICRO.get(p) or round(
+        721_300 / (1 + 1.079 / m)
+    )
+    return m, w, alpha_micro
+
+
+def hll_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HLL registers ``(*group_cols, bucket, reg)``: bucket is
+    the hash's top ``p`` bits, reg the max rho observed there.  Empty
+    buckets are implicit (reg 0) — the estimator accounts for them.
+    NULL values are excluded.  ONE combinable groupBy; no distinct, no
+    window (max is idempotent, duplicates are free)."""
+    _, w, _ = _hll_params(p)
+    groups = group_cols or []
+    mask = (1 << w) - 1
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, kmv_hash(F.col(value_col)).alias("__hv"))
+        .withColumn("bucket", F.expr(f"shiftright(__hv, {w})"))
+        .withColumn("__r", F.expr(f"__hv & {mask}"))
+        .withColumn(
+            "__rho",
+            F.expr(
+                f"CASE WHEN __r = 0 THEN {w + 1} "
+                f"ELSE {w + 1} - length(bin(__r)) END"
+            ).cast("int"),
+        )
+    )
+    return hashed.groupBy(*groups, "bucket").agg(
+        F.max("__rho").alias("reg")
+    )
+
+
+def hll_merge(
+    sketches: list[DataFrame],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cellwise-max registers: the sketch of the union, exactly
+    (property-tested), because max over a union is max of maxes."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    groups = group_cols or []
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*groups, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """Raw-HLL distinct estimate per group.
+
+    Returns ``(*group_cols, zero_buckets, reg_denom, est_distinct)``.
+    ``reg_denom`` is the harmonic-mean denominator scaled by 2^(w+1) so
+    it is an EXACT BIGINT: sum over all m buckets of 2^(w+1-reg), with
+    the (m - seen) empty buckets contributing 2^(w+1) each; the bound is
+    m * 2^(w+1) = 2^61 regardless of p, so it never overflows.  The
+    estimate alpha_m * m^2 / sum(2^-reg) is then
+    ``alpha_micro * m^2 * 2^(w+1) / reg_denom / 1e6`` — the numerator is
+    an exactly-representable double (alpha_micro * m^2 < 2^53 times a
+    power of two) and the two divisions are IEEE-identical across
+    engines, so a DuckDB oracle replays the estimate bit-for-bit."""
+    m, w, alpha_micro = _hll_params(p)
+    groups = group_cols or []
+    rmax = w + 1
+    num = float(alpha_micro * m * m) * float(1 << rmax)
+    agg = sketch.groupBy(*groups).agg(
+        (F.lit(m) - F.count("*")).cast("bigint").alias("zero_buckets"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << rmax)
+        )
+        .cast("bigint")
+        .alias("reg_denom"),
+    )
+    return agg.select(
+        *groups,
+        "zero_buckets",
+        "reg_denom",
+        F.round(
+            F.lit(num) / F.col("reg_denom").cast("double") / F.lit(1e6), 6
+        ).alias("est_distinct"),
+    )

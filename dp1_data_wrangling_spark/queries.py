@@ -3587,6 +3587,69 @@ def q_events_kmv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hll_distinct",
+    """
+    WITH hll_h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    hll_r AS (
+        SELECT event_type, hv >> 54 AS bucket,
+               hv & 18014398509481983 AS r
+        FROM hll_h
+    ),
+    hll_reg AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN r = 0 THEN 55
+                        ELSE 55 - length(bin(r)) END) AS reg
+        FROM hll_r GROUP BY event_type, bucket
+    ),
+    hll_e AS (
+        SELECT event_type,
+               CAST(64 - count(*) AS BIGINT) AS zero_buckets,
+               CAST(sum(CAST(1 AS BIGINT) << (55 - reg))
+                    + (64 - count(*)) * 36028797018963968
+                    AS BIGINT) AS reg_denom
+        FROM hll_reg GROUP BY event_type
+    ),
+    hll_x AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.zero_buckets, e.reg_denom,
+           round(104629932386080576765952000.0 / e.reg_denom / 1000000.0, 6)
+               AS est_distinct,
+           x.exact_distinct
+    FROM hll_e e JOIN hll_x x USING (event_type)
+    """,
+)
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/sketch.py
+    hll_sketch/hll_estimate, Flajolet et al. 2007): per event type,
+    m = 64 max-rho registers estimate the distinct-user count via the
+    harmonic mean, joined against the exact count for an honest error
+    readout.  Registers are md5-derived exact integers and the
+    estimator's denominator is an exact BIGINT (2^(w+1)-scaled), so the
+    oracle replays registers AND estimate bit-for-bit — the one double
+    division chain is IEEE-identical.  Vs the KMV twin above: bounded
+    64-cell state per group forever, merge = cellwise max (idempotent —
+    at-least-once-safe), and the build is ONE combinable groupBy with
+    no window pass."""
+    from .operators.sketch import hll_estimate, hll_sketch
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = hll_sketch(e, value_col="user_id", group_cols=["event_type"], p=6)
+    est = hll_estimate(sk, group_cols=["event_type"], p=6)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
@@ -3620,13 +3683,13 @@ DRIVER_WINDOW: list[str] = [
     "lsh_topk",                   # r8: full md5-plane signature replay oracle
     "ivf_topk",                   # r8: full quantizer+assignment replay oracle
     "doc_cooccurrence",           # r9: apriori frequent co-occurring pairs
-    "certify_probe",              # K10 certify at 600k-interval fact scale
+    "events_kmv_cube",            # r9: one-build KMV rollup hierarchy (merge law)
     "embedding_mmr_rerank",       # r9: MMR diversity re-rank (exact greedy)
-    "corpus_stats",               # one-pass corpus summary
+    "events_hll_distinct",        # r9: HyperLogLog registers + raw estimator
     "events_theta_overlap",       # r9: theta set algebra over KMV sketches
     "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers
     "doc_phrase_search",          # r9: positional-postings phrase search
-    "multimodal_audio_frames",    # REAL WAV decode + PCM frame slicing
+    "event_funnel_latency",       # r9: funnel time-to-convert percentiles
     "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch
     "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
     "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
@@ -3639,7 +3702,7 @@ DRIVER_WINDOW: list[str] = [
     "events_changepoints",        # r9: exact CUSUM change-point alarms
     "doc_link_kcore",             # r9: k-core peeling fixpoint (graph tier)
     "events_skyline",             # r9: 2-D Pareto skyline (one ordered pass)
-    "doc_cluster_safe_split",     # cluster-safe split (0-straddle leak probe)
+    "event_attribution",          # r9: exact linear multi-touch attribution
     "events_interpolate",         # r9: exact linear-interpolation gap fill
     # -- graph / time series --
     "doc_link_triangles",         # r8: degree-ordered triangle counting

@@ -34,6 +34,8 @@ from ..operators.sketch import (
     cm_sketch,
     hdr_merge,
     hdr_sketch,
+    hll_merge,
+    hll_sketch,
     kmv_merge,
     kmv_sketch,
     sample_merge,
@@ -60,6 +62,8 @@ def stream_sketches(
     hdr_col: str | None = None,
     hdr_table: str = "hdr_sketch",
     hdr_precision_bits: int = 4,
+    hll_p: int | None = None,
+    hll_table: str = "hll_sketch",
     k: int = 64,
     depth: int = 4,
     width: int = 256,
@@ -85,7 +89,14 @@ def stream_sketches(
     to ALSO maintain the HDR log-linear histogram in ``hdr_table``:
     bounded-relative-error quantiles over the unbounded stream with
     ~64·2^p cells per group, merged by the cellwise-additive law under
-    the same commit."""
+    the same commit.
+
+    Pass ``hll_p`` to ALSO maintain the HyperLogLog register table in
+    ``hll_table`` over the same ``value_col``: at most 2^p cells per
+    group FOREVER, merged by cellwise max — which is IDEMPOTENT, so
+    even duplicate deliveries WITHIN a batch (invisible to the batch-id
+    watermark) cannot skew it, the strongest at-least-once posture in
+    the sketch family."""
     groups = list(group_cols or [])
     meta_key = batch_meta_key(
         f"sketches:{kmv_table}:{cm_table}", checkpoint_dir, stream_name
@@ -118,6 +129,13 @@ def stream_sketches(
                 precision_bits=hdr_precision_bits,
             )
             if hdr_col
+            else None
+        )
+        b_hll = (
+            hll_sketch(
+                batch_df, value_col=value_col, group_cols=groups, p=hll_p
+            )
+            if hll_p is not None
             else None
         )
         last_exc: CommitConflict | None = None
@@ -165,6 +183,17 @@ def stream_sketches(
                     if hdr_roots
                     else b_hdr
                 )
+            hll_roots: list[str] = []
+            if b_hll is not None:
+                hll_roots = list(snapshot["tables"].get(hll_table, []))
+                new_hll = (
+                    hll_merge(
+                        [cat._read_roots(spark, hll_roots), b_hll],
+                        group_cols=groups,
+                    )
+                    if hll_roots
+                    else b_hll
+                )
             txn = cat.begin()
             txn.stage(kmv_table, new_kmv, mode="overwrite")
             txn.stage(cm_table, new_cm, mode="overwrite")
@@ -172,6 +201,8 @@ def stream_sketches(
                 txn.stage(sample_table, new_sample, mode="overwrite")
             if b_hdr is not None:
                 txn.stage(hdr_table, new_hdr, mode="overwrite")
+            if b_hll is not None:
+                txn.stage(hll_table, new_hll, mode="overwrite")
             try:
                 # watermark + both sketch tables: one atomic commit —
                 # exactly-once hinges on their inseparability; the
@@ -191,6 +222,11 @@ def stream_sketches(
                         **(
                             {hdr_table: hdr_roots}
                             if b_hdr is not None
+                            else {}
+                        ),
+                        **(
+                            {hll_table: hll_roots}
+                            if b_hll is not None
                             else {}
                         ),
                     },

@@ -2957,6 +2957,98 @@ def test_kmv_validation(spark):
         kmv_merge([])
 
 
+def _hll_ref_regs(values, p=6):
+    """Pure-python HLL register replay (md5-prefix hash, top-p bucket,
+    rho = leading zeros of the remainder + 1)."""
+    w = 60 - p
+    regs = {}
+    for v in values:
+        hv = _kmv_ref_hash(v)
+        bucket, r = hv >> w, hv & ((1 << w) - 1)
+        rho = (w + 1) if r == 0 else (w + 1 - r.bit_length())
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_sketch_hand_computed(spark):
+    """Registers over a small multiset (duplicates and a NULL ignored by
+    max/filter) match an independent pure-python replay exactly."""
+    from dp1_data_wrangling_spark.operators.sketch import hll_sketch
+
+    vals = [10, 20, 30, 40, 50, 10, 20]
+    rows = [("g", v) for v in vals] + [("g", None), ("h", 7)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = hll_sketch(df, value_col="v", group_cols=["grp"], p=6)
+    got_g = {r.bucket: r.reg for r in sk.filter("grp = 'g'").collect()}
+    assert got_g == _hll_ref_regs(set(vals))
+    got_h = {r.bucket: r.reg for r in sk.filter("grp = 'h'").collect()}
+    assert got_h == _hll_ref_regs([7])
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """The HLL merge law: cellwise max of per-part registers IS the
+    union's registers — and it is idempotent (merging a sketch with
+    itself is a no-op), the at-least-once streaming guarantee."""
+    from dp1_data_wrangling_spark.operators.sketch import hll_merge, hll_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(200)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(150, 400)], "v long")
+    sk_a, sk_b = (
+        hll_sketch(x, value_col="v", p=6) for x in (a, b)
+    )
+    merged = sorted(
+        (r.bucket, r.reg) for r in hll_merge([sk_a, sk_b]).collect()
+    )
+    direct = sorted(
+        (r.bucket, r.reg)
+        for r in hll_sketch(a.union(b), value_col="v", p=6).collect()
+    )
+    assert merged == direct
+    self_merged = sorted(
+        (r.bucket, r.reg) for r in hll_merge([sk_a, sk_a]).collect()
+    )
+    assert self_merged == sorted((r.bucket, r.reg) for r in sk_a.collect())
+
+
+def test_hll_estimate_matches_replay_and_tracks_exact(spark):
+    """reg_denom replays exactly in python (the estimator is
+    deterministic, not just approximately right), and the raw-HLL
+    estimate lands within the expected ~1.04/sqrt(64) error band of the
+    true cardinality for a 3000-distinct-value stream."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hll_estimate, hll_sketch,
+    )
+
+    n = 3000
+    df = spark.createDataFrame([(i % n,) for i in range(2 * n)], "v long")
+    est = hll_estimate(
+        hll_sketch(df, value_col="v", p=6), p=6
+    ).collect()[0]
+    regs = _hll_ref_regs(range(n))
+    denom = sum(1 << (55 - r) for r in regs.values()) + (
+        64 - len(regs)
+    ) * (1 << 55)
+    assert est.reg_denom == denom
+    assert est.zero_buckets == 64 - len(regs)
+    want = round(709000.0 * 4096.0 * float(1 << 55) / denom / 1e6, 6)
+    assert est.est_distinct == pytest.approx(want, abs=1e-6)
+    assert abs(est.est_distinct - n) / n < 0.4
+
+
+def test_hll_validation(spark):
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hll_merge, hll_sketch,
+    )
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(df, value_col="v", p=3)
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(df, value_col="v", p=15)
+    with pytest.raises(ValueError, match="non-empty"):
+        hll_merge([])
+
+
 def test_within_distance_pairs_hand_computed(spark):
     """Points (0,0),(3,4),(10,0),(9,9),(None,5): radius 5 pairs
     (0,0)-(3,4) at 25 (boundary inclusive) and (3,4)-(10,0)? dist2 =

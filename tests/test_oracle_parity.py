@@ -154,7 +154,10 @@ def test_driver_window_covers_flagship_surface():
         # ivf_kmeans_recall_bound rotated out in r9 for events_skyline
         # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
         # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)
-        "doc_cluster_safe_split",
+        # doc_cluster_safe_split rotated out late-r9 for event_attribution
+        # (2x green r7+r8; the split/curation family stays via
+        # doc_semantic_decontam + in-repo parity for the closure oracles)
+        "event_attribution",
         # doc_semantic_curation rotated out mid-r9 for events_interpolate
         # (2x green r7+r8; the semantic family keeps doc_semantic_decontam
         # + doc_cluster_safe_split in-window)
@@ -172,7 +175,11 @@ def test_driver_window_covers_flagship_surface():
         # multimodal_video_frames rotated out mid-r9 for
         # doc_phrase_search (2x green r7+r8; the multimodal family keeps
         # png/qoi/ulaw/audio_frames — four codec reps — in-window)
-        "multimodal_audio_frames", "doc_phrase_search",
+        # multimodal_audio_frames rotated out late-r9 for
+        # event_funnel_latency (2x green r7+r8; the multimodal family
+        # keeps png/qoi/ulaw — three REAL-codec reps — in-window, and
+        # the WAV chunk walk stays on multimodal_ulaw's hot path)
+        "event_funnel_latency", "doc_phrase_search",
         # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
         # green r7+r8; LM scoring stays via doc_bigram_score in-window)
         # doc_subword_pack rotated out mid-r9 for part_abc_classes (2x
@@ -186,7 +193,12 @@ def test_driver_window_covers_flagship_surface():
         # embedding_mmr_rerank (2x green r7+r8; the persisted-index
         # family keeps bm25_index_topk in-window and the ANN family
         # keeps lsh_topk/ivf_topk/pq_recall_bound/ivf_pq_recall_bound)
-        "certify_probe", "embedding_mmr_rerank", "corpus_stats",
+        # certify_probe rotated out late-r9 for events_kmv_cube and
+        # corpus_stats for events_hll_distinct (both 2x green r7+r8;
+        # the interval family keeps events_scd2_enrich's temporal join
+        # in-window plus certify's bench headline + scaling probe, and
+        # the corpus-aggregate family stays parity-held in-repo)
+        "events_kmv_cube", "events_hll_distinct", "embedding_mmr_rerank",
         # doc_card_scan rotated out in r9 for doc_cooccurrence (2x green
         # r7+r8; the PII-precision family stays via doc_gopher_rules'
         # rule screen and in-repo parity for card-scan/pii-scrub)

@@ -856,6 +856,22 @@ def test_hdr_sketch_cell_space_no_join(spark):
     assert "partial_count" in plan, plan
 
 
+def test_hll_sketch_one_combinable_groupby_no_window(spark):
+    """HLL is the cheapest distinct shape: the register build is ONE
+    map-side-combinable groupBy (partial_max before the exchange) with
+    NO window pass and no distinct; the demo query's only other
+    shuffles are the estimate agg and the exact-count comparison."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_hll_distinct"].fn(spark, SMOKE_SF))
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan, plan
+    # registers, estimate agg, exact countDistinct's two-phase pair
+    assert data_shuffles(plan) <= 4
+
+
 def test_expectation_suite_single_pass_no_join(spark):
     """The whole rule suite is one wide aggregate: no join, no window,
     no Python; map-side combine reduces each partition to one row."""

@@ -1103,10 +1103,12 @@ def test_stream_scd2_equals_batch_any_order(spark, tmp_path):
 def test_stream_sketches_equals_batch(spark, tmp_path):
     """Streaming events through the sketch maintainer in micro-batches
     materializes EXACTLY the one-shot batch sketches over all rows — the
-    KMV and count-min merge laws make the micro-batch cuts invisible.
+    KMV, count-min and HLL merge laws make the micro-batch cuts invisible.
     Replay from the same checkpoint is a no-op (batch-id watermark rides
     the same atomic commit as both tables)."""
-    from dp1_data_wrangling_spark.operators.sketch import cm_sketch, kmv_sketch
+    from dp1_data_wrangling_spark.operators.sketch import (
+        cm_sketch, hll_sketch, kmv_sketch,
+    )
     from dp1_data_wrangling_spark.plans.catalog import Catalog
     from dp1_data_wrangling_spark.streaming import stream_sketches
     from dp1_data_wrangling_spark.tables import load_table
@@ -1136,6 +1138,7 @@ def test_stream_sketches_equals_batch(spark, tmp_path):
             k=16,
             depth=3,
             width=32,
+            hll_p=6,
         )
 
     cat_root = str(tmp_path / "cat")
@@ -1164,8 +1167,18 @@ def test_stream_sketches_equals_batch(spark, tmp_path):
             ).collect(),
         )
     )
+    got_hll = sorted(map(tuple, cat.read(spark, "hll_sketch").collect()))
+    want_hll = sorted(
+        map(
+            tuple,
+            hll_sketch(
+                events, value_col="user_id", group_cols=["event_type"], p=6
+            ).collect(),
+        )
+    )
     assert got_kmv == want_kmv
     assert got_cm == want_cm
+    assert got_hll == want_hll
 
     # replay: same checkpoint, already-committed batches -> tables and
     # catalog version unchanged
