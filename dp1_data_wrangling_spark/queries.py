@@ -3650,6 +3650,132 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+@register(
+    "events_geofence",
+    """
+    WITH pg_c AS (
+        SELECT n_nationkey AS pid,
+               CAST(('0x' || substr(md5('pgx|' || CAST(n_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 800 + 100 AS cx,
+               CAST(('0x' || substr(md5('pgy|' || CAST(n_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 800 + 100 AS cy,
+               CAST(('0x' || substr(md5('pge|' || CAST(n_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 100 + 20 AS re,
+               CAST(('0x' || substr(md5('pgn|' || CAST(n_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 100 + 20 AS rn,
+               CAST(('0x' || substr(md5('pgw|' || CAST(n_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 100 + 20 AS rw,
+               CAST(('0x' || substr(md5('pgs|' || CAST(n_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 100 + 20 AS rs
+        FROM nation
+    ),
+    pg_v AS (
+        SELECT pid, 0 AS i, cx + re AS vx, cy AS vy FROM pg_c
+        UNION ALL SELECT pid, 1, cx, cy + rn FROM pg_c
+        UNION ALL SELECT pid, 2, cx - rw, cy FROM pg_c
+        UNION ALL SELECT pid, 3, cx, cy - rs FROM pg_c
+    ),
+    pg_e AS (
+        SELECT a.pid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+        FROM pg_v a JOIN pg_v b ON a.pid = b.pid AND b.i = (a.i + 1) % 4
+    ),
+    pg_p AS (
+        SELECT event_id,
+               CAST(('0x' || substr(md5('spx|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS px,
+               CAST(('0x' || substr(md5('spy|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS py
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pg_t AS (
+        SELECT p.event_id, e.pid,
+               SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                     AND (CASE WHEN e.y2 > e.y1
+                          THEN (e.x2 - e.x1) * (p.py - e.y1)
+                               - (p.px - e.x1) * (e.y2 - e.y1) > 0
+                          ELSE (e.x2 - e.x1) * (p.py - e.y1)
+                               - (p.px - e.x1) * (e.y2 - e.y1) < 0 END)
+                   THEN 1 ELSE 0 END) AS c,
+               BOOL_OR((e.x2 - e.x1) * (p.py - e.y1)
+                           - (p.px - e.x1) * (e.y2 - e.y1) = 0
+                   AND p.px BETWEEN least(e.x1, e.x2) AND greatest(e.x1, e.x2)
+                   AND p.py BETWEEN least(e.y1, e.y2) AND greatest(e.y1, e.y2))
+                   AS b
+        FROM pg_p p CROSS JOIN pg_e e
+        GROUP BY p.event_id, e.pid
+    )
+    SELECT event_id AS id, CAST(pid AS BIGINT) AS poly_id,
+           b AS on_boundary
+    FROM pg_t WHERE c % 2 = 1 OR b
+    """,
+)
+def q_events_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon geofence join (operators/spatial.py
+    point_in_polygon, the ST_Contains workhorse): purchase events get
+    the same md5-derived 1000x1000 planar coordinates as the spatial
+    tier; 25 deterministic kite-shaped fences (one per nation, center +
+    four md5-derived arm lengths) are tested by integer even-odd ray
+    casting over a bbox-cell equi-join — never points x polygons.  The
+    oracle is the BRUTE-FORCE cross join over polygon edges (an
+    independent algorithm with no blocking), so the hash compare proves
+    both the blocking's completeness and the crossing/boundary algebra
+    bit-for-bit."""
+    from .operators.spatial import point_in_polygon
+
+    def h(tag: str, key: str, mod: int, base: int) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col(key).cast("string")
+        ).cast("binary")
+        return (
+            F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % mod
+            + base
+        )
+
+    polys = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("pid"),
+            h("pgx", "n_nationkey", 800, 100).alias("cx"),
+            h("pgy", "n_nationkey", 800, 100).alias("cy"),
+            h("pge", "n_nationkey", 100, 20).alias("re"),
+            h("pgn", "n_nationkey", 100, 20).alias("rn"),
+            h("pgw", "n_nationkey", 100, 20).alias("rw"),
+            h("pgs", "n_nationkey", 100, 20).alias("rs"),
+        )
+        .select(
+            "pid",
+            F.expr(
+                "array(named_struct('x', cx + re, 'y', cy), "
+                "named_struct('x', cx, 'y', cy + rn), "
+                "named_struct('x', cx - rw, 'y', cy), "
+                "named_struct('x', cx, 'y', cy - rs))"
+            ).alias("verts"),
+        )
+    )
+    pts = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            (h("spx", "event_id", 1000, 0)).alias("x"),
+            (h("spy", "event_id", 1000, 0)).alias("y"),
+        )
+    )
+    return point_in_polygon(
+        pts,
+        polys,
+        x_col="x",
+        y_col="y",
+        id_col="event_id",
+        poly_id_col="pid",
+        vertices_col="verts",
+        cell_size=64,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
@@ -3691,7 +3817,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_phrase_search",          # r9: positional-postings phrase search
     "event_funnel_latency",       # r9: funnel time-to-convert percentiles
     "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch
-    "doc_bpe_tokens",             # frozen-vocab greedy subword tokenizer
+    "events_geofence",            # r9: exact point-in-polygon geofence join
     "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
     "doc_fuzzy_pairs",            # r8: PassJoin edit-distance fuzzy join
     # -- sampling / packing / curation tail (r7 audit rotation) --

@@ -3049,6 +3049,84 @@ def test_hll_validation(spark):
         hll_merge([])
 
 
+def _pip(spark, pts_rows, poly_rows, cell=8, **kw):
+    from dp1_data_wrangling_spark.operators.spatial import point_in_polygon
+
+    pts = spark.createDataFrame(pts_rows, "id long, x long, y long")
+    polys = spark.createDataFrame(
+        poly_rows, "pid long, verts array<struct<x:long,y:long>>"
+    )
+    return point_in_polygon(
+        pts, polys, x_col="x", y_col="y", id_col="id", poly_id_col="pid",
+        vertices_col="verts", cell_size=cell, **kw,
+    )
+
+
+def test_point_in_polygon_hand_computed(spark):
+    """Unit square [0,10]^2: interior point contained (not boundary),
+    corner / edge / vertex points contained WITH the boundary flag,
+    outside points (incl. one sharing the edge line but past the
+    segment) absent."""
+    pts = [(1, 5, 5), (2, 15, 5), (3, 0, 0), (4, 10, 5), (5, 5, 0),
+           (6, 10, 10), (7, -1, 5), (8, 11, 0)]
+    square = [(100, [(0, 0), (10, 0), (10, 10), (0, 10)])]
+    got = sorted(
+        (r.id, r.poly_id, r.on_boundary)
+        for r in _pip(spark, pts, square).collect()
+    )
+    assert got == [(1, 100, False), (3, 100, True), (4, 100, True),
+                   (5, 100, True), (6, 100, True)]
+
+
+def test_point_in_polygon_concave_and_negative_cells(spark):
+    """A concave L-shape spanning negative coordinates: the notch point
+    is OUT despite being inside the bbox (even-odd parity, not bbox),
+    the arm points are in, and bbox-cell blocking with floor-division
+    cells stays complete across the origin."""
+    lshape = [(7, [(-10, -10), (10, -10), (10, 0), (0, 0), (0, 10),
+                   (-10, 10)])]
+    pts = [(1, 5, 5),      # inside bbox, inside the notch -> OUT
+           (2, -5, 5),     # upper arm -> IN
+           (3, 5, -5),     # lower arm -> IN
+           (4, -5, -5),    # body -> IN
+           (5, 0, 5),      # on the notch's vertical edge -> boundary
+           (6, 11, 0)]     # outside -> OUT
+    got = sorted(
+        (r.id, r.on_boundary) for r in _pip(spark, pts, lshape).collect()
+    )
+    assert got == [(2, False), (3, False), (4, False), (5, True)]
+
+
+def test_point_in_polygon_multiple_polygons_overlap(spark):
+    """Overlapping fences: a point inside two polygons yields TWO rows
+    (a containment relation, not a classification)."""
+    polys = [(1, [(0, 0), (10, 0), (10, 10), (0, 10)]),
+             (2, [(5, 5), (20, 5), (20, 20), (5, 20)])]
+    got = sorted(
+        (r.id, r.poly_id)
+        for r in _pip(spark, [(9, 7, 7)], polys).collect()
+    )
+    assert got == [(9, 1), (9, 2)]
+
+
+def test_point_in_polygon_validation_and_guards(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    square = [(1, [(0, 0), (10, 0), (10, 10), (0, 10)])]
+    with pytest.raises(ValueError, match="cell_size"):
+        _pip(spark, [(1, 1, 1)], square, cell=0)
+    with pytest.raises(SparkRuntimeException, match=">= 3"):
+        _pip(spark, [(1, 1, 1)], [(1, [(0, 0), (1, 1)])]).collect()
+    with pytest.raises(SparkRuntimeException, match="2\\^30"):
+        _pip(spark, [(1, 1 << 31, 1)], square).collect()
+    with pytest.raises(SparkRuntimeException, match="grid cells"):
+        _pip(
+            spark, [(1, 1, 1)],
+            [(1, [(0, 0), (100000, 0), (100000, 100000), (0, 100000)])],
+            cell=8, max_cells_per_poly=16,
+        ).collect()
+
+
 def test_within_distance_pairs_hand_computed(spark):
     """Points (0,0),(3,4),(10,0),(9,9),(None,5): radius 5 pairs
     (0,0)-(3,4) at 25 (boundary inclusive) and (3,4)-(10,0)? dist2 =

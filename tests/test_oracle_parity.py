@@ -171,7 +171,11 @@ def test_driver_window_covers_flagship_surface():
         # doc_subword_mix rotated out in r9 for events_value_quantiles
         # (2x green r7+r8; the subword family stays via doc_subword_pack
         # + doc_bpe_tokens)
-        "doc_bpe_tokens",
+        # doc_bpe_tokens rotated out late-r9 for events_geofence (2x
+        # green r7+r8; the subword family stays parity-held in-repo and
+        # the Arrow mapInPandas worker-import path stays externally
+        # exercised every round by the png/qoi/ulaw codec queries)
+        "events_geofence",
         # multimodal_video_frames rotated out mid-r9 for
         # doc_phrase_search (2x green r7+r8; the multimodal family keeps
         # png/qoi/ulaw/audio_frames — four codec reps — in-window)

@@ -400,6 +400,16 @@ SHUFFLE_BUDGETS = {
     # distinct + bottom-k window, per-key stats, and the pair-keyed
     # count aggregates; all pair joins broadcast (gate below)
     "events_theta_overlap": 11,
+    # KMV rollup cube: the base (type, day) sketch build (distinct +
+    # bottom-k window, checkpointed once) plus one sketch-space re-min
+    # (window + estimate agg) PER rollup level — every post-build
+    # shuffle moves <= k 8-byte hashes per cell, never facts
+    "events_kmv_cube": 9,
+    # NDCG eval composes the BM25 retrieval plan (8 budget, see
+    # doc_bm25_topk) with the graded-relevance label join and the
+    # per-query DCG/IDCG aggregates — all query-keyed frames bounded by
+    # queries x k, never corpus payloads
+    "bm25_ndcg_eval": 12,
 }
 
 
@@ -870,6 +880,19 @@ def test_hll_sketch_one_combinable_groupby_no_window(spark):
     assert "EvalPython" not in plan, plan
     # registers, estimate agg, exact countDistinct's two-phase pair
     assert data_shuffles(plan) <= 4
+
+
+def test_geofence_single_cell_equi_join_no_python(spark):
+    """Point-in-polygon: ONE hash equi-join on the bbox-grid cell id
+    (never points x polygons), the ray cast a row-local JVM fold — no
+    cartesian product, no Python, no window."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_geofence"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_expectation_suite_single_pass_no_join(spark):
