@@ -482,6 +482,7 @@ def main() -> None:
 
             from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
             from dp1_data_wrangling_spark.operators.spatial import (
+                point_in_polygon,
                 within_distance_pairs,
             )
 
@@ -561,6 +562,64 @@ def main() -> None:
                     "small_sec": round(sp[5_000], 3),
                     "big_sec": round(sp[50_000], 3),
                     "ratio_10x_rows": round(sp[50_000] / sp[5_000], 2),
+                }
+
+                # geofence probe: density-constant on BOTH sides (points
+                # AND fences scale with area), so candidate volume — and
+                # the right plan's wall — should scale ~linearly
+                def synth_fences(n_f: int, side: int):
+                    def g(tag: str, mod: int, base: int):
+                        return (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(tag),
+                                            F.col("id").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % mod
+                            + base
+                        )
+
+                    cx, cy = g("fx|", side - 300, 150), g("fy|", side - 300, 150)
+                    return spark.range(n_f).select(
+                        F.col("id").alias("fid"),
+                        F.array(
+                            F.struct((cx + g("fe|", 100, 20)).alias("x"), cy.alias("y")),
+                            F.struct(cx.alias("x"), (cy + g("fn|", 100, 20)).alias("y")),
+                            F.struct((cx - g("fw|", 100, 20)).alias("x"), cy.alias("y")),
+                            F.struct(cx.alias("x"), (cy - g("fs|", 100, 20)).alias("y")),
+                        ).alias("verts"),
+                    )
+
+                fpaths = {}
+                for n, side, n_f in ((5_000, 700, 25), (50_000, 2200, 250)):
+                    fpaths[n] = f"{tmp}/f{n}"
+                    synth_fences(n_f, side).write.parquet(fpaths[n])
+                gf = {
+                    n: min_of_3(
+                        lambda n=n: point_in_polygon(
+                            spark.read.parquet(ppaths[n]),
+                            spark.read.parquet(fpaths[n]),
+                            x_col="x", y_col="y", id_col="pid",
+                            poly_id_col="fid", vertices_col="verts",
+                            cell_size=64,
+                        )
+                    )
+                    for n in (5_000, 50_000)
+                }
+                scaling["geofence_synth"] = {
+                    "n_rows": [5_000, 50_000],
+                    "small_sec": round(gf[5_000], 3),
+                    "big_sec": round(gf[50_000], 3),
+                    "ratio_10x_rows": round(gf[50_000] / gf[5_000], 2),
                 }
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)

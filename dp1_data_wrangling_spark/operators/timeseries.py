@@ -421,3 +421,180 @@ def interpolate(
             F.col("__vq").isNotNull().alias("is_observed"),
         )
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    frac_bits: int = 20,
+    quant_scale: int = 1000,
+    forecast_steps: int = 4,
+    max_rows_per_key: int = 100_000,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha = beta =
+    1/2), as an EXACT fixed-point integer recurrence over each key's full
+    ordered series.
+
+    The real-valued recursion ``l_t = (x_t + l_{t-1} + b_{t-1})/2``,
+    ``b_t = (x_t - l_{t-1} + 3 b_{t-1})/4`` (the alpha=beta=1/2 closed
+    substitution) is float-order-dependent and its exact dyadic form
+    doubles its denominator twice per step — unusable past ~25 steps.
+    This operator instead PINS the spec as integer arithmetic with
+    ``frac_bits`` fractional bits: values quantize to
+    ``x*quant_scale*2^frac_bits`` and each step rounds once via
+    ARITHMETIC right shift (floor division by 2/4 — Spark ``shiftright``
+    and SQL ``>>`` agree on negatives, verified), so state never grows,
+    any series length works, and a DuckDB recursive CTE replays every
+    state bit-for-bit.  Rounding error is <= 2^-frac_bits per step and
+    the alpha=beta=1/2 system is a contraction (spectral radius
+    1/sqrt(2)), so total drift from real Holt stays ~3.4*2^-frac_bits —
+    ~3e-6 value units at the defaults.  Init: ``l_1 = x_1, b_1 = 0``
+    (deterministic, documented; the first observation carries no trend
+    evidence).
+
+    Returns one row per observation: ``(*key_cols, ts, step, level_num,
+    trend_num, level, trend, forecast)`` where ``forecast`` projects
+    ``forecast_steps`` ahead (``l + h*b``) and the doubles are single
+    exact-integer-over-power-of-two divisions (engine-identical).
+
+    Scale posture (100 TB): smoothing is inherently sequential per key,
+    so the design collects each key's series ONCE (one shuffle), runs
+    the O(n) fold row-locally in the JVM, and explodes back — the
+    standard Spark shape for order-dependent recurrences (same contract
+    as MMR's greedy loop).  Parallelism comes from the key dimension;
+    per-key length is bounded by ``max_rows_per_key`` with an executor
+    fail-fast, and duplicate timestamps (an ill-defined order) also
+    fail fast rather than smooth nondeterministically.
+    """
+    if not 4 <= frac_bits <= 40:
+        raise ValueError(f"frac_bits must be in [4, 40], got {frac_bits}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    if forecast_steps < 0:
+        raise ValueError(
+            f"forecast_steps must be non-negative, got {forecast_steps}"
+        )
+    if max_rows_per_key < 1:
+        raise ValueError(
+            f"max_rows_per_key must be positive, got {max_rows_per_key}"
+        )
+    keys = key_cols or []
+    s = frac_bits
+    # |x_q << s| and the ~4x state envelope must clear 2^62.
+    x_cap = 1 << (59 - s)
+    quant = F.round(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    d = df.withColumn(
+        "__xq",
+        F.when(F.abs(quant) < F.lit(x_cap), quant).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"holt_smooth: |value*{quant_scale}| >= {x_cap} "
+                        f"would overflow the fixed-point state at "
+                        f"frac_bits={s}; lower quant_scale or frac_bits "
+                        "(value="
+                    ),
+                    F.col(value_col).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("bigint")
+        ),
+    ).filter(F.col("__xq").isNotNull())
+
+    ser = d.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col("__xq").alias("x")))
+        ).alias("__ser")
+    )
+    n_ok = F.size("__ser") <= max_rows_per_key
+    ts_ok = F.expr(
+        "size(array_distinct(transform(__ser, o -> o.t))) = size(__ser)"
+    )
+    ser = ser.withColumn(
+        "__ser",
+        F.when(n_ok & ts_ok, F.col("__ser")).otherwise(
+            F.raise_error(
+                F.when(
+                    ~n_ok,
+                    F.concat(
+                        F.lit(
+                            f"holt_smooth: a key holds more than "
+                            f"{max_rows_per_key} observations ("
+                        ),
+                        F.size("__ser").cast("string"),
+                        F.lit("); raise max_rows_per_key or pre-bucket"),
+                    ),
+                ).otherwise(
+                    F.lit(
+                        "holt_smooth: duplicate timestamps within a key "
+                        "make the smoothing order ill-defined; "
+                        "deduplicate or bucket upstream"
+                    )
+                )
+            ).cast(f"array<struct<t:{d.schema[ts_col].dataType.simpleString()},x:bigint>>")
+        ),
+    )
+    # O(n) JVM fold: acc carries the emitted state array + current (l, b).
+    # Spark's higher-order functions are properly functional (no DuckDB-
+    # style accumulator aliasing), so l/b cross-reference safely.
+    fold = F.expr(
+        f"""
+        aggregate(
+            __ser,
+            named_struct(
+                'arr', CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>),
+                'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                'init', false),
+            (acc, o) -> CASE WHEN NOT acc.init THEN named_struct(
+                    'arr', array(named_struct(
+                        'l', shiftleft(o.x, {s}), 'b', CAST(0 AS BIGINT))),
+                    'l', shiftleft(o.x, {s}), 'b', CAST(0 AS BIGINT),
+                    'init', true)
+                ELSE named_struct(
+                    'arr', concat(acc.arr, array(named_struct(
+                        'l', shiftright(shiftleft(o.x, {s}) + acc.l + acc.b, 1),
+                        'b', shiftright(shiftleft(o.x, {s}) - acc.l + 3 * acc.b, 2)))),
+                    'l', shiftright(shiftleft(o.x, {s}) + acc.l + acc.b, 1),
+                    'b', shiftright(shiftleft(o.x, {s}) - acc.l + 3 * acc.b, 2),
+                    'init', true)
+            END,
+            acc -> acc.arr
+        )
+        """
+    )
+    den = float((1 << s) * quant_scale)
+    h = forecast_steps
+    out = (
+        ser.withColumn("__st", fold)
+        .select(
+            *keys,
+            F.posexplode(F.expr("arrays_zip(__ser, __st)")).alias(
+                "__pos", "__z"
+            ),
+        )
+        .select(
+            *keys,
+            F.col("__z.__ser.t").alias(ts_col),
+            (F.col("__pos") + 1).cast("bigint").alias("step"),
+            F.col("__z.__st.l").alias("level_num"),
+            F.col("__z.__st.b").alias("trend_num"),
+        )
+    )
+    return out.select(
+        *keys,
+        ts_col,
+        "step",
+        "level_num",
+        "trend_num",
+        (F.col("level_num").cast("double") / F.lit(den)).alias("level"),
+        (F.col("trend_num").cast("double") / F.lit(den)).alias("trend"),
+        (
+            (F.col("level_num") + F.lit(h) * F.col("trend_num")).cast(
+                "double"
+            )
+            / F.lit(den)
+        ).alias("forecast"),
+    )

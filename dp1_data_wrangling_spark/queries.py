@@ -3708,6 +3708,7 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            b AS on_boundary
     FROM pg_t WHERE c % 2 = 1 OR b
     """,
+    headline=True,
 )
 def q_events_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact point-in-polygon geofence join (operators/spatial.py
@@ -3773,6 +3774,74 @@ def q_events_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         poly_id_col="pid",
         vertices_col="verts",
         cell_size=64,
+    )
+
+
+@register(
+    "events_holt_trend",
+    """
+    WITH RECURSIVE ht_c AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ht_o AS (
+        SELECT event_type, hour, n,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hour) AS rn
+        FROM ht_c
+    ),
+    ht_s AS (
+        SELECT event_type, hour, rn, (n << 20) AS l, CAST(0 AS BIGINT) AS b
+        FROM ht_o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.hour, o.rn,
+               ((o.n << 20) + s.l + s.b) >> 1,
+               ((o.n << 20) - s.l + 3 * s.b) >> 2
+        FROM ht_s s JOIN ht_o o
+          ON o.event_type = s.event_type AND o.rn = s.rn + 1
+    )
+    SELECT event_type, hour, CAST(rn AS BIGINT) AS step,
+           l AS level_num, b AS trend_num,
+           CAST(l AS DOUBLE) / 1048576.0 AS level,
+           CAST(b AS DOUBLE) / 1048576.0 AS trend,
+           CAST(l + 4 * b AS DOUBLE) / 1048576.0 AS forecast
+    FROM ht_s
+    """,
+    headline=True,
+)
+def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing
+    (operators/timeseries.py holt_smooth, alpha = beta = 1/2): per
+    event type, the hourly event-count series is smoothed by the exact
+    fixed-point integer recurrence (20 fractional bits, one arithmetic-
+    shift rounding per step — never a float in the state) and projected
+    4 hours ahead.  The oracle replays every (level, trend) state
+    bit-for-bit via a RECURSIVE CTE marching the same recurrence down
+    each key's row sequence — an independent formulation of the fold —
+    and the exported doubles are exact-integer-over-power-of-two
+    divisions, engine-identical."""
+    from .operators.timeseries import holt_smooth
+
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    return holt_smooth(
+        counts,
+        ts_col="hour",
+        value_col="n",
+        key_cols=["event_type"],
+        quant_scale=1,
+        frac_bits=20,
+        forecast_steps=4,
     )
 
 

@@ -2957,6 +2957,94 @@ def test_kmv_validation(spark):
         kmv_merge([])
 
 
+def _holt_ref(xs, s=20):
+    """Pure-python replay of the fixed-point Holt recurrence."""
+    out = []
+    l, b = xs[0] << s, 0
+    out.append((l, b))
+    for x in xs[1:]:
+        nl = ((x << s) + l + b) >> 1
+        nb = ((x << s) - l + 3 * b) >> 2
+        l, b = nl, nb
+        out.append((l, b))
+    return out
+
+
+def test_holt_smooth_hand_computed(spark):
+    """Every (level_num, trend_num) state matches an independent
+    pure-python replay of the fixed-point recurrence, including a
+    falling stretch that drives the trend negative (arithmetic-shift
+    rounding on negatives)."""
+    from dp1_data_wrangling_spark.operators.timeseries import holt_smooth
+
+    xs = [100, 110, 130, 120, 90, 60, 70]
+    df = spark.createDataFrame(
+        [("a", t, float(v)) for t, v in enumerate(xs, 1)],
+        "k string, ts long, v double",
+    )
+    got = holt_smooth(
+        df, ts_col="ts", value_col="v", key_cols=["k"], quant_scale=1,
+        frac_bits=20, forecast_steps=2,
+    ).orderBy("ts").collect()
+    want = _holt_ref(xs)
+    assert [(r.level_num, r.trend_num) for r in got] == want
+    assert [r.step for r in got] == list(range(1, len(xs) + 1))
+    l, b = want[-1]
+    assert got[-1].forecast == (l + 2 * b) / float(1 << 20)
+    assert any(r.trend_num < 0 for r in got)
+
+
+def test_holt_smooth_tracks_constant_and_linear(spark):
+    """Contraction sanity: a constant series converges to (level=c,
+    trend=0); a linear ramp's trend converges to the slope."""
+    from dp1_data_wrangling_spark.operators.timeseries import holt_smooth
+
+    rows = [("const", t, 50.0) for t in range(1, 41)] + [
+        ("ramp", t, 10.0 + 3.0 * t) for t in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    last = {
+        r.k: r
+        for r in holt_smooth(
+            df, ts_col="ts", value_col="v", key_cols=["k"], quant_scale=1000,
+        ).filter("step = 40").collect()
+    }
+    assert abs(last["const"].level - 50.0) < 1e-3
+    assert abs(last["const"].trend) < 1e-3
+    assert abs(last["ramp"].trend - 3.0) < 1e-2
+    assert abs(last["ramp"].level - 130.0) < 0.1
+
+
+def test_holt_smooth_guards_and_validation(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.timeseries import holt_smooth
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0)], "k string, ts long, v double"
+    )
+    kw = dict(ts_col="ts", value_col="v", key_cols=["k"])
+    with pytest.raises(SparkRuntimeException, match="duplicate timestamps"):
+        holt_smooth(df, **kw).collect()
+    ok = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0)],
+        "k string, ts long, v double",
+    )
+    with pytest.raises(SparkRuntimeException, match="more than"):
+        holt_smooth(ok, max_rows_per_key=2, **kw).collect()
+    # inside BIGINT range (so the ANSI cast passes) but above the
+    # fixed-point cap — the operator's own guard must fire
+    big = spark.createDataFrame([("a", 1, 1e12)], "k string, ts long, v double")
+    with pytest.raises(SparkRuntimeException, match="overflow"):
+        holt_smooth(big, **kw).collect()
+    with pytest.raises(ValueError, match="frac_bits"):
+        holt_smooth(ok, frac_bits=2, **kw)
+    with pytest.raises(ValueError, match="quant_scale"):
+        holt_smooth(ok, quant_scale=0, **kw)
+    with pytest.raises(ValueError, match="forecast_steps"):
+        holt_smooth(ok, forecast_steps=-1, **kw)
+
+
 def _hll_ref_regs(values, p=6):
     """Pure-python HLL register replay (md5-prefix hash, top-p bucket,
     rho = leading zeros of the remainder + 1)."""

@@ -895,6 +895,19 @@ def test_geofence_single_cell_equi_join_no_python(spark):
     assert "Window" not in plan, plan
 
 
+def test_holt_trend_two_shuffles_no_join_no_python(spark):
+    """Holt smoothing: the hourly-count groupBy + the per-key series
+    gather are the only shuffles; the recurrence is a row-local JVM
+    fold (no Python, no join, no window)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_holt_trend"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    assert data_shuffles(plan) <= 2, plan
+
+
 def test_expectation_suite_single_pass_no_join(spark):
     """The whole rule suite is one wide aggregate: no join, no window,
     no Python; map-side combine reduces each partition to one row."""
