@@ -366,3 +366,127 @@ def linear_attribution(
         F.col("n_touches").cast("bigint").alias("n_touches"),
         F.col("credit_milli").cast("bigint").alias("credit_milli"),
     )
+
+
+def decay_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    within_us: int,
+    half_life_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    value_milli_col: str = "value_milli",
+    max_age_halves: int = 20,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — split each conversion's
+    value across preceding touches with weight halving per
+    ``half_life_us`` of age, EXACTLY.
+
+    The marketing-analytics standard next to linear attribution: a touch
+    aged ``a = (t_conv - t_touch) div half_life_us`` half-lives carries
+    relative weight 2^-a.  The binary-fraction trick makes the credits
+    exact integers: weights materialize as ``w = 1 << (H - min(a, H))``
+    (``H = max_age_halves``; ages past H saturate at weight 1 — a stated
+    floor, not silent truncation), each touch gets
+    ``value * w div sum(w)``, and the rounding remainder
+    ``value - sum(floor credits)`` goes to the HIGHEST-weight touch
+    (most recent, ties by ``id_col``) — so credits always sum back to
+    the conversion value (property-tested) with no float anywhere.
+    Conversion values must be non-negative and < 2^(62-H) (executor
+    fail-fast: ``value * w`` must not overflow int64).
+
+    Returns ``(conv_id, touch_id, user, touch_ts_us, n_touches,
+    age_halves, weight, credit_milli)``.
+
+    Scale posture (100 TB): identical shape to
+    :func:`linear_attribution` — ONE user-keyed equi-join + windows all
+    partitioned by conv_id; the weight math is row-local int64.  Same
+    per-user fan-out skew valve.
+    """
+    if within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    if half_life_us <= 0:
+        raise ValueError(f"half_life_us must be positive, got {half_life_us}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if not 1 <= max_age_halves <= 40:
+        raise ValueError(
+            f"max_age_halves must be in [1, 40], got {max_age_halves}"
+        )
+    h = max_age_halves
+    val_cap = 1 << (62 - h)
+    val_ok = (F.col("__val") >= 0) & (F.col("__val") < val_cap)
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("__ct"),
+        F.col(value_milli_col).alias("__val"),
+    )
+    convs = convs.withColumn(
+        "__val",
+        F.when(val_ok, F.col("__val")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"decay_attribution: conversion value must be in "
+                        f"[0, {val_cap}) so value*weight fits int64 at "
+                        f"max_age_halves={h} (value="
+                    ),
+                    F.col("__val").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("bigint")
+        ),
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts_us"),
+    )
+    joined = convs.join(touches, "__u").filter(
+        (F.col("touch_ts_us") < F.col("__ct"))
+        & (F.col("touch_ts_us") >= F.col("__ct") - F.lit(within_us))
+    )
+    joined = joined.withColumn(
+        "age_halves",
+        F.least(
+            F.expr(f"(__ct - touch_ts_us) div {half_life_us}"), F.lit(h)
+        ).cast("bigint"),
+    ).withColumn(
+        "weight",
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {h} - age_halves)"),
+    )
+    w_conv = Window.partitionBy("conv_id")
+    w_all = w_conv.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # highest weight first = most recent touch (age monotone in ts)
+    w_first = w_conv.orderBy(F.col("weight").desc(), F.col("touch_id"))
+    credited = (
+        joined.withColumn("n_touches", F.count("*").over(w_all))
+        .withColumn("__wsum", F.sum("weight").over(w_all))
+        .withColumn("__floor", F.expr("(__val * weight) div __wsum"))
+        .withColumn("__fsum", F.sum("__floor").over(w_all))
+        .withColumn("__rn", F.row_number().over(w_first))
+        .withColumn(
+            "credit_milli",
+            F.col("__floor")
+            + F.when(
+                F.col("__rn") == 1, F.col("__val") - F.col("__fsum")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return credited.select(
+        "conv_id",
+        "touch_id",
+        F.col("__u").alias(user_col),
+        "touch_ts_us",
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        "age_halves",
+        "weight",
+        F.col("credit_milli").cast("bigint").alias("credit_milli"),
+    )

@@ -3845,6 +3845,95 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_attribution_decay",
+    """
+    WITH ad_ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 1000) AS BIGINT) AS value_milli
+        FROM events
+    ),
+    ad_c AS (
+        SELECT user_id, event_id AS conv_id, ts_us AS ct, value_milli
+        FROM ad_ev WHERE event_type = 'purchase' AND value_milli IS NOT NULL
+    ),
+    ad_t AS (
+        SELECT user_id, event_id AS touch_id, ts_us AS touch_ts_us
+        FROM ad_ev WHERE event_type IN ('view', 'click')
+    ),
+    ad_j AS (
+        SELECT c.conv_id, t.touch_id, c.user_id, t.touch_ts_us,
+               c.value_milli,
+               least((c.ct - t.touch_ts_us) // 300000000, 20) AS age_halves
+        FROM ad_c c JOIN ad_t t ON t.user_id = c.user_id
+         AND t.touch_ts_us < c.ct
+         AND t.touch_ts_us >= c.ct - 1800000000
+    ),
+    ad_w AS (
+        SELECT *, (CAST(1 AS BIGINT) << (20 - age_halves)) AS weight
+        FROM ad_j
+    ),
+    ad_s AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY conv_id) AS n_touches,
+               CAST(sum(weight) OVER (PARTITION BY conv_id)
+                    AS BIGINT) AS wsum,
+               row_number() OVER (
+                   PARTITION BY conv_id
+                   ORDER BY weight DESC, touch_id) AS rn
+        FROM ad_w
+    ),
+    ad_f AS (
+        SELECT *, (value_milli * weight) // wsum AS fl,
+               CAST(sum((value_milli * weight) // wsum)
+                    OVER (PARTITION BY conv_id) AS BIGINT) AS fsum
+        FROM ad_s
+    )
+    SELECT conv_id, touch_id, user_id, touch_ts_us,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(age_halves AS BIGINT) AS age_halves, weight,
+           CAST(fl + CASE WHEN rn = 1 THEN value_milli - fsum
+                          ELSE 0 END AS BIGINT) AS credit_milli
+    FROM ad_f
+    """,
+)
+def q_event_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (operators/funnel.py
+    decay_attribution): each purchase's milli value split across its
+    view/click touches in the preceding 30 minutes with weight halving
+    every 5 minutes of age — weights are exact powers of two
+    (binary-fraction trick), credits exact integers summing back to the
+    conversion value, remainder to the most recent touch.  The oracle
+    replays join, age bucketing, weights, floors and the remainder
+    policy verbatim (all-positive operands, so SQL // and Spark div
+    agree)."""
+    from .operators.funnel import decay_attribution
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.floor(F.col("value") * 1000)
+            .cast("bigint")
+            .alias("value_milli"),
+        )
+        .filter(
+            (F.col("event_type") != "purchase")
+            | F.col("value_milli").isNotNull()
+        )
+    )
+    return decay_attribution(
+        e,
+        conversion_type="purchase",
+        touch_types=["view", "click"],
+        within_us=1_800_000_000,
+        half_life_us=300_000_000,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

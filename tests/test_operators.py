@@ -2957,6 +2957,100 @@ def test_kmv_validation(spark):
         kmv_merge([])
 
 
+def test_decay_attribution_hand_computed(spark):
+    """One conversion (value 1000) with touches aged 0/1/3 half-lives:
+    weights 2^20/2^19/2^17, floors 609/304/152 (sum 1065... compute),
+    remainder to the most recent touch; an out-of-window touch and a
+    different user's touch are excluded."""
+    from dp1_data_wrangling_spark.operators.funnel import decay_attribution
+
+    rows = [
+        # user, id, type, ts_us, value_milli
+        (1, 100, "buy", 10_000, 1000),
+        (1, 1, "ad", 9_999, None),    # age 0 halves  -> w 2^20
+        (1, 2, "ad", 8_500, None),    # age 1 half    -> w 2^19
+        (1, 3, "ad", 6_500, None),    # age 3 halves  -> w 2^17
+        (1, 4, "ad", 10_001, None),   # after conversion -> excluded
+        (1, 5, "ad", 1, None),        # outside window  -> excluded
+        (2, 6, "ad", 9_999, None),    # other user      -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+        "ts_us long, value_milli long"
+    )
+    got = {
+        r.touch_id: r
+        for r in decay_attribution(
+            df, conversion_type="buy", touch_types=["ad"],
+            within_us=9_000, half_life_us=1_000,
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    w = {1: 1 << 20, 2: 1 << 19, 3: 1 << 17}
+    wsum = sum(w.values())
+    fl = {k: 1000 * v // wsum for k, v in w.items()}
+    rem = 1000 - sum(fl.values())
+    assert {k: r.credit_milli for k, r in got.items()} == {
+        1: fl[1] + rem, 2: fl[2], 3: fl[3]
+    }
+    assert {k: r.weight for k, r in got.items()} == w
+    assert all(r.n_touches == 3 for r in got.values())
+
+
+def test_decay_attribution_credits_sum_exactly(spark):
+    """Property over a messy synthetic slice: per conversion, credits
+    sum back to the conversion value exactly, and saturated ages (past
+    max_age_halves) still carry weight 1, never 0."""
+    from dp1_data_wrangling_spark.operators.funnel import decay_attribution
+
+    rows = []
+    for u in range(20):
+        rows.append((u, 10_000 + u, "buy", 1_000_000, 997 + u * 13))
+        for t in range(1 + u % 5):
+            rows.append(
+                (u, 100 * u + t, "ad", 1_000_000 - 1 - t * 110_000, None)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+        "ts_us long, value_milli long"
+    )
+    out = decay_attribution(
+        df, conversion_type="buy", touch_types=["ad"],
+        within_us=900_000, half_life_us=50_000, max_age_halves=8,
+    )
+    sums = {
+        r.conv_id: r.s
+        for r in out.groupBy("conv_id")
+        .agg(F.sum("credit_milli").alias("s"))
+        .collect()
+    }
+    assert sums == {10_000 + u: 997 + u * 13 for u in range(20)}
+    assert out.filter("weight < 1").count() == 0
+    assert out.filter("age_halves = 8 AND weight = 1").count() > 0
+
+
+def test_decay_attribution_validation(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.funnel import decay_attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "buy", 10, -5), (1, 2, "ad", 5, None)],
+        "user_id long, event_id long, event_type string, ts_us long, "
+        "value_milli long",
+    )
+    kw = dict(conversion_type="buy", touch_types=["ad"], within_us=100,
+              half_life_us=10)
+    with pytest.raises(SparkRuntimeException, match="decay_attribution"):
+        decay_attribution(df, **kw).collect()
+    ok = df.filter("value_milli IS NULL OR value_milli >= 0")
+    with pytest.raises(ValueError, match="half_life_us"):
+        decay_attribution(ok, conversion_type="buy", touch_types=["ad"],
+                          within_us=100, half_life_us=0)
+    with pytest.raises(ValueError, match="max_age_halves"):
+        decay_attribution(ok, max_age_halves=0, **kw)
+
+
 def _holt_ref(xs, s=20):
     """Pure-python replay of the fixed-point Holt recurrence."""
     out = []

@@ -908,6 +908,18 @@ def test_holt_trend_two_shuffles_no_join_no_python(spark):
     assert data_shuffles(plan) <= 2, plan
 
 
+def test_decay_attribution_user_equi_join_no_cartesian(spark):
+    """Time-decay attribution: conversions x touches is ONE user-keyed
+    hash equi-join; every window partitions on conv_id; weights are
+    row-local shifts — no cartesian, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["event_attribution_decay"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_expectation_suite_single_pass_no_join(spark):
     """The whole rule suite is one wide aggregate: no join, no window,
     no Python; map-side combine reduces each partition to one row."""
