@@ -776,7 +776,9 @@ def main() -> None:
             from dp1_data_wrangling_spark.streaming.sinks import stream_into_catalog
             from dp1_data_wrangling_spark.tables import load_table
 
-            def bench_stream(name, src_df, start_fn, n_files: int = 8):
+            def bench_stream(
+                name, src_df, start_fn, n_files: int = 8, prepare_fn=None
+            ):
                 tmp = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
                 try:
                     src = f"{tmp}/src"
@@ -791,6 +793,11 @@ def main() -> None:
                             .option("maxFilesPerTrigger", 1)
                             .parquet(src)
                         )
+                        # one-time setup (e.g. the seed index build) runs
+                        # OUTSIDE the timed window — the number is the
+                        # stream's per-batch cost, not batch bootstrap
+                        if prepare_fn is not None:
+                            prepare_fn(work)
                         t0 = time.perf_counter()
                         q = start_fn(stream, work)
                         q.awaitTermination()
@@ -859,9 +866,10 @@ def main() -> None:
                 "doc_id", "text"
             )
 
+            def prep_text_index(w):
+                build_text_index(spark, Catalog(f"{w}/cat"), seed)
+
             def start_text_index(s, w):
-                cat = Catalog(f"{w}/cat")
-                build_text_index(spark, cat, seed)
                 return stream_text_index_append(
                     s.select("doc_id", "text"),
                     f"{w}/cat",
@@ -874,6 +882,7 @@ def main() -> None:
                     "doc_id", "text"
                 ),
                 start_text_index,
+                prepare_fn=prep_text_index,
             )
         except Exception as exc:  # noqa: BLE001 - bench is informational
             print(f"streaming bench failed: {exc}", file=sys.stderr)

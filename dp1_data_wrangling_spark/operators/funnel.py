@@ -393,10 +393,11 @@ def decay_attribution(
     (``H = max_age_halves``; ages past H saturate at weight 1 — a stated
     floor, not silent truncation), each touch gets
     ``value * w div sum(w)``, and the rounding remainder
-    ``value - sum(floor credits)`` goes to the HIGHEST-weight touch
-    (most recent, ties by ``id_col``) — so credits always sum back to
+    ``value - sum(floor credits)`` goes to the most recent touch
+    (weight desc, then ts desc, then ``id_col``) — so credits always sum back to
     the conversion value (property-tested) with no float anywhere.
-    Conversion values must be non-negative and < 2^(62-H) (executor
+    Conversions with a NULL value are excluded (nothing to attribute);
+    non-NULL values must be non-negative and < 2^(62-H) (executor
     fail-fast: ``value * w`` must not overflow int64).
 
     Returns ``(conv_id, touch_id, user, touch_ts_us, n_touches,
@@ -420,11 +421,18 @@ def decay_attribution(
     h = max_age_halves
     val_cap = 1 << (62 - h)
     val_ok = (F.col("__val") >= 0) & (F.col("__val") < val_cap)
-    convs = events.filter(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("__u"),
-        F.col(id_col).alias("conv_id"),
-        F.col(ts_col).alias("__ct"),
-        F.col(value_milli_col).alias("__val"),
+    # NULL-value conversions carry nothing to attribute — excluded, and
+    # excluded BEFORE the guard (a NULL guard condition would otherwise
+    # raise with a NULLed-out message)
+    convs = (
+        events.filter(F.col(type_col) == conversion_type)
+        .filter(F.col(value_milli_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(id_col).alias("conv_id"),
+            F.col(ts_col).alias("__ct"),
+            F.col(value_milli_col).alias("__val"),
+        )
     )
     convs = convs.withColumn(
         "__val",
@@ -464,8 +472,14 @@ def decay_attribution(
     w_all = w_conv.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # highest weight first = most recent touch (age monotone in ts)
-    w_first = w_conv.orderBy(F.col("weight").desc(), F.col("touch_id"))
+    # remainder recipient: the most recent touch — weight desc alone is
+    # not enough (touches in the same age bucket share a weight), so ts
+    # desc breaks the bucket tie and id the exact-ts tie
+    w_first = w_conv.orderBy(
+        F.col("weight").desc(),
+        F.col("touch_ts_us").desc(),
+        F.col("touch_id"),
+    )
     credited = (
         joined.withColumn("n_touches", F.count("*").over(w_all))
         .withColumn("__wsum", F.sum("weight").over(w_all))

@@ -884,7 +884,14 @@ def hll_estimate(
     agg = sketch.groupBy(*groups).agg(
         (F.lit(m) - F.count("*")).cast("bigint").alias("zero_buckets"),
         (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)"))
+            # coalesce: a global agg over an EMPTY sketch sums to NULL,
+            # but the all-registers-zero denominator is exactly m*2^rmax
+            F.coalesce(
+                F.sum(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)")
+                ),
+                F.lit(0).cast("bigint"),
+            )
             + (F.lit(m) - F.count("*")) * F.lit(1 << rmax)
         )
         .cast("bigint")

@@ -254,22 +254,32 @@ def point_in_polygon(
         "__cy", _floor_div("__py", cell_size)
     )
 
+    # All three polygon guards (>= 3 vertices, no NULL coordinate, the
+    # |coord| < 2^30 exact-arithmetic contract) are threaded INTO the
+    # __verts expression itself: a guard on a side column would be dead
+    # code — Catalyst prunes unreferenced columns and the raise_error
+    # never fires (found by review; a NULL vertex would otherwise skip
+    # its two edges and silently flip even-odd parity).
     polys = polygons.select(
         F.col(poly_id_col).alias("__pg_id"),
         F.expr(
-            f"CASE WHEN size({vertices_col}) >= 3 THEN "
-            f"transform({vertices_col}, v -> named_struct("
-            f"'x', CAST(v.x AS BIGINT), 'y', CAST(v.y AS BIGINT))) "
-            f"ELSE raise_error('point_in_polygon: a polygon needs >= 3 "
-            f"vertices') END"
+            f"CASE"
+            f" WHEN size({vertices_col}) < 3 THEN"
+            f"  raise_error('point_in_polygon: a polygon needs >= 3"
+            f" vertices')"
+            f" WHEN exists({vertices_col},"
+            f"  v -> v.x IS NULL OR v.y IS NULL) THEN"
+            f"  raise_error('point_in_polygon: polygon vertices must not"
+            f" have NULL coordinates')"
+            f" WHEN exists({vertices_col},"
+            f"  v -> abs(CAST(v.x AS BIGINT)) >= {lim}"
+            f"   OR abs(CAST(v.y AS BIGINT)) >= {lim}) THEN"
+            f"  raise_error('point_in_polygon: polygon coordinate"
+            f" magnitude must be < 2^30 (exact-arithmetic contract)')"
+            f" ELSE transform({vertices_col}, v -> named_struct("
+            f"'x', CAST(v.x AS BIGINT), 'y', CAST(v.y AS BIGINT)))"
+            f" END"
         ).alias("__verts"),
-    )
-    polys = polys.withColumn(
-        "__vx_max",
-        guard(F.expr("array_max(transform(__verts, v -> abs(v.x)))"), "polygon"),
-    ).withColumn(
-        "__vy_max",
-        guard(F.expr("array_max(transform(__verts, v -> abs(v.y)))"), "polygon"),
     )
     bounds = {
         "__bx0": "array_min(transform(__verts, v -> v.x))",

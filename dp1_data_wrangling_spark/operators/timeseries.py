@@ -432,7 +432,7 @@ def holt_smooth(
     frac_bits: int = 20,
     quant_scale: int = 1000,
     forecast_steps: int = 4,
-    max_rows_per_key: int = 100_000,
+    max_rows_per_key: int = 10_000,
 ) -> DataFrame:
     """Holt's linear-trend double exponential smoothing (alpha = beta =
     1/2), as an EXACT fixed-point integer recurrence over each key's full
@@ -461,11 +461,16 @@ def holt_smooth(
     exact-integer-over-power-of-two divisions (engine-identical).
 
     Scale posture (100 TB): smoothing is inherently sequential per key,
-    so the design collects each key's series ONCE (one shuffle), runs
-    the O(n) fold row-locally in the JVM, and explodes back — the
-    standard Spark shape for order-dependent recurrences (same contract
-    as MMR's greedy loop).  Parallelism comes from the key dimension;
-    per-key length is bounded by ``max_rows_per_key`` with an executor
+    so the design collects each key's series ONCE (one shuffle), folds
+    it row-locally in the JVM, and explodes back — the standard Spark
+    shape for order-dependent recurrences (same contract as MMR's
+    greedy loop).  Parallelism comes from the key dimension.  NOTE the
+    fold's state-array append copies the accumulated array each step
+    (Catalyst arrays are immutable), so the per-key cost is O(n^2)
+    struct copies — that is why ``max_rows_per_key`` defaults to a
+    deliberately modest 10_000 (~5e7 copies worst case); pre-bucket
+    longer series (e.g. hourly -> daily) rather than raising the cap
+    by orders of magnitude.  Per-key length is bounded with an executor
     fail-fast, and duplicate timestamps (an ill-defined order) also
     fail fast rather than smooth nondeterministically.
     """
@@ -486,7 +491,10 @@ def holt_smooth(
     # |x_q << s| and the ~4x state envelope must clear 2^62.
     x_cap = 1 << (59 - s)
     quant = F.round(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
-    d = df.withColumn(
+    # NULL observations are dropped BEFORE the overflow guard — a NULL
+    # condition would otherwise fall into the raise branch (with a
+    # NULLed-out message); the filter must come first, not after.
+    d = df.filter(F.col(value_col).isNotNull()).withColumn(
         "__xq",
         F.when(F.abs(quant) < F.lit(x_cap), quant).otherwise(
             F.raise_error(
@@ -502,7 +510,7 @@ def holt_smooth(
                 )
             ).cast("bigint")
         ),
-    ).filter(F.col("__xq").isNotNull())
+    )
 
     ser = d.groupBy(*keys).agg(
         F.sort_array(

@@ -3880,7 +3880,7 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS wsum,
                row_number() OVER (
                    PARTITION BY conv_id
-                   ORDER BY weight DESC, touch_id) AS rn
+                   ORDER BY weight DESC, touch_ts_us DESC, touch_id) AS rn
         FROM ad_w
     ),
     ad_f AS (
@@ -3931,6 +3931,114 @@ def q_event_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         touch_types=["view", "click"],
         within_us=1_800_000_000,
         half_life_us=300_000_000,
+    )
+
+
+@register(
+    "customer_entity_resolution",
+    """
+    WITH RECURSIVE er_d AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 1000) AS BIGINT) AS acct_milli,
+               (c_custkey // 4) % 3 AS variant,
+               substr(md5('er|' || CAST((c_custkey // 4) // 3 AS VARCHAR)),
+                      1, 12) AS base
+        FROM customer WHERE c_custkey % 4 = 0
+    ),
+    er_k AS (
+        SELECT c_custkey, acct_milli,
+               CASE variant
+                   WHEN 1 THEN 'z' || substr(base, 2, 11)
+                   WHEN 2 THEN substr(base, 1, 11)
+                   ELSE base END AS key
+        FROM er_d
+    ),
+    er_p AS (
+        SELECT a.c_custkey AS ia, b.c_custkey AS ib
+        FROM er_k a JOIN er_k b ON a.c_custkey < b.c_custkey
+         AND abs(length(a.key) - length(b.key)) <= 2
+        WHERE levenshtein(a.key, b.key) <= 2
+    ),
+    er_e AS (
+        SELECT ia AS a, ib AS b FROM er_p
+        UNION SELECT ib, ia FROM er_p
+    ),
+    er_r AS (
+        SELECT a AS src, b AS dst FROM er_e
+        UNION
+        SELECT r.src, e.b FROM er_r r JOIN er_e e ON e.a = r.dst
+    ),
+    er_c AS (
+        SELECT k.c_custkey,
+               least(k.c_custkey,
+                     coalesce(min(r.dst), k.c_custkey)) AS component
+        FROM er_k k LEFT JOIN er_r r ON r.src = k.c_custkey
+        GROUP BY k.c_custkey
+    )
+    SELECT c.component, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(k.acct_milli) AS BIGINT) AS total_acct_milli,
+           arg_min(k.key, k.c_custkey) AS golden_key
+    FROM er_c c JOIN er_k k USING (c_custkey)
+    GROUP BY c.component
+    """,
+)
+def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the TPC-H customer dimension:
+    deterministic dirty keys (triples of md5-derived 12-hex records with
+    planted typos — substitution / truncation variants within edit
+    distance 2) are re-linked by the PassJoin fuzzy join
+    (operators/fuzzy.py — complete segment blocking, never all-pairs),
+    clustered by connected components (operators/components.py), and
+    merged into golden records (min-key survivor + exact milli balance
+    rollup).  The oracle is fully independent: BRUTE-FORCE levenshtein
+    pairs + a recursive-CTE transitive closure — so the hash compare
+    proves PassJoin completeness AND the multi-hop component fixpoint
+    AND the survivorship aggregation in one shot.  Keys are pure hex
+    (ASCII), sidestepping the DuckDB-bytes vs Spark-codepoints
+    levenshtein mismatch."""
+    from .operators.components import dedup_survivors
+    from .operators.fuzzy import fuzzy_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 1000)
+            .cast("bigint")
+            .alias("acct_milli"),
+            (F.expr("(c_custkey div 4) % 3")).alias("__variant"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("er|"),
+                        F.expr("(c_custkey div 4) div 3").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ).alias("__base"),
+        )
+    )
+    dirty = cust.select(
+        "c_custkey",
+        "acct_milli",
+        F.when(
+            F.col("__variant") == 1,
+            F.concat(F.lit("z"), F.expr("substring(__base, 2, 11)")),
+        )
+        .when(F.col("__variant") == 2, F.expr("substring(__base, 1, 11)"))
+        .otherwise(F.col("__base"))
+        .alias("key"),
+    )
+    pairs = fuzzy_pairs(dirty, key_col="key", id_col="c_custkey", max_dist=2)
+    clustered = dedup_survivors(dirty, pairs, id_col="c_custkey").join(
+        dirty, "c_custkey"
+    )
+    return clustered.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("acct_milli").cast("bigint").alias("total_acct_milli"),
+        F.min_by("key", "c_custkey").alias("golden_key"),
     )
 
 

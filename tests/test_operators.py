@@ -3029,6 +3029,53 @@ def test_decay_attribution_credits_sum_exactly(spark):
     assert out.filter("age_halves = 8 AND weight = 1").count() > 0
 
 
+def test_decay_attribution_same_age_remainder_goes_to_most_recent(spark):
+    """Two touches in the SAME age bucket share a weight: the rounding
+    remainder must go to the more recent timestamp, not the lower id
+    (review fix — weight desc alone cannot order within a bucket)."""
+    from dp1_data_wrangling_spark.operators.funnel import decay_attribution
+
+    rows = [
+        (1, 100, "buy", 10_000, 1001),
+        (1, 5, "ad", 9_000, None),   # same age bucket, OLDER, lower id
+        (1, 9, "ad", 9_999, None),   # same age bucket, NEWER
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+        "ts_us long, value_milli long"
+    )
+    got = {
+        r.touch_id: r.credit_milli
+        for r in decay_attribution(
+            df, conversion_type="buy", touch_types=["ad"],
+            within_us=9_000, half_life_us=2_000,
+        ).collect()
+    }
+    assert got == {9: 501, 5: 500}
+
+
+def test_decay_attribution_null_value_conversion_excluded(spark):
+    """A conversion with NULL value attributes nothing (and must not
+    trip the overflow guard with a NULLed-out message — review fix)."""
+    from dp1_data_wrangling_spark.operators.funnel import decay_attribution
+
+    rows = [
+        (1, 100, "buy", 10_000, None),
+        (1, 1, "ad", 9_000, None),
+        (2, 200, "buy", 10_000, 500),
+        (2, 2, "ad", 9_000, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+        "ts_us long, value_milli long"
+    )
+    got = decay_attribution(
+        df, conversion_type="buy", touch_types=["ad"],
+        within_us=9_000, half_life_us=2_000,
+    ).collect()
+    assert [(r.conv_id, r.credit_milli) for r in got] == [(200, 500)]
+
+
 def test_decay_attribution_validation(spark):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
@@ -3049,6 +3096,35 @@ def test_decay_attribution_validation(spark):
                           within_us=100, half_life_us=0)
     with pytest.raises(ValueError, match="max_age_halves"):
         decay_attribution(ok, max_age_halves=0, **kw)
+
+
+def test_entity_resolution_hand_computed(spark):
+    """Mini ER: three typo variants of one record + a singleton resolve
+    to two golden records with exact member counts and balance rollups
+    (multi-hop: variant 1 and 2 are distance 2 apart, linked through
+    the base)."""
+    from dp1_data_wrangling_spark.operators.components import (
+        dedup_survivors,
+    )
+    from dp1_data_wrangling_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [
+        (1, "abcdef123456", 100),
+        (2, "zbcdef123456", 200),   # substitution of char 1
+        (3, "abcdef12345", 300),    # truncation
+        (9, "ffffff999999", 50),    # unrelated singleton
+    ]
+    dirty = spark.createDataFrame(rows, "id long, key string, m long")
+    pairs = fuzzy_pairs(dirty, key_col="key", id_col="id", max_dist=2)
+    got = {
+        r.component: (r.n, r.s)
+        for r in dedup_survivors(dirty, pairs, id_col="id")
+        .join(dirty, "id")
+        .groupBy("component")
+        .agg(F.count("*").alias("n"), F.sum("m").alias("s"))
+        .collect()
+    }
+    assert got == {1: (3, 600), 9: (1, 50)}
 
 
 def _holt_ref(xs, s=20):
@@ -3107,6 +3183,21 @@ def test_holt_smooth_tracks_constant_and_linear(spark):
     assert abs(last["const"].trend) < 1e-3
     assert abs(last["ramp"].trend - 3.0) < 1e-2
     assert abs(last["ramp"].level - 130.0) < 0.1
+
+
+def test_holt_smooth_drops_null_observations(spark):
+    """NULL values are skipped (review fix: the overflow guard must not
+    see NULLs — a NULL condition would take the raise branch)."""
+    from dp1_data_wrangling_spark.operators.timeseries import holt_smooth
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 20.0)],
+        "k string, ts long, v double",
+    )
+    got = holt_smooth(
+        df, ts_col="ts", value_col="v", key_cols=["k"], quant_scale=1
+    ).orderBy("ts").collect()
+    assert [(r.ts, r.step) for r in got] == [(1, 1), (3, 2)]
 
 
 def test_holt_smooth_guards_and_validation(spark):
@@ -3217,6 +3308,21 @@ def test_hll_estimate_matches_replay_and_tracks_exact(spark):
     assert abs(est.est_distinct - n) / n < 0.4
 
 
+def test_hll_estimate_empty_sketch_exact_denominator(spark):
+    """A global estimate over an EMPTY sketch keeps the exact-integer
+    contract: reg_denom = m * 2^(w+1), never NULL (review fix)."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hll_estimate, hll_sketch,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    est = hll_estimate(hll_sketch(empty, value_col="v", p=6), p=6).collect()
+    assert len(est) == 1
+    assert est[0].zero_buckets == 64
+    assert est[0].reg_denom == 64 * (1 << 55)
+    assert est[0].est_distinct is not None
+
+
 def test_hll_validation(spark):
     from dp1_data_wrangling_spark.operators.sketch import (
         hll_merge, hll_sketch,
@@ -3297,6 +3403,18 @@ def test_point_in_polygon_validation_and_guards(spark):
     square = [(1, [(0, 0), (10, 0), (10, 10), (0, 10)])]
     with pytest.raises(ValueError, match="cell_size"):
         _pip(spark, [(1, 1, 1)], square, cell=0)
+    # the polygon-side guards must actually FIRE (review fix: a guard on
+    # a pruned side column is dead code)
+    with pytest.raises(SparkRuntimeException, match="2\\^30"):
+        _pip(
+            spark, [(1, 1, 1)],
+            [(1, [(0, 0), (1 << 31, 0), (1 << 31, 1 << 31), (0, 1 << 31)])],
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="NULL coordinates"):
+        _pip(
+            spark, [(1, 1, 1)],
+            [(1, [(0, 0), (10, 0), (10, None), (0, 10)])],
+        ).collect()
     with pytest.raises(SparkRuntimeException, match=">= 3"):
         _pip(spark, [(1, 1, 1)], [(1, [(0, 0), (1, 1)])]).collect()
     with pytest.raises(SparkRuntimeException, match="2\\^30"):

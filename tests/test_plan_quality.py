@@ -908,6 +908,18 @@ def test_holt_trend_two_shuffles_no_join_no_python(spark):
     assert data_shuffles(plan) <= 2, plan
 
 
+def test_entity_resolution_blocked_never_all_pairs(spark):
+    """ER composition: candidate generation is the PassJoin segment
+    blocking (hash equi-joins only) and clustering runs over the
+    checkpointed pair set — no cartesian product, no Python anywhere."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["customer_entity_resolution"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_decay_attribution_user_equi_join_no_cartesian(spark):
     """Time-decay attribution: conversions x touches is ONE user-keyed
     hash equi-join; every window partitions on conv_id; weights are
