@@ -149,3 +149,46 @@ def linear_trend(
             "mean_y_milli"
         ),
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    n_bins: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile) discretization — the feature-engineering
+    binning step (scikit-learn ``KBinsDiscretizer(strategy='quantile')``
+    class): per optional group, rank rows by ``(value, id)`` — a TOTAL
+    order, so bin assignment is partitioning-independent and
+    engine-replayable — and split them into ``n_bins`` near-equal-count
+    bins (SQL ``ntile`` semantics: the first ``n mod n_bins`` bins get
+    the extra row).  NULL values are excluded (no bin).
+
+    Returns one row per input row: ``(*key_cols, id, value, bin)`` with
+    ``bin`` in [1, n_bins].  Ties across a bin boundary are split by id
+    — equi-DEPTH by contract (exact counts), not equi-boundary; callers
+    needing all-equal-values-share-a-bin semantics want a rank/histogram
+    screen (``quantile_filter``) instead, and the id tiebreak is what
+    keeps the assignment deterministic.
+
+    Scale posture (100 TB): ONE window shuffle on the group key.  The
+    global (ungrouped) form is a single-partition sort — acceptable for
+    dimension-sized inputs only; at fact scale pass ``key_cols`` (the
+    standard per-segment binning) or pre-aggregate to a value histogram.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    keys = key_cols or []
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, id_col, value_col)
+        .withColumn("bin", F.ntile(n_bins).over(w))
+    )

@@ -4042,6 +4042,46 @@ def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_value_bins",
+    """
+    SELECT event_type, event_id,
+           CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+           CAST(ntile(8) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(floor(value * 1000) AS BIGINT), event_id
+           ) AS BIGINT) AS bin
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth discretization (operators/stats.py equi_depth_bins,
+    the KBinsDiscretizer(strategy='quantile') feature-engineering step):
+    per event type, milli-quantized values split into 8 near-equal-count
+    bins over the TOTAL order (value, id) — deterministic under any
+    partitioning, and SQL ntile replays the split exactly (both engines
+    give the first n mod k bins the extra row)."""
+    from .operators.stats import equi_depth_bins
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1000).cast("bigint").alias(
+                "value_milli"
+            ),
+        )
+    )
+    return equi_depth_bins(
+        e,
+        value_col="value_milli",
+        id_col="event_id",
+        n_bins=8,
+        key_cols=["event_type"],
+    ).withColumn("bin", F.col("bin").cast("bigint"))
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

@@ -3138,6 +3138,140 @@ def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(k: int = 5, scale: int = 10**12) -> str:
+    """Chained-CTE replay of ``operators.graph.personalized_pagerank``
+    over the md5-derived link graph with seeds = every 20th corpus
+    index: teleport AND dangling mass go to the seeds; all BIGINT with
+    ``//`` (floor == Spark ``div`` on the all-positive masses)."""
+    cte = f"""
+    WITH pp_docs AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        FROM documents
+    ),
+    pp_meta AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN idx % 20 = 0 THEN 1 ELSE 0 END) AS s
+        FROM pp_docs
+    ),
+    pp_deg AS (
+        SELECT idx,
+               CAST(('0x' || substr(md5('ppr_deg|' || CAST(idx AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 4 AS d
+        FROM pp_docs
+    ),
+    pp_edges AS (
+        SELECT g.idx AS src, g.d,
+               CAST(('0x' || substr(md5('ppr_dst|' || CAST(g.idx AS VARCHAR)
+                    || '|' || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % (SELECT n FROM pp_meta) AS dst
+        FROM (SELECT idx, d, unnest(generate_series(1, d)) AS j
+              FROM pp_deg WHERE d > 0) g
+    ),
+    pp_it0 AS (
+        SELECT idx, (SELECT {scale} // n FROM pp_meta) AS pr FROM pp_docs
+    )"""
+    for t in range(1, k + 1):
+        cte += f""",
+    pp_it{t} AS (
+        SELECT nd.idx,
+               CASE WHEN nd.idx % 20 = 0
+                    THEN (SELECT ((15 * {scale}) // 100) // s FROM pp_meta)
+                    ELSE 0 END
+               + (85 * (COALESCE(c.contrib, 0)
+                        + CASE WHEN nd.idx % 20 = 0 THEN
+                            (SELECT COALESCE(SUM(p.pr), 0)
+                             FROM pp_it{t - 1} p
+                             JOIN pp_deg dg ON dg.idx = p.idx AND dg.d = 0)
+                            // (SELECT s FROM pp_meta)
+                          ELSE 0 END)) // 100 AS pr
+        FROM pp_docs nd
+        LEFT JOIN (SELECT e.dst AS idx, SUM(p.pr // e.d) AS contrib
+                   FROM pp_edges e JOIN pp_it{t - 1} p ON p.idx = e.src
+                   GROUP BY e.dst) c ON c.idx = nd.idx
+    )"""
+    return cte + f"""
+    SELECT d.doc_id, (d.idx % 20 = 0) AS is_seed, CAST(p.pr AS BIGINT) AS pr
+    FROM pp_docs d JOIN pp_it{k} p ON p.idx = d.idx
+    """
+
+
+@register("doc_link_ppr", _ppr_oracle())
+def q_doc_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank):
+    seeded relevance over the corpus link graph — every 20th document
+    is a trusted seed, teleport and dangling mass return to the seeds,
+    and rank mass decays with graph distance from them (the whitelist-
+    boost primitive in curation and the neighborhood score in
+    recommender graphs).  Same exact-integer mass accounting as
+    doc_link_pagerank; the oracle replays the graph, the seed flags and
+    all five seeded iterations bit-for-bit."""
+    from pyspark.sql import Window
+
+    from .operators.graph import personalized_pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
+    ).localCheckpoint()
+    n = idx.count()
+    deg = idx.select(
+        "idx",
+        _md5mod([F.lit("ppr_deg|"), F.col("idx").cast("string")], 4).alias(
+            "d"
+        ),
+    )
+    edges_idx = (
+        deg.filter(F.col("d") > 0)
+        .select(
+            "idx",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
+            ).alias("j"),
+        )
+        .select(
+            "idx",
+            _md5mod(
+                [
+                    F.lit("ppr_dst|"),
+                    F.col("idx").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                ],
+                n,
+            ).alias("dst_idx"),
+        )
+    )
+    edges = (
+        edges_idx.join(
+            idx.select(
+                F.col("idx").alias("__si"), F.col("doc_id").alias("src")
+            ),
+            F.col("idx") == F.col("__si"),
+        )
+        .join(
+            idx.select(
+                F.col("idx").alias("__di"), F.col("doc_id").alias("dst")
+            ),
+            F.col("dst_idx") == F.col("__di"),
+        )
+        .select("src", "dst")
+    )
+    nodes = idx.select(F.col("doc_id").alias("node"))
+    seeds = idx.filter(F.col("idx") % 20 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    pr = personalized_pagerank(nodes, edges, seeds, iterations=5)
+    return (
+        pr.join(idx, pr["node"] == idx["doc_id"])
+        .select(
+            "doc_id",
+            (F.col("idx") % 20 == 0).alias("is_seed"),
+            "pr",
+        )
+    )
+
+
 _TRIANGLE_GRAPH_CTES = """
     tg_docs AS (
         SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx

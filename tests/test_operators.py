@@ -2215,6 +2215,119 @@ def test_pagerank_parallel_edges_and_self_loops_deterministic(spark):
     assert got[2] > got[3]
 
 
+def _ppr_ref(n_nodes, edges, seeds, iters=5, damping=85, scale=10**12):
+    """Pure-python replay of the personalized update rule."""
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    s = len(seeds)
+    seed_tel = (((100 - damping) * scale) // 100) // s
+    r = {v: scale // n_nodes for v in range(1, n_nodes + 1)}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in r if outdeg.get(v, 0) == 0)
+        contrib = {}
+        for a, b in edges:
+            contrib[b] = contrib.get(b, 0) + r[a] // outdeg[a]
+        r = {
+            v: (seed_tel if v in seeds else 0)
+            + (
+                damping
+                * (contrib.get(v, 0) + (dangling // s if v in seeds else 0))
+            )
+            // 100
+            for v in r
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_replay(spark):
+    """A 6-node graph with a dangling sink and one seed: every exact
+    mass matches an independent python replay, and rank decays with
+    distance from the seed (the locality property)."""
+    from dp1_data_wrangling_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["node"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(nodes, e, seeds).collect()
+    }
+    assert got == _ppr_ref(6, edges, {1})
+    # locality: the chain 3 -> 4 -> 5 decays monotonically away from
+    # the seed's neighborhood
+    assert got[3] > got[4] > got[5]
+    assert got[1] > got[6]
+
+
+def test_personalized_pagerank_mass_concentrates_on_seed_side(spark):
+    """Two disconnected 2-cycles, seed in one of them: the seeded
+    component keeps essentially all mass, the other decays toward 0."""
+    from dp1_data_wrangling_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["node"])
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(
+            nodes, e, seeds, iterations=8
+        ).collect()
+    }
+    assert got[1] + got[2] > 900_000_000_000
+    assert got[3] + got[4] < 100_000_000_000
+
+
+def test_personalized_pagerank_validation(spark):
+    from dp1_data_wrangling_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="no seed id"):
+        personalized_pagerank(
+            nodes, e, spark.createDataFrame([(99,)], ["node"])
+        )
+    with pytest.raises(ValueError, match="iterations"):
+        personalized_pagerank(
+            nodes, e, spark.createDataFrame([(1,)], ["node"]), iterations=0
+        )
+
+
+def test_equi_depth_bins_hand_computed(spark):
+    """7 values into 3 bins: ntile gives counts 3/2/2; ties split by id
+    deterministically; NULLs excluded; grouped form bins per key."""
+    from dp1_data_wrangling_spark.operators.stats import equi_depth_bins
+
+    rows = [("g", i, v) for i, v in enumerate([5, 1, 3, 3, 9, 7, 2])] + [
+        ("g", 99, None), ("h", 1, 10), ("h", 2, 20),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    got = {
+        (r.k, r.id): r.bin
+        for r in equi_depth_bins(
+            df, value_col="v", id_col="id", n_bins=3, key_cols=["k"]
+        ).collect()
+    }
+    # g sorted by (v, id): (1,1)(2,6)(3,2)|(3,3)(5,0)|(7,5)(9,4)
+    assert got == {
+        ("g", 1): 1, ("g", 6): 1, ("g", 2): 1,
+        ("g", 3): 2, ("g", 0): 2,
+        ("g", 5): 3, ("g", 4): 3,
+        ("h", 1): 1, ("h", 2): 2,
+    }
+    with pytest.raises(ValueError, match="n_bins"):
+        equi_depth_bins(df, value_col="v", id_col="id", n_bins=1)
+
+
 def test_pagerank_input_validation(spark):
     from dp1_data_wrangling_spark.operators.graph import pagerank
 

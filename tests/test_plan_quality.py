@@ -576,6 +576,32 @@ def test_pagerank_round_plan_one_contrib_shuffle_no_cartesian(spark):
     assert "partial_sum" in plan  # map-side combine before the shuffle
 
 
+def test_ppr_round_same_shape_as_pagerank_round(spark):
+    """The personalized round must keep the global round's cost shape:
+    the seed flag rides the checkpointed node table (no extra join),
+    the dangling one-row aggregate broadcasts, contribs partial-agg."""
+    from dp1_data_wrangling_spark.operators.graph import _ppr_round
+
+    nodes = spark.range(100).select(F.col("id").alias("__node"))
+    ndeg = nodes.withColumn(
+        "__d", (F.col("__node") % 4).cast("bigint")
+    ).withColumn("__s", F.col("__node") % 10 == 0)
+    edges_d = ndeg.filter("__d > 0").select(
+        F.col("__node").alias("__src"),
+        ((F.col("__node") * 7) % 100).alias("__dst"),
+        "__d",
+    )
+    ranks = nodes.select("__node", F.lit(10**10).cast("bigint").alias("pr"))
+    plan = plan_of(
+        _ppr_round(
+            ndeg, edges_d, ranks, s=10, seed_tel=15 * 10**9, damping_pct=85
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 8
+    assert "partial_sum" in plan
+
+
 def test_scd2_history_single_shuffle_shared_sort(spark):
     """Both SCD2 windows (change-flag lag, then version/lead) share the
     same partitioning and ordering, so the whole history build must cost
