@@ -192,3 +192,95 @@ def equi_depth_bins(
         .select(*keys, id_col, value_col)
         .withColumn("bin", F.ntile(n_bins).over(w))
     )
+
+
+def corr_pairs(
+    df: DataFrame,
+    *,
+    value_cols: list[str],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over INTEGER columns — the
+    feature-selection / profiling staple — in ONE map-side-combinable
+    aggregate pass, deterministic across engines.
+
+    Listwise complete-case semantics: rows with a NULL in ANY value
+    column are excluded (the standard corr-matrix contract, and the one
+    that keeps every pair on the same n).  Sufficient statistics
+    (n, sum, sum of squares, sum of products) accumulate as exact
+    DECIMAL(38,0) integers; the finish casts each EXACT integer to
+    double once and evaluates
+
+        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+
+    in a fixed expression order — IEEE multiply/subtract/divide/sqrt
+    are all correctly rounded, so identical exact inputs give
+    bit-identical doubles in Spark and DuckDB (rounded to 6 decimals as
+    belt-and-braces).  Degenerate pairs (either variance 0) give NULL.
+
+    Returns long form: ``(*key_cols, col_a, col_b, n, corr)`` for each
+    unordered pair col_a < col_b (input order).
+
+    Scale posture (100 TB): one groupBy with k + k + k(k+1)/2 combinable
+    sums — the canonical partial-agg shape; the pair explosion happens
+    on the single aggregate row per group (row-local stack), never on
+    data.  k is the column count — keep it dimension-sized (tens).
+    """
+    if len(value_cols) < 2:
+        raise ValueError(
+            f"corr_pairs needs >= 2 value columns, got {value_cols}"
+        )
+    if len(set(value_cols)) != len(value_cols):
+        raise ValueError(f"duplicate value columns: {value_cols}")
+    keys = key_cols or []
+    complete = df
+    for c in value_cols:
+        complete = complete.filter(F.col(c).isNotNull())
+    aggs = [F.count("*").alias("__n")]
+    for c in value_cols:
+        aggs.append(F.sum(F.col(c).cast(_D)).alias(f"__s_{c}"))
+    for i, a in enumerate(value_cols):
+        for b in value_cols[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(
+                    f"__p_{a}_{b}"
+                )
+            )
+    agg = complete.groupBy(*keys).agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> F.Column:
+        n = F.col("__n").cast("double")
+        sa = F.col(f"__s_{a}").cast("double")
+        sb = F.col(f"__s_{b}").cast("double")
+        saa = F.col(f"__p_{a}_{a}").cast("double")
+        sbb = F.col(f"__p_{b}_{b}").cast("double")
+        sab = F.col(f"__p_{a}_{b}").cast("double")
+        var_a = n * saa - sa * sa
+        var_b = n * sbb - sb * sb
+        return F.when(
+            (var_a > 0) & (var_b > 0),
+            F.round(
+                (n * sab - sa * sb) / (F.sqrt(var_a) * F.sqrt(var_b)), 6
+            ),
+        )
+
+    # ONE plan: the pair matrix explodes from the single aggregate row
+    # per group (a union of per-pair selects would re-plan — and without
+    # reuse re-execute — the aggregate once per pair)
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            corr_expr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(value_cols)
+        for b in value_cols[i + 1 :]
+    ]
+    return (
+        agg.select(
+            *keys,
+            F.col("__n").cast("bigint").alias("n"),
+            F.explode(F.array(*pair_structs)).alias("__pair"),
+        )
+        .select(*keys, "__pair.col_a", "__pair.col_b", "n", "__pair.corr")
+    )

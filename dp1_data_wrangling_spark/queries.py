@@ -4082,6 +4082,98 @@ def q_events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bin", F.col("bin").cast("bigint"))
 
 
+@register(
+    "lineitem_corr_matrix",
+    """
+    WITH cm_v AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 1000) AS BIGINT) AS price_milli,
+               CAST(floor(l_discount * 1000) AS BIGINT) AS disc_milli,
+               CAST(floor(l_tax * 1000) AS BIGINT) AS tax_milli
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    cm_s AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               sum(qty) AS s_q, sum(price_milli) AS s_p,
+               sum(disc_milli) AS s_d, sum(tax_milli) AS s_t,
+               sum(qty * qty) AS p_qq, sum(qty * price_milli) AS p_qp,
+               sum(qty * disc_milli) AS p_qd, sum(qty * tax_milli) AS p_qt,
+               sum(price_milli * price_milli) AS p_pp,
+               sum(price_milli * disc_milli) AS p_pd,
+               sum(price_milli * tax_milli) AS p_pt,
+               sum(disc_milli * disc_milli) AS p_dd,
+               sum(disc_milli * tax_milli) AS p_dt,
+               sum(tax_milli * tax_milli) AS p_tt
+        FROM cm_v GROUP BY flag
+    ),
+    cm_p AS (
+        SELECT flag, n, 'qty' AS col_a, 'price_milli' AS col_b,
+               CAST(s_q AS DOUBLE) AS sa, CAST(s_p AS DOUBLE) AS sb,
+               CAST(p_qq AS DOUBLE) AS saa, CAST(p_pp AS DOUBLE) AS sbb,
+               CAST(p_qp AS DOUBLE) AS sab FROM cm_s
+        UNION ALL SELECT flag, n, 'qty', 'disc_milli',
+               CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
+               CAST(p_qq AS DOUBLE), CAST(p_dd AS DOUBLE),
+               CAST(p_qd AS DOUBLE) FROM cm_s
+        UNION ALL SELECT flag, n, 'qty', 'tax_milli',
+               CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE),
+               CAST(p_qq AS DOUBLE), CAST(p_tt AS DOUBLE),
+               CAST(p_qt AS DOUBLE) FROM cm_s
+        UNION ALL SELECT flag, n, 'price_milli', 'disc_milli',
+               CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
+               CAST(p_pp AS DOUBLE), CAST(p_dd AS DOUBLE),
+               CAST(p_pd AS DOUBLE) FROM cm_s
+        UNION ALL SELECT flag, n, 'price_milli', 'tax_milli',
+               CAST(s_p AS DOUBLE), CAST(s_t AS DOUBLE),
+               CAST(p_pp AS DOUBLE), CAST(p_tt AS DOUBLE),
+               CAST(p_pt AS DOUBLE) FROM cm_s
+        UNION ALL SELECT flag, n, 'disc_milli', 'tax_milli',
+               CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE),
+               CAST(p_dd AS DOUBLE), CAST(p_tt AS DOUBLE),
+               CAST(p_dt AS DOUBLE) FROM cm_s
+    )
+    SELECT flag, col_a, col_b, n,
+           CASE WHEN (CAST(n AS DOUBLE) * saa - sa * sa) > 0
+                 AND (CAST(n AS DOUBLE) * sbb - sb * sb) > 0
+                THEN round((CAST(n AS DOUBLE) * sab - sa * sb)
+                     / (sqrt(CAST(n AS DOUBLE) * saa - sa * sa)
+                        * sqrt(CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+           END AS corr
+    FROM cm_p
+    """,
+)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (operators/stats.py
+    corr_pairs): per returnflag, the 4x4 upper triangle over quantity /
+    price / discount / tax (milli-quantized integers) from ONE
+    combinable aggregate pass.  Sufficient statistics are exact
+    DECIMAL(38,0) integers; the finish casts each exact integer to
+    double once and runs the corr formula in a fixed IEEE expression
+    order, so the oracle (HUGEINT sums, same casts, same order) matches
+    bit-for-bit."""
+    from .operators.stats import corr_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 1000)
+        .cast("bigint")
+        .alias("price_milli"),
+        F.floor(F.col("l_discount") * 1000).cast("bigint").alias(
+            "disc_milli"
+        ),
+        F.floor(F.col("l_tax") * 1000).cast("bigint").alias("tax_milli"),
+    )
+    return corr_pairs(
+        li,
+        value_cols=["qty", "price_milli", "disc_milli", "tax_milli"],
+        key_cols=["flag"],
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

@@ -30,6 +30,7 @@ from .decontam import (
 from .dedup_llm import stream_minhash_dedup
 from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
+from .geofence import stream_geofence
 from .scd import stream_scd2
 from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
@@ -62,6 +63,7 @@ __all__ = [
     "stream_curation",
     "stream_rollup",
     "stream_scd2",
+    "stream_geofence",
     "stream_sketches",
     "read_curated",
     "finalize_training_export",

@@ -2302,6 +2302,59 @@ def test_personalized_pagerank_validation(spark):
         )
 
 
+def test_corr_pairs_hand_computed(spark):
+    """Known series: y = 2x (corr exactly 1), z anti-monotone with x
+    (corr -1 for the linear case), w constant (NULL — zero variance),
+    and a NULL row excluded listwise (n drops for every pair)."""
+    import math
+
+    from dp1_data_wrangling_spark.operators.stats import corr_pairs
+
+    rows = [
+        (1, 2, 30, 7), (2, 4, 20, 7), (3, 6, 10, 7), (4, 8, 0, 7),
+        (5, None, 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, z long, w long")
+    got = {
+        (r.col_a, r.col_b): (r.n, r.corr)
+        for r in corr_pairs(df, value_cols=["x", "y", "z", "w"]).collect()
+    }
+    assert len(got) == 6
+    assert got[("x", "y")] == (4, 1.0)
+    assert got[("x", "z")] == (4, -1.0)
+    assert got[("y", "z")] == (4, -1.0)
+    assert got[("x", "w")] == (4, None)
+
+    # independent numpy-free replay of a non-trivial pair
+    xs, zs = [1, 2, 3, 4], [30, 20, 10, 0]
+    n = 4
+    num = n * sum(a * b for a, b in zip(xs, zs)) - sum(xs) * sum(zs)
+    den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * math.sqrt(
+        n * sum(b * b for b in zs) - sum(zs) ** 2
+    )
+    assert got[("x", "z")][1] == round(num / den, 6)
+
+
+def test_corr_pairs_grouped_and_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import corr_pairs
+
+    rows = [("a", i, 2 * i) for i in range(5)] + [
+        ("b", i, -3 * i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {
+        r.k: r.corr
+        for r in corr_pairs(
+            df, value_cols=["x", "y"], key_cols=["k"]
+        ).collect()
+    }
+    assert got == {"a": 1.0, "b": -1.0}
+    with pytest.raises(ValueError, match=">= 2"):
+        corr_pairs(df, value_cols=["x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        corr_pairs(df, value_cols=["x", "x"])
+
+
 def test_equi_depth_bins_hand_computed(spark):
     """7 values into 3 bins: ntile gives counts 3/2/2; ties split by id
     deterministically; NULLs excluded; grouped form bins per key."""

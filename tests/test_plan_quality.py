@@ -946,6 +946,20 @@ def test_entity_resolution_blocked_never_all_pairs(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_corr_matrix_single_combinable_aggregate(spark):
+    """The whole correlation matrix is ONE combinable groupBy (partial
+    aggregation below the single exchange) — the pair explosion runs on
+    aggregate rows, so no join, no window, no second data pass."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["lineitem_corr_matrix"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert data_shuffles(plan) == 1, plan
+    assert "partial_" in plan, plan
+
+
 def test_decay_attribution_user_equi_join_no_cartesian(spark):
     """Time-decay attribution: conversions x touches is ONE user-keyed
     hash equi-join; every window partitions on conv_id; weights are

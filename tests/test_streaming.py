@@ -1100,6 +1100,68 @@ def test_stream_scd2_equals_batch_any_order(spark, tmp_path):
     assert snapshot() == want
 
 
+def test_stream_geofence_equals_batch(spark, tmp_path):
+    """Streaming points through the geofence enricher in micro-batches
+    materializes EXACTLY the batch point_in_polygon over all rows
+    (containment is a pure per-point function of the static fences);
+    replay from the same checkpoint is a no-op."""
+    from dp1_data_wrangling_spark.operators.spatial import point_in_polygon
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_geofence
+
+    pts = spark.range(400).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 37 % 100).alias("x"),
+        (F.col("id") * 61 % 100).alias("y"),
+    )
+    fences = spark.createDataFrame(
+        [
+            (1, [(10, 10), (60, 10), (60, 60), (10, 60)]),
+            (2, [(50, 0), (99, 50), (50, 99), (0, 50)]),  # diamond
+        ],
+        "fid long, verts array<struct<x:long,y:long>>",
+    )
+    src = tmp_path / "pts_stream"
+    pts.where("pid % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    pts.where("pid % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    cat_root = str(tmp_path / "cat")
+    kw = dict(
+        x_col="x", y_col="y", id_col="pid", poly_id_col="fid",
+        vertices_col="verts", cell_size=32,
+    )
+
+    def start(ckpt: str):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        return stream_geofence(
+            stream, fences, cat_root, checkpoint_dir=ckpt, **kw
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    start(ckpt).awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    got = sorted(
+        map(tuple, cat.read(spark, "geofence_hits").collect())
+    )
+    want = sorted(
+        map(tuple, point_in_polygon(pts, fences, **kw).collect())
+    )
+    assert got == want and len(want) > 50
+
+    v_before = cat.manifest()["version"]
+    start(ckpt).awaitTermination(180)
+    assert Catalog(cat_root).manifest()["version"] == v_before
+    assert sorted(
+        map(tuple, cat.read(spark, "geofence_hits").collect())
+    ) == want
+
+
 def test_stream_sketches_equals_batch(spark, tmp_path):
     """Streaming events through the sketch maintainer in micro-batches
     materializes EXACTLY the one-shot batch sketches over all rows — the
