@@ -236,25 +236,31 @@ def corr_pairs(
     complete = df
     for c in value_cols:
         complete = complete.filter(F.col(c).isNotNull())
+    # positional aliases: name-based aliases like __p_{a}_{b} COLLIDE
+    # for underscore-containing column names (('a','b_c') vs ('a_b','c'))
+    # and Spark raises AMBIGUOUS_REFERENCE — indices cannot collide
     aggs = [F.count("*").alias("__n")]
-    for c in value_cols:
-        aggs.append(F.sum(F.col(c).cast(_D)).alias(f"__s_{c}"))
+    for i, c in enumerate(value_cols):
+        aggs.append(F.sum(F.col(c).cast(_D)).alias(f"__s_{i}"))
     for i, a in enumerate(value_cols):
-        for b in value_cols[i:]:
+        for j in range(i, len(value_cols)):
+            b = value_cols[j]
             aggs.append(
                 F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(
-                    f"__p_{a}_{b}"
+                    f"__p_{i}_{j}"
                 )
             )
     agg = complete.groupBy(*keys).agg(*aggs)
+    pos = {c: i for i, c in enumerate(value_cols)}
 
     def corr_expr(a: str, b: str) -> F.Column:
+        i, j = pos[a], pos[b]
         n = F.col("__n").cast("double")
-        sa = F.col(f"__s_{a}").cast("double")
-        sb = F.col(f"__s_{b}").cast("double")
-        saa = F.col(f"__p_{a}_{a}").cast("double")
-        sbb = F.col(f"__p_{b}_{b}").cast("double")
-        sab = F.col(f"__p_{a}_{b}").cast("double")
+        sa = F.col(f"__s_{i}").cast("double")
+        sb = F.col(f"__s_{j}").cast("double")
+        saa = F.col(f"__p_{i}_{i}").cast("double")
+        sbb = F.col(f"__p_{j}_{j}").cast("double")
+        sab = F.col(f"__p_{i}_{j}").cast("double")
         var_a = n * saa - sa * sa
         var_b = n * sbb - sb * sb
         return F.when(

@@ -2278,11 +2278,15 @@ def test_personalized_pagerank_mass_concentrates_on_seed_side(spark):
     got = {
         r["node"]: r["pr"]
         for r in personalized_pagerank(
-            nodes, e, seeds, iterations=8
+            nodes, e, seeds, iterations=14
         ).collect()
     }
-    assert got[1] + got[2] > 900_000_000_000
-    assert got[3] + got[4] < 100_000_000_000
+    # the unseeded cycle gets no teleport, so its mass decays at
+    # 0.85^k from its initial 50% share: 0.85^14 * 5e11 ~ 5.2e10
+    unseeded = got[3] + got[4]
+    seeded = got[1] + got[2]
+    assert unseeded < 60_000_000_000
+    assert seeded > 10 * unseeded
 
 
 def test_personalized_pagerank_validation(spark):
@@ -2353,6 +2357,24 @@ def test_corr_pairs_grouped_and_validation(spark):
         corr_pairs(df, value_cols=["x"])
     with pytest.raises(ValueError, match="duplicate"):
         corr_pairs(df, value_cols=["x", "x"])
+
+
+def test_corr_pairs_underscore_names_no_alias_collision(spark):
+    """Column sets like ('a','b_c') vs ('a_b','c') must not collide in
+    the sufficient-statistic aliases (review fix: positional indices)."""
+    from dp1_data_wrangling_spark.operators.stats import corr_pairs
+
+    rows = [(i, 2 * i, 3 * i, 5 - i) for i in range(6)]
+    df = spark.createDataFrame(rows, "a long, b_c long, a_b long, c long")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in corr_pairs(
+            df, value_cols=["a", "b_c", "a_b", "c"]
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got[("a", "b_c")] == 1.0
+    assert got[("a", "c")] == -1.0
 
 
 def test_equi_depth_bins_hand_computed(spark):

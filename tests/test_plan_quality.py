@@ -946,6 +946,19 @@ def test_entity_resolution_blocked_never_all_pairs(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_equi_depth_bins_single_window_shuffle(spark):
+    """Per-segment binning: ONE window shuffle on the group key, no
+    join, no Python, never a single-partition gather (the grouped form
+    is the fact-scale contract)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_value_bins"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert data_shuffles(plan) == 1, plan
+
+
 def test_corr_matrix_single_combinable_aggregate(spark):
     """The whole correlation matrix is ONE combinable groupBy (partial
     aggregation below the single exchange) — the pair explosion runs on
