@@ -11,6 +11,7 @@ from .events import (
     session_windows_batch,
     sliding_windows_batch,
     stream_correlated_events,
+    stream_correlated_events_outer,
     stream_dedup_events,
     stream_events,
     stream_static_enrich,
@@ -48,6 +49,7 @@ __all__ = [
     "to_event_time",
     "stream_tumbling_counts",
     "stream_correlated_events",
+    "stream_correlated_events_outer",
     "stream_dedup_events",
     "stream_static_enrich",
     "incremental_find_first",

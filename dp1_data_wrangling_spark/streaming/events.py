@@ -200,6 +200,63 @@ def stream_correlated_events(
     )
 
 
+def stream_correlated_events_outer(
+    spark,
+    sf_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view, with its
+    in-horizon purchases where they exist and a NULL extension where
+    none arrives — the funnel-drop detector (views that never convert).
+
+    Semantics Spark gives this plan: MATCHED rows emit eagerly (same as
+    the inner join); a NULL-extended row for an unmatched view emits
+    only once the watermark proves no future purchase can match it
+    (view_ts + horizon < watermark), so outer emissions LAG the
+    watermark by design — at stream end, views younger than
+    watermark + horizon are still pending in state, not lost.  The
+    equivalence test pins exactly this contract: matches equal the
+    batch inner join, every emitted NULL is a true batch non-match, and
+    every safely-expired batch non-match has emitted.
+
+    State bound: identical to the inner twin (watermark + time bound
+    expire both sides); the NULL-extension bookkeeping adds no state.
+    """
+    left = stream_events(spark, sf_dir, watermark).filter(
+        F.col("event_type") == left_type
+    ).select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    right = stream_events(spark, sf_dir, watermark).filter(
+        F.col("event_type") == right_type
+    ).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return left.join(
+        right,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("view_ts")
+            + F.expr(f"INTERVAL {_CORRELATION_HORIZON_US} MICROSECOND")
+        ),
+        "left_outer",
+    ).select(
+        F.col("l_user_id").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static join: enrich a stream against a batch dimension table.
 

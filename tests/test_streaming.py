@@ -125,6 +125,64 @@ def test_streaming_correlation_equals_batch(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_streaming_outer_correlation_contract(spark):
+    """LEFT OUTER stream-stream interval join, three-sided contract:
+    (1) matched rows equal the batch INNER join exactly (matches emit
+    eagerly); (2) every emitted NULL extension is a true batch
+    non-match (no false drops); (3) every batch non-match old enough
+    that the final watermark provably expired it HAS emitted (outer
+    completeness up to the documented watermark lag)."""
+    from dp1_data_wrangling_spark.streaming import (
+        correlated_events_batch,
+        stream_correlated_events_outer,
+    )
+    from dp1_data_wrangling_spark.streaming.events import (
+        _CORRELATION_HORIZON_US,
+    )
+
+    stream = stream_correlated_events_outer(spark, SMOKE_SF)
+    _run_to_memory(stream, "corr_outer_stream", "append")
+    got = spark.sql("select * from corr_outer_stream")
+    ev = to_event_time(load_table(spark, SMOKE_SF, "events"))
+    inner = correlated_events_batch(ev)
+
+    got_matched = got.filter("purchase_id IS NOT NULL")
+    assert got_matched.count() == inner.count() > 0
+    assert got_matched.exceptAll(inner).count() == 0
+
+    matched_views = {r.view_id for r in inner.select("view_id").collect()}
+    got_nulls = {
+        r.view_id
+        for r in got.filter("purchase_id IS NULL").select("view_id").collect()
+    }
+    assert got_nulls, "no NULL extensions emitted at all"
+    assert not (got_nulls & matched_views)  # (2) no false drops
+
+    # (3): views expired well before the final watermark must have
+    # emitted.  watermark = max event time - 2h; a view needs
+    # view_ts + horizon < watermark, take an extra hour of slack so the
+    # bound is robust to Spark's internal eviction boundary choices.
+    import datetime as dt
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    safe = (
+        max_ts
+        - dt.timedelta(hours=3)
+        - dt.timedelta(microseconds=_CORRELATION_HORIZON_US)
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    expired_unmatched = {
+        r.view_id
+        for r in views.filter(F.col("view_ts") < F.lit(safe)).collect()
+        if r.view_id not in matched_views
+    }
+    assert expired_unmatched, "fixture left no safely-expired unmatched view"
+    missing = expired_unmatched - got_nulls
+    assert not missing, f"{len(missing)} expired unmatched views never emitted"
+
+
 @pytest.fixture(scope="module")
 def redelivered_events_dir(spark, tmp_path_factory):
     """events written twice (distinct mtimes) — an at-least-once source."""
