@@ -541,3 +541,104 @@ def dup_span_stats(
         .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0).cast("bigint")))
         .withColumn("n_spans", F.coalesce("n_spans", F.lit(0).cast("bigint")))
     )
+
+
+def jaccard_threshold_join(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_milli: int = 500,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join: all pairs with
+    ``J(a, b) >= t_milli/1000`` — via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07; public literature),
+    never all-pairs.
+
+    Prefix filter: order every record's tokens by GLOBAL rarity
+    (document frequency asc, token asc — rare first), and take the
+    first ``|s| - ceil(t*|s|) + 1`` as its prefix.  Two sets with
+    Jaccard >= t must share a prefix token under any common total order
+    (dropping the last ceil(t*|s|)-1 tokens of each cannot erase an
+    intersection of >= t*|s| elements), so the prefix-token equi-join
+    is COMPLETE; exact verification then computes the true intersection
+    row-locally (``array_intersect`` on the two token arrays) and
+    applies the threshold cross-multiplied in integers
+    (``1000*n_inter >= t_milli*(n_a + n_b - n_inter)``) — no float
+    compare anywhere; the reported ``jaccard`` is one exact-integer
+    division.
+
+    Scale posture (100 TB): candidates join on the RAREST tokens by
+    construction — the frequency ordering is precisely the classic
+    skew defense (a stop word lands in a prefix only for a record that
+    is nearly all stop words); shuffles move (token, id) pairs and the
+    verify stage joins token ARRAYS back by id (payloads move once per
+    candidate side, never per token).  Prefix length shrinks as t
+    grows — at t=0.9 only ~10% of each record's tokens are join keys.
+    """
+    if not 1 <= t_milli <= 1000:
+        raise ValueError(f"t_milli must be in [1, 1000], got {t_milli}")
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_set(F.col(text_col))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("__df"))
+    arrs = (
+        toks.join(freq, "token")
+        .groupBy("__id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__df, token))),"
+                " o -> o.token)"
+            ).alias("__toks")
+        )
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__p",
+            F.col("__n")
+            - F.expr(f"({t_milli} * __n + 999) div 1000")
+            + F.lit(1),
+        )
+    )
+    prefix = arrs.select(
+        "__id", F.explode(F.expr("slice(__toks, 1, __p)")).alias("token")
+    )
+    cands = (
+        prefix.select(F.col("__id").alias("__ida"), "token")
+        .join(prefix.select(F.col("__id").alias("__idb"), "token"), "token")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    a = arrs.select(
+        F.col("__id").alias("__ida"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("n_a"),
+    )
+    b = arrs.select(
+        F.col("__id").alias("__idb"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("n_b"),
+    )
+    verified = (
+        cands.join(a, "__ida")
+        .join(b, "__idb")
+        .withColumn(
+            "n_inter", F.expr("size(array_intersect(__ta, __tb))")
+        )
+        .filter(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(t_milli) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+    return verified.select(
+        F.col("__ida").alias("doc_id_a"),
+        F.col("__idb").alias("doc_id_b"),
+        F.col("n_inter").cast("bigint"),
+        F.col("n_a").cast("bigint"),
+        F.col("n_b").cast("bigint"),
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )

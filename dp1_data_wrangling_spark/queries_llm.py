@@ -217,6 +217,50 @@ def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_jaccard_join",
+    """
+    WITH jj_d AS (
+        SELECT doc_id, list_distinct(list_filter(
+            regexp_split_to_array(lower(text), '\\W+'), x -> x != ''))
+            AS toks
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    jj_s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM jj_d WHERE len(toks) > 0
+    ),
+    jj_p AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                   AS n_inter,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+        FROM jj_s a JOIN jj_s b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, n_inter, n_a, n_b,
+           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+    FROM jj_p
+    WHERE 1000 * n_inter >= 400 * (n_a + n_b - n_inter)
+    """,
+)
+def q_doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold similarity JOIN (operators/dedup.py
+    jaccard_threshold_join — the AllPairs/PPJoin prefix-filter family):
+    all document pairs with token-set Jaccard >= 0.4 over a fifth of the
+    corpus, candidates generated ONLY through rarity-ordered prefix
+    tokens, verified by exact row-local intersection with the threshold
+    cross-multiplied in integers.  The oracle is the BRUTE-FORCE
+    all-pairs form (an independent algorithm with no filtering), so the
+    hash compare proves the prefix filter's completeness theorem on
+    real data — the same independent-oracle pattern as the geofence and
+    entity-resolution queries."""
+    from .operators.dedup import jaccard_threshold_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return jaccard_threshold_join(docs, t_milli=400)
+
+
+@register(
     "jaccard_pairs",
     """
     WITH toks AS (

@@ -3418,6 +3418,75 @@ def test_holt_smooth_guards_and_validation(spark):
         holt_smooth(ok, forecast_steps=-1, **kw)
 
 
+def test_jaccard_threshold_join_hand_computed(spark):
+    """Four tiny docs: the >= 0.5 pairs match a hand brute force; an
+    empty doc is excluded; reported stats are exact."""
+    from dp1_data_wrangling_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    rows = [
+        (1, "red green blue yellow"),
+        (2, "red green blue purple"),     # J(1,2) = 3/5 = 0.6
+        (3, "red cyan"),                  # J(1,3) = 1/5, J(2,3) = 1/5
+        (4, "red green blue yellow"),     # J(1,4) = 1.0, J(2,4) = 0.6
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_threshold_join(df, t_milli=500).collect()
+    }
+    assert got == {
+        (1, 2): (3, 4, 4, 0.6),
+        (1, 4): (4, 4, 4, 1.0),
+        (2, 4): (3, 4, 4, 0.6),
+    }
+    with pytest.raises(ValueError, match="t_milli"):
+        jaccard_threshold_join(df, t_milli=0)
+
+
+def test_jaccard_threshold_join_complete_vs_brute_force(spark):
+    """Prefix-filter completeness on 60 md5-ish synthetic docs at two
+    thresholds: the join equals an independent pure-python brute force
+    exactly (no pair missed by the prefix filter, none invented)."""
+    import hashlib
+
+    from dp1_data_wrangling_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    def words(i):
+        # overlapping vocab: ~10 words drawn from a 40-word pool, with
+        # consecutive ids sharing most of their pool slice
+        base = i // 3
+        return sorted(
+            {
+                "w" + hashlib.md5(f"{base}|{j}".encode()).hexdigest()[:4]
+                for j in range(10)
+            }
+            | {"w" + hashlib.md5(f"x|{i}|{j}".encode()).hexdigest()[:4]
+               for j in range(i % 3)}
+        )
+
+    docs = [(i, " ".join(words(i))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for tm in (300, 700):
+        got = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in jaccard_threshold_join(df, t_milli=tm).collect()
+        }
+        want = set()
+        sets = {i: set(words(i)) for i, _ in docs}
+        for i in range(60):
+            for j in range(i + 1, 60):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if 1000 * inter >= tm * union:
+                    want.add((i, j))
+        assert got == want and want
+
+
 def _hll_ref_regs(values, p=6):
     """Pure-python HLL register replay (md5-prefix hash, top-p bucket,
     rho = leading zeros of the remainder + 1)."""

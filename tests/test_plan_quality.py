@@ -405,6 +405,11 @@ SHUFFLE_BUDGETS = {
     # (window + estimate agg) PER rollup level — every post-build
     # shuffle moves <= k 8-byte hashes per cell, never facts
     "events_kmv_cube": 9,
+    # Jaccard-threshold join: token df census + per-record array gather
+    # + the prefix equi-join's two sides + candidate distinct + the two
+    # id-keyed verify joins — all narrow (token, id) / (id, array)
+    # shuffles, never payload-per-token and never all-pairs (gated)
+    "doc_jaccard_join": 9,
     # NDCG eval composes the BM25 retrieval plan (8 budget, see
     # doc_bm25_topk) with the graded-relevance label join and the
     # per-query DCG/IDCG aggregates — all query-keyed frames bounded by
@@ -957,6 +962,18 @@ def test_equi_depth_bins_single_window_shuffle(spark):
     assert "EvalPython" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert data_shuffles(plan) == 1, plan
+
+
+def test_jaccard_join_prefix_blocked_never_all_pairs(spark):
+    """The Jaccard-threshold join generates candidates ONLY through the
+    rarity-ordered prefix-token equi-join — no cartesian product, no
+    Python; verification is row-local array_intersect."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_jaccard_join"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
 
 
 def test_corr_matrix_single_combinable_aggregate(spark):
