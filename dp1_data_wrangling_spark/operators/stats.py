@@ -290,3 +290,74 @@ def corr_pairs(
         )
         .select(*keys, "__pair.col_a", "__pair.col_b", "n", "__pair.corr")
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    percents: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """Exact weighted quantiles per group — the traffic-weighted-latency
+    / quantity-weighted-price staple: the p-th weighted quantile is the
+    SMALLEST value whose running weight (in ``(value, weight)`` order,
+    weight as the deterministic tie-break) reaches ``p%`` of the group's
+    total weight.  The rank test cross-multiplies in integers
+    (``100 * cumw >= p * totw``) — no float division anywhere, so a SQL
+    oracle replays it bit-for-bit.  Rows with NULL value or NULL /
+    non-positive weight are excluded (a zero-weight observation cannot
+    carry a quantile).
+
+    Returns one row per group: ``(*group_cols, total_weight,
+    wq_p{p}...)``.
+
+    Scale posture (100 TB): ONE window shuffle on the group key (the
+    running-sum and total-sum windows share its partitioning) + the
+    final groupBy reusing it — same single-exchange shape as the OHLC
+    and HDR operators.  For heavy groups pre-aggregate equal values
+    upstream (sum their weights) — the algebra is unchanged.
+    """
+    from pyspark.sql import Window
+
+    ps = list(percents)
+    if not ps or any(p < 1 or p > 100 for p in ps):
+        raise ValueError(f"percents must be within [1, 100], got {ps}")
+    groups = group_cols or []
+    d = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *groups,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("bigint").alias("__w"),
+    )
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col("__v"), F.col("__w")
+    )
+    cum = d.withColumn(
+        "__cumw",
+        F.sum("__w").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "__totw",
+        F.sum("__w").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    aggs = [F.max("__totw").cast("bigint").alias("total_weight")]
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("__cumw") >= F.lit(p) * F.col("__totw"),
+                    F.col("__v"),
+                )
+            ).alias(f"wq_p{p}")
+        )
+    return cum.groupBy(*groups).agg(*aggs)

@@ -4174,6 +4174,61 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_weighted_quantiles",
+    """
+    WITH wq_d AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 1000) AS BIGINT) AS price_milli,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity > 0
+    ),
+    wq_c AS (
+        SELECT flag, price_milli, w,
+               CAST(sum(w) OVER (
+                   PARTITION BY flag ORDER BY price_milli, w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumw,
+               CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+        FROM wq_d
+    )
+    SELECT flag, CAST(max(totw) AS BIGINT) AS total_weight,
+           min(CASE WHEN 100 * cumw >= 50 * totw
+                    THEN price_milli END) AS wq_p50,
+           min(CASE WHEN 100 * cumw >= 90 * totw
+                    THEN price_milli END) AS wq_p90,
+           min(CASE WHEN 100 * cumw >= 99 * totw
+                    THEN price_milli END) AS wq_p99
+    FROM wq_c GROUP BY flag
+    """,
+)
+def q_lineitem_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles (operators/stats.py weighted_quantiles):
+    per returnflag, the quantity-weighted p50/p90/p99 of the milli
+    extended price — the smallest value whose running weight reaches
+    p% of the group total, the rank test cross-multiplied in integers.
+    ONE window shuffle; the oracle replays the running-weight algebra
+    verbatim."""
+    from .operators.stats import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 1000)
+        .cast("bigint")
+        .alias("price_milli"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return weighted_quantiles(
+        li,
+        value_col="price_milli",
+        weight_col="w",
+        group_cols=["flag"],
+        percents=[50, 90, 99],
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

@@ -2306,6 +2306,40 @@ def test_personalized_pagerank_validation(spark):
         )
 
 
+def test_weighted_quantiles_hand_computed(spark):
+    """Values 10/20/30 with weights 1/1/8 (total 10): the weighted p50
+    and p90 are both 30 (cumw hits 5 and 9 only at 30); p10 is 10.
+    Zero/NULL weights and NULL values are excluded; an unweighted
+    (all-1) run degenerates to the ordinary nearest-rank quantile."""
+    from dp1_data_wrangling_spark.operators.stats import weighted_quantiles
+
+    rows = [
+        ("g", 10, 1), ("g", 20, 1), ("g", 30, 8),
+        ("g", 99, 0), ("g", None, 5), ("g", 7, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    got = weighted_quantiles(
+        df, value_col="v", weight_col="w", group_cols=["k"],
+        percents=[10, 50, 90],
+    ).collect()[0]
+    assert (got.total_weight, got.wq_p10, got.wq_p50, got.wq_p90) == (
+        10, 10, 30, 30,
+    )
+
+    flat = spark.createDataFrame(
+        [("u", v, 1) for v in range(1, 101)], "k string, v long, w long"
+    )
+    g2 = weighted_quantiles(
+        flat, value_col="v", weight_col="w", group_cols=["k"],
+        percents=[50, 99],
+    ).collect()[0]
+    assert (g2.wq_p50, g2.wq_p99) == (50, 99)
+    with pytest.raises(ValueError, match="percents"):
+        weighted_quantiles(
+            flat, value_col="v", weight_col="w", percents=[0]
+        )
+
+
 def test_corr_pairs_hand_computed(spark):
     """Known series: y = 2x (corr exactly 1), z anti-monotone with x
     (corr -1 for the linear case), w constant (NULL — zero variance),

@@ -976,6 +976,17 @@ def test_jaccard_join_prefix_blocked_never_all_pairs(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_weighted_quantiles_single_window_shuffle(spark):
+    """Weighted quantiles: ONE group-key window exchange shared by the
+    running/total sums and the final groupBy — no join, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["lineitem_weighted_quantiles"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert data_shuffles(plan) == 1, plan
+
+
 def test_corr_matrix_single_combinable_aggregate(spark):
     """The whole correlation matrix is ONE combinable groupBy (partial
     aggregation below the single exchange) — the pair explosion runs on
