@@ -905,3 +905,65 @@ def hll_estimate(
             F.lit(num) / F.col("reg_denom").cast("double") / F.lit(1e6), 6
         ).alias("est_distinct"),
     )
+
+
+def hll_rolling(
+    df: DataFrame,
+    *,
+    value_col: str,
+    time_col: str,
+    window_size: int,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """Trailing-window HLL distinct estimates from MERGED daily register
+    tables — the cellwise-max twin of :func:`kmv_rolling`, and simpler:
+    no dedup pass and no bottom-k re-rank, because max is idempotent
+    and order-free.  Per-bucket registers build once from raw data;
+    each register row fans out (row-local explode) to the <=
+    ``window_size`` anchors it serves; one combinable groupBy re-maxes
+    per (group, anchor, register-bucket).  By the merge law
+    (``test_hll_merge_equals_sketch_of_union``) the result is EXACTLY
+    the registers of the raw trailing union, which the oracle computes
+    directly — two formulations meeting at fact scale.
+
+    Returns ``(*group_cols, time_col, zero_buckets, reg_denom,
+    est_distinct)`` for every OBSERVED (group, bucket) anchor.
+
+    Scale posture (100 TB): raw data touched once; the rolling stage
+    moves (group, day, bucket<=2^p, tinyint) cells x window_size —
+    bounded state regardless of fact volume, and the re-max groupBy is
+    map-side combinable (cheaper than kmv_rolling's rank windows).
+    """
+    if window_size < 1:
+        raise ValueError(f"window_size must be >= 1, got {window_size}")
+    groups = group_cols or []
+    daily = hll_sketch(
+        df, value_col=value_col, group_cols=[*groups, time_col], p=p
+    )
+    fanout = (
+        daily.withColumn(
+            "__anchor",
+            F.explode(
+                F.sequence(
+                    F.col(time_col),
+                    F.col(time_col) + F.lit(window_size - 1),
+                )
+            ),
+        )
+        .withColumn("__native", F.col("__anchor") == F.col(time_col))
+        .drop(time_col)
+        .withColumnRenamed("__anchor", time_col)
+    )
+    regs = fanout.groupBy(*groups, time_col, "bucket").agg(
+        F.max("reg").alias("reg"), F.max("__native").alias("__nat")
+    )
+    w_grp = Window.partitionBy(*groups, time_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    observed = (
+        regs.withColumn("__has_anchor", F.max("__nat").over(w_grp))
+        .filter(F.col("__has_anchor"))
+        .select(*groups, time_col, "bucket", "reg")
+    )
+    return hll_estimate(observed, group_cols=[*groups, time_col], p=p)

@@ -4229,6 +4229,71 @@ def q_lineitem_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "events_hll_rolling",
+    """
+    WITH hr_obs AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    hr_days AS (SELECT DISTINCT event_type, day FROM hr_obs),
+    hr_union AS (
+        SELECT d.event_type, d.day, o.hv
+        FROM hr_days d JOIN hr_obs o
+          ON o.event_type = d.event_type
+         AND o.day BETWEEN d.day - 6 AND d.day
+    ),
+    hr_reg AS (
+        SELECT event_type, day, hv >> 54 AS bucket,
+               max(CASE WHEN (hv & 18014398509481983) = 0 THEN 55
+                        ELSE 55 - length(bin(hv & 18014398509481983))
+                   END) AS reg
+        FROM hr_union GROUP BY 1, 2, 3
+    ),
+    hr_e AS (
+        SELECT event_type, day,
+               CAST(64 - count(*) AS BIGINT) AS zero_buckets,
+               CAST(sum(CAST(1 AS BIGINT) << (55 - reg))
+                    + (64 - count(*)) * 36028797018963968
+                    AS BIGINT) AS reg_denom
+        FROM hr_reg GROUP BY 1, 2
+    )
+    SELECT event_type, day, zero_buckets, reg_denom,
+           round(104629932386080576765952000.0 / reg_denom / 1000000.0, 6)
+               AS est_distinct
+    FROM hr_e
+    """,
+)
+def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGED daily HLL registers
+    (operators/sketch.py hll_rolling): daily register tables built once,
+    each anchor's registers the cellwise MAX over its trailing window —
+    by the merge law this IS the registers of the raw trailing union,
+    which the oracle computes directly from observations.  The hash
+    compare is therefore a fact-scale proof of the cellwise-max merge
+    law, the HLL twin of events_kmv_rolling's bottom-k proof — with a
+    cheaper plan (no dedup window, no rank: max is idempotent)."""
+    from .operators.sketch import hll_rolling
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        "user_id",
+    )
+    return hll_rolling(
+        e,
+        value_col="user_id",
+        time_col="day",
+        window_size=7,
+        group_cols=["event_type"],
+        p=6,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join

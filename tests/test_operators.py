@@ -3614,6 +3614,43 @@ def test_hll_estimate_empty_sketch_exact_denominator(spark):
     assert est[0].est_distinct is not None
 
 
+def test_hll_rolling_equals_direct_sketch_of_trailing_union(spark):
+    """The rolling registers equal hll_sketch over the raw trailing
+    union for every anchor — the cellwise-max merge law at window
+    scale — and unobserved anchors emit nothing (no phantom buckets)."""
+    from dp1_data_wrangling_spark.operators.sketch import (
+        hll_estimate, hll_rolling, hll_sketch,
+    )
+
+    rows = [
+        ("g", d, v)
+        for d, vals in [
+            (10, range(0, 40)), (11, range(20, 60)), (13, range(50, 90)),
+        ]
+        for v in vals
+    ]
+    df = spark.createDataFrame(rows, "k string, day long, v long")
+    got = {
+        (r.k, r.day): (r.zero_buckets, r.reg_denom, r.est_distinct)
+        for r in hll_rolling(
+            df, value_col="v", time_col="day", window_size=3,
+            group_cols=["k"], p=6,
+        ).collect()
+    }
+    assert set(got) == {("g", 10), ("g", 11), ("g", 13)}  # day 12 absent
+    for day, lo in ((10, (10,)), (11, (10, 11)), (13, (11, 13))):
+        union = df.filter(
+            (F.col("day").isin([d for d in (10, 11, 13) if day - 2 <= d <= day]))
+        )
+        want = hll_estimate(
+            hll_sketch(union, value_col="v", group_cols=["k"], p=6),
+            group_cols=["k"], p=6,
+        ).collect()[0]
+        assert got[("g", day)] == (
+            want.zero_buckets, want.reg_denom, want.est_distinct,
+        ), day
+
+
 def test_hll_validation(spark):
     from dp1_data_wrangling_spark.operators.sketch import (
         hll_merge, hll_sketch,

@@ -987,6 +987,19 @@ def test_weighted_quantiles_single_window_shuffle(spark):
     assert data_shuffles(plan) == 1, plan
 
 
+def test_hll_rolling_cell_space_combinable(spark):
+    """HLL rolling: the re-max groupBy is map-side combinable over
+    CELLS (partial_max below its exchange); no join, no cartesian —
+    cheaper than the KMV twin (no dedup/rank windows on hashes)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_hll_rolling"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert data_shuffles(plan) <= 3, plan  # daily regs, re-max, estimate
+
+
 def test_corr_matrix_single_combinable_aggregate(spark):
     """The whole correlation matrix is ONE combinable groupBy (partial
     aggregation below the single exchange) — the pair explosion runs on
