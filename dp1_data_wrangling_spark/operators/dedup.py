@@ -578,7 +578,7 @@ def jaccard_threshold_join(
     """
     if not 1 <= t_milli <= 1000:
         raise ValueError(f"t_milli must be in [1, 1000], got {t_milli}")
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("__id"),
         F.explode(token_set(F.col(text_col))).alias("token"),
     )
@@ -592,7 +592,7 @@ def jaccard_threshold_join(
                 " o -> o.token)"
             ).alias("__toks")
         )
-        .withColumn("__n", F.size("__toks"))
+        .withColumn("__n", F.size("__toks").cast("bigint"))
         .withColumn(
             "__p",
             F.col("__n")
@@ -624,7 +624,10 @@ def jaccard_threshold_join(
         cands.join(a, "__ida")
         .join(b, "__idb")
         .withColumn(
-            "n_inter", F.expr("size(array_intersect(__ta, __tb))")
+            "n_inter",
+            # BIGINT before the cross-multiply: size() is 32-bit and
+            # 1000 * n_inter overflows int at ~2.1M tokens (review fix)
+            F.expr("CAST(size(array_intersect(__ta, __tb)) AS BIGINT)"),
         )
         .filter(
             F.lit(1000) * F.col("n_inter")

@@ -317,7 +317,10 @@ def weighted_quantiles(
     running-sum and total-sum windows share its partitioning) + the
     final groupBy reusing it — same single-exchange shape as the OHLC
     and HDR operators.  For heavy groups pre-aggregate equal values
-    upstream (sum their weights) — the algebra is unchanged.
+    upstream (sum their weights) — the algebra is unchanged.  The
+    UNGROUPED form is a single-partition sort by construction —
+    dimension-sized inputs only (same caveat as ``equi_depth_bins``);
+    at fact scale pass ``group_cols`` or use the HDR sketch.
     """
     from pyspark.sql import Window
 
@@ -325,14 +328,18 @@ def weighted_quantiles(
     if not ps or any(p < 1 or p > 100 for p in ps):
         raise ValueError(f"percents must be within [1, 100], got {ps}")
     groups = group_cols or []
-    d = df.filter(
-        F.col(value_col).isNotNull()
-        & F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
-    ).select(
+    # cast FIRST, screen on the cast value: filtering the raw column
+    # lets a fractional weight in (0, 1) pass >0 and then truncate to 0,
+    # collapsing every quantile to the group minimum (review fix) —
+    # weights are integer by contract, truncation is the cast's rounding
+    d = df.select(
         *groups,
         F.col(value_col).alias("__v"),
         F.col(weight_col).cast("bigint").alias("__w"),
+    ).filter(
+        F.col("__v").isNotNull()
+        & F.col("__w").isNotNull()
+        & (F.col("__w") > 0)
     )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
         F.col("__v"), F.col("__w")

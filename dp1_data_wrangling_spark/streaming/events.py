@@ -157,17 +157,17 @@ def correlated_events_batch(
     )
 
 
-def stream_correlated_events(
+def _stream_correlated(
     spark,
     sf_dir: str,
-    left_type: str = "view",
-    right_type: str = "purchase",
-    watermark: str = "2 hours",
+    left_type: str,
+    right_type: str,
+    watermark: str,
+    how: str,
 ) -> DataFrame:
-    """Stream-stream interval join: the same plan as
-    ``correlated_events_batch`` over two watermarked readStream sides.
-    The watermark + time bound let Spark expire join state (a view older
-    than watermark+horizon can never match again)."""
+    """Shared builder for the inner / left-outer stream-stream interval
+    join twins — ONE plan definition so a fix to the horizon bound or
+    watermark handling cannot silently diverge between join types."""
     left = stream_events(spark, sf_dir, watermark).filter(
         F.col("event_type") == left_type
     ).select(
@@ -191,12 +191,29 @@ def stream_correlated_events(
             < F.col("view_ts")
             + F.expr(f"INTERVAL {_CORRELATION_HORIZON_US} MICROSECOND")
         ),
+        how,
     ).select(
         F.col("l_user_id").alias("user_id"),
         "view_id",
         "view_ts",
         "purchase_id",
         "purchase_ts",
+    )
+
+
+def stream_correlated_events(
+    spark,
+    sf_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: the same plan as
+    ``correlated_events_batch`` over two watermarked readStream sides.
+    The watermark + time bound let Spark expire join state (a view older
+    than watermark+horizon can never match again)."""
+    return _stream_correlated(
+        spark, sf_dir, left_type, right_type, watermark, "inner"
     )
 
 
@@ -224,36 +241,8 @@ def stream_correlated_events_outer(
     State bound: identical to the inner twin (watermark + time bound
     expire both sides); the NULL-extension bookkeeping adds no state.
     """
-    left = stream_events(spark, sf_dir, watermark).filter(
-        F.col("event_type") == left_type
-    ).select(
-        F.col("user_id").alias("l_user_id"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
-    )
-    right = stream_events(spark, sf_dir, watermark).filter(
-        F.col("event_type") == right_type
-    ).select(
-        F.col("user_id").alias("r_user_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    return left.join(
-        right,
-        (F.col("l_user_id") == F.col("r_user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (
-            F.col("purchase_ts")
-            < F.col("view_ts")
-            + F.expr(f"INTERVAL {_CORRELATION_HORIZON_US} MICROSECOND")
-        ),
-        "left_outer",
-    ).select(
-        F.col("l_user_id").alias("user_id"),
-        "view_id",
-        "view_ts",
-        "purchase_id",
-        "purchase_ts",
+    return _stream_correlated(
+        spark, sf_dir, left_type, right_type, watermark, "left_outer"
     )
 
 

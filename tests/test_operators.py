@@ -2340,6 +2340,30 @@ def test_weighted_quantiles_hand_computed(spark):
         )
 
 
+def test_weighted_quantiles_fractional_weights_excluded(spark):
+    """A double weight in (0, 1) truncates to 0 and must be EXCLUDED,
+    not counted as weight-0 (review fix: pre-fix it collapsed every
+    quantile to the group minimum)."""
+    from dp1_data_wrangling_spark.operators.stats import weighted_quantiles
+
+    rows = [("g", 10, 0.5), ("g", 20, 0.5), ("g", 30, 2.7)]
+    df = spark.createDataFrame(rows, "k string, v long, w double")
+    out = weighted_quantiles(
+        df, value_col="v", weight_col="w", group_cols=["k"], percents=[50]
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].total_weight, out[0].wq_p50) == (2, 30)
+
+    all_frac = df.filter("w < 1")
+    assert (
+        weighted_quantiles(
+            all_frac, value_col="v", weight_col="w", group_cols=["k"],
+            percents=[50],
+        ).count()
+        == 0
+    )
+
+
 def test_corr_pairs_hand_computed(spark):
     """Known series: y = 2x (corr exactly 1), z anti-monotone with x
     (corr -1 for the linear case), w constant (NULL — zero variance),
