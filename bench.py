@@ -459,6 +459,75 @@ def main() -> None:
                     "big_sec": round(t_big, 3),
                     "ratio_10x_rows": round(t_big / t_small, 2),
                 }
+
+                # Jaccard-threshold join probe: vocabulary scales WITH
+                # the corpus (4n words, df ~ 5) — the realistic Zipfian-
+                # wide regime where prefix filtering is selective; the
+                # 500-word minhash corpus above would be adversarial
+                # (every prefix token is hot) and measure the wrong thing
+                from dp1_data_wrangling_spark.operators.dedup import (
+                    jaccard_threshold_join,
+                )
+
+                def synth_jdocs(n: int):
+                    base = (
+                        F.when(F.col("id") % 5 == 0, F.col("id") - 1)
+                        .otherwise(F.col("id"))
+                        .cast("string")
+                    )
+                    word = lambda j: F.substring(  # noqa: E731
+                        F.md5(
+                            F.concat_ws(
+                                "jw",
+                                (
+                                    F.conv(
+                                        F.substring(
+                                            F.md5(
+                                                F.concat_ws("js", base, j)
+                                            ),
+                                            1,
+                                            15,
+                                        ),
+                                        16,
+                                        10,
+                                    ).cast("long")
+                                    % (4 * n)
+                                ).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    )
+                    words = F.transform(F.sequence(F.lit(0), F.lit(19)), word)
+                    text = F.when(
+                        F.col("id") % 5 == 0,
+                        F.concat(
+                            F.array_join(F.slice(words, 1, 18), " "),
+                            F.lit(" zzjmut1 zzjmut2"),
+                        ),
+                    ).otherwise(F.array_join(words, " "))
+                    return spark.range(n).select(
+                        F.col("id").alias("doc_id"), text.alias("text")
+                    )
+
+                jpaths = {}
+                for n in (5_000, 50_000):
+                    jpaths[n] = f"{tmp}/j{n}"
+                    synth_jdocs(n).write.parquet(jpaths[n])
+                jt = {
+                    n: min_of_3(
+                        lambda n=n: jaccard_threshold_join(
+                            spark.read.parquet(jpaths[n]), t_milli=500
+                        )
+                    )
+                    for n in (5_000, 50_000)
+                }
+                scaling["jaccard_join_synth"] = {
+                    "n_rows": [5_000, 50_000],
+                    "small_sec": round(jt[5_000], 3),
+                    "big_sec": round(jt[50_000], 3),
+                    "ratio_10x_rows": round(jt[50_000] / jt[5_000], 2),
+                }
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 - sweep is informational
