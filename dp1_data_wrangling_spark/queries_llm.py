@@ -240,7 +240,6 @@ def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM jj_p
     WHERE 1000 * n_inter >= 400 * (n_a + n_b - n_inter)
     """,
-    headline=True,
 )
 def q_doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard-threshold similarity JOIN (operators/dedup.py
