@@ -276,6 +276,7 @@ def simhash_candidate_pairs(
     n_chunks: int = 4,
     *,
     max_bucket_size: int | None = None,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: equal 15-bit chunk of the simhash in any of 4
     chunk positions guarantees recall for hamming distance < 4.
@@ -290,7 +291,25 @@ def simhash_candidate_pairs(
     hundreds of documents onto one chunk value, and a b-member bucket
     emits b² pairs.  Capped buckets trade tail recall for bounded work —
     same contract as the MinHash cap, cluster the survivors with
-    connected components."""
+    connected components.  The round-10 isolated probe adjudicated the
+    uncapped scaling reading: 6.35x wall at 10x rows on the 500-word
+    synthetic corpus is OUTPUT volume (candidate pairs grow 86.9x there),
+    not a hidden all-pairs term — the cap is the knob that restores
+    linear wall on template-heavy data.
+
+    ``two_pass=True`` (requires ``max_bucket_size``) is the same
+    adversarial-mega-bucket escape hatch as
+    ``minhash_candidate_pairs``: pass 1 counts DISTINCT members per
+    (chunk, chunk_val) — map-side-combinable, shuffling only 8-byte
+    chunk values + longs — and pass 2 semi-joins the key stream against
+    the qualifying 2..max set BEFORE the member-collecting aggregation,
+    so no executor ever buffers a degenerate bucket's (id, simhash)
+    list.  Result-identical to the one-pass capped form."""
+    if two_pass and max_bucket_size is None:
+        # Mirror pairs_from_band_keys: silently falling back to one-pass
+        # with no cap would buffer exactly the mega bucket the flag
+        # exists to avoid.
+        raise ValueError("two_pass=True requires a max_bucket_size")
     with_h = simhash_fingerprints(docs, text_col, id_col)
     chunk_w = 60 // n_chunks
     # Integer div/mod, never float division: simhash is up to 2^60 and a
@@ -313,6 +332,14 @@ def simhash_candidate_pairs(
         F.col("ck.chunk").alias("chunk"),
         F.col("ck.chunk_val").alias("chunk_val"),
     )
+    if two_pass:
+        qualifying = (
+            keys.groupBy("chunk", "chunk_val")
+            .agg(F.countDistinct("__id").alias("__n"))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
+            .select("chunk", "chunk_val")
+        )
+        keys = keys.join(qualifying, ["chunk", "chunk_val"], "left_semi")
     buckets = (
         keys.groupBy("chunk", "chunk_val")
         .agg(

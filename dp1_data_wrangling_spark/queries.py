@@ -4305,21 +4305,21 @@ DRIVER_WINDOW: list[str] = [
     "user_retention_cohorts",     # r8: weekly cohort retention grid
     "event_transition_matrix",    # r8: first-order Markov transition counts
     "event_sessions",             # r8: gap-rule batch sessionization
-    "events_gapfill",             # r8: grid resample + forward fill (LOCF)
+    "events_hll_rolling",         # r10: rolling HLL via register re-max
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "events_cm_heavy_hitters",    # r8: count-min frequency sketch
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
-    "events_hourly_trend",        # r8: exact-integer per-group OLS trend
+    "event_attribution_decay",    # r10: exponential time-decay attribution
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
     "events_scd2_enrich",         # r8: fact-to-SCD2 temporal join (J7 x SCD2)
     "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff
-    "table_profile",              # r8: one-pass per-column data-quality profile
+    "lineitem_weighted_quantiles",  # r10: exact weighted quantiles
     # -- dedup / similarity families --
-    "event_sequence_match",       # r8: ClickHouse sequenceMatch-class search
-    "events_ohlc",                # r8: exact OHLC candlestick downsample
-    "events_kmv_rolling",         # r8: rolling-window KMV merge at fact scale
-    "events_anomalous_hours",     # r8: exact median/MAD robust outlier screen
+    "doc_link_ppr",               # r10: personalized PageRank (exact integer)
+    "events_value_bins",          # r10: equi-width histogram binning
+    "events_holt_trend",          # r10: Holt smoothing, fixed-point recurrence
+    "customer_entity_resolution", # r10: PassJoin->CC->golden record
     "pq_recall_bound",            # r8: product-quantization ADC recall bound
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
@@ -4337,7 +4337,7 @@ DRIVER_WINDOW: list[str] = [
     "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch
     "events_geofence",            # r9: exact point-in-polygon geofence join
     "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
-    "doc_fuzzy_pairs",            # r8: PassJoin edit-distance fuzzy join
+    "doc_jaccard_join",           # r10: PPJoin prefix-filtered Jaccard join
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "table_expectations",         # r9: Deequ-class declarative rule suite
     "events_hdr_quantiles",       # r9: HDR log-linear histogram quantiles
@@ -4349,7 +4349,7 @@ DRIVER_WINDOW: list[str] = [
     "event_attribution",          # r9: exact linear multi-touch attribution
     "events_interpolate",         # r9: exact linear-interpolation gap fill
     # -- graph / time series --
-    "doc_link_triangles",         # r8: degree-ordered triangle counting
+    "lineitem_corr_matrix",       # r10: one-pass Pearson correlation matrix
     "events_ewma",                # r8: exact binary-fraction EWMA
 ]
 if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O

@@ -226,6 +226,42 @@ def test_two_pass_mega_bucket_escape_hatch(spark):
     )
 
 
+def test_simhash_two_pass_mega_bucket_escape_hatch(spark):
+    """simhash_candidate_pairs(two_pass=True): result-identical to the
+    one-pass capped form, and the executed plan semi-joins the key
+    stream against the distinct-count filter BEFORE the member-list
+    aggregate — the r10 port of the MinHash mega-bucket valve.  Fixture:
+    5,000 identical one-word docs all land in the same four chunk
+    buckets (way over max_bucket_size=10), plus 10 docs sharing a
+    different word that form a legitimate small bucket."""
+    from dp1_data_wrangling_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"), F.lit("aaaa bbbb cccc").alias("text")
+    ).unionByName(
+        spark.range(10_000, 10_010).select(
+            F.col("id").alias("doc_id"), F.lit("xxxx yyyy").alias("text")
+        )
+    )
+    one = simhash_candidate_pairs(docs, max_bucket_size=10)
+    two = simhash_candidate_pairs(docs, max_bucket_size=10, two_pass=True)
+    rows1 = sorted(tuple(r) for r in one.collect())
+    rows2 = sorted(tuple(r) for r in two.collect())
+    assert rows1 == rows2
+    assert len(rows2) == 45  # C(10,2) from the small bucket only
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "two-pass form must pre-filter via semi-join"
+    assert "collect_list" in plan
+    # bottom-up plan string: the semi-join must feed the collect_list
+    # aggregate (appear AFTER it in the printed top-down tree), so the
+    # hot chunk value is eliminated by a count, never buffered
+    assert plan.index("collect_list") < plan.index("LeftSemi"), (
+        "semi-join must feed the collect_list aggregate, not follow it"
+    )
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(docs, two_pass=True)
+
+
 def test_simhash_mutants_have_small_hamming(spark):
     docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text").limit(100)
     mutants = docs.filter(F.col("doc_id") % 25 == 0).select(

@@ -251,43 +251,70 @@ def test_driver_window_covers_flagship_surface():
         "event_sessions",
         # round-8: time-series grid resample + LOCF gap-fill enters
         # directly (cosine_topk out — see the ANN-family note above)
-        "events_gapfill",
+        # events_gapfill rotated out in r10 for events_hll_rolling (2x green
+        # r8+r9; the gap-fill family keeps events_interpolate in-window)
+        "events_hll_rolling",
         # round-8: one-pass per-column data-quality profiler enters
         # directly (doc_quality_quantile out — see note above)
-        "table_profile",
+        # table_profile rotated out in r10 for lineitem_weighted_quantiles
+        # (2x green r8+r9; the quality family keeps table_expectations
+        # in-window)
+        "lineitem_weighted_quantiles",
         # round-8: exact-integer per-group OLS trend enters directly
         # (doc_line_dedup out — 2x green; the dedup family keeps four
         # in-window reps and line-dedup keeps its bench headline +
         # 10x scaling probe as perf evidence)
-        "events_hourly_trend",
+        # events_hourly_trend rotated out in r10 for events_holt_trend (2x
+        # green r8+r9; the per-group trend family stays via the Holt
+        # recurrence itself + in-repo parity for the OLS form)
+        "events_holt_trend",
         # round-8: per-user sequence pattern search enters directly
         # (doc_exact_dedup out — see note above)
-        "event_sequence_match",
+        # event_sequence_match rotated out in r10 for doc_link_ppr (2x green
+        # r8+r9; the event-analytics family keeps event_funnel,
+        # event_funnel_latency and event_transition_matrix in-window)
+        "doc_link_ppr",
         # round-8: exact median/MAD anomaly screen enters directly
         # (dedup_clusters out — see note above)
-        "events_anomalous_hours",
+        # events_anomalous_hours rotated out in r10 for
+        # customer_entity_resolution (2x green r8+r9; the robust-stat
+        # family stays via events_hdr_quantiles + table_expectations)
+        "customer_entity_resolution",
         # round-8: PassJoin edit-distance fuzzy join enters directly
         # (multimodal_features out — 3x green and the weakest of the SIX
         # multimodal reps; the five REAL-codec queries stay in-window)
-        "doc_fuzzy_pairs",
+        # doc_fuzzy_pairs rotated out in r10 for doc_jaccard_join (2x green
+        # r8+r9; the PassJoin machinery it verifies is also the blocking
+        # stage of customer_entity_resolution, now in-window, and the
+        # set-similarity family gains the PPJoin prefix-filter join)
+        "doc_jaccard_join",
         # round-8: OHLC candlestick downsample enters directly
         # (minhash_pairs out — ~6x green since r2, bench headline + 10x
         # scaling probe keep its perf evidence; the near-dup family keeps
         # simhash_pairs, doc_dup_spans, doc_near_dup_curation and
         # doc_fuzzy_pairs in-window)
-        "events_ohlc",
+        # events_ohlc rotated out in r10 for events_value_bins (2x green
+        # r8+r9; the downsample family keeps events_interpolate +
+        # events_hdr_quantiles in-window)
+        "events_value_bins",
         # round-8: degree-ordered triangle counting enters directly
         # (session_window out — multi-round green since r3;
         # event_correlation keeps the streaming family in-window and the
         # whole tier stays equivalence-tested in-repo every CI run)
-        "doc_link_triangles",
+        # doc_link_triangles rotated out in r10 for lineitem_corr_matrix (2x
+        # green r8+r9; the graph family keeps doc_link_pagerank,
+        # doc_link_kcore and doc_link_ppr — three in-window reps)
+        "lineitem_corr_matrix",
         # round-8: KMV cardinality sketch enters directly (simhash_pairs
         # out — see the near-dup note above); upgraded mid-round to the
         # rolling-window form — the stronger family representative (it
         # proves the merge law at fact scale: Spark merges daily
         # sketches, the oracle sketches the raw trailing union
         # directly); the distinct form stays parity-held in-repo
-        "events_kmv_rolling",
+        # events_kmv_rolling rotated out in r10 for event_attribution_decay
+        # (2x green r8+r9; the rolling-sketch family stays via
+        # events_hll_rolling, now in-window, plus events_kmv_cube)
+        "event_attribution_decay",
         # round-8: fact-to-SCD2 temporal enrichment join enters directly
         # (embedding_semantic_dedup out — see note above)
         "events_scd2_enrich",
