@@ -94,6 +94,38 @@ def cusum_changepoints(
         .withColumn("__tot", F.sum("__v").over(w_all))
         .withColumn("__seq", F.row_number().over(w_ord))
     )
+    # Overflow contract (executor fail-fast, never a silent int64 wrap):
+    # each deviation term is n·v − V − n·slack and the running sum
+    # accumulates over n rows, so the statistic's envelope is
+    # ~2·n·(max|n·v − V| + n·slack) — quadratic in the group size times
+    # the milli deviation.  The envelope is evaluated in DOUBLE (exact
+    # enough for a conservative gate) against 2^62, a 2x margin below
+    # the wrap point that double rounding cannot cross.  The guard is
+    # THREADED INTO ``__v`` — the column every downstream expression
+    # consumes — so Catalyst cannot prune it into dead code (the
+    # round-9 side-column lesson).  Larger groups: pre-split at
+    # analysis boundaries or rescale the value units.
+    nd = F.col("__n").cast("double")
+    md = F.max(
+        F.abs(
+            nd * F.col("__v").cast("double") - F.col("__tot").cast("double")
+        )
+    ).over(w_all)
+    envelope = (
+        F.lit(2.0)
+        * nd
+        * (md + nd * F.lit(float(slack_milli + threshold_milli)))
+    )
+    guarded_v = F.when(envelope <= F.lit(float(1 << 62)), F.col("__v")).otherwise(
+        F.raise_error(
+            F.lit(
+                "cusum_changepoints: the n-cleared statistic's envelope "
+                "exceeds 2^62 and would wrap int64 — pre-split the group "
+                "at analysis boundaries or rescale the value units"
+            )
+        ).cast("bigint")
+    )
+    base = base.withColumn("__v", guarded_v)
     d_up = (
         F.col("__n") * F.col("__v")
         - F.col("__tot")

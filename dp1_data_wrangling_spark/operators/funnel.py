@@ -307,7 +307,10 @@ def linear_attribution(
     fractional credits, so credits are exact integers that sum back to
     the conversion value (property-tested).  Conversions with no touch
     in the window produce no rows (the standard unattributed bucket —
-    count them by anti-joining the output).
+    count them by anti-joining the output).  Conversions with a NULL
+    value are excluded outright (matching ``decay_attribution``): a
+    NULL value has no credit to split, and keeping it would emit rows
+    whose ``credit_milli`` is NULL, breaking the sum-back invariant.
 
     Returns ``(conv_id, touch_id, user, touch_ts_us, n_touches,
     credit_milli)``.
@@ -323,11 +326,15 @@ def linear_attribution(
         raise ValueError(f"within_us must be positive, got {within_us}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
-    convs = events.filter(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("__u"),
-        F.col(id_col).alias("conv_id"),
-        F.col(ts_col).alias("__ct"),
-        F.col(value_milli_col).alias("__val"),
+    convs = (
+        events.filter(F.col(type_col) == conversion_type)
+        .filter(F.col(value_milli_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(id_col).alias("conv_id"),
+            F.col(ts_col).alias("__ct"),
+            F.col(value_milli_col).alias("__val"),
+        )
     )
     touches = events.filter(F.col(type_col).isin(touch_types)).select(
         F.col(user_col).alias("__u"),

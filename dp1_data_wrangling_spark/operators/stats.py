@@ -344,6 +344,18 @@ def weighted_quantiles(
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
         F.col("__v"), F.col("__w")
     )
+    # Overflow contract (executor fail-fast, mirroring abc_classes): the
+    # rank test cross-multiplies 100 * cumw, so the group total must fit
+    # (2^63 - 1) div 100 (~9.2e16) or the comparison silently wraps and
+    # corrupts every quantile.  cumw <= totw, so guarding the total
+    # covers both sides.  The guard is threaded into ``__totw`` — the
+    # column the rank test and the total_weight output both consume —
+    # so Catalyst cannot prune it.  Larger totals: pre-scale the weight
+    # units (the quantiles are weight-scale-invariant).
+    lim = ((1 << 63) - 1) // 100
+    totw = F.sum("__w").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     cum = d.withColumn(
         "__cumw",
         F.sum("__w").over(
@@ -351,10 +363,15 @@ def weighted_quantiles(
         ),
     ).withColumn(
         "__totw",
-        F.sum("__w").over(
-            w.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
+        F.when(totw <= F.lit(lim), totw).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"weighted_quantiles: group total weight exceeds {lim} "
+                    "— the 100x rank cross-multiply would wrap int64; "
+                    "pre-scale the weight units (quantiles are "
+                    "weight-scale-invariant)"
+                )
+            ).cast("bigint")
         ),
     )
     aggs = [F.max("__totw").cast("bigint").alias("total_weight")]

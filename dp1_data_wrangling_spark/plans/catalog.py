@@ -858,10 +858,17 @@ class Catalog:
         # semantics the copy-on-write delete gets from the pinned union),
         # not blow up with an unresolved column.
         raw = [(preds, self._read_roots(spark, rs)) for preds, rs in groups.items()]
-        pinned: dict[str, object] = {}
-        for _, df in raw:
-            for f in df.schema.fields:
-                pinned.setdefault(f.name, f.dataType)
+        # Pin column types from the plain rel-order read of ALL rels, not
+        # first-seen across predicate GROUPS (ADVICE r9): delete scoping
+        # can interleave roots into groups in a different order than the
+        # manifest, and a schema-evolved column would then pin a
+        # different dtype here than the _read_roots path over the same
+        # rels — the same table must read with the same types before and
+        # after a MOR delete.  Schema-only: no data is scanned.
+        pinned: dict[str, object] = {
+            f.name: f.dataType
+            for f in self._read_roots(spark, rels).schema.fields
+        }
         parts = []
         for preds, df in raw:
             for name, dtype in pinned.items():

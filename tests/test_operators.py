@@ -4864,6 +4864,38 @@ def test_cusum_changepoints_stable_series_no_alarms_and_validation(spark):
         )
 
 
+def test_cusum_changepoints_overflow_guard_fires(spark):
+    """The r10 envelope guard: a group whose n-cleared statistic could
+    approach int64 raises executor-side instead of silently wrapping
+    (ADVICE r9).  Values of ~4e14 quantize to 4e17 millis; with n=10
+    the envelope 2·n·(max|n·v − V| + ...) is ~8e19 > 2^62.  The guard
+    is threaded into the consumed value column, so it cannot be pruned."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 0.0 if i % 2 == 0 else 4.0e14) for i in range(10)],
+        ["g", "t", "v"],
+    )
+    out = cusum_changepoints(
+        df, value_col="v", order_cols=["t"], group_cols=["g"],
+        slack_milli=0, threshold_milli=1000,
+    )
+    with pytest.raises(SparkRuntimeException, match="envelope"):
+        out.collect()
+    # a benign sibling series is unaffected by the guard
+    ok = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)], ["g", "t", "v"]
+    )
+    cusum_changepoints(
+        ok, value_col="v", order_cols=["t"], group_cols=["g"],
+        slack_milli=0, threshold_milli=1000,
+    ).collect()
+
+
 def test_cusum_changepoints_groups_independent(spark):
     """A shift in one group must not leak alarms into a flat sibling."""
     from dp1_data_wrangling_spark.operators.changepoint import (
@@ -5274,6 +5306,60 @@ def test_linear_attribution_credits_sum_to_value(spark):
     sums = out.groupBy("conv_id").agg(F.sum("credit_milli").alias("s"))
     bad = sums.join(e, "conv_id").filter(F.col("s") != F.col("vm"))
     assert bad.count() == 0 and sums.count() > 0
+
+
+def test_linear_attribution_excludes_null_value_conversions(spark):
+    """A conversion with a NULL value has no credit to split: it must
+    produce NO output rows (ADVICE r9 — previously ``__val div n``
+    emitted NULL credit_milli rows, breaking the sum-back invariant),
+    while a sibling valued conversion attributes normally."""
+    from dp1_data_wrangling_spark.operators.funnel import linear_attribution
+
+    rows = [
+        # user u1: touch at t=10, NULL-valued conversion at t=20
+        ("u1", 1, "view", 10, None),
+        ("u1", 2, "buy", 20, None),
+        # user u2: touch at t=10, valued conversion at t=20
+        ("u2", 3, "view", 10, None),
+        ("u2", 4, "buy", 20, 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, event_type string, "
+        "ts_us long, value_milli long"
+    )
+    out = linear_attribution(
+        df, conversion_type="buy", touch_types=["view"], within_us=100
+    ).collect()
+    assert {r.conv_id for r in out} == {4}
+    assert all(r.credit_milli is not None for r in out)
+    assert sum(r.credit_milli for r in out) == 1000
+
+
+def test_weighted_quantiles_overflow_guard_fires(spark):
+    """The r10 overflow guard: a group whose total weight exceeds
+    (2^63-1) div 100 raises executor-side instead of wrapping the
+    100x rank cross-multiply (ADVICE r9); a benign group passes."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.stats import weighted_quantiles
+
+    big = ((1 << 63) - 1) // 100
+    df = spark.createDataFrame(
+        [("g", 1.0, big), ("g", 2.0, 5)], ["k", "v", "w"]
+    )
+    out = weighted_quantiles(
+        df, value_col="v", weight_col="w", group_cols=["k"]
+    )
+    with pytest.raises(SparkRuntimeException, match="total weight"):
+        out.collect()
+    ok = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 3)], ["k", "v", "w"]
+    )
+    [r] = weighted_quantiles(
+        ok, value_col="v", weight_col="w", group_cols=["k"],
+        percents=[50],
+    ).collect()
+    assert r.total_weight == 4 and r.wq_p50 == 2.0
 
 
 def test_ndcg_at_k_hand_computed(spark):

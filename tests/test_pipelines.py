@@ -1972,6 +1972,57 @@ def test_mor_delete_is_metadata_only_and_scoped(spark, tmp_path):
     assert {r.id for r in cat.read(spark, "t").collect()} == {1, 2, 4}
 
 
+def test_mor_read_pins_types_in_manifest_rel_order(spark, tmp_path):
+    """_read_rels_with_deletes pins column dtypes from the plain
+    rel-order read, never first-seen across predicate GROUPS (ADVICE
+    r9): with a hand-built manifest whose delete entry scopes roots 1
+    and 3 (interleaving root 2 into a different group), a column that
+    first appears in root 2 as int and later in root 3 as long must
+    read as int on BOTH paths — the same table must carry the same
+    types before and after a MOR delete."""
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    txn = cat.begin()
+    txn.stage("t", spark.createDataFrame([(1,)], "id long"), mode="overwrite")
+    cat.commit(txn)
+    # w is DECLARED string in both appends (the write gate correctly
+    # rejects declared type changes), but it is a hive PARTITION column,
+    # so each root re-infers its type from the directory values at read:
+    # root 2's "a" reads string, root 3's all-numeric "10" reads int.
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(2, "a")], "id long, w string"),
+        mode="append",
+        partition_by=["w"],
+        evolve_schema=True,
+    )
+    cat.commit(txn)
+    txn = cat.begin()
+    txn.stage(
+        "t",
+        spark.createDataFrame([(3, "10")], "id long, w string"),
+        mode="append",
+        partition_by=["w"],
+    )
+    cat.commit(txn)
+    m = cat.manifest()
+    rels = m["tables"]["t"]
+    assert len(rels) == 3
+    plain_types = {
+        f.name: f.dataType for f in cat._read_roots(spark, rels).schema.fields
+    }
+    # interleave: the delete scopes roots 1 and 3 only, so grouping by
+    # predicate tuple splits {r1, r3} from {r2} — the adversarial order
+    m2 = {**m, "deletes": {"t": [{"p": "id = -1", "roots": [rels[0], rels[2]]}]}}
+    got = cat._read_rels_with_deletes(spark, m2, "t", rels)
+    got_types = {f.name: f.dataType for f in got.schema.fields}
+    assert got_types == plain_types
+    # and the read itself is sound: nothing matches id = -1
+    assert {r.id for r in got.collect()} == {1, 2, 3}
+
+
 def test_mor_compact_materializes_and_clears(spark, tmp_path):
     """compact after a MOR delete physically removes the rows and clears
     the pending entries; the result is unchanged for readers."""
