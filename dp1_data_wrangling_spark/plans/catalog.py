@@ -886,6 +886,31 @@ class Catalog:
             out = out.unionByName(part)
         return out
 
+    def _align_to_table_types(
+        self, spark: SparkSession, df: DataFrame, rels: list[str]
+    ) -> DataFrame:
+        """Align ``df`` to the FULL rel-order read of ``rels``: cast
+        name-matched columns to the pinned types (hive partition-value
+        inference can pin a root subset differently — all-numeric values
+        infer int in one root, string across the table) and add columns
+        the subset lacks as typed NULLs (a schema-evolved column may
+        live only in other roots; the full-table union reads it as NULL
+        here, and a rewrite predicate referencing it must resolve, with
+        NULL's three-valued semantics, not blow up).  Schema-only:
+        footer reads, no data scan."""
+        from pyspark.sql import functions as F
+
+        pinned = {
+            f.name: f.dataType
+            for f in self._read_roots(spark, rels).schema.fields
+        }
+        for name, dtype in pinned.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(dtype))
+            elif df.schema[name].dataType != dtype:
+                df = df.withColumn(name, F.col(name).cast(dtype))
+        return df
+
     def prune_roots(
         self, table: str, where: str, *, version: int | None = None
     ) -> list[str]:
@@ -893,7 +918,12 @@ class Catalog:
         pruning for ``where`` (the list ``read(where=...)`` will scan).
         Exposed for tests and for capacity planning (pruned-root counts
         are the skipping metric at 100 TB)."""
-        m = self.manifest(version)
+        return self._prune_roots_m(self.manifest(version), table, where)
+
+    def _prune_roots_m(self, m: dict, table: str, where: str) -> list[str]:
+        """prune_roots against an explicit manifest snapshot — the form
+        the OCC loops (update/delete) need, where the snapshot must stay
+        pinned across read, rewrite, and conflict-checked commit."""
         rels = m["tables"][table]
         conjuncts = _zone_conjuncts(where)
         if not conjuncts:
@@ -1191,10 +1221,16 @@ class Catalog:
         versions; ``diff`` shows the deletion as removed rows (GDPR-style
         erasure therefore also needs ``vacuum`` to reclaim old snapshots).
 
-        Scale: the rewrite streams scan -> filter -> write with no shuffle
-        (unless re-laying-out via ``sort_by``/``partition_by``); a
-        predicate aligned with the table's partition/cluster layout prunes
-        the scan to the affected files."""
+        Scale (r10, root-scoped): the rewrite touches ONLY the commit
+        roots the predicate can match — the manifest's zone-map/Bloom
+        stats prune the rest, which ride into the new version by
+        reference (the RESTORE/CLONE zero-copy mechanism), so a one-row
+        DELETE on a 100 TB table rewrites one root, not 100 TB.  Roots
+        without stats (or an unparsable predicate) conservatively count
+        as touched — worst case is the old full rewrite.  A predicate no
+        root can match commits a pure-manifest no-op version.  The
+        rewrite itself streams scan -> filter -> write with no shuffle
+        (unless re-laying-out via ``sort_by``/``partition_by``)."""
         from pyspark.sql import functions as F
 
         last_exc: CommitConflict | None = None
@@ -1204,26 +1240,51 @@ class Catalog:
                 raise KeyError(f"catalog {self.root}: no table {table!r}")
             roots = list(snapshot["tables"][table])
             pending = snapshot.get("deletes", {}).get(table, [])
-            remaining = self._read_rels_with_deletes(
-                spark, snapshot, table, roots
-            ).filter(
-                ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
-            )
-            txn = self.begin()
-            txn.stage(
-                table,
-                remaining,
-                mode="overwrite",
-                sort_by=sort_by,
-                partition_by=partition_by,
-            )
+            touched = self._prune_roots_m(snapshot, table, predicate)
+            base_meta = {
+                "deleted_from": table,
+                "predicate": predicate,
+                "rewritten_roots": len(touched),
+                "carried_roots": len(roots) - len(touched),
+                **(meta or {}),
+            }
+            keep = ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            scoped = 0 < len(touched) < len(roots)
+            if len(touched) == 0:
+                # no root can hold a matching row: a pure manifest commit
+                # records the (0-row) DELETE without reading anything
+                txn = self.begin()
+            else:
+                remaining = self._read_rels_with_deletes(
+                    spark, snapshot, table, touched
+                )
+                if scoped:
+                    # align BEFORE the filter: the predicate may reference
+                    # an evolved column the touched subset lacks
+                    remaining = self._align_to_table_types(
+                        spark, remaining, roots
+                    )
+                remaining = remaining.filter(keep)
+                txn = self.begin()
+                txn.stage(
+                    table,
+                    remaining,
+                    # scoped: the staged root REPLACES the touched roots
+                    # (commit's replace_roots drops them); evolve_schema
+                    # because the touched subset may carry only a subset
+                    # of an evolved table's columns
+                    mode="append" if scoped else "overwrite",
+                    sort_by=sort_by,
+                    partition_by=partition_by,
+                    evolve_schema=scoped,
+                )
             try:
                 return self.commit(
                     txn,
-                    meta={"deleted_from": table, "predicate": predicate,
-                          **(meta or {})},
+                    meta=base_meta,
                     require_roots={table: roots},
                     require_deletes={table: [dict(e) for e in pending]},
+                    replace_roots={table: touched} if scoped else None,
                 )
             except CommitConflict as exc:
                 last_exc = exc
@@ -1426,7 +1487,15 @@ class Catalog:
         scan -> project -> write pass, no join, no shuffle.  Same OCC
         retry loop as merge/delete/compact.  Assigned expressions are cast
         back to the column's existing type so an UPDATE cannot silently
-        change the table schema."""
+        change the table schema.
+
+        Scale (r10, root-scoped): like :meth:`delete`, only the roots
+        the predicate can match (zone-map/Bloom pruning) are rewritten;
+        untouched roots carry into the new version by reference — a
+        one-row UPDATE on a 100 TB table rewrites one root.  Roots
+        without stats or an unparsable predicate conservatively rewrite
+        everything (the old behavior); a predicate no root can match
+        commits a pure-manifest no-op version."""
         from pyspark.sql import functions as F
 
         if not assignments:
@@ -1438,37 +1507,66 @@ class Catalog:
                 raise KeyError(f"catalog {self.root}: no table {table!r}")
             roots = list(snapshot["tables"][table])
             pending = snapshot.get("deletes", {}).get(table, [])
-            df = self._read_rels_with_deletes(spark, snapshot, table, roots)
-            missing = [c for c in assignments if c not in df.columns]
-            if missing:
-                raise ValueError(
-                    f"update({table!r}): no such columns {missing}"
+            touched = self._prune_roots_m(snapshot, table, predicate)
+            scoped = 0 < len(touched) < len(roots)
+            base_meta = {
+                "updated": table,
+                "predicate": predicate,
+                "rewritten_roots": len(touched),
+                "carried_roots": len(roots) - len(touched),
+                **(meta or {}),
+            }
+            if len(touched) == 0:
+                # validate assignments against the table schema even when
+                # nothing can match — a typo'd column must not silently
+                # "succeed" as a no-op
+                current = self.table_schema(spark, table)
+                cols = {f.name for f in current.fields} if current else set()
+                missing = [c for c in assignments if c not in cols]
+                if missing:
+                    raise ValueError(
+                        f"update({table!r}): no such columns {missing}"
+                    )
+                txn = self.begin()
+            else:
+                df = self._read_rels_with_deletes(
+                    spark, snapshot, table, touched
                 )
-            pred = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
-            types = {f.name: f.dataType for f in df.schema.fields}
-            updated = df.withColumns(
-                {
-                    col: F.when(
-                        pred, F.expr(expr).cast(types[col])
-                    ).otherwise(F.col(col))
-                    for col, expr in assignments.items()
-                }
-            )
-            txn = self.begin()
-            txn.stage(
-                table,
-                updated,
-                mode="overwrite",
-                sort_by=sort_by,
-                partition_by=partition_by,
-            )
+                if scoped:
+                    df = self._align_to_table_types(spark, df, roots)
+                missing = [c for c in assignments if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"update({table!r}): no such columns {missing}"
+                    )
+                pred = F.coalesce(
+                    F.expr(predicate).cast("boolean"), F.lit(False)
+                )
+                types = {f.name: f.dataType for f in df.schema.fields}
+                updated = df.withColumns(
+                    {
+                        col: F.when(
+                            pred, F.expr(expr).cast(types[col])
+                        ).otherwise(F.col(col))
+                        for col, expr in assignments.items()
+                    }
+                )
+                txn = self.begin()
+                txn.stage(
+                    table,
+                    updated,
+                    mode="append" if scoped else "overwrite",
+                    sort_by=sort_by,
+                    partition_by=partition_by,
+                    evolve_schema=scoped,
+                )
             try:
                 return self.commit(
                     txn,
-                    meta={"updated": table, "predicate": predicate,
-                          **(meta or {})},
+                    meta=base_meta,
                     require_roots={table: roots},
                     require_deletes={table: [dict(e) for e in pending]},
+                    replace_roots={table: touched} if scoped else None,
                 )
             except CommitConflict as exc:
                 last_exc = exc
@@ -1635,6 +1733,7 @@ class Catalog:
         require_absent: list[str] | None = None,
         deletes_ddl: dict[str, list | None] | None = None,
         require_deletes: dict[str, list] | None = None,
+        replace_roots: dict[str, list[str]] | None = None,
     ) -> int:
         """Atomically publish every table staged in ``txn``.
 
@@ -1777,6 +1876,46 @@ class Catalog:
                     m.setdefault("blooms", {}).setdefault(table, {})[
                         rel
                     ] = txn.bloom_stats[table]
+            if replace_roots:
+                # Root-scoped copy-on-write (update/delete): the staged
+                # APPEND root holds the rewritten form of exactly these
+                # prior roots — drop them from the live list (the append
+                # above already added the replacement; untouched roots
+                # ride along by reference, never re-read or re-written).
+                # Pending merge-on-read deletes were materialized INTO the
+                # rewrite for the replaced roots only, so each entry is
+                # re-scoped to its surviving roots; entries left scoping
+                # nothing are dropped.
+                for tname, replaced in replace_roots.items():
+                    if (
+                        tname not in txn.writes
+                        or txn.writes[tname][0] != "append"
+                    ):
+                        raise ValueError(
+                            f"replace_roots for {tname!r} requires a staged "
+                            "append holding the rewritten rows"
+                        )
+                    repl = set(replaced)
+                    tables[tname] = [
+                        r for r in tables[tname] if r not in repl
+                    ]
+                    dbag = m.get("deletes", {})
+                    if tname in dbag:
+                        kept = []
+                        for e in dbag[tname]:
+                            rs = [
+                                r
+                                for r in e.get("roots", [])
+                                if r not in repl
+                            ]
+                            if rs:
+                                kept.append({"p": e["p"], "roots": rs})
+                        if kept:
+                            dbag[tname] = kept
+                        else:
+                            dbag.pop(tname)
+                            if not dbag:
+                                m.pop("deletes", None)
             if root_overrides:
                 # zero-copy re-pointing (restore/clone): set a table's root
                 # list directly to already-existing immutable data dirs.

@@ -34,6 +34,18 @@ against the batch's (typically broadcast-small) touched-key set + one
 window shuffle over those keys' observations only + the history
 rewrite.  Steady-state cost tracks the delta and the touched keys'
 observation volume, never the full dimension.
+
+Bronze scan bound (r10): the observation log is published
+hive-partitioned on a key-hash bucket (``__scd_kb = pmod(xxhash64(key),
+n_buckets)``), and the per-batch rebuild filters the log read to the
+batch's touched buckets BEFORE the semi-join — a partition filter the
+parquet source prunes to matching directories, so the rebuild scans
+``|touched buckets| / n_buckets`` of the log instead of all of it.
+Without the bound the per-batch read grows with TOTAL history; with it,
+a narrow batch (few keys) reads a fixed fraction regardless of log age.
+Logs written by the pre-r10 layout (no ``__scd_kb`` column) fall back
+to the full scan — correctness never depends on the bucket filter
+(the semi-join alone is sufficient; the filter is a superset screen).
 """
 
 from __future__ import annotations
@@ -61,9 +73,14 @@ def stream_scd2(
     order_extra: list[str] | None = None,
     trigger_available_now: bool = True,
     stream_name: str | None = None,
+    n_buckets: int = 16,
 ) -> StreamingQuery:
     """Start the SCD2 maintenance stream into ``catalog_root``/``table``
-    (raw observations accumulate in ``<table>_obs``)."""
+    (raw observations accumulate in ``<table>_obs``, hive-partitioned on
+    ``pmod(xxhash64(key), n_buckets)`` so rebuilds prune to touched
+    buckets)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     meta_key = batch_meta_key(f"scd2:{table}", checkpoint_dir, stream_name)
     extra = list(order_extra or [])
     obs_table = f"{table}_obs"
@@ -75,16 +92,32 @@ def stream_scd2(
             return  # replayed batch after recovery -> already committed
         spark = batch_df.sparkSession
         batch = batch_df.select(key, *tracked, ts_col, *extra)
+        bucketed = batch.withColumn(
+            "__scd_kb",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
+        )
         touched = batch.select(key).distinct()
+        # the batch's touched buckets: driver-small by construction
+        # (<= n_buckets values), collected ONCE per batch so every OCC
+        # retry reuses the list
+        touched_kbs = [
+            r[0] for r in bucketed.select("__scd_kb").distinct().collect()
+        ]
         last_exc: CommitConflict | None = None
         for _ in range(MERGE_RETRIES):
             snapshot = cat.manifest()
             obs_roots = list(snapshot["tables"].get(obs_table, []))
             hist_roots = list(snapshot["tables"].get(table, []))
             if obs_roots:
+                log = cat._read_roots(spark, obs_roots)
+                if "__scd_kb" in log.columns:
+                    # partition filter FIRST: prunes the scan to the
+                    # touched buckets' directories; the semi-join then
+                    # narrows buckets to exact keys (the filter is a
+                    # superset screen, never a correctness dependency)
+                    log = log.filter(F.col("__scd_kb").isin(touched_kbs))
                 prior = (
-                    cat._read_roots(spark, obs_roots)
-                    .join(touched, key, "semi")
+                    log.join(touched, key, "semi")
                     .select(key, *tracked, ts_col, *extra)
                 )
                 events = prior.unionByName(batch)
@@ -102,7 +135,8 @@ def stream_scd2(
             else:
                 merged = rebuilt
             txn = cat.begin()
-            txn.stage(obs_table, batch, mode="append")
+            txn.stage(obs_table, bucketed, mode="append",
+                      partition_by=["__scd_kb"])
             txn.stage(table, merged, mode="overwrite")
             try:
                 # Watermark + log append + history replace: one atomic

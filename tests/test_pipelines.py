@@ -1972,6 +1972,112 @@ def test_mor_delete_is_metadata_only_and_scoped(spark, tmp_path):
     assert {r.id for r in cat.read(spark, "t").collect()} == {1, 2, 4}
 
 
+def test_catalog_update_rewrites_only_matching_roots(spark, tmp_path):
+    """Root-scoped copy-on-write (r10): UPDATE/DELETE rewrite ONLY the
+    commit roots the predicate can touch (zone-map pruning); untouched
+    roots carry into the new version BY REFERENCE — same root ids, same
+    bytes — while results equal the full-rewrite semantics."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["ts"])
+    for lo in (0, 100, 200, 300):
+        tx = cat.begin()
+        tx.stage(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("ts"), (F.col("id") * 2).alias("v")
+            ),
+        )
+        cat.commit(tx)
+    rels_before = list(cat.manifest()["tables"]["t"])
+    assert len(rels_before) == 4
+    files_before = _parquet_files(cat.root)
+
+    # UPDATE touching only the [200, 300) root
+    cat.update(spark, "t", "ts >= 250 AND ts < 260", {"v": "v + 1"})
+    m = cat.manifest()
+    rels_after = list(m["tables"]["t"])
+    carried = [r for r in rels_before if r in rels_after]
+    assert len(carried) == 3, "three untouched roots must carry by reference"
+    assert rels_before[2] not in rels_after  # the touched root was replaced
+    assert len(rels_after) == 4  # 3 carried + 1 rewritten
+    # carried roots are BYTE-identical: their files were never rewritten
+    assert {
+        f for f in files_before if any(r in f for r in carried)
+    } <= _parquet_files(cat.root)
+    assert m["meta"]["rewritten_roots"] == 1
+    assert m["meta"]["carried_roots"] == 3
+    # results equal the full-rewrite semantics
+    got = {(r.ts, r.v) for r in cat.read(spark, "t").collect()}
+    want = {
+        (ts, ts * 2 + 1 if 250 <= ts < 260 else ts * 2) for ts in range(400)
+    }
+    assert got == want
+    # zone stats: dropped for the replaced root, present for the new one
+    zones = m.get("zones", {}).get("t", {})
+    assert rels_before[2] not in zones
+    assert all(r in zones for r in rels_after)
+
+    # DELETE touching only the [0, 100) root
+    rels_mid = list(cat.manifest()["tables"]["t"])
+    cat.delete(spark, "t", "ts < 10")
+    m2 = cat.manifest()
+    rels_final = list(m2["tables"]["t"])
+    assert len([r for r in rels_mid if r in rels_final]) == 3
+    assert m2["meta"]["rewritten_roots"] == 1
+    assert cat.read(spark, "t").count() == 390
+    # predicate NO root can match: pure-manifest commit, zero rewrites
+    v_before = len([r for r in rels_final])
+    cat.delete(spark, "t", "ts > 100000")
+    m3 = cat.manifest()
+    assert list(m3["tables"]["t"]) == rels_final
+    assert m3["meta"]["rewritten_roots"] == 0
+    assert m3["meta"]["carried_roots"] == v_before
+    assert cat.read(spark, "t").count() == 390
+
+
+def test_catalog_scoped_rewrite_respects_mor_scoping(spark, tmp_path):
+    """A root-scoped UPDATE materializes pending MOR deletes for the
+    rewritten roots ONLY and re-scopes the entries to the carried roots
+    — the delete keeps filtering untouched roots, never resurrects, and
+    is not double-applied."""
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["ts"])
+    for lo in (0, 100):
+        tx = cat.begin()
+        tx.stage(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("ts"), (F.col("id") * 2).alias("v")
+            ),
+        )
+        cat.commit(tx)
+    # MOR delete spanning both roots: kills ts in {50, 150}
+    cat.delete_merge_on_read("t", "ts % 100 = 50")
+    assert cat.read(spark, "t").count() == 198
+    # scoped UPDATE touching only the second root
+    cat.update(spark, "t", "ts >= 150 AND ts < 160", {"v": "0"})
+    m = cat.manifest()
+    assert m["meta"]["rewritten_roots"] == 1
+    # the entry now scopes ONLY the carried first root
+    entries = cat.pending_deletes("t")
+    assert len(entries) == 1
+    assert len(entries[0]["roots"]) == 1
+    got = {(r.ts, r.v) for r in cat.read(spark, "t").collect()}
+    want = {
+        (ts, 0 if 150 <= ts < 160 else ts * 2)
+        for ts in range(200)
+        if ts not in (50, 150)
+    }
+    assert got == want
+    # compaction after the scoped ops still converges to the same rows
+    cat.compact(spark=spark, table="t")
+    assert {(r.ts, r.v) for r in cat.read(spark, "t").collect()} == want
+
+
 def test_mor_read_pins_types_in_manifest_rel_order(spark, tmp_path):
     """_read_rels_with_deletes pins column dtypes from the plain
     rel-order read, never first-seen across predicate GROUPS (ADVICE

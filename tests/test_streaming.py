@@ -1158,6 +1158,85 @@ def test_stream_scd2_equals_batch_any_order(spark, tmp_path):
     assert snapshot() == want
 
 
+def test_stream_scd2_bronze_scan_prunes_to_touched_buckets(spark, tmp_path):
+    """The r10 bronze bound: the observation log publishes
+    hive-partitioned on a key-hash bucket and the rebuild read filters
+    to the batch's touched buckets — the parquet source prunes the scan
+    to a STRICT SUBSET of bucket directories (PartitionFilters in the
+    plan, pushed through the root union) while the history still equals
+    the batch scd2_build over all observations."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_build
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_scd2
+
+    cols = ["user_id", "ts_us", "attr"]
+    b1 = spark.createDataFrame(
+        [(i, 10, f"A{i}") for i in range(40)], cols
+    )
+    b2 = spark.createDataFrame([(7, 20, "Z")], cols)  # one key, one bucket
+    src = tmp_path / "obs_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    stream_scd2(
+        stream, cat_root, checkpoint_dir=str(tmp_path / "ckpt"),
+        table="user_attr", key="user_id", tracked=["attr"],
+        ts_col="ts_us", n_buckets=8,
+    ).awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    # bronze is bucket-partitioned on disk
+    obs_roots = cat.manifest()["tables"]["user_attr_obs"]
+    log = cat._read_roots(spark, obs_roots)
+    assert "__scd_kb" in log.columns
+    n_buckets_present = log.select("__scd_kb").distinct().count()
+    assert n_buckets_present > 1, "fixture must span multiple buckets"
+    # replicate the rebuild read for b2's single touched bucket: the
+    # bucket filter must reach the parquet source as a PartitionFilter
+    # (pushed through the union over commit roots)
+    kb7 = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8)).cast("int"))
+        .collect()[0][0]
+    )
+    pruned = log.filter(F.col("__scd_kb").isin([kb7]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "__scd_kb" in seg[: seg.index("]")], (
+        "bucket filter must prune partitions at the source"
+    )
+    # strict subset: the pruned read sees exactly the touched bucket
+    assert pruned.select("__scd_kb").distinct().count() == 1
+    # and the history equals the batch build over ALL observations
+    want = sorted(
+        map(
+            tuple,
+            scd2_build(
+                b1.union(b2), key="user_id", tracked=["attr"],
+                ts_col="ts_us",
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            cat.read(spark, "user_attr")
+            .select(*scd2_build(
+                b1, key="user_id", tracked=["attr"], ts_col="ts_us"
+            ).columns)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_stream_geofence_equals_batch(spark, tmp_path):
     """Streaming points through the geofence enricher in micro-batches
     materializes EXACTLY the batch point_in_polygon over all rows
