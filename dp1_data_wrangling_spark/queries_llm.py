@@ -1099,13 +1099,24 @@ def q_ivf_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by m ADC lookups over 64-bit PQ codes instead of a dim-length
     float fold.  The two levers compose multiplicatively at 100 TB: scan
     fraction x bytes-per-row.  Mean recall@5 vs brute force must clear
-    0.6 (measured 0.80 / 0.80 / 0.68 at sf0.001/0.01/0.1 — deterministic
-    md5 quantizer + codebooks, so the verdict is stable)."""
+    0.6.  Knob law (r10 isolated sweep; deterministic md5 quantizer +
+    codebooks, so every number is exactly reproducible):
+
+        nprobe=10 short=1/20: 0.80 / 0.80 / 0.68  (sf0.001/0.01/0.1)
+        nprobe=12 short=1/20: 0.82 / 0.86 / 0.745
+        nprobe=12 short=1/12: 0.82 / 0.86 / 0.80   <- shipped
+        nprobe=14 short=1/10: 0.84 / 0.92 / 0.865
+
+    The r9 config (10, 1/20) passed sf0.1 at 0.68 — a 0.08 margin too
+    thin for a driver-checked gate; the shipped config holds >= 0.80 at
+    every SF (0.2 over the bound) for ~35% more candidate volume, and a
+    dedicated margin test pins recall >= 0.75 so a codebook tweak
+    cannot silently skirt the driver bound."""
 
     def ann(p: DataFrame, c: DataFrame) -> DataFrame:
-        shortlist = max(50, -(-c.count() // 20))
+        shortlist = max(50, -(-c.count() // 12))
         return sim.ivf_pq_topk(
-            p, c, k=5, dim=64, n_cells=16, nprobe=10, m=16, k_codes=16,
+            p, c, k=5, dim=64, n_cells=16, nprobe=12, m=16, k_codes=16,
             shortlist=shortlist,
         )
 
