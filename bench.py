@@ -547,6 +547,48 @@ def main() -> None:
                     "big_sec": round(jt[50_000], 3),
                     "ratio_10x_rows": round(jt[50_000] / jt[5_000], 2),
                 }
+
+                # Worst-case regime WITH the r10 hot-prefix valve:
+                # short stop-word-dominated records ({u_(i//2), s1, s2,
+                # s3} — two corpus-wide stop words land in EVERY prefix
+                # at t=0.5, the one shape rarity ordering cannot save),
+                # so the uncapped candidate volume is ~n²/2 and is never
+                # run at 50k here.  max_prefix_df=100 semi-prunes the
+                # two degenerate keys at BOTH sizes while every planted
+                # duplicate (paired via its rare u-token, prefix-df 2)
+                # is still found; the recorded ratio is the capped
+                # plan's scaling law on PPJoin's worst input.
+                def synth_stopdocs(n: int):
+                    u = F.concat(
+                        F.lit("u"), (F.col("id") / 2).cast("long").cast("string")
+                    )
+                    return spark.range(n).select(
+                        F.col("id").alias("doc_id"),
+                        F.concat_ws(
+                            " ", u, F.lit("sw1"), F.lit("sw2"), F.lit("sw3")
+                        ).alias("text"),
+                    )
+
+                spaths = {}
+                for n in (5_000, 50_000):
+                    spaths[n] = f"{tmp}/s{n}"
+                    synth_stopdocs(n).write.parquet(spaths[n])
+                jc = {
+                    n: min_of_3(
+                        lambda n=n: jaccard_threshold_join(
+                            spark.read.parquet(spaths[n]),
+                            t_milli=500,
+                            max_prefix_df=100,
+                        )
+                    )
+                    for n in (5_000, 50_000)
+                }
+                scaling["jaccard_join_capped_worstcase_synth"] = {
+                    "n_rows": [5_000, 50_000],
+                    "small_sec": round(jc[5_000], 3),
+                    "big_sec": round(jc[50_000], 3),
+                    "ratio_10x_rows": round(jc[50_000] / jc[5_000], 2),
+                }
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 - sweep is informational

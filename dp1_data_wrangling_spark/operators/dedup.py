@@ -576,6 +576,7 @@ def jaccard_threshold_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     t_milli: int = 500,
+    max_prefix_df: int | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard similarity self-join: all pairs with
     ``J(a, b) >= t_milli/1000`` — via prefix filtering (the
@@ -602,6 +603,22 @@ def jaccard_threshold_join(
     verify stage joins token ARRAYS back by id (payloads move once per
     candidate side, never per token).  Prefix length shrinks as t
     grows — at t=0.9 only ~10% of each record's tokens are join keys.
+
+    ``max_prefix_df`` (r10) is the adversarial-regime valve — the
+    PPJoin twin of the MinHash mega-bucket hatch: on a corpus of SHORT
+    records over a TINY vocabulary (the documented worst case: every
+    prefix token is hot), one stop-word prefix token alone quadratic-
+    blows a partition.  When set, prefix tokens whose PREFIX document
+    frequency exceeds the cap are semi-pruned BEFORE the candidate
+    self-join (a countDistinct per token — map-side combinable 16-byte
+    shuffle — then a semi-join; tokens with prefix-df 1 are also
+    dropped, a free win since a singleton key cannot form a pair).
+    The trade is stated, not silent: a pair whose ONLY shared prefix
+    token is capped is lost — duplicates sharing any RARE token are
+    still found (rarity ordering puts rare tokens first in every
+    prefix), which is why production dedup runs the valve high (e.g.
+    1000) to kill only degenerate stop-word keys.  ``None`` (default)
+    keeps the exact completeness guarantee.
     """
     if not 1 <= t_milli <= 1000:
         raise ValueError(f"t_milli must be in [1, 1000], got {t_milli}")
@@ -630,6 +647,18 @@ def jaccard_threshold_join(
     prefix = arrs.select(
         "__id", F.explode(F.expr("slice(__toks, 1, __p)")).alias("token")
     )
+    if max_prefix_df is not None:
+        if max_prefix_df < 2:
+            raise ValueError(
+                f"max_prefix_df must be >= 2, got {max_prefix_df}"
+            )
+        qualifying = (
+            prefix.groupBy("token")
+            .agg(F.countDistinct("__id").alias("__pdf"))
+            .filter((F.col("__pdf") >= 2) & (F.col("__pdf") <= max_prefix_df))
+            .select("token")
+        )
+        prefix = prefix.join(qualifying, "token", "left_semi")
     cands = (
         prefix.select(F.col("__id").alias("__ida"), "token")
         .join(prefix.select(F.col("__id").alias("__idb"), "token"), "token")

@@ -3563,6 +3563,38 @@ def test_jaccard_threshold_join_hand_computed(spark):
         jaccard_threshold_join(df, t_milli=0)
 
 
+def test_jaccard_threshold_join_hot_prefix_valve(spark):
+    """The r10 max_prefix_df valve on the documented adversarial regime
+    (short records, one corpus-wide stop word that lands in EVERY
+    prefix): with the cap, the stop-word token is semi-pruned BEFORE
+    the candidate self-join — candidate volume collapses from ~n²/2 to
+    ~n — while every planted duplicate pair (which shares a RARE token)
+    is still found, so the result equals the uncapped join exactly on
+    this corpus.  Plan gate: the semi-join feeds the candidate join."""
+    from dp1_data_wrangling_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    n = 300
+    # doc i: {zz, u<i//2>} — consecutive even/odd docs are identical
+    # sets (J=1.0 via the rare u-token); every other pair shares only
+    # the stop word (J=1/3 < 0.5)
+    rows = [(i, f"zz u{i // 2}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in jaccard_threshold_join(df, t_milli=500).collect()
+    }
+    capped_df = jaccard_threshold_join(df, t_milli=500, max_prefix_df=100)
+    capped = {(r.doc_id_a, r.doc_id_b) for r in capped_df.collect()}
+    assert capped == uncapped == {(2 * j, 2 * j + 1) for j in range(n // 2)}
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "valve must pre-prune via semi-join"
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="max_prefix_df"):
+        jaccard_threshold_join(df, t_milli=500, max_prefix_df=1)
+
+
 def test_jaccard_threshold_join_complete_vs_brute_force(spark):
     """Prefix-filter completeness on 60 md5-ish synthetic docs at two
     thresholds: the join equals an independent pure-python brute force
