@@ -1140,3 +1140,67 @@ def test_attribution_user_keyed_join_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Exchange-count ledger (r10): the committed shuffle budget for the ten
+# most expensive bench headliners, measured at sf0.1 (broadcast-vs-
+# shuffle choices are size-estimate-dependent, so the ledger is pinned
+# at the SF the bench runs at).  The same table is committed in
+# SCALE.md; test_exchange_ledger_matches_scale_md keeps the two from
+# drifting.  Caveats encoded in the numbers: localCheckpoint hides
+# upstream subtrees (doc_link_pagerank shows its final-round slice — 0
+# visible data exchanges; the per-round budget is gated separately in
+# test_pagerank_one_shuffle_per_round-style gates), and counts are of
+# the UNEXECUTED plan, so AQE's Final/Initial double-print trap never
+# applies.
+# ---------------------------------------------------------------------------
+
+EXCHANGE_LEDGER = {
+    # name: (data shuffles, broadcast exchanges, single-partition gathers)
+    "events_geofence": (0, 1, 0),
+    "embedding_semantic_dedup": (2, 0, 0),
+    "doc_link_pagerank": (0, 0, 0),
+    "simhash_pairs": (2, 0, 0),
+    "doc_fuzzy_pairs": (2, 1, 0),
+    "doc_bm25_topk": (6, 4, 1),
+    "export_plan": (4, 7, 0),
+    "certify_probe": (1, 0, 0),
+    "priority_dedup": (1, 2, 0),
+    "minhash_pairs": (2, 0, 0),
+}
+
+BENCH_SF = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_LEDGER))
+def test_exchange_ledger_stable(spark, name):
+    """The committed exchange budget for each top-10 headliner holds at
+    sf0.1: a regression that adds a shuffle (or silently demotes a
+    broadcast to a shuffle join) fails here before it costs wall time
+    at scale."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY[name].fn(spark, BENCH_SF))
+    got = (
+        data_shuffles(plan),
+        plan.count("BroadcastExchange"),
+        len(re.findall(r"Exchange SinglePartition", plan)),
+    )
+    assert got == EXCHANGE_LEDGER[name], (
+        f"{name}: exchange budget drifted — ledger "
+        f"{EXCHANGE_LEDGER[name]}, plan {got}; update BOTH this ledger "
+        f"and the SCALE.md table if the change is intentional"
+    )
+
+
+def test_exchange_ledger_matches_scale_md(spark):
+    """SCALE.md's committed ledger table is generated from
+    EXCHANGE_LEDGER — every row's numbers must match, so the doc cannot
+    drift from the gate."""
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SCALE.md").read_text()
+    for name, (d, b, s) in EXCHANGE_LEDGER.items():
+        row = f"| {name} | {d} | {b} | {s} |"
+        assert row in text, f"SCALE.md ledger row missing/stale: {row!r}"
