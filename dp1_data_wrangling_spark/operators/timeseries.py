@@ -606,3 +606,122 @@ def holt_smooth(
             / F.lit(den)
         ).alias("forecast"),
     )
+
+
+def acf(
+    df: DataFrame,
+    *,
+    value_col: str,
+    order_cols: list[str],
+    group_cols: list[str],
+    max_lag: int = 5,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Exact autocorrelation function per series at lags 1..``max_lag``
+    — the Box-Jenkins identification staple (public literature), as
+    pure window algebra.
+
+    Definition (deterministic, engine-exact): values quantize to
+    integers (``floor(v * quant_scale)``), the center is the TRUNCATED
+    integer mean ``mu = S div n`` (both engines truncate toward zero —
+    verified; the <=1-quantum centering bias is stated, not hidden, and
+    cancels in the ratio to first order), deviations ``d_t = x_t - mu``
+    stay BIGINT, and
+
+        r_k = sum_{t<=n-k}(d_t * d_{t+k}) / sum_t(d_t^2)
+
+    is ONE double division of two exact BIGINT sums — bit-identical in
+    any engine, so a SQL oracle hash-compares the doubles too.
+
+    Returns ``(*group_cols, lag, n, num_scaled, den_scaled, acf)`` with
+    NULL acf for a zero-variance series (den = 0 — SQL NULL division
+    semantics, stated).
+
+    Scale posture (100 TB): ONE hash exchange on the group key — the
+    group constants (n, S), all ``max_lag`` lead() frames and the final
+    groupBy share its partitioning, so Spark stacks the sorts on a
+    single shuffle (plan-gated).  Payload is (key, BIGINT) pairs.  The
+    per-key series must fit one partition (the same contract as every
+    per-key window operator here); pre-bucket longer series upstream.
+
+    Overflow contract (executor fail-fast): |d| <= spread = max_x -
+    min_x per group and the sums are bounded by n * spread^2, guarded
+    against 2^62 in DOUBLE with the guard threaded into the consumed
+    deviation column — never a silent int64 wrap.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    from pyspark.sql import Window
+
+    w_grp = Window.partitionBy(*group_cols)
+    w_all = w_grp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = w_grp.orderBy(*order_cols)
+    x = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__x", x)
+        .withColumn("__n", F.count("*").over(w_all))
+        .withColumn("__s", F.sum("__x").over(w_all))
+        .withColumn("__spread",
+                    F.max("__x").over(w_all) - F.min("__x").over(w_all))
+    )
+    # envelope in DOUBLE: n * spread^2 (the largest possible |num_k| or
+    # den); guard at 2^62 leaves a 2x margin double rounding cannot
+    # cross.  Threaded into the deviation column the sums consume.
+    env = (
+        F.col("__n").cast("double")
+        * F.col("__spread").cast("double")
+        * F.col("__spread").cast("double")
+    )
+    dev = F.col("__x") - F.expr("__s div __n")
+    guarded = F.when(env <= F.lit(float(1 << 62)), dev).otherwise(
+        F.raise_error(
+            F.lit(
+                "acf: n * spread^2 exceeds 2^62 and the lag sums would "
+                "wrap int64 — lower quant_scale or pre-split the series"
+            )
+        ).cast("bigint")
+    )
+    curs = base.withColumn("__d", guarded)
+    for k in range(1, max_lag + 1):
+        curs = curs.withColumn(f"__d{k}", F.lead("__d", k).over(w_ord))
+    aggs = [
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum(F.col("__d") * F.col("__d")).alias("den_scaled"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(F.col("__d") * F.col(f"__d{k}")).alias(f"__num{k}")
+        )
+    agg = curs.groupBy(*group_cols).agg(*aggs)
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col(f"__num{k}").alias("num_scaled"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(
+            *group_cols, "n", "den_scaled",
+            F.explode(lag_structs).alias("__l"),
+        )
+        .select(
+            *group_cols,
+            F.col("__l.lag").alias("lag"),
+            "n",
+            F.coalesce(F.col("__l.num_scaled"), F.lit(0)).alias("num_scaled"),
+            "den_scaled",
+            (
+                F.coalesce(F.col("__l.num_scaled"), F.lit(0)).cast("double")
+                / F.when(F.col("den_scaled") > 0, F.col("den_scaled"))
+                .cast("double")
+            ).alias("acf"),
+        )
+    )

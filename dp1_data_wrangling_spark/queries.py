@@ -3846,6 +3846,88 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_acf",
+    """
+    WITH acf_base AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    acf_stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM acf_base GROUP BY event_type
+    ),
+    acf_dev AS (
+        SELECT b.event_type, b.ts_us, b.event_id, st.n,
+               b.x - (st.s // st.n) AS d
+        FROM acf_base b JOIN acf_stats st USING (event_type)
+    ),
+    acf_lead AS (
+        SELECT event_type, n, d,
+               lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
+               lead(d, 3) OVER w AS d3, lead(d, 4) OVER w AS d4
+        FROM acf_dev
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+    ),
+    acf_agg AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(d * d) AS BIGINT) AS den_scaled,
+               CAST(sum(d * d1) AS BIGINT) AS n1,
+               CAST(sum(d * d2) AS BIGINT) AS n2,
+               CAST(sum(d * d3) AS BIGINT) AS n3,
+               CAST(sum(d * d4) AS BIGINT) AS n4
+        FROM acf_lead GROUP BY event_type
+    ),
+    acf_long AS (
+        SELECT event_type, CAST(1 AS INTEGER) AS lag, n,
+               COALESCE(n1, 0) AS num_scaled, den_scaled FROM acf_agg
+        UNION ALL
+        SELECT event_type, CAST(2 AS INTEGER), n,
+               COALESCE(n2, 0), den_scaled FROM acf_agg
+        UNION ALL
+        SELECT event_type, CAST(3 AS INTEGER), n,
+               COALESCE(n3, 0), den_scaled FROM acf_agg
+        UNION ALL
+        SELECT event_type, CAST(4 AS INTEGER), n,
+               COALESCE(n4, 0), den_scaled FROM acf_agg
+    )
+    SELECT event_type, lag, n, num_scaled, den_scaled,
+           CAST(num_scaled AS DOUBLE)
+               / CAST(CASE WHEN den_scaled > 0 THEN den_scaled END
+                      AS DOUBLE) AS acf
+    FROM acf_long
+    """,
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series autocorrelation at lags 1-4
+    (operators/timeseries.py acf — the Box-Jenkins identification
+    pass): per event type, values quantize to millis, deviations center
+    on the truncated integer mean (both engines truncate toward zero —
+    verified), and every r_k is one double division of two exact BIGINT
+    sums, so the hash compare covers the doubles.  The oracle replays
+    the identical algebra via lead() windows; the Spark side stacks the
+    group constants, all four lag frames and the final groupBy on ONE
+    hash exchange (plan-gated)."""
+    from .operators.timeseries import acf
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    return acf(
+        e,
+        value_col="value",
+        order_cols=["ts_us", "event_id"],
+        group_cols=["event_type"],
+        max_lag=4,
+        quant_scale=1000,
+    )
+
+
+@register(
     "event_attribution_decay",
     """
     WITH ad_ev AS (
@@ -4350,7 +4432,7 @@ DRIVER_WINDOW: list[str] = [
     "events_interpolate",         # r9: exact linear-interpolation gap fill
     # -- graph / time series --
     "lineitem_corr_matrix",       # r10: one-pass Pearson correlation matrix
-    "events_ewma",                # r8: exact binary-fraction EWMA
+    "events_acf",                 # r10: exact autocorrelation, lags 1-4
 ]
 if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O
     raise ValueError(

@@ -3445,6 +3445,67 @@ def _holt_ref(xs, s=20):
     return out
 
 
+def test_acf_hand_computed(spark):
+    """Series 1,2,3,4,5 (quant_scale=1): mu = 15 div 5 = 3, d = -2,-1,
+    0,1,2, den = 10, num_1 = (-2)(-1)+(-1)(0)+(0)(1)+(1)(2) = 4,
+    num_2 = (-2)(0)+(-1)(1)+(0)(2) = -1 -> r1 = 0.4, r2 = -0.1; a
+    constant series has den 0 -> NULL acf; NULL values are excluded."""
+    from dp1_data_wrangling_spark.operators.timeseries import acf
+
+    rows = [("a", t, float(t + 1)) for t in range(5)]
+    rows += [("c", t, 7.0) for t in range(3)]
+    rows += [("a", 99, None)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {
+        (r.g, r.lag): (r.n, r.num_scaled, r.den_scaled, r.acf)
+        for r in acf(
+            df, value_col="v", order_cols=["t"], group_cols=["g"],
+            max_lag=2, quant_scale=1,
+        ).collect()
+    }
+    assert got[("a", 1)] == (5, 4, 10, 0.4)
+    assert got[("a", 2)] == (5, -1, 10, -0.1)
+    assert got[("c", 1)] == (3, 0, 0, None)
+    assert got[("c", 2)] == (3, 0, 0, None)
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(df, value_col="v", order_cols=["t"], group_cols=["g"], max_lag=0)
+
+
+def test_acf_overflow_guard_fires(spark):
+    """n * spread^2 beyond 2^62 raises executor-side instead of
+    wrapping the lag sums (guard threaded into the consumed deviation
+    column); a lag longer than the series yields num 0 / NULL-safe."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.timeseries import acf
+
+    # magnitudes chosen so the group sum S still fits int64 (the engine's
+    # ANSI overflow would fire first otherwise) while n * spread^2 blows
+    # the envelope: x = 4e15 millis, S = 2e16, spread^2 = 1.6e31
+    big = spark.createDataFrame(
+        [("g", t, 0.0 if t % 2 == 0 else 4.0e12) for t in range(10)],
+        "g string, t long, v double",
+    )
+    out = acf(
+        big, value_col="v", order_cols=["t"], group_cols=["g"],
+        max_lag=1, quant_scale=1000,
+    )
+    with pytest.raises(SparkRuntimeException, match="acf"):
+        out.collect()
+    short = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 1, 2.0)], "g string, t long, v double"
+    )
+    rows = {
+        r.lag: (r.num_scaled, r.acf)
+        for r in acf(
+            short, value_col="v", order_cols=["t"], group_cols=["g"],
+            max_lag=3, quant_scale=1,
+        ).collect()
+    }
+    # n=2: lag 1 has one term, lags 2,3 have none -> num 0
+    assert rows[2] == (0, 0.0) and rows[3] == (0, 0.0)
+
+
 def test_holt_smooth_hand_computed(spark):
     """Every (level_num, trend_num) state matches an independent
     pure-python replay of the fixed-point recurrence, including a

@@ -1204,3 +1204,14 @@ def test_exchange_ledger_matches_scale_md(spark):
     for name, (d, b, s) in EXCHANGE_LEDGER.items():
         row = f"| {name} | {d} | {b} | {s} |"
         assert row in text, f"SCALE.md ledger row missing/stale: {row!r}"
+
+
+def test_acf_single_exchange(spark):
+    """ACF: group constants, all lag lead() frames and the final
+    groupBy share ONE hash exchange on the group key; no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_acf"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
