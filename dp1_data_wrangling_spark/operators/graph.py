@@ -406,3 +406,72 @@ def _ppr_round(
             ).cast("bigint").alias("pr"),
         )
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, public literature), made deterministic: every node
+    starts labeled with its own id; each round it adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label; isolated nodes keep their label.  Fixed ``iterations``
+    rounds (classic async LPA's convergence is run-order dependent —
+    the synchronous fixed-round form is the one a declarative engine
+    can replay bit-for-bit, and a SQL oracle re-derives every round).
+
+    ``edges`` is treated as UNDIRECTED (both directions propagate);
+    self-loops are dropped.  Returns ``(node, community)`` with the
+    community id a node id (BIGINT) — label ids survive from round 0,
+    so communities are named by one of their members.
+
+    Scale posture (100 TB): per round, one node-keyed equi-join of the
+    label table onto the neighbor list + one map-side-combinable
+    (node, label) count + one node-keyed argmax aggregate — all hash
+    exchanges on node ids, no cartesian (plan-gated).  The neighbor
+    list is localCheckpointed ONCE (the CC lesson: three references per
+    round would re-derive the edge subtree), and each round's label
+    table is checkpointed to truncate lineage growth.  Rounds are a
+    fixed constant; each round's cost is linear in |E|.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    n = nodes.select(F.col(node_col).alias("node")).distinct()
+    nbrs = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("v"), F.col(dst).alias("u"))
+        .unionByName(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("v"), F.col(src).alias("u")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = n.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        msgs = nbrs.join(
+            labels.select(F.col("node").alias("u"), "label"), "u"
+        ).select("v", "label")
+        counts = msgs.groupBy("v", "label").agg(F.count("*").alias("__c"))
+        # argmax by (count desc, label asc): max of the lexicographic
+        # struct (count, -label) — labels are node ids >= 0
+        winners = counts.groupBy("v").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))
+            .alias("__m")
+        ).select(F.col("v").alias("node"), (-F.col("__m.__nl")).alias("__w"))
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__w"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

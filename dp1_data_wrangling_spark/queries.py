@@ -4379,7 +4379,7 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
-    "events_knn",                 # r8: radius-bounded k-nearest-neighbor join
+    "doc_link_communities",       # r10: label-propagation communities
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "user_scd2_history",          # r8: SCD Type-2 dimension history
     # -- event analytics (r8: funnel / retention / Markov) --

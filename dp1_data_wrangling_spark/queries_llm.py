@@ -3846,6 +3846,69 @@ def q_doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Chained-CTE replay of synchronous label propagation over the
+    shared md5 link graph: per round, per-(node, label) neighbor counts
+    -> row_number argmax (count desc, label asc) -> left-join fallback
+    to the old label for isolated nodes.  Runs in idx space (the
+    doc_id <-> idx map is order-preserving, so min-label tie-breaks
+    agree) and maps both node and community back to doc ids at the
+    end."""
+    cte = f"""
+    WITH {_TRIANGLE_GRAPH_CTES},
+    lp_nbrs AS (
+        SELECT src AS v, dst AS u FROM tg_edges WHERE src != dst
+        UNION
+        SELECT dst AS v, src AS u FROM tg_edges WHERE src != dst
+    ),
+    lp_it0 AS (SELECT idx AS node, idx AS label FROM tg_docs)"""
+    for t in range(1, rounds + 1):
+        cte += f""",
+    lp_c{t} AS (
+        SELECT nb.v, l.label, count(*) AS c
+        FROM lp_nbrs nb JOIN lp_it{t - 1} l ON l.node = nb.u
+        GROUP BY nb.v, l.label
+    ),
+    lp_w{t} AS (
+        SELECT v, label FROM (
+            SELECT v, label,
+                   row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, label) AS rk
+            FROM lp_c{t})
+        WHERE rk = 1
+    ),
+    lp_it{t} AS (
+        SELECT p.node, COALESCE(w.label, p.label) AS label
+        FROM lp_it{t - 1} p LEFT JOIN lp_w{t} w ON w.v = p.node
+    )"""
+    return cte + f"""
+    SELECT d.doc_id, c.doc_id AS community
+    FROM lp_it{rounds} f
+    JOIN tg_docs d ON d.idx = f.node
+    JOIN tg_docs c ON c.idx = f.label
+    """
+
+
+@register("doc_link_communities", _lpa_oracle())
+def q_doc_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the shared md5 link graph
+    (operators/graph.py label_propagation — synchronous LPA, Raghavan
+    et al. 2007): three deterministic rounds of adopt-the-most-frequent
+    neighbor label with smallest-label ties, the host/domain community
+    grouping web-curation pipelines run before per-community quotas.
+    The oracle replays every round via chained CTEs with an INDEPENDENT
+    argmax formulation (row_number window vs the Spark side's
+    lexicographic struct max) — the two must agree on every node's
+    community."""
+    from .operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _tg_link_graph(spark, sf_dir)
+    return label_propagation(
+        docs, edges, iterations=3, node_col="doc_id"
+    ).select(F.col("node").alias("doc_id"), "community")
+
+
 _NDCG_ORACLE = f"""
     WITH {_BM25_CTES},
     ng_lab AS (

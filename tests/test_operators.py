@@ -5231,6 +5231,37 @@ def test_mmr_rerank_string_ids_and_null_id_raises(spark):
         mmr_rerank(bad, rel_col="rel", k=2).collect()
 
 
+def test_label_propagation_hand_computed(spark):
+    """Three synchronous rounds on a triangle + a pair + an isolate:
+    the triangle converges to community 1 (min id wins the tie chain);
+    the 2-node pair OSCILLATES under synchronous updates (the
+    documented LPA behavior — round 3 leaves 4<-5, 5<-4); the isolate
+    keeps itself.  Hand-derived round by round."""
+    from dp1_data_wrangling_spark.operators.graph import label_propagation
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (6, 6)], "src long, dst long"
+    )  # the 6->6 self-loop must be dropped, leaving 6 isolated
+    got = {
+        r.node: r.community
+        for r in label_propagation(nodes, edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 5, 5: 4, 6: 6}
+    # one round from scratch: every triangle member adopts its smallest
+    # neighbor; direction of input edges must not matter
+    rev = spark.createDataFrame(
+        [(2, 1), (3, 2), (3, 1), (5, 4), (6, 6)], "src long, dst long"
+    )
+    one = {
+        r.node: r.community
+        for r in label_propagation(nodes, rev, iterations=1).collect()
+    }
+    assert one == {1: 2, 2: 1, 3: 1, 4: 5, 5: 4, 6: 6}
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(nodes, edges, iterations=0)
+
+
 def test_kcore_hand_computed(spark):
     """4-clique with a pendant chain: k=3 keeps exactly the clique (each
     member at in-core degree 3); the chain peels in cascade."""

@@ -336,7 +336,10 @@ def test_driver_window_covers_flagship_surface():
         # r8+r9; the exact-window time-series family keeps
         # events_holt_trend, events_interpolate and the ACF itself
         # in-window, and ewma keeps its bench-headline evidence)
-        "events_acf", "events_knn", "multimodal_ulaw",
+        # events_knn rotated out mid-r10 for doc_link_communities (2x
+        # green r8+r9; the spatial family keeps events_spatial_pairs
+        # and events_geofence in-window)
+        "events_acf", "doc_link_communities", "multimodal_ulaw",
         # round-9: Deequ-class declarative expectation suite and HDR
         # log-linear histogram quantiles enter directly (outs: see the
         # doc_pack_sequences / corpus_top_ngrams note above)

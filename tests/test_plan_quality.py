@@ -1215,3 +1215,15 @@ def test_acf_single_exchange(spark):
     assert data_shuffles(plan) == 1, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_label_propagation_no_cartesian_no_python(spark):
+    """LPA: node-keyed equi-joins + combinable counts only; the
+    neighbor list and per-round labels are checkpointed (the CC
+    lesson), so the visible plan is the last round's slice."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_link_communities"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
