@@ -4376,6 +4376,78 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_brand_rules",
+    """
+    WITH ar_bi AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ar_freq AS (
+        SELECT i FROM ar_bi GROUP BY i HAVING count(*) >= 5
+    ),
+    ar_cap AS (
+        SELECT b, i FROM (
+            SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+            FROM ar_bi WHERE i IN (SELECT i FROM ar_freq))
+        WHERE rn <= 8
+    ),
+    ar_tot AS (
+        SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM ar_cap
+    ),
+    ar_ic AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM ar_cap GROUP BY i
+    ),
+    ar_pairs AS (
+        SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+        FROM ar_cap a JOIN ar_cap c ON c.b = a.b AND c.i > a.i
+        GROUP BY a.i, c.i
+        HAVING count(*) >= 5
+    ),
+    ar_dir AS (
+        SELECT ia AS antecedent, ib AS consequent, n_ab FROM ar_pairs
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, n_ab FROM ar_pairs
+    )
+    SELECT d.antecedent, d.consequent, d.n_ab, a.cnt AS n_a,
+           b2.cnt AS n_b, t.n_baskets,
+           (1000 * d.n_ab) // t.n_baskets AS support_milli,
+           (1000 * d.n_ab) // a.cnt AS confidence_milli,
+           (1000 * d.n_ab * t.n_baskets) // (a.cnt * b2.cnt) AS lift_milli
+    FROM ar_dir d
+    JOIN ar_ic a ON a.i = d.antecedent
+    JOIN ar_ic b2 ON b2.i = d.consequent
+    CROSS JOIN ar_tot t
+    WHERE (1000 * d.n_ab) // a.cnt >= 50
+    """,
+)
+def q_order_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over part-brand baskets
+    (operators/itemsets.py association_rules — Agrawal-Srikant on the
+    apriori level-2 census): baskets are orders, items the brands of
+    their parts, and every rule carries exact-integer support,
+    confidence and lift in milli units (truncating div, engine-
+    replayable).  The oracle derives the pair census via an
+    INDEPENDENT basket self-join — the Spark side's row-local capped
+    explosion must agree on every count and metric."""
+    from .operators.itemsets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return association_rules(
+        baskets,
+        basket_col="basket",
+        item_col="item",
+        min_item_support=5,
+        min_pair_support=5,
+        max_items_per_basket=8,
+        min_confidence_milli=50,
+    )
+
+
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
     "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
@@ -4418,7 +4490,7 @@ DRIVER_WINDOW: list[str] = [
     "event_funnel_latency",       # r9: funnel time-to-convert percentiles
     "events_value_quantiles",     # r9: mergeable uniform-sample quantile sketch
     "events_geofence",            # r9: exact point-in-polygon geofence join
-    "multimodal_ulaw",            # r8: REAL G.711 mu-law decode + frame sums
+    "order_brand_rules",          # r10: association rules w/ exact lift
     "doc_jaccard_join",           # r10: PPJoin prefix-filtered Jaccard join
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "table_expectations",         # r9: Deequ-class declarative rule suite

@@ -4320,6 +4320,45 @@ def test_kmv_rolling_validation(spark):
         )
 
 
+def test_association_rules_hand_computed(spark):
+    """Four baskets {x,y} {x,y} {x,z} {y}: N=4, n_x=3, n_y=3, n_z=1,
+    pair (x,y)=2, (x,z)=1.  Every metric hand-derived with truncating
+    div; the confidence filter keeps only the >= 0.5 rules."""
+    from dp1_data_wrangling_spark.operators.itemsets import association_rules
+
+    rows = [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"), (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    kw = dict(
+        basket_col="b", item_col="i", min_item_support=1,
+        min_pair_support=1, max_items_per_basket=8,
+    )
+    got = {
+        (r.antecedent, r.consequent): (
+            r.n_ab, r.n_a, r.n_b, r.n_baskets,
+            r.support_milli, r.confidence_milli, r.lift_milli,
+        )
+        for r in association_rules(df, **kw).collect()
+    }
+    assert got == {
+        ("x", "y"): (2, 3, 3, 4, 500, 666, 888),
+        ("y", "x"): (2, 3, 3, 4, 500, 666, 888),
+        ("x", "z"): (1, 3, 1, 4, 250, 333, 1333),
+        ("z", "x"): (1, 1, 3, 4, 250, 1000, 1333),
+    }
+    kept = {
+        (r.antecedent, r.consequent)
+        for r in association_rules(
+            df, min_confidence_milli=500, **kw
+        ).collect()
+    }
+    assert kept == {("x", "y"), ("y", "x"), ("z", "x")}
+    with pytest.raises(ValueError, match="min_confidence_milli"):
+        association_rules(df, min_confidence_milli=1001, **kw)
+
+
 def test_frequent_pairs_hand_computed(spark):
     """Baskets: 1={a,b,c}, 2={a,b}, 3={a,b,d}, 4={c,d}.  Item support 2
     keeps a,b,c,d; pair support 2 keeps only (a,b)=3."""

@@ -339,7 +339,11 @@ def test_driver_window_covers_flagship_surface():
         # events_knn rotated out mid-r10 for doc_link_communities (2x
         # green r8+r9; the spatial family keeps events_spatial_pairs
         # and events_geofence in-window)
-        "events_acf", "doc_link_communities", "multimodal_ulaw",
+        # multimodal_ulaw rotated out mid-r10 for order_brand_rules (2x
+        # green r8+r9; the multimodal family keeps png/qoi — two
+        # REAL-codec reps — in-window, and the WAV chunk walk stays
+        # parity-held in-repo every CI run)
+        "events_acf", "doc_link_communities", "order_brand_rules",
         # round-9: Deequ-class declarative expectation suite and HDR
         # log-linear histogram quantiles enter directly (outs: see the
         # doc_pack_sequences / corpus_top_ngrams note above)

@@ -1227,3 +1227,16 @@ def test_label_propagation_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_association_rules_broadcast_censuses_no_cartesian(spark):
+    """Association rules: the item census joins broadcast (vocabulary-
+    sized), the basket total is a broadcast one-row aggregate, the pair
+    explosion is row-local on the capped basket arrays; no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["order_brand_rules"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # both census joins and the one-row total ride broadcasts
+    assert plan.count("BroadcastExchange") >= 3, plan
