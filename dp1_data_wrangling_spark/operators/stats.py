@@ -385,3 +385,137 @@ def weighted_quantiles(
             ).alias(f"wq_p{p}")
         )
     return cum.groupBy(*groups).agg(*aggs)
+
+
+def binned_ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 20,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Two-sample distribution-drift screen on a shared equal-width
+    binning — the binned Kolmogorov-Smirnov statistic in EXACT integers
+    (the dataset-shift check a training pipeline runs between a
+    reference snapshot and fresh data before mixing them).
+
+    Bins derive from the REFERENCE sample alone (so the screen is
+    stable under current-data drift): values quantize to integers,
+    ``w = ((max_ref - min_ref) div n_bins) + 1`` and ``bin =
+    clamp((x - min_ref) div w, 0, n_bins - 1)`` — current values
+    outside the reference range clamp into the edge bins (stated; edge
+    mass IS drift signal).  Per bin the output carries both counts,
+    both cumulative counts, and
+
+        delta_scaled = |cum_cur * n_ref_total - cum_ref * n_cur_total|
+
+    an exact BIGINT — the KS distance at that bin boundary scaled by
+    ``n_ref_total * n_cur_total``; ``ks_scaled`` (the max over bins,
+    same value on every row) divided by that product is the classic D
+    statistic, left to the caller as one exact division.  Empty bins
+    appear with zero counts (the bin spine is generated, not observed),
+    so cumulative sums are well-defined everywhere.
+
+    Returns ``(bin, lo_scaled, n_ref, n_cur, cum_ref, cum_cur,
+    delta_scaled, ks_scaled)``.
+
+    Scale posture (100 TB): two map-side-combinable bin censuses (the
+    only data-sized work — one pass over each sample) + constant-size
+    frames after that: the bin spine is ``n_bins`` rows, the cumulative
+    window runs on it single-partition BY DESIGN (20 rows), and the
+    reference stats ride a broadcast one-row aggregate.  Overflow:
+    ``cum * total`` is guarded in DOUBLE against 2^62 (fail-fast,
+    threaded into the consumed count), covering samples to ~2e9 rows
+    each; beyond that, pre-aggregate or sample — D is scale-free.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    from pyspark.sql import Window
+
+    q = lambda c: F.floor(c * F.lit(quant_scale)).cast("bigint")  # noqa: E731
+    r = ref.filter(F.col(value_col).isNotNull()).select(
+        q(F.col(value_col)).alias("__x")
+    )
+    c = cur.filter(F.col(value_col).isNotNull()).select(
+        q(F.col(value_col)).alias("__x")
+    )
+    stats = r.agg(
+        F.min("__x").alias("__lo"),
+        # exact integer width: span div n_bins (non-negative) + 1, so
+        # max_ref lands in bin n_bins - 1, never n_bins
+        F.expr(f"((max(__x) - min(__x)) div {n_bins}) + 1").alias("__w"),
+        F.count("*").cast("bigint").alias("__nr"),
+    )
+    n_cur = c.agg(F.count("*").cast("bigint").alias("__nc"))
+    bin_of = F.expr(
+        f"least(cast({n_bins - 1} as bigint), "
+        f"greatest(cast(0 as bigint), (__x - __lo) div __w))"
+    )
+    rb = (
+        r.crossJoin(F.broadcast(stats))
+        .select(bin_of.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_ref"))
+    )
+    cb = (
+        c.crossJoin(F.broadcast(stats))
+        .select(bin_of.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_cur"))
+    )
+    spine = (
+        ref.sparkSession.range(n_bins)
+        .select(F.col("id").cast("bigint").alias("bin"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_cur))
+    )
+    w_cum = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        spine.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            (F.col("__lo") + F.col("bin") * F.col("__w")).alias("lo_scaled"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.col("__nr").alias("__nrt"),
+            F.col("__nc").alias("__nct"),
+        )
+        .withColumn("cum_ref", F.sum("n_ref").over(w_cum))
+        .withColumn("cum_cur", F.sum("n_cur").over(w_cum))
+    )
+    env = (
+        F.greatest(F.col("__nrt"), F.col("__nct")).cast("double")
+        * F.greatest(F.col("__nrt"), F.col("__nct")).cast("double")
+    )
+    cum_cur_ok = F.when(
+        env <= F.lit(float(1 << 62)), F.col("cum_cur")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "binned_ks_drift: n_ref * n_cur exceeds the 2^62 "
+                "cross-multiply envelope — sample or pre-aggregate "
+                "(the D statistic is scale-free)"
+            )
+        ).cast("bigint")
+    )
+    delta = F.abs(
+        cum_cur_ok * F.col("__nrt") - F.col("cum_ref") * F.col("__nct")
+    )
+    out = joined.withColumn("delta_scaled", delta).withColumn(
+        "ks_scaled",
+        F.max("delta_scaled").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return out.select(
+        "bin", "lo_scaled", "n_ref", "n_cur", "cum_ref", "cum_cur",
+        "delta_scaled", "ks_scaled",
+    )

@@ -4377,6 +4377,87 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ks_drift",
+    """
+    WITH kd_r AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    kd_c AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    kd_st AS (
+        SELECT min(x) AS lo, ((max(x) - min(x)) // 20) + 1 AS w,
+               CAST(count(*) AS BIGINT) AS nrt
+        FROM kd_r
+    ),
+    kd_nc AS (SELECT CAST(count(*) AS BIGINT) AS nct FROM kd_c),
+    kd_rb AS (
+        SELECT least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                   (x - (SELECT lo FROM kd_st))
+                       // (SELECT w FROM kd_st))) AS bin,
+               CAST(count(*) AS BIGINT) AS n_ref
+        FROM kd_r GROUP BY 1
+    ),
+    kd_cb AS (
+        SELECT least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                   (x - (SELECT lo FROM kd_st))
+                       // (SELECT w FROM kd_st))) AS bin,
+               CAST(count(*) AS BIGINT) AS n_cur
+        FROM kd_c GROUP BY 1
+    ),
+    kd_spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(20)),
+    kd_j AS (
+        SELECT s.bin,
+               (SELECT lo FROM kd_st)
+                   + s.bin * (SELECT w FROM kd_st) AS lo_scaled,
+               COALESCE(r.n_ref, 0) AS n_ref,
+               COALESCE(c.n_cur, 0) AS n_cur
+        FROM kd_spine s
+        LEFT JOIN kd_rb r ON r.bin = s.bin
+        LEFT JOIN kd_cb c ON c.bin = s.bin
+    ),
+    kd_cum AS (
+        SELECT bin, lo_scaled, n_ref, n_cur,
+               CAST(sum(n_ref) OVER (ORDER BY bin) AS BIGINT) AS cum_ref,
+               CAST(sum(n_cur) OVER (ORDER BY bin) AS BIGINT) AS cum_cur
+        FROM kd_j
+    ),
+    kd_d AS (
+        SELECT bin, lo_scaled, n_ref, n_cur, cum_ref, cum_cur,
+               abs(cum_cur * (SELECT nrt FROM kd_st)
+                   - cum_ref * (SELECT nct FROM kd_nc)) AS delta_scaled
+        FROM kd_cum
+    )
+    SELECT bin, lo_scaled, n_ref, n_cur, cum_ref, cum_cur, delta_scaled,
+           CAST(max(delta_scaled) OVER () AS BIGINT) AS ks_scaled
+    FROM kd_d
+    """,
+)
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample binned Kolmogorov-Smirnov drift screen
+    (operators/stats.py binned_ks_drift): the 'view' value distribution
+    is the reference snapshot, 'purchase' the fresh sample — the
+    dataset-shift check a training pipeline runs before mixing new
+    data.  Twenty equal-width bins derived from the reference alone,
+    every count, cumulative count and the KS distance exact BIGINTs
+    (delta_scaled = |cum_cur*N_ref - cum_ref*N_cur|), so the hash
+    compare covers the statistic.  The oracle replays the identical
+    binning and CDF algebra."""
+    from .operators.stats import binned_ks_drift
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return binned_ks_drift(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        value_col="value",
+        n_bins=20,
+        quant_scale=1000,
+    )
+
+
+@register(
     "order_brand_rules",
     """
     WITH ar_bi AS (
@@ -4478,7 +4559,7 @@ DRIVER_WINDOW: list[str] = [
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank
-    "lsh_topk",                   # r8: full md5-plane signature replay oracle
+    "events_ks_drift",            # r10: binned two-sample KS drift screen
     "ivf_topk",                   # r8: full quantizer+assignment replay oracle
     "doc_cooccurrence",           # r9: apriori frequent co-occurring pairs
     "events_kmv_cube",            # r9: one-build KMV rollup hierarchy (merge law)

@@ -5521,6 +5521,35 @@ def test_linear_attribution_excludes_null_value_conversions(spark):
     assert sum(r.credit_milli for r in out) == 1000
 
 
+def test_binned_ks_drift_hand_computed(spark):
+    """ref 0,5,10,15 / cur 0,1,2,100 at quant 1, 4 bins: w = 15 div 4
+    + 1 = 4, ref bins 0,1,2,3 (one each), cur bins 0,0,0 and the
+    out-of-range 100 CLAMPS into bin 3; delta = 4*|cum_cur - cum_ref|
+    peaks at 8 in bin 0 -> D = 8/16 = 0.5.  Identical samples drift
+    zero.  Every number exact."""
+    from dp1_data_wrangling_spark.operators.stats import binned_ks_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in (0, 5, 10, 15)], "v double")
+    cur = spark.createDataFrame([(float(v),) for v in (0, 1, 2, 100)], "v double")
+    got = {
+        r.bin: (r.lo_scaled, r.n_ref, r.n_cur, r.cum_ref, r.cum_cur,
+                r.delta_scaled, r.ks_scaled)
+        for r in binned_ks_drift(
+            ref, cur, value_col="v", n_bins=4, quant_scale=1
+        ).collect()
+    }
+    assert got == {
+        0: (0, 1, 3, 1, 3, 8, 8),
+        1: (4, 1, 0, 2, 3, 4, 8),
+        2: (8, 1, 0, 3, 3, 0, 8),
+        3: (12, 1, 1, 4, 4, 0, 8),
+    }
+    same = binned_ks_drift(ref, ref, value_col="v", n_bins=4, quant_scale=1)
+    assert same.agg(F.max("ks_scaled")).collect()[0][0] == 0
+    with pytest.raises(ValueError, match="n_bins"):
+        binned_ks_drift(ref, cur, value_col="v", n_bins=1)
+
+
 def test_weighted_quantiles_overflow_guard_fires(spark):
     """The r10 overflow guard: a group whose total weight exceeds
     (2^63-1) div 100 raises executor-side instead of wrapping the

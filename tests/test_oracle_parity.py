@@ -210,7 +210,11 @@ def test_driver_window_covers_flagship_surface():
         # entries enter with full replay oracles (outs: doc_pii_scrub,
         # doc_chunk — 2x green; PII family stays via doc_card_scan,
         # chunking via doc_pack_sequences)
-        "lsh_topk", "ivf_topk",
+        # lsh_topk rotated out mid-r10 for events_ks_drift (2x green
+        # r8+r9; the ANN family keeps ivf_topk, pq_recall_bound and
+        # ivf_pq_recall_bound in-window, and the LSH signature replay
+        # stays parity-held in-repo every CI run)
+        "events_ks_drift", "ivf_topk",
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
         "multimodal_png",

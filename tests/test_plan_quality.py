@@ -1240,3 +1240,16 @@ def test_association_rules_broadcast_censuses_no_cartesian(spark):
     assert "EvalPython" not in plan, plan
     # both census joins and the one-row total ride broadcasts
     assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_binned_ks_drift_two_censuses_only(spark):
+    """KS drift: the only data-sized work is the two map-side-
+    combinable bin censuses; everything after runs on the n_bins-row
+    spine with broadcast one-row stats; no Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_ks_drift"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert data_shuffles(plan) <= 4, plan
+    assert "partial_count" in plan, plan  # censuses combine map-side
