@@ -511,3 +511,92 @@ def decay_attribution(
         "weight",
         F.col("credit_milli").cast("bigint").alias("credit_milli"),
     )
+
+
+def conversion_paths(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    within_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    min_support: int = 1,
+    max_touches: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top conversion paths — the ordered-touch-sequence census behind
+    "which journeys convert" analyses (the full-sequence complement of
+    the first-order ``transition_matrix``).
+
+    For every conversion event, the user's preceding ``touch_types``
+    events with ``t_conv - within_us <= ts < t_conv`` form its path:
+    touch types joined by ``sep`` in ``(ts, id)`` order, truncated to
+    the LAST ``max_touches`` touches before the conversion (the
+    recency-biased cut marketers use; a stated deterministic cap, not
+    silent skew).  Conversions with no in-window touch contribute no
+    path (count them by anti-joining conversions against the output's
+    inputs — the standard unattributed bucket).
+
+    Returns ``(path, n_conversions)`` for paths reaching
+    ``min_support``.
+
+    Scale posture (100 TB): the attribution tier's shape — one
+    user-keyed conv x touch equi-join (time window as a post-join
+    filter, never a cartesian) + one per-conversion ordered collect
+    (the window's partitioning) + one map-side-combinable path census.
+    Per-conversion fan-out is bounded by per-user touch volume in the
+    window (cap bot-class users upstream — the tier's standing valve)
+    and the path payload by ``max_touches``.
+    """
+    if within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if max_touches < 1:
+        raise ValueError(f"max_touches must be >= 1, got {max_touches}")
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.col(ts_col).alias("__ct"),
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__tid"),
+        F.col(ts_col).alias("__tt"),
+        F.col(type_col).alias("__ty"),
+    )
+    joined = convs.join(touches, "__u").filter(
+        (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.lit(within_us))
+    )
+    # per conversion: sort touches by (ts, id) row-locally and keep the
+    # LAST max_touches — slice from the end of the sorted array, no
+    # second window pass
+    paths = (
+        joined.groupBy("__cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__tt", "__tid", "__ty"))
+            ).alias("__touch_arr")
+        )
+        .select(
+            F.array_join(
+                F.expr(
+                    f"transform(slice(__touch_arr, "
+                    f"greatest(1, size(__touch_arr) - {max_touches} + 1), "
+                    f"{max_touches}), x -> x.__ty)"
+                ),
+                sep,
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+        .filter(F.col("n_conversions") >= min_support)
+    )

@@ -4377,6 +4377,67 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_conversion_paths",
+    """
+    WITH cp_ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    cp_c AS (
+        SELECT user_id, event_id AS cid, ts_us AS ct
+        FROM cp_ev WHERE event_type = 'purchase'
+    ),
+    cp_t AS (
+        SELECT user_id, event_id AS tid, ts_us AS tt, event_type AS ty
+        FROM cp_ev WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    cp_j AS (
+        SELECT c.cid, t.tt, t.tid, t.ty
+        FROM cp_c c JOIN cp_t t ON t.user_id = c.user_id
+        WHERE t.tt < c.ct AND t.tt >= c.ct - 21600000000
+    ),
+    cp_rk AS (
+        SELECT cid, ty,
+               row_number() OVER (
+                   PARTITION BY cid ORDER BY tt DESC, tid DESC
+               ) AS rk_desc
+        FROM cp_j
+    ),
+    cp_p AS (
+        SELECT cid, string_agg(ty, '>' ORDER BY rk_desc DESC) AS path
+        FROM cp_rk WHERE rk_desc <= 8 GROUP BY cid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM cp_p GROUP BY path HAVING count(*) >= 2
+    """,
+)
+def q_event_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversion paths (operators/funnel.py conversion_paths): the
+    ordered sequence of view/click/signup touches in the six hours
+    before each purchase, truncated to the last 8 touches, censused as
+    a '>'-joined path string — the full-journey complement of the
+    first-order transition matrix.  The oracle assembles each path via
+    an INDEPENDENT formulation (descending rank filter + ordered
+    string_agg vs the Spark side's row-local sorted-array slice)."""
+    from .operators.funnel import conversion_paths
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return conversion_paths(
+        e,
+        conversion_type="purchase",
+        touch_types=["view", "click", "signup"],
+        within_us=21_600_000_000,
+        min_support=2,
+        max_touches=8,
+    )
+
+
+@register(
     "events_ks_drift",
     """
     WITH kd_r AS (
@@ -4538,7 +4599,7 @@ DRIVER_WINDOW: list[str] = [
     # -- event analytics (r8: funnel / retention / Markov) --
     "event_funnel",               # r8: first-touch 3-step conversion funnel
     "user_retention_cohorts",     # r8: weekly cohort retention grid
-    "event_transition_matrix",    # r8: first-order Markov transition counts
+    "event_conversion_paths",     # r10: full-journey path census
     "event_sessions",             # r8: gap-rule batch sessionization
     "events_hll_rolling",         # r10: rolling HLL via register re-max
     # -- LLM curation tier --

@@ -5494,6 +5494,41 @@ def test_linear_attribution_credits_sum_to_value(spark):
     assert bad.count() == 0 and sums.count() > 0
 
 
+def test_conversion_paths_hand_computed(spark):
+    """Hand-derived journeys: u1 converts twice (view>click, then
+    view), u2 converts once (click), u3's conversion has no in-window
+    touch and contributes nothing; max_touches=1 keeps only the LAST
+    touch (recency cut)."""
+    from dp1_data_wrangling_spark.operators.funnel import conversion_paths
+
+    rows = [
+        ("u1", 1, "view", 10), ("u1", 2, "click", 20),
+        ("u1", 3, "buy", 30), ("u1", 4, "view", 40),
+        ("u1", 5, "buy", 50),
+        ("u2", 6, "click", 10), ("u2", 7, "buy", 15),
+        ("u3", 8, "buy", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, event_type string, ts_us long"
+    )
+    kw = dict(
+        conversion_type="buy", touch_types=["view", "click"], within_us=25
+    )
+    got = {
+        r.path: r.n_conversions
+        for r in conversion_paths(df, **kw).collect()
+    }
+    assert got == {"view>click": 1, "view": 1, "click": 1}
+    last_only = {
+        r.path: r.n_conversions
+        for r in conversion_paths(df, max_touches=1, **kw).collect()
+    }
+    assert last_only == {"click": 2, "view": 1}
+    assert conversion_paths(df, min_support=2, **kw).count() == 0
+    with pytest.raises(ValueError, match="max_touches"):
+        conversion_paths(df, max_touches=0, **kw)
+
+
 def test_linear_attribution_excludes_null_value_conversions(spark):
     """A conversion with a NULL value has no credit to split: it must
     produce NO output rows (ADVICE r9 — previously ``__val div n``

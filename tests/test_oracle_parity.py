@@ -248,7 +248,12 @@ def test_driver_window_covers_flagship_surface():
         # enters directly (outs: lsh_recall_bound, ivf_recall_bound,
         # events_rollup_incremental — see inline notes; the rollup family
         # stays via session_window/event_correlation plus in-repo parity)
-        "event_funnel", "user_retention_cohorts", "event_transition_matrix",
+        # event_transition_matrix rotated out mid-r10 for
+        # event_conversion_paths (2x green r8+r9; the journey family
+        # gains the full-sequence census and keeps event_funnel +
+        # event_funnel_latency in-window; the first-order matrix stays
+        # parity-held in-repo every CI run)
+        "event_funnel", "user_retention_cohorts", "event_conversion_paths",
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
         # stays via doc_semantic_decontam)

@@ -371,6 +371,11 @@ def test_top_terms_df_join_broadcasts(spark):
 # shuffle regressions become test failures, not code-review hopes.
 SHUFFLE_BUDGET_DEFAULT = 4
 SHUFFLE_BUDGETS = {
+    # association rules: after the checkpointed capped-basket view, the
+    # item census, per-basket gather and pair census are each narrow
+    # map-side-combinable shuffles over (basket, item) ids; the metric
+    # joins broadcast (gate below) — 5 narrow shuffles by design
+    "order_brand_rules": 6,
     # recall-bound harnesses run brute-force AND the ANN index, then
     # compare — three operators' shuffles in one plan by design
     "lsh_recall_bound": 8,
@@ -1253,3 +1258,16 @@ def test_binned_ks_drift_two_censuses_only(spark):
     assert "EvalPython" not in plan, plan
     assert data_shuffles(plan) <= 4, plan
     assert "partial_count" in plan, plan  # censuses combine map-side
+
+
+def test_conversion_paths_user_join_rowlocal_assembly(spark):
+    """Conversion paths: one user-keyed equi-join, per-conversion path
+    assembly is a row-local sorted-array slice, census combines
+    map-side; no cartesian, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["event_conversion_paths"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
