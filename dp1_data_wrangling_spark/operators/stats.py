@@ -519,3 +519,90 @@ def binned_ks_drift(
         "bin", "lo_scaled", "n_ref", "n_cur", "cum_ref", "cum_cur",
         "delta_scaled", "ks_scaled",
     )
+
+
+def quantile_normalize(
+    src: DataFrame,
+    ref: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str],
+    tie_cols: list[str],
+    out_col: str = "normalized_value",
+) -> DataFrame:
+    """Quantile normalization — map each group's value distribution
+    onto the REFERENCE distribution (the cross-source score calibration
+    step before mixing corpora scored by different models: after it,
+    every group's scores are comparable because they share the
+    reference's exact marginal distribution).
+
+    Exact rank algebra, zero float computation: within each group,
+    rows rank ``r`` in 1..n_s by ``(value, *tie_cols)``; the reference
+    ranks 1..n_ref the same way; the output value is the reference
+    value at rank ``ceil(r * n_ref / n_s) = (r*n_ref + n_s - 1) div
+    n_s`` — COPIED verbatim (doubles hash identically across engines
+    when copied, never recomputed).  NULL values are excluded from
+    both sides.
+
+    Returns ``src``'s rows (group cols, tie cols, the original value)
+    plus ``out_col``.
+
+    Scale posture (100 TB): per-group ranking partitions on the group
+    key (the standing per-key window contract); the REFERENCE ranking
+    is a total order — by design the reference is a dimension-sized or
+    SAMPLED distribution snapshot (normalizing through a sampled
+    reference is standard practice; the mapping is a step function and
+    sampling only coarsens the grid).  The rank join is an int-key
+    equi-join with the reference side broadcast-sized.  Overflow:
+    ``r * n_ref`` guarded in DOUBLE against 2^62 (fail-fast threaded
+    into the consumed rank).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not tie_cols:
+        raise ValueError(
+            "tie_cols must be non-empty (ranking needs a total order)"
+        )
+    from pyspark.sql import Window
+
+    r_clean = ref.filter(F.col(value_col).isNotNull())
+    ranked_ref = r_clean.select(
+        F.row_number()
+        .over(Window.orderBy(F.col(value_col), *[F.col(t) for t in tie_cols]))
+        .alias("__rr"),
+        F.col(value_col).alias(out_col),
+    )
+    n_ref = ranked_ref.agg(F.count("*").cast("bigint").alias("__nr"))
+    w_grp = Window.partitionBy(*group_cols)
+    w_rank = w_grp.orderBy(F.col(value_col), *[F.col(t) for t in tie_cols])
+    s = (
+        src.filter(F.col(value_col).isNotNull())
+        .withColumn("__r", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn(
+            "__ns",
+            F.count("*").over(
+                w_grp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(n_ref))
+    )
+    env = F.col("__r").cast("double") * F.col("__nr").cast("double")
+    r_ok = F.when(env <= F.lit(float(1 << 62)), F.col("__r")).otherwise(
+        F.raise_error(
+            F.lit(
+                "quantile_normalize: rank * n_ref exceeds 2^62 — sample "
+                "the reference (the mapping is a step function; sampling "
+                "only coarsens the grid)"
+            )
+        ).cast("bigint")
+    )
+    mapped = (
+        s.withColumn("__ro", r_ok)
+        .withColumn("__rr", F.expr("(__ro * __nr + __ns - 1) div __ns"))
+        .join(F.broadcast(ranked_ref), "__rr")
+    )
+    return mapped.select(
+        *group_cols, *tie_cols, value_col, out_col
+    )

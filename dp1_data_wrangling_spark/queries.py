@@ -4377,6 +4377,51 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_quantile_normalize",
+    """
+    WITH qn_ref AS (
+        SELECT row_number() OVER (ORDER BY value, event_id) AS rr,
+               value AS normalized_value
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    qn_nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM qn_ref),
+    qn_s AS (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ns
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT s.event_type, s.event_id, s.value, ref.normalized_value
+    FROM qn_s s
+    CROSS JOIN qn_nr
+    JOIN qn_ref ref ON ref.rr = (s.r * qn_nr.nr + s.ns - 1) // s.ns
+    """,
+)
+def q_events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/stats.py quantile_normalize):
+    every event type's value distribution is mapped onto the 'view'
+    type's distribution — the cross-source score calibration a mixing
+    pipeline runs so per-source quality scores become comparable.
+    Exact rank algebra with values COPIED verbatim from the reference
+    (zero float computation — the hash compare covers the doubles for
+    free); the oracle replays the rank mapping with `//`."""
+    from .operators.stats import quantile_normalize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return quantile_normalize(
+        e,
+        e.filter(F.col("event_type") == "view"),
+        value_col="value",
+        group_cols=["event_type"],
+        tie_cols=["event_id"],
+    )
+
+
+@register(
     "event_conversion_paths",
     """
     WITH cp_ev AS (
@@ -4600,7 +4645,7 @@ DRIVER_WINDOW: list[str] = [
     "event_funnel",               # r8: first-touch 3-step conversion funnel
     "user_retention_cohorts",     # r8: weekly cohort retention grid
     "event_conversion_paths",     # r10: full-journey path census
-    "event_sessions",             # r8: gap-rule batch sessionization
+    "events_quantile_normalize",  # r10: exact rank-based QN calibration
     "events_hll_rolling",         # r10: rolling HLL via register re-max
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen

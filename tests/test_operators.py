@@ -5556,6 +5556,37 @@ def test_linear_attribution_excludes_null_value_conversions(spark):
     assert sum(r.credit_milli for r in out) == 1000
 
 
+def test_quantile_normalize_hand_computed(spark):
+    """ref 1..6: group a (3 rows) maps to ref ranks ceil(r*6/3) = 2,4,6;
+    a singleton group maps to the ref max (rank 6); normalizing the
+    reference onto itself is the identity (rank r*n/n = r)."""
+    from dp1_data_wrangling_spark.operators.stats import quantile_normalize
+
+    ref = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 7)], "event_id long, v double"
+    )
+    src = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 9, 99.0)],
+        "g string, event_id long, v double",
+    )
+    got = {
+        (r.g, r.event_id): r.normalized_value
+        for r in quantile_normalize(
+            src, ref, value_col="v", group_cols=["g"], tie_cols=["event_id"]
+        ).collect()
+    }
+    assert got == {("a", 1): 2.0, ("a", 2): 4.0, ("a", 3): 6.0, ("b", 9): 6.0}
+    self_ref = ref.select(F.lit("r").alias("g"), "event_id", "v")
+    ident = quantile_normalize(
+        self_ref, ref, value_col="v", group_cols=["g"], tie_cols=["event_id"]
+    )
+    assert ident.filter(F.col("v") != F.col("normalized_value")).count() == 0
+    with pytest.raises(ValueError, match="tie_cols"):
+        quantile_normalize(
+            src, ref, value_col="v", group_cols=["g"], tie_cols=[]
+        )
+
+
 def test_binned_ks_drift_hand_computed(spark):
     """ref 0,5,10,15 / cur 0,1,2,100 at quant 1, 4 bins: w = 15 div 4
     + 1 = 4, ref bins 0,1,2,3 (one each), cur bins 0,0,0 and the

@@ -257,7 +257,11 @@ def test_driver_window_covers_flagship_surface():
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
         # stays via doc_semantic_decontam)
-        "event_sessions",
+        # event_sessions rotated out mid-r10 for
+        # events_quantile_normalize (2x green r8+r9; the
+        # sessionization family stays parity-held in-repo and the
+        # journey tier keeps funnel/latency/paths in-window)
+        "events_quantile_normalize",
         # round-8: time-series grid resample + LOCF gap-fill enters
         # directly (cosine_topk out — see the ANN-family note above)
         # events_gapfill rotated out in r10 for events_hll_rolling (2x green

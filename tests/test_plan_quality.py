@@ -1271,3 +1271,15 @@ def test_conversion_paths_user_join_rowlocal_assembly(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_quantile_normalize_broadcast_ref_join(spark):
+    """Quantile normalization: the per-group ranking is ONE group-keyed
+    window shuffle; the rank join against the (dimension-sized by
+    contract) reference broadcasts; no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_quantile_normalize"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
