@@ -449,7 +449,6 @@ def binned_ks_drift(
         F.expr(f"((max(__x) - min(__x)) div {n_bins}) + 1").alias("__w"),
         F.count("*").cast("bigint").alias("__nr"),
     )
-    n_cur = c.agg(F.count("*").cast("bigint").alias("__nc"))
     bin_of = F.expr(
         f"least(cast({n_bins - 1} as bigint), "
         f"greatest(cast(0 as bigint), (__x - __lo) div __w))"
@@ -466,8 +465,27 @@ def binned_ks_drift(
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias("n_cur"))
     )
+    return ks_from_censuses(ref.sparkSession, stats, rb, cb, n_bins=n_bins)
+
+
+def ks_from_censuses(
+    spark, stats: DataFrame, rb: DataFrame, cb: DataFrame, *, n_bins: int
+) -> DataFrame:
+    """The CDF/KS algebra of :func:`binned_ks_drift` given the two bin
+    censuses — the shared core the streaming twin folds incrementally
+    (bin counts are ASSOCIATIVE, so a stream maintains ``cb`` by
+    per-bin addition and re-derives this constant-size frame per
+    batch).  ``stats`` is the reference one-row (lo, w, n_ref_total)
+    frame; ``rb``/``cb`` are (bin, n_ref)/(bin, n_cur) censuses; the
+    current total is the census sum (every clamped value lands in a
+    bin, so the sum IS the row count)."""
+    from pyspark.sql import Window
+
+    n_cur = cb.agg(
+        F.coalesce(F.sum("n_cur"), F.lit(0)).cast("bigint").alias("__nc")
+    )
     spine = (
-        ref.sparkSession.range(n_bins)
+        spark.range(n_bins)
         .select(F.col("id").cast("bigint").alias("bin"))
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(n_cur))

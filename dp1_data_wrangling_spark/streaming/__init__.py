@@ -32,6 +32,7 @@ from .dedup_llm import stream_minhash_dedup
 from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
 from .geofence import stream_geofence
+from .drift import stream_ks_drift
 from .scd import stream_scd2
 from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
@@ -64,6 +65,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",
+    "stream_ks_drift",
     "stream_scd2",
     "stream_geofence",
     "stream_sketches",

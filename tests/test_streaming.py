@@ -1237,6 +1237,56 @@ def test_stream_scd2_bronze_scan_prunes_to_touched_buckets(spark, tmp_path):
     assert got == want
 
 
+def test_stream_ks_drift_equals_batch(spark, tmp_path):
+    """The drift monitor's associative-census fold: after the stream
+    drains, the published drift table equals binned_ks_drift(ref, all
+    delivered rows) bit-exactly regardless of micro-batch cuts; replay
+    from the same checkpoint is a no-op; the persisted census is
+    n_bins-bounded state."""
+    from dp1_data_wrangling_spark.operators.stats import binned_ks_drift
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_ks_drift
+
+    ref = spark.createDataFrame(
+        [(float(v % 100),) for v in range(400)], "v double"
+    )
+    cur_rows = [(float((v * 37) % 140),) for v in range(300)]
+    b1 = spark.createDataFrame(cur_rows[:180], "v double")
+    b2 = spark.createDataFrame(cur_rows[180:], "v double")
+    src = tmp_path / "drift_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    kw = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"), value_col="v",
+        n_bins=10, quant_scale=1000,
+    )
+    stream_ks_drift(stream, ref, cat_root, **kw).awaitTermination(180)
+
+    cat = Catalog(cat_root)
+    got = sorted(map(tuple, cat.read(spark, "ks_drift").collect()))
+    want = sorted(
+        map(
+            tuple,
+            binned_ks_drift(
+                ref, b1.union(b2), value_col="v", n_bins=10,
+                quant_scale=1000,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 10
+    assert cat.read(spark, "ks_drift_census").count() <= 10
+    # replay: already-committed batches skip
+    stream_ks_drift(stream, ref, cat_root, **kw).awaitTermination(180)
+    assert sorted(map(tuple, cat.read(spark, "ks_drift").collect())) == want
+
+
 def test_stream_geofence_equals_batch(spark, tmp_path):
     """Streaming points through the geofence enricher in micro-batches
     materializes EXACTLY the batch point_in_polygon over all rows
