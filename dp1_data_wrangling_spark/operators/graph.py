@@ -428,8 +428,10 @@ def label_propagation(
 
     ``edges`` is treated as UNDIRECTED (both directions propagate);
     self-loops are dropped.  Returns ``(node, community)`` with the
-    community id a node id (BIGINT) — label ids survive from round 0,
-    so communities are named by one of their members.
+    community id a node id of the input's type (numeric ids and string
+    ids — hosts, domains — both work: the smallest-label tie-break
+    orders labels natively) — label ids survive from round 0, so
+    communities are named by one of their members.
 
     Scale posture (100 TB): per round, one node-keyed equi-join of the
     label table onto the neighbor list + one map-side-combinable
@@ -460,12 +462,15 @@ def label_propagation(
             labels.select(F.col("node").alias("u"), "label"), "u"
         ).select("v", "label")
         counts = msgs.groupBy("v", "label").agg(F.count("*").alias("__c"))
-        # argmax by (count desc, label asc): max of the lexicographic
-        # struct (count, -label) — labels are node ids >= 0
+        # argmax by (count desc, label asc): MIN of the lexicographic
+        # struct (-count, label) — negating the COUNT (always a long)
+        # instead of the label keeps the tie-break type-agnostic, so
+        # string node ids (host/domain communities) order naturally
+        # rather than silently null-casting (review fix)
         winners = counts.groupBy("v").agg(
-            F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))
+            F.min(F.struct((-F.col("__c")).alias("__nc"), F.col("label")))
             .alias("__m")
-        ).select(F.col("v").alias("node"), (-F.col("__m.__nl")).alias("__w"))
+        ).select(F.col("v").alias("node"), F.col("__m.label").alias("__w"))
         labels = (
             labels.join(winners, "node", "left")
             .select(

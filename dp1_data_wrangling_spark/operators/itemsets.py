@@ -31,6 +31,93 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _validate_census_knobs(
+    min_item_support: int, min_pair_support: int, max_items_per_basket: int
+) -> None:
+    if min_item_support < 1 or min_pair_support < 1:
+        raise ValueError(
+            "min_item_support and min_pair_support must be >= 1, got "
+            f"{min_item_support}, {min_pair_support}"
+        )
+    if max_items_per_basket < 2:
+        raise ValueError(
+            f"max_items_per_basket must be >= 2 (pairs need two), got "
+            f"{max_items_per_basket}"
+        )
+
+
+def _capped_basket_items(
+    items: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int,
+    max_items_per_basket: int,
+    checkpoint_capped: bool = False,
+) -> DataFrame:
+    """The shared prune+cap front end (frequent_pairs / association_rules):
+    distinct (basket, item) pairs -> frequent-item broadcast prune ->
+    deterministic lexicographic cap per basket.  Returns (__b, __i).
+
+    The distinct set checkpoints ONCE (it feeds both the item census and
+    the prune branch — the connected_components multi-reference lesson);
+    pass ``checkpoint_capped=True`` when the CAPPED view itself has
+    multiple consumers (association_rules reads it three times)."""
+    basket_items = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frequent = (
+        basket_items.groupBy("__i")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_item_support)
+        .select("__i")
+    )
+    capped = (
+        basket_items.join(F.broadcast(frequent), "__i")
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__b").orderBy("__i")),
+        )
+        .filter(F.col("__rn") <= max_items_per_basket)
+        .select("__b", "__i")
+    )
+    return capped.localCheckpoint(eager=True) if checkpoint_capped else capped
+
+
+def _pair_census(
+    capped: DataFrame, *, min_pair_support: int, a_name: str, b_name: str
+) -> DataFrame:
+    """The shared row-local i<j pair explosion + census over a capped
+    (__b, __i) view.  Collecting each basket's items into a sorted array
+    reuses the cap window's partitioning (no extra shuffle) and bounds
+    the explosion at C(cap, 2) rows per basket; a self-join on basket id
+    would reference the capped subtree twice (9 shuffles vs 4)."""
+    baskets = capped.groupBy("__b").agg(
+        F.array_sort(F.collect_list("__i")).alias("__items")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(__items, (x, i) -> transform("
+                "slice(__items, i + 2, size(__items)), "
+                f"y -> struct(x AS {a_name}, y AS {b_name})))"
+            )
+        )
+    ).alias("__p")
+    return (
+        baskets.select(pair)
+        .select(f"__p.{a_name}", f"__p.{b_name}")
+        .groupBy(a_name, b_name)
+        .agg(F.count("*").cast("bigint").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_pair_support)
+    )
+
+
 def frequent_pairs(
     items: DataFrame,
     *,
@@ -46,71 +133,21 @@ def frequent_pairs(
     least ``min_pair_support``.  NULL items are excluded.  Per basket,
     only the lexicographically first ``max_items_per_basket`` frequent
     items generate pairs (the deterministic blow-up valve)."""
-    if min_item_support < 1 or min_pair_support < 1:
-        raise ValueError(
-            "min_item_support and min_pair_support must be >= 1, got "
-            f"{min_item_support}, {min_pair_support}"
-        )
-    if max_items_per_basket < 2:
-        raise ValueError(
-            f"max_items_per_basket must be >= 2 (pairs need two), got "
-            f"{max_items_per_basket}"
-        )
-    # Checkpoint the distinct basket-item set ONCE: it feeds both the
-    # item-frequency census and the prune+cap branch, and without the
-    # cut Spark re-derives the whole upstream (tokenize + distinct of
-    # the full corpus) per consumer — the same multi-reference lesson as
-    # connected_components' edge set.
-    basket_items = (
-        items.filter(F.col(item_col).isNotNull())
-        .select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    _validate_census_knobs(
+        min_item_support, min_pair_support, max_items_per_basket
     )
-    frequent = (
-        basket_items.groupBy("__i")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= min_item_support)
-        .select("__i")
+    capped = _capped_basket_items(
+        items,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_item_support=min_item_support,
+        max_items_per_basket=max_items_per_basket,
     )
-    pruned = basket_items.join(F.broadcast(frequent), "__i")
-    capped = (
-        pruned.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__b").orderBy("__i")
-            ),
-        )
-        .filter(F.col("__rn") <= max_items_per_basket)
-        .select("__b", "__i")
-    )
-    # Pair generation is ROW-LOCAL: collect each basket's capped items
-    # into a sorted array (the groupBy is satisfied by the cap window's
-    # partitioning — no extra shuffle) and explode the i<j combinations
-    # JVM-side.  A self-join on basket id would reference `capped` twice
-    # and recompute the whole distinct+prune+window subtree per branch
-    # (9 shuffles vs this form's 4); the cap bounds the explosion at
-    # C(max_items_per_basket, 2) rows per basket.
-    baskets = capped.groupBy("__b").agg(
-        F.array_sort(F.collect_list("__i")).alias("__items")
-    )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(__items, (x, i) -> transform("
-                "slice(__items, i + 2, size(__items)), "
-                "y -> struct(x AS item_a, y AS item_b)))"
-            )
-        )
-    ).alias("__p")
-    return (
-        baskets.select(pair)
-        .select("__p.item_a", "__p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").alias("n_baskets"))
-        .filter(F.col("n_baskets") >= min_pair_support)
+    return _pair_census(
+        capped,
+        min_pair_support=min_pair_support,
+        a_name="item_a",
+        b_name="item_b",
     )
 
 
@@ -158,39 +195,18 @@ def association_rules(
             f"min_confidence_milli must be in [0, 1000], got "
             f"{min_confidence_milli}"
         )
-    if min_item_support < 1 or min_pair_support < 1:
-        raise ValueError(
-            "min_item_support and min_pair_support must be >= 1, got "
-            f"{min_item_support}, {min_pair_support}"
-        )
-    if max_items_per_basket < 2:
-        raise ValueError(
-            f"max_items_per_basket must be >= 2 (pairs need two), got "
-            f"{max_items_per_basket}"
-        )
-    basket_items = (
-        items.filter(F.col(item_col).isNotNull())
-        .select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    _validate_census_knobs(
+        min_item_support, min_pair_support, max_items_per_basket
     )
-    frequent = (
-        basket_items.groupBy("__i")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= min_item_support)
-        .select("__i")
-    )
-    capped = (
-        basket_items.join(F.broadcast(frequent), "__i")
-        .withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("__b").orderBy("__i")),
-        )
-        .filter(F.col("__rn") <= max_items_per_basket)
-        .select("__b", "__i")
-        .localCheckpoint(eager=True)
+    # the capped view feeds THREE consumers (total, item census, pair
+    # census) — checkpoint it so the prune+cap subtree runs once
+    capped = _capped_basket_items(
+        items,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_item_support=min_item_support,
+        max_items_per_basket=max_items_per_basket,
+        checkpoint_capped=True,
     )
     total = capped.agg(
         F.countDistinct("__b").cast("bigint").alias("n_baskets")
@@ -198,25 +214,9 @@ def association_rules(
     item_counts = capped.groupBy("__i").agg(
         F.count("*").cast("bigint").alias("__cnt")
     )
-    baskets = capped.groupBy("__b").agg(
-        F.array_sort(F.collect_list("__i")).alias("__items")
-    )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(__items, (x, i) -> transform("
-                "slice(__items, i + 2, size(__items)), "
-                "y -> struct(x AS ia, y AS ib)))"
-            )
-        )
-    ).alias("__p")
-    pairs = (
-        baskets.select(pair)
-        .select("__p.ia", "__p.ib")
-        .groupBy("ia", "ib")
-        .agg(F.count("*").cast("bigint").alias("n_ab"))
-        .filter(F.col("n_ab") >= min_pair_support)
-    )
+    pairs = _pair_census(
+        capped, min_pair_support=min_pair_support, a_name="ia", b_name="ib"
+    ).withColumnRenamed("n_baskets", "n_ab")
     directed = pairs.select(
         F.explode(
             F.array(
@@ -253,17 +253,21 @@ def association_rules(
         )
         .crossJoin(F.broadcast(total))
     )
-    env = (
+    # BOTH lift operands guarded: the numerator 1000*n_ab*N and the
+    # denominator n_a*n_b (two near-ubiquitous items can wrap the
+    # denominator while the numerator passes — review fix)
+    env = F.greatest(
         F.lit(1000.0)
         * F.col("n_ab").cast("double")
-        * F.col("n_baskets").cast("double")
+        * F.col("n_baskets").cast("double"),
+        F.col("n_a").cast("double") * F.col("n_b").cast("double"),
     )
     n_ab_ok = F.when(env <= F.lit(float(1 << 62)), F.col("n_ab")).otherwise(
         F.raise_error(
             F.lit(
-                "association_rules: 1000 * n_ab * N exceeds 2^62 — the "
-                "lift cross-multiply would wrap int64; sample baskets "
-                "or shard the census"
+                "association_rules: a lift operand (1000 * n_ab * N or "
+                "n_a * n_b) exceeds 2^62 — the cross-multiply would "
+                "wrap int64; sample baskets or shard the census"
             )
         ).cast("bigint")
     )

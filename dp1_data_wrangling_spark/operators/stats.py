@@ -429,19 +429,56 @@ def binned_ks_drift(
     threaded into the consumed count), covering samples to ~2e9 rows
     each; beyond that, pre-aggregate or sample — D is scale-free.
     """
+    stats, rb = ks_reference(
+        ref, value_col=value_col, n_bins=n_bins, quant_scale=quant_scale
+    )
+    cb = ks_census(
+        cur, stats, value_col=value_col, n_bins=n_bins,
+        quant_scale=quant_scale, out_name="n_cur",
+    )
+    return ks_from_censuses(ref.sparkSession, stats, rb, cb, n_bins=n_bins)
+
+
+def ks_census(
+    df: DataFrame,
+    stats: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int,
+    quant_scale: int,
+    out_name: str,
+) -> DataFrame:
+    """One sample's bin census against the reference binning — the
+    shared quantize/clamp/count front end (batch operator + streaming
+    twin read THIS code, so the binning contract cannot desynchronize
+    between them)."""
+    q = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    bin_of = F.expr(
+        f"least(cast({n_bins - 1} as bigint), "
+        f"greatest(cast(0 as bigint), (__x - __lo) div __w))"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(q.alias("__x"))
+        .crossJoin(F.broadcast(stats))
+        .select(bin_of.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias(out_name))
+    )
+
+
+def ks_reference(
+    ref: DataFrame, *, value_col: str, n_bins: int, quant_scale: int
+) -> tuple[DataFrame, DataFrame]:
+    """The reference side of the drift screen: the one-row (lo, width,
+    n_ref_total) stats frame and the reference bin census.  Validates
+    the knobs for every caller (batch and stream)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     if quant_scale < 1:
         raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
-    from pyspark.sql import Window
-
-    q = lambda c: F.floor(c * F.lit(quant_scale)).cast("bigint")  # noqa: E731
-    r = ref.filter(F.col(value_col).isNotNull()).select(
-        q(F.col(value_col)).alias("__x")
-    )
-    c = cur.filter(F.col(value_col).isNotNull()).select(
-        q(F.col(value_col)).alias("__x")
-    )
+    q = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    r = ref.filter(F.col(value_col).isNotNull()).select(q.alias("__x"))
     stats = r.agg(
         F.min("__x").alias("__lo"),
         # exact integer width: span div n_bins (non-negative) + 1, so
@@ -449,23 +486,11 @@ def binned_ks_drift(
         F.expr(f"((max(__x) - min(__x)) div {n_bins}) + 1").alias("__w"),
         F.count("*").cast("bigint").alias("__nr"),
     )
-    bin_of = F.expr(
-        f"least(cast({n_bins - 1} as bigint), "
-        f"greatest(cast(0 as bigint), (__x - __lo) div __w))"
+    rb = ks_census(
+        ref, stats, value_col=value_col, n_bins=n_bins,
+        quant_scale=quant_scale, out_name="n_ref",
     )
-    rb = (
-        r.crossJoin(F.broadcast(stats))
-        .select(bin_of.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count("*").cast("bigint").alias("n_ref"))
-    )
-    cb = (
-        c.crossJoin(F.broadcast(stats))
-        .select(bin_of.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count("*").cast("bigint").alias("n_cur"))
-    )
-    return ks_from_censuses(ref.sparkSession, stats, rb, cb, n_bins=n_bins)
+    return stats, rb
 
 
 def ks_from_censuses(

@@ -260,6 +260,22 @@ class Transaction:
 
 
 
+def _align_df(df: DataFrame, pinned: dict) -> DataFrame:
+    """Conform ``df`` to a pinned column->dtype map: absent columns
+    become typed NULLs, type-mismatched columns cast.  The one
+    alignment rule shared by the MOR delete-applied read and the
+    root-scoped rewrite paths (they must agree or the same table reads
+    with different types depending on the path)."""
+    from pyspark.sql import functions as F
+
+    for name, dtype in pinned.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+        elif df.schema[name].dataType != dtype:
+            df = df.withColumn(name, F.col(name).cast(dtype))
+    return df
+
+
 def _compute_zone_stats(staged: DataFrame, zone_cols: list[str]) -> dict:
     """Per-root min/max for the declared columns present in ``staged`` —
     one combinable aggregate (the same cheap pass shape as the CHECK
@@ -865,17 +881,10 @@ class Catalog:
         # different dtype here than the _read_roots path over the same
         # rels — the same table must read with the same types before and
         # after a MOR delete.  Schema-only: no data is scanned.
-        pinned: dict[str, object] = {
-            f.name: f.dataType
-            for f in self._read_roots(spark, rels).schema.fields
-        }
+        pinned = self._pin_types(spark, rels)
         parts = []
         for preds, df in raw:
-            for name, dtype in pinned.items():
-                if name not in df.columns:
-                    df = df.withColumn(name, F.lit(None).cast(dtype))
-                elif df.schema[name].dataType != dtype:
-                    df = df.withColumn(name, F.col(name).cast(dtype))
+            df = _align_df(df, pinned)
             for p in preds:
                 df = df.filter(
                     ~F.coalesce(F.expr(p).cast("boolean"), F.lit(False))
@@ -898,18 +907,16 @@ class Catalog:
         here, and a rewrite predicate referencing it must resolve, with
         NULL's three-valued semantics, not blow up).  Schema-only:
         footer reads, no data scan."""
-        from pyspark.sql import functions as F
+        return _align_df(df, self._pin_types(spark, rels))
 
-        pinned = {
+    def _pin_types(self, spark: SparkSession, rels: list[str]) -> dict:
+        """Column -> dtype as the plain rel-order read of ``rels`` pins
+        them (schema-only).  THE one source of type truth for every
+        alignment site — MOR reads and root-scoped rewrites share it."""
+        return {
             f.name: f.dataType
             for f in self._read_roots(spark, rels).schema.fields
         }
-        for name, dtype in pinned.items():
-            if name not in df.columns:
-                df = df.withColumn(name, F.lit(None).cast(dtype))
-            elif df.schema[name].dataType != dtype:
-                df = df.withColumn(name, F.col(name).cast(dtype))
-        return df
 
     def prune_roots(
         self, table: str, where: str, *, version: int | None = None

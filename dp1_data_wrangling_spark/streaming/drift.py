@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.stats import ks_from_censuses
+from ..operators.stats import ks_census, ks_from_censuses, ks_reference
 from ..plans.catalog import Catalog, CommitConflict
 from .sinks import batch_meta_key
 
@@ -52,30 +52,13 @@ def stream_ks_drift(
     """Start the drift-monitor stream into ``catalog_root``/``table``
     (the incremental current-sample census persists in
     ``<table>_census``)."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    if quant_scale < 1:
-        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
     meta_key = batch_meta_key(f"ksdrift:{table}", checkpoint_dir, stream_name)
     census_table = f"{table}_census"
-    q = lambda c: F.floor(c * F.lit(quant_scale)).cast("bigint")  # noqa: E731
-    r = ref.filter(F.col(value_col).isNotNull()).select(
-        q(F.col(value_col)).alias("__x")
-    )
-    stats = r.agg(
-        F.min("__x").alias("__lo"),
-        F.expr(f"((max(__x) - min(__x)) div {n_bins}) + 1").alias("__w"),
-        F.count("*").cast("bigint").alias("__nr"),
-    )
-    bin_of = F.expr(
-        f"least(cast({n_bins - 1} as bigint), "
-        f"greatest(cast(0 as bigint), (__x - __lo) div __w))"
-    )
-    rb = (
-        r.crossJoin(F.broadcast(stats))
-        .select(bin_of.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count("*").cast("bigint").alias("n_ref"))
+    # the binning contract (quantize, width, clamp) is the SAME code
+    # path the batch operator uses — ks_reference/ks_census — so the
+    # twins cannot desynchronize (review fix); knobs validate inside
+    stats, rb = ks_reference(
+        ref, value_col=value_col, n_bins=n_bins, quant_scale=quant_scale
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,13 +67,9 @@ def stream_ks_drift(
         if last is not None and batch_id <= last:
             return  # replayed batch after recovery -> already committed
         spark = batch_df.sparkSession
-        b_census = (
-            batch_df.filter(F.col(value_col).isNotNull())
-            .select(q(F.col(value_col)).alias("__x"))
-            .crossJoin(F.broadcast(stats))
-            .select(bin_of.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count("*").cast("bigint").alias("n_cur"))
+        b_census = ks_census(
+            batch_df, stats, value_col=value_col, n_bins=n_bins,
+            quant_scale=quant_scale, out_name="n_cur",
         )
         last_exc: CommitConflict | None = None
         for _ in range(MERGE_RETRIES):

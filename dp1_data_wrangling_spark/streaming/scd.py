@@ -114,8 +114,15 @@ def stream_scd2(
                     # partition filter FIRST: prunes the scan to the
                     # touched buckets' directories; the semi-join then
                     # narrows buckets to exact keys (the filter is a
-                    # superset screen, never a correctness dependency)
-                    log = log.filter(F.col("__scd_kb").isin(touched_kbs))
+                    # superset screen, never a correctness dependency).
+                    # NULL-SAFE: pre-r10 roots in a mixed log read
+                    # __scd_kb as NULL — isin alone would silently drop
+                    # their observations from the rebuild (review fix);
+                    # NULL rows always scan (the old full-scan posture).
+                    log = log.filter(
+                        F.col("__scd_kb").isNull()
+                        | F.col("__scd_kb").isin(touched_kbs)
+                    )
                 prior = (
                     log.join(touched, key, "semi")
                     .select(key, *tracked, ts_col, *extra)
@@ -135,8 +142,12 @@ def stream_scd2(
             else:
                 merged = rebuilt
             txn = cat.begin()
+            # evolve_schema: a pre-r10 log lacks __scd_kb — the first
+            # post-upgrade append ADDS the bucket column (old roots read
+            # it as NULL, handled above); without the opt-in the write
+            # gate would hard-fail the stream on upgrade (review fix)
             txn.stage(obs_table, bucketed, mode="append",
-                      partition_by=["__scd_kb"])
+                      partition_by=["__scd_kb"], evolve_schema=True)
             txn.stage(table, merged, mode="overwrite")
             try:
                 # Watermark + log append + history replace: one atomic

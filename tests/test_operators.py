@@ -5297,6 +5297,25 @@ def test_label_propagation_hand_computed(spark):
         for r in label_propagation(nodes, rev, iterations=1).collect()
     }
     assert one == {1: 2, 2: 1, 3: 1, 4: 5, 5: 4, 6: 6}
+    # STRING node ids (host communities) must work identically — the
+    # review found the old tie-break null-cast non-numeric labels into
+    # a silent no-op; the lexicographically smallest host wins ties
+    snodes = spark.createDataFrame(
+        [(f"h{i}",) for i in range(1, 7)], "node string"
+    )
+    sedges = spark.createDataFrame(
+        [("h1", "h2"), ("h2", "h3"), ("h1", "h3"), ("h4", "h5"),
+         ("h6", "h6")],
+        "src string, dst string",
+    )
+    sgot = {
+        r.node: r.community
+        for r in label_propagation(snodes, sedges, iterations=3).collect()
+    }
+    assert sgot == {
+        "h1": "h1", "h2": "h1", "h3": "h1",
+        "h4": "h5", "h5": "h4", "h6": "h6",
+    }
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(nodes, edges, iterations=0)
 

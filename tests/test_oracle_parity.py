@@ -285,7 +285,9 @@ def test_driver_window_covers_flagship_surface():
         # (doc_exact_dedup out — see note above)
         # event_sequence_match rotated out in r10 for doc_link_ppr (2x green
         # r8+r9; the event-analytics family keeps event_funnel,
-        # event_funnel_latency and event_transition_matrix in-window)
+        # event_funnel_latency and event_conversion_paths in-window —
+        # the transition matrix itself rotated out later in r10, see
+        # the event_conversion_paths note below)
         "doc_link_ppr",
         # round-8: exact median/MAD anomaly screen enters directly
         # (dedup_clusters out — see note above)

@@ -1237,6 +1237,62 @@ def test_stream_scd2_bronze_scan_prunes_to_touched_buckets(spark, tmp_path):
     assert got == want
 
 
+def test_stream_scd2_upgrades_pre_bucketed_log(spark, tmp_path):
+    """Migration (review fix): an obs log written WITHOUT __scd_kb
+    (pre-r10 layout) must keep working — the first post-upgrade append
+    evolves the schema instead of hard-failing, old rows read the
+    bucket as NULL and are NEVER dropped by the bucket filter, so a
+    late observation still rebuilds touched keys from their COMPLETE
+    history (including pre-upgrade rows)."""
+    from dp1_data_wrangling_spark.operators.scd import scd2_build
+    from dp1_data_wrangling_spark.plans.catalog import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_scd2
+
+    cols = ["user_id", "ts_us", "attr"]
+    b1 = spark.createDataFrame(
+        [(1, 10, "X"), (1, 20, "X"), (2, 10, "P")], cols
+    )
+    b2 = spark.createDataFrame([(1, 15, "Y")], cols)  # late: revives X@20
+    cat_root = str(tmp_path / "cat")
+    # seed the PRE-r10 layout: unbucketed obs log + its history
+    cat = Catalog(cat_root)
+    txn = cat.begin()
+    txn.stage("user_attr_obs", b1, mode="overwrite")
+    txn.stage(
+        "user_attr",
+        scd2_build(b1, key="user_id", tracked=["attr"], ts_col="ts_us"),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    src = tmp_path / "obs_stream"
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(b2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    stream_scd2(
+        stream, cat_root, checkpoint_dir=str(tmp_path / "ckpt"),
+        table="user_attr", key="user_id", tracked=["attr"],
+        ts_col="ts_us", n_buckets=8,
+    ).awaitTermination(180)
+    want = sorted(
+        map(
+            tuple,
+            scd2_build(
+                b1.union(b2), key="user_id", tracked=["attr"], ts_col="ts_us"
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, Catalog(cat_root).read(spark, "user_attr").collect())
+    )
+    assert got == want
+    # user 1 really has 3 versions: X@10, Y@15, X@20 — the pre-upgrade
+    # no-change X@20 row was recovered from the NULL-bucket root
+    assert len([t for t in got if t[0] == 1]) == 3
+
+
 def test_stream_ks_drift_equals_batch(spark, tmp_path):
     """The drift monitor's associative-census fold: after the stream
     drains, the published drift table equals binned_ks_drift(ref, all
