@@ -3898,6 +3898,7 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DOUBLE) AS acf
     FROM acf_long
     """,
+    headline=True,
 )
 def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-series autocorrelation at lags 1-4
@@ -4455,6 +4456,7 @@ def q_events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT path, CAST(count(*) AS BIGINT) AS n_conversions
     FROM cp_p GROUP BY path HAVING count(*) >= 2
     """,
+    headline=True,
 )
 def q_event_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top conversion paths (operators/funnel.py conversion_paths): the
@@ -4540,6 +4542,7 @@ def q_event_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(delta_scaled) OVER () AS BIGINT) AS ks_scaled
     FROM kd_d
     """,
+    headline=True,
 )
 def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample binned Kolmogorov-Smirnov drift screen
@@ -4607,6 +4610,7 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN ar_tot t
     WHERE (1000 * d.n_ab) // a.cnt >= 50
     """,
+    headline=True,
 )
 def q_order_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over part-brand baskets

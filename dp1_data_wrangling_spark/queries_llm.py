@@ -3889,7 +3889,7 @@ def _lpa_oracle(rounds: int = 3) -> str:
     """
 
 
-@register("doc_link_communities", _lpa_oracle())
+@register("doc_link_communities", _lpa_oracle(), headline=True)
 def q_doc_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the shared md5 link graph
     (operators/graph.py label_propagation — synchronous LPA, Raghavan
