@@ -649,3 +649,83 @@ def quantile_normalize(
     return mapped.select(
         *group_cols, *tie_cols, value_col, out_col
     )
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str],
+    tie_cols: list[str],
+    p_lo: int = 1,
+    p_hi: int = 99,
+    out_col: str = "clipped_value",
+) -> DataFrame:
+    """Percentile winsorization — clip each group's values into
+    [p_lo-th, p_hi-th percentile], the robust-preprocessing staple
+    before averaging skewed metrics or training on noisy scores.
+
+    Exact order statistics, zero float computation: rows rank by
+    ``(value, *tie_cols)`` within the group; the clip bounds are the
+    SMALLEST values whose rank clears ``ceil(p * n / 100)`` (the same
+    integer rank test as ``weighted_quantiles`` at weight 1, cross-
+    multiplied ``100 * rank >= p * n``), and the clipped output is
+    either the original value or a COPIED bound — never a computed
+    float, so the hash compare covers doubles for free.  NULL values
+    pass through with NULL output (no observation, no clip).
+
+    Returns the input rows plus ``out_col`` and ``is_clipped``.
+
+    Scale posture (100 TB): ONE hash exchange on the group key — the
+    rank window, the group count, both bound selections (windowed
+    conditional mins) and the final projection all share its
+    partitioning (plan-gated).  Per-group series on one partition: the
+    standing per-key window contract.
+    """
+    if not 1 <= p_lo <= p_hi <= 100:
+        raise ValueError(
+            f"need 1 <= p_lo <= p_hi <= 100, got ({p_lo}, {p_hi})"
+        )
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    w_grp = Window.partitionBy(*group_cols)
+    w_all = w_grp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = w_grp.orderBy(F.col(value_col), *[F.col(t) for t in tie_cols])
+    nn = df.filter(F.col(value_col).isNotNull())
+    ranked = nn.withColumn(
+        "__r", F.row_number().over(w_rank).cast("bigint")
+    ).withColumn("__n", F.count("*").over(w_all))
+    lo_val = F.min(
+        F.when(
+            F.lit(100) * F.col("__r") >= F.lit(p_lo) * F.col("__n"),
+            F.col(value_col),
+        )
+    ).over(w_all)
+    hi_val = F.min(
+        F.when(
+            F.lit(100) * F.col("__r") >= F.lit(p_hi) * F.col("__n"),
+            F.col(value_col),
+        )
+    ).over(w_all)
+    clipped = ranked.withColumn("__lo", lo_val).withColumn("__hi", hi_val)
+    out = clipped.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).withColumn("is_clipped", F.col(out_col) != F.col(value_col))
+    kept = out.select(
+        *group_cols, *tie_cols, value_col, out_col, "is_clipped"
+    )
+    nulls = df.filter(F.col(value_col).isNull()).select(
+        *group_cols,
+        *tie_cols,
+        value_col,
+        F.lit(None).cast(
+            df.schema[value_col].dataType
+        ).alias(out_col),
+        F.lit(None).cast("boolean").alias("is_clipped"),
+    )
+    return kept.unionByName(nulls)

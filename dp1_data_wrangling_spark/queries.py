@@ -4378,6 +4378,60 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_winsorize",
+    """
+    WITH wz_nn AS (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    wz_b AS (
+        SELECT event_type, event_id, value,
+               min(CASE WHEN 100 * r >= 2 * n THEN value END)
+                   OVER (PARTITION BY event_type) AS lo,
+               min(CASE WHEN 100 * r >= 98 * n THEN value END)
+                   OVER (PARTITION BY event_type) AS hi
+        FROM wz_nn
+    )
+    SELECT event_type, event_id, value,
+           least(greatest(value, lo), hi) AS clipped_value,
+           least(greatest(value, lo), hi) != value AS is_clipped
+    FROM wz_b
+    UNION ALL
+    SELECT event_type, event_id, value,
+           CAST(NULL AS DOUBLE) AS clipped_value,
+           CAST(NULL AS BOOLEAN) AS is_clipped
+    FROM events WHERE value IS NULL
+    """,
+)
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (operators/stats.py winsorize): per
+    event type, values clip into the exact [p2, p98] order-statistic
+    bounds — the robust-preprocessing pass before averaging skewed
+    metrics.  The bounds are selected by the integer rank test
+    (100*rank >= p*n) and the clipped output is the original value or
+    a COPIED bound, so no float is ever computed and the hash compare
+    covers the doubles.  The oracle replays the identical rank
+    algebra."""
+    from .operators.stats import winsorize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return winsorize(
+        e,
+        value_col="value",
+        group_cols=["event_type"],
+        tie_cols=["event_id"],
+        p_lo=2,
+        p_hi=98,
+    )
+
+
+@register(
     "events_quantile_normalize",
     """
     WITH qn_ref AS (
@@ -4653,7 +4707,7 @@ DRIVER_WINDOW: list[str] = [
     "events_hll_rolling",         # r10: rolling HLL via register re-max
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
-    "events_cm_heavy_hitters",    # r8: count-min frequency sketch
+    "events_winsorize",           # r10: exact percentile clipping
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "event_attribution_decay",    # r10: exponential time-decay attribution
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)

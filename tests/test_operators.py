@@ -5575,6 +5575,40 @@ def test_linear_attribution_excludes_null_value_conversions(spark):
     assert sum(r.credit_milli for r in out) == 1000
 
 
+def test_winsorize_hand_computed(spark):
+    """Values 1..10 at [p20, p80]: lo = value at rank ceil(0.2*10) = 2,
+    hi = value at rank 8 -> 1 clips up to 2, 9 and 10 clip down to 8,
+    the middle passes through; a NULL value passes with NULL output;
+    [p1, p100] clips nothing."""
+    from dp1_data_wrangling_spark.operators.stats import winsorize
+
+    rows = [("a", i, float(i)) for i in range(1, 11)] + [("a", 99, None)]
+    df = spark.createDataFrame(rows, "g string, event_id long, v double")
+    got = {
+        r.event_id: (r.clipped_value, r.is_clipped)
+        for r in winsorize(
+            df, value_col="v", group_cols=["g"], tie_cols=["event_id"],
+            p_lo=20, p_hi=80,
+        ).collect()
+    }
+    assert got[1] == (2.0, True)
+    assert got[2] == (2.0, False)
+    assert got[8] == (8.0, False)
+    assert got[9] == (8.0, True)
+    assert got[10] == (8.0, True)
+    assert got[99] == (None, None)
+    wide = winsorize(
+        df, value_col="v", group_cols=["g"], tie_cols=["event_id"],
+        p_lo=1, p_hi=100,
+    )
+    assert wide.filter(F.col("is_clipped")).count() == 0
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorize(
+            df, value_col="v", group_cols=["g"], tie_cols=["event_id"],
+            p_lo=50, p_hi=10,
+        )
+
+
 def test_quantile_normalize_hand_computed(spark):
     """ref 1..6: group a (3 rows) maps to ref ranks ceil(r*6/3) = 2,4,6;
     a singleton group maps to the ref max (rank 6); normalizing the

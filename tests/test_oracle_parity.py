@@ -342,7 +342,11 @@ def test_driver_window_covers_flagship_surface():
         "events_spatial_pairs",
         # round-8: count-min frequency sketch enters directly
         # (doc_curation_pipeline out — see note above)
-        "events_cm_heavy_hitters",
+        # events_cm_heavy_hitters rotated out late-r10 for
+        # events_winsorize (2x green r8+r9; the sketch family keeps
+        # events_kmv_cube, events_theta_overlap, events_hll_distinct
+        # and events_hll_rolling — four in-window reps)
+        "events_winsorize",
         # round-8: exact binary-fraction EWMA, radius-bounded KNN join,
         # and REAL G.711 mu-law decode enter directly (outs: see the
         # chain_flatten_distributed / event_correlation /

@@ -1283,3 +1283,15 @@ def test_quantile_normalize_broadcast_ref_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winsorize_single_exchange(spark):
+    """Winsorize: the rank window, group count, both bound selections
+    and the projection share ONE group-keyed hash exchange (the NULL
+    branch union adds none); no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_winsorize"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
