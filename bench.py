@@ -417,8 +417,12 @@ def main() -> None:
                     ("simhash_pairs_synth", simhash_candidate_pairs),
                     (
                         "simhash_pairs_capped_synth",
+                        # cap=8: the r10 first pass showed cap=64 does
+                        # not bind on this corpus (537k of 555k pairs
+                        # survived) — the valve probe must PRUNE to
+                        # demonstrate the bounded-output regime
                         lambda d: simhash_candidate_pairs(
-                            d, max_bucket_size=64, two_pass=True
+                            d, max_bucket_size=8, two_pass=True
                         ),
                     ),
                 ):

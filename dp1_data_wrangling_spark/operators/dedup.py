@@ -199,6 +199,11 @@ def pairs_from_band_keys(
         # mega bucket the flag exists to avoid — reject the combination.
         raise ValueError("two_pass=True requires a max_bucket_size")
     if two_pass:
+        # checkpoint BEFORE the branch: the qualifying census and the
+        # semi-joined stream both consume `keys`, and without the cut
+        # the (expensive) signature subtree executes twice — the CC
+        # multi-reference lesson (measured ~1.7x on simhash, r10)
+        keys = keys.localCheckpoint(eager=False)
         qualifying = (
             keys.groupBy("band", "band_key")
             .agg(F.countDistinct(id_col).alias("__n"))
@@ -333,6 +338,12 @@ def simhash_candidate_pairs(
         F.col("ck.chunk_val").alias("chunk_val"),
     )
     if two_pass:
+        # checkpoint BEFORE the branch: the qualifying census and the
+        # semi-joined stream both consume `keys`, whose 60-bit
+        # fingerprint subtree is THE expensive stage — without the cut
+        # it executes twice (measured 21s -> 36s on the 50k synth
+        # corpus, r10)
+        keys = keys.localCheckpoint(eager=False)
         qualifying = (
             keys.groupBy("chunk", "chunk_val")
             .agg(F.countDistinct("__id").alias("__n"))
@@ -652,6 +663,11 @@ def jaccard_threshold_join(
             raise ValueError(
                 f"max_prefix_df must be >= 2, got {max_prefix_df}"
             )
+        # checkpoint BEFORE the branch: the prefix-df census and the
+        # semi-joined stream both consume `prefix`, whose rarity-sorted
+        # array subtree would otherwise execute twice (the two-pass
+        # valve's standing pattern, r10)
+        prefix = prefix.localCheckpoint(eager=False)
         qualifying = (
             prefix.groupBy("token")
             .agg(F.countDistinct("__id").alias("__pdf"))
