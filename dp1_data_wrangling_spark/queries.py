@@ -4378,6 +4378,60 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments",
+    """
+    WITH rfm_a AS (
+        SELECT o_custkey AS customer,
+               max(epoch_us(o_orderdate)) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 1000) AS BIGINT))
+                    AS BIGINT) AS monetary_scaled
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    rfm_r AS (
+        SELECT customer, n_orders, monetary_scaled,
+               CAST((SELECT max(last_ts) FROM rfm_a) - last_ts
+                    AS BIGINT) AS recency
+        FROM rfm_a
+    )
+    SELECT customer, recency, n_orders, monetary_scaled,
+           CAST(ntile(5) OVER (ORDER BY recency, customer)
+                AS INTEGER) AS r_tier,
+           CAST(ntile(5) OVER (ORDER BY n_orders DESC, customer)
+                AS INTEGER) AS f_tier,
+           CAST(ntile(5) OVER (ORDER BY monetary_scaled DESC, customer)
+                AS INTEGER) AS m_tier
+    FROM rfm_r
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/stats.py rfm_segments): per
+    customer, recency vs the dataset's last order, order count, and
+    milli-quantized spend, each ntile(5)'d over a deterministic total
+    order (metric + customer tie-break) — the classic marketing tiers
+    where segment 1/1/1 is the best customer.  Everything exact
+    integers; the oracle replays the identical aggregates and ntile
+    windows."""
+    from .operators.stats import rfm_segments
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        "o_totalprice",
+    )
+    return rfm_segments(
+        o,
+        customer_col="o_custkey",
+        ts_col="ts_us",
+        value_col="o_totalprice",
+        n_tiers=5,
+        quant_scale=1000,
+    )
+
+
+@register(
     "events_winsorize",
     """
     WITH wz_nn AS (
@@ -4701,7 +4755,7 @@ DRIVER_WINDOW: list[str] = [
     "user_scd2_history",          # r8: SCD Type-2 dimension history
     # -- event analytics (r8: funnel / retention / Markov) --
     "event_funnel",               # r8: first-touch 3-step conversion funnel
-    "user_retention_cohorts",     # r8: weekly cohort retention grid
+    "customer_rfm_segments",      # r10: RFM tiers over exact aggregates
     "event_conversion_paths",     # r10: full-journey path census
     "events_quantile_normalize",  # r10: exact rank-based QN calibration
     "events_hll_rolling",         # r10: rolling HLL via register re-max

@@ -5575,6 +5575,38 @@ def test_linear_attribution_excludes_null_value_conversions(spark):
     assert sum(r.credit_milli for r in out) == 1000
 
 
+def test_rfm_segments_hand_computed(spark):
+    """Three customers, two tiers: B ordered last (recency 0) and
+    spends most -> r_tier 1 / m_tier 1; A orders most -> f_tier 1;
+    C trails everything -> 2/2/2.  ntile(2) puts the first ceil(3/2)=2
+    ranked rows in tier 1 — hand-derived per metric."""
+    from dp1_data_wrangling_spark.operators.stats import rfm_segments
+
+    rows = [
+        ("A", 10, 1.0), ("A", 20, 2.0), ("B", 30, 10.0), ("C", 5, 0.5),
+        ("C", None, 9.9),  # NULL ts excluded from aggregates
+    ]
+    df = spark.createDataFrame(rows, "cust string, ts long, v double")
+    got = {
+        r.customer: (r.recency, r.n_orders, r.monetary_scaled,
+                     r.r_tier, r.f_tier, r.m_tier)
+        for r in rfm_segments(
+            df, customer_col="cust", ts_col="ts", value_col="v",
+            n_tiers=2, quant_scale=1000,
+        ).collect()
+    }
+    # ntile(2) over 3 rows: the first TWO ranked rows share tier 1
+    assert got == {
+        "A": (10, 2, 3000, 1, 1, 1),
+        "B": (0, 1, 10000, 1, 1, 1),
+        "C": (25, 1, 500, 2, 2, 2),
+    }
+    with pytest.raises(ValueError, match="n_tiers"):
+        rfm_segments(
+            df, customer_col="cust", ts_col="ts", value_col="v", n_tiers=1
+        )
+
+
 def test_winsorize_hand_computed(spark):
     """Values 1..10 at [p20, p80]: lo = value at rank ceil(0.2*10) = 2,
     hi = value at rank 8 -> 1 clips up to 2, 9 and 10 clip down to 8,

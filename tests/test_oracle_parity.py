@@ -253,7 +253,12 @@ def test_driver_window_covers_flagship_surface():
         # gains the full-sequence census and keeps event_funnel +
         # event_funnel_latency in-window; the first-order matrix stays
         # parity-held in-repo every CI run)
-        "event_funnel", "user_retention_cohorts", "event_conversion_paths",
+        # user_retention_cohorts rotated out late-r10 for
+        # customer_rfm_segments (2x green r8+r9; the customer-analytics
+        # family gains the RFM tiers and keeps event_funnel +
+        # event_funnel_latency in-window; retention stays parity-held
+        # in-repo every CI run)
+        "event_funnel", "customer_rfm_segments", "event_conversion_paths",
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
         # stays via doc_semantic_decontam)

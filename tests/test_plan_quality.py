@@ -1295,3 +1295,17 @@ def test_winsorize_single_exchange(spark):
     assert data_shuffles(plan) == 1, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_segments_fact_collapse_then_dimension_windows(spark):
+    """RFM: one map-side-combinable groupBy collapses facts to customer
+    aggregates; the ntile windows run over the customer DIMENSION
+    (single-partition by the documented ABC-class contract); no
+    Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["customer_rfm_segments"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial_max" in plan, plan
+    assert data_shuffles(plan) <= 1, plan
