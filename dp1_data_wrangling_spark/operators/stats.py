@@ -432,10 +432,7 @@ def binned_ks_drift(
     stats, rb = ks_reference(
         ref, value_col=value_col, n_bins=n_bins, quant_scale=quant_scale
     )
-    cb = ks_census(
-        cur, stats, value_col=value_col, n_bins=n_bins,
-        quant_scale=quant_scale, out_name="n_cur",
-    )
+    cb = ks_census(cur, stats, value_col=value_col, out_name="n_cur")
     return ks_from_censuses(ref.sparkSession, stats, rb, cb, n_bins=n_bins)
 
 
@@ -444,23 +441,22 @@ def ks_census(
     stats: DataFrame,
     *,
     value_col: str,
-    n_bins: int,
-    quant_scale: int,
     out_name: str,
 ) -> DataFrame:
     """One sample's bin census against the reference binning — the
-    shared quantize/clamp/count front end (batch operator + streaming
-    twin read THIS code, so the binning contract cannot desynchronize
-    between them)."""
-    q = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    shared quantize/clamp/count front end.  The binning knobs
+    (quant_scale, n_bins) are READ FROM the stats frame's ``__qs`` /
+    ``__nb`` columns, never re-passed, so a caller CANNOT quantize or
+    clamp a census differently than the reference that built the stats
+    (the desync the refactor exists to forbid)."""
     bin_of = F.expr(
-        f"least(cast({n_bins - 1} as bigint), "
-        f"greatest(cast(0 as bigint), (__x - __lo) div __w))"
+        "least(__nb - 1, greatest(cast(0 as bigint), (__x - __lo) div __w))"
     )
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(q.alias("__x"))
+        .select(F.col(value_col).alias("__v"))
         .crossJoin(F.broadcast(stats))
+        .withColumn("__x", F.floor(F.col("__v") * F.col("__qs")).cast("bigint"))
         .select(bin_of.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias(out_name))
@@ -485,11 +481,12 @@ def ks_reference(
         # max_ref lands in bin n_bins - 1, never n_bins
         F.expr(f"((max(__x) - min(__x)) div {n_bins}) + 1").alias("__w"),
         F.count("*").cast("bigint").alias("__nr"),
+        # the binning knobs ride ON the frame: every census and the
+        # spine guard derive from these columns, so they cannot drift
+        F.lit(n_bins).cast("bigint").alias("__nb"),
+        F.lit(quant_scale).cast("bigint").alias("__qs"),
     )
-    rb = ks_census(
-        ref, stats, value_col=value_col, n_bins=n_bins,
-        quant_scale=quant_scale, out_name="n_ref",
-    )
+    rb = ks_census(ref, stats, value_col=value_col, out_name="n_ref")
     return stats, rb
 
 
@@ -523,7 +520,22 @@ def ks_from_censuses(
         .join(cb, "bin", "left")
         .select(
             "bin",
-            (F.col("__lo") + F.col("bin") * F.col("__w")).alias("lo_scaled"),
+            # executor fail-fast: a spine built with a different n_bins
+            # than the stats frame's stamped knob would silently drop or
+            # zero-pad bins — threaded into lo_scaled, which every
+            # output row consumes
+            F.when(
+                F.col("__nb") == F.lit(n_bins),
+                F.col("__lo") + F.col("bin") * F.col("__w"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "ks_from_censuses: n_bins disagrees with the "
+                        "stats frame's stamped binning — rebuild the "
+                        "censuses via ks_reference/ks_census"
+                    )
+                ).cast("bigint")
+            ).alias("lo_scaled"),
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
             F.col("__nr").alias("__nrt"),
@@ -674,7 +686,10 @@ def winsorize(
     float, so the hash compare covers doubles for free.  NULL values
     pass through with NULL output (no observation, no clip).
 
-    Returns the input rows plus ``out_col`` and ``is_clipped``.
+    Returns one row per input row PROJECTED to ``(*group_cols,
+    *tie_cols, value_col, out_col, is_clipped)`` — other input columns
+    are dropped (join them back on the tie columns if needed; the
+    narrow projection is what keeps the shuffle payload lean).
 
     Scale posture (100 TB): ONE hash exchange on the group key — the
     rank window, the group count, both bound selections (windowed

@@ -68,8 +68,7 @@ def stream_ks_drift(
             return  # replayed batch after recovery -> already committed
         spark = batch_df.sparkSession
         b_census = ks_census(
-            batch_df, stats, value_col=value_col, n_bins=n_bins,
-            quant_scale=quant_scale, out_name="n_cur",
+            batch_df, stats, value_col=value_col, out_name="n_cur"
         )
         last_exc: CommitConflict | None = None
         for _ in range(MERGE_RETRIES):
