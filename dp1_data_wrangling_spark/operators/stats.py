@@ -828,3 +828,105 @@ def rfm_segments(
         "customer", "recency", "n_orders", "monetary_scaled",
         "r_tier", "f_tier", "m_tier",
     )
+
+
+def gini_index(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str],
+    tie_cols: list[str],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Gini concentration index per group — the inequality measure next
+    to the ABC tiers (revenue concentration per segment, token-count
+    concentration per source): for non-negative values sorted
+    ascending,
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with rank i from a deterministic ``(value, *tie_cols)`` order.
+    Numerator and denominator are exact BIGINTs (values quantize to
+    integers); ``gini`` is ONE double division of the two — engine-
+    identical, hash-comparable.  NULL values are excluded; negative
+    values raise executor-side (the index is undefined under them);
+    zero-sum groups yield NULL gini (SQL NULL division).
+
+    Returns one row per group: ``(*group_cols, n, sum_scaled,
+    gini_num, gini_den, gini)``.
+
+    Scale posture (100 TB): ONE hash exchange on the group key — the
+    rank window and the final groupBy share its partitioning
+    (plan-gated).  Overflow: ``i * x`` summed over n is bounded by
+    n^2 * max_x, guarded in DOUBLE against 2^62 with the guard threaded
+    into the consumed quantized column.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not tie_cols:
+        raise ValueError(
+            "tie_cols must be non-empty (ranking needs a total order)"
+        )
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    from pyspark.sql import Window
+
+    w_grp = Window.partitionBy(*group_cols)
+    w_all = w_grp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = w_grp.orderBy(F.col(value_col), *[F.col(t) for t in tie_cols])
+    xq = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__x0", xq)
+        .withColumn("__r", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("__n", F.count("*").over(w_all))
+        .withColumn("__mx", F.max(F.abs(xq)).over(w_all))
+    )
+    env = (
+        F.col("__n").cast("double")
+        * F.col("__n").cast("double")
+        * F.col("__mx").cast("double")
+    )
+    guarded = (
+        F.when(
+            F.col("__x0") < 0,
+            F.raise_error(
+                F.lit(
+                    "gini_index: negative value — the index is undefined; "
+                    "shift or screen the metric upstream"
+                )
+            ).cast("bigint"),
+        )
+        .when(env > F.lit(float(1 << 62)),
+              F.raise_error(
+                  F.lit(
+                      "gini_index: n^2 * max exceeds 2^62 and the rank "
+                      "sums would wrap int64 — lower quant_scale or "
+                      "pre-aggregate equal values"
+                  )
+              ).cast("bigint"))
+        .otherwise(F.col("__x0"))
+    )
+    agg = base.withColumn("__x", guarded).groupBy(*group_cols).agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum("__x").alias("sum_scaled"),
+        F.sum(F.col("__r") * F.col("__x")).alias("__rx"),
+    )
+    num = (
+        F.lit(2) * F.col("__rx")
+        - (F.col("n") + F.lit(1)) * F.col("sum_scaled")
+    )
+    den = F.col("n") * F.col("sum_scaled")
+    return agg.select(
+        *group_cols,
+        "n",
+        "sum_scaled",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        (
+            num.cast("double")
+            / F.when(den > 0, den).cast("double")
+        ).alias("gini"),
+    )

@@ -4378,6 +4378,58 @@ def q_events_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_gini_concentration",
+    """
+    WITH gi_b AS (
+        SELECT o_orderpriority AS grp, o_orderkey AS id,
+               CAST(floor(o_totalprice * 1000) AS BIGINT) AS x
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    gi_r AS (
+        SELECT grp, x,
+               CAST(row_number() OVER (
+                   PARTITION BY grp ORDER BY x, id) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM gi_b
+    ),
+    gi_a AS (
+        SELECT grp, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_scaled,
+               CAST(sum(r * x) AS BIGINT) AS rx
+        FROM gi_r GROUP BY grp
+    )
+    SELECT grp AS o_orderpriority, n, sum_scaled,
+           2 * rx - (n + 1) * sum_scaled AS gini_num,
+           n * sum_scaled AS gini_den,
+           CAST(2 * rx - (n + 1) * sum_scaled AS DOUBLE)
+               / CAST(CASE WHEN n * sum_scaled > 0
+                           THEN n * sum_scaled END AS DOUBLE) AS gini
+    FROM gi_a
+    """,
+)
+def q_orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per order priority
+    (operators/stats.py gini_index): the inequality measure next to
+    the ABC tiers — how concentrated revenue is within each priority
+    class.  Rank sums are exact BIGINTs over a deterministic
+    (value, orderkey) order; gini is one double division of two exact
+    integers, hash-comparable.  The oracle replays the identical rank
+    algebra."""
+    from .operators.stats import gini_index
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return gini_index(
+        o,
+        value_col="o_totalprice",
+        group_cols=["o_orderpriority"],
+        tie_cols=["o_orderkey"],
+        quant_scale=1000,
+    )
+
+
+@register(
     "customer_rfm_segments",
     """
     WITH rfm_a AS (
@@ -4765,7 +4817,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "event_attribution_decay",    # r10: exponential time-decay attribution
     "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
-    "events_scd2_enrich",         # r8: fact-to-SCD2 temporal join (J7 x SCD2)
+    "orders_gini_concentration",  # r10: exact Gini concentration index
     "doc_bigram_score",           # r8: bigram LM proxy, stupid backoff
     "lineitem_weighted_quantiles",  # r10: exact weighted quantiles
     # -- dedup / similarity families --

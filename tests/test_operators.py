@@ -5575,6 +5575,40 @@ def test_linear_attribution_excludes_null_value_conversions(spark):
     assert sum(r.credit_milli for r in out) == 1000
 
 
+def test_gini_index_hand_computed(spark):
+    """1,2,3 -> G = 4/18; equal values -> 0; one holder of everything
+    -> (n-1)/n = 2/3; a zero-sum group yields NULL; a negative value
+    raises executor-side."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.stats import gini_index
+
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+        ("b", 1, 5.0), ("b", 2, 5.0),
+        ("c", 1, 0.0), ("c", 2, 0.0), ("c", 3, 9.0),
+        ("z", 1, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r.g: (r.n, r.sum_scaled, r.gini_num, r.gini_den, r.gini)
+        for r in gini_index(
+            df, value_col="v", group_cols=["g"], tie_cols=["id"],
+            quant_scale=1,
+        ).collect()
+    }
+    assert got["a"] == (3, 6, 4, 18, 4 / 18)
+    assert got["b"] == (2, 10, 0, 20, 0.0)
+    assert got["c"] == (3, 9, 18, 27, 18 / 27)
+    assert got["z"] == (1, 0, 0, 0, None)
+    neg = spark.createDataFrame([("a", 1, -1.0)], "g string, id long, v double")
+    with pytest.raises(SparkRuntimeException, match="negative"):
+        gini_index(
+            neg, value_col="v", group_cols=["g"], tie_cols=["id"],
+            quant_scale=1,
+        ).collect()
+
+
 def test_rfm_segments_hand_computed(spark):
     """Three customers, two tiers: B ordered last (recency 0) and
     spends most -> r_tier 1 / m_tier 1; A orders most -> f_tier 1;

@@ -337,7 +337,11 @@ def test_driver_window_covers_flagship_surface():
         "event_attribution_decay",
         # round-8: fact-to-SCD2 temporal enrichment join enters directly
         # (embedding_semantic_dedup out — see note above)
-        "events_scd2_enrich",
+        # events_scd2_enrich rotated out late-r10 for
+        # orders_gini_concentration (2x green r8+r9; the temporal-join
+        # family keeps user_scd2_history in-window and the streaming
+        # SCD2 equivalence suite runs every CI)
+        "orders_gini_concentration",
         # round-8: grid-blocked spatial distance join enters directly
         # (find_first out — 7x consecutive driver-green since r1, the
         # longest streak in the window; J4 evidence continues via the

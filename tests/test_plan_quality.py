@@ -1309,3 +1309,13 @@ def test_rfm_segments_fact_collapse_then_dimension_windows(spark):
     assert "CartesianProduct" not in plan, plan
     assert "partial_count" in plan or "partial_max" in plan, plan
     assert data_shuffles(plan) <= 1, plan
+
+
+def test_gini_single_exchange(spark):
+    """Gini: the rank window, group constants and the final groupBy
+    stack on ONE group-keyed hash exchange; no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["orders_gini_concentration"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "EvalPython" not in plan, plan
