@@ -89,6 +89,41 @@ def main() -> None:
     # are all linear-class, so its ratio belongs in the same band (the
     # line census would betray a quadratic pair-expansion instantly).
     scaling: dict[str, dict] = {}
+
+    # Machine-state reference probes (round 11): fixed pure-CPU and
+    # fixed JVM workloads timed with the same min-of-3.  The headline
+    # numbers on this host carry a time-varying ambient multiplier
+    # (r10's four runs read the SAME untouched queries 1.95x/1.52x/
+    # 1.49x/1.18x; r11 idle sessions read 1.43x/1.35x/1.30x hours
+    # apart) — these references make "machine state vs plan
+    # regression" a measurement instead of an adjudication: a plan
+    # regression moves a query AGAINST the references, ambient drift
+    # moves everything WITH them.
+    try:
+        import hashlib
+
+        def _cpu_ref() -> float:
+            h = hashlib.md5()
+            blk = b"x" * (1 << 20)
+            t0 = time.perf_counter()
+            for _ in range(200):
+                h.update(blk)
+            return time.perf_counter() - t0
+
+        def _jvm_ref() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 50_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 1) as s"
+            ).collect()
+            return time.perf_counter() - t0
+
+        scaling["machine_ref"] = {
+            "cpu_md5_200mb_sec": round(min(_cpu_ref() for _ in range(3)), 3),
+            "jvm_range_sum_sec": round(min(_jvm_ref() for _ in range(3)), 3),
+        }
+    except Exception as exc:  # noqa: BLE001 - reference is informational
+        print(f"machine ref probe failed: {exc}", file=sys.stderr)
+
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     if small_dir != sf_dir and os.path.isdir(small_dir):
         for probe in ("certify_probe", "priority_dedup", "doc_line_dedup"):

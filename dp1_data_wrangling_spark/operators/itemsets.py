@@ -62,14 +62,19 @@ def _capped_basket_items(
     The distinct set checkpoints ONCE (it feeds both the item census and
     the prune branch — the connected_components multi-reference lesson);
     pass ``checkpoint_capped=True`` when the CAPPED view itself has
-    multiple consumers (association_rules reads it three times)."""
+    multiple consumers (association_rules reads it three times).  Both
+    checkpoints are LAZY (the dedup.py two-pass-valve pattern): an
+    eager pair here put a ~3-job fixed floor under every invocation
+    (the r10 verdict's order_brand_rules watch item) — lazy ones
+    materialize inside the first consuming job and amortize
+    identically."""
     basket_items = (
         items.filter(F.col(item_col).isNotNull())
         .select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frequent = (
         basket_items.groupBy("__i")
@@ -86,7 +91,7 @@ def _capped_basket_items(
         .filter(F.col("__rn") <= max_items_per_basket)
         .select("__b", "__i")
     )
-    return capped.localCheckpoint(eager=True) if checkpoint_capped else capped
+    return capped.localCheckpoint(eager=False) if checkpoint_capped else capped
 
 
 def _pair_census(

@@ -1,0 +1,372 @@
+"""Distributed exact total-order ranking — rank / running sum / ntile
+with NO single-partition window anywhere in the plan.
+
+A naive ``ROW_NUMBER() / NTILE() OVER (ORDER BY metric)`` funnels the
+whole input through ONE task (Spark plans an unpartitioned window as a
+SinglePartition exchange + one sort).  This module computes the SAME
+numbers — bit-identical to the SQL window, so existing DuckDB oracles
+replay unchanged — by rank decomposition over range-bucket censuses,
+the same two-pass machinery :func:`~..sampling.global_shuffle` proves
+for hash order, extended to VALUE order with a tie level:
+
+    rank(row) = rows_in_lower_value_buckets            (driver offsets)
+              + rows_with_smaller_metric_in_my_bucket  (census cumsum)
+              + rows_with_my_metric_in_lower_tie_buckets
+              + row_number within (metric, tie_bucket) by tie
+
+Each term comes from a map-side-combinable census aggregate; the only
+windows run per value-bucket / per metric value / per (metric,
+tie_bucket) partition — all parallel, all bounded: a value bucket holds
+``distinct_values / n_value_buckets`` census rows, and a (metric,
+tie_bucket) partition holds ``ties_on_that_value / n_tie_buckets``
+rows, so even the adversarial "one metric value carries half the
+corpus" input stays distributed.  The per-bucket counts (at most
+``n_value_buckets`` rows) are collected driver-side and folded into
+literal offsets — catalog-scale metadata, the documented
+:func:`global_shuffle` posture, never fact rows.
+
+The running sum decomposes identically (census sums instead of counts),
+which is what the ABC/Pareto cumulative share needs; ``ntile`` is a
+pure formula on the exact rank (first ``n mod k`` tiles get one extra
+row — the SQL standard's sizing), so it inherits the machinery for
+free.
+
+Engine extension — the reference (a per-row export/import tool,
+export_dp1.py / import_dp1.py) has no ranking tier; this exists so the
+registry's tiering queries (RFM, ABC) hold their semantics at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LONG_MIN = -(1 << 63)
+
+# Bucket-count cap: offsets ride a Catalyst literal map (2 entries per
+# bucket) and one census row per bucket lands on the driver — 4096 is
+# catalog-scale on both counts, and a bucket then holds input/4096 rows
+# (ample parallelism at any real scale; raise the TIE buckets instead
+# if one metric value dominates).
+_MAX_BUCKETS = 4096
+
+
+@dataclass(frozen=True)
+class RankedFrame:
+    """Result of :func:`distributed_rank`: the ranked DataFrame plus the
+    driver-side totals the census pass already paid for (row count and
+    metric sum — what a cumulative-share consumer needs as literals)."""
+
+    df: DataFrame
+    n_total: int
+    sum_total: int
+
+
+def _offset_map(offsets: dict[int, int]) -> Column:
+    """Bucket -> literal offset as a Catalyst map (bounded by
+    _MAX_BUCKETS entries — the :func:`global_shuffle` small-space
+    form)."""
+    return F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+
+
+def distributed_rank(
+    df: DataFrame,
+    *,
+    metric_col: str,
+    tie_cols: list[str],
+    descending: bool = False,
+    n_value_buckets: int = 1024,
+    n_tie_buckets: int = 64,
+    rank_col: str = "rank",
+    cumsum_col: str | None = None,
+) -> RankedFrame:
+    """Exact 1-based rank (and optional inclusive running sum of the
+    metric) over the total order ``(metric asc|desc, *tie_cols asc)``,
+    with no single-partition exchange in the plan.
+
+    Bit-identical to ``ROW_NUMBER() OVER (ORDER BY ...)`` /
+    ``SUM(metric) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — an
+    oracle replays the plain SQL windows.
+
+    Contracts (the caller's side of the exactness bargain):
+
+    - ``metric_col`` and ``tie_cols[0]`` must be exact integers
+      (bigint-castable) — range bucketing needs numeric bounds.  Later
+      tie columns only need to be orderable.
+    - ``(metric, *tie_cols)`` must be UNIQUE per row (the standing
+      deterministic-total-order contract every ranking operator here
+      shares); duplicates would make ``row_number`` order-dependent.
+    - NULL metric / first-tie values raise executor-side (fail-fast,
+      threaded into the consumed ordering key — a NULL has no place in
+      a total order).
+
+    Eager like :func:`global_shuffle`: the bucket census (at most
+    ``n_value_buckets`` rows) is collected at call time and folded into
+    literal offsets, so the RETURNED frame's plan carries no
+    driver-dependent subquery and no global sort.
+
+    Scale posture (100 TB): three input-sized passes — a 2-column
+    min/max/count aggregate, the (metric, tie_bucket) census groupBy
+    (map-side combined), and the final per-(metric, tie_bucket) window
+    whose exchange the equi-join with the offset table reuses (same
+    key).  Everything else is census-sized.  Skew is bounded by
+    construction: no partition anywhere holds more than
+    ``max(distinct_values / n_value_buckets census rows,
+    max_ties_on_one_value / n_tie_buckets data rows)``.
+    """
+    if not tie_cols:
+        raise ValueError("tie_cols must be non-empty (rank needs a total order)")
+    if not 1 <= n_value_buckets <= _MAX_BUCKETS:
+        raise ValueError(
+            f"n_value_buckets must be in [1, {_MAX_BUCKETS}], got {n_value_buckets}"
+        )
+    if not 1 <= n_tie_buckets <= _MAX_BUCKETS:
+        raise ValueError(
+            f"n_tie_buckets must be in [1, {_MAX_BUCKETS}], got {n_tie_buckets}"
+        )
+    reserved = ["__mo", "__mraw", "__vb", "__tb", "__off_c", "__off_s"]
+    for c in ([rank_col] + ([cumsum_col] if cumsum_col else []) + reserved):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists in the input")
+
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    if not isinstance(df.schema[metric_col].dataType, _integral):
+        # a truncating cast would MERGE distinct fractional metrics into
+        # one ordering key and silently re-order them by tie — refuse
+        raise ValueError(
+            f"distributed_rank: metric column {metric_col!r} must be an "
+            "exact integer type (quantize upstream — the standing "
+            "integer-units posture)"
+        )
+    tie0 = tie_cols[0]
+    # Tie bucketing needs numeric bounds.  Integral first-tie columns
+    # range-bucket (the scale path); anything else degrades to ONE tie
+    # bucket — correct (the within-partition sort still orders by the
+    # true tie), but a single metric value's ties then share a
+    # partition, so map string keys to dense ids upstream when one
+    # value can dominate.
+    tie_numeric = isinstance(df.schema[tie0].dataType, _integral)
+    metric = F.col(metric_col).cast("bigint")
+    tie0_i = F.col(tie0).cast("bigint") if tie_numeric else F.lit(0)
+
+    # Ordering key: negate for descending (exact for every bigint but
+    # LONG_MIN, which the guard below rejects).  The guard also rejects
+    # NULL metric / first-tie values; it is threaded into __mo, which
+    # the census AND the final window consume, so it cannot be pruned.
+    bad = metric.isNull() | F.col(tie0).isNull()
+    if descending:
+        bad = bad | (metric == F.lit(_LONG_MIN))
+    if cumsum_col:
+        # running sums decompose through census partials, which must
+        # stay monotone to bound every prefix by the total — negative
+        # values would also make "cumulative share" ill-defined
+        bad = bad | (metric < 0)
+    mo_raw = (-metric) if descending else metric
+    mo = F.when(
+        ~bad, mo_raw
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "distributed_rank: NULL metric/tie, LONG_MIN metric "
+                "under descending, or negative metric under cumsum — "
+                "a total order / running share admits none of these; "
+                "filter or shift upstream"
+            )
+        ).cast("bigint")
+    )
+
+    keyed = df.withColumn("__mo", mo).withColumn("__mraw", metric)
+
+    # Pass 1 — bounds (2-column scan, one combinable aggregate row).
+    st = keyed.agg(
+        F.min("__mo").alias("lo_m"),
+        F.max("__mo").alias("hi_m"),
+        F.min(tie0_i).alias("lo_t"),
+        F.max(tie0_i).alias("hi_t"),
+        F.sum(F.abs(metric).cast("double")).alias("sd"),
+    ).collect()[0]
+    if st["lo_m"] is None:  # empty input: keep schema, add typed columns
+        out = keyed.drop("__mo", "__mraw").withColumn(
+            rank_col, F.lit(None).cast("bigint")
+        )
+        if cumsum_col:
+            out = out.withColumn(cumsum_col, F.lit(None).cast("bigint"))
+        return RankedFrame(out, 0, 0)
+    # widths in PYTHON ints: hi - lo cannot wrap here, unlike int64
+    lo_m, hi_m = int(st["lo_m"]), int(st["hi_m"])
+    lo_t, hi_t = int(st["lo_t"]), int(st["hi_t"])
+    if hi_m - lo_m >= (1 << 63) or hi_t - lo_t >= (1 << 63):
+        # the executor-side (x - lo) subtraction below would WRAP int64
+        # and break bucket monotonicity — refuse up front (rescale the
+        # metric; ranking is order-invariant under monotone rescaling)
+        raise ValueError(
+            "distributed_rank: metric/tie span exceeds int64 — rescale "
+            "the column (rank is invariant under monotone rescaling)"
+        )
+    wm = (hi_m - lo_m) // n_value_buckets + 1
+    wt = (hi_t - lo_t) // n_tie_buckets + 1
+    if cumsum_col and float(st["sd"] or 0.0) > float(1 << 62):
+        # census partials are int64 sums; past 2^62 total magnitude the
+        # double envelope can no longer certify they did not wrap
+        raise ValueError(
+            "distributed_rank: |metric| total exceeds the 2^62 running-"
+            "sum envelope — pre-scale the value units (shares are "
+            "scale-invariant)"
+        )
+
+    # exact integer div (round-9 posture: `/` is double division and
+    # drifts past 2^53; div never does)
+    vb = F.expr(f"(__mo - {lo_m}) div {wm}")
+    tb = (
+        F.expr(f"(cast(`{tie0}` as bigint) - {lo_t}) div {wt}")
+        if tie_numeric
+        else F.lit(0)
+    )
+
+    bucketed = keyed.withColumn("__vb", vb).withColumn("__tb", tb)
+
+    # Pass 2 — the (metric, tie_bucket) census: one map-side-combined
+    # groupBy; every downstream census derives from it, so checkpoint
+    # it LAZILY once (the dedup.py two-pass-valve pattern) instead of
+    # re-running the input aggregation per consumer.
+    census2 = (
+        bucketed.groupBy("__vb", "__mo", "__tb")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__mraw").alias("__s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    census1 = census2.groupBy("__vb", "__mo").agg(
+        F.sum("__c").alias("__c"), F.sum("__s").alias("__s")
+    )
+
+    # Value-bucket totals -> driver (<= n_value_buckets rows), prefix
+    # offsets as literals.  Python-int arithmetic: no wrap.
+    vrows = sorted(
+        (int(r["__vb"]), int(r["__c"]), int(r["__s"] or 0))
+        for r in census1.groupBy("__vb")
+        .agg(F.sum("__c").alias("__c"), F.sum("__s").alias("__s"))
+        .collect()
+    )
+    off_c: dict[int, int] = {}
+    off_s: dict[int, int] = {}
+    acc_c = acc_s = 0
+    for b, c, s in vrows:
+        off_c[b] = acc_c
+        off_s[b] = acc_s
+        acc_c += c
+        acc_s += s
+    n_total, sum_total = acc_c, acc_s
+
+    # Census cumsums: per value bucket over metric values (partition =
+    # the bucket's census rows), then per metric value over tie buckets
+    # (partition <= n_tie_buckets rows).  EXCLUSIVE prefix = inclusive
+    # cumsum minus own.
+    w_v = Window.partitionBy("__vb").orderBy("__mo")
+    c1 = census1.select(
+        "__mo",
+        (
+            F.coalesce(_offset_map(off_c)[F.col("__vb")], F.lit(0))
+            + F.sum("__c").over(w_v)
+            - F.col("__c")
+        ).alias("__below_c"),
+        (
+            F.coalesce(_offset_map(off_s)[F.col("__vb")], F.lit(0))
+            + F.sum("__s").over(w_v)
+            - F.col("__s")
+        ).alias("__below_s"),
+    )
+    w_t = Window.partitionBy("__mo").orderBy("__tb")
+    lookup = (
+        census2.join(c1, "__mo")
+        .select(
+            "__mo",
+            "__tb",
+            (F.col("__below_c") + F.sum("__c").over(w_t) - F.col("__c")).alias(
+                "__off_c"
+            ),
+            (F.col("__below_s") + F.sum("__s").over(w_t) - F.col("__s")).alias(
+                "__off_s"
+            ),
+        )
+    )
+
+    # Pass 3 — per-(metric, tie_bucket) window + equi-join on the SAME
+    # key (the join reuses the window's exchange under AQE).
+    w_fin = Window.partitionBy("__mo", "__tb").orderBy(
+        *[F.col(t) for t in tie_cols]
+    )
+    ranked = (
+        bucketed.join(lookup, ["__mo", "__tb"])
+        .withColumn(
+            rank_col,
+            (F.col("__off_c") + F.row_number().over(w_fin)).cast("bigint"),
+        )
+    )
+    if cumsum_col:
+        ranked = ranked.withColumn(
+            cumsum_col,
+            F.col("__off_s")
+            + F.sum("__mraw").over(
+                w_fin.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    drop = ["__mo", "__mraw", "__vb", "__tb", "__off_c", "__off_s"]
+    return RankedFrame(ranked.drop(*drop), n_total, sum_total)
+
+
+def _ntile_of_rank(rank_name: str, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) of an exact 1-based rank over n rows: the
+    first ``n mod k`` tiles hold ``n div k + 1`` rows, the rest ``n div
+    k`` — a pure integer formula once the rank is exact (`div`
+    throughout, the round-9 posture).  The ``max(q, 1)`` denominator is
+    dead when q == 0 (every rank <= cut == n then)."""
+    q, rem = n // k, n % k
+    cut = rem * (q + 1)
+    return F.expr(
+        f"cast((case when {rank_name} <= {cut} "
+        f"then ({rank_name} - 1) div {q + 1} "
+        f"else {rem} + ({rank_name} - {cut} - 1) div {max(q, 1)} end) "
+        f"+ 1 as int)"
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    *,
+    metric_col: str,
+    tie_cols: list[str],
+    n_tiles: int,
+    descending: bool = False,
+    out_col: str = "tier",
+    n_value_buckets: int = 1024,
+    n_tie_buckets: int = 64,
+) -> DataFrame:
+    """Exact ``NTILE(n_tiles) OVER (ORDER BY metric asc|desc,
+    *tie_cols)`` with no single-partition exchange — the formula on
+    :func:`distributed_rank`'s exact rank.  Bit-identical to the SQL
+    window; oracles replay ``ntile()`` verbatim.  Same contracts as
+    :func:`distributed_rank`."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    rk = distributed_rank(
+        df,
+        metric_col=metric_col,
+        tie_cols=tie_cols,
+        descending=descending,
+        n_value_buckets=n_value_buckets,
+        n_tie_buckets=n_tie_buckets,
+        rank_col="__ntile_rank",
+    )
+    if rk.n_total == 0:
+        return rk.df.drop("__ntile_rank").withColumn(
+            out_col, F.lit(None).cast("int")
+        )
+    return rk.df.withColumn(
+        out_col, _ntile_of_rank("__ntile_rank", rk.n_total, n_tiles)
+    ).drop("__ntile_rank")

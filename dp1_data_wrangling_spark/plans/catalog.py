@@ -1903,9 +1903,30 @@ class Catalog:
                             "append holding the rewritten rows"
                         )
                     repl = set(replaced)
-                    tables[tname] = [
-                        r for r in tables[tname] if r not in repl
-                    ]
+                    # The append above put the replacement root at the END
+                    # of the list.  Re-seat it at the slot of the FIRST
+                    # replaced root: _read_roots pins hive-inferred
+                    # partition-column dtypes from the first root it sees,
+                    # so leaving the replacement last would let a scoped
+                    # rewrite of the first root flip the table's read
+                    # dtype across an UPDATE/DELETE version (ADVICE r10 —
+                    # the same instability _pin_types closed for the
+                    # delete-applied path).
+                    new_rel = txn.writes[tname][1]
+                    reseated: list[str] = []
+                    placed = False
+                    for r in tables[tname]:
+                        if r == new_rel:
+                            continue  # drop the appended copy; re-seat below
+                        if r in repl:
+                            if not placed:
+                                reseated.append(new_rel)
+                                placed = True
+                            continue
+                        reseated.append(r)
+                    if not placed:
+                        reseated.append(new_rel)
+                    tables[tname] = reseated
                     dbag = m.get("deletes", {})
                     if tname in dbag:
                         kept = []

@@ -5735,6 +5735,70 @@ def test_binned_ks_drift_hand_computed(spark):
         binned_ks_drift(ref, cur, value_col="v", n_bins=1)
 
 
+def test_ks_drift_empty_reference_raises(spark):
+    """ADVICE r10: an empty (or all-NULL) reference must FAIL FAST, not
+    read as ks_scaled = 0 — 'no drift because we compared against
+    nothing' is the worst failure mode a drift monitor has.  The guard
+    is threaded into __lo, which the spine consumes, so it fires even
+    when the current sample is also empty."""
+    from dp1_data_wrangling_spark.operators.stats import binned_ks_drift
+
+    cur = spark.createDataFrame([(float(v),) for v in (0, 1, 2)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    # parallel stage materialization can wrap the raise in a
+    # multi-failure SparkException — match the message, not the type
+    for bad in (empty, allnull):
+        with pytest.raises(Exception, match="ks_reference"):
+            binned_ks_drift(
+                bad, cur, value_col="v", n_bins=4, quant_scale=1
+            ).collect()
+    # even cur-also-empty raises (the spine still evaluates __lo)
+    with pytest.raises(Exception, match="ks_reference"):
+        binned_ks_drift(
+            empty, empty, value_col="v", n_bins=4, quant_scale=1
+        ).collect()
+    # non-empty reference against an empty current sample stays legal:
+    # every bin reads cum_cur = 0, D = max cum_ref * 0-vs-n delta
+    ref = spark.createDataFrame([(float(v),) for v in (0, 5)], "v double")
+    ok = binned_ks_drift(ref, empty, value_col="v", n_bins=2, quant_scale=1)
+    assert ok.count() == 2
+
+
+def test_quantile_normalize_empty_reference_raises(spark):
+    """ADVICE r10: calibrating against an empty (or all-NULL) reference
+    must raise, not silently emit an empty result (every mapped rank
+    would be 0 and an inner __rr join would AQE-prune to nothing —
+    the guard rides the LEFT join's consumed output column).  An empty
+    SOURCE against a good reference stays a legitimate empty output."""
+    from dp1_data_wrangling_spark.operators.stats import quantile_normalize
+
+    src = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0)], "g string, event_id long, v double"
+    )
+    empty = spark.createDataFrame([], "event_id long, v double")
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "event_id long, v double"
+    )
+    for bad in (empty, allnull):
+        with pytest.raises(Exception, match="quantile_normalize"):
+            quantile_normalize(
+                src, bad, value_col="v", group_cols=["g"],
+                tie_cols=["event_id"],
+            ).collect()
+    ref = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 4)], "event_id long, v double"
+    )
+    empty_src = spark.createDataFrame([], "g string, event_id long, v double")
+    assert (
+        quantile_normalize(
+            empty_src, ref, value_col="v", group_cols=["g"],
+            tie_cols=["event_id"],
+        ).count()
+        == 0
+    )
+
+
 def test_weighted_quantiles_overflow_guard_fires(spark):
     """The r10 overflow guard: a group whose total weight exceeds
     (2^63-1) div 100 raises executor-side instead of wrapping the
@@ -5805,3 +5869,195 @@ def test_ndcg_validation(spark):
     lab = spark.createDataFrame([(1, 10, 1)], ["query_id", "doc_id", "rel"])
     with _pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(df, lab, k=0)
+
+
+# ---------------------------------------------------------------------------
+# distributed ranking (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+
+def _window_reference(spark, rows, descending, with_cumsum=False):
+    """The single-partition SQL-window answer the distributed machinery
+    must replicate bit-for-bit."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "id long, m long")
+    order = [F.col("m").desc() if descending else F.col("m"), F.col("id")]
+    w = Window.orderBy(*order)
+    out = df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    if with_cumsum:
+        out = out.withColumn(
+            "cum",
+            F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    return out
+
+
+def test_distributed_rank_matches_window(spark):
+    """Exact-rank decomposition == ROW_NUMBER() OVER (ORDER BY ...) on
+    an adversarial mix: a mega-tie value (60% of rows), unique values,
+    negative metrics, asc and desc — with tiny buckets so every
+    census/offset path is exercised."""
+    from dp1_data_wrangling_spark.operators.ranking import distributed_rank
+
+    rows = (
+        [(i, 7) for i in range(60)]            # mega-tie
+        + [(100 + i, i * 3 - 50) for i in range(30)]  # spread incl. negatives
+        + [(200 + i, 7) for i in range(10)]    # more of the tie, higher ids
+    )
+    df = spark.createDataFrame(rows, "id long, m long")
+    for desc in (False, True):
+        want = {
+            r.id: r.rank
+            for r in _window_reference(spark, rows, desc).collect()
+        }
+        rk = distributed_rank(
+            df, metric_col="m", tie_cols=["id"], descending=desc,
+            n_value_buckets=4, n_tie_buckets=3,
+        )
+        got = {r.id: r.rank for r in rk.df.collect()}
+        assert got == want, f"descending={desc}"
+        assert rk.n_total == len(rows)
+
+
+def test_distributed_rank_cumsum_matches_window(spark):
+    """The census-decomposed running sum == SUM() OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING) for non-negative metrics, asc and desc."""
+    from dp1_data_wrangling_spark.operators.ranking import distributed_rank
+
+    rows = [(i, (i * 17) % 23) for i in range(80)]  # repeats + spread
+    df = spark.createDataFrame(rows, "id long, m long")
+    for desc in (False, True):
+        want = {
+            r.id: (r.rank, r.cum)
+            for r in _window_reference(
+                spark, rows, desc, with_cumsum=True
+            ).collect()
+        }
+        rk = distributed_rank(
+            df, metric_col="m", tie_cols=["id"], descending=desc,
+            n_value_buckets=5, n_tie_buckets=4,
+            cumsum_col="cum",
+        )
+        got = {r.id: (r.rank, r.cum) for r in rk.df.collect()}
+        assert got == want, f"descending={desc}"
+        assert rk.sum_total == sum(m for _, m in rows)
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """distributed_ntile == NTILE(k) OVER (ORDER BY ...) across k < n,
+    k == n, k > n, with ties; string tie keys take the single-tie-bucket
+    fallback and still match."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.ranking import distributed_ntile
+
+    rows = [(i, (i * 7) % 5) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, m long")
+    for k in (2, 4, 5, 23, 40):
+        want = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy(F.col("m"), F.col("id")))
+            ).collect()
+        }
+        got = {
+            r.id: r.tier
+            for r in distributed_ntile(
+                df, metric_col="m", tie_cols=["id"], n_tiles=k,
+                n_value_buckets=3, n_tie_buckets=2,
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+    # string ties: fallback bucketing, same answer
+    srows = [(f"u{i:03d}", (i * 3) % 4) for i in range(17)]
+    sdf = spark.createDataFrame(srows, "uid string, m long")
+    want_s = {
+        r.uid: r.t
+        for r in sdf.withColumn(
+            "t", F.ntile(3).over(Window.orderBy(F.col("m"), F.col("uid")))
+        ).collect()
+    }
+    got_s = {
+        r.uid: r.tier
+        for r in distributed_ntile(
+            sdf, metric_col="m", tie_cols=["uid"], n_tiles=3,
+        ).collect()
+    }
+    assert got_s == want_s
+
+
+def test_distributed_rank_guards(spark):
+    """NULL metric/tie raise executor-side; non-integral metric,
+    reserved output names, span overflow and empty tie_cols raise at
+    construction; negative metric under cumsum raises; the empty input
+    short-circuits with full schema."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.ranking import (
+        distributed_rank,
+        distributed_ntile,
+    )
+
+    good = spark.createDataFrame([(1, 5), (2, 3)], "id long, m long")
+    with pytest.raises(ValueError, match="tie_cols"):
+        distributed_rank(good, metric_col="m", tie_cols=[])
+    with pytest.raises(ValueError, match="integer type"):
+        distributed_rank(
+            spark.createDataFrame([(1, 1.5)], "id long, m double"),
+            metric_col="m", tie_cols=["id"],
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        distributed_rank(good, metric_col="m", tie_cols=["id"], rank_col="m")
+    with pytest.raises(ValueError, match="n_tiles"):
+        distributed_ntile(good, metric_col="m", tie_cols=["id"], n_tiles=0)
+    nulls = spark.createDataFrame([(1, 5), (2, None)], "id long, m long")
+    with pytest.raises(SparkRuntimeException, match="distributed_rank"):
+        distributed_rank(nulls, metric_col="m", tie_cols=["id"])
+    neg = spark.createDataFrame([(1, -5), (2, 3)], "id long, m long")
+    with pytest.raises(SparkRuntimeException, match="distributed_rank"):
+        distributed_rank(
+            neg, metric_col="m", tie_cols=["id"], cumsum_col="cum"
+        )
+    span = spark.createDataFrame(
+        [(1, -(1 << 62)), (2, (1 << 62))], "id long, m long"
+    )
+    with pytest.raises(ValueError, match="span exceeds int64"):
+        distributed_rank(span, metric_col="m", tie_cols=["id"])
+    empty = spark.createDataFrame([], "id long, m long")
+    rk = distributed_rank(
+        empty, metric_col="m", tie_cols=["id"], cumsum_col="cum"
+    )
+    assert rk.n_total == 0 and rk.sum_total == 0
+    assert rk.df.columns == ["id", "m", "rank", "cum"]
+    assert rk.df.count() == 0
+    assert (
+        distributed_ntile(
+            empty, metric_col="m", tie_cols=["id"], n_tiles=3
+        ).count()
+        == 0
+    )
+
+
+def test_distributed_rank_multi_tie_cols(spark):
+    """Multiple tie columns: bucketing uses only the FIRST (a monotone
+    prefix of the order), ordering uses all — matches the window."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.ranking import distributed_rank
+
+    rows = [
+        (i % 4, chr(97 + (i * 5) % 7), i, 11) for i in range(40)
+    ]  # all metrics tie -> order decided entirely by (t1, t2, t3)
+    df = spark.createDataFrame(rows, "t1 long, t2 string, t3 long, m long")
+    w = Window.orderBy(F.col("m"), F.col("t1"), F.col("t2"), F.col("t3"))
+    want = {
+        (r.t1, r.t2, r.t3): r.rk
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint")).collect()
+    }
+    rk = distributed_rank(
+        df, metric_col="m", tie_cols=["t1", "t2", "t3"],
+        n_value_buckets=2, n_tie_buckets=3, rank_col="rk",
+    )
+    got = {(r.t1, r.t2, r.t3): r.rk for r in rk.df.collect()}
+    assert got == want

@@ -2037,6 +2037,58 @@ def test_catalog_update_rewrites_only_matching_roots(spark, tmp_path):
     assert cat.read(spark, "t").count() == 390
 
 
+def test_catalog_scoped_rewrite_preserves_first_seen_type_pin(spark, tmp_path):
+    """ADVICE r10: the root-scoped rewrite must RE-SEAT the replacement
+    root at the slot of the first replaced root, not append it last —
+    otherwise rewriting the FIRST root makes some later root the new
+    first-seen type pin, and a hive-inferred partition column that
+    infers differently there ("a" -> string vs "10" -> int) flips the
+    table's read dtype across an UPDATE/DELETE version."""
+    from pyspark.sql.types import StringType
+
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["id"])
+    # root 1: hive partition value "a" -> string inference (the pin)
+    tx = cat.begin()
+    tx.stage(
+        "t",
+        spark.range(0, 10).select("id", F.lit("a").alias("w")),
+        partition_by=["w"],
+    )
+    cat.commit(tx)
+    # root 2: all-numeric partition value "10" -> would infer int
+    tx = cat.begin()
+    tx.stage(
+        "t",
+        spark.range(100, 110).select("id", F.lit("10").alias("w")),
+        mode="append",
+        partition_by=["w"],
+    )
+    cat.commit(tx)
+    rels_before = list(cat.manifest()["tables"]["t"])
+    t_before = {f.name: f.dataType for f in cat.read(spark, "t").schema.fields}
+    assert isinstance(t_before["w"], StringType)
+
+    # scoped DELETE touching only the FIRST root (zone maps prune root 2)
+    cat.delete(spark, "t", "id = 5")
+    m = cat.manifest()
+    assert m["meta"]["rewritten_roots"] == 1
+    rels_after = list(m["tables"]["t"])
+    # the replacement sits in the replaced root's slot; the carried root
+    # keeps its position (and is NOT first, so it cannot re-pin types)
+    assert rels_after[1] == rels_before[1]
+    assert rels_after[0] != rels_before[0]
+    t_after = {f.name: f.dataType for f in cat.read(spark, "t").schema.fields}
+    assert t_after == t_before, "read dtypes must be stable across a scoped rewrite"
+    got = {(r.id, r.w) for r in cat.read(spark, "t").collect()}
+    want = {(i, "a") for i in range(10) if i != 5} | {
+        (i, "10") for i in range(100, 110)
+    }
+    assert got == want
+
+
 def test_catalog_scoped_rewrite_respects_mor_scoping(spark, tmp_path):
     """A root-scoped UPDATE materializes pending MOR deletes for the
     rewritten roots ONLY and re-scopes the entries to the carried roots
