@@ -860,6 +860,63 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - sweep is informational
             print(f"pagerank scale probe failed: {exc}", file=sys.stderr)
 
+    # Distributed-ntile scale probe (round 11, VERDICT item 1): the rank
+    # decomposition replaces three single-partition windows in rfm/abc,
+    # so its own scaling law needs a record.  The fixture is the
+    # machinery's ADVERSARIAL regime: half the rows tie on ONE metric
+    # value (a value-range bucket cannot split a tied value — the tie-
+    # bucket level has to), the rest spread over ~n/2 distinct values
+    # (census ~ input-sized).  Cost is one stats agg + one census
+    # groupBy + one (value, tie-bucket) window+join — all linear; a
+    # hidden single-partition sort would read ~10x worse at 10x rows.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.operators.ranking import (
+                distributed_ntile,
+            )
+
+            def synth_rank(n: int):
+                return spark.range(n).select(
+                    F.col("id").alias("k"),
+                    F.when(F.col("id") % 2 == 0, F.lit(7))
+                    .otherwise((F.col("id") * 2654435761) % (n // 2))
+                    .cast("bigint")
+                    .alias("m"),
+                )
+
+            tmp = tempfile.mkdtemp(prefix="bench_ntile_")
+            try:
+                rpaths = {}
+                for n in (100_000, 1_000_000):
+                    rpaths[n] = f"{tmp}/r{n}"
+                    synth_rank(n).write.parquet(rpaths[n])
+                nt = {
+                    n: min_of_3(
+                        lambda n=n: distributed_ntile(
+                            spark.read.parquet(rpaths[n]),
+                            metric_col="m",
+                            tie_cols=["k"],
+                            n_tiles=10,
+                        )
+                    )
+                    for n in (100_000, 1_000_000)
+                }
+                scaling["distributed_ntile_synth"] = {
+                    "n_rows": [100_000, 1_000_000],
+                    "small_sec": round(nt[100_000], 3),
+                    "big_sec": round(nt[1_000_000], 3),
+                    "ratio_10x_rows": round(nt[1_000_000] / nt[100_000], 2),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - probe is informational
+            print(f"ntile scale probe failed: {exc}", file=sys.stderr)
+
     # Catalog data-skipping probe (round 8): 16 range-disjoint commit
     # roots over lineitem with a zone map on l_orderkey; a one-root range
     # predicate through read(where=...) vs the same filter over a full
@@ -917,6 +974,74 @@ def main() -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 - probe is informational
             print(f"zone-map probe failed: {exc}", file=sys.stderr)
+
+    # Z-order layout probe (round 11, VERDICT r10 item 7): compact the
+    # same table three ways — unclustered, range_by its lead column,
+    # zorder_by both columns — and time a tight TWO-column predicate
+    # scan on each (max_records_per_file splits the data into ~16 files
+    # so parquet footer min/max stats have something to skip).  Range
+    # clustering serves only its lead column; the Morton layout bounds
+    # BOTH columns' per-file span, so the second predicate prunes files
+    # instead of rows.  Results are asserted equal across layouts —
+    # layout must never change answers.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.plans import Catalog
+            from dp1_data_wrangling_spark.tables import load_table
+
+            ev = load_table(spark, sf_dir, "events").select(
+                "user_id", "value", "event_type"
+            ).withColumn("v_int", F.floor(F.col("value")).cast("bigint")).drop(
+                "value"
+            )
+            n_ev = ev.count()
+            tmp = tempfile.mkdtemp(prefix="bench_zorder_")
+            try:
+                layouts = {
+                    "plain": {},
+                    "range_lead": {"range_by": ["user_id"]},
+                    "zorder_both": {"zorder_by": ["user_id", "v_int"]},
+                }
+                cats = {}
+                for name, kw in layouts.items():
+                    cat = Catalog(f"{tmp}/{name}")
+                    tx = cat.begin()
+                    tx.stage(
+                        "ev", ev,
+                        max_records_per_file=max(n_ev // 16, 1), **kw,
+                    )
+                    cat.commit(tx)
+                    cats[name] = cat
+                pred = "user_id >= 100 AND user_id < 140 AND v_int >= 200 AND v_int < 260"
+                times = {
+                    name: min_of_3(
+                        lambda c=cat: c.read(spark, "ev").filter(pred)
+                    )
+                    for name, cat in cats.items()
+                }
+                counts = {
+                    name: cat.read(spark, "ev").filter(pred).count()
+                    for name, cat in cats.items()
+                }
+                assert len(set(counts.values())) == 1, counts
+                scaling["zorder_layout_probe"] = {
+                    "rows_matched": counts["plain"],
+                    "plain_sec": round(times["plain"], 3),
+                    "range_lead_sec": round(times["range_lead"], 3),
+                    "zorder_both_sec": round(times["zorder_both"], 3),
+                    "zorder_vs_plain": round(
+                        times["plain"] / times["zorder_both"], 2
+                    ),
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - probe is informational
+            print(f"zorder probe failed: {exc}", file=sys.stderr)
 
     # Streaming ingest bench (round 8, VERDICT item 5): the streaming tier
     # has exact batch-equivalence proofs but needed cost numbers — at

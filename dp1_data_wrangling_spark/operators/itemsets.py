@@ -293,3 +293,109 @@ def association_rules(
         )
         .filter(F.col("confidence_milli") >= F.lit(min_confidence_milli))
     )
+
+def item_affinity(
+    items: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int,
+    min_pair_support: int,
+    max_items_per_basket: int,
+    min_affinity_ppm: int = 0,
+) -> DataFrame:
+    """Symmetric item-item affinity — squared cosine similarity of the
+    basket-incidence vectors, in exact ppm:
+
+        affinity_ppm = (1_000_000 * n_ab * n_ab) div (n_a * n_b)
+
+    The binary-incidence cosine ``n_ab / sqrt(n_a * n_b)`` is the
+    standard item-item collaborative-filtering similarity (Sarwar et
+    al., WWW '01 — public literature); squaring clears the square root
+    so the statistic stays EXACT INTEGER and replays verbatim in SQL
+    (monotone in the cosine, so rankings and thresholds are unchanged).
+
+    All censuses come from the SAME pruned+capped basket view as
+    :func:`association_rules` (one documented semantic everywhere), so
+    ``n_ab <= min(n_a, n_b)`` and ``affinity_ppm <= 1_000_000`` always.
+    Returns one row per unordered pair: ``(item_a < item_b, n_ab, n_a,
+    n_b, affinity_ppm)``, filtered to ``n_ab >= min_pair_support`` and
+    ``affinity_ppm >= min_affinity_ppm``.
+
+    Scale posture (100 TB): identical to frequent_pairs (distinct + two
+    combinable censuses + one cap window; pair volume bounded at
+    baskets x cap²/2 by the deterministic cap) plus one broadcast item-
+    census join — the census is vocabulary-sized.  Overflow: both
+    ``1e6 * n_ab²`` and ``n_a * n_b`` are guarded in DOUBLE against
+    2^62 (executor fail-fast threaded into the consumed pair count).
+    """
+    if min_affinity_ppm < 0 or min_affinity_ppm > 1_000_000:
+        raise ValueError(
+            f"min_affinity_ppm must be in [0, 1000000], got "
+            f"{min_affinity_ppm}"
+        )
+    _validate_census_knobs(
+        min_item_support, min_pair_support, max_items_per_basket
+    )
+    # two consumers (item census, pair census) — lazy checkpoint once
+    capped = _capped_basket_items(
+        items,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_item_support=min_item_support,
+        max_items_per_basket=max_items_per_basket,
+        checkpoint_capped=True,
+    )
+    item_counts = capped.groupBy("__i").agg(
+        F.count("*").cast("bigint").alias("__cnt")
+    )
+    pairs = _pair_census(
+        capped,
+        min_pair_support=min_pair_support,
+        a_name="item_a",
+        b_name="item_b",
+    ).withColumnRenamed("n_baskets", "n_ab")
+    with_counts = pairs.join(
+        F.broadcast(
+            item_counts.select(
+                F.col("__i").alias("item_a"), F.col("__cnt").alias("n_a")
+            )
+        ),
+        "item_a",
+    ).join(
+        F.broadcast(
+            item_counts.select(
+                F.col("__i").alias("item_b"), F.col("__cnt").alias("n_b")
+            )
+        ),
+        "item_b",
+    )
+    env = F.greatest(
+        F.lit(1_000_000.0)
+        * F.col("n_ab").cast("double")
+        * F.col("n_ab").cast("double"),
+        F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+    )
+    n_ab_ok = F.when(env <= F.lit(float(1 << 62)), F.col("n_ab")).otherwise(
+        F.raise_error(
+            F.lit(
+                "item_affinity: an affinity operand (1e6 * n_ab^2 or "
+                "n_a * n_b) exceeds 2^62 — the cross-multiply would "
+                "wrap int64; sample baskets or shard the census"
+            )
+        ).cast("bigint")
+    )
+    return (
+        with_counts.withColumn("__ab", n_ab_ok)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("__ab").alias("n_ab"),
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * __ab * __ab) div (n_a * n_b)").alias(
+                "affinity_ppm"
+            ),
+        )
+        .filter(F.col("affinity_ppm") >= F.lit(min_affinity_ppm))
+    )

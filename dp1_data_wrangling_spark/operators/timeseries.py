@@ -725,3 +725,119 @@ def acf(
             ).alias("acf"),
         )
     )
+
+def seasonal_mase(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    tie_cols: list[str] | None = None,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Seasonal-naive forecast accuracy per key — the MASE denominator
+    convention of Hyndman & Koehler (2006, public literature): forecast
+    each observation with the value ``period`` OBSERVATIONS earlier,
+    scale the error by the one-step naive error,
+
+        mase_milli = (1000 * sum|v_t - v_{t-period}|)
+                     div sum|v_t - v_{t-1}|
+
+    A mase_milli under 1000 means the seasonal pattern genuinely
+    explains the series better than a flat carry-forward — the standard
+    screen before trusting a seasonality assumption in a rollup or
+    forecast.  Values quantize to exact integers (``floor(v *
+    quant_scale)``) so both sums are BIGINT and the truncating div
+    replays verbatim in SQL; NULL values are excluded (gap-free series
+    are the caller's contract — run :func:`gapfill` first for sparse
+    ones); a key with a zero one-step denominator (constant series) or
+    fewer than ``period + 1`` observations yields NULL mase_milli (SQL
+    NULL division / no scored rows), never a fake score.
+
+    Returns one row per key: ``(*key_cols, n_scored, sum_abs_err,
+    sum_abs_naive, mase_milli)``.
+
+    Scale posture (100 TB): ONE hash exchange on the key — the lag
+    windows and the final groupBy share its partitioning (plan-gated);
+    per-key series on one partition is the standing per-key window
+    contract.  Overflow: |err| sums are bounded by n * max|v| *
+    quant_scale, guarded in DOUBLE against 2^62 with the guard threaded
+    into the consumed quantized value.
+    """
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    ties = tie_cols or []
+    w_key = Window.partitionBy(*key_cols)
+    w_ord = w_key.orderBy(F.col(ts_col), *[F.col(t) for t in ties])
+    nn = df.filter(F.col(value_col).isNotNull())
+    vq = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    base = nn.withColumn("__vq0", vq).withColumn(
+        "__n",
+        F.count("*").over(
+            w_key.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).withColumn(
+        "__mx",
+        F.max(F.abs(vq)).over(
+            w_key.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    # each |err| term is <= 2*max|v| and there are < n of them; the
+    # extra *1000 covers the milli cross-multiply in the output
+    env = (
+        F.col("__n").cast("double")
+        * F.lit(2000.0)
+        * F.col("__mx").cast("double")
+    )
+    guarded = F.when(env <= F.lit(float(1 << 62)), F.col("__vq0")).otherwise(
+        F.raise_error(
+            F.lit(
+                "seasonal_mase: 1000 * n * 2*max|v| exceeds the 2^62 "
+                "sum envelope — lower quant_scale (the ratio is "
+                "scale-invariant)"
+            )
+        ).cast("bigint")
+    )
+    lagged = (
+        base.withColumn("__vq", guarded)
+        .withColumn("__lp", F.lag("__vq", period).over(w_ord))
+        .withColumn("__l1", F.lag("__vq", 1).over(w_ord))
+    )
+    scored = lagged.groupBy(*key_cols).agg(
+        F.count(F.col("__lp")).cast("bigint").alias("n_scored"),
+        F.sum(
+            F.when(
+                F.col("__lp").isNotNull(), F.abs(F.col("__vq") - F.col("__lp"))
+            )
+        ).cast("bigint").alias("sum_abs_err"),
+        # the naive denominator spans the SAME scored window (rows with a
+        # seasonal lag), so numerator and denominator cover identical
+        # observations — the Hyndman in-sample convention restricted to
+        # the scorable suffix
+        F.sum(
+            F.when(
+                F.col("__lp").isNotNull(), F.abs(F.col("__vq") - F.col("__l1"))
+            )
+        ).cast("bigint").alias("sum_abs_naive"),
+    )
+    return scored.select(
+        *key_cols,
+        "n_scored",
+        F.coalesce("sum_abs_err", F.lit(0)).alias("sum_abs_err"),
+        F.coalesce("sum_abs_naive", F.lit(0)).alias("sum_abs_naive"),
+        F.when(
+            F.coalesce(F.col("sum_abs_naive"), F.lit(0)) > 0,
+            F.expr("(1000 * sum_abs_err) div sum_abs_naive"),
+        ).alias("mase_milli"),
+    )

@@ -6061,3 +6061,82 @@ def test_distributed_rank_multi_tie_cols(spark):
     )
     got = {(r.t1, r.t2, r.t3): r.rk for r in rk.df.collect()}
     assert got == want
+
+
+def test_item_affinity_hand_computed(spark):
+    """Four baskets over items a/b/c: n_a=3, n_b=3, n_c=2; pair (a,b)
+    co-occurs twice -> affinity = 1e6*4 // 9 = 444444 ppm; (a,c) and
+    (b,c) once each -> 1e6 // 6 = 166666.  Thresholds filter exactly;
+    invalid knobs raise."""
+    from dp1_data_wrangling_spark.operators.itemsets import item_affinity
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"), (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.affinity_ppm)
+        for r in item_affinity(
+            df, basket_col="b", item_col="i",
+            min_item_support=1, min_pair_support=1,
+            max_items_per_basket=8,
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 3, 3, 444444),
+        ("a", "c"): (1, 3, 2, 166666),
+        ("b", "c"): (1, 3, 2, 166666),
+    }
+    kept = item_affinity(
+        df, basket_col="b", item_col="i",
+        min_item_support=1, min_pair_support=1,
+        max_items_per_basket=8, min_affinity_ppm=400_000,
+    ).collect()
+    assert {(r.item_a, r.item_b) for r in kept} == {("a", "b")}
+    with pytest.raises(ValueError, match="min_affinity_ppm"):
+        item_affinity(
+            df, basket_col="b", item_col="i",
+            min_item_support=1, min_pair_support=1,
+            max_items_per_basket=8, min_affinity_ppm=-1,
+        )
+
+
+def test_seasonal_mase_hand_computed(spark):
+    """Series 10,20,10,20,10,20 at period 2: every seasonal error is 0
+    while every one-step error is 10000 milli-units -> mase_milli 0.
+    The same series at period 1 IS the naive forecast -> 1000.  A
+    constant series has zero denominator -> NULL.  A series shorter
+    than period+1 scores nothing -> n_scored 0, NULL."""
+    from dp1_data_wrangling_spark.operators.timeseries import seasonal_mase
+
+    rows = [("s", t, float(10 if t % 2 == 0 else 20)) for t in range(6)]
+    rows += [("c", t, 5.0) for t in range(4)]
+    rows += [("short", 0, 1.0), ("short", 1, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {
+        r.k: (r.n_scored, r.sum_abs_err, r.sum_abs_naive, r.mase_milli)
+        for r in seasonal_mase(
+            df, key_cols=["k"], ts_col="ts", value_col="v",
+            period=2, tie_cols=["ts"],
+        ).collect()
+    }
+    assert got["s"] == (4, 0, 40000, 0)
+    assert got["c"] == (2, 0, 0, None)
+    assert got["short"] == (0, 0, 0, None)
+    p1 = {
+        r.k: r.mase_milli
+        for r in seasonal_mase(
+            df.filter("k = 's'"), key_cols=["k"], ts_col="ts",
+            value_col="v", period=1, tie_cols=["ts"],
+        ).collect()
+    }
+    assert p1["s"] == 1000
+    with pytest.raises(ValueError, match="period"):
+        seasonal_mase(
+            df, key_cols=["k"], ts_col="ts", value_col="v", period=0
+        )
+    with pytest.raises(ValueError, match="key_cols"):
+        seasonal_mase(
+            df, key_cols=[], ts_col="ts", value_col="v", period=1
+        )

@@ -129,7 +129,8 @@ def test_driver_window_covers_flagship_surface():
         # + 3.49x scaling probe keep its perf evidence and the semantic
         # family keeps doc_semantic_curation, doc_semantic_decontam and
         # doc_cluster_safe_split in-window)
-        "doc_bigram_score",
+        # (doc_bigram_score's r11 rotation note sits with the
+        # orders_value_deciles entry below)
         # round-7 audit rotation: the in-repo-only tail gains external
         # sf0.01 evidence; six multi-round-green trivial entries plus
         # membership_join/asof_lookup_{bucketized,routed} rotated out
@@ -382,7 +383,19 @@ def test_driver_window_covers_flagship_surface():
         # round-9: the three r8 entrants deliberately held back at the
         # end of round 8 enter now (outs: see the doc_card_scan /
         # ivf_kmeans_recall_bound / doc_subword_mix notes above)
-        "doc_cooccurrence", "events_skyline", "events_value_quantiles",
+        # doc_cooccurrence rotated out in r11 for order_item_affinity
+        # (3x green r9-r10 incl. staging; the itemsets family gains the
+        # cosine^2 similarity and keeps order_brand_rules in-window)
+        # events_skyline rotated out in r11 for events_seasonal_mase
+        # (2x green r9-r10; the Pareto/order-stat family keeps
+        # part_abc_classes in-window and the skyline stays parity-held
+        # in-repo every CI run)
+        # events_value_quantiles rotated out in r11 for events_gapfill
+        # (2x green r9-r10; the quantile family keeps
+        # events_hdr_quantiles + lineitem_weighted_quantiles in-window;
+        # gapfill was registered in r9 and held parity-checked until its
+        # scheduled slot — the BASELINE.md r10->r11 staging plan)
+        "order_item_affinity", "events_seasonal_mase", "events_gapfill",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

@@ -1165,16 +1165,47 @@ def test_attribution_user_keyed_join_no_python(spark):
 
 EXCHANGE_LEDGER = {
     # name: (data shuffles, broadcast exchanges, single-partition gathers)
-    "events_geofence": (0, 1, 0),
-    "embedding_semantic_dedup": (2, 0, 0),
-    "doc_link_pagerank": (0, 0, 0),
-    "simhash_pairs": (2, 0, 0),
-    "doc_fuzzy_pairs": (2, 1, 0),
-    "doc_bm25_topk": (6, 4, 1),
-    "export_plan": (4, 7, 0),
+    # r11: extended from the top-10 to EVERY bench headliner (36) —
+    # the cheapest drift alarm the plan tier has.  events_ks_drift's
+    # six single-partition gathers are the documented n_bins-row
+    # spine windows (metadata-sized BY DESIGN); order_brand_rules'
+    # and doc_bm25_topk's one each are one-row total aggregates.
     "certify_probe": (1, 0, 0),
-    "priority_dedup": (1, 2, 0),
+    "cosine_topk": (1, 1, 0),
+    "dedup_clusters": (0, 1, 0),
+    "dimension_expansion": (0, 4, 0),
+    "doc_bm25_topk": (6, 4, 1),
+    "doc_bpe_tokens": (0, 0, 0),
+    "doc_curation_pipeline": (1, 0, 0),
+    "doc_exact_dedup": (1, 0, 0),
+    "doc_fuzzy_pairs": (2, 1, 0),
+    "doc_global_shuffle": (1, 0, 0),
+    "doc_line_dedup": (2, 2, 0),
+    "doc_link_communities": (0, 0, 0),
+    "doc_link_pagerank": (0, 0, 0),
+    "doc_link_triangles": (5, 0, 0),
+    "embedding_semantic_dedup": (2, 0, 0),
+    "event_conversion_paths": (2, 1, 0),
+    "event_funnel": (1, 2, 0),
+    "event_sessions": (1, 0, 0),
+    "events_acf": (1, 0, 0),
+    "events_geofence": (0, 1, 0),
+    "events_hdr_quantiles": (2, 0, 0),
+    "events_holt_trend": (2, 0, 0),
+    "events_ks_drift": (3, 7, 6),
+    "events_spatial_pairs": (0, 1, 0),
+    "export_plan": (4, 7, 0),
+    "find_first": (1, 2, 0),
     "minhash_pairs": (2, 0, 0),
+    "multi_join_revenue": (2, 4, 0),
+    "multimodal_decode": (0, 0, 0),
+    "multimodal_png": (0, 0, 0),
+    "order_brand_rules": (5, 3, 1),
+    "orders_value_deciles": (3, 2, 0),
+    "priority_dedup": (1, 2, 0),
+    "session_window": (1, 0, 0),
+    "simhash_pairs": (2, 0, 0),
+    "user_scd2_history": (1, 0, 0),
 }
 
 BENCH_SF = "/root/testdata/sf0.1"
@@ -1333,3 +1364,40 @@ def test_gini_single_exchange(spark):
     plan = plan_of(REGISTRY["orders_gini_concentration"].fn(spark, SMOKE_SF))
     assert data_shuffles(plan) == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_orders_value_deciles_no_single_partition(spark):
+    """Fact-scale ranking (r11): the decile + percent-rank query runs
+    the census-decomposed distributed_rank — NO single-partition
+    exchange in the executed plan (the naive NTILE window would gather
+    every order into one task); no Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["orders_value_deciles"].fn(spark, SMOKE_SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_item_affinity_broadcast_censuses_no_cartesian(spark):
+    """Item affinity (r11): same plan class as the association rules —
+    broadcast vocabulary censuses, row-local capped pair explosion; no
+    Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["order_item_affinity"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_seasonal_mase_single_exchange(spark):
+    """Seasonal MASE (r11): the group constants, both lag frames and
+    the final groupBy stack on ONE hash exchange on the series key; no
+    Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_seasonal_mase"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
