@@ -33,6 +33,7 @@ from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
 from .geofence import stream_geofence
 from .drift import stream_ks_drift
+from .funnel import stream_funnel
 from .scd import stream_scd2
 from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
@@ -65,6 +66,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",
+    "stream_funnel",
     "stream_ks_drift",
     "stream_scd2",
     "stream_geofence",

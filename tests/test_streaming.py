@@ -1719,3 +1719,89 @@ def test_stream_text_index_rebuild_fails_fast(spark, tmp_path):
     q2 = stream_text_index_append(stream, str(cat.root), checkpoint_dir=ckpt)
     with pytest.raises(StreamingQueryException, match="rebuilt"):
         q2.awaitTermination(180)
+
+
+def test_stream_funnel_equals_batch(spark, tmp_path):
+    """Funnel micro-batches — including a LATE step-1 event that
+    re-anchors an already-converted user's whole chain — must
+    materialize exactly funnel_match(all events).  The adversarial
+    case: user 1 converts via view@100 -> click@150 -> purchase@200
+    (window 100); then view@40 arrives late — the new t1=40 window
+    (40, 140] still catches click@150? no: it does NOT (150 > 140), so
+    the rebuilt chain stalls at steps_completed=1 — only a raw-log
+    rebuild can UN-convert a user.  A brand-new user and a non-step
+    event (filtered at ingest) ride the same batch.  Replay from the
+    same checkpoint is a no-op."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_funnel
+
+    cols = ["user_id", "event_type", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(1, "view", 100), (1, "click", 150), (1, "purchase", 200),
+         (2, "view", 10), (2, "click", 300)],  # stalls: 300 > 10+100
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [(1, "view", 40),        # late: re-anchors t1, UN-converts user 1
+         (3, "view", 5), (3, "click", 50), (3, "purchase", 120),
+         (3, "signup", 60)],     # non-step type: filtered at ingest
+        cols,
+    )
+    src = tmp_path / "fn_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        checkpoint_dir=ckpt, table="funnel",
+        steps=["view", "click", "purchase"], within_us=100,
+    )
+    stream_funnel(stream, cat_root, **kw).awaitTermination(180)
+
+    out_cols = ["user_id", "t1_us", "t2_us", "t3_us",
+                "steps_completed", "converted"]
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                Catalog(cat_root).read(spark, "funnel").select(*out_cols).collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            funnel_match(
+                b1.union(b2).filter(
+                    F.col("event_type").isin(["view", "click", "purchase"])
+                ),
+                steps=["view", "click", "purchase"], within_us=100,
+            ).select(*out_cols).collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    by_user = {t[0]: t for t in got}
+    # the late view UN-converted user 1: t1 moved to 40 and the chain
+    # stalls (click@150 > 140)
+    assert by_user[1] == (1, 40, None, None, 1, False)
+    assert by_user[2] == (2, 10, None, None, 1, False)
+    assert by_user[3] == (3, 5, 50, 120, 3, True)
+    # bronze holds ONLY step-type events (the signup filtered at
+    # ingest; 5 from b1 + 4 from b2)
+    assert Catalog(cat_root).read(spark, "funnel_obs").count() == 9
+
+    # replay: same checkpoint -> already-committed batches skipped
+    stream_funnel(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
