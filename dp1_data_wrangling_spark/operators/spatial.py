@@ -357,3 +357,78 @@ def point_in_polygon(
         F.col("__pg_id").alias("poly_id"),
         F.col("__hit.b").alias("on_boundary"),
     )
+
+
+def grid_hotspots(
+    points: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    cell: int,
+    min_count: int = 1,
+) -> DataFrame:
+    """Grid-cell hotspot screen — per-cell density vs its 3x3 Moore
+    neighborhood, the Getis-Ord-class local concentration statistic
+    reduced to exact integers:
+
+        concentration_milli = (9000 * n) div n_neigh
+
+    (9x the cell's share of its neighborhood total, in milli — 1000
+    means the cell holds exactly its uniform share; 9000 means the
+    whole neighborhood's mass sits in this one cell).
+
+    Integer coordinates bucket by ``div cell`` (floor division —
+    coordinates must be non-negative, the same contract as the grid
+    blocking in :func:`within_distance_pairs`); empty cells contribute
+    zero and never emit.  Returns one row per occupied cell with at
+    least ``min_count`` points: ``(cell_x, cell_y, n, n_neigh,
+    concentration_milli)``.
+
+    Scale posture (100 TB): ONE map-side-combinable census groupBy over
+    the points; the stencil runs on the CENSUS (each census row
+    explodes to its 9 neighbor targets — 9 x cells rows, never 9 x
+    points), one more combinable groupBy, and a cell-keyed equi-join of
+    two aggregate-sized frames.  No window, no self-join on points, no
+    cartesian (plan-gated).
+    """
+    if cell < 1:
+        raise ValueError(f"cell must be >= 1, got {cell}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    census = (
+        points.select(
+            F.expr(f"cast(`{x_col}` as bigint) div {cell}").alias("cell_x"),
+            F.expr(f"cast(`{y_col}` as bigint) div {cell}").alias("cell_y"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    offsets = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dx}L as dx, {dy}L as dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ) + "))"
+    )
+    neigh = (
+        census.select("cell_x", "cell_y", "n", offsets.alias("__o"))
+        .select(
+            (F.col("cell_x") + F.col("__o.dx")).alias("cell_x"),
+            (F.col("cell_y") + F.col("__o.dy")).alias("cell_y"),
+            "n",
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.sum("n").alias("n_neigh"))
+    )
+    return (
+        census.join(neigh, ["cell_x", "cell_y"])
+        .filter(F.col("n") >= F.lit(min_count))
+        .select(
+            "cell_x",
+            "cell_y",
+            "n",
+            "n_neigh",
+            # n_neigh >= n >= 1 on every emitted row: never div-by-zero
+            F.expr("(9000 * n) div n_neigh").alias("concentration_milli"),
+        )
+    )

@@ -992,3 +992,98 @@ def gini_index(
             / F.when(den > 0, den).cast("double")
         ).alias("gini"),
     )
+
+
+def ab_contingency(
+    units: DataFrame,
+    *,
+    arm_col: str,
+    outcome_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Two-proportion experiment readout per group — the 2x2
+    contingency table with the exact Pearson chi-square statistic in
+    milli units:
+
+        chi2_milli = (1000 * N * (a*d - b*c)^2)
+                     div ((a+b) * (c+d) * (a+c) * (b+d))
+
+    where ``a/b`` are control converted/not and ``c/d`` treatment
+    converted/not.  Every operand is an exact integer; the numerator
+    runs in DECIMAL(38,0) (it reaches ~N^5 in the balanced case —
+    int64 would wrap near N ~ 2e9-per-group; DECIMAL(38,0) carries
+    groups to ~10^7x that) and the integral ``div`` lands back in
+    BIGINT, so the statistic replays verbatim against a HUGEINT oracle.
+    Degenerate tables (an empty margin — all one arm, or all one
+    outcome) yield NULL chi2_milli, never a fake zero.
+
+    ``arm_col`` must be 0/1 (control/treatment) and ``outcome_col``
+    boolean; rows are UNITS (users), deduplicated upstream — the
+    operator never double-counts because it only aggregates what it is
+    given.  Returns ``(*group_cols, n_units, a, b, c, d,
+    rate_ctl_milli, rate_trt_milli, chi2_milli)``.
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy — four
+    conditional counts per group; everything after is per-group scalar
+    algebra.  No window, no join.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    arm = F.col(arm_col)
+    out = F.col(outcome_col)
+    bad = (
+        arm.isNull()
+        | out.isNull()
+        | ~arm.cast("bigint").isin(0, 1)
+    )
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "ab_contingency: arm must be 0/1 and arm/outcome "
+                "non-NULL — a unit outside the experiment's frame has "
+                "no cell in the table; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cells = units.withColumn("__arm", arm_ok).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(((F.col("__arm") == 0) & out).cast("bigint")).alias("a"),
+        F.sum(((F.col("__arm") == 0) & ~out).cast("bigint")).alias("b"),
+        F.sum(((F.col("__arm") == 1) & out).cast("bigint")).alias("c"),
+        F.sum(((F.col("__arm") == 1) & ~out).cast("bigint")).alias("d"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    num = (
+        f"1000 * {dec.format('n_units')} * "
+        f"({dec.format('a')} * {dec.format('d')} - "
+        f"{dec.format('b')} * {dec.format('c')}) * "
+        f"({dec.format('a')} * {dec.format('d')} - "
+        f"{dec.format('b')} * {dec.format('c')})"
+    )
+    den = (
+        f"((a + b) * (c + d) * {dec.format('a + c')} * "
+        f"{dec.format('b + d')})"
+    )
+    return cells.select(
+        *group_cols,
+        "n_units",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            F.col("a") + F.col("b") > 0,
+            F.expr("(1000 * a) div (a + b)"),
+        ).alias("rate_ctl_milli"),
+        F.when(
+            F.col("c") + F.col("d") > 0,
+            F.expr("(1000 * c) div (c + d)"),
+        ).alias("rate_trt_milli"),
+        F.when(
+            (F.col("a") + F.col("b") > 0)
+            & (F.col("c") + F.col("d") > 0)
+            & (F.col("a") + F.col("c") > 0)
+            & (F.col("b") + F.col("d") > 0),
+            F.expr(f"({num}) div {den}"),
+        ).cast("bigint").alias("chi2_milli"),
+    )

@@ -1919,3 +1919,209 @@ def q_events_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_cols=["event_id"],
         quant_scale=1000,
     )
+
+
+@register(
+    "customer_lorenz_curve",
+    """
+    WITH lz_rev AS (
+        SELECT o_custkey AS customer,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    lz_rk AS (
+        SELECT customer, rev_cents,
+               CAST(sum(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, customer
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(ntile(10) OVER (ORDER BY rev_cents DESC, customer)
+                    AS INTEGER) AS decile,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS tot
+        FROM lz_rev
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           CAST((1000 * max(cum)) // max(tot) AS BIGINT)
+               AS cum_share_milli
+    FROM lz_rk GROUP BY decile
+    """,
+)
+def q_customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of customer revenue
+    (operators/ranking.py distributed_rank with the census-decomposed
+    RUNNING SUM — the r11 machinery's cumulative form): customers rank
+    by revenue descending, the exact cumulative cents ride the rank
+    decomposition, and each decile reports its customer count, revenue
+    and boundary cumulative share in milli — the "top 10% hold X% of
+    revenue" curve next to the Gini index, with NO single-partition
+    exchange (plan-gated).  The oracle replays the plain SQL windows."""
+    from .operators.ranking import _ntile_of_rank, distributed_rank
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    rk = distributed_rank(
+        rev,
+        metric_col="rev_cents",
+        tie_cols=["customer"],
+        descending=True,
+        rank_col="__rk",
+        cumsum_col="__cum",
+    )
+    return (
+        rk.df.withColumn("decile", _ntile_of_rank("__rk", rk.n_total, 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            F.max("__cum").cast("bigint").alias("cum_cents"),
+        )
+        .withColumn(
+            "cum_share_milli",
+            F.expr(f"(1000 * cum_cents) div {max(rk.sum_total, 1)}"),
+        )
+    )
+
+
+@register(
+    "events_ab_experiment",
+    """
+    WITH ab_u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               CAST(('0x' || substr(md5('seg|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 4 AS segment,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    ab_c AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(CASE WHEN arm = 0 AND converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN arm = 0 AND NOT converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN arm = 1 AND converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN arm = 1 AND NOT converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM ab_u GROUP BY segment
+    )
+    SELECT segment, n_units, a, b, c, d,
+           CASE WHEN a + b > 0 THEN (1000 * a) // (a + b) END
+               AS rate_ctl_milli,
+           CASE WHEN c + d > 0 THEN (1000 * c) // (c + d) END
+               AS rate_trt_milli,
+           CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+                THEN CAST((1000 * CAST(n_units AS HUGEINT)
+                           * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                           * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+                          // (CAST(a + b AS HUGEINT) * (c + d)
+                              * (a + c) * (b + d)) AS BIGINT)
+           END AS chi2_milli
+    FROM ab_c
+    """,
+)
+def q_events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/stats.py ab_contingency): users
+    assign to arms by md5 parity (the deterministic hash assignment a
+    real experiment framework uses — engine-replayable), convert if
+    they ever purchase, segment by an independent md5 bucket; each
+    segment reports its exact 2x2 table, milli conversion rates and the
+    exact Pearson chi-square statistic — numerator in DECIMAL(38,0)
+    against the oracle's HUGEINT (the r9 hourly-trend recipe), integral
+    div back to BIGINT.  ONE combinable groupBy per stage, no window,
+    no join (plan-gated)."""
+    from .operators.stats import ab_contingency
+
+    def md5_mod(tag: str, m: int) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("user_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % m
+
+    units = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max((F.col("event_type") == "purchase").cast("int")) == 1
+            ).alias("converted")
+        )
+        .select(
+            md5_mod("ab", 2).alias("arm"),
+            md5_mod("seg", 4).alias("segment"),
+            "converted",
+        )
+    )
+    return ab_contingency(
+        units, arm_col="arm", outcome_col="converted",
+        group_cols=["segment"],
+    )
+
+
+@register(
+    "events_grid_hotspots",
+    """
+    WITH gh_pts AS (
+        SELECT event_id,
+               CAST(('0x' || substr(md5('spx|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS x,
+               CAST(('0x' || substr(md5('spy|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS y
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gh_c AS (
+        SELECT x // 50 AS cell_x, y // 50 AS cell_y,
+               CAST(count(*) AS BIGINT) AS n
+        FROM gh_pts GROUP BY 1, 2
+    ),
+    gh_off AS (
+        SELECT dx.dx, dy.dy
+        FROM (VALUES (-1), (0), (1)) dx(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+    ),
+    gh_n AS (
+        SELECT c.cell_x + o.dx AS cell_x, c.cell_y + o.dy AS cell_y,
+               CAST(sum(c.n) AS BIGINT) AS n_neigh
+        FROM gh_c c CROSS JOIN gh_off o GROUP BY 1, 2
+    )
+    SELECT c.cell_x, c.cell_y, c.n, nb.n_neigh,
+           (9000 * c.n) // nb.n_neigh AS concentration_milli
+    FROM gh_c c
+    JOIN gh_n nb ON nb.cell_x = c.cell_x AND nb.cell_y = c.cell_y
+    WHERE c.n >= 3
+    """,
+)
+def q_events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid hotspot screen (operators/spatial.py grid_hotspots — the
+    Getis-Ord-class local concentration reduced to exact integers):
+    purchase events take the SAME md5 planar coordinates as the spatial
+    join, bucket into 50-unit cells, and each occupied cell reports its
+    count against its 3x3 Moore neighborhood as an exact milli ratio.
+    The stencil runs on the CENSUS (9 x cells rows, never 9 x points) —
+    two combinable groupBys + one cell-keyed equi-join of aggregate-
+    sized frames (plan-gated)."""
+    from .operators.spatial import grid_hotspots
+
+    def coord(tag: str) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("event_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % 1000
+
+    pts = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select(coord("spx").alias("x"), coord("spy").alias("y"))
+    )
+    return grid_hotspots(pts, x_col="x", y_col="y", cell=50, min_count=3)

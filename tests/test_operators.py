@@ -6140,3 +6140,73 @@ def test_seasonal_mase_hand_computed(spark):
         seasonal_mase(
             df, key_cols=[], ts_col="ts", value_col="v", period=1
         )
+
+
+def test_grid_hotspots_hand_computed(spark):
+    """9 points in cell (0,0), 1 in (1,0), 3 in (5,5): cell (0,0)'s
+    neighborhood holds 10 -> concentration 9000*9//10 = 8100; (1,0)
+    fails min_count; the isolated (5,5) block is its own neighborhood
+    -> exactly 9000.  Empty cells never emit; bad knobs raise."""
+    from dp1_data_wrangling_spark.operators.spatial import grid_hotspots
+
+    pts = (
+        [(i, i) for i in range(9)]          # cell (0,0) with cell=10
+        + [(12, 3)]                          # cell (1,0)
+        + [(55, 55), (56, 57), (58, 55)]     # cell (5,5), isolated
+    )
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.cell_x, r.cell_y): (r.n, r.n_neigh, r.concentration_milli)
+        for r in grid_hotspots(
+            df, x_col="x", y_col="y", cell=10, min_count=3
+        ).collect()
+    }
+    assert got == {
+        (0, 0): (9, 10, 8100),
+        (5, 5): (3, 3, 9000),
+    }
+    with pytest.raises(ValueError, match="cell"):
+        grid_hotspots(df, x_col="x", y_col="y", cell=0)
+    with pytest.raises(ValueError, match="min_count"):
+        grid_hotspots(df, x_col="x", y_col="y", cell=10, min_count=0)
+
+
+def test_ab_contingency_hand_computed(spark):
+    """Table a=40,b=60,c=55,d=45 (N=200): chi2 = N(ad-bc)^2/((a+b)(c+d)
+    (a+c)(b+d)) = 200*(1800-3300)^2*1000 // (100*100*95*105) =
+    4511278 milli... divided: exact Python replay asserted.  Degenerate
+    margins yield NULL; a bad arm raises executor-side."""
+    from dp1_data_wrangling_spark.operators.stats import ab_contingency
+
+    rows = (
+        [("g", 0, True)] * 40 + [("g", 0, False)] * 60
+        + [("g", 1, True)] * 55 + [("g", 1, False)] * 45
+    )
+    df = spark.createDataFrame(rows, "g string, arm int, conv boolean")
+    [r] = ab_contingency(
+        df, arm_col="arm", outcome_col="conv", group_cols=["g"]
+    ).collect()
+    a, b, c, d = 40, 60, 55, 45
+    want = (1000 * 200 * (a * d - b * c) ** 2) // (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+    assert r.rate_ctl_milli == 400 and r.rate_trt_milli == 550
+    assert r.chi2_milli == want
+    # all units in one arm: chi2 NULL, the other rate NULL
+    one_arm = spark.createDataFrame(
+        [("g", 0, True), ("g", 0, False)], "g string, arm int, conv boolean"
+    )
+    [r2] = ab_contingency(
+        one_arm, arm_col="arm", outcome_col="conv", group_cols=["g"]
+    ).collect()
+    assert r2.chi2_milli is None and r2.rate_trt_milli is None
+    bad = spark.createDataFrame(
+        [("g", 2, True)], "g string, arm int, conv boolean"
+    )
+    with pytest.raises(Exception, match="ab_contingency"):
+        ab_contingency(
+            bad, arm_col="arm", outcome_col="conv", group_cols=["g"]
+        ).collect()
+    with pytest.raises(ValueError, match="group_cols"):
+        ab_contingency(df, arm_col="arm", outcome_col="conv", group_cols=[])

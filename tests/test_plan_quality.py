@@ -1401,3 +1401,43 @@ def test_seasonal_mase_single_exchange(spark):
     assert data_shuffles(plan) == 1, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_lorenz_curve_no_single_partition(spark):
+    """Lorenz curve (r11): the cumulative-share ranking rides the
+    census-decomposed distributed_rank — NO single-partition exchange;
+    no Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["customer_lorenz_curve"].fn(spark, SMOKE_SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ab_experiment_combinable_no_window_no_join(spark):
+    """A/B readout (r11): two stacked combinable groupBys (per-user
+    outcome, per-segment cells) and scalar algebra after — no window,
+    no join, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_ab_experiment"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert data_shuffles(plan) == 2, plan
+
+
+def test_grid_hotspots_stencil_on_census(spark):
+    """Grid hotspots (r11): the 9-offset stencil explodes the CENSUS,
+    never the points — the plan's only data-sized exchange is the cell
+    census groupBy; the neighbor aggregation and the final equi-join
+    run on aggregate-sized frames.  No Python, no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_grid_hotspots"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # census + neighbor-sum + join key exchanges: all cell-keyed
+    assert data_shuffles(plan) <= 3, plan
