@@ -410,6 +410,18 @@ SHUFFLE_BUDGETS = {
     # (window + estimate agg) PER rollup level — every post-build
     # shuffle moves <= k 8-byte hashes per cell, never facts
     "events_kmv_cube": 9,
+    # RFM (r11): three distributed_ntile passes over the checkpointed
+    # customer dimension — each is one dim-keyed census groupBy plus
+    # census-SIZED lookup exchanges (value-keyed cumsum join/window) and
+    # the (value, tie-bucket) fact window whose exchange the offset join
+    # reuses — plus three unique-customer-keyed result joins.  Twelve
+    # narrow dim/census shuffles replacing three SINGLE-PARTITION sorts:
+    # the trade the r10 verdict asked for (no exchange moves more than
+    # the customer dimension, most move censuses)
+    "customer_rfm_segments": 12,
+    # Lorenz (r11): one distributed_rank(cumsum) pass (census + lookup +
+    # fact window/join) + the decile groupBy — same census-shuffle class
+    "customer_lorenz_curve": 6,
     # Jaccard-threshold join: token df census + per-record array gather
     # + the prefix equi-join's two sides + candidate distinct + the two
     # id-keyed verify joins — all narrow (token, id) / (id, array)

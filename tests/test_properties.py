@@ -912,3 +912,82 @@ def test_skyline_2d_equals_brute_force(spark, coords):
         for r in skyline_2d(df, x_col="x", y_col="y", id_col="id").collect()
     )
     assert got == expect
+
+
+# (tie_key, metric) rows — duplicates of tie are dropped so the total
+# order is well-defined (the operator's documented uniqueness contract);
+# metric range is tiny ON PURPOSE so mega-ties hammer the tie-bucket
+# level, and negatives exercise the descending negation path
+rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=-5, max_value=5),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=rank_rows, desc=st.booleans(), k=st.integers(min_value=1, max_value=7))
+@SETTINGS
+def test_distributed_rank_and_ntile_equal_window(spark, rows, desc, k):
+    """distributed_rank / distributed_ntile == the naive single-
+    partition ROW_NUMBER / running SUM / NTILE windows on ANY input —
+    generated metrics with heavy ties, negatives, asc/desc, and every
+    tile count, at adversarially small bucket counts."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.ranking import (
+        distributed_ntile,
+        distributed_rank,
+    )
+
+    uniq = {t: m for t, m in rows}
+    data = [(t, m, abs(m)) for t, m in uniq.items()]
+    df = spark.createDataFrame(data, "tie long, m long, mabs long")
+    order = [F.col("m").desc() if desc else F.col("m"), F.col("tie")]
+    w = Window.orderBy(*order)
+    want = {
+        r.tie: (r.rk, r.cum, r.tile)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum",
+            F.sum("mabs").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("tile", F.ntile(k).over(w))
+        .collect()
+    }
+    # cumsum requires non-negative metrics -> rank over m, sum over mabs
+    # would break the shared order; instead rank/cumsum BOTH over mabs
+    # when checking the sum, and rank-only over the signed metric
+    rk = distributed_rank(
+        df, metric_col="m", tie_cols=["tie"], descending=desc,
+        n_value_buckets=3, n_tie_buckets=2, rank_col="rk",
+    )
+    got_rk = {r.tie: r.rk for r in rk.df.collect()}
+    assert got_rk == {t: v[0] for t, v in want.items()}
+    nt = distributed_ntile(
+        df, metric_col="m", tie_cols=["tie"], n_tiles=k, descending=desc,
+        n_value_buckets=3, n_tie_buckets=2, out_col="tile",
+    )
+    got_nt = {r.tie: r.tile for r in nt.collect()}
+    assert got_nt == {t: v[2] for t, v in want.items()}
+    # running sum: non-negative metric required -> compare on mabs
+    worder = [F.col("mabs").desc() if desc else F.col("mabs"), F.col("tie")]
+    wa = Window.orderBy(*worder)
+    want_cum = {
+        r.tie: (r.rk, r.cum)
+        for r in df.withColumn("rk", F.row_number().over(wa).cast("bigint"))
+        .withColumn(
+            "cum",
+            F.sum("mabs").over(wa.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .collect()
+    }
+    rs = distributed_rank(
+        df, metric_col="mabs", tie_cols=["tie"], descending=desc,
+        n_value_buckets=3, n_tie_buckets=2, rank_col="rk", cumsum_col="cum",
+    )
+    got_cum = {r.tie: (r.rk, r.cum) for r in rs.df.collect()}
+    assert got_cum == want_cum
+    assert rs.sum_total == sum(d[2] for d in data)
