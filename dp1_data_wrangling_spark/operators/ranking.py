@@ -57,7 +57,10 @@ _MAX_BUCKETS = 4096
 class RankedFrame:
     """Result of :func:`distributed_rank`: the ranked DataFrame plus the
     driver-side totals the census pass already paid for (row count and
-    metric sum — what a cumulative-share consumer needs as literals)."""
+    metric sum — what a cumulative-share consumer needs as literals).
+    ``sum_total`` is only computed under ``cumsum_col`` (whose
+    non-negativity guard certifies the int64 census partials); it is 0
+    in rank-only mode."""
 
     df: DataFrame
     n_total: int
@@ -233,25 +236,29 @@ def distributed_rank(
     # groupBy; every downstream census derives from it, so checkpoint
     # it LAZILY once (the dedup.py two-pass-valve pattern) instead of
     # re-running the input aggregation per consumer.
+    # The metric sums ride the census ONLY in cumsum mode: the mode's
+    # non-negativity guard is what certifies the BIGINT partials (in
+    # rank-only mode signed values could wrap them silently, poisoning
+    # sum_total while the ranks stay fine — so rank-only mode simply
+    # never computes sums).
+    cagg = [F.count(F.lit(1)).alias("__c")]
+    if cumsum_col:
+        cagg.append(F.sum("__mraw").alias("__s"))
+    c1agg = [F.sum("__c").alias("__c")]
+    if cumsum_col:
+        c1agg.append(F.sum("__s").alias("__s"))
     census2 = (
         bucketed.groupBy("__vb", "__mo", "__tb")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.sum("__mraw").alias("__s"),
-        )
+        .agg(*cagg)
         .localCheckpoint(eager=False)
     )
-    census1 = census2.groupBy("__vb", "__mo").agg(
-        F.sum("__c").alias("__c"), F.sum("__s").alias("__s")
-    )
+    census1 = census2.groupBy("__vb", "__mo").agg(*c1agg)
 
     # Value-bucket totals -> driver (<= n_value_buckets rows), prefix
     # offsets as literals.  Python-int arithmetic: no wrap.
     vrows = sorted(
-        (int(r["__vb"]), int(r["__c"]), int(r["__s"] or 0))
-        for r in census1.groupBy("__vb")
-        .agg(F.sum("__c").alias("__c"), F.sum("__s").alias("__s"))
-        .collect()
+        (int(r["__vb"]), int(r["__c"]), int(r["__s"] or 0) if cumsum_col else 0)
+        for r in census1.groupBy("__vb").agg(*c1agg).collect()
     )
     off_c: dict[int, int] = {}
     off_s: dict[int, int] = {}
@@ -268,33 +275,38 @@ def distributed_rank(
     # (partition <= n_tie_buckets rows).  EXCLUSIVE prefix = inclusive
     # cumsum minus own.
     w_v = Window.partitionBy("__vb").orderBy("__mo")
-    c1 = census1.select(
+    c1_cols = [
         "__mo",
         (
             F.coalesce(_offset_map(off_c)[F.col("__vb")], F.lit(0))
             + F.sum("__c").over(w_v)
             - F.col("__c")
         ).alias("__below_c"),
-        (
-            F.coalesce(_offset_map(off_s)[F.col("__vb")], F.lit(0))
-            + F.sum("__s").over(w_v)
-            - F.col("__s")
-        ).alias("__below_s"),
-    )
+    ]
+    if cumsum_col:
+        c1_cols.append(
+            (
+                F.coalesce(_offset_map(off_s)[F.col("__vb")], F.lit(0))
+                + F.sum("__s").over(w_v)
+                - F.col("__s")
+            ).alias("__below_s")
+        )
+    c1 = census1.select(*c1_cols)
     w_t = Window.partitionBy("__mo").orderBy("__tb")
-    lookup = (
-        census2.join(c1, "__mo")
-        .select(
-            "__mo",
-            "__tb",
-            (F.col("__below_c") + F.sum("__c").over(w_t) - F.col("__c")).alias(
-                "__off_c"
-            ),
+    lk_cols = [
+        "__mo",
+        "__tb",
+        (F.col("__below_c") + F.sum("__c").over(w_t) - F.col("__c")).alias(
+            "__off_c"
+        ),
+    ]
+    if cumsum_col:
+        lk_cols.append(
             (F.col("__below_s") + F.sum("__s").over(w_t) - F.col("__s")).alias(
                 "__off_s"
-            ),
+            )
         )
-    )
+    lookup = census2.join(c1, "__mo").select(*lk_cols)
 
     # Pass 3 — per-(metric, tie_bucket) window + equi-join on the SAME
     # key (the join reuses the window's exchange under AQE).
@@ -317,7 +329,9 @@ def distributed_rank(
             ),
         )
     drop = ["__mo", "__mraw", "__vb", "__tb", "__off_c", "__off_s"]
-    return RankedFrame(ranked.drop(*drop), n_total, sum_total)
+    return RankedFrame(
+        ranked.drop(*drop), n_total, sum_total if cumsum_col else 0
+    )
 
 
 def _ntile_of_rank(rank_name: str, n: int, k: int) -> Column:
