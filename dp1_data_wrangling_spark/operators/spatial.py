@@ -377,9 +377,10 @@ def grid_hotspots(
     means the cell holds exactly its uniform share; 9000 means the
     whole neighborhood's mass sits in this one cell).
 
-    Integer coordinates bucket by ``div cell`` (floor division —
-    coordinates must be non-negative, the same contract as the grid
-    blocking in :func:`within_distance_pairs`); empty cells contribute
+    Integer coordinates bucket by TRUE floor division (the module's
+    ``_floor_div`` — plain ``div`` truncates toward zero and would
+    merge the cells either side of the origin for signed coordinates,
+    diverging from a ``//``-flooring oracle); empty cells contribute
     zero and never emit.  Returns one row per occupied cell with at
     least ``min_count`` points: ``(cell_x, cell_y, n, n_neigh,
     concentration_milli)``.
@@ -397,8 +398,12 @@ def grid_hotspots(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     census = (
         points.select(
-            F.expr(f"cast(`{x_col}` as bigint) div {cell}").alias("cell_x"),
-            F.expr(f"cast(`{y_col}` as bigint) div {cell}").alias("cell_y"),
+            F.col(x_col).cast("bigint").alias("__gx"),
+            F.col(y_col).cast("bigint").alias("__gy"),
+        )
+        .select(
+            _floor_div("__gx", cell).alias("cell_x"),
+            _floor_div("__gy", cell).alias("cell_y"),
         )
         .groupBy("cell_x", "cell_y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -1009,13 +1009,21 @@ def ab_contingency(
                      div ((a+b) * (c+d) * (a+c) * (b+d))
 
     where ``a/b`` are control converted/not and ``c/d`` treatment
-    converted/not.  Every operand is an exact integer; the numerator
-    runs in DECIMAL(38,0) (it reaches ~N^5 in the balanced case —
-    int64 would wrap near N ~ 2e9-per-group; DECIMAL(38,0) carries
-    groups to ~10^7x that) and the integral ``div`` lands back in
-    BIGINT, so the statistic replays verbatim against a HUGEINT oracle.
-    Degenerate tables (an empty margin — all one arm, or all one
-    outcome) yield NULL chi2_milli, never a fake zero.
+    converted/not.  Every operand is an exact integer; BOTH operands
+    run in DECIMAL(38,0) (the numerator reaches ``62.5 * N^5`` in the
+    worst case and the denominator ``N^4/16`` — int64 wraps the
+    denominator near N ~ 3e9 and the numerator near N ~ 4e3) and the
+    integral ``div`` lands back in BIGINT, so the statistic replays
+    verbatim against a HUGEINT oracle.  Capacity is guarded, not
+    assumed: both operands are enveloped in DOUBLE against 1e37
+    (executor fail-fast threaded into the consumed count — a silent
+    DECIMAL(38) overflow would read as NULL, indistinguishable from
+    the degenerate-margin NULL below), which carries groups to
+    N ~ 1e7 in the balanced worst case; beyond that, sample units —
+    at such N the significance call is saturated anyway and the milli
+    rates are exact at any N.  Degenerate tables (an empty margin —
+    all one arm, or all one outcome) yield NULL chi2_milli, never a
+    fake zero.
 
     ``arm_col`` must be 0/1 (control/treatment) and ``outcome_col``
     boolean; rows are UNITS (users), deduplicated upstream — the
@@ -1052,19 +1060,42 @@ def ab_contingency(
         F.sum(((F.col("__arm") == 1) & out).cast("bigint")).alias("c"),
         F.sum(((F.col("__arm") == 1) & ~out).cast("bigint")).alias("d"),
     )
+    # DOUBLE envelopes for BOTH decimal operands (review fix: the raw
+    # BIGINT (a+b)*(c+d) product wrapped near 3e9 per arm, and the
+    # DECIMAL(38) numerator overflows to a silent NULL near N ~ 1e7 —
+    # indistinguishable from the degenerate-margin NULL); threaded into
+    # the consumed n_units factor so Catalyst cannot prune it
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    ad_bc_d = dd("a") * dd("d") - dd("b") * dd("c")
+    env = F.greatest(
+        F.lit(1000.0) * dd("n_units") * ad_bc_d * ad_bc_d,
+        (dd("a") + dd("b"))
+        * (dd("c") + dd("d"))
+        * (dd("a") + dd("c"))
+        * (dd("b") + dd("d")),
+    )
+    n_ok = F.when(env <= F.lit(1e37), F.col("n_units")).otherwise(
+        F.raise_error(
+            F.lit(
+                "ab_contingency: a chi-square operand exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units (the decision is "
+                "saturated at such N; the milli rates stay exact)"
+            )
+        ).cast("bigint")
+    )
     dec = "cast({} as decimal(38,0))"
     num = (
-        f"1000 * {dec.format('n_units')} * "
+        f"1000 * {dec.format('__n_ok')} * "
         f"({dec.format('a')} * {dec.format('d')} - "
         f"{dec.format('b')} * {dec.format('c')}) * "
         f"({dec.format('a')} * {dec.format('d')} - "
         f"{dec.format('b')} * {dec.format('c')})"
     )
     den = (
-        f"((a + b) * (c + d) * {dec.format('a + c')} * "
-        f"{dec.format('b + d')})"
+        f"({dec.format('a + b')} * {dec.format('c + d')} * "
+        f"{dec.format('a + c')} * {dec.format('b + d')})"
     )
-    return cells.select(
+    return cells.withColumn("__n_ok", n_ok).select(
         *group_cols,
         "n_units",
         "a",

@@ -18,17 +18,7 @@ Determinism contract (the driver hash-compares values):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from . import fixtures as fx
-from .functions.paths import absolutize, prefix_replace, strip_fragment
-from .operators.chains import flatten_chains, flatten_chains_distributed
-from .operators.find_first import find_first
-from .operators.intervals import asof_lookup, overlapping_pairs
-from .operators.priority_dedup import priority_dedup, priority_map
-from .registry import REGISTRY, QuerySpec, cents, prioritize, register
-from .tables import load_table, local_df, spread
+from .registry import REGISTRY, QuerySpec, prioritize
 
 
 

@@ -72,13 +72,23 @@ def stream_funnel(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     meta_key = batch_meta_key(f"funnel:{table}", checkpoint_dir, stream_name)
+    bucket_key = f"funnel:{table}:n_buckets"
     obs_table = f"{table}_obs"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
-        last = cat.meta().get(meta_key)
+        meta = cat.meta()
+        last = meta.get(meta_key)
         if last is not None and batch_id <= last:
             return  # replayed batch after recovery -> already committed
+        # the bucket count is PINNED in the catalog at first commit and
+        # every later batch uses the pinned value — a restart with a
+        # different n_buckets would otherwise compute touched buckets
+        # under the new modulus while the log's partition values carry
+        # the old one, silently dropping a touched user's prior events
+        # from the rebuild (review fix); the argument only seeds the
+        # first commit
+        nb = int(meta.get(bucket_key, n_buckets))
         spark = batch_df.sparkSession
         # ingest-time screen: only the funnel's step types ever reach
         # the log — the bronze table is narrow by construction
@@ -87,7 +97,7 @@ def stream_funnel(
         )
         bucketed = batch.withColumn(
             "__fn_kb",
-            F.pmod(F.xxhash64(F.col(user_col)), F.lit(n_buckets)).cast("int"),
+            F.pmod(F.xxhash64(F.col(user_col)), F.lit(nb)).cast("int"),
         )
         touched = batch.select(user_col).distinct()
         touched_kbs = [
@@ -142,7 +152,7 @@ def stream_funnel(
                 # commit — exactly-once hinges on their inseparability
                 cat.commit(
                     txn,
-                    meta={meta_key: batch_id},
+                    meta={meta_key: batch_id, bucket_key: nb},
                     require_roots={obs_table: obs_roots, table: fun_roots},
                 )
                 return

@@ -82,19 +82,30 @@ def stream_scd2(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     meta_key = batch_meta_key(f"scd2:{table}", checkpoint_dir, stream_name)
+    bucket_key = f"scd2:{table}:n_buckets"
     extra = list(order_extra or [])
     obs_table = f"{table}_obs"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
-        last = cat.meta().get(meta_key)
+        meta = cat.meta()
+        last = meta.get(meta_key)
         if last is not None and batch_id <= last:
             return  # replayed batch after recovery -> already committed
+        # bucket count PINNED at first commit (r11 review fix, shared
+        # with stream_funnel): a restart with a different n_buckets
+        # would compute touched buckets under the new modulus while the
+        # log's partition values carry the old one — the superset
+        # screen would silently become a SUBSET screen and drop touched
+        # keys' history from the rebuild.  The argument only seeds the
+        # first commit; pre-pin logs (NULL __scd_kb roots) stay covered
+        # by the NULL-safe filter below either way.
+        nb = int(meta.get(bucket_key, n_buckets))
         spark = batch_df.sparkSession
         batch = batch_df.select(key, *tracked, ts_col, *extra)
         bucketed = batch.withColumn(
             "__scd_kb",
-            F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"),
         )
         touched = batch.select(key).distinct()
         # the batch's touched buckets: driver-small by construction
@@ -154,7 +165,7 @@ def stream_scd2(
                 # commit — exactly-once hinges on their inseparability.
                 cat.commit(
                     txn,
-                    meta={meta_key: batch_id},
+                    meta={meta_key: batch_id, bucket_key: nb},
                     require_roots={obs_table: obs_roots, table: hist_roots},
                 )
                 return

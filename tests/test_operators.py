@@ -6165,6 +6165,20 @@ def test_grid_hotspots_hand_computed(spark):
         (0, 0): (9, 10, 8100),
         (5, 5): (3, 3, 9000),
     }
+    # r11 review fix: TRUE floor division — signed coordinates must not
+    # merge the cells either side of the origin (plain div truncates
+    # -30 div 50 to 0; floor puts it in cell -1, like SQL //)
+    neg = spark.createDataFrame(
+        [(-30, 5), (-20, 5), (-10, 5), (30, 5), (20, 5), (10, 5)],
+        "x long, y long",
+    )
+    gneg = {
+        (r.cell_x, r.cell_y): r.n
+        for r in grid_hotspots(
+            neg, x_col="x", y_col="y", cell=50, min_count=1
+        ).collect()
+    }
+    assert gneg == {(-1, 0): 3, (0, 0): 3}
     with pytest.raises(ValueError, match="cell"):
         grid_hotspots(df, x_col="x", y_col="y", cell=0)
     with pytest.raises(ValueError, match="min_count"):
@@ -6210,3 +6224,33 @@ def test_ab_contingency_hand_computed(spark):
         ).collect()
     with pytest.raises(ValueError, match="group_cols"):
         ab_contingency(df, arm_col="arm", outcome_col="conv", group_cols=[])
+
+
+def test_ab_contingency_envelope_guard_fires(spark):
+    """r11 review fix: a table whose chi-square numerator would
+    overflow DECIMAL(38,0) raises executor-side instead of silently
+    reading NULL (which the contract reserves for degenerate margins).
+    12M units split a=d=6M, b=c=0 give 1000*N*(ad)^2 ~ 1.6e37 > 1e37;
+    the same shape at 1M units stays inside and computes."""
+    from dp1_data_wrangling_spark.operators.stats import ab_contingency
+
+    def units(n):
+        return spark.range(n).select(
+            F.lit("g").alias("g"),
+            (F.col("id") % 2).cast("int").alias("arm"),
+            (F.col("id") % 2 == 0).alias("conv"),
+        )
+
+    with pytest.raises(Exception, match="ab_contingency"):
+        ab_contingency(
+            units(12_000_000), arm_col="arm", outcome_col="conv",
+            group_cols=["g"],
+        ).collect()
+    [ok] = ab_contingency(
+        units(1_000_000), arm_col="arm", outcome_col="conv",
+        group_cols=["g"],
+    ).collect()
+    a = d = 500_000
+    n = 1_000_000
+    want = (1000 * n * (a * d) ** 2) // ((a) * (d) * (a) * (d))
+    assert ok.chi2_milli == want == 1000 * n

@@ -1805,3 +1805,76 @@ def test_stream_funnel_equals_batch(spark, tmp_path):
     # replay: same checkpoint -> already-committed batches skipped
     stream_funnel(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stream_funnel_bucket_count_pinned_across_restart(spark, tmp_path):
+    """r11 review fix: the bucket count is pinned in the catalog at
+    first commit — a restart with a DIFFERENT n_buckets must keep
+    rebuilding touched users from their complete log (under the
+    mismatched modulus the touched-bucket screen would silently turn
+    into a subset screen and drop prior events)."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_funnel
+
+    cols = ["user_id", "event_type", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(u, "view", 100) for u in range(1, 9)]
+        + [(u, "click", 150) for u in range(1, 9)],
+        cols,
+    )
+    src = tmp_path / "fp_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    kw = dict(table="funnel", steps=["view", "click", "purchase"],
+              within_us=100)
+    cat_root = str(tmp_path / "cat")
+    stream1 = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/")
+    )
+    stream_funnel(
+        stream1, cat_root, checkpoint_dir=str(tmp_path / "ck1"),
+        n_buckets=16, **kw,
+    ).awaitTermination(180)
+
+    # restart with a DIFFERENT n_buckets and a late purchase for every
+    # user: each chain must still complete (prior events found)
+    b2 = spark.createDataFrame(
+        [(u, "purchase", 200) for u in range(1, 9)], cols
+    )
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream2 = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/")
+    )
+    stream_funnel(
+        stream2, cat_root, checkpoint_dir=str(tmp_path / "ck2"),
+        n_buckets=4, **kw,
+    ).awaitTermination(180)
+
+    want = sorted(
+        map(
+            tuple,
+            funnel_match(
+                b1.union(b2), steps=["view", "click", "purchase"],
+                within_us=100,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            Catalog(cat_root)
+            .read(spark, "funnel")
+            .select("user_id", "t1_us", "t2_us", "t3_us",
+                    "steps_completed", "converted")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert all(t[5] for t in got), "every user must have converted"
+    # the pin survived: the catalog still records the original count
+    assert Catalog(cat_root).meta().get("funnel:funnel:n_buckets") == 16
