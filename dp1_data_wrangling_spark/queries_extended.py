@@ -322,10 +322,15 @@ def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     latency in exact BIGINT µs, summarized as p25/p50/p75/p90 by the
     same nearest-rank rule the sample sketch uses (verbatim values, no
     interpolation — the only quantile form that hash-compares).  The
-    ordering window runs over CONVERTED USERS (funnel output, not the
-    event stream).  The oracle replays funnel chain, latencies and rank
-    picks verbatim."""
+    ranking runs over CONVERTED USERS (funnel output, not the event
+    stream) on the census-decomposed distributed_rank (r11 — this was
+    the registry's last data-sized unpartitioned window; the value at a
+    rank under a value-only order is tie-permutation-invariant, so
+    ranking by (lat_us, user_id) replays the oracle's lat_us-only
+    window verbatim).  The oracle replays funnel chain, latencies and
+    rank picks verbatim."""
     from .operators.funnel import funnel_match
+    from .operators.ranking import distributed_rank
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -337,24 +342,27 @@ def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, steps=["view", "click", "purchase"], within_us=1_800_000_000
         )
         .filter(F.col("converted"))
-        .select((F.col("t3_us") - F.col("t1_us")).alias("lat_us"))
+        .select(
+            "user_id", (F.col("t3_us") - F.col("t1_us")).alias("lat_us")
+        )
     )
-    w_o = Window.orderBy("lat_us")
-    w_all = Window.partitionBy()
-    ranked = lat.withColumn("orn", F.row_number().over(w_o)).withColumn(
-        "n", F.count("*").over(w_all)
+    rk = distributed_rank(
+        lat, metric_col="lat_us", tie_cols=["user_id"], rank_col="orn"
     )
+    n = rk.n_total
 
     def pick(p: int):
         return F.max(
             F.when(
-                F.col("orn") == F.expr(f"({p} * n + 99) div 100"),
+                F.col("orn") == F.lit((p * n + 99) // 100),
                 F.col("lat_us"),
             )
         ).alias(f"p{p}_us")
 
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_converted"),
+    return rk.df.agg(
+        # NULL (not 0) on an empty conversion set: the oracle's
+        # max(n)-over-empty is NULL and the hash compare sees both
+        F.lit(n if n > 0 else None).cast("bigint").alias("n_converted"),
         pick(25), pick(50), pick(75), pick(90),
     )
 

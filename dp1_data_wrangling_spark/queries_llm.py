@@ -3146,10 +3146,18 @@ def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the id-space map is read 3x (degree draw + both endpoint joins) and
     # re-read by pagerank's eager checkpoints; materialize it once so the
     # single-partition row_number ranks once
-    idx = docs.select(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
-    ).localCheckpoint()
+    # r11: the dense id map ranks via the census-decomposed
+    # distributed_rank — no single-partition sort even when the corpus
+    # outgrows one task; cast keeps the historical INT dtype
+    from .operators.ranking import distributed_rank
+
+    idx = (
+        distributed_rank(
+            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
+        )
+        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
+        .localCheckpoint()
+    )
     n = idx.count()
     deg = idx.select(
         "idx",
@@ -3265,10 +3273,18 @@ def q_doc_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import personalized_pagerank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    idx = docs.select(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
-    ).localCheckpoint()
+    # r11: the dense id map ranks via the census-decomposed
+    # distributed_rank — no single-partition sort even when the corpus
+    # outgrows one task; cast keeps the historical INT dtype
+    from .operators.ranking import distributed_rank
+
+    idx = (
+        distributed_rank(
+            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
+        )
+        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
+        .localCheckpoint()
+    )
     n = idx.count()
     deg = idx.select(
         "idx",
@@ -3362,10 +3378,18 @@ def _tg_link_graph(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # the id-space map is read 3x (degree draw + both endpoint joins);
     # checkpoint it once so the single-partition row_number ranks once
-    idx = docs.select(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("idx"),
-    ).localCheckpoint()
+    # r11: the dense id map ranks via the census-decomposed
+    # distributed_rank — no single-partition sort even when the corpus
+    # outgrows one task; cast keeps the historical INT dtype
+    from .operators.ranking import distributed_rank
+
+    idx = (
+        distributed_rank(
+            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
+        )
+        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
+        .localCheckpoint()
+    )
     n = idx.count()
     deg = idx.select(
         "idx",
