@@ -1216,8 +1216,14 @@ def main() -> None:
     if scaling:
         compact["scaling"] = {
             k: next(
-                (v[r] for r in ("ratio_10x_rows", "ratio_2x_rows", "speedup")
-                 if r in v),
+                (v[r] for r in (
+                    "ratio_10x_rows", "ratio_2x_rows", "speedup",
+                    # layout probe: the headline scalar is its win over
+                    # the unclustered layout; machine ref: the 32-thread
+                    # JVM reference (the number that tracks ambient
+                    # multi-core throughput)
+                    "zorder_vs_plain", "jvm_range_sum_sec",
+                ) if r in v),
                 None,
             )
             for k, v in scaling.items()
