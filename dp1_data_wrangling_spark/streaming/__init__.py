@@ -34,6 +34,7 @@ from .rollup import stream_rollup
 from .geofence import stream_geofence
 from .drift import stream_ks_drift
 from .funnel import stream_funnel
+from .rebuild import stream_attribution, stream_keyed_rebuild
 from .scd import stream_scd2
 from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
@@ -66,7 +67,9 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",
+    "stream_attribution",
     "stream_funnel",
+    "stream_keyed_rebuild",
     "stream_ks_drift",
     "stream_scd2",
     "stream_geofence",

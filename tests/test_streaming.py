@@ -1878,3 +1878,87 @@ def test_stream_funnel_bucket_count_pinned_across_restart(spark, tmp_path):
     assert all(t[5] for t in got), "every user must have converted"
     # the pin survived: the catalog still records the original count
     assert Catalog(cat_root).meta().get("funnel:funnel:n_buckets") == 16
+
+
+def test_stream_attribution_equals_batch(spark, tmp_path):
+    """The keyed-rebuild attribution twin: any micro-batch cut equals
+    linear_attribution(all events).  Adversarial late arrival: user 1
+    converts with ONE touch (full credit); a LATE earlier touch lands
+    inside the window and the rebuild re-splits the SAME conversion's
+    credit across two touches — plus a late conversion for user 2 and
+    an irrelevant event type filtered at ingest.  Replay is a no-op."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import linear_attribution
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_attribution
+
+    cols = ["user_id", "event_type", "ts_us", "event_id", "value_milli"]
+    b1 = spark.createDataFrame(
+        [(1, "click", 100, 11, None),
+         (1, "purchase", 200, 12, 9001),
+         (2, "click", 50, 21, None),
+         (2, "view", 60, 22, None)],
+        "user_id long, event_type string, ts_us long, event_id long, "
+        "value_milli long",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "view", 90, 13, None),       # late touch: re-splits conv 12
+         (2, "purchase", 70, 23, 500),    # late conversion
+         (2, "signup", 65, 24, None)],    # irrelevant: filtered at ingest
+        b1.schema,
+    )
+    src = tmp_path / "at_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    kw = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        conversion_type="purchase", touch_types=["view", "click"],
+        within_us=1000,
+    )
+    stream_attribution(stream, cat_root, **kw).awaitTermination(180)
+
+    out_cols = ["conv_id", "touch_id", "user_id", "touch_ts_us",
+                "n_touches", "credit_milli"]
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                Catalog(cat_root)
+                .read(spark, "attribution").select(*out_cols).collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            linear_attribution(
+                b1.union(b2).filter(
+                    F.col("event_type").isin(["purchase", "view", "click"])
+                ),
+                conversion_type="purchase",
+                touch_types=["view", "click"], within_us=1000,
+            ).select(*out_cols).collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    # the late touch re-split conv 12: two touches now, 4501 + 4500
+    conv12 = sorted(t for t in got if t[0] == 12)
+    assert [(t[1], t[4], t[5]) for t in conv12] == [
+        (11, 2, 4500), (13, 2, 4501)
+    ]
+    # bronze filtered the signup at ingest: 6 relevant events total
+    assert Catalog(cat_root).read(spark, "attribution_obs").count() == 6
+    # replay: no-op
+    stream_attribution(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
