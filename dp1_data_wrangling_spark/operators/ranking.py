@@ -185,13 +185,17 @@ def distributed_rank(
     keyed = df.withColumn("__mo", mo).withColumn("__mraw", metric)
 
     # Pass 1 — bounds (2-column scan, one combinable aggregate row).
-    st = keyed.agg(
+    # The |metric| double sum only exists to certify the cumsum mode's
+    # int64 census partials — rank-only callers never pay for it.
+    st_aggs = [
         F.min("__mo").alias("lo_m"),
         F.max("__mo").alias("hi_m"),
         F.min(tie0_i).alias("lo_t"),
         F.max(tie0_i).alias("hi_t"),
-        F.sum(F.abs(metric).cast("double")).alias("sd"),
-    ).collect()[0]
+    ]
+    if cumsum_col:
+        st_aggs.append(F.sum(F.abs(metric).cast("double")).alias("sd"))
+    st = keyed.agg(*st_aggs).collect()[0]
     if st["lo_m"] is None:  # empty input: keep schema, add typed columns
         out = keyed.drop("__mo", "__mraw").withColumn(
             rank_col, F.lit(None).cast("bigint")

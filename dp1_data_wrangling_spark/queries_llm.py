@@ -85,6 +85,25 @@ def _augment_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _augmented(docs, " zz")
 
 
+def _dense_doc_index(docs: DataFrame) -> DataFrame:
+    """Dense 0-based id map over a unique numeric id column — ranks via
+    the census-decomposed distributed_rank (no single-partition sort at
+    any corpus size; r11), cast back to the historical INT dtype, and
+    eagerly checkpointed because every caller reads it several times
+    (degree draw + both endpoint joins + the graph operators' own
+    checkpoints)."""
+    from .operators.ranking import distributed_rank
+
+    return (
+        distributed_rank(
+            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
+        )
+        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
+        .localCheckpoint()
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -3143,21 +3162,7 @@ def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # the id-space map is read 3x (degree draw + both endpoint joins) and
-    # re-read by pagerank's eager checkpoints; materialize it once so the
-    # single-partition row_number ranks once
-    # r11: the dense id map ranks via the census-decomposed
-    # distributed_rank — no single-partition sort even when the corpus
-    # outgrows one task; cast keeps the historical INT dtype
-    from .operators.ranking import distributed_rank
-
-    idx = (
-        distributed_rank(
-            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
-        )
-        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
-        .localCheckpoint()
-    )
+    idx = _dense_doc_index(docs)
     n = idx.count()
     deg = idx.select(
         "idx",
@@ -3273,18 +3278,7 @@ def q_doc_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import personalized_pagerank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # r11: the dense id map ranks via the census-decomposed
-    # distributed_rank — no single-partition sort even when the corpus
-    # outgrows one task; cast keeps the historical INT dtype
-    from .operators.ranking import distributed_rank
-
-    idx = (
-        distributed_rank(
-            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
-        )
-        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
-        .localCheckpoint()
-    )
+    idx = _dense_doc_index(docs)
     n = idx.count()
     deg = idx.select(
         "idx",
@@ -3376,20 +3370,7 @@ def _tg_link_graph(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # the id-space map is read 3x (degree draw + both endpoint joins);
-    # checkpoint it once so the single-partition row_number ranks once
-    # r11: the dense id map ranks via the census-decomposed
-    # distributed_rank — no single-partition sort even when the corpus
-    # outgrows one task; cast keeps the historical INT dtype
-    from .operators.ranking import distributed_rank
-
-    idx = (
-        distributed_rank(
-            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
-        )
-        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
-        .localCheckpoint()
-    )
+    idx = _dense_doc_index(docs)
     n = idx.count()
     deg = idx.select(
         "idx",

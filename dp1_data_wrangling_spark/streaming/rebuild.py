@@ -1,41 +1,55 @@
-"""Generic exactly-once keyed-rebuild streaming twin — the
-bronze/silver split ``stream_scd2`` and ``stream_funnel`` each
-hand-rolled, factored as ONE core so any batch operator whose output is
-a pure function of each key's complete event set gets a streaming twin
-for the price of a lambda:
+"""Generic exactly-once keyed-rebuild streaming twin — ONE core for
+every batch operator whose output is a pure function of each key's
+complete event set.  ``stream_scd2`` and ``stream_funnel`` are thin
+wrappers over it (r11 review: three hand-rolled copies of the same
+bronze/silver machinery needed every fix applied three times), and
+``stream_attribution`` instantiates it for linear multi-touch credit —
+with it every verified event-analytics operator family has a twin.
+
+Design (the bronze/silver split ``stream_scd2`` proved):
 
 - bronze ``<table>_obs``: the raw per-key event log, append-only,
-  hive-partitioned on a key-hash bucket (the bucket COUNT is pinned in
-  catalog meta at first commit — the r11 restart-modulus fix);
+  hive-partitioned on a key-hash bucket;
 - silver ``<table>``: the operator output, derived — only keys present
-  in the batch are rebuilt, from their FULL raw event set (log ∪
-  batch), with the SAME batch operator; untouched keys' rows are never
-  read or rewritten.
+  in the batch are REBUILT, from their FULL raw event set (log ∪
+  batch), with the SAME batch operator.
 
 Both writes + the batch-id watermark ride ONE atomic commit:
 exactly-once, crash-replayed batches skipped, no torn log/silver pair.
-Equivalence holds by construction for ANY micro-batch cut, in any
-order, because a touched key is always re-derived from its complete
-event set — the contract ``stream_scd2``'s adversarial late-arrival
-tests established.
+Equivalence holds for ANY micro-batch cut in any order because a
+touched key is always re-derived from its complete event set.
+
+Bucket-count discipline (r11 review fixes, both raced and legacy):
+
+- the bucket count is PINNED in catalog meta by the commit that
+  CREATES the bronze table; every later batch resolves the pin INSIDE
+  the OCC retry loop (a losing racer re-reads meta after the conflict,
+  re-buckets under the winner's pin, and can never overwrite it with a
+  stale modulus) — and the watermark is re-checked there too, so a
+  duplicate writer that lost a race cannot double-append the log;
+- a bronze table that EXISTS without a pin (written before the pin
+  machinery) has an unknown modulus: the bucket screen is DISABLED
+  outright (nb = None — new rows carry a NULL bucket, the semi-join
+  alone scopes the rebuild, correctness never at risk) and no pin is
+  ever written.  Re-enable pruning by compacting the log into a fresh
+  pinned table.  The screen is a superset SCAN OPTIMIZATION only.
 
 Per-key purity is the caller's contract: ``rebuild(events)`` must
 depend only on the event rows it is given, key by key (funnel chains,
-SCD2 histories, attribution credit splits all qualify; anything with
-CROSS-key state — a global rank, a corpus census — does not, and needs
-an operator-specific twin instead).
+SCD2 histories, attribution splits qualify; anything with CROSS-key
+state — a global rank, a corpus census — does not).
 
-Scale: per batch = one filtered append + one bucket-pruned semi-join of
-the log against the batch's touched keys + the rebuild over those
-keys' events only + the per-key silver replace.  Steady-state cost
-tracks the delta and the touched keys' event volume, never the full
-key space.
-
-``stream_attribution`` below instantiates the core for exact linear
-multi-touch attribution — with it, every verified event-analytics
-operator family has a streaming twin (r10 verdict item 6 closed:
-funnel landed first as a hand-rolled twin, attribution rides the
-factored core).
+Per-batch cost, stated honestly: one filtered append + one
+bucket-pruned semi-join of the log against the touched keys + the
+rebuild over those keys' events only + the silver replace.  The
+replace is an anti-join + union staged as ONE overwrite — it reads and
+rewrites the CURRENT silver table per batch (the COMPUTE tracks the
+delta; the silver WRITE tracks the silver size).  That is the right
+trade while silver ≪ log (the common case — funnel rows per user vs
+events per user); when silver itself is huge, the upgrade path is a
+bucket-partitioned silver replaced root-scoped via
+``Catalog.commit(replace_roots=...)``, the same primitive the
+catalog's UPDATE/DELETE uses.
 """
 
 from __future__ import annotations
@@ -63,6 +77,9 @@ def stream_keyed_rebuild(
     rebuild: Callable[[DataFrame], DataFrame],
     out_key_col: str | None = None,
     pre_filter=None,
+    meta_prefix: str = "rebuild",
+    bucket_col: str = "__rb_kb",
+    evolve_schema: bool = False,
     trigger_available_now: bool = True,
     stream_name: str | None = None,
     n_buckets: int = 16,
@@ -75,53 +92,72 @@ def stream_keyed_rebuild(
     ingest — only relevant event types need to reach the log.
     ``rebuild`` maps a complete per-key event frame to silver rows;
     ``out_key_col`` names the silver column holding the key (defaults
-    to ``key_col``) for the per-key replace."""
+    to ``key_col``).  ``meta_prefix``/``bucket_col`` let the scd2 and
+    funnel wrappers keep their historical watermark keys and partition
+    column names.  ``evolve_schema`` stays False for new tables (the
+    write-time schema gate should hard-fail an event_cols change);
+    the scd2/funnel wrappers opt in for their documented legacy-log
+    upgrades."""
     if key_col not in event_cols:
         raise ValueError(f"event_cols must include key_col {key_col!r}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     okey = out_key_col or key_col
     meta_key = batch_meta_key(
-        f"rebuild:{table}", checkpoint_dir, stream_name
+        f"{meta_prefix}:{table}", checkpoint_dir, stream_name
     )
-    bucket_key = f"rebuild:{table}:n_buckets"
+    bucket_key = f"{meta_prefix}:{table}:n_buckets"
     obs_table = f"{table}_obs"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(catalog_root)
-        meta = cat.meta()
-        last = meta.get(meta_key)
-        if last is not None and batch_id <= last:
-            return  # replayed batch after recovery -> already committed
-        # bucket count pinned at first commit (restart with a different
-        # modulus would silently turn the touched-bucket superset
-        # screen into a subset screen — the r11 review fix)
-        nb = int(meta.get(bucket_key, n_buckets))
         spark = batch_df.sparkSession
         batch = batch_df.select(*event_cols)
         if pre_filter is not None:
             batch = batch.filter(pre_filter)
-        bucketed = batch.withColumn(
-            "__rb_kb",
-            F.pmod(F.xxhash64(F.col(key_col)), F.lit(nb)).cast("int"),
-        )
         touched = batch.select(key_col).distinct()
-        touched_kbs = [
-            r[0] for r in bucketed.select("__rb_kb").distinct().collect()
-        ]
         last_exc: CommitConflict | None = None
         for _ in range(MERGE_RETRIES):
+            # meta re-read EVERY attempt: the watermark may have been
+            # committed by a racing replica of this same batch (skip,
+            # not double-append), and the bucket pin may have been won
+            # by a concurrent first-writer (re-bucket under THEIR pin)
+            meta = cat.meta()
+            last = meta.get(meta_key)
+            if last is not None and batch_id <= last:
+                return  # already committed (possibly by a racer)
             snapshot = cat.manifest()
             obs_roots = list(snapshot["tables"].get(obs_table, []))
             silver_roots = list(snapshot["tables"].get(table, []))
+            pinned = meta.get(bucket_key)
+            if pinned is not None:
+                nb = int(pinned)
+            elif obs_roots:
+                # legacy log, unknown modulus: screen disabled for good
+                nb = None
+            else:
+                nb = int(n_buckets)  # creating the table: we pin
+            bucketed = batch.withColumn(
+                bucket_col,
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(nb)).cast("int")
+                if nb is not None
+                else F.lit(None).cast("int"),
+            )
             if obs_roots:
                 log = cat._read_roots(spark, obs_roots)
-                # superset screen, never a correctness dependency;
-                # NULL-safe for roots predating the bucket column
-                log = log.filter(
-                    F.col("__rb_kb").isNull()
-                    | F.col("__rb_kb").isin(touched_kbs)
-                )
+                if nb is not None and bucket_col in log.columns:
+                    touched_kbs = [
+                        r[0]
+                        for r in bucketed.select(bucket_col)
+                        .distinct()
+                        .collect()
+                    ]
+                    # superset screen, never a correctness dependency;
+                    # NULL-safe for roots predating the bucket column
+                    log = log.filter(
+                        F.col(bucket_col).isNull()
+                        | F.col(bucket_col).isin(touched_kbs)
+                    )
                 prior = log.join(touched, key_col, "semi").select(
                     *event_cols
                 )
@@ -143,16 +179,19 @@ def stream_keyed_rebuild(
                 obs_table,
                 bucketed,
                 mode="append",
-                partition_by=["__rb_kb"],
-                evolve_schema=True,
+                partition_by=[bucket_col],
+                evolve_schema=evolve_schema,
             )
             txn.stage(table, merged, mode="overwrite")
+            commit_meta = {meta_key: batch_id}
+            if nb is not None:
+                commit_meta[bucket_key] = nb
             try:
                 # watermark + log append + silver replace: one atomic
                 # commit — exactly-once hinges on their inseparability
                 cat.commit(
                     txn,
-                    meta={meta_key: batch_id, bucket_key: nb},
+                    meta=commit_meta,
                     require_roots={
                         obs_table: obs_roots, table: silver_roots
                     },

@@ -1962,3 +1962,81 @@ def test_stream_attribution_equals_batch(spark, tmp_path):
     # replay: no-op
     stream_attribution(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_keyed_rebuild_legacy_log_disables_screen_and_never_pins(spark, tmp_path):
+    """r11 review fix: a bronze log that EXISTS without a bucket pin
+    was written under an unknown modulus — the rebuild must disable
+    the bucket screen outright (correctness from the semi-join alone)
+    and never write a pin, even across restarts with any n_buckets."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import funnel_match
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_funnel
+
+    cols = ["user_id", "event_type", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(u, "view", 100) for u in range(1, 5)]
+        + [(u, "click", 150) for u in range(1, 5)],
+        cols,
+    )
+    cat_root = str(tmp_path / "cat")
+    cat = Catalog(cat_root)
+    # seed a LEGACY bronze log: bucketed under modulus 32, NO pin in
+    # meta (the pre-pin writer), plus its derived silver
+    legacy = b1.withColumn(
+        "__fn_kb",
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(32)).cast("int"),
+    )
+    txn = cat.begin()
+    txn.stage("funnel_obs", legacy, mode="overwrite",
+              partition_by=["__fn_kb"])
+    txn.stage(
+        "funnel",
+        funnel_match(b1, steps=["view", "click", "purchase"],
+                     within_us=100),
+        mode="overwrite",
+    )
+    cat.commit(txn)
+    assert cat.meta().get("funnel:funnel:n_buckets") is None
+
+    # stream a late purchase for every user with a DIFFERENT modulus:
+    # under the old bug touched_kbs (mod 4) would screen out the
+    # legacy mod-32 rows; the fix disables the screen for legacy logs
+    b2 = spark.createDataFrame(
+        [(u, "purchase", 200) for u in range(1, 5)], cols
+    )
+    src = tmp_path / "lg_stream"
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/")
+    )
+    stream_funnel(
+        stream, cat_root, checkpoint_dir=str(tmp_path / "ck"),
+        table="funnel", steps=["view", "click", "purchase"],
+        within_us=100, n_buckets=4,
+    ).awaitTermination(180)
+
+    want = sorted(
+        map(
+            tuple,
+            funnel_match(
+                b1.union(b2), steps=["view", "click", "purchase"],
+                within_us=100,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            Catalog(cat_root).read(spark, "funnel")
+            .select("user_id", "t1_us", "t2_us", "t3_us",
+                    "steps_completed", "converted").collect(),
+        )
+    )
+    assert got == want
+    assert all(t[5] for t in got), "every legacy chain must complete"
+    # no pin was ever written for the unknown-modulus log
+    assert Catalog(cat_root).meta().get("funnel:funnel:n_buckets") is None
