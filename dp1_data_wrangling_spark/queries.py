@@ -84,7 +84,7 @@ DRIVER_WINDOW: list[str] = [
     "events_kmv_cube",            # r9: one-build KMV rollup hierarchy (merge law)
     "embedding_mmr_rerank",       # r9: MMR diversity re-rank (exact greedy)
     "events_hll_distinct",        # r9: HyperLogLog registers + raw estimator
-    "events_theta_overlap",       # r9: theta set algebra over KMV sketches
+    "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank
     "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers
     "doc_phrase_search",          # r9: positional-postings phrase search
     "event_funnel_latency",       # r9: funnel time-to-convert percentiles
@@ -100,8 +100,8 @@ DRIVER_WINDOW: list[str] = [
     "events_changepoints",        # r9: exact CUSUM change-point alarms
     "doc_link_kcore",             # r9: k-core peeling fixpoint (graph tier)
     "events_seasonal_mase",       # r11: seasonal-naive forecast accuracy
-    "event_attribution",          # r9: exact linear multi-touch attribution
-    "events_interpolate",         # r9: exact linear-interpolation gap fill
+    "events_ab_experiment",       # r11: exact chi-square A/B readout
+    "events_grid_hotspots",       # r11: census-stencil Moore concentration
     # -- graph / time series --
     "lineitem_corr_matrix",       # r10: one-pass Pearson correlation matrix
     "events_acf",                 # r10: exact autocorrelation, lags 1-4

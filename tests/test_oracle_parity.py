@@ -158,11 +158,19 @@ def test_driver_window_covers_flagship_surface():
         # doc_cluster_safe_split rotated out late-r9 for event_attribution
         # (2x green r7+r8; the split/curation family stays via
         # doc_semantic_decontam + in-repo parity for the closure oracles)
-        "event_attribution",
+        # event_attribution rotated out mid-r11 for
+        # events_ab_experiment (2x green r9-r10; the attribution family
+        # keeps event_attribution_decay in-window, gains the exactly-
+        # once streaming twin this round, and stays parity-held in-repo)
+        "events_ab_experiment",
         # doc_semantic_curation rotated out mid-r9 for events_interpolate
         # (2x green r7+r8; the semantic family keeps doc_semantic_decontam
         # + doc_cluster_safe_split in-window)
-        "events_interpolate",
+        # events_interpolate rotated out mid-r11 for
+        # events_grid_hotspots (2x green r9-r10; the timeseries family
+        # keeps events_holt_trend, events_acf, events_gapfill and
+        # events_seasonal_mase in-window)
+        "events_grid_hotspots",
         # round-7 mid-round: real PPM/BMP/WAV decode enters directly
         # (find_first_calibration_bypass out; find_first keeps the family)
         # multimodal_decode (green r7) rotated out in r8 for
@@ -190,7 +198,11 @@ def test_driver_window_covers_flagship_surface():
         # doc_subword_pack rotated out mid-r9 for part_abc_classes (2x
         # green r7+r8; the subword family keeps doc_bpe_tokens in-window
         # and packing stays parity-held in-repo)
-        "part_abc_classes", "events_theta_overlap",
+        # events_theta_overlap rotated out mid-r11 for
+        # customer_lorenz_curve (2x green r9-r10; the sketch family
+        # keeps events_kmv_cube, events_hll_distinct and
+        # events_hll_rolling in-window)
+        "part_abc_classes", "customer_lorenz_curve",
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)
