@@ -903,6 +903,106 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_churn_survival",
+    """
+    WITH RECURSIVE sv_ev AS (
+        SELECT user_id, epoch_us(ts) AS tus FROM events
+    ),
+    sv_end AS (SELECT max(tus) AS end_us FROM sv_ev),
+    sv_usr AS (
+        SELECT user_id, min(tus) AS first_us, max(tus) AS last_us
+        FROM sv_ev GROUP BY user_id
+    ),
+    sv_dur AS (
+        SELECT u.first_us // 604800000000 AS cohort_week,
+               CASE WHEN e.end_us - u.last_us > 604800000000
+                    THEN (u.last_us - u.first_us) // 86400000000
+                    ELSE (e.end_us - u.first_us) // 86400000000
+               END AS t,
+               CASE WHEN e.end_us - u.last_us > 604800000000
+                    THEN 1 ELSE 0 END AS ev
+        FROM sv_usr u, sv_end e
+    ),
+    sv_census AS (
+        SELECT cohort_week, t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) - sum(ev) AS BIGINT) AS c
+        FROM sv_dur GROUP BY cohort_week, t
+    ),
+    sv_seq AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY cohort_week ORDER BY t)
+                   AS rn,
+               CAST(sum(d + c) OVER (PARTITION BY cohort_week) AS BIGINT)
+                   AS n
+        FROM sv_census
+    ),
+    sv_km AS (
+        SELECT cohort_week, rn, t, n AS n_risk, d, c,
+               CASE WHEN d > 0 THEN (1000000000 * (n - d)) // n
+                    ELSE CAST(1000000000 AS BIGINT) END AS s,
+               n - d - c AS rem
+        FROM sv_seq WHERE rn = 1
+        UNION ALL
+        SELECT s2.cohort_week, s2.rn, s2.t, k.rem AS n_risk, s2.d, s2.c,
+               CASE WHEN s2.d > 0
+                    THEN (k.s * (k.rem - s2.d)) // k.rem
+                    ELSE k.s END AS s,
+               k.rem - s2.d - s2.c AS rem
+        FROM sv_km k JOIN sv_seq s2
+          ON s2.cohort_week = k.cohort_week AND s2.rn = k.rn + 1
+    )
+    SELECT cohort_week, t AS duration, n_risk,
+           d AS n_events, c AS n_censored,
+           CAST(s AS BIGINT) AS survival_scaled
+    FROM sv_km
+    """,
+    headline=True,
+)
+def q_user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn survival by signup-week cohort
+    (operators/survival.py km_survival): per user, age = days from
+    first to last event if CHURNED (inactive > 7 days at the study
+    end) else days from first event to the study end (right-CENSORED
+    — the user is still alive, the naive curve would bias low).  The
+    survival level is an exact nano-scaled stepwise truncating
+    product, so the DuckDB recursive-CTE oracle replays the identical
+    fold bit-for-bit.
+
+    Scale shape: one user-keyed groupBy (the data-sized shuffle), a
+    broadcast one-row study-end join, then the KM fold over the
+    (cohort, day) CENSUS — bounded by the observation window, never by
+    users."""
+    from .operators.survival import km_survival
+
+    WEEK_US = 604_800_000_000
+    DAY_US = 86_400_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    usr = e.groupBy("user_id").agg(
+        F.min("ts_us").alias("__first"), F.max("ts_us").alias("__last")
+    )
+    end = e.agg(F.max("ts_us").alias("__end"))
+    churned = F.col("__end") - F.col("__last") > F.lit(WEEK_US)
+    subj = usr.crossJoin(F.broadcast(end)).select(
+        F.expr(f"__first div {WEEK_US}").alias("cohort_week"),
+        F.when(
+            churned, F.expr(f"(__last - __first) div {DAY_US}")
+        )
+        .otherwise(F.expr(f"(__end - __first) div {DAY_US}"))
+        .alias("__t"),
+        churned.cast("bigint").alias("__ev"),
+    )
+    return km_survival(
+        subj,
+        duration_col="__t",
+        event_col="__ev",
+        group_cols=["cohort_week"],
+    )
+
+
+@register(
     "event_transition_matrix",
     """
     WITH t_ev AS (

@@ -6254,3 +6254,104 @@ def test_ab_contingency_envelope_guard_fires(spark):
     n = 1_000_000
     want = (1000 * n * (a * d) ** 2) // ((a) * (d) * (a) * (d))
     assert ok.chi2_milli == want == 1000 * n
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (operators/survival.py)
+# ---------------------------------------------------------------------------
+
+
+def test_km_survival_hand_computed(spark):
+    """Group a: 5 subjects — (1,event),(1,censored),(2,event),
+    (3,censored),(3,event).  KM: t=1 nr=5 d=1 s=1e9*4//5=8e8; t=2 nr=3
+    d=1 s=8e8*2//3=533333333; t=3 nr=2 d=1 s=//2=266666666 (events
+    processed before censorings at the same t).  Group b exercises the
+    no-event step (survival unchanged) and duration 0."""
+    from dp1_data_wrangling_spark.operators.survival import km_survival
+
+    data = [
+        ("a", 1, 1), ("a", 1, 0), ("a", 2, 1), ("a", 3, 0), ("a", 3, 1),
+        ("b", 0, 1), ("b", 5, 0),
+    ]
+    df = spark.createDataFrame(data, "g string, dur int, ev int")
+    rows = (
+        km_survival(df, duration_col="dur", event_col="ev", group_cols=["g"])
+        .orderBy("g", "duration")
+        .collect()
+    )
+    got = [
+        (r.g, r.duration, r.n_risk, r.n_events, r.n_censored,
+         r.survival_scaled)
+        for r in rows
+    ]
+    assert got == [
+        ("a", 1, 5, 1, 1, 800_000_000),
+        ("a", 2, 3, 1, 0, 533_333_333),
+        ("a", 3, 2, 1, 1, 266_666_666),
+        ("b", 0, 2, 1, 0, 500_000_000),
+        ("b", 5, 1, 0, 1, 500_000_000),
+    ]
+
+
+def test_km_survival_matches_python_replay(spark):
+    """120 deterministic subjects, ungrouped: the operator equals an
+    independent pure-Python-int KM fold at every census row, and the
+    survival level is monotone nonincreasing."""
+    from dp1_data_wrangling_spark.operators.survival import km_survival
+
+    subj = [((7 * i * i + 3) % 17, (i * 5 + 1) % 3 == 0) for i in range(120)]
+    df = spark.createDataFrame(
+        [(d, int(e)) for d, e in subj], "dur int, ev int"
+    )
+    rows = (
+        km_survival(df, duration_col="dur", event_col="ev")
+        .orderBy("duration")
+        .collect()
+    )
+    # independent replay in Python ints
+    census: dict[int, list[int]] = {}
+    for d, e in subj:
+        c = census.setdefault(d, [0, 0])
+        c[0] += int(e)
+        c[1] += int(not e)
+    rem, s, want = len(subj), 10**9, []
+    for t in sorted(census):
+        d, c = census[t]
+        if d > 0:
+            s = s * (rem - d) // rem
+        want.append((t, rem, d, c, s))
+        rem -= d + c
+    got = [
+        (r.duration, r.n_risk, r.n_events, r.n_censored, r.survival_scaled)
+        for r in rows
+    ]
+    assert got == want
+    levels = [r.survival_scaled for r in rows]
+    assert levels == sorted(levels, reverse=True)
+
+
+def test_km_survival_validation_and_guards(spark):
+    """Negative durations and non-0/1 event flags raise executor-side;
+    scale/group-collision misuse raises at plan time; the scale*n_risk
+    overflow guard fires instead of silently wrapping."""
+    from dp1_data_wrangling_spark.operators.survival import km_survival
+
+    ok = spark.createDataFrame([(1, 1)], "dur int, ev int")
+    with pytest.raises(ValueError, match="scale"):
+        km_survival(ok, duration_col="dur", event_col="ev", scale=0)
+    with pytest.raises(ValueError, match="group column"):
+        km_survival(
+            ok, duration_col="dur", event_col="ev", group_cols=["dur"]
+        )
+    bad_dur = spark.createDataFrame([(-1, 1)], "dur int, ev int")
+    with pytest.raises(Exception, match="negative duration"):
+        km_survival(bad_dur, duration_col="dur", event_col="ev").collect()
+    bad_ev = spark.createDataFrame([(1, 2)], "dur int, ev int")
+    with pytest.raises(Exception, match="event flag"):
+        km_survival(bad_ev, duration_col="dur", event_col="ev").collect()
+    # n_cap = 2^62 // 2^61 = 2: two subjects in one group must raise
+    two = spark.createDataFrame([(1, 1), (2, 0)], "dur int, ev int")
+    with pytest.raises(Exception, match="overflow"):
+        km_survival(
+            two, duration_col="dur", event_col="ev", scale=1 << 61
+        ).collect()

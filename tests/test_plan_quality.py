@@ -1177,7 +1177,7 @@ def test_attribution_user_keyed_join_no_python(spark):
 
 EXCHANGE_LEDGER = {
     # name: (data shuffles, broadcast exchanges, single-partition gathers)
-    # r11: extended from the top-10 to EVERY bench headliner (36) —
+    # r11: extended from the top-10 to EVERY bench headliner —
     # the cheapest drift alarm the plan tier has.  events_ks_drift's
     # six single-partition gathers are the documented n_bins-row
     # spine windows (metadata-sized BY DESIGN); order_brand_rules'
@@ -1217,6 +1217,9 @@ EXCHANGE_LEDGER = {
     "priority_dedup": (1, 2, 0),
     "session_window": (1, 0, 0),
     "simhash_pairs": (2, 0, 0),
+    # user_churn_survival's single-partition gather is the one-row
+    # study-end max (metadata-sized by design, broadcast right back)
+    "user_churn_survival": (3, 1, 1),
     "user_scd2_history": (1, 0, 0),
 }
 
@@ -1453,3 +1456,19 @@ def test_grid_hotspots_stencil_on_census(spark):
     assert "CartesianProduct" not in plan, plan
     # census + neighbor-sum + join key exchanges: all cell-keyed
     assert data_shuffles(plan) <= 3, plan
+
+
+def test_km_survival_census_fold_no_python(spark):
+    """KM survival: subjects reduce to a (cohort, day) census before the
+    fold — the per-group aggregate folds CENSUS rows (bounded by the
+    observation window), never a subject-sized window; no Python, no
+    cartesian, and the only single-partition gather is the one-row
+    study-end max."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["user_churn_survival"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1, plan
+    # the fold itself is a hash aggregate over the census, not a window
+    assert "Window" not in plan, plan
