@@ -3914,6 +3914,75 @@ def q_doc_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("doc_id"), "community")
 
 
+@register(
+    "doc_link_prediction",
+    f"""
+    WITH {_TRIANGLE_GRAPH_CTES},
+    lk_ed AS (
+        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
+                        greatest(d1.doc_id, d2.doc_id) AS b
+        FROM tg_edges e
+        JOIN tg_docs d1 ON d1.idx = e.src
+        JOIN tg_docs d2 ON d2.idx = e.dst
+        WHERE d1.doc_id != d2.doc_id
+    ),
+    lk_degf AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM lk_ed UNION ALL SELECT b FROM lk_ed
+        ) GROUP BY node
+    ),
+    lk_e AS (
+        SELECT a, b FROM lk_ed
+        WHERE a NOT IN (SELECT node FROM lk_degf WHERE deg > 64)
+          AND b NOT IN (SELECT node FROM lk_degf WHERE deg > 64)
+    ),
+    lk_deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM lk_e UNION ALL SELECT b FROM lk_e
+        ) GROUP BY node
+    ),
+    lk_adj AS (
+        SELECT a AS w, b AS nb FROM lk_e
+        UNION ALL SELECT b AS w, a AS nb FROM lk_e
+    ),
+    lk_cn AS (
+        SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn
+        FROM lk_adj x JOIN lk_adj y ON x.w = y.w AND x.nb < y.nb
+        GROUP BY x.nb, y.nb
+    ),
+    lk_new AS (
+        SELECT c.a, c.b, c.cn FROM lk_cn c
+        WHERE c.cn >= 2 AND NOT EXISTS (
+            SELECT 1 FROM lk_e e WHERE e.a = c.a AND e.b = c.b)
+    )
+    SELECT n.a, n.b, n.cn AS common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           (1000000 * n.cn) // (da.deg + db.deg - n.cn) AS jaccard_ppm
+    FROM lk_new n
+    JOIN lk_deg da ON da.node = n.a
+    JOIN lk_deg db ON db.node = n.b
+    """,
+    headline=True,
+)
+def q_doc_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction candidates over the shared md5 link graph
+    (operators/graph.py link_prediction — Liben-Nowell & Kleinberg's
+    common-neighbor + Jaccard predictors in exact integers): every
+    NON-adjacent document pair sharing >= 2 neighbors, with the
+    neighborhood Jaccard in exact ppm — the related-document /
+    suggested-citation candidate generator.  The hub valve (degree
+    > 64, non-binding on this graph but in the plan) caps the
+    deg(w)^2 candidate blow-up a celebrity node would cause.  The
+    oracle replays canonicalization, hub filter, the w-blocked pair
+    census, the NOT-EXISTS freshness screen and both degree joins."""
+    from .operators.graph import link_prediction
+
+    edges = _tg_link_graph(spark, sf_dir)
+    return link_prediction(
+        edges, src_col="src", dst_col="dst", min_common=2, max_degree=64
+    )
+
+
 _NDCG_ORACLE = f"""
     WITH {_BM25_CTES},
     ng_lab AS (

@@ -6355,3 +6355,69 @@ def test_km_survival_validation_and_guards(spark):
         km_survival(
             two, duration_col="dur", event_col="ev", scale=1 << 61
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (operators/graph.py link_prediction)
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_hand_computed(spark):
+    """Diamond 1-2, 1-3, 2-3, 2-4, 3-4: the only non-adjacent pair is
+    (1,4) with common neighbors {2,3}; N(1)={2,3}=N(4) so Jaccard is
+    exactly 1e6 ppm.  Reversed/duplicate/self-loop edges canonicalize
+    away first."""
+    from dp1_data_wrangling_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 1), (2, 3), (2, 4), (4, 3), (2, 1), (3, 3)],
+        "src int, dst int",
+    )
+    rows = link_prediction(edges).collect()
+    assert [
+        (r.a, r.b, r.common_neighbors, r.deg_a, r.deg_b, r.jaccard_ppm)
+        for r in rows
+    ] == [(1, 4, 2, 2, 2, 1_000_000)]
+
+
+def test_link_prediction_hub_valve_removes_hub_edges(spark):
+    """A degree-6 hub under max_degree=5 leaves the scored graph
+    entirely: pairs whose only common neighbor is the hub vanish, and
+    the surviving result equals link_prediction over the hub-stripped
+    edge set (degrees consistently recomputed)."""
+    from dp1_data_wrangling_spark.operators.graph import link_prediction
+
+    base = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    hub = [(9, n) for n in (1, 2, 3, 4, 5, 6)]
+    both = spark.createDataFrame(base + hub, "src int, dst int")
+    stripped = spark.createDataFrame(base, "src int, dst int")
+    got = sorted(
+        tuple(r) for r in link_prediction(both, max_degree=5).collect()
+    )
+    want = sorted(tuple(r) for r in link_prediction(stripped).collect())
+    assert got == want
+    # without the valve the hub manufactures pairs like (5, 6)
+    unvalved = link_prediction(both)
+    assert unvalved.filter("a = 5 and b = 6").count() == 1
+
+
+def test_link_prediction_min_common_and_validation(spark):
+    """min_common prunes single-witness pairs; bad knobs raise."""
+    import pytest as _pytest
+
+    from dp1_data_wrangling_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src int, dst int",
+    )
+    # (2,5)/(3,5) have exactly one common neighbor (4): pruned at 2
+    got = {
+        (r.a, r.b)
+        for r in link_prediction(edges, min_common=2).collect()
+    }
+    assert got == {(1, 4)}
+    with _pytest.raises(ValueError, match="min_common"):
+        link_prediction(edges, min_common=0)
+    with _pytest.raises(ValueError, match="max_degree"):
+        link_prediction(edges, max_degree=0)

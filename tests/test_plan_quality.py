@@ -1195,6 +1195,10 @@ EXCHANGE_LEDGER = {
     "doc_line_dedup": (2, 2, 0),
     "doc_link_communities": (0, 0, 0),
     "doc_link_pagerank": (0, 0, 0),
+    # doc_link_prediction's visible slice starts at its lazy-checkpointed
+    # edge/degree sets (like pagerank's final round): the adjacency
+    # self-join, pair census, freshness anti-join and two degree joins
+    "doc_link_prediction": (8, 0, 0),
     "doc_link_triangles": (5, 0, 0),
     "embedding_semantic_dedup": (2, 0, 0),
     "event_conversion_paths": (2, 1, 0),
@@ -1472,3 +1476,15 @@ def test_km_survival_census_fold_no_python(spark):
     assert len(re.findall(r"Exchange SinglePartition", plan)) == 1, plan
     # the fold itself is a hash aggregate over the census, not a window
     assert "Window" not in plan, plan
+
+
+def test_link_prediction_blocked_no_cartesian_no_python(spark):
+    """Link prediction: candidates are blocked per intermediate node
+    (w-keyed equi-join over the adjacency), never all-pairs; no Python;
+    the hub valve and degree joins are node-keyed."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_link_prediction"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
