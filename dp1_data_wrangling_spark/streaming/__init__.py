@@ -34,7 +34,11 @@ from .rollup import stream_rollup
 from .geofence import stream_geofence
 from .drift import stream_ks_drift
 from .funnel import stream_funnel
-from .rebuild import stream_attribution, stream_keyed_rebuild
+from .rebuild import (
+    stream_attribution,
+    stream_keyed_rebuild,
+    stream_sessions,
+)
 from .scd import stream_scd2
 from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
@@ -72,6 +76,7 @@ __all__ = [
     "stream_keyed_rebuild",
     "stream_ks_drift",
     "stream_scd2",
+    "stream_sessions",
     "stream_geofence",
     "stream_sketches",
     "read_curated",

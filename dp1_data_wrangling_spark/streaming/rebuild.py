@@ -266,3 +266,53 @@ def stream_attribution(
         stream_name=stream_name,
         n_buckets=n_buckets,
     )
+
+
+def stream_sessions(
+    stream_events: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    table: str = "sessions",
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_extra: list[str] | None = None,
+    trigger_available_now: bool = True,
+    stream_name: str | None = None,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Exactly-once streaming twin of gap-rule ``sessionize``.
+
+    Why a rebuild twin and not windowed state: a LATE event that lands
+    in the gap BETWEEN two already-materialized sessions can MERGE them
+    into one (and re-number every later ``session_idx``) — per-user
+    incremental state would have to hold the user's full session list
+    and splice it, which is exactly "re-derive from the complete event
+    set".  Sessions are a pure per-user function of the user's events,
+    so the keyed-rebuild core applies verbatim.
+    """
+    from ..operators.funnel import sessionize
+
+    def rb(events: DataFrame) -> DataFrame:
+        return sessionize(
+            events,
+            gap_us=gap_us,
+            user_col=user_col,
+            ts_col=ts_col,
+            order_extra=order_extra,
+        )
+
+    return stream_keyed_rebuild(
+        stream_events,
+        catalog_root,
+        checkpoint_dir=checkpoint_dir,
+        table=table,
+        key_col=user_col,
+        event_cols=[user_col, ts_col, *(order_extra or [])],
+        rebuild=rb,
+        out_key_col=user_col,
+        trigger_available_now=trigger_available_now,
+        stream_name=stream_name,
+        n_buckets=n_buckets,
+    )

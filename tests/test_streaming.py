@@ -2040,3 +2040,72 @@ def test_keyed_rebuild_legacy_log_disables_screen_and_never_pins(spark, tmp_path
     assert all(t[5] for t in got), "every legacy chain must complete"
     # no pin was ever written for the unknown-modulus log
     assert Catalog(cat_root).meta().get("funnel:funnel:n_buckets") is None
+
+
+def test_stream_sessions_equals_batch(spark, tmp_path):
+    """Sessionization micro-batches — including a LATE event that lands
+    in the gap between two already-materialized sessions and MERGES
+    them — must materialize exactly sessionize(all events).  User 1:
+    sessions [100,150] and [400,500] under gap 150; the late 280
+    bridges both gaps (130 and 120 <= 150) so the rebuilt user has ONE
+    session [100,500] with 5 events.  A brand-new two-session user
+    rides the same late batch.  Replay from the same checkpoint is a
+    no-op."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import sessionize
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.streaming import stream_sessions
+
+    cols = ["user_id", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(1, 100), (1, 150), (1, 400), (1, 500), (2, 10)], cols
+    )
+    b2 = spark.createDataFrame([(1, 280), (3, 5), (3, 300)], cols)
+    src = tmp_path / "ss_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    kw = dict(checkpoint_dir=str(tmp_path / "ckpt"), table="sessions",
+              gap_us=150)
+    stream_sessions(stream, cat_root, **kw).awaitTermination(180)
+
+    out_cols = ["user_id", "session_idx", "start_us", "end_us",
+                "n_events", "duration_us"]
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                Catalog(cat_root)
+                .read(spark, "sessions")
+                .select(*out_cols)
+                .collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            sessionize(b1.union(b2), gap_us=150).select(*out_cols).collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    by_user = {}
+    for t in got:
+        by_user.setdefault(t[0], []).append(t)
+    # the late 280 MERGED user 1's two sessions into one
+    assert by_user[1] == [(1, 1, 100, 500, 5, 400)]
+    assert by_user[3] == [(3, 1, 5, 5, 1, 0), (3, 2, 300, 300, 1, 0)]
+
+    # replay: same checkpoint -> already-committed batches skipped
+    stream_sessions(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
