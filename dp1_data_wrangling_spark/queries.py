@@ -65,7 +65,7 @@ DRIVER_WINDOW: list[str] = [
     "events_winsorize",           # r10: exact percentile clipping
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "event_attribution_decay",    # r10: exponential time-decay attribution
-    "multimodal_png",             # r8: REAL zlib PNG decode (full filter set)
+    "doc_link_prediction",        # r11: common-neighbor/Jaccard link prediction
     "orders_gini_concentration",  # r10: exact Gini concentration index
     "orders_value_deciles",       # r11: fact-scale distributed ntile + percent-rank
     "lineitem_weighted_quantiles",  # r10: exact weighted quantiles
@@ -74,7 +74,7 @@ DRIVER_WINDOW: list[str] = [
     "events_value_bins",          # r10: equi-width histogram binning
     "events_holt_trend",          # r10: Holt smoothing, fixed-point recurrence
     "customer_entity_resolution", # r10: PassJoin->CC->golden record
-    "pq_recall_bound",            # r8: product-quantization ADC recall bound
+    "user_churn_survival",        # r11: exact Kaplan-Meier churn curves
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank

@@ -230,7 +230,10 @@ def test_driver_window_covers_flagship_surface():
         "events_ks_drift", "ivf_topk",
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
-        "multimodal_png",
+        # multimodal_png rotated out in r11 mid-round 3 for
+        # doc_link_prediction (3x green r8-r10; the codec family keeps
+        # multimodal_qoi's full op mix in-window, PNG stays parity-held
+        # in-repo every CI run)
         # round-8: second real compressed codec (QOI) enters directly
         # (doc_global_shuffle out — 2x green; the sampling family stays
         # via doc_source_quota/doc_importance_resample/cluster_safe_split)
@@ -247,7 +250,9 @@ def test_driver_window_covers_flagship_surface():
         # round-8: product-quantization ADC enters directly
         # (embedding_near_dup out — many-round green; family stays via
         # embedding_semantic_dedup + cosine_topk)
-        "pq_recall_bound",
+        # pq_recall_bound rotated out in r11 mid-round 3 for
+        # user_churn_survival (3x green r8-r10; the ANN family keeps
+        # ivf_topk's full replay oracle + the composed ivf_pq bound)
         # round-8: composed IVF-PQ (the FAISS IVFPQ production shape)
         # enters directly (multimodal_resize out — multi-round green)
         "ivf_pq_recall_bound",
@@ -408,6 +413,10 @@ def test_driver_window_covers_flagship_surface():
         # gapfill was registered in r9 and held parity-checked until its
         # scheduled slot — the BASELINE.md r10->r11 staging plan)
         "order_item_affinity", "events_seasonal_mase", "events_gapfill",
+        # r11 mid-round 3: the Kaplan-Meier survival family and the
+        # graph tier's link-prediction candidate generator enter
+        # directly (pq_recall_bound / multimodal_png out, above)
+        "user_churn_survival", "doc_link_prediction",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal
