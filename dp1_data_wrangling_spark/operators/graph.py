@@ -567,12 +567,22 @@ def link_prediction(
     )
     left = adj.select(F.col("w"), F.col("nb").alias("pa"))
     right = adj.select(F.col("w").alias("w2"), F.col("nb").alias("pb"))
+    # the Resource-Allocation index rides the same wedge census: each
+    # common neighbor w contributes 1/deg(w), in exact ppm via one
+    # truncating division per wedge (deg(w) >= 2 for any intermediate,
+    # so the division is always defined) — the Zhou/Lü/Zhang predictor
+    # that consistently beats raw CN in the link-prediction literature
+    degw = deg.select(F.col("node").alias("__w"), F.col("deg").alias("__dw"))
     cn = (
         left.join(
             right, (F.col("w") == F.col("w2")) & (F.col("pa") < F.col("pb"))
         )
+        .join(degw, F.col("w") == F.col("__w"))
         .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.expr("1000000 div __dw")).alias("ra_ppm"),
+        )
         .filter(F.col("common_neighbors") >= min_common)
     )
     fresh = cn.join(
@@ -595,5 +605,6 @@ def link_prediction(
                 "(1000000 * common_neighbors) div "
                 "(deg_a + deg_b - common_neighbors)"
             ).alias("jaccard_ppm"),
+            "ra_ppm",
         )
     )

@@ -1118,3 +1118,127 @@ def ab_contingency(
             F.expr(f"({num}) div {den}"),
         ).cast("bigint").alias("chi2_milli"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    group_cols: list[str],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Difference-in-differences readout per group — the pre/post ×
+    control/treatment 2x2 of MEANS with the DiD effect in exact milli:
+
+        did_milli = (m_trt_post - m_trt_pre) - (m_ctl_post - m_ctl_pre)
+
+    where each cell mean is ``sum(floor(value * quant_scale)) div n``
+    — per-row fixed-point quantization (deterministic), DECIMAL(38,0)
+    cell sums (immune to both accumulation order and BIGINT wrap), and
+    ONE truncating division per cell, so the effect replays verbatim
+    against a HUGEINT oracle (`//` and `div` both truncate toward
+    zero, negative sums included).  Each mean truncates independently
+    (≤1 milli per term — stated convention, the ab_contingency
+    stance).
+
+    ``arm_col`` / ``period_col`` must be 0/1 and non-NULL (a row
+    outside the design has no cell — executor fail-fast); NULL values
+    are EXCLUDED from both the cell sum and the cell count (standard
+    mean semantics, the linear_attribution r9 lesson made explicit).
+    An EMPTY cell yields NULL for its mean and NULL ``did_milli``,
+    never a fake zero.  Per-row ``|value * quant_scale|`` is guarded
+    against 2^62 (fail fast, never silent wraparound).
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy — four
+    conditional sums + four conditional counts per group; everything
+    after is per-group scalar algebra.  No window, no join.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    experiment-analytics tier.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    arm, per = F.col(arm_col), F.col(period_col)
+    bad = (
+        arm.isNull()
+        | per.isNull()
+        | ~arm.cast("bigint").isin(0, 1)
+        | ~per.cast("bigint").isin(0, 1)
+    )
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "diff_in_diff: arm/period must be 0/1 and non-NULL — a "
+                "row outside the design has no cell; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cap = float(1 << 62)
+    quant = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    vq = F.when(F.col(value_col).isNull(), F.lit(None).cast("bigint")).when(
+        F.abs(F.col(value_col) * F.lit(quant_scale)) < F.lit(cap), quant
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"diff_in_diff: |value * {quant_scale}| >= 2^62 would "
+                "overflow the per-row fixed-point quantization; lower "
+                "quant_scale"
+            )
+        ).cast("bigint")
+    )
+    d = df.withColumn("__arm", arm_ok).withColumn(
+        "__per", per.cast("bigint")
+    ).withColumn("__vq", vq)
+
+    def cell(a: int, p: int, suffix: str):
+        in_cell = (F.col("__arm") == a) & (F.col("__per") == p)
+        v = F.when(in_cell, F.col("__vq"))
+        return [
+            F.count(v).cast("bigint").alias(f"n_{suffix}"),
+            F.coalesce(F.sum(v.cast("decimal(38,0)")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(f"__s_{suffix}"),
+        ]
+
+    cells = d.groupBy(*group_cols).agg(
+        *cell(0, 0, "ctl_pre"),
+        *cell(0, 1, "ctl_post"),
+        *cell(1, 0, "trt_pre"),
+        *cell(1, 1, "trt_post"),
+    )
+
+    def mean(suffix: str) -> F.Column:
+        return F.when(
+            F.col(f"n_{suffix}") > 0,
+            F.expr(f"__s_{suffix} div n_{suffix}").cast("bigint"),
+        ).alias(f"mean_{suffix}_milli")
+
+    out = cells.select(
+        *group_cols,
+        "n_ctl_pre",
+        "n_ctl_post",
+        "n_trt_pre",
+        "n_trt_post",
+        mean("ctl_pre"),
+        mean("ctl_post"),
+        mean("trt_pre"),
+        mean("trt_post"),
+    )
+    all_cells = (
+        (F.col("n_ctl_pre") > 0)
+        & (F.col("n_ctl_post") > 0)
+        & (F.col("n_trt_pre") > 0)
+        & (F.col("n_trt_post") > 0)
+    )
+    return out.withColumn(
+        "did_milli",
+        F.when(
+            all_cells,
+            (F.col("mean_trt_post_milli") - F.col("mean_trt_pre_milli"))
+            - (F.col("mean_ctl_post_milli") - F.col("mean_ctl_pre_milli")),
+        ),
+    )

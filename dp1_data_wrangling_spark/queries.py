@@ -55,7 +55,7 @@ DRIVER_WINDOW: list[str] = [
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "user_scd2_history",          # r8: SCD Type-2 dimension history
     # -- event analytics (r8: funnel / retention / Markov) --
-    "event_funnel",               # r8: first-touch 3-step conversion funnel
+    "events_diff_in_diff",        # r11: difference-in-differences readout
     "customer_rfm_segments",      # r10: RFM tiers over exact aggregates
     "event_conversion_paths",     # r10: full-journey path census
     "events_quantile_normalize",  # r10: exact rank-based QN calibration

@@ -2076,6 +2076,112 @@ def q_events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_diff_in_diff",
+    """
+    WITH dd_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                    THEN 1 ELSE 0 END AS period,
+               CASE WHEN value IS NOT NULL
+                    THEN CAST(floor(value * 1000) AS BIGINT) END AS vq
+        FROM events
+    ),
+    dd_c AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN arm = 0 AND period = 0 THEN vq END)
+                    AS BIGINT) AS n_ctl_pre,
+               CAST(count(CASE WHEN arm = 0 AND period = 1 THEN vq END)
+                    AS BIGINT) AS n_ctl_post,
+               CAST(count(CASE WHEN arm = 1 AND period = 0 THEN vq END)
+                    AS BIGINT) AS n_trt_pre,
+               CAST(count(CASE WHEN arm = 1 AND period = 1 THEN vq END)
+                    AS BIGINT) AS n_trt_post,
+               CAST(coalesce(sum(CASE WHEN arm = 0 AND period = 0
+                                 THEN vq END), 0) AS HUGEINT) AS s00,
+               CAST(coalesce(sum(CASE WHEN arm = 0 AND period = 1
+                                 THEN vq END), 0) AS HUGEINT) AS s01,
+               CAST(coalesce(sum(CASE WHEN arm = 1 AND period = 0
+                                 THEN vq END), 0) AS HUGEINT) AS s10,
+               CAST(coalesce(sum(CASE WHEN arm = 1 AND period = 1
+                                 THEN vq END), 0) AS HUGEINT) AS s11
+        FROM dd_e GROUP BY event_type
+    )
+    SELECT event_type,
+           n_ctl_pre, n_ctl_post, n_trt_pre, n_trt_post,
+           CASE WHEN n_ctl_pre > 0
+                THEN CAST(s00 // n_ctl_pre AS BIGINT) END
+               AS mean_ctl_pre_milli,
+           CASE WHEN n_ctl_post > 0
+                THEN CAST(s01 // n_ctl_post AS BIGINT) END
+               AS mean_ctl_post_milli,
+           CASE WHEN n_trt_pre > 0
+                THEN CAST(s10 // n_trt_pre AS BIGINT) END
+               AS mean_trt_pre_milli,
+           CASE WHEN n_trt_post > 0
+                THEN CAST(s11 // n_trt_post AS BIGINT) END
+               AS mean_trt_post_milli,
+           CASE WHEN n_ctl_pre > 0 AND n_ctl_post > 0
+                 AND n_trt_pre > 0 AND n_trt_post > 0
+                THEN CAST((s11 // n_trt_post - s10 // n_trt_pre)
+                          - (s01 // n_ctl_post - s00 // n_ctl_pre)
+                          AS BIGINT) END AS did_milli
+    FROM dd_c
+    """,
+    headline=True,
+)
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences experiment readout per event type
+    (operators/stats.py diff_in_diff): users assign to arms by md5
+    parity, the period splits at 2024-01-16 (epoch day 19738), the
+    measured outcome is the event value in exact milli.  Each cell
+    mean is a DECIMAL(38,0)/HUGEINT sum with ONE truncating division;
+    the DiD effect is scalar algebra over the four truncated means —
+    replayed verbatim by the oracle.  ONE combinable groupBy, no
+    window, no join (plan-gated)."""
+    from .operators.stats import diff_in_diff
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("did|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    units = e.select(
+        "event_type",
+        arm.alias("arm"),
+        (F.expr("ts_us div 86400000000") >= F.lit(19738))
+        .cast("bigint")
+        .alias("period"),
+        "value",
+    )
+    return diff_in_diff(
+        units,
+        arm_col="arm",
+        period_col="period",
+        value_col="value",
+        group_cols=["event_type"],
+    )
+
+
+@register(
     "events_grid_hotspots",
     """
     WITH gh_pts AS (

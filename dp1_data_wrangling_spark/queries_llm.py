@@ -3946,18 +3946,22 @@ def q_doc_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT b AS w, a AS nb FROM lk_e
     ),
     lk_cn AS (
-        SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn
-        FROM lk_adj x JOIN lk_adj y ON x.w = y.w AND x.nb < y.nb
+        SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000 // dw.deg) AS BIGINT) AS ra
+        FROM lk_adj x
+        JOIN lk_adj y ON x.w = y.w AND x.nb < y.nb
+        JOIN lk_deg dw ON dw.node = x.w
         GROUP BY x.nb, y.nb
     ),
     lk_new AS (
-        SELECT c.a, c.b, c.cn FROM lk_cn c
+        SELECT c.a, c.b, c.cn, c.ra FROM lk_cn c
         WHERE c.cn >= 2 AND NOT EXISTS (
             SELECT 1 FROM lk_e e WHERE e.a = c.a AND e.b = c.b)
     )
     SELECT n.a, n.b, n.cn AS common_neighbors,
            da.deg AS deg_a, db.deg AS deg_b,
-           (1000000 * n.cn) // (da.deg + db.deg - n.cn) AS jaccard_ppm
+           (1000000 * n.cn) // (da.deg + db.deg - n.cn) AS jaccard_ppm,
+           n.ra AS ra_ppm
     FROM lk_new n
     JOIN lk_deg da ON da.node = n.a
     JOIN lk_deg db ON db.node = n.b
@@ -3967,10 +3971,12 @@ def q_doc_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction candidates over the shared md5 link graph
     (operators/graph.py link_prediction — Liben-Nowell & Kleinberg's
-    common-neighbor + Jaccard predictors in exact integers): every
-    NON-adjacent document pair sharing >= 2 neighbors, with the
-    neighborhood Jaccard in exact ppm — the related-document /
-    suggested-citation candidate generator.  The hub valve (degree
+    common-neighbor + Jaccard predictors in exact integers, plus the
+    Zhou/Lü/Zhang Resource-Allocation index as exact ppm wedge
+    divisions): every NON-adjacent document pair sharing >= 2
+    neighbors, with the neighborhood Jaccard and RA scores in exact
+    ppm — the related-document / suggested-citation candidate
+    generator.  The hub valve (degree
     > 64, non-binding on this graph but in the plan) caps the
     deg(w)^2 candidate blow-up a celebrity node would cause.  The
     oracle replays canonicalization, hub filter, the w-blocked pair

@@ -316,3 +316,93 @@ def stream_sessions(
         stream_name=stream_name,
         n_buckets=n_buckets,
     )
+
+
+def stream_transitions(
+    stream_events: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    table: str = "transitions",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    order_extra: list[str] | None = None,
+    trigger_available_now: bool = True,
+    stream_name: str | None = None,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Exactly-once streaming maintenance of the first-order Markov
+    transition matrix — the keyed-rebuild core plus a READ-SIDE
+    aggregate.
+
+    The GLOBAL matrix is cross-user state (one late event changes two
+    cells that every user's counts feed), so it cannot be the rebuild
+    target itself.  But the per-user transition COUNTS are a pure
+    per-user function of the user's event set — a late middle event
+    rewires that user's A->C pair into A->B + B->C, which only a
+    complete-log rebuild expresses — and the global matrix is their
+    SUM, a decomposable aggregate.  So silver holds per-user pair
+    counts (the keyed-rebuild contract verbatim) and
+    :func:`read_transition_matrix` folds them into the matrix +
+    exact ``prob_milli`` at read time, over type-pair-sized data.
+    """
+    from pyspark.sql import Window
+
+    def rb(events: DataFrame) -> DataFrame:
+        order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+        w = Window.partitionBy(user_col).orderBy(*order)
+        return (
+            events.select(
+                F.col(user_col),
+                F.lag(F.col(type_col)).over(w).alias("from_type"),
+                F.col(type_col).alias("to_type"),
+            )
+            .filter(F.col("from_type").isNotNull())
+            .groupBy(user_col, "from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+        )
+
+    return stream_keyed_rebuild(
+        stream_events,
+        catalog_root,
+        checkpoint_dir=checkpoint_dir,
+        table=table,
+        key_col=user_col,
+        event_cols=[user_col, type_col, ts_col, *(order_extra or [])],
+        rebuild=rb,
+        out_key_col=user_col,
+        trigger_available_now=trigger_available_now,
+        stream_name=stream_name,
+        n_buckets=n_buckets,
+    )
+
+
+def read_transition_matrix(
+    spark, catalog_root: str, *, table: str = "transitions"
+) -> DataFrame:
+    """Fold the silver per-user transition counts into the global
+    matrix with exact ``prob_milli`` — bit-identical to batch
+    ``transition_matrix`` over the same delivered events (the sum of
+    per-user counts IS the global count; the milli division happens
+    once, here).  The row-total window runs over type-pair-sized data
+    (the matrix), never events."""
+    from pyspark.sql import Window
+
+    silver = Catalog(catalog_root).read(spark, table)
+    pairs = silver.groupBy("from_type", "to_type").agg(
+        F.sum("n_transitions").alias("n_transitions")
+    )
+    w_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("1000 * n_transitions").cast("bigint").alias("__num"),
+        F.sum("n_transitions").over(w_tot).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("__num div __den").alias("prob_milli"),
+    )

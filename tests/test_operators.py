@@ -6365,8 +6365,9 @@ def test_km_survival_validation_and_guards(spark):
 def test_link_prediction_hand_computed(spark):
     """Diamond 1-2, 1-3, 2-3, 2-4, 3-4: the only non-adjacent pair is
     (1,4) with common neighbors {2,3}; N(1)={2,3}=N(4) so Jaccard is
-    exactly 1e6 ppm.  Reversed/duplicate/self-loop edges canonicalize
-    away first."""
+    exactly 1e6 ppm, and both witnesses have degree 3 so the RA index
+    is 2 * (1e6 div 3) = 666666 ppm.  Reversed/duplicate/self-loop
+    edges canonicalize away first."""
     from dp1_data_wrangling_spark.operators.graph import link_prediction
 
     edges = spark.createDataFrame(
@@ -6375,9 +6376,10 @@ def test_link_prediction_hand_computed(spark):
     )
     rows = link_prediction(edges).collect()
     assert [
-        (r.a, r.b, r.common_neighbors, r.deg_a, r.deg_b, r.jaccard_ppm)
+        (r.a, r.b, r.common_neighbors, r.deg_a, r.deg_b, r.jaccard_ppm,
+         r.ra_ppm)
         for r in rows
-    ] == [(1, 4, 2, 2, 2, 1_000_000)]
+    ] == [(1, 4, 2, 2, 2, 1_000_000, 666_666)]
 
 
 def test_link_prediction_hub_valve_removes_hub_edges(spark):
@@ -6421,3 +6423,106 @@ def test_link_prediction_min_common_and_validation(spark):
         link_prediction(edges, min_common=0)
     with _pytest.raises(ValueError, match="max_degree"):
         link_prediction(edges, max_degree=0)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (operators/stats.py diff_in_diff)
+# ---------------------------------------------------------------------------
+
+
+def test_diff_in_diff_hand_computed(spark):
+    """Cells ctl_pre={1,2} ctl_post={2,4} trt_pre={1} trt_post={5.5,.5}
+    give means 1500/3000/1000/3000 milli and did = (3000-1000) -
+    (3000-1500) = 500.  A NULL value rides along and is excluded from
+    both the cell count and sum."""
+    from dp1_data_wrangling_spark.operators.stats import diff_in_diff
+
+    rows = [
+        ("g", 0, 0, 1.0), ("g", 0, 0, 2.0),
+        ("g", 0, 1, 2.0), ("g", 0, 1, 4.0),
+        ("g", 1, 0, 1.0),
+        ("g", 1, 1, 5.5), ("g", 1, 1, 0.5), ("g", 1, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, arm int, period int, v double"
+    )
+    [r] = diff_in_diff(
+        df, arm_col="arm", period_col="period", value_col="v",
+        group_cols=["g"],
+    ).collect()
+    assert (r.n_ctl_pre, r.n_ctl_post, r.n_trt_pre, r.n_trt_post) == (
+        2, 2, 1, 2,
+    )
+    assert (
+        r.mean_ctl_pre_milli, r.mean_ctl_post_milli,
+        r.mean_trt_pre_milli, r.mean_trt_post_milli,
+    ) == (1500, 3000, 1000, 3000)
+    assert r.did_milli == 500
+
+
+def test_diff_in_diff_negative_truncation_and_empty_cell(spark):
+    """Negative cell sums truncate toward zero (matching DuckDB `//`):
+    vq {-1001, -2000} gives -3001 div 2 = -1500, not floor's -1501.
+    An empty cell NULLs its mean and the effect."""
+    from dp1_data_wrangling_spark.operators.stats import diff_in_diff
+
+    rows = [
+        ("g", 0, 0, -1.0005), ("g", 0, 0, -2.0),
+        ("g", 0, 1, 1.0),
+        ("g", 1, 1, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, arm int, period int, v double"
+    )
+    [r] = diff_in_diff(
+        df, arm_col="arm", period_col="period", value_col="v",
+        group_cols=["g"],
+    ).collect()
+    assert r.mean_ctl_pre_milli == -1500
+    assert r.n_trt_pre == 0
+    assert r.mean_trt_pre_milli is None and r.did_milli is None
+
+
+def test_diff_in_diff_validation_and_guards(spark):
+    """Arm/period outside {0,1} or NULL raise executor-side; bad knobs
+    raise at plan time; the per-row quantization guard fires on values
+    that would wrap 2^62."""
+    from dp1_data_wrangling_spark.operators.stats import diff_in_diff
+
+    ok = spark.createDataFrame(
+        [("g", 0, 0, 1.0)], "g string, arm int, period int, v double"
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        diff_in_diff(
+            ok, arm_col="arm", period_col="period", value_col="v",
+            group_cols=[],
+        )
+    with pytest.raises(ValueError, match="quant_scale"):
+        diff_in_diff(
+            ok, arm_col="arm", period_col="period", value_col="v",
+            group_cols=["g"], quant_scale=0,
+        )
+    bad_arm = spark.createDataFrame(
+        [("g", 2, 0, 1.0)], "g string, arm int, period int, v double"
+    )
+    with pytest.raises(Exception, match="diff_in_diff"):
+        diff_in_diff(
+            bad_arm, arm_col="arm", period_col="period", value_col="v",
+            group_cols=["g"],
+        ).collect()
+    null_per = spark.createDataFrame(
+        [("g", 0, None, 1.0)], "g string, arm int, period int, v double"
+    )
+    with pytest.raises(Exception, match="diff_in_diff"):
+        diff_in_diff(
+            null_per, arm_col="arm", period_col="period", value_col="v",
+            group_cols=["g"],
+        ).collect()
+    huge = spark.createDataFrame(
+        [("g", 0, 0, 1e19)], "g string, arm int, period int, v double"
+    )
+    with pytest.raises(Exception, match="overflow"):
+        diff_in_diff(
+            huge, arm_col="arm", period_col="period", value_col="v",
+            group_cols=["g"],
+        ).collect()

@@ -276,7 +276,13 @@ def test_driver_window_covers_flagship_surface():
         # family gains the RFM tiers and keeps event_funnel +
         # event_funnel_latency in-window; retention stays parity-held
         # in-repo every CI run)
-        "event_funnel", "customer_rfm_segments", "event_conversion_paths",
+        # event_funnel rotated out in r11 mid-round 4 for
+        # events_diff_in_diff (3x green r8-r10; the funnel family keeps
+        # event_funnel_latency + event_conversion_paths +
+        # event_attribution_decay in-window, gained the exactly-once
+        # streaming twin in r11, and stays parity-held in-repo)
+        "customer_rfm_segments", "event_conversion_paths",
+        "events_diff_in_diff",
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
         # stays via doc_semantic_decontam)

@@ -1198,7 +1198,9 @@ EXCHANGE_LEDGER = {
     # doc_link_prediction's visible slice starts at its lazy-checkpointed
     # edge/degree sets (like pagerank's final round): the adjacency
     # self-join, pair census, freshness anti-join and two degree joins
-    "doc_link_prediction": (8, 0, 0),
+    "doc_link_prediction": (9, 0, 0),
+    # events_diff_in_diff: ONE combinable groupBy, no window, no join
+    "events_diff_in_diff": (1, 0, 0),
     "doc_link_triangles": (5, 0, 0),
     "embedding_semantic_dedup": (2, 0, 0),
     "event_conversion_paths": (2, 1, 0),
@@ -1487,4 +1489,17 @@ def test_link_prediction_blocked_no_cartesian_no_python(spark):
     plan = plan_of(REGISTRY["doc_link_prediction"].fn(spark, SMOKE_SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_diff_in_diff_one_groupby_no_window_no_join(spark):
+    """DiD: four conditional sums + four conditional counts in ONE
+    map-side-combinable groupBy; everything after is per-group scalar
+    algebra — no window, no join, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_diff_in_diff"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan

@@ -2109,3 +2109,70 @@ def test_stream_sessions_equals_batch(spark, tmp_path):
     # replay: same checkpoint -> already-committed batches skipped
     stream_sessions(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stream_transitions_equals_batch(spark, tmp_path):
+    """Transition-matrix micro-batches — including a LATE middle event
+    that REWIRES a user's A->C transition into A->B + B->C — must fold
+    (via the read-side aggregate) into exactly transition_matrix(all
+    events).  Replay from the same checkpoint is a no-op."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import transition_matrix
+    from dp1_data_wrangling_spark.streaming import (
+        read_transition_matrix,
+        stream_transitions,
+    )
+
+    cols = ["user_id", "event_type", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(1, "view", 100), (1, "purchase", 300),
+         (2, "view", 10), (2, "click", 20), (2, "view", 40)],
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [(1, "click", 200),      # late: rewires view->purchase
+         (3, "signup", 5), (3, "view", 50)],
+        cols,
+    )
+    src = tmp_path / "tm_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    kw = dict(checkpoint_dir=str(tmp_path / "ckpt"), table="transitions")
+    stream_transitions(stream, cat_root, **kw).awaitTermination(180)
+
+    out_cols = ["from_type", "to_type", "n_transitions", "prob_milli"]
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                read_transition_matrix(spark, cat_root)
+                .select(*out_cols)
+                .collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            transition_matrix(b1.union(b2)).select(*out_cols).collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    # the late click rewired user 1: no view->purchase cell survives
+    assert ("view", "purchase") not in {(t[0], t[1]) for t in got}
+    assert ("click", "purchase") in {(t[0], t[1]) for t in got}
+
+    # replay: same checkpoint -> already-committed batches skipped
+    stream_transitions(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
