@@ -860,6 +860,79 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - sweep is informational
             print(f"pagerank scale probe failed: {exc}", file=sys.stderr)
 
+    # Link-prediction scale probe (round 11): the wedge census emits
+    # deg(w)^2/2 candidates per intermediate node, so on a bounded-
+    # degree graph (the synth law: 0-3 out-edges/node) cost and OUTPUT
+    # both grow linearly with nodes — a hidden all-pairs/cartesian term
+    # would read ~10x worse.  Pair counts are recorded so the wall
+    # ratio self-explains; the hub valve's behavior is covered by the
+    # equivalence test (hub-stripped-graph equality), not re-probed.
+    if sf_num == 0.1:
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from dp1_data_wrangling_spark.operators.graph import (
+                link_prediction,
+            )
+
+            def synth_lp_graph(n: int):
+                deg = (F.col("id") * 2654435761) % 4
+                return (
+                    spark.range(n)
+                    .select(F.col("id").alias("src"), deg.alias("d"))
+                    .filter("d > 0")
+                    .select(
+                        "src",
+                        F.explode(
+                            F.sequence(F.lit(1).cast("bigint"), F.col("d"))
+                        ).alias("j"),
+                    )
+                    .select(
+                        "src",
+                        (
+                            (F.col("src") * 40503 + F.col("j") * 69069) % n
+                        ).alias("dst"),
+                    )
+                )
+
+            tmp = tempfile.mkdtemp(prefix="bench_linkpred_")
+            try:
+                lpaths = {}
+                for n in (20_000, 200_000):
+                    lpaths[n] = f"{tmp}/lp{n}"
+                    synth_lp_graph(n).write.parquet(lpaths[n])
+                lp = {
+                    n: min_of_3(
+                        lambda n=n: link_prediction(
+                            spark.read.parquet(lpaths[n]),
+                            min_common=1,
+                            max_degree=64,
+                        )
+                    )
+                    for n in (20_000, 200_000)
+                }
+                scaling["link_prediction_synth"] = {
+                    "n_rows": [20_000, 200_000],
+                    "small_sec": round(lp[20_000], 3),
+                    "big_sec": round(lp[200_000], 3),
+                    "ratio_10x_rows": round(lp[200_000] / lp[20_000], 2),
+                    "pairs": [
+                        link_prediction(
+                            spark.read.parquet(lpaths[n]),
+                            min_common=1,
+                            max_degree=64,
+                        ).count()
+                        for n in (20_000, 200_000)
+                    ],
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - sweep is informational
+            print(f"link-prediction scale probe failed: {exc}", file=sys.stderr)
+
     # Distributed-ntile scale probe (round 11, VERDICT item 1): the rank
     # decomposition replaces three single-partition windows in rfm/abc,
     # so its own scaling law needs a record.  The fixture is the

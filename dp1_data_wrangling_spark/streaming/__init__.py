@@ -35,9 +35,11 @@ from .geofence import stream_geofence
 from .drift import stream_ks_drift
 from .funnel import stream_funnel
 from .rebuild import (
+    read_retention_cohorts,
     read_transition_matrix,
     stream_attribution,
     stream_keyed_rebuild,
+    stream_retention,
     stream_sessions,
     stream_transitions,
 )
@@ -73,12 +75,14 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",
+    "read_retention_cohorts",
     "read_transition_matrix",
     "stream_attribution",
     "stream_funnel",
     "stream_keyed_rebuild",
     "stream_ks_drift",
     "stream_scd2",
+    "stream_retention",
     "stream_sessions",
     "stream_transitions",
     "stream_geofence",

@@ -406,3 +406,73 @@ def read_transition_matrix(
         "n_transitions",
         F.expr("__num div __den").alias("prob_milli"),
     )
+
+
+def stream_retention(
+    stream_events: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    table: str = "retention",
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    trigger_available_now: bool = True,
+    stream_name: str | None = None,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Exactly-once streaming maintenance of weekly cohort retention —
+    the read-side-aggregate pattern (see :func:`stream_transitions`).
+
+    A LATE event with an EARLIER timestamp re-cohorts its user (the
+    cohort week is the min over the user's events), which moves every
+    retention cell that user feeds — cross-cell damage only a per-user
+    rebuild expresses.  Silver holds one row per (user, cohort_week,
+    week_offset); the retention matrix is their COUNT per cell, folded
+    by :func:`read_retention_cohorts` over matrix-sized data.
+    """
+    WEEK_US = 604_800_000_000
+
+    def rb(events: DataFrame) -> DataFrame:
+        first = events.groupBy(user_col).agg(
+            F.expr(f"min({ts_col}) div {WEEK_US}").alias("cohort_week")
+        )
+        active = events.select(
+            F.col(user_col),
+            F.expr(f"{ts_col} div {WEEK_US}").alias("__aw"),
+        ).distinct()
+        return (
+            active.join(first, user_col)
+            .select(
+                F.col(user_col),
+                "cohort_week",
+                (F.col("__aw") - F.col("cohort_week")).alias("week_offset"),
+            )
+            .distinct()
+        )
+
+    return stream_keyed_rebuild(
+        stream_events,
+        catalog_root,
+        checkpoint_dir=checkpoint_dir,
+        table=table,
+        key_col=user_col,
+        event_cols=[user_col, ts_col],
+        rebuild=rb,
+        out_key_col=user_col,
+        trigger_available_now=trigger_available_now,
+        stream_name=stream_name,
+        n_buckets=n_buckets,
+    )
+
+
+def read_retention_cohorts(
+    spark, catalog_root: str, *, table: str = "retention"
+) -> DataFrame:
+    """Fold the silver per-user retention rows into the cohort matrix —
+    bit-identical to batch ``cohort_retention`` over the same delivered
+    events (silver holds exactly one row per (user, cohort, offset), so
+    the cell count IS the distinct-user count)."""
+    silver = Catalog(catalog_root).read(spark, table)
+    return silver.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

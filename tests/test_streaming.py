@@ -2176,3 +2176,74 @@ def test_stream_transitions_equals_batch(spark, tmp_path):
     # replay: same checkpoint -> already-committed batches skipped
     stream_transitions(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stream_retention_equals_batch(spark, tmp_path):
+    """Retention micro-batches — including a LATE event with an EARLIER
+    timestamp that RE-COHORTS its user (the cohort week is a min, so
+    every cell the user feeds moves) — must fold into exactly
+    cohort_retention(all events).  Replay from the same checkpoint is
+    a no-op."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import cohort_retention
+    from dp1_data_wrangling_spark.streaming import (
+        read_retention_cohorts,
+        stream_retention,
+    )
+
+    WEEK = 604_800_000_000
+    cols = ["user_id", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(1, 5 * WEEK + 10), (1, 6 * WEEK + 10),
+         (2, 5 * WEEK + 99), (3, 6 * WEEK)],
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 3 * WEEK + 1),      # late + earlier: re-cohorts user 1
+         (4, 7 * WEEK + 2), (4, 7 * WEEK + 3)],  # same-week dup events
+        cols,
+    )
+    src = tmp_path / "rt_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    kw = dict(checkpoint_dir=str(tmp_path / "ckpt"), table="retention")
+    stream_retention(stream, cat_root, **kw).awaitTermination(180)
+
+    out_cols = ["cohort_week", "week_offset", "n_users"]
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                read_retention_cohorts(spark, cat_root)
+                .select(*out_cols)
+                .collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            cohort_retention(b1.union(b2)).select(*out_cols).collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    cells = {(t[0], t[1]): t[2] for t in got}
+    # user 1 re-cohorted to week 3: offsets 0, 2, 3 — nothing left at 5
+    assert cells[(3, 0)] == 1 and cells[(3, 2)] == 1 and cells[(3, 3)] == 1
+    assert cells[(5, 0)] == 1  # only user 2 remains in cohort 5
+    assert cells[(7, 0)] == 1  # dup same-week events count once
+
+    # replay: same checkpoint -> already-committed batches skipped
+    stream_retention(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
