@@ -1242,3 +1242,137 @@ def diff_in_diff(
             - (F.col("mean_ctl_post_milli") - F.col("mean_ctl_pre_milli")),
         ),
     )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """General RxC chi-square test of independence per group — does the
+    ``row_col`` category depend on the ``col_col`` category? — with the
+    Pearson statistic in exact milli:
+
+        chi2_milli = sum over ALL r x c cells of
+                     (1000 * (O*N - R*C)^2) div (N * R * C)
+
+    (the per-cell identity ``(O - RC/N)^2 / (RC/N)`` cleared of
+    rationals; each cell truncates independently — ≤1 milli per cell,
+    the ab_contingency stance).  ZERO-observed cells are INCLUDED —
+    the census only holds observed pairs, so the operator rebuilds the
+    full grid as the per-group cross of the row and column censuses
+    (cell-space sized: categories x categories, never data) and
+    coalesces missing counts to 0; dropping them would understate the
+    statistic exactly where dependence is strongest.  Degenerate
+    groups (one row or one column category — df = 0) yield NULL, never
+    a fake zero.  ``df = (r-1)*(c-1)`` rides along for the caller's
+    significance lookup.
+
+    Numerator/denominator run in DECIMAL(38,0) (numerator reaches
+    1000 * N^4, denominator N^3) with the ab_contingency DOUBLE
+    envelope against 1e37 threaded into the consumed observed count —
+    a silent DECIMAL overflow would read as NULL, indistinguishable
+    from the degenerate-df NULL.  NULL categories raise executor-side
+    (a row outside the table's frame has no cell).
+
+    Scale posture (100 TB): ONE data-sized combinable groupBy (the
+    (group, row, col) census); margins, the grid cross, the cell terms
+    and the final sum all run over CENSUS rows.  The grid join is a
+    group-keyed equi-join of two censuses — bounded by category
+    cardinalities, which a contingency test assumes small (plan-gated:
+    no Python, no cartesian).
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    rv, cv = F.col(row_col), F.col(col_col)
+    checked = df.select(
+        *group_cols,
+        F.when(
+            rv.isNotNull() & cv.isNotNull(), rv.cast("string")
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "contingency_chi2: row/col categories must be "
+                    "non-NULL — a row outside the table's frame has no "
+                    "cell; filter upstream"
+                )
+            )
+        )
+        .alias("__rv"),
+        cv.cast("string").alias("__cv"),
+    )
+    # the ONE data-sized shuffle; lazily localCheckpointed — the census
+    # feeds four consumers (both margins, the total, the grid's left
+    # join) and without materialization each reference re-scans and
+    # re-aggregates the INPUT (the link_prediction lesson)
+    obs = (
+        checked.groupBy(*group_cols, "__rv", "__cv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    rowm = obs.groupBy(*group_cols, "__rv").agg(
+        F.sum("__o").alias("__R")
+    )
+    colm = obs.groupBy(*group_cols, "__cv").agg(
+        F.sum("__o").alias("__C")
+    )
+    tot = obs.groupBy(*group_cols).agg(
+        F.sum("__o").alias("__N"),
+        F.count(F.lit(1)).alias("__obs_cells"),
+    )
+    grid = (
+        rowm.join(colm, group_cols)
+        .join(tot, group_cols)
+        .join(obs, [*group_cols, "__rv", "__cv"], "left")
+        .withColumn("__o0", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    diff_d = dd("__o0") * dd("__N") - dd("__R") * dd("__C")
+    env = F.greatest(
+        F.lit(1000.0) * diff_d * diff_d,
+        dd("__N") * dd("__R") * dd("__C"),
+    )
+    o_ok = F.when(env <= F.lit(1e37), F.col("__o0")).otherwise(
+        F.raise_error(
+            F.lit(
+                "contingency_chi2: a cell operand exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units (the decision "
+                "is saturated at such N)"
+            )
+        ).cast("bigint")
+    )
+    dec = "cast({} as decimal(38,0))"
+    num = (
+        f"1000 * ({dec.format('__o_ok')} * {dec.format('__N')} - "
+        f"{dec.format('__R')} * {dec.format('__C')}) * "
+        f"({dec.format('__o_ok')} * {dec.format('__N')} - "
+        f"{dec.format('__R')} * {dec.format('__C')})"
+    )
+    den = (
+        f"({dec.format('__N')} * {dec.format('__R')} * "
+        f"{dec.format('__C')})"
+    )
+    cells = grid.withColumn("__o_ok", o_ok).withColumn(
+        "__term", F.expr(f"CAST(({num}) div {den} AS BIGINT)")
+    )
+    out = cells.groupBy(*group_cols).agg(
+        F.countDistinct("__rv").cast("bigint").alias("n_row_cats"),
+        F.countDistinct("__cv").cast("bigint").alias("n_col_cats"),
+        F.max("__N").cast("bigint").alias("n_units"),
+        F.sum("__term").alias("__chi2"),
+    )
+    df_ = (F.col("n_row_cats") - 1) * (F.col("n_col_cats") - 1)
+    return out.select(
+        *group_cols,
+        "n_row_cats",
+        "n_col_cats",
+        "n_units",
+        df_.cast("bigint").alias("df"),
+        F.when(df_ > 0, F.col("__chi2")).cast("bigint").alias("chi2_milli"),
+    )

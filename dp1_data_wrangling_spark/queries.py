@@ -50,7 +50,7 @@ from .queries_analytics import (  # noqa: E402,F401
 
 DRIVER_WINDOW: list[str] = [
     # -- core data plane --
-    "events_spatial_pairs",       # r8: grid-blocked ST_DWithin spatial join
+    "events_type_hour_independence",  # r11: RxC chi-square independence
     "doc_link_communities",       # r10: label-propagation communities
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "user_scd2_history",          # r8: SCD Type-2 dimension history

@@ -2182,6 +2182,86 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_type_hour_independence",
+    """
+    WITH ci_o AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               event_type AS rv,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS cv,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ci_r AS (
+        SELECT dow, rv, CAST(sum(o) AS BIGINT) AS rm
+        FROM ci_o GROUP BY dow, rv
+    ),
+    ci_c AS (
+        SELECT dow, cv, CAST(sum(o) AS BIGINT) AS cm
+        FROM ci_o GROUP BY dow, cv
+    ),
+    ci_n AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS nn FROM ci_o GROUP BY dow
+    ),
+    ci_g AS (
+        SELECT r.dow, r.rv, c.cv, r.rm, c.cm, n.nn,
+               coalesce(o.o, 0) AS o
+        FROM ci_r r
+        JOIN ci_c c USING (dow)
+        JOIN ci_n n USING (dow)
+        LEFT JOIN ci_o o
+          ON o.dow = r.dow AND o.rv = r.rv AND o.cv = c.cv
+    ),
+    ci_t AS (
+        SELECT dow, rv, cv,
+               CAST((1000 * (CAST(o AS HUGEINT) * nn
+                             - CAST(rm AS HUGEINT) * cm)
+                          * (CAST(o AS HUGEINT) * nn
+                             - CAST(rm AS HUGEINT) * cm))
+                    // (CAST(nn AS HUGEINT) * rm * cm) AS BIGINT) AS term,
+               nn
+        FROM ci_g
+    )
+    SELECT dow,
+           CAST(count(DISTINCT rv) AS BIGINT) AS n_row_cats,
+           CAST(count(DISTINCT cv) AS BIGINT) AS n_col_cats,
+           CAST(max(nn) AS BIGINT) AS n_units,
+           CAST((count(DISTINCT rv) - 1) * (count(DISTINCT cv) - 1)
+                AS BIGINT) AS df,
+           CASE WHEN (count(DISTINCT rv) - 1)
+                     * (count(DISTINCT cv) - 1) > 0
+                THEN CAST(sum(term) AS BIGINT) END AS chi2_milli
+    FROM ci_t GROUP BY dow
+    """,
+    headline=True,
+)
+def q_events_type_hour_independence(spark: SparkSession, sf_dir: str):
+    """RxC chi-square independence screen (operators/stats.py
+    contingency_chi2): is the event-type mix independent of the
+    hour-of-day, per day-of-week?  The 5 x 24 grid INCLUDES
+    zero-observed cells (rebuilt as the cross of the row/column
+    censuses), each cell's Pearson term is an exact per-cell
+    truncating division in DECIMAL(38,0)/HUGEINT, and df rides along.
+    ONE data-sized census groupBy; everything downstream is
+    census-sized (plan-gated)."""
+    from .operators.stats import contingency_chi2
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    d = e.select(
+        (F.expr("ts_us div 86400000000") % 7).alias("dow"),
+        F.col("event_type").alias("etype"),
+        ((F.expr("ts_us div 3600000000")) % 24)
+        .cast("string")
+        .alias("hour"),
+    )
+    return contingency_chi2(
+        d, row_col="etype", col_col="hour", group_cols=["dow"]
+    )
+
+
+@register(
     "events_grid_hotspots",
     """
     WITH gh_pts AS (

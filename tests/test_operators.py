@@ -6526,3 +6526,65 @@ def test_diff_in_diff_validation_and_guards(spark):
             huge, arm_col="arm", period_col="period", value_col="v",
             group_cols=["g"],
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# RxC chi-square independence (operators/stats.py contingency_chi2)
+# ---------------------------------------------------------------------------
+
+
+def test_contingency_chi2_matches_python_replay(spark):
+    """3x2 table with one ZERO-observed cell (z,b): the operator equals
+    an independent Python-int replay of the per-cell truncated Pearson
+    terms — including the missing cell's contribution, which dropping
+    the zero cell would lose."""
+    from dp1_data_wrangling_spark.operators.stats import contingency_chi2
+
+    spec = [("x", "a", 5), ("x", "b", 15), ("y", "a", 20), ("y", "b", 10),
+            ("z", "a", 8)]
+    rows = [("g", r, c) for r, c, n in spec for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string, r string, c string")
+    [got] = contingency_chi2(
+        df, row_col="r", col_col="c", group_cols=["g"]
+    ).collect()
+    from collections import Counter
+
+    O = Counter((r, c) for _, r, c in rows)
+    R, C, N = Counter(), Counter(), 0
+    for (r, c), o in O.items():
+        R[r] += o
+        C[c] += o
+        N += o
+    want = sum(
+        (1000 * (O.get((r, c), 0) * N - R[r] * C[c]) ** 2)
+        // (N * R[r] * C[c])
+        for r in R
+        for c in C
+    )
+    assert (got.n_row_cats, got.n_col_cats, got.n_units, got.df) == (
+        3, 2, N, 2,
+    )
+    assert got.chi2_milli == want
+
+
+def test_contingency_chi2_degenerate_and_validation(spark):
+    """One column category -> df 0 -> NULL chi2; NULL categories raise
+    executor-side; empty group_cols raises at plan time."""
+    from dp1_data_wrangling_spark.operators.stats import contingency_chi2
+
+    one_col = spark.createDataFrame(
+        [("g", "x", "a"), ("g", "y", "a")], "g string, r string, c string"
+    )
+    [r] = contingency_chi2(
+        one_col, row_col="r", col_col="c", group_cols=["g"]
+    ).collect()
+    assert r.df == 0 and r.chi2_milli is None
+    with pytest.raises(ValueError, match="group_cols"):
+        contingency_chi2(one_col, row_col="r", col_col="c", group_cols=[])
+    null_cat = spark.createDataFrame(
+        [("g", None, "a")], "g string, r string, c string"
+    )
+    with pytest.raises(Exception, match="contingency_chi2"):
+        contingency_chi2(
+            null_cat, row_col="r", col_col="c", group_cols=["g"]
+        ).collect()

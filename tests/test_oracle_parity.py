@@ -372,7 +372,11 @@ def test_driver_window_covers_flagship_surface():
         # driver's entry() smoke, which runs find_first and collects its
         # rows EVERY round, plus the bench headline, the single-shuffle
         # plan gate and in-repo parity)
-        "events_spatial_pairs",
+        # events_spatial_pairs rotated out in r11 mid-round 5 for
+        # events_type_hour_independence (3x green r8-r10; the spatial
+        # family keeps events_geofence + events_grid_hotspots in-window
+        # and the pairs join stays a bench headliner + 10x probe)
+        "events_type_hour_independence",
         # round-8: count-min frequency sketch enters directly
         # (doc_curation_pipeline out — see note above)
         # events_cm_heavy_hitters rotated out late-r10 for

@@ -1201,6 +1201,11 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # events_type_hour_independence: the lazily-checkpointed census is
+    # the one data-sized shuffle; margins/total/grid run over census
+    # rows (two census groupBys + the grid joins; broadcasts are the
+    # census-sized margin/total sides)
+    "events_type_hour_independence": (5, 3, 0),
     "doc_link_triangles": (5, 0, 0),
     "embedding_semantic_dedup": (2, 0, 0),
     "event_conversion_paths": (2, 1, 0),
@@ -1502,4 +1507,18 @@ def test_diff_in_diff_one_groupby_no_window_no_join(spark):
     assert data_shuffles(plan) == 1, plan
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_contingency_chi2_census_decomposed_no_python(spark):
+    """RxC chi-square: one data-sized census groupBy (checkpointed for
+    its four consumers); margins, grid cross and cell terms run over
+    census rows — no cartesian, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(
+        REGISTRY["events_type_hour_independence"].fn(spark, SMOKE_SF)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
