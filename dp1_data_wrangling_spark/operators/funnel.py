@@ -210,26 +210,20 @@ def sessionize(
     it (plan-gated).  State per user is bounded by that user's event
     count; no session payload is ever wider than the six scalars out.
     """
-    from pyspark.sql import Window
-
     if gap_us <= 0:
         raise ValueError(f"gap_us must be positive, got {gap_us}")
-    order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
-    w = Window.partitionBy(user_col).orderBy(*order)
-    lag_ts = F.lag(F.col(ts_col)).over(w)
-    new_sess = (
-        lag_ts.isNull() | (F.col(ts_col) - lag_ts > F.lit(gap_us))
-    ).cast("bigint")
-    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
-        events.select(
-            F.col(user_col),
-            F.col(ts_col),
-            *[F.col(c) for c in (order_extra or [])],
+        assign_sessions(
+            events.select(
+                F.col(user_col),
+                F.col(ts_col),
+                *[F.col(c) for c in (order_extra or [])],
+            ),
+            gap_us=gap_us,
+            user_col=user_col,
+            ts_col=ts_col,
+            order_extra=order_extra,
         )
-        .withColumn("session_idx", F.sum(new_sess).over(run))
         .groupBy(user_col, "session_idx")
         .agg(
             F.min(ts_col).alias("start_us"),
@@ -600,3 +594,35 @@ def conversion_paths(
         .agg(F.count("*").cast("bigint").alias("n_conversions"))
         .filter(F.col("n_conversions") >= min_support)
     )
+
+
+def assign_sessions(
+    events: DataFrame,
+    *,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Per-EVENT gap-rule session assignment: the input rows plus a
+    1-based ``session_idx`` — the shared core ``sessionize`` folds into
+    per-session rows and compositions (the session-scoped funnel) key
+    on directly.  Session membership depends only on the timestamp
+    VALUES (equal timestamps always share a session), so the
+    ``order_extra`` tie-break only pins the running-sum evaluation
+    order, never the assignment.  ONE window shuffle on the user key.
+    """
+    from pyspark.sql import Window
+
+    if gap_us <= 0:
+        raise ValueError(f"gap_us must be positive, got {gap_us}")
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    lag_ts = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        lag_ts.isNull() | (F.col(ts_col) - lag_ts > F.lit(gap_us))
+    ).cast("bigint")
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_idx", F.sum(new_sess).over(run))

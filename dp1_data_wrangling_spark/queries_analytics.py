@@ -903,6 +903,97 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_session_funnel",
+    """
+    WITH sf_ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    sf_fl AS (
+        SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS nf
+        FROM sf_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sf_sx AS (
+        SELECT *, sum(nf) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS sidx
+        FROM sf_fl
+    ),
+    sf_k AS (
+        SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sidx AS VARCHAR)
+                   AS sk,
+               event_type, ts_us
+        FROM sf_sx
+    ),
+    sf_s1 AS (
+        SELECT sk, min(ts_us) AS t1
+        FROM sf_k WHERE event_type = 'view' GROUP BY sk
+    ),
+    sf_s2 AS (
+        SELECT s.sk, s.t1, min(e.ts_us) AS t2
+        FROM sf_s1 s LEFT JOIN sf_k e
+          ON e.sk = s.sk AND e.event_type = 'click'
+         AND e.ts_us > s.t1 AND e.ts_us <= s.t1 + 1800000000
+        GROUP BY s.sk, s.t1
+    ),
+    sf_s3 AS (
+        SELECT s.sk, s.t1, s.t2, min(e.ts_us) AS t3
+        FROM sf_s2 s LEFT JOIN sf_k e
+          ON e.sk = s.sk AND e.event_type = 'purchase'
+         AND e.ts_us > s.t2 AND e.ts_us <= s.t2 + 1800000000
+        GROUP BY s.sk, s.t1, s.t2
+    )
+    SELECT CAST(1 AS BIGINT) + CAST(t2 IS NOT NULL AS BIGINT)
+               + CAST(t3 IS NOT NULL AS BIGINT) AS steps_completed,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM sf_s3 GROUP BY 1
+    """,
+    headline=True,
+)
+def q_event_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-SCOPED funnel — the composition the per-user funnel
+    cannot express: view -> click -> purchase must complete inside ONE
+    gap-rule session (operators/funnel.py assign_sessions feeding
+    funnel_match keyed on (user, session)), the "did the visit
+    convert?" report.  Census output: sessions that started the funnel,
+    by steps completed.  The oracle replays the session assignment
+    (same tie-broken running-sum window), the chain min-folds and the
+    census.  Scale shape: ONE user-keyed window shuffle + the funnel's
+    session-keyed min-fold joins + a 3-row census groupBy."""
+    from .operators.funnel import assign_sessions, funnel_match
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    sessed = assign_sessions(
+        e, gap_us=1_800_000_000, order_extra=["event_id"]
+    ).select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.col("session_idx").cast("string"),
+        ).alias("sk"),
+        "event_type",
+        "ts_us",
+    )
+    fun = funnel_match(
+        sessed,
+        steps=["view", "click", "purchase"],
+        within_us=1_800_000_000,
+        user_col="sk",
+    )
+    return fun.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+
+
+@register(
     "user_churn_survival",
     """
     WITH RECURSIVE sv_ev AS (

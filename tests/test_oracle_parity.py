@@ -215,7 +215,10 @@ def test_driver_window_covers_flagship_surface():
         # the interval family keeps events_scd2_enrich's temporal join
         # in-window plus certify's bench headline + scaling probe, and
         # the corpus-aggregate family stays parity-held in-repo)
-        "events_kmv_cube", "events_hll_distinct", "embedding_mmr_rerank",
+        # events_hll_distinct rotated out in r11 mid-round 6 for
+        # event_session_funnel (multi-round green; the sketch family
+        # keeps events_kmv_cube + events_hll_rolling in-window)
+        "events_kmv_cube", "event_session_funnel", "embedding_mmr_rerank",
         # doc_card_scan rotated out in r9 for doc_cooccurrence (2x green
         # r7+r8; the PII-precision family stays via doc_gopher_rules'
         # rule screen and in-repo parity for card-scan/pii-scrub)

@@ -1201,6 +1201,9 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # event_session_funnel: one user-keyed window shuffle + the funnel's
+    # session-keyed min-fold joins + the 3-row census groupBy
+    "event_session_funnel": (5, 2, 0),
     # events_type_hour_independence: the lazily-checkpointed census is
     # the one data-sized shuffle; margins/total/grid run over census
     # rows (two census groupBys + the grid joins; broadcasts are the
