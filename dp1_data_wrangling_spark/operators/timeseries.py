@@ -841,3 +841,117 @@ def seasonal_mase(
             F.expr("(1000 * sum_abs_err) div sum_abs_naive"),
         ).alias("mase_milli"),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+    period: int,
+    key_cols: list[str] | None = None,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Seasonal index profile per key — the multiplicative seasonality
+    readout (hour-of-day / day-of-week shape) in exact integers:
+
+        position   = (ts div bucket_us) mod period
+        mean_pos   = sum_pos div n_pos            (milli-quantized)
+        index_milli = (1000 * sum_pos * n_all) div (n_pos * sum_all)
+
+    i.e. the classic ratio-to-overall-mean seasonal index, cleared of
+    rationals so ONE truncating division produces it — both engines
+    replay it verbatim (DECIMAL(38,0) cross products vs HUGEINT).
+    NULL values are excluded from both sum and count (mean semantics,
+    the diff_in_diff stance); positions with no observations are
+    simply absent (an index of an unobserved slot is undefined, not
+    zero).  ``index_milli`` is NULL when the key's total sum is zero
+    or negative — a ratio-to-mean index is only meaningful for
+    non-negative measures (counts, revenue, load); the per-position
+    means still report exactly.
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy to the
+    (key, position) census — bounded by ``period`` per key — then a
+    key-level recombine of the census (census-sized groupBy + join).
+    No window, no data-sized join.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    time-series tier.
+    """
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    keys = key_cols or []
+    cap = float(1 << 62)
+    quant = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    vq = F.when(F.col(value_col).isNull(), F.lit(None).cast("bigint")).when(
+        F.abs(F.col(value_col) * F.lit(quant_scale)) < F.lit(cap), quant
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"seasonal_profile: |value * {quant_scale}| >= 2^62 "
+                "would overflow the per-row quantization; lower "
+                "quant_scale"
+            )
+        ).cast("bigint")
+    )
+    d = df.select(
+        *keys,
+        (F.expr(f"({ts_col} div {bucket_us})") % F.lit(period)).alias(
+            "__pos"
+        ),
+        vq.alias("__vq"),
+    )
+    census = (
+        d.groupBy(*keys, "__pos")
+        .agg(
+            F.count("__vq").cast("bigint").alias("n_obs"),
+            F.coalesce(F.sum(F.col("__vq").cast("decimal(38,0)")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+        )
+        .filter(F.col("n_obs") > 0)
+        .localCheckpoint(eager=False)
+    )
+    totals = census.groupBy(*keys).agg(
+        F.sum("n_obs").cast("bigint").alias("__n_all"),
+        F.sum("__s").cast("decimal(38,0)").alias("__s_all"),
+    )
+    out = census.join(totals, keys) if keys else census.crossJoin(
+        F.broadcast(totals)
+    )
+    # DOUBLE envelope for both DECIMAL(38,0) operands (the ab_contingency
+    # pattern): a silent decimal overflow would read as NULL,
+    # indistinguishable from the zero-total NULL below
+    env = F.greatest(
+        F.lit(1000.0)
+        * F.abs(F.col("__s").cast("double"))
+        * F.col("__n_all").cast("double"),
+        F.col("n_obs").cast("double")
+        * F.abs(F.col("__s_all").cast("double")),
+    )
+    n_ok = F.when(env <= F.lit(1e37), F.col("n_obs")).otherwise(
+        F.raise_error(
+            F.lit(
+                "seasonal_profile: an index operand exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — lower quant_scale"
+            )
+        ).cast("bigint")
+    )
+    return out.withColumn("__n_ok", n_ok).select(
+        *keys,
+        F.col("__pos").alias("position"),
+        "n_obs",
+        F.expr("CAST(__s div n_obs AS BIGINT)").alias("mean_milli"),
+        F.when(
+            F.expr("__s_all > 0"),
+            F.expr(
+                "CAST((1000 * __s * __n_all) div (__n_ok * __s_all) "
+                "AS BIGINT)"
+            ),
+        ).alias("index_milli"),
+    )

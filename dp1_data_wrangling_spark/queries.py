@@ -94,7 +94,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_jaccard_join",           # r10: PPJoin prefix-filtered Jaccard join
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "table_expectations",         # r9: Deequ-class declarative rule suite
-    "events_hdr_quantiles",       # r9: HDR log-linear histogram quantiles
+    "events_seasonal_profile",    # r11: exact ratio-to-mean seasonal indices
     "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
     "bm25_index_topk",            # r9: persisted text index build->query
     "events_changepoints",        # r9: exact CUSUM change-point alarms

@@ -2182,6 +2182,63 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_seasonal_profile",
+    """
+    WITH sp_e AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS pos,
+               CASE WHEN value IS NOT NULL
+                    THEN CAST(floor(value * 1000) AS BIGINT) END AS vq
+        FROM events
+    ),
+    sp_c AS (
+        SELECT event_type, pos,
+               CAST(count(vq) AS BIGINT) AS n_obs,
+               CAST(coalesce(sum(vq), 0) AS HUGEINT) AS s
+        FROM sp_e GROUP BY event_type, pos
+        HAVING count(vq) > 0
+    ),
+    sp_t AS (
+        SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_all,
+               CAST(sum(s) AS HUGEINT) AS s_all
+        FROM sp_c GROUP BY event_type
+    )
+    SELECT c.event_type, c.pos AS position, c.n_obs,
+           CAST(c.s // c.n_obs AS BIGINT) AS mean_milli,
+           CASE WHEN t.s_all > 0
+                THEN CAST((1000 * c.s * t.n_all) // (c.n_obs * t.s_all)
+                          AS BIGINT) END AS index_milli
+    FROM sp_c c JOIN sp_t t USING (event_type)
+    """,
+    headline=True,
+)
+def q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type
+    (operators/timeseries.py seasonal_profile): the multiplicative
+    ratio-to-overall-mean seasonality readout in exact integers — the
+    decomposition step the trend (events_hourly_trend), smoothing
+    (holt), accuracy (seasonal_mase) and correlation (acf) screens
+    complete the family with.  ONE combinable groupBy to the
+    (type, hour) census; the recombine runs over census rows
+    (plan-gated)."""
+    from .operators.timeseries import seasonal_profile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return seasonal_profile(
+        e,
+        ts_col="ts_us",
+        value_col="value",
+        bucket_us=3_600_000_000,
+        period=24,
+        key_cols=["event_type"],
+    )
+
+
+@register(
     "events_type_hour_independence",
     """
     WITH ci_o AS (

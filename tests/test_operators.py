@@ -6588,3 +6588,84 @@ def test_contingency_chi2_degenerate_and_validation(spark):
         contingency_chi2(
             null_cat, row_col="r", col_col="c", group_cols=["g"]
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index profile (operators/timeseries.py seasonal_profile)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_profile_hand_computed(spark):
+    """Period 3, bucket 10µs: positions cycle 0,1,2.  Values planted so
+    pos 0 holds {1.0, 3.0} (mean 2000 milli), pos 1 {2.0} and a NULL
+    (excluded), pos 2 unobserved (absent row).  Overall sum 6000 over
+    3 obs -> index(pos 0) = (1000*4000*3) div (2*6000) = 1000 exactly;
+    index(pos 1) = (1000*2000*3) div (1*6000) = 1000."""
+    from dp1_data_wrangling_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    rows = [
+        ("g", 0, 1.0), ("g", 30, 3.0),        # pos 0
+        ("g", 10, 2.0), ("g", 40, None),      # pos 1 (+ excluded NULL)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts_us long, v double")
+    got = sorted(
+        map(
+            tuple,
+            seasonal_profile(
+                df, ts_col="ts_us", value_col="v", bucket_us=10,
+                period=3, key_cols=["g"],
+            ).collect(),
+        )
+    )
+    assert got == [
+        ("g", 0, 2, 2000, 1000),
+        ("g", 1, 1, 2000, 1000),
+    ]
+
+
+def test_seasonal_profile_index_nulls_on_nonpositive_total(spark):
+    """A key whose total milli sum is <= 0 gets NULL indices (a
+    ratio-to-mean index needs a positive base) while the per-position
+    means still report exactly."""
+    from dp1_data_wrangling_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    rows = [("g", 0, 1.0), ("g", 10, -1.0)]
+    df = spark.createDataFrame(rows, "g string, ts_us long, v double")
+    got = sorted(
+        map(
+            tuple,
+            seasonal_profile(
+                df, ts_col="ts_us", value_col="v", bucket_us=10,
+                period=2, key_cols=["g"],
+            ).collect(),
+        )
+    )
+    assert got == [
+        ("g", 0, 1, 1000, None),
+        ("g", 1, 1, -1000, None),
+    ]
+
+
+def test_seasonal_profile_validation(spark):
+    from dp1_data_wrangling_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    df = spark.createDataFrame([("g", 0, 1.0)], "g string, ts_us long, v double")
+    with pytest.raises(ValueError, match="bucket_us"):
+        seasonal_profile(df, ts_col="ts_us", value_col="v", bucket_us=0,
+                         period=2)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_profile(df, ts_col="ts_us", value_col="v", bucket_us=10,
+                         period=1)
+    with pytest.raises(ValueError, match="quant_scale"):
+        seasonal_profile(df, ts_col="ts_us", value_col="v", bucket_us=10,
+                         period=2, quant_scale=0)
+    huge = spark.createDataFrame([("g", 0, 1e19)], "g string, ts_us long, v double")
+    with pytest.raises(Exception, match="overflow"):
+        seasonal_profile(huge, ts_col="ts_us", value_col="v",
+                         bucket_us=10, period=2).collect()

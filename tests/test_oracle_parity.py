@@ -406,7 +406,11 @@ def test_driver_window_covers_flagship_surface():
         # round-9: Deequ-class declarative expectation suite and HDR
         # log-linear histogram quantiles enter directly (outs: see the
         # doc_pack_sequences / corpus_top_ngrams note above)
-        "table_expectations", "events_hdr_quantiles",
+        # events_hdr_quantiles rotated out in r11 mid-round 7 for
+        # events_seasonal_profile (2x green r9-r10; the quantile family
+        # keeps lineitem_weighted_quantiles + events_quantile_normalize
+        # + orders_value_deciles in-window)
+        "table_expectations", "events_seasonal_profile",
         # round-9: BM25 retrieval enters directly (see doc_source_quota
         # note above)
         "doc_bm25_topk",

@@ -394,6 +394,20 @@ SHUFFLE_BUDGETS = {
     # shuffles by design (the edge-derivation subtree is checkpointed and
     # runs once; see test_triangle_count_no_cartesian_bounded_shuffles)
     "doc_link_triangles": 10,
+    # link prediction (r11): canonical distinct + full-degree census +
+    # hub-stripped degree census + w-keyed wedge self-join + pair census
+    # + freshness anti-join + two node-keyed degree joins — each a
+    # narrow int-key shuffle; the edge/degree subtrees are checkpointed
+    # and run once (ledger-pinned at 9)
+    "doc_link_prediction": 9,
+    # RxC chi-square (r11): the data-sized census (checkpointed) + two
+    # census-sized margin groupBys + grid joins + the final per-group
+    # sum — everything after the census moves category-space rows only
+    "events_type_hour_independence": 5,
+    # session-scoped funnel (r11): one user-keyed session window + the
+    # funnel's session-keyed min-fold joins (one per step) + the 3-row
+    # census — all hash-partitioned on the same session key
+    "event_session_funnel": 5,
     # BM25: the postings index is checkpointed (built once, 2 shuffles
     # pre-cut); visible shuffles are vocabulary-/stats-sized aggregates
     # (term df over query vocab, query-term dedup x2, corpus-stats doc
@@ -1201,6 +1215,9 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # events_seasonal_profile: one combinable census groupBy; the
+    # key-total recombine broadcasts census-sized rows back
+    "events_seasonal_profile": (1, 1, 0),
     # event_session_funnel: one user-keyed window shuffle + the funnel's
     # session-keyed min-fold joins + the 3-row census groupBy
     "event_session_funnel": (5, 2, 0),
@@ -1525,3 +1542,16 @@ def test_contingency_chi2_census_decomposed_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_seasonal_profile_census_only_no_window(spark):
+    """Seasonal profile: one combinable census groupBy is the only
+    data-sized shuffle; the recombine is census-sized; no window, no
+    Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_seasonal_profile"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) <= 2, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
