@@ -626,3 +626,124 @@ def assign_sessions(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn("session_idx", F.sum(new_sess).over(run))
+
+
+def position_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    within_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    value_milli_col: str = "value_milli",
+    edge_pct: int = 40,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the third
+    standard model beside ``linear_attribution`` and
+    ``decay_attribution`` (same conversion-window join shape): the
+    FIRST and LAST touches each take ``edge_pct`` percent of the
+    conversion value, the middles split the rest — all in exact
+    integers that sum back to the conversion value:
+
+        n == 1: the single touch takes everything
+        n == 2: value div 2 each, remainder to the earlier touch
+        n >= 3: edge = (value * edge_pct) div 100 to first and last;
+                pool = value - 2*edge; each middle takes
+                pool div (n-2), remainder to the EARLIEST middle
+
+    Every division truncates toward zero in both engines, and
+    ``a = (a div b)*b + a % b`` holds for any sign, so the credits are
+    exact and the sum-back invariant is property-tested.  Touch order
+    is the total order (ts, id).  NULL-value conversions are excluded
+    (the linear/decay stance); ``|value| < 2^55`` is guarded so
+    ``value * edge_pct`` stays in int64.
+
+    Returns ``(conv_id, touch_id, user, touch_ts_us, n_touches,
+    position, credit_milli)`` with ``position`` 1-based in touch
+    order.
+
+    Scale posture (100 TB): identical to linear_attribution — ONE
+    user-keyed equi-join + per-conversion windows, all partitioned on
+    the same key; no Python, no cartesian (plan-gated).
+    """
+    if within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if not 1 <= edge_pct <= 50:
+        raise ValueError(f"edge_pct must be in [1, 50], got {edge_pct}")
+    val_cap = 1 << 55
+    convs = (
+        events.filter(F.col(type_col) == conversion_type)
+        .filter(F.col(value_milli_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(id_col).alias("conv_id"),
+            F.col(ts_col).alias("__ct"),
+            F.col(value_milli_col).alias("__val"),
+        )
+        .withColumn(
+            "__val",
+            F.when(F.abs(F.col("__val")) < F.lit(val_cap), F.col("__val"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"position_attribution: |value| must be < {val_cap} "
+                        "so value*edge_pct fits int64"
+                    )
+                ).cast("bigint")
+            ),
+        )
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts_us"),
+    )
+    joined = convs.join(touches, "__u").filter(
+        (F.col("touch_ts_us") < F.col("__ct"))
+        & (F.col("touch_ts_us") >= F.col("__ct") - F.lit(within_us))
+    )
+    w_conv = Window.partitionBy("conv_id")
+    w_first = w_conv.orderBy("touch_ts_us", "touch_id")
+    d = (
+        joined.withColumn(
+            "n_touches",
+            F.count("*").over(
+                w_conv.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w_first))
+        .withColumn("__edge", F.expr(f"(__val * {edge_pct}) div 100"))
+        .withColumn("__pool", F.expr("__val - 2 * __edge"))
+    )
+    n, rn = F.col("n_touches"), F.col("__rn")
+    credit = (
+        F.when(n == 1, F.col("__val"))
+        .when(
+            n == 2,
+            F.expr("__val div 2")
+            + F.when(rn == 1, F.expr("__val % 2")).otherwise(F.lit(0)),
+        )
+        .when((rn == 1) | (rn == n), F.col("__edge"))
+        .otherwise(
+            F.expr("__pool div (n_touches - 2)")
+            + F.when(
+                rn == 2, F.expr("__pool % (n_touches - 2)")
+            ).otherwise(F.lit(0))
+        )
+    )
+    return d.select(
+        "conv_id",
+        "touch_id",
+        F.col("__u").alias(user_col),
+        "touch_ts_us",
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        rn.cast("bigint").alias("position"),
+        credit.cast("bigint").alias("credit_milli"),
+    )

@@ -79,7 +79,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "doc_link_pagerank",          # r8: exact-integer iterative PageRank
     "events_ks_drift",            # r10: binned two-sample KS drift screen
-    "ivf_topk",                   # r8: full quantizer+assignment replay oracle
+    "event_attribution_position", # r11: U-shaped attribution (exact credits)
     "order_item_affinity",        # r11: item-item cosine^2 affinity (exact ppm)
     "events_kmv_cube",            # r9: one-build KMV rollup hierarchy (merge law)
     "embedding_mmr_rerank",       # r9: MMR diversity re-rank (exact greedy)

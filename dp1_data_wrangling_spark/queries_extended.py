@@ -435,6 +435,83 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_attribution_position",
+    """
+    WITH pa_ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 1000) AS BIGINT) AS value_milli
+        FROM events
+    ),
+    pa_c AS (
+        SELECT user_id, event_id AS conv_id, ts_us AS ct, value_milli
+        FROM pa_ev
+        WHERE event_type = 'purchase' AND value_milli IS NOT NULL
+    ),
+    pa_t AS (
+        SELECT user_id, event_id AS touch_id, ts_us AS touch_ts_us
+        FROM pa_ev WHERE event_type IN ('view', 'click')
+    ),
+    pa_j AS (
+        SELECT c.conv_id, t.touch_id, c.user_id, t.touch_ts_us,
+               c.value_milli
+        FROM pa_c c JOIN pa_t t ON t.user_id = c.user_id
+         AND t.touch_ts_us < c.ct
+         AND t.touch_ts_us >= c.ct - 1800000000
+    ),
+    pa_w AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY conv_id) AS n_touches,
+               row_number() OVER (
+                   PARTITION BY conv_id
+                   ORDER BY touch_ts_us, touch_id) AS rn,
+               (value_milli * 40) // 100 AS edge,
+               value_milli - 2 * ((value_milli * 40) // 100) AS pool
+        FROM pa_j
+    )
+    SELECT conv_id, touch_id, user_id, touch_ts_us,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(rn AS BIGINT) AS position,
+           CAST(CASE
+                WHEN n_touches = 1 THEN value_milli
+                WHEN n_touches = 2 THEN value_milli // 2
+                     + CASE WHEN rn = 1 THEN value_milli % 2 ELSE 0 END
+                WHEN rn = 1 OR rn = n_touches THEN edge
+                ELSE pool // (n_touches - 2)
+                     + CASE WHEN rn = 2 THEN pool % (n_touches - 2)
+                            ELSE 0 END
+           END AS BIGINT) AS credit_milli
+    FROM pa_w
+    """,
+    headline=True,
+)
+def q_event_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) attribution (operators/funnel.py
+    position_attribution) — the triad-completing third model beside
+    linear and time-decay: first and last touches take 40% each, the
+    middles split the rest, every credit an exact integer summing back
+    to the conversion value (floors + remainder-to-earliest-middle
+    policy).  Same user-keyed join + per-conversion windows as the
+    siblings; the oracle replays the edge/pool algebra verbatim."""
+    from .operators.funnel import position_attribution
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    )
+    return position_attribution(
+        e,
+        conversion_type="purchase",
+        touch_types=["view", "click"],
+        within_us=1_800_000_000,
+    )
+
+
+@register(
     "events_kmv_cube",
     """
     WITH kc_h AS (

@@ -6669,3 +6669,125 @@ def test_seasonal_profile_validation(spark):
     with pytest.raises(Exception, match="overflow"):
         seasonal_profile(huge, ts_col="ts_us", value_col="v",
                          bucket_us=10, period=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# Position-based attribution (operators/funnel.py position_attribution)
+# ---------------------------------------------------------------------------
+
+
+def test_position_attribution_hand_computed(spark):
+    """value 1000 over 4 touches: edges get (1000*40) div 100 = 400
+    each; pool 200 splits 100/100 across the two middles (no
+    remainder).  value 1001 over 3: edges 400, pool 201 all to the one
+    middle.  n=2: 500/500 + remainder to the earlier.  n=1: all."""
+    from dp1_data_wrangling_spark.operators.funnel import (
+        position_attribution,
+    )
+
+    rows = [
+        # user 1: conversion 100 @ ts 1000 value 1.0, touches at 1..4
+        (1, 1, "view", 100), (1, 2, "click", 200),
+        (1, 3, "view", 300), (1, 4, "click", 400),
+        (1, 100, "purchase", 1000),
+        # user 2: 3 touches, value 1.001
+        (2, 5, "view", 100), (2, 6, "click", 200), (2, 7, "view", 300),
+        (2, 101, "purchase", 1000),
+        # user 3: 2 touches, value 1.001 -> 1001 milli: 500 + 501
+        (3, 8, "view", 100), (3, 9, "click", 200),
+        (3, 102, "purchase", 1000),
+        # user 4: 1 touch
+        (4, 10, "view", 100), (4, 103, "purchase", 1000),
+    ]
+    vals = {100: 1000, 101: 1001, 102: 1001, 103: 777}
+    df = spark.createDataFrame(
+        [(u, i, t, ts, vals.get(i)) for u, i, t, ts in rows],
+        "user_id long, event_id long, event_type string, ts_us long, "
+        "value_milli long",
+    )
+    out = position_attribution(
+        df, conversion_type="purchase", touch_types=["view", "click"],
+        within_us=10_000,
+    ).collect()
+    got = {
+        (r.conv_id, r.position): (r.n_touches, r.credit_milli) for r in out
+    }
+    assert got[(100, 1)] == (4, 400) and got[(100, 4)] == (4, 400)
+    assert got[(100, 2)] == (4, 100) and got[(100, 3)] == (4, 100)
+    assert got[(101, 1)] == (3, 400) and got[(101, 3)] == (3, 400)
+    assert got[(101, 2)] == (3, 201)
+    assert got[(102, 1)] == (2, 501) and got[(102, 2)] == (2, 500)
+    assert got[(103, 1)] == (1, 777)
+
+
+def test_position_attribution_credits_sum_exactly(spark):
+    """Property: for 30 planted conversions with 1..9 touches and odd
+    values, per-conversion credits sum EXACTLY to the conversion
+    value."""
+    from dp1_data_wrangling_spark.operators.funnel import (
+        position_attribution,
+    )
+
+    rows, eid = [], 0
+    for u in range(1, 31):
+        n = 1 + (u * 7) % 9
+        for j in range(n):
+            eid += 1
+            rows.append((u, eid, "view", 100 + j, None))
+        eid += 1
+        rows.append((u, eid, "purchase", 5000, 0.001 * ((u * 997) % 5000)))
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, ts_us long, v double",
+    ).withColumn("value_milli", F.floor(F.col("v") * 1000).cast("bigint"))
+    out = position_attribution(
+        df, conversion_type="purchase", touch_types=["view"],
+        within_us=10_000,
+    )
+    sums = {
+        r.conv_id: r.s
+        for r in out.groupBy("conv_id")
+        .agg(F.sum("credit_milli").alias("s"))
+        .collect()
+    }
+    want = {
+        eid: int(0.001 * ((u * 997) % 5000) * 1000 + 1e-9)
+        for u, eid in [
+            (u, sum(2 + (v * 7) % 9 for v in range(1, u + 1)))
+            for u in range(1, 31)
+        ]
+    }
+    # recompute expected ids robustly instead: join via values
+    total_out = sorted(sums.values())
+    vals = sorted(int(((u * 997) % 5000)) for u in range(1, 31))
+    assert total_out == vals
+
+
+def test_position_attribution_validation(spark):
+    from dp1_data_wrangling_spark.operators.funnel import (
+        position_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "view", 100, 1000)],
+        "user_id long, event_id long, event_type string, ts_us long, "
+        "value_milli long",
+    )
+    with pytest.raises(ValueError, match="within_us"):
+        position_attribution(df, conversion_type="p", touch_types=["view"],
+                             within_us=0)
+    with pytest.raises(ValueError, match="touch_types"):
+        position_attribution(df, conversion_type="p", touch_types=[],
+                             within_us=10)
+    with pytest.raises(ValueError, match="edge_pct"):
+        position_attribution(df, conversion_type="p", touch_types=["view"],
+                             within_us=10, edge_pct=60)
+    huge = spark.createDataFrame(
+        [(1, 1, "view", 100, 1 << 56), (1, 2, "p", 200, 1 << 56)],
+        "user_id long, event_id long, event_type string, ts_us long, "
+        "value_milli long",
+    )
+    with pytest.raises(Exception, match="position_attribution"):
+        position_attribution(
+            huge, conversion_type="p", touch_types=["view"], within_us=1000
+        ).collect()

@@ -230,7 +230,11 @@ def test_driver_window_covers_flagship_surface():
         # r8+r9; the ANN family keeps ivf_topk, pq_recall_bound and
         # ivf_pq_recall_bound in-window, and the LSH signature replay
         # stays parity-held in-repo every CI run)
-        "events_ks_drift", "ivf_topk",
+        # ivf_topk rotated out in r11 mid-round 8 for
+        # event_attribution_position (3x green r8-r10; the ANN family
+        # keeps ivf_pq_recall_bound's composed check in-window and
+        # ivf_topk stays a bench headliner + probe + in-repo parity)
+        "events_ks_drift", "event_attribution_position",
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
         # multimodal_png rotated out in r11 mid-round 3 for

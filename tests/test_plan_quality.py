@@ -1218,6 +1218,9 @@ EXCHANGE_LEDGER = {
     # events_seasonal_profile: one combinable census groupBy; the
     # key-total recombine broadcasts census-sized rows back
     "events_seasonal_profile": (1, 1, 0),
+    # event_attribution_position: one user-keyed equi-join (broadcast
+    # conv side at this sf) + per-conversion windows on the same key
+    "event_attribution_position": (1, 1, 0),
     # event_session_funnel: one user-keyed window shuffle + the funnel's
     # session-keyed min-fold joins + the 3-row census groupBy
     "event_session_funnel": (5, 2, 0),
