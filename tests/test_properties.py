@@ -991,3 +991,101 @@ def test_distributed_rank_and_ntile_equal_window(spark, rows, desc, k):
     got_cum = {r.tie: (r.rk, r.cum) for r in rs.df.collect()}
     assert got_cum == want_cum
     assert rs.sum_total == sum(d[2] for d in data)
+
+
+km_subjects = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),   # duration
+        st.booleans(),                            # event observed
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(subj=km_subjects)
+@SETTINGS
+def test_km_survival_equals_python_fold(spark, subj):
+    """Kaplan-Meier on generated subjects equals the independent
+    Python-int stepwise fold at every census row, and the survival
+    level is monotone nonincreasing with every n_risk consistent with
+    the census."""
+    from dp1_data_wrangling_spark.operators.survival import km_survival
+
+    df = spark.createDataFrame(
+        [(d, int(e)) for d, e in subj], "dur int, ev int"
+    )
+    rows = (
+        km_survival(df, duration_col="dur", event_col="ev")
+        .orderBy("duration")
+        .collect()
+    )
+    census: dict[int, list[int]] = {}
+    for d, e in subj:
+        c = census.setdefault(d, [0, 0])
+        c[0] += int(e)
+        c[1] += int(not e)
+    rem, s, want = len(subj), 10**9, []
+    for t in sorted(census):
+        d, c = census[t]
+        if d > 0:
+            s = s * (rem - d) // rem
+        want.append((t, rem, d, c, s))
+        rem -= d + c
+    got = [
+        (r.duration, r.n_risk, r.n_events, r.n_censored, r.survival_scaled)
+        for r in rows
+    ]
+    assert got == want
+    levels = [r.survival_scaled for r in rows]
+    assert levels == sorted(levels, reverse=True)
+
+
+chi2_cells = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # row category
+        st.integers(min_value=0, max_value=3),    # col category
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(cells=chi2_cells)
+@SETTINGS
+def test_contingency_chi2_equals_python_replay(spark, cells):
+    """RxC chi-square on generated categorical pairs equals the
+    Python-int replay over the FULL grid (zero cells included); df
+    matches the category counts."""
+    from collections import Counter
+
+    from dp1_data_wrangling_spark.operators.stats import contingency_chi2
+
+    df = spark.createDataFrame(
+        [("g", f"r{r}", f"c{c}") for r, c in cells],
+        "g string, r string, c string",
+    )
+    [got] = contingency_chi2(
+        df, row_col="r", col_col="c", group_cols=["g"]
+    ).collect()
+    O = Counter((f"r{r}", f"c{c}") for r, c in cells)
+    R, C, N = Counter(), Counter(), 0
+    for (r, c), o in O.items():
+        R[r] += o
+        C[c] += o
+        N += o
+    want = sum(
+        (1000 * (O.get((r, c), 0) * N - R[r] * C[c]) ** 2)
+        // (N * R[r] * C[c])
+        for r in R
+        for c in C
+    )
+    df_want = (len(R) - 1) * (len(C) - 1)
+    assert (got.n_row_cats, got.n_col_cats, got.n_units) == (
+        len(R), len(C), N,
+    )
+    assert got.df == df_want
+    if df_want > 0:
+        assert got.chi2_milli == want
+    else:
+        assert got.chi2_milli is None
