@@ -747,3 +747,61 @@ def position_attribution(
         rn.cast("bigint").alias("position"),
         credit.cast("bigint").alias("credit_milli"),
     )
+
+
+def throttle_events(
+    events: DataFrame,
+    *,
+    gap_us: int,
+    key_cols: list[str],
+    ts_col: str = "ts_us",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Gap-rule event throttling / burst dedup — keep only the FIRST
+    event of each burst per key, where a burst is a maximal run of
+    events each within ``gap_us`` of its predecessor (the
+    ``assign_sessions`` gap rule applied as a keep/drop filter): the
+    telemetry-cleaning step that collapses retry storms, double-clicks
+    and at-least-once delivery duplicates while keeping genuinely
+    separate occurrences.
+
+    Chained semantics, stated: a kept event suppresses followers
+    within ``gap_us`` of the PREVIOUS event (kept or not), so a long
+    storm with sub-gap spacing collapses to ONE row however long it
+    lasts — the sessionization gap rule, not a fixed tumbling window
+    (which would re-emit at every window boundary mid-storm).
+
+    Returns the burst-starting input rows plus ``burst_len`` (events
+    the kept row absorbed, itself included) and ``burst_end_us``.
+    Deterministic under duplicates: equal timestamps always share a
+    burst (membership depends on timestamp VALUES only);
+    ``order_extra`` pins which duplicate row is the kept one.
+
+    Scale posture (100 TB): ONE window shuffle on the key (the
+    assign_sessions core) + per-burst windows on the SAME
+    partitioning, so Spark reuses the exchange (the sessionize shape).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    composite = "__tk"
+    keyed = events.withColumn(
+        composite,
+        F.concat_ws("\\x1f", *[F.col(c).cast("string") for c in key_cols]),
+    )
+    sessed = assign_sessions(
+        keyed,
+        gap_us=gap_us,
+        user_col=composite,
+        ts_col=ts_col,
+        order_extra=order_extra,
+    )
+    w = Window.partitionBy(composite, "session_idx")
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    first = Window.partitionBy(composite, "session_idx").orderBy(*order)
+    return (
+        sessed.withColumn("burst_len", F.count(F.lit(1)).over(w))
+        .withColumn("burst_end_us", F.max(ts_col).over(w))
+        .withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "session_idx", composite)
+    )

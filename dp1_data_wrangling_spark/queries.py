@@ -86,7 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "event_session_funnel",       # r11: session-scoped funnel composition
     "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank
     "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers
-    "doc_phrase_search",          # r9: positional-postings phrase search
+    "events_throttle",            # r11: gap-rule burst dedup / throttling
     "event_funnel_latency",       # r9: funnel time-to-convert percentiles
     "events_gapfill",             # r9 op, r11 window: grid resample + LOCF fill
     "events_geofence",            # r9: exact point-in-polygon geofence join

@@ -994,6 +994,67 @@ def q_event_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_throttle",
+    """
+    WITH th_e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    th_f AS (
+        SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 86400000000
+                       THEN 1 ELSE 0 END AS nf
+        FROM th_e
+        WINDOW w AS (
+            PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+    ),
+    th_s AS (
+        SELECT *, sum(nf) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS sidx
+        FROM th_f
+    ),
+    th_b AS (
+        SELECT *, count(*) OVER wb AS burst_len,
+               max(ts_us) OVER wb AS burst_end_us,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type, sidx
+                   ORDER BY ts_us, event_id) AS rn
+        FROM th_s
+        WINDOW wb AS (PARTITION BY user_id, event_type, sidx)
+    )
+    SELECT user_id, event_type, event_id, ts_us,
+           CAST(burst_len AS BIGINT) AS burst_len, burst_end_us
+    FROM th_b WHERE rn = 1
+    """,
+    headline=True,
+)
+def q_events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule burst dedup / throttling (operators/funnel.py
+    throttle_events): per (user, event type), keep only the first
+    event of each burst (successor within 24h of its predecessor) with
+    the absorbed count — the telemetry-cleaning collapse of retry
+    storms and at-least-once duplicates.  The oracle replays the
+    tie-broken gap flags, the running-sum burst ids and the keep rule
+    verbatim.  ONE window shuffle on the (user, type) key; the burst
+    windows reuse the same partitioning."""
+    from .operators.funnel import throttle_events
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return throttle_events(
+        e,
+        gap_us=86_400_000_000,
+        key_cols=["user_id", "event_type"],
+        order_extra=["event_id"],
+    )
+
+
+@register(
     "user_churn_survival",
     """
     WITH RECURSIVE sv_ev AS (

@@ -6791,3 +6791,50 @@ def test_position_attribution_validation(spark):
         position_attribution(
             huge, conversion_type="p", touch_types=["view"], within_us=1000
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Gap-rule throttling (operators/funnel.py throttle_events)
+# ---------------------------------------------------------------------------
+
+
+def test_throttle_events_hand_computed_and_chained(spark):
+    """Key a, gap 100: events {0, 50, 120} chain into one burst (each
+    successive gap <= 100, even though 120 - 0 > 100 — the CHAINED
+    semantics) and 500 starts a new one.  Key b shows a sub-gap storm
+    0,90,180,270 collapsing to one row of burst_len 4."""
+    from dp1_data_wrangling_spark.operators.funnel import throttle_events
+
+    rows = [("a", i, t) for i, t in [(1, 0), (2, 50), (3, 120), (4, 500)]]
+    rows += [("b", i, t) for i, t in [(5, 0), (6, 90), (7, 180), (8, 270)]]
+    df = spark.createDataFrame(rows, "k string, event_id long, ts_us long")
+    got = sorted(
+        (r.k, r.ts_us, r.burst_len, r.burst_end_us, r.event_id)
+        for r in throttle_events(
+            df, gap_us=100, key_cols=["k"], order_extra=["event_id"]
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 3, 120, 1),
+        ("a", 500, 1, 500, 4),
+        ("b", 0, 4, 270, 5),
+    ]
+
+
+def test_throttle_events_duplicate_ts_and_validation(spark):
+    """Equal timestamps share a burst and the kept row is pinned by the
+    order_extra tie-break; bad knobs raise."""
+    from dp1_data_wrangling_spark.operators.funnel import throttle_events
+
+    df = spark.createDataFrame(
+        [("a", 9, 100), ("a", 3, 100), ("a", 7, 150)],
+        "k string, event_id long, ts_us long",
+    )
+    [r] = throttle_events(
+        df, gap_us=100, key_cols=["k"], order_extra=["event_id"]
+    ).collect()
+    assert (r.event_id, r.burst_len, r.burst_end_us) == (3, 3, 150)
+    with pytest.raises(ValueError, match="key_cols"):
+        throttle_events(df, gap_us=100, key_cols=[])
+    with pytest.raises(ValueError, match="gap_us"):
+        throttle_events(df, gap_us=0, key_cols=["k"])

@@ -192,7 +192,11 @@ def test_driver_window_covers_flagship_surface():
         # event_funnel_latency (2x green r7+r8; the multimodal family
         # keeps png/qoi/ulaw — three REAL-codec reps — in-window, and
         # the WAV chunk walk stays on multimodal_ulaw's hot path)
-        "event_funnel_latency", "doc_phrase_search",
+        # doc_phrase_search rotated out in r11 mid-round 9 for
+        # events_throttle (2x green r9-r10; the retrieval family keeps
+        # doc_bm25_topk + bm25_index_topk + embedding_mmr_rerank
+        # in-window)
+        "event_funnel_latency", "events_throttle",
         # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
         # green r7+r8; LM scoring stays via doc_bigram_score in-window)
         # doc_subword_pack rotated out mid-r9 for part_abc_classes (2x

@@ -1221,6 +1221,9 @@ EXCHANGE_LEDGER = {
     # event_attribution_position: one user-keyed equi-join (broadcast
     # conv side at this sf) + per-conversion windows on the same key
     "event_attribution_position": (1, 1, 0),
+    # events_throttle: ONE (user,type)-keyed window exchange reused by
+    # the gap flags, the burst windows and the keep rule
+    "events_throttle": (1, 0, 0),
     # event_session_funnel: one user-keyed window shuffle + the funnel's
     # session-keyed min-fold joins + the 3-row census groupBy
     "event_session_funnel": (5, 2, 0),
