@@ -1376,3 +1376,88 @@ def contingency_chi2(
         df_.cast("bigint").alias("df"),
         F.when(df_ > 0, F.col("__chi2")).cast("bigint").alias("chi2_milli"),
     )
+
+
+def dau_mau_stickiness(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    window_days: int = 28,
+) -> DataFrame:
+    """Exact DAU / rolling-MAU engagement stickiness per day — the
+    product-analytics staple (DAU/MAU "how habitual is usage"), with
+    the rolling distinct computed EXACTLY instead of via sketches:
+
+        dau(d)  = distinct users active on day d
+        mau(d)  = distinct users active in [d - window_days + 1, d]
+        stickiness_milli = (1000 * dau) div mau
+
+    A sliding DISTINCT does not decompose as a sum, so the operator
+    expands the (user, day) activity census — NOT the events — onto
+    the days each activity row can serve: one census row fans out to
+    at most ``window_days`` (day, user) pairs, de-duplicated and
+    counted per day.  That bounds the blowup at census x window_days
+    (users x days x 28 at worst), never events x anything — the same
+    stance as the census-stencil grid hotspots.  Days with no activity
+    are absent (dau undefined, not zero).
+
+    Output days cover the census's day range only; mau near the range
+    START counts the partial window by construction (standard for the
+    metric — the first month ramps).
+
+    Scale posture (100 TB): one combinable (user, day) census groupBy
+    (the only event-sized shuffle), a row-local explode of at most
+    ``window_days`` per census row, then two census-sized distinct
+    aggregates.  No window, no join.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    engagement tier.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    DAY_US = 86_400_000_000
+    census = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.expr(f"{ts_col} div {DAY_US}").alias("__d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = census.groupBy(F.col("__d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    # a user active on day d serves the MAU of days d .. d+W-1; only
+    # days that exist in the census can report, so the explode is
+    # capped to the census's max day (computed as a broadcast one-row
+    # aggregate, metadata-sized)
+    maxd = census.agg(F.max("__d").alias("__maxd"))
+    served = (
+        census.crossJoin(F.broadcast(maxd))
+        .select(
+            "__u",
+            F.explode(
+                F.sequence(
+                    F.col("__d"),
+                    F.least(
+                        F.col("__d") + F.lit(window_days - 1),
+                        F.col("__maxd"),
+                    ),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    mau = served.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("(1000 * dau) div mau").alias("stickiness_milli"),
+        )
+    )

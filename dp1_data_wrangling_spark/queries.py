@@ -82,7 +82,7 @@ DRIVER_WINDOW: list[str] = [
     "event_attribution_position", # r11: U-shaped attribution (exact credits)
     "order_item_affinity",        # r11: item-item cosine^2 affinity (exact ppm)
     "events_kmv_cube",            # r9: one-build KMV rollup hierarchy (merge law)
-    "embedding_mmr_rerank",       # r9: MMR diversity re-rank (exact greedy)
+    "events_stickiness",          # r11: exact DAU / rolling-active stickiness
     "event_session_funnel",       # r11: session-scoped funnel composition
     "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank
     "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers

@@ -1055,6 +1055,51 @@ def q_events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stickiness",
+    """
+    WITH dm_c AS (
+        SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        FROM events
+    ),
+    dm_dau AS (
+        SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        FROM dm_c GROUP BY d
+    ),
+    dm_max AS (SELECT max(d) AS maxd FROM dm_c),
+    dm_served AS (
+        SELECT DISTINCT u, day FROM (
+            SELECT u,
+                   unnest(generate_series(d, least(d + 6, m.maxd)))
+                       AS day
+            FROM dm_c, dm_max m)
+    ),
+    dm_mau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS mau
+        FROM dm_served GROUP BY day
+    )
+    SELECT a.day, a.dau, m.mau,
+           CAST((1000 * a.dau) // m.mau AS BIGINT) AS stickiness_milli
+    FROM dm_dau a JOIN dm_mau m USING (day)
+    """,
+    headline=True,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / rolling-7-day-active engagement stickiness per day
+    (operators/stats.py dau_mau_stickiness): the sliding DISTINCT does
+    not decompose as a sum, so the (user, day) census — never events —
+    fans out to the <= 7 days each activity row serves and is
+    distinct-counted per day.  The oracle replays census, fan-out cap
+    and both distinct counts."""
+    from .operators.stats import dau_mau_stickiness
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return dau_mau_stickiness(e, window_days=7)
+
+
+@register(
     "user_churn_survival",
     """
     WITH RECURSIVE sv_ev AS (

@@ -6838,3 +6838,36 @@ def test_throttle_events_duplicate_ts_and_validation(spark):
         throttle_events(df, gap_us=100, key_cols=[])
     with pytest.raises(ValueError, match="gap_us"):
         throttle_events(df, gap_us=0, key_cols=["k"])
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (operators/stats.py dau_mau_stickiness)
+# ---------------------------------------------------------------------------
+
+
+def test_dau_mau_stickiness_hand_computed(spark):
+    """Window 3 days.  Activity: u1 on days 0,2; u2 on days 0,1; u3 on
+    day 2 (two events — census dedups).  dau = {0:2, 1:1, 2:2}.
+    mau(0)={u1,u2}=2; mau(1)={u1,u2}=2; mau(2)={u1,u2,u3}=3 (u1's day-0
+    activity still serves day 2, u2's day-1 too)."""
+    from dp1_data_wrangling_spark.operators.stats import dau_mau_stickiness
+
+    DAY = 86_400_000_000
+    rows = [
+        (1, 0), (1, 2 * DAY), (2, 10), (2, DAY + 5),
+        (3, 2 * DAY + 1), (3, 2 * DAY + 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = sorted(
+        (r.day, r.dau, r.mau, r.stickiness_milli)
+        for r in dau_mau_stickiness(df, window_days=3).collect()
+    )
+    assert got == [
+        (0, 2, 2, 1000),
+        (1, 1, 2, 500),
+        (2, 2, 3, 666),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        dau_mau_stickiness(df, window_days=0)

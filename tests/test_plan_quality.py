@@ -1221,6 +1221,10 @@ EXCHANGE_LEDGER = {
     # event_attribution_position: one user-keyed equi-join (broadcast
     # conv side at this sf) + per-conversion windows on the same key
     "event_attribution_position": (1, 1, 0),
+    # events_stickiness: the checkpointed (user, day) census distinct +
+    # dau groupBy + served-days distinct/mau groupBy (census-sized);
+    # the single-partition gather is the one-row max-day cap
+    "events_stickiness": (3, 2, 1),
     # events_throttle: ONE (user,type)-keyed window exchange reused by
     # the gap flags, the burst windows and the keep rule
     "events_throttle": (1, 0, 0),
