@@ -1461,3 +1461,157 @@ def dau_mau_stickiness(
             F.expr("(1000 * dau) div mau").alias("stickiness_milli"),
         )
     )
+
+
+def rank_sum_test(
+    units: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test per group — the nonparametric
+    two-sample experiment readout (the A/B test for a *metric*, where
+    ``ab_contingency`` reads a *conversion*): did the treatment arm's
+    value distribution shift, without assuming normality?
+
+    Exact rank algebra over the VALUE CENSUS, zero float computation.
+    Within each group, values census as ``(value, t_a, t_b)`` counts
+    per arm; the classic midrank of a value with ``c`` observations
+    before it and ``t`` ties at it is ``c + (t+1)/2`` — kept integral
+    as the DOUBLED rank ``rank2 = 2c + t + 1``.  Then with rank sum
+    ``2R_a = Σ t_a·rank2``:
+
+        u2_a  = 2·U_a  = 2R_a − n_a·(n_a+1)          (doubled U)
+        auc_milli = (1000·u2_a) div (2·n_a·n_b)       (P[A > B] + ½P[=])
+        var2  = Var(2U) = (n_a·n_b·((n+1)·n·(n−1) − T)) div (3·n·(n−1))
+        z2_milli = (1000·(u2_a − n_a·n_b)²) div var2  (normal-approx z²)
+
+    where ``T = Σ(t³ − t)`` is the standard tie correction.  Every
+    operand is an exact integer; the big products run in DECIMAL(38,0)
+    and both truncating divisions (``div``) replay verbatim against a
+    HUGEINT oracle — every numerator is non-negative, so Spark's
+    truncate-toward-zero and DuckDB's floor ``//`` agree.  Var(2U) is
+    itself Θ(n³), so its truncation loses < 1 part in n³ — and the
+    oracle replays the SAME truncation, bit-for-bit.
+
+    Degenerate groups never fake significance: one-armed groups
+    (n_a·n_b = 0) emit NULL auc/z2; all-tied groups (T = (n+1)n(n−1),
+    var2 = 0) emit NULL z2.  NULL values are unranked and dropped
+    (quantize and NULL-police upstream); ``arm_col`` must be 0/1
+    non-NULL (executor fail-fast, the ab_contingency contract).
+
+    Capacity is guarded, not assumed: both DECIMAL(38,0) division
+    operands are enveloped in DOUBLE against 1e37 (fail-fast threaded
+    into the consumed n_a — a silent DECIMAL(38) overflow reads as
+    NULL, indistinguishable from the degenerate-group NULL).  The
+    binding term is ``n_a·n_b·n³ ≲ n⁵/4``, which carries groups to
+    n ~ 8e7; beyond that, sample units — at such n the significance
+    call is saturated and auc_milli stays exact at any n.
+
+    Returns ``(*group_cols, n_a, n_b, u2_a, auc_milli, z2_milli)``.
+
+    Scale posture (100 TB): ONE event-sized combinable groupBy (the
+    value census), one census-sized window partitioned by the group
+    key (the standing per-key contract — census rows per group are
+    bounded by the value quantization, not by events), one combinable
+    census-sized groupBy, then per-group scalar algebra.  No join.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "rank_sum_test: arm must be 0/1 and non-NULL — a unit "
+                "outside the experiment's frame has no rank; filter "
+                "upstream"
+            )
+        ).cast("bigint")
+    )
+    census = (
+        units.filter(F.col(value_col).isNotNull())
+        .withColumn("__arm", arm_ok)
+        .groupBy(*group_cols, F.col(value_col).alias("__v"))
+        .agg(
+            F.sum((F.col("__arm") == 0).cast("bigint")).alias("__ta"),
+            F.sum((F.col("__arm") == 1).cast("bigint")).alias("__tb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("__ta") + F.col("__tb")
+    ranked = census.withColumn(
+        "__rank2",
+        F.lit(2) * F.sum(t).over(w_cum) - t + F.lit(1),
+    )
+    # t³ needs headroom: route through decimal(12,0) so the triple
+    # product lands at precision 36, inside DECIMAL(38,0)
+    td = t.cast("decimal(12,0)")
+    g = ranked.groupBy(*group_cols).agg(
+        F.sum("__ta").cast("bigint").alias("n_a"),
+        F.sum("__tb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("__ta").cast(_D) * F.col("__rank2").cast(_D)
+        ).cast(_D).alias("__r2a"),
+        F.sum((td * td * td).cast(_D) - t.cast(_D)).cast(_D).alias("__t3"),
+    )
+    # DOUBLE envelopes for BOTH decimal division operands, threaded
+    # into the consumed n_a factor so Catalyst cannot prune the guard
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    n_d = dd("n_a") + dd("n_b")
+    d_d = (dd("__r2a") - dd("n_a") * (dd("n_a") + 1.0)) - dd("n_a") * dd(
+        "n_b"
+    )
+    env = F.greatest(
+        dd("n_a") * dd("n_b") * ((n_d + 1.0) * n_d * (n_d - 1.0) - dd("__t3")),
+        F.lit(1000.0) * d_d * d_d,
+    )
+    na_ok = F.when(env <= F.lit(1e37), F.col("n_a")).otherwise(
+        F.raise_error(
+            F.lit(
+                "rank_sum_test: a variance operand exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units (the decision is "
+                "saturated at such n; auc_milli stays exact at any n)"
+            )
+        ).cast("bigint")
+    )
+    dec = "cast({} as decimal(38,0))"
+    n_s = f"({dec.format('__na_ok')} + {dec.format('n_b')})"
+    u2 = f"(__r2a - {dec.format('__na_ok')} * ({dec.format('__na_ok')} + 1))"
+    mean2 = f"({dec.format('__na_ok')} * {dec.format('n_b')})"
+    var2 = (
+        f"(({mean2} * (({n_s} + 1) * {n_s} * ({n_s} - 1) - __t3)) "
+        f"div (3 * {n_s} * ({n_s} - 1)))"
+    )
+    return (
+        g.withColumn("__na_ok", na_ok)
+        .withColumn("__u2", F.expr(u2))
+        .withColumn("__var2", F.when(F.expr(f"{n_s} > 1"), F.expr(var2)))
+        .select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            F.col("__u2").cast("bigint").alias("u2_a"),
+            F.when(
+                F.expr(f"{mean2} > 0"),
+                F.expr(f"(1000 * __u2) div (2 * {mean2})").cast("bigint"),
+            ).alias("auc_milli"),
+            F.when(
+                F.col("__var2") > 0,
+                F.expr(
+                    f"(1000 * (__u2 - {mean2}) * (__u2 - {mean2})) "
+                    "div __var2"
+                ).cast("bigint"),
+            ).alias("z2_milli"),
+        )
+    )

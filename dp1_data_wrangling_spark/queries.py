@@ -77,7 +77,7 @@ DRIVER_WINDOW: list[str] = [
     "user_churn_survival",        # r11: exact Kaplan-Meier churn curves
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
-    "doc_link_pagerank",          # r8: exact-integer iterative PageRank
+    "events_rank_sum",            # r11: exact Mann-Whitney U rank-sum A/B readout
     "events_ks_drift",            # r10: binned two-sample KS drift screen
     "event_attribution_position", # r11: U-shaped attribution (exact credits)
     "order_item_affinity",        # r11: item-item cosine^2 affinity (exact ppm)

@@ -2453,3 +2453,103 @@ def q_events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(coord("spx").alias("x"), coord("spy").alias("y"))
     )
     return grid_hotspots(pts, x_col="x", y_col="y", cell=50, min_count=3)
+
+
+@register(
+    "events_rank_sum",
+    """
+    WITH rs_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('rs|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               CAST(floor(value * 1000) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    rs_c AS (
+        SELECT event_type, vq,
+               CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS ta,
+               CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS tb
+        FROM rs_e GROUP BY event_type, vq
+    ),
+    rs_r AS (
+        SELECT event_type, ta, tb, ta + tb AS t,
+               2 * sum(ta + tb) OVER (
+                   PARTITION BY event_type ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - (ta + tb) + 1 AS rank2
+        FROM rs_c
+    ),
+    rs_g AS (
+        SELECT event_type,
+               CAST(sum(ta) AS BIGINT) AS n_a,
+               CAST(sum(tb) AS BIGINT) AS n_b,
+               CAST(sum(CAST(ta AS HUGEINT) * rank2) AS HUGEINT) AS r2a,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS t3
+        FROM rs_r GROUP BY event_type
+    ),
+    rs_s AS (
+        SELECT event_type, n_a, n_b,
+               CAST(n_a AS HUGEINT) + n_b AS n,
+               r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+               CAST(n_a AS HUGEINT) * n_b AS mean2, t3
+        FROM rs_g
+    ),
+    rs_v AS (
+        SELECT *,
+               CASE WHEN n > 1 THEN
+                   (mean2 * ((n + 1) * n * (n - 1) - t3))
+                       // (3 * n * (n - 1))
+               END AS var2
+        FROM rs_s
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(u2 AS BIGINT) AS u2_a,
+           CASE WHEN mean2 > 0
+                THEN CAST((1000 * u2) // (2 * mean2) AS BIGINT)
+           END AS auc_milli,
+           CASE WHEN var2 > 0
+                THEN CAST((1000 * (u2 - mean2) * (u2 - mean2)) // var2
+                          AS BIGINT)
+           END AS z2_milli
+    FROM rs_v
+    """,
+    headline=True,
+)
+def q_events_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum A/B readout per event type
+    (operators/stats.py rank_sum_test): users assign to arms by md5
+    parity (the same deterministic hash assignment as the chi-square
+    A/B readout), the measured metric is the event value in exact
+    milli, and each event type reports the doubled U statistic, the
+    AUC effect size (P[ctl > trt] + half-ties, exact milli) and the
+    tie-corrected normal-approximation z² — midranks from the value
+    CENSUS (rank2 = 2·cum − t + 1), DECIMAL(38,0) products replayed
+    by a HUGEINT oracle, both truncating divisions verbatim.  ONE
+    event-sized census groupBy, one census-sized per-group window,
+    one combinable census groupBy; no join (plan-gated)."""
+    from .operators.stats import rank_sum_test
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rs|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    return rank_sum_test(
+        e, arm_col="arm", value_col="vq", group_cols=["event_type"]
+    )

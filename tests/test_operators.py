@@ -6871,3 +6871,90 @@ def test_dau_mau_stickiness_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="window_days"):
         dau_mau_stickiness(df, window_days=0)
+
+
+def test_rank_sum_matches_python_replay(spark):
+    """Mann-Whitney over seeded mixed-tie groups: 2U, AUC and the
+    tie-corrected z² all replay an exact Python brute force over pairs
+    (2U = Σ pairs [2·(a>b) + (a=b)]); one-armed groups NULL auc/z2,
+    all-tied groups NULL z2 at AUC exactly 500, bad arms raise."""
+    import random
+    from collections import Counter, defaultdict
+
+    from dp1_data_wrangling_spark.operators.stats import rank_sum_test
+
+    random.seed(11)
+    rows = []
+    for g in ["x", "y", "z", "one_arm", "all_tie"]:
+        for _ in range(random.randint(8, 40)):
+            arm = 0 if g == "one_arm" else random.randint(0, 1)
+            v = 5 if g == "all_tie" else random.randint(-9, 9)
+            rows.append((g, arm, v))
+    df = spark.createDataFrame(rows, "g string, arm int, v long")
+    got = {
+        r["g"]: r.asDict()
+        for r in rank_sum_test(
+            df, arm_col="arm", value_col="v", group_cols=["g"]
+        ).collect()
+    }
+    by_g = defaultdict(list)
+    for g, a, v in rows:
+        by_g[g].append((a, v))
+    assert set(got) == set(by_g)
+    for g, obs in by_g.items():
+        a_vals = [v for a, v in obs if a == 0]
+        b_vals = [v for a, v in obs if a == 1]
+        na, nb, n = len(a_vals), len(b_vals), len(obs)
+        u2 = sum(
+            2 if a > b else (1 if a == b else 0)
+            for a in a_vals
+            for b in b_vals
+        )
+        tie = sum(t**3 - t for t in Counter(v for _, v in obs).values())
+        r = got[g]
+        assert (r["n_a"], r["n_b"], r["u2_a"]) == (na, nb, u2), g
+        assert r["auc_milli"] == (
+            (1000 * u2) // (2 * na * nb) if na * nb else None
+        ), g
+        if na * nb and n > 1:
+            var2 = (na * nb * ((n + 1) * n * (n - 1) - tie)) // (
+                3 * n * (n - 1)
+            )
+            want_z2 = (
+                (1000 * (u2 - na * nb) ** 2) // var2 if var2 > 0 else None
+            )
+        else:
+            want_z2 = None
+        assert r["z2_milli"] == want_z2, g
+    assert got["all_tie"]["auc_milli"] == 500
+    assert got["all_tie"]["z2_milli"] is None
+    assert got["one_arm"]["z2_milli"] is None
+    bad = spark.createDataFrame([("g", 2, 1)], "g string, arm int, v long")
+    with pytest.raises(Exception, match="rank_sum_test"):
+        rank_sum_test(
+            bad, arm_col="arm", value_col="v", group_cols=["g"]
+        ).collect()
+    with pytest.raises(ValueError, match="group_cols"):
+        rank_sum_test(df, arm_col="arm", value_col="v", group_cols=[])
+
+
+def test_rank_sum_null_values_unranked(spark):
+    """NULL metric values drop before ranking (the documented
+    quantize-upstream contract): adding NULL-value rows changes
+    nothing."""
+    from dp1_data_wrangling_spark.operators.stats import rank_sum_test
+
+    base = [("g", 0, 1), ("g", 0, 3), ("g", 1, 2), ("g", 1, 2)]
+    with_nulls = base + [("g", 0, None), ("g", 1, None)]
+    a = rank_sum_test(
+        spark.createDataFrame(base, "g string, arm int, v long"),
+        arm_col="arm", value_col="v", group_cols=["g"],
+    ).collect()
+    b = rank_sum_test(
+        spark.createDataFrame(with_nulls, "g string, arm int, v long"),
+        arm_col="arm", value_col="v", group_cols=["g"],
+    ).collect()
+    assert a == b
+    [r] = a
+    # ranks: 1, (2,3 tie -> rank2=5), 4 -> 2R_a = 2*1 + 2*4 = 10
+    assert (r.n_a, r.n_b, r.u2_a) == (2, 2, 10 - 2 * 3)

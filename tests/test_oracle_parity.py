@@ -270,9 +270,12 @@ def test_driver_window_covers_flagship_surface():
         # round-8: composed IVF-PQ (the FAISS IVFPQ production shape)
         # enters directly (multimodal_resize out — multi-round green)
         "ivf_pq_recall_bound",
-        # round-8: exact-integer iterative PageRank enters directly
-        # (doc_fingerprint out — multi-round green)
-        "doc_link_pagerank",
+        # round-8: exact-integer iterative PageRank entered directly
+        # (doc_fingerprint out — multi-round green); rotated out in r11
+        # mid-round 11 for events_rank_sum (3x green r8-r10; the graph
+        # family keeps communities/ppr/prediction/kcore in-window and
+        # pagerank stays a bench headliner + shuffle-gated + parity-held)
+        "events_rank_sum",
         # round-8: SCD Type-2 dimension history enters directly
         # (doc_lang_id out — multi-round green)
         "user_scd2_history",

@@ -1215,6 +1215,10 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # events_rank_sum: the value census is the one event-sized
+    # shuffle; the midrank window shuffles on the group key and the
+    # final groupBy reuses that partitioning — no join anywhere
+    "events_rank_sum": (2, 0, 0),
     # events_seasonal_profile: one combinable census groupBy; the
     # key-total recombine broadcasts census-sized rows back
     "events_seasonal_profile": (1, 1, 0),

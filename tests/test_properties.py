@@ -1089,3 +1089,53 @@ def test_contingency_chi2_equals_python_replay(spark, cells):
         assert got.chi2_milli == want
     else:
         assert got.chi2_milli is None
+
+
+rank_sum_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # arm
+        st.integers(min_value=-5, max_value=5),   # quantized metric
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(obs=rank_sum_obs)
+@SETTINGS
+def test_rank_sum_equals_pairwise_brute_force(spark, obs):
+    """Mann-Whitney on generated (arm, value) units equals the exact
+    pairwise brute force (2U = Σ pairs [2·(a>b) + (a=b)]) with the
+    tie-corrected Var(2U) replayed in Python ints — degenerate
+    one-armed / all-tied inputs yield NULLs, never fake significance."""
+    from collections import Counter
+
+    from dp1_data_wrangling_spark.operators.stats import rank_sum_test
+
+    df = spark.createDataFrame(
+        [("g", a, v) for a, v in obs], "g string, arm int, v long"
+    )
+    [got] = rank_sum_test(
+        df, arm_col="arm", value_col="v", group_cols=["g"]
+    ).collect()
+    a_vals = [v for a, v in obs if a == 0]
+    b_vals = [v for a, v in obs if a == 1]
+    na, nb, n = len(a_vals), len(b_vals), len(obs)
+    u2 = sum(
+        2 if a > b else (1 if a == b else 0)
+        for a in a_vals
+        for b in b_vals
+    )
+    assert (got.n_a, got.n_b, got.u2_a) == (na, nb, u2)
+    assert got.auc_milli == (
+        (1000 * u2) // (2 * na * nb) if na * nb else None
+    )
+    tie = sum(t**3 - t for t in Counter(v for _, v in obs).values())
+    if na * nb and n > 1:
+        var2 = (na * nb * ((n + 1) * n * (n - 1) - tie)) // (
+            3 * n * (n - 1)
+        )
+        want_z2 = (1000 * (u2 - na * nb) ** 2) // var2 if var2 > 0 else None
+    else:
+        want_z2 = None
+    assert got.z2_milli == want_z2
