@@ -189,6 +189,97 @@ def cohort_retention(
     )
 
 
+def cohort_ltv(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "vq",
+) -> DataFrame:
+    """Weekly cohort lifetime-value triangle — the revenue sibling of
+    ``cohort_retention``: for each signup cohort (epoch-week of the
+    user's first event) and each age week since, the active-user count,
+    the week's revenue, the RUNNING cumulative revenue, and cumulative
+    LTV per cohort user in exact milli:
+
+        ltv_per_user_milli = cum_revenue_milli div n_cohort_users
+
+    ``value_col`` is the pre-quantized BIGINT revenue of the event
+    (NULL = non-revenue activity: it still marks the user active that
+    week, contributes zero revenue).  Cells with no activity are absent
+    (a sparse triangle — resample through ``gapfill`` if a dense grid
+    is needed); cumulative sums therefore step only at observed ages,
+    which is exact for LTV (revenue between observations is zero).
+
+    Returns ``(cohort_week, week_offset, n_cohort_users, active_users,
+    revenue_milli, cum_revenue_milli, ltv_per_user_milli)``.
+
+    Scale posture (100 TB): two event-sized combinable groupBys (the
+    per-user first-week census and the (user, week) activity/revenue
+    census), one user-keyed equi-join of user-sized frames, one
+    census-sized groupBy, then a census-sized running-sum window
+    partitioned by cohort (weeks-per-cohort rows — bounded by the
+    calendar, not by events) and a broadcast join of the
+    weeks-sized cohort-size frame.
+    """
+    # the first-week census feeds BOTH the age join and the cohort
+    # sizes — checkpoint lazily so the event scan + user shuffle run
+    # once (materializes inside the first consuming job)
+    firsts = (
+        events.groupBy(F.col(user_col).alias("__u"))
+        .agg(F.expr(f"min({ts_col}) div {WEEK_US}").alias("__cw"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = firsts.groupBy(F.col("__cw").alias("cohort_week")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort_users")
+    )
+    weekly = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.expr(f"{ts_col} div {WEEK_US}").alias("__aw"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("__u", "__aw")
+        .agg(
+            F.coalesce(F.sum("__v"), F.lit(0)).cast("bigint").alias("__rev")
+        )
+    )
+    cells = (
+        weekly.join(firsts, "__u")
+        .groupBy(
+            F.col("__cw").alias("cohort_week"),
+            (F.col("__aw") - F.col("__cw")).alias("week_offset"),
+        )
+        .agg(
+            F.count_distinct("__u").cast("bigint").alias("active_users"),
+            F.sum("__rev").cast("bigint").alias("revenue_milli"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_milli",
+            F.sum("revenue_milli").over(w_cum).cast("bigint"),
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort_users",
+            "active_users",
+            "revenue_milli",
+            "cum_revenue_milli",
+            F.expr("cum_revenue_milli div n_cohort_users").alias(
+                "ltv_per_user_milli"
+            ),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

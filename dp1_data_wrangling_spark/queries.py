@@ -87,7 +87,7 @@ DRIVER_WINDOW: list[str] = [
     "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank
     "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers
     "events_throttle",            # r11: gap-rule burst dedup / throttling
-    "event_funnel_latency",       # r9: funnel time-to-convert percentiles
+    "user_cohort_ltv",            # r11: weekly cohort LTV triangle (exact milli)
     "events_gapfill",             # r9 op, r11 window: grid resample + LOCF fill
     "events_geofence",            # r9: exact point-in-polygon geofence join
     "order_brand_rules",          # r10: association rules w/ exact lift

@@ -903,6 +903,70 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_cohort_ltv",
+    """
+    WITH lv_e AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS w,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 1000) AS BIGINT) END AS vq
+        FROM events
+    ),
+    lv_f AS (
+        SELECT user_id, min(w) AS cw FROM lv_e GROUP BY user_id
+    ),
+    lv_s AS (
+        SELECT cw AS cohort_week, CAST(count(*) AS BIGINT) AS n_cohort_users
+        FROM lv_f GROUP BY cw
+    ),
+    lv_w AS (
+        SELECT user_id, w, CAST(coalesce(sum(vq), 0) AS BIGINT) AS rev
+        FROM lv_e GROUP BY user_id, w
+    ),
+    lv_c AS (
+        SELECT f.cw AS cohort_week, wk.w - f.cw AS week_offset,
+               CAST(count(DISTINCT wk.user_id) AS BIGINT) AS active_users,
+               CAST(sum(wk.rev) AS BIGINT) AS revenue_milli
+        FROM lv_w wk JOIN lv_f f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    lv_r AS (
+        SELECT *,
+               CAST(sum(revenue_milli) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_revenue_milli
+        FROM lv_c
+    )
+    SELECT r.cohort_week, r.week_offset, s.n_cohort_users,
+           r.active_users, r.revenue_milli, r.cum_revenue_milli,
+           r.cum_revenue_milli // s.n_cohort_users AS ltv_per_user_milli
+    FROM lv_r r JOIN lv_s s USING (cohort_week)
+    """,
+    headline=True,
+)
+def q_user_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV triangle (operators/funnel.py cohort_ltv —
+    the revenue sibling of cohort_retention): cohort = epoch-week of
+    first event, revenue = purchase values in exact milli (non-purchase
+    activity marks the user active at zero revenue), cumulative LTV
+    per cohort user as a truncating division.  Two event-sized
+    combinable groupBys + one user-keyed join; the running sum and the
+    per-user division run over CENSUS cells (cohorts x ages), replayed
+    verbatim by the oracle."""
+    from .operators.funnel import cohort_ltv
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 1000).cast("long"),
+        ).alias("vq"),
+    )
+    return cohort_ltv(e)
+
+
+@register(
     "event_session_funnel",
     """
     WITH sf_ev AS (

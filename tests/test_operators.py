@@ -6958,3 +6958,48 @@ def test_rank_sum_null_values_unranked(spark):
     [r] = a
     # ranks: 1, (2,3 tie -> rank2=5), 4 -> 2R_a = 2*1 + 2*4 = 10
     assert (r.n_a, r.n_b, r.u2_a) == (2, 2, 10 - 2 * 3)
+
+
+def test_cohort_ltv_hand_computed(spark):
+    """Two cohorts over three weeks: active counts, weekly revenue,
+    running cumulative and per-user LTV all replay a hand computation;
+    NULL-value activity marks users active at zero revenue; sparse ages
+    are absent."""
+    from dp1_data_wrangling_spark.operators.funnel import WEEK_US, cohort_ltv
+
+    W = WEEK_US
+
+    def ev(u, week, vq):
+        return (u, week * W + 1000, vq)
+
+    rows = [
+        # cohort week 0: users 1, 2
+        ev(1, 0, 500), ev(2, 0, None),         # wk0: rev 500, 2 active
+        ev(1, 1, 250), ev(1, 1, 250),          # wk1: rev 500, 1 active
+        ev(2, 2, 1000),                        # wk2: rev 1000, 1 active
+        # cohort week 1: user 3 (gap at offset 1, returns offset 2)
+        ev(3, 1, None),                        # wk0: rev 0
+        ev(3, 3, 300),                         # offset 2: rev 300
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, vq long")
+    got = {
+        (r.cohort_week, r.week_offset): r.asDict()
+        for r in cohort_ltv(df).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 2)}
+    c00, c01, c02 = got[(0, 0)], got[(0, 1)], got[(0, 2)]
+    assert (c00["n_cohort_users"], c00["active_users"]) == (2, 2)
+    assert (c00["revenue_milli"], c00["cum_revenue_milli"]) == (500, 500)
+    assert c00["ltv_per_user_milli"] == 250
+    assert (c01["active_users"], c01["revenue_milli"]) == (1, 500)
+    assert (c01["cum_revenue_milli"], c01["ltv_per_user_milli"]) == (
+        1000, 500,
+    )
+    assert (c02["revenue_milli"], c02["cum_revenue_milli"]) == (1000, 2000)
+    assert c02["ltv_per_user_milli"] == 1000
+    c10, c12 = got[(1, 0)], got[(1, 2)]
+    assert (c10["n_cohort_users"], c10["revenue_milli"]) == (1, 0)
+    assert c10["ltv_per_user_milli"] == 0
+    # the gap week is absent; the cumulative at offset 2 includes it
+    assert (c12["revenue_milli"], c12["cum_revenue_milli"]) == (300, 300)
+    assert c12["ltv_per_user_milli"] == 300

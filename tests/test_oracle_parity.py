@@ -196,7 +196,12 @@ def test_driver_window_covers_flagship_surface():
         # events_throttle (2x green r9-r10; the retrieval family keeps
         # doc_bm25_topk + bm25_index_topk + embedding_mmr_rerank
         # in-window)
-        "event_funnel_latency", "events_throttle",
+        # event_funnel_latency rotated out in r11 mid-round 12 for
+        # user_cohort_ltv (2x green r9-r10; the funnel family keeps
+        # conversion_paths + session_funnel + attribution decay/position
+        # + throttle — five in-window reps — and latency stays
+        # parity-held in-repo every CI run)
+        "user_cohort_ltv", "events_throttle",
         # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
         # green r7+r8; LM scoring stays via doc_bigram_score in-window)
         # doc_subword_pack rotated out mid-r9 for part_abc_classes (2x

@@ -1215,6 +1215,11 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # user_cohort_ltv: visible slice from the lazily-checkpointed
+    # first-week census — (user, week) groupBy, user join, distinct-agg
+    # census (two-phase), cohort running-sum window; broadcasts are the
+    # firsts side + the weeks-sized cohort sizes
+    "user_cohort_ltv": (5, 2, 0),
     # events_rank_sum: the value census is the one event-sized
     # shuffle; the midrank window shuffles on the group key and the
     # final groupBy reuses that partitioning — no join anywhere
