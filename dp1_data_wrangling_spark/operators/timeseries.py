@@ -955,3 +955,160 @@ def seasonal_profile(
             ),
         ).alias("index_milli"),
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    *,
+    key_cols: list[str],
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen slope per key —
+    the nonparametric "is this series trending, and how fast?" readout
+    (the hydrology/monitoring standard; the timeseries tier's missing
+    significance test next to holt/acf/mase, which smooth and describe
+    but do not test).
+
+    Exact integer algebra over all ordered pairs of the series CENSUS:
+
+        s         = Σ_{i<j} sign(y_j − y_i)
+        var18     = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (18·Var(S))
+        z2_milli  = (18000·(|s|−1)²) div var18         (s ≠ 0, else 0)
+        slope_milli = lower median over pairs of
+                      trunc(1000·(y_j − y_i) / (t_j − t_i))
+
+    with ``t`` ranging over tie-group sizes of y.  The continuity-
+    corrected z² replays verbatim against a HUGEINT oracle; per-pair
+    slopes divide TRUNCATING toward zero (y deltas go negative, and
+    Spark ``div`` and DuckDB ``//`` both truncate — the stats-module
+    ``-7 // 2 = -3`` DuckDB verification; standard-SQL floor division
+    would differ here), and the lower median is the value
+    at rank ``(m+1) div 2`` of the sorted slope multiset —
+    well-defined under ties.  All-tied series (var18 = 0) emit NULL
+    z2; single-point series emit NULL slope.
+
+    ``series`` must hold ONE row per (key, t) — aggregate upstream
+    (the census contract); duplicate time points raise executor-side
+    (sign pairs at dt = 0 are undefined).  The z² numerator runs in
+    DECIMAL(38,0): |s| ≤ n²/2, so it stays inside 1e38 to n ~ 3e8
+    points per key — beyond any physical per-key series; no envelope
+    needed where the chi-square family required one.
+
+    Returns ``(*key_cols, n_points, s, var18, slope_milli, z2_milli)``.
+
+    Scale posture (100 TB): the pair fan-out is the series census
+    self-joined on the key — n² per KEY, never events² (daily/hourly
+    rollups bound n by the calendar; the operator is for rolled-up
+    series, stated contract).  One census groupBy feeds a key-keyed
+    equi-join; the median window partitions on the key over pair rows.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    # the census feeds FOUR consumers (both self-join sides, the tie
+    # census, the duplicate-t check) — checkpoint lazily so whatever
+    # event-scale rollup produced it runs once
+    series = series.localCheckpoint(eager=False)
+    left = series.select(
+        *key_cols,
+        F.col(t_col).alias("__t1"),
+        F.col(y_col).alias("__y1"),
+    )
+    right = series.select(
+        *key_cols,
+        F.col(t_col).alias("__t2"),
+        F.col(y_col).alias("__y2"),
+    )
+    pairs = (
+        left.join(right, key_cols)
+        .filter(F.col("__t2") > F.col("__t1"))
+        .select(
+            *key_cols,
+            F.signum(
+                (F.col("__y2") - F.col("__y1")).cast("double")
+            ).cast("bigint").alias("__sgn"),
+            F.expr(
+                "(1000 * (__y2 - __y1)) div (__t2 - __t1)"
+            ).alias("__slope"),
+        )
+    )
+    w_m = Window.partitionBy(*key_cols).orderBy("__slope")
+    w_n = Window.partitionBy(*key_cols)
+    med = (
+        pairs.withColumn("__rn", F.row_number().over(w_m))
+        .withColumn("__m", F.count(F.lit(1)).over(w_n))
+        .filter(F.expr("__rn = (__m + 1) div 2"))
+        .select(*key_cols, F.col("__slope").alias("slope_milli"))
+    )
+    stat = pairs.groupBy(*key_cols).agg(
+        F.sum("__sgn").cast("bigint").alias("s")
+    )
+    # tie correction from the y census; n and the one-row-per-(key, t)
+    # contract from the t census — a duplicate time point would
+    # silently skew every pair statistic, so any (key, t) cell with
+    # more than one row raises executor-side, threaded into the
+    # consumed n_points
+    n_chk = (
+        series.groupBy(*key_cols, F.col(t_col).alias("__tt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("__c").cast("bigint").alias("__n"),
+            F.max("__c").cast("bigint").alias("__cmax"),
+        )
+        .withColumn(
+            "n_points",
+            F.when(F.col("__cmax") == 1, F.col("__n")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mann_kendall: duplicate time points in a key's "
+                        "series — one row per (key, t) is the census "
+                        "contract; aggregate upstream"
+                    )
+                ).cast("bigint")
+            ),
+        )
+        .select(*key_cols, "n_points")
+    )
+    ties = (
+        series.groupBy(*key_cols, F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.expr("__t * (__t - 1) * (2 * __t + 5)")
+            ).cast("bigint").alias("__tie18"),
+        )
+        .join(n_chk, key_cols)
+    )
+    dec = "cast({} as decimal(38,0))"
+    out = (
+        ties.join(stat, key_cols, "left")
+        .join(med, key_cols, "left")
+        .withColumn("s", F.coalesce(F.col("s"), F.lit(0).cast("bigint")))
+        .withColumn(
+            "var18",
+            F.expr(
+                "n_points * (n_points - 1) * (2 * n_points + 5) - __tie18"
+            ).cast("bigint"),
+        )
+        .select(
+            *key_cols,
+            "n_points",
+            "s",
+            "var18",
+            "slope_milli",
+            F.when(F.col("s") == 0, F.lit(0).cast("bigint"))
+            .when(
+                F.col("var18") > 0,
+                F.expr(
+                    f"(18000 * {dec.format('abs(s) - 1')} * "
+                    f"{dec.format('abs(s) - 1')}) div {dec.format('var18')}"
+                ).cast("bigint"),
+            )
+            .alias("z2_milli"),
+        )
+    )
+    return out

@@ -81,7 +81,7 @@ DRIVER_WINDOW: list[str] = [
     "events_ks_drift",            # r10: binned two-sample KS drift screen
     "event_attribution_position", # r11: U-shaped attribution (exact credits)
     "order_item_affinity",        # r11: item-item cosine^2 affinity (exact ppm)
-    "events_kmv_cube",            # r9: one-build KMV rollup hierarchy (merge law)
+    "events_trend_test",          # r11: Mann-Kendall trend + Theil-Sen slope
     "events_stickiness",          # r11: exact DAU / rolling-active stickiness
     "event_session_funnel",       # r11: session-scoped funnel composition
     "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank

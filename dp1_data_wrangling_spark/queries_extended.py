@@ -954,6 +954,91 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trend_test",
+    """
+    WITH mk_d AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    mk_p AS (
+        SELECT a.event_type,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+               (1000 * (b.y - a.y)) // (b.d - a.d) AS slope
+        FROM mk_d a JOIN mk_d b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    mk_s AS (
+        SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s
+        FROM mk_p GROUP BY event_type
+    ),
+    mk_med AS (
+        SELECT event_type, slope AS slope_milli FROM (
+            SELECT event_type, slope,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY slope) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM mk_p)
+        WHERE rn = (m + 1) // 2
+    ),
+    mk_t AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n_points,
+               CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie18
+        FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS c
+              FROM mk_d GROUP BY event_type, y)
+        GROUP BY event_type
+    ),
+    mk_v AS (
+        SELECT t.event_type, t.n_points,
+               coalesce(s.s, 0) AS s,
+               CAST(t.n_points * (t.n_points - 1) * (2 * t.n_points + 5)
+                    - t.tie18 AS BIGINT) AS var18,
+               m.slope_milli
+        FROM mk_t t
+        LEFT JOIN mk_s s USING (event_type)
+        LEFT JOIN mk_med m USING (event_type)
+    )
+    SELECT event_type, n_points, s, var18, slope_milli,
+           CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                WHEN var18 > 0 THEN
+                    CAST((18000 * CAST(abs(s) - 1 AS HUGEINT)
+                          * (abs(s) - 1)) // var18 AS BIGINT)
+           END AS z2_milli
+    FROM mk_v
+    """,
+    headline=True,
+)
+def q_events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per event type
+    (operators/timeseries.py mann_kendall): the daily event-count
+    series per type is census'd once, then all ordered day pairs
+    (days²/2 per type — calendar-bounded, never events²) yield the
+    exact S statistic, the tie-corrected 18·Var(S), the continuity-
+    corrected z² in milli (DECIMAL(38,0)/HUGEINT) and the lower-median
+    Theil-Sen slope via pmod floor division (y deltas go negative —
+    Spark div truncates, SQL // floors; the pmod identity floors in
+    both engines).  The timeseries family's significance test next to
+    holt/acf/mase, which describe but do not test."""
+    from .operators.timeseries import mann_kendall
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    return mann_kendall(
+        daily, key_cols=["event_type"], t_col="d", y_col="y"
+    )
+
+
+@register(
     "event_attribution_decay",
     """
     WITH ad_ev AS (

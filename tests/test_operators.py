@@ -7003,3 +7003,79 @@ def test_cohort_ltv_hand_computed(spark):
     # the gap week is absent; the cumulative at offset 2 includes it
     assert (c12["revenue_milli"], c12["cum_revenue_milli"]) == (300, 300)
     assert c12["ltv_per_user_milli"] == 300
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    """MK S, tie-corrected 18·Var(S), continuity-corrected z² and the
+    lower-median Theil-Sen slope all replay an exact Python brute force
+    over ordered pairs (truncating per-pair slope division toward zero
+    — the verified DuckDB // semantics); flat series read z²=0 at NULL
+    slope-variance, single points emit NULL slope, duplicate time
+    points raise."""
+    import random
+    from collections import Counter
+
+    from dp1_data_wrangling_spark.operators.timeseries import mann_kendall
+
+    random.seed(3)
+    rows, series = [], {}
+    for g in ["up", "down", "flat", "noisy", "single"]:
+        n = 1 if g == "single" else random.randint(5, 25)
+        ts = sorted(random.sample(range(100), n))
+        ys = []
+        for t in ts:
+            y = {"up": t * 2 + random.randint(0, 1), "down": -3 * t,
+                 "flat": 7}.get(g, random.randint(-5, 5))
+            rows.append((g, t, y))
+            ys.append((t, y))
+        series[g] = ys
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = {
+        r["g"]: r.asDict()
+        for r in mann_kendall(
+            df, key_cols=["g"], t_col="t", y_col="y"
+        ).collect()
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    for g, ys in series.items():
+        n = len(ys)
+        pairs = [
+            (ys[i], ys[j]) for i in range(n) for j in range(i + 1, n)
+        ]
+        s = sum(
+            (1 if y2 > y1 else (-1 if y2 < y1 else 0))
+            for (t1, y1), (t2, y2) in pairs
+        )
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(y for _, y in ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        slopes = sorted(
+            trunc_div(1000 * (y2 - y1), t2 - t1)
+            for (t1, y1), (t2, y2) in pairs
+        )
+        want_slope = slopes[(len(slopes) + 1) // 2 - 1] if slopes else None
+        if s == 0:
+            want_z2 = 0
+        elif var18 > 0:
+            want_z2 = (18000 * (abs(s) - 1) ** 2) // var18
+        else:
+            want_z2 = None
+        r = got[g]
+        assert (r["n_points"], r["s"], r["var18"]) == (n, s, var18), g
+        assert r["slope_milli"] == want_slope, (g, r["slope_milli"])
+        assert r["z2_milli"] == want_z2, (g, r["z2_milli"])
+    assert got["flat"]["z2_milli"] == 0 and got["flat"]["var18"] == 0
+    assert got["single"]["slope_milli"] is None
+    dup = spark.createDataFrame(
+        [("d", 1, 2), ("d", 1, 3)], "g string, t long, y long"
+    )
+    with pytest.raises(Exception, match="mann_kendall"):
+        mann_kendall(dup, key_cols=["g"], t_col="t", y_col="y").collect()
+    with pytest.raises(ValueError, match="key_cols"):
+        mann_kendall(df, key_cols=[], t_col="t", y_col="y")

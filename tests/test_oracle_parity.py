@@ -230,7 +230,11 @@ def test_driver_window_covers_flagship_surface():
         # embedding_mmr_rerank rotated out in r11 mid-round 10 for
         # events_stickiness (2x green r9-r10; the embedding family
         # keeps doc_semantic_decontam + ivf_pq_recall_bound in-window)
-        "events_kmv_cube", "event_session_funnel", "events_stickiness",
+        # events_kmv_cube rotated out in r11 mid-round 13 for
+        # events_trend_test (2x green r9-r10; the sketch family keeps
+        # events_hll_rolling in-window and the cube's merge-law
+        # property suite + parity run every CI)
+        "events_trend_test", "event_session_funnel", "events_stickiness",
         # doc_card_scan rotated out in r9 for doc_cooccurrence (2x green
         # r7+r8; the PII-precision family stays via doc_gopher_rules'
         # rule screen and in-repo parity for card-scan/pii-scrub)

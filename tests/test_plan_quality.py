@@ -1215,6 +1215,11 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # events_trend_test: visible slice from the lazily-checkpointed
+    # daily census — the key-keyed pair self-join, S groupBy, median
+    # window, tie census and duplicate-t check plus the key-level
+    # recombine joins (broadcasts are the key-sized stat frames)
+    "events_trend_test": (6, 3, 0),
     # user_cohort_ltv: visible slice from the lazily-checkpointed
     # first-week census — (user, week) groupBy, user join, distinct-agg
     # census (two-phase), cohort running-sum window; broadcasts are the
