@@ -1615,3 +1615,146 @@ def rank_sum_test(
             ).alias("z2_milli"),
         )
     )
+
+
+# log10(1 + 1/d) in exact parts-per-million — the public Benford
+# constants, truncated (sum = 999_999; the missing ppm is the
+# truncation residue, carried by no digit on either engine)
+BENFORD_PPM = {
+    1: 301_029, 2: 176_091, 3: 124_938, 4: 96_910, 5: 79_181,
+    6: 66_946, 7: 57_991, 8: 51_152, 9: 45_757,
+}
+
+
+def benford_screen(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Benford first-digit conformity screen per group — the
+    forensic-accounting staple (fabricated or constrained amounts
+    drift from the log distribution of naturally-occurring ones).
+
+    ``value_col`` must be POSITIVE exact integers (cents/milli —
+    quantize upstream); zero or negative amounts raise executor-side
+    (they have no first significant digit).  The first digit comes
+    from the decimal string — deterministic in any engine — and the
+    screen reports, per digit 1..9 (all nine rows, zero-observed
+    included):
+
+        exp_ppm      = trunc(1e6 · log10(1 + 1/d))   (public constant)
+        contrib_milli = (1000 · (1e6·obs − n·ppm)²)
+                        div (1e6 · n · ppm)           (Pearson term)
+        chi2_milli   = Σ contrib_milli  (repeated per row; df = 8)
+
+    Every operand is an exact integer; the squared term runs in
+    DECIMAL(38,0) against a HUGEINT oracle, and both engines truncate
+    the division.  The 1e37 DOUBLE envelope (threaded into the
+    consumed n) carries groups to n ~ 3e9 amounts; beyond that,
+    sample — conformity is saturated at such n.
+
+    Returns ``(*group_cols, digit, n_obs, n_total, exp_ppm,
+    contrib_milli, chi2_milli)``.
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy over
+    (group, digit); the nine-row grid rebuild, Pearson terms and the
+    chi2 window are census-sized (9 rows per group).
+
+    Engine extension — the reference has no forensic tier.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    v_ok = F.when(v > 0, v).otherwise(
+        F.raise_error(
+            F.lit(
+                "benford_screen: amounts must be positive integers — "
+                "zero/negative/NULL values have no first significant "
+                "digit; filter or quantize upstream"
+            )
+        ).cast("bigint")
+    )
+    counts = (
+        df.withColumn("__v", v_ok)
+        .select(
+            *group_cols,
+            F.substring(F.col("__v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy(*group_cols)
+        .pivot("digit", list(range(1, 10)))
+        .agg(F.count(F.lit(1)))
+    )
+    # rebuild the dense nine-digit grid (zero cells included) from the
+    # pivoted census — one row per group in, nine out
+    digit_arr = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("digit"),
+                F.coalesce(F.col(str(d)), F.lit(0))
+                .cast("bigint")
+                .alias("n_obs"),
+                F.lit(BENFORD_PPM[d]).cast("bigint").alias("exp_ppm"),
+            )
+            for d in range(1, 10)
+        ]
+    )
+    grid = (
+        counts.select(*group_cols, F.explode(digit_arr).alias("__c"))
+        .select(*group_cols, "__c.digit", "__c.n_obs", "__c.exp_ppm")
+        .withColumn(
+            "n_total",
+            F.sum("n_obs")
+            .over(Window.partitionBy(*group_cols))
+            .cast("bigint"),
+        )
+    )
+    env = (
+        F.lit(1000.0)
+        * (
+            F.lit(1e6) * F.col("n_obs").cast("double")
+            - F.col("n_total").cast("double") * F.col("exp_ppm").cast("double")
+        )
+        ** 2
+    )
+    n_ok = F.when(env <= F.lit(1e37), F.col("n_total")).otherwise(
+        F.raise_error(
+            F.lit(
+                "benford_screen: a Pearson term exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample amounts (conformity "
+                "is saturated at such n)"
+            )
+        ).cast("bigint")
+    )
+    dec = "cast({} as decimal(38,0))"
+    dev = (
+        f"(1000000 * {dec.format('n_obs')} - "
+        f"{dec.format('__n_ok')} * {dec.format('exp_ppm')})"
+    )
+    contrib = (
+        f"(1000 * {dev} * {dev}) div "
+        f"(1000000 * {dec.format('__n_ok')} * {dec.format('exp_ppm')})"
+    )
+    return (
+        grid.withColumn("__n_ok", n_ok)
+        .withColumn("contrib_milli", F.expr(contrib).cast("bigint"))
+        .withColumn(
+            "chi2_milli",
+            F.sum("contrib_milli")
+            .over(Window.partitionBy(*group_cols))
+            .cast("bigint"),
+        )
+        .select(
+            *group_cols,
+            "digit",
+            "n_obs",
+            "n_total",
+            "exp_ppm",
+            "contrib_milli",
+            "chi2_milli",
+        )
+    )

@@ -89,7 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "events_throttle",            # r11: gap-rule burst dedup / throttling
     "user_cohort_ltv",            # r11: weekly cohort LTV triangle (exact milli)
     "events_gapfill",             # r9 op, r11 window: grid resample + LOCF fill
-    "events_geofence",            # r9: exact point-in-polygon geofence join
+    "orders_benford",             # r11: Benford first-digit conformity screen
     "order_brand_rules",          # r10: association rules w/ exact lift
     "doc_jaccard_join",           # r10: PPJoin prefix-filtered Jaccard join
     # -- sampling / packing / curation tail (r7 audit rotation) --

@@ -2518,3 +2518,74 @@ def q_events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "orders_benford",
+    """
+    WITH bf_o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    bf_c AS (
+        SELECT priority, digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM bf_o GROUP BY 1, 2
+    ),
+    bf_digits AS (
+        SELECT * FROM (VALUES
+            (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+            (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+            (9, 45757)) t(digit, exp_ppm)
+    ),
+    bf_grid AS (
+        SELECT p.priority, d.digit,
+               CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+               CAST(d.exp_ppm AS BIGINT) AS exp_ppm
+        FROM (SELECT DISTINCT priority FROM bf_c) p
+        CROSS JOIN bf_digits d
+        LEFT JOIN bf_c c ON c.priority = p.priority AND c.digit = d.digit
+    ),
+    bf_n AS (
+        SELECT *,
+               CAST(sum(n_obs) OVER (PARTITION BY priority) AS BIGINT)
+                   AS n_total
+        FROM bf_grid
+    ),
+    bf_t AS (
+        SELECT priority, digit, n_obs, n_total, exp_ppm,
+               CAST((1000 * (1000000 * CAST(n_obs AS HUGEINT)
+                             - CAST(n_total AS HUGEINT) * exp_ppm)
+                          * (1000000 * CAST(n_obs AS HUGEINT)
+                             - CAST(n_total AS HUGEINT) * exp_ppm))
+                    // (1000000 * CAST(n_total AS HUGEINT) * exp_ppm)
+                    AS BIGINT) AS contrib_milli
+        FROM bf_n
+    )
+    SELECT priority, digit, n_obs, n_total, exp_ppm, contrib_milli,
+           CAST(sum(contrib_milli) OVER (PARTITION BY priority)
+                AS BIGINT) AS chi2_milli
+    FROM bf_t
+    """,
+    headline=True,
+)
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity screen over order totals per
+    priority class (operators/stats.py benford_screen — the forensic-
+    accounting staple): amounts quantize to exact cents, the first
+    decimal digit censuses in ONE combinable groupBy (pivoted to the
+    dense nine-digit grid, zero cells included), and each digit's
+    Pearson term against the public truncated log10(1+1/d) ppm
+    constants is an exact DECIMAL(38,0)/HUGEINT truncating division;
+    the per-group chi-square is a nine-row census window.  The oracle
+    rebuilds the same grid via a digit VALUES cross join."""
+    from .operators.stats import benford_screen
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        cents(F.col("o_totalprice")).alias("amount_cents"),
+    )
+    return benford_screen(
+        o, value_col="amount_cents", group_cols=["priority"]
+    )

@@ -7079,3 +7079,67 @@ def test_mann_kendall_matches_python_replay(spark):
         mann_kendall(dup, key_cols=["g"], t_col="t", y_col="y").collect()
     with pytest.raises(ValueError, match="key_cols"):
         mann_kendall(df, key_cols=[], t_col="t", y_col="y")
+
+
+def test_benford_screen_matches_python_replay(spark):
+    """Benford digit census, Pearson terms against the truncated
+    log10(1+1/d) ppm constants, and the per-group chi² all replay an
+    exact Python computation; the nine-digit grid is dense (zero cells
+    present); zero/negative amounts raise."""
+    import math
+    import random
+    from collections import Counter, defaultdict
+
+    from dp1_data_wrangling_spark.operators.stats import (
+        BENFORD_PPM,
+        benford_screen,
+    )
+
+    for d, ppm in BENFORD_PPM.items():
+        assert ppm == int(1_000_000 * math.log10(1 + 1 / d)), (d, ppm)
+    random.seed(5)
+    rows = []
+    for g in ["natural", "skewed"]:
+        for _ in range(300):
+            v = (
+                int(10 ** random.uniform(0, 5)) + 1
+                if g == "natural"
+                else random.randint(40_000, 49_999)  # all digit 4
+            )
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = benford_screen(df, value_col="v", group_cols=["g"]).collect()
+    assert len(out) == 18  # dense grid: 2 groups x 9 digits
+    got = defaultdict(dict)
+    for r in out:
+        got[r["g"]][r["digit"]] = r.asDict()
+    by_g = defaultdict(list)
+    for g, v in rows:
+        by_g[g].append(v)
+    for g, vs in by_g.items():
+        obs = Counter(int(str(v)[0]) for v in vs)
+        n = len(vs)
+        chi2 = 0
+        for d in range(1, 10):
+            ppm = BENFORD_PPM[d]
+            dev = 1_000_000 * obs.get(d, 0) - n * ppm
+            c = (1000 * dev * dev) // (1_000_000 * n * ppm)
+            chi2 += c
+            r = got[g][d]
+            assert (
+                r["n_obs"],
+                r["n_total"],
+                r["exp_ppm"],
+                r["contrib_milli"],
+            ) == (obs.get(d, 0), n, ppm, c), (g, d)
+        for d in range(1, 10):
+            assert got[g][d]["chi2_milli"] == chi2, (g, d)
+    # the all-digit-4 group must read far less conformant
+    assert (
+        got["skewed"][4]["chi2_milli"] > 10 * got["natural"][1]["chi2_milli"]
+    )
+    bad = spark.createDataFrame([("g", 0)], "g string, v long")
+    with pytest.raises(Exception, match="benford"):
+        benford_screen(bad, value_col="v", group_cols=["g"]).collect()
+    with pytest.raises(ValueError, match="group_cols"):
+        benford_screen(df, value_col="v", group_cols=[])

@@ -184,7 +184,11 @@ def test_driver_window_covers_flagship_surface():
         # green r7+r8; the subword family stays parity-held in-repo and
         # the Arrow mapInPandas worker-import path stays externally
         # exercised every round by the png/qoi/ulaw codec queries)
-        "events_geofence",
+        # events_geofence rotated out in r11 mid-round 14 for
+        # orders_benford (2x green r9-r10; the spatial family keeps
+        # events_grid_hotspots in-window and geofence stays a bench
+        # headliner + streaming-twin-tested + parity-held every CI)
+        "orders_benford",
         # multimodal_video_frames rotated out mid-r9 for
         # doc_phrase_search (2x green r7+r8; the multimodal family keeps
         # png/qoi/ulaw/audio_frames — four codec reps — in-window)

@@ -1215,6 +1215,10 @@ EXCHANGE_LEDGER = {
     "doc_link_prediction": (9, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
+    # orders_benford: ONE combinable pivot census groupBy; the grid
+    # rebuild is a row-local explode and the chi2 window repartitions
+    # the nine-rows-per-group census on the group key
+    "orders_benford": (2, 0, 0),
     # events_trend_test: visible slice from the lazily-checkpointed
     # daily census — the key-keyed pair self-join, S groupBy, median
     # window, tie census and duplicate-t check plus the key-level
