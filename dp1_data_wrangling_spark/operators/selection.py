@@ -223,3 +223,86 @@ def quantile_filter(
         )
         .drop("__c", "__cum", "__n_pct", "__tie")
     )
+
+
+def period_momentum(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    period_col: str,
+    k: int | None = None,
+) -> DataFrame:
+    """Two-period momentum screen — "what's trending": per key, the
+    activity count in the pre (0) and post (1) period and the
+    add-one-smoothed exact growth ratio
+
+        momentum_ppm = (1e6 · (n_post + 1)) div (n_pre + 1)
+
+    (the Laplace +1 keeps new entrants finite and dead keys at ~0
+    instead of dividing by zero; both engines truncate the division).
+    With ``k`` set, returns the top-k risers ordered by
+    ``(momentum_ppm DESC, *key_cols)`` — the key columns are the
+    deterministic tie-break, and the sort lowers to
+    TakeOrderedAndProject, never a global sort.
+
+    ``period_col`` must be 0/1 non-NULL (executor fail-fast, the
+    ab_contingency contract).  The ratio numerator is computed in
+    DECIMAL(38,0) and lands back in BIGINT; keys whose post count
+    exceeds 9e12 raise rather than overflow the BIGINT output (at
+    such counts pre-aggregate to a coarser key).
+
+    Returns ``(*key_cols, n_pre, n_post, momentum_ppm)``.
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy — two
+    conditional counts per key; the top-k cut is a per-partition heap
+    + driver merge of k rows (TakeOrderedAndProject).  No window, no
+    join.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    p = F.col(period_col)
+    bad = p.isNull() | ~p.cast("bigint").isin(0, 1)
+    p_ok = F.when(~bad, p.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "period_momentum: period must be 0/1 and non-NULL — "
+                "rows outside the two periods have no cell; filter "
+                "upstream"
+            )
+        ).cast("bigint")
+    )
+    counts = (
+        df.withColumn("__p", p_ok)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum((F.col("__p") == 0).cast("bigint")).alias("n_pre"),
+            F.sum((F.col("__p") == 1).cast("bigint")).alias("n_post"),
+        )
+    )
+    post_ok = F.when(
+        F.col("n_post") <= F.lit(9_000_000_000_000), F.col("n_post")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "period_momentum: n_post exceeds 9e12 — the ppm ratio "
+                "would overflow BIGINT; pre-aggregate to a coarser key"
+            )
+        ).cast("bigint")
+    )
+    out = counts.withColumn("__po", post_ok).select(
+        *key_cols,
+        "n_pre",
+        "n_post",
+        F.expr(
+            "cast((1000000 * (cast(__po as decimal(38,0)) + 1)) "
+            "div (cast(n_pre as decimal(38,0)) + 1) as bigint)"
+        ).alias("momentum_ppm"),
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.col("momentum_ppm").desc(),
+            *[F.col(c) for c in key_cols],
+        ).limit(k)
+    return out

@@ -98,7 +98,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
     "bm25_index_topk",            # r9: persisted text index build->query
     "events_changepoints",        # r9: exact CUSUM change-point alarms
-    "doc_link_kcore",             # r9: k-core peeling fixpoint (graph tier)
+    "brand_momentum",             # r11: two-period momentum screen (exact ppm)
     "events_seasonal_mase",       # r11: seasonal-naive forecast accuracy
     "events_ab_experiment",       # r11: exact chi-square A/B readout
     "events_grid_hotspots",       # r11: census-stencil Moore concentration

@@ -2589,3 +2589,57 @@ def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_screen(
         o, value_col="amount_cents", group_cols=["priority"]
     )
+
+
+@register(
+    "brand_momentum",
+    """
+    WITH bm_j AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN l.l_shipdate >= TIMESTAMP '1998-07-01'
+                    THEN 1 ELSE 0 END AS per
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    bm_c AS (
+        SELECT brand,
+               CAST(count(CASE WHEN per = 0 THEN 1 END) AS BIGINT)
+                   AS n_pre,
+               CAST(count(CASE WHEN per = 1 THEN 1 END) AS BIGINT)
+                   AS n_post
+        FROM bm_j GROUP BY brand
+    )
+    SELECT brand, n_pre, n_post,
+           CAST((1000000 * (CAST(n_post AS HUGEINT) + 1))
+                // (n_pre + 1) AS BIGINT) AS momentum_ppm
+    FROM bm_c
+    ORDER BY momentum_ppm DESC, brand
+    LIMIT 10
+    """,
+)
+def q_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 trending brands across the catalog's two halves
+    (operators/selection.py period_momentum): lineitems broadcast-join
+    the part dimension for the brand, split pre/post 1998-07-01, and
+    each brand reports its exact add-one-smoothed growth ratio in ppm;
+    the cut is (momentum_ppm DESC, brand) -> TakeOrderedAndProject.
+    ONE combinable groupBy over the joined fact; no window."""
+    from .operators.selection import period_momentum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.col("l_shipdate")
+            >= F.lit("1998-07-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("per"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand").alias("brand")
+    )
+    joined = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("brand", "per")
+    return period_momentum(
+        joined, key_cols=["brand"], period_col="per", k=10
+    )

@@ -7143,3 +7143,39 @@ def test_benford_screen_matches_python_replay(spark):
         benford_screen(bad, value_col="v", group_cols=["g"]).collect()
     with pytest.raises(ValueError, match="group_cols"):
         benford_screen(df, value_col="v", group_cols=[])
+
+
+def test_period_momentum_hand_computed(spark):
+    """Add-one-smoothed growth ratios replay a hand computation; new
+    entrants (n_pre=0) and dead keys (n_post=0) stay finite; the top-k
+    cut orders (momentum DESC, key) deterministically; bad periods
+    raise."""
+    from dp1_data_wrangling_spark.operators.selection import period_momentum
+
+    rows = (
+        [("riser", 0)] * 2 + [("riser", 1)] * 11
+        + [("flat", 0)] * 5 + [("flat", 1)] * 5
+        + [("new", 1)] * 3
+        + [("dead", 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "k string, per int")
+    got = {
+        r.k: r.asDict()
+        for r in period_momentum(
+            df, key_cols=["k"], period_col="per"
+        ).collect()
+    }
+    assert got["riser"]["momentum_ppm"] == (1_000_000 * 12) // 3
+    assert got["flat"]["momentum_ppm"] == (1_000_000 * 6) // 6
+    assert got["new"]["momentum_ppm"] == 1_000_000 * 4  # (3+1)/(0+1)
+    assert got["dead"]["momentum_ppm"] == 1_000_000 // 5
+    top = period_momentum(
+        df, key_cols=["k"], period_col="per", k=2
+    ).collect()
+    # riser and new TIE at 4_000_000 ppm — the key tie-break decides
+    assert [r.k for r in top] == ["new", "riser"]
+    bad = spark.createDataFrame([("g", 2)], "k string, per int")
+    with pytest.raises(Exception, match="period_momentum"):
+        period_momentum(bad, key_cols=["k"], period_col="per").collect()
+    with pytest.raises(ValueError, match="k must be"):
+        period_momentum(df, key_cols=["k"], period_col="per", k=0)

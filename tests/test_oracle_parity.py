@@ -151,7 +151,11 @@ def test_driver_window_covers_flagship_surface():
         # doc_near_dup_curation rotated out mid-r9 for doc_link_kcore
         # (2x green r7+r8; the near-dup family keeps doc_fuzzy_pairs and
         # the curation family keeps doc_cluster_safe_split in-window)
-        "bm25_index_topk", "events_changepoints", "doc_link_kcore",
+        # doc_link_kcore rotated out in r11 mid-round 15 for
+        # brand_momentum (2x green r9-r10; the graph family keeps
+        # communities, ppr and link-prediction in-window and kcore's
+        # peeling fixpoint stays parity-held every CI)
+        "bm25_index_topk", "events_changepoints", "brand_momentum",
         # ivf_kmeans_recall_bound rotated out in r9 for events_skyline
         # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
         # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)
