@@ -35,9 +35,11 @@ from .geofence import stream_geofence
 from .drift import stream_ks_drift
 from .funnel import stream_funnel
 from .rebuild import (
+    read_cohort_ltv,
     read_retention_cohorts,
     read_transition_matrix,
     stream_attribution,
+    stream_cohort_ltv,
     stream_keyed_rebuild,
     stream_retention,
     stream_sessions,
@@ -75,9 +77,11 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "stream_rollup",
+    "read_cohort_ltv",
     "read_retention_cohorts",
     "read_transition_matrix",
     "stream_attribution",
+    "stream_cohort_ltv",
     "stream_funnel",
     "stream_keyed_rebuild",
     "stream_ks_drift",

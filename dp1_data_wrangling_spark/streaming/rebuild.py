@@ -476,3 +476,119 @@ def read_retention_cohorts(
     return silver.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+def stream_cohort_ltv(
+    stream_events: DataFrame,
+    catalog_root: str,
+    *,
+    checkpoint_dir: str,
+    table: str = "cohort_ltv",
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "vq",
+    trigger_available_now: bool = True,
+    stream_name: str | None = None,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Exactly-once streaming maintenance of the weekly cohort LTV
+    triangle — the read-side-aggregate pattern (see
+    :func:`stream_transitions`).
+
+    A LATE event with an EARLIER timestamp re-cohorts its user (the
+    cohort week is a min), shifting EVERY (cohort, age) cell the user
+    feeds — and a late revenue event moves one week's revenue, which
+    moves every CUMULATIVE cell after it.  Both are cross-cell damage
+    only a per-user rebuild expresses.  Silver holds one row per
+    (user, cohort_week, week_offset) with that week's revenue; the
+    triangle is their count/sum per cell plus the census-sized running
+    sum, folded by :func:`read_cohort_ltv` — bit-identical to batch
+    ``cohort_ltv`` over the same delivered events.
+    """
+    WEEK_US = 604_800_000_000
+
+    def rb(events: DataFrame) -> DataFrame:
+        first = events.groupBy(user_col).agg(
+            F.expr(f"min({ts_col}) div {WEEK_US}").alias("cohort_week")
+        )
+        weekly = (
+            events.select(
+                F.col(user_col),
+                F.expr(f"{ts_col} div {WEEK_US}").alias("__aw"),
+                F.col(value_col).alias("__v"),
+            )
+            .groupBy(user_col, "__aw")
+            .agg(
+                F.coalesce(F.sum("__v"), F.lit(0))
+                .cast("bigint")
+                .alias("revenue_milli")
+            )
+        )
+        return weekly.join(first, user_col).select(
+            F.col(user_col),
+            "cohort_week",
+            (F.col("__aw") - F.col("cohort_week")).alias("week_offset"),
+            "revenue_milli",
+        )
+
+    return stream_keyed_rebuild(
+        stream_events,
+        catalog_root,
+        checkpoint_dir=checkpoint_dir,
+        table=table,
+        key_col=user_col,
+        event_cols=[user_col, ts_col, value_col],
+        rebuild=rb,
+        out_key_col=user_col,
+        trigger_available_now=trigger_available_now,
+        stream_name=stream_name,
+        n_buckets=n_buckets,
+    )
+
+
+def read_cohort_ltv(
+    spark, catalog_root: str, *, table: str = "cohort_ltv"
+) -> DataFrame:
+    """Fold the silver per-user LTV rows into the cohort triangle —
+    bit-identical to batch ``cohort_ltv`` over the same delivered
+    events: silver holds exactly one row per (user, cohort, offset),
+    so the cell count IS the distinct-active count, the cell sum IS
+    the week revenue, every user carries an offset-0 row (the first
+    week is active by construction) so the cohort size is the
+    offset-0 count, and the running sum + per-user division replay
+    over triangle-sized data."""
+    from pyspark.sql import Window
+
+    silver = Catalog(catalog_root).read(spark, table)
+    cells = silver.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users"),
+        F.sum("revenue_milli").cast("bigint").alias("revenue_milli"),
+    )
+    sizes = (
+        silver.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cohort_users"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_milli",
+            F.sum("revenue_milli").over(w_cum).cast("bigint"),
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort_users",
+            "active_users",
+            "revenue_milli",
+            "cum_revenue_milli",
+            F.expr("cum_revenue_milli div n_cohort_users").alias(
+                "ltv_per_user_milli"
+            ),
+        )
+    )

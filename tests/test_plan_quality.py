@@ -400,6 +400,17 @@ SHUFFLE_BUDGETS = {
     # narrow int-key shuffle; the edge/degree subtrees are checkpointed
     # and run once (ledger-pinned at 9)
     "doc_link_prediction": 9,
+    # cohort LTV (r11): after the checkpointed first-week census, the
+    # (user, week) groupBy, user join, distinct-agg census (two-phase),
+    # cohort running-sum window and size recombine are each narrow
+    # user-/census-keyed shuffles — ledger-pinned at 5
+    "user_cohort_ltv": 5,
+    # Mann-Kendall (r11): after the checkpointed daily census, the
+    # key-keyed pair self-join, S groupBy, median window, tie census,
+    # duplicate-t check and key-level recombines are each narrow
+    # census-space shuffles (pairs are calendar-bounded n² per key,
+    # never events²) — ledger-pinned at 6
+    "events_trend_test": 6,
     # RxC chi-square (r11): the data-sized census (checkpointed) + two
     # census-sized margin groupBys + grid joins + the final per-group
     # sum — everything after the census moves category-space rows only

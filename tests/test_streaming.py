@@ -2247,3 +2247,82 @@ def test_stream_retention_equals_batch(spark, tmp_path):
     # replay: same checkpoint -> already-committed batches skipped
     stream_retention(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stream_cohort_ltv_equals_batch(spark, tmp_path):
+    """LTV micro-batches — including a LATE event with an EARLIER
+    timestamp that RE-COHORTS its user (shifting every cell it feeds
+    AND the cohort's size/denominator) and a NULL-revenue activity
+    event — must fold into exactly cohort_ltv(all events).  Replay
+    from the same checkpoint is a no-op."""
+    import time as _time
+
+    from dp1_data_wrangling_spark.operators.funnel import cohort_ltv
+    from dp1_data_wrangling_spark.streaming import (
+        read_cohort_ltv,
+        stream_cohort_ltv,
+    )
+
+    WEEK = 604_800_000_000
+    cols = "user_id long, ts_us long, vq long"
+    b1 = spark.createDataFrame(
+        [(1, 5 * WEEK + 10, 500), (1, 6 * WEEK + 10, 250),
+         (2, 5 * WEEK + 99, None),          # active, zero revenue
+         (3, 6 * WEEK, 1000)],
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 3 * WEEK + 1, 100),  # late + earlier: re-cohorts user 1
+         (4, 7 * WEEK + 2, 40), (4, 7 * WEEK + 3, 60)],  # same week
+        cols,
+    )
+    src = tmp_path / "ltv_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    kw = dict(checkpoint_dir=str(tmp_path / "ckpt"), table="cohort_ltv")
+    stream_cohort_ltv(stream, cat_root, **kw).awaitTermination(180)
+
+    out_cols = [
+        "cohort_week", "week_offset", "n_cohort_users", "active_users",
+        "revenue_milli", "cum_revenue_milli", "ltv_per_user_milli",
+    ]
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                read_cohort_ltv(spark, cat_root)
+                .select(*out_cols)
+                .collect(),
+            )
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            cohort_ltv(b1.union(b2)).select(*out_cols).collect(),
+        )
+    )
+    got = snapshot()
+    assert got == want
+    cells = {(t[0], t[1]): t for t in got}
+    # user 1 re-cohorted to week 3: its 500/250 revenue now sits at
+    # offsets 2 and 3 of cohort 3, cumulative through offset 3 = 850
+    assert cells[(3, 0)][4] == 100 and cells[(3, 2)][4] == 500
+    assert cells[(3, 3)][5] == 850
+    # cohort 5 kept only user 2 (zero revenue, size 1)
+    assert cells[(5, 0)][2] == 1 and cells[(5, 0)][4] == 0
+    # user 4's same-week revenue merges into one cell
+    assert cells[(7, 0)][4] == 100
+
+    # replay: same checkpoint -> already-committed batches skipped
+    stream_cohort_ltv(stream, cat_root, **kw).awaitTermination(180)
+    assert snapshot() == want
