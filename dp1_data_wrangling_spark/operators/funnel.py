@@ -251,7 +251,14 @@ def cohort_ltv(
             (F.col("__aw") - F.col("__cw")).alias("week_offset"),
         )
         .agg(
-            F.count_distinct("__u").cast("bigint").alias("active_users"),
+            # plain count, not count_distinct: weekly is one row per
+            # (__u, __aw) and each user has a single cohort week, so
+            # within a (cohort_week, week_offset) group every __u
+            # appears exactly once — the distinct aggregation's
+            # two-phase expansion would be pure overhead (ADVICE r11;
+            # read_cohort_ltv already counts plainly on the same
+            # invariant)
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
             F.sum("__rev").cast("bigint").alias("revenue_milli"),
         )
     )

@@ -985,8 +985,11 @@ def mann_kendall(
     ``-7 // 2 = -3`` DuckDB verification; standard-SQL floor division
     would differ here), and the lower median is the value
     at rank ``(m+1) div 2`` of the sorted slope multiset —
-    well-defined under ties.  All-tied series (var18 = 0) emit NULL
-    z2; single-point series emit NULL slope.
+    well-defined under ties.  All-tied (flat) series read z2 = 0 via
+    the s = 0 branch — every pair signs 0, so s = 0 whenever var18 = 0;
+    the var18 > 0 guard after it is a defensive dead branch, kept so a
+    (impossible) s ≠ 0 ∧ var18 = 0 row surfaces as NULL rather than a
+    divide-by-zero.  Single-point series emit NULL slope.
 
     ``series`` must hold ONE row per (key, t) — aggregate upstream
     (the census contract); duplicate time points raise executor-side

@@ -1016,10 +1016,12 @@ def q_events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (days²/2 per type — calendar-bounded, never events²) yield the
     exact S statistic, the tie-corrected 18·Var(S), the continuity-
     corrected z² in milli (DECIMAL(38,0)/HUGEINT) and the lower-median
-    Theil-Sen slope via pmod floor division (y deltas go negative —
-    Spark div truncates, SQL // floors; the pmod identity floors in
-    both engines).  The timeseries family's significance test next to
-    holt/acf/mase, which describe but do not test."""
+    Theil-Sen slope, whose per-pair divisions TRUNCATE toward zero in
+    both engines (y deltas go negative; Spark ``div`` and DuckDB ``//``
+    both truncate — verified ``-7 // 2 = -3`` in DuckDB — so the
+    slopes replay verbatim with no floor-division shim).  The
+    timeseries family's significance test next to holt/acf/mase, which
+    describe but do not test."""
     from .operators.timeseries import mann_kendall
 
     daily = (
