@@ -84,26 +84,41 @@ def distributed_rank(
     n_tie_buckets: int = 64,
     rank_col: str = "rank",
     cumsum_col: str | None = None,
+    cumsum_source_col: str | None = None,
 ) -> RankedFrame:
-    """Exact 1-based rank (and optional inclusive running sum of the
-    metric) over the total order ``(metric asc|desc, *tie_cols asc)``,
-    with no single-partition exchange in the plan.
+    """Exact 1-based rank (and optional inclusive running sum) over the
+    total order ``(metric asc|desc, *tie_cols asc)``, with no
+    single-partition exchange in the plan.
 
     Bit-identical to ``ROW_NUMBER() OVER (ORDER BY ...)`` /
-    ``SUM(metric) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — an
-    oracle replays the plain SQL windows.
+    ``SUM(src) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — an
+    oracle replays the plain SQL windows.  The running sum sums
+    ``cumsum_source_col`` (default: the metric itself) — the separate
+    source is what an ungrouped weighted-quantile needs (running WEIGHT
+    in value order).
 
     Contracts (the caller's side of the exactness bargain):
 
-    - ``metric_col`` and ``tie_cols[0]`` must be exact integers
-      (bigint-castable) — range bucketing needs numeric bounds.  Later
-      tie columns only need to be orderable.
+    - ``metric_col`` must be an exact integer (bigint-castable) OR a
+      float/double — value bucketing needs numeric bounds; both integer
+      range-div and IEEE ``floor((x - lo) / w)`` are monotone in x, so
+      either bucketing respects the order.  Float metrics additionally
+      refuse NaN and non-finite bounds executor/driver-side (a NaN has
+      no place in a total order; DuckDB and Spark agree on the total
+      order of finite doubles, so oracles still replay verbatim).
+      ``tie_cols[0]`` range-buckets when integral and degrades to one
+      tie bucket otherwise.  Later tie columns only need to be
+      orderable.
     - ``(metric, *tie_cols)`` must be UNIQUE per row (the standing
       deterministic-total-order contract every ranking operator here
       shares); duplicates would make ``row_number`` order-dependent.
     - NULL metric / first-tie values raise executor-side (fail-fast,
       threaded into the consumed ordering key — a NULL has no place in
       a total order).
+    - ``cumsum_source_col`` (and the default metric source) must be an
+      exact integer column, non-negative and non-NULL — the census
+      partials are int64 sums and prefix monotonicity is what bounds
+      them by the certified total.
 
     Eager like :func:`global_shuffle`: the bucket census (at most
     ``n_value_buckets`` rows) is collected at call time and folded into
@@ -134,16 +149,35 @@ def distributed_rank(
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists in the input")
 
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
 
     _integral = (ByteType, ShortType, IntegerType, LongType)
-    if not isinstance(df.schema[metric_col].dataType, _integral):
+    mtype = df.schema[metric_col].dataType
+    metric_float = isinstance(mtype, (FloatType, DoubleType))
+    if not metric_float and not isinstance(mtype, _integral):
         # a truncating cast would MERGE distinct fractional metrics into
         # one ordering key and silently re-order them by tie — refuse
+        # anything that is neither exact-integer nor IEEE float (both
+        # bucket monotonically; a decimal caller quantizes upstream)
         raise ValueError(
             f"distributed_rank: metric column {metric_col!r} must be an "
-            "exact integer type (quantize upstream — the standing "
-            "integer-units posture)"
+            "exact integer or float/double type (quantize or cast "
+            "upstream)"
+        )
+    src_col = cumsum_source_col if cumsum_source_col else metric_col
+    if cumsum_col and not isinstance(df.schema[src_col].dataType, _integral):
+        raise ValueError(
+            f"distributed_rank: running-sum source {src_col!r} must be "
+            "an exact integer type — int64 census partials cannot carry "
+            "floats (quantize upstream, the standing integer-units "
+            "posture)"
         )
     tie0 = tie_cols[0]
     # Tie bucketing needs numeric bounds.  Integral first-tie columns
@@ -153,36 +187,43 @@ def distributed_rank(
     # partition, so map string keys to dense ids upstream when one
     # value can dominate.
     tie_numeric = isinstance(df.schema[tie0].dataType, _integral)
-    metric = F.col(metric_col).cast("bigint")
+    metric = F.col(metric_col).cast("double" if metric_float else "bigint")
+    src = F.col(src_col).cast("bigint")
     tie0_i = F.col(tie0).cast("bigint") if tie_numeric else F.lit(0)
 
     # Ordering key: negate for descending (exact for every bigint but
-    # LONG_MIN, which the guard below rejects).  The guard also rejects
-    # NULL metric / first-tie values; it is threaded into __mo, which
-    # the census AND the final window consume, so it cannot be pruned.
+    # LONG_MIN, which the guard below rejects; exact for every double —
+    # -0.0 and 0.0 normalize to one grouping/ordering key in both
+    # engines).  The guard also rejects NULL metric / first-tie values
+    # and (float path) NaN; it is threaded into __mo, which the census
+    # AND the final window consume, so it cannot be pruned.
     bad = metric.isNull() | F.col(tie0).isNull()
-    if descending:
+    if metric_float:
+        bad = bad | F.isnan(metric)
+    elif descending:
         bad = bad | (metric == F.lit(_LONG_MIN))
     if cumsum_col:
         # running sums decompose through census partials, which must
         # stay monotone to bound every prefix by the total — negative
         # values would also make "cumulative share" ill-defined
-        bad = bad | (metric < 0)
+        bad = bad | src.isNull() | (src < 0)
     mo_raw = (-metric) if descending else metric
     mo = F.when(
         ~bad, mo_raw
     ).otherwise(
         F.raise_error(
             F.lit(
-                "distributed_rank: NULL metric/tie, LONG_MIN metric "
-                "under descending, or negative metric under cumsum — "
-                "a total order / running share admits none of these; "
-                "filter or shift upstream"
+                "distributed_rank: NULL/NaN metric, NULL tie, LONG_MIN "
+                "metric under descending, or NULL/negative running-sum "
+                "source — a total order / running share admits none of "
+                "these; filter or shift upstream"
             )
-        ).cast("bigint")
+        ).cast("double" if metric_float else "bigint")
     )
 
-    keyed = df.withColumn("__mo", mo).withColumn("__mraw", metric)
+    keyed = df.withColumn("__mo", mo)
+    if cumsum_col:
+        keyed = keyed.withColumn("__mraw", src)
 
     # Pass 1 — bounds (2-column scan, one combinable aggregate row).
     # The |metric| double sum only exists to certify the cumsum mode's
@@ -194,7 +235,7 @@ def distributed_rank(
         F.max(tie0_i).alias("hi_t"),
     ]
     if cumsum_col:
-        st_aggs.append(F.sum(F.abs(metric).cast("double")).alias("sd"))
+        st_aggs.append(F.sum(F.abs(src).cast("double")).alias("sd"))
     st = keyed.agg(*st_aggs).collect()[0]
     if st["lo_m"] is None:  # empty input: keep schema, add typed columns
         out = keyed.drop("__mo", "__mraw").withColumn(
@@ -203,19 +244,45 @@ def distributed_rank(
         if cumsum_col:
             out = out.withColumn(cumsum_col, F.lit(None).cast("bigint"))
         return RankedFrame(out, 0, 0)
-    # widths in PYTHON ints: hi - lo cannot wrap here, unlike int64
-    lo_m, hi_m = int(st["lo_m"]), int(st["hi_m"])
     lo_t, hi_t = int(st["lo_t"]), int(st["hi_t"])
-    if hi_m - lo_m >= (1 << 63) or hi_t - lo_t >= (1 << 63):
-        # the executor-side (x - lo) subtraction below would WRAP int64
-        # and break bucket monotonicity — refuse up front (rescale the
-        # metric; ranking is order-invariant under monotone rescaling)
+    if hi_t - lo_t >= (1 << 63):
         raise ValueError(
-            "distributed_rank: metric/tie span exceeds int64 — rescale "
-            "the column (rank is invariant under monotone rescaling)"
+            "distributed_rank: tie span exceeds int64 — rescale the tie "
+            "column (rank is invariant under monotone rescaling)"
         )
-    wm = (hi_m - lo_m) // n_value_buckets + 1
     wt = (hi_t - lo_t) // n_tie_buckets + 1
+    if metric_float:
+        # float path: bounds and width in IEEE doubles.  floor((x - lo)
+        # / w) is monotone non-decreasing in x (correctly-rounded
+        # subtract/divide/floor each preserve weak order), which is all
+        # bucketing needs — exactness lives in the census grouping on
+        # the raw value, never in the bucket id.
+        import math
+
+        lo_f, hi_f = float(st["lo_m"]), float(st["hi_m"])
+        wf = (hi_f - lo_f) / n_value_buckets
+        if not (math.isfinite(lo_f) and math.isfinite(hi_f) and math.isfinite(wf)):
+            # +-inf values, or a span that overflows to inf: refuse —
+            # rank is invariant under monotone rescaling, so the caller
+            # compresses the column (e.g. log) upstream
+            raise ValueError(
+                "distributed_rank: non-finite metric bounds or span — "
+                "filter infinities / rescale the column (rank is "
+                "invariant under monotone rescaling)"
+            )
+        if wf <= 0.0:  # all values equal (or subnormal underflow)
+            wf = 1.0
+    else:
+        # widths in PYTHON ints: hi - lo cannot wrap here, unlike int64
+        lo_m, hi_m = int(st["lo_m"]), int(st["hi_m"])
+        if hi_m - lo_m >= (1 << 63):
+            # the executor-side (x - lo) subtraction below would WRAP
+            # int64 and break bucket monotonicity — refuse up front
+            raise ValueError(
+                "distributed_rank: metric span exceeds int64 — rescale "
+                "the column (rank is invariant under monotone rescaling)"
+            )
+        wm = (hi_m - lo_m) // n_value_buckets + 1
     if cumsum_col and float(st["sd"] or 0.0) > float(1 << 62):
         # census partials are int64 sums; past 2^62 total magnitude the
         # double envelope can no longer certify they did not wrap
@@ -225,9 +292,23 @@ def distributed_rank(
             "scale-invariant)"
         )
 
-    # exact integer div (round-9 posture: `/` is double division and
-    # drifts past 2^53; div never does)
-    vb = F.expr(f"(__mo - {lo_m}) div {wm}")
+    if metric_float:
+        # the clamp bounds the float path's rounding slack at the top
+        # edge (x = hi can land on bucket n); the int path needs none —
+        # its div is exact
+        vb = F.least(
+            F.lit(n_value_buckets - 1).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor((F.col("__mo") - F.lit(lo_f)) / F.lit(wf)).cast(
+                    "bigint"
+                ),
+            ),
+        )
+    else:
+        # exact integer div (round-9 posture: `/` is double division and
+        # drifts past 2^53; div never does)
+        vb = F.expr(f"(__mo - {lo_m}) div {wm}")
     tb = (
         F.expr(f"(cast(`{tie0}` as bigint) - {lo_t}) div {wt}")
         if tie_numeric

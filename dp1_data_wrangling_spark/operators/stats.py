@@ -175,23 +175,36 @@ def equi_depth_bins(
     keeps the assignment deterministic.
 
     Scale posture (100 TB): ONE window shuffle on the group key.  The
-    global (ungrouped) form is a single-partition sort — acceptable for
-    dimension-sized inputs only; at fact scale pass ``key_cols`` (the
-    standard per-segment binning) or pre-aggregate to a value histogram.
+    global (ungrouped) form rides :func:`~.ranking.distributed_ntile`
+    (r12 — census-decomposed exact NTILE, no single-partition exchange,
+    eager census collect at call time), so it holds at fact scale too;
+    it requires an exact-integer or float/double value column and a
+    non-NULL integer-or-orderable id (the rank bucketing contract —
+    NaN values fail fast there, where the grouped window would sort
+    them last).
     """
     from pyspark.sql import Window
 
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     keys = key_cols or []
+    clean = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, id_col, value_col
+    )
+    if not keys:
+        from .ranking import distributed_ntile
+
+        return distributed_ntile(
+            clean,
+            metric_col=value_col,
+            tie_cols=[id_col],
+            n_tiles=n_bins,
+            out_col="bin",
+        )
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(value_col), F.col(id_col)
     )
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*keys, id_col, value_col)
-        .withColumn("bin", F.ntile(n_bins).over(w))
-    )
+    return clean.withColumn("bin", F.ntile(n_bins).over(w))
 
 
 def corr_pairs(
@@ -318,9 +331,11 @@ def weighted_quantiles(
     final groupBy reusing it — same single-exchange shape as the OHLC
     and HDR operators.  For heavy groups pre-aggregate equal values
     upstream (sum their weights) — the algebra is unchanged.  The
-    UNGROUPED form is a single-partition sort by construction —
-    dimension-sized inputs only (same caveat as ``equi_depth_bins``);
-    at fact scale pass ``group_cols`` or use the HDR sketch.
+    UNGROUPED form rides :func:`~.ranking.distributed_rank`'s running
+    weight sum (r12 — census-decomposed, no single-partition exchange,
+    eager census collect at call time), so it holds at fact scale too;
+    it requires an exact-integer or float/double value column (the
+    rank bucketing contract — NaN values fail fast there).
     """
     from pyspark.sql import Window
 
@@ -341,39 +356,68 @@ def weighted_quantiles(
         & F.col("__w").isNotNull()
         & (F.col("__w") > 0)
     )
-    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
-        F.col("__v"), F.col("__w")
-    )
-    # Overflow contract (executor fail-fast, mirroring abc_classes): the
-    # rank test cross-multiplies 100 * cumw, so the group total must fit
+    # Overflow contract (fail-fast, mirroring abc_classes): the rank
+    # test cross-multiplies 100 * cumw, so the group total must fit
     # (2^63 - 1) div 100 (~9.2e16) or the comparison silently wraps and
     # corrupts every quantile.  cumw <= totw, so guarding the total
-    # covers both sides.  The guard is threaded into ``__totw`` — the
-    # column the rank test and the total_weight output both consume —
-    # so Catalyst cannot prune it.  Larger totals: pre-scale the weight
-    # units (the quantiles are weight-scale-invariant).
+    # covers both sides.  Larger totals: pre-scale the weight units
+    # (the quantiles are weight-scale-invariant).
     lim = ((1 << 63) - 1) // 100
-    totw = F.sum("__w").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    cum = d.withColumn(
-        "__cumw",
-        F.sum("__w").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).withColumn(
-        "__totw",
-        F.when(totw <= F.lit(lim), totw).otherwise(
-            F.raise_error(
-                F.lit(
-                    f"weighted_quantiles: group total weight exceeds {lim} "
-                    "— the 100x rank cross-multiply would wrap int64; "
-                    "pre-scale the weight units (quantiles are "
-                    "weight-scale-invariant)"
-                )
-            ).cast("bigint")
-        ),
-    )
+    if not groups:
+        from .ranking import distributed_rank
+
+        # (__v, __w) is not unique per row, outside distributed_rank's
+        # letter — sound HERE because rows tying on both are
+        # indistinguishable: the multiset of (__v, __cumw) per tie
+        # group is deterministic (base + k*w for k = 1..ties), and the
+        # aggregate below consumes only (__v, __cumw, __totw).
+        rk = distributed_rank(
+            d,
+            metric_col="__v",
+            tie_cols=["__w"],
+            rank_col="__rk",
+            cumsum_col="__cumw",
+            cumsum_source_col="__w",
+        )
+        if rk.sum_total > lim:
+            raise ValueError(
+                f"weighted_quantiles: total weight exceeds {lim} — the "
+                "100x rank cross-multiply would wrap int64; pre-scale "
+                "the weight units (quantiles are weight-scale-invariant)"
+            )
+        cum = rk.df.drop("__rk").withColumn(
+            "__totw", F.lit(rk.sum_total).cast("bigint")
+        )
+    else:
+        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+            F.col("__v"), F.col("__w")
+        )
+        totw = F.sum("__w").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        cum = d.withColumn(
+            "__cumw",
+            F.sum("__w").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn(
+            "__totw",
+            # threaded into the column the rank test and the
+            # total_weight output both consume, so Catalyst cannot
+            # prune the executor-side guard
+            F.when(totw <= F.lit(lim), totw).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"weighted_quantiles: group total weight exceeds "
+                        f"{lim} — the 100x rank cross-multiply would wrap "
+                        "int64; pre-scale the weight units (quantiles "
+                        "are weight-scale-invariant)"
+                    )
+                ).cast("bigint")
+            ),
+        )
     aggs = [F.max("__totw").cast("bigint").alias("total_weight")]
     for p in ps:
         aggs.append(
@@ -608,6 +652,7 @@ def quantile_normalize(
     group_cols: list[str],
     tie_cols: list[str],
     out_col: str = "normalized_value",
+    broadcast_ref: bool = True,
 ) -> DataFrame:
     """Quantile normalization — map each group's value distribution
     onto the REFERENCE distribution (the cross-source score calibration
@@ -628,13 +673,18 @@ def quantile_normalize(
 
     Scale posture (100 TB): per-group ranking partitions on the group
     key (the standing per-key window contract); the REFERENCE ranking
-    is a total order — by design the reference is a dimension-sized or
-    SAMPLED distribution snapshot (normalizing through a sampled
-    reference is standard practice; the mapping is a step function and
-    sampling only coarsens the grid).  The rank join is an int-key
-    equi-join with the reference side broadcast-sized.  Overflow:
-    ``r * n_ref`` guarded in DOUBLE against 2^62 (fail-fast threaded
-    into the consumed rank).
+    rides :func:`~.ranking.distributed_rank` (r12 — census-decomposed,
+    bit-identical to the SQL window, NO single-partition exchange), so
+    the reference may be fact-scale.  The rank join is an int-key
+    equi-join, hinted broadcast by default (``broadcast_ref=True`` —
+    references are typically dimension-sized or sampled snapshots);
+    pass ``broadcast_ref=False`` for a fact-scale reference and the
+    join shuffles on the rank key.  Eager like ``distributed_rank``
+    (the reference census collects at call time).  The value column
+    must be exact-integer or float/double (the rank bucketing
+    contract); NaN reference/source values fail fast — a NaN has no
+    place in a rank mapping.  Overflow: ``r * n_ref`` guarded in
+    DOUBLE against 2^62 (fail-fast threaded into the consumed rank).
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
@@ -644,14 +694,16 @@ def quantile_normalize(
         )
     from pyspark.sql import Window
 
+    from .ranking import distributed_rank
+
     r_clean = ref.filter(F.col(value_col).isNotNull())
-    ranked_ref = r_clean.select(
-        F.row_number()
-        .over(Window.orderBy(F.col(value_col), *[F.col(t) for t in tie_cols]))
-        .alias("__rr"),
-        F.col(value_col).alias(out_col),
+    rk = distributed_rank(
+        r_clean.select(value_col, *tie_cols),
+        metric_col=value_col,
+        tie_cols=tie_cols,
+        rank_col="__rr",
     )
-    n_ref = ranked_ref.agg(F.count("*").cast("bigint").alias("__nr"))
+    ranked_ref = rk.df.select("__rr", F.col(value_col).alias(out_col))
     w_grp = Window.partitionBy(*group_cols)
     w_rank = w_grp.orderBy(F.col(value_col), *[F.col(t) for t in tie_cols])
     s = (
@@ -665,7 +717,10 @@ def quantile_normalize(
                 )
             ),
         )
-        .crossJoin(F.broadcast(n_ref))
+        # n_ref rides as a literal: distributed_rank's census pass
+        # already counted the reference, so re-aggregating it would buy
+        # a SinglePartition gather for a number we hold (r12)
+        .withColumn("__nr", F.lit(rk.n_total).cast("bigint"))
     )
     env = F.col("__r").cast("double") * F.col("__nr").cast("double")
     r_ok = F.when(env <= F.lit(float(1 << 62)), F.col("__r")).otherwise(
@@ -688,10 +743,11 @@ def quantile_normalize(
     # (__rr lands in [1, n_ref] by construction), so a NULL match IS
     # the empty-reference signal.  Fires only when src has rows (empty
     # src -> empty output stays legitimate).
+    ref_side = F.broadcast(ranked_ref) if broadcast_ref else ranked_ref
     mapped = (
         s.withColumn("__ro", r_ok)
         .withColumn("__rr", F.expr("(__ro * __nr + __ns - 1) div __ns"))
-        .join(F.broadcast(ranked_ref), "__rr", "left")
+        .join(ref_side, "__rr", "left")
         .withColumn(
             out_col,
             F.when(F.col(out_col).isNotNull(), F.col(out_col)).otherwise(

@@ -2399,6 +2399,62 @@ def test_weighted_quantiles_hand_computed(spark):
         )
 
 
+def test_weighted_quantiles_ungrouped_distributed(spark):
+    """The ungrouped form (r12: distributed_rank's running weight, no
+    single-partition window) == the grouped form on a constant key,
+    including duplicate (value, weight) pairs and the empty input's
+    one-NULL-row aggregate shape."""
+    from dp1_data_wrangling_spark.operators.stats import weighted_quantiles
+
+    rows = [(i, (i * 7) % 13, (i % 4) + 1) for i in range(120)]
+    rows += rows[:17]  # duplicate (v, w) pairs
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    got = weighted_quantiles(
+        df, value_col="v", weight_col="w", percents=[10, 50, 90, 99]
+    ).collect()
+    want = (
+        weighted_quantiles(
+            df.withColumn("k", F.lit("x")),
+            value_col="v", weight_col="w", group_cols=["k"],
+            percents=[10, 50, 90, 99],
+        )
+        .drop("k")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    empty = weighted_quantiles(
+        df.filter("v < 0"), value_col="v", weight_col="w", percents=[50]
+    ).collect()
+    assert len(empty) == 1 and empty[0].total_weight is None
+
+
+def test_equi_depth_bins_ungrouped_distributed(spark):
+    """The ungrouped form (r12: distributed_ntile, no single-partition
+    window) == NTILE() OVER (ORDER BY v, id), on doubles with ties."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.stats import equi_depth_bins
+
+    rows = [(i, float((i * 5) % 9) / 2.0) for i in range(73)] + [
+        (100, None)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r.id: r.bin
+        for r in equi_depth_bins(
+            df, value_col="v", id_col="id", n_bins=4
+        ).collect()
+    }
+    want = {
+        r.id: r.bin
+        for r in df.filter("v is not null")
+        .withColumn("bin", F.ntile(4).over(Window.orderBy("v", "id")))
+        .collect()
+    }
+    assert got == want
+
+
 def test_weighted_quantiles_fractional_weights_excluded(spark):
     """A double weight in (0, 1) truncates to 0 and must be EXCLUDED,
     not counted as weight-0 (review fix: pre-fix it collapsed every
@@ -5987,9 +6043,70 @@ def test_distributed_ntile_matches_sql_ntile(spark):
     assert got_s == want_s
 
 
+def test_distributed_rank_float_metric_matches_window(spark):
+    """The double-metric path (r12 — what quantile_normalize's
+    reference ranking rides) == ROW_NUMBER() OVER (ORDER BY v, id) on
+    an adversarial mix: a mega-tie double, +-0.0 (order-equal in both
+    engines), huge-magnitude values, negatives — asc and desc, tiny
+    buckets so the IEEE floor((x-lo)/w) clamp path is exercised."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.ranking import distributed_rank
+
+    vals = [2.5] * 40 + [0.0, -0.0, 1e307, -1e307, -3.25, 7.125, 0.5] * 5
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v")
+        want = {
+            r.id: r.r2
+            for r in df.withColumn(
+                "r2",
+                F.row_number().over(Window.orderBy(order, "id")),
+            ).collect()
+        }
+        rk = distributed_rank(
+            df, metric_col="v", tie_cols=["id"], descending=desc,
+            n_value_buckets=4, n_tie_buckets=3, rank_col="r",
+        )
+        got = {r.id: r.r for r in rk.df.collect()}
+        assert got == want, f"descending={desc}"
+        assert rk.n_total == len(rows)
+
+
+def test_distributed_rank_cumsum_source_matches_window(spark):
+    """cumsum_source_col (r12 — running WEIGHT in value order, the
+    ungrouped weighted-quantile shape) == SUM(w) OVER (ORDER BY v, id
+    ROWS UNBOUNDED PRECEDING), on a double metric."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.ranking import distributed_rank
+
+    rows = [(i, float((i * 13) % 7) / 4.0, (i * 5) % 11 + 1) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, v double, w long")
+    w_cum = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: r.cw2
+        for r in df.withColumn(
+            "cw2", F.sum("w").over(w_cum).cast("bigint")
+        ).collect()
+    }
+    rk = distributed_rank(
+        df, metric_col="v", tie_cols=["id"], rank_col="r",
+        cumsum_col="cw", cumsum_source_col="w",
+        n_value_buckets=5, n_tie_buckets=4,
+    )
+    got = {r.id: r.cw for r in rk.df.collect()}
+    assert got == want
+    assert rk.sum_total == sum(w for _, _, w in rows)
+
+
 def test_distributed_rank_guards(spark):
-    """NULL metric/tie raise executor-side; non-integral metric,
-    reserved output names, span overflow and empty tie_cols raise at
+    """NULL/NaN metric and NULL tie raise executor-side; non-numeric
+    metric, float running-sum source, reserved output names, span
+    overflow, non-finite float bounds and empty tie_cols raise at
     construction; negative metric under cumsum raises; the empty input
     short-circuits with full schema."""
     from pyspark.errors.exceptions.captured import SparkRuntimeException
@@ -6002,9 +6119,30 @@ def test_distributed_rank_guards(spark):
     good = spark.createDataFrame([(1, 5), (2, 3)], "id long, m long")
     with pytest.raises(ValueError, match="tie_cols"):
         distributed_rank(good, metric_col="m", tie_cols=[])
-    with pytest.raises(ValueError, match="integer type"):
+    with pytest.raises(ValueError, match="integer or float"):
+        distributed_rank(
+            spark.createDataFrame([(1, "x")], "id long, m string"),
+            metric_col="m", tie_cols=["id"],
+        )
+    # the running-sum source must stay exact-integer even on the float
+    # metric path (int64 census partials cannot carry floats)
+    with pytest.raises(ValueError, match="running-sum source"):
         distributed_rank(
             spark.createDataFrame([(1, 1.5)], "id long, m double"),
+            metric_col="m", tie_cols=["id"], cumsum_col="cum",
+        )
+    with pytest.raises(SparkRuntimeException, match="distributed_rank"):
+        distributed_rank(
+            spark.createDataFrame(
+                [(1, float("nan")), (2, 0.5)], "id long, m double"
+            ),
+            metric_col="m", tie_cols=["id"],
+        ).df.count()
+    with pytest.raises(ValueError, match="non-finite"):
+        distributed_rank(
+            spark.createDataFrame(
+                [(1, float("inf")), (2, 0.5)], "id long, m double"
+            ),
             metric_col="m", tie_cols=["id"],
         )
     with pytest.raises(ValueError, match="already exists"):

@@ -400,11 +400,12 @@ SHUFFLE_BUDGETS = {
     # narrow int-key shuffle; the edge/degree subtrees are checkpointed
     # and run once (ledger-pinned at 9)
     "doc_link_prediction": 9,
-    # cohort LTV (r11): after the checkpointed first-week census, the
-    # (user, week) groupBy, user join, distinct-agg census (two-phase),
-    # cohort running-sum window and size recombine are each narrow
-    # user-/census-keyed shuffles — ledger-pinned at 5
-    "user_cohort_ltv": 5,
+    # cohort LTV (r11; r12 dropped the distinct-agg expansion for a
+    # plain count on the (user, week)-unique input): after the
+    # checkpointed first-week census, the (user, week) groupBy, user
+    # join, cell census and cohort running-sum window are each narrow
+    # user-/census-keyed shuffles — ledger-pinned at 4
+    "user_cohort_ltv": 4,
     # Mann-Kendall (r11): after the checkpointed daily census, the
     # key-keyed pair self-join, S groupBy, median window, tie census,
     # duplicate-t check and key-level recombines are each narrow
@@ -1236,10 +1237,11 @@ EXCHANGE_LEDGER = {
     # recombine joins (broadcasts are the key-sized stat frames)
     "events_trend_test": (6, 3, 0),
     # user_cohort_ltv: visible slice from the lazily-checkpointed
-    # first-week census — (user, week) groupBy, user join, distinct-agg
-    # census (two-phase), cohort running-sum window; broadcasts are the
-    # firsts side + the weeks-sized cohort sizes
-    "user_cohort_ltv": (5, 2, 0),
+    # first-week census — (user, week) groupBy, user join, single-phase
+    # cell census (r12: plain count on the unique input), cohort
+    # running-sum window; broadcasts are the firsts side + the
+    # weeks-sized cohort sizes
+    "user_cohort_ltv": (4, 2, 0),
     # events_rank_sum: the value census is the one event-sized
     # shuffle; the midrank window shuffles on the group key and the
     # final groupBy reuses that partitioning — no join anywhere
@@ -1393,14 +1395,17 @@ def test_conversion_paths_user_join_rowlocal_assembly(spark):
 
 def test_quantile_normalize_broadcast_ref_join(spark):
     """Quantile normalization: the per-group ranking is ONE group-keyed
-    window shuffle; the rank join against the (dimension-sized by
-    contract) reference broadcasts; no Python."""
+    window shuffle; the reference ranking is census-decomposed
+    distributed_rank (r12 — the dimension-sized-reference contract is
+    retired, so NO SinglePartition exchange anywhere); the rank join
+    against the reference broadcasts by default; no Python."""
     from dp1_data_wrangling_spark.registry import REGISTRY
 
     plan = plan_of(REGISTRY["events_quantile_normalize"].fn(spark, SMOKE_SF))
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_winsorize_single_exchange(spark):
