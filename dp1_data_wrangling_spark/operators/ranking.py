@@ -469,3 +469,94 @@ def distributed_ntile(
     return rk.df.withColumn(
         out_col, _ntile_of_rank("__ntile_rank", rk.n_total, n_tiles)
     ).drop("__ntile_rank")
+
+
+def rank_tile_summary(
+    census: DataFrame,
+    *,
+    metric_col: str,
+    count_col: str,
+    n_tiles: int,
+) -> DataFrame:
+    """Exact NTILE boundary summary from a VALUE CENSUS — one row per
+    NON-EMPTY tier: ``(tier, rank_lo, rank_hi, n_rows, value_lo,
+    value_hi)`` where ``value_lo``/``value_hi`` are the metric values
+    at the tier's first/last rank in the total ``(metric, tie)`` order
+    and ``rank_lo``/``rank_hi``/``n_rows`` are the SQL-standard NTILE
+    sizing (first ``n mod k`` tiles get the extra row).
+
+    Tie-invariant by construction: whatever tie column a per-row NTILE
+    would split boundary ties by, the value at any given rank is fixed
+    (metric is non-decreasing in rank), so the summary needs only the
+    census — which is why it is the shape a STREAM can maintain
+    exactly (census counts are associative; see
+    ``streaming/ranking.py``).  Bit-identical to ``NTILE(k) OVER
+    (ORDER BY metric, any_tie)`` grouped per tile with min/max/count —
+    the oracle replays the plain window.
+
+    ``census`` must hold ONE row per metric value (aggregate upstream)
+    with a positive exact-integer count; zero-count rows are ignored,
+    negative counts fail fast (they would break prefix monotonicity).
+    The metric must be exact-integer or float/double (the
+    :func:`distributed_rank` bucketing contract).
+
+    Scale posture (100 TB): the census cumulative ranking is
+    :func:`distributed_rank` (no single-partition exchange); each
+    census row then explodes into the <= k tiles its rank interval
+    intersects (total <= census_rows + k rows) and the final groupBy
+    is k-sized.  Eager (the census collect happens at call time).
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    d = census.select(
+        F.col(metric_col).alias("__val"),
+        F.col(count_col).cast("bigint").alias("__n"),
+    ).filter(F.col("__n") > 0)
+    rk = distributed_rank(
+        d,
+        metric_col="__val",
+        tie_cols=["__val"],
+        rank_col="__vr",
+        cumsum_col="__cum",
+        cumsum_source_col="__n",
+    )
+    n_total = rk.sum_total
+    if n_total == 0:
+        return (
+            d.select(
+                F.lit(None).cast("int").alias("tier"),
+                F.lit(None).cast("bigint").alias("rank_lo"),
+                F.lit(None).cast("bigint").alias("rank_hi"),
+                F.lit(None).cast("bigint").alias("n_rows"),
+                F.col("__val").alias("value_lo"),
+                F.col("__val").alias("value_hi"),
+            ).limit(0)
+        )
+    q, rem = divmod(n_total, n_tiles)
+    # which tiles does this value's rank interval [cum-n+1, cum] touch?
+    t_lo = _ntile_of_rank("(__cum - __n + 1)", n_total, n_tiles)
+    t_hi = _ntile_of_rank("__cum", n_total, n_tiles)
+    # tile t's rank bounds, closed-form from (n_total, k) literals
+    rlo = F.expr(f"cast((tier - 1) * {q} + least(tier - 1, {rem}) + 1 as bigint)")
+    rhi = F.expr(f"cast(tier * {q} + least(tier, {rem}) as bigint)")
+    exploded = rk.df.select(
+        "__val",
+        "__n",
+        "__cum",
+        F.explode(F.sequence(t_lo, t_hi)).alias("tier"),
+    ).select(
+        "__val",
+        "tier",
+        rlo.alias("rank_lo"),
+        rhi.alias("rank_hi"),
+        (
+            F.least(F.col("__cum"), rhi)
+            - F.greatest(F.col("__cum") - F.col("__n") + 1, rlo)
+            + 1
+        ).cast("bigint").alias("__o"),
+    )
+    return exploded.groupBy("tier", "rank_lo", "rank_hi").agg(
+        F.sum("__o").cast("bigint").alias("n_rows"),
+        F.min("__val").alias("value_lo"),
+        F.max("__val").alias("value_hi"),
+    )

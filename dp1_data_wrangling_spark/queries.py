@@ -85,7 +85,7 @@ DRIVER_WINDOW: list[str] = [
     "events_stickiness",          # r11: exact DAU / rolling-active stickiness
     "event_session_funnel",       # r11: session-scoped funnel composition
     "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank
-    "part_abc_classes",           # r9: exact ABC/Pareto revenue tiers
+    "orders_decile_summary",      # r12: NTILE boundary summary from the value census
     "events_throttle",            # r11: gap-rule burst dedup / throttling
     "user_cohort_ltv",            # r11: weekly cohort LTV triangle (exact milli)
     "events_gapfill",             # r9 op, r11 window: grid resample + LOCF fill

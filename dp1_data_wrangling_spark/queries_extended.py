@@ -1972,6 +1972,52 @@ def q_orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_decile_summary",
+    """
+    WITH ds_base AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderkey AS k
+        FROM orders
+    ),
+    ds_rk AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS rn,
+               CAST(ntile(10) OVER (ORDER BY v, k) AS INTEGER) AS tier
+        FROM ds_base
+    )
+    SELECT tier,
+           CAST(min(rn) AS BIGINT) AS rank_lo,
+           CAST(max(rn) AS BIGINT) AS rank_hi,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(v) AS BIGINT) AS value_lo,
+           CAST(max(v) AS BIGINT) AS value_hi
+    FROM ds_rk GROUP BY tier
+    """,
+)
+def q_orders_decile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile BOUNDARY summary from the order-value census
+    (operators/ranking.py rank_tile_summary, r12): one row per decile
+    with its rank range, row count and boundary values — tie-invariant
+    by construction (the value at any rank is fixed), which is why
+    this is the shape the streaming census twin
+    (streaming/ranking.py) maintains exactly.  The census collapses
+    facts map-side; the cumulative ranking over it is
+    distributed_rank (no single-partition exchange); the oracle
+    replays the plain NTILE window grouped per tile."""
+    from .operators.ranking import rank_tile_summary
+
+    census = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents(F.col("o_totalprice")).alias("price_cents"))
+        .groupBy("price_cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return rank_tile_summary(
+        census, metric_col="price_cents", count_col="n", n_tiles=10
+    )
+
+
+@register(
     "order_item_affinity",
     """
     WITH af_bi AS (

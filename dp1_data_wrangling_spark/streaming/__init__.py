@@ -45,6 +45,7 @@ from .rebuild import (
     stream_sessions,
     stream_transitions,
 )
+from .ranking import read_rank_tiles, stream_rank_census
 from .scd import stream_scd2
 from .sketches import stream_sketches
 from .semantic import read_semantic_survivors, stream_semantic_dedup
@@ -76,6 +77,8 @@ __all__ = [
     "stream_text_index_append",
     "stream_minhash_dedup",
     "stream_curation",
+    "read_rank_tiles",
+    "stream_rank_census",
     "stream_rollup",
     "read_cohort_ltv",
     "read_retention_cohorts",

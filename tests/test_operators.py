@@ -6103,6 +6103,49 @@ def test_distributed_rank_cumsum_source_matches_window(spark):
     assert rk.sum_total == sum(w for _, _, w in rows)
 
 
+def test_rank_tile_summary_hand_computed(spark):
+    """Census {v:1 x3, v:2 x1, v:3 x4} into 3 tiles of 8 rows (sizes
+    3/3/2): tile 1 = ranks 1-3 all value 1; tile 2 = ranks 4-6
+    spanning values 2..3; tile 3 = ranks 7-8 value 3.  Zero-count rows
+    ignored; fewer rows than tiles -> only non-empty tiles appear;
+    empty census -> empty frame with full schema."""
+    from dp1_data_wrangling_spark.operators.ranking import rank_tile_summary
+
+    census = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 4), (9, 0)], "v long, n long"
+    )
+    got = {
+        r.tier: (r.rank_lo, r.rank_hi, r.n_rows, r.value_lo, r.value_hi)
+        for r in rank_tile_summary(
+            census, metric_col="v", count_col="n", n_tiles=3
+        ).collect()
+    }
+    assert got == {
+        1: (1, 3, 3, 1, 1),
+        2: (4, 6, 3, 2, 3),
+        3: (7, 8, 2, 3, 3),
+    }
+
+    tiny = spark.createDataFrame([(5, 1), (7, 1)], "v long, n long")
+    got2 = {
+        r.tier: (r.rank_lo, r.rank_hi, r.n_rows, r.value_lo, r.value_hi)
+        for r in rank_tile_summary(
+            tiny, metric_col="v", count_col="n", n_tiles=4
+        ).collect()
+    }
+    assert got2 == {1: (1, 1, 1, 5, 5), 2: (2, 2, 1, 7, 7)}
+
+    empty = rank_tile_summary(
+        census.filter("n < 0"), metric_col="v", count_col="n", n_tiles=3
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "tier", "rank_lo", "rank_hi", "n_rows", "value_lo", "value_hi",
+    ]
+    with pytest.raises(ValueError, match="n_tiles"):
+        rank_tile_summary(census, metric_col="v", count_col="n", n_tiles=0)
+
+
 def test_distributed_rank_guards(spark):
     """NULL/NaN metric and NULL tie raise executor-side; non-numeric
     metric, float running-sum source, reserved output names, span

@@ -389,6 +389,11 @@ SHUFFLE_BUDGETS = {
     # candidate pairs + iterative connected-component label propagation:
     # each CC round is one join shuffle by design (O(log n) rounds total)
     "embedding_semantic_dedup": 8,
+    # decile boundary summary (r12): the fact value census + the
+    # distributed_rank machinery over it (bucket census, offsets
+    # window, final window) + the k-sized tier groupBy — everything
+    # after the first groupBy is census-sized
+    "orders_decile_summary": 5,
     # degree-ordered triangle counting: canonical distinct + degree agg +
     # wedge self-join + closure join + node count are each narrow int-key
     # shuffles by design (the edge-derivation subtree is checkpointed and
@@ -1406,6 +1411,19 @@ def test_quantile_normalize_broadcast_ref_join(spark):
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_decile_summary_census_decomposed(spark):
+    """orders_decile_summary (r12): the boundary summary rides
+    distributed_rank over the value census — no single-partition
+    exchange, no cartesian, no Python; the tier explosion is bounded
+    (sequence(t_lo, t_hi) <= k per census row)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["orders_decile_summary"].fn(spark, SMOKE_SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
 
 
 def test_winsorize_single_exchange(spark):

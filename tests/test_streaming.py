@@ -2326,3 +2326,90 @@ def test_stream_cohort_ltv_equals_batch(spark, tmp_path):
     # replay: same checkpoint -> already-committed batches skipped
     stream_cohort_ltv(stream, cat_root, **kw).awaitTermination(180)
     assert snapshot() == want
+
+
+def test_stream_rank_census_equals_batch(spark, tmp_path):
+    """Streaming order values through the census twin in three
+    micro-batch cuts: read_rank_tiles == batch rank_tile_summary ==
+    the plain NTILE window grouped per tile — invariant to how the
+    rows were cut.  Replay from the same checkpoint is a no-op
+    (exactly-once: the batch-id watermark commits atomically with the
+    census MERGE)."""
+    from pyspark.sql import Window
+
+    from dp1_data_wrangling_spark.operators.ranking import rank_tile_summary
+    from dp1_data_wrangling_spark.streaming import (
+        read_rank_tiles,
+        stream_rank_census,
+    )
+
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        "o_orderkey",
+    )
+    src = tmp_path / "orders_stream"
+    for i in range(3):
+        orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_rank_census(
+        stream, cat_root, checkpoint_dir=ckpt, metric_col="v"
+    ).awaitTermination(180)
+
+    def tiles():
+        return {
+            r.tier: (r.rank_lo, r.rank_hi, r.n_rows, r.value_lo, r.value_hi)
+            for r in read_rank_tiles(spark, cat_root, n_tiles=10).collect()
+        }
+
+    got = tiles()
+
+    # batch twin: the same fold over a one-shot census
+    census = orders.groupBy(F.col("v").alias("metric_value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    want = {
+        r.tier: (r.rank_lo, r.rank_hi, r.n_rows, r.value_lo, r.value_hi)
+        for r in rank_tile_summary(
+            census, metric_col="metric_value", count_col="n_rows",
+            n_tiles=10,
+        ).collect()
+    }
+    assert got == want
+
+    # ...and the plain SQL window says the same (summary is
+    # tie-invariant: any tie column gives these boundaries)
+    w = Window.orderBy("v", "o_orderkey")
+    want_sql = {
+        r.tier: (r.rank_lo, r.rank_hi, r.n_rows, r.value_lo, r.value_hi)
+        for r in orders.select(
+            "v",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.ntile(10).over(w).alias("tier"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.min("rn").alias("rank_lo"),
+            F.max("rn").alias("rank_hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("v").alias("value_lo"),
+            F.max("v").alias("value_hi"),
+        )
+        .collect()
+    }
+    assert got == want_sql
+
+    # replay: same checkpoint -> nothing double-counted
+    stream_rank_census(
+        stream, cat_root, checkpoint_dir=ckpt, metric_col="v"
+    ).awaitTermination(180)
+    assert tiles() == got
