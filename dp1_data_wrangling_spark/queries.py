@@ -29,6 +29,13 @@ from .registry import REGISTRY, QuerySpec, prioritize
 from . import queries_core  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
+# Round-12 seam split (VERDICT r11 item 8): the graph and retrieval
+# tiers moved out of queries_llm.py (which had grown past 4,000 lines)
+# into their own modules — same @register calls, registry name set
+# identical; imported here right after their former host so the
+# non-window registry tail keeps its family grouping.
+from . import queries_graph  # noqa: E402,F401
+from . import queries_retrieval  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
 # The driver's correctness run caps at the first 50 registry entries
 # (``prioritize`` reorders the registry so this window leads).  Everything

@@ -3083,986 +3083,3 @@ def q_doc_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"train": 90, "val": 5, "test": 5},
         salt="semcur_v1",
     )
-
-
-def _pagerank_oracle(k: int = 5, scale: int = 10**12) -> str:
-    """Chained-CTE replay of ``operators.graph.pagerank`` — one CTE per
-    iteration (aggregates are not legal in a recursive term, and a fixed
-    iteration count is the operator's contract anyway).  All arithmetic
-    is BIGINT with ``//`` (floor == Spark ``div`` for the all-positive
-    masses here), so the replay is bit-exact."""
-    cte = f"""
-    WITH pr_docs AS (
-        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
-        FROM documents
-    ),
-    pr_meta AS (SELECT count(*) AS n FROM pr_docs),
-    pr_deg AS (
-        SELECT idx,
-               CAST(('0x' || substr(md5('pr_deg|' || CAST(idx AS VARCHAR)), 1, 15))
-                    AS BIGINT) % 4 AS d
-        FROM pr_docs
-    ),
-    pr_edges AS (
-        SELECT g.idx AS src, g.d,
-               CAST(('0x' || substr(md5('pr_dst|' || CAST(g.idx AS VARCHAR) || '|'
-                    || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT)
-                 % (SELECT n FROM pr_meta) AS dst
-        FROM (SELECT idx, d, unnest(generate_series(1, d)) AS j
-              FROM pr_deg WHERE d > 0) g
-    ),
-    pr_it0 AS (
-        SELECT idx, (SELECT {scale} // n FROM pr_meta) AS pr FROM pr_docs
-    )"""
-    for t in range(1, k + 1):
-        cte += f""",
-    pr_it{t} AS (
-        SELECT nd.idx,
-               (SELECT (15 * ({scale} // n)) // 100 FROM pr_meta)
-               + (85 * (COALESCE(c.contrib, 0)
-                        + (SELECT COALESCE(SUM(p.pr), 0) FROM pr_it{t - 1} p
-                           JOIN pr_deg dg ON dg.idx = p.idx AND dg.d = 0)
-                          // (SELECT n FROM pr_meta))) // 100 AS pr
-        FROM pr_docs nd
-        LEFT JOIN (SELECT e.dst AS idx, SUM(p.pr // e.d) AS contrib
-                   FROM pr_edges e JOIN pr_it{t - 1} p ON p.idx = e.src
-                   GROUP BY e.dst) c ON c.idx = nd.idx
-    )"""
-    # CAST back to BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT and the
-    # per-iteration arithmetic stays HUGEINT through the final select.
-    # The DRIVER's canonicalizer (unlike the Arrow-based in-repo one)
-    # does not normalize HUGEINT == int64 — this was the one red row in
-    # CORRECTNESS_r08.  The masses are < 1e12, so the cast is lossless.
-    return cte + f"""
-    SELECT d.doc_id, CAST(p.pr AS BIGINT) AS pr
-    FROM pr_docs d JOIN pr_it{k} p ON p.idx = d.idx
-    """
-
-
-@register("doc_link_pagerank", _pagerank_oracle(), headline=True)
-def q_doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-graph importance for curation (operators/graph.py pagerank):
-    web-scale pipelines weight documents by PageRank-class centrality
-    before sampling (the Common-Crawl host-ranking step in C4- and
-    RefinedWeb-class recipes).  The link graph is md5-derived from the
-    corpus itself (out-degree 0-3 per doc — degree-0 docs exercise the
-    dangling-mass path; targets uniform over the corpus), so the DuckDB
-    oracle replays graph construction AND all five iterations exactly:
-    every mass is a BIGINT share of 1e12 moved with truncating division.
-
-    Scale shape: each iteration is one join of ranks onto edges by src
-    (narrow, hash-partitioned) + ONE groupBy-dst shuffle; the dangling
-    term is a one-row aggregate broadcast via crossJoin.  The edge table
-    is checkpointed once, never re-derived per round.  The single-
-    partition row_number window ranks a *dimension* table (the corpus
-    id-space map); at 100 TB the id map is built once by the catalog
-    tier, not per query."""
-    from pyspark.sql import Window
-
-    from .operators.graph import pagerank
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    idx = _dense_doc_index(docs)
-    n = idx.count()
-    deg = idx.select(
-        "idx",
-        _md5mod([F.lit("pr_deg|"), F.col("idx").cast("string")], 4).alias("d"),
-    )
-    edges_idx = (
-        deg.filter(F.col("d") > 0)
-        .select(
-            "idx",
-            F.explode(
-                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
-            ).alias("j"),
-        )
-        .select(
-            "idx",
-            _md5mod(
-                [
-                    F.lit("pr_dst|"),
-                    F.col("idx").cast("string"),
-                    F.lit("|"),
-                    F.col("j").cast("string"),
-                ],
-                n,
-            ).alias("dst_idx"),
-        )
-    )
-    edges = (
-        edges_idx.join(
-            idx.select(F.col("idx").alias("__si"), F.col("doc_id").alias("src")),
-            F.col("idx") == F.col("__si"),
-        )
-        .join(
-            idx.select(F.col("idx").alias("__di"), F.col("doc_id").alias("dst")),
-            F.col("dst_idx") == F.col("__di"),
-        )
-        .select("src", "dst")
-    )
-    nodes = idx.select(F.col("doc_id").alias("node"))
-    return pagerank(nodes, edges, iterations=5).select(
-        F.col("node").alias("doc_id"), "pr"
-    )
-
-
-def _ppr_oracle(k: int = 5, scale: int = 10**12) -> str:
-    """Chained-CTE replay of ``operators.graph.personalized_pagerank``
-    over the md5-derived link graph with seeds = every 20th corpus
-    index: teleport AND dangling mass go to the seeds; all BIGINT with
-    ``//`` (floor == Spark ``div`` on the all-positive masses)."""
-    cte = f"""
-    WITH pp_docs AS (
-        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
-        FROM documents
-    ),
-    pp_meta AS (
-        SELECT count(*) AS n,
-               sum(CASE WHEN idx % 20 = 0 THEN 1 ELSE 0 END) AS s
-        FROM pp_docs
-    ),
-    pp_deg AS (
-        SELECT idx,
-               CAST(('0x' || substr(md5('ppr_deg|' || CAST(idx AS VARCHAR)),
-                    1, 15)) AS BIGINT) % 4 AS d
-        FROM pp_docs
-    ),
-    pp_edges AS (
-        SELECT g.idx AS src, g.d,
-               CAST(('0x' || substr(md5('ppr_dst|' || CAST(g.idx AS VARCHAR)
-                    || '|' || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT)
-                 % (SELECT n FROM pp_meta) AS dst
-        FROM (SELECT idx, d, unnest(generate_series(1, d)) AS j
-              FROM pp_deg WHERE d > 0) g
-    ),
-    pp_it0 AS (
-        SELECT idx, (SELECT {scale} // n FROM pp_meta) AS pr FROM pp_docs
-    )"""
-    for t in range(1, k + 1):
-        cte += f""",
-    pp_it{t} AS (
-        SELECT nd.idx,
-               CASE WHEN nd.idx % 20 = 0
-                    THEN (SELECT ((15 * {scale}) // 100) // s FROM pp_meta)
-                    ELSE 0 END
-               + (85 * (COALESCE(c.contrib, 0)
-                        + CASE WHEN nd.idx % 20 = 0 THEN
-                            (SELECT COALESCE(SUM(p.pr), 0)
-                             FROM pp_it{t - 1} p
-                             JOIN pp_deg dg ON dg.idx = p.idx AND dg.d = 0)
-                            // (SELECT s FROM pp_meta)
-                          ELSE 0 END)) // 100 AS pr
-        FROM pp_docs nd
-        LEFT JOIN (SELECT e.dst AS idx, SUM(p.pr // e.d) AS contrib
-                   FROM pp_edges e JOIN pp_it{t - 1} p ON p.idx = e.src
-                   GROUP BY e.dst) c ON c.idx = nd.idx
-    )"""
-    return cte + f"""
-    SELECT d.doc_id, (d.idx % 20 = 0) AS is_seed, CAST(p.pr AS BIGINT) AS pr
-    FROM pp_docs d JOIN pp_it{k} p ON p.idx = d.idx
-    """
-
-
-@register("doc_link_ppr", _ppr_oracle())
-def q_doc_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Personalized PageRank (operators/graph.py personalized_pagerank):
-    seeded relevance over the corpus link graph — every 20th document
-    is a trusted seed, teleport and dangling mass return to the seeds,
-    and rank mass decays with graph distance from them (the whitelist-
-    boost primitive in curation and the neighborhood score in
-    recommender graphs).  Same exact-integer mass accounting as
-    doc_link_pagerank; the oracle replays the graph, the seed flags and
-    all five seeded iterations bit-for-bit."""
-    from pyspark.sql import Window
-
-    from .operators.graph import personalized_pagerank
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    idx = _dense_doc_index(docs)
-    n = idx.count()
-    deg = idx.select(
-        "idx",
-        _md5mod([F.lit("ppr_deg|"), F.col("idx").cast("string")], 4).alias(
-            "d"
-        ),
-    )
-    edges_idx = (
-        deg.filter(F.col("d") > 0)
-        .select(
-            "idx",
-            F.explode(
-                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
-            ).alias("j"),
-        )
-        .select(
-            "idx",
-            _md5mod(
-                [
-                    F.lit("ppr_dst|"),
-                    F.col("idx").cast("string"),
-                    F.lit("|"),
-                    F.col("j").cast("string"),
-                ],
-                n,
-            ).alias("dst_idx"),
-        )
-    )
-    edges = (
-        edges_idx.join(
-            idx.select(
-                F.col("idx").alias("__si"), F.col("doc_id").alias("src")
-            ),
-            F.col("idx") == F.col("__si"),
-        )
-        .join(
-            idx.select(
-                F.col("idx").alias("__di"), F.col("doc_id").alias("dst")
-            ),
-            F.col("dst_idx") == F.col("__di"),
-        )
-        .select("src", "dst")
-    )
-    nodes = idx.select(F.col("doc_id").alias("node"))
-    seeds = idx.filter(F.col("idx") % 20 == 0).select(
-        F.col("doc_id").alias("node")
-    )
-    pr = personalized_pagerank(nodes, edges, seeds, iterations=5)
-    return (
-        pr.join(idx, pr["node"] == idx["doc_id"])
-        .select(
-            "doc_id",
-            (F.col("idx") % 20 == 0).alias("is_seed"),
-            "pr",
-        )
-    )
-
-
-_TRIANGLE_GRAPH_CTES = """
-    tg_docs AS (
-        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
-        FROM documents
-    ),
-    tg_meta AS (SELECT count(*) AS n FROM tg_docs),
-    tg_deg AS (
-        SELECT idx,
-               CAST(('0x' || substr(md5('tg_deg|' || CAST(idx AS VARCHAR)), 1, 15))
-                    AS BIGINT) % 6 AS d
-        FROM tg_docs
-    ),
-    tg_edges AS (
-        SELECT g.idx AS src,
-               (g.idx + 1
-                + CAST(('0x' || substr(md5('tg_dst|' || CAST(g.idx AS VARCHAR)
-                       || '|' || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT) % 16)
-                 % (SELECT n FROM tg_meta) AS dst
-        FROM (SELECT idx, d, unnest(generate_series(1, d)) AS j
-              FROM tg_deg WHERE d > 0) g
-    )
-"""
-
-
-def _tg_link_graph(spark: SparkSession, sf_dir: str):
-    """The small-world md5 link graph (0-5 out-links per doc into a
-    16-wide local window) shared by the triangle and k-core queries —
-    ONE Spark-side generator for the ONE _TRIANGLE_GRAPH_CTES oracle
-    graph, so the two can never desynchronize one copy at a time.
-    Returns the (src, dst) edge DataFrame."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    idx = _dense_doc_index(docs)
-    n = idx.count()
-    deg = idx.select(
-        "idx",
-        _md5mod([F.lit("tg_deg|"), F.col("idx").cast("string")], 6).alias("d"),
-    )
-    edges_idx = (
-        deg.filter(F.col("d") > 0)
-        .select(
-            "idx",
-            F.explode(
-                F.sequence(F.lit(1).cast("bigint"), F.col("d"))
-            ).alias("j"),
-        )
-        .select(
-            "idx",
-            (
-                (
-                    F.col("idx")
-                    + 1
-                    + _md5mod(
-                        [
-                            F.lit("tg_dst|"),
-                            F.col("idx").cast("string"),
-                            F.lit("|"),
-                            F.col("j").cast("string"),
-                        ],
-                        16,
-                    )
-                )
-                % F.lit(n)
-            ).alias("dst_idx"),
-        )
-    )
-    edges = (
-        edges_idx.join(
-            idx.select(F.col("idx").alias("__si"), F.col("doc_id").alias("src")),
-            F.col("idx") == F.col("__si"),
-        )
-        .join(
-            idx.select(F.col("idx").alias("__di"), F.col("doc_id").alias("dst")),
-            F.col("dst_idx") == F.col("__di"),
-        )
-        .select("src", "dst")
-    )
-    return edges
-
-
-@register(
-    "doc_link_triangles",
-    f"""
-    WITH {_TRIANGLE_GRAPH_CTES},
-    ed AS (
-        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
-                        greatest(d1.doc_id, d2.doc_id) AS b
-        FROM tg_edges e
-        JOIN tg_docs d1 ON d1.idx = e.src
-        JOIN tg_docs d2 ON d2.idx = e.dst
-        WHERE d1.doc_id != d2.doc_id
-    ),
-    tri AS (
-        SELECT e1.a AS u, e1.b AS v, e2.b AS w
-        FROM ed e1
-        JOIN ed e2 ON e2.a = e1.b
-        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
-    nds AS (
-        SELECT u AS node FROM tri
-        UNION ALL SELECT v FROM tri
-        UNION ALL SELECT w FROM tri
-    )
-    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
-    FROM nds GROUP BY node
-    """,
-    headline=True,
-)
-def q_doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document triangle counts over a small-world md5 link graph
-    (operators/graph.py triangle_count) — the clustering-coefficient
-    numerator used for community/spam screening in link-graph curation.
-    The graph draws 0-5 out-links per doc from a 16-wide local window
-    (local windows make the triangle count scale linearly with corpus
-    size; the uniform-target pagerank graph holds ~5 triangles at ANY
-    size).  The Spark side enumerates via degree-ordered wedges
-    (skew-safe compact-forward), the oracle via the canonical a<b
-    three-way self-join — two INDEPENDENT enumeration orders that must
-    agree on the exact multiset of per-node counts."""
-    from .operators.graph import triangle_count
-
-    edges = _tg_link_graph(spark, sf_dir)
-    nodes_tri = triangle_count(edges)
-    return nodes_tri.select(F.col("node").alias("doc_id"), "n_triangles")
-
-
-# ---------------------------------------------------------------------------
-# BM25 retrieval (operators/retrieval.py)
-# ---------------------------------------------------------------------------
-
-#: Frozen probe queries for the retrieval tier — version the set, not
-#: the code (same discipline as SUBWORD_VOCAB / LM_VOCAB).
-BM25_QUERIES: list[tuple[int, str]] = [
-    (1, "hash join"),
-    (2, "window agg stream"),
-    (3, "slow scan filter"),
-    (4, "vector merge customer"),
-]
-
-_BM25_CTES = """bm_q AS (
-        SELECT * FROM (VALUES (1, 'hash join'), (2, 'window agg stream'),
-                              (3, 'slow scan filter'),
-                              (4, 'vector merge customer'))
-               AS q(query_id, query_text)
-    ),
-    bm_toks AS (
-        SELECT doc_id,
-               unnest(list_filter(
-                   regexp_split_to_array(lower(text), '\\W+'),
-                   x -> x != '')) AS term
-        FROM documents
-    ),
-    bm_post AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM bm_toks GROUP BY doc_id, term
-    ),
-    bm_dl AS (
-        SELECT doc_id, term, tf,
-               CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
-        FROM bm_post
-    ),
-    bm_stats AS (
-        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
-               CAST(sum(tf) AS BIGINT) AS s
-        FROM bm_post
-    ),
-    bm_df AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df
-        FROM bm_post GROUP BY term
-    ),
-    bm_qt AS (
-        SELECT DISTINCT query_id,
-               unnest(list_filter(
-                   regexp_split_to_array(lower(query_text), '\\W+'),
-                   x -> x != '')) AS term
-        FROM bm_q
-    ),
-    bm_w AS (
-        SELECT qt.query_id, p.doc_id, p.term,
-               ln((2.0 * st.n + 2.0) / (2.0 * d.df + 1.0))
-               * ((44 * p.tf * st.s)
-                  / (20 * p.tf * st.s + 6 * st.s + 18 * p.dl * st.n)) AS w
-        FROM bm_dl p
-        JOIN bm_qt qt USING (term)
-        JOIN bm_df d ON d.term = p.term
-        CROSS JOIN bm_stats st
-    ),
-    bm_sc AS (
-        SELECT query_id, doc_id,
-               round(list_reduce(list(w ORDER BY term), (a, b) -> a + b), 6)
-                   AS score
-        FROM bm_w GROUP BY query_id, doc_id
-    ),
-    bm_rank AS (
-        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
-            SELECT query_id, doc_id, score,
-                   row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY score DESC, doc_id) AS rank
-            FROM bm_sc
-        ) bm_rk_i WHERE rank <= 10
-    )"""
-
-_BM25_ORACLE = f"""
-    WITH {_BM25_CTES}
-    SELECT query_id, rank, doc_id, score FROM bm_rank
-    """
-
-
-@register("doc_bm25_topk", _BM25_ORACLE, headline=True)
-def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 retrieval over the corpus for the frozen probe-query
-    set (operators/retrieval.py bm25_topk — the Lucene ranking function,
-    k1=1.2 b=0.75): the postings DataFrame is the inverted index, a
-    broadcast join with the query terms plays the posting-list lookup,
-    per-document accumulation is an ordered row-local fold (Spark
-    ``aggregate`` == DuckDB ``list_reduce`` on the same term order), and
-    tf saturation is one IEEE-identical division of exact BIGINTs (the
-    k1=6/5, b=3/4 rational clearing).  The one transcendental (ln of an
-    exactly-computed argument) sits behind the engine-wide
-    ``round(score, 6)`` grid.
-
-    Scale shape: corpus tokenized once; only documents sharing a query
-    term are ever scored (inverted-index pruning via the broadcast
-    semi-style join); the top-k window ranks (query, doc) scores, never
-    |queries| x |corpus|."""
-    from .operators.retrieval import bm25_topk
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    queries = spark.createDataFrame(
-        BM25_QUERIES, ["query_id", "query_text"]
-    )
-    return bm25_topk(
-        docs, queries, text_col="text", id_col="doc_id", k=10
-    )
-
-
-#: Frozen probe phrases for the positional index tier — "big big"
-#: exercises the repeated-term distinct-offset logic externally.
-PHRASE_QUERIES: list[tuple[int, str]] = [
-    (1, "table part"),
-    (2, "fast table value"),
-    (3, "window data"),
-    (4, "big big"),
-]
-
-_PHRASE_ORACLE = """
-    WITH ph_q AS (
-        SELECT * FROM (VALUES (1, 'table part'), (2, 'fast table value'),
-                              (3, 'window data'), (4, 'big big'))
-               AS q(phrase_id, phrase_text)
-    ),
-    ph_arr AS (
-        SELECT phrase_id,
-               list_filter(regexp_split_to_array(lower(phrase_text),
-                                                 '\\W+'),
-                           x -> x != '') AS arr
-        FROM ph_q
-    ),
-    ph_pos AS (
-        SELECT phrase_id, unnest(generate_series(1, len(arr))) AS i, arr
-        FROM ph_arr
-    ),
-    ph_t AS (
-        SELECT phrase_id, i - 1 AS off, arr[i] AS term FROM ph_pos
-    ),
-    ph_m AS (
-        SELECT phrase_id, CAST(count(*) AS BIGINT) AS m
-        FROM ph_t GROUP BY phrase_id
-    ),
-    phd_arr AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                           x -> x != '') AS arr
-        FROM documents
-    ),
-    phd_pos AS (
-        SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr
-        FROM phd_arr
-    ),
-    phd_t AS (
-        SELECT doc_id, i - 1 AS pos, arr[i] AS term FROM phd_pos
-    ),
-    ph_anch AS (
-        SELECT p.phrase_id, d.doc_id, d.pos - p.off AS anchor, p.off
-        FROM phd_t d JOIN ph_t p USING (term)
-        WHERE d.pos - p.off >= 0
-    ),
-    ph_hit AS (
-        SELECT phrase_id, doc_id, anchor,
-               count(DISTINCT off) AS k
-        FROM ph_anch GROUP BY 1, 2, 3
-    )
-    SELECT CAST(h.phrase_id AS BIGINT) AS phrase_id, h.doc_id,
-           CAST(count(*) AS BIGINT) AS n_matches,
-           CAST(min(h.anchor) AS BIGINT) AS first_pos
-    FROM ph_hit h JOIN ph_m m USING (phrase_id)
-    WHERE h.k = m.m
-    GROUP BY 1, 2
-    """
-
-
-@register("doc_phrase_search", _PHRASE_ORACLE)
-def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search over the corpus for the frozen probe phrases
-    (operators/retrieval.py phrase_search — Lucene PhraseQuery slop-0
-    semantics as positional-postings algebra): a phrase matches at
-    anchor p iff every term t_i sits at position p+i, turned into one
-    map-side-combinable count aggregate by the anchor = pos - offset
-    trick.  Pure integer positions and counts — the oracle replays the
-    positional index and the anchor conjunction verbatim."""
-    from .operators.retrieval import phrase_search
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    phrases = spark.createDataFrame(
-        PHRASE_QUERIES, ["phrase_id", "phrase_text"]
-    )
-    out = phrase_search(
-        docs, phrases, text_col="text", id_col="doc_id"
-    )
-    return out.select(
-        "phrase_id",
-        "doc_id",
-        "n_matches",
-        F.col("first_pos").cast("bigint").alias("first_pos"),
-    )
-
-
-@register("bm25_index_topk", _BM25_ORACLE)
-def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 through the PERSISTED text index (plans/text_index.py):
-    postings built once and published term-bucketed through the catalog,
-    query served with directory-level partition pruning on the term
-    buckets and exact manifest-pinned corpus statistics.  Byte-identical
-    to the online doc_bm25_topk (equality pipeline-tested), so the same
-    oracle verifies the whole build->publish->query round trip."""
-    import tempfile
-
-    from .plans.catalog import Catalog
-    from .plans.text_index import bm25_query_index, build_text_index
-
-    cat = Catalog(tempfile.mkdtemp(prefix="textidx_q_"))
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    build_text_index(spark, cat, docs.select("doc_id", "text"))
-    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
-    return bm25_query_index(spark, cat, queries, 10)
-
-
-_MMR_ORACLE = """
-    WITH RECURSIVE mr_p AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    mr_c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ),
-    mr_cand AS (
-        SELECT probe_id, neighbor_id,
-               CAST(round(sim * 1000000.0, 0) AS BIGINT) AS rel_u,
-               emb
-        FROM (
-            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(p.emb, c.emb), 6) AS sim,
-                   c.emb AS emb,
-                   row_number() OVER (
-                       PARTITION BY p.vec_id
-                       ORDER BY round(list_cosine_similarity(p.emb, c.emb), 6)
-                                DESC, c.vec_id) AS rn
-            FROM mr_p p JOIN mr_c c ON p.vec_id != c.vec_id
-        ) mr_i WHERE rn <= 20
-    ),
-    mr_sel AS (
-        SELECT probe_id, 1 AS rank, neighbor_id,
-               CAST(700 * rel_u AS BIGINT) AS mmr_score_nano,
-               [neighbor_id] AS sel
-        FROM (
-            SELECT probe_id, neighbor_id, rel_u,
-                   row_number() OVER (
-                       PARTITION BY probe_id
-                       ORDER BY rel_u DESC, neighbor_id) AS rn
-            FROM mr_cand
-        ) mr_f WHERE rn = 1
-        UNION ALL
-        SELECT r.probe_id, r.rank + 1, pick.neighbor_id, pick.score,
-               list_append(r.sel, pick.neighbor_id)
-        FROM mr_sel r, LATERAL (
-            SELECT c.neighbor_id,
-                   CAST(700 * c.rel_u - 300 * (
-                       SELECT max(CAST(round(
-                           list_cosine_similarity(c.emb, s.emb)
-                           * 1000000.0, 0) AS BIGINT))
-                       FROM mr_cand s
-                       WHERE s.probe_id = r.probe_id
-                         AND list_contains(r.sel, s.neighbor_id)
-                   ) AS BIGINT) AS score
-            FROM mr_cand c
-            WHERE c.probe_id = r.probe_id
-              AND NOT list_contains(r.sel, c.neighbor_id)
-            ORDER BY score DESC, c.neighbor_id
-            LIMIT 1
-        ) pick
-        WHERE r.rank < 5
-    )
-    SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
-           mmr_score_nano
-    FROM mr_sel
-    """
-
-
-@register("embedding_mmr_rerank", _MMR_ORACLE)
-def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-rank over ANN candidates
-    (operators/retrieval.py mmr_rerank — Carbonell-Goldstein maximal
-    marginal relevance, lambda = 0.7): brute-force cosine top-20 per
-    probe is the first-stage pool; the greedy 5-step selection runs
-    ROW-LOCALLY via JVM higher-order folds (no driver loop, no per-step
-    shuffle).  Every relevance and pairwise cosine is rounded to 6
-    snapped to exact integer micros before any argmax (integer nano-unit
-    scores, no float comparison anywhere), so the greedy trajectory —
-    and therefore rank order and scores — replays exactly in the
-    oracle's recursive CTE."""
-    from .operators.retrieval import mmr_rerank
-    from .operators.similarity import brute_force_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    cand = brute_force_topk(probes, emb, k=20).join(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("__emb"),
-        ),
-        "neighbor_id",
-    )
-    return mmr_rerank(
-        cand,
-        query_id_col="probe_id",
-        id_col="neighbor_id",
-        rel_col="sim",
-        vec_col="__emb",
-        k=5,
-        lambda_milli=700,
-    ).select(
-        "probe_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "neighbor_id",
-        "mmr_score_nano",
-    )
-
-
-@register(
-    "doc_link_kcore",
-    f"""
-    WITH RECURSIVE {_TRIANGLE_GRAPH_CTES},
-    kc_ed AS (
-        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
-                        greatest(d1.doc_id, d2.doc_id) AS b
-        FROM tg_edges e
-        JOIN tg_docs d1 ON d1.idx = e.src
-        JOIN tg_docs d2 ON d2.idx = e.dst
-        WHERE d1.doc_id != d2.doc_id
-    ),
-    kc_und AS (SELECT a, b FROM kc_ed UNION SELECT b, a FROM kc_ed),
-    kc_it AS (
-        SELECT 0 AS round,
-               (SELECT list(DISTINCT a ORDER BY a) FROM kc_und) AS alive
-        UNION ALL
-        SELECT t.round + 1, nx.alive2
-        FROM kc_it t, LATERAL (
-            SELECT coalesce(list(n ORDER BY n),
-                            CAST([] AS BIGINT[])) AS alive2
-            FROM (
-                SELECT u.a AS n FROM kc_und u
-                WHERE list_contains(t.alive, u.a)
-                  AND list_contains(t.alive, u.b)
-                GROUP BY u.a HAVING count(*) >= 4
-            ) kc_s
-        ) nx
-        WHERE nx.alive2 != t.alive AND t.round < 200
-    ),
-    kc_fin AS (
-        SELECT CASE WHEN round >= 200 THEN error(
-                   'kcore oracle: no fixpoint within the round cap — '
-                   'mirror of the operator max_iters fail-fast')
-               ELSE 1 END AS ok, alive
-        FROM kc_it ORDER BY round DESC LIMIT 1
-    )
-    SELECT u.a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
-    FROM kc_und u, kc_fin f
-    WHERE list_contains(f.alive, u.a) AND list_contains(f.alive, u.b)
-    GROUP BY u.a
-    """,
-)
-def q_doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-core of the small-world md5 link graph
-    (operators/graph.py kcore — Seidman peeling to fixpoint): the
-    maximal subgraph where every document keeps >= 4 distinct
-    neighbors, the dense-community extraction above triangle counting
-    in link-graph curation.  The Spark side peels distributively
-    (degree aggregate + edge anti-join per round, checkpointed); the
-    oracle replays the SAME fixpoint with a single-row list-state
-    recursive CTE — two independent formulations of the peeling that
-    must agree on the exact surviving set AND each survivor's in-core
-    degree."""
-    from .operators.graph import kcore
-
-    edges = _tg_link_graph(spark, sf_dir)
-    return kcore(edges, 4).select(
-        F.col("node").alias("doc_id"), "core_deg"
-    )
-
-
-def _lpa_oracle(rounds: int = 3) -> str:
-    """Chained-CTE replay of synchronous label propagation over the
-    shared md5 link graph: per round, per-(node, label) neighbor counts
-    -> row_number argmax (count desc, label asc) -> left-join fallback
-    to the old label for isolated nodes.  Runs in idx space (the
-    doc_id <-> idx map is order-preserving, so min-label tie-breaks
-    agree) and maps both node and community back to doc ids at the
-    end."""
-    cte = f"""
-    WITH {_TRIANGLE_GRAPH_CTES},
-    lp_nbrs AS (
-        SELECT src AS v, dst AS u FROM tg_edges WHERE src != dst
-        UNION
-        SELECT dst AS v, src AS u FROM tg_edges WHERE src != dst
-    ),
-    lp_it0 AS (SELECT idx AS node, idx AS label FROM tg_docs)"""
-    for t in range(1, rounds + 1):
-        cte += f""",
-    lp_c{t} AS (
-        SELECT nb.v, l.label, count(*) AS c
-        FROM lp_nbrs nb JOIN lp_it{t - 1} l ON l.node = nb.u
-        GROUP BY nb.v, l.label
-    ),
-    lp_w{t} AS (
-        SELECT v, label FROM (
-            SELECT v, label,
-                   row_number() OVER (
-                       PARTITION BY v ORDER BY c DESC, label) AS rk
-            FROM lp_c{t})
-        WHERE rk = 1
-    ),
-    lp_it{t} AS (
-        SELECT p.node, COALESCE(w.label, p.label) AS label
-        FROM lp_it{t - 1} p LEFT JOIN lp_w{t} w ON w.v = p.node
-    )"""
-    return cte + f"""
-    SELECT d.doc_id, c.doc_id AS community
-    FROM lp_it{rounds} f
-    JOIN tg_docs d ON d.idx = f.node
-    JOIN tg_docs c ON c.idx = f.label
-    """
-
-
-@register("doc_link_communities", _lpa_oracle(), headline=True)
-def q_doc_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection over the shared md5 link graph
-    (operators/graph.py label_propagation — synchronous LPA, Raghavan
-    et al. 2007): three deterministic rounds of adopt-the-most-frequent
-    neighbor label with smallest-label ties, the host/domain community
-    grouping web-curation pipelines run before per-community quotas.
-    The oracle replays every round via chained CTEs with an INDEPENDENT
-    argmax formulation (row_number window vs the Spark side's
-    lexicographic struct max) — the two must agree on every node's
-    community."""
-    from .operators.graph import label_propagation
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = _tg_link_graph(spark, sf_dir)
-    return label_propagation(
-        docs, edges, iterations=3, node_col="doc_id"
-    ).select(F.col("node").alias("doc_id"), "community")
-
-
-@register(
-    "doc_link_prediction",
-    f"""
-    WITH {_TRIANGLE_GRAPH_CTES},
-    lk_ed AS (
-        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
-                        greatest(d1.doc_id, d2.doc_id) AS b
-        FROM tg_edges e
-        JOIN tg_docs d1 ON d1.idx = e.src
-        JOIN tg_docs d2 ON d2.idx = e.dst
-        WHERE d1.doc_id != d2.doc_id
-    ),
-    lk_degf AS (
-        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-            SELECT a AS node FROM lk_ed UNION ALL SELECT b FROM lk_ed
-        ) GROUP BY node
-    ),
-    lk_e AS (
-        SELECT a, b FROM lk_ed
-        WHERE a NOT IN (SELECT node FROM lk_degf WHERE deg > 64)
-          AND b NOT IN (SELECT node FROM lk_degf WHERE deg > 64)
-    ),
-    lk_deg AS (
-        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-            SELECT a AS node FROM lk_e UNION ALL SELECT b FROM lk_e
-        ) GROUP BY node
-    ),
-    lk_adj AS (
-        SELECT a AS w, b AS nb FROM lk_e
-        UNION ALL SELECT b AS w, a AS nb FROM lk_e
-    ),
-    lk_cn AS (
-        SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn,
-               CAST(sum(1000000 // dw.deg) AS BIGINT) AS ra
-        FROM lk_adj x
-        JOIN lk_adj y ON x.w = y.w AND x.nb < y.nb
-        JOIN lk_deg dw ON dw.node = x.w
-        GROUP BY x.nb, y.nb
-    ),
-    lk_new AS (
-        SELECT c.a, c.b, c.cn, c.ra FROM lk_cn c
-        WHERE c.cn >= 2 AND NOT EXISTS (
-            SELECT 1 FROM lk_e e WHERE e.a = c.a AND e.b = c.b)
-    )
-    SELECT n.a, n.b, n.cn AS common_neighbors,
-           da.deg AS deg_a, db.deg AS deg_b,
-           (1000000 * n.cn) // (da.deg + db.deg - n.cn) AS jaccard_ppm,
-           n.ra AS ra_ppm
-    FROM lk_new n
-    JOIN lk_deg da ON da.node = n.a
-    JOIN lk_deg db ON db.node = n.b
-    """,
-    headline=True,
-)
-def q_doc_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-prediction candidates over the shared md5 link graph
-    (operators/graph.py link_prediction — Liben-Nowell & Kleinberg's
-    common-neighbor + Jaccard predictors in exact integers, plus the
-    Zhou/Lü/Zhang Resource-Allocation index as exact ppm wedge
-    divisions): every NON-adjacent document pair sharing >= 2
-    neighbors, with the neighborhood Jaccard and RA scores in exact
-    ppm — the related-document / suggested-citation candidate
-    generator.  The hub valve (degree
-    > 64, non-binding on this graph but in the plan) caps the
-    deg(w)^2 candidate blow-up a celebrity node would cause.  The
-    oracle replays canonicalization, hub filter, the w-blocked pair
-    census, the NOT-EXISTS freshness screen and both degree joins."""
-    from .operators.graph import link_prediction
-
-    edges = _tg_link_graph(spark, sf_dir)
-    return link_prediction(
-        edges, src_col="src", dst_col="dst", min_common=2, max_degree=64
-    )
-
-
-_NDCG_ORACLE = f"""
-    WITH {_BM25_CTES},
-    ng_lab AS (
-        SELECT q.query_id, d.doc_id,
-               CAST(('0x' || substr(md5('rel|' || CAST(q.query_id AS VARCHAR)
-                     || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
-                   AS BIGINT) % 4 AS rel
-        FROM (SELECT DISTINCT query_id FROM bm_q) q
-        CROSS JOIN (SELECT doc_id FROM documents) d
-    ),
-    ng_got AS (
-        SELECT r.query_id,
-               round(list_reduce(
-                   list(((CAST(1 AS BIGINT) << CAST(coalesce(l.rel, 0)
-                                                    AS INT)) - 1)
-                        / ln(r.rank + 1.0) ORDER BY r.rank),
-                   (a, b) -> a + b), 6) AS dcg_ln
-        FROM bm_rank r
-        LEFT JOIN ng_lab l
-          ON l.query_id = r.query_id AND l.doc_id = r.doc_id
-        GROUP BY r.query_id
-    ),
-    ng_ideal AS (
-        SELECT query_id,
-               round(list_reduce(
-                   list(((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1)
-                        / ln(irank + 1.0) ORDER BY irank),
-                   (a, b) -> a + b), 6) AS idcg_ln
-        FROM (
-            SELECT query_id, rel,
-                   row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY rel DESC, doc_id) AS irank
-            FROM ng_lab
-        ) ng_i WHERE irank <= 10 AND rel > 0
-        GROUP BY query_id
-    )
-    SELECT g.query_id, g.dcg_ln, i.idcg_ln,
-           CASE WHEN i.idcg_ln > 0
-                THEN round(g.dcg_ln / i.idcg_ln, 6) END AS ndcg
-    FROM ng_got g LEFT JOIN ng_ideal i USING (query_id)
-    """
-
-
-@register("bm25_ndcg_eval", _NDCG_ORACLE)
-def q_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 of the BM25 retriever against md5-derived graded
-    relevance labels (operators/retrieval.py ndcg_at_k — the
-    Järvelin-Kekäläinen cumulated-gain metric, ln-discount form whose
-    base constant cancels in the ratio): the retrieval tier measuring
-    itself.  Labels grade every (query, doc) pair 0-3 deterministically;
-    the ideal ranking cuts the WHOLE labeled corpus to k, not the
-    retrieved subset.  Exponential gains are exact integer shifts; both
-    DCG folds replay as list_reduce in rank order."""
-    from .operators.retrieval import bm25_topk, ndcg_at_k
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
-    ranking = bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)
-    labels = (
-        queries.select("query_id")
-        .crossJoin(docs.select("doc_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            _md5mod(
-                [
-                    F.lit("rel|"),
-                    F.col("query_id").cast("string"),
-                    F.lit("|"),
-                    F.col("doc_id").cast("string"),
-                ],
-                4,
-            ).alias("rel"),
-        )
-    )
-    return ndcg_at_k(ranking, labels, k=10)

@@ -219,7 +219,11 @@ def test_driver_window_covers_flagship_surface():
         # customer_lorenz_curve (2x green r9-r10; the sketch family
         # keeps events_kmv_cube, events_hll_distinct and
         # events_hll_rolling in-window)
-        "part_abc_classes", "customer_lorenz_curve",
+        # part_abc_classes rotated out in r12 for orders_decile_summary
+        # (3x green r9-r11; the ranking family keeps
+        # orders_value_deciles, customer_lorenz_curve,
+        # customer_rfm_segments AND the new boundary summary in-window)
+        "orders_decile_summary", "customer_lorenz_curve",
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)
