@@ -28,6 +28,7 @@ from .registry import REGISTRY, QuerySpec, prioritize
 # grown ~500 lines/round; the seams are the registry's family sections.
 from . import queries_core  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
 # Round-12 seam split (VERDICT r11 item 8): the graph and retrieval
 # tiers moved out of queries_llm.py (which had grown past 4,000 lines)
