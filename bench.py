@@ -26,9 +26,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dp1_data_wrangling_spark.queries import REGISTRY, headline_queries  # noqa: E402
 from dp1_data_wrangling_spark.session import get_spark  # noqa: E402
 
+# Best historical 32-thread JVM reference on this host (r11's cleanest
+# run) and the clean-run gate (~15% over it) — see the machine_ref
+# block below.  Update JVM_REF_BEST_SEC only downward (a new best).
+JVM_REF_BEST_SEC = 0.059
+JVM_REF_CLEAN_SEC = 0.07
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Queries-only mode (r12): skip the probe/streaming blocks so a run
+    # costs ~1/3 the wall — the shape the cross-run MINS protocol wants
+    # many samples of (the probes' scaling ratios do not feed mins).
+    # The full run (default) stays the committed-record shape.
+    queries_only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES_ONLY") == "1"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
@@ -117,15 +128,34 @@ def main() -> None:
             ).collect()
             return time.perf_counter() - t0
 
+        jvm_ref = round(min(_jvm_ref() for _ in range(3)), 3)
         scaling["machine_ref"] = {
             "cpu_md5_200mb_sec": round(min(_cpu_ref() for _ in range(3)), 3),
-            "jvm_range_sum_sec": round(min(_jvm_ref() for _ in range(3)), 3),
+            "jvm_range_sum_sec": jvm_ref,
+            # Load-bearing since r12 (VERDICT r11 item 2): the best
+            # historical 32-thread reference on this host is 0.059s
+            # (r11's cleanest run).  ambient_vs_best is the run's
+            # measured multi-core contention multiplier; machine_clean
+            # marks the run as comparable under the mins protocol
+            # (<= ~15% over the best ref).  A dirty run still prints —
+            # it feeds cross-run MINS — but its totals must not be
+            # read as a plan regression.
+            "ambient_vs_best": round(jvm_ref / JVM_REF_BEST_SEC, 2),
+            "machine_clean": jvm_ref <= JVM_REF_CLEAN_SEC,
         }
+        if jvm_ref > JVM_REF_CLEAN_SEC:
+            print(
+                f"machine_ref: jvm {jvm_ref}s > clean gate "
+                f"{JVM_REF_CLEAN_SEC}s ({scaling['machine_ref']['ambient_vs_best']}x "
+                "over best) — contended host; totals are mins-protocol "
+                "samples only, not a committable clean record",
+                file=sys.stderr,
+            )
     except Exception as exc:  # noqa: BLE001 - reference is informational
         print(f"machine ref probe failed: {exc}", file=sys.stderr)
 
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
-    if small_dir != sf_dir and os.path.isdir(small_dir):
+    if small_dir != sf_dir and os.path.isdir(small_dir) and not queries_only:
         for probe in ("certify_probe", "priority_dedup", "doc_line_dedup"):
             if probe not in timings:
                 continue
@@ -153,7 +183,7 @@ def main() -> None:
     # the n log n slope.  The doubled table unions a tie-shifted copy
     # (ties stay unique) over the SAME key space, so per-key group sizes
     # double — the axis the sort-neighbor window actually sorts on.
-    if "certify_probe" in timings:
+    if "certify_probe" in timings and not queries_only:
         try:
             from pyspark.sql import functions as F
 
@@ -217,7 +247,7 @@ def main() -> None:
     # occupancy ~10; n_cells grows linearly to hold per-cell size): the
     # ratio then measures the scaling LAW of the plan under its own
     # deployment rule, which is the claim under test.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -382,7 +412,7 @@ def main() -> None:
     # plans are linear-class by construction (row-local signatures + one
     # bucket groupBy + capped pair explosion); a hidden all-pairs term
     # would read ~100x here.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -642,7 +672,7 @@ def main() -> None:
     # counts stay constant).  Both plans are linear-class by
     # construction (constant-factor probe replication + one equi-join);
     # a hidden all-pairs term would read ~100x.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -804,7 +834,7 @@ def main() -> None:
     # belongs in the linear class — a hidden all-pairs term (e.g. an
     # accidental re-derivation of the edge subtree per round) would read
     # ~10x worse.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -867,7 +897,7 @@ def main() -> None:
     # would read ~10x worse.  Pair counts are recorded so the wall
     # ratio self-explains; the hub valve's behavior is covered by the
     # equivalence test (hub-stripped-graph equality), not re-probed.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -942,7 +972,7 @@ def main() -> None:
     # (census ~ input-sized).  Cost is one stats agg + one census
     # groupBy + one (value, tie-bucket) window+join — all linear; a
     # hidden single-partition sort would read ~10x worse at 10x rows.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -996,7 +1026,7 @@ def main() -> None:
     # 16-root union scan.  At this SF the win is mostly plan/scan setup;
     # at 100 TB it is thousands of object-store listings + parquet
     # footers never fetched — roots_scanned is the metric that transfers.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -1057,7 +1087,7 @@ def main() -> None:
     # BOTH columns' per-file span, so the second predicate prunes files
     # instead of rows.  Results are asserted equal across layouts —
     # layout must never change answers.
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -1131,7 +1161,7 @@ def main() -> None:
     # the exactly-once commit (manifest flock + fsync'd swap) and the
     # anti-join against accumulated state — see SCALE.md.
     streaming_stats: dict[str, dict] = {}
-    if sf_num == 0.1:
+    if sf_num == 0.1 and not queries_only:
         try:
             import shutil
             import tempfile
@@ -1276,7 +1306,10 @@ def main() -> None:
     # landed as parsed:null.  Write the full record to BENCH_DETAIL.json
     # (committed, judge-readable) and print a compact line: the contract
     # keys verbatim, plus one summary number per scaling probe / stream.
-    Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+    detail_name = (
+        "BENCH_DETAIL_QUERIES_ONLY.json" if queries_only else "BENCH_DETAIL.json"
+    )
+    Path(__file__).resolve().parent.joinpath(detail_name).write_text(
         json.dumps(record, indent=1) + "\n"
     )
     compact = {

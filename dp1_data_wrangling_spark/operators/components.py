@@ -210,3 +210,71 @@ def dedup_survivors(
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("component"))
     )
+
+
+def quality_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep-BEST-per-cluster (r12): like :func:`dedup_survivors`, but the
+    survivor is the cluster member with the HIGHEST quality score (min
+    id breaks quality ties) — the form a real curation pipeline runs,
+    where near-duplicate groups keep the longest / highest-LM-scored
+    variant rather than an arbitrary id minimum.
+
+    Returns ``(id, component, quality, is_survivor)``.  The component
+    label stays the min id (the :func:`connected_components`
+    convention, shared with the dedup_clusters oracle); only the
+    survivorship choice consults the quality.  Quality must be an
+    exact integer (the standing integer-units posture — quantize LM
+    scores upstream); NULL quality and a LONG_MIN id raise
+    executor-side (an argmax admits neither, and the tie-break negates
+    the id).
+
+    Scale posture (100 TB): connected components (documented
+    checkpointed-rounds posture) + ONE map-side-combinable struct-max
+    per component + a component-keyed equi-join back — no windows, so
+    a mega-cluster costs a combiner fold, never a partition sort.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    q_ok = F.when(
+        F.col(quality_col).isNotNull() & (F.col(id_col) != F.lit(-(1 << 63))),
+        F.col(quality_col).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "quality_survivors: NULL quality or LONG_MIN id — an "
+                "argmax admits neither; filter or score upstream"
+            )
+        ).cast("bigint")
+    )
+    labeled = (
+        docs.select(F.col(id_col), q_ok.alias("__q"))
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            "__q",
+        )
+    )
+    # struct-max argmax: max quality first, then min id via exact
+    # negation (guarded above) — one combinable aggregate, no window
+    best = labeled.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("__q").alias("q"), (-F.col(id_col)).alias("nid"))
+        ).alias("__b")
+    ).select("component", (-F.col("__b.nid")).alias("__bid"))
+    return (
+        labeled.join(best, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            F.col("__q").alias(quality_col),
+            (F.col(id_col) == F.col("__bid")).alias("is_survivor"),
+        )
+    )

@@ -743,3 +743,241 @@ def gopher_rules(
     for name in flags:
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def df_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-term document-frequency drift screen between a REFERENCE
+    corpus snapshot and fresh data (r12) — the vocabulary-shift check a
+    training pipeline runs next to the value-distribution KS screen:
+    a topic surge, a new boilerplate template, or a scraper regression
+    all announce themselves as terms whose document rate moved.
+
+    Per term appearing in >= ``min_df`` documents on either side:
+
+        rate_ratio_ppm = (df_cur * n_ref * 1_000_000)
+                         div (df_ref * n_cur)
+
+    the EXACT cross-multiplied ratio of document rates in ppm (1e6 =
+    unchanged; NULL when the term is one-sided — flagged by
+    ``is_new`` / ``is_gone`` instead, which IS the strongest drift
+    signal).  Tokenization is the shared lower/\\W+ split.
+
+    An EMPTY (or all-NULL-text) reference fails fast executor-side —
+    the ks_reference lesson (stats.py): a drift screen that reads
+    "everything is new" against a misconfigured reference is noise,
+    and one that reads "no drift" is worse; neither is an answer.
+
+    Returns ``(term, df_ref, df_cur, rate_ratio_ppm, is_new,
+    is_gone)``.
+
+    Scale posture (100 TB): per side one row-local tokenize + a
+    (doc, term) distinct + a term-keyed combinable census; the censuses
+    full-outer-join on the term key; the corpus totals ride one-row
+    broadcast cross joins (never a driver collect).  Overflow:
+    ``df_cur * n_ref * 1e6`` guarded in DOUBLE against 2^62,
+    fail-fast threaded into the consumed ratio (pre-scale by sampling
+    the ratio's inputs beyond ~2e9-doc corpora — rates are
+    scale-free).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+
+    def census(docs: DataFrame, out: str) -> DataFrame:
+        return (
+            docs.select(
+                F.col(id_col),
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), r"\W+"),
+                        lambda x: x != "",
+                    )
+                ).alias("term"),
+            )
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    nr = ref.agg(
+        F.count(F.when(F.col(text_col).isNotNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("__nr")
+    ).select(
+        # empty-reference fail-fast, threaded into the column every
+        # output row consumes (the ks_reference pattern)
+        F.when(F.col("__nr") > 0, F.col("__nr"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "df_drift: the reference corpus is empty (or "
+                    "all-NULL text) — a vocabulary-drift screen "
+                    "against nothing is not an answer; supply a "
+                    "non-empty reference"
+                )
+            ).cast("bigint")
+        )
+        .alias("__nr")
+    )
+    nc = cur.agg(F.count(F.lit(1)).cast("bigint").alias("__nc"))
+    joined = (
+        census(ref, "df_ref")
+        .join(census(cur, "df_cur"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_ref", F.lit(0)).alias("df_ref"),
+            F.coalesce("df_cur", F.lit(0)).alias("df_cur"),
+        )
+        .filter(F.greatest(F.col("df_ref"), F.col("df_cur")) >= min_df)
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    env = (
+        F.col("df_cur").cast("double")
+        * F.col("__nr").cast("double")
+        * F.lit(1e6)
+    )
+    num_ok = F.when(
+        env <= F.lit(float(1 << 62)),
+        F.col("df_cur") * F.col("__nr") * F.lit(1_000_000),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "df_drift: df_cur * n_ref * 1e6 exceeds the 2^62 "
+                "cross-multiply envelope — sample one side (document "
+                "rates are scale-free)"
+            )
+        ).cast("bigint")
+    )
+    return joined.withColumn("__num", num_ok).select(
+        "term",
+        "df_ref",
+        "df_cur",
+        F.when(
+            (F.col("df_ref") > 0) & (F.col("df_cur") > 0),
+            F.expr("__num div (df_ref * __nc)"),
+        ).alias("rate_ratio_ppm"),
+        (F.col("df_ref") == 0).alias("is_new"),
+        (F.col("df_cur") == 0).alias("is_gone"),
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by LIFT (r12) — the PMI-class
+    collocation miner ("new york"-finder) next to the frequency-ranked
+    ``top_terms``/``corpus_top_ngrams``: frequency finds what is
+    common, lift finds what CO-OCCURS more than its parts predict.
+
+        lift_ppm = (c_ab * n_bigrams * 1_000_000)
+                   div (c_a * c_b)
+
+    an exact DECIMAL(38,0) cross-multiply with one truncating division
+    — monotone in PMI (log is monotone), so ranking by lift_ppm IS the
+    PMI ranking with zero float computation; ties break on the bigram
+    text.  ``c_a``/``c_b`` count the words' occurrences as a bigram
+    MEMBER (left or right slot, interior words counted twice — the
+    symmetric convention, stated), over the same lower/\\W+ tokens as
+    every text operator; bigrams never cross document boundaries.
+
+    Returns at most ``k`` rows: ``(w1, w2, pair_count, w1_count,
+    w2_count, lift_ppm)`` ordered by (lift_ppm DESC, w1, w2).
+
+    Scale posture (100 TB): row-local token arrays -> a row-local
+    adjacent-pair transform (no self-join) -> one combinable bigram
+    census; the member counts fold FROM that census (two term-keyed
+    combinable aggregates over census-sized data, never re-reading the
+    corpus); totals ride a one-row broadcast; the top-k lowers to
+    TakeOrderedAndProject (no global sort materializes).  DECIMAL(38,0)
+    keeps the cross-multiply exact to ~1e19-bigram corpora — no 2^62
+    envelope needed where the BIGINT family required one.
+    """
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    # the size >= 2 screen must come BEFORE sequence(1, size-1):
+    # Spark's two-argument sequence counts DOWNWARD when the end is
+    # below the start, so a one-token document would fabricate indices
+    # [1, 0] and die in element_at (the chunk_documents pitfall)
+    bigrams = (
+        docs.select(toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.element_at("__t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__b")
+        )
+        .select("__b.w1", "__b.w2")
+    )
+    # ONE corpus-sized census; everything below folds from it.
+    # Lazily checkpointed: three consumers (member counts x2, total)
+    # would otherwise re-run the corpus scan (the dedup two-pass-valve
+    # pattern).
+    census = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .localCheckpoint(eager=False)
+    )
+    left = census.groupBy(F.col("w1").alias("term")).agg(
+        F.sum("pair_count").alias("__c")
+    )
+    right = census.groupBy(F.col("w2").alias("term")).agg(
+        F.sum("pair_count").alias("__c")
+    )
+    member = (
+        left.unionByName(right)
+        .groupBy("term")
+        .agg(F.sum("__c").cast("bigint").alias("member_count"))
+    )
+    total = census.agg(
+        F.coalesce(F.sum("pair_count"), F.lit(0)).cast("bigint").alias("__n")
+    )
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("pair_count").cast(d38)
+        * F.col("__n").cast(d38)
+        * F.lit(1_000_000).cast(d38)
+    )
+    den = F.col("w1_count").cast(d38) * F.col("w2_count").cast(d38)
+    lift = ((num - (num % den)) / den).cast("bigint")
+    return (
+        census.filter(F.col("pair_count") >= min_pair_count)
+        .join(
+            member.select(
+                F.col("term").alias("w1"), F.col("member_count").alias("w1_count")
+            ),
+            "w1",
+        )
+        .join(
+            member.select(
+                F.col("term").alias("w2"), F.col("member_count").alias("w2_count")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("lift_ppm", lift)
+        .select("w1", "w2", "pair_count", "w1_count", "w2_count", "lift_ppm")
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(k)
+    )

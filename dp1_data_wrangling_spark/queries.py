@@ -65,12 +65,12 @@ DRIVER_WINDOW: list[str] = [
     # -- event analytics (r8: funnel / retention / Markov) --
     "events_diff_in_diff",        # r11: difference-in-differences readout
     "customer_rfm_segments",      # r10: RFM tiers over exact aggregates
-    "event_conversion_paths",     # r10: full-journey path census
+    "doc_quality_survivors",      # r12: keep-BEST-per-cluster curation dedup
     "events_quantile_normalize",  # r10: exact rank-based QN calibration
     "events_hll_rolling",         # r10: rolling HLL via register re-max
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
-    "events_winsorize",           # r10: exact percentile clipping
+    "doc_collocations",           # r12: PMI-class lift collocations (exact ppm)
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "event_attribution_decay",    # r10: exponential time-decay attribution
     "doc_link_prediction",        # r11: common-neighbor/Jaccard link prediction
@@ -86,7 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
     "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
     "events_rank_sum",            # r11: exact Mann-Whitney U rank-sum A/B readout
-    "events_ks_drift",            # r10: binned two-sample KS drift screen
+    "doc_df_drift",               # r12: vocabulary document-frequency drift screen
     "event_attribution_position", # r11: U-shaped attribution (exact credits)
     "order_item_affinity",        # r11: item-item cosine^2 affinity (exact ppm)
     "events_trend_test",          # r11: Mann-Kendall trend + Theil-Sen slope

@@ -344,6 +344,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_survivors",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_NEAR}),
+    qs_d AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS quality,
+               md5(lower(substr(text, 1, 200))) AS dg
+        FROM aug
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY dg) AS component,
+           quality,
+           row_number() OVER (
+               PARTITION BY dg ORDER BY quality DESC, doc_id
+           ) = 1 AS is_survivor
+    FROM qs_d
+    """,
+)
+def q_doc_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster curation dedup (operators/components.py
+    quality_survivors, r12): near-dup groups (prefix-normalized digest
+    — the ' zz' mutants group WITH their originals) keep the
+    highest-quality member, quality = text length here, so every
+    mutant (3 chars longer) out-survives its original — the case
+    min-id survivorship gets exactly backwards.  The pair graph is
+    again a chain per group, so the component label must propagate
+    multi-hop; the oracle states the fixpoint (min id per group) and
+    the argmax directly."""
+    from pyspark.sql import Window
+
+    from .operators.components import quality_survivors
+
+    aug = _augment_near(spark, sf_dir)
+    d = aug.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("quality"),
+        F.md5(dd.normalized(F.col("text")).cast("binary")).alias("dg"),
+    )
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    pairs = (
+        d.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return quality_survivors(d, pairs)
+
+
+@register(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -3083,3 +3130,139 @@ def q_doc_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"train": 90, "val": 5, "test": 5},
         salt="semcur_v1",
     )
+
+
+@register(
+    "doc_df_drift",
+    """
+    WITH dd_ref AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    dd_cur AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' driftterm'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    dd_rp AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x != '')) AS term
+            FROM dd_ref)
+    ),
+    dd_cp AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x != '')) AS term
+            FROM dd_cur)
+    ),
+    dd_rdf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_ref
+        FROM dd_rp GROUP BY term
+    ),
+    dd_cdf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_cur
+        FROM dd_cp GROUP BY term
+    ),
+    dd_nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM dd_ref),
+    dd_nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM dd_cur)
+    SELECT COALESCE(r.term, c.term) AS term,
+           COALESCE(r.df_ref, 0) AS df_ref,
+           COALESCE(c.df_cur, 0) AS df_cur,
+           CASE WHEN COALESCE(r.df_ref, 0) > 0
+                 AND COALESCE(c.df_cur, 0) > 0
+                THEN CAST((c.df_cur * nr.nr * 1000000)
+                          // (r.df_ref * nc.nc) AS BIGINT) END
+               AS rate_ratio_ppm,
+           COALESCE(r.df_ref, 0) = 0 AS is_new,
+           COALESCE(c.df_cur, 0) = 0 AS is_gone
+    FROM dd_rdf r
+    FULL OUTER JOIN dd_cdf c ON c.term = r.term
+    CROSS JOIN dd_nr nr CROSS JOIN dd_nc nc
+    WHERE greatest(COALESCE(r.df_ref, 0), COALESCE(c.df_cur, 0)) >= 5
+    """,
+)
+def q_doc_df_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift screen (operators/text.py df_drift, r12): the
+    even-id document half is the reference snapshot, the odd-id half is
+    the fresh corpus with a planted template term appended to every
+    %7 doc — which the screen must surface as ``is_new`` while the
+    shared vocabulary reads rate ratios near 1e6 ppm.  The exact
+    cross-multiplied document-rate ratio replays with ``//``; the
+    is_new/is_gone flags are the one-sided signal.  The screen family's
+    vocabulary-shift member next to the value-distribution KS drift."""
+    from .operators.text import df_drift
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" driftterm")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return df_drift(ref, cur, min_df=5)
+
+
+@register(
+    "doc_collocations",
+    """
+    WITH cl_t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS t
+        FROM documents
+    ),
+    cl_b AS (
+        SELECT t[CAST(u.i AS BIGINT)] AS w1,
+               t[CAST(u.i AS BIGINT) + 1] AS w2
+        FROM cl_t, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    cl_c AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+        FROM cl_b GROUP BY w1, w2
+    ),
+    cl_m AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS member_count FROM (
+            SELECT w1 AS term, pair_count AS c FROM cl_c
+            UNION ALL
+            SELECT w2 AS term, pair_count AS c FROM cl_c
+        ) GROUP BY term
+    ),
+    cl_n AS (
+        SELECT CAST(COALESCE(SUM(pair_count), 0) AS BIGINT) AS n FROM cl_c
+    )
+    SELECT c.w1, c.w2, c.pair_count,
+           m1.member_count AS w1_count,
+           m2.member_count AS w2_count,
+           CAST((CAST(c.pair_count AS HUGEINT) * n.n * 1000000)
+                // (m1.member_count * m2.member_count) AS BIGINT)
+               AS lift_ppm
+    FROM cl_c c
+    JOIN cl_m m1 ON m1.term = c.w1
+    JOIN cl_m m2 ON m2.term = c.w2
+    CROSS JOIN cl_n n
+    WHERE c.pair_count >= 5
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by exact lift (operators/text.py
+    collocations, r12): the PMI-class collocation miner — frequency
+    (corpus_top_ngrams) finds what is common, lift finds what
+    CO-OCCURS more than its parts predict.  DECIMAL(38,0) vs HUGEINT
+    cross-multiply with one truncating division; the ranking is the
+    PMI ranking because log is monotone."""
+    from .operators.text import collocations
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    return collocations(docs, min_pair_count=5, k=20)

@@ -7360,3 +7360,98 @@ def test_period_momentum_hand_computed(spark):
         period_momentum(bad, key_cols=["k"], period_col="per").collect()
     with pytest.raises(ValueError, match="k must be"):
         period_momentum(df, key_cols=["k"], period_col="per", k=0)
+
+
+def test_quality_survivors_hand_computed(spark):
+    """Chain component {1,2,3} with qualities 5/9/9: survivor is id 2
+    (max quality, min id among the 9-tie) — NOT the min id 1;
+    singleton 7 survives; NULL quality raises executor-side."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.components import (
+        quality_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 1)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: (r.component, r.quality, r.is_survivor)
+        for r in quality_survivors(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 5, False),
+        2: (1, 9, True),
+        3: (1, 9, False),
+        7: (7, 1, True),
+    }
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, 9)], "doc_id long, quality long"
+    )
+    with pytest.raises(SparkRuntimeException, match="quality_survivors"):
+        quality_survivors(nulls, pairs).collect()
+
+
+def test_df_drift_hand_computed(spark):
+    """Reference 4 docs / current 2 docs: a term in 2 ref docs and 2
+    cur docs reads rate ratio (2*4*1e6)//(2*2) = 2_000_000 ppm (the
+    current RATE doubled); a cur-only term flags is_new with NULL
+    ratio; a ref-only term flags is_gone; min_df prunes; an empty
+    reference raises executor-side."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dp1_data_wrangling_spark.operators.text import df_drift
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta"), (4, "beta")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(10, "alpha newterm"), (11, "alpha newterm")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.term: (r.df_ref, r.df_cur, r.rate_ratio_ppm, r.is_new, r.is_gone)
+        for r in df_drift(ref, cur, min_df=2).collect()
+    }
+    assert got == {
+        "alpha": (2, 2, 2_000_000, False, False),
+        "beta": (3, 0, None, False, True),
+        "newterm": (0, 2, None, True, False),
+    }  # gamma pruned by min_df=2
+
+    with pytest.raises(SparkRuntimeException, match="df_drift"):
+        df_drift(ref.filter("doc_id < 0"), cur, min_df=1).collect()
+
+
+def test_collocations_hand_computed(spark):
+    """Corpus: 'x y' appears 3 times and x/y appear ONLY together (lift
+    = n/1 per member product... verified by hand below); 'a b' appears
+    3 times but a and b each appear 6 times as members (b a bigrams
+    too), so its lift is lower; bigrams never cross documents; min
+    support prunes singles."""
+    from dp1_data_wrangling_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [
+            ("x y",), ("x y",), ("x y",),
+            ("a b a b a b",),  # bigrams: ab,ba,ab,ba,ab -> ab x3, ba x2
+            ("solo",),
+        ],
+        "text string",
+    )
+    got = {
+        (r.w1, r.w2): (r.pair_count, r.w1_count, r.w2_count, r.lift_ppm)
+        for r in collocations(docs, min_pair_count=3, k=10).collect()
+    }
+    # censuses: xy:3, ab:3, ba:2 -> N=8; members: x:3, y:3, a:3+2=5,
+    # b:3+2=5 -> lift(xy) = 3*8*1e6 // 9 = 2_666_666;
+    # lift(ab) = 3*8*1e6 // 25 = 960_000
+    assert got == {
+        ("x", "y"): (3, 3, 3, 2_666_666),
+        ("a", "b"): (3, 5, 5, 960_000),
+    }

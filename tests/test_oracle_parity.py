@@ -262,7 +262,11 @@ def test_driver_window_covers_flagship_surface():
         # event_attribution_position (3x green r8-r10; the ANN family
         # keeps ivf_pq_recall_bound's composed check in-window and
         # ivf_topk stays a bench headliner + probe + in-repo parity)
-        "events_ks_drift", "event_attribution_position",
+        # events_ks_drift rotated out in r12 for doc_df_drift (2x green
+        # r10-r11; the drift-screen family keeps the new vocabulary
+        # screen in-window, the KS screen stays parity-held in-repo
+        # every CI run plus its streaming twin suite)
+        "doc_df_drift", "event_attribution_position",
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
         # multimodal_png rotated out in r11 mid-round 3 for
@@ -319,7 +323,11 @@ def test_driver_window_covers_flagship_surface():
         # event_funnel_latency + event_conversion_paths +
         # event_attribution_decay in-window, gained the exactly-once
         # streaming twin in r11, and stays parity-held in-repo)
-        "customer_rfm_segments", "event_conversion_paths",
+        # event_conversion_paths rotated out in r12 for
+        # doc_quality_survivors (2x green r10-r11; the journey family
+        # keeps event_session_funnel + both attribution forms in-window,
+        # the path census stays parity-held in-repo every CI run)
+        "customer_rfm_segments", "doc_quality_survivors",
         "events_diff_in_diff",
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
@@ -421,7 +429,11 @@ def test_driver_window_covers_flagship_surface():
         # events_winsorize (2x green r8+r9; the sketch family keeps
         # events_kmv_cube, events_theta_overlap, events_hll_distinct
         # and events_hll_rolling — four in-window reps)
-        "events_winsorize",
+        # events_winsorize rotated out in r12 for doc_collocations (2x
+        # green r10-r11; the percentile-clip family keeps
+        # lineitem_weighted_quantiles + events_quantile_normalize
+        # in-window, winsorize stays parity-held in-repo every CI run)
+        "doc_collocations",
         # round-8: exact binary-fraction EWMA, radius-bounded KNN join,
         # and REAL G.711 mu-law decode enter directly (outs: see the
         # chain_flatten_distributed / event_correlation /

@@ -389,6 +389,12 @@ SHUFFLE_BUDGETS = {
     # candidate pairs + iterative connected-component label propagation:
     # each CC round is one join shuffle by design (O(log n) rounds total)
     "embedding_semantic_dedup": 8,
+    # quality survivors (r12): the digest chain-pair window + the
+    # visible CC slice (per-round joins checkpoint away) + the labeled
+    # left join + the component-keyed struct-max groupBy + the argmax
+    # join back — each a narrow id-/component-keyed shuffle; no window
+    # over components (a mega-cluster costs a combiner fold)
+    "doc_quality_survivors": 6,
     # decile boundary summary (r12): the fact value census + the
     # distributed_rank machinery over it (bucket census, offsets
     # window, final window) + the k-sized tier groupBy — everything
