@@ -45,6 +45,7 @@ from .rebuild import (
     stream_sessions,
     stream_transitions,
 )
+from .census import read_cusum_alarms, stream_census
 from .ranking import read_rank_tiles, stream_rank_census
 from .scd import stream_scd2
 from .sketches import stream_sketches
@@ -77,7 +78,9 @@ __all__ = [
     "stream_text_index_append",
     "stream_minhash_dedup",
     "stream_curation",
+    "read_cusum_alarms",
     "read_rank_tiles",
+    "stream_census",
     "stream_rank_census",
     "stream_rollup",
     "read_cohort_ltv",

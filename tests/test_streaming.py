@@ -2413,3 +2413,94 @@ def test_stream_rank_census_equals_batch(spark, tmp_path):
         stream, cat_root, checkpoint_dir=ckpt, metric_col="v"
     ).awaitTermination(180)
     assert tiles() == got
+
+
+def test_stream_census_cusum_equals_batch(spark, tmp_path):
+    """Streaming events through the generic census maintainer in three
+    cuts — the THIRD cut delivers LATE events for the earliest days,
+    revising already-published period counts (which moves the group
+    mean and therefore EVERY position's CUSUM statistic) —
+    read_cusum_alarms == the batch detector over the full day census.
+    Replay from the same checkpoint is a no-op."""
+    from dp1_data_wrangling_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_cusum_alarms,
+        stream_census,
+    )
+
+    DAY_US = 86_400_000_000
+    rows = []
+    eid = 0
+    for day in range(30):
+        # planted level shift: ~3 events/day for days 0-14, ~9 for 15-29
+        n = 3 if day < 15 else 9
+        for j in range(n):
+            rows.append(("view", day * DAY_US + j * 1000, eid))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_type string, ts_us long, event_id long")
+
+    src = tmp_path / "ev_stream"
+    # cuts: days 10-29 first (two batches), then the LATE days 0-9
+    events.where("ts_us >= 10 * 86400000000 and ts_us < 20 * 86400000000").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    events.where("ts_us >= 20 * 86400000000").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    time.sleep(1.1)
+    events.where("ts_us < 10 * 86400000000").coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+
+    keyed = lambda df: df.select(  # noqa: E731 - shared projection
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        keyed(stream), cat_root, checkpoint_dir=ckpt,
+        table="day_census", key_cols=["event_type", "day"],
+    ).awaitTermination(180)
+
+    def alarms():
+        return {
+            (r.event_type, r.seq, r.direction): (
+                r.stat_scaled, r.threshold_scaled
+            )
+            for r in read_cusum_alarms(
+                spark, cat_root, table="day_census",
+                group_cols=["event_type"], order_col="day",
+                slack_milli=1000, threshold_milli=5000,
+            ).collect()
+        }
+
+    got = alarms()
+    assert got, "the planted volume shift must alarm"
+
+    census = keyed(events).groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    want = {
+        (r.event_type, r.seq, r.direction): (r.stat_scaled, r.threshold_scaled)
+        for r in cusum_changepoints(
+            census, value_col="n_rows", order_cols=["day"],
+            group_cols=["event_type"], slack_milli=1000,
+            threshold_milli=5000,
+        ).collect()
+    }
+    assert got == want
+
+    # replay: same checkpoint -> nothing double-counted
+    stream_census(
+        keyed(stream), cat_root, checkpoint_dir=ckpt,
+        table="day_census", key_cols=["event_type", "day"],
+    ).awaitTermination(180)
+    assert alarms() == got
