@@ -903,3 +903,64 @@ def throttle_events(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "session_idx", composite)
     )
+
+
+def bounce_rate(
+    events: DataFrame,
+    *,
+    gap_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-landing-type bounce rate (r12) — the product-analytics
+    staple the sessionization tier was missing: group sessions by the
+    type of their FIRST event (the landing), and report how many ended
+    after that single event.
+
+        bounce_ppm = (n_bounces * 1_000_000) div n_sessions
+
+    exact integers end to end; the landing event is the session's
+    (ts, id) minimum, so the choice is deterministic under ties.
+
+    Returns one row per landing type: ``(landing_type, n_sessions,
+    n_bounces, bounce_ppm)``.
+
+    Scale posture (100 TB): the assign_sessions window is ONE shuffle
+    on the user key; the per-session fold's clustering keys (user,
+    session_idx) are a superset of that partitioning so Spark reuses
+    the exchange; the landing-type census is map-side combinable over
+    session rows.  Overflow: n_bounces * 1e6 needs sessions < ~9e12
+    per landing type — beyond any real fixture; the ppm is
+    scale-free, sample past that.
+    """
+    assigned = assign_sessions(
+        events.select(
+            F.col(user_col), F.col(ts_col), F.col(id_col), F.col(type_col)
+        ),
+        gap_us=gap_us,
+        user_col=user_col,
+        ts_col=ts_col,
+        order_extra=[id_col],
+    )
+    per_sess = assigned.groupBy(user_col, "session_idx").agg(
+        F.min(
+            F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+        ).alias("__first"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    return (
+        per_sess.groupBy(
+            F.col(f"__first.{type_col}").alias("landing_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum((F.col("__n") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_ppm", F.expr("(n_bounces * 1000000) div n_sessions")
+        )
+    )

@@ -80,7 +80,7 @@ DRIVER_WINDOW: list[str] = [
     # -- dedup / similarity families --
     "doc_link_ppr",               # r10: personalized PageRank (exact integer)
     "events_value_bins",          # r10: equi-width histogram binning
-    "events_holt_trend",          # r10: Holt smoothing, fixed-point recurrence
+    "event_bounce_rate",          # r12: per-landing-type bounce rate (exact ppm)
     "customer_entity_resolution", # r10: PassJoin->CC->golden record
     "user_churn_survival",        # r11: exact Kaplan-Meier churn curves
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)

@@ -1934,3 +1934,60 @@ def q_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_momentum(
         joined, key_cols=["brand"], period_col="per", k=10
     )
+
+
+@register(
+    "event_bounce_rate",
+    """
+    WITH br_e AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        FROM events
+    ),
+    br_s AS (
+        SELECT *,
+               CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM br_e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    br_a AS (
+        SELECT *,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM br_s
+    ),
+    br_r AS (
+        SELECT user_id, session_idx, event_type,
+               row_number() OVER (PARTITION BY user_id, session_idx
+                                  ORDER BY tus, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, session_idx) AS n
+        FROM br_a
+    ),
+    br_l AS (SELECT event_type AS landing_type, n FROM br_r WHERE rn = 1)
+    SELECT landing_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS bounce_ppm
+    FROM br_l GROUP BY landing_type
+    """,
+)
+def q_event_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-landing-type bounce rate (operators/funnel.py bounce_rate,
+    r12): sessions grouped by their FIRST event's type, with the share
+    that ended after that single event in exact ppm — the
+    product-analytics staple composing the shared gap-rule
+    sessionization (30-minute gap).  The oracle replays the gap rule,
+    the running session index, the rank-1 landing pick and the
+    single-event test with plain SQL windows."""
+    from .operators.funnel import bounce_rate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return bounce_rate(e, gap_us=1_800_000_000)

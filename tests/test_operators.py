@@ -7455,3 +7455,26 @@ def test_collocations_hand_computed(spark):
         ("x", "y"): (3, 3, 3, 2_666_666),
         ("a", "b"): (3, 5, 5, 960_000),
     }
+
+
+def test_bounce_rate_hand_computed(spark):
+    """User A: events at t=0 ('home'), t=10 ('buy') — one 2-event
+    session landing on 'home'; then t=10_000 ('home') alone — a bounce.
+    User B: single 'promo' event — a bounce.  Gap rule = 100us."""
+    from dp1_data_wrangling_spark.operators.funnel import bounce_rate
+
+    rows = [
+        (1, 0, 100, "home"), (1, 10, 101, "buy"), (1, 10_000, 102, "home"),
+        (2, 5, 200, "promo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, event_type string"
+    )
+    got = {
+        r.landing_type: (r.n_sessions, r.n_bounces, r.bounce_ppm)
+        for r in bounce_rate(df, gap_us=100).collect()
+    }
+    assert got == {
+        "home": (2, 1, 500_000),
+        "promo": (1, 1, 1_000_000),
+    }

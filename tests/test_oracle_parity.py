@@ -355,7 +355,12 @@ def test_driver_window_covers_flagship_surface():
         # events_hourly_trend rotated out in r10 for events_holt_trend (2x
         # green r8+r9; the per-group trend family stays via the Holt
         # recurrence itself + in-repo parity for the OLS form)
-        "events_holt_trend",
+        # events_holt_trend rotated out in r12 for event_bounce_rate
+        # (2x green r10-r11; the timeseries family keeps events_acf,
+        # events_gapfill, events_seasonal_mase, events_seasonal_profile
+        # and events_trend_test in-window — five reps; Holt stays
+        # parity-held in-repo every CI run)
+        "event_bounce_rate",
         # round-8: per-user sequence pattern search enters directly
         # (doc_exact_dedup out — see note above)
         # event_sequence_match rotated out in r10 for doc_link_ppr (2x green
