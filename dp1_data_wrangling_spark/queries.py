@@ -72,7 +72,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_collocations",           # r12: PMI-class lift collocations (exact ppm)
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
-    "event_attribution_decay",    # r10: exponential time-decay attribution
+    "doc_dup_rate_by_source",     # r12: per-source duplication-rate report
     "doc_link_prediction",        # r11: common-neighbor/Jaccard link prediction
     "orders_gini_concentration",  # r10: exact Gini concentration index
     "orders_value_deciles",       # r11: fact-scale distributed ntile + percent-rank

@@ -3266,3 +3266,67 @@ def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents")).select("text")
     return collocations(docs, min_pair_count=5, k=20)
+
+
+@register(
+    "doc_dup_rate_by_source",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_EXACT}),
+    dr_g AS (
+        SELECT md5(text) AS dg, min(doc_id) AS keep
+        FROM aug GROUP BY md5(text)
+    ),
+    dr_d AS (
+        SELECT a.doc_id, a.doc_id % 1000000 AS base_id, md5(a.text) AS dg
+        FROM aug a
+    ),
+    dr_s AS (
+        SELECT doc.source, dr_d.doc_id, dr_g.keep
+        FROM dr_d
+        JOIN dr_g USING (dg)
+        JOIN documents doc ON doc.doc_id = dr_d.base_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id != keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_rows,
+           CAST((sum(CASE WHEN doc_id != keep THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM dr_s GROUP BY source
+    """,
+)
+def q_doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report (r12) — the curation KPI a
+    corpus owner reads before deciding which scrape to re-crawl: for
+    each source, the row count, the count of NON-survivor rows under
+    exact dedup (min-id survivorship over the content digest), and the
+    duplication rate in exact ppm.  The augmented corpus plants
+    verbatim copies on every %10 doc, so rates are non-trivial; a
+    mutant's source is its base document's (id mod 1e6 maps back).
+    Composition of the standing exact-dedup groups — one digest
+    groupBy + a digest join-back + a broadcast dim join + a combinable
+    source census."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    aug = _augment_exact(spark, sf_dir)
+    groups = dd.exact_dedup(aug)
+    d = aug.select(
+        "doc_id",
+        (F.col("doc_id") % MUTANT_OFFSET).alias("base_id"),
+        dd.content_digest(F.col("text")).alias("digest"),
+    )
+    return (
+        d.join(groups.select("digest", "keep_id"), "digest")
+        .join(F.broadcast(docs), "base_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("doc_id") != F.col("keep_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("(n_dup_rows * 1000000) div n_docs")
+        )
+    )

@@ -409,7 +409,11 @@ def test_driver_window_covers_flagship_surface():
         # events_kmv_rolling rotated out in r10 for event_attribution_decay
         # (2x green r8+r9; the rolling-sketch family stays via
         # events_hll_rolling, now in-window, plus events_kmv_cube)
-        "event_attribution_decay",
+        # event_attribution_decay rotated out in r12 for
+        # doc_dup_rate_by_source (2x green r10-r11; attribution keeps
+        # event_attribution_position in-window plus the exactly-once
+        # streaming twin; decay stays parity-held in-repo every CI run)
+        "doc_dup_rate_by_source",
         # round-8: fact-to-SCD2 temporal enrichment join enters directly
         # (embedding_semantic_dedup out — see note above)
         # events_scd2_enrich rotated out late-r10 for
