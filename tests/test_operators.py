@@ -7392,7 +7392,10 @@ def test_quality_survivors_hand_computed(spark):
     nulls = spark.createDataFrame(
         [(1, None), (2, 9)], "doc_id long, quality long"
     )
-    with pytest.raises(SparkRuntimeException, match="quality_survivors"):
+    # match on Exception: the executor-side raise surfaces as
+    # SparkRuntimeException on a single-task plan but can arrive as a
+    # raw Py4JJavaError when sibling tasks are cancelled mid-raise
+    with pytest.raises(Exception, match="quality_survivors"):
         quality_survivors(nulls, pairs).collect()
 
 
