@@ -392,21 +392,47 @@ def grid_hotspots(
     two aggregate-sized frames.  No window, no self-join on points, no
     cartesian (plan-gated).
     """
-    if cell < 1:
-        raise ValueError(f"cell must be >= 1, got {cell}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    census = (
-        points.select(
-            F.col(x_col).cast("bigint").alias("__gx"),
-            F.col(y_col).cast("bigint").alias("__gy"),
-        )
-        .select(
-            _floor_div("__gx", cell).alias("cell_x"),
-            _floor_div("__gy", cell).alias("cell_y"),
-        )
-        .groupBy("cell_x", "cell_y")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    census = grid_cells(points, x_col=x_col, y_col=y_col, cell=cell).groupBy(
+        "cell_x", "cell_y"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return hotspots_from_census(census, min_count=min_count)
+
+
+def grid_cells(
+    points: DataFrame, *, x_col: str, y_col: str, cell: int
+) -> DataFrame:
+    """The shared cell projection (r12 split — one definition for the
+    batch screen, the streaming census maintainer and every oracle):
+    integer coordinates floor-divided into grid cells.  TRUE floor
+    division (``_floor_div``) — plain ``div`` truncates toward zero and
+    would merge the cells either side of the origin for signed
+    coordinates."""
+    if cell < 1:
+        raise ValueError(f"cell must be >= 1, got {cell}")
+    return points.select(
+        F.col(x_col).cast("bigint").alias("__gx"),
+        F.col(y_col).cast("bigint").alias("__gy"),
+    ).select(
+        _floor_div("__gx", cell).alias("cell_x"),
+        _floor_div("__gy", cell).alias("cell_y"),
+    )
+
+
+def hotspots_from_census(
+    census: DataFrame, *, min_count: int = 1, count_col: str = "n"
+) -> DataFrame:
+    """The Moore-stencil fold of :func:`grid_hotspots` given the cell
+    census — the shared core a STREAM folds at read time (cell counts
+    are associative, so ``streaming.census.stream_census`` maintains
+    the census exactly-once and this fold re-derives every hotspot,
+    late data included).  ``census`` holds one row per occupied cell
+    with a positive count."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    c = census.select(
+        "cell_x", "cell_y", F.col(count_col).cast("bigint").alias("n")
     )
     offsets = F.expr(
         "explode(array(" + ", ".join(
@@ -416,7 +442,7 @@ def grid_hotspots(
         ) + "))"
     )
     neigh = (
-        census.select("cell_x", "cell_y", "n", offsets.alias("__o"))
+        c.select("cell_x", "cell_y", "n", offsets.alias("__o"))
         .select(
             (F.col("cell_x") + F.col("__o.dx")).alias("cell_x"),
             (F.col("cell_y") + F.col("__o.dy")).alias("cell_y"),
@@ -426,7 +452,7 @@ def grid_hotspots(
         .agg(F.sum("n").alias("n_neigh"))
     )
     return (
-        census.join(neigh, ["cell_x", "cell_y"])
+        c.join(neigh, ["cell_x", "cell_y"])
         .filter(F.col("n") >= F.lit(min_count))
         .select(
             "cell_x",

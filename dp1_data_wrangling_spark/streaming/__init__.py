@@ -45,7 +45,7 @@ from .rebuild import (
     stream_sessions,
     stream_transitions,
 )
-from .census import read_cusum_alarms, stream_census
+from .census import read_cusum_alarms, read_grid_hotspots, stream_census
 from .ranking import read_rank_tiles, stream_rank_census
 from .scd import stream_scd2
 from .sketches import stream_sketches
@@ -79,6 +79,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "read_cusum_alarms",
+    "read_grid_hotspots",
     "read_rank_tiles",
     "stream_census",
     "stream_rank_census",

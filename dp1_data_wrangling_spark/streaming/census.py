@@ -146,3 +146,27 @@ def read_cusum_alarms(
         slack_milli=slack_milli,
         threshold_milli=threshold_milli,
     )
+
+
+def read_grid_hotspots(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Fold a maintained ``(cell_x, cell_y, n_rows)`` census through
+    the exact Moore-stencil hotspot screen (operators/spatial.py
+    hotspots_from_census) — the streaming form of the
+    ``events_grid_hotspots`` surface.  A LATE point revises its cell's
+    count, which moves that cell AND its eight neighbors'
+    concentration — the stencil fold re-derives all of it over
+    census-sized data.  Project the stream through
+    ``operators.spatial.grid_cells`` so the cell definition is shared
+    with the batch screen and the oracle."""
+    from ..operators.spatial import hotspots_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return hotspots_from_census(
+        census, min_count=min_count, count_col="n_rows"
+    )

@@ -2504,3 +2504,74 @@ def test_stream_census_cusum_equals_batch(spark, tmp_path):
         table="day_census", key_cols=["event_type", "day"],
     ).awaitTermination(180)
     assert alarms() == got
+
+
+def test_stream_census_grid_hotspots_equals_batch(spark, tmp_path):
+    """Streaming points through the census maintainer in three cuts —
+    the LAST cut lands points in already-published cells (revising
+    those cells AND their eight neighbors' concentration) —
+    read_grid_hotspots == the batch grid_hotspots screen over all
+    points.  Replay from the same checkpoint is a no-op."""
+    from dp1_data_wrangling_spark.operators.spatial import (
+        grid_cells,
+        grid_hotspots,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_grid_hotspots,
+        stream_census,
+    )
+
+    rows = []
+    pid = 0
+    for x in range(-20, 21, 2):
+        for y in range(-20, 21, 2):
+            # a dense blob near the origin, sparse elsewhere
+            reps = 6 if abs(x) + abs(y) <= 6 else 1
+            for _ in range(reps):
+                rows.append((pid, x, y))
+                pid += 1
+    pts = spark.createDataFrame(rows, "pid long, x long, y long")
+
+    src = tmp_path / "pts_stream"
+    pts.where("pid % 3 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    pts.where("pid % 3 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    time.sleep(1.1)
+    pts.where("pid % 3 = 2").coalesce(1).write.parquet(str(src / "b3"))
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    cells = lambda df: grid_cells(df, x_col="x", y_col="y", cell=5)  # noqa: E731
+    stream_census(
+        cells(stream), cat_root, checkpoint_dir=ckpt,
+        table="cell_census", key_cols=["cell_x", "cell_y"],
+    ).awaitTermination(180)
+
+    def hot():
+        return {
+            (r.cell_x, r.cell_y): (r.n, r.n_neigh, r.concentration_milli)
+            for r in read_grid_hotspots(
+                spark, cat_root, table="cell_census", min_count=2
+            ).collect()
+        }
+
+    got = hot()
+    assert got, "the dense blob must emit hotspot rows"
+    want = {
+        (r.cell_x, r.cell_y): (r.n, r.n_neigh, r.concentration_milli)
+        for r in grid_hotspots(
+            pts, x_col="x", y_col="y", cell=5, min_count=2
+        ).collect()
+    }
+    assert got == want
+
+    stream_census(
+        cells(stream), cat_root, checkpoint_dir=ckpt,
+        table="cell_census", key_cols=["cell_x", "cell_y"],
+    ).awaitTermination(180)
+    assert hot() == got
