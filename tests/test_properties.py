@@ -1139,3 +1139,63 @@ def test_rank_sum_equals_pairwise_brute_force(spark, obs):
     else:
         want_z2 = None
     assert got.z2_milli == want_z2
+
+
+# (value, count) census rows for the tile-summary invariants; counts
+# include zeros (ignored by contract) and values collide on purpose
+tile_census_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=tile_census_rows, k=st.integers(min_value=1, max_value=8))
+@SETTINGS
+def test_rank_tile_summary_invariants(spark, rows, k):
+    """For ANY census and tile count: the emitted tiles partition
+    [1, N] (rank ranges are contiguous, disjoint, SQL-standard sized),
+    per-tile n_rows equals the rank-range width AND sums to N, value
+    boundaries are non-decreasing across tiles, and every boundary is
+    an actual census value whose rank interval contains the tile's
+    boundary rank — replayed against a pure-Python fold."""
+    from dp1_data_wrangling_spark.operators.ranking import rank_tile_summary
+
+    # collapse duplicate values (the one-row-per-value contract)
+    agg: dict[int, int] = {}
+    for v, n in rows:
+        agg[v] = agg.get(v, 0) + n
+    agg = {v: n for v, n in agg.items() if n > 0}
+    census = spark.createDataFrame(
+        [(v, n) for v, n in agg.items()] or [(0, 0)], "v long, n long"
+    )
+    got = sorted(
+        (
+            (r.tier, r.rank_lo, r.rank_hi, r.n_rows, r.value_lo, r.value_hi)
+            for r in rank_tile_summary(
+                census, metric_col="v", count_col="n", n_tiles=k
+            ).collect()
+        )
+    )
+    n_total = sum(agg.values())
+    if n_total == 0:
+        assert got == []
+        return
+    # pure-Python replay: expand the census into the sorted value run
+    values = [v for v in sorted(agg) for _ in range(agg[v])]
+    q, rem = divmod(n_total, k)
+    expect = []
+    lo = 1
+    for t in range(1, k + 1):
+        size = q + (1 if t <= rem else 0)
+        if size == 0:
+            continue
+        hi = lo + size - 1
+        expect.append(
+            (t, lo, hi, size, values[lo - 1], values[hi - 1])
+        )
+        lo = hi + 1
+    assert got == expect
