@@ -1814,3 +1814,57 @@ def benford_screen(
             "chi2_milli",
         )
     )
+
+
+def simpson_concentration(
+    df: DataFrame,
+    *,
+    item_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Simpson concentration index per group (r12) — the probability
+    that two draws WITHOUT replacement share a category:
+
+        simpson_ppm = (SUM_i n_i * (n_i - 1)) * 1_000_000
+                      div (N * (N - 1))
+
+    the Hunter-Gaston form — exact integers end to end (its complement
+    is Simpson diversity; the Herfindahl-style mix-homogeneity KPI a
+    corpus owner reads per source/shard before mixing).  NULL items
+    are excluded (no category, no draw); groups with N < 2 emit NULL
+    (a single draw has no pair).
+
+    Returns one row per group: ``(*group_cols, n_rows, n_categories,
+    simpson_ppm)``.
+
+    Scale posture (100 TB): one (group, item) census groupBy + one
+    group aggregate — both map-side combinable, zero joins, zero
+    windows.  The cross-multiply runs in DECIMAL(38,0) with one
+    truncating division (the chi-square family's algebra), exact to
+    ~1e16 rows per group — no 2^62 envelope needed.
+    """
+    groups = group_cols or []
+    census = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(*groups, F.col(item_col).alias("__i"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    agg = census.groupBy(*groups).agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.col("__n") * (F.col("__n") - 1)).cast(_D).alias("__s"),
+    )
+    num = F.col("__s") * F.lit(1_000_000).cast(_D)
+    den = (
+        F.col("n_rows").cast(_D)
+        * (F.col("n_rows") - F.lit(1)).cast(_D)
+    )
+    return agg.select(
+        *groups,
+        "n_rows",
+        "n_categories",
+        F.when(
+            F.col("n_rows") >= 2,
+            ((num - (num % den)) / den).cast("bigint"),
+        ).alias("simpson_ppm"),
+    )

@@ -112,7 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "events_grid_hotspots",       # r11: census-stencil Moore concentration
     # -- graph / time series --
     "lineitem_corr_matrix",       # r10: one-pass Pearson correlation matrix
-    "events_acf",                 # r10: exact autocorrelation, lags 1-4
+    "doc_source_lang_simpson",    # r12: Simpson mix-concentration index (exact ppm)
 ]
 if len(DRIVER_WINDOW) != 50:  # explicit raise: survives python -O
     raise ValueError(

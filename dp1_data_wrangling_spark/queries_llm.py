@@ -3330,3 +3330,42 @@ def q_doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ppm", F.expr("(n_dup_rows * 1000000) div n_docs")
         )
     )
+
+
+@register(
+    "doc_source_lang_simpson",
+    """
+    WITH si_c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE lang IS NOT NULL
+        GROUP BY source, lang
+    ),
+    si_a AS (
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_categories,
+               SUM(CAST(n AS HUGEINT) * (n - 1)) AS s
+        FROM si_c GROUP BY source
+    )
+    SELECT source, n_rows, n_categories,
+           CASE WHEN n_rows >= 2
+                THEN CAST((s * 1000000)
+                          // (CAST(n_rows AS HUGEINT) * (n_rows - 1))
+                     AS BIGINT) END AS simpson_ppm
+    FROM si_a
+    """,
+)
+def q_doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language concentration (operators/stats.py
+    simpson_concentration, r12): the Simpson/Hunter-Gaston index of
+    each source's language mix in exact ppm — the corpus-mix
+    homogeneity KPI next to corpus_stats' share report (shares say
+    WHAT the mix is; the index says HOW concentrated, in one
+    pair-draw probability).  DECIMAL(38,0) vs HUGEINT cross-multiply
+    with one truncating division."""
+    from .operators.stats import simpson_concentration
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    return simpson_concentration(
+        docs, item_col="lang", group_cols=["source"]
+    )

@@ -7481,3 +7481,30 @@ def test_bounce_rate_hand_computed(spark):
         "home": (2, 1, 500_000),
         "promo": (1, 1, 1_000_000),
     }
+
+
+def test_simpson_concentration_hand_computed(spark):
+    """Group g: categories a x3, b x1 (N=4): sum n(n-1) = 6, den = 12
+    -> 500_000 ppm.  Group h: one row -> NULL (no pair).  Group u:
+    uniform a/b (N=2): 0 ppm.  NULL items excluded."""
+    from dp1_data_wrangling_spark.operators.stats import (
+        simpson_concentration,
+    )
+
+    rows = [
+        ("g", "a"), ("g", "a"), ("g", "a"), ("g", "b"), ("g", None),
+        ("h", "a"),
+        ("u", "a"), ("u", "b"),
+    ]
+    df = spark.createDataFrame(rows, "k string, item string")
+    got = {
+        r.k: (r.n_rows, r.n_categories, r.simpson_ppm)
+        for r in simpson_concentration(
+            df, item_col="item", group_cols=["k"]
+        ).collect()
+    }
+    assert got == {
+        "g": (4, 2, 500_000),
+        "h": (1, 1, None),
+        "u": (2, 2, 0),
+    }

@@ -458,7 +458,12 @@ def test_driver_window_covers_flagship_surface():
         # green r8+r9; the multimodal family keeps png/qoi — two
         # REAL-codec reps — in-window, and the WAV chunk walk stays
         # parity-held in-repo every CI run)
-        "events_acf", "doc_link_communities", "order_brand_rules",
+        # events_acf rotated out in r12 for doc_source_lang_simpson (2x
+        # green r10-r11; the timeseries family keeps events_gapfill,
+        # events_seasonal_mase, events_seasonal_profile and
+        # events_trend_test in-window; ACF stays parity-held in-repo)
+        "doc_source_lang_simpson", "doc_link_communities",
+        "order_brand_rules",
         # round-9: Deequ-class declarative expectation suite and HDR
         # log-linear histogram quantiles enter directly (outs: see the
         # doc_pack_sequences / corpus_top_ngrams note above)
