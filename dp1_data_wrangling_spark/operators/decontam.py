@@ -88,3 +88,64 @@ def contamination(
             F.count("*").alias("n_shared"),
         )
     )
+
+
+def corpus_ngram_overlap(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LEVEL n-gram overlap (r12) — the aggregate KPI next to
+    :func:`contamination`'s per-doc flags: of all DISTINCT n-grams in
+    the current corpus, what share also appears in the reference (and
+    the reverse) — the one number a "how much of this scrape is
+    already in the training set" decision reads.
+
+        cur_in_ref_ppm = n_shared * 1_000_000 div n_cur_grams
+        ref_in_cur_ppm = n_shared * 1_000_000 div n_ref_grams
+
+    exact integers; an empty side reads NULL for its ratio (no grams,
+    no share — never a silent 0).
+
+    Returns ONE row: ``(n_ref_grams, n_cur_grams, n_shared,
+    cur_in_ref_ppm, ref_in_cur_ppm)``.
+
+    Scale posture (100 TB): per side one row-local digest projection +
+    an explode + a distinct (the gram census — the only data-sized
+    shuffles); the two censuses full-outer-join on the 32-hex digest
+    key and ONE global aggregate folds the three counts (its
+    SinglePartition gather is a one-row frame — the documented
+    constant-size class).  Overflow: n_shared * 1e6 needs < ~9.2e12
+    distinct grams — sample past that (shares are scale-free).
+    """
+    def grams(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            ngram_digests(df, n=n, text_col=text_col)
+            .select(F.explode("digests").alias("digest"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    j = grams(ref, "__r").join(grams(cur, "__c"), "digest", "full_outer")
+    agg = j.agg(
+        F.count("__r").cast("bigint").alias("n_ref_grams"),
+        F.count("__c").cast("bigint").alias("n_cur_grams"),
+        F.count(F.when(F.col("__r").isNotNull() & F.col("__c").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_shared"),
+    )
+    return agg.select(
+        "n_ref_grams",
+        "n_cur_grams",
+        "n_shared",
+        F.when(
+            F.col("n_cur_grams") > 0,
+            F.expr("(n_shared * 1000000) div n_cur_grams"),
+        ).alias("cur_in_ref_ppm"),
+        F.when(
+            F.col("n_ref_grams") > 0,
+            F.expr("(n_shared * 1000000) div n_ref_grams"),
+        ).alias("ref_in_cur_ppm"),
+    )

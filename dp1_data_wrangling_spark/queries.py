@@ -104,7 +104,7 @@ DRIVER_WINDOW: list[str] = [
     "table_expectations",         # r9: Deequ-class declarative rule suite
     "events_seasonal_profile",    # r11: exact ratio-to-mean seasonal indices
     "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
-    "bm25_index_topk",            # r9: persisted text index build->query
+    "corpus_ngram_overlap",       # r12: corpus-level 5-gram overlap share
     "events_changepoints",        # r9: exact CUSUM change-point alarms
     "brand_momentum",             # r11: two-period momentum screen (exact ppm)
     "events_seasonal_mase",       # r11: seasonal-naive forecast accuracy

@@ -3369,3 +3369,88 @@ def q_doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpson_concentration(
         docs, item_col="lang", group_cols=["source"]
     )
+
+
+@register(
+    "corpus_ngram_overlap",
+    """
+    WITH ov_tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x != '') AS t
+        FROM documents
+    ),
+    ov_prev AS (
+        SELECT doc_id + 1 AS doc_id, t AS pt FROM ov_tok
+    ),
+    ov_cur_tok AS (
+        SELECT c.doc_id,
+               CASE WHEN c.doc_id % 9 = 0 AND p.pt IS NOT NULL
+                    THEN p.pt ELSE c.t END AS t
+        FROM ov_tok c LEFT JOIN ov_prev p USING (doc_id)
+        WHERE c.doc_id % 2 = 1
+    ),
+    ov_rg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+                    i -> md5(array_to_string(t[i:i+4], ' ')))) AS digest
+        FROM ov_tok WHERE doc_id % 2 = 0 AND len(t) >= 5
+    ),
+    ov_cg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+                    i -> md5(array_to_string(t[i:i+4], ' ')))) AS digest
+        FROM ov_cur_tok WHERE len(t) >= 5
+    ),
+    ov_j AS (
+        SELECT r.digest AS rd, c.digest AS cd
+        FROM ov_rg r FULL OUTER JOIN ov_cg c ON c.digest = r.digest
+    ),
+    ov_a AS (
+        SELECT CAST(count(rd) AS BIGINT) AS n_ref_grams,
+               CAST(count(cd) AS BIGINT) AS n_cur_grams,
+               CAST(count(CASE WHEN rd IS NOT NULL AND cd IS NOT NULL
+                               THEN 1 END) AS BIGINT) AS n_shared
+        FROM ov_j
+    )
+    SELECT n_ref_grams, n_cur_grams, n_shared,
+           CASE WHEN n_cur_grams > 0
+                THEN CAST((n_shared * 1000000) // n_cur_grams AS BIGINT)
+           END AS cur_in_ref_ppm,
+           CASE WHEN n_ref_grams > 0
+                THEN CAST((n_shared * 1000000) // n_ref_grams AS BIGINT)
+           END AS ref_in_cur_ppm
+    FROM ov_a
+    """,
+)
+def q_corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 5-gram overlap share (operators/decontam.py
+    corpus_ngram_overlap, r12): the even-id half is the reference
+    training corpus, the odd-id half the incoming scrape with every
+    %9 doc REPLACED by its even predecessor's text (a planted verbatim
+    re-crawl), so the screen reads a non-trivial cur-in-ref share —
+    the 'how much of this scrape is already in training' KPI next to
+    the per-doc decontamination flags.  Exact ppm; the oracle replays
+    tokenization, the window digests, both distinct censuses, the
+    full-outer join and the conditional counts."""
+    from .operators.decontam import corpus_ngram_overlap
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ptext")
+    )
+    cur = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 9 == 0) & F.col("ptext").isNotNull(),
+                F.col("ptext"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return corpus_ngram_overlap(ref, cur, n=5)

@@ -7508,3 +7508,29 @@ def test_simpson_concentration_hand_computed(spark):
         "h": (1, 1, None),
         "u": (2, 2, 0),
     }
+
+
+def test_corpus_ngram_overlap_hand_computed(spark):
+    """ref = one doc 'a b c d e f' (two distinct 5-grams), cur = one
+    doc sharing exactly the first window plus one novel window:
+    shared = 1, cur grams = 2 -> 500_000 ppm both ways.  Empty cur ->
+    NULL cur ratio, 0 shared."""
+    from dp1_data_wrangling_spark.operators.decontam import (
+        corpus_ngram_overlap,
+    )
+
+    ref = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    cur = spark.createDataFrame([(2, "a b c d e zz")], "doc_id long, text string")
+    got = corpus_ngram_overlap(ref, cur, n=5).collect()[0]
+    assert (
+        got.n_ref_grams, got.n_cur_grams, got.n_shared,
+        got.cur_in_ref_ppm, got.ref_in_cur_ppm,
+    ) == (2, 2, 1, 500_000, 500_000)
+
+    empty = corpus_ngram_overlap(
+        ref, cur.filter("doc_id < 0"), n=5
+    ).collect()[0]
+    assert (empty.n_cur_grams, empty.n_shared, empty.cur_in_ref_ppm) == (
+        0, 0, None,
+    )
+    assert empty.ref_in_cur_ppm == 0

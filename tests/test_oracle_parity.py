@@ -155,7 +155,11 @@ def test_driver_window_covers_flagship_surface():
         # brand_momentum (2x green r9-r10; the graph family keeps
         # communities, ppr and link-prediction in-window and kcore's
         # peeling fixpoint stays parity-held every CI)
-        "bm25_index_topk", "events_changepoints", "brand_momentum",
+        # bm25_index_topk rotated out in r12 for corpus_ngram_overlap
+        # (3x green r9-r11; retrieval keeps doc_bm25_topk in-window,
+        # the persisted-index round trip stays parity-held in-repo
+        # every CI run plus the streaming text-index twin suite)
+        "corpus_ngram_overlap", "events_changepoints", "brand_momentum",
         # ivf_kmeans_recall_bound rotated out in r9 for events_skyline
         # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
         # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)
