@@ -1852,7 +1852,13 @@ def simpson_concentration(
     agg = census.groupBy(*groups).agg(
         F.sum("__n").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
-        F.sum(F.col("__n") * (F.col("__n") - 1)).cast(_D).alias("__s"),
+        # cast BEFORE the multiply: n*(n-1) in BIGINT silently wraps in
+        # non-ANSI Spark past n ~ 3.04e9 per category (r12 ADVICE); the
+        # DECIMAL(38,0) product is exact to ~1e16 rows per group, matching
+        # the HUGEINT oracle in the claimed-supported regime
+        F.sum(
+            F.col("__n").cast(_D) * (F.col("__n") - F.lit(1)).cast(_D)
+        ).alias("__s"),
     )
     num = F.col("__s") * F.lit(1_000_000).cast(_D)
     den = (

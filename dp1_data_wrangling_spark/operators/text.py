@@ -780,11 +780,10 @@ def df_drift(
     Scale posture (100 TB): per side one row-local tokenize + a
     (doc, term) distinct + a term-keyed combinable census; the censuses
     full-outer-join on the term key; the corpus totals ride one-row
-    broadcast cross joins (never a driver collect).  Overflow:
-    ``df_cur * n_ref * 1e6`` guarded in DOUBLE against 2^62,
-    fail-fast threaded into the consumed ratio (pre-scale by sampling
-    the ratio's inputs beyond ~2e9-doc corpora — rates are
-    scale-free).
+    broadcast cross joins (never a driver collect).  Overflow: BOTH
+    sides of the cross-multiply run in DECIMAL(38,0) — exact past any
+    real corpus size, no 2^62 envelope, no wrap on either the
+    numerator or ``df_ref * n_cur`` (r12 ADVICE).
     """
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
@@ -825,7 +824,14 @@ def df_drift(
         )
         .alias("__nr")
     )
-    nc = cur.agg(F.count(F.lit(1)).cast("bigint").alias("__nc"))
+    # same non-NULL-text convention as __nr: both document-rate
+    # denominators count documents WITH text (r12 ADVICE — mixed
+    # conventions skew every ratio when cur carries NULL-text rows)
+    nc = cur.agg(
+        F.count(F.when(F.col(text_col).isNotNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("__nc")
+    )
     joined = (
         census(ref, "df_ref")
         .join(census(cur, "df_cur"), "term", "full_outer")
@@ -838,30 +844,24 @@ def df_drift(
         .crossJoin(F.broadcast(nr))
         .crossJoin(F.broadcast(nc))
     )
-    env = (
-        F.col("df_cur").cast("double")
-        * F.col("__nr").cast("double")
-        * F.lit(1e6)
+    # both sides of the cross-multiply ride DECIMAL(38,0): the old
+    # BIGINT path guarded only the numerator against 2^62 and left
+    # df_ref * __nc to wrap (r12 ADVICE) — the decimal product is
+    # exact past any real corpus size, no envelope needed
+    _d = "decimal(38,0)"
+    num = (
+        F.col("df_cur").cast(_d)
+        * F.col("__nr").cast(_d)
+        * F.lit(1_000_000).cast(_d)
     )
-    num_ok = F.when(
-        env <= F.lit(float(1 << 62)),
-        F.col("df_cur") * F.col("__nr") * F.lit(1_000_000),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "df_drift: df_cur * n_ref * 1e6 exceeds the 2^62 "
-                "cross-multiply envelope — sample one side (document "
-                "rates are scale-free)"
-            )
-        ).cast("bigint")
-    )
-    return joined.withColumn("__num", num_ok).select(
+    den = F.col("df_ref").cast(_d) * F.col("__nc").cast(_d)
+    return joined.select(
         "term",
         "df_ref",
         "df_cur",
         F.when(
             (F.col("df_ref") > 0) & (F.col("df_cur") > 0),
-            F.expr("__num div (df_ref * __nc)"),
+            ((num - (num % den)) / den).cast("bigint"),
         ).alias("rate_ratio_ppm"),
         (F.col("df_ref") == 0).alias("is_new"),
         (F.col("df_cur") == 0).alias("is_gone"),

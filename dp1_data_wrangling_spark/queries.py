@@ -67,7 +67,10 @@ DRIVER_WINDOW: list[str] = [
     "customer_rfm_segments",      # r10: RFM tiers over exact aggregates
     "doc_quality_survivors",      # r12: keep-BEST-per-cluster curation dedup
     "events_quantile_normalize",  # r10: exact rank-based QN calibration
-    "events_hll_rolling",         # r10: rolling HLL via register re-max
+    "events_kmv_distinct",        # r13 window (VERDICT r12 item 2): KMV distinct
+                                  #   sketch — never externally checked before;
+                                  #   replaces 3x-green events_hll_rolling (sketch
+                                  #   family rep maintained)
     # -- LLM curation tier --
     "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
     "doc_collocations",           # r12: PMI-class lift collocations (exact ppm)
@@ -103,7 +106,10 @@ DRIVER_WINDOW: list[str] = [
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "table_expectations",         # r9: Deequ-class declarative rule suite
     "events_seasonal_profile",    # r11: exact ratio-to-mean seasonal indices
-    "doc_bm25_topk",              # r9: BM25 inverted-index retrieval
+    "bm25_ndcg_eval",             # r13 window (VERDICT r12 item 2): BM25 NDCG@k
+                                  #   eval — never externally checked before;
+                                  #   replaces 4x-green doc_bm25_topk (retrieval
+                                  #   family rep maintained)
     "corpus_ngram_overlap",       # r12: corpus-level 5-gram overlap share
     "events_changepoints",        # r9: exact CUSUM change-point alarms
     "brand_momentum",             # r11: two-period momentum screen (exact ppm)

@@ -348,7 +348,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE aug AS ({_AUG_NEAR}),
     qs_d AS (
-        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS quality,
+        -- length() = CHARACTER length (matches Spark F.length); strlen
+        -- is bytes and diverges on multibyte text (r12 ADVICE)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS quality,
                md5(lower(substr(text, 1, 200))) AS dg
         FROM aug
     )
@@ -3168,8 +3170,8 @@ def q_doc_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, CAST(count(*) AS BIGINT) AS df_cur
         FROM dd_cp GROUP BY term
     ),
-    dd_nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM dd_ref),
-    dd_nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM dd_cur)
+    dd_nr AS (SELECT CAST(count(text) AS BIGINT) AS nr FROM dd_ref),
+    dd_nc AS (SELECT CAST(count(text) AS BIGINT) AS nc FROM dd_cur)
     SELECT COALESCE(r.term, c.term) AS term,
            COALESCE(r.df_ref, 0) AS df_ref,
            COALESCE(c.df_cur, 0) AS df_cur,

@@ -345,7 +345,13 @@ def test_driver_window_covers_flagship_surface():
         # directly (cosine_topk out — see the ANN-family note above)
         # events_gapfill rotated out in r10 for events_hll_rolling (2x green
         # r8+r9; the gap-fill family keeps events_interpolate in-window)
-        "events_hll_rolling",
+        # events_hll_rolling rotated out in r13 for events_kmv_distinct
+        # (3x green r10-r12; the VERDICT r12 audit found kmv_distinct was
+        # one of only two registry entries with ZERO external driver
+        # evidence — swapped out for the rolling form in r8 before its
+        # first green.  The sketch family rep is maintained; the rolling
+        # merge-law form stays parity-held in-repo every CI run)
+        "events_kmv_distinct",
         # round-8: one-pass per-column data-quality profiler enters
         # directly (doc_quality_quantile out — see note above)
         # table_profile rotated out in r10 for lineitem_weighted_quantiles
@@ -478,7 +484,15 @@ def test_driver_window_covers_flagship_surface():
         "table_expectations", "events_seasonal_profile",
         # round-9: BM25 retrieval enters directly (see doc_source_quota
         # note above)
-        "doc_bm25_topk",
+        # doc_bm25_topk rotated out in r13 for bm25_ndcg_eval (4x green
+        # r9-r12; the VERDICT r12 audit found ndcg_eval was one of only
+        # two registry entries with ZERO external driver evidence —
+        # registered r11, never windowed.  The retrieval family rep is
+        # maintained — the NDCG eval replays the same BM25 scorer plus
+        # the graded-relevance DCG fold; the raw top-k form keeps its
+        # bench-headline + sf1 two-decade perf evidence and stays
+        # parity-held in-repo every CI run)
+        "bm25_ndcg_eval",
         # round-9: the three r8 entrants deliberately held back at the
         # end of round 8 enter now (outs: see the doc_card_scan /
         # ivf_kmeans_recall_bound / doc_subword_mix notes above)
