@@ -33,6 +33,99 @@ JVM_REF_BEST_SEC = 0.059
 JVM_REF_CLEAN_SEC = 0.07
 
 
+def _cpu_ticks() -> int:
+    """Total busy CPU ticks (user+nice+system) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    user, nice, system = int(parts[1]), int(parts[2]), int(parts[3])
+    return user + nice + system
+
+
+def jvm_ref_probe(spark) -> dict:
+    """One machine-state sample: the fixed 32-thread JVM range-sum
+    (min-of-3 wall) PLUS the guest-side effective-parallelism reading.
+
+    eff_parallelism (r13) is busy-cpu-seconds / wall on the probe run,
+    from /proc/stat tick deltas.  Context: this sandbox is a
+    Firecracker microVM where hypervisor-side contention shows up as
+    NEITHER guest processes NOR steal time (no paravirt steal clock —
+    a 5s sampler DURING a starved 32-thread probe read steal=0 and
+    idle=66%, with no in-VM process consuming the gap and no cgroup
+    quota configured; measured r13).  The wall-clock jvm ref therefore
+    remains the load-bearing gate; eff_parallelism is recorded as a
+    trend diagnostic — on this host a starved probe burned ~3 cpu-sec
+    at eff ~10 while a clean probe finished in ~0.6 cpu-sec at eff ~9,
+    i.e. contention INFLATES total cpu burned (scheduler/JVM overhead),
+    it does not just stretch wall.  Interpret jointly with wall, not
+    alone.
+    """
+    best_wall, best_eff = float("inf"), 0.0
+    for _ in range(3):
+        t0_ticks = _cpu_ticks()
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) as s"
+        ).collect()
+        wall = time.perf_counter() - t0
+        busy_sec = (_cpu_ticks() - t0_ticks) / os.sysconf("SC_CLK_TCK")
+        if wall < best_wall:
+            best_wall, best_eff = wall, busy_sec / wall
+    noop = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        spark.sql("select 1").collect()
+        noop = min(noop, time.perf_counter() - t0)
+    return {
+        "jvm_range_sum_sec": round(best_wall, 3),
+        "eff_parallelism": round(best_eff, 1),
+        # Per-job scheduling-latency floor (r13): the dimension the
+        # burst probe does NOT measure — iterative queries' small-sf
+        # wall is jobs x this number.  Healthy ~10-20ms; this host has
+        # read 49-56ms+ all round even when the burst probe was clean.
+        "noop_sql_floor_ms": round(noop * 1000, 1),
+        "ambient_vs_best": round(best_wall / JVM_REF_BEST_SEC, 2),
+        "machine_clean": best_wall <= JVM_REF_CLEAN_SEC,
+    }
+
+
+def wait_for_clean_host(spark, budget_sec: float) -> dict:
+    """Pre-flight admission gate (VERDICT r12 item 1): sample the JVM
+    reference and hold the timed run until the host is in-band
+    (jvm ref <= 0.07s) or the budget is exhausted.  The instrument
+    stopped being a stamp in r12; this makes it an admission gate —
+    a dirty start no longer silently burns the round's bench slot.
+
+    Budget via $SPARK_GRAFT_BENCH_GATE_SEC (default 600; 0 disables).
+    Returns the gate record for the machine_ref block: every sample
+    taken, the wait, and whether the run was admitted clean.
+    """
+    samples = []
+    t0 = time.perf_counter()
+    probe = jvm_ref_probe(spark)
+    samples.append(probe["jvm_range_sum_sec"])
+    while not probe["machine_clean"]:
+        waited = time.perf_counter() - t0
+        if waited + 30.0 > budget_sec:
+            break
+        print(
+            f"admission gate: jvm ref {probe['jvm_range_sum_sec']}s "
+            f"({probe['ambient_vs_best']}x over best, eff_par "
+            f"{probe['eff_parallelism']}) — holding {30}s "
+            f"({waited:.0f}/{budget_sec:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+        probe = jvm_ref_probe(spark)
+        samples.append(probe["jvm_range_sum_sec"])
+    return {
+        "gate_budget_sec": budget_sec,
+        "gate_waited_sec": round(time.perf_counter() - t0, 1),
+        "gate_samples": samples,
+        "admitted_clean": probe["machine_clean"],
+        "admitted_eff_parallelism": probe["eff_parallelism"],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Queries-only mode (r12): skip the probe/streaming blocks so a run
@@ -71,6 +164,28 @@ def main() -> None:
         materialize(REGISTRY["find_first"].fn(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001 - warm-up failure is not fatal
         print(f"warm-up failed: {exc}", file=sys.stderr)
+
+    # Pre-flight admission gate (r13, VERDICT r12 item 1): hold the
+    # timed run for up to $SPARK_GRAFT_BENCH_GATE_SEC (default 600s)
+    # until the host reads clean, so a contended start doesn't burn
+    # the round's bench slot.  A still-dirty run proceeds (it feeds
+    # the cross-run MINS protocol) but carries the gate record.
+    gate_record = None
+    try:
+        gate_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_GATE_SEC", "600")
+        )
+        if gate_budget > 0:
+            gate_record = wait_for_clean_host(spark, gate_budget)
+            if not gate_record["admitted_clean"]:
+                print(
+                    "admission gate: budget exhausted, host still dirty "
+                    f"(samples {gate_record['gate_samples']}) — running "
+                    "anyway as a mins-protocol sample",
+                    file=sys.stderr,
+                )
+    except Exception as exc:  # noqa: BLE001 - gate is best-effort
+        print(f"admission gate failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -121,17 +236,45 @@ def main() -> None:
                 h.update(blk)
             return time.perf_counter() - t0
 
-        def _jvm_ref() -> float:
-            t0 = time.perf_counter()
-            spark.range(0, 50_000_000, 1, 32).selectExpr(
-                "sum(id * 3 + 1) as s"
-            ).collect()
-            return time.perf_counter() - t0
+        probe = jvm_ref_probe(spark)
+        jvm_ref = probe["jvm_range_sum_sec"]
 
-        jvm_ref = round(min(_jvm_ref() for _ in range(3)), 3)
+        # Scheduling-latency floor (r13 — the instrument that finally
+        # root-caused the graph-query inflation): per-JOB fixed latency,
+        # NOT throughput.  The r13 clean-block isolated runs proved the
+        # iterative headliners' sf0.1 wall is jobs x this floor
+        # (doc_link_triangles: 32 jobs; x ~20ms r9-era floor = the
+        # 0.66s record; x the ~100-130ms floor measured this round =
+        # the 3.3-4.2s readings), while sustained throughput sat at the
+        # hardware ceiling (1B-row range-sum in 0.35s) and the 50M
+        # burst probe read CLEAN — the short probe measures burst
+        # throughput, a different dimension from wakeup/dispatch
+        # latency.  Recorded, not gated: the healthy floor (~10-20ms
+        # noop) has never been observed since r11 on this host.
+        def _floor(fn, n: int) -> float:
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return round(best * 1000, 1)
+
+        scaling["sched_floor"] = {
+            "noop_sql_ms": _floor(
+                lambda: spark.sql("select 1").collect(), 10
+            ),
+            "tiny_1task_ms": _floor(lambda: spark.range(1).count(), 10),
+            "tiny_shuffle_ms": _floor(
+                lambda: spark.range(0, 3200, 1, 32)
+                .selectExpr("id % 32 as k")
+                .groupBy("k")
+                .count()
+                .collect(),
+                6,
+            ),
+        }
         scaling["machine_ref"] = {
             "cpu_md5_200mb_sec": round(min(_cpu_ref() for _ in range(3)), 3),
-            "jvm_range_sum_sec": jvm_ref,
             # Load-bearing since r12 (VERDICT r11 item 2): the best
             # historical 32-thread reference on this host is 0.059s
             # (r11's cleanest run).  ambient_vs_best is the run's
@@ -139,10 +282,12 @@ def main() -> None:
             # marks the run as comparable under the mins protocol
             # (<= ~15% over the best ref).  A dirty run still prints —
             # it feeds cross-run MINS — but its totals must not be
-            # read as a plan regression.
-            "ambient_vs_best": round(jvm_ref / JVM_REF_BEST_SEC, 2),
-            "machine_clean": jvm_ref <= JVM_REF_CLEAN_SEC,
+            # read as a plan regression.  eff_parallelism (r13) is the
+            # co-scheduled-vCPU reading — see jvm_ref_probe.
+            **probe,
         }
+        if gate_record is not None:
+            scaling["machine_ref"].update(gate_record)
         if jvm_ref > JVM_REF_CLEAN_SEC:
             print(
                 f"machine_ref: jvm {jvm_ref}s > clean gate "
@@ -1295,6 +1440,17 @@ def main() -> None:
     }
     if scaling:
         record["scaling"] = scaling
+        # Ambient-normalized secondary statistic (r13, VERDICT r12
+        # item 1): total deflated by the run's measured contention
+        # multiplier (x best_ref/run_ref).  An ESTIMATE — stated as
+        # such — that keeps the round-over-round trend falsifiable
+        # when the host never produces a clean window; on a clean run
+        # it converges to the raw total.
+        ref = scaling.get("machine_ref", {}).get("jvm_range_sum_sec")
+        if ref and not errors:
+            record["ambient_normalized_total_est_sec"] = round(
+                total * JVM_REF_BEST_SEC / ref, 3
+            )
     if streaming_stats:
         record["streaming"] = streaming_stats
     if errors:

@@ -1721,8 +1721,23 @@ def benford_screen(
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    from pyspark.sql import Window
+    counts = (
+        benford_digit_projection(df, value_col=value_col, group_cols=group_cols)
+        .groupBy(*group_cols)
+        .pivot("digit", list(range(1, 10)))
+        .agg(F.count(F.lit(1)))
+    )
+    return _benford_fold(counts, group_cols)
 
+
+def benford_digit_projection(
+    df: DataFrame, *, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Row-local first-significant-digit projection ``(*group_cols,
+    digit)`` with the positive-integer guard — the single definition
+    the batch screen, the streaming census maintainer and the batch
+    oracle all share (the stream_census contract: the caller's
+    projection IS the censused key)."""
     v = F.col(value_col)
     v_ok = F.when(v > 0, v).otherwise(
         F.raise_error(
@@ -1733,18 +1748,74 @@ def benford_screen(
             )
         ).cast("bigint")
     )
-    counts = (
-        df.withColumn("__v", v_ok)
-        .select(
+    return df.withColumn("__v", v_ok).select(
+        *group_cols,
+        F.substring(F.col("__v").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+
+
+def benford_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    digit_col: str = "digit",
+    count_col: str = "n_obs",
+) -> DataFrame:
+    """Benford conformity fold over a maintained ``(group, digit, n)``
+    digit census (r13) — the streaming read side
+    (streaming/census.py read_benford): digit counts add, so a stream
+    maintains the census by per-key addition and this fold re-derives
+    the FULL screen.  A late amount revises one digit's count, which
+    moves the group total and therefore EVERY digit's Pearson term —
+    exactly the cross-row damage the census fold re-derives and
+    bounded incremental state cannot.  Shares ``_benford_fold`` with
+    :func:`benford_screen`, so the two are the same algebra by
+    construction.  Digits outside 1..9 raise executor-side (a digit
+    census with a 0/NULL digit row is a projection bug, not data).
+
+    Scale: one census-sized combinable groupBy (9 rows per group in
+    the wide form) + the row-local grid rebuild + group-key windows
+    over nine-rows-per-group data.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    d_ok = F.when(
+        F.col(digit_col).between(1, 9), F.col(digit_col).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "benford_from_census: digit outside 1..9 — the census "
+                "projection must emit first significant digits only"
+            )
+        ).cast("int")
+    )
+    wide = (
+        census.select(
             *group_cols,
-            F.substring(F.col("__v").cast("string"), 1, 1)
-            .cast("int")
-            .alias("digit"),
+            d_ok.alias("__d"),
+            F.col(count_col).cast("bigint").alias("__n"),
         )
         .groupBy(*group_cols)
-        .pivot("digit", list(range(1, 10)))
-        .agg(F.count(F.lit(1)))
+        .agg(
+            *[
+                F.sum(F.when(F.col("__d") == d, F.col("__n"))).alias(str(d))
+                for d in range(1, 10)
+            ]
+        )
     )
+    return _benford_fold(wide, group_cols)
+
+
+def _benford_fold(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared tail of benford_screen / benford_from_census: from the
+    one-row-per-group WIDE digit census (columns "1".."9", NULL = zero
+    observed) to the nine-row conformity grid with exact Pearson
+    terms.  Factored in r13 so the streaming read side is the batch
+    algebra by construction, not by parallel implementation."""
+    from pyspark.sql import Window
+
     # rebuild the dense nine-digit grid (zero cells included) from the
     # pivoted census — one row per group in, nine out
     digit_arr = F.array(

@@ -879,6 +879,53 @@ def seasonal_profile(
     Engine extension — the reference (exporter.py:75-141) has no
     time-series tier.
     """
+    keys = key_cols or []
+    d = seasonal_census_projection(
+        df,
+        ts_col=ts_col,
+        value_col=value_col,
+        bucket_us=bucket_us,
+        period=period,
+        quant_scale=quant_scale,
+        key_cols=keys,
+    )
+    census = (
+        d.groupBy(*keys, "__pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum(F.col("__vq").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return seasonal_from_census(
+        census,
+        key_cols=keys,
+        position_col="__pos",
+        count_col="n_obs",
+        sum_col="__s",
+    )
+
+
+def seasonal_census_projection(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+    period: int,
+    quant_scale: int = 1000,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-local ``(*key_cols, __pos, __vq)`` projection for the
+    seasonal census — bucket position plus the milli-quantized value,
+    NULL values DROPPED (mean semantics: they contribute to neither
+    sum nor count, so a position observed only through NULLs is
+    absent, matching the batch profile's n_obs > 0 contract).  The
+    single definition the batch operator, the streaming census
+    maintainer (``stream_census(..., sum_cols=...)``) and the batch
+    oracle all share."""
     if bucket_us <= 0:
         raise ValueError(f"bucket_us must be positive, got {bucket_us}")
     if period < 2:
@@ -899,23 +946,38 @@ def seasonal_profile(
             )
         ).cast("bigint")
     )
-    d = df.select(
+    return df.select(
         *keys,
         (F.expr(f"({ts_col} div {bucket_us})") % F.lit(period)).alias(
             "__pos"
         ),
         vq.alias("__vq"),
-    )
-    census = (
-        d.groupBy(*keys, "__pos")
-        .agg(
-            F.count("__vq").cast("bigint").alias("n_obs"),
-            F.coalesce(F.sum(F.col("__vq").cast("decimal(38,0)")), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("__s"),
-        )
-        .filter(F.col("n_obs") > 0)
-        .localCheckpoint(eager=False)
+    ).filter(F.col("__vq").isNotNull())
+
+
+def seasonal_from_census(
+    census: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    position_col: str = "position",
+    count_col: str = "n_obs",
+    sum_col: str = "sum_q",
+) -> DataFrame:
+    """Seasonal-index fold over a maintained ``(*keys, position,
+    n_obs, sum_q)`` census (r13) — the streaming read side
+    (streaming/census.py read_seasonal_profile) and the batch
+    operator's shared tail: position sums and counts ADD, so a stream
+    maintains the census by per-key addition and this fold re-derives
+    the full ratio-to-mean profile.  A late observation revises one
+    position's (n, sum), which moves the key totals and therefore
+    EVERY position's index — the cross-row damage the census fold
+    re-derives and bounded incremental state cannot."""
+    keys = key_cols or []
+    census = census.select(
+        *keys,
+        F.col(position_col).alias("__pos"),
+        F.col(count_col).cast("bigint").alias("n_obs"),
+        F.col(sum_col).cast("decimal(38,0)").alias("__s"),
     )
     totals = census.groupBy(*keys).agg(
         F.sum("n_obs").cast("bigint").alias("__n_all"),

@@ -45,7 +45,13 @@ from .rebuild import (
     stream_sessions,
     stream_transitions,
 )
-from .census import read_cusum_alarms, read_grid_hotspots, stream_census
+from .census import (
+    read_benford,
+    read_cusum_alarms,
+    read_grid_hotspots,
+    read_seasonal_profile,
+    stream_census,
+)
 from .ranking import read_rank_tiles, stream_rank_census
 from .scd import stream_scd2
 from .sketches import stream_sketches
@@ -78,8 +84,10 @@ __all__ = [
     "stream_text_index_append",
     "stream_minhash_dedup",
     "stream_curation",
+    "read_benford",
     "read_cusum_alarms",
     "read_grid_hotspots",
+    "read_seasonal_profile",
     "read_rank_tiles",
     "stream_census",
     "stream_rank_census",

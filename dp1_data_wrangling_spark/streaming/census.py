@@ -44,6 +44,7 @@ def stream_census(
     checkpoint_dir: str,
     table: str,
     key_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
     trigger_available_now: bool = True,
     stream_name: str | None = None,
 ) -> StreamingQuery:
@@ -60,13 +61,36 @@ def stream_census(
     (SQL GROUP BY semantics); screen upstream where a NULL has no
     meaning.
 
+    ``sum_cols`` (r13) extends the census with associative SUM
+    columns — ``{"sum_q": "vq"}`` maintains ``sum(vq)`` per key as
+    DECIMAL(38,0) alongside ``n_rows`` (sums add exactly like counts,
+    so the maintenance algebra is unchanged).  This is what the
+    weighted read sides (seasonal-index profile) fold from; drop NULL
+    value rows in the caller's projection when the batch twin uses
+    mean semantics (count of non-NULL).
+
     Scale: per batch one combinable groupBy over the batch + a
     touched-keys recombine (census-sized) + one MERGE rewrite; state
     is the census — bounded by distinct keys, never rows.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    sums = sum_cols or {}
+    overlap_names = set(sums) & ({"n_rows"} | set(key_cols))
+    if overlap_names:
+        raise ValueError(f"sum_cols collide with census columns: {overlap_names}")
     meta_key = batch_meta_key(f"census:{table}", checkpoint_dir, stream_name)
+
+    def _aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *[
+                F.sum(F.col(src).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(out)
+                for out, src in sums.items()
+            ],
+        ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -74,9 +98,7 @@ def stream_census(
         last = cat.meta().get(meta_key)
         if last is not None and batch_id <= last:
             return  # replayed batch after recovery -> already committed
-        partial = batch_df.groupBy(*key_cols).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows")
-        )
+        partial = batch_df.groupBy(*key_cols).agg(*_aggs())
         last_exc: CommitConflict | None = None
         for _ in range(MERGE_RETRIES):
             if cat.exists(table):
@@ -86,7 +108,13 @@ def stream_census(
                 updates = (
                     overlap.unionByName(partial)
                     .groupBy(*key_cols)
-                    .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+                    .agg(
+                        F.sum("n_rows").cast("bigint").alias("n_rows"),
+                        *[
+                            F.sum(out).cast("decimal(38,0)").alias(out)
+                            for out in sums
+                        ],
+                    )
                 )
             else:
                 updates = partial
@@ -169,4 +197,57 @@ def read_grid_hotspots(
     census = Catalog(catalog_root).read(spark, table)
     return hotspots_from_census(
         census, min_count=min_count, count_col="n_rows"
+    )
+
+
+def read_benford(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Fold a maintained ``(group, digit, n_rows)`` census through the
+    exact Benford conformity screen (operators/stats.py
+    benford_from_census) — the streaming form of the ``orders_benford``
+    surface: a forensic alarm over amount streams that revises history
+    when late amounts land (one digit's count moves the group total
+    and therefore EVERY digit's Pearson term — which the census fold
+    re-derives and bounded incremental state cannot).  Project the
+    stream through ``operators.stats.benford_digit_projection`` so the
+    digit definition is shared with the batch screen and the oracle.
+    Runs over census-sized data (at most 9 rows per group)."""
+    from ..operators.stats import benford_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return benford_from_census(
+        census, group_cols=group_cols, count_col="n_rows"
+    )
+
+
+def read_seasonal_profile(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a maintained ``(*keys, position, n_rows, sum_q)`` census
+    (``stream_census(..., sum_cols={"sum_q": "__vq"})`` over the
+    ``operators.timeseries.seasonal_census_projection`` of the stream)
+    through the exact ratio-to-mean seasonal-index fold
+    (operators/timeseries.py seasonal_from_census) — the streaming
+    form of the ``events_seasonal_profile`` surface.  A late
+    observation revises one position's (count, sum), which moves the
+    key totals and therefore EVERY position's index — re-derived here
+    over census-sized data (``period`` rows per key)."""
+    from ..operators.timeseries import seasonal_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return seasonal_from_census(
+        census,
+        key_cols=key_cols or [],
+        position_col="__pos",
+        count_col="n_rows",
+        sum_col="sum_q",
     )

@@ -2575,3 +2575,169 @@ def test_stream_census_grid_hotspots_equals_batch(spark, tmp_path):
         table="cell_census", key_cols=["cell_x", "cell_y"],
     ).awaitTermination(180)
     assert hot() == got
+
+
+def test_stream_census_benford_equals_batch(spark, tmp_path):
+    """Streaming amounts through the census maintainer (digit
+    projection) in three cuts — the LAST cut delivers LATE amounts
+    that revise already-published digit counts (moving each group's
+    total and therefore EVERY digit's Pearson term) —
+    read_benford == the batch benford_screen over all amounts.
+    Replay from the same checkpoint is a no-op."""
+    from dp1_data_wrangling_spark.operators.stats import (
+        benford_digit_projection,
+        benford_screen,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_benford,
+        stream_census,
+    )
+
+    rows = []
+    aid = 0
+    for grp in ("ops", "fraud"):
+        for i in range(1, 301):
+            # ops ~ Benford-ish (geometric spread); fraud = constrained
+            # amounts clustered on high first digits
+            amt = (i * i * 37 + 11) if grp == "ops" else (80_000 + i * 13)
+            rows.append((grp, amt, aid))
+            aid += 1
+    amounts = spark.createDataFrame(rows, "grp string, amount long, aid long")
+
+    src = tmp_path / "amt_stream"
+    amounts.where("aid % 3 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    amounts.where("aid % 3 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    time.sleep(1.1)
+    amounts.where("aid % 3 = 2").coalesce(1).write.parquet(str(src / "b3"))
+
+    stream = (
+        spark.readStream.schema(amounts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    digits = lambda df: benford_digit_projection(  # noqa: E731
+        df, value_col="amount", group_cols=["grp"]
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        digits(stream), cat_root, checkpoint_dir=ckpt,
+        table="digit_census", key_cols=["grp", "digit"],
+    ).awaitTermination(180)
+
+    def screen():
+        return {
+            (r.grp, r.digit): (
+                r.n_obs, r.n_total, r.exp_ppm, r.contrib_milli, r.chi2_milli
+            )
+            for r in read_benford(
+                spark, cat_root, table="digit_census", group_cols=["grp"]
+            ).collect()
+        }
+
+    got = screen()
+    assert len(got) == 18  # dense nine-digit grid per group
+    want = {
+        (r.grp, r.digit): (
+            r.n_obs, r.n_total, r.exp_ppm, r.contrib_milli, r.chi2_milli
+        )
+        for r in benford_screen(
+            amounts, value_col="amount", group_cols=["grp"]
+        ).collect()
+    }
+    assert got == want
+    # the constrained group must read far less conformal
+    assert got[("fraud", 8)][4] > got[("ops", 1)][4]
+
+    stream_census(
+        digits(stream), cat_root, checkpoint_dir=ckpt,
+        table="digit_census", key_cols=["grp", "digit"],
+    ).awaitTermination(180)
+    assert screen() == got
+
+
+def test_stream_census_seasonal_equals_batch(spark, tmp_path):
+    """Streaming valued events through the weighted census maintainer
+    (sum_cols) in three cuts — the LAST cut delivers LATE events that
+    revise already-published positions' (count, sum), moving the key
+    totals and therefore EVERY position's ratio-to-mean index —
+    read_seasonal_profile == the batch seasonal_profile over all
+    events.  Replay from the same checkpoint is a no-op."""
+    from dp1_data_wrangling_spark.operators.timeseries import (
+        seasonal_census_projection,
+        seasonal_profile,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_seasonal_profile,
+        stream_census,
+    )
+
+    HOUR_US = 3_600_000_000
+    rows = []
+    eid = 0
+    for day in range(14):
+        for hour in range(24):
+            # a daily shape: load peaks mid-day, plus a NULL-value row
+            # every 7th slot (mean semantics: must not census)
+            v = 10.0 + 8.0 * (1 if 9 <= hour <= 17 else 0) + (day % 3)
+            rows.append(("api", (day * 24 + hour) * HOUR_US, v, eid))
+            eid += 1
+            if (day * 24 + hour) % 7 == 0:
+                rows.append(("api", (day * 24 + hour) * HOUR_US + 5, None, eid))
+                eid += 1
+    events = spark.createDataFrame(
+        rows, "svc string, ts_us long, load double, eid long"
+    )
+
+    src = tmp_path / "load_stream"
+    events.where("eid % 3 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    events.where("eid % 3 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    time.sleep(1.1)
+    events.where("eid % 3 = 2").coalesce(1).write.parquet(str(src / "b3"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    proj = lambda df: seasonal_census_projection(  # noqa: E731
+        df, ts_col="ts_us", value_col="load", bucket_us=HOUR_US,
+        period=24, quant_scale=1000, key_cols=["svc"],
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="pos_census", key_cols=["svc", "__pos"],
+        sum_cols={"sum_q": "__vq"},
+    ).awaitTermination(180)
+
+    def profile():
+        return {
+            (r.svc, r.position): (r.n_obs, r.mean_milli, r.index_milli)
+            for r in read_seasonal_profile(
+                spark, cat_root, table="pos_census", key_cols=["svc"]
+            ).collect()
+        }
+
+    got = profile()
+    assert len(got) == 24
+    want = {
+        (r.svc, r.position): (r.n_obs, r.mean_milli, r.index_milli)
+        for r in seasonal_profile(
+            events, ts_col="ts_us", value_col="load", bucket_us=HOUR_US,
+            period=24, key_cols=["svc"],
+        ).collect()
+    }
+    assert got == want
+    # the mid-day peak must index above 1000 milli, the night below
+    assert got[("api", 12)][2] > 1000 > got[("api", 3)][2]
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="pos_census", key_cols=["svc", "__pos"],
+        sum_cols={"sum_q": "__vq"},
+    ).awaitTermination(180)
+    assert profile() == got
