@@ -65,13 +65,33 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # r13: core filter + admission gate for targeted clean-window
+    # re-measures (VERDICT r12 item 3).  SPARK_GRAFT_SF1_ONLY names a
+    # comma-separated core subset; a filtered run writes
+    # BENCH_SF1_RERUN.json instead of clobbering the full record.
+    import os
+
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SF1_ONLY", "").split(",") if s
+    }
+    gate_budget = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_SEC", "0"))
+    gate = None
+    if gate_budget > 0:
+        from bench import wait_for_clean_host
+
+        gate = wait_for_clean_host(spark, gate_budget)
+
     results: dict[str, dict] = {"machine_ref_jvm_start": jvm_ref()}
+    if gate is not None:
+        results["gate"] = gate
     tmp = tempfile.mkdtemp(prefix="bench_sf1_")
 
     def record(name: str, sizes, fn_of_path, gen, count_fn=None, top_reps=2):
         """Generate the three corpora, time the operator at each, record
         counts.  gen(n) -> DataFrame written once per size (generation
         excluded from timing)."""
+        if only and name not in only:
+            return
         try:
             paths = {}
             for n in sizes:
@@ -225,6 +245,8 @@ def main() -> None:
             gpaths[n] = f"{tmp}/graph_{n}"
             synth_graph(n).write.parquet(gpaths[n])
         for name, op in (
+            # r13: the inline graph loop honors the SPARK_GRAFT_SF1_ONLY
+            # filter like record() does
             (
                 "pagerank",
                 lambda n: pagerank(
@@ -242,6 +264,8 @@ def main() -> None:
                 ),
             ),
         ):
+            if only and name not in only:
+                continue
             secs = []
             for i, n in enumerate(GRAPH_SIZES):
                 reps = 2 if i == len(GRAPH_SIZES) - 1 else 3
@@ -332,7 +356,8 @@ def main() -> None:
 
     results["machine_ref_jvm_end"] = jvm_ref()
     shutil.rmtree(tmp, ignore_errors=True)
-    Path(__file__).resolve().parent.joinpath("BENCH_SF1.json").write_text(
+    out_name = "BENCH_SF1_RERUN.json" if only else "BENCH_SF1.json"
+    Path(__file__).resolve().parent.joinpath(out_name).write_text(
         json.dumps(results, indent=1) + "\n"
     )
     print(json.dumps({"metric": "sf1_spot_run", **{

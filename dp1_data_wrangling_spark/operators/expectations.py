@@ -157,3 +157,66 @@ def expectation_suite(
         for kind, col, metric, thr_col, passed in projections
     ]
     return one.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
+
+
+def fk_orphan_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across fact→dimension relations
+    (r13) — the warehouse-health staple next to the declarative rule
+    suite above: per relation, how many fact rows point at a key the
+    dimension does not carry (orphans), in exact ppm.
+
+    ``relations`` is ``[(name, fact_df, fk_col, dim_df, pk_col), ...]``.
+    NULL foreign keys are reported separately (``n_null_fk``) — a NULL
+    FK is a modeling decision, not an orphan — and excluded from the
+    orphan count and rate denominator.
+
+    Returns one row per relation: ``(relation, n_rows, n_null_fk,
+    n_orphans, orphan_ppm)`` with ``orphan_ppm`` NULL when no non-NULL
+    FK rows exist.
+
+    Scale posture (100 TB): per relation one left-anti join on the key
+    (broadcastable when the dimension's DISTINCT key set is small —
+    the distinct() keeps the build side key-sized) + combinable
+    counts; the per-relation one-row frames union at the end
+    (relation-count-sized).  No window, no collect.
+    """
+    if not relations:
+        raise ValueError("relations must be non-empty")
+    names = [r[0] for r in relations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate relation names: {names}")
+    outs = []
+    for name, fact, fk_col, dim, pk_col in relations:
+        keys = dim.select(F.col(pk_col).alias("__pk")).distinct()
+        base = fact.select(F.col(fk_col).alias("__fk"))
+        counts = base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col("__fk").isNull(), F.lit(1)))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        orphans = (
+            base.filter(F.col("__fk").isNotNull())
+            .join(keys, F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        outs.append(
+            counts.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphans",
+                F.when(
+                    (F.col("n_rows") - F.col("n_null_fk")) > 0,
+                    F.expr(
+                        "(n_orphans * 1000000) div (n_rows - n_null_fk)"
+                    ),
+                ).alias("orphan_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

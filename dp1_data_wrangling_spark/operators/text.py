@@ -981,3 +981,150 @@ def collocations(
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(k)
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: tuple[int, ...] = (1, 10, 100),
+) -> DataFrame:
+    """Heaps-law vocabulary-growth report (r13) — the corpus-health
+    curve a pipeline owner reads before scaling a crawl: natural text
+    grows vocabulary ~ T^beta (beta ~ 0.5); a template farm or a
+    de-randomized scrape flattens the curve (vocab saturates), while
+    spam/boilerplate injection steepens it.  Measured over NESTED
+    deterministic corpus prefixes (``doc_id mod max(bands) < b`` for
+    each band b — every smaller band is a subset of every larger), so
+    the growth ratios are exact set statements, not a float fit.
+
+    Per band: ``(band, n_docs, n_tokens, n_terms,
+    tokens_growth_ppm, terms_growth_ppm, terms_per_mtoken)`` where the
+    growth columns are the exact ppm ratio vs the PREVIOUS band (NULL
+    on the first) and ``terms_per_mtoken = (n_terms * 1e6) div
+    n_tokens`` is the running lexical-density KPI.  The Heaps
+    signature: terms_growth well under tokens_growth, and
+    terms_per_mtoken falling as the corpus grows.  Tokenization is the
+    shared lower/\\W+ split; NULL texts contribute nothing.
+
+    Scale posture (100 TB): one row-local tokenize/explode pass into
+    ONE (term, first_band) combinable census (per term: the smallest
+    band containing it, plus token counts per band slot) — then the
+    per-band report folds from census-sized data with a bands-sized
+    window.  No data-sized join or window; never 3 passes over the
+    corpus.
+    """
+    if sorted(bands) != list(bands) or len(set(bands)) != len(bands):
+        raise ValueError(f"bands must be strictly increasing, got {bands}")
+    if any(b < 1 for b in bands):
+        raise ValueError(f"bands must be positive, got {bands}")
+    from pyspark.sql import Window
+
+    mod = max(bands)
+    tokens = docs.select(
+        (F.col(id_col) % F.lit(mod)).alias("__slot"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"),
+                lambda x: x != "",
+            )
+        ).alias("__term"),
+    )
+    # per term: token count per band + the smallest band that sees it
+    band_tok = [
+        F.sum((F.col("__slot") < b).cast("bigint")).alias(f"__tok_{b}")
+        for b in bands
+    ]
+    first_band = F.least(
+        *[
+            F.min(
+                F.when(F.col("__slot") < b, F.lit(b)).otherwise(
+                    F.lit(None).cast("int")
+                )
+            )
+            for b in bands
+        ]
+    )
+    census = tokens.groupBy("__term").agg(*band_tok, first_band.alias("__fb"))
+    per_band = census.groupBy().agg(
+        *[
+            F.sum(f"__tok_{b}").cast("bigint").alias(f"__toks_{b}")
+            for b in bands
+        ],
+        *[
+            F.sum((F.col("__fb") <= b).cast("bigint"))
+            .cast("bigint")
+            .alias(f"__terms_{b}")
+            for b in bands
+        ],
+    )
+    rows = per_band.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"__toks_{b}").alias("n_tokens"),
+                        F.col(f"__terms_{b}").alias("n_terms"),
+                    )
+                    for b in bands
+                ]
+            )
+        ).alias("__r")
+    ).select("__r.band", "__r.n_tokens", "__r.n_terms")
+    n_docs = docs.groupBy().agg(
+        *[
+            F.sum(
+                (
+                    (F.col(id_col) % F.lit(mod) < b)
+                    & F.col(text_col).isNotNull()
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(f"__docs_{b}")
+            for b in bands
+        ]
+    )
+    docs_rows = n_docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"__docs_{b}").alias("n_docs"),
+                    )
+                    for b in bands
+                ]
+            )
+        ).alias("__d")
+    ).select("__d.band", "__d.n_docs")
+    w = Window.orderBy("band")  # bands-sized spine (len(bands) rows)
+    out = rows.join(F.broadcast(docs_rows), "band")
+    prev_tok = F.lag("n_tokens").over(w)
+    prev_term = F.lag("n_terms").over(w)
+    return out.select(
+        "band",
+        "n_docs",
+        "n_tokens",
+        "n_terms",
+        F.when(prev_tok > 0, (F.col("n_tokens") * 1_000_000))
+        .cast("bigint")
+        .alias("__num_tok"),
+        F.when(prev_term > 0, (F.col("n_terms") * 1_000_000))
+        .cast("bigint")
+        .alias("__num_term"),
+        prev_tok.alias("__prev_tok"),
+        prev_term.alias("__prev_term"),
+    ).select(
+        "band",
+        "n_docs",
+        "n_tokens",
+        "n_terms",
+        F.expr("__num_tok div __prev_tok").alias("tokens_growth_ppm"),
+        F.expr("__num_term div __prev_term").alias("terms_growth_ppm"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(n_terms * 1000000) div n_tokens"),
+        ).alias("terms_per_mtoken"),
+    )

@@ -30,6 +30,13 @@ from . import queries_core  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
+# Round-13 seam split (VERDICT r12 item 6): dedup / multimodal /
+# curation moved out of queries_llm.py (back past 3,400 lines after
+# the r12 split) — same @register calls, registry name set identical;
+# imported right after their former host, same as the r12 splits.
+from . import queries_dedup  # noqa: E402,F401
+from . import queries_multimodal  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401
 # Round-12 seam split (VERDICT r11 item 8): the graph and retrieval
 # tiers moved out of queries_llm.py (which had grown past 4,000 lines)
 # into their own modules — same @register calls, registry name set
@@ -48,6 +55,12 @@ from . import queries_streaming  # noqa: E402,F401
 # operator family in-window.  The full round-by-round rotation history
 # lives in BASELINE.md ("Driver-window rotation history").
 from . import queries_extended  # noqa: E402,F401
+# Round-13 split (VERDICT r12 item 6): the r11 fact-scale ranking &
+# experimentation tier moved out of queries_extended.py.
+from . import queries_experiments  # noqa: E402,F401
+# Round-13 new surface: governance/eval tier (privacy audit,
+# referential integrity, Heaps-law corpus growth, exact ROC curve).
+from . import queries_quality  # noqa: E402,F401
 
 # Re-exports preserved for external consumers (tests, bench, entry):
 from .queries_core import nested_regroup_df  # noqa: E402,F401
@@ -64,7 +77,9 @@ DRIVER_WINDOW: list[str] = [
     "user_scd2_history",          # r8: SCD Type-2 dimension history
     # -- event analytics (r8: funnel / retention / Markov) --
     "events_diff_in_diff",        # r11: difference-in-differences readout
-    "customer_rfm_segments",      # r10: RFM tiers over exact aggregates
+    "customer_k_anonymity",       # r13 NEW: k-anonymity/l-diversity privacy audit
+                                  #   (replaces 3x-green customer_rfm_segments;
+                                  #   ranking family keeps deciles/summary/lorenz)
     "doc_quality_survivors",      # r12: keep-BEST-per-cluster curation dedup
     "events_quantile_normalize",  # r10: exact rank-based QN calibration
     "events_kmv_distinct",        # r13 window (VERDICT r12 item 2): KMV distinct
@@ -99,10 +114,14 @@ DRIVER_WINDOW: list[str] = [
     "orders_decile_summary",      # r12: NTILE boundary summary from the value census
     "events_throttle",            # r11: gap-rule burst dedup / throttling
     "user_cohort_ltv",            # r11: weekly cohort LTV triangle (exact milli)
-    "events_gapfill",             # r9 op, r11 window: grid resample + LOCF fill
+    "warehouse_fk_orphans",       # r13 NEW: referential-integrity orphan audit
+                                  #   (replaces 4x-green events_gapfill; timeseries
+                                  #   family keeps mase/trend/seasonal_profile)
     "orders_benford",             # r11: Benford first-digit conformity screen
     "order_brand_rules",          # r10: association rules w/ exact lift
-    "doc_jaccard_join",           # r10: PPJoin prefix-filtered Jaccard join
+    "events_roc_curve",           # r13 NEW: exact ROC curve + trapezoid AUC
+                                  #   (replaces 3x-green doc_jaccard_join; dedup
+                                  #   family keeps dup_rate + quality_survivors)
     # -- sampling / packing / curation tail (r7 audit rotation) --
     "table_expectations",         # r9: Deequ-class declarative rule suite
     "events_seasonal_profile",    # r11: exact ratio-to-mean seasonal indices
@@ -111,7 +130,10 @@ DRIVER_WINDOW: list[str] = [
                                   #   replaces 4x-green doc_bm25_topk (retrieval
                                   #   family rep maintained)
     "corpus_ngram_overlap",       # r12: corpus-level 5-gram overlap share
-    "events_changepoints",        # r9: exact CUSUM change-point alarms
+    "corpus_heaps_law",           # r13 NEW: Heaps-law vocabulary-growth report
+                                  #   (replaces 4x-green events_changepoints; the
+                                  #   CUSUM core keeps its streaming census twin +
+                                  #   in-repo parity every CI run)
     "brand_momentum",             # r11: two-period momentum screen (exact ppm)
     "events_seasonal_mase",       # r11: seasonal-naive forecast accuracy
     "events_ab_experiment",       # r11: exact chi-square A/B readout

@@ -1,0 +1,790 @@
+"""Fact-scale ranking & experimentation query catalog (split from
+queries_extended.py in round 13 — VERDICT r12 item 6: the monoliths
+were re-forming).  Same @register calls, registry name set identical;
+the distributed-ntile/percent-rank flagships, Lorenz/decile summaries,
+item affinity, seasonal forecast accuracy and the experiment readouts
+(chi-square A/B, diff-in-diff, independence, Mann-Whitney rank-sum,
+seasonal indices, grid hotspots)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import cents, register
+from .tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# Round-11 entrants: fact-scale distributed ranking, item affinity,
+# seasonal forecast accuracy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_value_deciles",
+    """
+    WITH dv_base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    dv_rk AS (
+        SELECT o_orderkey, price_cents,
+               row_number() OVER (ORDER BY price_cents, o_orderkey) AS rk,
+               count(*) OVER () AS n
+        FROM dv_base
+    )
+    SELECT o_orderkey, price_cents,
+           CAST(ntile(10) OVER (ORDER BY price_cents, o_orderkey)
+                AS INTEGER) AS decile,
+           CAST(((rk - 1) * 1000) // greatest(n - 1, 1) AS BIGINT)
+               AS pr_milli
+    FROM dv_rk
+    """,
+    headline=True,
+)
+def q_orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value deciles + percent-rank over the FACT table
+    (operators/ranking.py distributed_rank/_ntile_of_rank — the r11
+    census-decomposed total-order machinery): every order gets its
+    NTILE(10) tier and its exact milli percent-rank ``(rank-1)*1000 div
+    (n-1)`` by (price_cents, o_orderkey), with NO single-partition
+    exchange in the plan (plan-gated) — the query the naive window
+    version could not run at 100 TB.  The oracle replays the plain SQL
+    windows; the decomposition must match them bit-for-bit."""
+    from .operators.ranking import _ntile_of_rank, distributed_rank
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    rk = distributed_rank(
+        base,
+        metric_col="price_cents",
+        tie_cols=["o_orderkey"],
+        rank_col="__rk",
+    )
+    return (
+        rk.df.withColumn("decile", _ntile_of_rank("__rk", rk.n_total, 10))
+        .withColumn(
+            "pr_milli",
+            F.expr(f"((__rk - 1) * 1000) div {max(rk.n_total - 1, 1)}"),
+        )
+        .select("o_orderkey", "price_cents", "decile", "pr_milli")
+    )
+
+
+@register(
+    "orders_decile_summary",
+    """
+    WITH ds_base AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderkey AS k
+        FROM orders
+    ),
+    ds_rk AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS rn,
+               CAST(ntile(10) OVER (ORDER BY v, k) AS INTEGER) AS tier
+        FROM ds_base
+    )
+    SELECT tier,
+           CAST(min(rn) AS BIGINT) AS rank_lo,
+           CAST(max(rn) AS BIGINT) AS rank_hi,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(v) AS BIGINT) AS value_lo,
+           CAST(max(v) AS BIGINT) AS value_hi
+    FROM ds_rk GROUP BY tier
+    """,
+)
+def q_orders_decile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile BOUNDARY summary from the order-value census
+    (operators/ranking.py rank_tile_summary, r12): one row per decile
+    with its rank range, row count and boundary values — tie-invariant
+    by construction (the value at any rank is fixed), which is why
+    this is the shape the streaming census twin
+    (streaming/ranking.py) maintains exactly.  The census collapses
+    facts map-side; the cumulative ranking over it is
+    distributed_rank (no single-partition exchange); the oracle
+    replays the plain NTILE window grouped per tile."""
+    from .operators.ranking import rank_tile_summary
+
+    census = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents(F.col("o_totalprice")).alias("price_cents"))
+        .groupBy("price_cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return rank_tile_summary(
+        census, metric_col="price_cents", count_col="n", n_tiles=10
+    )
+
+
+@register(
+    "order_item_affinity",
+    """
+    WITH af_bi AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    af_freq AS (
+        SELECT i FROM af_bi GROUP BY i HAVING count(*) >= 5
+    ),
+    af_cap AS (
+        SELECT b, i FROM (
+            SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+            FROM af_bi WHERE i IN (SELECT i FROM af_freq))
+        WHERE rn <= 8
+    ),
+    af_ic AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM af_cap GROUP BY i
+    ),
+    af_pairs AS (
+        SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM af_cap a JOIN af_cap c ON c.b = a.b AND c.i > a.i
+        GROUP BY a.i, c.i
+        HAVING count(*) >= 5
+    )
+    SELECT p.item_a, p.item_b, p.n_ab, a.cnt AS n_a, b2.cnt AS n_b,
+           (1000000 * p.n_ab * p.n_ab) // (a.cnt * b2.cnt) AS affinity_ppm
+    FROM af_pairs p
+    JOIN af_ic a ON a.i = p.item_a
+    JOIN af_ic b2 ON b2.i = p.item_b
+    WHERE (1000000 * p.n_ab * p.n_ab) // (a.cnt * b2.cnt) >= 100000
+    """,
+)
+def q_order_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item affinity over part-brand baskets
+    (operators/itemsets.py item_affinity — squared binary-incidence
+    cosine in exact ppm, the Sarwar et al. item-based CF similarity
+    with the square root cleared so the statistic replays verbatim).
+    Same pruned+capped census as the association rules (one documented
+    semantic everywhere); the oracle derives the pair census via an
+    INDEPENDENT basket self-join."""
+    from .operators.itemsets import item_affinity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return item_affinity(
+        baskets,
+        basket_col="basket",
+        item_col="item",
+        min_item_support=5,
+        min_pair_support=5,
+        max_items_per_basket=8,
+        min_affinity_ppm=100_000,
+    )
+
+
+@register(
+    "events_seasonal_mase",
+    """
+    WITH sm_b AS (
+        SELECT event_type, epoch_us(ts) AS tus, event_id,
+               CAST(floor(value * 1000) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    sm_l AS (
+        SELECT event_type, vq,
+               lag(vq, 24) OVER (
+                   PARTITION BY event_type ORDER BY tus, event_id) AS lp,
+               lag(vq, 1) OVER (
+                   PARTITION BY event_type ORDER BY tus, event_id) AS l1
+        FROM sm_b
+    )
+    SELECT event_type,
+           CAST(count(lp) AS BIGINT) AS n_scored,
+           CAST(coalesce(sum(CASE WHEN lp IS NOT NULL
+                             THEN abs(vq - lp) END), 0) AS BIGINT)
+               AS sum_abs_err,
+           CAST(coalesce(sum(CASE WHEN lp IS NOT NULL
+                             THEN abs(vq - l1) END), 0) AS BIGINT)
+               AS sum_abs_naive,
+           CASE WHEN coalesce(sum(CASE WHEN lp IS NOT NULL
+                              THEN abs(vq - l1) END), 0) > 0
+                THEN CAST((1000 * coalesce(sum(CASE WHEN lp IS NOT NULL
+                                           THEN abs(vq - lp) END), 0))
+                          // sum(CASE WHEN lp IS NOT NULL
+                                 THEN abs(vq - l1) END) AS BIGINT)
+           END AS mase_milli
+    FROM sm_l
+    GROUP BY event_type
+    """,
+)
+def q_events_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast accuracy per event-type series
+    (operators/timeseries.py seasonal_mase — the Hyndman-Koehler MASE
+    convention at period 24): exact milli-quantized values, BIGINT
+    error sums, one truncating div — the screen that says whether the
+    24-observation seasonal pattern beats a flat carry-forward.  The
+    oracle replays the identical lag algebra; the Spark side stacks
+    the lag frames and the final groupBy on ONE hash exchange
+    (plan-gated)."""
+    from .operators.timeseries import seasonal_mase
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    return seasonal_mase(
+        e,
+        key_cols=["event_type"],
+        ts_col="ts_us",
+        value_col="value",
+        period=24,
+        tie_cols=["event_id"],
+        quant_scale=1000,
+    )
+
+
+@register(
+    "customer_lorenz_curve",
+    """
+    WITH lz_rev AS (
+        SELECT o_custkey AS customer,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    lz_rk AS (
+        SELECT customer, rev_cents,
+               CAST(sum(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, customer
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(ntile(10) OVER (ORDER BY rev_cents DESC, customer)
+                    AS INTEGER) AS decile,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS tot
+        FROM lz_rev
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           CAST((1000 * max(cum)) // max(tot) AS BIGINT)
+               AS cum_share_milli
+    FROM lz_rk GROUP BY decile
+    """,
+)
+def q_customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of customer revenue
+    (operators/ranking.py distributed_rank with the census-decomposed
+    RUNNING SUM — the r11 machinery's cumulative form): customers rank
+    by revenue descending, the exact cumulative cents ride the rank
+    decomposition, and each decile reports its customer count, revenue
+    and boundary cumulative share in milli — the "top 10% hold X% of
+    revenue" curve next to the Gini index, with NO single-partition
+    exchange (plan-gated).  The oracle replays the plain SQL windows."""
+    from .operators.ranking import _ntile_of_rank, distributed_rank
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    rk = distributed_rank(
+        rev,
+        metric_col="rev_cents",
+        tie_cols=["customer"],
+        descending=True,
+        rank_col="__rk",
+        cumsum_col="__cum",
+    )
+    return (
+        rk.df.withColumn("decile", _ntile_of_rank("__rk", rk.n_total, 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            F.max("__cum").cast("bigint").alias("cum_cents"),
+        )
+        .withColumn(
+            "cum_share_milli",
+            F.expr(f"(1000 * cum_cents) div {max(rk.sum_total, 1)}"),
+        )
+    )
+
+
+@register(
+    "events_ab_experiment",
+    """
+    WITH ab_u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               CAST(('0x' || substr(md5('seg|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 4 AS segment,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    ab_c AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(CASE WHEN arm = 0 AND converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN arm = 0 AND NOT converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN arm = 1 AND converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN arm = 1 AND NOT converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM ab_u GROUP BY segment
+    )
+    SELECT segment, n_units, a, b, c, d,
+           CASE WHEN a + b > 0 THEN (1000 * a) // (a + b) END
+               AS rate_ctl_milli,
+           CASE WHEN c + d > 0 THEN (1000 * c) // (c + d) END
+               AS rate_trt_milli,
+           CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+                THEN CAST((1000 * CAST(n_units AS HUGEINT)
+                           * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                           * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+                          // (CAST(a + b AS HUGEINT) * (c + d)
+                              * (a + c) * (b + d)) AS BIGINT)
+           END AS chi2_milli
+    FROM ab_c
+    """,
+)
+def q_events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/stats.py ab_contingency): users
+    assign to arms by md5 parity (the deterministic hash assignment a
+    real experiment framework uses — engine-replayable), convert if
+    they ever purchase, segment by an independent md5 bucket; each
+    segment reports its exact 2x2 table, milli conversion rates and the
+    exact Pearson chi-square statistic — numerator in DECIMAL(38,0)
+    against the oracle's HUGEINT (the r9 hourly-trend recipe), integral
+    div back to BIGINT.  ONE combinable groupBy per stage, no window,
+    no join (plan-gated)."""
+    from .operators.stats import ab_contingency
+
+    def md5_mod(tag: str, m: int) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("user_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % m
+
+    units = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max((F.col("event_type") == "purchase").cast("int")) == 1
+            ).alias("converted")
+        )
+        .select(
+            md5_mod("ab", 2).alias("arm"),
+            md5_mod("seg", 4).alias("segment"),
+            "converted",
+        )
+    )
+    return ab_contingency(
+        units, arm_col="arm", outcome_col="converted",
+        group_cols=["segment"],
+    )
+
+
+@register(
+    "events_diff_in_diff",
+    """
+    WITH dd_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                    THEN 1 ELSE 0 END AS period,
+               CASE WHEN value IS NOT NULL
+                    THEN CAST(floor(value * 1000) AS BIGINT) END AS vq
+        FROM events
+    ),
+    dd_c AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN arm = 0 AND period = 0 THEN vq END)
+                    AS BIGINT) AS n_ctl_pre,
+               CAST(count(CASE WHEN arm = 0 AND period = 1 THEN vq END)
+                    AS BIGINT) AS n_ctl_post,
+               CAST(count(CASE WHEN arm = 1 AND period = 0 THEN vq END)
+                    AS BIGINT) AS n_trt_pre,
+               CAST(count(CASE WHEN arm = 1 AND period = 1 THEN vq END)
+                    AS BIGINT) AS n_trt_post,
+               CAST(coalesce(sum(CASE WHEN arm = 0 AND period = 0
+                                 THEN vq END), 0) AS HUGEINT) AS s00,
+               CAST(coalesce(sum(CASE WHEN arm = 0 AND period = 1
+                                 THEN vq END), 0) AS HUGEINT) AS s01,
+               CAST(coalesce(sum(CASE WHEN arm = 1 AND period = 0
+                                 THEN vq END), 0) AS HUGEINT) AS s10,
+               CAST(coalesce(sum(CASE WHEN arm = 1 AND period = 1
+                                 THEN vq END), 0) AS HUGEINT) AS s11
+        FROM dd_e GROUP BY event_type
+    )
+    SELECT event_type,
+           n_ctl_pre, n_ctl_post, n_trt_pre, n_trt_post,
+           CASE WHEN n_ctl_pre > 0
+                THEN CAST(s00 // n_ctl_pre AS BIGINT) END
+               AS mean_ctl_pre_milli,
+           CASE WHEN n_ctl_post > 0
+                THEN CAST(s01 // n_ctl_post AS BIGINT) END
+               AS mean_ctl_post_milli,
+           CASE WHEN n_trt_pre > 0
+                THEN CAST(s10 // n_trt_pre AS BIGINT) END
+               AS mean_trt_pre_milli,
+           CASE WHEN n_trt_post > 0
+                THEN CAST(s11 // n_trt_post AS BIGINT) END
+               AS mean_trt_post_milli,
+           CASE WHEN n_ctl_pre > 0 AND n_ctl_post > 0
+                 AND n_trt_pre > 0 AND n_trt_post > 0
+                THEN CAST((s11 // n_trt_post - s10 // n_trt_pre)
+                          - (s01 // n_ctl_post - s00 // n_ctl_pre)
+                          AS BIGINT) END AS did_milli
+    FROM dd_c
+    """,
+    headline=True,
+)
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences experiment readout per event type
+    (operators/stats.py diff_in_diff): users assign to arms by md5
+    parity, the period splits at 2024-01-16 (epoch day 19738), the
+    measured outcome is the event value in exact milli.  Each cell
+    mean is a DECIMAL(38,0)/HUGEINT sum with ONE truncating division;
+    the DiD effect is scalar algebra over the four truncated means —
+    replayed verbatim by the oracle.  ONE combinable groupBy, no
+    window, no join (plan-gated)."""
+    from .operators.stats import diff_in_diff
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("did|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    units = e.select(
+        "event_type",
+        arm.alias("arm"),
+        (F.expr("ts_us div 86400000000") >= F.lit(19738))
+        .cast("bigint")
+        .alias("period"),
+        "value",
+    )
+    return diff_in_diff(
+        units,
+        arm_col="arm",
+        period_col="period",
+        value_col="value",
+        group_cols=["event_type"],
+    )
+
+
+@register(
+    "events_seasonal_profile",
+    """
+    WITH sp_e AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS pos,
+               CASE WHEN value IS NOT NULL
+                    THEN CAST(floor(value * 1000) AS BIGINT) END AS vq
+        FROM events
+    ),
+    sp_c AS (
+        SELECT event_type, pos,
+               CAST(count(vq) AS BIGINT) AS n_obs,
+               CAST(coalesce(sum(vq), 0) AS HUGEINT) AS s
+        FROM sp_e GROUP BY event_type, pos
+        HAVING count(vq) > 0
+    ),
+    sp_t AS (
+        SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_all,
+               CAST(sum(s) AS HUGEINT) AS s_all
+        FROM sp_c GROUP BY event_type
+    )
+    SELECT c.event_type, c.pos AS position, c.n_obs,
+           CAST(c.s // c.n_obs AS BIGINT) AS mean_milli,
+           CASE WHEN t.s_all > 0
+                THEN CAST((1000 * c.s * t.n_all) // (c.n_obs * t.s_all)
+                          AS BIGINT) END AS index_milli
+    FROM sp_c c JOIN sp_t t USING (event_type)
+    """,
+    headline=True,
+)
+def q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type
+    (operators/timeseries.py seasonal_profile): the multiplicative
+    ratio-to-overall-mean seasonality readout in exact integers — the
+    decomposition step the trend (events_hourly_trend), smoothing
+    (holt), accuracy (seasonal_mase) and correlation (acf) screens
+    complete the family with.  ONE combinable groupBy to the
+    (type, hour) census; the recombine runs over census rows
+    (plan-gated)."""
+    from .operators.timeseries import seasonal_profile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return seasonal_profile(
+        e,
+        ts_col="ts_us",
+        value_col="value",
+        bucket_us=3_600_000_000,
+        period=24,
+        key_cols=["event_type"],
+    )
+
+
+@register(
+    "events_type_hour_independence",
+    """
+    WITH ci_o AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               event_type AS rv,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS cv,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ci_r AS (
+        SELECT dow, rv, CAST(sum(o) AS BIGINT) AS rm
+        FROM ci_o GROUP BY dow, rv
+    ),
+    ci_c AS (
+        SELECT dow, cv, CAST(sum(o) AS BIGINT) AS cm
+        FROM ci_o GROUP BY dow, cv
+    ),
+    ci_n AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS nn FROM ci_o GROUP BY dow
+    ),
+    ci_g AS (
+        SELECT r.dow, r.rv, c.cv, r.rm, c.cm, n.nn,
+               coalesce(o.o, 0) AS o
+        FROM ci_r r
+        JOIN ci_c c USING (dow)
+        JOIN ci_n n USING (dow)
+        LEFT JOIN ci_o o
+          ON o.dow = r.dow AND o.rv = r.rv AND o.cv = c.cv
+    ),
+    ci_t AS (
+        SELECT dow, rv, cv,
+               CAST((1000 * (CAST(o AS HUGEINT) * nn
+                             - CAST(rm AS HUGEINT) * cm)
+                          * (CAST(o AS HUGEINT) * nn
+                             - CAST(rm AS HUGEINT) * cm))
+                    // (CAST(nn AS HUGEINT) * rm * cm) AS BIGINT) AS term,
+               nn
+        FROM ci_g
+    )
+    SELECT dow,
+           CAST(count(DISTINCT rv) AS BIGINT) AS n_row_cats,
+           CAST(count(DISTINCT cv) AS BIGINT) AS n_col_cats,
+           CAST(max(nn) AS BIGINT) AS n_units,
+           CAST((count(DISTINCT rv) - 1) * (count(DISTINCT cv) - 1)
+                AS BIGINT) AS df,
+           CASE WHEN (count(DISTINCT rv) - 1)
+                     * (count(DISTINCT cv) - 1) > 0
+                THEN CAST(sum(term) AS BIGINT) END AS chi2_milli
+    FROM ci_t GROUP BY dow
+    """,
+    headline=True,
+)
+def q_events_type_hour_independence(spark: SparkSession, sf_dir: str):
+    """RxC chi-square independence screen (operators/stats.py
+    contingency_chi2): is the event-type mix independent of the
+    hour-of-day, per day-of-week?  The 5 x 24 grid INCLUDES
+    zero-observed cells (rebuilt as the cross of the row/column
+    censuses), each cell's Pearson term is an exact per-cell
+    truncating division in DECIMAL(38,0)/HUGEINT, and df rides along.
+    ONE data-sized census groupBy; everything downstream is
+    census-sized (plan-gated)."""
+    from .operators.stats import contingency_chi2
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    d = e.select(
+        (F.expr("ts_us div 86400000000") % 7).alias("dow"),
+        F.col("event_type").alias("etype"),
+        ((F.expr("ts_us div 3600000000")) % 24)
+        .cast("string")
+        .alias("hour"),
+    )
+    return contingency_chi2(
+        d, row_col="etype", col_col="hour", group_cols=["dow"]
+    )
+
+
+@register(
+    "events_grid_hotspots",
+    """
+    WITH gh_pts AS (
+        SELECT event_id,
+               CAST(('0x' || substr(md5('spx|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS x,
+               CAST(('0x' || substr(md5('spy|' || CAST(event_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS y
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gh_c AS (
+        SELECT x // 50 AS cell_x, y // 50 AS cell_y,
+               CAST(count(*) AS BIGINT) AS n
+        FROM gh_pts GROUP BY 1, 2
+    ),
+    gh_off AS (
+        SELECT dx.dx, dy.dy
+        FROM (VALUES (-1), (0), (1)) dx(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+    ),
+    gh_n AS (
+        SELECT c.cell_x + o.dx AS cell_x, c.cell_y + o.dy AS cell_y,
+               CAST(sum(c.n) AS BIGINT) AS n_neigh
+        FROM gh_c c CROSS JOIN gh_off o GROUP BY 1, 2
+    )
+    SELECT c.cell_x, c.cell_y, c.n, nb.n_neigh,
+           (9000 * c.n) // nb.n_neigh AS concentration_milli
+    FROM gh_c c
+    JOIN gh_n nb ON nb.cell_x = c.cell_x AND nb.cell_y = c.cell_y
+    WHERE c.n >= 3
+    """,
+)
+def q_events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid hotspot screen (operators/spatial.py grid_hotspots — the
+    Getis-Ord-class local concentration reduced to exact integers):
+    purchase events take the SAME md5 planar coordinates as the spatial
+    join, bucket into 50-unit cells, and each occupied cell reports its
+    count against its 3x3 Moore neighborhood as an exact milli ratio.
+    The stencil runs on the CENSUS (9 x cells rows, never 9 x points) —
+    two combinable groupBys + one cell-keyed equi-join of aggregate-
+    sized frames (plan-gated)."""
+    from .operators.spatial import grid_hotspots
+
+    def coord(tag: str) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("event_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % 1000
+
+    pts = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select(coord("spx").alias("x"), coord("spy").alias("y"))
+    )
+    return grid_hotspots(pts, x_col="x", y_col="y", cell=50, min_count=3)
+
+
+@register(
+    "events_rank_sum",
+    """
+    WITH rs_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('rs|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               CAST(floor(value * 1000) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    rs_c AS (
+        SELECT event_type, vq,
+               CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS ta,
+               CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS tb
+        FROM rs_e GROUP BY event_type, vq
+    ),
+    rs_r AS (
+        SELECT event_type, ta, tb, ta + tb AS t,
+               2 * sum(ta + tb) OVER (
+                   PARTITION BY event_type ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - (ta + tb) + 1 AS rank2
+        FROM rs_c
+    ),
+    rs_g AS (
+        SELECT event_type,
+               CAST(sum(ta) AS BIGINT) AS n_a,
+               CAST(sum(tb) AS BIGINT) AS n_b,
+               CAST(sum(CAST(ta AS HUGEINT) * rank2) AS HUGEINT) AS r2a,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS t3
+        FROM rs_r GROUP BY event_type
+    ),
+    rs_s AS (
+        SELECT event_type, n_a, n_b,
+               CAST(n_a AS HUGEINT) + n_b AS n,
+               r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+               CAST(n_a AS HUGEINT) * n_b AS mean2, t3
+        FROM rs_g
+    ),
+    rs_v AS (
+        SELECT *,
+               CASE WHEN n > 1 THEN
+                   (mean2 * ((n + 1) * n * (n - 1) - t3))
+                       // (3 * n * (n - 1))
+               END AS var2
+        FROM rs_s
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(u2 AS BIGINT) AS u2_a,
+           CASE WHEN mean2 > 0
+                THEN CAST((1000 * u2) // (2 * mean2) AS BIGINT)
+           END AS auc_milli,
+           CASE WHEN var2 > 0
+                THEN CAST((1000 * (u2 - mean2) * (u2 - mean2)) // var2
+                          AS BIGINT)
+           END AS z2_milli
+    FROM rs_v
+    """,
+    headline=True,
+)
+def q_events_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum A/B readout per event type
+    (operators/stats.py rank_sum_test): users assign to arms by md5
+    parity (the same deterministic hash assignment as the chi-square
+    A/B readout), the measured metric is the event value in exact
+    milli, and each event type reports the doubled U statistic, the
+    AUC effect size (P[ctl > trt] + half-ties, exact milli) and the
+    tie-corrected normal-approximation z² — midranks from the value
+    CENSUS (rank2 = 2·cum − t + 1), DECIMAL(38,0) products replayed
+    by a HUGEINT oracle, both truncating divisions verbatim.  ONE
+    event-sized census groupBy, one census-sized per-group window,
+    one combinable census groupBy; no join (plan-gated)."""
+    from .operators.stats import rank_sum_test
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rs|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    return rank_sum_test(
+        e, arm_col="arm", value_col="vq", group_cols=["event_type"]
+    )

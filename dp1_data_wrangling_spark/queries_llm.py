@@ -104,384 +104,18 @@ def _dense_doc_index(docs: DataFrame) -> DataFrame:
 
 
 
-# ---------------------------------------------------------------------------
-# Dedup family
-# ---------------------------------------------------------------------------
 
-
-@register(
-    "doc_exact_dedup",
-    f"""
-    WITH RECURSIVE aug AS ({_AUG_EXACT})
-    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM aug GROUP BY md5(text)
-    """,
-    headline=True,
-)
-def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on a content digest: the shuffle moves 16-byte digests,
-    not document payloads (operators/dedup.py design note)."""
-    return dd.exact_dedup(_augment_exact(spark, sf_dir))
-
-
-@register(
-    "doc_dedup_survivors",
-    f"""
-    WITH RECURSIVE aug AS ({_AUG_EXACT}),
-    groups AS (
-        SELECT md5(text) AS digest, min(doc_id) AS keep_id
-        FROM aug GROUP BY md5(text)
-    )
-    SELECT a.doc_id, g.digest, length(a.text) AS n_chars
-    FROM aug a JOIN groups g ON a.doc_id = g.keep_id AND md5(a.text) = g.digest
-    """,
-)
-def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full narrow-shuffle exact-dedup pattern: group digests (16-byte
-    shuffle), then join survivors back by (digest, keep_id) — document
-    payloads never cross a shuffle as dedup keys."""
-    aug = _augment_exact(spark, sf_dir)
-    groups = dd.exact_dedup(aug)
-    with_digest = aug.withColumn("digest", dd.content_digest(F.col("text")))
-    return (
-        with_digest.join(
-            groups.select("digest", "keep_id"),
-            (F.col("doc_id") == F.col("keep_id")) & (with_digest.digest == groups.digest),
-        )
-        .select("doc_id", with_digest.digest.alias("digest"), F.length("text").alias("n_chars"))
-    )
-
-
+# Round-13 seam split (VERDICT r12 item 6): the dedup family moved to
+# queries_dedup.py, multimodal to queries_multimodal.py, and the
+# curation/sampling/packing tier to queries_curation.py — same
+# @register calls, registry name set identical.  _MINHASH_SIG_SQL
+# stays here (shared by the dedup module, the curation composition
+# and the semantic tail).
 _MINHASH_SIG_SQL = ",\n".join(
     f"list_aggregate(list_transform(hl, h -> substr(h, {i * dd.SIG_SLICE + 1}, "
     f"{dd.SIG_SLICE})), 'min') AS s{i}"
     for i in range(dd.MINHASH_HASHES)
 )
-
-_MINHASH_ORACLE = f"""
-    WITH RECURSIVE aug AS ({_AUG_NEAR}),
-    norm AS (SELECT doc_id, lower(substr(text, 1, 200)) AS n FROM aug),
-    hashed AS (SELECT doc_id, list_transform(
-        range(1, greatest(length(n) - 4, 1) + 1),
-        j -> md5(substr(n, j, 5))) AS hl FROM norm),
-    sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM hashed),
-    bands AS (
-        SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, 2 AS band, md5(s4 || s5) AS band_key FROM sigs
-    ),
-    kept AS (
-        SELECT b.doc_id, b.band, b.band_key
-        FROM bands b
-        JOIN (SELECT band, band_key, count(*) AS n
-              FROM bands GROUP BY 1, 2) s
-          ON b.band = s.band AND b.band_key = s.band_key
-         AND s.n <= {dd.MAX_BUCKET_SIZE}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM kept a
-    JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-    """
-
-
-@register("minhash_pairs", _MINHASH_ORACLE, headline=True)
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle -> md5 min-hash family ->
-    band -> bucket equi-join.  The oracle replays the identical pipeline in
-    SQL — the whole LSH construction is engine-agnostic by design."""
-    return dd.minhash_candidate_pairs(_augment_near(spark, sf_dir))
-
-
-@register(
-    "doc_fuzzy_pairs",
-    """
-    WITH k AS (
-        SELECT doc_id,
-               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                      1, 16) AS key
-        FROM documents
-        WHERE length(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                            1, 16)) > 0
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.key AS key_a, b.key AS key_b,
-           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-    FROM k a JOIN k b
-      ON a.doc_id < b.doc_id
-     AND abs(length(a.key) - length(b.key)) <= 2
-    WHERE levenshtein(a.key, b.key) <= 2
-    """,
-    headline=True,
-)
-def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy join (record linkage / fuzzy dedup): all pairs
-    of docs whose ASCII-normalized 16-char key prefixes are within
-    Levenshtein distance 2, via COMPLETE PassJoin segment blocking
-    (operators/fuzzy.py) — never all-pairs.  The oracle is the
-    brute-force quadratic form, so this check exercises a genuinely
-    independent algorithm: any blocking incompleteness or verify-filter
-    slip diverges.  Keys are normalized to ASCII because Spark counts
-    codepoint edits while DuckDB counts byte edits."""
-    docs = load_table(spark, sf_dir, "documents")
-    keyed = spread(docs).select(
-        "doc_id",
-        F.substring(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 16
-        ).alias("key"),
-    )
-    from .operators.fuzzy import fuzzy_pairs
-
-    return fuzzy_pairs(keyed, key_col="key", id_col="doc_id", max_dist=2)
-
-
-@register(
-    "doc_jaccard_join",
-    """
-    WITH jj_d AS (
-        SELECT doc_id, list_distinct(list_filter(
-            regexp_split_to_array(lower(text), '\\W+'), x -> x != ''))
-            AS toks
-        FROM documents WHERE doc_id % 5 = 0
-    ),
-    jj_s AS (
-        SELECT doc_id, toks, len(toks) AS n FROM jj_d WHERE len(toks) > 0
-    ),
-    jj_p AS (
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
-                   AS n_inter,
-               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
-        FROM jj_s a JOIN jj_s b ON a.doc_id < b.doc_id
-    )
-    SELECT doc_id_a, doc_id_b, n_inter, n_a, n_b,
-           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-    FROM jj_p
-    WHERE 1000 * n_inter >= 400 * (n_a + n_b - n_inter)
-    """,
-)
-def q_doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard-threshold similarity JOIN (operators/dedup.py
-    jaccard_threshold_join — the AllPairs/PPJoin prefix-filter family):
-    all document pairs with token-set Jaccard >= 0.4 over a fifth of the
-    corpus, candidates generated ONLY through rarity-ordered prefix
-    tokens, verified by exact row-local intersection with the threshold
-    cross-multiplied in integers.  The oracle is the BRUTE-FORCE
-    all-pairs form (an independent algorithm with no filtering), so the
-    hash compare proves the prefix filter's completeness theorem on
-    real data — the same independent-oracle pattern as the geofence and
-    entity-resolution queries."""
-    from .operators.dedup import jaccard_threshold_join
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 5 == 0
-    )
-    return jaccard_threshold_join(docs, t_milli=400)
-
-
-@register(
-    "jaccard_pairs",
-    """
-    WITH toks AS (
-        SELECT doc_id, unnest(list_distinct(list_filter(
-            regexp_split_to_array(lower(text), '\\W+'), x -> x != ''))) AS token
-        FROM documents
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_inter
-        FROM toks a JOIN toks b
-          ON a.token = b.token AND b.doc_id = a.doc_id + 100
-        GROUP BY 1, 2
-    )
-    SELECT doc_id_a, doc_id_b, n_inter,
-           sa.n_tokens AS n_a, sb.n_tokens AS n_b,
-           CAST(n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_inter)
-               AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_id_a
-    JOIN sizes sb ON sb.doc_id = doc_id_b
-    """,
-)
-def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (word-token) Jaccard similarity, computed distributively via
-    token explode + equi-join — integer math until the final division."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(docs, pair_offset=100)
-
-
-@register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE aug AS ({_AUG_EXACT}),
-    d AS (SELECT doc_id, md5(text) AS dg FROM aug)
-    SELECT doc_id,
-           min(doc_id) OVER (PARTITION BY dg) AS component,
-           doc_id = min(doc_id) OVER (PARTITION BY dg) AS is_survivor
-    FROM d
-    """,
-    headline=True,
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-one-per-cluster dedup via connected components
-    (operators/components.py).  The pair graph is deliberately a CHAIN per
-    duplicate group (each doc paired only with the next same-digest doc),
-    so the component label must propagate multi-hop — the oracle states
-    the fixpoint directly (min id per digest group)."""
-    from pyspark.sql import Window
-
-    from .operators.components import dedup_survivors
-
-    aug = _augment_exact(spark, sf_dir)
-    d = aug.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
-    w = Window.partitionBy("dg").orderBy("doc_id")
-    pairs = (
-        d.withColumn("prev", F.lag("doc_id").over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    return dedup_survivors(d, pairs)
-
-
-@register(
-    "doc_quality_survivors",
-    f"""
-    WITH RECURSIVE aug AS ({_AUG_NEAR}),
-    qs_d AS (
-        -- length() = CHARACTER length (matches Spark F.length); strlen
-        -- is bytes and diverges on multibyte text (r12 ADVICE)
-        SELECT doc_id, CAST(length(text) AS BIGINT) AS quality,
-               md5(lower(substr(text, 1, 200))) AS dg
-        FROM aug
-    )
-    SELECT doc_id,
-           min(doc_id) OVER (PARTITION BY dg) AS component,
-           quality,
-           row_number() OVER (
-               PARTITION BY dg ORDER BY quality DESC, doc_id
-           ) = 1 AS is_survivor
-    FROM qs_d
-    """,
-)
-def q_doc_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-BEST-per-cluster curation dedup (operators/components.py
-    quality_survivors, r12): near-dup groups (prefix-normalized digest
-    — the ' zz' mutants group WITH their originals) keep the
-    highest-quality member, quality = text length here, so every
-    mutant (3 chars longer) out-survives its original — the case
-    min-id survivorship gets exactly backwards.  The pair graph is
-    again a chain per group, so the component label must propagate
-    multi-hop; the oracle states the fixpoint (min id per group) and
-    the argmax directly."""
-    from pyspark.sql import Window
-
-    from .operators.components import quality_survivors
-
-    aug = _augment_near(spark, sf_dir)
-    d = aug.select(
-        "doc_id",
-        F.length("text").cast("bigint").alias("quality"),
-        F.md5(dd.normalized(F.col("text")).cast("binary")).alias("dg"),
-    )
-    w = Window.partitionBy("dg").orderBy("doc_id")
-    pairs = (
-        d.withColumn("prev", F.lag("doc_id").over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    return quality_survivors(d, pairs)
-
-
-@register(
-    "embedding_near_dup",
-    """
-    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           round(list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]),
-               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
-           round(list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]),
-               CAST(b.embedding AS DOUBLE[])), 6) >= 0.9 AS is_near_dup
-    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 25
-    """,
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection over the deterministic
-    pair family (id, id+25): JVM fold dot products, threshold at 0.9.
-    At corpus scale the pair generation is an LSH bucket join
-    (sim.lsh_topk); the pair-family form keeps the oracle exact."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("__ea"))
-    b = emb.select(
-        (F.col("vec_id") - 25).alias("vec_id_a"),
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("__eb"),
-    )
-    cos = F.round(sim.cosine(F.col("__ea"), F.col("__eb")), 6)
-    return (
-        a.join(b, "vec_id_a")
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            cos.alias("cos_sim"),
-            (cos >= 0.9).alias("is_near_dup"),
-        )
-    )
-
-
-_SIMHASH_ORACLE = f"""
-    WITH RECURSIVE aug AS ({_AUG_NEAR}),
-    toks AS (
-        SELECT doc_id, unnest(list_filter(
-            regexp_split_to_array(lower(text), '\\W+'), x -> x != '')) AS tok
-        FROM aug
-    ),
-    h AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        FROM toks
-    ),
-    votes AS (
-        SELECT doc_id, b.b AS b,
-               sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM h CROSS JOIN range(0, 60) b(b)
-        GROUP BY 1, 2
-    ),
-    fp AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
-                             ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id
-    ),
-    keys AS (
-        SELECT doc_id, simhash, c.c AS chunk,
-               (simhash >> (c.c * 15)) & 32767 AS chunk_val
-        FROM fp CROSS JOIN range(0, 4) c(c)
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.simhash AS simhash_a, b.simhash AS simhash_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM keys a JOIN keys b
-      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
-     AND a.doc_id < b.doc_id
-    """
-
-
-@register("simhash_pairs", _SIMHASH_ORACLE, headline=True)
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates with hamming distance.  The whole
-    pipeline is md5-derived integer arithmetic, so the DuckDB oracle
-    replays it exactly: 60-bit token hashes, per-bit ±1 votes, sign-vector
-    fingerprint, 15-bit chunk banding, i<j bucket pairs, popcount
-    hamming."""
-    out = dd.simhash_candidate_pairs(_augment_near(spark, sf_dir))
-    return out.select(
-        "id_a",
-        "id_b",
-        "simhash_a",
-        "simhash_b",
-        F.col("hamming").cast("long").alias("hamming"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1201,1302 +835,6 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda p, c: sim.ivf_topk(p, c, k=5, n_cells=16, nprobe=8),
         0.5,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multimodal
-# ---------------------------------------------------------------------------
-
-
-def q_multimodal_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The genuine array<double> feature form (what a downstream model
-    pipeline consumes) — not driver-registered because the driver's pandas
-    canonicalizer cannot hash array cells (CORRECTNESS_r02); the registered
-    form below serializes it and a unit test asserts the two agree."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return mm.extract_features(mm.media_from_documents(docs))
-
-
-@register(
-    "multimodal_features",
-    """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
-           'image/fake' AS media_type,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           array_to_string(list_transform(range(0, 8),
-               i -> CAST(CAST(('0x' || substr(md5(text), i * 2 + 1, 2)) AS INT)
-                         AS VARCHAR)), '|') AS features_b
-    FROM documents
-    """,
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns -> Arrow-batched mapInPandas feature extraction.
-    The fake decode is md5-derived (digest bytes / 255), so the oracle
-    replays it exactly as hex-pair extraction over DuckDB's md5().  The
-    driver-compared form serializes the vector as pipe-joined byte values
-    (round(x*255) is exact: x = b/255.0 for integer b) — the
-    nested_regroup canonicalizer-safe pattern (queries.py)."""
-    feats = q_multimodal_features_df(spark, sf_dir)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.array_join(
-            F.transform(
-                "features", lambda x: F.round(x * 255).cast("int").cast("string")
-            ),
-            "|",
-        ).alias("features_b"),
-    )
-
-
-@register(
-    "multimodal_resize",
-    """
-    WITH m AS (
-        SELECT doc_id AS media_id,
-               n_chars % 1024 + 16 AS w, n_chars % 768 + 16 AS h,
-               md5(text) AS payload_md5
-        FROM documents
-    )
-    SELECT CAST(media_id AS BIGINT) AS media_id,
-           greatest(CAST(floor(w * least(128.0 / greatest(w, h), 1.0) + 0.5)
-               AS BIGINT), 1) AS width,
-           greatest(CAST(floor(h * least(128.0 / greatest(w, h), 1.0) + 0.5)
-               AS BIGINT), 1) AS height,
-           payload_md5
-    FROM m
-    """,
-)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving image resize over mapInPandas.  The size
-    arithmetic is floor(x+0.5) half-up rounding on IEEE doubles — chosen
-    over numpy's half-to-even .round() precisely so the oracle can replay
-    it.  Raw payload bytes are projected as md5 hex for the comparison
-    (binary columns are not canonicalizer-safe)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    out = mm.resize_images(mm.media_from_documents(docs), max_side=128)
-    return out.select(
-        "media_id", "width", "height", F.md5("payload").alias("payload_md5")
-    )
-
-
-@register(
-    "multimodal_frames",
-    """
-    WITH f AS (
-        SELECT doc_id AS media_id,
-               unnest(range(0, doc_id % 5 + 1)) AS frame_no,
-               md5(text) AS payload_md5
-        FROM documents
-    )
-    SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(frame_no AS BIGINT) AS frame_no,
-           CAST(frame_no * 1000 AS BIGINT) AS ts_ms,
-           payload_md5
-    FROM f
-    """,
-)
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling fan-out over mapInPandas: one row per second of
-    synthetic duration ((media_id % 5 + 1) s), replayed by the oracle as an
-    unnest(range(...)) fan-out.  Frame payloads (stub: the source bytes)
-    compared as md5 hex."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    media = mm.media_from_documents(docs).withColumn(
-        "duration_ms", (F.col("media_id") % 5 + 1) * 1000
-    )
-    out = mm.sample_frames(media, every_ms=1_000)
-    return out.select(
-        "media_id", "frame_no", "ts_ms", F.md5("payload").alias("payload_md5")
-    )
-
-
-_MULTIMODAL_DECODE_ORACLE = """
-    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
-    img AS (
-        SELECT media_id, media_id % 16 + 4 AS w, media_id % 12 + 4 AS h,
-               greatest(CAST(floor((media_id % 16 + 4) * least(8.0 /
-                   greatest(media_id % 16 + 4, media_id % 12 + 4), 1.0) + 0.5)
-                   AS BIGINT), 1) AS ow,
-               greatest(CAST(floor((media_id % 12 + 4) * least(8.0 /
-                   greatest(media_id % 16 + 4, media_id % 12 + 4), 1.0) + 0.5)
-                   AS BIGINT), 1) AS oh
-        FROM ids WHERE media_id % 3 <> 0
-    ),
-    imgsum AS (
-        SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
-               CAST(sum((i.media_id*31 + r.r*7 + c.c*3 + k.k) % 256)
-                   AS BIGINT) AS value_sum
-        FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
-             LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
-             LATERAL (SELECT unnest(range(0, 3)) AS k) k
-        GROUP BY 1
-    ),
-    rsum AS (
-        SELECT i.media_id,
-               CAST(sum((i.media_id*31 + ((ri.i * i.h) // i.oh)*7
-                        + ((cj.j * i.w) // i.ow)*3 + k.k) % 256)
-                   AS BIGINT) AS resized_sum
-        FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
-             LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
-             LATERAL (SELECT unnest(range(0, 3)) AS k) k
-        GROUP BY 1
-    ),
-    aud AS (SELECT media_id, media_id % 50 + 10 AS n
-            FROM ids WHERE media_id % 3 = 0),
-    audsum AS (
-        SELECT a.media_id, CAST(a.n AS BIGINT) AS n_values,
-               CAST(sum((a.media_id*17 + t.s*13) % 4096 - 2048)
-                   AS BIGINT) AS value_sum
-        FROM aud a, LATERAL (SELECT unnest(range(0, a.n)) AS s) t
-        GROUP BY 1, 2
-    )
-    SELECT i.media_id, 'image' AS kind, CAST(i.w AS BIGINT) AS width,
-           CAST(i.h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
-           s.n_values, s.value_sum, i.ow AS out_width, i.oh AS out_height,
-           r.resized_sum
-    FROM img i JOIN imgsum s USING (media_id) JOIN rsum r USING (media_id)
-    UNION ALL
-    SELECT a.media_id, 'audio', NULL, NULL, 8000, a.n_values, a.value_sum,
-           NULL, NULL, NULL
-    FROM audsum a
-"""
-
-
-_AUDIO_FRAMES_ORACLE = """
-    WITH aud AS (
-        SELECT CAST(doc_id AS BIGINT) AS media_id,
-               CAST(doc_id % 50 + 10 AS BIGINT) AS n
-        FROM documents WHERE doc_id % 3 = 0
-    ),
-    fr AS (
-        SELECT media_id, n,
-               unnest(range(0, (n + 7) // 8)) AS f
-        FROM aud
-    )
-    SELECT fr.media_id, CAST(fr.f AS BIGINT) AS frame_no,
-           CAST(fr.f AS BIGINT) AS ts_ms,
-           CAST(8000 AS BIGINT) AS sample_rate,
-           CAST(least(fr.n, (fr.f + 1) * 8) - fr.f * 8 AS BIGINT) AS n_samples,
-           CAST(sum((fr.media_id * 17 + t.s * 13) % 4096 - 2048)
-               AS BIGINT) AS sample_sum
-    FROM fr, LATERAL (
-        SELECT unnest(range(fr.f * 8, least(fr.n, (fr.f + 1) * 8))) AS s
-    ) t
-    GROUP BY 1, 2, 3, 4, 5
-"""
-
-
-@register("multimodal_audio_frames", _AUDIO_FRAMES_ORACLE)
-def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio frame fan-out (round 7): decode the synthetic WAV
-    payloads and slice the PCM into 1 ms windows (8 samples at 8 kHz) —
-    one row per frame with its integer sample sum.  The oracle replays
-    the closed-form sample content over unnested ranges, so a chunk-walk,
-    slicing, or off-by-one bug in the frame boundaries shows up as a
-    hash mismatch.  Row-local fan-out: zero shuffles at any corpus."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
-    )
-    media = mm.synthetic_media(docs).filter(F.col("media_type") == "audio/wav")
-    return mm.sample_audio_frames(media, frame_ms=1)
-
-
-_ULAW_FRAMES_ORACLE = """
-    WITH ul AS (
-        SELECT CAST(doc_id AS BIGINT) AS media_id,
-               CAST(doc_id % 40 + 8 AS BIGINT) AS n
-        FROM documents
-    ),
-    ulfr AS (
-        SELECT media_id, n, unnest(range(0, (n + 7) // 8)) AS f
-        FROM ul
-    ),
-    uldec AS (
-        SELECT ulfr.media_id, ulfr.n, ulfr.f, t.s,
-               255 - (ulfr.media_id * 29 + t.s * 19) % 256 AS v
-        FROM ulfr, LATERAL (
-            SELECT unnest(range(ulfr.f * 8, least(ulfr.n, (ulfr.f + 1) * 8)))
-                AS s
-        ) t
-    )
-    SELECT media_id, CAST(f AS BIGINT) AS frame_no,
-           CAST(f AS BIGINT) AS ts_ms,
-           CAST(8000 AS BIGINT) AS sample_rate,
-           CAST(least(n, (f + 1) * 8) - f * 8 AS BIGINT) AS n_samples,
-           CAST(sum(CASE WHEN v >= 128
-                    THEN 132 - (((v % 16) * 8 + 132) << ((v // 16) % 8))
-                    ELSE (((v % 16) * 8 + 132) << ((v // 16) % 8)) - 132
-               END) AS BIGINT) AS sample_sum
-    FROM uldec
-    GROUP BY 1, 2, 3, 4, 5
-"""
-
-
-@register("multimodal_ulaw", _ULAW_FRAMES_ORACLE)
-def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL G.711 μ-law decode (telephony/speech corpora): synthesize
-    8-bit μ-law WAV payloads executor-side (operators/multimodal.py
-    synthetic_ulaw — codeword closed-form in the id), expand to linear
-    PCM16 with the exact CCITT integer formula inside decode_wav, and
-    slice into 1 ms frames with per-frame linear sample sums.  The
-    oracle replays the complement / rebias / segment-shift expansion in
-    pure integer SQL over unnested sample ranges, so a sign, bias, or
-    shift bug in the expander is a hash mismatch — and the WAV chunk
-    walk is exercised over a second fmt code (7) and an 8-bit block
-    alignment.  Row-local fan-out: zero shuffles at any corpus."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
-    )
-    media = mm.synthetic_ulaw(docs)
-    return mm.sample_audio_frames(media, frame_ms=1)
-
-
-_VIDEO_FRAMES_ORACLE = """
-    WITH vid AS (
-        SELECT CAST(doc_id AS BIGINT) AS media_id,
-               CAST(doc_id % 8 + 4 AS BIGINT) AS w,
-               CAST(doc_id % 6 + 4 AS BIGINT) AS h,
-               CAST(doc_id % 4 + 2 AS BIGINT) AS n
-        FROM documents
-    ),
-    fr AS (SELECT media_id, w, h, unnest(range(0, n)) AS f FROM vid)
-    SELECT fr.media_id, CAST(fr.f AS BIGINT) AS frame_no,
-           fr.w AS width, fr.h AS height,
-           CAST(3 * fr.h * fr.w AS BIGINT) AS n_values,
-           CAST(sum((fr.media_id*7 + fr.f*11 + p.p*5 + r.r*3 + c.c) % 256)
-               AS BIGINT) AS value_sum
-    FROM fr, LATERAL (SELECT unnest(range(0, 3)) AS p) p,
-         LATERAL (SELECT unnest(range(0, fr.h)) AS r) r,
-         LATERAL (SELECT unnest(range(0, fr.w)) AS c) c
-    GROUP BY 1, 2, 3, 4, 5
-"""
-
-
-@register("multimodal_video_frames", _VIDEO_FRAMES_ORACLE)
-def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video frame fan-out (round 7): synthesize actual YUV4MPEG2
-    (C444) streams executor-side with closed-form plane content
-    (operators/multimodal.py synthetic_video), decode them frame by frame
-    with the pure-numpy Y4M parser, and checksum every plane stack.  With
-    PPM/BMP images, WAV audio, and Y4M video, all three modalities now
-    decode REAL bytes; only compressed codecs remain behind the honest
-    stub.  The oracle replays the plane arithmetic over unnested ranges —
-    a header-walk, frame-boundary, or plane-order bug is a hash
-    mismatch."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
-    )
-    return mm.sample_video_frames(mm.synthetic_video(docs))
-
-
-_MULTIMODAL_PNG_ORACLE = """
-    WITH img AS (
-        SELECT CAST(doc_id AS BIGINT) AS media_id,
-               doc_id % 14 + 4 AS w, doc_id % 10 + 4 AS h,
-               greatest(CAST(floor((doc_id % 14 + 4) * least(8.0 /
-                   greatest(doc_id % 14 + 4, doc_id % 10 + 4), 1.0) + 0.5)
-                   AS BIGINT), 1) AS ow,
-               greatest(CAST(floor((doc_id % 10 + 4) * least(8.0 /
-                   greatest(doc_id % 14 + 4, doc_id % 10 + 4), 1.0) + 0.5)
-                   AS BIGINT), 1) AS oh
-        FROM documents
-    ),
-    imgsum AS (
-        -- even ids: RGB pixel (…+ k*3); odd ids: grayscale replicated
-        -- across k, so the k term drops but the k fan-out still counts 3x
-        SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
-               CAST(sum((i.media_id*13 + r.r*5 + c.c*11
-                        + CASE WHEN i.media_id % 2 = 1 THEN 0
-                               ELSE k.k*3 END) % 256)
-                   AS BIGINT) AS value_sum
-        FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
-             LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
-             LATERAL (SELECT unnest(range(0, 3)) AS k) k
-        GROUP BY 1
-    ),
-    rsum AS (
-        SELECT i.media_id,
-               CAST(sum((i.media_id*13 + ((ri.i * i.h) // i.oh)*5
-                        + ((cj.j * i.w) // i.ow)*11
-                        + CASE WHEN i.media_id % 2 = 1 THEN 0
-                               ELSE k.k*3 END) % 256)
-                   AS BIGINT) AS resized_sum
-        FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
-             LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
-             LATERAL (SELECT unnest(range(0, 3)) AS k) k
-        GROUP BY 1
-    )
-    SELECT i.media_id, 'image' AS kind, CAST(i.w AS BIGINT) AS width,
-           CAST(i.h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
-           s.n_values, s.value_sum, i.ow AS out_width, i.oh AS out_height,
-           r.resized_sum
-    FROM img i JOIN imgsum s USING (media_id) JOIN rsum r USING (media_id)
-"""
-
-
-_MULTIMODAL_QOI_ORACLE = """
-    WITH img AS (
-        SELECT CAST(doc_id AS BIGINT) AS media_id,
-               doc_id % 12 + 4 AS w, doc_id % 8 + 4 AS h,
-               greatest(CAST(floor((doc_id % 12 + 4) * least(8.0 /
-                   greatest(doc_id % 12 + 4, doc_id % 8 + 4), 1.0) + 0.5)
-                   AS BIGINT), 1) AS ow,
-               greatest(CAST(floor((doc_id % 8 + 4) * least(8.0 /
-                   greatest(doc_id % 12 + 4, doc_id % 8 + 4), 1.0) + 0.5)
-                   AS BIGINT), 1) AS oh
-        FROM documents
-    ),
-    imgsum AS (
-        SELECT i.media_id, CAST(count(*) AS BIGINT) AS n_values,
-               CAST(sum((i.media_id*11 + (r.r // 2)*3 + (c.c // 3)*7
-                        + k.k*5) % 256) AS BIGINT) AS value_sum
-        FROM img i, LATERAL (SELECT unnest(range(0, i.h)) AS r) r,
-             LATERAL (SELECT unnest(range(0, i.w)) AS c) c,
-             LATERAL (SELECT unnest(range(0, 3)) AS k) k
-        GROUP BY 1
-    ),
-    rsum AS (
-        SELECT i.media_id,
-               CAST(sum((i.media_id*11 + (((ri.i * i.h) // i.oh) // 2)*3
-                        + (((cj.j * i.w) // i.ow) // 3)*7 + k.k*5) % 256)
-                   AS BIGINT) AS resized_sum
-        FROM img i, LATERAL (SELECT unnest(range(0, i.oh)) AS i) ri,
-             LATERAL (SELECT unnest(range(0, i.ow)) AS j) cj,
-             LATERAL (SELECT unnest(range(0, 3)) AS k) k
-        GROUP BY 1
-    )
-    SELECT i.media_id, 'image' AS kind, CAST(i.w AS BIGINT) AS width,
-           CAST(i.h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
-           s.n_values, s.value_sum, i.ow AS out_width, i.oh AS out_height,
-           r.resized_sum
-    FROM img i JOIN imgsum s USING (media_id) JOIN rsum r USING (media_id)
-"""
-
-
-@register("multimodal_qoi", _MULTIMODAL_QOI_ORACLE)
-def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second REAL compressed-image codec (round 8): synthesize actual
-    QOI bytes executor-side (operators/multimodal.py synthetic_qoi —
-    content shaped so the encoder emits the full RUN/INDEX/DIFF/LUMA/RGB
-    op mix), decode with the exact-integer QOI parser, nearest-downscale,
-    and checksum both rasters (decode_stats — stats come from DECODED
-    pixels).  The oracle replays the closed-form pixel arithmetic, so a
-    wrong op decode, hash-table slot, or run boundary is a hash
-    mismatch.  Row-local: zero shuffles at any corpus."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
-    )
-    return mm.decode_stats(mm.synthetic_qoi(docs), max_side=8)
-
-
-@register("multimodal_png", _MULTIMODAL_PNG_ORACLE, headline=True)
-def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-image decode (round 8): synthesize actual PNG
-    bytes executor-side (operators/multimodal.py synthetic_png — zlib
-    deflate; even ids 8-bit RGB, odd ids 8-bit grayscale; per-row filter
-    type (id+r)%5 cycling the whole None/Sub/Up/Average/Paeth set), then
-    inflate + unfilter with the stdlib-zlib decoder, nearest-downscale,
-    and checksum both rasters (decode_stats — stats come from DECODED
-    pixels).  The oracle replays the closed-form pixel arithmetic over
-    unnested ranges (gray = the k term dropped, still counted 3x by the
-    RGB replication), so a wrong Paeth predictor, a filter-byte offset
-    slip, a bpp mix-up, or an IDAT reassembly bug is a hash mismatch.
-    Lossy codecs (JPEG/MP3) stay behind the honest stub.  Row-local:
-    zero shuffles at any corpus."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
-    )
-    return mm.decode_stats(mm.synthetic_png(docs), max_side=8)
-
-
-@register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE, headline=True)
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode (round 7): synthesize actual PPM / BMP / WAV
-    bytes executor-side (operators/multimodal.py synthetic_media — pixel
-    and sample values are closed-form in the id), then decode them with
-    the pure-numpy codecs, nearest-neighbor-downscale the images, and
-    checksum every raster/waveform (decode_stats).  The oracle never sees
-    a byte: it replays the SAME closed-form content arithmetic over
-    unnested ranges — so a parser bug, a BGR/row-padding slip, or a
-    resample-index error all surface as a hash mismatch.  Compressed
-    codecs remain an honest NotImplementedError stub."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
-    )
-    media = mm.synthetic_media(docs)
-    return mm.decode_stats(media, max_side=8)
-
-
-@register(
-    "doc_stable_sample",
-    """
-    SELECT doc_id, lang,
-           CAST(('0x' || substr(md5('corpus_v1' || CAST(doc_id AS VARCHAR)), 1, 15))
-                AS BIGINT) % 100 AS bucket
-    FROM documents
-    WHERE CAST(('0x' || substr(md5('corpus_v1' || CAST(doc_id AS VARCHAR)), 1, 15))
-               AS BIGINT) % 100 < 20
-    """,
-)
-def q_doc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 20% corpus sample (operators/sampling.py): the keep
-    decision is md5(salt || doc_id) mod 100 — reproducible run-to-run,
-    partitioning-independent, and consistent across tables (rand()-based
-    sampling is none of these).  Pure row-local JVM expression, zero
-    shuffles at any scale."""
-    from .operators.sampling import hash_bucket, stable_sample
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
-    return stable_sample(docs, "doc_id", percent=20, salt="corpus_v1").select(
-        "doc_id", "lang", hash_bucket(F.col("doc_id"), "corpus_v1").alias("bucket")
-    )
-
-
-@register(
-    "doc_split_assign",
-    """
-    WITH b AS (
-        SELECT doc_id, lang,
-               CAST(('0x' || substr(md5('split_v1' || CAST(doc_id AS VARCHAR)), 1, 15))
-                    AS BIGINT) % 100 AS bucket
-        FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE WHEN bucket < 90 THEN 'train'
-                WHEN bucket < 95 THEN 'val'
-                ELSE 'test' END AS split
-    FROM b
-    """,
-)
-def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test assignment by contiguous hash-bucket ranges
-    (90/5/5): every row gets exactly one split, the same doc_id lands in
-    the same split in every table salted alike (no cross-split leakage
-    through joins), and re-runs are bit-identical.  Zero shuffles."""
-    from .operators.sampling import split_assign
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
-    return split_assign(
-        docs, "doc_id", weights={"train": 90, "val": 5, "test": 5}, salt="split_v1"
-    )
-
-
-@register(
-    "doc_curation_pipeline",
-    f"""
-    WITH aug AS ({_AUG_EXACT}),
-    scored AS (SELECT doc_id, text, {_LANG_SCORE_SQL} FROM aug),
-    en AS (
-        SELECT doc_id, text FROM scored
-        WHERE score_en >= score_de AND score_en >= score_es
-              AND score_en >= score_fr
-    ),
-    toks AS (
-        SELECT doc_id, text,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                    x -> x != '')) AS BIGINT) AS n_tokens
-        FROM en
-    ),
-    good AS (SELECT * FROM toks WHERE n_tokens >= 10),
-    surv AS (
-        SELECT min(doc_id) AS doc_id,
-               arg_min(n_tokens, doc_id) AS n_tokens,
-               count(*) AS n_copies
-        FROM good GROUP BY md5(text)
-    )
-    SELECT doc_id, n_tokens, n_copies,
-           CASE WHEN CAST(('0x' || substr(md5('curation_v1' ||
-                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
-                THEN 'train'
-                WHEN CAST(('0x' || substr(md5('curation_v1' ||
-                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95
-                THEN 'val'
-                ELSE 'test' END AS split
-    FROM surv
-    """,
-    headline=True,
-)
-def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation, the composition a training-data run
-    actually executes: language filter (en) -> quality floor (>= 10
-    tokens) -> exact-dedup survivors -> deterministic train/val/test
-    assignment.  One linear plan: the filters are row-local JVM
-    expressions evaluated before the single digest-groupBy shuffle
-    (16-byte keys, payloads never shuffle), and the split is a hash
-    bucket — at 100 TB this runs as scan -> map -> one narrow shuffle ->
-    map.  Each stage is individually oracle-verified by doc_lang_id,
-    doc_token_stats, doc_exact_dedup, and doc_split_assign; this query
-    verifies their composition."""
-    from .plans.curation import curate_documents
-
-    return curate_documents(_augment_exact(spark, sf_dir))
-
-
-@register(
-    "doc_pack_sequences",
-    """
-    WITH RECURSIVE d AS (
-        SELECT doc_id, doc_id % 4 AS shard,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                    x -> x != '')) AS BIGINT) AS n_tokens
-        FROM documents
-    ),
-    ordered AS (
-        SELECT doc_id, shard, n_tokens,
-               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-        FROM d
-    ),
-    packed AS (
-        SELECT shard, rn, doc_id, n_tokens,
-               CAST(0 AS BIGINT) AS seq_id, n_tokens AS used
-        FROM ordered WHERE rn = 1
-        UNION ALL
-        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-               CASE WHEN p.used + o.n_tokens > 500 AND p.used > 0
-                    THEN p.seq_id + 1 ELSE p.seq_id END,
-               CASE WHEN p.used + o.n_tokens > 500 AND p.used > 0
-                    THEN o.n_tokens ELSE p.used + o.n_tokens END
-        FROM ordered o JOIN packed p
-          ON o.shard = p.shard AND o.rn = p.rn + 1
-    )
-    SELECT doc_id, shard, n_tokens, seq_id FROM packed
-    """,
-)
-def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing (operators/packing.py): docs walked in
-    doc_id order per shard, a new fixed-budget training sequence opens
-    whenever the next doc would overflow 500 tokens.  Inherently stateful
-    -> Arrow-batched applyInPandas per shard (the §2.11 slow-path tier,
-    never a row-at-a-time UDF); the DuckDB oracle replays the walk as a
-    recursive CTE.  One shuffle (shard key), then embarrassingly parallel
-    per-shard walks."""
-    from .operators.packing import pack_sequences, with_shards
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    sized = with_shards(
-        docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens")),
-        n_shards=4,
-    ).select("doc_id", "shard", "n_tokens")
-    return pack_sequences(sized, budget=500)
-
-
-_SUBWORD_PACK_ORACLE = f"""
-    WITH RECURSIVE {_BPE_CORE_CTES},
-    d AS (
-        SELECT CAST(d0.doc_id AS BIGINT) AS doc_id,
-               CAST(d0.doc_id % 4 AS BIGINT) AS shard,
-               CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
-        FROM documents d0 LEFT JOIN agg a USING (doc_id)
-    ),
-    ordered AS (
-        SELECT doc_id, shard, n_subwords,
-               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-        FROM d
-    ),
-    packed AS (
-        SELECT shard, rn, doc_id, n_subwords,
-               CAST(0 AS BIGINT) AS seq_id, n_subwords AS used
-        FROM ordered WHERE rn = 1
-        UNION ALL
-        SELECT o.shard, o.rn, o.doc_id, o.n_subwords,
-               CASE WHEN p.used + o.n_subwords > 500 AND p.used > 0
-                    THEN p.seq_id + 1 ELSE p.seq_id END,
-               CASE WHEN p.used + o.n_subwords > 500 AND p.used > 0
-                    THEN o.n_subwords ELSE p.used + o.n_subwords END
-        FROM ordered o JOIN packed p
-          ON o.shard = p.shard AND o.rn = p.rn + 1
-    )
-    SELECT doc_id, shard, n_subwords, seq_id FROM packed
-"""
-
-
-@register("doc_subword_pack", _SUBWORD_PACK_ORACLE)
-def q_doc_subword_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing under a REAL subword budget (round 7): the
-    frozen-vocab tokenizer feeds pack_sequences through its token_col
-    parameter — with doc_subword_mix, both token-budget consumers are now
-    wired to real counts.  The oracle chains TWO recursive CTEs — the
-    greedy-match tokenizer walk and the greedy packing walk — so the
-    composition is hash-compared end to end."""
-    from .operators.packing import pack_sequences, with_shards
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    sized = with_shards(
-        tx.subword_stats(docs).select("doc_id", "n_subwords"), n_shards=4
-    ).select("doc_id", "shard", "n_subwords")
-    return pack_sequences(sized, budget=500, token_col="n_subwords").select(
-        "doc_id", "shard", "n_subwords", "seq_id"
-    )
-
-
-@register(
-    "corpus_top_ngrams",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                    x -> x != '') AS t
-        FROM documents
-    ),
-    grams AS (
-        SELECT unnest(list_transform(range(1, len(t)),
-                    i -> t[i] || ' ' || t[i + 1])) AS ngram
-        FROM toks WHERE len(t) >= 2
-    )
-    SELECT ngram, CAST(count(*) AS BIGINT) AS n
-    FROM grams GROUP BY ngram
-    ORDER BY n DESC, ngram ASC LIMIT 20
-    """,
-)
-def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-k word bigrams: the n-gram census behind corpus
-    inspection and contamination screens.  All-integer pipeline: explode
-    bigrams, ONE map-side-combinable groupBy count, TakeOrderedAndProject
-    top-k (count desc, ngram asc tie-break — deterministic).  At 100 TB
-    the combine collapses per-partition duplicates before the shuffle and
-    the top-k never materializes the full census on one node."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
-    toks = docs.select(
-        F.filter(
-            F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != ""
-        ).alias("t")
-    ).filter(F.size("t") >= 2)
-    grams = toks.select(
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
-        ).alias("ngram")
-    )
-    return (
-        grams.groupBy("ngram")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("ngram").asc())
-        .limit(20)
-    )
-
-
-@register(
-    "doc_cooccurrence",
-    """
-    WITH co_toks AS (
-        SELECT doc_id,
-               unnest(list_filter(
-                   regexp_split_to_array(lower(text), '\\W+'),
-                   x -> x != '')) AS item
-        FROM documents
-    ),
-    co_bi AS (SELECT DISTINCT doc_id, item FROM co_toks),
-    co_freq AS (
-        SELECT item FROM co_bi GROUP BY item HAVING count(*) >= 20
-    ),
-    co_cap AS (
-        SELECT doc_id, item,
-               row_number() OVER (
-                   PARTITION BY doc_id ORDER BY item) AS rn
-        FROM co_bi WHERE item IN (SELECT item FROM co_freq)
-    ),
-    co_kept AS (SELECT doc_id, item FROM co_cap WHERE rn <= 30)
-    SELECT a.item AS item_a, b.item AS item_b,
-           CAST(count(*) AS BIGINT) AS n_baskets
-    FROM co_kept a JOIN co_kept b
-      ON a.doc_id = b.doc_id AND a.item < b.item
-    GROUP BY item_a, item_b
-    HAVING count(*) >= 10
-    """,
-)
-def q_doc_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent co-occurring word pairs (operators/itemsets.py
-    frequent_pairs — apriori level 2): unordered pairs of
-    individually-frequent tokens counted by the number of documents
-    containing both, with the deterministic lexicographic per-doc cap
-    as the blow-up valve.  Same cross-engine tokenization as
-    corpus_top_ngrams; the oracle replays prune, cap, and pair census
-    verbatim."""
-    from .operators.itemsets import frequent_pairs
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\W+"),
-                lambda x: x != "",
-            )
-        ).alias("item"),
-    )
-    return frequent_pairs(
-        toks,
-        basket_col="doc_id",
-        item_col="item",
-        min_item_support=20,
-        min_pair_support=10,
-        max_items_per_basket=30,
-    )
-
-
-@register(
-    "doc_source_quota",
-    """
-    WITH ranked AS (
-        SELECT doc_id, source,
-               row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY md5('quota_v1' || CAST(doc_id AS VARCHAR)), doc_id
-               ) AS rank
-        FROM documents
-    )
-    SELECT doc_id, source, rank FROM ranked WHERE rank <= 10
-    """,
-)
-def q_doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quota: keep at most 10 docs per source, selected by an
-    unbiased deterministic hash rank (operators/selection.py).  Semantics
-    are a single ranking window, but the physical plan is the two-stage
-    sharded top-k — no task ever sees more than k * n_shards rows of one
-    group, so a 40 TB CommonCrawl-sized source cannot serialize onto one
-    executor the way a naive PARTITION BY source window would."""
-    from .operators.selection import group_topk
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
-    return group_topk(docs, "source", "doc_id", k=10, salt="quota_v1")
-
-
-@register(
-    "doc_importance_resample",
-    """
-    WITH w AS (
-        SELECT doc_id, lang,
-               CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 1.5
-                         WHEN 'es' THEN 2.25 ELSE 0.5 END AS wt,
-               CAST(('0x' || substr(md5('resample_v1' || CAST(doc_id AS VARCHAR)),
-                    1, 15)) AS BIGINT) % 100 AS bucket
-        FROM documents
-    ),
-    r AS (
-        SELECT doc_id, lang,
-               CAST(floor(wt) AS BIGINT)
-               + CASE WHEN bucket < CAST(round((wt - floor(wt)) * 100) AS BIGINT)
-                      THEN 1 ELSE 0 END AS repeats
-        FROM w
-    )
-    SELECT doc_id, lang, CAST(u.i AS INT) AS copy_id
-    FROM r, LATERAL unnest(generate_series(1, repeats)) AS u(i)
-    """,
-)
-def q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Importance resampling of the corpus mix: de 1.5x, es 2.25x,
-    en 1.0x, everything else 0.5x.  Integer copies are guaranteed; the
-    fractional remainder becomes one extra copy for a deterministic
-    hash-selected fraction of keys (stochastic rounding — expected copy
-    count equals the weight, every decision a pure function of the key).
-    Row-local explode, zero shuffles at any scale; weights resolve to
-    percent precision (operators/selection.py)."""
-    from .operators.selection import importance_resample
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
-    weight = (
-        F.when(F.col("lang") == "en", 1.0)
-        .when(F.col("lang") == "de", 1.5)
-        .when(F.col("lang") == "es", 2.25)
-        .otherwise(0.5)
-    )
-    return importance_resample(docs, "doc_id", weight, salt="resample_v1")
-
-
-@register(
-    "doc_decontaminate",
-    """
-    WITH tok AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                           x -> x != '') AS t,
-               CAST(('0x' || substr(md5('split_v1' || CAST(doc_id AS VARCHAR)),
-                    1, 15)) AS BIGINT) % 100 AS bucket
-        FROM documents
-    ),
-    trg AS (
-        SELECT doc_id, CAST(len(d) AS BIGINT) AS n_grams,
-               unnest(d) AS digest
-        FROM (
-            SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(t) - 2),
-                        i -> md5(array_to_string(t[i:i+3], ' ')))) AS d
-            FROM tok WHERE bucket < 90 AND len(t) >= 4
-        )
-    ),
-    evg AS (
-        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
-                    i -> md5(array_to_string(t[i:i+3], ' ')))) AS digest
-        FROM tok WHERE bucket >= 95 AND len(t) >= 4
-    )
-    SELECT doc_id, max(n_grams) AS n_grams,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM trg JOIN evg USING (digest)
-    GROUP BY doc_id
-    """,
-)
-def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/decontam.py): train docs (the
-    90% hash split) sharing any 4-token window with the held-out test
-    split (>= bucket 95), with shared-window counts.  The eval side's
-    digests are distinct-ed and broadcast; the corpus side is a row-local
-    map (tokenize -> n-grams -> md5 -> per-doc distinct) probed against
-    the broadcast, then ONE combinable groupBy on doc_id — the 100 TB
-    train corpus never shuffles its n-grams.  n=4 here only because the
-    fixture vocabulary is tiny; production screens use n of 8-13."""
-    from .operators.decontam import contamination
-    from .operators.sampling import hash_bucket
-
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    bucket = hash_bucket(F.col("doc_id"), "split_v1")
-    train = docs.where(bucket < 90)
-    eval_docs = docs.where(bucket >= 95)
-    return contamination(train, eval_docs, n=4)
-
-
-@register(
-    "doc_repetition_stats",
-    """
-    WITH tok AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                           x -> x != '') AS t
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(t) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-           CAST(list_max(list_transform(list_distinct(t),
-                d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
-               AS top_token_count,
-           CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
-           CAST(len(list_distinct(list_transform(range(1, len(t)),
-                i -> t[i] || ' ' || t[i + 1]))) AS BIGINT)
-               AS n_distinct_bigrams
-    FROM tok WHERE len(t) >= 2
-    """,
-)
-def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style within-doc repetition screen (operators/text.py):
-    most-frequent-token share and duplicate-bigram fraction come straight
-    off these integer counts.  Pure row-local array expressions — zero
-    shuffles at any corpus size, work bounded by doc length."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    return tx.repetition_stats(docs).select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct_tokens",
-        "top_token_count",
-        "n_bigrams",
-        "n_distinct_bigrams",
-    )
-
-
-@register(
-    "doc_pii_scrub",
-    """
-    WITH inj AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 7 = 0 THEN
-                   text || ' contact user' || CAST(doc_id AS VARCHAR)
-                        || '@example.com from 10.'
-                        || CAST(doc_id % 256 AS VARCHAR) || '.'
-                        || CAST(doc_id % 100 AS VARCHAR) || '.'
-                        || CAST(doc_id % 50 AS VARCHAR)
-                        || ' ref 10000000' || CAST(doc_id % 100 AS VARCHAR)
-               ELSE text END AS text
-        FROM documents
-    ),
-    s1 AS (
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                    AS BIGINT) AS n_email,
-               regexp_replace(text,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                    '[EMAIL]', 'g') AS t
-        FROM inj
-    ),
-    s2 AS (
-        SELECT doc_id, n_email,
-               CAST(len(regexp_extract_all(t,
-                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
-                    AS BIGINT) AS n_ip,
-               regexp_replace(t,
-                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-                    '[IP]', 'g') AS t
-        FROM s1
-    )
-    SELECT doc_id, n_email, n_ip,
-           CAST(len(regexp_extract_all(t, '\\b\\d{9,}\\b')) AS BIGINT)
-               AS n_idnum,
-           regexp_replace(t, '\\b\\d{9,}\\b', '[ID]', 'g') AS clean_text
-    FROM s2
-    """,
-)
-def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction screen (operators/text.py scrub_pii): emails, IPv4
-    addresses, and long id numbers replaced with typed placeholders, with
-    per-document removal counts.  The fixture corpus contains no natural
-    PII, so every %7 doc gets a deterministic synthetic injection (email +
-    IP + 9-digit id derived from doc_id) that both engines compute
-    identically — the scrubber then has real work whose counts the oracle
-    hash-verifies.  Row-local regexp chain: zero shuffles at any scale."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    injected = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com from 10."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit("."),
-                (F.col("doc_id") % 100).cast("string"),
-                F.lit("."),
-                (F.col("doc_id") % 50).cast("string"),
-                F.lit(" ref 10000000"),
-                (F.col("doc_id") % 100).cast("string"),
-            ),
-        ).otherwise(F.col("text")),
-    )
-    return tx.scrub_pii(injected).select(
-        "doc_id", "n_email", "n_ip", "n_idnum", "clean_text"
-    )
-
-
-@register(
-    "doc_chunk",
-    """
-    SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
-           substring(text, CAST(u.i * 150 + 1 AS INT), 200) AS chunk,
-           CAST(len(substring(text, CAST(u.i * 150 + 1 AS INT), 200))
-                AS BIGINT) AS chunk_len
-    FROM documents,
-         LATERAL unnest(generate_series(0,
-             CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS u(i)
-    WHERE length(text) >= 1
-    """,
-)
-def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-window chunking (operators/text.py
-    chunk_documents): 200-char windows every 150 chars — the
-    retrieval/context-window splitting primitive.  Row-local sequence +
-    explode + substr; output volume is corpus size times a caller-chosen
-    constant (ceil(size/stride)), zero shuffles."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    return tx.chunk_documents(docs, size=200, stride=150).select(
-        "doc_id", "chunk_idx", "chunk", "chunk_len"
-    )
-
-
-@register(
-    "doc_global_shuffle",
-    """
-    SELECT doc_id,
-           CAST(row_number() OVER (
-               ORDER BY md5('shuffle_v1' || CAST(doc_id AS VARCHAR)), doc_id)
-               AS BIGINT) AS position
-    FROM documents
-    """,
-    headline=True,
-)
-def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global corpus shuffle (operators/sampling.py
-    global_shuffle): each doc's 1-based position in the md5(salt||key)
-    ordering, computed by the two-pass distributed rank (hash-prefix
-    buckets + per-bucket windows + prefix-summed offsets) instead of the
-    single-task ROW_NUMBER-over-everything the oracle uses — identical
-    output, cluster-parallel plan."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    from .operators.sampling import global_shuffle
-
-    return global_shuffle(docs, "doc_id", salt="shuffle_v1").select(
-        "doc_id", "position"
-    )
-
-
-@register(
-    "events_rollup_incremental",
-    """
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-               AS value_micros
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-aggregate refresh (plans/rollup.py): the hourly rollup
-    is built INCREMENTALLY — two disjoint event batches folded in by
-    successive refresh_rollup calls through the catalog's transactional
-    MERGE — and must hash-equal the oracle's one-shot aggregate over all
-    events (decomposable count/sum partials in fixed-point micros make
-    the combine exact, not approximately right).  Externally verifies the
-    whole merge/commit path, not just the aggregation."""
-    import tempfile
-
-    from .plans.catalog import Catalog
-    from .plans.rollup import refresh_rollup
-
-    events = load_table(spark, sf_dir, "events")
-    cat = Catalog(tempfile.mkdtemp(prefix="rollup_q_"))
-    for parity in (0, 1):
-        refresh_rollup(
-            spark, cat, events.where(F.col("event_id") % 2 == parity)
-        )
-    return cat.read(spark, "events_rollup").select(
-        "bucket_ts", "event_type", "n_events", "value_micros"
-    )
-
-
-@register(
-    "doc_line_dedup",
-    f"""
-    WITH aug AS ({_AUG_EXACT}),
-    docs2 AS (
-        SELECT doc_id, replace(text, ' merge ', chr(10)) AS text FROM aug
-    ),
-    split_docs AS (
-        SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2
-    ),
-    lines AS (
-        SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, l[u.i] AS line
-        FROM split_docs, LATERAL unnest(generate_series(1, len(l))) AS u(i)
-    ),
-    hot AS (
-        SELECT md5(line) AS d FROM lines GROUP BY 1 HAVING count(*) > 2
-    ),
-    kept AS (
-        SELECT * FROM lines WHERE md5(line) NOT IN (SELECT d FROM hot)
-    ),
-    rebuilt AS (
-        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-               CAST(count(*) AS BIGINT) AS n_kept
-        FROM kept GROUP BY doc_id
-    )
-    SELECT s.doc_id,
-           coalesce(r.clean_text, '') AS clean_text,
-           CAST(len(s.l) AS BIGINT) AS n_lines,
-           coalesce(r.n_kept, 0) AS n_kept,
-           CAST(len(s.l) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
-    FROM split_docs s LEFT JOIN rebuilt r USING (doc_id)
-    """,
-    headline=True,
-)
-def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level boilerplate-line removal (operators/dedup.py
-    line_dedup): lines occurring more than twice across the corpus are
-    dropped from every document.  The fixture soup has no newlines, so
-    the query derives multi-line docs deterministically (every ' merge '
-    separator becomes a line break — identical replace semantics in both
-    engines); the tiny vocabulary then yields genuinely repeated short
-    lines, and the %10 verbatim mutants repeat whole documents' lines —
-    both removed and hash-verified."""
-    aug = _augment_exact(spark, sf_dir).withColumn(
-        "text", F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))
-    )
-    return dd.line_dedup(aug, max_freq=2).select(
-        "doc_id", "clean_text", "n_lines", "n_kept", "n_removed"
-    )
-
-
-@register(
-    "doc_top_terms",
-    """
-    WITH tok AS (
-        SELECT doc_id,
-               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                  x -> x != '')) AS term
-        FROM documents
-    ),
-    tf AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM tok GROUP BY 1, 2
-    ),
-    dfreq AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY 1
-    ),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-    scored AS (
-        SELECT doc_id, term, tf, df_count,
-               tf * ((n_docs * 1000) // df_count) AS score_milli
-        FROM tf JOIN dfreq USING (term), n
-    ),
-    ranked AS (
-        SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY score_milli DESC, term) AS rnk
-        FROM scored
-    )
-    SELECT doc_id, term, tf, df_count, score_milli, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= 3
-    """,
-)
-def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 tf-idf keywords (operators/text.py top_terms)
-    with the integer milli-idf — rankings are engine-exact by
-    construction, no float log in sight."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    return tx.top_terms(docs, k=3)
-
-
-@register(
-    "doc_dup_spans",
-    """
-    WITH tok0 AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                           x -> x != '') AS t
-        FROM documents
-    ),
-    corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000 AS doc_id,
-               array_to_string(t[1:30], ' ') || ' uniq'
-                   || CAST(doc_id AS VARCHAR) AS text
-        FROM tok0 WHERE doc_id % 10 = 0 AND len(t) >= 30
-    ),
-    tok AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                           x -> x != '') AS t
-        FROM corpus
-    ),
-    eligible AS (SELECT * FROM tok WHERE len(t) >= 8),
-    grams AS (
-        SELECT doc_id, CAST(u.i AS INT) AS pos,
-               md5(array_to_string(t[u.i + 1 : u.i + 8], ' ')) AS d
-        FROM eligible,
-             LATERAL unnest(generate_series(0, len(t) - 8)) AS u(i)
-    ),
-    hot AS (SELECT d FROM grams GROUP BY d HAVING count(*) > 1),
-    hits AS (
-        SELECT doc_id, pos FROM grams WHERE d IN (SELECT d FROM hot)
-    ),
-    agg AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM hits GROUP BY doc_id),
-    calc AS (
-        SELECT doc_id,
-               CAST(len(ps) AS BIGINT) AS n_hit_grams,
-               CAST(coalesce(list_sum(list_transform(range(1, len(ps)),
-                    i -> least(8, ps[i + 1] - ps[i]))), 0) + 8 AS BIGINT)
-                   AS dup_tokens,
-               CAST(1 + len(list_filter(range(1, len(ps)),
-                    i -> ps[i + 1] - ps[i] > 8)) AS BIGINT) AS n_spans
-        FROM agg
-    )
-    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-           coalesce(c.n_hit_grams, 0) AS n_hit_grams,
-           coalesce(c.dup_tokens, 0) AS dup_tokens,
-           coalesce(c.n_spans, 0) AS n_spans
-    FROM tok t LEFT JOIN calc c USING (doc_id)
-    """,
-)
-def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-duplication screen (operators/dedup.py dup_span_stats):
-    per-doc duplicated-span token counts over a corpus where every %10
-    doc also appears as a PARTIAL copy (its first 30 tokens + a unique
-    tail) — so spans are genuinely partial, not whole-document: the
-    mutant duplicates 30 of its 31 tokens, the original exactly its
-    leading 30.  The union-of-filtered-branches corpus build evaluates
-    the scan twice (same tradeoff as fixtures.build_associations)."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
-    mutants = (
-        docs.withColumn("_t", toks)
-        .where((F.col("doc_id") % 10 == 0) & (F.size("_t") >= 30))
-        .select(
-            (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
-            F.concat(
-                F.array_join(F.slice("_t", 1, 30), " "),
-                F.lit(" uniq"),
-                F.col("doc_id").cast("string"),
-            ).alias("text"),
-        )
-    )
-    return dd.dup_span_stats(docs.unionByName(mutants), n=8).select(
-        "doc_id", "n_tokens", "n_hit_grams", "dup_tokens", "n_spans"
-    )
-
-
-_CC_SPLIT_ORACLE = f"""
-    WITH RECURSIVE aug AS ({_AUG_NEAR}),
-    norm AS (SELECT doc_id, lower(substr(text, 1, 200)) AS n FROM aug),
-    hashed AS (SELECT doc_id, list_transform(
-        range(1, greatest(length(n) - 4, 1) + 1),
-        j -> md5(substr(n, j, 5))) AS hl FROM norm),
-    sigs AS (SELECT doc_id, {{sig_sql}} FROM hashed),
-    bands AS (
-        SELECT doc_id, 0 AS band, md5(s0 || s1) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, 1 AS band, md5(s2 || s3) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, 2 AS band, md5(s4 || s5) AS band_key FROM sigs
-    ),
-    kept AS (
-        SELECT b.doc_id, b.band, b.band_key
-        FROM bands b
-        JOIN (SELECT band, band_key, count(*) AS n
-              FROM bands GROUP BY 1, 2) s
-          ON b.band = s.band AND b.band_key = s.band_key
-         AND s.n <= {{max_bucket}}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM kept a
-        JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM cand
-        UNION SELECT id_b AS a, id_a AS b FROM cand
-    ),
-    reach AS (
-        SELECT doc_id AS id, doc_id AS lbl FROM aug
-        UNION
-        SELECT e.a AS id, r.lbl FROM reach r JOIN edges e ON e.b = r.id
-    ),
-    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
-    SELECT doc_id, component,
-           CASE WHEN CAST(('0x' || substr(md5('curation_v1' ||
-                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
-                THEN 'train'
-                WHEN CAST(('0x' || substr(md5('curation_v1' ||
-                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95
-                THEN 'val'
-                ELSE 'test' END AS split
-    FROM comp WHERE doc_id = component
-    """.format(sig_sql=_MINHASH_SIG_SQL, max_bucket=dd.MAX_BUCKET_SIZE)
-
-
-@register("doc_near_dup_curation", _CC_SPLIT_ORACLE)
-def q_doc_near_dup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate curation end-to-end: MinHash-LSH candidate pairs ->
-    connected-component clustering -> keep the min-id survivor per
-    cluster -> deterministic train/val/test split.  The oracle replays
-    the ENTIRE pipeline exactly — the md5 LSH construction verbatim plus
-    a recursive-CTE transitive closure standing in for the distributed
-    label propagation (fixpoints must agree whatever the cluster shape).
-    At 100 TB this is bucketed equi-joins + O(log n) star rounds + a
-    row-local hash split — no stage is all-pairs or driver-bound."""
-    from .operators.components import dedup_survivors
-    from .operators.sampling import split_assign
-
-    aug = _augment_near(spark, sf_dir)
-    pairs = dd.minhash_candidate_pairs(aug)
-    surv = (
-        dedup_survivors(aug, pairs)
-        .where(F.col("is_survivor"))
-        .select("doc_id", "component")
-    )
-    return split_assign(
-        surv,
-        "doc_id",
-        weights={"train": 90, "val": 5, "test": 5},
-        salt="curation_v1",
     )
 
 

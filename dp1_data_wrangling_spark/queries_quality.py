@@ -1,0 +1,307 @@
+"""Governance / evaluation query catalog (round 13): privacy-risk
+audits, referential-integrity audits, corpus-growth diagnostics and
+model-eval curves — the release-readiness tier a training-data
+pipeline runs before shipping a table or a model.
+
+Engine extension — the reference (export_dp1.py / import_dp1.py) has
+no governance tier; cited for provenance only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import cents, register
+from .tables import load_table, spread
+
+
+@register(
+    "customer_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+               AS bal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT c_custkey % 7) AS BIGINT) AS n_sensitive,
+           count(*) < 5 AS k_violation,
+           count(DISTINCT c_custkey % 7) < 3 AS l_violation
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity equivalence-class audit
+    (operators/privacy.py, r13): quasi-identifiers = (nation, market
+    segment, $1000 balance band — the attacker-linkable columns),
+    sensitive = a deterministic 7-way plan tier.  Every class smaller
+    than k=5 is a re-identification risk; every class with fewer than
+    l=3 distinct tiers leaks its members' tier even when k holds.  The
+    balance band rides exact cents shifted non-negative so both
+    engines' truncating division agree.  ONE combinable groupBy —
+    zero joins, zero windows."""
+    from .operators.privacy import k_anonymity
+
+    cust = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("(cast(round(c_acctbal * 100, 0) as bigint) + 100000) div 100000")
+        .alias("bal_band"),
+        (F.col("c_custkey") % 7).alias("plan_tier"),
+    )
+    return k_anonymity(
+        cust,
+        quasi_cols=["c_nationkey", "c_mktsegment", "bal_band"],
+        sensitive_col="plan_tier",
+        k=5,
+        l_div=3,
+    )
+
+
+@register(
+    "warehouse_fk_orphans",
+    """
+    WITH cust_sub AS (
+        SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 97 != 0
+    ),
+    part_sub AS (
+        SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 89 != 0
+    ),
+    r1 AS (
+        SELECT 'orders.custkey->customer' AS relation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_null_fk,
+               CAST(count(*) FILTER (
+                   WHERE o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM cust_sub)
+               ) AS BIGINT) AS n_orphans
+        FROM orders
+    ),
+    r2 AS (
+        SELECT 'lineitem.orderkey->orders' AS relation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+                   AS n_null_fk,
+               CAST(count(*) FILTER (
+                   WHERE l_orderkey IS NOT NULL
+                     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+               ) AS BIGINT) AS n_orphans
+        FROM lineitem
+    ),
+    r3 AS (
+        SELECT 'lineitem.partkey->part' AS relation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT)
+                   AS n_null_fk,
+               CAST(count(*) FILTER (
+                   WHERE l_partkey IS NOT NULL
+                     AND l_partkey NOT IN (SELECT p_partkey FROM part_sub)
+               ) AS BIGINT) AS n_orphans
+        FROM lineitem
+    ),
+    uni AS (
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        SELECT * FROM r3
+    )
+    SELECT relation, n_rows, n_null_fk, n_orphans,
+           CASE WHEN n_rows - n_null_fk > 0
+                THEN (n_orphans * 1000000) // (n_rows - n_null_fk) END
+               AS orphan_ppm
+    FROM uni
+    """,
+)
+def q_warehouse_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit (operators/expectations.py
+    fk_orphan_audit, r13) across three warehouse relations, two with
+    PLANTED orphans (the dimension side deterministically drops every
+    97th customer / 89th part, so the audit must read non-zero ppm
+    there and exactly zero on the complete lineitem->orders relation).
+    Per relation one left-anti join (dimension key set broadcastable)
+    + combinable counts."""
+    from .operators.expectations import fk_orphan_audit
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    lineitem = spread(load_table(spark, sf_dir, "lineitem"))
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 != 0
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 89 != 0
+    )
+    return fk_orphan_audit(
+        [
+            (
+                "orders.custkey->customer",
+                orders,
+                "o_custkey",
+                customer,
+                "c_custkey",
+            ),
+            (
+                "lineitem.orderkey->orders",
+                lineitem,
+                "l_orderkey",
+                orders,
+                "o_orderkey",
+            ),
+            ("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        ]
+    )
+
+
+@register(
+    "corpus_heaps_law",
+    """
+    WITH hl_tok AS (
+        SELECT doc_id % 100 AS slot,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\W+'),
+                   x -> x != '')) AS term
+        FROM documents
+    ),
+    hl_census AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN slot < 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tok_1,
+               CAST(SUM(CASE WHEN slot < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tok_10,
+               CAST(count(*) AS BIGINT) AS tok_100,
+               MIN(CASE WHEN slot < 1 THEN 1
+                        WHEN slot < 10 THEN 10 ELSE 100 END) AS fb
+        FROM hl_tok GROUP BY term
+    ),
+    hl_tot AS (
+        SELECT CAST(COALESCE(SUM(tok_1), 0) AS BIGINT) AS toks_1,
+               CAST(COALESCE(SUM(tok_10), 0) AS BIGINT) AS toks_10,
+               CAST(COALESCE(SUM(tok_100), 0) AS BIGINT) AS toks_100,
+               CAST(count(*) FILTER (WHERE fb <= 1) AS BIGINT) AS terms_1,
+               CAST(count(*) FILTER (WHERE fb <= 10) AS BIGINT) AS terms_10,
+               CAST(count(*) AS BIGINT) AS terms_100
+        FROM hl_census
+    ),
+    hl_docs AS (
+        SELECT CAST(count(*) FILTER (
+                   WHERE doc_id % 100 < 1 AND text IS NOT NULL
+               ) AS BIGINT) AS docs_1,
+               CAST(count(*) FILTER (
+                   WHERE doc_id % 100 < 10 AND text IS NOT NULL
+               ) AS BIGINT) AS docs_10,
+               CAST(count(*) FILTER (WHERE text IS NOT NULL) AS BIGINT)
+                   AS docs_100
+        FROM documents
+    ),
+    hl_rows AS (
+        SELECT 1 AS band, docs_1 AS n_docs, toks_1 AS n_tokens,
+               terms_1 AS n_terms FROM hl_tot, hl_docs
+        UNION ALL
+        SELECT 10, docs_10, toks_10, terms_10 FROM hl_tot, hl_docs
+        UNION ALL
+        SELECT 100, docs_100, toks_100, terms_100 FROM hl_tot, hl_docs
+    )
+    SELECT band, n_docs, n_tokens, n_terms,
+           CASE WHEN lag(n_tokens) OVER (ORDER BY band) > 0
+                THEN (n_tokens * 1000000)
+                     // lag(n_tokens) OVER (ORDER BY band) END
+               AS tokens_growth_ppm,
+           CASE WHEN lag(n_terms) OVER (ORDER BY band) > 0
+                THEN (n_terms * 1000000)
+                     // lag(n_terms) OVER (ORDER BY band) END
+               AS terms_growth_ppm,
+           CASE WHEN n_tokens > 0
+                THEN (n_terms * 1000000) // n_tokens END
+               AS terms_per_mtoken
+    FROM hl_rows
+    """,
+)
+def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth report (operators/text.py
+    vocab_growth, r13) over nested 1%/10%/100% deterministic corpus
+    prefixes: the corpus-health curve — natural text's vocabulary
+    grows sublinearly in tokens (terms_growth_ppm well under
+    tokens_growth_ppm, lexical density falling), a template farm
+    flattens it.  ONE (term, band) combinable census from one
+    tokenize pass; the report folds census-sized."""
+    from .operators.text import vocab_growth
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return vocab_growth(docs, bands=(1, 10, 100))
+
+
+@register(
+    "events_roc_curve",
+    """
+    WITH rc_base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) // 100 AS score,
+               CASE WHEN (event_id % 100) <
+                         ((CAST(round(value * 100) AS BIGINT) // 100) % 97)
+                    THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    rc_census AS (
+        SELECT event_type, score,
+               CAST(SUM(y) AS BIGINT) AS tp_t,
+               CAST(SUM(1 - y) AS BIGINT) AS fp_t
+        FROM rc_base GROUP BY 1, 2
+    ),
+    rc_cum AS (
+        SELECT event_type, score,
+               CAST(SUM(tp_t) OVER w AS BIGINT) AS cum_tp,
+               CAST(SUM(fp_t) OVER w AS BIGINT) AS cum_fp,
+               CAST(SUM(tp_t) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS p,
+               CAST(SUM(fp_t) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM rc_census
+        WINDOW w AS (PARTITION BY event_type ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    rc_area AS (
+        SELECT *,
+               CAST(cum_fp - COALESCE(lag(cum_fp) OVER wl, 0) AS HUGEINT)
+               * CAST(COALESCE(lag(cum_tp) OVER wl, 0) + cum_tp AS HUGEINT)
+                   AS a2
+        FROM rc_cum
+        WINDOW wl AS (PARTITION BY event_type ORDER BY score DESC)
+    )
+    SELECT event_type, score, cum_tp, cum_fp,
+           CASE WHEN p > 0 THEN (cum_tp * 1000000) // p END AS tpr_ppm,
+           CASE WHEN n > 0 THEN (cum_fp * 1000000) // n END AS fpr_ppm,
+           CASE WHEN p > 0 AND n > 0 THEN CAST(
+               (SUM(a2) OVER (PARTITION BY event_type) * 1000000)
+               // (2 * CAST(p AS HUGEINT) * n) AS BIGINT) END AS auc_ppm
+    FROM rc_area
+    """,
+)
+def q_events_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve + tie-corrected trapezoidal AUC
+    (operators/stats.py roc_curve, r13) per event type: score = exact
+    dollar bucket of the event value, label = a deterministic
+    score-correlated rule (so the curve must read above the diagonal
+    and both engines replay it bit-for-bit).  One event-sized census
+    groupBy + census-sized group-keyed windows; no join."""
+    from .operators.stats import roc_curve
+
+    ev = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint) div 100").alias(
+            "score"
+        ),
+        F.expr(
+            "case when (event_id % 100) < "
+            "((cast(round(value * 100, 0) as bigint) div 100) % 97) "
+            "then 1 else 0 end"
+        ).alias("label"),
+    )
+    return roc_curve(
+        scored,
+        score_col="score",
+        label_col="label",
+        group_cols=["event_type"],
+    )

@@ -7534,3 +7534,217 @@ def test_corpus_ngram_overlap_hand_computed(spark):
         0, 0, None,
     )
     assert empty.ref_in_cur_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-13 governance/eval tier
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_census_and_report(spark):
+    """Hand-built classes: sizes 1, 3 and 6 under k=5 -> two violating
+    classes, 4 rows at risk; l-diversity flags the homogeneous class."""
+    from dp1_data_wrangling_spark.operators.privacy import (
+        anonymity_report,
+        k_anonymity,
+    )
+
+    rows = (
+        [("10001", "M", i, i % 3) for i in range(6)]       # size 6, 3 tiers
+        + [("10002", "F", 100 + i, 7) for i in range(3)]   # size 3, 1 tier
+        + [("10003", "M", 999, 1)]                          # size 1
+    )
+    df = spark.createDataFrame(rows, "zip string, sex string, uid long, tier long")
+    census = {
+        (r.zip, r.sex): (r.class_size, r.n_sensitive, r.k_violation, r.l_violation)
+        for r in k_anonymity(
+            df, quasi_cols=["zip", "sex"], sensitive_col="tier",
+            k=5, l_div=2,
+        ).collect()
+    }
+    assert census[("10001", "M")] == (6, 3, False, False)
+    assert census[("10002", "F")] == (3, 1, True, True)
+    assert census[("10003", "M")] == (1, 1, True, True)
+
+    rep = anonymity_report(
+        df, quasi_cols=["zip", "sex"], sensitive_col="tier", k=5, l_div=2
+    ).collect()[0]
+    assert (rep.n_rows, rep.n_classes, rep.min_class_size) == (10, 3, 1)
+    assert (rep.n_k_violating_classes, rep.n_rows_at_risk) == (2, 4)
+    assert rep.risk_ppm == 400_000
+    assert rep.n_l_violating_classes == 2
+
+    # NULL quasi values form their own class (GROUP BY semantics)
+    with_null = df.union(
+        spark.createDataFrame(
+            [(None, "M", 1000, 0)], "zip string, sex string, uid long, tier long"
+        )
+    )
+    c2 = k_anonymity(with_null, quasi_cols=["zip", "sex"], k=5)
+    got = {(r.zip, r.sex): r.class_size for r in c2.collect()}
+    assert got[(None, "M")] == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_anonymity(df, quasi_cols=[], k=5)
+    with _pt.raises(ValueError):
+        k_anonymity(df, quasi_cols=["zip"], k=5, l_div=2)  # no sensitive
+
+
+def test_fk_orphan_audit(spark):
+    """Planted orphans + NULL FKs: counts and ppm are exact; a complete
+    relation reads exactly zero."""
+    from dp1_data_wrangling_spark.operators.expectations import (
+        fk_orphan_audit,
+    )
+
+    dim = spark.createDataFrame([(i,) for i in range(10)], "pk long")
+    fact = spark.createDataFrame(
+        [(i % 14 if i % 5 else None,) for i in range(20)], "fk long"
+    )
+    # fks: i%5==0 -> NULL (4 rows: i=0,5,10,15); others i%14 -> orphans
+    # where i%14 >= 10
+    complete = spark.createDataFrame([(i % 10,) for i in range(20)], "fk long")
+    out = {
+        r.relation: (r.n_rows, r.n_null_fk, r.n_orphans, r.orphan_ppm)
+        for r in fk_orphan_audit(
+            [
+                ("dirty", fact, "fk", dim, "pk"),
+                ("clean", complete, "fk", dim, "pk"),
+            ]
+        ).collect()
+    }
+    n_null = sum(1 for i in range(20) if i % 5 == 0)
+    orphans = sum(1 for i in range(20) if i % 5 != 0 and i % 14 >= 10)
+    assert out["dirty"] == (
+        20, n_null, orphans, orphans * 1_000_000 // (20 - n_null)
+    )
+    assert out["clean"] == (20, 0, 0, 0)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fk_orphan_audit([])
+    with _pt.raises(ValueError):
+        fk_orphan_audit(
+            [("x", fact, "fk", dim, "pk"), ("x", fact, "fk", dim, "pk")]
+        )
+
+
+def test_vocab_growth_matches_brute_force(spark):
+    """The (term, band) census fold equals the three-pass brute force on
+    a corpus with a planted template band (vocabulary saturates)."""
+    from dp1_data_wrangling_spark.operators.text import vocab_growth
+
+    import re
+
+    rows = []
+    for i in range(200):
+        # band-0 docs get rich vocab, later docs repeat a template
+        if i % 100 < 10:
+            rows.append((i, f"alpha beta w{i} w{i*7%50} gamma delta"))
+        else:
+            rows.append((i, "the same template text again and again"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.band: (
+            r.n_docs, r.n_tokens, r.n_terms,
+            r.tokens_growth_ppm, r.terms_growth_ppm, r.terms_per_mtoken,
+        )
+        for r in vocab_growth(docs, bands=(1, 10, 100)).collect()
+    }
+
+    def brute(b):
+        sel = [(i, t) for i, t in rows if i % 100 < b]
+        toks = [
+            w
+            for _, t in sel
+            for w in re.split(r"\W+", t.lower())
+            if w != ""
+        ]
+        return len(sel), len(toks), len(set(toks))
+
+    prev = None
+    for b in (1, 10, 100):
+        nd, nt, nv = brute(b)
+        exp_tok_g = nt * 1_000_000 // prev[1] if prev else None
+        exp_term_g = nv * 1_000_000 // prev[2] if prev else None
+        assert got[b] == (
+            nd, nt, nv, exp_tok_g, exp_term_g,
+            nv * 1_000_000 // nt if nt else None,
+        ), f"band {b}"
+        prev = (nd, nt, nv)
+    # Heaps signature on the template corpus: vocabulary grows far
+    # slower than tokens across the last decade
+    assert got[100][4] < got[100][3]
+
+
+def test_roc_curve_matches_sklearn_style_brute_force(spark):
+    """Exact ROC points + trapezoid AUC vs a pure-python reference
+    (including ties and the midrank identity), plus degenerate groups."""
+    from dp1_data_wrangling_spark.operators.stats import roc_curve
+
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(400):
+        s = rng.randrange(0, 40)  # heavy ties
+        y = 1 if rng.randrange(100) < 20 + s else 0
+        rows.append(("m1", s, y))
+    rows += [("onepos", 5, 1), ("onepos", 7, 1)]  # N = 0 group
+    df = spark.createDataFrame(rows, "model string, score long, label long")
+    got = {}
+    for r in roc_curve(
+        df, score_col="score", label_col="label", group_cols=["model"]
+    ).collect():
+        got.setdefault(r.model, {})[r.score] = (
+            r.cum_tp, r.cum_fp, r.tpr_ppm, r.fpr_ppm, r.auc_ppm
+        )
+
+    # brute force for m1
+    m1 = [(s, y) for m, s, y in rows if m == "m1"]
+    P = sum(y for _, y in m1)
+    N = len(m1) - P
+    scores = sorted({s for s, _ in m1}, reverse=True)
+    cum_tp = cum_fp = 0
+    prev_tp = prev_fp = 0
+    s2 = 0
+    for s in scores:
+        cum_tp += sum(1 for sc, y in m1 if sc == s and y == 1)
+        cum_fp += sum(1 for sc, y in m1 if sc == s and y == 0)
+        s2 += (cum_fp - prev_fp) * (prev_tp + cum_tp)
+        exp = (
+            cum_tp, cum_fp,
+            cum_tp * 1_000_000 // P, cum_fp * 1_000_000 // N, None,
+        )
+        assert got["m1"][s][:4] == exp[:4], f"score {s}"
+        prev_tp, prev_fp = cum_tp, cum_fp
+    auc = s2 * 1_000_000 // (2 * P * N)
+    assert all(v[4] == auc for v in got["m1"].values())
+    # the planted score-correlated labels must read above the diagonal
+    assert auc > 500_000
+    # midrank identity: trapezoid AUC == Mann-Whitney AUC (brute force)
+    pos = [s for s, y in m1 if y == 1]
+    neg = [s for s, y in m1 if y == 0]
+    u2 = sum(
+        2 * (1 if p > n else 0) + (1 if p == n else 0)
+        for p in pos
+        for n in neg
+    )
+    assert auc == u2 * 1_000_000 // (2 * P * N)
+
+    # one-class group: NULL fpr/auc, exact tpr
+    assert got["onepos"][7] == (1, 0, 500_000, None, None)
+    assert got["onepos"][5] == (2, 0, 1_000_000, None, None)
+
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame([("m", 1, 2)], "model string, score long, label long")
+    with _pt.raises(Exception) as exc:
+        roc_curve(
+            bad, score_col="score", label_col="label", group_cols=["model"]
+        ).collect()
+    assert "label must be 0/1" in str(exc.value)

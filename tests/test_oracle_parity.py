@@ -159,7 +159,10 @@ def test_driver_window_covers_flagship_surface():
         # (3x green r9-r11; retrieval keeps doc_bm25_topk in-window,
         # the persisted-index round trip stays parity-held in-repo
         # every CI run plus the streaming text-index twin suite)
-        "corpus_ngram_overlap", "events_changepoints", "brand_momentum",
+        # events_changepoints rotated out in r13 for corpus_heaps_law
+        # (4x green r9-r12; the CUSUM core keeps its streaming census
+        # twin equivalence suite + in-repo parity every CI run)
+        "corpus_ngram_overlap", "corpus_heaps_law", "brand_momentum",
         # ivf_kmeans_recall_bound rotated out in r9 for events_skyline
         # (2x green r7+r8; the ANN family keeps lsh_topk, ivf_topk,
         # ivf_index_recall_bound, pq_recall_bound, ivf_pq_recall_bound)
@@ -331,7 +334,13 @@ def test_driver_window_covers_flagship_surface():
         # doc_quality_survivors (2x green r10-r11; the journey family
         # keeps event_session_funnel + both attribution forms in-window,
         # the path census stays parity-held in-repo every CI run)
-        "customer_rfm_segments", "doc_quality_survivors",
+        # customer_rfm_segments rotated out in r13 for
+        # customer_k_anonymity (3x green r10-r12; the ranking family
+        # keeps orders_value_deciles, orders_decile_summary and
+        # customer_lorenz_curve in-window; RFM stays parity-held
+        # in-repo every CI run).  The k-anonymity/l-diversity audit is
+        # the new privacy-tier representative (operators/privacy.py).
+        "customer_k_anonymity", "doc_quality_survivors",
         "events_diff_in_diff",
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
@@ -392,7 +401,12 @@ def test_driver_window_covers_flagship_surface():
         # r8+r9; the PassJoin machinery it verifies is also the blocking
         # stage of customer_entity_resolution, now in-window, and the
         # set-similarity family gains the PPJoin prefix-filter join)
-        "doc_jaccard_join",
+        # doc_jaccard_join rotated out in r13 for events_roc_curve
+        # (3x green r10-r12; the set-similarity family keeps
+        # customer_entity_resolution (PassJoin blocking) in-window and
+        # the PPJoin prefix filter stays a bench probe + parity-held).
+        # The exact ROC curve is the new model-eval representative.
+        "events_roc_curve",
         # round-8: OHLC candlestick downsample enters directly
         # (minhash_pairs out — ~6x green since r2, bench headline + 10x
         # scaling probe keep its perf evidence; the near-dup family keeps
@@ -508,7 +522,14 @@ def test_driver_window_covers_flagship_surface():
         # events_hdr_quantiles + lineitem_weighted_quantiles in-window;
         # gapfill was registered in r9 and held parity-checked until its
         # scheduled slot — the BASELINE.md r10->r11 staging plan)
-        "order_item_affinity", "events_seasonal_mase", "events_gapfill",
+        # events_gapfill rotated out in r13 for warehouse_fk_orphans
+        # (4x green r8-r12 ex r10; the timeseries family keeps
+        # events_seasonal_mase, events_trend_test and
+        # events_seasonal_profile in-window; LOCF gap-fill stays
+        # parity-held in-repo every CI run).  The FK orphan audit is
+        # the new referential-integrity representative.
+        "order_item_affinity", "events_seasonal_mase",
+        "warehouse_fk_orphans",
         # r11 mid-round 3: the Kaplan-Meier survival family and the
         # graph tier's link-prediction candidate generator enter
         # directly (pq_recall_bound / multimodal_png out, above)

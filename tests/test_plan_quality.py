@@ -1623,3 +1623,52 @@ def test_seasonal_profile_census_only_no_window(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-13 governance/eval tier plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_two_shuffles_no_single_partition(spark):
+    """The privacy census is ONE combinable groupBy; count_distinct adds
+    the standard two-phase expand — 2 data shuffles total, zero joins,
+    zero single-partition gathers at any scale."""
+    plan = plan_of(REGISTRY["customer_k_anonymity"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_fk_orphans_broadcast_anti_joins(spark):
+    """Each relation's orphan check is a broadcast left-anti join on the
+    DISTINCT dimension key set (dimension-key-sized build side); the six
+    single-partition gathers are the per-relation one-row count frames
+    (metadata-sized by design).  No cartesian, no sort-merge explosion."""
+    plan = plan_of(REGISTRY["warehouse_fk_orphans"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti, BuildRight") == 3, plan
+    assert plan.count("Exchange SinglePartition") == 6, plan
+
+
+def test_heaps_law_single_census_pass(spark):
+    """vocab_growth reads the corpus ONCE: one (term, band) census
+    shuffle; the per-band fold is a combinable global aggregate (map
+    side reduces each partition to one row before the one-row gather)
+    and the growth window runs on the bands-sized spine."""
+    plan = plan_of(REGISTRY["corpus_heaps_law"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "CartesianProduct" not in plan
+    # one corpus scan only — the census fold must not re-read parquet
+    assert plan.count("Scan parquet") <= 2, plan  # tokens + n_docs branches
+
+
+def test_roc_curve_census_then_group_keyed_windows(spark):
+    """The ROC fold is the rank_sum contract: one event-sized census
+    groupBy, then group-keyed windows over census-sized data — 2 data
+    shuffles, no join, no single-partition gather anywhere."""
+    plan = plan_of(REGISTRY["events_roc_curve"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
