@@ -1920,6 +1920,26 @@ def simpson_concentration(
         .groupBy(*groups, F.col(item_col).alias("__i"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
+    return simpson_from_census(census, group_cols=groups, count_col="__n")
+
+
+def simpson_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Simpson-concentration fold over a maintained ``(*groups, item,
+    n)`` category census (r13) — the streaming read side
+    (streaming/census.py read_simpson) and the batch operator's shared
+    tail: category counts add, so a stream maintains the census by
+    per-key addition and this fold re-derives the exact index.  A late
+    row revises one category's count, which moves N and therefore the
+    whole pair-draw probability — re-derived here over census-sized
+    data.  Same DECIMAL(38,0) algebra and NULL contracts as
+    :func:`simpson_concentration` (they share this code)."""
+    groups = group_cols or []
+    census = census.withColumn("__n", F.col(count_col).cast("bigint"))
     agg = census.groupBy(*groups).agg(
         F.sum("__n").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),

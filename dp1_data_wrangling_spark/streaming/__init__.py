@@ -50,6 +50,7 @@ from .census import (
     read_cusum_alarms,
     read_grid_hotspots,
     read_seasonal_profile,
+    read_simpson,
     stream_census,
 )
 from .ranking import read_rank_tiles, stream_rank_census
@@ -88,6 +89,7 @@ __all__ = [
     "read_cusum_alarms",
     "read_grid_hotspots",
     "read_seasonal_profile",
+    "read_simpson",
     "read_rank_tiles",
     "stream_census",
     "stream_rank_census",

@@ -15,11 +15,17 @@ incremental state cannot express).
 
 ``stream_census`` is the generic maintainer (the
 ``streaming/ranking.py`` twin is its single-key specialization with
-the total-order NULL guard); ``read_cusum_alarms`` folds a maintained
-(group, period, n) census through the exact CUSUM detector — the
-streaming form of the ``events_changepoints`` surface: an ops /
-data-quality alarm over event VOLUME per period that revises history
-when late data lands, instead of alarming on a partial day.
+the total-order NULL guard), extended in r13 with ``sum_cols`` —
+associative DECIMAL(38,0) sums riding the same exactly-once MERGE as
+the counts, which is all a WEIGHTED census (sums + counts) needs.
+Read sides, each sharing its fold with the batch operator by
+construction: ``read_cusum_alarms`` (volume-drift alarms, the
+``events_changepoints`` surface), ``read_grid_hotspots`` (Moore
+stencil), ``read_benford`` (r13 — first-digit conformity, the
+``orders_benford`` surface), ``read_seasonal_profile`` (r13 — the
+first weighted read side, the ``events_seasonal_profile`` surface)
+and ``read_simpson`` (r13 — mix concentration, the
+``doc_source_lang_simpson`` surface).
 
 Engine extension — the reference (export_dp1.py / import_dp1.py) has
 no streaming tier; cited for provenance only.
@@ -250,4 +256,28 @@ def read_seasonal_profile(
         position_col="__pos",
         count_col="n_rows",
         sum_col="sum_q",
+    )
+
+
+def read_simpson(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a maintained ``(*groups, item, n_rows)`` category census
+    through the exact Simpson mix-concentration index
+    (operators/stats.py simpson_from_census) — the streaming form of
+    the ``doc_source_lang_simpson`` surface: the mix-homogeneity KPI a
+    corpus owner watches live during ingestion.  A late row revises
+    one category's count, which moves N and therefore the whole
+    pair-draw probability — re-derived census-sized at read.  Project
+    the stream to ``(*groups, item)``; the maintainer's n_rows IS the
+    category count."""
+    from ..operators.stats import simpson_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return simpson_from_census(
+        census, group_cols=group_cols or [], count_col="n_rows"
     )

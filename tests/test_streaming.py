@@ -2741,3 +2741,77 @@ def test_stream_census_seasonal_equals_batch(spark, tmp_path):
         sum_cols={"sum_q": "__vq"},
     ).awaitTermination(180)
     assert profile() == got
+
+
+def test_stream_census_simpson_equals_batch(spark, tmp_path):
+    """Streaming categorized rows through the census maintainer in
+    three cuts — the LAST cut delivers LATE rows that revise category
+    counts (moving N and the whole pair-draw probability) —
+    read_simpson == the batch simpson_concentration over all rows.
+    Replay from the same checkpoint is a no-op."""
+    from dp1_data_wrangling_spark.operators.stats import (
+        simpson_concentration,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_simpson,
+        stream_census,
+    )
+
+    rows = []
+    rid = 0
+    for src in ("web", "api"):
+        for i in range(300):
+            # web is concentrated (3 langs, one dominant), api is mixed
+            lang = (
+                ["en", "en", "en", "de", "fr"][i % 5]
+                if src == "web"
+                else f"l{i % 20}"
+            )
+            rows.append((src, lang, rid))
+            rid += 1
+    docs = spark.createDataFrame(rows, "source string, lang string, rid long")
+
+    src_dir = tmp_path / "docs_stream"
+    docs.where("rid % 3 = 0").coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    docs.where("rid % 3 = 1").coalesce(1).write.parquet(str(src_dir / "b2"))
+    time.sleep(1.1)
+    docs.where("rid % 3 = 2").coalesce(1).write.parquet(str(src_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    proj = lambda df: df.select("source", "lang")  # noqa: E731
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="lang_census", key_cols=["source", "lang"],
+    ).awaitTermination(180)
+
+    def idx():
+        return {
+            r.source: (r.n_rows, r.n_categories, r.simpson_ppm)
+            for r in read_simpson(
+                spark, cat_root, table="lang_census", group_cols=["source"]
+            ).collect()
+        }
+
+    got = idx()
+    want = {
+        r.source: (r.n_rows, r.n_categories, r.simpson_ppm)
+        for r in simpson_concentration(
+            docs, item_col="lang", group_cols=["source"]
+        ).collect()
+    }
+    assert got == want
+    # the concentrated source must read a higher index than the mixed
+    assert got["web"][2] > got["api"][2]
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="lang_census", key_cols=["source", "lang"],
+    ).awaitTermination(180)
+    assert idx() == got
