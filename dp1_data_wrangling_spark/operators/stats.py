@@ -2068,3 +2068,119 @@ def roc_curve(
             ((num - (num % den)) / den).cast("bigint"),
         ).alias("auc_ppm"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    *,
+    pred_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact reliability diagram + expected calibration error per group
+    (r13) — the model-eval sibling of :func:`roc_curve`: does a
+    predicted probability MEAN what it says?  ``pred_ppm_col`` holds
+    the prediction as exact ppm (0..1e6 integers — quantize upstream;
+    out-of-range raises executor-side, as does a non-0/1 label).
+    Equal-width bins over the ppm range:
+
+        bin          = least(pred_ppm * n_bins div 1e6, n_bins - 1)
+        observed_ppm = (sum_label * 1e6) div n_bin
+        predicted_ppm = sum_pred_ppm div n_bin          (mean prediction)
+        ece_ppm      = (Σ_b n_b · |observed_b − predicted_b|) div N
+
+    all exact integers (DECIMAL(38,0) for the ECE cross-products vs a
+    HUGEINT oracle); the ECE rides every row of its group (the
+    chi2_milli pattern).  Empty bins are absent (a reliability point
+    with no observations is undefined, not zero).
+
+    Returns ``(*group_cols, bin, n, observed_ppm, predicted_ppm,
+    ece_ppm)``.
+
+    Scale posture (100 TB): ONE event-sized combinable groupBy to the
+    (group, bin) census — at most ``n_bins`` rows per group — then
+    group-keyed windows over that census.  No join.
+
+    Engine extension — the reference has no model-eval tier.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    groups = group_cols or []
+    from pyspark.sql import Window
+
+    lab = F.col(label_col)
+    lab_ok = F.when(
+        ~(lab.isNull() | ~lab.cast("bigint").isin(0, 1)), lab.cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "calibration_curve: label must be 0/1 and non-NULL — "
+                "filter upstream"
+            )
+        ).cast("bigint")
+    )
+    p = F.col(pred_ppm_col)
+    p_ok = F.when(
+        p.isNotNull() & (p >= 0) & (p <= 1_000_000), p.cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "calibration_curve: prediction must be 0..1000000 ppm "
+                "and non-NULL — a probability outside [0,1] is a "
+                "pipeline bug, not data"
+            )
+        ).cast("bigint")
+    )
+    census = (
+        df.select(
+            *groups,
+            # pure-integer bin: (p*n_bins) div 1e6 via the mod-subtract
+            # identity — no float division anywhere near the bin edge
+            F.least(
+                (
+                    (p_ok * F.lit(n_bins))
+                    - (p_ok * F.lit(n_bins)) % F.lit(1_000_000)
+                )
+                / F.lit(1_000_000),
+                F.lit(n_bins - 1),
+            )
+            .cast("bigint")
+            .alias("bin"),
+            lab_ok.alias("__y"),
+            p_ok.alias("__p"),
+        )
+        .groupBy(*groups, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("__sy"),
+            F.sum(F.col("__p").cast(_D)).cast(_D).alias("__sp"),
+        )
+    )
+    w_all = Window.partitionBy(*groups)
+    cur = census.select(
+        *groups,
+        "bin",
+        "n",
+        F.expr("(__sy * 1000000) div n").alias("observed_ppm"),
+        F.expr("CAST(__sp div n AS BIGINT)").alias("predicted_ppm"),
+    )
+    dev = (
+        F.col("n").cast(_D)
+        * F.abs(
+            F.col("observed_ppm").cast(_D) - F.col("predicted_ppm").cast(_D)
+        )
+    )
+    with_tot = cur.withColumn("__dev", dev).withColumn(
+        "__sum_dev", F.sum("__dev").over(w_all).cast(_D)
+    ).withColumn("__n_all", F.sum("n").over(w_all).cast(_D))
+    num = F.col("__sum_dev")
+    den = F.col("__n_all")
+    return with_tot.select(
+        *groups,
+        "bin",
+        "n",
+        "observed_ppm",
+        "predicted_ppm",
+        ((num - (num % den)) / den).cast("bigint").alias("ece_ppm"),
+    )

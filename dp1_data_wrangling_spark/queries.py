@@ -87,7 +87,10 @@ DRIVER_WINDOW: list[str] = [
                                   #   replaces 3x-green events_hll_rolling (sketch
                                   #   family rep maintained)
     # -- LLM curation tier --
-    "doc_semantic_decontam",      # r8: embedding-space eval-overlap screen
+    "events_calibration_curve",   # r13 NEW: exact reliability diagram + ECE
+                                  #   (replaces 5x-green doc_semantic_decontam;
+                                  #   decontam keeps corpus_ngram_overlap
+                                  #   in-window + the streaming twins + parity)
     "doc_collocations",           # r12: PMI-class lift collocations (exact ppm)
     "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
     "doc_dup_rate_by_source",     # r12: per-source duplication-rate report
@@ -102,7 +105,10 @@ DRIVER_WINDOW: list[str] = [
     "customer_entity_resolution", # r10: PassJoin->CC->golden record
     "user_churn_survival",        # r11: exact Kaplan-Meier churn curves
     "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
-    "doc_gopher_rules",           # r8: Gopher-paper quality-rule screen
+    "orders_rollup_report",       # r13 NEW: native ROLLUP subtotal report
+                                  #   (replaces 5x-green doc_gopher_rules; the
+                                  #   quality-screen family keeps
+                                  #   table_expectations + doc_quality_survivors)
     "events_rank_sum",            # r11: exact Mann-Whitney U rank-sum A/B readout
     "doc_df_drift",               # r12: vocabulary document-frequency drift screen
     "event_attribution_position", # r11: U-shaped attribution (exact credits)

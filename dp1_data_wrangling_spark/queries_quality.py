@@ -305,3 +305,139 @@ def q_events_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="label",
         group_cols=["event_type"],
     )
+
+
+@register(
+    "events_calibration_curve",
+    """
+    WITH cc_base AS (
+        SELECT event_type,
+               ((CAST(round(value * 100) AS BIGINT) % 1000) * 1000)
+                   AS pred_ppm,
+               CASE WHEN (event_id % 1000) <
+                         (CASE WHEN event_type = 'error'
+                               THEN ((CAST(round(value * 100) AS BIGINT)
+                                      % 1000) * 1000) // 2000
+                               ELSE ((CAST(round(value * 100) AS BIGINT)
+                                      % 1000) * 1000) // 1000 END)
+                    THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    cc_census AS (
+        SELECT event_type,
+               least((pred_ppm * 10) // 1000000, 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(pred_ppm AS HUGEINT)) AS HUGEINT) AS sp
+        FROM cc_base GROUP BY 1, 2
+    ),
+    cc_cur AS (
+        SELECT event_type, bin, n,
+               (sy * 1000000) // n AS observed_ppm,
+               CAST(sp // n AS BIGINT) AS predicted_ppm
+        FROM cc_census
+    )
+    SELECT event_type, bin, n, observed_ppm, predicted_ppm,
+           CAST(SUM(CAST(n AS HUGEINT) * abs(observed_ppm - predicted_ppm))
+                    OVER (PARTITION BY event_type)
+                // SUM(CAST(n AS HUGEINT)) OVER (PARTITION BY event_type)
+               AS BIGINT) AS ece_ppm
+    FROM cc_cur
+    """,
+)
+def q_events_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reliability diagram + ECE (operators/stats.py
+    calibration_curve, r13) per event type: the prediction is a
+    deterministic ppm score, the label fires with exactly that
+    probability for every type EXCEPT 'error', whose labels fire at
+    HALF the predicted rate — so the screen must read 'error' as
+    over-confident (large ece_ppm) and the rest as calibrated.  One
+    census groupBy + census-sized group-keyed windows; no join."""
+    from .operators.stats import calibration_curve
+
+    ev = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
+    pred = "((cast(round(value * 100, 0) as bigint) % 1000) * 1000)"
+    scored = ev.select(
+        "event_type",
+        F.expr(pred).alias("pred_ppm"),
+        F.expr(
+            f"case when (event_id % 1000) < "
+            f"(case when event_type = 'error' then {pred} div 2000 "
+            f"else {pred} div 1000 end) then 1 else 0 end"
+        ).alias("label"),
+    )
+    return calibration_curve(
+        scored,
+        pred_ppm_col="pred_ppm",
+        label_col="label",
+        n_bins=10,
+        group_cols=["event_type"],
+    )
+
+
+@register(
+    "orders_rollup_report",
+    """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS order_month,
+           CASE WHEN GROUPING(o_orderpriority) = 0
+                 AND GROUPING(year(o_orderdate) * 100
+                              + month(o_orderdate)) = 0 THEN 0
+                WHEN GROUPING(o_orderpriority) = 0 THEN 1
+                ELSE 2 END AS level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority,
+                     year(o_orderdate) * 100 + month(o_orderdate))
+    """,
+)
+def q_orders_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP subtotal report (r13 — the grouping-sets surface):
+    revenue and order counts per (priority, month), per priority, and
+    the grand total, in ONE pass via Spark's Expand operator (each
+    input row fans to its 3 grouping levels map-side, partial
+    aggregation combines before the single shuffle — the classic
+    subtotal pattern at any scale).  ``level`` derives from
+    GROUPING() in both engines (grouping_id bit orders differ, the
+    CASE normalizes); revenue rides exact cents."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    pri = F.col("o_orderpriority")
+    month = (
+        F.year("o_orderdate") * F.lit(100) + F.month("o_orderdate")
+    ).cast("bigint")
+    return (
+        orders.select(
+            pri.alias("o_orderpriority"),
+            month.alias("order_month"),
+            F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+                "__cents"
+            ),
+        )
+        .rollup("o_orderpriority", "order_month")
+        .agg(
+            # grouping() is only legal INSIDE the rollup aggregate
+            F.when(
+                (F.grouping("o_orderpriority") == 0)
+                & (F.grouping("order_month") == 0),
+                F.lit(0),
+            )
+            .when(F.grouping("o_orderpriority") == 0, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int")
+            .alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("__cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "order_month",
+            "level",
+            "n_orders",
+            "revenue_cents",
+        )
+    )

@@ -7748,3 +7748,69 @@ def test_roc_curve_matches_sklearn_style_brute_force(spark):
             bad, score_col="score", label_col="label", group_cols=["model"]
         ).collect()
     assert "label must be 0/1" in str(exc.value)
+
+
+def test_calibration_curve_matches_brute_force(spark):
+    """Exact reliability bins + ECE vs a pure-python replay, including
+    the well-calibrated and the over-confident group."""
+    from dp1_data_wrangling_spark.operators.stats import calibration_curve
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(5000):
+        pred = rng.randrange(0, 1_000_001)
+        draw = rng.randrange(0, 1_000_000)
+        # group "good" fires at the stated rate; "over" at half of it
+        for grp, rate_div in (("good", 1), ("over", 2)):
+            y = 1 if draw < pred // rate_div else 0
+            rows.append((grp, pred, y, i))
+    df = spark.createDataFrame(rows, "grp string, pred long, y long, i long")
+    got = {}
+    for r in calibration_curve(
+        df, pred_ppm_col="pred", label_col="y", n_bins=10, group_cols=["grp"]
+    ).collect():
+        got.setdefault(r.grp, {})[r.bin] = (
+            r.n, r.observed_ppm, r.predicted_ppm, r.ece_ppm
+        )
+
+    import collections
+
+    for grp, rate_div in (("good", 1), ("over", 2)):
+        bins = collections.defaultdict(lambda: [0, 0, 0])
+        for g, pred, y, _ in rows:
+            if g != grp:
+                continue
+            b = min(pred * 10 // 1_000_000, 9)
+            bins[b][0] += 1
+            bins[b][1] += y
+            bins[b][2] += pred
+        n_all = sum(v[0] for v in bins.values())
+        dev = 0
+        exp = {}
+        for b, (n, sy, sp) in bins.items():
+            obs = sy * 1_000_000 // n
+            prd = sp // n
+            exp[b] = (n, obs, prd)
+            dev += n * abs(obs - prd)
+        ece = dev // n_all
+        for b, (n, obs, prd) in exp.items():
+            assert got[grp][b] == (n, obs, prd, ece), (grp, b)
+    # the over-confident group must carry the larger calibration error:
+    # "over" fires at HALF the stated rate, so its true ECE ~ mean(pred)/2
+    # ~ 250k ppm; "good" is calibrated up to ~sqrt(pq/500)-scale bin noise
+    ece_good = next(iter(got["good"].values()))[3]
+    ece_over = next(iter(got["over"].values()))[3]
+    assert ece_over > 150_000 > ece_good
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame([("g", 2_000_000, 1)], "grp string, pred long, y long")
+    with _pt.raises(Exception) as exc:
+        calibration_curve(
+            bad, pred_ppm_col="pred", label_col="y", group_cols=["grp"]
+        ).collect()
+    assert "0..1000000 ppm" in str(exc.value)
+    with _pt.raises(ValueError):
+        calibration_curve(bad, pred_ppm_col="pred", label_col="y", n_bins=1)

@@ -288,11 +288,23 @@ def test_driver_window_covers_flagship_surface():
         # (doc_split_assign out — 2x green; the sampling/split family
         # stays via doc_global_shuffle, doc_source_quota,
         # doc_importance_resample, doc_cluster_safe_split)
-        "doc_semantic_decontam",
+        # doc_semantic_decontam rotated out in r13 for
+        # events_calibration_curve (5x green r8-r12 — one of the two
+        # longest surviving streaks; the decontamination family keeps
+        # corpus_ngram_overlap in-window plus the streaming decontam
+        # twin suite + in-repo parity every CI run).  The reliability
+        # diagram + ECE is the second model-eval representative next
+        # to the r13 ROC curve.
+        "events_calibration_curve",
         # round-8: Gopher-paper quality-rule screen enters directly
         # (doc_token_stats out — green since r5; family stays via
         # corpus_stats + doc_quality_quantile)
-        "doc_gopher_rules",
+        # doc_gopher_rules rotated out in r13 for orders_rollup_report
+        # (5x green r8-r12 — the other longest streak; the quality
+        # family keeps table_expectations + doc_quality_survivors
+        # in-window and the Gopher screen stays parity-held every CI
+        # run).  The ROLLUP report is the grouping-sets surface.
+        "orders_rollup_report",
         # round-8: product-quantization ADC enters directly
         # (embedding_near_dup out — many-round green; family stays via
         # embedding_semantic_dedup + cosine_topk)

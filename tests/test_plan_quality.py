@@ -1672,3 +1672,24 @@ def test_roc_curve_census_then_group_keyed_windows(spark):
     assert data_shuffles(plan) == 2, plan
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_calibration_curve_census_windows(spark):
+    """The reliability fold is the roc_curve contract: one event-sized
+    census groupBy + group-keyed windows over at-most-n_bins rows per
+    group — 2 data shuffles, no join, no single-partition gather."""
+    plan = plan_of(REGISTRY["events_calibration_curve"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_rollup_report_single_expand_pass(spark):
+    """The ROLLUP report is ONE pass: the Expand operator fans each row
+    to its 3 grouping levels map-side, partial aggregation combines
+    BEFORE the single shuffle — the native grouping-sets plan, no
+    union-of-three-aggregates re-scan."""
+    plan = plan_of(REGISTRY["orders_rollup_report"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan
