@@ -2184,3 +2184,116 @@ def calibration_curve(
         "predicted_ppm",
         ((num - (num % den)) / den).cast("bigint").alias("ece_ppm"),
     )
+
+
+def uplift_curve(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact uplift (Qini-style) curve per group (r13) — the
+    experimentation sibling of :func:`roc_curve`: rank units by a
+    targeting score (descending), and at every distinct score depth
+    ask how many EXTRA conversions the treated units show over what
+    the control rate predicts.  The third leg of the eval tier
+    (discrimination = ROC, honesty = calibration, targeting value =
+    uplift).  Per distinct score, cumulative from the top:
+
+        uplift_ppm = (y_t·n_c − y_c·n_t) · 1e6 div (n_t·n_c)
+                     (treated-minus-control conversion rate at depth)
+        qini_inc   = y_t − (y_c·n_t) div n_c
+                     (incremental conversions, control-scaled)
+
+    both exact integers (DECIMAL(38,0) cross-multiplies vs a HUGEINT
+    oracle, truncating division — numerators can be NEGATIVE, and
+    Spark's ``div`` and DuckDB's ``//`` only agree on non-negative
+    operands, so both divisions route through the sign-split
+    mod-subtract form that truncates toward zero in BOTH engines).
+    Depths where either cumulative arm is empty emit NULL (no rate to
+    compare — never a fake zero).  NULL scores are unranked and
+    dropped; ``arm_col`` and ``label_col`` must be 0/1 non-NULL
+    (executor fail-fast, the ab_contingency contract).
+
+    Returns census-sized rows: ``(*group_cols, score, n_t, n_c, y_t,
+    y_c, uplift_ppm, qini_inc)`` — cumulative counts, score DESC.
+
+    Scale posture (100 TB): ONE event-sized combinable groupBy (the
+    score census), then census-sized group-keyed windows.  No join.
+
+    Engine extension — the reference has no experimentation tier.
+    """
+    groups = group_cols or []
+    from pyspark.sql import Window
+
+    def _flag(col: str, what: str):
+        c = F.col(col)
+        bad = c.isNull() | ~c.cast("bigint").isin(0, 1)
+        return F.when(~bad, c.cast("bigint")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"uplift_curve: {what} must be 0/1 and non-NULL — "
+                    "filter upstream"
+                )
+            ).cast("bigint")
+        )
+
+    census = (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn("__a", _flag(arm_col, "arm"))
+        .withColumn("__y", _flag(label_col, "label"))
+        .groupBy(*groups, F.col(score_col).alias("score"))
+        .agg(
+            F.sum("__a").cast("bigint").alias("__nt"),
+            F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__nc"),
+            F.sum(F.col("__a") * F.col("__y")).cast("bigint").alias("__yt"),
+            F.sum((F.lit(1) - F.col("__a")) * F.col("__y"))
+            .cast("bigint")
+            .alias("__yc"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = census.select(
+        *groups,
+        "score",
+        F.sum("__nt").over(w_cum).cast("bigint").alias("n_t"),
+        F.sum("__nc").over(w_cum).cast("bigint").alias("n_c"),
+        F.sum("__yt").over(w_cum).cast("bigint").alias("y_t"),
+        F.sum("__yc").over(w_cum).cast("bigint").alias("y_c"),
+    )
+
+    def _tdiv(num, den):
+        # truncate-toward-zero division both engines replay on ANY
+        # sign: |num| div |den| via mod-subtract, sign re-applied
+        a, b = F.abs(num), F.abs(den)
+        q = ((a - (a % b)) / b).cast("bigint")
+        return F.when(num * den >= 0, q).otherwise(-q)
+
+    up_num = (
+        F.col("y_t").cast(_D) * F.col("n_c").cast(_D)
+        - F.col("y_c").cast(_D) * F.col("n_t").cast(_D)
+    ) * F.lit(1_000_000).cast(_D)
+    up_den = F.col("n_t").cast(_D) * F.col("n_c").cast(_D)
+    qi_num = F.col("y_c").cast(_D) * F.col("n_t").cast(_D)
+    qi_den = F.col("n_c").cast(_D)
+    return cum.select(
+        *groups,
+        "score",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0), _tdiv(up_num, up_den)
+        ).alias("uplift_ppm"),
+        F.when(
+            F.col("n_c") > 0,
+            F.col("y_t") - _tdiv(qi_num, qi_den),
+        ).alias("qini_inc"),
+    )

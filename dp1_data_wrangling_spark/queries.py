@@ -129,7 +129,11 @@ DRIVER_WINDOW: list[str] = [
                                   #   (replaces 3x-green doc_jaccard_join; dedup
                                   #   family keeps dup_rate + quality_survivors)
     # -- sampling / packing / curation tail (r7 audit rotation) --
-    "table_expectations",         # r9: Deequ-class declarative rule suite
+    "events_uplift_curve",        # r13 NEW: exact uplift/Qini curve (planted
+                                  #   heterogeneous effect; replaces 4x-green
+                                  #   table_expectations — the data-quality
+                                  #   family keeps warehouse_fk_orphans +
+                                  #   doc_quality_survivors in-window)
     "events_seasonal_profile",    # r11: exact ratio-to-mean seasonal indices
     "bm25_ndcg_eval",             # r13 window (VERDICT r12 item 2): BM25 NDCG@k
                                   #   eval — never externally checked before;

@@ -441,3 +441,109 @@ def q_orders_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+@register(
+    "events_uplift_curve",
+    """
+    WITH uc_raw AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) // 100 AS score,
+               CAST(('0x' || substr(md5('uplift|' ||
+                    CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2
+                   AS arm,
+               CAST(('0x' || substr(md5('draw|' ||
+                    CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+                   AS draw
+        FROM events WHERE value IS NOT NULL
+    ),
+    uc_base AS (
+        SELECT event_type, score, arm,
+               CASE WHEN draw <
+                         50 + ((score % 97) * (1 + 2 * arm)) // 10
+                    THEN 1 ELSE 0 END AS y
+        FROM uc_raw
+    ),
+    uc_census AS (
+        SELECT event_type, score,
+               CAST(SUM(arm) AS BIGINT) AS nt,
+               CAST(SUM(1 - arm) AS BIGINT) AS nc,
+               CAST(SUM(arm * y) AS BIGINT) AS yt,
+               CAST(SUM((1 - arm) * y) AS BIGINT) AS yc
+        FROM uc_base GROUP BY 1, 2
+    ),
+    uc_cum AS (
+        SELECT event_type, score,
+               CAST(SUM(nt) OVER w AS BIGINT) AS n_t,
+               CAST(SUM(nc) OVER w AS BIGINT) AS n_c,
+               CAST(SUM(yt) OVER w AS BIGINT) AS y_t,
+               CAST(SUM(yc) OVER w AS BIGINT) AS y_c
+        FROM uc_census
+        WINDOW w AS (PARTITION BY event_type ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, score, n_t, n_c, y_t, y_c,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN CAST(
+               CASE WHEN (CAST(y_t AS HUGEINT) * n_c
+                          - CAST(y_c AS HUGEINT) * n_t) >= 0
+                    THEN ((CAST(y_t AS HUGEINT) * n_c
+                           - CAST(y_c AS HUGEINT) * n_t) * 1000000)
+                         // (CAST(n_t AS HUGEINT) * n_c)
+                    ELSE -(((CAST(y_c AS HUGEINT) * n_t
+                             - CAST(y_t AS HUGEINT) * n_c) * 1000000)
+                           // (CAST(n_t AS HUGEINT) * n_c)) END
+               AS BIGINT) END AS uplift_ppm,
+           CASE WHEN n_c > 0 THEN CAST(
+               y_t - (CAST(y_c AS HUGEINT) * n_t) // n_c AS BIGINT) END
+               AS qini_inc
+    FROM uc_cum
+    """,
+)
+def q_events_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact uplift / Qini curve (operators/stats.py uplift_curve,
+    r13): md5-parity treatment arms (the real experiment-framework
+    assignment, engine-replayable), score = exact dollar bucket, and a
+    PLANTED heterogeneous effect — treated units' conversion draw
+    scales 3x with the score where control scales 1x — so the curve
+    must read positive uplift concentrated at high scores.  The
+    truncate-toward-zero division is sign-split in both engines (Spark
+    div and DuckDB // disagree on negatives).  One census groupBy +
+    census-sized group-keyed windows; no join."""
+    from .operators.stats import uplift_curve
+
+    ev = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
+
+    def md5_mod(tag: str, m: int) -> F.Column:
+        payload = F.concat(
+            F.lit(tag + "|"), F.col("event_id").cast("string")
+        ).cast("binary")
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % m
+
+    score = "cast(round(value * 100, 0) as bigint) div 100"
+    # threshold = 50 + ((score % 97) * (1 + 2*arm)) div 10 — all
+    # integers (a float /10 here would diverge from the oracle's //)
+    prod = F.expr(f"({score}) % 97") * (
+        F.lit(1) + F.lit(2) * md5_mod("uplift", 2)
+    )
+    thresh = F.lit(50) + ((prod - prod % F.lit(10)) / F.lit(10)).cast(
+        "bigint"
+    )
+    scored = ev.select(
+        "event_type",
+        F.expr(score).alias("score"),
+        md5_mod("uplift", 2).alias("arm"),
+        F.when(md5_mod("draw", 1000) < thresh, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return uplift_curve(
+        scored,
+        arm_col="arm",
+        score_col="score",
+        label_col="label",
+        group_cols=["event_type"],
+    )

@@ -7814,3 +7814,65 @@ def test_calibration_curve_matches_brute_force(spark):
     assert "0..1000000 ppm" in str(exc.value)
     with _pt.raises(ValueError):
         calibration_curve(bad, pred_ppm_col="pred", label_col="y", n_bins=1)
+
+
+def test_uplift_curve_matches_brute_force(spark):
+    """Exact uplift/Qini points vs a pure-python replay — including a
+    NEGATIVE-uplift group (truncation toward zero on negative
+    numerators is where Spark div and DuckDB // diverge; the operator
+    sign-splits) and the leading all-treatment NULL depth."""
+    from dp1_data_wrangling_spark.operators.stats import uplift_curve
+
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(3000):
+        s = rng.randrange(0, 30)
+        a = rng.randrange(2)
+        draw = rng.randrange(1000)
+        # grp "win": treatment doubles the rate; "lose": halves it
+        for grp, mult in (("win", 2), ("lose", 0)):
+            rate = (10 + s * 20) * (mult if a else 1)
+            rows.append((grp, s, a, 1 if draw < rate else 0))
+    # a leading all-treatment score so n_c = 0 at the first depth
+    rows.append(("win", 99, 1, 1))
+    df = spark.createDataFrame(rows, "grp string, s long, a long, y long")
+    got = {}
+    for r in uplift_curve(
+        df, arm_col="a", score_col="s", label_col="y", group_cols=["grp"]
+    ).collect():
+        got.setdefault(r.grp, {})[r.score] = (
+            r.n_t, r.n_c, r.y_t, r.y_c, r.uplift_ppm, r.qini_inc
+        )
+
+    def tdiv(n, d):
+        q = abs(n) // abs(d)
+        return q if (n >= 0) == (d >= 0) else -q
+
+    for grp in ("win", "lose"):
+        pts = sorted(
+            {s for g, s, _, _ in rows if g == grp}, reverse=True
+        )
+        nt = nc = yt = yc = 0
+        for s in pts:
+            for g, sc, a, y in rows:
+                if g != grp or sc != s:
+                    continue
+                nt += a
+                nc += 1 - a
+                yt += a * y
+                yc += (1 - a) * y
+            up = (
+                tdiv((yt * nc - yc * nt) * 1_000_000, nt * nc)
+                if nt > 0 and nc > 0
+                else None
+            )
+            qi = yt - tdiv(yc * nt, nc) if nc > 0 else None
+            assert got[grp][s] == (nt, nc, yt, yc, up, qi), (grp, s)
+    # planted effects must read through: positive uplift for "win",
+    # negative for "lose", at full depth (score 0 row = all units)
+    assert got["win"][0][4] > 100_000
+    assert got["lose"][0][4] < -100_000
+    # the all-treatment leading depth has no control rate to compare
+    assert got["win"][99][4] is None and got["win"][99][5] is None

@@ -507,7 +507,13 @@ def test_driver_window_covers_flagship_surface():
         # events_seasonal_profile (2x green r9-r10; the quantile family
         # keeps lineitem_weighted_quantiles + events_quantile_normalize
         # + orders_value_deciles in-window)
-        "table_expectations", "events_seasonal_profile",
+# table_expectations rotated out in r13 for events_uplift_curve
+        # (4x green r9-r12; the data-quality family keeps the NEW
+        # warehouse_fk_orphans audit (same module) + doc_quality_
+        # survivors in-window, and the rule suite stays parity-held
+        # every CI run).  The uplift/Qini curve completes the r13
+        # model-eval tier (ROC + calibration + uplift).
+        "events_uplift_curve", "events_seasonal_profile",
         # round-9: BM25 retrieval enters directly (see doc_source_quota
         # note above)
         # doc_bm25_topk rotated out in r13 for bm25_ndcg_eval (4x green

@@ -1693,3 +1693,13 @@ def test_rollup_report_single_expand_pass(spark):
     assert data_shuffles(plan) == 1, plan
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_uplift_curve_census_windows(spark):
+    """The uplift fold is the roc_curve contract: one event-sized
+    census groupBy + census-sized group-keyed windows — 2 data
+    shuffles, no join, no single-partition gather."""
+    plan = plan_of(REGISTRY["events_uplift_curve"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
