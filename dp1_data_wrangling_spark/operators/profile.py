@@ -94,3 +94,78 @@ def profile_table(
     return one.select(
         F.explode(F.array(*per_col)).alias("__p")
     ).select("__p.*")
+
+
+def profile_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    columns_ref: list[str] | None = None,
+    columns_cur: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Snapshot-over-snapshot profile drift audit (r13) — the
+    table-shape sibling of the value-distribution KS screen and the
+    vocabulary DF-drift screen: between a REFERENCE snapshot and fresh
+    data, which columns appeared/disappeared, and how did null rates
+    and cardinalities move?  A scraper regression announces itself
+    here before any value-level screen fires (a column going 40% NULL
+    is a schema-contract break, not a distribution shift).
+
+    Per column (full outer on column name): ``(column_name, in_ref,
+    in_cur, n_rows_ref, n_rows_cur, n_nulls_ref, n_nulls_cur,
+    null_ppm_ref, null_ppm_cur, null_shift_ppm, n_distinct_ref,
+    n_distinct_cur, distinct_ratio_ppm)`` — all exact integers
+    (``null_shift_ppm`` is a plain difference and may be negative;
+    ``distinct_ratio_ppm`` = cur/ref cardinality in ppm, NULL when
+    either side is absent or ref has no distinct values).  One-sided
+    columns carry NULL metrics on the missing side and the
+    ``in_ref``/``in_cur`` flags ARE the schema-drift signal.
+
+    Scale posture (100 TB): two ONE-pass profile aggregates (each a
+    single combinable job regardless of column count — see
+    :func:`profile_table`) + a column-count-sized full-outer join.
+    """
+    pr = profile_table(
+        ref, columns=columns_ref, exact_distinct=exact_distinct
+    ).select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_ref"),
+        F.col("n_nulls").alias("n_nulls_ref"),
+        F.col("n_distinct").alias("n_distinct_ref"),
+    )
+    pc = profile_table(
+        cur, columns=columns_cur, exact_distinct=exact_distinct
+    ).select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_cur"),
+        F.col("n_nulls").alias("n_nulls_cur"),
+        F.col("n_distinct").alias("n_distinct_cur"),
+    )
+    j = pr.join(pc, "column_name", "full_outer")
+    null_ref = F.when(
+        F.col("n_rows_ref") > 0,
+        F.expr("(n_nulls_ref * 1000000) div n_rows_ref"),
+    )
+    null_cur = F.when(
+        F.col("n_rows_cur") > 0,
+        F.expr("(n_nulls_cur * 1000000) div n_rows_cur"),
+    )
+    return j.select(
+        "column_name",
+        F.col("n_rows_ref").isNotNull().alias("in_ref"),
+        F.col("n_rows_cur").isNotNull().alias("in_cur"),
+        "n_rows_ref",
+        "n_rows_cur",
+        "n_nulls_ref",
+        "n_nulls_cur",
+        null_ref.alias("null_ppm_ref"),
+        null_cur.alias("null_ppm_cur"),
+        (null_cur - null_ref).alias("null_shift_ppm"),
+        "n_distinct_ref",
+        "n_distinct_cur",
+        F.when(
+            F.col("n_distinct_ref") > 0,
+            F.expr("(n_distinct_cur * 1000000) div n_distinct_ref"),
+        ).alias("distinct_ratio_ppm"),
+    )

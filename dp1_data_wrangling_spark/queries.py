@@ -74,7 +74,12 @@ DRIVER_WINDOW: list[str] = [
     "events_type_hour_independence",  # r11: RxC chi-square independence
     "doc_link_communities",       # r10: label-propagation communities
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
-    "user_scd2_history",          # r8: SCD Type-2 dimension history
+    "documents_profile_drift",    # r13 NEW: snapshot profile-drift audit
+                                  #   (planted extraction regression + schema
+                                  #   change; replaces 5x-green
+                                  #   user_scd2_history — SCD2 evidence
+                                  #   continues via the streaming equivalence
+                                  #   suite + in-repo parity every CI run)
     # -- event analytics (r8: funnel / retention / Markov) --
     "events_diff_in_diff",        # r11: difference-in-differences readout
     "customer_k_anonymity",       # r13 NEW: k-anonymity/l-diversity privacy audit

@@ -547,3 +547,97 @@ def q_events_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="label",
         group_cols=["event_type"],
     )
+
+
+@register(
+    "documents_profile_drift",
+    """
+    WITH pd_cur AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS text,
+               substr(lang, 1, 1) AS lang,
+               CAST(doc_id % 4 AS VARCHAR) AS quality_tier
+        FROM documents
+    ),
+    pd_ref_p AS (
+        SELECT 'doc_id' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows_ref,
+               CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls_ref,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ref
+        FROM documents
+        UNION ALL
+        SELECT 'text', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(text) AS BIGINT),
+               CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(lang) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(source) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT) FROM documents
+    ),
+    pd_cur_p AS (
+        SELECT 'doc_id' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows_cur,
+               CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls_cur,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_cur
+        FROM pd_cur
+        UNION ALL
+        SELECT 'text', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(text) AS BIGINT),
+               CAST(count(DISTINCT text) AS BIGINT) FROM pd_cur
+        UNION ALL
+        SELECT 'lang', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(lang) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT) FROM pd_cur
+        UNION ALL
+        SELECT 'quality_tier', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(quality_tier) AS BIGINT),
+               CAST(count(DISTINCT quality_tier) AS BIGINT) FROM pd_cur
+    )
+    SELECT COALESCE(r.column_name, c.column_name) AS column_name,
+           r.column_name IS NOT NULL AS in_ref,
+           c.column_name IS NOT NULL AS in_cur,
+           r.n_rows_ref, c.n_rows_cur, r.n_nulls_ref, c.n_nulls_cur,
+           CASE WHEN r.n_rows_ref > 0
+                THEN (r.n_nulls_ref * 1000000) // r.n_rows_ref END
+               AS null_ppm_ref,
+           CASE WHEN c.n_rows_cur > 0
+                THEN (c.n_nulls_cur * 1000000) // c.n_rows_cur END
+               AS null_ppm_cur,
+           (CASE WHEN c.n_rows_cur > 0
+                 THEN (c.n_nulls_cur * 1000000) // c.n_rows_cur END)
+           - (CASE WHEN r.n_rows_ref > 0
+                   THEN (r.n_nulls_ref * 1000000) // r.n_rows_ref END)
+               AS null_shift_ppm,
+           r.n_distinct_ref, c.n_distinct_cur,
+           CASE WHEN r.n_distinct_ref > 0
+                THEN (c.n_distinct_cur * 1000000) // r.n_distinct_ref END
+               AS distinct_ratio_ppm
+    FROM pd_ref_p r
+    FULL OUTER JOIN pd_cur_p c ON c.column_name = r.column_name
+    """,
+)
+def q_documents_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile-drift audit (operators/profile.py
+    profile_drift, r13): the fresh snapshot NULLs every 11th text (a
+    planted extraction regression the audit must read as
+    null_shift_ppm ~ +90,909), collapses lang to its first letter
+    (distinct_ratio_ppm < 1e6), DROPS the source column and ADDS
+    quality_tier (the in_ref/in_cur schema-contract flags).  Two
+    one-pass profile aggregates + a column-count-sized full outer."""
+    from .operators.profile import profile_drift
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ref = docs.select("doc_id", "text", "lang", "source")
+    cur = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.substring("lang", 1, 1).alias("lang"),
+        (F.col("doc_id") % 4).cast("string").alias("quality_tier"),
+    )
+    return profile_drift(ref, cur)

@@ -7876,3 +7876,38 @@ def test_uplift_curve_matches_brute_force(spark):
     assert got["lose"][0][4] < -100_000
     # the all-treatment leading depth has no control rate to compare
     assert got["win"][99][4] is None and got["win"][99][5] is None
+
+
+def test_profile_drift_hand_computed(spark):
+    """Added/dropped columns, planted null regression and cardinality
+    collapse all read through with exact ppm."""
+    from dp1_data_wrangling_spark.operators.profile import profile_drift
+
+    ref = spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else "de") for i in range(100)],
+        "id long, txt string, lang string",
+    )
+    cur = spark.createDataFrame(
+        [
+            (i, None if i % 4 == 0 else f"t{i}", i % 3)
+            for i in range(50)
+        ],
+        "id long, txt string, tier long",
+    )
+    got = {
+        r.column_name: r.asDict()
+        for r in profile_drift(ref, cur).collect()
+    }
+    assert set(got) == {"id", "txt", "lang", "tier"}
+    assert got["lang"]["in_ref"] and not got["lang"]["in_cur"]
+    assert not got["tier"]["in_ref"] and got["tier"]["in_cur"]
+    assert got["tier"]["null_ppm_ref"] is None
+    t = got["txt"]
+    assert (t["n_rows_ref"], t["n_rows_cur"]) == (100, 50)
+    assert t["null_ppm_ref"] == 0
+    assert t["null_ppm_cur"] == 13 * 1_000_000 // 50  # i%4==0 -> 13 of 50
+    assert t["null_shift_ppm"] == t["null_ppm_cur"]
+    assert t["n_distinct_ref"] == 100 and t["n_distinct_cur"] == 37
+    assert t["distinct_ratio_ppm"] == 37 * 1_000_000 // 100
+    i = got["id"]
+    assert i["distinct_ratio_ppm"] == 500_000

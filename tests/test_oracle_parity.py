@@ -322,7 +322,14 @@ def test_driver_window_covers_flagship_surface():
         "events_rank_sum",
         # round-8: SCD Type-2 dimension history enters directly
         # (doc_lang_id out — multi-round green)
-        "user_scd2_history",
+# user_scd2_history rotated out in r13 for documents_profile_drift
+        # (5x green r8-r12, the last long streak; the SCD2 machinery
+        # keeps its streaming equivalence suite every CI run plus
+        # in-repo parity, and events_scd2_enrich held external green
+        # r8-r10).  The profile-drift audit is the table-shape sibling
+        # of the KS / DF-drift screens (schema-contract flags +
+        # null-rate / cardinality shifts).
+        "documents_profile_drift",
         # round-8: event-analytics tier (funnel / retention / Markov)
         # enters directly (outs: lsh_recall_bound, ivf_recall_bound,
         # events_rollup_incremental — see inline notes; the rollup family

@@ -1703,3 +1703,14 @@ def test_uplift_curve_census_windows(spark):
     assert data_shuffles(plan) == 2, plan
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_profile_drift_two_one_pass_aggregates(spark):
+    """The drift audit is two ONE-pass profile aggregates (each a
+    single job over its snapshot regardless of column count, modulo
+    the exact-distinct Expand) + a column-count-sized join — never a
+    per-column re-scan."""
+    plan = plan_of(REGISTRY["documents_profile_drift"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    # one scan per snapshot (both derive from the same parquet here)
+    assert plan.count("Scan parquet") == 2, plan
