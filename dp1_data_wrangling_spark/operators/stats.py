@@ -2297,3 +2297,141 @@ def uplift_curve(
             F.col("y_t") - _tdiv(qi_num, qi_den),
         ).alias("qini_inc"),
     )
+
+
+def post_strat_ate(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    stratum_col: str,
+    value_col: str,
+    group_cols: list[str],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Post-stratification average-treatment-effect readout per group —
+    the confounding-corrected sibling of the naive two-arm mean
+    difference, in exact milli:
+
+        diff_s   = mean_trt_s - mean_ctl_s          (per stratum s)
+        ate      = sum_s w_s * diff_s / sum_s w_s   (w_s = n_s, both arms)
+
+    When treatment assignment is imbalanced ACROSS strata (more treated
+    users in high-baseline segments), the pooled naive difference mixes
+    the treatment effect with the baseline gap; re-weighting the
+    per-stratum differences by stratum size removes exactly that term
+    (the standard post-stratification / blocking estimator).  Both
+    readouts are returned so the gap itself is the diagnostic.
+
+    Exactness contract (the `diff_in_diff` stance): per-row fixed-point
+    quantization ``floor(value * quant_scale)`` with a 2^62 guard;
+    DECIMAL(38,0) cell sums; each per-stratum mean takes ONE truncating
+    division and the weighted fold cross-multiplies in DECIMAL(38,0)
+    with a SIGN-SPLIT truncate-toward-zero final division (effects are
+    legitimately negative; Spark ``div`` and DuckDB ``//`` disagree on
+    negative numerators).  NULL values are excluded from sums and
+    counts; NULL arm / non-0/1 arm rows fail fast; a NULL stratum is a
+    real stratum (groupBy keeps it).  Strata with an EMPTY arm have no
+    defined difference and are EXCLUDED from both the ATE numerator and
+    its weight denominator (reported via ``n_strata_used``), never
+    imputed as zero.  Groups where NO stratum has both arms yield NULL
+    ``ate_milli``.
+
+    Scale posture (100 TB): ONE data-sized combinable groupBy per
+    (group, stratum) — two conditional counts + two conditional
+    DECIMAL sums — then ONE stratum-census-sized combinable groupBy per
+    group.  No window, no join, nothing driver-sided.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    experiment-analytics tier; cited for provenance only.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "post_strat_ate: arm must be 0/1 and non-NULL — a row "
+                "outside the design has no cell; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cap = float(1 << 62)
+    quant = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    vq = F.when(F.col(value_col).isNull(), F.lit(None).cast("bigint")).when(
+        F.abs(F.col(value_col) * F.lit(quant_scale)) < F.lit(cap), quant
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"post_strat_ate: |value * {quant_scale}| >= 2^62 would "
+                "overflow the per-row fixed-point quantization; lower "
+                "quant_scale"
+            )
+        ).cast("bigint")
+    )
+    d = df.withColumn("__arm", arm_ok).withColumn("__vq", vq)
+
+    def cell(a: int, suffix: str):
+        v = F.when(F.col("__arm") == a, F.col("__vq"))
+        return [
+            F.count(v).cast("bigint").alias(f"__n_{suffix}"),
+            F.coalesce(F.sum(v.cast(_D)), F.lit(0))
+            .cast(_D)
+            .alias(f"__s_{suffix}"),
+        ]
+
+    strata = d.groupBy(*group_cols, stratum_col).agg(
+        *cell(0, "c"), *cell(1, "t")
+    )
+    both = (F.col("__n_t") > 0) & (F.col("__n_c") > 0)
+    strata = strata.withColumn(
+        "__diff",
+        F.when(
+            both,
+            (
+                F.expr(f"__s_t div __n_t").cast("bigint")
+                - F.expr(f"__s_c div __n_c").cast("bigint")
+            ).cast("bigint"),
+        ),
+    ).withColumn(
+        "__w", F.when(both, (F.col("__n_t") + F.col("__n_c")).cast("bigint"))
+    )
+    g = strata.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.count("__diff").cast("bigint").alias("n_strata_used"),
+        F.coalesce(F.sum("__n_t"), F.lit(0)).cast("bigint").alias("n_trt"),
+        F.coalesce(F.sum("__n_c"), F.lit(0)).cast("bigint").alias("n_ctl"),
+        F.coalesce(F.sum("__s_t"), F.lit(0)).cast(_D).alias("__st"),
+        F.coalesce(F.sum("__s_c"), F.lit(0)).cast(_D).alias("__sc"),
+        F.coalesce(
+            F.sum((F.col("__w").cast(_D) * F.col("__diff").cast(_D)).cast(_D)),
+            F.lit(0),
+        )
+        .cast(_D)
+        .alias("__wd"),
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("bigint").alias("__wsum"),
+    )
+    naive = F.when(
+        (F.col("n_trt") > 0) & (F.col("n_ctl") > 0),
+        (
+            F.expr("__st div n_trt").cast("bigint")
+            - F.expr("__sc div n_ctl").cast("bigint")
+        ).cast("bigint"),
+    )
+    ate = F.when(
+        F.col("__wsum") > 0,
+        F.when(
+            F.col("__wd") >= 0, F.expr("__wd div __wsum")
+        ).otherwise(-F.expr("(-__wd) div __wsum")),
+    ).cast("bigint")
+    return g.select(
+        *group_cols,
+        "n_strata",
+        "n_strata_used",
+        "n_trt",
+        "n_ctl",
+        naive.alias("naive_diff_milli"),
+        ate.alias("ate_milli"),
+    )

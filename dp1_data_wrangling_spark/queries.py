@@ -97,10 +97,20 @@ DRIVER_WINDOW: list[str] = [
                                   #   decontam keeps corpus_ngram_overlap
                                   #   in-window + the streaming twins + parity)
     "doc_collocations",           # r12: PMI-class lift collocations (exact ppm)
-    "multimodal_qoi",             # r8: REAL QOI decode (full op mix)
+    "events_classification_report",  # r13 NEW mid-round: per-class
+                                  #   precision/recall/F1 (planted mislabeler;
+                                  #   replaces 5x-green multimodal_qoi — the
+                                  #   codec family's 7 REAL decoders stay
+                                  #   parity-held every CI run)
     "doc_dup_rate_by_source",     # r12: per-source duplication-rate report
     "doc_link_prediction",        # r11: common-neighbor/Jaccard link prediction
-    "orders_gini_concentration",  # r10: exact Gini concentration index
+    "events_post_strat_ate",      # r13 NEW mid-round: post-stratification
+                                  #   ATE (planted cross-stratum assignment
+                                  #   imbalance; replaces 3x-green
+                                  #   orders_gini_concentration — the
+                                  #   concentration family keeps
+                                  #   customer_lorenz_curve +
+                                  #   doc_source_lang_simpson in-window)
     "orders_value_deciles",       # r11: fact-scale distributed ntile + percent-rank
     "lineitem_weighted_quantiles",  # r10: exact weighted quantiles
     # -- dedup / similarity families --
@@ -109,7 +119,13 @@ DRIVER_WINDOW: list[str] = [
     "event_bounce_rate",          # r12: per-landing-type bounce rate (exact ppm)
     "customer_entity_resolution", # r10: PassJoin->CC->golden record
     "user_churn_survival",        # r11: exact Kaplan-Meier churn curves
-    "ivf_pq_recall_bound",        # r8: composed IVF-PQ (FAISS IVFPQ shape)
+    "events_rater_agreement",     # r13 NEW mid-round: Cohen's-kappa
+                                  #   inter-rater agreement (planted
+                                  #   worse-than-chance rater exercises the
+                                  #   sign-split; replaces 5x-green
+                                  #   ivf_pq_recall_bound — the ANN family's
+                                  #   five recall bounds + topk replays stay
+                                  #   parity-held every CI run)
     "orders_rollup_report",       # r13 NEW: native ROLLUP subtotal report
                                   #   (replaces 5x-green doc_gopher_rules; the
                                   #   quality-screen family keeps

@@ -788,3 +788,111 @@ def q_events_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_sum_test(
         e, arm_col="arm", value_col="vq", group_cols=["event_type"]
     )
+
+
+@register(
+    "events_post_strat_ate",
+    """
+    WITH pa_e AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS day_bucket,
+               event_type,
+               CASE WHEN CAST(('0x' || substr(md5('ps|'
+                             || CAST(user_id AS VARCHAR) || '|'
+                             || event_type), 1, 15)) AS BIGINT) % 4
+                         < CASE WHEN event_type IN ('purchase', 'signup')
+                                THEN 3 ELSE 1 END
+                    THEN 1 ELSE 0 END AS arm,
+               CASE WHEN value IS NOT NULL
+                    THEN CAST(floor(value * 1000) AS BIGINT) END AS vq
+        FROM events
+    ),
+    pa_s AS (
+        SELECT day_bucket, event_type,
+               CAST(count(CASE WHEN arm = 1 THEN vq END) AS BIGINT) AS n_t,
+               CAST(count(CASE WHEN arm = 0 THEN vq END) AS BIGINT) AS n_c,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN vq END), 0)
+                    AS HUGEINT) AS s_t,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN vq END), 0)
+                    AS HUGEINT) AS s_c
+        FROM pa_e GROUP BY 1, 2
+    ),
+    pa_d AS (
+        SELECT day_bucket, n_t, n_c, s_t, s_c,
+               CASE WHEN n_t > 0 AND n_c > 0
+                    THEN CAST(s_t // n_t AS BIGINT)
+                         - CAST(s_c // n_c AS BIGINT) END AS diff,
+               CASE WHEN n_t > 0 AND n_c > 0
+                    THEN CAST(n_t + n_c AS BIGINT) END AS w
+        FROM pa_s
+    )
+    SELECT day_bucket,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(count(diff) AS BIGINT) AS n_strata_used,
+           CAST(sum(n_t) AS BIGINT) AS n_trt,
+           CAST(sum(n_c) AS BIGINT) AS n_ctl,
+           CASE WHEN sum(n_t) > 0 AND sum(n_c) > 0
+                THEN CAST(CAST(sum(s_t) AS HUGEINT) // sum(n_t) AS BIGINT)
+                     - CAST(CAST(sum(s_c) AS HUGEINT) // sum(n_c) AS BIGINT)
+                END AS naive_diff_milli,
+           CASE WHEN coalesce(sum(w), 0) > 0
+                THEN CAST(CASE
+                    WHEN sum(CAST(w AS HUGEINT) * diff) >= 0
+                    THEN sum(CAST(w AS HUGEINT) * diff) // sum(w)
+                    ELSE -((-sum(CAST(w AS HUGEINT) * diff)) // sum(w))
+                    END AS BIGINT) END AS ate_milli
+    FROM pa_d GROUP BY 1
+    """,
+)
+def q_events_post_strat_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification ATE readout per epoch-day-of-week
+    (operators/stats.py post_strat_ate, r13): strata = event types,
+    arms assigned by md5 parity DELIBERATELY imbalanced across strata
+    (75% treated in purchase/signup, 25% elsewhere — the
+    observational-data shape where the pooled naive difference mixes
+    the effect with the baseline gap between event types).  The
+    stratum-size-weighted fold removes exactly that term; both
+    readouts are returned so naive-vs-ATE divergence is the
+    diagnostic.  Cell sums DECIMAL(38,0) vs HUGEINT, one truncating
+    division per stratum mean, sign-split final division (effects are
+    legitimately negative).  TWO combinable groupBys, no window, no
+    join (plan-gated)."""
+    from .operators.stats import post_strat_ate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    m = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ps|"),
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.col("event_type"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thresh = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit(3)
+    ).otherwise(F.lit(1))
+    units = e.select(
+        (F.expr("ts_us div 86400000000") % 7).alias("day_bucket"),
+        F.col("event_type"),
+        (m % 4 < thresh).cast("bigint").alias("arm"),
+        "value",
+    )
+    return post_strat_ate(
+        units,
+        arm_col="arm",
+        stratum_col="event_type",
+        value_col="value",
+        group_cols=["day_bucket"],
+    )

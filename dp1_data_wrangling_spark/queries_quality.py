@@ -641,3 +641,235 @@ def q_documents_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4).cast("string").alias("quality_tier"),
     )
     return profile_drift(ref, cur)
+
+
+@register(
+    "events_classification_report",
+    """
+    WITH cr_e AS (
+        SELECT CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+                    THEN 'am' ELSE 'pm' END AS half_day,
+               event_type AS actual,
+               CASE WHEN CAST(('0x' || substr(md5('clf|'
+                             || CAST(event_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 5 = 0
+                    THEN 'error' ELSE event_type END AS predicted
+        FROM events
+    ),
+    cr_c AS (
+        SELECT half_day, actual, predicted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cr_e GROUP BY 1, 2, 3
+    ),
+    cr_cls AS (
+        SELECT DISTINCT half_day, actual AS label_class FROM cr_c
+        UNION
+        SELECT DISTINCT half_day, predicted FROM cr_c
+    ),
+    cr_per AS (
+        SELECT cl.half_day, cl.label_class,
+               CAST(coalesce(sum(CASE WHEN c.actual = cl.label_class
+                                       AND c.predicted = cl.label_class
+                                      THEN c.n END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN c.predicted = cl.label_class
+                                       AND c.actual <> cl.label_class
+                                      THEN c.n END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN c.actual = cl.label_class
+                                       AND c.predicted <> cl.label_class
+                                      THEN c.n END), 0) AS BIGINT) AS fn
+        FROM cr_cls cl
+        LEFT JOIN cr_c c ON c.half_day = cl.half_day
+        GROUP BY 1, 2
+    )
+    SELECT half_day, label_class, tp, fp, fn,
+           CAST(tp + fn AS BIGINT) AS support,
+           CASE WHEN tp + fp > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+                          AS BIGINT) END AS precision_ppm,
+           CASE WHEN tp + fn > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fn)
+                          AS BIGINT) END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 2000000)
+                          // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+    FROM cr_per
+    """,
+)
+def q_events_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 report (operators/agreement.py
+    classification_report, r13): actual = the logged event type,
+    predicted = a planted deterministic classifier that mislabels
+    every 5th event (md5 parity) as 'error' — the report must read
+    'error' precision collapsing (~20% of ALL traffic floods in as
+    false positives) while every other class holds ~800k ppm recall.
+    All three rates are single truncating divisions of census
+    integers (F1's harmonic mean needs no intermediate rates:
+    2*tp*1e6 div (2*tp+fp+fn)).  ONE data-sized census groupBy +
+    census-sized explode/fold — no window, no data join."""
+    from .operators.agreement import classification_report
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("clf|"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    labeled = e.select(
+        F.when(F.expr("ts_us div 3600000000") % 24 < 12, F.lit("am"))
+        .otherwise(F.lit("pm"))
+        .alias("half_day"),
+        F.col("event_type").alias("actual"),
+        F.when(flip == 0, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("predicted"),
+    )
+    return classification_report(
+        labeled,
+        actual_col="actual",
+        predicted_col="predicted",
+        group_cols=["half_day"],
+    )
+
+
+@register(
+    "events_rater_agreement",
+    """
+    WITH ka_e AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) % 3 AS da,
+               CAST(('0x' || substr(md5('ra|'
+                     || CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS m
+        FROM events
+    ),
+    ka_r AS (
+        SELECT event_type,
+               CASE da WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+                       ELSE 'high' END AS ra,
+               CASE (da + CASE
+                         WHEN event_type = 'click'
+                              AND m % 4 <> 0 THEN 1
+                         WHEN event_type <> 'click'
+                              AND m % 10 = 0 THEN 1
+                         ELSE 0 END) % 3
+                    WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+                    ELSE 'high' END AS rb
+        FROM ka_e
+    ),
+    ka_c AS (
+        SELECT event_type, ra, rb, CAST(count(*) AS BIGINT) AS n
+        FROM ka_r GROUP BY 1, 2, 3
+    ),
+    ka_t AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(CASE WHEN ra = rb THEN n END), 0)
+                    AS BIGINT) AS n_agree
+        FROM ka_c GROUP BY 1
+    ),
+    ka_ma AS (
+        SELECT event_type, ra AS cls, CAST(sum(n) AS HUGEINT) AS rm
+        FROM ka_c GROUP BY 1, 2
+    ),
+    ka_mb AS (
+        SELECT event_type, rb AS cls, CAST(sum(n) AS HUGEINT) AS cm
+        FROM ka_c GROUP BY 1, 2
+    ),
+    ka_s AS (
+        SELECT a.event_type,
+               CAST(coalesce(sum(a.rm * b.cm), 0) AS HUGEINT) AS s
+        FROM ka_ma a
+        JOIN ka_mb b ON a.event_type = b.event_type AND a.cls = b.cls
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n_items, t.n_agree,
+           CAST((CAST(t.n_agree AS HUGEINT) * 1000000) // t.n_items
+                AS BIGINT) AS po_ppm,
+           CAST((s.s * 1000000)
+                // (CAST(t.n_items AS HUGEINT) * t.n_items)
+                AS BIGINT) AS pe_ppm,
+           CASE WHEN CAST(t.n_items AS HUGEINT) * t.n_items - s.s > 0
+                THEN CAST(CASE
+                    WHEN CAST(t.n_items AS HUGEINT) * t.n_agree - s.s >= 0
+                    THEN ((CAST(t.n_items AS HUGEINT) * t.n_agree - s.s)
+                          * 1000000)
+                         // (CAST(t.n_items AS HUGEINT) * t.n_items - s.s)
+                    ELSE -(((s.s - CAST(t.n_items AS HUGEINT) * t.n_agree)
+                            * 1000000)
+                           // (CAST(t.n_items AS HUGEINT) * t.n_items
+                               - s.s))
+                    END AS BIGINT) END AS kappa_ppm
+    FROM ka_t t JOIN ka_s s ON t.event_type = s.event_type
+    """,
+)
+def q_events_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's-kappa inter-rater agreement per event type
+    (operators/agreement.py cohens_kappa, r13): rater A tiers each
+    event by a value digit (low/mid/high), rater B repeats A except a
+    planted md5-deterministic disagreement — 75% of 'click' ratings
+    shift one tier (po ~ 250k ppm < pe ~ 333k ppm: kappa must read
+    NEGATIVE, worse than chance, exercising the sign-split division)
+    while other types shift only 10% (kappa ~ +850k ppm).  The
+    chance-expected term S = sum_c rowsum_c*colsum_c cross-multiplies
+    in DECIMAL(38,0) vs HUGEINT; ONE data-sized census groupBy,
+    everything downstream census-sized (plan-gated)."""
+    from .operators.agreement import cohens_kappa
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    m = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ra|"), F.col("event_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    shift = (
+        F.when((F.col("event_type") == "click") & (m % 4 != 0), F.lit(1))
+        .when((F.col("event_type") != "click") & (m % 10 == 0), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    tier = lambda d: (  # noqa: E731 — tiny local naming helper
+        F.when(d == 0, F.lit("low"))
+        .when(d == 1, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    rated = e.select(
+        "event_type",
+        tier(F.floor(F.col("value") * 100).cast("bigint") % 3).alias(
+            "rater_a"
+        ),
+        tier(
+            (F.floor(F.col("value") * 100).cast("bigint") % 3 + shift) % 3
+        ).alias("rater_b"),
+    )
+    return cohens_kappa(
+        rated,
+        rater_a_col="rater_a",
+        rater_b_col="rater_b",
+        group_cols=["event_type"],
+    )

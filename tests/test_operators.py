@@ -7911,3 +7911,216 @@ def test_profile_drift_hand_computed(spark):
     assert t["distinct_ratio_ppm"] == 37 * 1_000_000 // 100
     i = got["id"]
     assert i["distinct_ratio_ppm"] == 500_000
+
+
+def test_classification_report_matches_brute_force(spark):
+    """Per-(group, class) tp/fp/fn and exact ppm rates vs a pure-python
+    replay — including a class that is never predicted (precision NULL)
+    and a class that only appears as a prediction (recall NULL)."""
+    from dp1_data_wrangling_spark.operators.agreement import (
+        classification_report,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    classes = ["a", "b", "c", "d"]
+    rows = []
+    for g in ("g1", "g2"):
+        for _ in range(500):
+            actual = classes[rng.randrange(3)]  # 'd' never actual in g1
+            pred = classes[rng.randrange(4)] if g == "g2" else (
+                # g1: 'a' is never predicted (precision NULL for 'a'),
+                # 'd' only ever predicted (recall NULL for 'd')
+                classes[1 + rng.randrange(3)]
+            )
+            rows.append((g, actual, pred))
+    df = spark.createDataFrame(rows, "grp string, y string, p string")
+    got = {
+        (r.grp, r.label_class): (
+            r.tp, r.fp, r.fn, r.support,
+            r.precision_ppm, r.recall_ppm, r.f1_ppm,
+        )
+        for r in classification_report(
+            df, actual_col="y", predicted_col="p", group_cols=["grp"]
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        sub = [(a, p) for gg, a, p in rows if gg == g]
+        cls = sorted({a for a, _ in sub} | {p for _, p in sub})
+        for c in cls:
+            tp = sum(1 for a, p in sub if a == c and p == c)
+            fp = sum(1 for a, p in sub if p == c and a != c)
+            fn = sum(1 for a, p in sub if a == c and p != c)
+            prec = tp * 1_000_000 // (tp + fp) if tp + fp else None
+            rec = tp * 1_000_000 // (tp + fn) if tp + fn else None
+            f1 = (
+                2 * tp * 1_000_000 // (2 * tp + fp + fn)
+                if 2 * tp + fp + fn
+                else None
+            )
+            assert got[(g, c)] == (tp, fp, fn, tp + fn, prec, rec, f1), (
+                g, c,
+            )
+        # exactly the union-of-sides class set, nothing else
+        assert {k[1] for k in got if k[0] == g} == set(cls)
+    assert got[("g1", "a")][4] is None  # never predicted
+    assert got[("g1", "d")][5] is None  # never actual
+
+
+def test_classification_report_validation(spark):
+    from dp1_data_wrangling_spark.operators.agreement import (
+        classification_report,
+        confusion_census,
+    )
+
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("g", "a", None)], "grp string, y string, p string"
+    )
+    with _pt.raises(Exception) as exc:
+        classification_report(
+            df, actual_col="y", predicted_col="p", group_cols=["grp"]
+        ).collect()
+    assert "NULL p" in str(exc.value)
+    with _pt.raises(ValueError):
+        confusion_census(df, actual_col="y", predicted_col="p", group_cols=[])
+    with _pt.raises(ValueError):
+        confusion_census(
+            df, actual_col="y", predicted_col="p", group_cols=["y"]
+        )
+
+
+def test_cohens_kappa_matches_brute_force(spark):
+    """Exact kappa vs a pure-python integer replay — including a
+    worse-than-chance group (negative kappa: the sign-split division)
+    and a degenerate both-raters-constant group (NULL, never faked)."""
+    from dp1_data_wrangling_spark.operators.agreement import cohens_kappa
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(600):
+        a = rng.randrange(3)
+        rows.append(("fair", str(a), str(a if rng.randrange(10) else (a + 1) % 3)))
+        # adversarial: b avoids a's tier whenever it can
+        rows.append(("bad", str(a), str((a + 1 + rng.randrange(2)) % 3)))
+    rows += [("const", "x", "x")] * 50
+    df = spark.createDataFrame(rows, "grp string, ra string, rb string")
+    got = {
+        r.grp: (r.n_items, r.n_agree, r.po_ppm, r.pe_ppm, r.kappa_ppm)
+        for r in cohens_kappa(
+            df, rater_a_col="ra", rater_b_col="rb", group_cols=["grp"]
+        ).collect()
+    }
+    for g in ("fair", "bad", "const"):
+        sub = [(a, b) for gg, a, b in rows if gg == g]
+        n = len(sub)
+        agree = sum(1 for a, b in sub if a == b)
+        cls = {a for a, _ in sub} | {b for _, b in sub}
+        s = sum(
+            sum(1 for a, _ in sub if a == c) * sum(1 for _, b in sub if b == c)
+            for c in cls
+        )
+        po = agree * 1_000_000 // n
+        pe = s * 1_000_000 // (n * n)
+        if n * n == s:
+            kappa = None
+        else:
+            num, den = (n * agree - s) * 1_000_000, n * n - s
+            kappa = num // den if num >= 0 else -((-num) // den)
+        assert got[g] == (n, agree, po, pe, kappa), g
+    assert got["bad"][4] < 0  # worse than chance reads negative
+    assert got["const"][4] is None  # pe == 1: undefined, never faked
+
+
+def test_post_strat_ate_hand_computed(spark):
+    """Two strata with imbalanced assignment: the naive pooled diff
+    mixes the baseline gap into the effect, the post-stratified fold
+    removes it — hand numbers.  Empty-arm strata are excluded from the
+    ATE (reported via n_strata_used), NULL values from sums and
+    counts, and a NULL stratum is a real stratum."""
+    from dp1_data_wrangling_spark.operators.stats import post_strat_ate
+
+    rows = []
+    # stratum "hi": baseline 100.0, true effect +10, 3:1 treated
+    for i in range(40):
+        arm = 1 if i % 4 else 0
+        rows.append(("g", "hi", arm, 110.0 if arm else 100.0))
+    # stratum "lo": baseline 10.0, true effect +10, 1:3 treated
+    for i in range(40):
+        arm = 0 if i % 4 else 1
+        rows.append(("g", "lo", arm, 20.0 if arm else 10.0))
+    # a stratum with no control rows: excluded from the ATE fold
+    rows += [("g", "only_t", 1, 5.0)] * 3
+    # NULL value rows drop from sum AND count; NULL stratum is real
+    rows.append(("g", "hi", 1, None))
+    rows += [("g", None, 1, 7.0), ("g", None, 0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "grp string, s string, arm long, v double"
+    )
+    out = {
+        r.grp: r.asDict()
+        for r in post_strat_ate(
+            df,
+            arm_col="arm",
+            stratum_col="s",
+            value_col="v",
+            group_cols=["grp"],
+        ).collect()
+    }["g"]
+    assert out["n_strata"] == 4 and out["n_strata_used"] == 3
+    assert out["n_trt"] == 30 + 10 + 3 + 1 and out["n_ctl"] == 10 + 30 + 1
+    # per-stratum diffs are all +10000 milli (hi, lo) and +4000 (NULL
+    # stratum: 7.0 - 3.0); weights 40, 40, 2
+    assert out["ate_milli"] == (
+        (40 * 10_000 + 40 * 10_000 + 2 * 4_000) // 82
+    )
+    # naive pooled: treated mean is dragged toward "hi", control toward
+    # "lo" — the confounded readout must differ from the ATE
+    s_t = 30 * 110_000 + 10 * 20_000 + 3 * 5_000 + 7_000
+    s_c = 10 * 100_000 + 30 * 10_000 + 3_000
+    assert out["naive_diff_milli"] == s_t // 44 - s_c // 41
+    assert out["naive_diff_milli"] != out["ate_milli"]
+
+
+def test_post_strat_ate_negative_and_validation(spark):
+    """A negative effect truncates toward zero in both engines
+    (sign-split), bad arms raise, empty group_cols raise."""
+    from dp1_data_wrangling_spark.operators.stats import post_strat_ate
+
+    import pytest as _pt
+
+    rows = [("g", "s1", 1, 1.0)] * 3 + [("g", "s1", 0, 2.0)] * 2
+    rows += [("g", "s2", 1, 0.5), ("g", "s2", 0, 0.75)]
+    df = spark.createDataFrame(
+        rows, "grp string, s string, arm long, v double"
+    )
+    out = post_strat_ate(
+        df, arm_col="arm", stratum_col="s", value_col="v",
+        group_cols=["grp"],
+    ).collect()[0]
+    # s1: diff -1000, w 5; s2: diff -250, w 2 -> -(5500 // 7) = -785
+    assert out.ate_milli == -(5500 // 7)
+    assert out.n_strata_used == 2
+
+    bad = spark.createDataFrame([("g", "s", 2, 1.0)],
+                                "grp string, s string, arm long, v double")
+    with _pt.raises(Exception) as exc:
+        post_strat_ate(
+            bad, arm_col="arm", stratum_col="s", value_col="v",
+            group_cols=["grp"],
+        ).collect()
+    assert "arm must be 0/1" in str(exc.value)
+    with _pt.raises(ValueError):
+        post_strat_ate(
+            bad, arm_col="arm", stratum_col="s", value_col="v",
+            group_cols=[],
+        )
+    with _pt.raises(ValueError):
+        post_strat_ate(
+            bad, arm_col="arm", stratum_col="s", value_col="v",
+            group_cols=["grp"], quant_scale=0,
+        )

@@ -283,7 +283,14 @@ def test_driver_window_covers_flagship_surface():
         # round-8: second real compressed codec (QOI) enters directly
         # (doc_global_shuffle out — 2x green; the sampling family stays
         # via doc_source_quota/doc_importance_resample/cluster_safe_split)
-        "multimodal_qoi",
+        # multimodal_qoi rotated out mid-r13 for
+        # events_classification_report (5x green r8-r12, one of the two
+        # longest surviving streaks; the codec family's 7 REAL decoders
+        # — PPM/BMP/WAV/Y4M/PNG/QOI/G.711 — stay parity-held in-repo
+        # every CI run).  The per-class precision/recall/F1 report is
+        # the fixed-threshold leg of the r13 model-eval tier (ROC +
+        # calibration + uplift + classification report + kappa).
+        "events_classification_report",
         # round-8: semantic eval-overlap screening enters directly
         # (doc_split_assign out — 2x green; the sampling/split family
         # stays via doc_global_shuffle, doc_source_quota,
@@ -313,7 +320,13 @@ def test_driver_window_covers_flagship_surface():
         # ivf_topk's full replay oracle + the composed ivf_pq bound)
         # round-8: composed IVF-PQ (the FAISS IVFPQ production shape)
         # enters directly (multimodal_resize out — multi-round green)
-        "ivf_pq_recall_bound",
+        # ivf_pq_recall_bound rotated out mid-r13 for
+        # events_rater_agreement (5x green r8-r12, the other longest
+        # streak; the ANN family's five recall bounds + full topk
+        # replays stay parity-held in-repo every CI run).  Cohen's
+        # kappa is the labeling-campaign acceptance gate — the planted
+        # worse-than-chance rater exercises the sign-split division.
+        "events_rater_agreement",
         # round-8: exact-integer iterative PageRank entered directly
         # (doc_fingerprint out — multi-round green); rotated out in r11
         # mid-round 11 for events_rank_sum (3x green r8-r10; the graph
@@ -463,7 +476,12 @@ def test_driver_window_covers_flagship_surface():
         # orders_gini_concentration (2x green r8+r9; the temporal-join
         # family keeps user_scd2_history in-window and the streaming
         # SCD2 equivalence suite runs every CI)
-        "orders_gini_concentration",
+        # orders_gini_concentration rotated out mid-r13 for
+        # events_post_strat_ate (3x green r10-r12; the concentration
+        # family keeps customer_lorenz_curve + doc_source_lang_simpson
+        # in-window).  Post-stratification completes the experiment
+        # family's confounding-corrected leg next to DiD.
+        "events_post_strat_ate",
         # round-8: grid-blocked spatial distance join enters directly
         # (find_first out — 7x consecutive driver-green since r1, the
         # longest streak in the window; J4 evidence continues via the

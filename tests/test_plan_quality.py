@@ -1714,3 +1714,40 @@ def test_profile_drift_two_one_pass_aggregates(spark):
     assert "CartesianProduct" not in plan
     # one scan per snapshot (both derive from the same parquet here)
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_classification_report_census_fold(spark):
+    """ONE data-sized census groupBy + a census-sized explode/fold:
+    2 data shuffles, no join, no window, no single-partition gather."""
+    plan = plan_of(
+        REGISTRY["events_classification_report"].fn(spark, SMOKE_SF)
+    )
+    assert data_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_cohens_kappa_census_sized_downstream(spark):
+    """The confusion census is the only data-sized pass; the marginal
+    folds, their class-key join and the group fold are census-sized.
+    No cartesian, no single-partition gather, no window."""
+    plan = plan_of(REGISTRY["events_rater_agreement"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    # every downstream consumer reuses the localCheckpointed census
+    # (the plan roots at the checkpoint RDD), never re-reads the fact
+    # table — zero parquet scans below the fold
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_post_strat_ate_two_combinable_groupbys(spark):
+    """TWO map-side-combinable groupBys (stratum cells, then the group
+    fold) and nothing else — no join, no window, no gather."""
+    plan = plan_of(REGISTRY["events_post_strat_ate"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
