@@ -106,6 +106,28 @@ def classification_report(
         predicted_col=predicted_col,
         group_cols=group_cols,
     )
+    return classification_report_from_census(census, group_cols=group_cols)
+
+
+def classification_report_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    actual_col: str = "__a",
+    predicted_col: str = "__p",
+    count_col: str = "__n",
+) -> DataFrame:
+    """The census-sized fold `classification_report` and its streaming
+    twin (streaming/census.py read_classification_report) share —
+    the confusion census is associative (counts add), so a maintained
+    census folds to the identical report however the stream was cut.
+    """
+    census = census.select(
+        *group_cols,
+        F.col(actual_col).alias("__a"),
+        F.col(predicted_col).alias("__p"),
+        F.col(count_col).cast("bigint").alias("__n"),
+    )
     as_actual = F.struct(
         F.col("__a").alias("label_class"),
         F.when(F.col("__a") == F.col("__p"), F.col("__n"))
@@ -198,6 +220,28 @@ def cohens_kappa(
         actual_col=rater_a_col,
         predicted_col=rater_b_col,
         group_cols=group_cols,
+    )
+    return cohens_kappa_from_census(census, group_cols=group_cols)
+
+
+def cohens_kappa_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    rater_a_col: str = "__a",
+    rater_b_col: str = "__p",
+    count_col: str = "__n",
+) -> DataFrame:
+    """The census-sized fold `cohens_kappa` and its streaming twin
+    share (streaming/census.py read_cohens_kappa): a late rating
+    revises one (a, b) cell, which moves n, the marginals and S — the
+    fold re-derives all of it from the maintained census.
+    """
+    census = census.select(
+        *group_cols,
+        F.col(rater_a_col).alias("__a"),
+        F.col(rater_b_col).alias("__p"),
+        F.col(count_col).cast("bigint").alias("__n"),
     )
     census = census.localCheckpoint(eager=False)  # 3 census-sized consumers
     totals = census.groupBy(*group_cols).agg(

@@ -47,6 +47,9 @@ from .rebuild import (
 )
 from .census import (
     read_benford,
+    read_classification_report,
+    read_cohens_kappa,
+    read_heavy_hitters,
     read_cusum_alarms,
     read_grid_hotspots,
     read_seasonal_profile,
@@ -86,6 +89,9 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_curation",
     "read_benford",
+    "read_classification_report",
+    "read_cohens_kappa",
+    "read_heavy_hitters",
     "read_cusum_alarms",
     "read_grid_hotspots",
     "read_seasonal_profile",

@@ -281,3 +281,87 @@ def read_simpson(
     return simpson_from_census(
         census, group_cols=group_cols or [], count_col="n_rows"
     )
+
+
+def read_classification_report(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+) -> DataFrame:
+    """Fold a maintained ``(*groups, actual, predicted, n_rows)``
+    confusion census through the exact per-class precision/recall/F1
+    report (operators/agreement.py classification_report_from_census)
+    — the streaming form of the ``events_classification_report``
+    surface: live model-quality monitoring over a prediction stream.
+    A LATE labeled prediction revises one confusion cell, which moves
+    its class's tp/fp/fn AND every rate derived from them — re-derived
+    census-sized at read.  Project the stream to
+    ``(*groups, actual, predicted)``; the maintainer's n_rows IS the
+    cell count."""
+    from ..operators.agreement import classification_report_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return classification_report_from_census(
+        census,
+        group_cols=group_cols,
+        actual_col=actual_col,
+        predicted_col=predicted_col,
+        count_col="n_rows",
+    )
+
+
+def read_cohens_kappa(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+    rater_a_col: str = "rater_a",
+    rater_b_col: str = "rater_b",
+) -> DataFrame:
+    """Fold a maintained ``(*groups, rater_a, rater_b, n_rows)``
+    agreement census through exact Cohen's kappa
+    (operators/agreement.py cohens_kappa_from_census) — the streaming
+    form of the ``events_rater_agreement`` surface: a labeling
+    campaign's acceptance gate watched live as ratings stream in.  A
+    late rating revises one (a, b) cell, which moves n, BOTH marginal
+    vectors and the chance-expected term S — cross-cell damage only
+    the census fold can re-derive."""
+    from ..operators.agreement import cohens_kappa_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return cohens_kappa_from_census(
+        census,
+        group_cols=group_cols,
+        rater_a_col=rater_a_col,
+        rater_b_col=rater_b_col,
+        count_col="n_rows",
+    )
+
+
+def read_heavy_hitters(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    key_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """EXACT top-k heavy hitters from a maintained key census — the
+    lossless sibling of the batch Count-Min screen
+    (``events_cm_heavy_hitters``): the census maintainer already pays
+    for one row per distinct key, so the stream's top-k needs no
+    sketch at all.  Deterministic total order (count DESC, then keys)
+    lowers to TakeOrderedAndProject over census-sized data; ties at
+    the k boundary resolve by key order, stated and stable."""
+    if k < 1:
+        raise ValueError(f"k must be positive, got {k}")
+    census = Catalog(catalog_root).read(spark, table)
+    ordered = census.orderBy(
+        F.col("n_rows").desc(), *[F.col(c) for c in key_cols]
+    )
+    return ordered.select(*key_cols, "n_rows").limit(k)

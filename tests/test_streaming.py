@@ -2815,3 +2815,229 @@ def test_stream_census_simpson_equals_batch(spark, tmp_path):
         table="lang_census", key_cols=["source", "lang"],
     ).awaitTermination(180)
     assert idx() == got
+
+
+def test_stream_census_classification_equals_batch(spark, tmp_path):
+    """Streaming labeled predictions through the census maintainer in
+    three cuts, then a LATE cut that revises already-published
+    confusion cells (moving tp/fp/fn and every rate derived from
+    them) — read_classification_report == the batch report over all
+    delivered rows at every point.  Replay is a no-op."""
+    from dp1_data_wrangling_spark.operators.agreement import (
+        classification_report,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_classification_report,
+        stream_census,
+    )
+
+    classes = ["view", "click", "buy"]
+    rows = []
+    for i in range(600):
+        actual = classes[i % 3]
+        # a deterministic mislabeler: every 5th event reads as "click"
+        pred = "click" if i % 5 == 0 else actual
+        rows.append(("m1" if i % 2 else "m2", actual, pred, i))
+    events = spark.createDataFrame(
+        rows, "model string, actual string, predicted string, i long"
+    )
+    src = tmp_path / "clf_stream"
+    events.where("i % 3 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    events.where("i % 3 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            stream.select("model", "actual", "predicted"),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="confusion_census",
+            key_cols=["model", "actual", "predicted"],
+        ).awaitTermination(180)
+
+    def report():
+        return {
+            (r.model, r.label_class): (
+                r.tp, r.fp, r.fn, r.support,
+                r.precision_ppm, r.recall_ppm, r.f1_ppm,
+            )
+            for r in read_classification_report(
+                spark, str(tmp_path / "cat"),
+                table="confusion_census", group_cols=["model"],
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            (r.model, r.label_class): (
+                r.tp, r.fp, r.fn, r.support,
+                r.precision_ppm, r.recall_ppm, r.f1_ppm,
+            )
+            for r in classification_report(
+                events.where(pred),
+                actual_col="actual",
+                predicted_col="predicted",
+                group_cols=["model"],
+            ).collect()
+        }
+
+    run()
+    assert report() == batch("i % 3 < 2")
+    # the LATE cut revises already-published cells
+    time.sleep(1.1)
+    events.where("i % 3 = 2").coalesce(1).write.parquet(str(src / "b3"))
+    run()
+    got = report()
+    assert got == batch("true")
+    # the planted mislabeler reads through: click precision degraded,
+    # other classes' recall at exactly 800k ppm
+    assert got[("m2", "view")][5] == 800_000
+    assert got[("m2", "click")][4] < 750_000
+    run()  # replay no-op
+    assert report() == got
+
+
+def test_stream_census_kappa_equals_batch(spark, tmp_path):
+    """Streaming rater pairs through the census maintainer with a LATE
+    cut that moves n, both marginal vectors and the chance-expected
+    term S — read_cohens_kappa == batch cohens_kappa over all
+    delivered ratings, including a worse-than-chance group."""
+    from dp1_data_wrangling_spark.operators.agreement import cohens_kappa
+    from dp1_data_wrangling_spark.streaming import (
+        read_cohens_kappa,
+        stream_census,
+    )
+
+    rows = []
+    for i in range(400):
+        a = str(i % 3)
+        # "good": 10% disagreement; "adv": avoids agreement 3/4 of the time
+        rows.append(("good", a, a if i % 10 else str((i + 1) % 3), i))
+        rows.append(("adv", a, str((i + 1 + i % 2) % 3) if i % 4 else a, i))
+    ratings = spark.createDataFrame(
+        rows, "team string, rater_a string, rater_b string, i long"
+    )
+    src = tmp_path / "rate_stream"
+    ratings.where("i % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(ratings.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            stream.select("team", "rater_a", "rater_b"),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="agree_census",
+            key_cols=["team", "rater_a", "rater_b"],
+        ).awaitTermination(180)
+
+    def agreement():
+        return {
+            r.team: (r.n_items, r.n_agree, r.po_ppm, r.pe_ppm, r.kappa_ppm)
+            for r in read_cohens_kappa(
+                spark, str(tmp_path / "cat"),
+                table="agree_census", group_cols=["team"],
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            r.team: (r.n_items, r.n_agree, r.po_ppm, r.pe_ppm, r.kappa_ppm)
+            for r in cohens_kappa(
+                ratings.where(pred),
+                rater_a_col="rater_a",
+                rater_b_col="rater_b",
+                group_cols=["team"],
+            ).collect()
+        }
+
+    run()
+    assert agreement() == batch("i % 2 = 0")
+    time.sleep(1.1)
+    ratings.where("i % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = agreement()
+    assert got == batch("true")
+    assert got["adv"][4] < 0 < got["good"][4]
+    run()  # replay no-op
+    assert agreement() == got
+
+
+def test_read_heavy_hitters_exact_topk(spark, tmp_path):
+    """The maintained key census folds to EXACT top-k heavy hitters —
+    equal to the batch groupBy-count ordering at every cut, with the
+    k-boundary tie resolved by the stated key order, and a late cut
+    re-ranking the board."""
+    import pytest as _pt
+
+    from dp1_data_wrangling_spark.streaming import (
+        read_heavy_hitters,
+        stream_census,
+    )
+
+    rows = []
+    i = 0
+    # skewed key frequencies: key_j appears (20 - j) * 3 times
+    for j in range(15):
+        for _ in range((20 - j) * 3):
+            rows.append((f"k{j:02d}", i))
+            i += 1
+    events = spark.createDataFrame(rows, "key string, i long")
+    src = tmp_path / "hh_stream"
+    events.where("i % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            stream.select("key"),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="key_census",
+            key_cols=["key"],
+        ).awaitTermination(180)
+
+    def top(k):
+        return [
+            (r.key, r.n_rows)
+            for r in read_heavy_hitters(
+                spark, str(tmp_path / "cat"),
+                table="key_census", key_cols=["key"], k=k,
+            ).collect()
+        ]
+
+    def batch_top(pred, k):
+        import collections
+
+        c = collections.Counter(
+            key for key, i in rows if eval(pred, {"i": i})
+        )
+        return sorted(
+            c.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:k]
+
+    run()
+    assert top(5) == batch_top("i % 2 == 0", 5)
+    time.sleep(1.1)
+    events.where("i % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    assert top(5) == batch_top("True", 5)
+    # full depth: ties (none here) would resolve by key order; k past
+    # the census size returns the whole census
+    assert top(100) == batch_top("True", 100)
+    with _pt.raises(ValueError):
+        read_heavy_hitters(
+            spark, str(tmp_path / "cat"),
+            table="key_census", key_cols=["key"], k=0,
+        )
