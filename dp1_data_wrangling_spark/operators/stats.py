@@ -2435,3 +2435,193 @@ def post_strat_ate(
         naive.alias("naive_diff_milli"),
         ate.alias("ate_milli"),
     )
+
+
+def cuped_adjusted_ate(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    covariate_col: str,
+    group_cols: list[str],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """CUPED variance-reduced treatment-effect readout per group
+    (Deng, Xu, Kohavi & Walker, WSDM 2013 — public): adjust the metric
+    with a pre-experiment covariate,
+
+        theta = cov(x, y) / var(x)        (pooled across arms)
+        ate_cuped = (my_t - my_c) - theta * (mx_t - mx_c)
+
+    which removes the covariate-explained variance from the arm
+    difference while leaving its expectation untouched (the covariate
+    predates assignment, so E[mx_t - mx_c] = 0 under randomization —
+    a nonzero dx is the finite-sample imbalance CUPED corrects).
+
+    Exactness contract: per-row fixed-point quantization of BOTH
+    columns (``floor(v * quant_scale)``, 2^62 guard); theta carried as
+    ONE sign-split truncating division in exact milli,
+
+        theta_milli = (1000 * (n*Sxy - Sx*Sy)) / (n*Sxx - Sx*Sx)
+
+    with DECIMAL(38,0) numerator/denominator (var(x)'s denominator is
+    >= 0 by Cauchy-Schwarz, so only the numerator sign splits); each
+    arm mean is one truncating division; the adjustment term is one
+    further sign-split division ``theta_milli * dx_milli div 1000``.
+    Every truncation is <= 1 milli, stated, and the oracle replays the
+    identical fold in HUGEINT.  Units missing EITHER column are
+    excluded entirely (pairs semantics — theta and the means must see
+    the same population); arm must be 0/1 non-NULL (fail fast).  A
+    constant covariate (var = 0) yields NULL theta and NULL
+    ``ate_cuped_milli`` — the naive readout still reports.  One-armed
+    groups yield NULL for both readouts.  The cross-moment operands
+    are enveloped in DOUBLE against 1e37 (fail-fast threaded into the
+    consumed count — beyond ~1e12 units at milli scale, sample or
+    rescale; the naive difference stays exact at any n).
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy per group —
+    ten conditional sums/counts — then per-group scalar algebra.  No
+    window, no join.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    experiment-analytics tier; cited for provenance only.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "cuped_adjusted_ate: arm must be 0/1 and non-NULL — a "
+                "row outside the design has no cell; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cap = float(1 << 62)
+
+    def quant(col: str, what: str) -> F.Column:
+        q = F.floor(F.col(col) * F.lit(quant_scale)).cast("bigint")
+        return F.when(
+            F.col(col).isNull(), F.lit(None).cast("bigint")
+        ).when(F.abs(F.col(col) * F.lit(quant_scale)) < F.lit(cap), q).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"cuped_adjusted_ate: |{what} * {quant_scale}| >= 2^62 "
+                    "would overflow the per-row fixed-point quantization; "
+                    "lower quant_scale"
+                )
+            ).cast("bigint")
+        )
+
+    d = (
+        df.withColumn("__arm", arm_ok)
+        .withColumn("__yq", quant(value_col, "value"))
+        .withColumn("__xq", quant(covariate_col, "covariate"))
+        # pairs semantics: theta and the means must see one population
+        .filter(F.col("__yq").isNotNull() & F.col("__xq").isNotNull())
+    )
+    g = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("__arm") == 1, 1)).cast("bigint").alias("n_trt"),
+        F.count(F.when(F.col("__arm") == 0, 1)).cast("bigint").alias("n_ctl"),
+        F.coalesce(F.sum(F.col("__yq").cast(_D)), F.lit(0)).cast(_D).alias("__sy"),
+        F.coalesce(F.sum(F.col("__xq").cast(_D)), F.lit(0)).cast(_D).alias("__sx"),
+        F.coalesce(
+            F.sum((F.col("__xq").cast(_D) * F.col("__yq").cast(_D)).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__sxy"),
+        F.coalesce(
+            F.sum((F.col("__xq").cast(_D) * F.col("__xq").cast(_D)).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__sxx"),
+        F.coalesce(
+            F.sum(F.when(F.col("__arm") == 1, F.col("__yq")).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__syt"),
+        F.coalesce(
+            F.sum(F.when(F.col("__arm") == 0, F.col("__yq")).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__syc"),
+        F.coalesce(
+            F.sum(F.when(F.col("__arm") == 1, F.col("__xq")).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__sxt"),
+        F.coalesce(
+            F.sum(F.when(F.col("__arm") == 0, F.col("__xq")).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__sxc"),
+    )
+    # DOUBLE envelope over the biggest cross-moment operands, threaded
+    # into the consumed pair count so Catalyst cannot prune the guard
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    env = F.greatest(
+        F.abs(dd("n_pairs") * dd("__sxy")) * 1000.0,
+        F.abs(dd("__sx") * dd("__sy")) * 1000.0,
+        dd("n_pairs") * dd("__sxx"),
+        dd("__sx") * dd("__sx"),
+    )
+    n_ok = F.when(env <= F.lit(1e37), F.col("n_pairs")).otherwise(
+        F.raise_error(
+            F.lit(
+                "cuped_adjusted_ate: a cross-moment operand exceeds the "
+                "1e37 DECIMAL(38,0) envelope — sample units or lower "
+                "quant_scale (the naive difference stays exact at any n)"
+            )
+        ).cast("bigint")
+    )
+    g = g.withColumn("__n_ok", n_ok)
+    tnum = F.expr(
+        "1000 * (cast(__n_ok as decimal(38,0)) * __sxy - __sx * __sy)"
+    ).cast(_D)
+    tden = F.expr(
+        "cast(__n_ok as decimal(38,0)) * __sxx - __sx * __sx"
+    ).cast(_D)
+    g = g.withColumn("__tnum", tnum).withColumn("__tden", tden)
+    theta = F.when(
+        F.col("__tden") > 0,
+        F.when(
+            F.col("__tnum") >= 0, F.expr("__tnum div __tden")
+        ).otherwise(-F.expr("(-__tnum) div __tden")),
+    ).cast("bigint")
+    g = g.withColumn("theta_milli", theta)
+    both = (F.col("n_trt") > 0) & (F.col("n_ctl") > 0)
+    g = g.withColumn(
+        "naive_diff_milli",
+        F.when(
+            both,
+            (
+                F.expr("__syt div n_trt").cast("bigint")
+                - F.expr("__syc div n_ctl").cast("bigint")
+            ),
+        ),
+    ).withColumn(
+        "__dx",
+        F.when(
+            both,
+            (
+                F.expr("__sxt div n_trt").cast("bigint")
+                - F.expr("__sxc div n_ctl").cast("bigint")
+            ),
+        ),
+    )
+    adj_num = (F.col("theta_milli").cast(_D) * F.col("__dx").cast(_D)).cast(_D)
+    adj = F.when(
+        adj_num >= 0, F.expr(f"(cast(theta_milli as {_D}) * __dx) div 1000")
+    ).otherwise(
+        -F.expr(f"(-(cast(theta_milli as {_D}) * __dx)) div 1000")
+    ).cast("bigint")
+    return g.select(
+        *group_cols,
+        "n_pairs",
+        "n_trt",
+        "n_ctl",
+        "theta_milli",
+        "naive_diff_milli",
+        F.when(
+            both & F.col("theta_milli").isNotNull(),
+            F.col("naive_diff_milli") - adj,
+        ).alias("ate_cuped_milli"),
+    )

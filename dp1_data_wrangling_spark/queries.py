@@ -115,7 +115,12 @@ DRIVER_WINDOW: list[str] = [
     "lineitem_weighted_quantiles",  # r10: exact weighted quantiles
     # -- dedup / similarity families --
     "doc_link_ppr",               # r10: personalized PageRank (exact integer)
-    "events_value_bins",          # r10: equi-width histogram binning
+    "events_cuped_ate",           # r13 NEW mid-round: CUPED variance-reduced
+                                  #   ATE (WSDM'13; replaces 3x-green
+                                  #   events_value_bins — the histogram family
+                                  #   keeps lineitem_weighted_quantiles +
+                                  #   orders_value_deciles in-window, value
+                                  #   bins stay parity-held every CI run)
     "event_bounce_rate",          # r12: per-landing-type bounce rate (exact ppm)
     "customer_entity_resolution", # r10: PassJoin->CC->golden record
     "user_churn_survival",        # r11: exact Kaplan-Meier churn curves

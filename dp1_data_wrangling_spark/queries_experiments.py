@@ -896,3 +896,148 @@ def q_events_post_strat_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         group_cols=["day_bucket"],
     )
+
+
+@register(
+    "events_cuped_ate",
+    """
+    WITH cu_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('cup|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 2 AS arm,
+               value AS y,
+               value + CAST(CAST(('0x' || substr(md5('cov|'
+                       || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 200 - 100 AS DOUBLE) AS x
+        FROM events
+    ),
+    cu_q AS (
+        SELECT event_type, arm,
+               CAST(floor(y * 1000) AS BIGINT) AS yq,
+               CAST(floor(x * 1000) AS BIGINT) AS xq
+        FROM cu_e WHERE y IS NOT NULL AND x IS NOT NULL
+    ),
+    cu_g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_trt,
+               CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_ctl,
+               CAST(coalesce(sum(CAST(yq AS HUGEINT)), 0) AS HUGEINT) AS sy,
+               CAST(coalesce(sum(CAST(xq AS HUGEINT)), 0) AS HUGEINT) AS sx,
+               CAST(coalesce(sum(CAST(xq AS HUGEINT) * yq), 0)
+                    AS HUGEINT) AS sxy,
+               CAST(coalesce(sum(CAST(xq AS HUGEINT) * xq), 0)
+                    AS HUGEINT) AS sxx,
+               CAST(coalesce(sum(CASE WHEN arm = 1
+                             THEN CAST(yq AS HUGEINT) END), 0)
+                    AS HUGEINT) AS syt,
+               CAST(coalesce(sum(CASE WHEN arm = 0
+                             THEN CAST(yq AS HUGEINT) END), 0)
+                    AS HUGEINT) AS syc,
+               CAST(coalesce(sum(CASE WHEN arm = 1
+                             THEN CAST(xq AS HUGEINT) END), 0)
+                    AS HUGEINT) AS sxt,
+               CAST(coalesce(sum(CASE WHEN arm = 0
+                             THEN CAST(xq AS HUGEINT) END), 0)
+                    AS HUGEINT) AS sxc
+        FROM cu_q GROUP BY 1
+    ),
+    cu_t AS (
+        SELECT *,
+               1000 * (n_pairs * sxy - sx * sy) AS tnum,
+               n_pairs * sxx - sx * sx AS tden
+        FROM cu_g
+    ),
+    cu_r AS (
+        SELECT event_type, n_pairs, n_trt, n_ctl,
+               CASE WHEN tden > 0
+                    THEN CAST(CASE WHEN tnum >= 0 THEN tnum // tden
+                              ELSE -((-tnum) // tden) END AS BIGINT)
+                    END AS theta_milli,
+               CASE WHEN n_trt > 0 AND n_ctl > 0
+                    THEN CAST(syt // n_trt AS BIGINT)
+                         - CAST(syc // n_ctl AS BIGINT) END
+                   AS naive_diff_milli,
+               CASE WHEN n_trt > 0 AND n_ctl > 0
+                    THEN CAST(sxt // n_trt AS BIGINT)
+                         - CAST(sxc // n_ctl AS BIGINT) END AS dx
+        FROM cu_t
+    )
+    SELECT event_type, n_pairs, n_trt, n_ctl, theta_milli,
+           naive_diff_milli,
+           CASE WHEN naive_diff_milli IS NOT NULL
+                 AND theta_milli IS NOT NULL
+                THEN naive_diff_milli - CAST(CASE
+                     WHEN CAST(theta_milli AS HUGEINT) * dx >= 0
+                     THEN (CAST(theta_milli AS HUGEINT) * dx) // 1000
+                     ELSE -((-(CAST(theta_milli AS HUGEINT) * dx))
+                            // 1000) END AS BIGINT)
+                END AS ate_cuped_milli
+    FROM cu_r
+    """,
+)
+def q_events_cuped_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout per event type
+    (operators/stats.py cuped_adjusted_ate — Deng/Xu/Kohavi/Walker
+    WSDM'13): users assign to arms by md5 parity, the metric is the
+    event value, and the pre-experiment covariate is the value plus a
+    planted md5-deterministic offset in [-100, 100) — correlated at
+    theta = var(y)/(var(y)+var(noise)) ~ 400 milli, so the covariate
+    imbalance term visibly moves the adjusted readout away from the
+    naive difference (every type shifts by hundreds of milli at
+    sf0.01).
+    theta is ONE sign-split truncating division of DECIMAL(38,0)
+    cross moments vs HUGEINT; arm means one truncation each; the
+    adjustment term one further sign-split division.  ONE combinable
+    groupBy, no window, no join (plan-gated)."""
+    from .operators.stats import cuped_adjusted_ate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cup|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cov|"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 200
+        - 100
+    )
+    units = e.select(
+        "event_type",
+        arm.alias("arm"),
+        F.col("value").alias("y"),
+        (F.col("value") + noise.cast("double")).alias("x"),
+    )
+    return cuped_adjusted_ate(
+        units,
+        arm_col="arm",
+        value_col="y",
+        covariate_col="x",
+        group_cols=["event_type"],
+    )

@@ -8124,3 +8124,104 @@ def test_post_strat_ate_negative_and_validation(spark):
             bad, arm_col="arm", stratum_col="s", value_col="v",
             group_cols=["grp"], quant_scale=0,
         )
+
+
+def test_cuped_adjusted_ate_matches_brute_force(spark):
+    """Exact theta / naive / CUPED readouts vs a pure-python integer
+    replay — including a negative-effect group (sign-split), a
+    constant-covariate group (NULL theta, naive still reports) and a
+    one-armed group (both NULL)."""
+    from dp1_data_wrangling_spark.operators.stats import cuped_adjusted_ate
+
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(800):
+        base = rng.randrange(0, 200)  # the pre-period covariate signal
+        arm = rng.randrange(2)
+        for grp, eff in (("up", 40), ("down", -40)):
+            y = base + (eff if arm else 0) + rng.randrange(0, 20)
+            rows.append((grp, arm, float(y), float(base)))
+    rows += [("flat", a % 2, float(a), 7.0) for a in range(20)]
+    rows += [("onearm", 1, 5.0, 3.0), ("onearm", 1, 6.0, 4.0)]
+    # NULL covariate rows drop from the pair population entirely
+    rows.append(("up", 1, 9.9, None))
+    df = spark.createDataFrame(rows, "grp string, arm long, y double, x double")
+    got = {
+        r.grp: (
+            r.n_pairs, r.n_trt, r.n_ctl,
+            r.theta_milli, r.naive_diff_milli, r.ate_cuped_milli,
+        )
+        for r in cuped_adjusted_ate(
+            df, arm_col="arm", value_col="y", covariate_col="x",
+            group_cols=["grp"],
+        ).collect()
+    }
+
+    def tdiv(n, d):
+        q = abs(n) // abs(d)
+        return q if (n >= 0) == (d >= 0) else -q
+
+    for grp in ("up", "down", "flat", "onearm"):
+        pairs = [
+            (a, int(round(y * 1000)), int(round(x * 1000)))
+            for g, a, y, x in rows
+            if g == grp and x is not None
+        ]
+        n = len(pairs)
+        nt = sum(1 for a, _, _ in pairs if a == 1)
+        nc = n - nt
+        sy = sum(y for _, y, _ in pairs)
+        sx = sum(x for _, _, x in pairs)
+        sxy = sum(x * y for _, y, x in pairs)
+        sxx = sum(x * x for _, _, x in pairs)
+        tnum, tden = 1000 * (n * sxy - sx * sy), n * sxx - sx * sx
+        theta = tdiv(tnum, tden) if tden > 0 else None
+        if nt and nc:
+            syt = sum(y for a, y, _ in pairs if a == 1)
+            syc = sy - syt
+            sxt = sum(x for a, _, x in pairs if a == 1)
+            sxc = sx - sxt
+            naive = tdiv(syt, nt) - tdiv(syc, nc)
+            dx = tdiv(sxt, nt) - tdiv(sxc, nc)
+            cuped = (
+                naive - tdiv(theta * dx, 1000) if theta is not None else None
+            )
+        else:
+            naive = cuped = None
+        assert got[grp] == (n, nt, nc, theta, naive, cuped), grp
+    # the planted effects and contracts read through
+    assert got["up"][5] is not None and got["up"][5] > 30_000
+    assert got["down"][5] < -30_000
+    assert got["flat"][3] is None and got["flat"][4] is not None
+    assert got["onearm"][4] is None and got["onearm"][5] is None
+    # CUPED must not move the point estimate far from naive here
+    # (randomized arms): the adjustment corrects finite-sample noise
+    assert abs(got["up"][5] - got["up"][4]) < 20_000
+
+
+def test_cuped_adjusted_ate_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import cuped_adjusted_ate
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [("g", 2, 1.0, 1.0)], "grp string, arm long, y double, x double"
+    )
+    with _pt.raises(Exception) as exc:
+        cuped_adjusted_ate(
+            bad, arm_col="arm", value_col="y", covariate_col="x",
+            group_cols=["grp"],
+        ).collect()
+    assert "arm must be 0/1" in str(exc.value)
+    with _pt.raises(ValueError):
+        cuped_adjusted_ate(
+            bad, arm_col="arm", value_col="y", covariate_col="x",
+            group_cols=[],
+        )
+    with _pt.raises(ValueError):
+        cuped_adjusted_ate(
+            bad, arm_col="arm", value_col="y", covariate_col="x",
+            group_cols=["grp"], quant_scale=0,
+        )

@@ -447,7 +447,13 @@ def test_driver_window_covers_flagship_surface():
         # events_ohlc rotated out in r10 for events_value_bins (2x green
         # r8+r9; the downsample family keeps events_interpolate +
         # events_hdr_quantiles in-window)
-        "events_value_bins",
+        # events_value_bins rotated out mid-r13 for events_cuped_ate
+        # (3x green r10-r12; the histogram family keeps
+        # lineitem_weighted_quantiles + orders_value_deciles in-window
+        # and the equi-width binning stays parity-held every CI run).
+        # CUPED (Deng/Xu/Kohavi/Walker WSDM'13) is the experiment
+        # family's variance-reduction leg next to DiD and post-strat.
+        "events_cuped_ate",
         # round-8: degree-ordered triangle counting enters directly
         # (session_window out — multi-round green since r3;
         # event_correlation keeps the streaming family in-window and the

@@ -1751,3 +1751,14 @@ def test_post_strat_ate_two_combinable_groupbys(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_cuped_ate_one_combinable_groupby(spark):
+    """CUPED is ONE map-side-combinable groupBy (ten conditional
+    sums/counts) + per-group scalar algebra — 1 data shuffle, no
+    join, no window, no gather."""
+    plan = plan_of(REGISTRY["events_cuped_ate"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
