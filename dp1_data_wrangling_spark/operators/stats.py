@@ -2625,3 +2625,96 @@ def cuped_adjusted_ate(
             F.col("naive_diff_milli") - adj,
         ).alias("ate_cuped_milli"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    group_cols: list[str],
+    expected_trt_ppm: int = 500_000,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard per group — the experimentation
+    tier's validity gate: BEFORE reading any effect, test whether the
+    observed arm split matches the DESIGN allocation (a mismatch means
+    broken assignment/logging and invalidates every downstream
+    readout; the classic Kohavi/Fabijan practice, public).
+
+    One-degree chi-square goodness-of-fit against the design share
+    ``p`` (in ppm), collapsed to exact integers: with ``d = n_t*1e6 -
+    n*p`` (the ppm-scaled deviation), the two-cell Pearson statistic
+    algebraically reduces to
+
+        chi2 = d^2 / (n * p * (1e6 - p))
+        srm_chi2_milli = (1000 * d^2) div (n * p * (1e6 - p))
+
+    — one truncating division of non-negative DECIMAL(38,0) operands,
+    replayed verbatim in HUGEINT.  ``srm_flag`` fires at the standard
+    alpha = 0.05 threshold (chi2 > 3.841, i.e. chi2_milli > 3841).
+    The squared deviation is enveloped in DOUBLE against 1e37
+    (fail-fast threaded into the consumed count — beyond ~2e11 units
+    at worst-case imbalance, sample; the decision is saturated long
+    before).  Arm must be 0/1 non-NULL (fail fast); expected share
+    must be strictly inside (0, 1e6).
+
+    Scale posture (100 TB): ONE map-side-combinable groupBy — two
+    conditional counts per group — then scalar algebra.  No window,
+    no join.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    experiment-analytics tier; cited for provenance only.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not 0 < expected_trt_ppm < 1_000_000:
+        raise ValueError(
+            f"expected_trt_ppm must be in (0, 1e6), got {expected_trt_ppm}"
+        )
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "srm_check: arm must be 0/1 and non-NULL — a row "
+                "outside the design has no cell; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    p, q = expected_trt_ppm, 1_000_000 - expected_trt_ppm
+    g = df.withColumn("__arm", arm_ok).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.coalesce(F.sum("__arm"), F.lit(0)).cast("bigint").alias("n_trt"),
+    )
+    g = g.withColumn("n_ctl", (F.col("n_units") - F.col("n_trt")).cast("bigint"))
+    dev = F.expr(
+        f"cast(n_trt as {_D}) * 1000000 - cast(n_units as {_D}) * {p}"
+    ).cast(_D)
+    g = g.withColumn("__d", dev)
+    env = (
+        F.col("__d").cast("double") * F.col("__d").cast("double")
+    ) * F.lit(1000.0)
+    n_ok = F.when(env <= F.lit(1e37), F.col("n_units")).otherwise(
+        F.raise_error(
+            F.lit(
+                "srm_check: the squared ppm deviation exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units (the SRM decision "
+                "is saturated at such n)"
+            )
+        ).cast("bigint")
+    )
+    g = g.withColumn("__n_ok", n_ok)
+    chi2 = F.expr(
+        f"(1000 * __d * __d) div (cast(__n_ok as {_D}) * {p} * {q})"
+    ).cast("bigint")
+    return g.select(
+        *group_cols,
+        "n_units",
+        "n_trt",
+        "n_ctl",
+        F.expr(f"(cast(n_trt as {_D}) * 1000000) div n_units")
+        .cast("bigint")
+        .alias("observed_trt_ppm"),
+        F.lit(p).cast("bigint").alias("expected_trt_ppm"),
+        chi2.alias("srm_chi2_milli"),
+        (chi2 > 3841).alias("srm_flag"),
+    )

@@ -1041,3 +1041,83 @@ def q_events_cuped_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         covariate_col="x",
         group_cols=["event_type"],
     )
+
+
+@register(
+    "events_srm_check",
+    """
+    WITH sr_e AS (
+        SELECT event_type,
+               CASE WHEN CAST(('0x' || substr(md5('srm|'
+                             || CAST(user_id AS VARCHAR) || '|'
+                             || CAST(event_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 10
+                         < CASE WHEN event_type = 'error' THEN 4
+                                ELSE 5 END
+                    THEN 1 ELSE 0 END AS arm
+        FROM events
+    ),
+    sr_g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(coalesce(sum(arm), 0) AS BIGINT) AS n_trt
+        FROM sr_e GROUP BY 1
+    ),
+    sr_d AS (
+        SELECT event_type, n_units, n_trt,
+               CAST(n_units - n_trt AS BIGINT) AS n_ctl,
+               CAST(n_trt AS HUGEINT) * 1000000
+                   - CAST(n_units AS HUGEINT) * 500000 AS d
+        FROM sr_g
+    )
+    SELECT event_type, n_units, n_trt, n_ctl,
+           CAST((CAST(n_trt AS HUGEINT) * 1000000) // n_units
+                AS BIGINT) AS observed_trt_ppm,
+           CAST(500000 AS BIGINT) AS expected_trt_ppm,
+           CAST((1000 * d * d)
+                // (CAST(n_units AS HUGEINT) * 500000 * 500000)
+                AS BIGINT) AS srm_chi2_milli,
+           CAST((1000 * d * d)
+                // (CAST(n_units AS HUGEINT) * 500000 * 500000)
+                AS BIGINT) > 3841 AS srm_flag
+    FROM sr_d
+    """,
+)
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch validity gate per event type
+    (operators/stats.py srm_check): the design is a 50/50 md5 split,
+    but the 'error' stratum's assignment is PLANTED broken (40%
+    treated — the logging-loss shape SRM exists to catch): its
+    chi-square reads ~80,000 milli against the 3,841 flag line while
+    healthy types sit near zero.  The two-cell Pearson statistic
+    collapses to ONE truncating division of the squared ppm deviation
+    — DECIMAL(38,0) vs HUGEINT, non-negative operands.  ONE combinable
+    groupBy, no window, no join (plan-gated)."""
+    from .operators.stats import srm_check
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    m = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("srm|"),
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thresh = F.when(F.col("event_type") == "error", F.lit(4)).otherwise(
+        F.lit(5)
+    )
+    units = e.select(
+        "event_type", (m % 10 < thresh).cast("bigint").alias("arm")
+    )
+    return srm_check(units, arm_col="arm", group_cols=["event_type"])

@@ -8225,3 +8225,53 @@ def test_cuped_adjusted_ate_validation(spark):
             bad, arm_col="arm", value_col="y", covariate_col="x",
             group_cols=["grp"], quant_scale=0,
         )
+
+
+def test_srm_check_matches_brute_force(spark):
+    """Exact SRM chi-square vs a python-int replay — the collapsed
+    two-cell Pearson identity chi2 = d^2/(n*p*q), a planted broken
+    stratum flagging and a healthy one not, plus the validation
+    contracts."""
+    from dp1_data_wrangling_spark.operators.stats import srm_check
+
+    import pytest as _pt
+
+    rows = []
+    # healthy: exact 60/40 at the designed 600k ppm; broken: 45/55
+    rows += [("ok", 1)] * 600 + [("ok", 0)] * 400
+    rows += [("broken", 1)] * 450 + [("broken", 0)] * 550
+    df = spark.createDataFrame(rows, "grp string, arm long")
+    got = {
+        r.grp: (
+            r.n_units, r.n_trt, r.n_ctl, r.observed_trt_ppm,
+            r.expected_trt_ppm, r.srm_chi2_milli, r.srm_flag,
+        )
+        for r in srm_check(
+            df, arm_col="arm", group_cols=["grp"],
+            expected_trt_ppm=600_000,
+        ).collect()
+    }
+    p, q, m = 600_000, 400_000, 1_000_000
+    for grp, nt, n in (("ok", 600, 1000), ("broken", 450, 1000)):
+        d = nt * m - n * p
+        chi2 = (1000 * d * d) // (n * p * q)
+        assert got[grp] == (
+            n, nt, n - nt, nt * m // n, p, chi2, chi2 > 3841,
+        ), grp
+    assert got["ok"][6] is False and got["broken"][6] is True
+    # classic check: chi2 = n*(obs-p)^2/(p*q) -> 1000*(0.15^2/0.24) ~ 93750
+    assert got["broken"][5] == 93_750
+
+    bad = spark.createDataFrame([("g", 2)], "grp string, arm long")
+    with _pt.raises(Exception) as exc:
+        srm_check(bad, arm_col="arm", group_cols=["grp"]).collect()
+    assert "arm must be 0/1" in str(exc.value)
+    with _pt.raises(ValueError):
+        srm_check(bad, arm_col="arm", group_cols=[])
+    with _pt.raises(ValueError):
+        srm_check(bad, arm_col="arm", group_cols=["grp"], expected_trt_ppm=0)
+    with _pt.raises(ValueError):
+        srm_check(
+            bad, arm_col="arm", group_cols=["grp"],
+            expected_trt_ppm=1_000_000,
+        )

@@ -1762,3 +1762,13 @@ def test_cuped_ate_one_combinable_groupby(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_srm_check_one_combinable_groupby(spark):
+    """The SRM gate is ONE map-side-combinable groupBy (two conditional
+    counts) + scalar algebra — 1 data shuffle, no join, no window."""
+    plan = plan_of(REGISTRY["events_srm_check"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
