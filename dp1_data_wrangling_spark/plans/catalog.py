@@ -277,37 +277,48 @@ def _align_df(df: DataFrame, pinned: dict) -> DataFrame:
 
 
 def _compute_zone_stats(staged: DataFrame, zone_cols: list[str]) -> dict:
-    """Per-root min/max for the declared columns present in ``staged`` —
-    one combinable aggregate (the same cheap pass shape as the CHECK
-    scan).  Stats ignore NULLs, which keeps pruning sound: a NULL row can
-    never satisfy a <,<=,>,>=,= predicate, so a root whose non-null range
-    excludes the predicate truly has no matches.  Shared by
-    ``Transaction.stage`` and ``Catalog.backfill_stats``."""
+    """Per-root ``[min, max, n_nulls, n_rows]`` for the declared columns
+    present in ``staged`` — one combinable aggregate (the same cheap
+    pass shape as the CHECK scan).  The range stats ignore NULLs, which
+    keeps range pruning sound: a NULL row can never satisfy a
+    <,<=,>,>=,= predicate, so a root whose non-null range excludes the
+    predicate truly has no matches.  The NULL counts (r13) are the
+    ``IS NULL`` / ``IS NOT NULL`` complement: a root with zero NULLs
+    has no ``IS NULL`` matches, an all-NULL root no ``IS NOT NULL``
+    matches — so all-NULL and non-serializable-range columns now record
+    ``[None, None, n_nulls, n_rows]`` instead of being skipped (the
+    all-NULL root is exactly the best IS-NOT-NULL prune candidate).
+    Legacy 2-element entries (pre-r13 manifests) stay readable: the
+    pruner treats a missing count pair as unknown and never prunes on
+    it.  Shared by ``Transaction.stage`` and ``Catalog.backfill_stats``.
+    """
     from pyspark.sql import functions as F
 
     present = [c for c in zone_cols if c in staged.columns]
     if not present:
         return {}
     row = staged.agg(
+        F.count(F.lit(1)).alias("__n_rows"),
         *[
             f
             for c in present
             for f in (
                 F.min(c).alias(f"__lo_{c}"),
                 F.max(c).alias(f"__hi_{c}"),
+                F.count(c).alias(f"__nn_{c}"),
             )
         ]
     ).collect()[0]
+    n_rows = int(row["__n_rows"])
     stats: dict[str, list] = {}
     for c in present:
         lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-        if lo is None:  # all-NULL column: no range to prune on
-            continue
-        try:  # manifest is JSON — skip non-serializable types
+        n_nulls = n_rows - int(row[f"__nn_{c}"])
+        try:  # manifest is JSON — non-serializable ranges keep counts only
             json.dumps([lo, hi])
         except TypeError:
-            continue
-        stats[c] = [lo, hi]
+            lo = hi = None
+        stats[c] = [lo, hi, n_nulls, n_rows]
     return stats
 
 
@@ -472,6 +483,16 @@ _IN_LIST = re.compile(
     rf"(?i)\b(?!not\b|and\b|or\b)(\w+)\s+in\s*"
     rf"\(\s*{_ANY_LIT}(?:\s*,\s*{_ANY_LIT})*\s*\)"
 )
+# IS [NOT] NULL clauses (r13): consumed before the NOT bail-out guard —
+# the NOT inside "is not null" is OUR clause, not a negation of one.
+# IS NOT NULL is recognized first so the plain IS NULL pattern can never
+# match inside it.  A negated wrapper ("NOT (x IS NULL)") still bails:
+# its own NOT/parens survive consumption and trip the guard, discarding
+# every collected conjunct (the existing soundness mechanism).
+_IS_NOT_NULL = re.compile(
+    r"(?i)\b(?!not\b|and\b|or\b)(\w+)\s+is\s+not\s+null\b"
+)
+_IS_NULL = re.compile(r"(?i)\b(?!not\b|and\b|or\b)(\w+)\s+is\s+null\b")
 
 
 def _parse_literal(lit: str) -> object:
@@ -525,8 +546,20 @@ def _zone_conjuncts(where: str) -> list[tuple[str, str, object]]:
             if vals:
                 out.append((col, "in", vals))
 
+    def on_is_not_null(clause: str) -> None:
+        m = re.match(r"(?i)\s*(\w+)\s+is\s+not\s+null\s*$", clause)
+        if m:
+            out.append((m.group(1), "isnotnull", None))
+
+    def on_is_null(clause: str) -> None:
+        m = re.match(r"(?i)\s*(\w+)\s+is\s+null\s*$", clause)
+        if m:
+            out.append((m.group(1), "isnull", None))
+
     masked = consume(masked, _BETWEEN, on_between)
     masked = consume(masked, _IN_LIST, on_in)
+    masked = consume(masked, _IS_NOT_NULL, on_is_not_null)
+    masked = consume(masked, _IS_NULL, on_is_null)
     if re.search(r"(?i)\bor\b|\bnot\b|\bin\b|\bbetween\b|[()]", masked):
         return []  # something the grammar doesn't cover — filter-only
     # split offsets from the masked text, substrings from the original
@@ -559,7 +592,23 @@ def _zone_excludes(
         rng = stats.get(col)
         if not rng:
             continue
-        lo, hi = rng
+        lo, hi = rng[0], rng[1]
+        if op in ("isnull", "isnotnull"):
+            if len(rng) < 4:
+                continue  # legacy 2-element entry: no NULL evidence
+            n_nulls, n_rows = rng[2], rng[3]
+            if op == "isnull" and n_nulls == 0:
+                return True
+            if op == "isnotnull" and n_nulls == n_rows:
+                return True
+            continue
+        if lo is None:
+            # no range evidence — but an all-NULL (or empty) root has no
+            # non-NULL value at all, so NO range/equality/IN predicate
+            # can match it (NULL never satisfies <,<=,>,>=,=,IN)
+            if len(rng) >= 4 and rng[2] == rng[3]:
+                return True
+            continue
         str_stat = isinstance(lo, str)
         if op == "in":
             # prunable only if EVERY type-matched value misses the range
@@ -760,7 +809,10 @@ class Catalog:
             # declaration still needs the new columns — "root present in
             # the bag" is not "root covered"
             need_z = bool(zone_cols) and any(
-                c not in zones.get(rel, {}) for c in zone_cols
+                # missing column, or a legacy pre-r13 [min,max] entry
+                # without the NULL counts — backfill upgrades both
+                len(zones.get(rel, {}).get(c) or []) < 4
+                for c in zone_cols
             )
             need_b = bool(bloom_cols) and any(
                 c not in blooms.get(rel, {}) for c in bloom_cols

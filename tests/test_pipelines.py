@@ -505,7 +505,7 @@ def test_zone_stats_survive_compact_and_streaming_ingest(spark, tmp_path):
     roots = cat.manifest()["tables"]["t"]
     assert len(roots) == 1
     # the folded root carries fresh stats spanning the whole range
-    assert cat.manifest()["zones"]["t"][roots[0]]["ts"] == [0, 299]
+    assert cat.manifest()["zones"]["t"][roots[0]]["ts"] == [0, 299, 0, 300]
     assert len(cat.prune_roots("t", "ts >= 300")) == 0
     assert cat.read(spark, "t", where="ts >= 250").count() == 50
 
@@ -575,7 +575,7 @@ def test_backfill_stats_makes_predeclaration_roots_prunable(spark, tmp_path):
     assert cat.read(spark, "t", where="ts >= 200").count() == 100
     detail = cat.describe_stats("t")
     assert [d["root"] for d in detail] == rels_before
-    assert detail[0]["zones"]["ts"] == [0, 99]
+    assert detail[0]["zones"]["ts"] == [0, 99, 0, 100]
     assert detail[0]["bloom_cols"] == ["ts"]
     # table without declarations: no-op
     tx = cat.begin()
@@ -2355,3 +2355,90 @@ def test_mor_read_survives_schema_evolved_predicate(spark, tmp_path):
     cat.delete_merge_on_read("t", "flag = true")
     got = {(r.id, r.flag) for r in cat.read(spark, "t").collect()}
     assert got == {(1, None)}  # row 2 deleted; row 1 kept via NULL pred
+
+
+def test_null_count_zone_skipping(spark, tmp_path):
+    """NULL-count zone maps (r13): ``IS NULL`` prunes roots with zero
+    NULLs, ``IS NOT NULL`` prunes all-NULL roots (which now RECORD
+    stats instead of being skipped), legacy 2-element entries never
+    prune on NULL evidence, and negated/parenthesized forms still bail
+    out — results always identical to the full-scan filter."""
+    from dp1_data_wrangling_spark.plans import Catalog
+    from dp1_data_wrangling_spark.plans.catalog import _zone_conjuncts
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["v"])
+    # root 1: no NULLs; root 2: half NULL; root 3: ALL NULL
+    frames = [
+        spark.range(0, 100).select(F.col("id").alias("ts"), F.col("id").alias("v")),
+        spark.range(100, 200).select(
+            F.col("id").alias("ts"),
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+        ),
+        spark.range(200, 300).select(
+            F.col("id").alias("ts"), F.lit(None).cast("long").alias("v")
+        ),
+    ]
+    for f in frames:
+        tx = cat.begin()
+        tx.stage("t", f)
+        cat.commit(tx)
+    rels = cat.manifest()["tables"]["t"]
+    zones = cat.manifest()["zones"]["t"]
+    assert zones[rels[0]]["v"] == [0, 99, 0, 100]
+    assert zones[rels[1]]["v"] == [100, 198, 50, 100]
+    # the all-NULL root records count-only stats (range None)
+    assert zones[rels[2]]["v"] == [None, None, 100, 100]
+
+    # IS NULL drops the no-NULL root; IS NOT NULL drops the all-NULL one
+    assert _zone_conjuncts("v IS NULL") == [("v", "isnull", None)]
+    assert _zone_conjuncts("v is not null") == [("v", "isnotnull", None)]
+    assert len(cat.prune_roots("t", "v IS NULL")) == 2
+    assert len(cat.prune_roots("t", "v IS NOT NULL")) == 2
+    assert cat.read(spark, "t", where="v IS NULL").count() == 150
+    assert cat.read(spark, "t", where="v IS NOT NULL").count() == 150
+    # composes with range conjuncts: IS NOT NULL + range hits one root
+    assert len(cat.prune_roots("t", "v IS NOT NULL AND v >= 100")) == 1
+    got = cat.read(spark, "t", where="v IS NOT NULL AND v >= 100")
+    assert got.count() == 50
+    # negation / parens still bail out entirely (sound: filter-only)
+    assert _zone_conjuncts("NOT (v IS NULL)") == []
+    assert len(cat.prune_roots("t", "NOT (v IS NULL)")) == 3
+    assert cat.read(spark, "t", where="NOT (v IS NULL)").count() == 150
+    # a quoted literal containing ' is null ' must not synthesize one
+    assert _zone_conjuncts("tag = 'v is null'") == [("tag", "=", "v is null")]
+
+    # legacy 2-element manifest entries: readable, never NULL-prune
+    import json as _json
+
+    mp = tmp_path / "cat" / "MANIFEST.json"
+    m = _json.loads(mp.read_text())
+    m["zones"]["t"][rels[0]]["v"] = [0, 99]  # simulate a pre-r13 root
+    mp.write_text(_json.dumps(m))
+    assert len(cat.prune_roots("t", "v IS NULL")) == 3  # no evidence
+    assert len(cat.prune_roots("t", "v >= 50")) == 2  # range still prunes
+
+
+def test_backfill_upgrades_legacy_zone_entries(spark, tmp_path):
+    """``backfill_stats`` upgrades pre-r13 [min,max] entries to the
+    NULL-count format in place, after which IS NULL pruning engages;
+    repeat calls converge to 0 (idempotent)."""
+    import json as _json
+
+    from dp1_data_wrangling_spark.plans import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.set_zone_map("t", ["v"])
+    tx = cat.begin()
+    tx.stage("t", spark.range(50).select(F.col("id").alias("v")))
+    cat.commit(tx)
+    rel = cat.manifest()["tables"]["t"][0]
+    mp = tmp_path / "cat" / "MANIFEST.json"
+    m = _json.loads(mp.read_text())
+    m["zones"]["t"][rel]["v"] = [0, 49]  # simulate a pre-r13 manifest
+    mp.write_text(_json.dumps(m))
+    assert len(cat.prune_roots("t", "v IS NULL")) == 1  # no evidence yet
+    assert cat.backfill_stats(spark, "t") == 1
+    assert cat.manifest()["zones"]["t"][rel]["v"] == [0, 49, 0, 50]
+    assert len(cat.prune_roots("t", "v IS NULL")) == 0
+    assert cat.backfill_stats(spark, "t") == 0  # converged
