@@ -2680,11 +2680,57 @@ def srm_check(
             )
         ).cast("bigint")
     )
-    p, q = expected_trt_ppm, 1_000_000 - expected_trt_ppm
     g = df.withColumn("__arm", arm_ok).groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_units"),
         F.coalesce(F.sum("__arm"), F.lit(0)).cast("bigint").alias("n_trt"),
     )
+    return _srm_fold(g, group_cols, expected_trt_ppm)
+
+
+def srm_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    arm_col: str = "arm",
+    count_col: str = "n_rows",
+    expected_trt_ppm: int = 500_000,
+) -> DataFrame:
+    """The census-sized fold `srm_check` shares with its streaming twin
+    (streaming/census.py read_srm): per-group arm totals from a
+    maintained ``(*groups, arm, n_rows)`` census, then the identical
+    chi-square algebra.  An out-of-design arm VALUE in the census fails
+    fast at read (the batch contract, enforced census-side)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not 0 < expected_trt_ppm < 1_000_000:
+        raise ValueError(
+            f"expected_trt_ppm must be in (0, 1e6), got {expected_trt_ppm}"
+        )
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "srm_from_census: arm must be 0/1 and non-NULL — a "
+                "census row outside the design has no cell"
+            )
+        ).cast("bigint")
+    )
+    n = F.col(count_col).cast("bigint")
+    g = census.withColumn("__arm", arm_ok).groupBy(*group_cols).agg(
+        F.coalesce(F.sum(n), F.lit(0)).cast("bigint").alias("n_units"),
+        F.coalesce(F.sum(F.col("__arm") * n), F.lit(0))
+        .cast("bigint")
+        .alias("n_trt"),
+    )
+    return _srm_fold(g, group_cols, expected_trt_ppm)
+
+
+def _srm_fold(
+    g: DataFrame, group_cols: list[str], expected_trt_ppm: int
+) -> DataFrame:
+    """Shared tail: chi2 = d^2/(n*p*q) over (group, n_units, n_trt)."""
+    p, q = expected_trt_ppm, 1_000_000 - expected_trt_ppm
     g = g.withColumn("n_ctl", (F.col("n_units") - F.col("n_trt")).cast("bigint"))
     dev = F.expr(
         f"cast(n_trt as {_D}) * 1000000 - cast(n_units as {_D}) * {p}"

@@ -50,6 +50,7 @@ from .census import (
     read_classification_report,
     read_cohens_kappa,
     read_heavy_hitters,
+    read_srm,
     read_cusum_alarms,
     read_grid_hotspots,
     read_seasonal_profile,
@@ -92,6 +93,7 @@ __all__ = [
     "read_classification_report",
     "read_cohens_kappa",
     "read_heavy_hitters",
+    "read_srm",
     "read_cusum_alarms",
     "read_grid_hotspots",
     "read_seasonal_profile",

@@ -365,3 +365,33 @@ def read_heavy_hitters(
         F.col("n_rows").desc(), *[F.col(c) for c in key_cols]
     )
     return ordered.select(*key_cols, "n_rows").limit(k)
+
+
+def read_srm(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+    arm_col: str = "arm",
+    expected_trt_ppm: int = 500_000,
+) -> DataFrame:
+    """Fold a maintained ``(*groups, arm, n_rows)`` assignment census
+    through the exact sample-ratio-mismatch gate (operators/stats.py
+    srm_from_census) — the streaming form of the ``events_srm_check``
+    surface, and the one you actually want live: SRM is a LAUNCH-DAY
+    alarm (broken assignment/logging shows up in the first hours and
+    invalidates everything downstream), so the arm-split census is
+    monitored as units stream in, and a late unit revises its cell —
+    moving n, d and the chi-square — re-derived census-sized at read.
+    """
+    from ..operators.stats import srm_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return srm_from_census(
+        census,
+        group_cols=group_cols,
+        arm_col=arm_col,
+        count_col="n_rows",
+        expected_trt_ppm=expected_trt_ppm,
+    )

@@ -3041,3 +3041,72 @@ def test_read_heavy_hitters_exact_topk(spark, tmp_path):
             spark, str(tmp_path / "cat"),
             table="key_census", key_cols=["key"], k=0,
         )
+
+
+def test_stream_census_srm_equals_batch(spark, tmp_path):
+    """Streaming assignment units through the census maintainer with a
+    LATE cut that pushes a healthy split over the flag line —
+    read_srm == batch srm_check over all delivered units at every
+    point.  Replay is a no-op."""
+    from dp1_data_wrangling_spark.operators.stats import srm_check
+    from dp1_data_wrangling_spark.streaming import read_srm, stream_census
+
+    rows = []
+    # "ok": clean 50/50.  "drift": the first cut is balanced, the late
+    # cut delivers treated-only units (the logging-loss shape).
+    for i in range(400):
+        rows.append(("ok", i % 2, i))
+        rows.append(("drift", i % 2 if i < 200 else 1, i))
+    units = spark.createDataFrame(rows, "exp string, arm long, i long")
+    src = tmp_path / "srm_stream"
+    units.where("i < 200").coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(units.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            stream.select("exp", "arm"),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="assign_census",
+            key_cols=["exp", "arm"],
+        ).awaitTermination(180)
+
+    def gate():
+        return {
+            r.exp: (
+                r.n_units, r.n_trt, r.n_ctl, r.observed_trt_ppm,
+                r.expected_trt_ppm, r.srm_chi2_milli, r.srm_flag,
+            )
+            for r in read_srm(
+                spark, str(tmp_path / "cat"),
+                table="assign_census", group_cols=["exp"],
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            r.exp: (
+                r.n_units, r.n_trt, r.n_ctl, r.observed_trt_ppm,
+                r.expected_trt_ppm, r.srm_chi2_milli, r.srm_flag,
+            )
+            for r in srm_check(
+                units.where(pred), arm_col="arm", group_cols=["exp"],
+            ).collect()
+        }
+
+    run()
+    first = gate()
+    assert first == batch("i < 200")
+    assert first["drift"][6] is False  # balanced so far: no alarm
+    time.sleep(1.1)
+    units.where("i >= 200").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = gate()
+    assert got == batch("true")
+    assert got["drift"][6] is True and got["ok"][6] is False
+    run()  # replay no-op
+    assert gate() == got
