@@ -586,3 +586,105 @@ def ndcg_at_k(
         )
         .select(query_id_col, "dcg_ln", "idcg_ln", "ndcg")
     )
+
+
+def coverage_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Boolean-coverage ranker: per (query, doc) the number of DISTINCT
+    query terms present, then total matched term frequency — the
+    query-independent-of-weights complement a score ranker is typically
+    FUSED with (exact integers end to end, no IDF/length model).
+    Top-k by (n_terms DESC, tf_sum DESC, id ASC) per query.
+
+    Scale shape: same inverted-index prune as BM25 — only documents
+    sharing a query term are ever considered; the rank window runs
+    per query over matched docs, never |queries| x |corpus|.
+    """
+    if k < 1:
+        raise ValueError(f"k must be positive, got {k}")
+    post = (
+        tokenize(docs, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    qt = tokenize(
+        queries, text_col=query_text_col, id_col=query_id_col
+    ).distinct()
+    matched = post.join(F.broadcast(qt), on="term")
+    grp = matched.groupBy(query_id_col, id_col).agg(
+        F.count_distinct("term").cast("bigint").alias("n_terms"),
+        F.sum("tf").cast("bigint").alias("tf_sum"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_terms").desc(), F.col("tf_sum").desc(), F.col(id_col)
+    )
+    return (
+        grp.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "n_terms", "tf_sum")
+    )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    *,
+    query_id_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009
+    — public): fuse N ranked lists by
+
+        rrf_ppm = sum over lists containing the doc of
+                  1e6 div (rrf_k + rank)
+
+    — the ppm-scaled classic with each reciprocal TRUNCATED to an
+    integer, so the fused score replays bit-for-bit in any engine (the
+    float sum order problem is gone by construction).  Docs missing
+    from a list simply contribute nothing (the standard convention);
+    ``n_lists`` rides along as the agreement diagnostic.  Ties on the
+    fused score break by id (stated, stable).
+
+    Scale shape: a UNION of the (already bounded) top-k lists + ONE
+    combinable groupBy + a per-query window over at most
+    N x k candidates — never corpus-sized.
+    """
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    if rrf_k < 1 or top_n < 1:
+        raise ValueError(f"rrf_k/top_n must be positive, got {rrf_k}/{top_n}")
+    parts = [
+        df.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.expr(f"1000000 div ({rrf_k} + {rank_col})")
+            .cast("bigint")
+            .alias("__c"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for nxt in parts[1:]:
+        u = u.unionByName(nxt)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.sum("__c").cast("bigint").alias("rrf_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_ppm").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= top_n)
+        .select(query_id_col, "fused_rank", id_col, "rrf_ppm", "n_lists")
+    )

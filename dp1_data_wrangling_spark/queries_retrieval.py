@@ -419,3 +419,78 @@ def q_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_at_k(ranking, labels, k=10)
+
+
+_RRF_ORACLE = f"""
+    WITH {_BM25_CTES},
+    cov_m AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(count(DISTINCT p.term) AS BIGINT) AS n_terms,
+               CAST(sum(p.tf) AS BIGINT) AS tf_sum
+        FROM bm_post p JOIN bm_qt qt USING (term)
+        GROUP BY 1, 2
+    ),
+    cov_rank AS (
+        SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY n_terms DESC, tf_sum DESC, doc_id) AS rn
+            FROM cov_m) cov_rk_i WHERE rn <= 10
+    ),
+    rrf_u AS (
+        SELECT query_id, doc_id, rank FROM bm_rank
+        UNION ALL
+        SELECT query_id, doc_id, rank FROM cov_rank
+    ),
+    rrf_s AS (
+        SELECT query_id, doc_id,
+               CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM rrf_u GROUP BY 1, 2
+    ),
+    rrf_r AS (
+        SELECT query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS fused_rank,
+               doc_id, rrf_ppm, n_lists
+        FROM rrf_s
+    )
+    SELECT query_id, fused_rank, doc_id, rrf_ppm, n_lists
+    FROM rrf_r WHERE fused_rank <= 10
+    """
+
+
+@register("doc_rrf_fusion", _RRF_ORACLE)
+def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers over the frozen probe-query
+    set (operators/retrieval.py rrf_fuse — Cormack/Clarke/Buettcher
+    SIGIR'09): BM25 top-10 fused with the boolean-coverage top-10
+    (distinct query terms matched, then matched tf — the
+    weight-model-free complement).  Each reciprocal 1e6 div (60+rank)
+    is TRUNCATED to an integer so the fused score is exact and
+    order-free — the float-sum pitfall of naive RRF is gone by
+    construction; docs on only one list contribute one term and
+    ``n_lists`` rides as the agreement diagnostic.  Both input lists
+    are already bounded top-10s, so the fusion is a union + ONE
+    combinable groupBy + a per-query window over <= 20 candidates."""
+    from .operators.retrieval import bm25_topk, coverage_topk, rrf_fuse
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        BM25_QUERIES, ["query_id", "query_text"]
+    )
+    bm = bm25_topk(
+        docs, queries, text_col="text", id_col="doc_id", k=10
+    ).select("query_id", "rank", "doc_id")
+    cov = coverage_topk(
+        docs, queries, text_col="text", id_col="doc_id", k=10
+    ).select("query_id", "rank", "doc_id")
+    return rrf_fuse(
+        [bm, cov],
+        query_id_col="query_id",
+        id_col="doc_id",
+        rrf_k=60,
+        top_n=10,
+    )

@@ -8275,3 +8275,79 @@ def test_srm_check_matches_brute_force(spark):
             bad, arm_col="arm", group_cols=["grp"],
             expected_trt_ppm=1_000_000,
         )
+
+
+def test_rrf_fuse_matches_brute_force(spark):
+    """Exact RRF vs a python-int replay over three synthetic ranked
+    lists — truncated reciprocals, missing-list convention, fused-score
+    ties breaking by id, the top_n cut, and validation raises."""
+    from dp1_data_wrangling_spark.operators.retrieval import rrf_fuse
+
+    import pytest as _pt
+
+    lists = [
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "x", 1)],
+        [(1, "b", 1), (1, "d", 2), (2, "x", 1), (2, "y", 2)],
+        [(1, "c", 1), (1, "b", 2), (1, "e", 3), (2, "y", 1)],
+    ]
+    dfs = [
+        spark.createDataFrame(rows, "query_id long, doc string, rank long")
+        for rows in lists
+    ]
+    got = {
+        (r.query_id, r.doc): (r.fused_rank, r.rrf_ppm, r.n_lists)
+        for r in rrf_fuse(
+            dfs, query_id_col="query_id", id_col="doc", rrf_k=60, top_n=3
+        ).collect()
+    }
+    # python replay
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    for rows in lists:
+        for q, d, rk in rows:
+            acc[(q, d)][0] += 1_000_000 // (60 + rk)
+            acc[(q, d)][1] += 1
+    want = {}
+    for q in (1, 2):
+        cands = sorted(
+            ((k[1], v[0], v[1]) for k, v in acc.items() if k[0] == q),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        for i, (d, s, n) in enumerate(cands, 1):
+            want[(q, d)] = (i, s, n)
+    assert got == want
+    # 'b' appears on all three lists and must lead query 1
+    assert got[(1, "b")][0] == 1 and got[(1, "b")][2] == 3
+    with _pt.raises(ValueError):
+        rrf_fuse([], query_id_col="query_id", id_col="doc")
+    with _pt.raises(ValueError):
+        rrf_fuse(dfs, query_id_col="query_id", id_col="doc", rrf_k=0)
+
+
+def test_coverage_topk_hand_computed(spark):
+    """Coverage ranking: distinct-terms-first, then matched tf, then id
+    — and only documents sharing a query term are candidates."""
+    from dp1_data_wrangling_spark.operators.retrieval import coverage_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha alpha"),
+            (3, "beta"),
+            (4, "delta only unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(7, "alpha beta")], "query_id long, query_text string"
+    )
+    got = [
+        (r.rank, r.doc_id, r.n_terms, r.tf_sum)
+        for r in coverage_topk(
+            docs, queries, text_col="text", id_col="doc_id", k=10
+        ).orderBy("rank").collect()
+    ]
+    # doc 1 covers both terms; doc 2 one term but tf 3; doc 3 one term
+    # tf 1; doc 4 never matches (inverted-index prune)
+    assert got == [(1, 1, 2, 2), (2, 2, 1, 3), (3, 3, 1, 1)]

@@ -1772,3 +1772,22 @@ def test_srm_check_one_combinable_groupby(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_rrf_fusion_bounded_no_cartesian(spark):
+    """The fusion runs over the union of two ALREADY-bounded top-10
+    lists — no cartesian anywhere, query terms broadcast into both
+    inverted-index prunes."""
+    plan = plan_of(REGISTRY["doc_rrf_fusion"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every rank window is query-partitioned — never a data-sized
+    # ungrouped total order (the only SinglePartition exchange is
+    # BM25's one-row corpus-stats scalar, same as the doc_bm25_topk
+    # gate allows)
+    import re as _re
+
+    specs = _re.findall(
+        r"row_number\(\) windowspecdefinition\(([^,]*),", plan.lower()
+    )
+    assert specs and all("query_id" in s for s in specs), plan
