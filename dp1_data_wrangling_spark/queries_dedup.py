@@ -397,3 +397,94 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "doc_dedup_eval",
+    f"""
+    WITH RECURSIVE pred AS ({_MINHASH_ORACLE.strip()}
+    ),
+    truth AS (
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    tp_t AS (
+        SELECT CAST(count(*) AS BIGINT) AS tp
+        FROM pred p JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b
+    ),
+    cnt AS (
+        SELECT CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+               CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+               tp
+        FROM tp_t
+    )
+    SELECT n_truth, n_pred, tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_truth - tp AS BIGINT) AS fn,
+           CASE WHEN n_pred > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 1000000) // n_pred
+                          AS BIGINT) END AS precision_ppm,
+           CASE WHEN n_truth > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 1000000) // n_truth
+                          AS BIGINT) END AS recall_ppm,
+           CASE WHEN 2 * tp + (n_pred - tp) + (n_truth - tp) > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 2000000)
+                          // (2 * tp + (n_pred - tp) + (n_truth - tp))
+                          AS BIGINT) END AS f1_ppm
+    FROM cnt
+    """,
+)
+def q_doc_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dedup-quality evaluation: score the MinHash-LSH
+    candidate generator against the PLANTED near-dup truth (every
+    %10 doc's ' zz' mutant — the only ground truth the fixture
+    defines; every base text is distinct).  TP = candidate pairs that
+    are planted pairs, FP = candidates outside the planted set
+    (includes any organic high-Jaccard pair — a fixture property both
+    engines replay), FN = planted pairs the bands missed.  Exact ppm
+    precision/recall/F1 via the same integer identities as the
+    classification report (F1 = 2·tp·1e6 div (2·tp+fp+fn)).  ONE row
+    out; the candidate generation is the audited operator itself, the
+    eval adds one broadcast-sized join + scalar algebra — the "did my
+    banding config actually recover the dupes" readout a curation
+    pipeline runs before trusting its dedup pass at 100 TB."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pred = dd.minhash_candidate_pairs(_augment_near(spark, sf_dir))
+    truth = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    tp_df = pred.join(F.broadcast(truth), on=["id_a", "id_b"], how="inner")
+    counts = (
+        pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+        .crossJoin(
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        )
+        .crossJoin(tp_df.agg(F.count(F.lit(1)).cast("bigint").alias("tp")))
+    )
+    d = "decimal(38,0)"
+    return counts.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("bigint").alias("fn"),
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr(f"(cast(tp as {d}) * 1000000) div n_pred").cast("bigint"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.expr(f"(cast(tp as {d}) * 1000000) div n_truth").cast("bigint"),
+        ).alias("recall_ppm"),
+        F.when(
+            F.lit(2) * F.col("tp")
+            + (F.col("n_pred") - F.col("tp"))
+            + (F.col("n_truth") - F.col("tp"))
+            > 0,
+            F.expr(
+                f"(cast(tp as {d}) * 2000000) div "
+                "(2 * tp + (n_pred - tp) + (n_truth - tp))"
+            ).cast("bigint"),
+        ).alias("f1_ppm"),
+    )
