@@ -873,3 +873,109 @@ def q_events_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         rater_b_col="rater_b",
         group_cols=["event_type"],
     )
+
+
+@register(
+    "doc_langid_eval",
+    """
+    WITH le_g AS (
+        SELECT d.source, d.lang AS actual,
+               CASE WHEN s.score_en >= s.score_de AND s.score_en >= s.score_es
+                         AND s.score_en >= s.score_fr THEN 'en'
+                    WHEN s.score_de >= s.score_es
+                         AND s.score_de >= s.score_fr THEN 'de'
+                    WHEN s.score_es >= s.score_fr THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM documents d
+        JOIN (SELECT doc_id,
+                     CAST((length(lower(text))
+                           - length(replace(lower(text), ' the ', '')))
+                          / 5
+                          + (length(lower(text))
+                             - length(replace(lower(text), ' and ', '')))
+                            / 5 AS BIGINT) AS score_en,
+                     CAST((length(lower(text))
+                           - length(replace(lower(text), ' der ', '')))
+                          / 5
+                          + (length(lower(text))
+                             - length(replace(lower(text), ' und ', '')))
+                            / 5 AS BIGINT) AS score_de,
+                     CAST((length(lower(text))
+                           - length(replace(lower(text), ' el ', '')))
+                          / 4
+                          + (length(lower(text))
+                             - length(replace(lower(text), ' los ', '')))
+                            / 5 AS BIGINT) AS score_es,
+                     CAST((length(lower(text))
+                           - length(replace(lower(text), ' le ', '')))
+                          / 4
+                          + (length(lower(text))
+                             - length(replace(lower(text), ' les ', '')))
+                            / 5 AS BIGINT) AS score_fr
+              FROM documents) s USING (doc_id)
+    ),
+    le_c AS (
+        SELECT source, actual, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM le_g GROUP BY 1, 2, 3
+    ),
+    le_cls AS (
+        SELECT DISTINCT source, actual AS label_class FROM le_c
+        UNION
+        SELECT DISTINCT source, predicted FROM le_c
+    ),
+    le_per AS (
+        SELECT cl.source, cl.label_class,
+               CAST(coalesce(sum(CASE WHEN c.actual = cl.label_class
+                                       AND c.predicted = cl.label_class
+                                      THEN c.n END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN c.predicted = cl.label_class
+                                       AND c.actual <> cl.label_class
+                                      THEN c.n END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN c.actual = cl.label_class
+                                       AND c.predicted <> cl.label_class
+                                      THEN c.n END), 0) AS BIGINT) AS fn
+        FROM le_cls cl
+        LEFT JOIN le_c c ON c.source = cl.source
+        GROUP BY 1, 2
+    )
+    SELECT source, label_class, tp, fp, fn,
+           CAST(tp + fn AS BIGINT) AS support,
+           CASE WHEN tp + fp > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+                          AS BIGINT) END AS precision_ppm,
+           CASE WHEN tp + fn > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fn)
+                          AS BIGINT) END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST((CAST(tp AS HUGEINT) * 2000000)
+                          // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+    FROM le_per
+    """,
+)
+def q_doc_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-eval of the engine's OWN language-ID heuristic against the
+    fixture's labeled lang, per scrape source (operators/agreement.py
+    classification_report over operators/text.py lang_id): the honest
+    readout includes 'zh' — a class the 4-language marker heuristic can
+    NEVER predict, so it must read recall 0 with precision NULL (tp=0,
+    fp=0 — never faked).  This is the per-source model-quality monitor
+    a curation pipeline runs when a new scrape source lands.  The
+    oracle inlines the marker-score replay (the doc_lang_id contract)
+    plus the census-fold report replay."""
+    from .operators.agreement import classification_report
+    from .operators import text as tx
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source", "lang", "text"
+    )
+    labeled = tx.lang_id(docs).select(
+        "source",
+        F.col("lang").alias("actual"),
+        F.col("lang_guess").alias("predicted"),
+    )
+    return classification_report(
+        labeled,
+        actual_col="actual",
+        predicted_col="predicted",
+        group_cols=["source"],
+    )
