@@ -1177,3 +1177,54 @@ def mann_kendall(
         )
     )
     return out
+
+
+def ohlc_census_projection(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+    key_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """The shared stream/batch projection the OHLC census maintainer
+    consumes (streaming/census.py read_ohlc): bucket, the raw value,
+    and the ``struct(ts, *ties, value)`` whose lexicographic MIN/MAX
+    are the open/close — (ts, *ties) is the same total order the batch
+    :func:`ohlc` ranks by, so the struct's value field never
+    participates in the comparison; it just RIDES to be read out.
+    This is what makes first/last associative (and therefore
+    exactly-once maintainable): min and max merge, row_number does not.
+    """
+    if step_us <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+    keys = key_cols or []
+    ties = tie_cols or []
+    return df.select(
+        *keys,
+        F.expr(f"{ts_col} div {step_us}").alias("bucket"),
+        F.col(value_col).alias("__v"),
+        F.struct(
+            F.col(ts_col).alias("__t"),
+            *[F.col(t).alias(f"__k{i}") for i, t in enumerate(ties)],
+            F.col(value_col).alias("__v"),
+        ).alias("__ord"),
+    )
+
+
+def ohlc_from_census(census: DataFrame, *, key_cols: list[str] | None = None) -> DataFrame:
+    """Fold a maintained ``(*keys, bucket, n_rows, __lo, __hi,
+    __first, __last)`` extremum census to the batch :func:`ohlc`
+    output shape — open/close read out of the struct extrema's value
+    field, high/low the plain extrema, n_events the count."""
+    keys = key_cols or []
+    return census.select(
+        *keys,
+        "bucket",
+        F.col("__first")["__v"].alias("open"),
+        F.col("__hi").alias("high"),
+        F.col("__lo").alias("low"),
+        F.col("__last")["__v"].alias("close"),
+        F.col("n_rows").cast("bigint").alias("n_events"),
+    )

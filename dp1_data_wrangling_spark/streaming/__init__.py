@@ -50,6 +50,7 @@ from .census import (
     read_classification_report,
     read_cohens_kappa,
     read_heavy_hitters,
+    read_ohlc,
     read_srm,
     read_cusum_alarms,
     read_grid_hotspots,
@@ -93,6 +94,7 @@ __all__ = [
     "read_classification_report",
     "read_cohens_kappa",
     "read_heavy_hitters",
+    "read_ohlc",
     "read_srm",
     "read_cusum_alarms",
     "read_grid_hotspots",

@@ -51,6 +51,8 @@ def stream_census(
     table: str,
     key_cols: list[str],
     sum_cols: dict[str, str] | None = None,
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
     trigger_available_now: bool = True,
     stream_name: str | None = None,
 ) -> StreamingQuery:
@@ -75,6 +77,15 @@ def stream_census(
     value rows in the caller's projection when the batch twin uses
     mean semantics (count of non-NULL).
 
+    ``min_cols`` / ``max_cols`` (r13) extend it with associative
+    MIN/MAX columns of ANY orderable type — including STRUCTS, whose
+    lexicographic field order is how a first/last-by-total-order
+    becomes associative (project ``struct(ts, tie, value)`` and the
+    min's ``.value`` IS the open; the OHLC read side rides exactly
+    this).  Late data revises the extremum only if it actually extends
+    it — which is the correct semantics, unlike bounded incremental
+    state for first/last.
+
     Scale: per batch one combinable groupBy over the batch + a
     touched-keys recombine (census-sized) + one MERGE rewrite; state
     is the census — bounded by distinct keys, never rows.
@@ -82,9 +93,18 @@ def stream_census(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     sums = sum_cols or {}
-    overlap_names = set(sums) & ({"n_rows"} | set(key_cols))
-    if overlap_names:
-        raise ValueError(f"sum_cols collide with census columns: {overlap_names}")
+    mins = min_cols or {}
+    maxs = max_cols or {}
+    reserved = {"n_rows"} | set(key_cols)
+    bags = [("sum_cols", sums), ("min_cols", mins), ("max_cols", maxs)]
+    taken: set[str] = set()
+    for bag_name, bag in bags:
+        overlap_names = set(bag) & (reserved | taken)
+        if overlap_names:
+            raise ValueError(
+                f"{bag_name} collide with census columns: {overlap_names}"
+            )
+        taken |= set(bag)
     meta_key = batch_meta_key(f"census:{table}", checkpoint_dir, stream_name)
 
     def _aggs():
@@ -96,6 +116,8 @@ def stream_census(
                 .alias(out)
                 for out, src in sums.items()
             ],
+            *[F.min(F.col(src)).alias(out) for out, src in mins.items()],
+            *[F.max(F.col(src)).alias(out) for out, src in maxs.items()],
         ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -120,6 +142,8 @@ def stream_census(
                             F.sum(out).cast("decimal(38,0)").alias(out)
                             for out in sums
                         ],
+                        *[F.min(out).alias(out) for out in mins],
+                        *[F.max(out).alias(out) for out in maxs],
                     )
                 )
             else:
@@ -395,3 +419,29 @@ def read_srm(
         count_col="n_rows",
         expected_trt_ppm=expected_trt_ppm,
     )
+
+
+def read_ohlc(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a maintained extremum census to exact OHLC candlesticks
+    (operators/timeseries.py ohlc_from_census) — the streaming form of
+    the ``events_ohlc`` surface, and the op that MOTIVATED the r13
+    min/max census extension: open/close are first/last by a total
+    order, which no bounded incremental state can maintain under late
+    data — but ``min(struct(ts, tie, value))`` is associative, so the
+    maintainer pays one struct per (key, bucket) and a late tick
+    revises open/close only when it actually precedes/follows the
+    current extremum (the correct semantics, for free).  Project the
+    stream through ``operators.timeseries.ohlc_census_projection`` and
+    maintain with ``stream_census(..., min_cols={"__lo": "__v",
+    "__first": "__ord"}, max_cols={"__hi": "__v", "__last": "__ord"})``.
+    """
+    from ..operators.timeseries import ohlc_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return ohlc_from_census(census, key_cols=key_cols)

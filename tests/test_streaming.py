@@ -3110,3 +3110,85 @@ def test_stream_census_srm_equals_batch(spark, tmp_path):
     assert got["drift"][6] is True and got["ok"][6] is False
     run()  # replay no-op
     assert gate() == got
+
+
+def test_stream_census_ohlc_equals_batch(spark, tmp_path):
+    """Streaming ticks through the min/max-extended census maintainer:
+    a LATE cut delivers an EARLIER tick into an existing bucket
+    (revising its OPEN — the case bounded incremental first/last
+    state gets wrong) and a new extreme (revising HIGH) —
+    read_ohlc == the batch ohlc over all delivered ticks at every
+    point.  Replay is a no-op."""
+    from dp1_data_wrangling_spark.operators.timeseries import (
+        ohlc,
+        ohlc_census_projection,
+    )
+    from dp1_data_wrangling_spark.streaming import read_ohlc, stream_census
+
+    rows = []
+    for sym, base in (("AA", 100.0), ("BB", 50.0)):
+        for t in range(60):
+            # price walks deterministically; tick ids unique per symbol
+            rows.append((sym, t * 10, t, base + (t * 7) % 13 - 6))
+    ticks = spark.createDataFrame(
+        rows, "sym string, ts long, tick_id long, price double"
+    )
+    src = tmp_path / "tick_stream"
+    # first cut: every bucket's EARLIEST ticks withheld (ts%200 >= 100
+    # goes first), so the late cut rewrites opens; also withhold the
+    # global max price tick
+    ticks.where("ts % 200 >= 100").coalesce(1).write.parquet(str(src / "b1"))
+
+    def project(df):
+        return ohlc_census_projection(
+            df, ts_col="ts", value_col="price", step_us=200,
+            key_cols=["sym"], tie_cols=["tick_id"],
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(ticks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            project(stream),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="tick_census",
+            key_cols=["sym", "bucket"],
+            min_cols={"__lo": "__v", "__first": "__ord"},
+            max_cols={"__hi": "__v", "__last": "__ord"},
+        ).awaitTermination(180)
+
+    def candles():
+        return {
+            (r.sym, r.bucket): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in read_ohlc(
+                spark, str(tmp_path / "cat"),
+                table="tick_census", key_cols=["sym"],
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            (r.sym, r.bucket): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in ohlc(
+                ticks.where(pred), ts_col="ts", value_col="price",
+                step_us=200, key_cols=["sym"], tie_cols=["tick_id"],
+            ).collect()
+        }
+
+    run()
+    first = candles()
+    assert first == batch("ts % 200 >= 100")
+    time.sleep(1.1)
+    ticks.where("ts % 200 < 100").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = candles()
+    assert got == batch("true")
+    # the late cut actually REVISED the opens (every bucket's earliest
+    # ticks arrived last)
+    assert any(got[k][0] != first[k][0] for k in first)
+    run()  # replay no-op
+    assert candles() == got
