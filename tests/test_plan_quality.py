@@ -469,6 +469,12 @@ SHUFFLE_BUDGETS = {
     # per-query DCG/IDCG aggregates — all query-keyed frames bounded by
     # queries x k, never corpus payloads
     "bm25_ndcg_eval": 12,
+    # RRF fusion (r13) composes TWO full rankers — BM25 (8 budget, see
+    # doc_bm25_topk) + the coverage ranker (postings census + matched
+    # (query,doc) fold + its rank window, all query-term-pruned) — then
+    # the fusion itself adds only a <=2k-row union groupBy + per-query
+    # window; no exchange moves corpus payloads
+    "doc_rrf_fusion": 10,
 }
 
 
