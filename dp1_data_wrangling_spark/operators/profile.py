@@ -169,3 +169,77 @@ def profile_drift(
             F.expr("(n_distinct_cur * 1000000) div n_distinct_ref"),
         ).alias("distinct_ratio_ppm"),
     )
+
+
+def profile_census_projection(
+    df: DataFrame, *, columns: list[str] | None = None
+) -> DataFrame:
+    """The shared projection the streaming profile maintainer consumes
+    (streaming/census.py read_table_profile): each row explodes to one
+    census row per profiled column — ``(column_name, __null, __empty,
+    __len)`` — so the per-column profile becomes a keyed census of
+    associative pieces: counts and conditional sums add, string-length
+    extrema min/max-merge (non-string columns carry NULL ``__len``,
+    which min/max ignore — matching the batch profiler's NULL
+    min_len/max_len for them).  Exact distinct counts are the one
+    batch statistic with no associative form — the streaming twin
+    omits n_distinct (compose the KMV/HLL sketch maintainers for a
+    live estimate; both already exist).
+
+    Scale: the explode is k× the row count map-side but collapses to
+    the |columns|-sized census in the SAME stage's partial aggregate —
+    nothing k× ever crosses the wire.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile_census_projection needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_census_projection: unknown columns {missing}")
+    str_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    }
+    per_col = []
+    for c in cols:
+        v = F.col(c)
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                v.isNull().cast("bigint").alias("__null"),
+                (
+                    (v == "").cast("bigint")
+                    if c in str_cols
+                    else F.lit(None).cast("bigint")
+                ).alias("__empty"),
+                (
+                    F.length(v).cast("bigint")
+                    if c in str_cols
+                    else F.lit(None).cast("bigint")
+                ).alias("__len"),
+            )
+        )
+    return df.select(F.explode(F.array(*per_col)).alias("__p")).select("__p.*")
+
+
+def profile_from_census(
+    census: DataFrame, *, string_cols: list[str]
+) -> DataFrame:
+    """Fold a maintained ``(column_name, n_rows, n_nulls, n_empty,
+    min_len, max_len)`` census to the batch :func:`profile_table`
+    shape minus ``n_distinct`` (see profile_census_projection).
+    ``string_cols`` is the caller's schema knowledge — the census
+    alone cannot distinguish an all-NULL string column (batch
+    n_empty = 0) from a non-string column (batch n_empty = NULL), so
+    the fold takes the same declaration the projection derived from
+    the schema."""
+    is_str = F.col("column_name").isin(list(string_cols))
+    return census.select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.when(
+            is_str, F.coalesce(F.col("n_empty").cast("bigint"), F.lit(0))
+        ).alias("n_empty"),
+        F.col("min_len").cast("bigint").alias("min_len"),
+        F.col("max_len").cast("bigint").alias("max_len"),
+    )

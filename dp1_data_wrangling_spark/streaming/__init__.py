@@ -52,6 +52,7 @@ from .census import (
     read_heavy_hitters,
     read_ohlc,
     read_srm,
+    read_table_profile,
     read_cusum_alarms,
     read_grid_hotspots,
     read_seasonal_profile,
@@ -96,6 +97,7 @@ __all__ = [
     "read_heavy_hitters",
     "read_ohlc",
     "read_srm",
+    "read_table_profile",
     "read_cusum_alarms",
     "read_grid_hotspots",
     "read_seasonal_profile",

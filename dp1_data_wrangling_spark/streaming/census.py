@@ -445,3 +445,29 @@ def read_ohlc(
 
     census = Catalog(catalog_root).read(spark, table)
     return ohlc_from_census(census, key_cols=key_cols)
+
+
+def read_table_profile(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    string_cols: list[str],
+) -> DataFrame:
+    """Fold a maintained per-column profile census to the batch
+    profiler's shape minus n_distinct (operators/profile.py
+    profile_from_census) — live data-quality monitoring over an
+    ingest stream: null rates, empty-string counts and length extrema
+    per column, exactly-once, with late rows revising their column
+    rows (the r13 min/max census extension carries the extrema; exact
+    distincts have no associative form — compose the KMV/HLL sketch
+    maintainers for a live estimate).  Project the stream through
+    ``operators.profile.profile_census_projection`` and maintain with
+    ``stream_census(..., key_cols=["column_name"],
+    sum_cols={"n_nulls": "__null", "n_empty": "__empty"},
+    min_cols={"min_len": "__len"}, max_cols={"max_len": "__len"})``.
+    """
+    from ..operators.profile import profile_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return profile_from_census(census, string_cols=string_cols)

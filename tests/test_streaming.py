@@ -3192,3 +3192,89 @@ def test_stream_census_ohlc_equals_batch(spark, tmp_path):
     assert any(got[k][0] != first[k][0] for k in first)
     run()  # replay no-op
     assert candles() == got
+
+
+def test_stream_census_profile_equals_batch(spark, tmp_path):
+    """Streaming rows through the per-column profile census with a LATE
+    cut that raises a column's null rate and extends its length extrema
+    — read_table_profile == the batch profiler (minus n_distinct, the
+    one statistic with no associative form) at every point.  Covers an
+    all-NULL string column (n_empty 0, NULL extrema) and a non-string
+    column (NULL n_empty/extrema)."""
+    from dp1_data_wrangling_spark.operators.profile import (
+        profile_census_projection,
+        profile_table,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_table_profile,
+        stream_census,
+    )
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                None if i % 3 == 0 else ("" if i % 7 == 0 else "x" * (i % 40 + 1)),
+                None,  # all-NULL string column
+                float(i),
+            )
+        )
+    data = spark.createDataFrame(
+        rows, "id long, txt string, dead string, v double"
+    )
+    str_cols = ["txt", "dead"]
+    src = tmp_path / "prof_stream"
+    data.where("id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(data.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            profile_census_projection(stream),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="profile_census",
+            key_cols=["column_name"],
+            sum_cols={"n_nulls": "__null", "n_empty": "__empty"},
+            min_cols={"min_len": "__len"},
+            max_cols={"max_len": "__len"},
+        ).awaitTermination(180)
+
+    cols = ["n_rows", "n_nulls", "n_empty", "min_len", "max_len"]
+
+    def live():
+        return {
+            r.column_name: tuple(r[c] for c in cols)
+            for r in read_table_profile(
+                spark, str(tmp_path / "cat"),
+                table="profile_census", string_cols=str_cols,
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            r.column_name: tuple(r[c] for c in cols)
+            for r in profile_table(data.where(pred)).collect()
+        }
+
+    run()
+    first = live()
+    assert first == batch("id % 2 = 0")
+    time.sleep(1.1)
+    data.where("id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = live()
+    assert got == batch("true")
+    # the late cut revised the profile: more rows, wider extrema
+    assert got["txt"][0] == 300 and got["txt"][0] > first["txt"][0]
+    assert got["txt"][4] >= first["txt"][4]
+    # contracts: all-NULL string col reads 0 empties + NULL extrema;
+    # non-string col reads NULL n_empty
+    assert got["dead"] == (300, 300, 0, None, None)
+    assert got["v"][2] is None
+    run()  # replay no-op
+    assert live() == got
