@@ -2385,6 +2385,121 @@ def post_strat_ate(
     strata = d.groupBy(*group_cols, stratum_col).agg(
         *cell(0, "c"), *cell(1, "t")
     )
+    return _post_strat_fold(strata, group_cols)
+
+
+def post_strat_census_projection(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    stratum_col: str,
+    value_col: str,
+    group_cols: list[str],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Project experiment rows to the associative census the streaming
+    post-stratification twin maintains (streaming/census.py
+    read_post_strat_ate): key ``(*group_cols, stratum, arm)`` with two
+    sum columns — ``__meas`` (1 when the value is measured, 0 when
+    NULL, so the census count of MEASURED rows stays separate from
+    n_rows and an all-NULL stratum still exists, exactly the batch
+    n_strata contract) and ``__vq`` (the quantized value, 0 when NULL
+    so sums never go NULL).  Maintain with ``stream_census(...,
+    key_cols=[*group_cols, stratum_col, "arm"], sum_cols={"n_meas":
+    "__meas", "sum_vq": "__vq"})``.  Arm and overflow fail-fasts are
+    the batch operator's, applied per delivered row."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "post_strat_census_projection: arm must be 0/1 and "
+                "non-NULL — a row outside the design has no cell; "
+                "filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cap = float(1 << 62)
+    quant = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    vq = F.when(F.col(value_col).isNull(), F.lit(0).cast("bigint")).when(
+        F.abs(F.col(value_col) * F.lit(quant_scale)) < F.lit(cap), quant
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"post_strat_census_projection: |value * {quant_scale}| "
+                ">= 2^62 would overflow the per-row fixed-point "
+                "quantization; lower quant_scale"
+            )
+        ).cast("bigint")
+    )
+    return df.select(
+        *group_cols,
+        F.col(stratum_col).alias(stratum_col),
+        arm_ok.alias("arm"),
+        F.when(F.col(value_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("__meas"),
+        vq.alias("__vq"),
+    )
+
+
+def post_strat_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    stratum_col: str,
+    arm_col: str = "arm",
+    meas_col: str = "n_meas",
+    sum_col: str = "sum_vq",
+) -> DataFrame:
+    """The census-sized fold `post_strat_ate` shares with its streaming
+    twin (streaming/census.py read_post_strat_ate): pivot a maintained
+    ``(*groups, stratum, arm, n_meas, sum_vq)`` census to per-stratum
+    arm cells, then the identical weighted fold.  A late unit revises
+    ONE census cell, which moves its stratum's mean, weight and the
+    group's weighted ATE — re-derived census-sized at read.  An
+    out-of-design arm VALUE fails fast at read (the batch contract,
+    enforced census-side)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "post_strat_from_census: arm must be 0/1 and non-NULL "
+                "— a census row outside the design has no cell"
+            )
+        ).cast("bigint")
+    )
+
+    def cell(a: int, suffix: str):
+        m = F.when(F.col("__arm") == a, F.col(meas_col).cast("bigint"))
+        s = F.when(F.col("__arm") == a, F.col(sum_col).cast(_D))
+        return [
+            F.coalesce(F.sum(m), F.lit(0))
+            .cast("bigint")
+            .alias(f"__n_{suffix}"),
+            F.coalesce(F.sum(s), F.lit(0)).cast(_D).alias(f"__s_{suffix}"),
+        ]
+
+    strata = (
+        census.withColumn("__arm", arm_ok)
+        .groupBy(*group_cols, stratum_col)
+        .agg(*cell(0, "c"), *cell(1, "t"))
+    )
+    return _post_strat_fold(strata, group_cols)
+
+
+def _post_strat_fold(strata: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared tail of post_strat_ate / post_strat_from_census: the
+    weighted per-stratum-difference fold over ``(*groups, stratum,
+    __n_c, __s_c, __n_t, __s_t)``."""
     both = (F.col("__n_t") > 0) & (F.col("__n_c") > 0)
     strata = strata.withColumn(
         "__diff",
@@ -2554,6 +2669,147 @@ def cuped_adjusted_ate(
             F.lit(0),
         ).cast(_D).alias("__sxc"),
     )
+    return _cuped_fold(g, group_cols)
+
+
+def cuped_census_projection(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    covariate_col: str,
+    group_cols: list[str],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Project experiment rows to the associative cross-moment census
+    the streaming CUPED twin maintains (streaming/census.py
+    read_cuped_ate): key ``(*group_cols, arm)`` with four sum columns
+    — ``__y``/``__x`` (quantized metric/covariate) and
+    ``__xy``/``__xx`` (per-row DECIMAL(38,0) cross products, so the
+    census sums ARE the batch operator's moments).  Pairs semantics is
+    applied HERE (units missing either column never census — theta and
+    the means must see one population).  Maintain with
+    ``stream_census(..., key_cols=[*group_cols, "arm"],
+    sum_cols={"sum_y": "__y", "sum_x": "__x", "sum_xy": "__xy",
+    "sum_xx": "__xx"})``; the maintainer's n_rows IS the pair count."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be positive, got {quant_scale}")
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "cuped_census_projection: arm must be 0/1 and non-NULL "
+                "— a row outside the design has no cell; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cap = float(1 << 62)
+
+    def quant(col: str, what: str) -> F.Column:
+        q = F.floor(F.col(col) * F.lit(quant_scale)).cast("bigint")
+        return F.when(
+            F.col(col).isNull(), F.lit(None).cast("bigint")
+        ).when(F.abs(F.col(col) * F.lit(quant_scale)) < F.lit(cap), q).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"cuped_census_projection: |{what} * {quant_scale}| "
+                    ">= 2^62 would overflow the per-row fixed-point "
+                    "quantization; lower quant_scale"
+                )
+            ).cast("bigint")
+        )
+
+    d = (
+        df.withColumn("__arm", arm_ok)
+        .withColumn("__y", quant(value_col, "value"))
+        .withColumn("__x", quant(covariate_col, "covariate"))
+        .filter(F.col("__y").isNotNull() & F.col("__x").isNotNull())
+    )
+    return d.select(
+        *group_cols,
+        F.col("__arm").alias("arm"),
+        "__y",
+        "__x",
+        (F.col("__x").cast(_D) * F.col("__y").cast(_D)).cast(_D).alias("__xy"),
+        (F.col("__x").cast(_D) * F.col("__x").cast(_D)).cast(_D).alias("__xx"),
+    )
+
+
+def cuped_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    arm_col: str = "arm",
+    count_col: str = "n_rows",
+    sum_y_col: str = "sum_y",
+    sum_x_col: str = "sum_x",
+    sum_xy_col: str = "sum_xy",
+    sum_xx_col: str = "sum_xx",
+) -> DataFrame:
+    """The census-sized fold `cuped_adjusted_ate` shares with its
+    streaming twin (streaming/census.py read_cuped_ate): pool a
+    maintained per-(group, arm) cross-moment census — counts and the
+    four moment sums all ADD, so theta, both arm means and the
+    adjusted readout re-derive exactly from two rows per group.  A
+    late unit revises one arm's moments, which moves theta (pooled!)
+    AND the means — cross-arm damage only the census fold re-derives.
+    An out-of-design arm VALUE fails fast at read (the batch
+    contract, enforced census-side)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    arm = F.col(arm_col)
+    bad = arm.isNull() | ~arm.cast("bigint").isin(0, 1)
+    arm_ok = F.when(~bad, arm.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "cuped_from_census: arm must be 0/1 and non-NULL — a "
+                "census row outside the design has no cell"
+            )
+        ).cast("bigint")
+    )
+
+    def pooled(src: str, out: str):
+        return F.coalesce(F.sum(F.col(src).cast(_D)), F.lit(0)).cast(_D).alias(out)
+
+    def per_arm(src: str, a: int, out: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("__arm") == a, F.col(src).cast(_D))),
+                F.lit(0),
+            )
+            .cast(_D)
+            .alias(out)
+        )
+
+    n = F.col(count_col).cast("bigint")
+    g = census.withColumn("__arm", arm_ok).groupBy(*group_cols).agg(
+        F.coalesce(F.sum(n), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("__arm") == 1, n)), F.lit(0))
+        .cast("bigint")
+        .alias("n_trt"),
+        F.coalesce(F.sum(F.when(F.col("__arm") == 0, n)), F.lit(0))
+        .cast("bigint")
+        .alias("n_ctl"),
+        pooled(sum_y_col, "__sy"),
+        pooled(sum_x_col, "__sx"),
+        pooled(sum_xy_col, "__sxy"),
+        pooled(sum_xx_col, "__sxx"),
+        per_arm(sum_y_col, 1, "__syt"),
+        per_arm(sum_y_col, 0, "__syc"),
+        per_arm(sum_x_col, 1, "__sxt"),
+        per_arm(sum_x_col, 0, "__sxc"),
+    )
+    return _cuped_fold(g, group_cols)
+
+
+def _cuped_fold(g: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared tail of cuped_adjusted_ate / cuped_from_census: theta,
+    arm means and the adjusted readout over the pooled cross-moment
+    row ``(*groups, n_pairs, n_trt, n_ctl, __sy, __sx, __sxy, __sxx,
+    __syt, __syc, __sxt, __sxc)``."""
     # DOUBLE envelope over the biggest cross-moment operands, threaded
     # into the consumed pair count so Catalyst cannot prune the guard
     dd = lambda name: F.col(name).cast("double")  # noqa: E731

@@ -49,8 +49,10 @@ from .census import (
     read_benford,
     read_classification_report,
     read_cohens_kappa,
+    read_cuped_ate,
     read_heavy_hitters,
     read_ohlc,
+    read_post_strat_ate,
     read_srm,
     read_table_profile,
     read_cusum_alarms,
@@ -94,8 +96,10 @@ __all__ = [
     "read_benford",
     "read_classification_report",
     "read_cohens_kappa",
+    "read_cuped_ate",
     "read_heavy_hitters",
     "read_ohlc",
+    "read_post_strat_ate",
     "read_srm",
     "read_table_profile",
     "read_cusum_alarms",

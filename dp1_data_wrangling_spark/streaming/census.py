@@ -25,7 +25,10 @@ stencil), ``read_benford`` (r13 — first-digit conformity, the
 ``orders_benford`` surface), ``read_seasonal_profile`` (r13 — the
 first weighted read side, the ``events_seasonal_profile`` surface)
 and ``read_simpson`` (r13 — mix concentration, the
-``doc_source_lang_simpson`` surface).
+``doc_source_lang_simpson`` surface).  r13 late adds the experiment
+read sides: ``read_post_strat_ate`` (per-(group, stratum, arm) cell
+census) and ``read_cuped_ate`` (per-(group, arm) cross-moment census
+— sums of y, x, xy, xx add, so pooled theta re-derives exactly).
 
 Engine extension — the reference (export_dp1.py / import_dp1.py) has
 no streaming tier; cited for provenance only.
@@ -419,6 +422,59 @@ def read_srm(
         count_col="n_rows",
         expected_trt_ppm=expected_trt_ppm,
     )
+
+
+def read_post_strat_ate(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+    stratum_col: str = "stratum",
+) -> DataFrame:
+    """Fold a maintained ``(*groups, stratum, arm, n_meas, sum_vq)``
+    cell census through the exact post-stratification ATE
+    (operators/stats.py post_strat_from_census) — the streaming form
+    of the ``events_post_strat_ate`` surface: the confounding-corrected
+    effect readout watched live as experiment units stream in.  A LATE
+    unit revises ONE cell, which moves its stratum's mean, the
+    stratum's weight AND the group's weighted ATE — cross-stratum
+    damage only the census fold re-derives.  Project the stream
+    through ``operators.stats.post_strat_census_projection`` and
+    maintain with ``stream_census(..., key_cols=[*groups, stratum,
+    "arm"], sum_cols={"n_meas": "__meas", "sum_vq": "__vq"})``."""
+    from ..operators.stats import post_strat_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return post_strat_from_census(
+        census, group_cols=group_cols, stratum_col=stratum_col
+    )
+
+
+def read_cuped_ate(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Fold a maintained per-(group, arm) cross-moment census through
+    the exact CUPED variance-reduced ATE (operators/stats.py
+    cuped_from_census) — the streaming form of the ``events_cuped_ate``
+    surface: counts and the four moment sums (y, x, xy, xx) all ADD,
+    so theta = cov(x,y)/var(x), both arm means and the adjusted
+    readout re-derive from TWO census rows per group.  A late unit
+    revises one arm's moments, which moves theta (pooled across arms!)
+    and therefore the adjustment of BOTH arms — exactly the cross-arm
+    coupling bounded incremental state cannot express.  Project the
+    stream through ``operators.stats.cuped_census_projection`` and
+    maintain with ``stream_census(..., key_cols=[*groups, "arm"],
+    sum_cols={"sum_y": "__y", "sum_x": "__x", "sum_xy": "__xy",
+    "sum_xx": "__xx"})``; the maintainer's n_rows IS the pair count."""
+    from ..operators.stats import cuped_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return cuped_from_census(census, group_cols=group_cols)
 
 
 def read_ohlc(

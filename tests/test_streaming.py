@@ -3278,3 +3278,188 @@ def test_stream_census_profile_equals_batch(spark, tmp_path):
     assert got["v"][2] is None
     run()  # replay no-op
     assert live() == got
+
+
+def test_stream_census_post_strat_equals_batch(spark, tmp_path):
+    """Streaming experiment units through the cell-census maintainer:
+    the first cut delivers a CONFOUNDED slice (high-baseline stratum
+    mostly treated, its control units withheld), the late cut delivers
+    the missing controls — read_post_strat_ate == batch post_strat_ate
+    over all delivered units at every point, and the late cut visibly
+    moves the corrected ATE (cross-stratum damage bounded incremental
+    state cannot express).  Replay is a no-op."""
+    from dp1_data_wrangling_spark.operators.stats import (
+        post_strat_ate,
+        post_strat_census_projection,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_post_strat_ate,
+        stream_census,
+    )
+
+    rows = []
+    for i in range(600):
+        stratum = ["lo", "hi", "mid"][i % 3]
+        arm = 1 if (i // 3) % 4 < (3 if stratum == "hi" else 1) else 0
+        base = {"lo": 10.0, "mid": 50.0, "hi": 200.0}[stratum]
+        val = None if i % 53 == 0 else base + arm * 5 + (i * 7) % 11
+        # withhold hi-stratum CONTROL units from the first cut
+        late = stratum == "hi" and arm == 0
+        rows.append(("exp1", stratum, arm, val, late))
+    units = spark.createDataFrame(
+        rows, "g string, stratum string, arm long, val double, late boolean"
+    )
+    src = tmp_path / "ps_stream"
+    units.where("not late").coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(units.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            post_strat_census_projection(
+                stream,
+                arm_col="arm",
+                stratum_col="stratum",
+                value_col="val",
+                group_cols=["g"],
+            ),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="ps_census",
+            key_cols=["g", "stratum", "arm"],
+            sum_cols={"n_meas": "__meas", "sum_vq": "__vq"},
+        ).awaitTermination(180)
+
+    def live():
+        return {
+            r.g: tuple(r)[1:]
+            for r in read_post_strat_ate(
+                spark,
+                str(tmp_path / "cat"),
+                table="ps_census",
+                group_cols=["g"],
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            r.g: tuple(r)[1:]
+            for r in post_strat_ate(
+                units.where(pred),
+                arm_col="arm",
+                stratum_col="stratum",
+                value_col="val",
+                group_cols=["g"],
+            ).collect()
+        }
+
+    run()
+    first = live()
+    assert first == batch("not late")
+    # hi stratum has no controls yet: excluded from the weighted fold
+    assert first["exp1"][1] == 2  # n_strata_used (lo, mid only)
+    time.sleep(1.1)
+    units.where("late").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = live()
+    assert got == batch("true")
+    assert got["exp1"][1] == 3  # the late controls admit the hi stratum
+    assert got["exp1"][5] != first["exp1"][5]  # ate_milli revised
+    run()  # replay no-op
+    assert live() == got
+
+
+def test_stream_census_cuped_equals_batch(spark, tmp_path):
+    """Streaming experiment units through the cross-moment census
+    maintainer: the late cut delivers high-covariate units into ONE
+    arm, which moves the POOLED theta and therefore the adjustment of
+    both arms — read_cuped_ate == batch cuped_adjusted_ate over all
+    delivered units at every point.  Replay is a no-op."""
+    from dp1_data_wrangling_spark.operators.stats import (
+        cuped_adjusted_ate,
+        cuped_census_projection,
+    )
+    from dp1_data_wrangling_spark.streaming import (
+        read_cuped_ate,
+        stream_census,
+    )
+
+    rows = []
+    for i in range(500):
+        arm = i % 2
+        cov = float((i * 13) % 97)
+        val = None if i % 61 == 0 else cov * 0.4 + arm * 3 + (i * 5) % 7
+        # the late cut: treated-arm units from the top covariate band
+        late = arm == 1 and cov > 80
+        rows.append(("exp1", arm, val, cov, late))
+    units = spark.createDataFrame(
+        rows, "g string, arm long, val double, cov double, late boolean"
+    )
+    src = tmp_path / "cuped_stream"
+    units.where("not late").coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(units.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_census(
+            cuped_census_projection(
+                stream,
+                arm_col="arm",
+                value_col="val",
+                covariate_col="cov",
+                group_cols=["g"],
+            ),
+            str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table="cuped_census",
+            key_cols=["g", "arm"],
+            sum_cols={
+                "sum_y": "__y",
+                "sum_x": "__x",
+                "sum_xy": "__xy",
+                "sum_xx": "__xx",
+            },
+        ).awaitTermination(180)
+
+    def live():
+        return {
+            r.g: tuple(r)[1:]
+            for r in read_cuped_ate(
+                spark,
+                str(tmp_path / "cat"),
+                table="cuped_census",
+                group_cols=["g"],
+            ).collect()
+        }
+
+    def batch(pred):
+        return {
+            r.g: tuple(r)[1:]
+            for r in cuped_adjusted_ate(
+                units.where(pred),
+                arm_col="arm",
+                value_col="val",
+                covariate_col="cov",
+                group_cols=["g"],
+            ).collect()
+        }
+
+    run()
+    first = live()
+    assert first == batch("not late")
+    time.sleep(1.1)
+    units.where("late").coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = live()
+    assert got == batch("true")
+    # the one-sided late covariate band moved theta AND the adjustment
+    assert got["exp1"][3] != first["exp1"][3]  # theta_milli
+    assert got["exp1"][5] is not None  # ate_cuped_milli reports
+    run()  # replay no-op
+    assert live() == got
