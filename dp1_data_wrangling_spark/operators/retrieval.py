@@ -688,3 +688,141 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= top_n)
         .select(query_id_col, "fused_rank", id_col, "rrf_ppm", "n_lists")
     )
+
+
+def mrr_map_at_k(
+    ranking: DataFrame,
+    labels: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """MRR@k / AP@k / precision@k / recall@k — the binary-relevance
+    eval battery next to the graded :func:`ndcg_at_k` (Voorhees, TREC-8
+    "Overview" MRR; Buckley & Voorhees, SIGIR 2000 MAP — public
+    literature).  A label row with ``rel > 0`` is relevant; unlabeled
+    or zero-grade retrieved docs are not.
+
+    Exactness contract (the ``rrf_fuse`` stance — exact integers by
+    construction, no float-sum order anywhere):
+
+        rr_ppm     = 1e6 div r_first            (0 when no hit in top-k)
+        ap_ppm     = (sum_j 1e6 * j div r_j) div min(R, k)
+        p_at_k_ppm = 1e6 * n_hits div k
+        recall_ppm = 1e6 * n_hits div R         (NULL when R = 0)
+
+    where ``r_j`` is the rank of the j-th hit (so ``j div r_j`` IS
+    precision@r_j) and R the query's total relevant-label count.  Each
+    precision term is TRUNCATED to ppm before the mean — a < 1e-6
+    per-term bias, stated, in exchange for order-free integer sums
+    that replay verbatim in any engine.  Queries with R = 0 report
+    NULL ap/recall (nothing to retrieve is not a zero score); a
+    retrieved-but-unlabeled query row still reports rr/p@k.
+
+    Scale posture (100 TB): ``ranking`` is (queries x k)-sized; ONE
+    equi-join against the label table, then ONE per-query groupBy whose
+    collected (rank, hit) array (<= k elements) carries every metric as
+    an ordered array fold — a single aggregation branch, so the
+    upstream retriever plan executes ONCE (the ndcg_at_k shape) — plus
+    one combinable label census for R.  Nothing touches the corpus
+    beyond the label table.
+
+    Engine extension — the reference (export_dp1.py / import_dp1.py)
+    has no retrieval tier; cited for provenance only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    got = (
+        ranking.filter(F.col(rank_col) <= k)
+        .join(
+            labels.select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.col(rel_col).alias("__rel"),
+            ),
+            [query_id_col, id_col],
+            "left",
+        )
+        .select(
+            query_id_col,
+            F.col(rank_col).cast("bigint").alias("__rank"),
+            (F.coalesce(F.col("__rel"), F.lit(0)) > 0).alias("__hit"),
+        )
+    )
+    per_q = (
+        got.groupBy(query_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__rank").alias("rank"),
+                        F.col("__hit").alias("hit"),
+                    )
+                )
+            ).alias("__pairs")
+        )
+        # hits in rank order; the j-th hit's precision@rank is exactly
+        # (1e6 * j) div rank — transform's index IS j-1, so no running
+        # counter and no window: everything is one ordered array fold
+        .withColumn("__h", F.expr("filter(__pairs, x -> x.hit)"))
+        .withColumn(
+            "n_hits", F.expr("size(__h)").cast("bigint")
+        )
+        .withColumn(
+            "first_hit_rank",
+            F.expr("try_element_at(__h, 1).rank").cast("bigint"),
+        )
+        .withColumn(
+            "__ap_sum",
+            F.expr(
+                "aggregate(transform(__h, (x, i) -> "
+                "(1000000 * (cast(i as bigint) + 1)) div x.rank), "
+                "cast(0 as bigint), (a, b) -> a + b)"
+            ).cast("bigint"),
+        )
+    )
+    r_census = labels.groupBy(query_id_col).agg(
+        F.count(F.when(F.col(rel_col) > 0, 1)).cast("bigint").alias("n_rel")
+    )
+    out = (
+        per_q.join(r_census, query_id_col, "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "rr_ppm",
+            F.coalesce(
+                F.expr("1000000 div first_hit_rank"), F.lit(0)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "ap_ppm",
+            F.when(
+                F.col("n_rel") > 0,
+                F.expr(
+                    f"coalesce(__ap_sum, 0) div least(n_rel, {k})"
+                ),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "p_at_k_ppm",
+            F.expr(f"(1000000 * n_hits) div {k}").cast("bigint"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.when(
+                F.col("n_rel") > 0, F.expr("(1000000 * n_hits) div n_rel")
+            ).cast("bigint"),
+        )
+    )
+    return out.select(
+        query_id_col,
+        "n_rel",
+        "n_hits",
+        "first_hit_rank",
+        "rr_ppm",
+        "ap_ppm",
+        "p_at_k_ppm",
+        "recall_ppm",
+    )

@@ -494,3 +494,102 @@ def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_k=60,
         top_n=10,
     )
+
+
+_MRR_MAP_ORACLE = f"""
+    WITH {_BM25_CTES},
+    mm_lab AS (
+        SELECT q.query_id, d.doc_id,
+               CASE WHEN CAST(('0x' || substr(md5('mrel|'
+                         || CAST(q.query_id AS VARCHAR) || '|'
+                         || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 10 = 0
+                    THEN 1 ELSE 0 END AS rel
+        FROM (SELECT DISTINCT query_id FROM bm_q) q
+        CROSS JOIN (SELECT doc_id FROM documents) d
+    ),
+    mm_got AS (
+        SELECT r.query_id, r.rank, coalesce(l.rel, 0) > 0 AS hit
+        FROM bm_rank r LEFT JOIN mm_lab l
+          ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+    ),
+    mm_hits AS (
+        SELECT query_id, rank,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY rank) AS BIGINT) AS j
+        FROM mm_got WHERE hit
+    ),
+    mm_per AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hits,
+               CAST(min(rank) FILTER (WHERE hit) AS BIGINT)
+                   AS first_hit_rank
+        FROM mm_got GROUP BY query_id
+    ),
+    mm_ap AS (
+        SELECT query_id,
+               CAST(sum((1000000 * j) // rank) AS BIGINT) AS ap_sum
+        FROM mm_hits GROUP BY query_id
+    ),
+    mm_r AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (WHERE rel > 0) AS BIGINT) AS n_rel
+        FROM mm_lab GROUP BY query_id
+    )
+    SELECT p.query_id,
+           coalesce(r.n_rel, 0) AS n_rel,
+           p.n_hits,
+           p.first_hit_rank,
+           CAST(coalesce(1000000 // p.first_hit_rank, 0) AS BIGINT)
+               AS rr_ppm,
+           CAST(CASE WHEN coalesce(r.n_rel, 0) > 0
+                THEN coalesce(a.ap_sum, 0) // least(r.n_rel, 10)
+                END AS BIGINT) AS ap_ppm,
+           CAST((1000000 * p.n_hits) // 10 AS BIGINT) AS p_at_k_ppm,
+           CAST(CASE WHEN coalesce(r.n_rel, 0) > 0
+                THEN (1000000 * p.n_hits) // r.n_rel
+                END AS BIGINT) AS recall_ppm
+    FROM mm_per p
+    LEFT JOIN mm_ap a USING (query_id)
+    LEFT JOIN mm_r r USING (query_id)
+    """
+
+
+@register("bm25_mrr_map_eval", _MRR_MAP_ORACLE)
+def q_bm25_mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 / AP@10 / P@10 / recall@10 of the BM25 retriever against
+    md5-derived BINARY relevance labels (operators/retrieval.py
+    mrr_map_at_k — the Voorhees/TREC binary-relevance battery next to
+    the graded NDCG): ~10% of the corpus is relevant per query
+    (md5 % 10 = 0 — sparse enough that the metrics discriminate).
+    Every precision term is truncated to ppm before the mean (the
+    rrf_fuse exact-integer stance), so both engines sum identical
+    integers in any order."""
+    from .operators.retrieval import bm25_topk, mrr_map_at_k
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    ranking = bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)
+    labels = (
+        queries.select("query_id")
+        .crossJoin(docs.select("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                _md5mod(
+                    [
+                        F.lit("mrel|"),
+                        F.col("query_id").cast("string"),
+                        F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    ],
+                    10,
+                )
+                == 0
+            )
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    return mrr_map_at_k(ranking, labels, k=10)

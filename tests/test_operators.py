@@ -8351,3 +8351,54 @@ def test_coverage_topk_hand_computed(spark):
     # doc 1 covers both terms; doc 2 one term but tf 3; doc 3 one term
     # tf 1; doc 4 never matches (inverted-index prune)
     assert got == [(1, 1, 2, 2), (2, 2, 1, 3), (3, 3, 1, 1)]
+
+
+def test_mrr_map_at_k_hand_computed(spark):
+    """Binary-relevance eval battery against hand arithmetic: a
+    mid-list first hit (rr truncation), the min(R, k) AP denominator,
+    an R = 0 query (NULL ap/recall, rr 0) and a perfect first-rank
+    hit.  Every value is an exact integer both engines would agree on
+    by construction."""
+    from dp1_data_wrangling_spark.operators.retrieval import mrr_map_at_k
+
+    ranking = spark.createDataFrame(
+        # q1: hits at ranks 2 and 4; q2: nothing relevant retrieved,
+        # and its only label is zero-grade (R = 0); q3: hit at rank 1
+        [(1, r, f"d{r}") for r in range(1, 6)]
+        + [(2, r, f"e{r}") for r in range(1, 4)]
+        + [(3, r, f"f{r}") for r in range(1, 6)],
+        "query_id int, rank int, doc_id string",
+    )
+    labels = spark.createDataFrame(
+        [
+            (1, "d2", 1),
+            (1, "d4", 2),
+            (1, "d9", 1),  # relevant but never retrieved: R = 3
+            (2, "e1", 0),  # zero grade only: R = 0
+            (3, "f1", 3),  # R = 1 < k exercises min(R, k)
+        ],
+        "query_id int, doc_id string, rel int",
+    )
+    got = {
+        r.query_id: (
+            r.n_rel, r.n_hits, r.first_hit_rank,
+            r.rr_ppm, r.ap_ppm, r.p_at_k_ppm, r.recall_ppm,
+        )
+        for r in mrr_map_at_k(ranking, labels, k=5).collect()
+    }
+    # q1: ap_sum = (1e6*1) div 2 + (1e6*2) div 4 = 1_000_000;
+    #     ap = 1_000_000 div min(3, 5) = 333_333
+    assert got[1] == (3, 2, 2, 500_000, 333_333, 400_000, 666_666)
+    # q2: nothing to retrieve -> NULL ap/recall, rr reads 0
+    assert got[2] == (0, 0, None, 0, None, 0, None)
+    # q3: perfect first hit, R = 1 so AP = recall = 1
+    assert got[3] == (1, 1, 1, 1_000_000, 1_000_000, 200_000, 1_000_000)
+
+
+def test_mrr_map_at_k_validation(spark):
+    from dp1_data_wrangling_spark.operators.retrieval import mrr_map_at_k
+
+    df = spark.createDataFrame([(1, 1, "d")], "query_id int, rank int, doc_id string")
+    lab = spark.createDataFrame([(1, "d", 1)], "query_id int, doc_id string, rel int")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        mrr_map_at_k(df, lab, k=0)

@@ -475,6 +475,12 @@ SHUFFLE_BUDGETS = {
     # the fusion itself adds only a <=2k-row union groupBy + per-query
     # window; no exchange moves corpus payloads
     "doc_rrf_fusion": 10,
+    # MRR/MAP eval (r13) composes the BM25 retrieval plan (8 budget,
+    # see doc_bm25_topk) with the binary-label join, ONE per-query
+    # groupBy whose collected array carries every metric as an ordered
+    # fold (the retriever subtree executes once — no branch), and the
+    # combinable label census for R
+    "bm25_mrr_map_eval": 10,
 }
 
 
@@ -1797,3 +1803,17 @@ def test_rrf_fusion_bounded_no_cartesian(spark):
         r"row_number\(\) windowspecdefinition\(([^,]*),", plan.lower()
     )
     assert specs and all("query_id" in s for s in specs), plan
+
+
+def test_mrr_map_eval_single_aggregation_branch(spark):
+    """The eval must fold every metric from ONE collected array per
+    query — a second aggregation branch over the join would re-execute
+    the whole BM25 subtree (the 19-exchange shape this query shipped
+    without).  No cartesian; the label census joins query-keyed."""
+    plan = plan_of(REGISTRY["bm25_mrr_map_eval"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan
+    # one corpus scan for BM25 + one for the label derivation — a
+    # branched aggregation re-executes the retriever and reads 3+
+    docscans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert docscans <= 2, plan
+    assert data_shuffles(plan) <= 10
