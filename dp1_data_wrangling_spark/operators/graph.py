@@ -608,3 +608,111 @@ def link_prediction(
             "ra_ppm",
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph under a
+    DIRECTED edge list (Newman, "Assortative mixing in networks",
+    PRL 2002 — public): the Pearson correlation of endpoint degrees
+    over every ordered edge orientation.  Positive = hubs link hubs
+    (social shape), negative = hubs link leaves (web/star shape) — a
+    one-number structure KPI watched next to the degree distribution
+    when deciding crawl/curation policy for a link corpus.
+
+    Canonicalization (the k-core/link-prediction contract): self-loops
+    dropped, parallel and reverse duplicates collapsed to ONE
+    undirected edge, then BOTH orientations enter the correlation —
+    which makes the estimator symmetric without needing the textbook's
+    half-sum correction terms.
+
+    Exactness contract (the ``corr_pairs`` stance): sufficient
+    statistics (pair count and the five moment sums) accumulate as
+    exact DECIMAL(38,0) integers; the finish casts each EXACT integer
+    to double once and evaluates the correlation in a fixed expression
+    order — IEEE multiply/subtract/divide/sqrt are correctly rounded,
+    so identical exact inputs give bit-identical doubles in Spark and
+    DuckDB (round(6) as belt-and-braces).  A regular graph (zero
+    degree variance) yields NULL.
+
+    Returns ONE row: ``(n_nodes, n_edges, m_pairs, assortativity)``
+    (n_nodes counts non-isolated nodes — an edge-list representation
+    carries no isolated vertices).
+
+    Scale posture (100 TB): the canonical distinct + the degree census
+    + two node-keyed equi-joins (each shuffles edges by ONE endpoint —
+    never materializing neighborhoods) + ONE combinable aggregate to a
+    single moments row.  No window, no cartesian; hubs cost their
+    degree in join fan-out, nothing quadratic.
+
+    Engine extension — the reference (export_dp1.py / import_dp1.py)
+    has no graph tier; cited for provenance only.
+    """
+    _D = "decimal(38,0)"
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    canon = (
+        e.filter(F.col("__s") != F.col("__d"))
+        .select(
+            F.least("__s", "__d").alias("a"),
+            F.greatest("__s", "__d").alias("b"),
+        )
+        .distinct()
+    )
+    # localCheckpoint the symmetrized edge set (the triangle_count /
+    # CC lesson): it feeds the degree census AND both sides of the
+    # degree join — without materializing, the edge-derivation subtree
+    # re-executes once per reference.  The materialization is (a, b)
+    # pairs, far cheaper than re-deriving edges.
+    und = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    pairs = (
+        und.join(deg.select(F.col("a").alias("__na"), F.col("deg").alias("dx")),
+                 und.a == F.col("__na"))
+        .join(deg.select(F.col("a").alias("__nb"), F.col("deg").alias("dy")),
+              und.b == F.col("__nb"))
+        .select(und.a.alias("__node"), "dx", "dy")
+    )
+    # n_nodes rides the SAME aggregate (count distinct of the symmetric
+    # orientation's source endpoint == the degree-census row count) — a
+    # second aggregation branch over `deg` would re-execute the whole
+    # canonical-distinct subtree (the CC lesson)
+    m = pairs.agg(
+        F.count_distinct(F.col("__node")).cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast(_D).alias("__m"),
+        F.coalesce(F.sum(F.col("dx").cast(_D)), F.lit(0)).cast(_D).alias("__sx"),
+        F.coalesce(F.sum(F.col("dy").cast(_D)), F.lit(0)).cast(_D).alias("__sy"),
+        F.coalesce(
+            F.sum((F.col("dx").cast(_D) * F.col("dy").cast(_D)).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__sxy"),
+        F.coalesce(
+            F.sum((F.col("dx").cast(_D) * F.col("dx").cast(_D)).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__sxx"),
+        F.coalesce(
+            F.sum((F.col("dy").cast(_D) * F.col("dy").cast(_D)).cast(_D)),
+            F.lit(0),
+        ).cast(_D).alias("__syy"),
+    )
+    md = F.col("__m").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    var_x = md * sxx - sx * sx
+    var_y = md * syy - sy * sy
+    return m.select(
+        "n_nodes",
+        F.expr("__m div 2").cast("bigint").alias("n_edges"),
+        F.col("__m").cast("bigint").alias("m_pairs"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(
+                (md * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
+            ),
+        ).alias("assortativity"),
+    )

@@ -595,3 +595,67 @@ def q_doc_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(
         edges, src_col="src", dst_col="dst", min_common=2, max_degree=64
     )
+
+
+@register(
+    "doc_link_assortativity",
+    f"""
+    WITH {_TRIANGLE_GRAPH_CTES},
+    da_ed AS (
+        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
+                        greatest(d1.doc_id, d2.doc_id) AS b
+        FROM tg_edges e
+        JOIN tg_docs d1 ON d1.idx = e.src
+        JOIN tg_docs d2 ON d2.idx = e.dst
+        WHERE d1.doc_id != d2.doc_id
+    ),
+    da_und AS (SELECT a, b FROM da_ed UNION SELECT b, a FROM da_ed),
+    da_deg AS (
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM da_und GROUP BY a
+    ),
+    da_pairs AS (
+        SELECT na.deg AS dx, nb.deg AS dy
+        FROM da_und u
+        JOIN da_deg na ON na.node = u.a
+        JOIN da_deg nb ON nb.node = u.b
+    ),
+    da_m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m,
+               CAST(sum(dx) AS HUGEINT) AS sx,
+               CAST(sum(dy) AS HUGEINT) AS sy,
+               CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+        FROM da_pairs
+    )
+    SELECT CAST((SELECT count(*) FROM da_deg) AS BIGINT) AS n_nodes,
+           CAST(m // 2 AS BIGINT) AS n_edges,
+           CAST(m AS BIGINT) AS m_pairs,
+           CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN round(
+                    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6)
+           END AS assortativity
+    FROM da_m
+    """,
+)
+def q_doc_link_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the shared small-world md5 link graph
+    (operators/graph.py degree_assortativity — Newman PRL 2002): the
+    one-number hubs-link-hubs structure KPI next to the triangle and
+    k-core screens, over the SAME _tg_link_graph generator so all
+    three read one graph.  Moment sums are exact DECIMAL/HUGEINT
+    integers; the finish is corr_pairs' fixed-order double evaluation,
+    bit-identical across engines."""
+    from .operators.graph import degree_assortativity
+
+    return degree_assortativity(_tg_link_graph(spark, sf_dir))

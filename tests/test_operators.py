@@ -8402,3 +8402,28 @@ def test_mrr_map_at_k_validation(spark):
     lab = spark.createDataFrame([(1, "d", 1)], "query_id int, doc_id string, rel int")
     with pytest.raises(ValueError, match="k must be >= 1"):
         mrr_map_at_k(df, lab, k=0)
+
+
+def test_degree_assortativity_hand_computed(spark):
+    """A star is perfectly disassortative (r = -1) and a cycle is
+    degree-regular (NULL) — with self-loops, parallel and reverse
+    duplicates thrown in to exercise the canonicalization."""
+    from dp1_data_wrangling_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3"),
+         ("l1", "c"),  # reverse duplicate
+         ("c", "l1"),  # parallel duplicate
+         ("c", "c")],  # self-loop
+        "src string, dst string",
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.m_pairs) == (4, 3, 6)
+    assert row.assortativity == -1.0
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "cc"), ("cc", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    row = degree_assortativity(cycle).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.m_pairs) == (4, 4, 8)
+    assert row.assortativity is None  # zero degree variance

@@ -481,6 +481,12 @@ SHUFFLE_BUDGETS = {
     # fold (the retriever subtree executes once — no branch), and the
     # combinable label census for R
     "bm25_mrr_map_eval": 10,
+    # degree assortativity (r13): canonical distinct + degree census +
+    # two node-keyed equi-joins over the localCheckpointed symmetric
+    # edge set + the count-distinct expand in the single moments
+    # aggregate — all narrow (node, deg) shuffles; the one-row moments
+    # gather is a SinglePartition exchange, not counted
+    "doc_link_assortativity": 5,
 }
 
 
