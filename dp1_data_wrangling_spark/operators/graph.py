@@ -716,3 +716,65 @@ def degree_assortativity(
             ),
         ).alias("assortativity"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient in exact ppm (Watts &
+    Strogatz, Nature 1998 — public): ``cc = 2e6 * T(v) div
+    (deg(v) * (deg(v) - 1))`` for ``deg >= 2`` (NULL below — one
+    neighbor closes nothing), composing :func:`triangle_count` and the
+    degree census over the SAME canonical simple graph.  The
+    triangles/deg-pairs ratio is THE per-node community-vs-spam screen
+    read next to the raw triangle count: a link farm's hub counts many
+    triangles but its coefficient collapses, while a genuine community
+    member's neighbors interlink.
+
+    Exactness: the coefficient is ONE truncating division of
+    non-negative BIGINTs — replayed verbatim by any engine; degrees
+    and triangle counts are exact integers by construction.
+
+    Returns ``(node, deg, n_triangles, cc_ppm)`` for every
+    non-isolated node (nodes in no triangle read 0 / 0 ppm).
+
+    Scale posture (100 TB): canonicalization runs ONCE here
+    (localCheckpointed — the compact-forward enumeration inside
+    triangle_count re-canonicalizes a no-op over the materialized
+    pairs), the degree census and the final join are node-keyed, and
+    the wedge work inherits triangle_count's O(sqrt E) skew bound.
+
+    Engine extension — the reference (export_dp1.py / import_dp1.py)
+    has no graph tier; cited for provenance only.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tri = triangle_count(canon, src="a", dst="b")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2000000 * coalesce(n_triangles, 0)) div "
+                    "(deg * (deg - 1))"
+                ),
+            ).cast("bigint").alias("cc_ppm"),
+        )
+    )

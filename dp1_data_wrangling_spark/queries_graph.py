@@ -659,3 +659,57 @@ def q_doc_link_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import degree_assortativity
 
     return degree_assortativity(_tg_link_graph(spark, sf_dir))
+
+
+@register(
+    "doc_link_clustering",
+    f"""
+    WITH {_TRIANGLE_GRAPH_CTES},
+    cl_ed AS (
+        SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS a,
+                        greatest(d1.doc_id, d2.doc_id) AS b
+        FROM tg_edges e
+        JOIN tg_docs d1 ON d1.idx = e.src
+        JOIN tg_docs d2 ON d2.idx = e.dst
+        WHERE d1.doc_id != d2.doc_id
+    ),
+    cl_tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM cl_ed e1
+        JOIN cl_ed e2 ON e2.a = e1.b
+        JOIN cl_ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    cl_tn AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS nt FROM (
+            SELECT u AS node FROM cl_tri
+            UNION ALL SELECT v FROM cl_tri
+            UNION ALL SELECT w FROM cl_tri
+        ) cl_nds GROUP BY node
+    ),
+    cl_deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM cl_ed
+            UNION ALL SELECT b FROM cl_ed
+        ) cl_ends GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.deg >= 2
+                THEN (2000000 * coalesce(t.nt, 0)) // (d.deg * (d.deg - 1))
+                END AS BIGINT) AS cc_ppm
+    FROM cl_deg d LEFT JOIN cl_tn t USING (node)
+    """,
+)
+def q_doc_link_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document local clustering coefficient over the shared
+    small-world md5 link graph (operators/graph.py
+    clustering_coefficient — Watts-Strogatz): the triangles/deg-pairs
+    ratio read next to the raw triangle count as the community-vs-spam
+    screen, in exact ppm (one truncating division of BIGINTs).  Rides
+    the same _tg_link_graph generator as triangles/k-core/
+    assortativity; the oracle enumerates triangles via the canonical
+    a<b three-way self-join — an independent order that must agree on
+    every per-node count."""
+    from .operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_tg_link_graph(spark, sf_dir))

@@ -8427,3 +8427,27 @@ def test_degree_assortativity_hand_computed(spark):
     row = degree_assortativity(cycle).collect()[0]
     assert (row.n_nodes, row.n_edges, row.m_pairs) == (4, 4, 8)
     assert row.assortativity is None  # zero degree variance
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    """A triangle with a pendant: the triangle's two pure members read
+    cc = 1, the junction (deg 3, one closed pair of three) reads
+    333_333 ppm, and the pendant leaf (deg 1) reads NULL."""
+    from dp1_data_wrangling_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "cc"), ("cc", "a"), ("a", "p"),
+         ("b", "a"),  # reverse duplicate
+         ("p", "p")],  # self-loop
+        "src string, dst string",
+    )
+    got = {
+        r.node: (r.deg, r.n_triangles, r.cc_ppm)
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got["a"] == (3, 1, 333_333)
+    assert got["b"] == (2, 1, 1_000_000)
+    assert got["cc"] == (2, 1, 1_000_000)
+    assert got["p"] == (1, 0, None)

@@ -487,6 +487,11 @@ SHUFFLE_BUDGETS = {
     # aggregate — all narrow (node, deg) shuffles; the one-row moments
     # gather is a SinglePartition exchange, not counted
     "doc_link_assortativity": 5,
+    # local clustering coefficient (r13): the degree census + the
+    # compact-forward triangle pipeline (degree join, wedge self-join,
+    # closing join, per-node count — all over the ONE localCheckpointed
+    # canonical edge set) + the final node-keyed left join
+    "doc_link_clustering": 6,
 }
 
 
