@@ -3020,3 +3020,207 @@ def _srm_fold(
         chi2.alias("srm_chi2_milli"),
         (chi2 > 3841).alias("srm_flag"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    *,
+    label_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 10,
+    quant_scale: int = 100,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature screen — the
+    credit-scoring-lineage predictive-power report a training pipeline
+    runs per candidate feature before fitting anything (Siddiqi,
+    "Credit Risk Scorecards", and decades of public practice):
+
+        woe_b = ln( (g_b / G) / (b_b / B) )
+        iv    = sum_b (g_b / G - b_b / B) * woe_b
+
+    over equal-width value bins (the ks_drift binning law: quantize to
+    integers, ``w = span div n_bins + 1``, clamp — bins derive from
+    each group's own min/max).  |IV| reads on the classic ladder:
+    < 0.02 useless, 0.02-0.1 weak, 0.1-0.3 medium, 0.3+ strong.
+
+    Determinism contract: bin edges, counts and every product are
+    exact integers (DECIMAL(38,0) cross-multiplies); ``woe`` is ONE
+    double division of two exact integers followed by ``ln`` and
+    ``round(6)`` (the corr_pairs/BM25 stance — IEEE divide and libm ln
+    agree across engines on identical doubles); each IV contribution
+    multiplies the ROUNDED woe by an exact-integer ratio cast to
+    double once, and the sum folds in BIN ORDER over the collected
+    per-group array (the ndcg_at_k stance — no float-sum order
+    anywhere).  One-sided bins (zero goods or zero bads) carry NULL
+    woe and contribute NOTHING to IV (stated — the unsmoothed
+    convention; add-0.5 smoothing belongs to the caller's projection).
+    One-class groups (G = 0 or B = 0) report NULL woe everywhere and
+    NULL iv.  NULL values are excluded; NULL / non-0/1 labels fail
+    fast (the srm_check convention).  Empty bins appear with zero
+    counts (the spine is generated, not observed).
+
+    Returns per-bin rows ``(*group_cols, bin, lo_scaled, n_good,
+    n_bad, woe, iv)`` with ``iv`` repeated on every row of its group
+    (the ks_scaled shape).
+
+    Scale posture (100 TB): TWO data-sized map-side-combinable
+    groupBys (the per-group extrema/totals census, then the bin
+    census after a broadcast join of the group-sized stats) +
+    constant-size frames after that — the spine is groups x n_bins
+    rows and the IV fold runs on collected <= n_bins arrays.  No
+    window over data, no cartesian.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    feature-screening tier; cited for provenance only.
+    """
+    groups = group_cols or []
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    lab = F.col(label_col)
+    bad_lab = lab.isNull() | ~lab.cast("bigint").isin(0, 1)
+    lab_ok = F.when(~bad_lab, lab.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                "woe_iv: label must be 0/1 and non-NULL — a row outside "
+                "the design has no cell; filter upstream"
+            )
+        ).cast("bigint")
+    )
+    cap = float(1 << 62)
+    q = F.floor(F.col(value_col) * F.lit(quant_scale)).cast("bigint")
+    xq = F.when(
+        F.abs(F.col(value_col) * F.lit(quant_scale)) < F.lit(cap), q
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"woe_iv: |value * {quant_scale}| >= 2^62 would overflow "
+                "the fixed-point quantization; lower quant_scale"
+            )
+        ).cast("bigint")
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__y", lab_ok)
+        .withColumn("__x", xq)
+    )
+    # pass 1: per-group extrema + class totals (combinable).
+    # localCheckpointed (eager): the group-sized stats feed BOTH the
+    # bin-census broadcast join and the spine — without materializing,
+    # the data-sized extrema pass re-executes per consumer (the
+    # triangle_count / CC lesson).
+    stats = d.groupBy(*groups).agg(
+        F.min("__x").alias("__lo"),
+        F.expr(f"((max(__x) - min(__x)) div {n_bins}) + 1").alias("__w"),
+        F.sum("__y").cast("bigint").alias("__G"),
+        F.count(F.when(F.col("__y") == 0, 1)).cast("bigint").alias("__B"),
+    ).localCheckpoint()
+    # pass 2: bin census after a broadcast join of the group-sized stats
+    joined = (
+        d.join(F.broadcast(stats), groups)
+        if groups
+        else d.crossJoin(F.broadcast(stats))
+    )
+    bin_of = F.expr(
+        f"least(cast({n_bins} - 1 as bigint), "
+        "greatest(cast(0 as bigint), (__x - __lo) div __w))"
+    )
+    census = (
+        joined.select(*groups, bin_of.alias("bin"), "__y")
+        .groupBy(*groups, "bin")
+        .agg(
+            F.sum("__y").cast("bigint").alias("n_good"),
+            F.count(F.when(F.col("__y") == 0, 1))
+            .cast("bigint")
+            .alias("n_bad"),
+        )
+    )
+    spark = df.sparkSession
+    spine = (
+        spark.range(n_bins)
+        .select(F.col("id").cast("bigint").alias("bin"))
+        .crossJoin(F.broadcast(stats))
+    )
+    per_bin = (
+        spine.join(census, [*groups, "bin"], "left")
+        .select(
+            *groups,
+            "bin",
+            (F.col("__lo") + F.col("bin") * F.col("__w")).alias("lo_scaled"),
+            F.coalesce("n_good", F.lit(0)).cast("bigint").alias("n_good"),
+            F.coalesce("n_bad", F.lit(0)).cast("bigint").alias("n_bad"),
+            "__G",
+            "__B",
+        )
+    )
+    # woe: exact integer cross products -> ONE double division -> ln
+    gb = F.expr(f"cast(n_good as {_D}) * cast(__B as {_D})").cast("double")
+    bg = F.expr(f"cast(n_bad as {_D}) * cast(__G as {_D})").cast("double")
+    woe = F.when(
+        (F.col("n_good") > 0)
+        & (F.col("n_bad") > 0)
+        & (F.col("__G") > 0)
+        & (F.col("__B") > 0),
+        F.round(F.log(gb / bg), 6),
+    )
+    # IV contribution: exact-integer rate difference x the ROUNDED woe
+    dd = F.expr(
+        f"cast(cast(n_good as {_D}) * cast(__B as {_D}) "
+        f"- cast(n_bad as {_D}) * cast(__G as {_D}) as {_D})"
+    ).cast("double") / F.expr(
+        f"cast(cast(__G as {_D}) * cast(__B as {_D}) as {_D})"
+    ).cast("double")
+    contrib = F.when(F.col("__woe").isNotNull(), dd * F.col("__woe")).otherwise(
+        F.lit(0.0)
+    )
+    binned = per_bin.withColumn("__woe", woe).withColumn("__c", contrib)
+    # ONE collect-fold-explode pass computes iv in BIN ORDER and fans
+    # the rows back out — a separate iv aggregation branch would
+    # re-execute the census subtree per consumer
+    folded = (
+        binned.groupBy(*groups)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bin").alias("bin"),
+                        F.col("lo_scaled").alias("lo_scaled"),
+                        F.col("n_good").alias("n_good"),
+                        F.col("n_bad").alias("n_bad"),
+                        F.col("__woe").alias("woe"),
+                        F.col("__c").alias("c"),
+                        F.col("__G").alias("g"),
+                        F.col("__B").alias("b"),
+                    )
+                )
+            ).alias("__rows")
+        )
+        .withColumn(
+            "iv",
+            F.when(
+                (F.element_at("__rows", 1)["g"] > 0)
+                & (F.element_at("__rows", 1)["b"] > 0),
+                F.round(
+                    F.aggregate(
+                        F.expr("transform(__rows, r -> r.c)"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+            ),
+        )
+    )
+    return folded.select(
+        *groups, "iv", F.explode("__rows").alias("__r")
+    ).select(
+        *groups,
+        F.col("__r.bin").alias("bin"),
+        F.col("__r.lo_scaled").alias("lo_scaled"),
+        F.col("__r.n_good").alias("n_good"),
+        F.col("__r.n_bad").alias("n_bad"),
+        F.col("__r.woe").alias("woe"),
+        "iv",
+    )

@@ -1121,3 +1121,89 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (m % 10 < thresh).cast("bigint").alias("arm")
     )
     return srm_check(units, arm_col="arm", group_cols=["event_type"])
+
+
+@register(
+    "orders_woe_iv",
+    """
+    WITH wv AS (
+        SELECT o_orderpriority AS prio,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ws AS (
+        SELECT prio, min(x) AS lo, ((max(x) - min(x)) // 10) + 1 AS w,
+               CAST(sum(y) AS BIGINT) AS g,
+               CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS b
+        FROM wv GROUP BY prio
+    ),
+    wc AS (
+        SELECT v.prio,
+               least(CAST(9 AS BIGINT),
+                     greatest(CAST(0 AS BIGINT), (v.x - s.lo) // s.w)) AS bin,
+               CAST(sum(v.y) AS BIGINT) AS n_good,
+               CAST(count(*) FILTER (WHERE v.y = 0) AS BIGINT) AS n_bad
+        FROM wv v JOIN ws s USING (prio) GROUP BY 1, 2
+    ),
+    wb AS (
+        SELECT s.prio, sp.bin, s.lo + sp.bin * s.w AS lo_scaled,
+               coalesce(c.n_good, 0) AS n_good,
+               coalesce(c.n_bad, 0) AS n_bad, s.g, s.b
+        FROM ws s
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) sp
+        LEFT JOIN wc c ON c.prio = s.prio AND c.bin = sp.bin
+    ),
+    ww AS (
+        SELECT prio, bin, lo_scaled, n_good, n_bad, g, b,
+               CASE WHEN n_good > 0 AND n_bad > 0 AND g > 0 AND b > 0
+                    THEN round(ln(
+                        CAST(CAST(n_good AS HUGEINT) * b AS DOUBLE)
+                        / CAST(CAST(n_bad AS HUGEINT) * g AS DOUBLE)), 6)
+               END AS woe
+        FROM wb
+    ),
+    wiv AS (
+        SELECT prio,
+               CASE WHEN max(g) > 0 AND max(b) > 0 THEN
+                   round(list_reduce(list(
+                       CASE WHEN woe IS NOT NULL THEN
+                           CAST(CAST(n_good AS HUGEINT) * b
+                                - CAST(n_bad AS HUGEINT) * g AS DOUBLE)
+                           / CAST(CAST(g AS HUGEINT) * b AS DOUBLE) * woe
+                       ELSE 0.0 END ORDER BY bin), (a, c) -> a + c), 6)
+               END AS iv
+        FROM ww GROUP BY prio
+    )
+    SELECT w.prio, CAST(w.bin AS BIGINT) AS bin,
+           CAST(w.lo_scaled AS BIGINT) AS lo_scaled,
+           w.n_good, w.n_bad, w.woe, i.iv
+    FROM ww w JOIN wiv i USING (prio)
+    """,
+)
+def q_orders_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of order value
+    against fulfillment, per priority tier (operators/stats.py woe_iv
+    — the credit-scoring-lineage feature-power report): does
+    o_totalprice predict o_orderstatus = 'F' inside each priority?
+    Equal-width cent bins per group (the ks_drift binning law), exact
+    integer cross products, woe = one double division + ln + round(6)
+    (the corr_pairs/BM25 stance), IV folded in bin order over the
+    collected per-group array (the ndcg stance — no float-sum order
+    anywhere)."""
+    from .operators.stats import woe_iv
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    d = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    return woe_iv(
+        d,
+        label_col="y",
+        value_col="v",
+        group_cols=["prio"],
+        n_bins=10,
+        quant_scale=100,
+    )

@@ -8451,3 +8451,51 @@ def test_clustering_coefficient_hand_computed(spark):
     assert got["b"] == (2, 1, 1_000_000)
     assert got["cc"] == (2, 1, 1_000_000)
     assert got["p"] == (1, 0, None)
+
+
+def test_woe_iv_hand_computed(spark):
+    """Two equal-width bins with hand-checked WOE/IV, a one-sided bin
+    carrying NULL woe without contributing, and a one-class group
+    reporting NULL everywhere."""
+    from dp1_data_wrangling_spark.operators.stats import woe_iv
+
+    rows = [
+        # group "m": bin0 = {good 2, bad 1}, bin1 = {good 1, bad 2}
+        # woe0 = ln 2, woe1 = -ln 2; iv = 2 * (1/3) * ln 2 = 0.462098
+        ("m", 1.0, 1), ("m", 1.5, 1), ("m", 2.0, 0),
+        ("m", 9.0, 0), ("m", 9.5, 1), ("m", 10.0, 0),
+        # group "s": bin1 has zero bads -> NULL woe, excluded from iv
+        ("s", 1.0, 1), ("s", 1.0, 0), ("s", 10.0, 1),
+        # group "o": one-class (all good) -> NULL woe and NULL iv
+        ("o", 1.0, 1), ("o", 10.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, y int")
+    out = woe_iv(
+        df, label_col="y", value_col="v", group_cols=["grp"],
+        n_bins=2, quant_scale=100,
+    )
+    got = {
+        (r.grp, r.bin): (r.lo_scaled, r.n_good, r.n_bad, r.woe, r.iv)
+        for r in out.collect()
+    }
+    assert got[("m", 0)] == (100, 2, 1, 0.693147, 0.462098)
+    assert got[("m", 1)] == (551, 1, 2, -0.693147, 0.462098)
+    # "s": bin0 woe = ln((1*1)/(1*2)) = -ln 2; bin1 one-sided
+    assert got[("s", 0)][3] == -0.693147
+    assert got[("s", 1)][3] is None
+    # iv only from bin0: (1*1 - 1*2)/(2*1) * -ln2 = 0.346574
+    assert got[("s", 0)][4] == 0.346574 == got[("s", 1)][4]
+    assert got[("o", 0)][3] is None and got[("o", 0)][4] is None
+
+
+def test_woe_iv_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import woe_iv
+
+    df = spark.createDataFrame([(1.0, 1)], "v double, y int")
+    with pytest.raises(ValueError, match="n_bins"):
+        woe_iv(df, label_col="y", value_col="v", n_bins=1)
+    with pytest.raises(ValueError, match="quant_scale"):
+        woe_iv(df, label_col="y", value_col="v", quant_scale=0)
+    bad = spark.createDataFrame([(1.0, 2)], "v double, y int")
+    with pytest.raises(Exception, match="label must be 0/1"):
+        woe_iv(bad, label_col="y", value_col="v").collect()

@@ -1199,3 +1199,82 @@ def test_rank_tile_summary_invariants(spark, rows, k):
         )
         lo = hi + 1
     assert got == expect
+
+
+woe_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # group
+        st.integers(min_value=-50, max_value=50),   # value (pre-scale)
+        st.integers(min_value=0, max_value=1),      # label
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=woe_rows)
+@SETTINGS
+def test_woe_iv_matches_python_replay(spark, rows):
+    """woe_iv == a direct python float replay of its stated contract
+    (equal-width integer bins, one double division + ln + round(6),
+    bin-ordered IV fold with the ROUNDED woe) on generated inputs —
+    including one-class groups, one-sided bins and constant values."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dp1_data_wrangling_spark.operators.stats import woe_iv
+
+    def r6(x):
+        # Spark's round() goes through BigDecimal.valueOf(double) —
+        # shortest decimal repr, then HALF_UP (DuckDB agrees: 13 rounds
+        # of parity evidence); python's round() rounds the TRUE binary
+        # value and disagrees exactly on repr-halfway cases like
+        # 0.3465735 (= 0.34657349999999997...), so the replay must
+        # emulate the engines, not the stdlib
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    n_bins, qs = 3, 10
+    df = spark.createDataFrame(
+        [(f"g{g}", v / 2.0, y) for g, v, y in rows],
+        "grp string, v double, y int",
+    )
+    got = {
+        (r.grp, r.bin): (r.lo_scaled, r.n_good, r.n_bad, r.woe, r.iv)
+        for r in woe_iv(
+            df, label_col="y", value_col="v", group_cols=["grp"],
+            n_bins=n_bins, quant_scale=qs,
+        ).collect()
+    }
+    # python replay
+    by_g: dict = {}
+    for g, v, y in rows:
+        by_g.setdefault(f"g{g}", []).append((math.floor(v / 2.0 * qs), y))
+    expect = {}
+    for gname, pts in by_g.items():
+        lo = min(x for x, _ in pts)
+        w = (max(x for x, _ in pts) - lo) // n_bins + 1
+        G = sum(y for _, y in pts)
+        B = sum(1 - y for _, y in pts)
+        bins = {}
+        for x, y in pts:
+            b = min(n_bins - 1, max(0, (x - lo) // w))
+            ng, nb = bins.get(b, (0, 0))
+            bins[b] = (ng + y, nb + (1 - y))
+        iv = 0.0
+        rows_out = {}
+        for b in range(n_bins):
+            ng, nb = bins.get(b, (0, 0))
+            woe = (
+                r6(math.log((ng * B) / (nb * G)))
+                if ng > 0 and nb > 0 and G > 0 and B > 0
+                else None
+            )
+            if woe is not None:
+                iv += (ng * B - nb * G) / (G * B) * woe
+            rows_out[b] = (lo + b * w, ng, nb, woe)
+        iv_out = r6(iv) if G > 0 and B > 0 else None
+        for b, (los, ng, nb, woe) in rows_out.items():
+            expect[(gname, b)] = (los, ng, nb, woe, iv_out)
+    assert got == expect
