@@ -3224,3 +3224,157 @@ def woe_iv(
         F.col("__r.woe").alias("woe"),
         "iv",
     )
+
+
+def binned_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 20,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Population Stability Index on the shared reference binning — the
+    credit-scoring / model-monitoring drift standard next to the binned
+    KS screen (public practice for decades; the 0.1 / 0.25
+    watch/action ladder):
+
+        psi = sum_b (p_cur_b - p_ref_b) * ln(p_cur_b / p_ref_b)
+
+    Rides the IDENTICAL binning core as :func:`binned_ks_drift`
+    (ks_reference / ks_census — bins from the reference alone, knobs
+    stamped on the stats frame), so a pipeline monitoring both metrics
+    pays ONE census per sample, and the streaming KS census
+    (streaming/drift.py) folds PSI at read via
+    :func:`psi_from_censuses` with no new state.
+
+    Determinism contract: counts and cross products are exact
+    integers; each bin's term casts the exact DECIMAL(38,0) operands
+    to double once and evaluates ``dd * ln(ratio)`` in fixed order
+    (the corr_pairs/BM25 stance), and the PSI total folds in BIN ORDER
+    over the collected bin array (the ndcg stance).  Bins empty on
+    EITHER side have no defined term — reported NULL and EXCLUDED
+    from the sum (``n_bins_used`` rides along; the add-epsilon
+    convention belongs to the caller's projection).  An empty current
+    sample yields NULL psi.
+
+    Returns per-bin rows ``(bin, lo_scaled, n_ref, n_cur, psi_term,
+    n_bins_used, psi)`` with psi/n_bins_used repeated per row (the
+    ks_scaled shape).
+
+    Scale posture (100 TB): two map-side-combinable bin censuses (the
+    only data-sized work) + constant-size frames after that — the
+    fold runs on ONE collected <= n_bins array.
+    """
+    stats, rb = ks_reference(
+        ref, value_col=value_col, n_bins=n_bins, quant_scale=quant_scale
+    )
+    cb = ks_census(cur, stats, value_col=value_col, out_name="n_cur")
+    return psi_from_censuses(
+        ref.sparkSession, stats, rb, cb, n_bins=n_bins
+    )
+
+
+def psi_from_censuses(
+    spark, stats: DataFrame, rb: DataFrame, cb: DataFrame, *, n_bins: int
+) -> DataFrame:
+    """The PSI fold given the two bin censuses — the census-sized core
+    shared with the streaming KS monitor's maintained current census
+    (bin counts are associative; a late value revises one bin, which
+    moves BOTH totals-normalized shares and therefore every term)."""
+    n_cur = cb.agg(
+        F.coalesce(F.sum("n_cur"), F.lit(0)).cast("bigint").alias("__nc")
+    )
+    spine = (
+        spark.range(n_bins)
+        .select(F.col("id").cast("bigint").alias("bin"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_cur))
+    )
+    joined = (
+        spine.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.when(
+                F.col("__nb") == F.lit(n_bins),
+                F.col("__lo") + F.col("bin") * F.col("__w"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "psi_from_censuses: n_bins disagrees with the "
+                        "stats frame's stamped binning — rebuild the "
+                        "censuses via ks_reference/ks_census"
+                    )
+                ).cast("bigint")
+            ).alias("lo_scaled"),
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.col("__nr"),
+            F.col("__nc"),
+        )
+    )
+    # exact integer cross products -> double once, fixed order
+    num = F.expr(f"cast(n_cur as {_D}) * cast(__nr as {_D})").cast("double")
+    den = F.expr(f"cast(n_ref as {_D}) * cast(__nc as {_D})").cast("double")
+    dd = F.expr(
+        f"cast(cast(n_cur as {_D}) * cast(__nr as {_D}) "
+        f"- cast(n_ref as {_D}) * cast(__nc as {_D}) as {_D})"
+    ).cast("double") / F.expr(
+        f"cast(cast(__nr as {_D}) * cast(__nc as {_D}) as {_D})"
+    ).cast("double")
+    term = F.when(
+        (F.col("n_ref") > 0)
+        & (F.col("n_cur") > 0)
+        & (F.col("__nc") > 0),
+        dd * F.log(num / den),
+    )
+    binned = joined.withColumn("__t", term)
+    folded = (
+        binned.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bin").alias("bin"),
+                        F.col("lo_scaled").alias("lo_scaled"),
+                        F.col("n_ref").alias("n_ref"),
+                        F.col("n_cur").alias("n_cur"),
+                        F.col("__t").alias("t"),
+                        F.col("__nc").alias("nc"),
+                    )
+                )
+            ).alias("__rows")
+        )
+        .select(
+            "__rows",
+            F.expr(
+                "size(filter(__rows, r -> r.t is not null))"
+            ).cast("bigint").alias("n_bins_used"),
+            F.when(
+                F.element_at("__rows", 1)["nc"] > 0,
+                F.round(
+                    F.aggregate(
+                        F.expr(
+                            "transform(__rows, "
+                            "r -> coalesce(r.t, cast(0.0 as double)))"
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+            ).alias("psi"),
+        )
+    )
+    return folded.select(
+        F.explode("__rows").alias("__r"), "n_bins_used", "psi"
+    ).select(
+        F.col("__r.bin").alias("bin"),
+        F.col("__r.lo_scaled").alias("lo_scaled"),
+        F.col("__r.n_ref").alias("n_ref"),
+        F.col("__r.n_cur").alias("n_cur"),
+        F.round(F.col("__r.t"), 6).alias("psi_term"),
+        "n_bins_used",
+        "psi",
+    )

@@ -1916,3 +1916,97 @@ def q_order_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-13 seam split (VERDICT r12 item 6): the round-11 fact-scale
 # ranking & experimentation tier moved to queries_experiments.py —
 # same @register calls, registry name set identical.
+
+
+@register(
+    "events_psi",
+    """
+    WITH pd_r AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    pd_c AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    pd_st AS (
+        SELECT min(x) AS lo, ((max(x) - min(x)) // 20) + 1 AS w,
+               CAST(count(*) AS BIGINT) AS nrt
+        FROM pd_r
+    ),
+    pd_nc AS (SELECT CAST(count(*) AS BIGINT) AS nct FROM pd_c),
+    pd_rb AS (
+        SELECT least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                   (x - (SELECT lo FROM pd_st))
+                       // (SELECT w FROM pd_st))) AS bin,
+               CAST(count(*) AS BIGINT) AS n_ref
+        FROM pd_r GROUP BY 1
+    ),
+    pd_cb AS (
+        SELECT least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                   (x - (SELECT lo FROM pd_st))
+                       // (SELECT w FROM pd_st))) AS bin,
+               CAST(count(*) AS BIGINT) AS n_cur
+        FROM pd_c GROUP BY 1
+    ),
+    pd_spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(20)),
+    pd_j AS (
+        SELECT s.bin,
+               (SELECT lo FROM pd_st)
+                   + s.bin * (SELECT w FROM pd_st) AS lo_scaled,
+               COALESCE(r.n_ref, 0) AS n_ref,
+               COALESCE(c.n_cur, 0) AS n_cur
+        FROM pd_spine s
+        LEFT JOIN pd_rb r ON r.bin = s.bin
+        LEFT JOIN pd_cb c ON c.bin = s.bin
+    ),
+    pd_t AS (
+        SELECT bin, lo_scaled, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                     AND (SELECT nct FROM pd_nc) > 0 THEN
+                   CAST(CAST(n_cur AS HUGEINT) * (SELECT nrt FROM pd_st)
+                        - CAST(n_ref AS HUGEINT) * (SELECT nct FROM pd_nc)
+                        AS DOUBLE)
+                   / CAST(CAST((SELECT nrt FROM pd_st) AS HUGEINT)
+                          * (SELECT nct FROM pd_nc) AS DOUBLE)
+                   * ln(CAST(CAST(n_cur AS HUGEINT)
+                             * (SELECT nrt FROM pd_st) AS DOUBLE)
+                        / CAST(CAST(n_ref AS HUGEINT)
+                               * (SELECT nct FROM pd_nc) AS DOUBLE))
+               END AS t
+        FROM pd_j
+    ),
+    pd_f AS (
+        SELECT CAST(count(t) AS BIGINT) AS n_bins_used,
+               CASE WHEN (SELECT nct FROM pd_nc) > 0 THEN
+                   round(list_reduce(list(coalesce(t, 0.0) ORDER BY bin),
+                                     (a, b) -> a + b), 6)
+               END AS psi
+        FROM pd_t
+    )
+    SELECT t.bin, t.lo_scaled, t.n_ref, t.n_cur,
+           round(t.t, 6) AS psi_term, f.n_bins_used, f.psi
+    FROM pd_t t CROSS JOIN pd_f f
+    """,
+)
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 'view' (reference) and
+    'purchase' (current) value distributions (operators/stats.py
+    binned_psi) — the credit-scoring drift standard read NEXT TO the
+    KS screen on the IDENTICAL reference binning (ks_reference /
+    ks_census — one census per sample serves both metrics, and the
+    streaming KS census folds PSI at read with no new state).  Every
+    count and cross product is exact; each bin term is one
+    fixed-order double expression + ln, the total folds in BIN ORDER
+    (list_reduce replay), and one-sided bins are NULL-reported and
+    excluded, never epsilon-faked."""
+    from .operators.stats import binned_psi
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return binned_psi(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        value_col="value",
+        n_bins=20,
+        quant_scale=1000,
+    )

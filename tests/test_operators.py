@@ -8499,3 +8499,46 @@ def test_woe_iv_validation(spark):
     bad = spark.createDataFrame([(1.0, 2)], "v double, y int")
     with pytest.raises(Exception, match="label must be 0/1"):
         woe_iv(bad, label_col="y", value_col="v").collect()
+
+
+def test_binned_psi_hand_computed(spark):
+    """Two-bin PSI against hand arithmetic, plus the one-sided-bin
+    exclusion and the n_bins stamp fail-fast."""
+    import math
+
+    from dp1_data_wrangling_spark.operators.stats import binned_psi
+
+    # ref: 3 low + 1 high; cur: 1 low + 3 high (a clean shift)
+    ref = spark.createDataFrame(
+        [(0.1,), (0.2,), (0.3,), (9.9,)], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(0.1,), (9.7,), (9.8,), (9.9,)], "v double"
+    )
+    out = {
+        r.bin: (r.n_ref, r.n_cur, r.psi_term, r.n_bins_used, r.psi)
+        for r in binned_psi(
+            ref, cur, value_col="v", n_bins=2, quant_scale=10
+        ).collect()
+    }
+    # x_ref: 1,2,3,99 -> lo=1, w=(98//2)+1=50; bins: 0,0,0,1
+    # x_cur: 1,97,98,99 -> bins: 0,1,1,1
+    t0 = (1 * 4 - 3 * 4) / (4 * 4) * math.log((1 * 4) / (3 * 4))
+    t1 = (3 * 4 - 1 * 4) / (4 * 4) * math.log((3 * 4) / (1 * 4))
+    assert out[0][:2] == (3, 1) and out[1][:2] == (1, 3)
+    assert out[0][2] == round(t0, 6) and out[1][2] == round(t1, 6)
+    assert out[0][3] == 2
+    assert out[0][4] == round(t0 + t1, 6) == out[1][4]
+
+    # a bin empty on one side is excluded, not epsilon-faked
+    cur2 = spark.createDataFrame([(0.1,), (0.2,)], "v double")
+    out2 = {
+        r.bin: (r.psi_term, r.n_bins_used, r.psi)
+        for r in binned_psi(
+            ref, cur2, value_col="v", n_bins=2, quant_scale=10
+        ).collect()
+    }
+    assert out2[1][0] is None and out2[0][1] == 1
+    # psi = only bin0's term: (2*4 - 3*2)/(4*2) * ln((2*4)/(3*2))
+    t = (2 * 4 - 3 * 2) / (4 * 2) * math.log((2 * 4) / (3 * 2))
+    assert out2[0][2] == round(t, 6)
