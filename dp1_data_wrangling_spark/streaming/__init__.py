@@ -32,7 +32,7 @@ from .dedup_llm import stream_minhash_dedup
 from .ann import stream_ivf_index_append
 from .rollup import stream_rollup
 from .geofence import stream_geofence
-from .drift import stream_ks_drift
+from .drift import read_psi, stream_ks_drift
 from .funnel import stream_funnel
 from .rebuild import (
     read_cohort_ltv,
@@ -117,6 +117,7 @@ __all__ = [
     "stream_cohort_ltv",
     "stream_funnel",
     "stream_keyed_rebuild",
+    "read_psi",
     "stream_ks_drift",
     "stream_scd2",
     "stream_retention",

@@ -109,3 +109,35 @@ def stream_ks_drift(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_psi(
+    spark,
+    ref: DataFrame,
+    catalog_root: str,
+    *,
+    value_col: str,
+    n_bins: int = 20,
+    quant_scale: int = 1000,
+    table: str = "ks_drift",
+) -> DataFrame:
+    """Fold the KS monitor's maintained current-sample census through
+    the Population Stability Index (operators/stats.py
+    psi_from_censuses) — the one-census-both-metrics payoff: the
+    stream already pays for the per-bin census, so the credit-scoring
+    drift standard reads it with NO new state and no second pass over
+    deliveries.  ``ref`` and the knobs must be the stream's own
+    (ks_reference re-derives the identical stamped binning from the
+    same reference — the single code path that cannot desync — and
+    the fold fail-fasts if n_bins disagrees with the stamp).  A late
+    value revises one bin, which moves the current total and
+    therefore EVERY bin's share and term — re-derived over n_bins
+    rows at read, bit-identical to ``binned_psi(ref, all delivered
+    values)``."""
+    from ..operators.stats import psi_from_censuses
+
+    stats, rb = ks_reference(
+        ref, value_col=value_col, n_bins=n_bins, quant_scale=quant_scale
+    )
+    cb = Catalog(catalog_root).read(spark, f"{table}_census")
+    return psi_from_censuses(spark, stats, rb, cb, n_bins=n_bins)

@@ -3463,3 +3463,65 @@ def test_stream_census_cuped_equals_batch(spark, tmp_path):
     assert got["exp1"][5] is not None  # ate_cuped_milli reports
     run()  # replay no-op
     assert live() == got
+
+
+def test_stream_read_psi_equals_batch(spark, tmp_path):
+    """One census, both metrics: after the KS monitor drains, read_psi
+    over its maintained census equals binned_psi(ref, all delivered
+    rows) bit-exactly — no new state, no second pass.  A second cut
+    revises bins and the PSI re-derives."""
+    from dp1_data_wrangling_spark.operators.stats import binned_psi
+    from dp1_data_wrangling_spark.streaming import read_psi, stream_ks_drift
+
+    ref = spark.createDataFrame(
+        [(float(v % 100),) for v in range(400)], "v double"
+    )
+    cur_rows = [(float((v * 37) % 140),) for v in range(300)]
+    b1 = spark.createDataFrame(cur_rows[:180], "v double")
+    b2 = spark.createDataFrame(cur_rows[180:], "v double")
+    src = tmp_path / "psi_stream"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    cat_root = str(tmp_path / "cat")
+    kw = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"), value_col="v",
+        n_bins=10, quant_scale=1000,
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        stream_ks_drift(stream, ref, cat_root, **kw).awaitTermination(180)
+
+    def live():
+        return sorted(
+            map(
+                tuple,
+                read_psi(
+                    spark, ref, cat_root, value_col="v",
+                    n_bins=10, quant_scale=1000,
+                ).collect(),
+            )
+        )
+
+    def batch(cur):
+        return sorted(
+            map(
+                tuple,
+                binned_psi(
+                    ref, cur, value_col="v", n_bins=10, quant_scale=1000
+                ).collect(),
+            )
+        )
+
+    run()
+    first = live()
+    assert first == batch(b1) and len(first) == 10
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    got = live()
+    assert got == batch(b1.union(b2))
+    assert got != first  # the second cut moved the index
