@@ -1991,3 +1991,244 @@ def q_event_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return bounce_rate(e, gap_us=1_800_000_000)
+
+
+@register(
+    "user_churn_hazard",
+    """
+    WITH hz_ev AS (
+        SELECT user_id, epoch_us(ts) AS tus FROM events
+    ),
+    hz_end AS (SELECT max(tus) AS end_us FROM hz_ev),
+    hz_usr AS (
+        SELECT user_id, min(tus) AS first_us, max(tus) AS last_us
+        FROM hz_ev GROUP BY user_id
+    ),
+    hz_dur AS (
+        SELECT u.first_us // 604800000000 AS cohort_week,
+               CASE WHEN e.end_us - u.last_us > 604800000000
+                    THEN (u.last_us - u.first_us) // 86400000000
+                    ELSE (e.end_us - u.first_us) // 86400000000
+               END AS t,
+               CASE WHEN e.end_us - u.last_us > 604800000000
+                    THEN 1 ELSE 0 END AS ev
+        FROM hz_usr u, hz_end e
+    ),
+    hz_census AS (
+        SELECT cohort_week, t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) - sum(ev) AS BIGINT) AS c
+        FROM hz_dur GROUP BY cohort_week, t
+    ),
+    hz_risk AS (
+        SELECT cohort_week, t, d, c,
+               CAST(sum(d + c) OVER (PARTITION BY cohort_week)
+                    - (sum(d + c) OVER (
+                           PARTITION BY cohort_week ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - (d + c))
+                    AS BIGINT) AS n_risk
+        FROM hz_census
+    ),
+    hz_terms AS (
+        SELECT cohort_week, t, n_risk, d, c,
+               CASE WHEN d > 0 THEN (1000000000 * d) // n_risk
+                    ELSE 0 END AS hz
+        FROM hz_risk
+    )
+    SELECT cohort_week, t AS duration, n_risk,
+           d AS n_events, c AS n_censored,
+           CAST(sum(hz) OVER (
+               PARTITION BY cohort_week ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumhaz_scaled
+    FROM hz_terms
+    """,
+)
+def q_user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard by signup-week cohort
+    (operators/survival.py nelson_aalen, r13) — the additive sibling of
+    user_churn_survival over the IDENTICAL subject derivation (churned
+    = inactive > 7 days at study end, else right-censored): H(t) =
+    sum d_i/n_i as an exact nano-scaled running sum of per-duration
+    truncating divisions, replayed verbatim by a pure-window oracle
+    (no recursion — NA terms don't compound, unlike KM's product).
+    Parallel log-H curves across cohorts read as proportional hazards.
+
+    Scale shape: one user-keyed groupBy (the data-sized shuffle), a
+    broadcast one-row study-end join, one combinable (cohort, day)
+    census groupBy, then two census-sized windows on the cohort key."""
+    from .operators.survival import nelson_aalen
+
+    WEEK_US = 604_800_000_000
+    DAY_US = 86_400_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    usr = e.groupBy("user_id").agg(
+        F.min("ts_us").alias("__first"), F.max("ts_us").alias("__last")
+    )
+    end = e.agg(F.max("ts_us").alias("__end"))
+    churned = F.col("__end") - F.col("__last") > F.lit(WEEK_US)
+    subj = usr.crossJoin(F.broadcast(end)).select(
+        F.expr(f"__first div {WEEK_US}").alias("cohort_week"),
+        F.when(churned, F.expr(f"(__last - __first) div {DAY_US}"))
+        .otherwise(F.expr(f"(__end - __first) div {DAY_US}"))
+        .alias("__t"),
+        churned.cast("bigint").alias("__ev"),
+    )
+    return nelson_aalen(
+        subj,
+        duration_col="__t",
+        event_col="__ev",
+        group_cols=["cohort_week"],
+    )
+
+
+@register(
+    "user_churn_logrank",
+    """
+    WITH lg_ev AS (
+        SELECT user_id, epoch_us(ts) AS tus FROM events
+    ),
+    lg_end AS (SELECT max(tus) AS end_us FROM lg_ev),
+    lg_usr AS (
+        SELECT user_id, min(tus) AS first_us, max(tus) AS last_us
+        FROM lg_ev GROUP BY user_id
+    ),
+    lg_sub AS (
+        SELECT u.first_us // 604800000000 AS cohort_week,
+               CAST(('0x' || substr(md5('lr|'
+                     || CAST(u.user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS arm,
+               CASE WHEN e.end_us - u.last_us > 604800000000
+                    THEN (u.last_us - u.first_us) // 86400000000
+                    ELSE (e.end_us - u.first_us) // 86400000000
+               END AS t,
+               CASE WHEN e.end_us - u.last_us > 604800000000
+                    THEN 1 ELSE 0 END AS ev
+        FROM lg_usr u, lg_end e
+    ),
+    lg_census AS (
+        SELECT cohort_week, t,
+               CAST(sum(CASE WHEN arm = 0 THEN ev ELSE 0 END)
+                    AS BIGINT) AS da,
+               CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END)
+                    AS BIGINT) AS db,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM lg_sub GROUP BY cohort_week, t
+    ),
+    lg_risk AS (
+        SELECT cohort_week, t, da, db,
+               CAST(sum(da + ca) OVER (PARTITION BY cohort_week)
+                    - (sum(da + ca) OVER (
+                           PARTITION BY cohort_week ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - (da + ca))
+                    AS BIGINT) AS na,
+               CAST(sum(db + cb) OVER (PARTITION BY cohort_week)
+                    - (sum(db + cb) OVER (
+                           PARTITION BY cohort_week ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - (db + cb))
+                    AS BIGINT) AS nb
+        FROM lg_census
+    ),
+    lg_terms AS (
+        SELECT cohort_week, da AS oa, na, nb,
+               CASE WHEN da + db > 0
+                    THEN (1000000 * CAST(da + db AS HUGEINT) * na)
+                         // (na + nb)
+                    ELSE 0 END AS e_ppm,
+               CASE WHEN da + db > 0 AND na + nb > 1
+                    THEN (1000000 * CAST(da + db AS HUGEINT) * na * nb
+                          * (na + nb - da - db))
+                         // (CAST(na + nb AS HUGEINT) * (na + nb)
+                             * (na + nb - 1))
+                    ELSE 0 END AS v_ppm
+        FROM lg_risk
+    ),
+    lg_g AS (
+        SELECT cohort_week,
+               CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(sum(oa) AS BIGINT) AS o_a,
+               CAST(sum(e_ppm) AS HUGEINT) AS se,
+               CAST(sum(v_ppm) AS HUGEINT) AS sv
+        FROM lg_terms GROUP BY cohort_week
+    )
+    SELECT cohort_week, n_a, n_b, o_a,
+           CAST(se AS BIGINT) AS e_a_ppm,
+           CAST(sv AS BIGINT) AS v_ppm,
+           CASE WHEN sv > 0
+                THEN CAST((1000 * (1000000 * CAST(o_a AS HUGEINT) - se)
+                           * (1000000 * o_a - se)) // (1000000 * sv)
+                          AS BIGINT) END AS chi2_milli
+    FROM lg_g
+    """,
+)
+def q_user_churn_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank churn test by signup-week cohort
+    (operators/survival.py log_rank_test, r13): arms assigned by md5
+    parity ('lr|' salt, the ab_contingency convention) over the same
+    churn/censoring subject derivation as user_churn_survival — the
+    censoring-correct "did arm B retain differently?" readout a naive
+    mean-lifetime compare gets wrong.  Per pooled event time the
+    hypergeometric e/v terms are exact ppm truncating divisions
+    (DECIMAL(38,0) vs HUGEINT, one `div` per term replayed verbatim);
+    chi2_milli = (1000*S^2) div (1e6*V) with S legitimately signed and
+    S^2 non-negative, so trunc and floor agree.  Degenerate cohorts
+    (one-armed / all-censored, V = 0) emit NULL, never fake
+    significance.
+
+    Scale shape: one user-keyed groupBy, a broadcast study-end join,
+    one combinable (cohort, day, arm-cells) census groupBy, two
+    census-sized windows on the cohort key, one combinable census
+    groupBy; no join (plan-gated)."""
+    from .operators.survival import log_rank_test
+
+    WEEK_US = 604_800_000_000
+    DAY_US = 86_400_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    usr = e.groupBy("user_id").agg(
+        F.min("ts_us").alias("__first"), F.max("ts_us").alias("__last")
+    )
+    end = e.agg(F.max("ts_us").alias("__end"))
+    churned = F.col("__end") - F.col("__last") > F.lit(WEEK_US)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lr|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    subj = usr.crossJoin(F.broadcast(end)).select(
+        F.expr(f"__first div {WEEK_US}").alias("cohort_week"),
+        arm.alias("__arm"),
+        F.when(churned, F.expr(f"(__last - __first) div {DAY_US}"))
+        .otherwise(F.expr(f"(__end - __first) div {DAY_US}"))
+        .alias("__t"),
+        churned.cast("bigint").alias("__ev"),
+    )
+    return log_rank_test(
+        subj,
+        duration_col="__t",
+        event_col="__ev",
+        arm_col="__arm",
+        group_cols=["cohort_week"],
+    )
