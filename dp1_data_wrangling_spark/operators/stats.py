@@ -3378,3 +3378,367 @@ def psi_from_censuses(
         "n_bins_used",
         "psi",
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Kruskal-Wallis H test per group — the k-sample generalization of
+    ``rank_sum_test``: did ANY of k arms' value distributions shift,
+    without assuming normality?  The one-way ANOVA on ranks, and the
+    standard omnibus screen before pairwise rank-sum drill-downs.
+
+    Exact rank algebra over the VALUE CENSUS, doubled midranks as in
+    rank_sum_test (``rank2 = 2·cum − t + 1`` via a RANGE-frame running
+    sum, so ties across ALL arms share one midrank).  With per-arm rank
+    sums ``R2_j = Σ cnt·rank2`` (= 2·R_j) and n = Σ n_j:
+
+        H     = 3·Σ_j (R2_j²/n_j) / (n(n+1)) − 3(n+1)
+        H_adj = H / (1 − T/(n³−n)),   T = Σ(t³−t)  (tie correction)
+
+    kept engine-exact by THREE stated truncations, each replayed
+    verbatim by the HUGEINT oracle:
+
+        q_j         = (R2_j · R2_j) div n_j            (per-arm, < 1 ulp)
+        h_milli     = (1000·max(0, 3·Σq − 3n(n+1)²)) div (n(n+1))
+        h_adj_milli = (h_milli·(n³−n)) div (n³−n−T)
+
+    (the max(0,·) absorbs the ≤ k-ulp downward drift of Σq at H ≈ 0 —
+    H is non-negative by construction).  The effect-size companion
+    epsilon² = (H−k+1)/(n−k) is emitted as a sign-split truncating
+    division (legitimately negative below the null).  All-tied groups
+    (n³−n = T) and single-value groups emit NULL h_adj; one-armed
+    groups emit NULL epsilon².
+
+    NULL values are unranked and dropped; ``arm_col`` may be ANY
+    discrete type (string arms welcome — unlike the 0/1 rank_sum
+    contract, k is data-driven).
+
+    Returns ``(*group_cols, n, n_arms, t3, h_milli, h_adj_milli,
+    eps2_milli)``.
+
+    Scale posture (100 TB): ONE data-sized combinable groupBy (the
+    (group, arm, value) census), two census-sized window passes on the
+    group key (tie totals; RANGE-frame cumulative), one combinable
+    census-sized groupBy to arm rows (k per group), then per-group
+    scalar algebra.  No join.
+
+    Capacity: the binding products are ``R2_j² ≲ 4n⁴`` (per-arm q) and
+    ``h_milli·n³ ≲ 10³·n⁴`` — a DOUBLE envelope fail-fast (threaded
+    into the consumed n_j, the rank_sum_test pattern) trips past 1e37,
+    admitting groups to n ~ 1e8; beyond that, sample (the omnibus call
+    is saturated at such n).
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier; test per Kruskal & Wallis (1952) as in standard
+    texts.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    census = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(
+            F.when(
+                F.col(arm_col).isNotNull(), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "kruskal_wallis: arm must be non-NULL — a unit "
+                        "outside the experiment's frame has no rank; "
+                        "filter upstream"
+                    )
+                )
+            )
+        )
+        .groupBy(
+            *group_cols,
+            F.col(arm_col).alias("__arm"),
+            F.col(value_col).cast("bigint").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    w_ties = Window.partitionBy(*group_cols, "__v")
+    w_range = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = census.select(
+        *group_cols,
+        "__arm",
+        "__cnt",
+        F.sum("__cnt").over(w_ties).alias("__t"),
+        F.sum("__cnt").over(w_range).alias("__cum"),
+    ).withColumn(
+        "__rank2",
+        F.lit(2) * F.col("__cum") - F.col("__t") + F.lit(1),
+    )
+    arm_rows = ranked.groupBy(*group_cols, "__arm").agg(
+        F.sum("__cnt").cast("bigint").alias("__nj"),
+        F.sum(F.col("__cnt").cast(_D) * F.col("__rank2").cast(_D))
+        .cast(_D)
+        .alias("__r2"),
+        F.sum(
+            F.col("__t").cast(_D) * F.col("__t").cast(_D)
+            * F.col("__cnt").cast(_D)
+            - F.col("__cnt").cast(_D)
+        )
+        .cast(_D)
+        .alias("__tp"),
+    )
+    # DOUBLE envelope on the per-arm square, threaded into consumed __nj
+    r2d = F.col("__r2").cast("double")
+    nj_ok = F.when(
+        r2d * r2d <= F.lit(1e37), F.col("__nj")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "kruskal_wallis: a rank-sum square exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units (the omnibus "
+                "call is saturated at such n)"
+            )
+        ).cast("bigint")
+    )
+    arm_q = (
+        arm_rows.withColumn("__njq", nj_ok)
+        .select(
+            *group_cols,
+            F.col("__njq").alias("__nj"),
+            F.expr(
+                "(__r2 * __r2) div cast(__njq as decimal(38,0))"
+            ).alias("__q"),
+            "__tp",
+        )
+    )
+    g = arm_q.groupBy(*group_cols).agg(
+        F.sum("__nj").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_arms"),
+        F.sum("__q").cast(_D).alias("__s"),
+        F.sum("__tp").cast(_D).alias("__t3"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    n_s = dec.format("n")
+    num0 = f"(3 * __s - 3 * {n_s} * (n + 1) * (n + 1))"
+    h_milli = (
+        f"(CASE WHEN n > 1 THEN "
+        f"(1000 * greatest(cast(0 as decimal(38,0)), {num0})) "
+        f"div ({n_s} * (n + 1)) END)"
+    )
+    n3 = f"({n_s} * {n_s} * {n_s} - {n_s})"
+    # second DOUBLE envelope: h_milli * n^3 must stay inside 1e37
+    env2 = (
+        F.col("__h_milli").cast("double")
+        * F.col("n").cast("double") ** 3
+    )
+    out = g.withColumn("__h_milli", F.expr(h_milli)).withColumn(
+        "__h_ok",
+        F.when(
+            F.col("__h_milli").isNull() | (env2 <= F.lit(1e37)),
+            F.col("__h_milli"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "kruskal_wallis: the tie-correction operand exceeds "
+                    "the 1e37 DECIMAL(38,0) envelope — sample units"
+                )
+            ).cast("decimal(38,0)")
+        ),
+    )
+    h_adj = (
+        f"(CASE WHEN {n3} - __t3 > 0 THEN "
+        f"(cast(__h_ok as decimal(38,0)) * {n3}) div ({n3} - __t3) END)"
+    )
+    eps_num = f"(cast(__h_adj as decimal(38,0)) - 1000 * (n_arms - 1))"
+    eps2 = (
+        f"(CASE WHEN n > n_arms AND __h_adj IS NOT NULL THEN "
+        f"CASE WHEN {eps_num} >= 0 THEN {eps_num} div ({n_s} - n_arms) "
+        f"ELSE -((-{eps_num}) div ({n_s} - n_arms)) END END)"
+    )
+    return (
+        out.withColumn("__h_adj", F.expr(h_adj))
+        .select(
+            *group_cols,
+            "n",
+            "n_arms",
+            F.col("__t3").cast("bigint").alias("t3"),
+            F.col("__h_milli").cast("bigint").alias("h_milli"),
+            F.col("__h_adj").cast("bigint").alias("h_adj_milli"),
+            F.expr(eps2).cast("bigint").alias("eps2_milli"),
+        )
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson on midranks, the
+    monotone-association screen that ignores outliers and nonlinearity
+    (the profiling companion to ``corr_pairs``' Pearson: a large
+    Spearman/Pearson gap IS the nonlinearity/outlier diagnostic).
+
+    Engine-exact by the same two-step as corr_pairs: all sufficient
+    statistics are EXACT integers, the finish is one fixed-order
+    IEEE-double expression (correctly rounded ops on identical exact
+    inputs → bit-identical in Spark and DuckDB; rounded to 6 decimals
+    as belt-and-braces).  Midranks come from each column's VALUE CENSUS
+    as DOUBLED ranks (``rank2 = 2·cum − t + 1`` = 2·midrank, the
+    rank_sum_test identity — the doubling cancels in the correlation),
+    so no per-row window is ever needed: rows equi-join to the two
+    census tables and one combinable aggregate collects (n, Σrx, Σry,
+    Σrx², Σry², Σrx·ry) in DECIMAL(38,0).
+
+    Listwise complete-case: rows with NULL in either column are
+    excluded BEFORE ranking (ranks are computed within the analyzed
+    set — the standard contract).  Degenerate groups (either column
+    constant) emit NULL.
+
+    Returns ``(*group_cols, n, spearman)``.
+
+    Scale posture (100 TB): two data-sized combinable census groupBys
+    (one per column), two census-sized windows on the group key, then
+    two equi-joins of the fact rows to the censuses on (group, value)
+    — co-keyed shuffles, skew bounded by the tie distribution — and
+    ONE combinable moment aggregate.  No data-sized window, no
+    collect.  Σrank2² ≲ 4n³ caps groups at n ~ 1e11 inside
+    DECIMAL(38,0) — envelope-guarded in DOUBLE (threaded, the
+    rank_sum_test pattern).
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier; estimator per Spearman (1904) as in standard
+    texts.
+    """
+    groups = group_cols or []
+    from pyspark.sql import Window
+
+    complete = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *groups,
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    )
+
+    def census_ranked(col: str) -> DataFrame:
+        c = complete.groupBy(*groups, col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__t")
+        )
+        w_all = Window.partitionBy(*groups) if groups else Window.partitionBy()
+        w_range = w_all.orderBy(col).rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return c.select(
+            *groups,
+            col,
+            (
+                F.lit(2) * F.sum("__t").over(w_range)
+                - F.col("__t")
+                + F.lit(1)
+            ).alias(f"__r{col}"),
+        )
+
+    xc = census_ranked("__x")
+    yc = census_ranked("__y")
+    joined = complete.join(xc, [*groups, "__x"]).join(yc, [*groups, "__y"])
+    rx = F.col("__r__x").cast(_D)
+    ry = F.col("__r__y").cast(_D)
+    g = joined.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx).cast(_D).alias("__sx"),
+        F.sum(ry).cast(_D).alias("__sy"),
+        F.sum(rx * rx).cast(_D).alias("__sxx"),
+        F.sum(ry * ry).cast(_D).alias("__syy"),
+        F.sum(rx * ry).cast(_D).alias("__sxy"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    n_d = dd("n")
+    var_x = n_d * dd("__sxx") - dd("__sx") * dd("__sx")
+    var_y = n_d * dd("__syy") - dd("__sy") * dd("__sy")
+    # DOUBLE envelope threaded into the consumed n (Σr·r ≲ 4n³)
+    n_ok = F.when(
+        dd("__sxx") + dd("__syy") <= F.lit(1e37), F.col("n")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "spearman_corr: a rank-moment sum exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units"
+            )
+        ).cast("bigint")
+    )
+    return g.select(
+        *groups,
+        n_ok.alias("n"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(
+                (n_d * dd("__sxy") - dd("__sx") * dd("__sy"))
+                / (F.sqrt(var_x) * F.sqrt(var_y)),
+                6,
+            ),
+        ).alias("spearman"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Cramér's V effect size per group — the [0, 1] normalization of
+    the RxC chi-square that makes association strengths COMPARABLE
+    across tables of different size and shape (chi2 grows with n and
+    with the grid; V does not):
+
+        V = sqrt( (chi2 / n) / min(r - 1, c - 1) )
+
+    Rides ``contingency_chi2`` unchanged (exact-milli chi2, zero-cell
+    rebuild, envelope guards); the finish is ONE fixed-order IEEE
+    double expression on the exact integer outputs (divide by
+    ``1000·n·min_dim``, sqrt, round 6 — correctly-rounded ops on
+    identical exact inputs are bit-identical across engines, the
+    corr_pairs stance).  Degenerate groups (df = 0) emit NULL V, as
+    does a NULL chi2.
+
+    Returns the contingency_chi2 columns plus ``cramers_v``.
+
+    Scale posture: identical to contingency_chi2 — the finish adds
+    zero shuffles.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier; statistic per Cramér (1946).
+    """
+    base = contingency_chi2(
+        df, row_col=row_col, col_col=col_col, group_cols=group_cols
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    mindim = F.least(F.col("n_row_cats"), F.col("n_col_cats")) - F.lit(1)
+    return base.select(
+        "*",
+        F.when(
+            F.col("chi2_milli").isNotNull()
+            & (mindim > 0)
+            & (F.col("n_units") > 0),
+            F.round(
+                F.sqrt(
+                    dd("chi2_milli")
+                    / (
+                        F.lit(1000.0)
+                        * dd("n_units")
+                        * mindim.cast("double")
+                    )
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )

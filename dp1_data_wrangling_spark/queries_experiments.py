@@ -1207,3 +1207,288 @@ def q_orders_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bins=10,
         quant_scale=100,
     )
+
+
+@register(
+    "events_kruskal_wallis",
+    """
+    WITH kw_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('kw|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 3 AS arm,
+               CAST(floor(value * 1000) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    kw_c AS (
+        SELECT event_type, arm, vq, CAST(count(*) AS BIGINT) AS cnt
+        FROM kw_e GROUP BY 1, 2, 3
+    ),
+    kw_r AS (
+        SELECT *,
+               CAST(sum(cnt) OVER (PARTITION BY event_type, vq)
+                    AS BIGINT) AS t,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM kw_c
+    ),
+    kw_a AS (
+        SELECT event_type, arm,
+               CAST(sum(cnt) AS BIGINT) AS nj,
+               CAST(sum(CAST(cnt AS HUGEINT) * (2 * cum - t + 1))
+                    AS HUGEINT) AS r2,
+               CAST(sum(CAST(t AS HUGEINT) * t * cnt - cnt)
+                    AS HUGEINT) AS tp
+        FROM kw_r GROUP BY 1, 2
+    ),
+    kw_q AS (
+        SELECT event_type, nj, (r2 * r2) // nj AS q, tp FROM kw_a
+    ),
+    kw_g AS (
+        SELECT event_type,
+               CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_arms,
+               CAST(sum(q) AS HUGEINT) AS s,
+               CAST(sum(tp) AS HUGEINT) AS t3
+        FROM kw_q GROUP BY 1
+    ),
+    kw_h AS (
+        SELECT event_type, n, n_arms, t3,
+               CASE WHEN n > 1 THEN
+                   (1000 * greatest(CAST(0 AS HUGEINT),
+                        3 * s - 3 * CAST(n AS HUGEINT) * (n + 1) * (n + 1)))
+                   // (CAST(n AS HUGEINT) * (n + 1)) END AS h_milli,
+               CAST(n AS HUGEINT) * n * n - n AS n3
+        FROM kw_g
+    ),
+    kw_j AS (
+        SELECT *,
+               CASE WHEN n3 - t3 > 0
+                    THEN (h_milli * n3) // (n3 - t3) END AS h_adj
+        FROM kw_h
+    )
+    SELECT event_type, n, n_arms, CAST(t3 AS BIGINT) AS t3,
+           CAST(h_milli AS BIGINT) AS h_milli,
+           CAST(h_adj AS BIGINT) AS h_adj_milli,
+           CASE WHEN n > n_arms AND h_adj IS NOT NULL THEN
+               CAST(CASE WHEN h_adj - 1000 * (n_arms - 1) >= 0
+                    THEN (h_adj - 1000 * (n_arms - 1)) // (n - n_arms)
+                    ELSE -((-(h_adj - 1000 * (n_arms - 1)))
+                           // (n - n_arms)) END AS BIGINT)
+           END AS eps2_milli
+    FROM kw_j
+    """,
+)
+def q_events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis omnibus k-arm readout per event type
+    (operators/stats.py kruskal_wallis, r13): users assign to THREE
+    arms by md5 ('kw|' salt — the ab_contingency hash convention), the
+    metric is the event value in exact milli, and each event type
+    reports H, its tie-corrected form and the epsilon-squared effect
+    size — the screen you run before pairwise events_rank_sum
+    drill-downs.  Doubled midranks from the value census (RANGE-frame
+    cumulative so ties across arms share one midrank), three stated
+    truncating divisions replayed verbatim by the HUGEINT oracle.
+    ONE event-sized census groupBy, two census-sized windows, one
+    combinable census groupBy; no join (plan-gated)."""
+    from .operators.stats import kruskal_wallis
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kw|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 3
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    return kruskal_wallis(
+        e, arm_col="arm", value_col="vq", group_cols=["event_type"]
+    )
+
+
+@register(
+    "lineitem_spearman",
+    """
+    WITH sp_d AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 1000) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    sp_xc AS (
+        SELECT flag, x, CAST(count(*) AS BIGINT) AS t
+        FROM sp_d GROUP BY 1, 2
+    ),
+    sp_xr AS (
+        SELECT flag, x,
+               2 * CAST(sum(t) OVER (PARTITION BY flag ORDER BY x
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t + 1 AS rx
+        FROM sp_xc
+    ),
+    sp_yc AS (
+        SELECT flag, y, CAST(count(*) AS BIGINT) AS t
+        FROM sp_d GROUP BY 1, 2
+    ),
+    sp_yr AS (
+        SELECT flag, y,
+               2 * CAST(sum(t) OVER (PARTITION BY flag ORDER BY y
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t + 1 AS ry
+        FROM sp_yc
+    ),
+    sp_j AS (
+        SELECT d.flag, xr.rx, yr.ry
+        FROM sp_d d
+        JOIN sp_xr xr ON d.flag = xr.flag AND d.x = xr.x
+        JOIN sp_yr yr ON d.flag = yr.flag AND d.y = yr.y
+    ),
+    sp_g AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+               CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+        FROM sp_j GROUP BY 1
+    )
+    SELECT flag, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN round(
+                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6) END AS spearman
+    FROM sp_g
+    """,
+)
+def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman quantity-vs-price monotone association per returnflag
+    (operators/stats.py spearman_corr, r13) — the rank companion to
+    the Pearson corr_pairs profile: a large Spearman/Pearson gap is
+    the nonlinearity/outlier diagnostic.  Midranks come from each
+    column's value census as doubled ranks (no per-row window); rows
+    equi-join to the two censuses and ONE combinable aggregate
+    collects the exact DECIMAL(38,0) rank moments; the finish is the
+    corr_pairs fixed-order double expression rounded to 6 (IEEE
+    correctly-rounded ops on identical exact integers — bit-identical
+    across engines).  Two census groupBys + two co-keyed equi-joins +
+    one moment aggregate; no data-sized window (plan-gated)."""
+    from .operators.stats import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 1000).cast("bigint").alias("y"),
+    )
+    return spearman_corr(li, x_col="x", y_col="y", group_cols=["flag"])
+
+
+@register(
+    "events_cramers_v",
+    """
+    WITH cv_o AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               event_type AS rv,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS cv,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cv_r AS (
+        SELECT dow, rv, CAST(sum(o) AS BIGINT) AS rm
+        FROM cv_o GROUP BY dow, rv
+    ),
+    cv_c AS (
+        SELECT dow, cv, CAST(sum(o) AS BIGINT) AS cm
+        FROM cv_o GROUP BY dow, cv
+    ),
+    cv_n AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS nn FROM cv_o GROUP BY dow
+    ),
+    cv_g AS (
+        SELECT r.dow, r.rv, c.cv, r.rm, c.cm, n.nn,
+               coalesce(o.o, 0) AS o
+        FROM cv_r r
+        JOIN cv_c c USING (dow)
+        JOIN cv_n n USING (dow)
+        LEFT JOIN cv_o o
+          ON o.dow = r.dow AND o.rv = r.rv AND o.cv = c.cv
+    ),
+    cv_t AS (
+        SELECT dow, rv, cv,
+               CAST((1000 * (CAST(o AS HUGEINT) * nn
+                             - CAST(rm AS HUGEINT) * cm)
+                          * (CAST(o AS HUGEINT) * nn
+                             - CAST(rm AS HUGEINT) * cm))
+                    // (CAST(nn AS HUGEINT) * rm * cm) AS BIGINT) AS term,
+               nn
+        FROM cv_g
+    ),
+    cv_s AS (
+        SELECT dow,
+               CAST(count(DISTINCT rv) AS BIGINT) AS n_row_cats,
+               CAST(count(DISTINCT cv) AS BIGINT) AS n_col_cats,
+               CAST(max(nn) AS BIGINT) AS n_units,
+               CAST((count(DISTINCT rv) - 1) * (count(DISTINCT cv) - 1)
+                    AS BIGINT) AS df,
+               CASE WHEN (count(DISTINCT rv) - 1)
+                         * (count(DISTINCT cv) - 1) > 0
+                    THEN CAST(sum(term) AS BIGINT) END AS chi2_milli
+        FROM cv_t GROUP BY dow
+    )
+    SELECT dow, n_row_cats, n_col_cats, n_units, df, chi2_milli,
+           CASE WHEN chi2_milli IS NOT NULL
+                 AND least(n_row_cats, n_col_cats) - 1 > 0
+                 AND n_units > 0
+                THEN round(sqrt(CAST(chi2_milli AS DOUBLE)
+                     / (1000.0 * CAST(n_units AS DOUBLE)
+                        * CAST(least(n_row_cats, n_col_cats) - 1
+                               AS DOUBLE))), 6)
+           END AS cramers_v
+    FROM cv_s
+    """,
+)
+def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the type-x-hour association per day-of-week
+    (operators/stats.py cramers_v, r13) — the [0,1] effect size the
+    raw events_type_hour_independence chi2 can't give you: chi2 grows
+    with n and grid shape, V is comparable across tables (the "is this
+    association actually MATERIAL" readout next to "is it
+    significant").  Rides contingency_chi2 unchanged; the finish is
+    one fixed-order IEEE double (÷ 1000·n·min_dim, sqrt, round 6)
+    replayed verbatim by the oracle.  Same plan as the chi2 sibling:
+    one census groupBy, census-sized margins/grid (plan-gated)."""
+    from .operators.stats import cramers_v
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    d = e.select(
+        (F.expr("ts_us div 86400000000") % 7).alias("dow"),
+        F.col("event_type").alias("etype"),
+        ((F.expr("ts_us div 3600000000")) % 24)
+        .cast("string")
+        .alias("hour"),
+    )
+    return cramers_v(d, row_col="etype", col_col="hour", group_cols=["dow"])

@@ -8542,3 +8542,219 @@ def test_binned_psi_hand_computed(spark):
     # psi = only bin0's term: (2*4 - 3*2)/(4*2) * ln((2*4)/(3*2))
     t = (2 * 4 - 3 * 2) / (4 * 2) * math.log((2 * 4) / (3 * 2))
     assert out2[0][2] == round(t, 6)
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """Four-subject NA curve against hand arithmetic: per-duration term
+    is (scale*d) div n_risk, cumulative in duration order; a
+    censoring-only duration moves n_risk but adds a zero term."""
+    from dp1_data_wrangling_spark.operators.survival import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (3, 0)], "t long, e int"
+    )
+    out = {
+        r.duration: (r.n_risk, r.n_events, r.n_censored, r.cumhaz_scaled)
+        for r in nelson_aalen(df, duration_col="t", event_col="e").collect()
+    }
+    # t=1: 1e9*1//4 = 250_000_000; t=2: +1e9*1//2; t=3: censor only
+    assert out[1] == (4, 1, 1, 250_000_000)
+    assert out[2] == (2, 1, 0, 750_000_000)
+    assert out[3] == (1, 0, 1, 750_000_000)
+
+
+def test_nelson_aalen_validation(spark):
+    from dp1_data_wrangling_spark.operators.survival import nelson_aalen
+
+    neg = spark.createDataFrame([(-1, 1)], "t long, e int")
+    with pytest.raises(Exception, match="negative duration"):
+        nelson_aalen(neg, duration_col="t", event_col="e").collect()
+    bad = spark.createDataFrame([(1, 2)], "t long, e int")
+    with pytest.raises(Exception, match="event flag must be 0/1"):
+        nelson_aalen(bad, duration_col="t", event_col="e").collect()
+    with pytest.raises(ValueError, match="scale"):
+        nelson_aalen(bad, duration_col="t", event_col="e", scale=0)
+
+
+def test_log_rank_hand_computed(spark):
+    """Two-arm four-subject case against hand ppm arithmetic, plus the
+    degenerate one-armed and all-censored groups emitting NULL chi2."""
+    from dp1_data_wrangling_spark.operators.survival import log_rank_test
+
+    rows = [
+        # group "g": arm0 {(1,ev),(3,cens)}, arm1 {(1,ev),(2,ev)}
+        ("g", 0, 1, 1), ("g", 0, 3, 0), ("g", 1, 1, 1), ("g", 1, 2, 1),
+        # group "one": single arm -> V=0 -> NULL
+        ("one", 0, 1, 1), ("one", 0, 2, 1),
+        # group "cens": both arms, no events -> V=0 -> NULL
+        ("cens", 0, 5, 0), ("cens", 1, 7, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, arm int, t long, e int")
+    out = {
+        r.grp: (r.n_a, r.n_b, r.o_a, r.e_a_ppm, r.v_ppm, r.chi2_milli)
+        for r in log_rank_test(
+            df, duration_col="t", event_col="e", arm_col="arm",
+            group_cols=["grp"],
+        ).collect()
+    }
+    # t=1: d=2,n=4: e=(1e6*2*2)//4=1_000_000, v=(1e6*2*2*2*2)//48=333_333
+    # t=2: d=1,n=2: e=(1e6*1*1)//2=500_000,   v=(1e6*1*1*1*1)//4=250_000
+    # S = 1e6*1 - 1_500_000 = -500_000
+    # chi2 = (1000*S^2) // (1e6*583_333) = 25e13 // 583_333_000_000 = 428
+    assert out["g"] == (2, 2, 1, 1_500_000, 583_333, 428)
+    assert out["one"][5] is None
+    assert out["cens"] == (1, 1, 0, 0, 0, None)
+
+
+def test_log_rank_validation(spark):
+    from dp1_data_wrangling_spark.operators.survival import log_rank_test
+
+    bad = spark.createDataFrame([(2, 1, 1)], "arm int, t long, e int")
+    with pytest.raises(Exception, match="arm must be 0/1"):
+        log_rank_test(
+            bad, duration_col="t", event_col="e", arm_col="arm",
+            group_cols=[],
+        ).collect()
+
+
+def test_kruskal_wallis_matches_brute_force(spark):
+    """Randomized three-arm case vs an independent Python midrank
+    replay of all three stated truncations, plus the all-tied group
+    (NULL tie-corrected H) and a single-arm group (H = 0)."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.stats import kruskal_wallis
+
+    random.seed(11)
+    rows = [
+        (
+            f"g{i % 2}",
+            ["a", "b", "c"][random.randint(0, 2)],
+            random.randint(0, 40),
+        )
+        for i in range(600)
+    ]
+    # planted shift so g0 carries signal
+    rows = [
+        (g, a, v + (6 if a == "c" and g == "g0" else 0)) for g, a, v in rows
+    ]
+    rows += [("tied", "a", 5), ("tied", "b", 5), ("tied", "c", 5)]
+    rows += [("mono", "a", 1), ("mono", "a", 2), ("mono", "a", 3)]
+    df = spark.createDataFrame(rows, "grp string, arm string, v long")
+    got = {
+        r.grp: (r.n, r.n_arms, r.t3, r.h_milli, r.h_adj_milli, r.eps2_milli)
+        for r in kruskal_wallis(
+            df, arm_col="arm", value_col="v", group_cols=["grp"]
+        ).collect()
+    }
+
+    def brute(g):
+        sub = [(a, v) for gg, a, v in rows if gg == g]
+        n = len(sub)
+        cum, rank2, tmap = 0, {}, {}
+        for v in sorted(set(v for _, v in sub)):
+            t = sum(1 for _, vv in sub if vv == v)
+            rank2[v], tmap[v] = 2 * cum + t + 1, t
+            cum += t
+        arms = sorted(set(a for a, _ in sub))
+        s = 0
+        for a in arms:
+            nj = sum(1 for aa, _ in sub if aa == a)
+            r2 = sum(rank2[v] for aa, v in sub if aa == a)
+            s += (r2 * r2) // nj
+        T = sum(t**3 - t for t in tmap.values())
+        h = (1000 * max(0, 3 * s - 3 * n * (n + 1) * (n + 1))) // (
+            n * (n + 1)
+        )
+        n3 = n**3 - n
+        h_adj = (h * n3) // (n3 - T) if n3 - T > 0 else None
+        k = len(arms)
+        eps = None
+        if n > k and h_adj is not None:
+            en = h_adj - 1000 * (k - 1)
+            eps = en // (n - k) if en >= 0 else -((-en) // (n - k))
+        return (n, k, T, h, h_adj, eps)
+
+    for g in ("g0", "g1", "tied", "mono"):
+        assert got[g] == brute(g), g
+    # the planted shift must dominate: g0's H well above g1's null H
+    assert got["g0"][4] > 2 * got["g1"][4]
+    assert got["tied"][4] is None  # all-tied: tie term kills the df
+    assert got["mono"][3] == 0  # one arm: H is exactly 0
+
+
+def test_kruskal_wallis_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import kruskal_wallis
+
+    with pytest.raises(ValueError, match="group_cols"):
+        kruskal_wallis(
+            spark.range(1), arm_col="id", value_col="id", group_cols=[]
+        )
+    bad = spark.createDataFrame(
+        [("g", None, 1)], "grp string, arm string, v long"
+    )
+    with pytest.raises(Exception, match="arm must be non-NULL"):
+        kruskal_wallis(
+            bad, arm_col="arm", value_col="v", group_cols=["grp"]
+        ).collect()
+
+
+def test_spearman_hand_computed(spark):
+    """Perfect monotone (rho=1 despite nonlinearity), perfect inverse
+    (rho=-1), a tied-midrank case against pandas' average-rank Pearson,
+    a constant column (NULL), and listwise NULL exclusion."""
+    import pandas as pd
+
+    from dp1_data_wrangling_spark.operators.stats import spearman_corr
+
+    rows = (
+        [("up", x, x * x * x) for x in range(1, 8)]
+        + [("down", x, -3 * x + 100) for x in range(1, 8)]
+        + [("flat", x, 7) for x in range(1, 8)]
+        + [("ties", x, y) for x, y in
+           [(1, 3), (1, 5), (2, 3), (2, 9), (5, 5), (5, 5), (6, 1)]]
+        + [("nulls", 1, 10), ("nulls", 2, 20), ("nulls", 3, None),
+           ("nulls", None, 40), ("nulls", 4, 40)]
+    )
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {
+        r.grp: (r.n, r.spearman)
+        for r in spearman_corr(
+            df, x_col="x", y_col="y", group_cols=["grp"]
+        ).collect()
+    }
+    assert got["up"] == (7, 1.0)
+    assert got["down"] == (7, -1.0)
+    assert got["flat"][1] is None
+    pdf = pd.DataFrame(
+        [(x, y) for g, x, y in rows if g == "ties"], columns=["x", "y"]
+    )
+    exp = pdf["x"].rank(method="average").corr(pdf["y"].rank(method="average"))
+    assert got["ties"] == (7, round(exp, 6))
+    # NULL-bearing rows excluded BEFORE ranking: only the 3 complete rows
+    assert got["nulls"][0] == 3
+
+
+def test_cramers_v_hand_computed(spark):
+    """Perfect 2x2 association gives V = 1.0; independence gives
+    V = 0.0; a one-column-category group gives NULL (df = 0)."""
+    from dp1_data_wrangling_spark.operators.stats import cramers_v
+
+    rows = (
+        # perfect: a<->x, b<->y (2 each)
+        [("p", "a", "x")] * 2 + [("p", "b", "y")] * 2
+        # independent 2x2 with equal cells
+        + [("i", r, c) for r in ("a", "b") for c in ("x", "y")]
+        # degenerate: one column category
+        + [("d", "a", "x"), ("d", "b", "x")]
+    )
+    df = spark.createDataFrame(rows, "grp string, r string, c string")
+    got = {
+        r.grp: (r.chi2_milli, r.cramers_v)
+        for r in cramers_v(
+            df, row_col="r", col_col="c", group_cols=["grp"]
+        ).collect()
+    }
+    assert got["p"] == (4000, 1.0)
+    assert got["i"] == (0, 0.0)
+    assert got["d"] == (None, None)
