@@ -1128,3 +1128,101 @@ def vocab_growth(
             F.expr("(n_terms * 1000000) div n_tokens"),
         ).alias("terms_per_mtoken"),
     )
+
+
+def _run_count(text: Column, char_class: str) -> Column:
+    """Count of maximal runs of a regex character class, via the
+    double-replace length identity: replacing each run with a single
+    marker shrinks the string by (run_chars - 1) per run, replacing
+    with '' shrinks by run_chars — the difference is the run count.
+    Integer-exact and portable: the same `[...]+` pattern means the
+    same thing to Java regex and RE2, and both engines' replace-all
+    are applied (Spark regexp_replace is global; DuckDB takes 'g')."""
+    pat = f"[{char_class}]+"
+    return (
+        F.length(F.regexp_replace(text, pat, "#"))
+        - F.length(F.regexp_replace(text, pat, ""))
+    ).cast("long")
+
+
+def readability(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corpus readability per group — Flesch reading ease and the
+    Flesch-Kincaid grade level, the curation screen that separates
+    "encyclopedia prose" from "keyword soup" sources before a
+    training-mix decision (a complement to gopher_rules' structural
+    gates: those catch boilerplate, this scores the prose itself).
+
+    Counting conventions, all integer-exact and engine-portable:
+
+    - words      = non-empty whitespace tokens (the gopher convention)
+    - sentences  = maximal runs of ``[.!?]``  (run-count identity —
+      "Stop!!" and "Stop." both end one sentence)
+    - syllables  = maximal lowercase vowel runs ``[aeiouy]+`` (the
+      classic one-vowel-group-per-syllable proxy; stated convention —
+      all-consonant tokens contribute zero)
+
+    group sums feed the exact milli formulas (one truncating division
+    per ratio, replayed verbatim by the oracle; W = words,
+    S = sentences, Y = syllables):
+
+        flesch_milli   = 206835 − (1015·W) div S − (84600·Y) div W
+        fk_grade_milli = (390·W) div S + (11800·Y) div W − 15590
+
+    Flesch is legitimately negative for dense prose (the subtraction
+    is BIGINT, never a division of negatives); groups with zero words
+    or zero sentences emit NULL scores, never fake zeros.  NULL text
+    rows are excluded.
+
+    Returns ``(*group_cols, n_docs, n_words, n_sentences, n_syllables,
+    flesch_milli, fk_grade_milli)``.
+
+    Scale posture (100 TB): per-row JVM regex/length expressions (no
+    Python, no explode — three regexp_replace passes per document)
+    into ONE combinable groupBy; the ratio algebra runs on one row per
+    group.  W ≤ 2^63/84600 ≈ 1e14 words per group before overflow —
+    envelope-checked via the documented BIGINT headroom, not guarded
+    (a corpus 100× the public web would still fit).
+
+    Engine extension — the reference (exporter.py:75-141) has no text
+    tier; formulas per Flesch (1948) / Kincaid et al. (1975).
+    """
+    groups = group_cols or []
+    text = F.col(text_col)
+    base = docs.filter(text.isNotNull()).select(
+        *groups,
+        token_count(text).alias("__w"),
+        _run_count(text, ".!?").alias("__s"),
+        _run_count(F.lower(text), "aeiouy").alias("__y"),
+    )
+    g = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__s").cast("bigint").alias("n_sentences"),
+        F.sum("__y").cast("bigint").alias("n_syllables"),
+    )
+    return g.select(
+        *groups,
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+            "206835 - (1015 * n_words) div n_sentences "
+            "- (84600 * n_syllables) div n_words END"
+        )
+        .cast("bigint")
+        .alias("flesch_milli"),
+        F.expr(
+            "CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+            "(390 * n_words) div n_sentences "
+            "+ (11800 * n_syllables) div n_words - 15590 END"
+        )
+        .cast("bigint")
+        .alias("fk_grade_milli"),
+    )

@@ -1794,3 +1794,53 @@ def q_corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_ngram_overlap(ref, cur, n=5)
+
+
+@register(
+    "doc_readability",
+    """
+    WITH rd_b AS (
+        SELECT source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x != '')) AS BIGINT) AS w,
+               CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                  - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                  AS BIGINT) AS s,
+               CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+                  - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                  AS BIGINT) AS y
+        FROM documents WHERE text IS NOT NULL
+    ),
+    rd_g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(s) AS BIGINT) AS n_sentences,
+               CAST(sum(y) AS BIGINT) AS n_syllables
+        FROM rd_b GROUP BY source
+    )
+    SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+               206835 - (1015 * n_words) // n_sentences
+                      - (84600 * n_syllables) // n_words
+           END AS flesch_milli,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+               (390 * n_words) // n_sentences
+               + (11800 * n_syllables) // n_words - 15590
+           END AS fk_grade_milli
+    FROM rd_g
+    """,
+)
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability per scrape source (operators/text.py
+    readability, r13): Flesch reading ease + Flesch-Kincaid grade in
+    exact milli from integer word / sentence-run / vowel-run counts —
+    the prose-quality screen next to doc_gopher_rules' structural
+    gates when weighing a source's training-mix share.  Run counts use
+    the double-replace length identity (portable: Java regex and RE2
+    agree on `[...]+`), ratios are one truncating division each,
+    replayed verbatim.  Per-row JVM regex into ONE combinable groupBy;
+    no join, no window, no Python (plan-gated)."""
+    from .operators.text import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs, text_col="text", group_cols=["source"])

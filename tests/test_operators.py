@@ -8758,3 +8758,34 @@ def test_cramers_v_hand_computed(spark):
     assert got["p"] == (4000, 1.0)
     assert got["i"] == (0, 0.0)
     assert got["d"] == (None, None)
+
+
+def test_readability_hand_computed(spark):
+    """Hand-counted Flesch / FK-grade on two tiny corpora, the
+    zero-sentence group emitting NULL scores, and NULL-text
+    exclusion."""
+    from dp1_data_wrangling_spark.operators.text import readability
+
+    rows = [
+        # "a": "The cat sat." -> w=3, s=1, y: e,a,a -> 3
+        #      "It ran away!!" -> w=3, s=1 (one !! run), y: i,a,a,ay -> 4
+        ("a", "The cat sat."),
+        ("a", "It ran away!!"),
+        # "b": no sentence punctuation at all -> NULL scores
+        ("b", "just words no stops"),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (
+            r.n_docs, r.n_words, r.n_sentences, r.n_syllables,
+            r.flesch_milli, r.fk_grade_milli,
+        )
+        for r in readability(df, group_cols=["source"]).collect()
+    }
+    w, s, y = 6, 2, 7
+    flesch = 206835 - (1015 * w) // s - (84600 * y) // w
+    grade = (390 * w) // s + (11800 * y) // w - 15590
+    assert got["a"] == (2, w, s, y, flesch, grade)
+    assert got["b"][0] == 1  # NULL text excluded from the census
+    assert got["b"][4] is None and got["b"][5] is None
