@@ -3463,6 +3463,32 @@ def kruskal_wallis(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
+    return kruskal_wallis_from_census(census, group_cols=group_cols)
+
+
+def kruskal_wallis_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    arm_col: str = "__arm",
+    value_col: str = "__v",
+    count_col: str = "__cnt",
+) -> DataFrame:
+    """The census→statistic fold of :func:`kruskal_wallis`, split out
+    (the stream_census pattern) so the streaming twin folds the SAME
+    arithmetic over a maintained ``(*groups, arm, value, count)``
+    census — counts add, so the census is exactly-once maintainable
+    and every statistic re-derives census-sized at read."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    census = census.select(
+        *group_cols,
+        F.col(arm_col).alias("__arm"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(count_col).cast("bigint").alias("__cnt"),
+    )
     w_ties = Window.partitionBy(*group_cols, "__v")
     w_range = (
         Window.partitionBy(*group_cols)

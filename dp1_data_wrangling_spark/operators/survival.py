@@ -264,6 +264,36 @@ def nelson_aalen(
         F.sum("__e").alias("__d"),
         (F.count(F.lit(1)) - F.sum("__e")).alias("__c"),
     )
+    return nelson_aalen_from_census(census, group_cols=groups, scale=scale)
+
+
+def nelson_aalen_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    duration_col: str = "__t",
+    events_col: str = "__d",
+    censored_col: str = "__c",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """The census→curve fold of :func:`nelson_aalen`, split out (the
+    stream_census pattern): the ``(*groups, duration, d, c)`` census is
+    a pair of associative counts, so a stream maintains it exactly-once
+    and the whole hazard curve — at-risk depletion included —
+    re-derives census-sized at read; a LATE subject revises one census
+    row, which moves n_risk for every EARLIER duration's term, exactly
+    the cross-row damage only the census fold re-derives."""
+    if scale < 1:
+        raise ValueError(f"scale must be positive, got {scale}")
+    groups = group_cols or []
+    from pyspark.sql import Window
+
+    census = census.select(
+        *groups,
+        F.col(duration_col).cast("bigint").alias("__t"),
+        F.col(events_col).cast("bigint").alias("__d"),
+        F.col(censored_col).cast("bigint").alias("__c"),
+    )
     w_all = Window.partitionBy(*groups) if groups else Window.partitionBy()
     w_cum = w_all.orderBy("__t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -394,11 +424,64 @@ def log_rank_test(
         groups=groups,
         extra=[arm_ok.alias("__arm")],
     )
-    census = checked.groupBy(*groups, "__t").agg(
-        F.sum(F.when(F.col("__arm") == 0, F.col("__e")).otherwise(0)).alias("__da"),
-        F.sum(F.when(F.col("__arm") == 1, F.col("__e")).otherwise(0)).alias("__db"),
-        F.sum(F.when(F.col("__arm") == 0, 1 - F.col("__e")).otherwise(0)).alias("__ca"),
-        F.sum(F.when(F.col("__arm") == 1, 1 - F.col("__e")).otherwise(0)).alias("__cb"),
+    census = checked.groupBy(*groups, "__t", "__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_tot"),
+        F.sum("__e").cast("bigint").alias("__n_ev"),
+    )
+    return log_rank_from_census(census, group_cols=groups)
+
+
+def log_rank_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    duration_col: str = "__t",
+    arm_col: str = "__arm",
+    total_col: str = "__n_tot",
+    events_col: str = "__n_ev",
+) -> DataFrame:
+    """The census→statistic fold of :func:`log_rank_test`, split out
+    (the stream_census pattern) over the LONG-form ``(*groups,
+    duration, arm, n_tot, n_events)`` census — two associative counts
+    per cell, so a stream maintains it exactly-once and O/E/V/chi2
+    re-derive census-sized at read.  A LATE subject revises one cell,
+    which moves the at-risk counts of every earlier event time — the
+    cross-row coupling that forces the full fold.  ``arm`` must be
+    0/1 (executor fail-fast)."""
+    groups = group_cols or []
+    from pyspark.sql import Window
+
+    arm = F.col(arm_col)
+    arm_ok = F.when(
+        arm.isNotNull() & arm.cast("bigint").isin(0, 1),
+        arm.cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "log_rank_from_census: arm must be 0/1 and non-NULL"
+            )
+        ).cast("bigint")
+    )
+    long = census.select(
+        *groups,
+        F.col(duration_col).cast("bigint").alias("__t"),
+        arm_ok.alias("__arm"),
+        F.col(total_col).cast("bigint").alias("__n_tot"),
+        F.col(events_col).cast("bigint").alias("__n_ev"),
+    )
+    census = long.groupBy(*groups, "__t").agg(
+        F.sum(F.when(F.col("__arm") == 0, F.col("__n_ev")).otherwise(0)).alias("__da"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__n_ev")).otherwise(0)).alias("__db"),
+        F.sum(
+            F.when(
+                F.col("__arm") == 0, F.col("__n_tot") - F.col("__n_ev")
+            ).otherwise(0)
+        ).alias("__ca"),
+        F.sum(
+            F.when(
+                F.col("__arm") == 1, F.col("__n_tot") - F.col("__n_ev")
+            ).otherwise(0)
+        ).alias("__cb"),
     )
     w_all = Window.partitionBy(*groups) if groups else Window.partitionBy()
     w_tot = w_all.orderBy("__t").rowsBetween(

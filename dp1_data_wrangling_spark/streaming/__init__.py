@@ -51,6 +51,9 @@ from .census import (
     read_cohens_kappa,
     read_cuped_ate,
     read_heavy_hitters,
+    read_kruskal_wallis,
+    read_log_rank,
+    read_nelson_aalen,
     read_ohlc,
     read_post_strat_ate,
     read_srm,
@@ -98,6 +101,9 @@ __all__ = [
     "read_cohens_kappa",
     "read_cuped_ate",
     "read_heavy_hitters",
+    "read_kruskal_wallis",
+    "read_log_rank",
+    "read_nelson_aalen",
     "read_ohlc",
     "read_post_strat_ate",
     "read_srm",

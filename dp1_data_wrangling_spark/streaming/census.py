@@ -28,7 +28,12 @@ and ``read_simpson`` (r13 — mix concentration, the
 ``doc_source_lang_simpson`` surface).  r13 late adds the experiment
 read sides: ``read_post_strat_ate`` (per-(group, stratum, arm) cell
 census) and ``read_cuped_ate`` (per-(group, arm) cross-moment census
-— sums of y, x, xy, xx add, so pooled theta re-derives exactly).
+— sums of y, x, xy, xx add, so pooled theta re-derives exactly),
+then the rank/survival families: ``read_kruskal_wallis`` (the k-arm
+midrank omnibus — a late unit moves every midrank above it),
+``read_nelson_aalen`` (cumulative hazard — a late subject moves
+n_risk for every earlier duration) and ``read_log_rank`` (the
+censoring-correct two-arm retention experiment monitored live).
 
 Engine extension — the reference (export_dp1.py / import_dp1.py) has
 no streaming tier; cited for provenance only.
@@ -527,3 +532,100 @@ def read_table_profile(
 
     census = Catalog(catalog_root).read(spark, table)
     return profile_from_census(census, string_cols=string_cols)
+
+
+def read_kruskal_wallis(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+    arm_col: str = "arm",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fold a maintained ``(*groups, arm, value, n_rows)`` census
+    through the exact Kruskal-Wallis omnibus (operators/stats.py
+    kruskal_wallis_from_census) — the streaming form of the
+    ``events_kruskal_wallis`` surface: the k-arm metric experiment
+    watched live as units stream in.  A LATE unit revises one census
+    cell, which moves EVERY value's midrank above it, every arm's rank
+    sum and the tie correction — re-derived census-sized at read (no
+    bounded incremental state can hold a midrank).  Project the stream
+    to (groups, arm, quantized value) and maintain with
+    ``stream_census(..., key_cols=[*groups, arm, value])``."""
+    from ..operators.stats import kruskal_wallis_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return kruskal_wallis_from_census(
+        census,
+        group_cols=group_cols,
+        arm_col=arm_col,
+        value_col=value_col,
+        count_col="n_rows",
+    )
+
+
+def read_nelson_aalen(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str] | None = None,
+    duration_col: str = "duration",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fold a maintained ``(*groups, duration, n_rows, n_events)``
+    subject census through the exact Nelson-Aalen cumulative hazard
+    (operators/survival.py nelson_aalen_from_census) — the streaming
+    form of the ``user_churn_hazard`` surface: the churn hazard curve
+    kept live as subjects resolve.  A LATE subject revises one census
+    row, which moves n_risk for every EARLIER duration's term — the
+    at-risk coupling only the census fold re-derives.  Maintain with
+    ``stream_census(..., key_cols=[*groups, duration],
+    sum_cols={"n_events": "<event flag>"})``; censored-at-duration
+    counts are ``n_rows − n_events`` by construction."""
+    from ..operators.survival import nelson_aalen_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return nelson_aalen_from_census(
+        census.withColumn(
+            "__cens", F.col("n_rows") - F.col("n_events")
+        ),
+        group_cols=group_cols,
+        duration_col=duration_col,
+        events_col="n_events",
+        censored_col="__cens",
+        scale=scale,
+    )
+
+
+def read_log_rank(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str] | None = None,
+    duration_col: str = "duration",
+    arm_col: str = "arm",
+) -> DataFrame:
+    """Fold a maintained ``(*groups, duration, arm, n_rows, n_events)``
+    census through the exact two-sample log-rank test
+    (operators/survival.py log_rank_from_census) — the streaming form
+    of the ``user_churn_logrank`` surface, and the one a retention
+    experiment actually wants: the censoring-correct arm comparison
+    monitored live as subjects churn or age, exactly-once, with a late
+    subject revising one cell and the O/E/V sums re-deriving
+    census-sized at read.  Maintain with ``stream_census(...,
+    key_cols=[*groups, duration, arm],
+    sum_cols={"n_events": "<event flag>"})``."""
+    from ..operators.survival import log_rank_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return log_rank_from_census(
+        census,
+        group_cols=group_cols,
+        duration_col=duration_col,
+        arm_col=arm_col,
+        total_col="n_rows",
+        events_col="n_events",
+    )

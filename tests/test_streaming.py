@@ -3525,3 +3525,238 @@ def test_stream_read_psi_equals_batch(spark, tmp_path):
     got = live()
     assert got == batch(b1.union(b2))
     assert got != first  # the second cut moved the index
+
+
+def test_stream_census_kruskal_equals_batch(spark, tmp_path):
+    """Streaming three-arm metric units through the census maintainer
+    in three cuts — the LAST cut delivers LATE units that revise value
+    cells (moving every midrank above them, the arm rank sums and the
+    tie correction) — read_kruskal_wallis == the batch kruskal_wallis
+    over all delivered units.  Replay from the same checkpoint is a
+    no-op."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.stats import kruskal_wallis
+    from dp1_data_wrangling_spark.streaming import (
+        read_kruskal_wallis,
+        stream_census,
+    )
+
+    random.seed(23)
+    rows = []
+    for rid in range(600):
+        g = f"g{rid % 2}"
+        arm = ["a", "b", "c"][random.randint(0, 2)]
+        v = random.randint(0, 30) + (5 if arm == "b" and g == "g0" else 0)
+        rows.append((g, arm, v, rid))
+    units = spark.createDataFrame(
+        rows, "grp string, arm string, v long, rid long"
+    )
+
+    src_dir = tmp_path / "units_stream"
+    units.where("rid % 3 = 0").coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    units.where("rid % 3 = 1").coalesce(1).write.parquet(str(src_dir / "b2"))
+    time.sleep(1.1)
+    units.where("rid % 3 = 2").coalesce(1).write.parquet(str(src_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(units.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    proj = lambda df: df.select("grp", "arm", F.col("v").alias("value"))  # noqa: E731
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="kw_census", key_cols=["grp", "arm", "value"],
+    ).awaitTermination(180)
+
+    def idx():
+        return {
+            r.grp: (r.n, r.n_arms, r.t3, r.h_milli, r.h_adj_milli,
+                    r.eps2_milli)
+            for r in read_kruskal_wallis(
+                spark, cat_root, table="kw_census", group_cols=["grp"],
+            ).collect()
+        }
+
+    got = idx()
+    want = {
+        r.grp: (r.n, r.n_arms, r.t3, r.h_milli, r.h_adj_milli,
+                r.eps2_milli)
+        for r in kruskal_wallis(
+            units, arm_col="arm", value_col="v", group_cols=["grp"]
+        ).collect()
+    }
+    assert got == want
+    # the planted arm shift must carry the signal
+    assert got["g0"][4] > got["g1"][4]
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="kw_census", key_cols=["grp", "arm", "value"],
+    ).awaitTermination(180)
+    assert idx() == got
+
+
+def test_stream_census_nelson_aalen_equals_batch(spark, tmp_path):
+    """Streaming resolved subjects through the census maintainer in
+    three cuts — a LATE subject with a long duration lifts n_risk for
+    every EARLIER duration's already-published term (at-risk counts
+    subjects with duration >= t), so the whole curve re-derives —
+    read_nelson_aalen == batch nelson_aalen over all delivered
+    subjects.  Replay is a no-op."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.survival import nelson_aalen
+    from dp1_data_wrangling_spark.streaming import (
+        read_nelson_aalen,
+        stream_census,
+    )
+
+    random.seed(29)
+    rows = [
+        (
+            f"c{rid % 2}",
+            random.randint(0, 20),
+            1 if random.random() < 0.6 else 0,
+            rid,
+        )
+        for rid in range(500)
+    ]
+    subj = spark.createDataFrame(rows, "cohort string, t long, e int, rid long")
+
+    src_dir = tmp_path / "subj_stream"
+    subj.where("rid % 3 = 0").coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    subj.where("rid % 3 = 1").coalesce(1).write.parquet(str(src_dir / "b2"))
+    time.sleep(1.1)
+    subj.where("rid % 3 = 2").coalesce(1).write.parquet(str(src_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(subj.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    proj = lambda df: df.select(  # noqa: E731
+        "cohort", F.col("t").alias("duration"), F.col("e").alias("__ev")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="na_census", key_cols=["cohort", "duration"],
+        sum_cols={"n_events": "__ev"},
+    ).awaitTermination(180)
+
+    def idx():
+        return {
+            (r.cohort, r.duration): (
+                r.n_risk, r.n_events, r.n_censored, r.cumhaz_scaled
+            )
+            for r in read_nelson_aalen(
+                spark, cat_root, table="na_census", group_cols=["cohort"],
+            ).collect()
+        }
+
+    got = idx()
+    want = {
+        (r.cohort, r.duration): (
+            r.n_risk, r.n_events, r.n_censored, r.cumhaz_scaled
+        )
+        for r in nelson_aalen(
+            subj, duration_col="t", event_col="e", group_cols=["cohort"]
+        ).collect()
+    }
+    assert got == want
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="na_census", key_cols=["cohort", "duration"],
+        sum_cols={"n_events": "__ev"},
+    ).awaitTermination(180)
+    assert idx() == got
+
+
+def test_stream_census_log_rank_equals_batch(spark, tmp_path):
+    """Streaming a two-arm retention experiment through the census
+    maintainer in three cuts — the late cut's subjects revise at-risk
+    counts across event times — read_log_rank == batch log_rank_test
+    over all delivered subjects, including the degenerate one-armed
+    group's NULL.  Replay is a no-op."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.survival import log_rank_test
+    from dp1_data_wrangling_spark.streaming import (
+        read_log_rank,
+        stream_census,
+    )
+
+    random.seed(31)
+    rows = []
+    for rid in range(500):
+        g = f"c{rid % 2}"
+        arm = random.randint(0, 1)
+        # planted effect in c0: treatment survives longer
+        t = random.randint(0, 15) + (6 if arm == 1 and g == "c0" else 0)
+        e = 1 if random.random() < 0.7 else 0
+        rows.append((g, arm, t, e, rid))
+    rows += [("onearm", 0, 3, 1, 9001), ("onearm", 0, 5, 0, 9002)]
+    subj = spark.createDataFrame(
+        rows, "cohort string, arm int, t long, e int, rid long"
+    )
+
+    src_dir = tmp_path / "lr_stream"
+    subj.where("rid % 3 = 0").coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    subj.where("rid % 3 = 1").coalesce(1).write.parquet(str(src_dir / "b2"))
+    time.sleep(1.1)
+    subj.where("rid % 3 = 2").coalesce(1).write.parquet(str(src_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(subj.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    proj = lambda df: df.select(  # noqa: E731
+        "cohort", F.col("t").alias("duration"), "arm",
+        F.col("e").alias("__ev"),
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="lr_census", key_cols=["cohort", "duration", "arm"],
+        sum_cols={"n_events": "__ev"},
+    ).awaitTermination(180)
+
+    def idx():
+        return {
+            r.cohort: (r.n_a, r.n_b, r.o_a, r.e_a_ppm, r.v_ppm,
+                       r.chi2_milli)
+            for r in read_log_rank(
+                spark, cat_root, table="lr_census", group_cols=["cohort"],
+            ).collect()
+        }
+
+    got = idx()
+    want = {
+        r.cohort: (r.n_a, r.n_b, r.o_a, r.e_a_ppm, r.v_ppm, r.chi2_milli)
+        for r in log_rank_test(
+            subj, duration_col="t", event_col="e", arm_col="arm",
+            group_cols=["cohort"],
+        ).collect()
+    }
+    assert got == want
+    assert got["onearm"][5] is None
+    # the planted retention effect must carry the signal
+    assert got["c0"][5] > got["c1"][5]
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="lr_census", key_cols=["cohort", "duration", "arm"],
+        sum_cols={"n_events": "__ev"},
+    ).awaitTermination(180)
+    assert idx() == got
