@@ -1828,3 +1828,94 @@ def test_mrr_map_eval_single_aggregation_branch(spark):
     docscans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
     assert docscans <= 2, plan
     assert data_shuffles(plan) <= 10
+
+
+def test_nelson_aalen_census_windows_no_python(spark):
+    """NA hazard: subjects reduce to a (cohort, day) census before any
+    window — both windows run census-sized on the cohort key (3 data
+    shuffles: user groupBy, census groupBy, window key); the only
+    single-partition gather is the one-row study-end max; no Python,
+    no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["user_churn_hazard"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert data_shuffles(plan) == 3, plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1, plan
+
+
+def test_log_rank_census_decomposed_no_python(spark):
+    """Log-rank: subjects census to (cohort, day, arm) cells, the
+    at-risk windows and the O/E/V fold run census-sized (4 data
+    shuffles: user groupBy, cell census, wide census, window/fold
+    key); one single-partition gather (the study-end max); no Python,
+    no cartesian."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["user_churn_logrank"].fn(spark, SMOKE_SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert data_shuffles(plan) == 4, plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1, plan
+
+
+def test_kruskal_wallis_census_windows_no_join(spark):
+    """Kruskal-Wallis: ONE event-sized census groupBy + one census
+    window shuffle on the group key (both windows share it) + the
+    census-sized arm/group folds — 2 data shuffles total, no join, no
+    gather, no Python (the rank_sum contract, k-arm form)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_kruskal_wallis"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_spearman_census_joins_no_datasized_window(spark):
+    """Spearman: midranks come from the two value CENSUSES (windows are
+    census-sized on the group key), rows equi-join to the censuses and
+    ONE combinable aggregate collects the moments — no cartesian, no
+    Python, no single-partition gather, and every window partitions on
+    the group key (never an ungrouped total order)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["lineitem_spearman"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan.lower())
+    assert specs and all("flag" in s for s in specs), plan
+
+
+def test_cramers_v_rides_chi2_plan(spark):
+    """Cramér's V adds ZERO exchanges to the contingency_chi2 plan —
+    the finish is per-group scalar algebra on the already-aggregated
+    row (same census/margins/grid shape, no cartesian, no Python)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    chi2 = plan_of(
+        REGISTRY["events_type_hour_independence"].fn(spark, SMOKE_SF)
+    )
+    v = plan_of(REGISTRY["events_cramers_v"].fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in v, v
+    assert "EvalPython" not in v, v
+    assert data_shuffles(v) == data_shuffles(chi2), (v, chi2)
+    assert v.count("BroadcastExchange") == chi2.count("BroadcastExchange")
+
+
+def test_readability_one_combinable_groupby(spark):
+    """Readability is per-row JVM regex into ONE map-side-combinable
+    groupBy + per-group scalar algebra — 1 data shuffle, no join, no
+    window, no Python, no gather."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_readability"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
