@@ -3768,3 +3768,203 @@ def cramers_v(
             ),
         ).alias("cramers_v"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test + Mantel-Haenszel
+    pooled odds ratio per group — "did the treatment move conversion,
+    CONTROLLING for the strata?", the conversion-metric sibling of
+    ``post_strat_ate`` (that one corrects a mean, this one corrects a
+    rate and pools an odds ratio), and the same O/E/V algebra class as
+    ``log_rank_test`` (which IS this test run over event times).
+
+    Per stratum k with the 2x2 cells a (treated converter), b (treated
+    non), c (control converter), d (control non), n = a+b+c+d, the
+    hypergeometric null contributes
+
+        e_ppm = (1e6·(a+b)·(a+c)) div n
+        v_ppm = (1e6·(a+b)·(c+d)·(a+c)·(b+d)) div (n·n·(n−1))
+        r_ppm = (1e6·a·d) div n        (MH odds-ratio numerator)
+        s_ppm = (1e6·b·c) div n        (MH odds-ratio denominator)
+
+    each one truncating DECIMAL(38,0) division replayed verbatim by
+    the HUGEINT oracle (< 1 ppm per stratum, stated convention).  The
+    group fold (S = 1e6·Σa − Σe_ppm, legitimately signed):
+
+        chi2_milli = (1000·S·S) div (1e6·Σv_ppm)     (no continuity corr.)
+        or_milli   = (1000·Σr_ppm) div Σs_ppm
+
+    Single-arm / single-outcome strata contribute v = 0 and drop out
+    of the evidence exactly as the theory says; groups with ΣV = 0
+    emit NULL chi2 and Σs = 0 emits NULL odds ratio — never fake
+    certainty.  ``arm_col`` and ``outcome_col`` must be 0/1 non-NULL
+    (executor fail-fasts, the ab_contingency contract).
+
+    Returns ``(*group_cols, n_strata, n_units, o_t, e_t_ppm, v_ppm,
+    chi2_milli, or_milli)``.
+
+    Scale posture (100 TB): ONE data-sized combinable groupBy (the
+    (group, stratum, arm) cell census: counts + conversion sums, both
+    associative — the census a stream maintains exactly-once), one
+    combinable census-sized groupBy to wide strata, per-stratum scalar
+    terms, one combinable census-sized group fold.  No window, no
+    join.
+
+    Capacity: the binding product ``1e6·n⁴`` per stratum caps strata
+    at n ~ 1.3e8 units — DOUBLE envelope fail-fast threaded into the
+    consumed a-cell (the rank_sum_test pattern); beyond that, sample.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier; test per Cochran (1954) / Mantel & Haenszel
+    (1959) as in standard texts.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    arm = F.col(arm_col)
+    out = F.col(outcome_col)
+    chk = lambda c, what: F.when(  # noqa: E731
+        c.isNotNull() & c.cast("bigint").isin(0, 1), c.cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"cmh_test: {what} must be 0/1 and non-NULL — a unit "
+                "outside the experiment's frame has no cell; filter "
+                "upstream"
+            )
+        ).cast("bigint")
+    )
+    census = df.groupBy(
+        *group_cols, F.col(stratum_col).alias("__stratum")
+    ).agg(
+        F.sum(F.when(chk(arm, "arm") == 1, chk(out, "outcome")).otherwise(0))
+        .cast("bigint")
+        .alias("__a"),
+        F.sum(
+            F.when(chk(arm, "arm") == 1, 1 - chk(out, "outcome")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__b"),
+        F.sum(F.when(chk(arm, "arm") == 0, chk(out, "outcome")).otherwise(0))
+        .cast("bigint")
+        .alias("__c"),
+        F.sum(
+            F.when(chk(arm, "arm") == 0, 1 - chk(out, "outcome")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__d"),
+    )
+    return cmh_from_census(census, group_cols=group_cols)
+
+
+def cmh_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    a_col: str = "__a",
+    b_col: str = "__b",
+    c_col: str = "__c",
+    d_col: str = "__d",
+) -> DataFrame:
+    """The census→statistic fold of :func:`cmh_test`, split out (the
+    stream_census pattern) over the per-(group, stratum) 2x2 cell
+    census — four associative counts, so a stream maintains them
+    exactly-once and the pooled chi2 / odds ratio re-derive
+    census-sized at read; a LATE unit revises one cell, which moves
+    its stratum's E and V and the POOLED sums."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    wide = census.select(
+        *group_cols,
+        F.col(a_col).cast("bigint").alias("__a"),
+        F.col(b_col).cast("bigint").alias("__b"),
+        F.col(c_col).cast("bigint").alias("__c"),
+        F.col(d_col).cast("bigint").alias("__d"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    a, b, c, d = (dec.format(x) for x in ("__a", "__b", "__c", "__d"))
+    n_s = f"({a} + {b} + {c} + {d})"
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    n_d = dd("__a") + dd("__b") + dd("__c") + dd("__d")
+    a_ok = F.when(
+        F.lit(1e6) * n_d * n_d * n_d * n_d <= F.lit(1e37), F.col("__a")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "cmh_test: a stratum operand exceeds the 1e37 "
+                "DECIMAL(38,0) envelope — sample units (the decision "
+                "is saturated at such n)"
+            )
+        ).cast("bigint")
+    )
+    ao = dec.format("__a_ok")
+    terms = wide.withColumn("__a_ok", a_ok).select(
+        *group_cols,
+        F.col("__a_ok").alias("__oa"),
+        (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .cast("bigint")
+        .alias("__n"),
+        F.expr(
+            f"CASE WHEN {n_s} > 0 THEN "
+            f"(1000000 * ({ao} + {b}) * ({ao} + {c})) div {n_s} "
+            "ELSE 0 END"
+        )
+        .cast("decimal(38,0)")
+        .alias("__e_ppm"),
+        F.expr(
+            f"CASE WHEN {n_s} > 1 THEN "
+            f"(1000000 * ({ao} + {b}) * ({c} + {d}) * ({ao} + {c}) "
+            f"* ({b} + {d})) div ({n_s} * {n_s} * ({n_s} - 1)) "
+            "ELSE 0 END"
+        )
+        .cast("decimal(38,0)")
+        .alias("__v_ppm"),
+        F.expr(
+            f"CASE WHEN {n_s} > 0 THEN (1000000 * {ao} * {d}) div {n_s} "
+            "ELSE 0 END"
+        )
+        .cast("decimal(38,0)")
+        .alias("__r_ppm"),
+        F.expr(
+            f"CASE WHEN {n_s} > 0 THEN (1000000 * {b} * {c}) div {n_s} "
+            "ELSE 0 END"
+        )
+        .cast("decimal(38,0)")
+        .alias("__s_ppm"),
+    )
+    g = terms.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("__n").cast("bigint").alias("n_units"),
+        F.sum("__oa").cast("bigint").alias("o_t"),
+        F.sum("__e_ppm").cast("decimal(38,0)").alias("__se"),
+        F.sum("__v_ppm").cast("decimal(38,0)").alias("__sv"),
+        F.sum("__r_ppm").cast("decimal(38,0)").alias("__sr"),
+        F.sum("__s_ppm").cast("decimal(38,0)").alias("__ss"),
+    )
+    dec2 = "cast({} as decimal(38,0))"
+    se, sv = dec2.format("__se"), dec2.format("__sv")
+    sr, ss = dec2.format("__sr"), dec2.format("__ss")
+    s_expr = f"(1000000 * {dec2.format('o_t')} - {se})"
+    return g.select(
+        *group_cols,
+        "n_strata",
+        "n_units",
+        "o_t",
+        F.col("__se").cast("bigint").alias("e_t_ppm"),
+        F.col("__sv").cast("bigint").alias("v_ppm"),
+        F.expr(
+            f"CASE WHEN {sv} > 0 THEN "
+            f"CAST((1000 * {s_expr} * {s_expr}) div (1000000 * {sv}) "
+            "AS BIGINT) END"
+        ).alias("chi2_milli"),
+        F.expr(
+            f"CASE WHEN {ss} > 0 THEN "
+            f"CAST((1000 * {sr}) div {ss} AS BIGINT) END"
+        ).alias("or_milli"),
+    )

@@ -1492,3 +1492,131 @@ def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour"),
     )
     return cramers_v(d, row_col="etype", col_col="hour", group_cols=["dow"])
+
+
+@register(
+    "events_cmh_test",
+    """
+    WITH cm_e AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS day_bucket,
+               event_type,
+               CASE WHEN CAST(('0x' || substr(md5('cmh|'
+                             || CAST(user_id AS VARCHAR) || '|'
+                             || event_type), 1, 15)) AS BIGINT) % 4
+                         < CASE WHEN event_type IN ('purchase', 'signup')
+                                THEN 3 ELSE 1 END
+                    THEN 1 ELSE 0 END AS arm,
+               CASE WHEN value IS NOT NULL
+                     AND CAST(floor(value * 1000) AS BIGINT) >= 500
+                    THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    cm_c AS (
+        SELECT day_bucket, event_type,
+               CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 - y ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 - y ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM cm_e GROUP BY 1, 2
+    ),
+    cm_t AS (
+        SELECT day_bucket, a, a + b + c + d AS n,
+               CASE WHEN a + b + c + d > 0
+                    THEN (1000000 * CAST(a + b AS HUGEINT) * (a + c))
+                         // (a + b + c + d) ELSE 0 END AS e_ppm,
+               CASE WHEN a + b + c + d > 1
+                    THEN (1000000 * CAST(a + b AS HUGEINT) * (c + d)
+                          * (a + c) * (b + d))
+                         // (CAST(a + b + c + d AS HUGEINT)
+                             * (a + b + c + d) * (a + b + c + d - 1))
+                    ELSE 0 END AS v_ppm,
+               CASE WHEN a + b + c + d > 0
+                    THEN (1000000 * CAST(a AS HUGEINT) * d)
+                         // (a + b + c + d) ELSE 0 END AS r_ppm,
+               CASE WHEN a + b + c + d > 0
+                    THEN (1000000 * CAST(b AS HUGEINT) * c)
+                         // (a + b + c + d) ELSE 0 END AS s_ppm
+        FROM cm_c
+    ),
+    cm_g AS (
+        SELECT day_bucket, CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(n) AS BIGINT) AS n_units,
+               CAST(sum(a) AS BIGINT) AS o_t,
+               CAST(sum(e_ppm) AS HUGEINT) AS se,
+               CAST(sum(v_ppm) AS HUGEINT) AS sv,
+               CAST(sum(r_ppm) AS HUGEINT) AS sr,
+               CAST(sum(s_ppm) AS HUGEINT) AS ss
+        FROM cm_t GROUP BY 1
+    )
+    SELECT day_bucket, n_strata, n_units, o_t,
+           CAST(se AS BIGINT) AS e_t_ppm,
+           CAST(sv AS BIGINT) AS v_ppm,
+           CASE WHEN sv > 0
+                THEN CAST((1000 * (1000000 * CAST(o_t AS HUGEINT) - se)
+                           * (1000000 * o_t - se)) // (1000000 * sv)
+                          AS BIGINT) END AS chi2_milli,
+           CASE WHEN ss > 0
+                THEN CAST((1000 * sr) // ss AS BIGINT) END AS or_milli
+    FROM cm_g
+    """,
+)
+def q_events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified conversion readout per
+    epoch-day-of-week (operators/stats.py cmh_test, r13): strata =
+    event types with the SAME deliberately-confounded arm assignment
+    as events_post_strat_ate (75% treated in purchase/signup, 25%
+    elsewhere — pooling naively mixes the effect with the stratum
+    baseline gap), outcome = value >= 0.5 in exact milli.  Per-stratum
+    hypergeometric O/E/V and the MH odds-ratio cross-products are one
+    truncating ppm division each (DECIMAL(38,0) vs HUGEINT, replayed
+    verbatim); the pooled chi2 and or_milli fold census-sized.  ONE
+    event-sized cell-census groupBy + one census-sized fold; no
+    window, no join (plan-gated)."""
+    from .operators.stats import cmh_test
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cmh|"),
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("event_type"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+        < F.when(
+            F.col("event_type").isin("purchase", "signup"), F.lit(3)
+        ).otherwise(F.lit(1))
+    ).cast("int")
+    e = load_table(spark, sf_dir, "events").select(
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000") % 7
+        ).alias("day_bucket"),
+        F.col("event_type").alias("stratum"),
+        arm.alias("arm"),
+        (
+            F.col("value").isNotNull()
+            & (F.floor(F.col("value") * 1000).cast("bigint") >= 500)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    return cmh_test(
+        e,
+        arm_col="arm",
+        outcome_col="y",
+        stratum_col="stratum",
+        group_cols=["day_bucket"],
+    )

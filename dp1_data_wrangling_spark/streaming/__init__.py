@@ -48,6 +48,7 @@ from .rebuild import (
 from .census import (
     read_benford,
     read_classification_report,
+    read_cmh,
     read_cohens_kappa,
     read_cuped_ate,
     read_heavy_hitters,
@@ -98,6 +99,7 @@ __all__ = [
     "stream_curation",
     "read_benford",
     "read_classification_report",
+    "read_cmh",
     "read_cohens_kappa",
     "read_cuped_ate",
     "read_heavy_hitters",

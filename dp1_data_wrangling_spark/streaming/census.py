@@ -629,3 +629,57 @@ def read_log_rank(
         total_col="n_rows",
         events_col="n_events",
     )
+
+
+def read_cmh(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+    stratum_col: str = "stratum",
+    arm_col: str = "arm",
+    conv_col: str = "n_conv",
+) -> DataFrame:
+    """Fold a maintained ``(*groups, stratum, arm, n_rows, n_conv)``
+    cell census through the exact Cochran-Mantel-Haenszel test + MH
+    pooled odds ratio (operators/stats.py cmh_from_census) — the
+    streaming form of the ``events_cmh_test`` surface: the
+    confounding-controlled conversion experiment monitored live.  A
+    LATE unit revises one cell, which moves its stratum's E and V and
+    the POOLED sums — re-derived census-sized at read.  Maintain with
+    ``stream_census(..., key_cols=[*groups, stratum, arm],
+    sum_cols={"n_conv": "<0/1 outcome>"})``."""
+    from ..operators.stats import cmh_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    arm = F.col(arm_col)
+    arm_ok = F.when(
+        arm.isNotNull() & arm.cast("bigint").isin(0, 1),
+        arm.cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("read_cmh: arm must be 0/1 and non-NULL")
+        ).cast("bigint")
+    )
+    conv = F.col(conv_col).cast("bigint")
+    non = F.col("n_rows").cast("bigint") - conv
+    wide = (
+        census.withColumn("__arm", arm_ok)
+        .groupBy(*group_cols, F.col(stratum_col).alias("__stratum"))
+        .agg(
+            F.sum(F.when(F.col("__arm") == 1, conv).otherwise(0))
+            .cast("bigint")
+            .alias("__a"),
+            F.sum(F.when(F.col("__arm") == 1, non).otherwise(0))
+            .cast("bigint")
+            .alias("__b"),
+            F.sum(F.when(F.col("__arm") == 0, conv).otherwise(0))
+            .cast("bigint")
+            .alias("__c"),
+            F.sum(F.when(F.col("__arm") == 0, non).otherwise(0))
+            .cast("bigint")
+            .alias("__d"),
+        )
+    )
+    return cmh_from_census(wide, group_cols=group_cols)

@@ -8789,3 +8789,95 @@ def test_readability_hand_computed(spark):
     assert got["a"] == (2, w, s, y, flesch, grade)
     assert got["b"][0] == 1  # NULL text excluded from the census
     assert got["b"][4] is None and got["b"][5] is None
+
+
+def test_cmh_test_matches_brute_force(spark):
+    """Confounded stratified 2x2 design vs an independent Python replay
+    of every ppm truncation: the stratum-baseline confounding that
+    inflates a pooled naive rate gap must NOT inflate CMH, the null
+    group's pooled odds ratio must read ~1, and single-arm strata
+    contribute zero evidence."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.stats import cmh_test
+
+    random.seed(5)
+    rows = []
+    for i in range(2000):
+        g, st = f"g{i % 2}", f"s{i % 4}"
+        arm = 1 if random.random() < (0.8 if st in ("s0", "s1") else 0.2) else 0
+        base = 0.6 if st in ("s0", "s1") else 0.2
+        lift = 0.15 if (arm == 1 and g == "g0") else 0.0
+        rows.append((g, st, arm, 1 if random.random() < base + lift else 0))
+    # a one-armed stratum: v = 0, drops out of the evidence
+    rows += [("g0", "solo", 1, 1), ("g0", "solo", 1, 0)]
+    df = spark.createDataFrame(rows, "grp string, st string, arm int, y int")
+    got = {
+        r.grp: (r.n_strata, r.n_units, r.o_t, r.e_t_ppm, r.v_ppm,
+                r.chi2_milli, r.or_milli)
+        for r in cmh_test(
+            df, arm_col="arm", outcome_col="y", stratum_col="st",
+            group_cols=["grp"],
+        ).collect()
+    }
+
+    def brute(g):
+        from collections import defaultdict
+
+        cells = defaultdict(lambda: [0, 0, 0, 0])
+        for gg, st, arm, y in rows:
+            if gg != g:
+                continue
+            i = 0 if (arm and y) else 1 if arm else 2 if y else 3
+            cells[st][i] += 1
+        oa = se = sv = sr = ss = nu = 0
+        for a, b, c, d in cells.values():
+            n = a + b + c + d
+            nu += n
+            oa += a
+            if n > 0:
+                se += (10**6 * (a + b) * (a + c)) // n
+                sr += (10**6 * a * d) // n
+                ss += (10**6 * b * c) // n
+            if n > 1:
+                sv += (10**6 * (a + b) * (c + d) * (a + c) * (b + d)) // (
+                    n * n * (n - 1)
+                )
+        S = 10**6 * oa - se
+        return (
+            len(cells), nu, oa, se, sv,
+            (1000 * S * S) // (10**6 * sv) if sv > 0 else None,
+            (1000 * sr) // ss if ss > 0 else None,
+        )
+
+    for g in ("g0", "g1"):
+        assert got[g] == brute(g), g
+    # the planted lift carries the signal; the null group's OR ~ 1
+    assert got["g0"][5] > 5 * got["g1"][5]
+    assert abs(got["g1"][6] - 1000) < 400
+
+
+def test_cmh_test_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import cmh_test
+
+    with pytest.raises(ValueError, match="group_cols"):
+        cmh_test(
+            spark.range(1), arm_col="id", outcome_col="id",
+            stratum_col="id", group_cols=[],
+        )
+    bad = spark.createDataFrame(
+        [("g", "s", 2, 1)], "grp string, st string, arm int, y int"
+    )
+    with pytest.raises(Exception, match="arm must be 0/1"):
+        cmh_test(
+            bad, arm_col="arm", outcome_col="y", stratum_col="st",
+            group_cols=["grp"],
+        ).collect()
+    bad2 = spark.createDataFrame(
+        [("g", "s", 1, 5)], "grp string, st string, arm int, y int"
+    )
+    with pytest.raises(Exception, match="outcome must be 0/1"):
+        cmh_test(
+            bad2, arm_col="arm", outcome_col="y", stratum_col="st",
+            group_cols=["grp"],
+        ).collect()

@@ -1919,3 +1919,17 @@ def test_readability_one_combinable_groupby(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cmh_two_combinable_groupbys_no_window(spark):
+    """CMH: one event-sized cell-census groupBy + one census-sized
+    group fold — 2 data shuffles, no window, no join, no gather, no
+    Python (the post_strat_ate contract, odds-ratio form)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_cmh_test"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan

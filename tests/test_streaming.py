@@ -3760,3 +3760,79 @@ def test_stream_census_log_rank_equals_batch(spark, tmp_path):
         sum_cols={"n_events": "__ev"},
     ).awaitTermination(180)
     assert idx() == got
+
+
+def test_stream_census_cmh_equals_batch(spark, tmp_path):
+    """Streaming a confounded stratified conversion experiment through
+    the census maintainer in three cuts — the late cut revises 2x2
+    cells (moving stratum E/V and the pooled sums) — read_cmh == the
+    batch cmh_test over all delivered units.  Replay is a no-op."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.stats import cmh_test
+    from dp1_data_wrangling_spark.streaming import read_cmh, stream_census
+
+    random.seed(37)
+    rows = []
+    for rid in range(1200):
+        g, st = f"g{rid % 2}", f"s{rid % 3}"
+        arm = 1 if random.random() < (0.75 if st == "s0" else 0.25) else 0
+        base = 0.5 if st == "s0" else 0.2
+        lift = 0.2 if (arm == 1 and g == "g0") else 0.0
+        rows.append(
+            (g, st, arm, 1 if random.random() < base + lift else 0, rid)
+        )
+    units = spark.createDataFrame(
+        rows, "grp string, stratum string, arm int, y int, rid long"
+    )
+
+    src_dir = tmp_path / "cmh_stream"
+    units.where("rid % 3 = 0").coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    units.where("rid % 3 = 1").coalesce(1).write.parquet(str(src_dir / "b2"))
+    time.sleep(1.1)
+    units.where("rid % 3 = 2").coalesce(1).write.parquet(str(src_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(units.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    proj = lambda df: df.select(  # noqa: E731
+        "grp", "stratum", "arm", F.col("y").alias("__y")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="cmh_census", key_cols=["grp", "stratum", "arm"],
+        sum_cols={"n_conv": "__y"},
+    ).awaitTermination(180)
+
+    def idx():
+        return {
+            r.grp: (r.n_strata, r.n_units, r.o_t, r.e_t_ppm, r.v_ppm,
+                    r.chi2_milli, r.or_milli)
+            for r in read_cmh(
+                spark, cat_root, table="cmh_census", group_cols=["grp"],
+            ).collect()
+        }
+
+    got = idx()
+    want = {
+        r.grp: (r.n_strata, r.n_units, r.o_t, r.e_t_ppm, r.v_ppm,
+                r.chi2_milli, r.or_milli)
+        for r in cmh_test(
+            units, arm_col="arm", outcome_col="y", stratum_col="stratum",
+            group_cols=["grp"],
+        ).collect()
+    }
+    assert got == want
+    assert got["g0"][5] > got["g1"][5]
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="cmh_census", key_cols=["grp", "stratum", "arm"],
+        sum_cols={"n_conv": "__y"},
+    ).awaitTermination(180)
+    assert idx() == got
