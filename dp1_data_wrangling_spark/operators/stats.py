@@ -31,6 +31,44 @@ from pyspark.sql import functions as F
 _D = "decimal(38,0)"
 
 
+def _exact_div_sql(num: str, den: str) -> str:
+    """Integral division of non-negative DECIMAL(38,0) operands with a
+    DECIMAL(38,0) result.  Spark's ``div`` operator returns BIGINT and
+    silently WRAPS when the quotient exceeds 2^63 (caught at sf0.1 by
+    the anova external check — ``16601446041675085106`` read back as a
+    negative), so quotients that can be Θ(n³) must divide in decimal:
+    ``(num − pmod(num, den)) / den`` is exactly divisible, and Spark's
+    (38,0)/(38,0) division lands on DECIMAL(38,6) whose 32 integral
+    digits hold the quotient exactly.  Callers' capacity envelopes
+    must therefore bound the QUOTIENT at 1e31, not just the operands
+    at 1e37.  Both operands must be non-negative (pmod == mod there,
+    matching the HUGEINT oracle's floor ``//``)."""
+    return (
+        f"CAST(((({num}) - pmod(({num}), ({den}))) / ({den})) "
+        "AS DECIMAL(38,0))"
+    )
+
+
+# Saturation bound for BIGINT-emitting statistic quotients whose
+# denominator is a variance-like term that can be arbitrarily small
+# (F with near-zero within-variance, chi2 with near-zero V): the
+# quotient is mathematically finite but can exceed 2^63, and Spark's
+# `div`/CAST would wrap or NULL silently.  4e18 < 2^63 reads as "the
+# statistic is saturated" — both engines replay the identical least().
+SAT64 = 4_000_000_000_000_000_000
+
+
+def _sat_div_sql(num: str, den: str) -> str:
+    """``least(num div den, 4e18)`` as exact DECIMAL division cast to
+    BIGINT — see :func:`_exact_div_sql` for why ``div`` is unsafe and
+    ``SAT64`` for the saturation convention.  Oracle replays as
+    ``least(num // den, 4000000000000000000)``."""
+    return (
+        f"CAST(least({_exact_div_sql(num, den)}, "
+        f"CAST({SAT64} AS DECIMAL(38,0))) AS BIGINT)"
+    )
+
+
 def mad_anomaly(
     df: DataFrame,
     *,
@@ -1553,7 +1591,10 @@ def rank_sum_test(
 
     Degenerate groups never fake significance: one-armed groups
     (n_a·n_b = 0) emit NULL auc/z2; all-tied groups (T = (n+1)n(n−1),
-    var2 = 0) emit NULL z2.  NULL values are unranked and dropped
+    var2 = 0) emit NULL z2.  Near-zero-variance groups saturate z2 at
+    SAT64 (4e18) instead of letting a BIGINT quotient wrap — the
+    oracle replays the identical least(); var2 itself divides in
+    DECIMAL (it is Θ(n³), past 2^63 at n ≈ 5e6 — _exact_div_sql).  NULL values are unranked and dropped
     (quantize and NULL-police upstream); ``arm_col`` must be 0/1
     non-NULL (executor fail-fast, the ab_contingency contract).
 
@@ -1645,9 +1686,13 @@ def rank_sum_test(
     n_s = f"({dec.format('__na_ok')} + {dec.format('n_b')})"
     u2 = f"(__r2a - {dec.format('__na_ok')} * ({dec.format('__na_ok')} + 1))"
     mean2 = f"({dec.format('__na_ok')} * {dec.format('n_b')})"
-    var2 = (
-        f"(({mean2} * (({n_s} + 1) * {n_s} * ({n_s} - 1) - __t3)) "
-        f"div (3 * {n_s} * ({n_s} - 1)))"
+    # Var(2U) is Θ(n³) — past 2^63 around n ≈ 5e6, where Spark's `div`
+    # (BIGINT result) silently wraps; divide in decimal instead.  The
+    # operand envelope (1e37) bounds the quotient at ~2e23, inside the
+    # _exact_div_sql exactness window.
+    var2 = _exact_div_sql(
+        f"({mean2} * (({n_s} + 1) * {n_s} * ({n_s} - 1) - __t3))",
+        f"(3 * {n_s} * ({n_s} - 1))",
     )
     return (
         g.withColumn("__na_ok", na_ok)
@@ -1664,10 +1709,14 @@ def rank_sum_test(
             ).alias("auc_milli"),
             F.when(
                 F.col("__var2") > 0,
+                # a near-zero variance makes z² astronomically large —
+                # saturate at SAT64 instead of letting `div` wrap
                 F.expr(
-                    f"(1000 * (__u2 - {mean2}) * (__u2 - {mean2})) "
-                    "div __var2"
-                ).cast("bigint"),
+                    _sat_div_sql(
+                        f"1000 * (__u2 - {mean2}) * (__u2 - {mean2})",
+                        "__var2",
+                    )
+                ),
             ).alias("z2_milli"),
         )
     )
@@ -3405,7 +3454,12 @@ def kruskal_wallis(
 
         q_j         = (R2_j · R2_j) div n_j            (per-arm, < 1 ulp)
         h_milli     = (1000·max(0, 3·Σq − 3n(n+1)²)) div (n(n+1))
-        h_adj_milli = (h_milli·(n³−n)) div (n³−n−T)
+        h_adj_milli = least((h_milli·(n³−n)) div (n³−n−T), SAT64)
+
+    (q_j and h_adj divide in DECIMAL — their quotients are Θ(n³),
+    past BIGINT at a few million units per group — and h_adj
+    saturates at 4e18 under near-total ties, replayed by the oracle's
+    identical least()).
 
     (the max(0,·) absorbs the ≤ k-ulp downward drift of Σq at H ≈ 0 —
     H is non-negative by construction).  The effect-size companion
@@ -3518,15 +3572,19 @@ def kruskal_wallis_from_census(
         .cast(_D)
         .alias("__tp"),
     )
-    # DOUBLE envelope on the per-arm square, threaded into consumed __nj
+    # DOUBLE envelope threaded into consumed __nj: operand room (1e37,
+    # DECIMAL) AND quotient room (1e31, the _exact_div_sql window)
     r2d = F.col("__r2").cast("double")
+    njd = F.col("__nj").cast("double")
     nj_ok = F.when(
-        r2d * r2d <= F.lit(1e37), F.col("__nj")
+        (r2d * r2d <= F.lit(1e37))
+        & (r2d * r2d / njd <= F.lit(1e31)),
+        F.col("__nj"),
     ).otherwise(
         F.raise_error(
             F.lit(
-                "kruskal_wallis: a rank-sum square exceeds the 1e37 "
-                "DECIMAL(38,0) envelope — sample units (the omnibus "
+                "kruskal_wallis: a rank-sum square exceeds the exact "
+                "DECIMAL division envelope — sample units (the omnibus "
                 "call is saturated at such n)"
             )
         ).cast("bigint")
@@ -3537,7 +3595,9 @@ def kruskal_wallis_from_census(
             *group_cols,
             F.col("__njq").alias("__nj"),
             F.expr(
-                "(__r2 * __r2) div cast(__njq as decimal(38,0))"
+                _exact_div_sql(
+                    "__r2 * __r2", "cast(__njq as decimal(38,0))"
+                )
             ).alias("__q"),
             "__tp",
         )
@@ -3578,7 +3638,10 @@ def kruskal_wallis_from_census(
     )
     h_adj = (
         f"(CASE WHEN {n3} - __t3 > 0 THEN "
-        f"(cast(__h_ok as decimal(38,0)) * {n3}) div ({n3} - __t3) END)"
+        + _sat_div_sql(
+            f"cast(__h_ok as decimal(38,0)) * {n3}", f"({n3} - __t3)"
+        )
+        + " END)"
     )
     eps_num = f"(cast(__h_adj as decimal(38,0)) - 1000 * (n_arms - 1))"
     eps2 = (
@@ -3798,8 +3861,11 @@ def cmh_test(
     the HUGEINT oracle (< 1 ppm per stratum, stated convention).  The
     group fold (S = 1e6·Σa − Σe_ppm, legitimately signed):
 
-        chi2_milli = (1000·S·S) div (1e6·Σv_ppm)     (no continuity corr.)
+        chi2_milli = least((1000·S·S) div (1e6·Σv_ppm), SAT64)
         or_milli   = (1000·Σr_ppm) div Σs_ppm
+
+    (chi2 divides in DECIMAL and saturates at 4e18 when ΣV is tiny —
+    a BIGINT quotient would wrap; the oracle replays the least()).
 
     Single-arm / single-outcome strata contribute v = 0 and drop out
     of the evidence exactly as the theory says; groups with ΣV = 0
@@ -3960,11 +4026,207 @@ def cmh_from_census(
         F.col("__sv").cast("bigint").alias("v_ppm"),
         F.expr(
             f"CASE WHEN {sv} > 0 THEN "
-            f"CAST((1000 * {s_expr} * {s_expr}) div (1000000 * {sv}) "
-            "AS BIGINT) END"
+            + _sat_div_sql(
+                f"1000 * {s_expr} * {s_expr}", f"(1000000 * {sv})"
+            )
+            + " END"
         ).alias("chi2_milli"),
         F.expr(
             f"CASE WHEN {ss} > 0 THEN "
             f"CAST((1000 * {sr}) div {ss} AS BIGINT) END"
         ).alias("or_milli"),
+    )
+
+
+def oneway_anova(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """One-way ANOVA F per group — the PARAMETRIC k-arm omnibus next
+    to :func:`kruskal_wallis`'s rank form ("did any arm's MEAN shift"),
+    with the eta-squared effect size (share of variance explained by
+    the arm split).
+
+    Entirely exact-integer: the (group, arm) moment census carries
+    (n_j, Σv, Σv²) in DECIMAL(38,0); the between/within sums of
+    squares clear their rationals through per-arm ppm truncations
+    replayed verbatim by the HUGEINT oracle:
+
+        q_j      = (1e6·s_j·s_j) div n_j           (per-arm, < 1 ppm)
+        ssb_ppm  = max(0, Σq − (1e6·S·S) div n)    (S = Σs_j)
+        ssw_ppm  = 1e6·ΣΣv² − Σq                   (non-negative exactly)
+        f_milli  = least((1000·ssb_ppm·(n−k)) div (ssw_ppm·(k−1)), SAT64)
+        eta2_ppm = (1e6·ssb_ppm) div (ssb_ppm + ssw_ppm)
+
+    (q_j, the ssb correction and F divide in DECIMAL — `div`'s BIGINT
+    result wraps past 2^63, which the sf0.1 external check caught on
+    this very operator — and F saturates at 4e18 under near-zero
+    within-variance, replayed by the oracle's least()).
+
+    (the max(0,·) absorbs the ≤ k-ppm downward drift of Σq at SSB ≈ 0).
+    Degenerate groups never fake significance: one-armed groups
+    (k = 1), saturated groups (n = k) and zero-within-variance groups
+    (ssw = 0) emit NULL F; an all-constant group emits NULL eta².
+    NULL values are excluded (count n_j is of non-NULL measurements);
+    NULL arms raise executor-side.
+
+    Returns ``(*group_cols, n, n_arms, f_milli, eta2_ppm)``.
+
+    Scale posture (100 TB): ONE data-sized combinable groupBy (the
+    per-(group, arm) moment census — three associative sums, the
+    census a stream maintains exactly-once) + one combinable
+    census-sized group fold.  No window, no join.
+
+    Capacity: the binding product ``1e6·s_j²`` (s_j = the arm's value
+    sum) — DOUBLE envelope fail-fast threaded into the consumed n_j;
+    at milli-quantized metrics this admits ~1e12 unit-sized values
+    per arm.
+
+    Engine extension — the reference (exporter.py:75-141) has no
+    statistics tier; decomposition per Fisher (1925) as in standard
+    texts.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    arm = F.col(arm_col)
+    arm_ok = F.when(arm.isNotNull(), F.lit(True)).otherwise(
+        F.raise_error(
+            F.lit(
+                "oneway_anova: arm must be non-NULL — a unit outside "
+                "the experiment's frame has no cell; filter upstream"
+            )
+        )
+    )
+    census = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(arm_ok)
+        .groupBy(*group_cols, F.col(arm_col).alias("__arm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nj"),
+            F.sum(F.col(value_col).cast("bigint").cast(_D))
+            .cast(_D)
+            .alias("__sj"),
+            F.sum(
+                F.col(value_col).cast("bigint").cast(_D)
+                * F.col(value_col).cast("bigint").cast(_D)
+            )
+            .cast(_D)
+            .alias("__ssj"),
+        )
+    )
+    return anova_from_census(census, group_cols=group_cols)
+
+
+def anova_from_census(
+    census: DataFrame,
+    *,
+    group_cols: list[str],
+    count_col: str = "__nj",
+    sum_col: str = "__sj",
+    sumsq_col: str = "__ssj",
+) -> DataFrame:
+    """The census→statistic fold of :func:`oneway_anova`, split out
+    (the stream_census pattern) over the per-(group, arm) moment
+    census — count + two DECIMAL sums, all associative, so a stream
+    maintains them exactly-once and F/eta² re-derive census-sized at
+    read; a LATE unit revises one arm's moments, which moves the
+    grand mean and therefore EVERY arm's between-group term."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    wide = census.select(
+        *group_cols,
+        F.col(count_col).cast("bigint").alias("__nj"),
+        F.col(sum_col).cast(_D).alias("__sj"),
+        F.col(sumsq_col).cast(_D).alias("__ssj"),
+    )
+    sjd = F.col("__sj").cast("double")
+    njd = F.col("__nj").cast("double")
+    # envelope BOTH the operand (1e37, DECIMAL room) and the QUOTIENT
+    # (1e31, the _exact_div_sql exactness window)
+    nj_ok = F.when(
+        (F.lit(1e6) * sjd * sjd <= F.lit(1e37))
+        & (
+            (F.col("__nj") == 0)
+            | (F.lit(1e6) * sjd * sjd / njd <= F.lit(1e31))
+        ),
+        F.col("__nj"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "oneway_anova: an arm-sum square exceeds the exact "
+                "DECIMAL division envelope — rescale the metric or "
+                "sample"
+            )
+        ).cast("bigint")
+    )
+    arm_q = wide.withColumn("__njq", nj_ok).select(
+        *group_cols,
+        F.col("__njq").alias("__nj"),
+        "__sj",
+        "__ssj",
+        F.expr(
+            "CASE WHEN __njq > 0 THEN "
+            + _exact_div_sql(
+                "1000000 * __sj * __sj",
+                "cast(__njq as decimal(38,0))",
+            )
+            + " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        )
+        .cast(_D)
+        .alias("__q"),
+    )
+    g = arm_q.groupBy(*group_cols).agg(
+        F.sum("__nj").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_arms"),
+        F.sum("__sj").cast(_D).alias("__s"),
+        F.sum("__ssj").cast(_D).alias("__ss"),
+        F.sum("__q").cast(_D).alias("__sq"),
+    )
+    # group-level envelope: operand room (1e37) AND quotient room
+    # (1e31, the _exact_div_sql window), threaded into consumed n
+    sd = F.col("__s").cast("double")
+    nd = F.col("n").cast("double")
+    n_ok = F.when(
+        (F.lit(1e6) * sd * sd <= F.lit(1e37))
+        & (F.lit(1e6) * sd * sd / nd <= F.lit(1e31)),
+        F.col("n"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "oneway_anova: the grand-sum square exceeds the exact "
+                "DECIMAL division envelope — rescale the metric or "
+                "sample"
+            )
+        ).cast("bigint")
+    )
+    g = g.withColumn("n", n_ok)
+    n_s = "cast(n as decimal(38,0))"
+    ssb = (
+        "greatest(cast(0 as decimal(38,0)), __sq - "
+        + _exact_div_sql("1000000 * __s * __s", n_s)
+        + ")"
+    )
+    ssw = "(1000000 * __ss - __sq)"
+    out = g.withColumn("__ssb", F.expr(ssb).cast(_D)).withColumn(
+        "__ssw", F.expr(ssw).cast(_D)
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        "n_arms",
+        F.expr(
+            "CASE WHEN n_arms > 1 AND n > n_arms AND __ssw > 0 THEN "
+            + _sat_div_sql(
+                f"1000 * __ssb * ({n_s} - n_arms)",
+                "__ssw * (n_arms - 1)",
+            )
+            + " END"
+        ).alias("f_milli"),
+        F.expr(
+            "CASE WHEN __ssb + __ssw > 0 THEN "
+            "CAST((1000000 * __ssb) div (__ssb + __ssw) AS BIGINT) END"
+        ).alias("eta2_ppm"),
     )

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .stats import _sat_div_sql
+
 
 def km_survival(
     df: DataFrame,
@@ -374,7 +376,11 @@ def log_rank_test(
     HUGEINT oracle.  The statistic is chi2 = (O_a - E_a)^2 / V with
     S = 1e6*O_a - sum(e_a_ppm) (ppm-scaled, legitimately signed):
 
-        chi2_milli = (1000 * S * S) div (1e6 * sum(v_ppm))
+        chi2_milli = least((1000 * S * S) div (1e6 * sum(v_ppm)), 4e18)
+
+    (the division runs in DECIMAL and saturates at 4e18 when V is
+    tiny — a BIGINT quotient would wrap; the oracle replays the
+    identical least())
 
     Degenerate groups never fake significance: one-armed groups or
     all-censored groups (V = 0) emit NULL chi2.  Truncation bias is
@@ -579,7 +585,9 @@ def log_rank_from_census(
         F.col("__sv").cast("bigint").alias("v_ppm"),
         F.expr(
             f"CASE WHEN {sv} > 0 THEN "
-            f"CAST((1000 * {s_expr} * {s_expr}) div (1000000 * {sv}) "
-            "AS BIGINT) END"
+            + _sat_div_sql(
+                f"1000 * {s_expr} * {s_expr}", f"(1000000 * {sv})"
+            )
+            + " END"
         ).alias("chi2_milli"),
     )

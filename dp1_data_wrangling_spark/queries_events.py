@@ -2164,8 +2164,10 @@ def q_user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(se AS BIGINT) AS e_a_ppm,
            CAST(sv AS BIGINT) AS v_ppm,
            CASE WHEN sv > 0
-                THEN CAST((1000 * (1000000 * CAST(o_a AS HUGEINT) - se)
-                           * (1000000 * o_a - se)) // (1000000 * sv)
+                THEN CAST(least((1000
+                           * (1000000 * CAST(o_a AS HUGEINT) - se)
+                           * (1000000 * o_a - se)) // (1000000 * sv),
+                           4000000000000000000)
                           AS BIGINT) END AS chi2_milli
     FROM lg_g
     """,

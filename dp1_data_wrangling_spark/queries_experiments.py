@@ -743,7 +743,8 @@ def q_events_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST((1000 * u2) // (2 * mean2) AS BIGINT)
            END AS auc_milli,
            CASE WHEN var2 > 0
-                THEN CAST((1000 * (u2 - mean2) * (u2 - mean2)) // var2
+                THEN CAST(least((1000 * (u2 - mean2) * (u2 - mean2))
+                                // var2, 4000000000000000000)
                           AS BIGINT)
            END AS z2_milli
     FROM rs_v
@@ -1264,7 +1265,8 @@ def q_orders_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw_j AS (
         SELECT *,
                CASE WHEN n3 - t3 > 0
-                    THEN (h_milli * n3) // (n3 - t3) END AS h_adj
+                    THEN least((h_milli * n3) // (n3 - t3),
+                               4000000000000000000) END AS h_adj
         FROM kw_h
     )
     SELECT event_type, n, n_arms, CAST(t3 AS BIGINT) AS t3,
@@ -1556,8 +1558,10 @@ def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(se AS BIGINT) AS e_t_ppm,
            CAST(sv AS BIGINT) AS v_ppm,
            CASE WHEN sv > 0
-                THEN CAST((1000 * (1000000 * CAST(o_t AS HUGEINT) - se)
-                           * (1000000 * o_t - se)) // (1000000 * sv)
+                THEN CAST(least((1000
+                           * (1000000 * CAST(o_t AS HUGEINT) - se)
+                           * (1000000 * o_t - se)) // (1000000 * sv),
+                           4000000000000000000)
                           AS BIGINT) END AS chi2_milli,
            CASE WHEN ss > 0
                 THEN CAST((1000 * sr) // ss AS BIGINT) END AS or_milli
@@ -1619,4 +1623,92 @@ def q_events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         outcome_col="y",
         stratum_col="stratum",
         group_cols=["day_bucket"],
+    )
+
+
+@register(
+    "events_anova_f",
+    """
+    WITH af_e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('af|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 3 AS arm,
+               CAST(floor(value * 1000) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    af_c AS (
+        SELECT event_type, arm,
+               CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(CAST(vq AS HUGEINT)) AS HUGEINT) AS sj,
+               CAST(sum(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS ssj
+        FROM af_e GROUP BY 1, 2
+    ),
+    af_q AS (
+        SELECT event_type, nj, sj, ssj,
+               CASE WHEN nj > 0
+                    THEN (1000000 * sj * sj) // nj ELSE 0 END AS q
+        FROM af_c
+    ),
+    af_g AS (
+        SELECT event_type,
+               CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_arms,
+               CAST(sum(sj) AS HUGEINT) AS s,
+               CAST(sum(ssj) AS HUGEINT) AS ss,
+               CAST(sum(q) AS HUGEINT) AS sq
+        FROM af_q GROUP BY 1
+    ),
+    af_s AS (
+        SELECT event_type, n, n_arms,
+               greatest(CAST(0 AS HUGEINT),
+                        sq - (1000000 * s * s) // n) AS ssb,
+               1000000 * ss - sq AS ssw
+        FROM af_g
+    )
+    SELECT event_type, n, n_arms,
+           CASE WHEN n_arms > 1 AND n > n_arms AND ssw > 0
+                THEN CAST(least((1000 * ssb * (n - n_arms))
+                          // (ssw * (n_arms - 1)),
+                          4000000000000000000) AS BIGINT)
+           END AS f_milli,
+           CASE WHEN ssb + ssw > 0
+                THEN CAST((1000000 * ssb) // (ssb + ssw) AS BIGINT)
+           END AS eta2_ppm
+    FROM af_s
+    """,
+)
+def q_events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F omnibus per event type (operators/stats.py
+    oneway_anova, r13): the PARAMETRIC mean-shift screen next to
+    events_kruskal_wallis' rank form — three arms by md5 ('af|' salt),
+    metric = event value in exact milli, each event type reports
+    F (exact milli) and eta² (exact ppm) from the per-arm moment
+    census via per-arm ppm truncations (DECIMAL(38,0) vs HUGEINT,
+    replayed verbatim).  ONE event-sized combinable census groupBy +
+    one census-sized fold; no window, no join (plan-gated)."""
+    from .operators.stats import oneway_anova
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("af|"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 3
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    return oneway_anova(
+        e, arm_col="arm", value_col="vq", group_cols=["event_type"]
     )

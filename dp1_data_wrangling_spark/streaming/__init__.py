@@ -46,6 +46,7 @@ from .rebuild import (
     stream_transitions,
 )
 from .census import (
+    read_anova,
     read_benford,
     read_classification_report,
     read_cmh,
@@ -99,6 +100,7 @@ __all__ = [
     "stream_curation",
     "read_benford",
     "read_classification_report",
+    "read_anova",
     "read_cmh",
     "read_cohens_kappa",
     "read_cuped_ate",

@@ -683,3 +683,32 @@ def read_cmh(
         )
     )
     return cmh_from_census(wide, group_cols=group_cols)
+
+
+def read_anova(
+    spark,
+    catalog_root: str,
+    *,
+    table: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Fold a maintained ``(*groups, arm, n_rows, sum_vq, sumsq_vq)``
+    moment census through the exact one-way ANOVA F + eta²
+    (operators/stats.py anova_from_census) — the streaming form of the
+    ``events_anova_f`` surface: the parametric mean-shift omnibus
+    monitored live next to read_kruskal_wallis' rank form.  A LATE
+    unit revises one arm's moments, which moves the grand mean and
+    every arm's between-group term — re-derived census-sized at read.
+    Project the stream to (groups, arm, vq) with NULL values dropped
+    and maintain with ``stream_census(..., key_cols=[*groups, arm],
+    sum_cols={"sum_vq": "vq", "sumsq_vq": "<vq*vq>"})``."""
+    from ..operators.stats import anova_from_census
+
+    census = Catalog(catalog_root).read(spark, table)
+    return anova_from_census(
+        census,
+        group_cols=group_cols,
+        count_col="n_rows",
+        sum_col="sum_vq",
+        sumsq_col="sumsq_vq",
+    )

@@ -8881,3 +8881,90 @@ def test_cmh_test_validation(spark):
             bad2, arm_col="arm", outcome_col="y", stratum_col="st",
             group_cols=["grp"],
         ).collect()
+
+
+def test_oneway_anova_matches_brute_force(spark):
+    """Randomized three-arm case vs an independent integer replay of
+    the ppm truncations AND the classic float F formula (within 1e-2),
+    plus the degenerate groups: all-constant (NULL F, NULL eta²) and
+    one-armed (NULL F, eta² = 0)."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.stats import oneway_anova
+
+    random.seed(9)
+    rows = []
+    for i in range(900):
+        g, arm = f"g{i % 2}", ["a", "b", "c"][i % 3]
+        v = random.randint(0, 1000) + (300 if arm == "b" and g == "g0" else 0)
+        rows.append((g, arm, v))
+    rows += [("const", "a", 5), ("const", "a", 5), ("const", "b", 5)]
+    rows += [("one", "a", 3), ("one", "a", 9)]
+    df = spark.createDataFrame(rows, "grp string, arm string, v long")
+    got = {
+        r.grp: (r.n, r.n_arms, r.f_milli, r.eta2_ppm)
+        for r in oneway_anova(
+            df, arm_col="arm", value_col="v", group_cols=["grp"]
+        ).collect()
+    }
+
+    def brute(g):
+        sub = [(a, v) for gg, a, v in rows if gg == g]
+        arms = sorted(set(a for a, _ in sub))
+        k, n = len(arms), len(sub)
+        S = sum(v for _, v in sub)
+        SS = sum(v * v for _, v in sub)
+        sq = 0
+        for a in arms:
+            vs = [v for aa, v in sub if aa == a]
+            sq += (10**6 * sum(vs) * sum(vs)) // len(vs)
+        ssb = max(0, sq - (10**6 * S * S) // n)
+        ssw = 10**6 * SS - sq
+        f = (
+            (1000 * ssb * (n - k)) // (ssw * (k - 1))
+            if k > 1 and n > k and ssw > 0
+            else None
+        )
+        eta = (10**6 * ssb) // (ssb + ssw) if ssb + ssw > 0 else None
+        return (n, k, f, eta)
+
+    for g in ("g0", "g1", "const", "one"):
+        assert got[g] == brute(g), g
+    assert got["const"] == (3, 2, None, None)
+    assert got["one"] == (2, 1, None, 0)
+    # float cross-check: the exact-milli F within 1e-2 of textbook F
+    for g in ("g0", "g1"):
+        sub = [(a, v) for gg, a, v in rows if gg == g]
+        arms = sorted(set(a for a, _ in sub))
+        k, n = len(arms), len(sub)
+        gm = sum(v for _, v in sub) / n
+        means = {
+            a: sum(v for aa, v in sub if aa == a)
+            / len([v for aa, v in sub if aa == a])
+            for a in arms
+        }
+        ssb = sum(
+            len([v for aa, v in sub if aa == a]) * (means[a] - gm) ** 2
+            for a in arms
+        )
+        ssw = sum((v - means[a]) ** 2 for a, v in sub)
+        f_float = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(got[g][2] / 1000 - f_float) < 1e-2, g
+    # the planted mean shift carries the signal
+    assert got["g0"][2] > 10 * got["g1"][2]
+
+
+def test_oneway_anova_validation(spark):
+    from dp1_data_wrangling_spark.operators.stats import oneway_anova
+
+    with pytest.raises(ValueError, match="group_cols"):
+        oneway_anova(
+            spark.range(1), arm_col="id", value_col="id", group_cols=[]
+        )
+    bad = spark.createDataFrame(
+        [("g", None, 1)], "grp string, arm string, v long"
+    )
+    with pytest.raises(Exception, match="arm must be non-NULL"):
+        oneway_anova(
+            bad, arm_col="arm", value_col="v", group_cols=["grp"]
+        ).collect()

@@ -1933,3 +1933,17 @@ def test_cmh_two_combinable_groupbys_no_window(spark):
     assert "Join" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_anova_two_combinable_groupbys_no_window(spark):
+    """ANOVA: one event-sized moment-census groupBy + one census-sized
+    group fold — 2 data shuffles, no window, no join, no gather, no
+    Python (the CMH/post_strat contract, moment form)."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["events_anova_f"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan

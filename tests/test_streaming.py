@@ -3836,3 +3836,74 @@ def test_stream_census_cmh_equals_batch(spark, tmp_path):
         sum_cols={"n_conv": "__y"},
     ).awaitTermination(180)
     assert idx() == got
+
+
+def test_stream_census_anova_equals_batch(spark, tmp_path):
+    """Streaming three-arm metric units through the moment-census
+    maintainer in three cuts — the late cut revises arm moments
+    (moving the grand mean and every between-group term) — read_anova
+    == the batch oneway_anova over all delivered units.  Replay is a
+    no-op."""
+    import random
+
+    from dp1_data_wrangling_spark.operators.stats import oneway_anova
+    from dp1_data_wrangling_spark.streaming import read_anova, stream_census
+
+    random.seed(41)
+    rows = []
+    for rid in range(600):
+        g = f"g{rid % 2}"
+        arm = ["a", "b", "c"][random.randint(0, 2)]
+        v = random.randint(0, 500) + (150 if arm == "c" and g == "g0" else 0)
+        rows.append((g, arm, v, rid))
+    units = spark.createDataFrame(
+        rows, "grp string, arm string, vq long, rid long"
+    )
+
+    src_dir = tmp_path / "anova_stream"
+    units.where("rid % 3 = 0").coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    units.where("rid % 3 = 1").coalesce(1).write.parquet(str(src_dir / "b2"))
+    time.sleep(1.1)
+    units.where("rid % 3 = 2").coalesce(1).write.parquet(str(src_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(units.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*/")
+    )
+    proj = lambda df: df.filter(F.col("vq").isNotNull()).select(  # noqa: E731
+        "grp", "arm", "vq", (F.col("vq") * F.col("vq")).alias("__vq2")
+    )
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="anova_census", key_cols=["grp", "arm"],
+        sum_cols={"sum_vq": "vq", "sumsq_vq": "__vq2"},
+    ).awaitTermination(180)
+
+    def idx():
+        return {
+            r.grp: (r.n, r.n_arms, r.f_milli, r.eta2_ppm)
+            for r in read_anova(
+                spark, cat_root, table="anova_census", group_cols=["grp"],
+            ).collect()
+        }
+
+    got = idx()
+    want = {
+        r.grp: (r.n, r.n_arms, r.f_milli, r.eta2_ppm)
+        for r in oneway_anova(
+            units, arm_col="arm", value_col="vq", group_cols=["grp"]
+        ).collect()
+    }
+    assert got == want
+    assert got["g0"][2] > got["g1"][2]
+
+    stream_census(
+        proj(stream), cat_root, checkpoint_dir=ckpt,
+        table="anova_census", key_cols=["grp", "arm"],
+        sum_cols={"sum_vq": "vq", "sumsq_vq": "__vq2"},
+    ).awaitTermination(180)
+    assert idx() == got
