@@ -1055,7 +1055,10 @@ def mann_kendall(
 
     ``series`` must hold ONE row per (key, t) — aggregate upstream
     (the census contract); duplicate time points raise executor-side
-    (sign pairs at dt = 0 are undefined).  The z² numerator runs in
+    (sign pairs at dt = 0 are undefined), as do series past 1.6e6
+    points (var18 is a BIGINT polynomial Θ(n³), past 2^63 there —
+    aggregate to a coarser grain; the trend call is saturated long
+    before such n).  The z² numerator runs in
     DECIMAL(38,0): |s| ≤ n²/2, so it stays inside 1e38 to n ~ 3e8
     points per key — beyond any physical per-key series; no envelope
     needed where the chi-square family required one.
@@ -1125,12 +1128,28 @@ def mann_kendall(
         )
         .withColumn(
             "n_points",
-            F.when(F.col("__cmax") == 1, F.col("__n")).otherwise(
+            F.when(
+                (F.col("__cmax") == 1)
+                # var18 = n(n−1)(2n+5) is a BIGINT polynomial Θ(n³) —
+                # past 2^63 at n ≈ 1.66e6 points it would silently
+                # wrap (the rank_sum var2 lesson); fail fast instead
+                & (F.col("__n") <= F.lit(1_600_000)),
+                F.col("__n"),
+            ).otherwise(
                 F.raise_error(
-                    F.lit(
-                        "mann_kendall: duplicate time points in a key's "
-                        "series — one row per (key, t) is the census "
-                        "contract; aggregate upstream"
+                    F.when(
+                        F.col("__cmax") > 1,
+                        F.lit(
+                            "mann_kendall: duplicate time points in a "
+                            "key's series — one row per (key, t) is the "
+                            "census contract; aggregate upstream"
+                        ),
+                    ).otherwise(
+                        F.lit(
+                            "mann_kendall: series exceeds 1.6e6 points — "
+                            "var18 would overflow 64-bit; aggregate to a "
+                            "coarser time grain upstream"
+                        )
                     )
                 ).cast("bigint")
             ),
