@@ -1226,3 +1226,88 @@ def readability(
         .cast("bigint")
         .alias("fk_grade_milli"),
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Character-level Shannon entropy per group — the
+    information-density screen that separates natural prose (~4.1 nats
+    is typical English char entropy ceiling ln(26)≈3.26 for letters
+    alone; real text with space/punct sits lower per symbol) from
+    keyboard-mash, base64 blobs (near ln(64)) and template boilerplate
+    (far below the corpus norm) — the curation companion to
+    :func:`readability` (that one scores prose STRUCTURE, this one
+    scores symbol usage).
+
+        H          = ln(n) − (Σ c·ln c)/n      (nats; c = char count)
+        efficiency = H / ln(k)                  (share of the k-symbol
+                                                 alphabet's capacity)
+
+    Determinism: the only float reduction, ``Σ c·ln(c)``, runs as a
+    FIXED-ORDER left fold over the char census sorted by char (UTF-8
+    binary order in both engines) — Spark ``aggregate`` and DuckDB
+    ``list_reduce(list(... ORDER BY ch))`` replay the identical
+    addition sequence on identical exact integer inputs, so the
+    rounded-6 doubles are bit-equal (the binned_psi technique).
+    Groups with no characters emit NULL entropy; single-symbol groups
+    emit entropy 0 and NULL efficiency (ln 1 = 0).
+
+    Returns ``(*group_cols, n_chars, n_distinct_chars, entropy,
+    efficiency)``.
+
+    Scale posture (100 TB): the per-char explode pipelines into the
+    partial hash aggregate inside one whole-stage-codegen span (chars
+    are never materialized to a shuffle — the ONE exchange carries the
+    (group, char) census, bounded by the alphabet).  The per-group
+    fold then runs row-local over alphabet-sized arrays.  No join, no
+    window, no Python.
+
+    Engine extension — the reference (exporter.py:75-141) has no text
+    tier; estimator per Shannon (1948).
+    """
+    groups = group_cols or []
+    text = F.col(text_col)
+    census = (
+        docs.filter(text.isNotNull())
+        .select(*groups, F.explode(F.split(text, "")).alias("__ch"))
+        .filter(F.col("__ch") != "")
+        .groupBy(*groups, "__ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    g = census.groupBy(*groups).agg(
+        F.sum("__cnt").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.array_sort(
+            F.collect_list(F.struct("__ch", "__cnt"))
+        ).alias("__rows"),
+    )
+    s = F.expr(
+        """
+        aggregate(
+          __rows,
+          CAST(0.0 AS DOUBLE),
+          (acc, r) -> acc
+            + CAST(r.__cnt AS DOUBLE) * ln(CAST(r.__cnt AS DOUBLE))
+        )
+        """
+    )
+    n_d = F.col("n_chars").cast("double")
+    k_d = F.col("n_distinct_chars").cast("double")
+    ent = F.log(n_d) - F.col("__s") / n_d
+    return (
+        g.withColumn("__s", s)
+        .select(
+            *groups,
+            "n_chars",
+            "n_distinct_chars",
+            F.when(F.col("n_chars") > 0, F.round(ent, 6)).alias("entropy"),
+            F.when(
+                (F.col("n_chars") > 0) & (F.col("n_distinct_chars") > 1),
+                F.round(ent / F.log(k_d), 6),
+            ).alias("efficiency"),
+        )
+    )

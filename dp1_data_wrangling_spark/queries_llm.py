@@ -1844,3 +1844,54 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return readability(docs, text_col="text", group_cols=["source"])
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH ce_x AS (
+        SELECT source, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ce_c AS (
+        SELECT source, ch, CAST(count(*) AS BIGINT) AS cnt
+        FROM ce_x WHERE ch != '' GROUP BY 1, 2
+    ),
+    ce_g AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               list_reduce(
+                   list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+                        ORDER BY ch),
+                   (a, b) -> a + b) AS s
+        FROM ce_c GROUP BY 1
+    )
+    SELECT source, n_chars, n_distinct_chars,
+           CASE WHEN n_chars > 0
+                THEN round(ln(CAST(n_chars AS DOUBLE))
+                           - s / CAST(n_chars AS DOUBLE), 6)
+           END AS entropy,
+           CASE WHEN n_chars > 0 AND n_distinct_chars > 1
+                THEN round((ln(CAST(n_chars AS DOUBLE))
+                            - s / CAST(n_chars AS DOUBLE))
+                           / ln(CAST(n_distinct_chars AS DOUBLE)), 6)
+           END AS efficiency
+    FROM ce_g
+    """,
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy information-density screen per scrape source
+    (operators/text.py char_entropy, r13): Shannon entropy in nats +
+    alphabet efficiency — the symbol-usage quality signal next to
+    doc_readability's prose-structure score (base64 blobs read near
+    ln 64, template boilerplate far below the corpus norm).  The one
+    float reduction is a fixed-order fold over the char census in
+    UTF-8 binary order, replayed bit-equal by DuckDB's ordered
+    list_reduce (the binned_psi technique).  The explode pipelines
+    into the partial aggregate inside one codegen span; ONE exchange
+    carries the alphabet-bounded census (plan-gated)."""
+    from .operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, text_col="text", group_cols=["source"])

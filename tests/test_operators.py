@@ -8968,3 +8968,29 @@ def test_oneway_anova_validation(spark):
         oneway_anova(
             bad, arm_col="arm", value_col="v", group_cols=["grp"]
         ).collect()
+
+
+def test_char_entropy_hand_computed(spark):
+    """Entropy against math.log arithmetic on a hand-counted census,
+    the uniform-alphabet efficiency = 1 case, the single-symbol group
+    (entropy 0, NULL efficiency), and NULL-text exclusion."""
+    import math
+
+    from dp1_data_wrangling_spark.operators.text import char_entropy
+
+    rows = [
+        ("m", "aab"),        # census a:2, b:1
+        ("u", "abcd"),       # uniform 4-symbol -> efficiency 1.0
+        ("one", "aaaa"),     # single symbol -> H=0, efficiency NULL
+        ("one", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_chars, r.n_distinct_chars, r.entropy, r.efficiency)
+        for r in char_entropy(df, group_cols=["source"]).collect()
+    }
+    # "m": H = ln3 - (2ln2 + 1ln1)/3
+    h = math.log(3) - (2 * math.log(2)) / 3
+    assert got["m"] == (3, 2, round(h, 6), round(h / math.log(2), 6))
+    assert got["u"] == (4, 4, round(math.log(4), 6), 1.0)
+    assert got["one"] == (4, 1, 0.0, None)

@@ -1947,3 +1947,17 @@ def test_anova_two_combinable_groupbys_no_window(spark):
     assert "Join" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_char_entropy_census_pipelined_no_join(spark):
+    """Char entropy: the per-char explode pipelines into the partial
+    aggregate — the one data exchange carries the alphabet-bounded
+    census; the fold is row-local.  No join, no window, no Python."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_char_entropy"].fn(spark, SMOKE_SF))
+    assert data_shuffles(plan) == 2, plan  # char census + group fold
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
