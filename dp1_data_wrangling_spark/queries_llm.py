@@ -1895,3 +1895,56 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs, text_col="text", group_cols=["source"])
+
+
+@register(
+    "doc_vocab_gini",
+    """
+    WITH vg_x AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                   '\\W+'), x -> x != '')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vg_c AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS f
+        FROM vg_x GROUP BY 1, 2
+    ),
+    vg_r AS (
+        SELECT source, f,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY f, term) AS i
+        FROM vg_c
+    ),
+    vg_g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(sum(2 * CAST(i AS HUGEINT) * f) AS HUGEINT) AS s2if
+        FROM vg_r GROUP BY 1
+    )
+    SELECT source, n_terms, n_tokens,
+           CASE WHEN n_terms > 1 AND n_tokens > 0 THEN
+               CAST((1000000 * (s2if - (CAST(n_terms AS HUGEINT) + 1)
+                                * n_tokens))
+                    // (CAST(n_terms AS HUGEINT) * n_tokens) AS BIGINT)
+           END AS gini_ppm
+    FROM vg_g
+    """,
+)
+def q_doc_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency Gini concentration per scrape source
+    (operators/text.py vocab_gini, r13): the template/boilerplate
+    detector — a source whose token mass concentrates in few terms
+    reads near 1e6 ppm, diverse prose lower; the usage-inequality
+    companion to doc_heaps_law's vocabulary growth and
+    doc_char_entropy's symbol entropy.  Exact end to end: frequencies
+    sort ascending with the term string as the determinism tie-break
+    (rank-block sums are tie-order invariant), one truncating
+    DECIMAL(38,0)-vs-HUGEINT division.  The token explode pipelines
+    into the partial census aggregate; the rank window runs
+    census-sized on the source key (plan-gated)."""
+    from .operators.text import vocab_gini
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_gini(docs, text_col="text", group_cols=["source"])

@@ -8994,3 +8994,33 @@ def test_char_entropy_hand_computed(spark):
     assert got["m"] == (3, 2, round(h, 6), round(h / math.log(2), 6))
     assert got["u"] == (4, 4, round(math.log(4), 6), 1.0)
     assert got["one"] == (4, 1, 0.0, None)
+
+
+def test_vocab_gini_hand_computed(spark):
+    """Gini against hand arithmetic: a perfectly uniform vocabulary
+    reads 0, a concentrated one reads high, the single-term group
+    reads NULL, and the tie-break ordering does not move the sum."""
+    from dp1_data_wrangling_spark.operators.text import vocab_gini
+
+    rows = [
+        # "uni": a b c once each -> gini 0
+        ("uni", "a b c"),
+        # "conc": a x9, b c d once -> f sorted [1,1,1,9]
+        ("conc", "a a a a a a a a a b c d"),
+        # "one": single term
+        ("one", "x x x"),
+        ("one", None),
+        # "tie": two terms with equal f -> sum invariant to their order
+        ("tie", "p q p q"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_terms, r.n_tokens, r.gini_ppm)
+        for r in vocab_gini(df, group_cols=["source"]).collect()
+    }
+    assert got["uni"] == (3, 3, 0)
+    # conc: V=4, T=12, s2if = 2*(1*1+2*1+3*1+4*9) = 84
+    # gini = 1e6*(84 - 5*12) // (4*12) = 1e6*24 // 48 = 500000
+    assert got["conc"] == (4, 12, 500_000)
+    assert got["one"] == (1, 3, None)
+    assert got["tie"] == (2, 4, 0)

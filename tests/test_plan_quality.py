@@ -1961,3 +1961,17 @@ def test_char_entropy_census_pipelined_no_join(spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_vocab_gini_census_window_no_join(spark):
+    """Vocab Gini: token explode pipelines into the census aggregate;
+    the rank window and fold run census-sized on the source key — no
+    join, no Python, no gather."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    plan = plan_of(REGISTRY["doc_vocab_gini"].fn(spark, SMOKE_SF))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", plan.lower())
+    assert specs and all("source" in s for s in specs), plan
