@@ -395,6 +395,12 @@ SHUFFLE_BUDGETS = {
     # join back — each a narrow id-/component-keyed shuffle; no window
     # over components (a mega-cluster costs a combiner fold)
     "doc_quality_survivors": 6,
+    # Spearman (r13): two value-census groupBys + the census-key
+    # midrank window exchange + the two co-keyed (group, value)
+    # equi-join shuffles feeding ONE moment aggregate — 5 narrow
+    # shuffles by design, none data-sized ungrouped (gate above pins
+    # every window to the group key)
+    "lineitem_spearman": 5,
     # decile boundary summary (r12): the fact value census + the
     # distributed_rank machinery over it (bucket census, offsets
     # window, final window) + the k-sized tier groupBy — everything
@@ -427,6 +433,9 @@ SHUFFLE_BUDGETS = {
     # census-sized margin groupBys + grid joins + the final per-group
     # sum — everything after the census moves category-space rows only
     "events_type_hour_independence": 5,
+    # Cramér's V (r13) rides the chi2 plan above unchanged (the gate
+    # test_cramers_v_rides_chi2_plan pins the exchange counts equal)
+    "events_cramers_v": 5,
     # session-scoped funnel (r11): one user-keyed session window + the
     # funnel's session-keyed min-fold joins (one per step) + the 3-row
     # census — all hash-partitioned on the same session key
