@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import keyed_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -47,13 +49,27 @@ def connected_components(
         # bucket join + similarity) is the expensive part, and every
         # propagation round below joins against `edges` — without this the
         # whole candidate generation re-executes per iteration (measured
-        # ~4x on embedding_semantic_dedup's bench entry).
-        .localCheckpoint(eager=True)
+        # ~4x on embedding_semantic_dedup's bench entry).  Keyed on the
+        # join key "a" (r13, guide §2.4) so each round's join re-shuffles
+        # only the node-sized label table, never the edges.
     )
+    edges = keyed_checkpoint(edges, "a")
     # labels: node -> current component candidate (min id seen so far)
     labels = edges.groupBy(F.col("a").alias("node")).agg(
         F.least(F.min("b"), F.first("a")).alias("component")
     )
+    # Convergence probe (r13): labels only ever DECREASE (min folds over
+    # a fixed node set), so the exact DECIMAL(38,0) sum of components is
+    # strictly decreasing while any label changes and fixed at the
+    # fixpoint — one cheap aggregate over the freshly-materialized round
+    # replaces the old inequality-join + limit(1).count() probe (a whole
+    # extra join job per round).
+    def _label_sum(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iterations):
         # propagate: each node offers its label to every neighbor
@@ -64,20 +80,15 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        changed = (
-            offered.alias("n")
-            .join(
-                labels.alias("o"),
-                (F.col("n.node") == F.col("o.node"))
-                & (F.col("n.component") != F.col("o.component")),
-            )
-            .limit(1)
-            .count()
-        )
-        labels = offered.localCheckpoint(eager=True)  # cut lineage growth
-        if changed == 0:
+        # lazy checkpoint: the sum probe below is the round's one action
+        # and materializes the table; the next round then reads the
+        # cached RDD (lineage still cut at the round boundary)
+        labels = offered.localCheckpoint(eager=False)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         # exhausting the iteration budget mid-propagation would return
         # partial labels (nodes still carrying a non-minimal component) —

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import keyed_checkpoint
+
 
 def pagerank(
     nodes: DataFrame,
@@ -74,26 +76,38 @@ def pagerank(
     teleport = ((100 - damping_pct) * r0) // 100
 
     deg = edges.groupBy(F.col(src).alias("__n")).agg(F.count("*").alias("__d"))
-    # Materialize the static sides ONCE: every round below joins them.
-    ndeg = (
+    # Materialize the static sides ONCE, pre-hash-partitioned on their
+    # per-round join keys (guide §2.4): edges by __src so the per-round
+    # ranks⋈edges join never re-shuffles |E| rows (the ranks side is
+    # already hash(__node, p) from the previous round's checkpointed
+    # join output — zero exchanges on either side of the contrib join),
+    # and ndeg by __node so the round-end recombine join reuses it.
+    # The out-degree rides the NODE table (r13 optimization): ranks carry
+    # __d forward, so (a) the dangling term is a plain filter+aggregate
+    # over checkpointed ranks — the per-round semi-join is gone — and
+    # (b) the edge table shrinks to (src, dst), one bigint narrower per
+    # edge through the one remaining per-round shuffle (guide §2.3).
+    ndeg = keyed_checkpoint(
         nodes.select(F.col(node_col).alias("__node"))
         .join(deg, F.col("__node") == F.col("__n"), "left")
-        .select("__node", F.coalesce("__d", F.lit(0)).alias("__d"))
-        .localCheckpoint(eager=True)
+        .select("__node", F.coalesce("__d", F.lit(0)).alias("__d")),
+        "__node",
     )
-    edges_d = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .join(deg, F.col("__src") == F.col("__n"))
-        .select("__src", "__dst", "__d")
-        .localCheckpoint(eager=True)
+    edges_d = keyed_checkpoint(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        "__src",
     )
 
-    ranks = ndeg.select("__node", F.lit(r0).cast("bigint").alias("pr"))
+    ranks = ndeg.select("__node", "__d", F.lit(r0).cast("bigint").alias("pr"))
     for _ in range(iterations):
+        # lazy checkpoints: each round's table materializes inside its
+        # first consuming job (and is then reused by the second
+        # consumer) instead of as a standalone eager job — lineage is
+        # still cut at every round boundary by the LogicalRDD.
         ranks = _pagerank_round(
             ndeg, edges_d, ranks, n=n, teleport=teleport,
             damping_pct=damping_pct,
-        ).localCheckpoint(eager=True)  # cut lineage growth per round
+        ).localCheckpoint(eager=False)
     return ranks.select(F.col("__node").alias(node_col), "pr")
 
 
@@ -107,13 +121,15 @@ def _pagerank_round(
     damping_pct: int,
 ) -> DataFrame:
     """One lazy update round — split out so plan-quality tests can gate
-    the per-iteration shuffle shape (the loop's eager checkpoints hide
-    it from the final plan)."""
-    dangling = (
-        ranks.join(
-            ndeg.filter(F.col("__d") == 0).select("__node"), "__node", "semi"
-        )
-        .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("__ds"))
+    the per-iteration shuffle shape (the loop's checkpoints hide it from
+    the final plan).  ``ranks`` carries the node's out-degree ``__d``
+    (the r13 shape): the dangling term is a filter+aggregate — no
+    semi-join — and the round's only |E|-sized exchange is the contrib
+    groupBy (the edges⋈ranks join is co-partitioned on __src/__node
+    when both sides arrive hash-partitioned, which the checkpointed
+    tables guarantee)."""
+    dangling = ranks.filter(F.col("__d") == 0).agg(
+        F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("__ds")
     )
     contrib = (
         edges_d.join(ranks, edges_d["__src"] == ranks["__node"])
@@ -122,11 +138,11 @@ def _pagerank_round(
         .agg(F.sum("__share").alias("__contrib"))
     )
     return (
-        ndeg.select("__node")
-        .join(contrib, F.col("__node") == F.col("__dst"), "left")
+        ndeg.join(contrib, F.col("__node") == F.col("__dst"), "left")
         .crossJoin(dangling)  # one-row aggregate, broadcast
         .select(
             "__node",
+            "__d",
             (
                 F.lit(teleport)
                 + F.expr(
@@ -175,8 +191,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
-        .localCheckpoint()
     )
+    # keyed on "a" (r13, guide §2.4): the first degree join below then
+    # shuffles only the node-sized degree census, not the |E|-sized
+    # edge set
+    und = keyed_checkpoint(und, "a")
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -196,7 +215,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint()
+    )
+    # keyed on the wedge pivot "u" (r13): o1 and o2 below read the SAME
+    # checkpointed RDD already hash(u)-partitioned, so the wedge
+    # self-join — the operator's biggest shuffle (it used to move the
+    # oriented edge set TWICE) — plans with zero exchanges
+    oriented = keyed_checkpoint(oriented, "u")
     o1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
     wedges = o1.join(o2, "u").filter(
@@ -343,8 +367,8 @@ def personalized_pagerank(
             F.coalesce("__d", F.lit(0)).alias("__d"),
             F.coalesce("__is_seed", F.lit(False)).alias("__s"),
         )
-        .localCheckpoint(eager=True)
     )
+    ndeg = keyed_checkpoint(ndeg, "__node")
     s = ndeg.filter("__s").count()
     if s == 0:
         raise ValueError(
@@ -352,18 +376,21 @@ def personalized_pagerank(
         )
     seed_tel = (((100 - damping_pct) * scale) // 100) // s
     r0 = scale // n
-    edges_d = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .join(deg, F.col("__src") == F.col("__n"))
-        .select("__src", "__dst", "__d")
-        .localCheckpoint(eager=True)
+    # same r13 shape as pagerank: (src, dst)-only edge table pre-hash-
+    # partitioned on __src; ranks carry (__d, __s) forward so dangling
+    # is a filter+aggregate and the seed flag never joins per round
+    edges_d = keyed_checkpoint(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        "__src",
     )
-    ranks = ndeg.select("__node", F.lit(r0).cast("bigint").alias("pr"))
+    ranks = ndeg.select(
+        "__node", "__d", "__s", F.lit(r0).cast("bigint").alias("pr")
+    )
     for _ in range(iterations):
         ranks = _ppr_round(
             ndeg, edges_d, ranks, s=s, seed_tel=seed_tel,
             damping_pct=damping_pct,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks.select(F.col("__node").alias(node_col), "pr")
 
 
@@ -377,12 +404,11 @@ def _ppr_round(
     damping_pct: int,
 ) -> DataFrame:
     """One personalized round (split out for the plan gate, like
-    ``_pagerank_round``): teleport and dangling mass go to SEEDS."""
-    dangling = (
-        ranks.join(
-            ndeg.filter(F.col("__d") == 0).select("__node"), "__node", "semi"
-        )
-        .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("__ds"))
+    ``_pagerank_round``): teleport and dangling mass go to SEEDS.
+    ``ranks`` carries (__d, __s) — dangling is a filter+aggregate, the
+    seed flag never joins per round (r13 shape)."""
+    dangling = ranks.filter(F.col("__d") == 0).agg(
+        F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("__ds")
     )
     contrib = (
         edges_d.join(ranks, edges_d["__src"] == ranks["__node"])
@@ -391,11 +417,12 @@ def _ppr_round(
         .agg(F.sum("__share").alias("__contrib"))
     )
     return (
-        ndeg.select("__node", "__s")
-        .join(contrib, F.col("__node") == F.col("__dst"), "left")
+        ndeg.join(contrib, F.col("__node") == F.col("__dst"), "left")
         .crossJoin(dangling)  # one-row aggregate, broadcast
         .select(
             "__node",
+            "__d",
+            "__s",
             (
                 F.when(F.col("__s"), F.lit(seed_tel)).otherwise(F.lit(0))
                 + F.expr(
@@ -445,6 +472,11 @@ def label_propagation(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     n = nodes.select(F.col(node_col).alias("node")).distinct()
+    # the neighbor list is checkpointed ONCE, pre-hash-partitioned on
+    # the per-round join key ``u`` (r13, guide §2.4): every round's
+    # label join then re-shuffles only the node-sized label table, never
+    # the |E|-sized neighbor list (the distinct's (v, u) partitioning
+    # could not serve a join on u alone)
     nbrs = (
         edges.filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("v"), F.col(dst).alias("u"))
@@ -454,8 +486,8 @@ def label_propagation(
             )
         )
         .distinct()
-        .localCheckpoint()
     )
+    nbrs = keyed_checkpoint(nbrs, "u")
     labels = n.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         msgs = nbrs.join(
@@ -477,7 +509,10 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("__w"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: materializes inside the next round's first consuming
+            # job (still cuts lineage at the round boundary) instead of
+            # as a standalone eager job per round (r13)
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -562,22 +597,32 @@ def link_prediction(
         )
     deg = degrees(canon).localCheckpoint(eager=False)
 
-    adj = canon.select(F.col("a").alias("w"), F.col("b").alias("nb")).unionAll(
-        canon.select(F.col("b").alias("w"), F.col("a").alias("nb"))
-    )
-    left = adj.select(F.col("w"), F.col("nb").alias("pa"))
-    right = adj.select(F.col("w").alias("w2"), F.col("nb").alias("pb"))
     # the Resource-Allocation index rides the same wedge census: each
     # common neighbor w contributes 1/deg(w), in exact ppm via one
     # truncating division per wedge (deg(w) >= 2 for any intermediate,
     # so the division is always defined) — the Zhou/Lü/Zhang predictor
-    # that consistently beats raw CN in the link-prediction literature
+    # that consistently beats raw CN in the link-prediction literature.
+    # r13 shape (guide §2.3/§2.4): deg(w) is attached to the ADJACENCY
+    # (2|E| rows) before the self-join — the old plan joined it onto the
+    # wedge census (deg(w)² rows per pivot), a strictly larger join —
+    # and the adjacency is checkpointed pre-partitioned on the pivot w,
+    # so the wedge self-join reads one co-partitioned RDD twice and
+    # plans with ZERO exchanges.
     degw = deg.select(F.col("node").alias("__w"), F.col("deg").alias("__dw"))
+    adj = canon.select(F.col("a").alias("w"), F.col("b").alias("nb")).unionAll(
+        canon.select(F.col("b").alias("w"), F.col("a").alias("nb"))
+    )
+    adj = keyed_checkpoint(
+        adj.join(degw, adj.w == degw.__w).select("w", "nb", "__dw"),
+        "w",
+        eager=False,
+    )
+    left = adj.select(F.col("w"), F.col("nb").alias("pa"), "__dw")
+    right = adj.select(F.col("w").alias("w2"), F.col("nb").alias("pb"))
     cn = (
         left.join(
             right, (F.col("w") == F.col("w2")) & (F.col("pa") < F.col("pb"))
         )
-        .join(degw, F.col("w") == F.col("__w"))
         .groupBy("pa", "pb")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),

@@ -27,7 +27,7 @@ extra (pairs are keyed by basket, never by item).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,7 +57,17 @@ def _capped_basket_items(
 ) -> DataFrame:
     """The shared prune+cap front end (frequent_pairs / association_rules):
     distinct (basket, item) pairs -> frequent-item broadcast prune ->
-    deterministic lexicographic cap per basket.  Returns (__b, __i).
+    deterministic lexicographic cap per basket.  Returns the ARRAY form
+    ``(__b, __items)`` with ``__items`` the sorted first
+    ``max_items_per_basket`` frequent items of the basket.
+
+    r13 shape (guide §2.4): the cap is ``slice(array_sort(collect_list))``
+    inside ONE basket-keyed aggregate — identical semantics to the old
+    row_number window + filter + regroup (lexicographically first ``cap``
+    distinct frequent items), but one operator pass instead of a window
+    sort + second aggregation over the same exchange, and the basket
+    TOTAL becomes a plain row count of this table (the old shape paid a
+    separate count-distinct aggregation over the row view).
 
     The distinct set checkpoints ONCE (it feeds both the item census and
     the prune branch — the connected_components multi-reference lesson);
@@ -84,27 +94,25 @@ def _capped_basket_items(
     )
     capped = (
         basket_items.join(F.broadcast(frequent), "__i")
-        .withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("__b").orderBy("__i")),
+        .groupBy("__b")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("__i")),
+                1,
+                max_items_per_basket,
+            ).alias("__items")
         )
-        .filter(F.col("__rn") <= max_items_per_basket)
-        .select("__b", "__i")
     )
     return capped.localCheckpoint(eager=False) if checkpoint_capped else capped
 
 
 def _pair_census(
-    capped: DataFrame, *, min_pair_support: int, a_name: str, b_name: str
+    baskets: DataFrame, *, min_pair_support: int, a_name: str, b_name: str
 ) -> DataFrame:
-    """The shared row-local i<j pair explosion + census over a capped
-    (__b, __i) view.  Collecting each basket's items into a sorted array
-    reuses the cap window's partitioning (no extra shuffle) and bounds
-    the explosion at C(cap, 2) rows per basket; a self-join on basket id
-    would reference the capped subtree twice (9 shuffles vs 4)."""
-    baskets = capped.groupBy("__b").agg(
-        F.array_sort(F.collect_list("__i")).alias("__items")
-    )
+    """The shared row-local i<j pair explosion + census over the capped
+    ``(__b, __items)`` array view.  The explosion is bounded at
+    C(cap, 2) rows per basket; a self-join on basket id would reference
+    the capped subtree twice (9 shuffles vs 4)."""
     pair = F.explode(
         F.flatten(
             F.expr(
@@ -213,11 +221,18 @@ def association_rules(
         max_items_per_basket=max_items_per_basket,
         checkpoint_capped=True,
     )
-    total = capped.agg(
-        F.countDistinct("__b").cast("bigint").alias("n_baskets")
-    )
-    item_counts = capped.groupBy("__i").agg(
-        F.count("*").cast("bigint").alias("__cnt")
+    # one row per surviving basket — the total is a plain count (r13;
+    # the old row view paid a count-distinct aggregation here)
+    total = capped.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    # item census from the capped arrays (row-local explode, one
+    # combinable shuffle); lazily checkpointed because it feeds TWO
+    # broadcast builds below — without the cut the census subtree runs
+    # once per broadcast
+    item_counts = (
+        capped.select(F.explode("__items").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count("*").cast("bigint").alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
     pairs = _pair_census(
         capped, min_pair_support=min_pair_support, a_name="ia", b_name="ib"
@@ -346,8 +361,11 @@ def item_affinity(
         max_items_per_basket=max_items_per_basket,
         checkpoint_capped=True,
     )
-    item_counts = capped.groupBy("__i").agg(
-        F.count("*").cast("bigint").alias("__cnt")
+    item_counts = (
+        capped.select(F.explode("__items").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count("*").cast("bigint").alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
     pairs = _pair_census(
         capped,

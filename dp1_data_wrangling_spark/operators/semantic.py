@@ -47,6 +47,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import keyed_checkpoint
 from .components import dedup_survivors
 from .similarity import cosine
 
@@ -158,9 +159,20 @@ def pairs_from_signatures(
     signatures (the streaming index keeps them, ``streaming/semantic.py``)
     skip re-deriving the n_planes × dim folds per row."""
     # Hot-bucket cap: windowed count avoids a second aggregate+join.
+    # Lazy keyed checkpoint (r13): both sides of the self-join below
+    # consume `kept`, whose SRP-signature subtree (n_planes x dim
+    # integer folds per row) is THE expensive stage — without the cut it
+    # evaluates twice, and the join re-shuffles both sides by the
+    # signature.  The window has already hash-partitioned the rows on
+    # ``sig_col``; the keyed checkpoint RECORDS that partitioning, so
+    # the self-join reads ONE materialized co-partitioned RDD twice and
+    # plans with zero exchanges (guide §2.4).
     n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy(sig_col))
-    kept = sig.withColumn("__n", n_in_bucket).filter(
-        F.col("__n") <= max_bucket_size
+    kept = keyed_checkpoint(
+        sig.withColumn("__n", n_in_bucket).filter(
+            F.col("__n") <= max_bucket_size
+        ),
+        eager=False,
     )
     a = kept.select(
         F.col(id_col).alias("id_a"),

@@ -122,6 +122,64 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
+def keyed_checkpoint(
+    df: DataFrame,
+    *keys: str,
+    n_partitions: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """``repartition(n, *keys)`` + ``localCheckpoint`` with the hash
+    partitioning RECORDED on the checkpoint (r13 optimization round).
+
+    Under AQE, ``Dataset.localCheckpoint`` captures the physical plan's
+    ``outputPartitioning`` while the adaptive plan is still non-final, so
+    the resulting LogicalRDD reports ``UnknownPartitioning`` and every
+    downstream equi-join re-shuffles the checkpointed side — even when it
+    was just repartitioned on the join key.  Toggling AQE off around the
+    checkpoint makes the LogicalRDD carry ``hashpartitioning(keys, n)``;
+    equi-joins on those keys then plan with NO exchange on this side
+    (measured on this Spark: self-join of a keyed checkpoint = 0
+    exchanges vs 2).  That is the §2.4 "remove shuffles outright" move
+    for every iterative operator whose STATIC side is joined per round,
+    and for self-joins reading one materialized table twice.
+
+    With no ``keys``, the plan is checkpointed as-is and whatever
+    partitioning it ends with (e.g. a window's hash exchange) is
+    recorded — no repartition added.
+
+    ``n_partitions`` defaults to the session shuffle-partition setting
+    (conf/env-overridable — scale-adaptive, not a local constant).  The
+    checkpointed subtree itself runs without AQE re-planning (one
+    materialization pass at the conf's static partitioning); every
+    consumer query keeps full AQE.
+    """
+    spark = df.sparkSession
+
+    def _record(d: DataFrame) -> DataFrame:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return d.localCheckpoint(eager=eager)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    if not keys:
+        return _record(df)
+    # Two-phase (the measured lesson of this round's first cut): the
+    # subtree materializes FIRST with full AQE — so its own shuffles
+    # coalesce to the data's actual size — and only the cheap keyed
+    # redistribution of the already-materialized narrow rows runs
+    # non-adaptively.  The partition count defaults to what AQE
+    # coalescing chose for the materialized data (its RDD partition
+    # count ≈ bytes / advisoryPartitionSize) — partitioning derived
+    # from input size, not a constant: ~1 at fixture scale, hundreds+
+    # at cluster scale.  A conf-pinned count here cost 2-3x wall at
+    # sf0.1 (32-task stages under every per-round join at toy size).
+    base = df.localCheckpoint(eager=True)
+    n = n_partitions or max(1, base.rdd.getNumPartitions())
+    return _record(base.repartition(n, *keys))
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: defaultParallelism)
     input partitions before CPU-heavy per-row work.

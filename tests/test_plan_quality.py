@@ -645,15 +645,15 @@ def test_pagerank_round_plan_one_contrib_shuffle_no_cartesian(spark):
 
     nodes = spark.range(100).select(F.col("id").alias("__node"))
     ndeg = nodes.withColumn("__d", (F.col("__node") % 4).cast("bigint"))
-    edges_d = (
-        ndeg.filter("__d > 0")
-        .select(
-            F.col("__node").alias("__src"),
-            ((F.col("__node") * 7) % 100).alias("__dst"),
-            "__d",
-        )
+    # r13 shape: the edge table is (src, dst) only — the out-degree rides
+    # the ranks table, so dangling is a filter+aggregate, not a semi-join
+    edges_d = ndeg.filter("__d > 0").select(
+        F.col("__node").alias("__src"),
+        ((F.col("__node") * 7) % 100).alias("__dst"),
     )
-    ranks = nodes.select("__node", F.lit(10**10).cast("bigint").alias("pr"))
+    ranks = ndeg.select(
+        "__node", "__d", F.lit(10**10).cast("bigint").alias("pr")
+    )
     plan = plan_of(
         _pagerank_round(
             ndeg, edges_d, ranks, n=100, teleport=15 * 10**8, damping_pct=85
@@ -677,12 +677,14 @@ def test_ppr_round_same_shape_as_pagerank_round(spark):
     ndeg = nodes.withColumn(
         "__d", (F.col("__node") % 4).cast("bigint")
     ).withColumn("__s", F.col("__node") % 10 == 0)
+    # r13 shape: narrow (src, dst) edges; ranks carry (__d, __s)
     edges_d = ndeg.filter("__d > 0").select(
         F.col("__node").alias("__src"),
         ((F.col("__node") * 7) % 100).alias("__dst"),
-        "__d",
     )
-    ranks = nodes.select("__node", F.lit(10**10).cast("bigint").alias("pr"))
+    ranks = ndeg.select(
+        "__node", "__d", "__s", F.lit(10**10).cast("bigint").alias("pr")
+    )
     plan = plan_of(
         _ppr_round(
             ndeg, edges_d, ranks, s=10, seed_tel=15 * 10**9, damping_pct=85
@@ -1265,9 +1267,11 @@ EXCHANGE_LEDGER = {
     "doc_link_communities": (0, 0, 0),
     "doc_link_pagerank": (0, 0, 0),
     # doc_link_prediction's visible slice starts at its lazy-checkpointed
-    # edge/degree sets (like pagerank's final round): the adjacency
-    # self-join, pair census, freshness anti-join and two degree joins
-    "doc_link_prediction": (9, 0, 0),
+    # edge/degree sets (like pagerank's final round): pair census,
+    # freshness anti-join and two degree joins — r13 keyed the adjacency
+    # checkpoint on the wedge pivot, so the self-join itself plans with
+    # ZERO exchanges (9 -> 8)
+    "doc_link_prediction": (8, 0, 0),
     # events_diff_in_diff: ONE combinable groupBy, no window, no join
     "events_diff_in_diff": (1, 0, 0),
     # orders_benford: ONE combinable pivot census groupBy; the grid
@@ -1327,7 +1331,11 @@ EXCHANGE_LEDGER = {
     "multi_join_revenue": (2, 4, 0),
     "multimodal_decode": (0, 0, 0),
     "multimodal_png": (0, 0, 0),
-    "order_brand_rules": (5, 3, 1),
+    # r13: the cap window + countDistinct total are gone (single
+    # slice(array_sort(collect_list)) aggregate + plain count over the
+    # lazily-checkpointed capped arrays) — the one data shuffle left in
+    # the visible slice is the pair census
+    "order_brand_rules": (1, 3, 1),
     "orders_value_deciles": (3, 2, 0),
     "priority_dedup": (1, 2, 0),
     "session_window": (1, 0, 0),
