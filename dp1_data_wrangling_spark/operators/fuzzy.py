@@ -20,12 +20,15 @@ Algorithm (PassJoin-style complete segment blocking, Li et al., ICDE'11
   ``(2d+1) lengths x (d+1) segments x (2d+1) positions`` (~75 for d=2):
   linear in corpus size, never quadratic.
 
-Scale posture (100 TB): four narrow shuffles — the blocking equi-join
-(one exchange per side, keyed on the segment content + coordinates),
-the probe-substring ``distinct``, and the candidate-pair ``distinct``.  Keys ride along through the explode (a
-fuzzy key is a short normalized string — bytes per doc stay bounded by
-``~75 x |key|``), so no join-back to the corpus is needed and document
-payloads never shuffle.  Skew: a degenerate segment (e.g. all-spaces
+Scale posture (100 TB): the blocking equi-join (one exchange per side,
+keyed on the segment content + coordinates — the segment side
+broadcast-joins while it fits the threshold) and the candidate-pair
+``distinct``; probe substrings are enumerated and deduplicated
+ROW-LOCALLY (array_distinct before the explode), so the probe stream
+never pays its own exchange (r13).  Keys ride along through the
+explode (a fuzzy key is a short normalized string — bytes per doc stay
+bounded by ``~75 x |key|``), so no join-back to the corpus is needed
+and document payloads never shuffle.  Skew: a degenerate segment (e.g. all-spaces
 keys) concentrates one block; normalize keys upstream and keep them
 short.  Levenshtein verification runs row-local with the thresholded
 (banded) variant, JVM-side.
@@ -69,6 +72,16 @@ def fuzzy_pairs(
         F.col(key_col).alias("__key"),
         F.length(key_col).alias("__len"),
     ).filter(F.col("__len") > 0)
+    # Both the segment side and the probe side consume `keys`; without a
+    # cut the (id, key, len) subtree — including the caller's key
+    # normalization over full document text — evaluates twice (the CC
+    # multi-reference lesson).  The checkpoint also gives the planner
+    # ACCURATE sizes for both join inputs, so broadcast-vs-shuffle for
+    # the blocking join is decided from real bytes (scale-adaptive: the
+    # d+1-rows/key segment side broadcasts at bench scale, and the
+    # planner falls back to a narrow shuffle join when it outgrows the
+    # threshold).  Rows are (id, short key, int) — narrow by contract.
+    keys = keys.localCheckpoint(eager=False)
 
     # --- segment side: the canonical even split of each key ------------
     # base/rem arithmetic is pure integer; segment i (0-based) has length
@@ -98,42 +111,40 @@ def fuzzy_pairs(
     # --- probe side: bounded substring enumeration ---------------------
     # For every candidate block length Lc in [len-d, len+d] and segment i
     # of THAT split, every substring of this key with the segment's length
-    # starting within ±d of the segment's start.
-    lc = F.col("__lc")
-    pbase = (lc / nseg).cast("int")
-    prem = lc % nseg
-    plen = pbase + (seg_i < prem).cast("int")
-    pstart = seg_i * pbase + F.least(seg_i, prem) + F.lit(1)
-    p_lo = F.greatest(F.lit(1), pstart - d)
-    p_hi = F.least(F.col("__len") - plen + 1, pstart + d)
-    probes = (
-        keys.withColumn(
-            "__lc",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.lit(1), F.col("__len") - d),
-                    F.col("__len") + d,
-                )
-            ),
-        )
-        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d))))
-        .withColumn("__plen", plen)
-        .withColumn(
-            "__p",
-            F.explode(
-                F.when(p_lo <= p_hi, F.sequence(p_lo, p_hi)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ),
-        )
-        .select(
-            F.col("__id").alias("__id_p"),
-            F.col("__key").alias("__key_p"),
-            F.col("__lc").alias("__bl"),
-            "__i",
-            F.col("__key").substr(F.col("__p"), F.col("__plen")).alias("__seg"),
-        )
-        .distinct()  # collapse repeated substrings before the join
+    # starting within ±d of the segment's start.  Enumerated ROW-LOCALLY
+    # as one nested-transform array and deduplicated with array_distinct
+    # BEFORE the explode (r13): the duplicates the old global .distinct()
+    # collapsed were all within-row (the row's own id was part of the
+    # dedup key), so the row-local dedup is result-identical — the final
+    # candidate .distinct() covers duplicate-id inputs — and the probe
+    # stream reaches the blocking join without paying a corpus-sized
+    # exchange of its ~(2d+1)²(d+1) rows per key (guide §2.4; measured
+    # -1 data shuffle, the largest intermediate in the plan).
+    pbase_sql = f"cast((lc / {nseg}) as int)"
+    plen_sql = f"({pbase_sql} + (case when i < lc % {nseg} then 1 else 0 end))"
+    pstart_sql = f"(i * {pbase_sql} + least(i, lc % {nseg}) + 1)"
+    p_lo_sql = f"greatest(1, {pstart_sql} - {d})"
+    p_hi_sql = f"least(__len - {plen_sql} + 1, {pstart_sql} + {d})"
+    probe_structs = F.expr(
+        "array_distinct(flatten(transform("
+        f"sequence(greatest(1, __len - {d}), __len + {d}), lc -> "
+        f"flatten(transform(sequence(0, {d}), i -> "
+        f"transform("
+        f"if({p_lo_sql} <= {p_hi_sql}, sequence({p_lo_sql}, {p_hi_sql}), "
+        f"cast(array() as array<int>)), "
+        f"p -> named_struct('__bl', lc, '__i', i, "
+        f"'__seg', substr(__key, p, {plen_sql}))))))))"
+    )
+    probes = keys.select(
+        F.col("__id").alias("__id_p"),
+        F.col("__key").alias("__key_p"),
+        F.explode(probe_structs).alias("__ps"),
+    ).select(
+        "__id_p",
+        "__key_p",
+        F.col("__ps.__bl").alias("__bl"),
+        F.col("__ps.__i").alias("__i"),
+        F.col("__ps.__seg").alias("__seg"),
     )
 
     cands = (

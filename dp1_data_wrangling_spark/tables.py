@@ -202,9 +202,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:  # exotic sources without file listings
         return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    if not (0 < n_files < target):
+        return df
+    # r13: a Repartition already in the plan has redistributed the rows —
+    # a second round-robin would move every byte again for nothing.  The
+    # inputFiles probe alone misses this case (Generate/Project keep the
+    # file leaf visible), which made spread(spread(df)) pay two full
+    # exchanges of document text in the dedup tier.  Driver-side string
+    # probe of the analyzed plan; worst case of a false positive is
+    # skipping a redundant shuffle.
+    try:
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
 
 
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}

@@ -1261,7 +1261,10 @@ EXCHANGE_LEDGER = {
     "doc_bpe_tokens": (0, 0, 0),
     "doc_curation_pipeline": (1, 0, 0),
     "doc_exact_dedup": (1, 0, 0),
-    "doc_fuzzy_pairs": (2, 1, 0),
+    # r13: probe substrings dedup row-locally (array_distinct before the
+    # explode) — the probe-side global distinct and its corpus-sized
+    # exchange are gone (2 -> 1)
+    "doc_fuzzy_pairs": (1, 1, 0),
     "doc_global_shuffle": (1, 0, 0),
     "doc_line_dedup": (2, 2, 0),
     "doc_link_communities": (0, 0, 0),
