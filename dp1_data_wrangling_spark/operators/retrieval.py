@@ -165,37 +165,57 @@ def bm25_topk(
         raise ValueError(
             f"max_df_ratio_milli must be in [1, 1000], got {max_df_ratio_milli}"
         )
-    # The postings table is THE index — it feeds corpus stats, document
-    # frequencies, and the match join, so checkpoint it once (the same
-    # multi-reference discipline as connected_components' edge set;
-    # without the cut the tokenize+groupBy subtree re-executes four
-    # times and the plan balloons to 16 shuffles).
-    postings = doc_length_postings(
-        docs, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
-    # corpus stats: one row (N docs, S total tokens), broadcast back
+    # r13 restructure (guide §2.3 "aggregate before you shuffle" /
+    # §3.2 semi-reduction): nothing in BM25 needs the FULL corpus
+    # postings.  Corpus statistics (N, S) fold out of row-local token
+    # counts — a one-row zero-shuffle aggregate over the raw docs — and
+    # the (doc, term) tf aggregation only matters for tokens that MATCH
+    # a query term, so the broadcast semi-join moves BEFORE the groupBy.
+    # The full-corpus (doc, term) shuffle, its doc-length window and the
+    # eager full-postings checkpoint (the previous shape) are gone: the
+    # only shuffled rows are query-term occurrences.  tf/dl/df/N/S are
+    # value-identical, so scores and ranks are bit-identical.
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+        ).alias("__toks"),
+    ).select(F.col(id_col), F.size("__toks").alias("dl"), F.col("__toks"))
+    # one-row corpus stats: N = docs holding >= 1 token, S = Σ dl.
+    # Row counts, not countDistinct — a distinct would force a full
+    # shuffle by id, and the id column is unique per row by the same
+    # postings contract tf already rests on (duplicate ids would
+    # double-count tf in any shape).  Fully map-side combinable:
+    # zero data shuffle, one single-partition gather of partials.
     stats = F.broadcast(
-        postings.groupBy().agg(
-            F.countDistinct(id_col).alias("__n"),
-            F.sum("tf").cast("bigint").alias("__s"),
+        toks.agg(
+            F.sum(F.when(F.col("dl") >= 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__n"),
+            F.sum("dl").cast("bigint").alias("__s"),
         )
     )
-    # document frequency per term, semi-reduced to the QUERY vocabulary
-    # first (broadcast both ways: qterms is tiny, and df-of-query-terms
-    # is <= |query vocabulary| rows however large the corpus)
     qvocab = F.broadcast(
         tokenize(
             queries, text_col=query_text_col, id_col=query_id_col
         ).distinct()
     )
-    qterms = F.broadcast(
-        postings.join(qvocab.select("term").distinct(), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .join(qvocab, "term")
+    # query-term occurrences only; the tf groupBy and everything after
+    # it run over this semi-reduced stream.  df is a count-window over
+    # the SAME stream (one narrow exchange on term, over query-term
+    # postings only) instead of a dependent broadcast chain — the
+    # stream is consumed once, so it needs no checkpoint.
+    matched_tf = (
+        toks.select(F.col(id_col), F.col("dl"), F.explode("__toks").alias("term"))
+        .join(F.broadcast(qvocab.select("term").distinct()), "term")
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
     )
     matched = (
-        postings.join(qterms, "term")
+        matched_tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+        .join(qvocab, "term")
         .crossJoin(stats)
         .filter(F.expr(f"1000 * df <= {max_df_ratio_milli} * __n"))
     )

@@ -336,7 +336,11 @@ def q_event_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sk"),
         "event_type",
         "ts_us",
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy cut (r13): funnel_match references its input once per step,
+    # so without it the sessionization subtree (user-keyed exchange +
+    # sort + two windows) executed three times — the executed plan
+    # carried three copies of the scan->window chain.
     fun = funnel_match(
         sessed,
         steps=["view", "click", "purchase"],

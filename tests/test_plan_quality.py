@@ -1257,7 +1257,13 @@ EXCHANGE_LEDGER = {
     "cosine_topk": (1, 1, 0),
     "dedup_clusters": (0, 1, 0),
     "dimension_expansion": (0, 4, 0),
-    "doc_bm25_topk": (6, 4, 1),
+    # r13: corpus stats fold from row-local token counts (zero-shuffle
+    # one-row aggregate) and the query-vocab semi-join moved BEFORE the
+    # (doc, term) tf groupBy — the full-corpus postings shuffle, its
+    # doc-length window and the eager postings checkpoint are gone; the
+    # six remaining data exchanges all carry query-term-sized rows (the
+    # two query-vocab distincts, tf groupBy, df window, fold, rank)
+    "doc_bm25_topk": (6, 3, 1),
     "doc_bpe_tokens": (0, 0, 0),
     "doc_curation_pipeline": (1, 0, 0),
     "doc_exact_dedup": (1, 0, 0),
@@ -1309,9 +1315,11 @@ EXCHANGE_LEDGER = {
     # events_throttle: ONE (user,type)-keyed window exchange reused by
     # the gap flags, the burst windows and the keep rule
     "events_throttle": (1, 0, 0),
-    # event_session_funnel: one user-keyed window shuffle + the funnel's
-    # session-keyed min-fold joins + the 3-row census groupBy
-    "event_session_funnel": (5, 2, 0),
+    # event_session_funnel: visible slice from the lazily-checkpointed
+    # sessionized stream (r13 — the window chain previously executed
+    # once per funnel step): the funnel's session-keyed min-fold joins
+    # + the 3-row census groupBy
+    "event_session_funnel": (2, 2, 0),
     # events_type_hour_independence: the lazily-checkpointed census is
     # the one data-sized shuffle; margins/total/grid run over census
     # rows (two census groupBys + the grid joins; broadcasts are the
