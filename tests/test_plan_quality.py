@@ -1848,13 +1848,20 @@ def test_mrr_map_eval_single_aggregation_branch(spark):
     """The eval must fold every metric from ONE collected array per
     query — a second aggregation branch over the join would re-execute
     the whole BM25 subtree (the 19-exchange shape this query shipped
-    without).  No cartesian; the label census joins query-keyed."""
+    without).  No cartesian; the label census joins query-keyed.
+
+    Scan budget (r13 semi-reduce shape): the retriever reads the raw
+    text TWICE by design — a shuffle-free one-row corpus-stats fold and
+    the query-vocabulary-reduced match stream (the full-postings
+    checkpoint it replaced hid its scan behind an InMemoryRelation) —
+    plus the two doc_id-only label-census scans.  A re-executed
+    retriever shows up as a THIRD text-bearing scan."""
     plan = plan_of(REGISTRY["bm25_mrr_map_eval"].fn(spark, SMOKE_SF))
     assert "CartesianProduct" not in plan
-    # one corpus scan for BM25 + one for the label derivation — a
-    # branched aggregation re-executes the retriever and reads 3+
-    docscans = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
-    assert docscans <= 2, plan
+    docscans = re.findall(r"FileScan parquet[^\n]*documents[^\n]*", plan)
+    assert len(docscans) <= 4, plan
+    text_scans = [s for s in docscans if "text" in s]
+    assert len(text_scans) <= 2, plan
     assert data_shuffles(plan) <= 10
 
 
