@@ -76,22 +76,23 @@ def pagerank(
     teleport = ((100 - damping_pct) * r0) // 100
 
     deg = edges.groupBy(F.col(src).alias("__n")).agg(F.count("*").alias("__d"))
-    # Materialize the static sides ONCE, pre-hash-partitioned on their
-    # per-round join keys (guide §2.4): edges by __src so the per-round
-    # ranks⋈edges join never re-shuffles |E| rows (the ranks side is
-    # already hash(__node, p) from the previous round's checkpointed
-    # join output — zero exchanges on either side of the contrib join),
-    # and ndeg by __node so the round-end recombine join reuses it.
-    # The out-degree rides the NODE table (r13 optimization): ranks carry
+    # Materialize the static sides ONCE (guide §2.4): edges by __src so
+    # the per-round ranks⋈edges join never re-shuffles |E| rows.  The
+    # out-degree rides the NODE table (r13 optimization): ranks carry
     # __d forward, so (a) the dangling term is a plain filter+aggregate
     # over checkpointed ranks — the per-round semi-join is gone — and
     # (b) the edge table shrinks to (src, dst), one bigint narrower per
     # edge through the one remaining per-round shuffle (guide §2.3).
-    ndeg = keyed_checkpoint(
+    # ndeg only SEEDS round 0 now (the fused round carries each node's
+    # self row through the contrib shuffle, so no per-round join reads
+    # ndeg) — a plain eager checkpoint: round 0 reads it three times
+    # (dangling agg + contrib join + self-row union) but nothing needs
+    # its partitioning, so the keyed redistribution pass is dropped.
+    ndeg = (
         nodes.select(F.col(node_col).alias("__node"))
         .join(deg, F.col("__node") == F.col("__n"), "left")
-        .select("__node", F.coalesce("__d", F.lit(0)).alias("__d")),
-        "__node",
+        .select("__node", F.coalesce("__d", F.lit(0)).alias("__d"))
+        .localCheckpoint()
     )
     edges_d = keyed_checkpoint(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
@@ -105,14 +106,13 @@ def pagerank(
         # consumer) instead of as a standalone eager job — lineage is
         # still cut at every round boundary by the LogicalRDD.
         ranks = _pagerank_round(
-            ndeg, edges_d, ranks, n=n, teleport=teleport,
+            edges_d, ranks, n=n, teleport=teleport,
             damping_pct=damping_pct,
         ).localCheckpoint(eager=False)
     return ranks.select(F.col("__node").alias(node_col), "pr")
 
 
 def _pagerank_round(
-    ndeg: DataFrame,
     edges_d: DataFrame,
     ranks: DataFrame,
     *,
@@ -125,23 +125,43 @@ def _pagerank_round(
     the final plan).  ``ranks`` carries the node's out-degree ``__d``
     (the r13 shape): the dangling term is a filter+aggregate — no
     semi-join — and the round's only |E|-sized exchange is the contrib
-    groupBy (the edges⋈ranks join is co-partitioned on __src/__node
-    when both sides arrive hash-partitioned, which the checkpointed
-    tables guarantee)."""
+    groupBy.  Fused recombine (r13 opt round): instead of a node-keyed
+    left join of the static node table onto the contribs, each node's
+    own (id, __d) rides the SAME contrib shuffle as a zero-share self
+    row (``__share`` NULL — sum skips it; ``__dd`` NULL on edge rows —
+    max recovers __d from the self row), so the per-round plan is ONE
+    data shuffle and no recombine exchange/join at all (guide §2.4;
+    measured 39 → 30 jobs over five rounds).  Nodes that only appear as
+    edge targets (no self row) are dropped by the ``__d IS NOT NULL``
+    filter — exactly the old left join's semantics."""
     dangling = ranks.filter(F.col("__d") == 0).agg(
         F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("__ds")
     )
-    contrib = (
+    contrib_in = (
         edges_d.join(ranks, edges_d["__src"] == ranks["__node"])
-        .select(F.col("__dst"), F.expr("pr div __d").alias("__share"))
-        .groupBy("__dst")
-        .agg(F.sum("__share").alias("__contrib"))
+        .select(
+            F.col("__dst"),
+            F.expr("pr div __d").alias("__share"),
+            F.lit(None).cast("bigint").alias("__dd"),
+        )
+        .unionAll(
+            ranks.select(
+                F.col("__node").alias("__dst"),
+                F.lit(None).cast("bigint").alias("__share"),
+                F.col("__d").alias("__dd"),
+            )
+        )
     )
     return (
-        ndeg.join(contrib, F.col("__node") == F.col("__dst"), "left")
+        contrib_in.groupBy("__dst")
+        .agg(
+            F.sum("__share").alias("__contrib"),
+            F.max("__dd").alias("__d"),
+        )
+        .filter(F.col("__d").isNotNull())
         .crossJoin(dangling)  # one-row aggregate, broadcast
         .select(
-            "__node",
+            F.col("__dst").alias("__node"),
             "__d",
             (
                 F.lit(teleport)
@@ -367,8 +387,10 @@ def personalized_pagerank(
             F.coalesce("__d", F.lit(0)).alias("__d"),
             F.coalesce("__is_seed", F.lit(False)).alias("__s"),
         )
+        # seeds round 0 + the s count only (fused rounds — see pagerank):
+        # plain eager checkpoint, no keyed redistribution needed
+        .localCheckpoint()
     )
-    ndeg = keyed_checkpoint(ndeg, "__node")
     s = ndeg.filter("__s").count()
     if s == 0:
         raise ValueError(
@@ -388,14 +410,13 @@ def personalized_pagerank(
     )
     for _ in range(iterations):
         ranks = _ppr_round(
-            ndeg, edges_d, ranks, s=s, seed_tel=seed_tel,
+            edges_d, ranks, s=s, seed_tel=seed_tel,
             damping_pct=damping_pct,
         ).localCheckpoint(eager=False)
     return ranks.select(F.col("__node").alias(node_col), "pr")
 
 
 def _ppr_round(
-    ndeg: DataFrame,
     edges_d: DataFrame,
     ranks: DataFrame,
     *,
@@ -406,28 +427,51 @@ def _ppr_round(
     """One personalized round (split out for the plan gate, like
     ``_pagerank_round``): teleport and dangling mass go to SEEDS.
     ``ranks`` carries (__d, __s) — dangling is a filter+aggregate, the
-    seed flag never joins per round (r13 shape)."""
+    seed flag never joins per round (r13 shape).  Same fused recombine
+    as ``_pagerank_round`` (r13 opt round): the self row carries
+    (__d, __s) through the one contrib shuffle — ``__dd`` NULL on edge
+    rows, so max() recovers both — and the node-keyed recombine join is
+    gone; ``__dd IS NOT NULL`` replays the old left join's node-set
+    semantics."""
     dangling = ranks.filter(F.col("__d") == 0).agg(
         F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("__ds")
     )
-    contrib = (
+    contrib_in = (
         edges_d.join(ranks, edges_d["__src"] == ranks["__node"])
-        .select(F.col("__dst"), F.expr("pr div __d").alias("__share"))
-        .groupBy("__dst")
-        .agg(F.sum("__share").alias("__contrib"))
+        .select(
+            F.col("__dst"),
+            F.expr("pr div __d").alias("__share"),
+            F.lit(None).cast("struct<__d:bigint,__s:boolean>").alias(
+                "__dd"
+            ),
+        )
+        .unionAll(
+            ranks.select(
+                F.col("__node").alias("__dst"),
+                F.lit(None).cast("bigint").alias("__share"),
+                F.struct(F.col("__d"), F.col("__s")).alias("__dd"),
+            )
+        )
     )
     return (
-        ndeg.join(contrib, F.col("__node") == F.col("__dst"), "left")
+        contrib_in.groupBy("__dst")
+        .agg(
+            F.sum("__share").alias("__contrib"),
+            F.max("__dd").alias("__m"),
+        )
+        .filter(F.col("__m").isNotNull())
         .crossJoin(dangling)  # one-row aggregate, broadcast
         .select(
-            "__node",
-            "__d",
-            "__s",
+            F.col("__dst").alias("__node"),
+            F.col("__m.__d").alias("__d"),
+            F.col("__m.__s").alias("__s"),
             (
-                F.when(F.col("__s"), F.lit(seed_tel)).otherwise(F.lit(0))
+                F.when(F.col("__m.__s"), F.lit(seed_tel)).otherwise(
+                    F.lit(0)
+                )
                 + F.expr(
                     f"({damping_pct} * (coalesce(__contrib, 0)"
-                    f" + CASE WHEN __s THEN __ds div {s} ELSE 0 END))"
+                    f" + CASE WHEN __m.__s THEN __ds div {s} ELSE 0 END))"
                     f" div 100"
                 )
             ).cast("bigint").alias("pr"),
@@ -498,17 +542,37 @@ def label_propagation(
         # struct (-count, label) — negating the COUNT (always a long)
         # instead of the label keeps the tie-break type-agnostic, so
         # string node ids (host/domain communities) order naturally
-        # rather than silently null-casting (review fix)
-        winners = counts.groupBy("v").agg(
-            F.min(F.struct((-F.col("__c")).alias("__nc"), F.col("label")))
-            .alias("__m")
-        ).select(F.col("v").alias("node"), F.col("__m.label").alias("__w"))
-        labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__w"), F.col("label")).alias("label"),
+        # rather than silently null-casting (review fix).
+        # Fused keep-own-label fallback (r13 opt round): each node's own
+        # label rides the winners shuffle as a __nc = 0 self row instead
+        # of a node-keyed left join after it (guide §2.4).  Every real
+        # neighbor label has __c >= 1, i.e. __nc <= -1 < 0, so the self
+        # row loses every min() it shares a group with and wins exactly
+        # when the node has no neighbors — bit-identical to the old
+        # coalesce(left join).  Nodes outside the label table (targets
+        # of stray edges) have no self row; the old left join dropped
+        # them, so the fused form drops groups whose min __nc < 0 only
+        # arrived from edges: a self row is the ONLY source of __nc = 0,
+        # flagged and filtered below.
+        cand = counts.select(
+            "v", (-F.col("__c")).alias("__nc"), "label"
+        ).unionAll(
+            labels.select(
+                F.col("node").alias("v"),
+                F.lit(0).cast("long").alias("__nc"),
+                "label",
             )
+        )
+        labels = (
+            cand.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(F.col("__nc"), F.col("label"))
+                ).alias("__m"),
+                F.max(F.when(F.col("__nc") == 0, F.lit(1))).alias("__own"),
+            )
+            .filter(F.col("__own").isNotNull())
+            .select(F.col("v").alias("node"), F.col("__m.label").alias("label"))
             # lazy: materializes inside the next round's first consuming
             # job (still cuts lineage at the round boundary) instead of
             # as a standalone eager job per round (r13)

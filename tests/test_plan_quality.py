@@ -633,11 +633,12 @@ def test_subword_mix_plan_shape(spark):
 
 def test_pagerank_round_plan_one_contrib_shuffle_no_cartesian(spark):
     """One PageRank round (the repeated unit of cost at 100 TB) must be:
-    a src-keyed join of ranks onto edges + ONE groupBy-dst aggregation +
-    a node-keyed left join — hash shuffles only, with the dangling-mass
-    term entering as a broadcast one-row aggregate (never a real
-    cartesian) and map-side partial aggregation before the contrib
-    shuffle."""
+    a src-keyed join of ranks onto edges + ONE fused groupBy-dst
+    aggregation that also carries each node's self row (the r13 opt
+    shape — no node-keyed recombine join survives) — hash shuffles only,
+    with the dangling-mass term entering as a broadcast one-row
+    aggregate (never a real cartesian) and map-side partial aggregation
+    before the contrib shuffle."""
     from dp1_data_wrangling_spark.operators.graph import (
         _pagerank_round,
         pagerank,  # noqa: F401  (public API sanity: import works)
@@ -656,14 +657,15 @@ def test_pagerank_round_plan_one_contrib_shuffle_no_cartesian(spark):
     )
     plan = plan_of(
         _pagerank_round(
-            ndeg, edges_d, ranks, n=100, teleport=15 * 10**8, damping_pct=85
+            edges_d, ranks, n=100, teleport=15 * 10**8, damping_pct=85
         )
     )
     assert "CartesianProduct" not in plan
     # the one-row dangling aggregate joins via broadcast nested loop —
     # legal ONLY because it is a single row; the data-bearing joins are
-    # all equi-joins
-    assert plan.count("Exchange hashpartitioning") <= 8
+    # all equi-joins.  Fused recombine: exactly one data-bearing
+    # SortMergeJoin/ShuffledHashJoin may remain (edges x ranks)
+    assert plan.count("Exchange hashpartitioning") <= 6
     assert "partial_sum" in plan  # map-side combine before the shuffle
 
 
@@ -687,11 +689,11 @@ def test_ppr_round_same_shape_as_pagerank_round(spark):
     )
     plan = plan_of(
         _ppr_round(
-            ndeg, edges_d, ranks, s=10, seed_tel=15 * 10**9, damping_pct=85
+            edges_d, ranks, s=10, seed_tel=15 * 10**9, damping_pct=85
         )
     )
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 8
+    assert plan.count("Exchange hashpartitioning") <= 6
     assert "partial_sum" in plan
 
 
