@@ -86,19 +86,62 @@ def _augment_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dense_doc_index(docs: DataFrame) -> DataFrame:
-    """Dense 0-based id map over a unique numeric id column — ranks via
-    the census-decomposed distributed_rank (no single-partition sort at
-    any corpus size; r11), cast back to the historical INT dtype, and
-    eagerly checkpointed because every caller reads it several times
-    (degree draw + both endpoint joins + the graph operators' own
-    checkpoints)."""
-    from .operators.ranking import distributed_rank
+    """Dense 0-based id map over a unique numeric id column, cast to the
+    historical INT dtype and eagerly checkpointed because every caller
+    reads it several times (degree draw + both endpoint joins + the
+    graph operators' own checkpoints).
 
-    return (
-        distributed_rank(
-            docs, metric_col="doc_id", tie_cols=["doc_id"], rank_col="__r"
+    r13 opt round: ``doc_id`` is UNIQUE (the corpus primary key), so the
+    full tie-exact ``distributed_rank`` (whose per-distinct-value census
+    is corpus-sized here) is replaced by the two-pass unique-key rank —
+    exact integer range bucketing (monotone, so bucket order prefixes
+    the total order), a 1024-row bucket census collected to literal
+    offsets, and one per-bucket ``row_number`` window.  Identical to
+    ``row_number() OVER (ORDER BY doc_id) - 1`` for unique ids; the only
+    corpus-sized exchange left is the window's (guide §2.3 — the census
+    shuffle shrank from one row per distinct id to 1024 rows).  No
+    single-partition exchange at any corpus size, same as before."""
+    from pyspark.sql import Window
+
+    st = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    if st["lo"] is None:  # empty corpus: keep the (doc_id, idx) schema
+        return docs.select(
+            "doc_id", F.lit(None).cast("int").alias("idx")
+        ).localCheckpoint()
+    lo, hi = int(st["lo"]), int(st["hi"])
+    if hi - lo >= (1 << 63):  # executor (x - lo) would wrap int64
+        raise ValueError(
+            "_dense_doc_index: doc_id span exceeds int64 — rescale ids"
         )
-        .df.select("doc_id", (F.col("__r") - 1).cast("int").alias("idx"))
+    wm = (hi - lo) // 1024 + 1
+    keyed = docs.withColumn("__b", F.expr(f"(doc_id - {lo}) div {wm}"))
+    counts = sorted(
+        (int(r["__b"]), int(r["n"]))
+        for r in keyed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__b").orderBy("doc_id")
+    return (
+        keyed.withColumn(
+            "idx",
+            (
+                F.coalesce(omap[F.col("__b")], F.lit(0))
+                + F.row_number().over(w)
+                - 1
+            ).cast("int"),
+        )
+        .select("doc_id", "idx")
         .localCheckpoint()
     )
 
