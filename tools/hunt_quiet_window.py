@@ -46,6 +46,14 @@ def main() -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_HUNT_ROUNDS", "40"))
     interval = float(os.environ.get("SPARK_GRAFT_HUNT_INTERVAL", "480"))
     floor_ms = float(os.environ.get("SPARK_GRAFT_HUNT_FLOOR_MS", "35"))
+    # Opportunistic-dip mode (r13 closing session): on a host whose jvm
+    # ref NEVER enters the 0.07 clean band but dips to ~1.7-1.8x for a
+    # few minutes at a time, a relaxed jvm threshold lets the hunter
+    # catch the dips and take best-available isolated samples.  The
+    # default (0 = unset) keeps the strict machine_clean criterion; a
+    # relaxed run is self-documenting — every isolated record carries
+    # its before/after probes, so a reader sees the actual ambient.
+    jvm_sec = float(os.environ.get("SPARK_GRAFT_HUNT_JVM_SEC", "0"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark = get_spark("dp1-quiet-hunt")
@@ -64,7 +72,12 @@ def main() -> None:
         probe = jvm_ref_probe(spark)
         probe["tiny_1task_ms"] = tiny_task_floor(spark)
         probe["ts"] = time.strftime("%H:%M:%S")
-        quiet = probe["machine_clean"] and probe["tiny_1task_ms"] <= floor_ms
+        jvm_ok = (
+            probe["jvm_range_sum_sec"] <= jvm_sec
+            if jvm_sec > 0
+            else probe["machine_clean"]
+        )
+        quiet = jvm_ok and probe["tiny_1task_ms"] <= floor_ms
         probe["quiet_by_floor"] = quiet
         with hunt_log.open("a") as f:
             f.write(json.dumps(probe) + "\n")
