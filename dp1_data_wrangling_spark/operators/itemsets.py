@@ -61,47 +61,71 @@ def _capped_basket_items(
     ``(__b, __items)`` with ``__items`` the sorted first
     ``max_items_per_basket`` frequent items of the basket.
 
-    r13 shape (guide §2.4): the cap is ``slice(array_sort(collect_list))``
-    inside ONE basket-keyed aggregate — identical semantics to the old
-    row_number window + filter + regroup (lexicographically first ``cap``
-    distinct frequent items), but one operator pass instead of a window
-    sort + second aggregation over the same exchange, and the basket
-    TOTAL becomes a plain row count of this table (the old shape paid a
-    separate count-distinct aggregation over the row view).
+    r14 shape (guide §2.3/§2.4, VERDICT r13 item 4): the global
+    ``distinct`` on the raw (basket, item) stream is GONE — one
+    basket-keyed ``collect_set`` aggregate dedups map-side AND groups in
+    the same exchange, so the whole front end is ONE data shuffle of the
+    raw stream (was two: distinct, then prune-join + regroup).  The item
+    census explodes the per-basket distinct arrays (combinable, its own
+    narrow exchange, unchanged count semantics: one row per distinct
+    (basket, item)), and the frequent-item PRUNE + CAP become row-local:
+    the frequent vocabulary collapses to a one-row sorted array
+    (broadcast — the same catalog-sized object the old broadcast
+    semi-join shipped), ``array_intersect`` keeps each basket's sorted
+    distinct items that are frequent (first-argument order, no dupes to
+    re-dedup), and ``slice`` keeps the lexicographically first ``cap``.
+    Baskets with zero frequent items drop via ``size >= 1`` — exactly
+    the old inner join's semantics.  The cap semantics are byte-
+    identical to the r13 ``slice(array_sort(collect_list))`` form and to
+    the original row_number window.
 
-    The distinct set checkpoints ONCE (it feeds both the item census and
-    the prune branch — the connected_components multi-reference lesson);
-    pass ``checkpoint_capped=True`` when the CAPPED view itself has
-    multiple consumers (association_rules reads it three times).  Both
-    checkpoints are LAZY (the dedup.py two-pass-valve pattern): an
-    eager pair here put a ~3-job fixed floor under every invocation
-    (the r10 verdict's order_brand_rules watch item) — lazy ones
-    materialize inside the first consuming job and amortize
-    identically."""
-    basket_items = (
+    Memory bound (VERDICT r13 item 5): one aggregation buffer holds a
+    basket's DISTINCT item set (pre-prune — the r13 form buffered only
+    its frequent items post-prune).  The bound is the basket's natural
+    distinct-item width, the same quantity the old distinct shuffle
+    grouped per (basket, item) reducer key; a degenerate basket
+    (millions of distinct items) concentrates that width in one buffer —
+    ObjectHashAggregate falls back to sort-based aggregation with spill
+    when the buffer set outgrows memory, so the valve is graceful
+    degradation, not OOM.  The per-basket view checkpoints ONCE (it
+    feeds the item census and the cap branch); pass
+    ``checkpoint_capped=True`` when the CAPPED view itself has multiple
+    consumers (association_rules reads it three times).  Checkpoints
+    are LAZY (the dedup.py two-pass-valve pattern): an eager pair here
+    put a ~3-job fixed floor under every invocation (the r10 verdict's
+    order_brand_rules watch item)."""
+    per_basket = (
         items.filter(F.col(item_col).isNotNull())
-        .select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        .groupBy(F.col(basket_col).alias("__b"))
+        .agg(
+            F.array_sort(F.collect_set(F.col(item_col))).alias("__all")
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
-    frequent = (
-        basket_items.groupBy("__i")
+    frequent_arr = (
+        per_basket.select(F.explode("__all").alias("__i"))
+        .groupBy("__i")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= min_item_support)
-        .select("__i")
+        .agg(F.array_sort(F.collect_list("__i")).alias("__freq"))
+        .withColumn("__one", F.lit(1))
     )
+    # constant-key equi-join so the one-row vocabulary attaches as a
+    # BroadcastHashJoin (a bare crossJoin would plan as
+    # BroadcastNestedLoopJoin, which the plan gates forbid globally to
+    # catch ACCIDENTAL unbounded nested loops)
     capped = (
-        basket_items.join(F.broadcast(frequent), "__i")
-        .groupBy("__b")
-        .agg(
+        per_basket.withColumn("__one", F.lit(1))
+        .join(F.broadcast(frequent_arr), "__one")
+        .select(
+            "__b",
             F.slice(
-                F.array_sort(F.collect_list("__i")),
+                F.array_intersect("__all", "__freq"),
                 1,
                 max_items_per_basket,
-            ).alias("__items")
+            ).alias("__items"),
         )
+        .filter(F.size("__items") >= 1)
     )
     return capped.localCheckpoint(eager=False) if checkpoint_capped else capped
 

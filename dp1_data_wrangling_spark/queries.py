@@ -70,9 +70,81 @@ from .queries_analytics import (  # noqa: E402,F401
 )
 
 DRIVER_WINDOW: list[str] = [
+    # ---- r14 rotation (VERDICT r13 item 1): the operators REWRITTEN in
+    # the two optimization rounds lead the window, so the driver's own
+    # oracle re-checks every touched hot path this round (r13's rotation
+    # left them covered only by in-window siblings + in-repo parity).
+    # 15 multi-round-green untouched entries rotate out (weakest external
+    # evidence first, one representative per operator family retained —
+    # per-entry notes below and in tests/test_oracle_parity.py; full
+    # history in BASELINE.md "Driver-window rotation history").
+    # -- r13/r14-rewritten operator paths --
+    "doc_bm25_topk",              # r13 rewrite: corpus-stats fold + query-vocab
+                                  #   semi-join (the postings shuffle removal) —
+                                  #   re-enters one round after rotating out;
+                                  #   replaces 3x-green events_rank_sum (rank-test
+                                  #   family keeps events_trend_test in-window)
+    "simhash_pairs",              # r13 rewrite: 60 array passes -> one lane-packed
+                                  #   fold; replaces 3x-green events_throttle
+                                  #   (burst/gap family keeps event_session_funnel)
+    "minhash_pairs",              # r13 rewrite: NULL-init least() fold; replaces
+                                  #   3x-green event_attribution_position (journey
+                                  #   family keeps event_session_funnel; both
+                                  #   attribution forms stay parity-held every CI)
+    "doc_fuzzy_pairs",            # r13 rewrite: row-local probe dedup + lazy
+                                  #   keyed checkpoint (10->4 exchanges); replaces
+                                  #   2x-green doc_df_drift (drift family keeps
+                                  #   documents_profile_drift in-window)
+    "dedup_clusters",             # r13 rewrite: CC label-sum convergence probe;
+                                  #   replaces 2x-green doc_dup_rate_by_source
+                                  #   (dup-reporting family keeps
+                                  #   doc_quality_survivors + four dedup reps)
+    "doc_exact_dedup",            # r13 rewrite: spread() redundant-exchange fix;
+                                  #   replaces 2x-green doc_collocations (text-stat
+                                  #   family keeps corpus_heaps_law +
+                                  #   corpus_ngram_overlap in-window)
+    "doc_link_pagerank",          # r13 rewrite: fused recombine round + keyed
+                                  #   checkpoints (91->51 jobs); replaces 3x-green
+                                  #   events_type_hour_independence (chi-square
+                                  #   family keeps events_ab_experiment in-window)
+    "doc_link_triangles",         # r13 rewrite: co-partitioned wedge self-join;
+                                  #   replaces 3x-green customer_lorenz_curve
+                                  #   (concentration family keeps
+                                  #   doc_source_lang_simpson; ranking keeps
+                                  #   orders_value_deciles in-window)
+    "embedding_semantic_dedup",   # r13 rewrite: keyed-checkpointed SRP signature
+                                  #   table + r14 dot()/l2_norm A/B; replaces
+                                  #   3x-green user_cohort_ltv (customer family
+                                  #   keeps customer_k_anonymity +
+                                  #   user_churn_survival in-window)
+    "cosine_topk",                # r13 rewrite consumer (dot/l2_norm fold — the
+                                  #   r14 A/B target); replaces 2x-green
+                                  #   orders_decile_summary (ranking family keeps
+                                  #   orders_value_deciles in-window)
+    "doc_semantic_decontam",      # r13-rewritten semantic tier, rotated out the
+                                  #   same round it was touched — back for fresh
+                                  #   external evidence; replaces 3x-green
+                                  #   events_seasonal_mase (timeseries family
+                                  #   keeps events_seasonal_profile + trend_test)
+    "events_geofence",            # r13 rewrite: md5-chain checkpoint + per-polygon
+                                  #   edge table (4->2 exchanges; the one touched
+                                  #   query still reading regressed in PERF_r13);
+                                  #   replaces 2x-green event_bounce_rate (session
+                                  #   family keeps event_session_funnel in-window)
+    "certify_probe",              # r13 rewrite: bare-END running max; replaces
+                                  #   4x-green lineitem_weighted_quantiles
+                                  #   (quantile family keeps orders_value_deciles)
+    "multimodal_decode",          # r14 rewrite: synthesize+decode fused into one
+                                  #   mapInPandas (guide §4); replaces 3x-green
+                                  #   events_diff_in_diff (experiment family keeps
+                                  #   cuped_ate + post_strat_ate + ab_experiment)
+    "multimodal_png",             # r14 rewrite: same fusion, zlib-PNG codec path;
+                                  #   replaces 4x-green events_quantile_normalize
+                                  #   (calibration family keeps
+                                  #   events_calibration_curve in-window)
     # -- core data plane --
-    "events_type_hour_independence",  # r11: RxC chi-square independence
-    "doc_link_communities",       # r10: label-propagation communities
+    "doc_link_communities",       # r10: label-propagation communities (r13 fused
+                                  #   argmax round — stays for a 2nd checked round)
     "export_plan",                # flagship end-to-end export pipeline (J1/P5/A3/A8)
     "documents_profile_drift",    # r13 NEW: snapshot profile-drift audit
                                   #   (planted extraction regression + schema
@@ -80,98 +152,49 @@ DRIVER_WINDOW: list[str] = [
                                   #   user_scd2_history — SCD2 evidence
                                   #   continues via the streaming equivalence
                                   #   suite + in-repo parity every CI run)
-    # -- event analytics (r8: funnel / retention / Markov) --
-    "events_diff_in_diff",        # r11: difference-in-differences readout
     "customer_k_anonymity",       # r13 NEW: k-anonymity/l-diversity privacy audit
                                   #   (replaces 3x-green customer_rfm_segments;
-                                  #   ranking family keeps deciles/summary/lorenz)
+                                  #   ranking family keeps orders_value_deciles)
     "doc_quality_survivors",      # r12: keep-BEST-per-cluster curation dedup
-    "events_quantile_normalize",  # r10: exact rank-based QN calibration
     "events_kmv_distinct",        # r13 window (VERDICT r12 item 2): KMV distinct
                                   #   sketch — never externally checked before;
                                   #   replaces 3x-green events_hll_rolling (sketch
                                   #   family rep maintained)
     # -- LLM curation tier --
     "events_calibration_curve",   # r13 NEW: exact reliability diagram + ECE
-                                  #   (replaces 5x-green doc_semantic_decontam;
-                                  #   decontam keeps corpus_ngram_overlap
-                                  #   in-window + the streaming twins + parity)
-    "doc_collocations",           # r12: PMI-class lift collocations (exact ppm)
     "events_classification_report",  # r13 NEW mid-round: per-class
-                                  #   precision/recall/F1 (planted mislabeler;
-                                  #   replaces 5x-green multimodal_qoi — the
-                                  #   codec family's 7 REAL decoders stay
-                                  #   parity-held every CI run)
-    "doc_dup_rate_by_source",     # r12: per-source duplication-rate report
+                                  #   precision/recall/F1 (planted mislabeler)
     "doc_link_prediction",        # r11: common-neighbor/Jaccard link prediction
-    "events_post_strat_ate",      # r13 NEW mid-round: post-stratification
-                                  #   ATE (planted cross-stratum assignment
-                                  #   imbalance; replaces 3x-green
-                                  #   orders_gini_concentration — the
-                                  #   concentration family keeps
-                                  #   customer_lorenz_curve +
-                                  #   doc_source_lang_simpson in-window)
+                                  #   (r13 deg-before-wedge rewrite — 2nd round)
+    "events_post_strat_ate",      # r13 NEW mid-round: post-stratification ATE
     "orders_value_deciles",       # r11: fact-scale distributed ntile + percent-rank
-    "lineitem_weighted_quantiles",  # r10: exact weighted quantiles
-    # -- dedup / similarity families --
-    "doc_link_ppr",               # r10: personalized PageRank (exact integer)
-    "events_cuped_ate",           # r13 NEW mid-round: CUPED variance-reduced
-                                  #   ATE (WSDM'13; replaces 3x-green
-                                  #   events_value_bins — the histogram family
-                                  #   keeps lineitem_weighted_quantiles +
-                                  #   orders_value_deciles in-window, value
-                                  #   bins stay parity-held every CI run)
-    "event_bounce_rate",          # r12: per-landing-type bounce rate (exact ppm)
-    "customer_entity_resolution", # r10: PassJoin->CC->golden record
+    "doc_link_ppr",               # r10: personalized PageRank (exact integer;
+                                  #   r13 fused-round rewrite — 2nd checked round)
+    "events_cuped_ate",           # r13 NEW mid-round: CUPED variance-reduced ATE
+    "customer_entity_resolution", # r10: PassJoin->CC->golden record (r13 CC
+                                  #   label-sum rewrite — 2nd checked round)
     "user_churn_survival",        # r11: exact Kaplan-Meier churn curves
-    "events_rater_agreement",     # r13 NEW mid-round: Cohen's-kappa
-                                  #   inter-rater agreement (planted
-                                  #   worse-than-chance rater exercises the
-                                  #   sign-split; replaces 5x-green
-                                  #   ivf_pq_recall_bound — the ANN family's
-                                  #   five recall bounds + topk replays stay
-                                  #   parity-held every CI run)
+    "events_rater_agreement",     # r13 NEW mid-round: Cohen's-kappa agreement
     "orders_rollup_report",       # r13 NEW: native ROLLUP subtotal report
-                                  #   (replaces 5x-green doc_gopher_rules; the
-                                  #   quality-screen family keeps
-                                  #   table_expectations + doc_quality_survivors)
-    "events_rank_sum",            # r11: exact Mann-Whitney U rank-sum A/B readout
-    "doc_df_drift",               # r12: vocabulary document-frequency drift screen
-    "event_attribution_position", # r11: U-shaped attribution (exact credits)
-    "order_item_affinity",        # r11: item-item cosine^2 affinity (exact ppm)
+    "order_item_affinity",        # r11: item-item cosine^2 affinity (r13+r14
+                                  #   itemsets census rewrite)
     "events_trend_test",          # r11: Mann-Kendall trend + Theil-Sen slope
+                                  #   (r13 shared census-checkpoint reuse)
     "events_stickiness",          # r11: exact DAU / rolling-active stickiness
-    "event_session_funnel",       # r11: session-scoped funnel composition
-    "customer_lorenz_curve",      # r11: cumulative-share curve on distributed_rank
-    "orders_decile_summary",      # r12: NTILE boundary summary from the value census
-    "events_throttle",            # r11: gap-rule burst dedup / throttling
-    "user_cohort_ltv",            # r11: weekly cohort LTV triangle (exact milli)
+    "event_session_funnel",       # r11: session-scoped funnel composition (r13
+                                  #   sessionized-stream checkpoint)
     "warehouse_fk_orphans",       # r13 NEW: referential-integrity orphan audit
-                                  #   (replaces 4x-green events_gapfill; timeseries
-                                  #   family keeps mase/trend/seasonal_profile)
     "orders_benford",             # r11: Benford first-digit conformity screen
-    "order_brand_rules",          # r10: association rules w/ exact lift
+    "order_brand_rules",          # r10: association rules w/ exact lift (r13+r14
+                                  #   itemsets census rewrite — the top headliner)
     "events_roc_curve",           # r13 NEW: exact ROC curve + trapezoid AUC
-                                  #   (replaces 3x-green doc_jaccard_join; dedup
-                                  #   family keeps dup_rate + quality_survivors)
-    # -- sampling / packing / curation tail (r7 audit rotation) --
-    "events_uplift_curve",        # r13 NEW: exact uplift/Qini curve (planted
-                                  #   heterogeneous effect; replaces 4x-green
-                                  #   table_expectations — the data-quality
-                                  #   family keeps warehouse_fk_orphans +
-                                  #   doc_quality_survivors in-window)
+    "events_uplift_curve",        # r13 NEW: exact uplift/Qini curve
     "events_seasonal_profile",    # r11: exact ratio-to-mean seasonal indices
     "bm25_ndcg_eval",             # r13 window (VERDICT r12 item 2): BM25 NDCG@k
-                                  #   eval — never externally checked before;
-                                  #   replaces 4x-green doc_bm25_topk (retrieval
-                                  #   family rep maintained)
     "corpus_ngram_overlap",       # r12: corpus-level 5-gram overlap share
     "corpus_heaps_law",           # r13 NEW: Heaps-law vocabulary-growth report
-                                  #   (replaces 4x-green events_changepoints; the
-                                  #   CUSUM core keeps its streaming census twin +
-                                  #   in-repo parity every CI run)
-    "brand_momentum",             # r11: two-period momentum screen (exact ppm)
-    "events_seasonal_mase",       # r11: seasonal-naive forecast accuracy
+    "brand_momentum",             # r11: two-period momentum screen (r13 census
+                                  #   checkpoint reuse)
     "events_ab_experiment",       # r11: exact chi-square A/B readout
     "events_grid_hotspots",       # r11: census-stencil Moore concentration
     # -- graph / time series --

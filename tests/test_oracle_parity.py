@@ -216,7 +216,12 @@ def test_driver_window_covers_flagship_surface():
         # conversion_paths + session_funnel + attribution decay/position
         # + throttle — five in-window reps — and latency stays
         # parity-held in-repo every CI run)
-        "user_cohort_ltv", "events_throttle",
+        # user_cohort_ltv and events_throttle rotated out in r14 for
+        # embedding_semantic_dedup + simhash_pairs (both 3x green
+        # r11-r13; the customer family keeps customer_k_anonymity +
+        # user_churn_survival and the burst/gap family keeps
+        # event_session_funnel in-window; both stay parity-held every
+        # CI run)
         # doc_lm_score rotated out mid-r9 for events_theta_overlap (2x
         # green r7+r8; LM scoring stays via doc_bigram_score in-window)
         # doc_subword_pack rotated out mid-r9 for part_abc_classes (2x
@@ -230,7 +235,11 @@ def test_driver_window_covers_flagship_surface():
         # (3x green r9-r11; the ranking family keeps
         # orders_value_deciles, customer_lorenz_curve,
         # customer_rfm_segments AND the new boundary summary in-window)
-        "orders_decile_summary", "customer_lorenz_curve",
+        # orders_decile_summary (2x green r12-r13) and
+        # customer_lorenz_curve (3x green r11-r13) rotated out in r14
+        # for cosine_topk + doc_link_triangles; the ranking family
+        # keeps orders_value_deciles and the concentration family
+        # keeps doc_source_lang_simpson in-window
         # round-8 plan executed early: the last three never-checked
         # window-eligible entries (outs: multi_join_revenue, asof_lookup,
         # jaccard_pairs — multi-round green, families retained)
@@ -273,7 +282,10 @@ def test_driver_window_covers_flagship_surface():
         # r10-r11; the drift-screen family keeps the new vocabulary
         # screen in-window, the KS screen stays parity-held in-repo
         # every CI run plus its streaming twin suite)
-        "doc_df_drift", "event_attribution_position",
+        # doc_df_drift (2x green r12-r13) and event_attribution_position
+        # (3x green r11-r13) rotated out in r14 for doc_fuzzy_pairs +
+        # minhash_pairs; the drift family keeps documents_profile_drift
+        # and the journey family keeps event_session_funnel in-window
         # round-8: real compressed (zlib PNG) decode enters directly
         # (doc_top_terms out — 2x green; tf-idf stays via corpus_top_ngrams)
         # multimodal_png rotated out in r11 mid-round 3 for
@@ -332,7 +344,9 @@ def test_driver_window_covers_flagship_surface():
         # mid-round 11 for events_rank_sum (3x green r8-r10; the graph
         # family keeps communities/ppr/prediction/kcore in-window and
         # pagerank stays a bench headliner + shuffle-gated + parity-held)
-        "events_rank_sum",
+        # events_rank_sum rotated out in r14 for doc_bm25_topk (3x green
+        # r11-r13; the rank-test family keeps events_trend_test in-window
+        # and Mann-Whitney stays parity-held every CI run)
         # round-8: SCD Type-2 dimension history enters directly
         # (doc_lang_id out — multi-round green)
 # user_scd2_history rotated out in r13 for documents_profile_drift
@@ -373,7 +387,9 @@ def test_driver_window_covers_flagship_surface():
         # in-repo every CI run).  The k-anonymity/l-diversity audit is
         # the new privacy-tier representative (operators/privacy.py).
         "customer_k_anonymity", "doc_quality_survivors",
-        "events_diff_in_diff",
+        # events_diff_in_diff rotated out in r14 for multimodal_decode
+        # (3x green r11-r13; the experiment family keeps events_cuped_ate,
+        # events_post_strat_ate and events_ab_experiment in-window)
         # round-8: gap-rule batch sessionization enters directly
         # (doc_decontaminate out — 2x green; the decontamination family
         # stays via doc_semantic_decontam)
@@ -381,7 +397,10 @@ def test_driver_window_covers_flagship_surface():
         # events_quantile_normalize (2x green r8+r9; the
         # sessionization family stays parity-held in-repo and the
         # journey tier keeps funnel/latency/paths in-window)
-        "events_quantile_normalize",
+        # events_quantile_normalize rotated out in r14 for multimodal_png
+        # (4x green r10-r13; the calibration family keeps
+        # events_calibration_curve and the quantile family keeps
+        # orders_value_deciles in-window)
         # round-8: time-series grid resample + LOCF gap-fill enters
         # directly (cosine_topk out — see the ANN-family note above)
         # events_gapfill rotated out in r10 for events_hll_rolling (2x green
@@ -398,7 +417,9 @@ def test_driver_window_covers_flagship_surface():
         # table_profile rotated out in r10 for lineitem_weighted_quantiles
         # (2x green r8+r9; the quality family keeps table_expectations
         # in-window)
-        "lineitem_weighted_quantiles",
+        # lineitem_weighted_quantiles rotated out in r14 for certify_probe
+        # (4x green r10-r13; the quantile family keeps orders_value_deciles
+        # in-window and the weighted form stays parity-held every CI run)
         # round-8: exact-integer per-group OLS trend enters directly
         # (doc_line_dedup out — 2x green; the dedup family keeps four
         # in-window reps and line-dedup keeps its bench headline +
@@ -411,7 +432,9 @@ def test_driver_window_covers_flagship_surface():
         # events_gapfill, events_seasonal_mase, events_seasonal_profile
         # and events_trend_test in-window — five reps; Holt stays
         # parity-held in-repo every CI run)
-        "event_bounce_rate",
+        # event_bounce_rate rotated out in r14 for events_geofence (2x
+        # green r12-r13; the session family keeps event_session_funnel
+        # in-window)
         # round-8: per-user sequence pattern search enters directly
         # (doc_exact_dedup out — see note above)
         # event_sequence_match rotated out in r10 for doc_link_ppr (2x green
@@ -475,7 +498,10 @@ def test_driver_window_covers_flagship_surface():
         # doc_dup_rate_by_source (2x green r10-r11; attribution keeps
         # event_attribution_position in-window plus the exactly-once
         # streaming twin; decay stays parity-held in-repo every CI run)
-        "doc_dup_rate_by_source",
+        # doc_dup_rate_by_source rotated out in r14 for dedup_clusters
+        # (2x green r12-r13; the dup-reporting family keeps
+        # doc_quality_survivors plus the four re-entering dedup reps
+        # in-window)
         # round-8: fact-to-SCD2 temporal enrichment join enters directly
         # (embedding_semantic_dedup out — see note above)
         # events_scd2_enrich rotated out late-r10 for
@@ -498,7 +524,9 @@ def test_driver_window_covers_flagship_surface():
         # events_type_hour_independence (3x green r8-r10; the spatial
         # family keeps events_geofence + events_grid_hotspots in-window
         # and the pairs join stays a bench headliner + 10x probe)
-        "events_type_hour_independence",
+        # events_type_hour_independence rotated out in r14 for
+        # doc_link_pagerank (3x green r11-r13; the chi-square family
+        # keeps events_ab_experiment in-window)
         # round-8: count-min frequency sketch enters directly
         # (doc_curation_pipeline out — see note above)
         # events_cm_heavy_hitters rotated out late-r10 for
@@ -509,7 +537,9 @@ def test_driver_window_covers_flagship_surface():
         # green r10-r11; the percentile-clip family keeps
         # lineitem_weighted_quantiles + events_quantile_normalize
         # in-window, winsorize stays parity-held in-repo every CI run)
-        "doc_collocations",
+        # doc_collocations rotated out in r14 for doc_exact_dedup (2x
+        # green r12-r13; the text-stat family keeps corpus_heaps_law +
+        # corpus_ngram_overlap in-window)
         # round-8: exact binary-fraction EWMA, radius-bounded KNN join,
         # and REAL G.711 mu-law decode enter directly (outs: see the
         # chain_flatten_distributed / event_correlation /
@@ -577,12 +607,25 @@ def test_driver_window_covers_flagship_surface():
         # events_seasonal_profile in-window; LOCF gap-fill stays
         # parity-held in-repo every CI run).  The FK orphan audit is
         # the new referential-integrity representative.
-        "order_item_affinity", "events_seasonal_mase",
+        "order_item_affinity",
+        # events_seasonal_mase rotated out in r14 for doc_semantic_decontam
+        # (3x green r11-r13; the timeseries family keeps
+        # events_seasonal_profile + events_trend_test in-window)
         "warehouse_fk_orphans",
         # r11 mid-round 3: the Kaplan-Meier survival family and the
         # graph tier's link-prediction candidate generator enter
         # directly (pq_recall_bound / multimodal_png out, above)
         "user_churn_survival", "doc_link_prediction",
+        # ---- r14 rotation (VERDICT r13 item 1): every operator
+        # rewritten in the r13/r14 optimization rounds re-enters (or
+        # enters) the window so CORRECTNESS_r14 hash-checks the touched
+        # hot paths directly — outs and family notes above
+        "doc_bm25_topk", "simhash_pairs", "minhash_pairs",
+        "doc_fuzzy_pairs", "dedup_clusters", "doc_exact_dedup",
+        "doc_link_pagerank", "doc_link_triangles",
+        "embedding_semantic_dedup", "cosine_topk",
+        "doc_semantic_decontam", "events_geofence", "certify_probe",
+        "multimodal_decode", "multimodal_png",
     }
     assert flagship <= set(names[:50])
     # No exemptions: every window entry is oracle-backed (the multimodal

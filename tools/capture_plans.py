@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Capture `.explain("formatted")` + executed job/stage counts for named
-registry queries (default: every bench headliner) into plans/r13/.
+registry queries (default: every bench headliner) into plans/<round>/ (SPARK_GRAFT_PLANS_ROUND, default r14).
 
-For each query NAME this writes ``plans/r13/NAME_<tag>.txt`` containing:
+For each query NAME this writes ``plans/<round>/NAME_<tag>.txt`` containing:
 
 - the formatted physical plan of the returned DataFrame (for queries
   whose operators eagerly checkpoint, this is the final visible slice —
@@ -43,7 +43,7 @@ def main() -> None:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         raise SystemExit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = ROOT / "plans" / "r13"
+    out_dir = ROOT / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("dp1-capture-plans")
