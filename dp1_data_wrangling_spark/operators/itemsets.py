@@ -108,15 +108,12 @@ def _capped_basket_items(
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= min_item_support)
         .agg(F.array_sort(F.collect_list("__i")).alias("__freq"))
-        .withColumn("__one", F.lit(1))
     )
-    # constant-key equi-join so the one-row vocabulary attaches as a
-    # BroadcastHashJoin (a bare crossJoin would plan as
-    # BroadcastNestedLoopJoin, which the plan gates forbid globally to
-    # catch ACCIDENTAL unbounded nested loops)
+    # one-row broadcast attach (BroadcastNestedLoopJoin with a 1-row
+    # build side — the same bounded pattern association_rules' basket
+    # total already uses; the plan gate asserts the count stays at one)
     capped = (
-        per_basket.withColumn("__one", F.lit(1))
-        .join(F.broadcast(frequent_arr), "__one")
+        per_basket.crossJoin(F.broadcast(frequent_arr))
         .select(
             "__b",
             F.slice(

@@ -843,16 +843,31 @@ DECODE_STATS_SCHEMA = StructType(
 )
 
 
-def decode_stats(media: DataFrame, *, max_side: int = 8) -> DataFrame:
-    """REAL decode pass: parse each payload with the numpy codecs, then
-    (images) nearest-neighbor-downscale to ``max_side`` and checksum both
-    rasters; (audio) checksum the PCM samples.  Everything int — the
-    whole path (encode → parse → resample → sum) is SQL-replayable.
+def fuse_stages(df: DataFrame, stages, schema) -> DataFrame:
+    """Chain pandas-batch stages inside ONE ``mapInPandas`` (guide §4,
+    r14): each stage is an ``Iterator[pd.DataFrame] ->
+    Iterator[pd.DataFrame]`` transform — the SAME functions the
+    standalone operators run (their ``*_batches`` factories below) — so
+    intermediate batches (the heavy payload bytes, for synthesize →
+    decode chains) stay inside the Python worker instead of crossing
+    the Arrow boundary back to the JVM between operators.  Composing
+    operators as ``op2(op1(df))`` is result-identical (every stage is
+    row-local) but pays the payload transpose+serialize round trip
+    twice; the fused plan carries one ``MapInPandas`` node."""
+    _ship_codecs_by_value()
 
-    One mapInPandas over the media table: payload bytes never shuffle
-    beyond their scan partition, output is a few scalars per row — the
-    shape that survives a 100 TB corpus (decode cost scales with bytes
-    per executor, the result table is negligible)."""
+    def run(it):
+        for stage in stages:
+            it = stage(it)
+        return it
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_stats_batches(*, max_side: int = 8):
+    """The ``decode_stats`` batch transform, exposed for
+    :func:`fuse_stages` composition.  Input batches need
+    ``media_id``/``media_type``/``payload``; extra columns are ignored."""
     import pandas as pd
 
     _ship_codecs_by_value()
@@ -898,7 +913,22 @@ def decode_stats(media: DataFrame, *, max_side: int = 8) -> DataFrame:
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, DECODE_STATS_SCHEMA)
+    return batches
+
+
+def decode_stats(media: DataFrame, *, max_side: int = 8) -> DataFrame:
+    """REAL decode pass: parse each payload with the numpy codecs, then
+    (images) nearest-neighbor-downscale to ``max_side`` and checksum both
+    rasters; (audio) checksum the PCM samples.  Everything int — the
+    whole path (encode → parse → resample → sum) is SQL-replayable.
+
+    One mapInPandas over the media table: payload bytes never shuffle
+    beyond their scan partition, output is a few scalars per row — the
+    shape that survives a 100 TB corpus (decode cost scales with bytes
+    per executor, the result table is negligible)."""
+    return media.mapInPandas(
+        decode_stats_batches(max_side=max_side), DECODE_STATS_SCHEMA
+    )
 
 
 AUDIO_FRAME_SCHEMA = StructType(
@@ -925,6 +955,15 @@ def sample_audio_frames(media: DataFrame, *, frame_ms: int = 1_000) -> DataFrame
     sample stream) — filter to the audio modality first if a row-count
     contract matters.  Row-local mapInPandas: zero shuffles, fan-out
     bounded by duration/frame_ms per row."""
+    return media.mapInPandas(
+        audio_frames_batches(frame_ms=frame_ms), AUDIO_FRAME_SCHEMA
+    )
+
+
+def audio_frames_batches(*, frame_ms: int = 1_000):
+    """The ``sample_audio_frames`` batch transform, exposed for
+    :func:`fuse_stages` composition (non-RIFF rows skip exactly as the
+    standalone operator does)."""
     import pandas as pd
 
     if frame_ms < 1:
@@ -957,7 +996,7 @@ def sample_audio_frames(media: DataFrame, *, frame_ms: int = 1_000) -> DataFrame
                 {k: pd.Series(v, dtype="int64") for k, v in out.items()}
             )
 
-    return media.mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+    return batches
 
 
 VIDEO_FRAME_SCHEMA = StructType(
@@ -979,6 +1018,12 @@ def sample_video_frames(media: DataFrame) -> DataFrame:
     SQL-replayable integer discipline as ``decode_stats``.  Non-Y4M rows
     are skipped (compressed video stays behind the honest stub via
     ``sample_frames``).  Row-local mapInPandas: zero shuffles."""
+    return media.mapInPandas(video_frames_batches(), VIDEO_FRAME_SCHEMA)
+
+
+def video_frames_batches():
+    """The ``sample_video_frames`` batch transform, exposed for
+    :func:`fuse_stages` composition."""
     import pandas as pd
 
     _ship_codecs_by_value()
@@ -1004,7 +1049,7 @@ def sample_video_frames(media: DataFrame) -> DataFrame:
                 {k: pd.Series(v, dtype="int64") for k, v in out.items()}
             )
 
-    return media.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+    return batches
 
 
 def synthetic_video(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -1013,6 +1058,14 @@ def synthetic_video(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     ``v[f, p, r, c] = (id*7 + f*11 + p*5 + r*3 + c) % 256`` — closed-form
     content, so a SQL oracle replays any frame statistic without touching
     bytes (same contract as ``synthetic_media``)."""
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        synthetic_video_batches(id_col), MEDIA_SCHEMA
+    )
+
+
+def synthetic_video_batches(id_col: str = "media_id"):
+    """The ``synthetic_video`` batch transform, exposed for
+    :func:`fuse_stages` composition."""
     import numpy as np
     import pandas as pd
 
@@ -1042,9 +1095,7 @@ def synthetic_video(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 out["duration_ms"].append(n * 40)  # 25 fps
             yield pd.DataFrame(out)
 
-    return ids.select(F.col(id_col).cast("long")).mapInPandas(
-        batches, MEDIA_SCHEMA
-    )
+    return batches
 
 
 def synthetic_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -1061,6 +1112,14 @@ def synthetic_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     reassembly bug) shows up as a checksum mismatch, because the stats
     are computed from DECODED pixels (same contract as
     ``synthetic_media``)."""
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        synthetic_png_batches(id_col), MEDIA_SCHEMA
+    )
+
+
+def synthetic_png_batches(id_col: str = "media_id"):
+    """The ``synthetic_png`` batch transform, exposed for
+    :func:`fuse_stages` composition."""
     import numpy as np
     import pandas as pd
 
@@ -1096,9 +1155,7 @@ def synthetic_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 out["duration_ms"].append(None)
             yield pd.DataFrame(out)
 
-    return ids.select(F.col(id_col).cast("long")).mapInPandas(
-        batches, MEDIA_SCHEMA
-    )
+    return batches
 
 
 def synthetic_qoi(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -1109,6 +1166,14 @@ def synthetic_qoi(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     op mix (not just raw RGB ops).  Content is closed-form in the id, so
     a SQL oracle replays decode statistics without touching bytes (same
     contract as ``synthetic_png``)."""
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        synthetic_qoi_batches(id_col), MEDIA_SCHEMA
+    )
+
+
+def synthetic_qoi_batches(id_col: str = "media_id"):
+    """The ``synthetic_qoi`` batch transform, exposed for
+    :func:`fuse_stages` composition."""
     import numpy as np
     import pandas as pd
 
@@ -1137,9 +1202,7 @@ def synthetic_qoi(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 out["duration_ms"].append(None)
             yield pd.DataFrame(out)
 
-    return ids.select(F.col(id_col).cast("long")).mapInPandas(
-        batches, MEDIA_SCHEMA
-    )
+    return batches
 
 
 def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -1154,6 +1217,14 @@ def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
 
     Encoding happens executor-side in one mapInPandas (the driver never
     sees a payload)."""
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        synthetic_media_batches(id_col), MEDIA_SCHEMA
+    )
+
+
+def synthetic_media_batches(id_col: str = "media_id"):
+    """The ``synthetic_media`` batch transform, exposed for
+    :func:`fuse_stages` composition."""
     import numpy as np
     import pandas as pd
 
@@ -1192,9 +1263,7 @@ def synthetic_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 out["duration_ms"].append(dur)
             yield pd.DataFrame(out)
 
-    return ids.select(F.col(id_col).cast("long")).mapInPandas(
-        batches, MEDIA_SCHEMA
-    )
+    return batches
 
 def synthetic_ulaw(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic REAL G.711 μ-law WAV payloads from an id column:
@@ -1204,6 +1273,14 @@ def synthetic_ulaw(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     shift is exact integer math) without touching bytes.  Encoding
     happens executor-side in one mapInPandas (same contract as
     ``synthetic_media``)."""
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        synthetic_ulaw_batches(id_col), MEDIA_SCHEMA
+    )
+
+
+def synthetic_ulaw_batches(id_col: str = "media_id"):
+    """The ``synthetic_ulaw`` batch transform, exposed for
+    :func:`fuse_stages` composition."""
     import numpy as np
     import pandas as pd
 
@@ -1227,7 +1304,5 @@ def synthetic_ulaw(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 out["duration_ms"].append(n * 1000 // 8000)
             yield pd.DataFrame(out)
 
-    return ids.select(F.col(id_col).cast("long")).mapInPandas(
-        batches, MEDIA_SCHEMA
-    )
+    return batches
 

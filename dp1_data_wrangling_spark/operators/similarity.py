@@ -39,42 +39,32 @@ from ..tables import spread
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i * b_i as a strict left fold in double (JVM, deterministic).
 
-    One index fold with two element_at lookups per step (r13) instead
-    of ``zip_with`` + fold: the zip materialized a fresh dim-length
-    array per evaluation — pure allocation, since the fold consumes the
-    products immediately.  The addition order (i = 1..n, left fold) and
-    the float->double cast-then-multiply are unchanged, so every score
-    downstream is bit-identical (DuckDB list_reduce replays the same
-    order).  NULL inputs stay NULL and empty inputs stay 0.0, exactly
-    as the zip_with form behaved (a bare sequence(1, 0) would DESCEND
-    and error in element_at — hence _index_seq's guard)."""
-    folded = F.aggregate(
-        _index_seq(a),
+    zip_with + fold, the r12 form, RESTORED in r14 after a same-window
+    interleaved A/B (bench_runs/ab_dot_fold.json, VERDICT r13 item 3):
+    the r13 index fold (two ``element_at`` lookups per step over
+    ``sequence(1, size)``) looked like a wash in isolation but lost in
+    the driver's ground-truth run (cosine_topk 0.65x,
+    embedding_semantic_dedup 0.80x) and lost the A/B on 2 of 3 query
+    mins and all 3 means — per-step ``element_at`` bounds checks cost
+    more than the zip's one transient array the fold consumes
+    immediately.  zip_with also NULLs the whole product on mismatched
+    vector lengths (the shorter side pads with NULL), which is the
+    safe answer the index fold silently got wrong (it returned a
+    partial sum when size(a) < size(b) — VERDICT r13 item 4)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
-    )
-    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
-        folded
-    )
-
-
-def _index_seq(a: Column) -> Column:
-    """1..size(a) as an int array; [] for empty or NULL input."""
-    return F.when(F.size(a) >= 1, F.sequence(F.lit(1), F.size(a))).otherwise(
-        F.expr("cast(array() as array<int>)")
+        lambda acc, v: acc + v,
     )
 
 
 def l2_norm(a: Column) -> Column:
-    folded = F.aggregate(
-        _index_seq(a),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double"),
-    )
     return F.sqrt(
-        F.when(a.isNull(), F.lit(None).cast("double")).otherwise(folded)
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     )
 
 

@@ -208,10 +208,17 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing, or off-by-one bug in the frame boundaries shows up as a
     hash mismatch.  Row-local fan-out: zero shuffles at any corpus."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
+        F.col("doc_id").cast("long").alias("media_id")
     )
-    media = mm.synthetic_media(docs).filter(F.col("media_type") == "audio/wav")
-    return mm.sample_audio_frames(media, frame_ms=1)
+    # r14 fusion (guide §4): synthesize + frame-slice in ONE mapInPandas —
+    # the WAV payloads never cross the Arrow boundary back to the JVM.
+    # The old audio/wav pre-filter is subsumed by the frame stage's
+    # RIFF/WAVE magic check (PPM/BMP payloads skip identically).
+    return mm.fuse_stages(
+        docs,
+        [mm.synthetic_media_batches(), mm.audio_frames_batches(frame_ms=1)],
+        mm.AUDIO_FRAME_SCHEMA,
+    )
 
 
 _ULAW_FRAMES_ORACLE = """
@@ -258,10 +265,14 @@ def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk is exercised over a second fmt code (7) and an 8-bit block
     alignment.  Row-local fan-out: zero shuffles at any corpus."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
+        F.col("doc_id").cast("long").alias("media_id")
     )
-    media = mm.synthetic_ulaw(docs)
-    return mm.sample_audio_frames(media, frame_ms=1)
+    # r14 fusion (guide §4): one mapInPandas, payloads stay in-worker
+    return mm.fuse_stages(
+        docs,
+        [mm.synthetic_ulaw_batches(), mm.audio_frames_batches(frame_ms=1)],
+        mm.AUDIO_FRAME_SCHEMA,
+    )
 
 
 _VIDEO_FRAMES_ORACLE = """
@@ -297,9 +308,14 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     a header-walk, frame-boundary, or plane-order bug is a hash
     mismatch."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
+        F.col("doc_id").cast("long").alias("media_id")
     )
-    return mm.sample_video_frames(mm.synthetic_video(docs))
+    # r14 fusion (guide §4): one mapInPandas, payloads stay in-worker
+    return mm.fuse_stages(
+        docs,
+        [mm.synthetic_video_batches(), mm.video_frames_batches()],
+        mm.VIDEO_FRAME_SCHEMA,
+    )
 
 
 _MULTIMODAL_PNG_ORACLE = """
@@ -397,9 +413,14 @@ def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong op decode, hash-table slot, or run boundary is a hash
     mismatch.  Row-local: zero shuffles at any corpus."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
+        F.col("doc_id").cast("long").alias("media_id")
     )
-    return mm.decode_stats(mm.synthetic_qoi(docs), max_side=8)
+    # r14 fusion (guide §4): one mapInPandas, payloads stay in-worker
+    return mm.fuse_stages(
+        docs,
+        [mm.synthetic_qoi_batches(), mm.decode_stats_batches(max_side=8)],
+        mm.DECODE_STATS_SCHEMA,
+    )
 
 
 @register("multimodal_png", _MULTIMODAL_PNG_ORACLE, headline=True)
@@ -417,9 +438,14 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lossy codecs (JPEG/MP3) stay behind the honest stub.  Row-local:
     zero shuffles at any corpus."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
+        F.col("doc_id").cast("long").alias("media_id")
     )
-    return mm.decode_stats(mm.synthetic_png(docs), max_side=8)
+    # r14 fusion (guide §4): one mapInPandas, payloads stay in-worker
+    return mm.fuse_stages(
+        docs,
+        [mm.synthetic_png_batches(), mm.decode_stats_batches(max_side=8)],
+        mm.DECODE_STATS_SCHEMA,
+    )
 
 
 @register("multimodal_decode", _MULTIMODAL_DECODE_ORACLE, headline=True)
@@ -434,9 +460,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample-index error all surface as a hash mismatch.  Compressed
     codecs remain an honest NotImplementedError stub."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id")
+        F.col("doc_id").cast("long").alias("media_id")
     )
-    media = mm.synthetic_media(docs)
-    return mm.decode_stats(media, max_side=8)
+    # r14 fusion (guide §4): one mapInPandas, payloads stay in-worker
+    return mm.fuse_stages(
+        docs,
+        [mm.synthetic_media_batches(), mm.decode_stats_batches(max_side=8)],
+        mm.DECODE_STATS_SCHEMA,
+    )
 
 

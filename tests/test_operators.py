@@ -585,6 +585,36 @@ def test_decode_stats_runs_real_codecs_in_spark(spark):
     assert (mm.decode_ppm(bytes(raw[4])) == arr).all()
 
 
+def test_fuse_stages_matches_operator_composition(spark):
+    """r14 fusion helper: chaining the *_batches transforms inside one
+    mapInPandas must return exactly the rows of composing the standalone
+    operators (same ids, same stats), for both a decode_stats chain and
+    a frame fan-out chain."""
+    from dp1_data_wrangling_spark.operators import multimodal as mm
+
+    ids = spark.range(13).select(F.col("id").cast("long").alias("media_id"))
+    fused = mm.fuse_stages(
+        ids,
+        [mm.synthetic_png_batches(), mm.decode_stats_batches(max_side=8)],
+        mm.DECODE_STATS_SCHEMA,
+    )
+    composed = mm.decode_stats(mm.synthetic_png(ids), max_side=8)
+    key = lambda r: r["media_id"]  # noqa: E731
+    assert sorted(fused.collect(), key=key) == sorted(
+        composed.collect(), key=key
+    )
+    fused_fr = mm.fuse_stages(
+        ids,
+        [mm.synthetic_video_batches(), mm.video_frames_batches()],
+        mm.VIDEO_FRAME_SCHEMA,
+    )
+    composed_fr = mm.sample_video_frames(mm.synthetic_video(ids))
+    key2 = lambda r: (r["media_id"], r["frame_no"])  # noqa: E731
+    assert sorted(fused_fr.collect(), key=key2) == sorted(
+        composed_fr.collect(), key=key2
+    )
+
+
 def test_decode_stats_handles_video_and_degenerate_rasters(spark):
     """Review regressions: decode_stats must handle Y4M payloads (the
     video branch, not the 2-tuple audio unpack), and 0-dimension PPM/BMP

@@ -598,6 +598,20 @@ def test_round7_rowlocal_ops_zero_data_shuffles(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_multimodal_fused_single_arrow_node(spark):
+    """r14 fusion (guide §4): every synthesize->decode chain runs as ONE
+    MapInPandas node — the payload bytes cross the Python boundary once,
+    not twice.  A second node reappearing means someone recomposed the
+    standalone operators in a query path."""
+    from dp1_data_wrangling_spark.registry import REGISTRY
+
+    for name in ("multimodal_decode", "multimodal_png", "multimodal_qoi",
+                 "multimodal_audio_frames", "multimodal_ulaw",
+                 "multimodal_video_frames"):
+        plan = plan_of(REGISTRY[name].fn(spark, SMOKE_SF))
+        assert plan.count("MapInPandas") == 1, (name, plan)
+
+
 def test_round8_rowlocal_ops_zero_data_shuffles(spark):
     """Round-8 additions keep the row-local contract: the compressed
     codec queries (PNG, QOI) are mapInPandas over the scan with zero
@@ -926,15 +940,18 @@ def test_kmv_rolling_sketch_space_only_no_cartesian(spark):
 
 
 def test_frequent_pairs_broadcast_prune_no_cartesian(spark):
-    """The apriori prune must BROADCAST the frequent-item side; the pair
-    generation is a basket-keyed equi-self-join — never a cartesian —
-    and both censuses combine map-side."""
+    """The apriori prune must stay broadcast-sized and the pair
+    generation row-local — never a cartesian — with both censuses
+    combining map-side.  r14 shape: the prune is a ONE-ROW broadcast
+    (the frequent vocabulary folded to a sorted array, attached by
+    BroadcastNestedLoopJoin with a 1-row build — the same bounded
+    pattern as association_rules' basket total), so the gate pins the
+    BNLJ count at exactly one instead of forbidding it outright."""
     from dp1_data_wrangling_spark.registry import REGISTRY
 
     plan = plan_of(REGISTRY["doc_cooccurrence"].fn(spark, SMOKE_SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "partial_count" in plan
 
 

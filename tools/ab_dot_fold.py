@@ -42,9 +42,17 @@ from dp1_data_wrangling_spark.session import get_spark  # noqa: E402
 QUERIES = ["cosine_topk", "embedding_semantic_dedup", "ivf_pq_recall_bound"]
 
 
+def _index_seq(a):
+    """1..size(a) as an int array; [] for empty or NULL input (the r13
+    fold form's guard, kept here after the module reverted to zip_with)."""
+    return F.when(F.size(a) >= 1, F.sequence(F.lit(1), F.size(a))).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+
+
 def _fold_dot(a, b):
     folded = F.aggregate(
-        similarity._index_seq(a),
+        _index_seq(a),
         F.lit(0.0),
         lambda acc, i: acc
         + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
@@ -56,7 +64,7 @@ def _fold_dot(a, b):
 
 def _fold_l2(a):
     folded = F.aggregate(
-        similarity._index_seq(a),
+        _index_seq(a),
         F.lit(0.0),
         lambda acc, i: acc
         + F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double"),
@@ -124,7 +132,8 @@ def main() -> None:
                 spark.sparkContext.setJobDescription(f"ab {q} {form} t{trial}")
                 results[q][form].append(round(run_once(q), 3))
     probe_after = jvm_ref_probe(spark)
-    similarity.dot, similarity.l2_norm = FORMS["fold"]
+    # restore the module's shipped form (zip_with since the r14 revert)
+    similarity.dot, similarity.l2_norm = FORMS["zipw"]
 
     summary = {
         q: {
