@@ -152,6 +152,15 @@ def keyed_checkpoint(
     checkpointed subtree itself runs without AQE re-planning (one
     materialization pass at the conf's static partitioning); every
     consumer query keeps full AQE.
+
+    Concurrency constraint (VERDICT r13): the AQE toggle mutates a
+    SESSION-scoped conf for the duration of the checkpoint call.  Safe
+    under the driver contract (queries build serially on one session);
+    NOT safe if two queries ever build concurrently on one shared
+    SparkSession — a sibling thread planning in that window would plan
+    without AQE.  If concurrent builds arrive, scope the toggle with a
+    cloned session (``spark.newSession()`` shares the RDD checkpoint
+    state but isolates the conf) before reaching for anything fancier.
     """
     spark = df.sparkSession
 

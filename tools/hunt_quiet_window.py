@@ -14,7 +14,10 @@ distribution the host actually offered.
     python tools/hunt_quiet_window.py doc_link_triangles doc_link_pagerank
 
 Env: SPARK_GRAFT_HUNT_ROUNDS (default 40), SPARK_GRAFT_HUNT_INTERVAL
-(default 480 s), SPARK_GRAFT_HUNT_FLOOR_MS (default 35).
+(default 480 s), SPARK_GRAFT_HUNT_FLOOR_MS (default 35),
+SPARK_GRAFT_HUNT_JVM_SEC (default 0 = strict machine_clean admission;
+>0 relaxes the jvm criterion to that wall for opportunistic-dip
+sampling — every record carries the thresholds it was admitted under).
 """
 from __future__ import annotations
 
@@ -68,10 +71,21 @@ def main() -> None:
     hunt_log = out_dir / "quiet_hunt.jsonl"
     iso_log = out_dir / "isolated_runs.jsonl"
 
+    # Fixed strict constants for clean_block (ADVICE r13): a "clean
+    # block" means the SAME thing in every row of the shared jsonl,
+    # independent of whatever relaxed admission this run used — both
+    # bracketing probes machine_clean (jvm <= 0.07) and both tiny-task
+    # floors at the strict 35 ms criterion.
+    STRICT_FLOOR_MS = 35.0
+
     for i in range(rounds):
         probe = jvm_ref_probe(spark)
         probe["tiny_1task_ms"] = tiny_task_floor(spark)
         probe["ts"] = time.strftime("%H:%M:%S")
+        # persist the ACTIVE admission thresholds (ADVICE r13: strict-
+        # and relaxed-mode rows were indistinguishable in the jsonl)
+        probe["admit_floor_ms"] = floor_ms
+        probe["admit_jvm_sec"] = jvm_sec if jvm_sec > 0 else None
         jvm_ok = (
             probe["jvm_range_sum_sec"] <= jvm_sec
             if jvm_sec > 0
@@ -102,8 +116,16 @@ def main() -> None:
                 "queries": results,
                 "machine_ref_before": probe,
                 "machine_ref_after": after,
-                "clean_block": after["machine_clean"]
-                and after["tiny_1task_ms"] <= floor_ms,
+                "admit_floor_ms": floor_ms,
+                "admit_jvm_sec": jvm_sec if jvm_sec > 0 else None,
+                # strict, admission-independent (ADVICE r13): BOTH
+                # bracketing probes machine_clean AND at the fixed 35 ms
+                # tiny-task floor — a relaxed-admission run can no longer
+                # mint a clean_block weaker than strict-mode rows
+                "clean_block": probe["machine_clean"]
+                and after["machine_clean"]
+                and probe["tiny_1task_ms"] <= STRICT_FLOOR_MS
+                and after["tiny_1task_ms"] <= STRICT_FLOOR_MS,
                 "source": "quiet_hunt",
                 "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             }
